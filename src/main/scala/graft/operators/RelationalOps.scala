@@ -1,0 +1,418 @@
+package graft.operators
+
+import graft.Query
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Tier B — relational core over the driver's star schema (SURVEY.md §2.3).
+  *
+  * Scale stance: every query here is a declarative plan Catalyst can
+  * optimize — filters and projections reach the parquet scan, aggregates
+  * run partial+final (map-side combine), joins pick broadcast for true
+  * dimension tables (`broadcast()` hints on region/nation/part/supplier)
+  * and shuffled sort-merge/hash with AQE skew handling for fact-fact
+  * joins. Nothing collects to the driver.
+  *
+  * Determinism stance (SURVEY.md §7.6): money/quantity sums go through
+  * DECIMAL(18,2) so partial-aggregation order can't perturb floating
+  * results; every query ends in a total ORDER BY with a unique tiebreak.
+  */
+object RelationalOps {
+
+  /** Order-independent exact sum of a double measure: cast to decimal
+    * before aggregation, back to double after — associativity-safe at any
+    * partition count, so results are identical on local[32] and on a
+    * 1000-executor shuffle. */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  private def davg(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double") / count(lit(1))
+
+  /** Exact discounted-revenue sum. Casting the double *product* to decimal
+    * is engine-divergent on .xx5 ties (Spark rounds via Java's
+    * shortest-decimal repr, DuckDB via the raw binary value), so each
+    * 2-dp factor is cast to decimal first and the multiply happens in
+    * exact decimal arithmetic. */
+  private def drevenue: Column = {
+    val dec = DecimalType(18, 2)
+    sum(col("l_extendedprice").cast(dec) *
+      (lit(1).cast(dec) - col("l_discount").cast(dec))).cast("double")
+  }
+
+  val all: Seq[Query] = Seq(
+    // -- scans / filter / project ------------------------------------
+    Query(
+      "q_filter_project",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity,
+                     l_extendedprice * (1 - l_discount) AS revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-01-01'
+              ORDER BY l_orderkey, l_linenumber"""),
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .select(
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("revenue"))
+          .orderBy("l_orderkey", "l_linenumber")),
+
+    // -- aggregation (TPC-H Q1 shape) --------------------------------
+    Query(
+      "q_pricing_summary",
+      Some("""SELECT l_returnflag, l_linestatus,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+                     CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+                     count(*) AS count_order
+              FROM lineitem
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus"""),
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            drevenue.as("sum_disc_price"),
+            davg(col("l_quantity")).as("avg_qty"),
+            davg(col("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")),
+
+    // -- joins --------------------------------------------------------
+    Query(
+      "q_join_inner",
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, d) =>
+        Tables.orders(s, d)
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            dsum(col("o_totalprice")).as("sum_total"))
+          .orderBy("c_mktsegment")),
+    Query(
+      "q_join_broadcast",
+      Some("""SELECT p_brand, count(*) AS n,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY p_brand ORDER BY p_brand"""),
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("p_brand")),
+    Query(
+      "q_join_multi",
+      Some("""SELECT n_name,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+              GROUP BY n_name ORDER BY n_name"""),
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "ASIA")
+          .groupBy("n_name")
+          .agg(drevenue.as("revenue"))
+          .orderBy("n_name")),
+    Query(
+      "q_join_left",
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+              FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+              GROUP BY c_custkey ORDER BY c_custkey"""),
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"),
+            "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy("c_custkey")),
+    Query(
+      "q_join_semi",
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey"""),
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+            "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")),
+    Query(
+      "q_join_anti",
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY c_custkey"""),
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+            "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")),
+    Query(
+      "q_join_range",
+      Some("""SELECT o_orderkey, count(*) AS n
+              FROM orders JOIN lineitem
+                ON l_orderkey = o_orderkey
+               AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+              GROUP BY o_orderkey ORDER BY o_orderkey"""),
+      (s, d) =>
+        Tables.orders(s, d)
+          .join(
+            Tables.lineitem(s, d),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("o_orderkey")),
+    // As-of join composed from equi-join + range residual + row_number —
+    // Spark has no native as-of operator (SURVEY.md §2.3). At 100 TB the
+    // same plan holds: the join shuffles on user_id (bounded per-user
+    // history), the window dedup is partition-local after the shuffle.
+    Query(
+      "q_join_asof",
+      Some("""SELECT p.event_id AS purchase_id, e.event_id AS error_id,
+                     e.ts AS error_ts
+              FROM events p
+              JOIN events e ON e.user_id = p.user_id AND e.ts <= p.ts
+               AND e.event_type = 'error'
+              WHERE p.event_type = 'purchase'
+              QUALIFY row_number() OVER (PARTITION BY p.event_id
+                        ORDER BY e.ts DESC, e.event_id DESC) = 1
+              ORDER BY purchase_id"""),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            col("ts").as("p_ts"))
+        val e = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"),
+            col("user_id").as("e_user"), col("ts").as("error_ts"))
+        val w = Window.partitionBy(col("purchase_id"))
+          .orderBy(col("error_ts").desc, col("error_id").desc)
+        p.join(e, col("user_id") === col("e_user") &&
+            col("error_ts") <= col("p_ts"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("purchase_id", "error_id", "error_ts")
+          .orderBy("purchase_id")
+      }),
+
+    // -- distinct / grouping lattice ---------------------------------
+    Query(
+      "q_distinct",
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"),
+      (s, d) =>
+        Tables.customer(s, d).select("c_mktsegment").distinct()
+          .orderBy("c_mktsegment")),
+    Query(
+      "q_count_distinct",
+      Some("""SELECT n_name, count(DISTINCT l_suppkey) AS n_supp
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name"""),
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+          .orderBy("n_name")),
+    // HLL sketch — implementations differ across engines, so no SQL
+    // oracle; bounds vs the exact count are asserted in ScalaTest.
+    Query(
+      "q_approx_distinct",
+      None,
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .agg(approx_count_distinct(col("o_orderkey")).as("approx_orders"))
+          .orderBy("o_orderpriority")),
+    Query(
+      "q_rollup",
+      Some("""SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
+                     coalesce(l_returnflag, 'ALL') AS flag,
+                     coalesce(l_linestatus, 'ALL') AS status,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                     count(*) AS n
+              FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              ORDER BY gid, flag, status"""),
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(
+            grouping_id().as("gid"),
+            dsum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .select(
+            col("gid"),
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("sum_qty"), col("n"))
+          .orderBy("gid", "flag", "status")),
+    Query(
+      "q_cube",
+      Some("""SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
+                     coalesce(l_returnflag, 'ALL') AS flag,
+                     coalesce(l_linestatus, 'ALL') AS status,
+                     count(*) AS n
+              FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              ORDER BY gid, flag, status"""),
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+          .select(
+            col("gid"),
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("n"))
+          .orderBy("gid", "flag", "status")),
+    Query(
+      "q_grouping_sets",
+      Some("""SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,
+                     coalesce(l_returnflag, 'ALL') AS flag,
+                     coalesce(l_linestatus, 'ALL') AS status,
+                     count(*) AS n
+              FROM lineitem
+              GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+              ORDER BY gid, flag, status"""),
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
+        s.sql("""SELECT grouping_id() AS gid,
+                        coalesce(l_returnflag, 'ALL') AS flag,
+                        coalesce(l_linestatus, 'ALL') AS status,
+                        count(*) AS n
+                 FROM graft_li_gs
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+                 ORDER BY gid, flag, status""")
+      }),
+
+    // -- window functions --------------------------------------------
+    Query(
+      "q_window_rank",
+      Some("""SELECT o_custkey, o_orderkey,
+                     CAST(row_number() OVER w AS INT) AS rn,
+                     CAST(rank() OVER w AS INT) AS rnk,
+                     CAST(dense_rank() OVER w AS INT) AS drnk,
+                     percent_rank() OVER w AS prnk,
+                     CAST(ntile(4) OVER w AS INT) AS nt
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey)
+              ORDER BY o_custkey, rn"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            row_number().over(w).as("rn"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            percent_rank().over(w).as("prnk"),
+            ntile(4).over(w).as("nt"))
+          .orderBy("o_custkey", "rn")
+      }),
+    Query(
+      "q_window_frame",
+      Some("""SELECT event_id, user_id, value,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_v,
+                     lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lead_v,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov_sum3
+              FROM events ORDER BY event_id"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val dec = col("value").cast(DecimalType(18, 2))
+        Tables.events(s, d)
+          .select(
+            col("event_id"), col("user_id"), col("value"),
+            sum(dec).over(w.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).cast("double").as("run_sum"),
+            lag(col("value"), 1).over(w).as("lag_v"),
+            lead(col("value"), 1).over(w).as("lead_v"),
+            sum(dec).over(w.rowsBetween(-2, Window.currentRow))
+              .cast("double").as("mov_sum3"))
+          .orderBy("event_id")
+      }),
+
+    // -- sort / limit / set ops --------------------------------------
+    Query(
+      "q_topk",
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""),
+      (s, d) =>
+        Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)),
+    Query(
+      "q_sort_multi",
+      Some("""SELECT p_partkey, p_type, p_retailprice FROM part
+              ORDER BY p_type ASC, p_retailprice DESC, p_partkey"""),
+      (s, d) =>
+        Tables.part(s, d)
+          .select("p_partkey", "p_type", "p_retailprice")
+          .orderBy(col("p_type").asc, col("p_retailprice").desc,
+            col("p_partkey"))),
+    Query(
+      "q_union",
+      Some("""SELECT c_custkey AS k FROM customer
+              UNION SELECT o_custkey AS k FROM orders ORDER BY k"""),
+      (s, d) =>
+        Tables.customer(s, d).select(col("c_custkey").as("k"))
+          .union(Tables.orders(s, d).select(col("o_custkey").as("k")))
+          .distinct()
+          .orderBy("k")),
+    Query(
+      "q_intersect",
+      Some("""SELECT c_custkey AS k FROM customer
+              INTERSECT SELECT o_custkey AS k FROM orders ORDER BY k"""),
+      (s, d) =>
+        Tables.customer(s, d).select(col("c_custkey").as("k"))
+          .intersect(Tables.orders(s, d).select(col("o_custkey").as("k")))
+          .orderBy("k")),
+    Query(
+      "q_except",
+      Some("""SELECT c_custkey AS k FROM customer
+              EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k"""),
+      (s, d) =>
+        Tables.customer(s, d).select(col("c_custkey").as("k"))
+          .except(Tables.orders(s, d).select(col("o_custkey").as("k")))
+          .orderBy("k"))
+  )
+}
