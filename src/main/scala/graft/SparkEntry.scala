@@ -10,7 +10,8 @@ import graft.operators._
 object SparkEntry {
 
   private def registry: Seq[Query] =
-    ReferenceOps.all ++ RelationalOps.all ++ FunctionOps.all
+    ReferenceOps.all ++ RelationalOps.all ++ FunctionOps.all ++
+      StreamingOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -48,6 +48,34 @@ object ReferenceOps {
       .orderBy("event_id")
   }
 
+  /** R1–R10 end-to-end as a REAL incremental execution: file streaming
+    * source → the same Pipelines.alerts plan → memory sink. Structured
+    * Streaming's unified API means this is the identical logical plan as
+    * `alertPipeline`, replanned per micro-batch — so it shares
+    * q_alert_pipeline's DuckDB oracle. AvailableNow drains the source and
+    * terminates (the batch-bounded analog of the reference's
+    * `latch.await()` run-forever loop, BME680.java:244).
+    */
+  def alertStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val name = s"graft_alert_stream_${System.nanoTime()}"
+    // Glob form: FileStreamSource requires its basePath (the non-glob
+    // prefix) to be a directory; the driver lays tables out as one
+    // parquet FILE per table.
+    val records = spark.readStream
+      .schema("event_id BIGINT, props STRING")
+      .parquet(s"$sfDir/{events}.parquet")
+      .selectExpr("CAST(event_id AS STRING) AS key", "props AS value")
+    val q = graft.streaming.Pipelines.alerts(records, "$.k")
+      .writeStream.format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .selectExpr("CAST(key AS BIGINT) AS event_id", "temp", "alert")
+      .orderBy("event_id")
+  }
+
   val all: Seq[Query] = Seq(
     Query(
       "q_source_scan",
@@ -125,6 +153,22 @@ object ReferenceOps {
                               THEN json_extract_string(props, '$.k')
                               ELSE props END) AS DOUBLE) > 75.0
               ORDER BY event_id"""),
-      (s, d) => alertPipeline(s, d))
+      (s, d) => alertPipeline(s, d)),
+    Query(
+      "q_alert_stream",
+      Some("""SELECT event_id,
+                     CAST(trim(CASE WHEN instr(props, '{') > 0
+                               THEN json_extract_string(props, '$.k')
+                               ELSE props END) AS DOUBLE) AS temp,
+                     printf('Temperature warning %04.2f',
+                            CAST(trim(CASE WHEN instr(props, '{') > 0
+                                      THEN json_extract_string(props, '$.k')
+                                      ELSE props END) AS DOUBLE)) AS alert
+              FROM events
+              WHERE CAST(trim(CASE WHEN instr(props, '{') > 0
+                              THEN json_extract_string(props, '$.k')
+                              ELSE props END) AS DOUBLE) > 75.0
+              ORDER BY event_id"""),
+      (s, d) => alertStream(s, d))
   )
 }

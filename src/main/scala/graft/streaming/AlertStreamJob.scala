@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference topology as a Structured Streaming job
+  * (BME680.java:223-244): one source fanned out to (a) an unmodified
+  * pass-through sink and (b) the alert pipeline into an MQTT-shaped sink.
+  *
+  * The source is injectable: production wires `kafkaSource` (topic
+  * `bme680`, String key/value — BME680.java:53,215-216); tests inject a
+  * MemoryStream frame. Both branches run off the SAME source DataFrame —
+  * Spark plans two independent queries, each reading its own offsets, so
+  * the pass-through receives every record even when the alert branch
+  * filters (fan-out, not a chain — SURVEY.md §0.1).
+  */
+object AlertStreamJob {
+
+  /** Kafka source options for the reference's deployment. Requires the
+    * spark-sql-kafka connector on the classpath (not present in the
+    * offline test image — exercised only in real deployments). */
+  def kafkaSource(spark: SparkSession, bootstrap: String,
+      topic: String = "bme680"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .load()
+      .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+
+  /** Start both branches; returns (passthroughQuery, alertQuery). */
+  def start(records: DataFrame, alertTopic: String,
+      newPublisher: () => AlertPublisher, checkpointRoot: String,
+      jsonPath: String = "$.bme680_tempf"): (StreamingQuery, StreamingQuery) = {
+    val spark = records.sparkSession
+
+    val pass = Pipelines.passthrough(records).writeStream
+      .format("memory") // production: .format("kafka").option("topic", "bme680out")
+      .queryName(s"passthrough_${System.nanoTime()}")
+      .option("checkpointLocation", s"$checkpointRoot/pass")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    val alerts = Pipelines.alerts(records, jsonPath).writeStream
+      .foreach(new AlertForeachWriter(alertTopic, newPublisher))
+      .option("checkpointLocation", s"$checkpointRoot/alerts")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    (pass, alerts)
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming tier (SURVEY.md §5.3) — the TopologyTestDriver-equivalent:
+  * MemoryStream choreography over the same Pipelines used in batch.
+  * Covers the reference fan-out (R2/R3), the MQTT-shaped sink's
+  * log-and-drop QoS0 semantics (R10), and the streaming-state operators
+  * the reference lacks (watermark late-drop, dedup, session windows).
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpCkpt(): String =
+    Files.createTempDirectory("graft_ckpt_").toString
+
+  private val sampleDoc = """{"uuid":"x1","bme680_tempf":"82.74"}"""
+
+  test("fan-out: pass-through sees ALL records, alerts only >75 (R2/R3)") {
+    val in = MemoryStream[(String, String)](spark)
+    in.addData(("k1", sampleDoc), ("k2", """{"bme680_tempf":"60.0"}"""),
+      ("k3", " 80.1 "), ("k4", "70"), ("k5", "not-a-number"))
+    val runId = s"fanout_${System.nanoTime()}"
+    val (pass, alerts) = AlertStreamJob.start(
+      in.toDF().toDF("key", "value"), "bme680warning",
+      () => new CollectingPublisher(runId), tmpCkpt())
+    pass.awaitTermination(); alerts.awaitTermination()
+
+    // pass-through: every ORIGINAL record, unmodified (BME680.java:227)
+    val passed = spark.table(pass.name).as[(String, String)].collect().toMap
+    assert(passed.size === 5 && passed("k5") === "not-a-number")
+
+    // alert branch: strict >75 only, Formatter-exact text, QoS0 retained
+    val msgs = CollectingPublisher.messages(runId)
+    assert(msgs.map(_.payload).sorted ===
+      Seq("Temperature warning 80.10", "Temperature warning 82.74"))
+    assert(msgs.forall(m =>
+      m.topic == "bme680warning" && m.qos == 0 && m.retained))
+    CollectingPublisher.clear(runId)
+  }
+
+  test("publish failure is logged and dropped, never fails the query (R10)") {
+    val in = MemoryStream[(String, String)](spark)
+    in.addData(("k1", "80"), ("k2", "90"))
+    val runId = s"faulty_${System.nanoTime()}"
+    val q = Pipelines.alerts(in.toDF().toDF("key", "value")).writeStream
+      .foreach(new AlertForeachWriter("bme680warning", () => new AlertPublisher {
+        private val delegate = new CollectingPublisher(runId)
+        def connect(): Unit = ()
+        def publish(msg: AlertMessage): Unit =
+          if (msg.payload.contains("80")) throw new RuntimeException("broker down")
+          else delegate.publish(msg)
+        def close(): Unit = ()
+      }))
+      .option("checkpointLocation", tmpCkpt())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the failing record is dropped (QoS0), the good one delivered
+    assert(CollectingPublisher.messages(runId).map(_.payload) ===
+      Seq("Temperature warning 90.00"))
+    CollectingPublisher.clear(runId)
+  }
+
+  private def ts(min: Int) = new Timestamp(min * 60000L)
+
+  test("watermark drops late events from closed windows (s_watermark_late)") {
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val name = s"wm_${System.nanoTime()}"
+    val agg = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"k")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+
+    in.addData((ts(1), "a"), (ts(2), "a"), (ts(5), "b")) // window [0,10)
+    q.processAllAvailable()
+    // append mode: nothing final yet (watermark still at 0)
+    assert(spark.table(name).count() === 0)
+
+    in.addData((ts(60), "c")) // watermark → 50min; [0,10) finalizes
+    q.processAllAvailable()
+    val closed = spark.table(name)
+      .select($"k", $"n").as[(String, Long)].collect().toMap
+    assert(closed === Map("a" -> 2L, "b" -> 1L))
+
+    in.addData((ts(3), "a")) // LATE: inside closed [0,10) — must be dropped
+    q.processAllAvailable()
+    assert(spark.table(name).count() === 2) // unchanged
+    q.stop()
+  }
+
+  test("streaming dropDuplicates with watermark keeps first occurrence") {
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val name = s"dd_${System.nanoTime()}"
+    val q = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("k")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+    in.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"))
+    q.processAllAvailable()
+    in.addData((ts(4), "a"), (ts(5), "c"))
+    q.processAllAvailable()
+    val out = spark.table(name).select($"k").as[String].collect().sorted
+    assert(out === Seq("a", "b", "c"))
+    q.stop()
+  }
+
+  test("streaming session window merges within gap, splits at >= gap") {
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val name = s"sess_${System.nanoTime()}"
+    val q = in.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"user")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+    // u1: events at 0,20,40 min chain into ONE session (each gap < 30);
+    // the event at 100 min starts a second session (gap 60 >= 30).
+    in.addData((ts(0), "u1"), (ts(20), "u1"), (ts(40), "u1"), (ts(100), "u1"))
+    q.processAllAvailable()
+    in.addData((ts(500), "u1")) // advance watermark far → both finalize
+    q.processAllAvailable()
+    val n = spark.table(name).select($"n").as[Long].collect().sorted
+    assert(n === Seq(1L, 3L))
+    q.stop()
+  }
+
+  test("q_alert_stream (incremental run) matches batch alertPipeline") {
+    val streamed = graft.operators.ReferenceOps.alertStream(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.ReferenceOps.alertPipeline(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed === batch && streamed.nonEmpty)
+  }
+}
