@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One (key, score) entry of a top-k result. */
+final case class TopKRow(key: Long, score: Double)
+/** Aggregation buffer / result: at most k entries, best-first. */
+final case class TopKState(items: Seq[TopKRow])
+
+/** Demonstration of the typed-aggregate extension surface (SURVEY.md
+  * §2.3 UDF/UDAF policy): an exact top-k accumulator over (key, score)
+  * pairs. Partial aggregation comes free — each partition reduces to at
+  * most k entries before the merge, so the shuffle carries O(k ×
+  * partitions), not the data. Cross-checked against the builtin
+  * TakeOrderedAndProject path (q_topk) in TierDSpec.
+  *
+  * Ordering: score DESC, key ASC tiebreak — the same total order as
+  * `ORDER BY score DESC, key LIMIT k`.
+  */
+final class TopKAggregator(k: Int)
+  extends Aggregator[TopKRow, TopKState, TopKState] {
+
+  private def better(a: TopKRow, b: TopKRow): Boolean =
+    a.score > b.score || (a.score == b.score && a.key < b.key)
+
+  private def trim(xs: Seq[TopKRow]): TopKState =
+    TopKState(xs.sortWith(better).take(k))
+
+  override def zero: TopKState = TopKState(Nil)
+  override def reduce(buf: TopKState, row: TopKRow): TopKState =
+    trim(row +: buf.items)
+  override def merge(a: TopKState, b: TopKState): TopKState =
+    trim(a.items ++ b.items)
+  override def finish(buf: TopKState): TopKState = buf
+
+  override def bufferEncoder: Encoder[TopKState] = Encoders.product[TopKState]
+  override def outputEncoder: Encoder[TopKState] = Encoders.product[TopKState]
+}

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Query
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tier D (similarity) — nearest-neighbor search over the embedding
+  * column (BASELINE.json north_star; lineage: similarity-search papers,
+  * PAPERS.md:6-9).
+  *
+  * Two paths, cross-checked in SimilaritySpec:
+  *  - `q_sim_topk`: brute-force exact cosine top-k — the correctness
+  *    spec, oracle-gated. One narrow map over the table (probe is a
+  *    broadcast single row), then TakeOrderedAndProject: no shuffle of
+  *    the vectors themselves; scales as a full scan, embarrassingly
+  *    parallel across 1000 executors.
+  *  - `annTopK`: random-hyperplane LSH bucketing — the 100 TB path. The
+  *    signature is a narrow map; the probe reads only buckets within
+  *    hamming ≤ 1 of its own signature (multi-probe), cutting candidates
+  *    ~2^planes-fold. Hyperplanes are ±1 vectors derived from md5, so
+  *    the index is deterministic and reproducible with no stored state.
+  */
+object SimilarityOps {
+
+  /** Double-precision cosine via higher-order functions — no UDF. */
+  def cosine(a: Column, b: Column): Column = DedupOps.cosine(a, b)
+
+  private val PLANES = 8
+  private val DIMS = 64
+
+  /** Deterministic ±1 hyperplanes: sign of the first md5 hex nibble bit
+    * of "plane|dim". Public knowledge (random-hyperplane LSH, Charikar's
+    * SimHash family); md5 stands in for an RNG so Spark and tests agree
+    * without stored index state. */
+  private[graft] lazy val hyperplanes: Seq[Seq[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until PLANES).map { p =>
+      (0 until DIMS).map { d =>
+        val h = digest.digest(s"$p|$d".getBytes("UTF-8"))
+        if ((h(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** LSH signature (0..2^PLANES-1) of an embedding column. */
+  def lshSignature(emb: Column): Column =
+    (0 until PLANES).map { p =>
+      val dot = aggregate(
+        zip_with(emb, typedLit(hyperplanes(p)), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Exact top-k neighbors of `probeId` by double-precision cosine. */
+  def bruteForceTopK(spark: SparkSession, sfDir: String, probeId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val probe = broadcast(
+      e.filter(col("vec_id") === probeId).select(col("embedding").as("pe")))
+    e.filter(col("vec_id") =!= probeId)
+      .join(probe)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("pe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** ANN top-k: candidates restricted to LSH buckets within hamming ≤ 1
+    * of the probe's signature. Recall is measured against
+    * `bruteForceTopK` in SimilaritySpec (approximate by design → no SQL
+    * oracle). */
+  def annTopK(spark: SparkSession, sfDir: String, probeId: Long = 0L,
+      k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("sig", lshSignature(col("embedding")))
+    val probe = broadcast(
+      e.filter(col("vec_id") === probeId)
+        .select(col("embedding").as("pe"), col("sig").as("psig")))
+    e.filter(col("vec_id") =!= probeId)
+      .join(probe)
+      .filter(expr("bit_count(sig ^ psig)") <= 1) // multi-probe: self + 1-bit flips
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("pe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  val all: Seq[Query] = Seq(
+    Query(
+      "q_sim_topk",
+      Some("""WITH p AS (SELECT embedding::DOUBLE[] AS pe
+                         FROM embeddings WHERE vec_id = 0)
+              SELECT vec_id,
+                     round(list_inner_product(embedding::DOUBLE[], pe) /
+                       (sqrt(list_inner_product(embedding::DOUBLE[],
+                                                embedding::DOUBLE[])) *
+                        sqrt(list_inner_product(pe, pe))), 6) AS cos_sim
+              FROM embeddings, p WHERE vec_id <> 0
+              ORDER BY cos_sim DESC, vec_id LIMIT 10"""),
+      (s, d) => bruteForceTopK(s, d)),
+
+    Query("q_sim_ann", None, (s, d) => annTopK(s, d)),
+
+    // Multimodal projection: text + vector + label in one result row
+    // (the reference's image-path columns, BME680.java:112,117, grown
+    // up). Vector rendered as a rounded norm so the row is hashable.
+    Query(
+      "q_multimodal_cols",
+      Some("""SELECT d.doc_id, substr(d.text, 1, 40) AS head,
+                     d.lang, e.label,
+                     round(sqrt(list_inner_product(e.embedding::DOUBLE[],
+                                e.embedding::DOUBLE[])), 6) AS vec_norm
+              FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+              ORDER BY d.doc_id"""),
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        Tables.documents(s, d)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(
+            col("doc_id"), substring(col("text"), 1, 40).as("head"),
+            col("lang"), col("label"),
+            round(sqrt(aggregate(
+              zip_with(col("embedding"), col("embedding"),
+                (x, y) => x.cast("double") * y.cast("double")),
+              lit(0.0), (acc, v) => acc + v)), 6).as("vec_norm"))
+          .orderBy("doc_id")
+      })
+  )
+}

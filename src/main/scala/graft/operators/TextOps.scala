@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.Query
+import graft.sources.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Tier D (text) — the text-analysis operators a training-data pipeline
+  * needs (BASELINE.json north_star): tokenization, corpus stats,
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting. All pure Catalyst expressions over `documents` — no
+  * UDFs, so every operator whole-stage-codegens and scales linearly:
+  * at 100 TB each is a narrow map plus at most one hash-agg shuffle.
+  */
+object TextOps {
+
+  /** Whitespace tokens (documents.text is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Padded-text occurrence count of a word — the n-gram-style marker
+    * primitive behind the language-ID heuristic. */
+  private def occ(padded: Column, marker: String): Column =
+    ((length(padded) - length(regexp_replace(padded,
+      java.util.regex.Pattern.quote(marker), ""))) / marker.length)
+      .cast("int")
+
+  val all: Seq[Query] = Seq(
+    // Token frequency: the explode/groupBy (Generator + hash agg) shape.
+    // Top-100 with deterministic (n DESC, token) order.
+    Query(
+      "q_text_tokenize",
+      Some("""SELECT tok, count(*) AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY tok ORDER BY n DESC, tok LIMIT 100"""),
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .groupBy("tok")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("tok"))
+          .limit(100)),
+
+    // Corpus stats per language.
+    Query(
+      "q_text_stats",
+      Some("""SELECT lang, count(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                     round(CAST(SUM(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+                     CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+              FROM documents GROUP BY lang ORDER BY lang"""),
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy("lang")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+              .as("avg_chars"),
+            countDistinct(col("source")).as("n_sources"))
+          .orderBy("lang")),
+
+    // Language-ID: stopword-marker n-gram heuristic, argmax with a fixed
+    // preference order on ties (en > de > fr > es). Deterministic by
+    // construction; accuracy is reported against the labeled column.
+    Query(
+      "q_lang_id",
+      Some("""WITH s AS (
+                SELECT doc_id, lang,
+                  CAST((length(p)-length(replace(p,' the ','')))/5
+                     + (length(p)-length(replace(p,' a ','')))/3 AS INT) AS s_en,
+                  CAST((length(p)-length(replace(p,' der ','')))/5
+                     + (length(p)-length(replace(p,' und ','')))/5 AS INT) AS s_de,
+                  CAST((length(p)-length(replace(p,' le ','')))/4
+                     + (length(p)-length(replace(p,' et ','')))/4 AS INT) AS s_fr,
+                  CAST((length(p)-length(replace(p,' el ','')))/4
+                     + (length(p)-length(replace(p,' y ','')))/3 AS INT) AS s_es
+                FROM (SELECT doc_id, lang, ' ' || text || ' ' AS p
+                      FROM documents))
+              SELECT doc_id, lang,
+                     CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                          WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                          WHEN s_fr >= s_es THEN 'fr'
+                          ELSE 'es' END AS pred_lang,
+                     CASE WHEN (CASE WHEN s_en >= greatest(s_de, s_fr, s_es) THEN 'en'
+                          WHEN s_de >= greatest(s_fr, s_es) THEN 'de'
+                          WHEN s_fr >= s_es THEN 'fr'
+                          ELSE 'es' END) = lang THEN 1 ELSE 0 END AS is_match
+              FROM s ORDER BY doc_id"""),
+      (s, d) => {
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), padded.as("p"))
+          .select(col("doc_id"), col("lang"),
+            (occ(col("p"), " the ") + occ(col("p"), " a ")).as("s_en"),
+            (occ(col("p"), " der ") + occ(col("p"), " und ")).as("s_de"),
+            (occ(col("p"), " le ") + occ(col("p"), " et ")).as("s_fr"),
+            (occ(col("p"), " el ") + occ(col("p"), " y ")).as("s_es"))
+        val pred = when(col("s_en") >= greatest(col("s_de"), col("s_fr"),
+            col("s_es")), "en")
+          .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es")
+        base.select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+            when(pred === col("lang"), 1).otherwise(0).as("is_match"))
+          .orderBy("doc_id")
+      }),
+
+    // Quality scoring: token count, mean token length, stopword ratio,
+    // and a bucketing CASE — the length/punct/stopword heuristics of a
+    // pretraining-data filter.
+    Query(
+      "q_text_quality",
+      Some("""SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                     round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                           / len(string_split(text, ' ')), 6) AS avg_tok_len,
+                     round(CAST(len(list_filter(string_split(text, ' '),
+                             t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+                           / len(string_split(text, ' ')), 6) AS stop_ratio,
+                     CASE WHEN len(string_split(text, ' ')) < 50 THEN 'short'
+                          WHEN len(string_split(text, ' ')) < 200 THEN 'medium'
+                          ELSE 'long' END AS len_bucket
+              FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val n = size(toks)
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            n.as("n_tokens"),
+            round(length(regexp_replace(col("text"), " ", ""))
+              .cast("double") / n, 6).as("avg_tok_len"),
+            round(size(filter(toks, t =>
+              t === "the" || t === "a" || t === "of" || t === "and"))
+              .cast("double") / n, 6).as("stop_ratio"),
+            when(n < 50, "short").when(n < 200, "medium")
+              .otherwise("long").as("len_bucket"))
+          .orderBy("doc_id")
+      }),
+
+    // Token counting two ways: whitespace split and a BPE-ish regex
+    // (letter runs / digit runs / single non-alnum) — the cheap
+    // token-budget estimators.
+    Query(
+      "q_token_count",
+      Some("""SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+                     CAST(len(regexp_extract_all(text,
+                       '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens
+              FROM documents ORDER BY doc_id"""),
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(tokens(col("text"))).as("ws_tokens"),
+            regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+              .as("re_tokens"))
+          .orderBy("doc_id")),
+
+    // Document fingerprint: min-hash over 5-gram shingles (a 1-permutation
+    // MinHash — the rolling-hash fingerprint primitive). Grouping by fp
+    // at 100 TB is one hash-shuffle on an 32-char key.
+    Query(
+      "q_doc_fingerprint",
+      Some("""SELECT doc_id,
+                     list_min(list_transform(
+                       range(0, greatest(len(string_split(text,' ')) - 4, 1)),
+                       i -> md5(array_to_string(
+                              string_split(text,' ')[i+1:i+5], ' ')))) AS fp
+              FROM documents ORDER BY doc_id"""),
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val idx = sequence(lit(0), greatest(size(toks) - 5, lit(0)))
+        val fp = array_min(transform(idx,
+          i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(5))))))
+        Tables.documents(s, d)
+          .select(col("doc_id"), fp.as("fp"))
+          .orderBy("doc_id")
+      })
+  )
+}
