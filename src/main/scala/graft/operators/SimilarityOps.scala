@@ -15,18 +15,26 @@ import org.apache.spark.sql.functions._
   *    broadcast single row), then TakeOrderedAndProject: no shuffle of
   *    the vectors themselves; scales as a full scan, embarrassingly
   *    parallel across 1000 executors.
-  *  - `annTopK`: random-hyperplane LSH bucketing — the 100 TB path. The
-  *    signature is a narrow map; the probe reads only buckets within
-  *    hamming ≤ 1 of its own signature (multi-probe), cutting candidates
-  *    ~2^planes-fold. Hyperplanes are ±1 vectors derived from md5, so
-  *    the index is deterministic and reproducible with no stored state.
+  *  - `annTopK`: multi-table random-hyperplane LSH — the 100 TB path.
+  *    Signatures are a narrow map; on a cluster they become bucket keys
+  *    of L index tables and the probe reads only its own buckets.
+  *    Hyperplanes are ±1 vectors derived from md5, so the index is
+  *    deterministic and reproducible with no stored state.
   */
 object SimilarityOps {
 
-  /** Double-precision cosine via higher-order functions — no UDF. */
+  /** Double-precision cosine via the codegen'd VectorDot — no UDF. */
   def cosine(a: Column, b: Column): Column = DedupOps.cosine(a, b)
 
-  private val PLANES = 8
+  // Multi-table banded LSH: L tables of b hyperplanes. A vector is a
+  // candidate if it matches the probe's b-bit signature in ANY table
+  // (OR across tables boosts recall; AND within a table keeps buckets
+  // selective). At these corpus similarities (top-10 cosine ≈ 0.3,
+  // per-plane collision p ≈ 0.6) the expected recall is
+  // 1-(1-p^4)^8 ≈ 0.7 while touching a minority of the table.
+  private val PLANES_PER_TABLE = 4
+  private val TABLES = 8
+  private val PLANES = PLANES_PER_TABLE * TABLES
   private val DIMS = 64
 
   /** Deterministic ±1 hyperplanes: sign of the first md5 hex nibble bit
@@ -43,14 +51,20 @@ object SimilarityOps {
     }
   }
 
-  /** LSH signature (0..2^PLANES-1) of an embedding column. */
-  def lshSignature(emb: Column): Column =
-    (0 until PLANES).map { p =>
-      val dot = aggregate(
-        zip_with(emb, typedLit(hyperplanes(p)), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** Per-table LSH signatures (each 0..2^b-1) of an embedding column —
+    * codegen'd dot products against literal hyperplane arrays. On a
+    * cluster these are the bucketing/partition keys of a precomputed
+    * index table: the probe reads only its own buckets. */
+  def lshTableSigs(emb: Column): Seq[Column] = {
+    val e = emb.cast("array<double>")
+    (0 until TABLES).map { t =>
+      (0 until PLANES_PER_TABLE).map { j =>
+        val dot = graft.functions.VectorOps.dot(
+          e, typedLit(hyperplanes(t * PLANES_PER_TABLE + j)))
+        when(dot > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+  }
 
   /** Exact top-k neighbors of `probeId` by double-precision cosine. */
   def bruteForceTopK(spark: SparkSession, sfDir: String, probeId: Long = 0L,
@@ -66,20 +80,22 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** ANN top-k: candidates restricted to LSH buckets within hamming ≤ 1
-    * of the probe's signature. Recall is measured against
-    * `bruteForceTopK` in SimilaritySpec (approximate by design → no SQL
-    * oracle). */
+  /** ANN top-k: candidates are vectors sharing the probe's bucket in at
+    * least one LSH table. Recall is measured against `bruteForceTopK`
+    * in SimilaritySpec (approximate by design → no SQL oracle). */
   def annTopK(spark: SparkSession, sfDir: String, probeId: Long = 0L,
       k: Int = 10): DataFrame = {
+    val sigCols = lshTableSigs(col("embedding"))
     val e = Tables.embeddings(spark, sfDir)
-      .withColumn("sig", lshSignature(col("embedding")))
+      .select(Seq(col("vec_id"), col("embedding")) ++
+        sigCols.zipWithIndex.map { case (c, t) => c.as(s"s$t") }: _*)
     val probe = broadcast(
       e.filter(col("vec_id") === probeId)
-        .select(col("embedding").as("pe"), col("sig").as("psig")))
+        .select(Seq(col("embedding").as("pe")) ++
+          (0 until TABLES).map(t => col(s"s$t").as(s"ps$t")): _*))
     e.filter(col("vec_id") =!= probeId)
-      .join(probe)
-      .filter(expr("bit_count(sig ^ psig)") <= 1) // multi-probe: self + 1-bit flips
+      .join(probe,
+        (0 until TABLES).map(t => col(s"s$t") === col(s"ps$t")).reduce(_ || _))
       .select(col("vec_id"),
         round(cosine(col("embedding"), col("pe")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -120,10 +136,8 @@ object SimilarityOps {
           .select(
             col("doc_id"), substring(col("text"), 1, 40).as("head"),
             col("lang"), col("label"),
-            round(sqrt(aggregate(
-              zip_with(col("embedding"), col("embedding"),
-                (x, y) => x.cast("double") * y.cast("double")),
-              lit(0.0), (acc, v) => acc + v)), 6).as("vec_norm"))
+            round(graft.functions.VectorOps.norm(
+              col("embedding").cast("array<double>")), 6).as("vec_norm"))
           .orderBy("doc_id")
       })
   )

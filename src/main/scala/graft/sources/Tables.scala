@@ -14,11 +14,14 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Session chokepoint: make the engine's native expressions callable.
+    graft.functions.VectorOps.register(spark)
     name match {
       case "events" => events(spark, sfDir)
       case n        => spark.read.parquet(s"$sfDir/$n.parquet")
     }
+  }
 
   /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
     * 4.x rejects outright. We read the raw int64 nanos

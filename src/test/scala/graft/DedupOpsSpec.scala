@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.DedupOps
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Dedup family: the banded-LSH plan must return exactly the brute-force
+  * answer (recall certainty is the design claim in DedupOps), and the
+  * fingerprints must be deterministic and well-formed. */
+class DedupOpsSpec extends SparkSpec {
+
+  test("minhash LSH pairs equal brute-force Jaccard pairs (exact recall)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), DedupOps.shingles(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("sh_b"))
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(DedupOps.jaccard(col("sh_a"), col("sh_b")), 6).as("jacc"))
+      .filter(col("jacc") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = DedupOps.minhashPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh === brute)
+    assert(brute.nonEmpty, "corpus should plant near-duplicate pairs")
+  }
+
+  test("exact dedup groups carry identical normalized text") {
+    val dups = SparkEntry.queries("q_doc_dedup")(spark, sfDir)
+      .filter(col("n_dups") > 1)
+    val docs = Tables.documents(spark, sfDir)
+      .select(md5(lower(trim(col("text")))).as("h"),
+        lower(trim(col("text"))).as("norm"))
+    // every duplicate-group hash maps to exactly one normalized text
+    val clash = docs.join(dups, "h")
+      .groupBy("h").agg(countDistinct("norm").as("texts"))
+      .filter(col("texts") =!= 1).count()
+    assert(clash === 0)
+  }
+
+  test("simhash is deterministic and packs into unsigned 32-bit halves") {
+    val x = DedupOps.simhash(spark, sfDir).collect()
+    val y = DedupOps.simhash(spark, sfDir).collect()
+    assert(x.map(_.toSeq).toSeq === y.map(_.toSeq).toSeq)
+    x.foreach { r =>
+      val hi = r.getLong(1); val lo = r.getLong(2)
+      assert(hi >= 0L && hi < (1L << 32))
+      assert(lo >= 0L && lo < (1L << 32))
+    }
+  }
+
+  test("simhash of near-duplicate docs is closer than the corpus median") {
+    // hamming distance between the planted near-dup pairs should be
+    // well under the all-pairs typical distance (locality property)
+    val sh = DedupOps.simhash(spark, sfDir)
+      .select(col("doc_id"), (shiftleft(col("sh_hi"), 32) + col("sh_lo")).as("s"))
+    val pairs = DedupOps.minhashPairs(spark, sfDir).select("a_id", "b_id")
+    val near = pairs
+      .join(sh.select(col("doc_id").as("a_id"), col("s").as("sa")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("s").as("sb")), "b_id")
+      .select(expr("bit_count(sa ^ sb)").as("d"))
+      .agg(avg("d")).head().getDouble(0)
+    val all = sh.as("x").join(sh.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(expr("bit_count(x.s ^ y.s)").as("d"))
+      .agg(avg("d")).head().getDouble(0)
+    assert(near < all,
+      s"near-dup mean hamming $near should beat all-pairs mean $all")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = SparkEntry.queries("q_dedup_embedding")(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "a_id < b_id canonical order")
+      assert(r.getDouble(2) >= 0.45)
+    }
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{DedupOps, ReferenceOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tier (SURVEY.md §5.2.4). Samples are drawn with ScalaCheck
+  * generators at a fixed seed and evaluated in one batch DataFrame per
+  * property — one Spark job per law, not one per case. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).toSeq)
+
+  test("format_string %04.2f matches java.util.Formatter on arbitrary doubles") {
+    import spark.implicits._
+    val vals = samples(Gen.chooseNum(-1e6, 1e6), 300).map(v =>
+      math.rint(v * 100) / 100) // 2-dp values, the parse domain
+    val got = vals.toDF("v")
+      .select(ReferenceOps.alertText(col("v")).as("s"))
+      .as[String].collect()
+    val want = vals.map(v => String.format("Temperature warning %04.2f", Double.box(v)))
+    assert(got.toSeq === want)
+  }
+
+  test("extractTemp parse round-trip on bare numerics with padding") {
+    import spark.implicits._
+    val nums = samples(Gen.chooseNum(0.0, 500.0), 200).map(v => math.rint(v * 100) / 100)
+    val padded = nums.map(v => s"  $v ")
+    val got = padded.toDF("value")
+      .select(ReferenceOps.extractTemp(col("value"), "$.bme680_tempf").as("t"))
+      .as[Double].collect()
+    got.zip(nums).foreach { case (g, w) => assert(g === w) }
+  }
+
+  test("tokenize count law: tokens = separators + 1 on single-spaced text") {
+    import spark.implicits._
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val text = Gen.nonEmptyListOf(word).map(_.mkString(" "))
+    val texts = samples(text, 200)
+    val got = texts.toDF("text")
+      .select(size(TextOps.tokens(col("text"))).as("n")).as[Int].collect()
+    val want = texts.map(_.count(_ == ' ') + 1)
+    assert(got.toSeq === want)
+  }
+
+  test("jaccard laws: self-similarity 1, symmetry, range [0,1]") {
+    import spark.implicits._
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val text = Gen.listOfN(8, word).map(_.mkString(" "))
+    val pairs = samples(Gen.zip(text, text), 100)
+    val df = pairs.toDF("ta", "tb").select(
+      DedupOps.shingles(col("ta")).as("sa"),
+      DedupOps.shingles(col("tb")).as("sb"))
+    val rows = df.select(
+        DedupOps.jaccard(col("sa"), col("sa")).as("self"),
+        DedupOps.jaccard(col("sa"), col("sb")).as("ab"),
+        DedupOps.jaccard(col("sb"), col("sa")).as("ba"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === 1.0)
+      assert(r.getDouble(1) === r.getDouble(2))
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    }
+  }
+
+  test("dedup idempotence: q_dedup(q_dedup base) is a fixpoint") {
+    val once = SparkEntry.queries("q_dedup")(spark, sfDir)
+    // applying the same keep-first rule to its own output changes nothing
+    val again = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts"), col("event_id"))
+      once.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+    }
+    assert(once.count() === again.count())
+    assert(once.exceptAll(again).count() === 0)
+  }
+
+  test("set-op algebra on driver data: A∪A=A, A∩A=A, A\\A=∅ (distinct)") {
+    val a = graft.sources.Tables.customer(spark, sfDir).select("c_mktsegment")
+    val distinctN = a.distinct().count()
+    assert(a.union(a).distinct().count() === distinctN)
+    assert(a.intersect(a).count() === distinctN)
+    assert(a.except(a).count() === 0)
+  }
+}

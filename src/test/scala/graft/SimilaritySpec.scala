@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.SimilarityOps
+import org.apache.spark.sql.functions._
+
+/** Similarity search: the ANN path is approximate by design (no SQL
+  * oracle) — it is gated here against the exact brute-force path. */
+class SimilaritySpec extends SparkSpec {
+
+  test("brute-force top-k is ordered, sized, and excludes the probe") {
+    val rows = SimilarityOps.bruteForceTopK(spark, sfDir).collect()
+    assert(rows.length === 10)
+    assert(!rows.exists(_.getLong(0) === 0L), "probe excluded")
+    val sims = rows.map(_.getDouble(1)).toSeq
+    assert(sims === sims.sorted.reverse, "descending similarity")
+  }
+
+  test("ANN cos values are exact for the ids it returns") {
+    val ann = SimilarityOps.annTopK(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // brute-force similarity of ALL vectors to the probe
+    val exact = SimilarityOps.bruteForceTopK(spark, sfDir, k = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach { case (id, cos) =>
+      assert(exact(id) === cos,
+        s"ANN similarity for $id must equal the exact value")
+    }
+  }
+
+  test("ANN candidates share at least one LSH table bucket with the probe") {
+    val sigCols = SimilarityOps.lshTableSigs(col("embedding"))
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id") +: sigCols.zipWithIndex.map {
+        case (c, t) => c.as(s"s$t") }: _*)
+    val sigs = e.collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getInt)).toMap
+    val probeSig = sigs(0L)
+    SimilarityOps.annTopK(spark, sfDir).collect().foreach { r =>
+      val shared = sigs(r.getLong(0)).zip(probeSig).exists(p => p._1 == p._2)
+      assert(shared, s"vec ${r.getLong(0)} shares no bucket with probe")
+    }
+  }
+
+  test("ANN recall against brute-force top-10 meets the design bound") {
+    val bf = SimilarityOps.bruteForceTopK(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val ann = SimilarityOps.annTopK(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val recall = (bf & ann).size.toDouble / bf.size
+    info(f"ANN recall@10 = $recall%.2f (8 tables x 4 planes)")
+    // deterministic hyperplanes → stable value; expected ≈ 1-(1-p^4)^8
+    // ≈ 0.7 at this corpus's neighbor similarities (cos ≈ 0.3)
+    assert(recall >= 0.5, s"recall $recall below design bound")
+  }
+}
