@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the properties that decide whether a plan
+  * survives a 100×–1000× scale-up: filters reaching the parquet scan,
+  * column pruning, broadcast joins for small dims, top-k without a total
+  * sort, and map-side partial aggregation. Guarded here so a refactor
+  * that silently de-optimizes a plan fails CI, not a cluster run. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("q_filter_project pushes the date-range filter into the parquet scan") {
+    val p = plan(q("q_filter_project"))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("GreaterThan(l_shipdate"), p)
+  }
+
+  test("q_filter_project prunes the lineitem scan to referenced columns") {
+    val scanSchema = q("q_filter_project").queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString("\n")
+    // lineitem has 16 columns; the query needs only a handful
+    assert(!scanSchema.contains("l_comment"),
+      "unreferenced wide column must not be read:\n" + scanSchema)
+  }
+
+  test("q_join_broadcast broadcasts the small dimension side") {
+    assert(plan(q("q_join_broadcast")).contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_multi keeps small dims (nation, region) broadcast") {
+    val p = plan(q("q_join_multi"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q_topk uses TakeOrderedAndProject, not a total sort") {
+    val p = plan(q("q_topk"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q_pricing_summary aggregates map-side (partial + final)") {
+    val p = plan(q("q_pricing_summary"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("flagship alert pipeline is narrow — no shuffle before the sort") {
+    val p = plan(SparkEntry.entry(spark))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    // the only exchange allowed is the final presentation sort's range
+    // partitioning (plus its AQE wrapper); joins/aggs would add more
+    assert(exchanges <= 2, s"unexpected shuffles ($exchanges):\n" + p.take(2000))
+  }
+
+  test("q_sim_topk scans embeddings once with a broadcast probe") {
+    val p = plan(q("q_sim_topk"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("Broadcast"), p.take(2000))
+  }
+
+  test("q_source_scan reads all columns (full-scan contract)") {
+    val df = q("q_source_scan")
+    assert(df.columns.length >=
+      graft.sources.Tables.events(spark, sfDir).columns.length)
+  }
+}
