@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Public library surface: `import graft.api._` makes every engine
+  * operator available as a DataFrame extension, column-parametric —
+  * nothing is tied to the driver test tables. The same implementations
+  * back the verified `SparkEntry.queries` registry, so each method here
+  * is covered by the DuckDB oracle gate and/or a ScalaTest suite.
+  *
+  * {{{
+  * import graft.api._
+  * docs.nearDupPairs("doc_id", "text", threshold = 0.8)   // MinHash+LSH
+  * docs.withLangId("text").withQuality("text")            // text analysis
+  * vecs.cosineTopK("vec_id", "embedding", probeId = 7, k = 10)
+  * }}}
+  */
+package object api {
+
+  implicit class GraftTextOps(private val df: DataFrame) {
+
+    /** Exact-duplicate groups by normalized text hash:
+      * (h, n_dups, keeper = min id). One shuffle on the digest. */
+    def exactDupGroups(idCol: String, textCol: String): DataFrame =
+      df.groupBy(md5(lower(trim(col(textCol)))).as("h"))
+        .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("keeper"))
+
+    /** MinHash+LSH near-duplicate pairs with exact-Jaccard verify:
+      * (a_id, b_id, jacc), a_id < b_id, jacc >= threshold. */
+    def nearDupPairs(idCol: String, textCol: String,
+        threshold: Double = 0.5): DataFrame =
+      DedupOps.minhashPairs(df, idCol, textCol, threshold)
+
+    /** 64-bit SimHash fingerprints: (doc_id, sh_hi, sh_lo). */
+    def simhashFingerprints(idCol: String, textCol: String): DataFrame =
+      DedupOps.simhash(df, idCol, textCol)
+
+    /** Append a language-ID prediction column (n-gram heuristic). */
+    def withLangId(textCol: String, outCol: String = "pred_lang"): DataFrame =
+      TextOps.withLangId(df, textCol, outCol)
+
+    /** Append quality-filter columns: n_tokens, avg_tok_len,
+      * stop_ratio, len_bucket. */
+    def withQuality(textCol: String): DataFrame =
+      TextOps.withQuality(df, textCol)
+
+    /** Append token-budget estimates: ws_tokens, re_tokens. */
+    def withTokenCounts(textCol: String): DataFrame =
+      TextOps.withTokenCounts(df, textCol)
+
+    /** Append a MinHash document fingerprint column. */
+    def withFingerprint(textCol: String, outCol: String = "fp"): DataFrame =
+      TextOps.withFingerprint(df, textCol, outCol)
+  }
+
+  implicit class GraftVectorOps(private val df: DataFrame) {
+
+    /** Exact cosine top-k neighbors of `probeId` (brute-force scan,
+      * broadcast probe, TakeOrderedAndProject). */
+    def cosineTopK(idCol: String, embCol: String, probeId: Long,
+        k: Int = 10): DataFrame =
+      SimilarityOps.bruteForceTopK(df, idCol, embCol, probeId, k)
+
+    /** Approximate cosine top-k via multi-table hyperplane LSH —
+      * the 100 TB path (bucketed candidates, then exact rescoring). */
+    def cosineTopKApprox(idCol: String, embCol: String, probeId: Long,
+        k: Int = 10): DataFrame =
+      SimilarityOps.annTopK(df, idCol, embCol, probeId, k)
+
+    /** Exact embedding-cosine near-duplicate pairs at `threshold`. */
+    def embeddingNearDups(idCol: String, embCol: String,
+        threshold: Double): DataFrame =
+      DedupOps.embeddingPairs(df, idCol, embCol, threshold)
+  }
+}

@@ -68,8 +68,17 @@ object SimilarityOps {
 
   /** Exact top-k neighbors of `probeId` by double-precision cosine. */
   def bruteForceTopK(spark: SparkSession, sfDir: String, probeId: Long = 0L,
-      k: Int = 10): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
+      k: Int = 10): DataFrame =
+    bruteForceTopK(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      probeId, k)
+
+  /** Library form: exact cosine top-k over any vector DataFrame. One
+    * narrow scan (probe broadcast) + TakeOrderedAndProject — no shuffle
+    * of the vectors; embarrassingly parallel at any scale. */
+  def bruteForceTopK(vectors: DataFrame, idCol: String, embCol: String,
+      probeId: Long, k: Int): DataFrame = {
+    val e = vectors.select(col(idCol).as("vec_id"),
+      col(embCol).as("embedding"))
     val probe = broadcast(
       e.filter(col("vec_id") === probeId).select(col("embedding").as("pe")))
     e.filter(col("vec_id") =!= probeId)
@@ -84,9 +93,16 @@ object SimilarityOps {
     * least one LSH table. Recall is measured against `bruteForceTopK`
     * in SimilaritySpec (approximate by design → no SQL oracle). */
   def annTopK(spark: SparkSession, sfDir: String, probeId: Long = 0L,
-      k: Int = 10): DataFrame = {
+      k: Int = 10): DataFrame =
+    annTopK(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      probeId, k)
+
+  /** Library form: multi-table LSH ANN top-k over any vector DataFrame. */
+  def annTopK(vectors: DataFrame, idCol: String, embCol: String,
+      probeId: Long, k: Int): DataFrame = {
     val sigCols = lshTableSigs(col("embedding"))
-    val e = Tables.embeddings(spark, sfDir)
+    val e = vectors
+      .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
       .select(Seq(col("vec_id"), col("embedding")) ++
         sigCols.zipWithIndex.map { case (c, t) => c.as(s"s$t") }: _*)
     val probe = broadcast(

@@ -2,19 +2,23 @@ package graft.operators
 
 import graft.Query
 import graft.sources.Tables
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Tier D (text) — the text-analysis operators a training-data pipeline
   * needs (BASELINE.json north_star): tokenization, corpus stats,
   * language-ID heuristic, quality scoring, token counting, document
-  * fingerprinting. All pure Catalyst expressions over `documents` — no
-  * UDFs, so every operator whole-stage-codegens and scales linearly:
-  * at 100 TB each is a narrow map plus at most one hash-agg shuffle.
+  * fingerprinting. All pure Catalyst expressions — no UDFs, so every
+  * operator whole-stage-codegens and scales linearly: at 100 TB each is
+  * a narrow map plus at most one hash-agg shuffle.
+  *
+  * The `with*` methods are the library surface (append columns to any
+  * DataFrame); the `Query` registry entries below apply them to the
+  * driver corpus for the oracle gate.
   */
 object TextOps {
 
-  /** Whitespace tokens (documents.text is single-space separated). */
+  /** Whitespace tokens (single-space separated text). */
   def tokens(text: Column): Column = split(text, " ")
 
   /** Padded-text occurrence count of a word — the n-gram-style marker
@@ -23,6 +27,67 @@ object TextOps {
     ((length(padded) - length(regexp_replace(padded,
       java.util.regex.Pattern.quote(marker), ""))) / marker.length)
       .cast("int")
+
+  /** Language-ID: stopword-marker n-gram heuristic, argmax with a fixed
+    * preference order on ties (en > de > fr > es). Appends `outCol`. */
+  def withLangId(df: DataFrame, textCol: String,
+      outCol: String = "pred_lang"): DataFrame = {
+    val p = "__graft_p"
+    val markers = Seq(
+      "__s_en" -> Seq(" the " -> 5, " a " -> 3),
+      "__s_de" -> Seq(" der " -> 5, " und " -> 5),
+      "__s_fr" -> Seq(" le " -> 4, " et " -> 4),
+      "__s_es" -> Seq(" el " -> 4, " y " -> 3))
+    val scored = markers.foldLeft(
+      df.withColumn(p, concat(lit(" "), col(textCol), lit(" ")))) {
+      case (acc, (name, ms)) =>
+        acc.withColumn(name, ms.map { case (m, _) => occ(col(p), m) }
+          .reduce(_ + _))
+    }
+    val pred = when(col("__s_en") >= greatest(col("__s_de"), col("__s_fr"),
+        col("__s_es")), "en")
+      .when(col("__s_de") >= greatest(col("__s_fr"), col("__s_es")), "de")
+      .when(col("__s_fr") >= col("__s_es"), "fr")
+      .otherwise("es")
+    scored.withColumn(outCol, pred)
+      .drop(p +: markers.map(_._1): _*)
+  }
+
+  /** Quality scoring: token count, mean token length, stopword ratio,
+    * and a length bucket — the length/punct/stopword heuristics of a
+    * pretraining-data filter. Appends 4 columns. */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    df.withColumn("n_tokens", n)
+      .withColumn("avg_tok_len",
+        round(length(regexp_replace(col(textCol), " ", ""))
+          .cast("double") / n, 6))
+      .withColumn("stop_ratio",
+        round(size(filter(toks, t =>
+          t === "the" || t === "a" || t === "of" || t === "and"))
+          .cast("double") / n, 6))
+      .withColumn("len_bucket",
+        when(n < 50, "short").when(n < 200, "medium").otherwise("long"))
+  }
+
+  /** Token-budget estimators: whitespace tokens and a BPE-ish regex
+    * (letter runs / digit runs / single non-alnum). Appends 2 columns. */
+  def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(tokens(col(textCol))))
+      .withColumn("re_tokens",
+        regexp_count(col(textCol), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
+
+  /** Document fingerprint: min over 5-gram shingle md5s (1-permutation
+    * MinHash — the rolling-hash fingerprint primitive). Appends `outCol`;
+    * grouping by it at 100 TB is one hash-shuffle on a 32-char key. */
+  def withFingerprint(df: DataFrame, textCol: String,
+      outCol: String = "fp"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val idx = sequence(lit(0), greatest(size(toks) - 5, lit(0)))
+    df.withColumn(outCol, array_min(transform(idx,
+      i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(5)))))))
+  }
 
   val all: Seq[Query] = Seq(
     // Token frequency: the explode/groupBy (Generator + hash agg) shape.
@@ -60,9 +125,8 @@ object TextOps {
             countDistinct(col("source")).as("n_sources"))
           .orderBy("lang")),
 
-    // Language-ID: stopword-marker n-gram heuristic, argmax with a fixed
-    // preference order on ties (en > de > fr > es). Deterministic by
-    // construction; accuracy is reported against the labeled column.
+    // Language-ID, scored against the labeled column. Deterministic by
+    // construction (fixed tie order); accuracy is reported per doc.
     Query(
       "q_lang_id",
       Some("""WITH s AS (
@@ -87,28 +151,14 @@ object TextOps {
                           WHEN s_fr >= s_es THEN 'fr'
                           ELSE 'es' END) = lang THEN 1 ELSE 0 END AS is_match
               FROM s ORDER BY doc_id"""),
-      (s, d) => {
-        val padded = concat(lit(" "), col("text"), lit(" "))
-        val base = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"), padded.as("p"))
-          .select(col("doc_id"), col("lang"),
-            (occ(col("p"), " the ") + occ(col("p"), " a ")).as("s_en"),
-            (occ(col("p"), " der ") + occ(col("p"), " und ")).as("s_de"),
-            (occ(col("p"), " le ") + occ(col("p"), " et ")).as("s_fr"),
-            (occ(col("p"), " el ") + occ(col("p"), " y ")).as("s_es"))
-        val pred = when(col("s_en") >= greatest(col("s_de"), col("s_fr"),
-            col("s_es")), "en")
-          .when(col("s_de") >= greatest(col("s_fr"), col("s_es")), "de")
-          .when(col("s_fr") >= col("s_es"), "fr")
-          .otherwise("es")
-        base.select(col("doc_id"), col("lang"), pred.as("pred_lang"),
-            when(pred === col("lang"), 1).otherwise(0).as("is_match"))
-          .orderBy("doc_id")
-      }),
+      (s, d) =>
+        withLangId(Tables.documents(s, d), "text")
+          .select(col("doc_id"), col("lang"), col("pred_lang"),
+            when(col("pred_lang") === col("lang"), 1).otherwise(0)
+              .as("is_match"))
+          .orderBy("doc_id")),
 
-    // Quality scoring: token count, mean token length, stopword ratio,
-    // and a bucketing CASE — the length/punct/stopword heuristics of a
-    // pretraining-data filter.
+    // Quality scoring over the driver corpus.
     Query(
       "q_text_quality",
       Some("""SELECT doc_id,
@@ -122,26 +172,13 @@ object TextOps {
                           WHEN len(string_split(text, ' ')) < 200 THEN 'medium'
                           ELSE 'long' END AS len_bucket
               FROM documents ORDER BY doc_id"""),
-      (s, d) => {
-        val toks = tokens(col("text"))
-        val n = size(toks)
-        Tables.documents(s, d)
-          .select(
-            col("doc_id"),
-            n.as("n_tokens"),
-            round(length(regexp_replace(col("text"), " ", ""))
-              .cast("double") / n, 6).as("avg_tok_len"),
-            round(size(filter(toks, t =>
-              t === "the" || t === "a" || t === "of" || t === "and"))
-              .cast("double") / n, 6).as("stop_ratio"),
-            when(n < 50, "short").when(n < 200, "medium")
-              .otherwise("long").as("len_bucket"))
-          .orderBy("doc_id")
-      }),
+      (s, d) =>
+        withQuality(Tables.documents(s, d), "text")
+          .select("doc_id", "n_tokens", "avg_tok_len", "stop_ratio",
+            "len_bucket")
+          .orderBy("doc_id")),
 
-    // Token counting two ways: whitespace split and a BPE-ish regex
-    // (letter runs / digit runs / single non-alnum) — the cheap
-    // token-budget estimators.
+    // Token counting two ways — the cheap token-budget estimators.
     Query(
       "q_token_count",
       Some("""SELECT doc_id,
@@ -150,17 +187,11 @@ object TextOps {
                        '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens
               FROM documents ORDER BY doc_id"""),
       (s, d) =>
-        Tables.documents(s, d)
-          .select(
-            col("doc_id"),
-            size(tokens(col("text"))).as("ws_tokens"),
-            regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
-              .as("re_tokens"))
+        withTokenCounts(Tables.documents(s, d), "text")
+          .select("doc_id", "ws_tokens", "re_tokens")
           .orderBy("doc_id")),
 
-    // Document fingerprint: min-hash over 5-gram shingles (a 1-permutation
-    // MinHash — the rolling-hash fingerprint primitive). Grouping by fp
-    // at 100 TB is one hash-shuffle on an 32-char key.
+    // Document fingerprint over the driver corpus.
     Query(
       "q_doc_fingerprint",
       Some("""SELECT doc_id,
@@ -169,14 +200,9 @@ object TextOps {
                        i -> md5(array_to_string(
                               string_split(text,' ')[i+1:i+5], ' ')))) AS fp
               FROM documents ORDER BY doc_id"""),
-      (s, d) => {
-        val toks = tokens(col("text"))
-        val idx = sequence(lit(0), greatest(size(toks) - 5, lit(0)))
-        val fp = array_min(transform(idx,
-          i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(5))))))
-        Tables.documents(s, d)
-          .select(col("doc_id"), fp.as("fp"))
-          .orderBy("doc_id")
-      })
+      (s, d) =>
+        withFingerprint(Tables.documents(s, d), "text")
+          .select("doc_id", "fp")
+          .orderBy("doc_id"))
   )
 }
