@@ -74,4 +74,13 @@ package object api {
         threshold: Double): DataFrame =
       DedupOps.embeddingPairs(df, idCol, embCol, threshold)
   }
+
+  implicit class GraftJoinOps(private val facts: DataFrame) {
+
+    /** Skew-resistant equi-join: salt this (skewed) side `buckets` ways
+      * against a replicated `dim`. Result equals the plain inner join. */
+    def saltedJoin(dim: DataFrame, key: String,
+        saltSource: org.apache.spark.sql.Column, buckets: Int): DataFrame =
+      operators.JoinOps.saltedJoin(facts, dim, key, saltSource, buckets)
+  }
 }

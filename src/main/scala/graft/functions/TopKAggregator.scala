@@ -13,7 +13,7 @@ final case class TopKState(items: Seq[TopKRow])
   * pairs. Partial aggregation comes free — each partition reduces to at
   * most k entries before the merge, so the shuffle carries O(k ×
   * partitions), not the data. Cross-checked against the builtin
-  * TakeOrderedAndProject path (q_topk) in TierDSpec.
+  * TakeOrderedAndProject path (q_topk) in TopKAggregatorSpec.
   *
   * Ordering: score DESC, key ASC tiebreak — the same total order as
   * `ORDER BY score DESC, key LIMIT k`.

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.JoinOps
+import graft.sources.{Tables, Warehouse}
+import org.apache.spark.sql.functions._
+
+/** The two explicit shuffle-discipline techniques: salting for skewed
+  * keys (result-equality law) and bucketing for co-located joins
+  * (shuffle-free plan law). */
+class ScaleJoinSpec extends SparkSpec {
+
+  test("saltedJoin equals the plain join exactly") {
+    val orders = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    val expected = orders.join(
+        customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+      .groupBy("o_custkey").count()
+    val salted = JoinOps.saltedJoin(
+        orders,
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey", saltSource = col("o_orderkey"), buckets = 8)
+      .groupBy("o_custkey").count()
+    assert(salted.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(salted).count() === 0)
+  }
+
+  test("saltedJoin spreads a hot key across salt buckets") {
+    import spark.implicits._
+    // skewed facts: one key carries 90% of rows
+    val facts = (1 to 1000).map(i =>
+      (if (i <= 900) 1L else (i % 7).toLong, i.toLong)).toDF("k", "id")
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"),
+      (5L, "f"), (6L, "g")).toDF("k", "v")
+    val out = JoinOps.saltedJoin(facts, dim, "k", col("id"), buckets = 8)
+    assert(out.count() === 1000)
+    // the salt expression hits every bucket for the hot key
+    val saltsUsed = facts.filter(col("k") === 1)
+      .select(pmod(xxhash64(col("id")), lit(8L)).cast("int").as("s"))
+      .distinct().count()
+    assert(saltsUsed === 8)
+  }
+
+  test("bucketed tables join with no Exchange (co-located)") {
+    Warehouse.writeBucketed(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),
+      "b_orders", "o_orderkey", buckets = 4)
+    Warehouse.writeBucketed(
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", buckets = 4)
+    // below the broadcast threshold the planner would broadcast and skip
+    // the bucketed path entirely; force the sort-merge join a 100 TB
+    // fact⋈fact join would use so the bucketing actually engages
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Warehouse.bucketedJoin(spark, "b_orders", "b_lineitem",
+        "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join must be shuffle-free:\n" + plan.take(2000))
+      // and it returns the same rows as the plain join
+      val plain = Tables.orders(spark, sfDir).select("o_orderkey")
+        .join(Tables.lineitem(spark, sfDir)
+          .withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+      assert(joined.count() === plain.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+    }
+  }
+}
