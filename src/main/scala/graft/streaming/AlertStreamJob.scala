@@ -16,6 +16,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object AlertStreamJob {
 
+  // one ops listener per session, however many jobs start (R13 parity:
+  // the reference's single Timer thread, BME680.java:220-221)
+  private val opsRegistered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Attach the per-micro-batch ops listener once per session. */
+  def ensureOpsListener(spark: SparkSession): Unit =
+    if (opsRegistered.add(spark)) spark.streams.addListener(new OpsListener)
+
   /** Kafka source options for the reference's deployment. Requires the
     * spark-sql-kafka connector on the classpath (not present in the
     * offline test image — exercised only in real deployments). */
@@ -33,6 +42,7 @@ object AlertStreamJob {
       newPublisher: () => AlertPublisher, checkpointRoot: String,
       jsonPath: String = "$.bme680_tempf"): (StreamingQuery, StreamingQuery) = {
     val spark = records.sparkSession
+    ensureOpsListener(spark)
 
     val pass = Pipelines.passthrough(records).writeStream
       .format("memory") // production: .format("kafka").option("topic", "bme680out")
