@@ -10,11 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one untimed trivial job first: session/codegen-infra init (~5 s)
-    // otherwise lands on whichever query the Map yields first, making
-    // per-query numbers non-comparable across rounds
-    try spark.range(1000).selectExpr("sum(id) s").count()
-    catch { case _: Throwable => () }
+    // untimed warmup first: session/codegen-infra + vectorized parquet
+    // reader init (~5 s) otherwise lands on whichever query the Map
+    // yields first, making per-query numbers non-comparable across rounds
+    try {
+      spark.range(1000).selectExpr("sum(id) s").count()
+      spark.read.parquet(s"$sfDir/region.parquet")
+        .groupBy("r_regionkey").count().count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

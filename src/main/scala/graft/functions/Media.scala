@@ -48,6 +48,33 @@ object Media {
     out
   }
 
+  /** STUB resize/resample — deterministic fake: stride-sample the payload
+    * to exactly `targetBytes` (image resize / audio resample shape:
+    * fixed-size output regardless of input size). Replace the body with
+    * a real scaler in deployment; schema and batching stay. */
+  private[graft] def resizeStub(content: Array[Byte],
+      targetBytes: Int): Array[Byte] = {
+    if (content.isEmpty) return new Array[Byte](targetBytes)
+    val out = new Array[Byte](targetBytes)
+    var i = 0
+    while (i < targetBytes) {
+      out(i) = content((i.toLong * content.length / targetBytes).toInt)
+      i += 1
+    }
+    out
+  }
+
+  /** Batched resize over a media dataset: per-partition mapPartitions,
+    * fixed-width binary out — the image-resize / audio-resample stage of
+    * a multimodal pipeline. Narrow; never shuffles. */
+  def resize(records: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      it.map(r => MediaRecord(r.doc_id, resizeStub(r.content, targetBytes),
+        r.kind, targetBytes.toLong))
+    }
+  }
+
   /** Batched feature extraction: one decoder instantiation per PARTITION
     * (mapPartitions), not per row — where a real codec would amortize
     * its native context, exactly like a Pandas UDF batches Arrow

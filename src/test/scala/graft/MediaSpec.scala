@@ -45,4 +45,18 @@ class MediaSpec extends SparkSpec {
     assert(Media.decodeStub(Array.emptyByteArray).toSeq ===
       Seq.fill(Media.FEATURE_DIM)(0f))
   }
+
+  test("resize yields exactly targetBytes for every record, any input size") {
+    val out = Media.resize(Media.mediaRecords(spark, sfDir), 128).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.content.length === 128)
+      assert(r.n_bytes === 128L)
+    }
+    // stride sampling preserves first byte and is deterministic
+    val bytes = (0 until 1000).map(_.toByte).toArray
+    val a = Media.resizeStub(bytes, 100)
+    assert(a(0) === bytes(0))
+    assert(a.toSeq === Media.resizeStub(bytes, 100).toSeq)
+  }
 }
