@@ -66,17 +66,19 @@ object StreamingOps {
           .orderBy("win_start", "event_type")),
 
     // Per-user sessions with a 30-minute inactivity gap. Spark's
-    // session_window closes a session when the next event is >= gap
-    // after the previous one (windows merge only on strict overlap), so
-    // the gaps-and-islands oracle flags a new session at diff >= 30 min.
-    // Session duration = last-event − first-event (window.end includes
-    // the trailing gap, subtracted here).
+    // session_window merges an event arriving EXACTLY gap after the
+    // previous one (per-event windows [ts, ts+gap) merge when they touch
+    // — verified empirically on 4.1.2, batch and streaming agree), so
+    // the gaps-and-islands oracle flags a new session only at
+    // diff > 30 min, strictly. Session duration = last-event −
+    // first-event (window.end includes the trailing gap, subtracted
+    // here). Boundary fixture: StreamingSpec "session window boundary".
     Query(
       "q_window_session",
       Some("""WITH g AS (
                 SELECT user_id, ts,
                        CASE WHEN lag(ts) OVER w IS NULL
-                              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                              OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                             THEN 1 ELSE 0 END AS new_s
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts)),

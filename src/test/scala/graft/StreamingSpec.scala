@@ -113,7 +113,7 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
-  test("streaming session window merges within gap, splits at >= gap") {
+  test("streaming session window merges within gap, splits beyond gap") {
     val in = MemoryStream[(Timestamp, String)](spark)
     val name = s"sess_${System.nanoTime()}"
     val q = in.toDF().toDF("ts", "user")
@@ -123,7 +123,7 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName(name)
       .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
     // u1: events at 0,20,40 min chain into ONE session (each gap < 30);
-    // the event at 100 min starts a second session (gap 60 >= 30).
+    // the event at 100 min starts a second session (gap 60 > 30).
     in.addData((ts(0), "u1"), (ts(20), "u1"), (ts(40), "u1"), (ts(100), "u1"))
     q.processAllAvailable()
     in.addData((ts(500), "u1")) // advance watermark far → both finalize
@@ -131,6 +131,46 @@ class StreamingSpec extends SparkSpec {
     val n = spark.table(name).select($"n").as[Long].collect().sorted
     assert(n === Seq(1L, 3L))
     q.stop()
+  }
+
+  test("session window boundary: exact-gap events MERGE, gap+1min splits") {
+    // SURVEY.md §7.5.3 adversarial boundary — per-event windows
+    // [ts, ts+gap) merge when they TOUCH: an event landing exactly `gap`
+    // after the previous one continues the session (verified batch ==
+    // streaming on 4.1.2); the oracle for q_window_session therefore
+    // splits only on diff > gap, strictly.
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val name = s"sessb_${System.nanoTime()}"
+    val q = in.toDF().toDF("ts", "user")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"user")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+    // 0 → 30 min: exactly the gap → merges; 30 → 61 min: 31 > gap →
+    // a new session of one.
+    in.addData((ts(0), "u1"), (ts(30), "u1"), (ts(61), "u1"))
+    q.processAllAvailable()
+    in.addData((ts(500), "u1"))
+    q.processAllAvailable()
+    val n = spark.table(name).select($"n").as[Long].collect().sorted
+    assert(n === Seq(1L, 2L))
+    q.stop()
+  }
+
+  test("q_approx_distinct: HLL estimate within 5% of exact per group") {
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_orderkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n) <= math.max(1L, (n * 0.05).toLong),
+        s"group $k: approx $a vs exact $n")
+    }
   }
 
   test("q_alert_stream (incremental run) matches batch alertPipeline") {
