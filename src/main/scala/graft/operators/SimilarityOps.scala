@@ -32,6 +32,8 @@ object SimilarityOps {
   // selective). At these corpus similarities (top-10 cosine ≈ 0.3,
   // per-plane collision p ≈ 0.6) the expected recall is
   // 1-(1-p^4)^8 ≈ 0.7 while touching a minority of the table.
+  // Measured recall@10: 0.70–0.90 across sf0.001/sf0.01/sf0.1 and
+  // probes {0, 7, 42} (deterministic hyperplanes → stable per input).
   private val PLANES_PER_TABLE = 4
   private val TABLES = 8
   private val PLANES = PLANES_PER_TABLE * TABLES
