@@ -69,12 +69,19 @@ case class VectorDot(left: Expression, right: Expression)
   */
 object VectorOps {
 
-  /** Idempotently register `vec_dot` with a session. */
+  // once-per-session guard: Tables.apply calls register on every table
+  // load; re-registering spams "function vec_dot replaced" warnings and
+  // takes the registry lock on the hot path
+  private val registered = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotently register `vec_dot` with a session (once per session). */
   def register(spark: SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
-      .createOrReplaceTempFunction("vec_dot",
-        exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    if (registered.add(spark))
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+        .createOrReplaceTempFunction("vec_dot",
+          exprs => VectorDot(exprs(0), exprs(1)), "built-in")
 
   /** Dot product of two `array<double>` columns (codegen'd). */
   def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

@@ -58,7 +58,12 @@ object ReferenceOps {
     */
   def alertStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val name = s"graft_alert_stream_${System.nanoTime()}"
+    // Fixed per-session sink name: each start() replaces the memory-sink
+    // temp view, so repeated invocations (Profile runs twice, Bench
+    // medians) keep at most ONE result copy on the driver heap instead
+    // of accumulating one per nanoTime-suffixed name.
+    val name = "graft_alert_stream"
+    spark.catalog.dropTempView(name)
     // Glob form: FileStreamSource requires its basePath (the non-glob
     // prefix) to be a directory; the driver lays tables out as one
     // parquet FILE per table.

@@ -18,8 +18,22 @@ object Tables {
     // Session chokepoint: make the engine's native expressions callable.
     graft.functions.VectorOps.register(spark)
     name match {
-      case "events" => events(spark, sfDir)
-      case n        => spark.read.parquet(s"$sfDir/$n.parquet")
+      case "events"     => events(spark, sfDir)
+      // The driver lays each corpus table out as ONE parquet file = one
+      // input split, so without an explicit repartition every downstream
+      // pipeline — however narrow — runs single-task (q_doc_dedup spent
+      // 34 s single-threaded in the r01 driver bench). Hash-distribute on
+      // the id at the loader so no query can forget; the id is also the
+      // groupBy/join key of the heavy document pipelines, so that shuffle
+      // is reused (hashpartitioning(doc_id) satisfies the aggregate's
+      // required distribution — no second exchange). On a warehouse-scale
+      // scan the file arrives already split and this repartition is a
+      // cheap rebalance of an input that needed distributing anyway.
+      case "documents"  => spark.read.parquet(s"$sfDir/documents.parquet")
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      case "embeddings" => spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      case n            => spark.read.parquet(s"$sfDir/$n.parquet")
     }
   }
 
