@@ -34,8 +34,8 @@ object SimilarityOps {
   // 1-(1-p^4)^8 ≈ 0.7 while touching a minority of the table.
   // Measured recall@10: 0.70–0.90 across sf0.001/sf0.01/sf0.1 and
   // probes {0, 7, 42} (deterministic hyperplanes → stable per input).
-  private val PLANES_PER_TABLE = 4
-  private val TABLES = 8
+  private[graft] val PLANES_PER_TABLE = 4
+  private[graft] val TABLES = 8
   private val PLANES = PLANES_PER_TABLE * TABLES
   private val DIMS = 64
 
@@ -68,6 +68,19 @@ object SimilarityOps {
     }
   }
 
+  /** Driver-side twin of [[lshTableSigs]] for point queries: the T
+    * per-table signatures of one query vector, computed against the same
+    * deterministic hyperplanes (so a literal probe filter hits exactly
+    * the buckets the indexed column computation filled). */
+  def tableSigsOf(v: Seq[Double]): Seq[Int] =
+    (0 until TABLES).map { t =>
+      (0 until PLANES_PER_TABLE).map { j =>
+        val plane = hyperplanes(t * PLANES_PER_TABLE + j)
+        val dot = v.iterator.zip(plane.iterator).map { case (a, b) => a * b }.sum
+        if (dot > 0) 1 << j else 0
+      }.sum
+    }
+
   /** Exact top-k neighbors of `probeId` by double-precision cosine. */
   def bruteForceTopK(spark: SparkSession, sfDir: String, probeId: Long = 0L,
       k: Int = 10): DataFrame =
@@ -91,34 +104,22 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** ANN top-k: candidates are vectors sharing the probe's bucket in at
-    * least one LSH table. Recall is measured against `bruteForceTopK`
-    * in SimilaritySpec (approximate by design → no SQL oracle). */
+  /** ANN top-k over the test corpus via the MATERIALIZED signature index
+    * ([[AnnIndex]]): built once per (session, corpus), probed by a
+    * broadcast equi-join — the r01 OR-of-equalities per-probe full scan
+    * is gone. Candidate set (≥1 shared bucket) is identical, so recall
+    * vs `bruteForceTopK` is unchanged (measured in SimilaritySpec;
+    * approximate by design → no SQL oracle). */
   def annTopK(spark: SparkSession, sfDir: String, probeId: Long = 0L,
       k: Int = 10): DataFrame =
-    annTopK(Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-      probeId, k)
+    AnnIndex.forDir(spark, sfDir).topK(probeId, k)
 
-  /** Library form: multi-table LSH ANN top-k over any vector DataFrame. */
+  /** Library form: one-shot index build + probe over any vector
+    * DataFrame. Callers probing repeatedly should hold the
+    * [[AnnIndex]] themselves. */
   def annTopK(vectors: DataFrame, idCol: String, embCol: String,
-      probeId: Long, k: Int): DataFrame = {
-    val sigCols = lshTableSigs(col("embedding"))
-    val e = vectors
-      .select(col(idCol).as("vec_id"), col(embCol).as("embedding"))
-      .select(Seq(col("vec_id"), col("embedding")) ++
-        sigCols.zipWithIndex.map { case (c, t) => c.as(s"s$t") }: _*)
-    val probe = broadcast(
-      e.filter(col("vec_id") === probeId)
-        .select(Seq(col("embedding").as("pe")) ++
-          (0 until TABLES).map(t => col(s"s$t").as(s"ps$t")): _*))
-    e.filter(col("vec_id") =!= probeId)
-      .join(probe,
-        (0 until TABLES).map(t => col(s"s$t") === col(s"ps$t")).reduce(_ || _))
-      .select(col("vec_id"),
-        round(cosine(col("embedding"), col("pe")), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(k)
-  }
+      probeId: Long, k: Int): DataFrame =
+    AnnIndex.build(vectors, idCol, embCol).topK(probeId, k)
 
   val all: Seq[Query] = Seq(
     Query(

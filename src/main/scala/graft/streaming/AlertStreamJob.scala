@@ -25,6 +25,25 @@ object AlertStreamJob {
   def ensureOpsListener(spark: SparkSession): Unit =
     if (opsRegistered.add(spark)) spark.streams.addListener(new OpsListener)
 
+  private val hookInstalled = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** R12 — graceful shutdown, parity with the reference's JVM hook that
+    * closes the streams runtime then disconnects the publisher
+    * (BME680.java:233-240,248-252): on SIGTERM/exit, stop every active
+    * streaming query (each stop drains the in-flight micro-batch and
+    * closes its sinks — AlertForeachWriter.close releases the
+    * publisher), then stop the session. Installed once per session. */
+  def installShutdownHook(spark: SparkSession): Unit =
+    if (hookInstalled.add(spark))
+      sys.addShutdownHook { stopAll(spark); spark.stop() }
+
+  /** Stop all active queries; never throws (shutdown-path safe). */
+  def stopAll(spark: SparkSession): Unit =
+    spark.streams.active.foreach { q =>
+      try q.stop() catch { case _: Throwable => () }
+    }
+
   /** Kafka source options for the reference's deployment. Requires the
     * spark-sql-kafka connector on the classpath (not present in the
     * offline test image — exercised only in real deployments). */
@@ -42,7 +61,9 @@ object AlertStreamJob {
       newPublisher: () => AlertPublisher, checkpointRoot: String,
       jsonPath: String = "$.bme680_tempf"): (StreamingQuery, StreamingQuery) = {
     val spark = records.sparkSession
+    graft.tools.Diagnostics.startupBanner(spark) // R14: once per session
     ensureOpsListener(spark)
+    installShutdownHook(spark)                   // R12: once per session
 
     val pass = Pipelines.passthrough(records).writeStream
       .format("memory") // production: .format("kafka").option("topic", "bme680out")

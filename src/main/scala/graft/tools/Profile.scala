@@ -20,6 +20,12 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CACHE=1 reproduces Bench's cached-tables regime
+    if (sys.env.get("SPARK_GRAFT_CACHE").contains("1"))
+      graft.sources.Tables.names.foreach { n =>
+        try graft.sources.Tables(spark, sfDir, n).persist().count()
+        catch { case _: Throwable => () }
+      }
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def once(): Double = {

@@ -67,6 +67,31 @@ class DedupOpsSpec extends SparkSpec {
       s"near-dup mean hamming $near should beat all-pairs mean $all")
   }
 
+  test("embedding pair plan is a hash equi-join — no nested-loop, no cartesian") {
+    val p = SparkEntry.queries("q_dedup_embedding")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("block-matrix embedding pairs equal brute-force all-pairs exactly") {
+    import graft.functions.VectorOps
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val a = e.select(col("vec_id").as("a_id"), col("e").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("e").as("eb"))
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VectorOps.cosine(col("ea"), col("eb")), 6).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val block = DedupOps.embeddingPairs(
+        Tables.embeddings(spark, sfDir), "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(block === brute)
+    assert(brute.nonEmpty, "corpus should plant qualifying pairs")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("q_dedup_embedding")(spark, sfDir).collect()
     rows.foreach { r =>

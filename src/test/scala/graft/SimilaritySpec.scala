@@ -41,6 +41,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ANN probe is a hash equi-join against the materialized index") {
+    val p = SimilarityOps.annTopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("point-query literal-bucket probe agrees with the indexed equi-probe") {
+    val probeVec = graft.sources.Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val idx = graft.operators.AnnIndex.forDir(spark, sfDir)
+    // an external-vector query sees the probe itself as its own nearest
+    // neighbor; the remainder must equal the by-id probe exactly
+    val vecRows = idx.topKVec(probeVec, 11).collect()
+    assert(vecRows.head.getLong(0) === 0L)
+    assert(vecRows.head.getDouble(1) >= 0.999999)
+    val viaVec = vecRows.tail.map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    val viaId = idx.topK(0L, 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(viaVec === viaId)
+  }
+
   test("ANN recall against brute-force top-10 meets the design bound") {
     val bf = SimilarityOps.bruteForceTopK(spark, sfDir).collect()
       .map(_.getLong(0)).toSet

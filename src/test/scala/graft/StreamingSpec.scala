@@ -158,6 +158,37 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("graceful shutdown drains active queries cleanly (R12)") {
+    val in = MemoryStream[(String, String)](spark)
+    in.addData(("k1", "80"), ("k2", "90"))
+    val runId = s"shutdown_${System.nanoTime()}"
+    val (pass, alerts) = AlertStreamJob.start(
+      in.toDF().toDF("key", "value"), "bme680warning",
+      () => new CollectingPublisher(runId), tmpCkpt())
+    // the hook body: stop every active query — must drain without
+    // surfacing an exception on either branch, whatever state each
+    // micro-batch is in, and must be safe to call twice
+    AlertStreamJob.stopAll(spark)
+    AlertStreamJob.stopAll(spark)
+    assert(spark.streams.active.isEmpty)
+    assert(pass.exception.isEmpty && alerts.exception.isEmpty)
+    CollectingPublisher.clear(runId)
+  }
+
+  test("MQTT publisher is absent offline and fails fast with guidance (R10)") {
+    assume(!MqttPublisher.available, "paho unexpectedly on classpath")
+    val p = new MqttPublisher("tcp://localhost:1883", "graft-test")
+    val e = intercept[IllegalStateException](p.connect())
+    assert(e.getMessage.contains("paho"))
+    p.close() // never-connected close is a no-op
+  }
+
+  test("startup diagnostics banner is once-per-session and idempotent (R14)") {
+    // both calls must be safe; the second is a no-op (guarded set)
+    graft.tools.Diagnostics.startupBanner(spark)
+    graft.tools.Diagnostics.startupBanner(spark)
+  }
+
   test("q_approx_distinct: HLL estimate within 5% of exact per group") {
     val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
