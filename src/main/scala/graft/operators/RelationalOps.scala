@@ -305,16 +305,19 @@ object RelationalOps {
               FROM lineitem
               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
               ORDER BY gid, flag, status"""),
-      (s, d) => {
-        Tables.lineitem(s, d).createOrReplaceTempView("graft_li_gs")
-        s.sql("""SELECT grouping_id() AS gid,
-                        coalesce(l_returnflag, 'ALL') AS flag,
-                        coalesce(l_linestatus, 'ALL') AS status,
-                        count(*) AS n
-                 FROM graft_li_gs
-                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-                 ORDER BY gid, flag, status""")
-      }),
+      // Spark 4's native Dataset.groupingSets — no temp view, nothing
+      // session-global to collide on repeated/concurrent invocation.
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+          .select(col("gid"),
+            coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+            col("n"))
+          .orderBy("gid", "flag", "status")),
 
     // -- window functions --------------------------------------------
     Query(

@@ -35,6 +35,25 @@ class PlanSpec extends SparkSpec {
     assert(plan(q("q_join_broadcast")).contains("BroadcastHashJoin"))
   }
 
+  test("q_simhash is join-free: one aggregation, no 64-way bit expansion") {
+    // regression pin for the r01 defect: bit sums must come from a
+    // single aggregate over the token stream, not a join against a
+    // 64-row bit table (64× row inflation)
+    val p = plan(q("q_simhash"))
+    assert(!p.contains("Join"), p.take(2000))
+  }
+
+  test("corpus tables arrive parallelized from the loader") {
+    // regression pin for the r01 defect: the single-file corpus scan ran
+    // one-task; the loader must hash-distribute it
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    assert(docs.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+    val embs = graft.sources.Tables.embeddings(spark, sfDir)
+    assert(embs.rdd.getNumPartitions ===
+      spark.sparkContext.defaultParallelism)
+  }
+
   test("q_join_multi keeps small dims (nation, region) broadcast") {
     val p = plan(q("q_join_multi"))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
