@@ -168,10 +168,14 @@ object DedupOps {
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorOps.cosine(a, b)
 
-  // Block-grid side for the exact pair join: √(2·parallelism)-ish keeps
-  // every block pair a real task without inflating replication (each
-  // vector ships B+1 copies). 8 → 36 block-pair tasks, 9× replication.
-  private val PAIR_BLOCKS = 8
+  // Block-grid side for the exact pair join: B(B+1)/2 block-pair tasks
+  // should cover the cluster's parallelism without inflating replication
+  // (each vector ships B+1 copies), so B ≈ √(2·parallelism), floored at
+  // 8 (local[32] → 8 → 36 tasks, 9× replication; a 1000-executor
+  // cluster derives a proportionally larger grid).
+  private def pairBlocks(spark: SparkSession): Int =
+    math.max(8, math.ceil(math.sqrt(
+      2.0 * spark.sparkContext.defaultParallelism)).toInt)
 
   /** Library form: embedding-cosine near-duplicate pairs of any
     * DataFrame with a numeric-array embedding column. Exact.
@@ -196,7 +200,7 @@ object DedupOps {
   def embeddingPairs(vectors: DataFrame, idCol: String, embCol: String,
       threshold: Double): DataFrame = {
     import graft.functions.VectorOps
-    val B = PAIR_BLOCKS
+    val B = pairBlocks(vectors.sparkSession)
     val e = vectors.select(col(idCol).as("vec_id"),
         col(embCol).cast("array<double>").as("e"))
       .withColumn("nrm", VectorOps.norm(col("e")))

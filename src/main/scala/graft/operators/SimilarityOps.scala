@@ -137,6 +137,11 @@ object SimilarityOps {
 
     Query("q_sim_ann", None, (s, d) => annTopK(s, d)),
 
+    // IVF coarse-quantizer ANN (the FAISS-family shape): deterministic
+    // hash-seeded k-means cells, nprobe-pruned scan, exact rescore.
+    // Approximate by design → recall-gated in SimilaritySpec, no oracle.
+    Query("q_sim_ivf", None, (s, d) => IvfIndex.forDir(s, d).topK(0L, 10)),
+
     // Multimodal projection: text + vector + label in one result row
     // (the reference's image-path columns, BME680.java:112,117, grown
     // up). Vector rendered as a rounded norm so the row is hashable.

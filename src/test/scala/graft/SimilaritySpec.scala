@@ -65,6 +65,40 @@ class SimilaritySpec extends SparkSpec {
     assert(viaVec === viaId)
   }
 
+  test("IVF build is deterministic and its probe plan is join-free") {
+    val a = graft.operators.IvfIndex.build(
+      graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+    val b = graft.operators.IvfIndex.build(
+      graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding")
+    assert(a.centroids === b.centroids, "decimal-exact means must reproduce")
+    val cellsA = a.cells.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cellsB = b.cells.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cellsA === cellsB)
+    val p = a.topK(0L).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(2000))
+    a.cells.unpersist(); b.cells.unpersist()
+  }
+
+  test("IVF cos values are exact and recall meets the design bound") {
+    val exact = SimilarityOps.bruteForceTopK(spark, sfDir, k = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = SparkEntry.queries("q_sim_ivf")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    ivf.foreach { case (id, cos) =>
+      assert(exact(id) === cos, s"IVF similarity for $id must be exact")
+    }
+    val bf = SimilarityOps.bruteForceTopK(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val recall = (bf & ivf.map(_._1).toSet).size.toDouble / bf.size
+    // measured across sf0.001/0.01/0.1: 0.60/0.70/0.70 (tools.RecallScan;
+    // this corpus's neighbors sit at cos ≈ 0.3 — weak cluster structure,
+    // so recall tracks the scanned fraction nprobe/k)
+    info(f"IVF recall@10 = $recall%.2f (k=16 cells, nprobe=6)")
+    assert(recall >= 0.5, s"recall $recall below design bound")
+  }
+
   test("ANN recall against brute-force top-10 meets the design bound") {
     val bf = SimilarityOps.bruteForceTopK(spark, sfDir).collect()
       .map(_.getLong(0)).toSet
