@@ -88,7 +88,10 @@ object Bench {
     val cold = jmap(results.map { case (k, r) => k -> r.cold.toString })
     val errs = jmap(results.collect { case (k, r) if r.err.isDefined =>
       k -> jstr(r.err.get) })
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$RUNS,"cold":$cold,"errors":$errs}""")
+    // all per-round samples, in round order — documents run variance
+    val samp = jmap(names.map { n =>
+      n -> samples.getOrElse(n, Nil).mkString("[", ",", "]") })
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$RUNS,"cold":$cold,"samples":$samp,"errors":$errs}""")
     spark.stop()
   }
 }

@@ -53,6 +53,15 @@ package object api {
     /** Append a MinHash document fingerprint column. */
     def withFingerprint(textCol: String, outCol: String = "fp"): DataFrame =
       TextOps.withFingerprint(df, textCol, outCol)
+
+    /** EXACT n-gram Jaccard near-duplicate pairs (block-matrix
+      * equi-join; no LSH recall loss — use below j≈0.5 where banded
+      * LSH misses). `withinCol` blocks pairs to equal values of a
+      * column (e.g. language). */
+    def ngramJaccardPairs(idCol: String, textCol: String,
+        threshold: Double, withinCol: Option[String] = None): DataFrame =
+      DedupOps.ngramJaccardPairs(df, idCol, textCol, threshold,
+        withinCol = withinCol)
   }
 
   implicit class GraftVectorOps(private val df: DataFrame) {
@@ -69,10 +78,23 @@ package object api {
         k: Int = 10): DataFrame =
       SimilarityOps.annTopK(df, idCol, embCol, probeId, k)
 
-    /** Exact embedding-cosine near-duplicate pairs at `threshold`. */
+    /** Exact embedding-cosine near-duplicate pairs at `threshold`
+      * (distributed block-matrix equi-join — no nested loop). */
     def embeddingNearDups(idCol: String, embCol: String,
         threshold: Double): DataFrame =
       DedupOps.embeddingPairs(df, idCol, embCol, threshold)
+
+    /** Build a materialized multi-table LSH signature index (persisted;
+      * probe with `.topK(id)` / `.topKVec(vector)`; persist bucketed
+      * with `.writeTable`). */
+    def lshIndex(idCol: String, embCol: String): operators.AnnIndex =
+      operators.AnnIndex.build(df, idCol, embCol)
+
+    /** Build a deterministic IVF (inverted-file) index: hash-seeded
+      * centroids, DECIMAL-exact Lloyd refinement, nprobe-pruned probes. */
+    def ivfIndex(idCol: String, embCol: String, k: Int = 16,
+        iters: Int = 2): operators.IvfIndex =
+      operators.IvfIndex.build(df, idCol, embCol, k, iters)
   }
 
   implicit class GraftJoinOps(private val facts: DataFrame) {

@@ -236,6 +236,49 @@ object DedupOps {
       .orderBy("a_id", "b_id")
   }
 
+  /** Library form: EXACT n-gram (shingle) Jaccard near-duplicate pairs
+    * via the same distributed block-matrix shape as [[embeddingPairs]].
+    * Complements [[minhashPairs]]: LSH recall is probabilistic and
+    * degrades at low thresholds (a j=0.3 pair has a 22% miss chance at
+    * 16×2 banding), while this path is exact at ANY threshold — the
+    * trade is quadratic (but evenly distributed, equi-join, no
+    * nested-loop) pair compute.
+    *
+    * Cost controls: shingle sets are computed once per doc and carried
+    * as xxhash64 LONGS, so the per-pair intersection compares 8-byte
+    * values instead of strings (64-bit collisions among a corpus's
+    * distinct shingles are ~1e-9 probable and deterministic — the
+    * DuckDB oracle, which intersects the raw strings, hash-gates that
+    * the values agree). `withinCol` restricts pairing to equal values
+    * of a partition column (e.g. language) — the natural blocking for
+    * near-dup mining, and a |parts|-fold pair-count cut. */
+  def ngramJaccardPairs(corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3,
+      withinCol: Option[String] = None): DataFrame = {
+    val B = pairBlocks(corpus.sparkSession)
+    val e = corpus.select(col(idCol).as("doc_id"),
+        transform(shingles(col(textCol), k), s => xxhash64(s)).as("sh"),
+        withinCol.map(col).getOrElse(lit(0)).as("part"))
+      .withColumn("blk", pmod(hash(col("doc_id")), lit(B)))
+    val lhs = e.select(col("doc_id").as("x_id"), col("sh").as("shx"),
+        col("part"), col("blk"),
+        explode(sequence(col("blk"), lit(B - 1))).as("j"))
+      .select(col("x_id"), col("shx"), col("part"),
+        (col("blk") * B + col("j")).as("bp"))
+    val rhs = e.select(col("doc_id").as("y_id"), col("sh").as("shy"),
+        col("part"), col("blk"),
+        explode(sequence(lit(0), col("blk"))).as("i"))
+      .select(col("y_id"), col("shy"), col("part"),
+        (col("i") * B + col("blk")).as("bp"))
+    lhs.join(rhs, Seq("part", "bp"))
+      .filter(pmod(col("bp"), lit(B + 1)) =!= 0 || col("x_id") < col("y_id"))
+      .withColumn("jacc", round(jaccard(col("shx"), col("shy")), 6))
+      .filter(col("jacc") >= threshold)
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"), col("jacc"))
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[Query] = Seq(
     // Exact dedup: hash-groupBy on normalized text. One shuffle on the
     // 32-char digest regardless of document size.
@@ -270,6 +313,32 @@ object DedupOps {
                       6) >= 0.5
               ORDER BY a_id, b_id"""),
       (s, d) => minhashPairs(s, d)),
+
+    // Exact n-gram Jaccard pairs at a LOW threshold (0.3) — below
+    // where the banded-LSH recall guarantee holds, which is exactly the
+    // regime this block-exact path exists for. Blocked within language
+    // (cross-language near-dups are meaningless for curation, and the
+    // block cuts the pair space |langs|-fold).
+    Query(
+      "q_ngram_jaccard",
+      Some("""WITH d AS (
+                SELECT doc_id, lang,
+                       list_distinct(list_transform(
+                         range(0, greatest(len(string_split(text,' ')) - 2, 1)),
+                         i -> array_to_string(
+                                string_split(text,' ')[i+1:i+3], ' '))) AS sh
+                FROM documents)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                       (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                       6) AS jacc
+              FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.lang = b.lang
+              WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                      6) >= 0.3
+              ORDER BY a_id, b_id"""),
+      (s, d) => ngramJaccardPairs(Tables.documents(s, d),
+        "doc_id", "text", threshold = 0.3, withinCol = Some("lang"))),
 
     // SimHash fingerprints — the values are oracle-gated (deterministic
     // salted-md5 bits); banded hamming candidate join is exercised in

@@ -24,6 +24,37 @@ import org.apache.spark.sql.types.DecimalType
 object StreamingOps {
 
   val all: Seq[Query] = Seq(
+    // Stream-stream interval join (batch analog): purchases within two
+    // hours of a view by the same user. The join key is the EQUI user_id
+    // — the time bound is a residual predicate, so the plan is a hash
+    // join keyed on user_id at any scale, never a nested loop; the true
+    // streaming form (two watermarked streams, state bounded by the
+    // interval condition) runs in StreamingSpec.
+    Query(
+      "q_stream_join",
+      Some("""SELECT a.user_id, a.event_id AS view_id,
+                     b.event_id AS purchase_id
+              FROM events a JOIN events b
+                ON a.user_id = b.user_id
+               AND a.event_type = 'view' AND b.event_type = 'purchase'
+               AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 120 MINUTE
+              ORDER BY view_id, purchase_id"""),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"),
+            col("ts").as("vts"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("b_user"),
+            col("event_id").as("purchase_id"), col("ts").as("bts"))
+        views.join(buys,
+            col("user_id") === col("b_user") &&
+            col("bts") >= col("vts") &&
+            col("bts") <= col("vts") + expr("INTERVAL 120 MINUTES"))
+          .select(col("user_id"), col("view_id"), col("purchase_id"))
+          .orderBy("view_id", "purchase_id")
+      }),
+
     // Tumbling 1-hour windows, epoch-aligned in both engines (Spark
     // window() and DuckDB time_bucket() both align to multiples of the
     // interval since a common origin for hour-divisible intervals).

@@ -92,6 +92,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus should plant qualifying pairs")
   }
 
+  test("hashed-shingle ngram pairs equal string-shingle brute force") {
+    // the operator intersects xxhash64 longs; brute force here
+    // intersects the raw string shingles — equality proves the hashing
+    // introduced no collision on this corpus and the block join lost
+    // no pair
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        DedupOps.shingles(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("lang").as("la"),
+      col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("b_id"), col("lang").as("lb"),
+      col("sh").as("sh_b"))
+    val brute = a.join(b, col("a_id") < col("b_id") && col("la") === col("lb"))
+      .select(col("a_id"), col("b_id"),
+        round(DedupOps.jaccard(col("sh_a"), col("sh_b")), 6).as("jacc"))
+      .filter(col("jacc") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val blocked = DedupOps.ngramJaccardPairs(Tables.documents(spark, sfDir),
+        "doc_id", "text", threshold = 0.3, withinCol = Some("lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(blocked === brute)
+    assert(brute.nonEmpty, "corpus should plant same-lang near-dup pairs")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("q_dedup_embedding")(spark, sfDir).collect()
     rows.foreach { r =>

@@ -158,6 +158,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join matches only within the time bound") {
+    def run(cond: String, base: Int): Seq[Long] = {
+      val views = MemoryStream[(Timestamp, Long)](spark)
+      val buys = MemoryStream[(Timestamp, Long)](spark)
+      val name = s"ssj_${System.nanoTime()}"
+      val v = views.toDF().toDF("vts", "v_user").withWatermark("vts", "1 hour")
+      val b = buys.toDF().toDF("bts", "b_user").withWatermark("bts", "1 hour")
+      val q = v.join(b, expr(cond))
+        .select($"v_user")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+      views.addData((ts(base + 0), 1L), (ts(base + 0), 2L))
+      buys.addData((ts(base + 10), 1L), (ts(base + 50), 2L))
+      q.processAllAvailable()
+      val out = spark.table(name).as[Long].collect().toSeq.sorted
+      q.stop()
+      out
+    }
+    val cond =
+      "v_user = b_user AND bts >= vts AND bts <= vts + interval 30 minutes"
+    // Event times must sit well past the epoch: a watermark of
+    // maxEventTime - delay that lands BEFORE 1970 underflows the join's
+    // state-watermark arithmetic and the interval join emits nothing
+    // (verified on 4.1.2; epoch-0 fixtures silently produce zero rows).
+    val out = run(cond, 26 * 1000000) // ≈ 2019-06
+    // user 1 purchases 10 min after the view → inside the 30-minute
+    // bound; user 2 at +50 min → outside, must not join
+    assert(out === Seq(1L))
+  }
+
   test("graceful shutdown drains active queries cleanly (R12)") {
     val in = MemoryStream[(String, String)](spark)
     in.addData(("k1", "80"), ("k2", "90"))
