@@ -55,6 +55,29 @@ object StreamingOps {
           .orderBy("view_id", "purchase_id")
       }),
 
+    // Typed custom state (mapGroupsWithState surface): running per-user
+    // sequence + max via flatMapGroups — the batch twin of the
+    // flatMapGroupsWithState streaming form (StreamingSpec proves state
+    // carries across micro-batches). Oracle: SQL window functions.
+    Query(
+      "q_stateful_running",
+      Some("""SELECT user_id, event_id,
+                     CAST(row_number() OVER w AS BIGINT) AS seq,
+                     max(value) OVER w AS run_max
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING)
+              ORDER BY user_id, seq"""),
+      (s, d) => {
+        import s.implicits._
+        graft.streaming.StatefulOps.runningStats(
+            Tables.events(s, d)
+              .select("user_id", "event_id", "ts", "value")
+              .as[graft.streaming.UserEvent])
+          .toDF()
+          .orderBy("user_id", "seq")
+      }),
+
     // Tumbling 1-hour windows, epoch-aligned in both engines (Spark
     // window() and DuckDB time_bucket() both align to multiples of the
     // interval since a common origin for hour-divisible intervals).

@@ -188,6 +188,37 @@ class StreamingSpec extends SparkSpec {
     assert(out === Seq(1L))
   }
 
+  test("flatMapGroupsWithState carries running state across micro-batches") {
+    val in = MemoryStream[UserEvent](spark)
+    val name = s"st_${System.nanoTime()}"
+    val q = StatefulOps.runningStatsStream(in.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+    in.addData(
+      UserEvent(1L, 10L, ts(1), 50.0),
+      UserEvent(1L, 11L, ts(2), 80.0),
+      UserEvent(2L, 20L, ts(1), 70.0))
+    q.processAllAvailable()
+    in.addData(UserEvent(1L, 12L, ts(3), 60.0)) // state must resume at seq=2
+    q.processAllAvailable()
+    val out = spark.table(name).as[RunOut].collect()
+      .map(r => (r.user_id, r.event_id) -> (r.seq, r.run_max)).toMap
+    assert(out((1L, 10L)) === (1L, 50.0))
+    assert(out((1L, 11L)) === (2L, 80.0))
+    assert(out((2L, 20L)) === (1L, 70.0))
+    // batch 2: seq continues, running max remembers the 80.0 from batch 1
+    assert(out((1L, 12L)) === (3L, 80.0))
+    // streaming rows match the batch flatMapGroups twin on the same data
+    import spark.implicits._
+    val batch = StatefulOps.runningStats(Seq(
+      UserEvent(1L, 10L, ts(1), 50.0), UserEvent(1L, 11L, ts(2), 80.0),
+      UserEvent(2L, 20L, ts(1), 70.0), UserEvent(1L, 12L, ts(3), 60.0)
+    ).toDS()).collect()
+      .map(r => (r.user_id, r.event_id) -> (r.seq, r.run_max)).toMap
+    assert(batch === out)
+    q.stop()
+  }
+
   test("graceful shutdown drains active queries cleanly (R12)") {
     val in = MemoryStream[(String, String)](spark)
     in.addData(("k1", "80"), ("k2", "90"))
