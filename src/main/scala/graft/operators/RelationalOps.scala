@@ -256,6 +256,25 @@ object RelationalOps {
           .groupBy("o_orderpriority")
           .agg(approx_count_distinct(col("o_orderkey")).as("approx_orders"))
           .orderBy("o_orderpriority")),
+    // Quantile sketch (KLL/GK-family builtin): per-group p50/p95/p99 of
+    // extendedprice in ONE pass — the sketch merges associatively, so
+    // the partial/final aggregation shape shuffles one small sketch per
+    // group, never the values. Approximate by design → gated by a
+    // ScalaTest rank-error bound vs the exact percentile, no oracle.
+    Query(
+      "q_approx_quantile",
+      None,
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+              .as("p50"),
+            percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000))
+              .as("p95"),
+            percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+              .as("p99"))
+          .orderBy("l_returnflag")),
     Query(
       "q_rollup",
       Some("""SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,

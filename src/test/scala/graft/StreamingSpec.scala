@@ -265,6 +265,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q_approx_quantile: sketch percentiles within 1% rank error of exact") {
+    val approx = SparkEntry.queries("q_approx_quantile")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95, 0.99))")
+        .as("ps"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for {
+      (flag, qs) <- approx
+      ((a, e), p) <- qs.zip(exact(flag)).zip(Seq(0.5, 0.95, 0.99))
+    } {
+      // with accuracy 10000 the rank error is ≤ 1/10000; allow 1% of
+      // the exact VALUE as a generous cross-distribution bound
+      assert(math.abs(a - e) <= math.abs(e) * 0.01,
+        s"group $flag p$p: approx $a vs exact $e")
+    }
+  }
+
   test("q_alert_stream (incremental run) matches batch alertPipeline") {
     val streamed = graft.operators.ReferenceOps.alertStream(spark, sfDir)
       .collect().map(_.toSeq).toSeq
