@@ -54,6 +54,14 @@ class PlanSpec extends SparkSpec {
       spark.sparkContext.defaultParallelism)
   }
 
+  test("q_stream_join is an equi hash join with residual time bound") {
+    // the interval condition must ride as a residual on the user_id
+    // equi key — a nested-loop over events would be a 100 TB killer
+    val p = plan(q("q_stream_join"))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q_join_multi keeps small dims (nation, region) broadcast") {
     val p = plan(q("q_join_multi"))
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
