@@ -60,4 +60,26 @@ class ApiSpec extends SparkSpec {
       .collect().toSeq
     assert(lib.map(_.toSeq) === reg.map(_.toSeq))
   }
+
+  test("ngramJaccardPairs == q_ngram_jaccard (lang-blocked)") {
+    val lib = docs.ngramJaccardPairs("doc_id", "text", 0.3,
+      withinCol = Some("lang")).collect().toSeq
+    val reg = SparkEntry.queries("q_ngram_jaccard")(spark, sfDir)
+      .collect().toSeq
+    assert(lib.map(_.toSeq) === reg.map(_.toSeq))
+  }
+
+  test("index builders: lshIndex and ivfIndex probe from the facade") {
+    val lsh = vecs.lshIndex("vec_id", "embedding")
+    assert(lsh.topK(0L, 10).count() === 10)
+    val probe = vecs.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    // an external-vector probe finds the probe itself first (cos = 1)
+    val first = lsh.topKVec(probe, 1).head()
+    assert(first.getLong(0) === 0L && first.getDouble(1) >= 0.999999)
+    val ivf = vecs.ivfIndex("vec_id", "embedding")
+    assert(ivf.topK(0L, 10).count() === 10)
+    lsh.sigs.unpersist(); ivf.cells.unpersist()
+  }
 }
