@@ -99,6 +99,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall below design bound")
   }
 
+  test("bucketed index tables round-trip and probe identically") {
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val lsh = graft.operators.AnnIndex.build(vecs, "vec_id", "embedding")
+    lsh.writeTable("ann_sigs_rt", buckets = 8)
+    val lshBack = graft.operators.AnnIndex.fromTable(spark, "ann_sigs_rt")
+    assert(lshBack.topK(0L).collect().map(_.toSeq).toSeq ===
+      lsh.topK(0L).collect().map(_.toSeq).toSeq)
+    val ivf = graft.operators.IvfIndex.build(vecs, "vec_id", "embedding")
+    ivf.writeTable("ivf_cells_rt", buckets = 8)
+    // reopened inverted file + the original centroids probe identically
+    val ivfBack = graft.operators.IvfIndex(
+      spark.table("ivf_cells_rt"), ivf.centroids)
+    assert(ivfBack.topK(0L).collect().map(_.toSeq).toSeq ===
+      ivf.topK(0L).collect().map(_.toSeq).toSeq)
+    lsh.sigs.unpersist(); ivf.cells.unpersist()
+    spark.sql("DROP TABLE IF EXISTS ann_sigs_rt")
+    spark.sql("DROP TABLE IF EXISTS ivf_cells_rt")
+  }
+
   test("ANN recall against brute-force top-10 meets the design bound") {
     val bf = SimilarityOps.bruteForceTopK(spark, sfDir).collect()
       .map(_.getLong(0)).toSet
