@@ -104,5 +104,14 @@ package object api {
     def saltedJoin(dim: DataFrame, key: String,
         saltSource: org.apache.spark.sql.Column, buckets: Int): DataFrame =
       operators.JoinOps.saltedJoin(facts, dim, key, saltSource, buckets)
+
+    /** Backward as-of join: latest `right` row with rightTime <=
+      * leftTime per equi key (column names must be disjoint; `leftId`
+      * unique; ties break to largest `rightId`). */
+    def asOfJoin(right: DataFrame, leftKey: String, rightKey: String,
+        leftTime: String, rightTime: String, leftId: String,
+        rightId: String): DataFrame =
+      operators.JoinOps.asOfJoin(facts, right, leftKey, rightKey,
+        leftTime, rightTime, leftId, rightId)
   }
 }

@@ -36,4 +36,31 @@ object JoinOps {
     salted.join(replicated, Seq(key, "__graft_salt"), "inner")
       .drop("__graft_salt")
   }
+
+  /** As-of join: for each left row, the single LATEST right row with
+    * `rightTime <= leftTime` on the same equi key (backward as-of, the
+    * market-data/point-in-time-features shape). Spark has no native
+    * as-of operator; this composes equi-join + range residual +
+    * partition-local row_number — the scale-correct spelling: the join
+    * shuffles on the equi key (bounded per-key history), the window
+    * dedup is local to that shuffle partition, no extra exchange.
+    *
+    * Contract: left and right column names must be disjoint (alias
+    * before calling); `leftId` uniquely identifies left rows; ties on
+    * `rightTime` break toward the largest `rightId`. Inner semantics:
+    * left rows with no qualifying right row are dropped. */
+  def asOfJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      leftId: String, rightId: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(leftId))
+      .orderBy(col(rightTime).desc, col(rightId).desc)
+    left.join(right,
+        col(leftKey) === col(rightKey) &&
+        col(rightTime) <= col(leftTime))
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
 }

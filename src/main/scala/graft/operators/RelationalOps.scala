@@ -213,12 +213,8 @@ object RelationalOps {
         val e = ev.filter(col("event_type") === "error")
           .select(col("event_id").as("error_id"),
             col("user_id").as("e_user"), col("ts").as("error_ts"))
-        val w = Window.partitionBy(col("purchase_id"))
-          .orderBy(col("error_ts").desc, col("error_id").desc)
-        p.join(e, col("user_id") === col("e_user") &&
-            col("error_ts") <= col("p_ts"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
+        JoinOps.asOfJoin(p, e, "user_id", "e_user", "p_ts", "error_ts",
+            "purchase_id", "error_id")
           .select("purchase_id", "error_id", "error_ts")
           .orderBy("purchase_id")
       }),
