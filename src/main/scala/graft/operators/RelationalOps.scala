@@ -219,6 +219,49 @@ object RelationalOps {
           .orderBy("purchase_id")
       }),
 
+    // Pivot: per-user event counts spread across one column per event
+    // type. The type list is pinned (Spark pivots without a scan-first
+    // value discovery when values are given; at 100 TB discovery is a
+    // full extra pass); plan = one partial+final aggregate, the pivot
+    // is just a projection shape. Oracle: conditional aggregation.
+    Query(
+      "q_pivot",
+      Some("""SELECT user_id,
+                     count(*) FILTER (event_type = 'click')    AS click,
+                     count(*) FILTER (event_type = 'error')    AS error,
+                     count(*) FILTER (event_type = 'purchase') AS purchase,
+                     count(*) FILTER (event_type = 'signup')   AS signup,
+                     count(*) FILTER (event_type = 'view')     AS view
+              FROM events GROUP BY user_id ORDER BY user_id"""),
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("user_id")),
+
+    // Unpivot (melt): wide per-part measures back to (part, metric,
+    // value) long form — narrow row expansion, no shuffle before the
+    // presentation sort. Oracle: UNION ALL of the measures.
+    Query(
+      "q_unpivot",
+      Some("""SELECT p_partkey, 'retailprice' AS metric,
+                     CAST(p_retailprice AS DOUBLE) AS value FROM part
+              UNION ALL
+              SELECT p_partkey, 'size' AS metric,
+                     CAST(p_size AS DOUBLE) AS value FROM part
+              ORDER BY p_partkey, metric"""),
+      (s, d) =>
+        Tables.part(s, d)
+          .select(col("p_partkey"),
+            col("p_retailprice").cast("double").as("retailprice"),
+            col("p_size").cast("double").as("size"))
+          .unpivot(Array(col("p_partkey")),
+            Array(col("retailprice"), col("size")), "metric", "value")
+          .orderBy("p_partkey", "metric")),
+
     // -- distinct / grouping lattice ---------------------------------
     Query(
       "q_distinct",
