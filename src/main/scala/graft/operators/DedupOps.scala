@@ -2,7 +2,9 @@ package graft.operators
 
 import graft.Query
 import graft.sources.Tables
+import graft.tools.ObservedMetrics
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Tier D (dedup) — the deduplication family for training-data curation
@@ -49,10 +51,24 @@ object DedupOps {
   private val PERMS = 32
   private val ROWS_PER_BAND = 2
 
+  /** Default band-bucket cap. After the exact-duplicate pre-collapse a
+    * bucket holds only DISTINCT texts whose band signatures collide, so
+    * buckets above this size signal a pathological boilerplate cluster
+    * (or an adversarial corpus); such buckets are dropped from LSH
+    * candidacy with a logged count — never silently, never exploded into
+    * a single m² task. */
+  val DefaultMaxBucket = 1024
+
   /** The LSH near-duplicate pipeline: shingle → minhash → band →
     * bucket-join → exact-Jaccard verify, over the driver corpus. */
+  def minhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(spark, sfDir, 0.5)
+
+  /** As [[minhashPairs(spark:SparkSession,sfDir:String)*]] at a chosen
+    * threshold. (Scala allows default arguments on only one overload —
+    * the library form below keeps them.) */
   def minhashPairs(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5): DataFrame =
+      threshold: Double): DataFrame =
     // Tables.documents arrives hash-distributed on doc_id (the loader
     // repartitions the single-file corpus), so the narrow shingle/minhash
     // pipeline uses every core and the doc_id groupBy needs no second
@@ -62,10 +78,68 @@ object DedupOps {
   /** Library form: near-duplicate pairs of any corpus DataFrame.
     * `idCol` must be a unique orderable document id; `textCol` the
     * single-space-tokenized text. Returns (a_id, b_id, jacc) with
-    * a_id < b_id and exact Jaccard ≥ threshold. */
+    * a_id < b_id and exact Jaccard ≥ threshold.
+    *
+    * Skew design (the web-scale degenerate case): corpora at 100 TB are
+    * dominated by EXACT duplicates — millions of identical boilerplate
+    * pages share one signature, which would put one m-element bucket
+    * (m² pairs) in a single collect_list row and one task. So the
+    * pipeline
+    *   1. collapses exact duplicates first (md5 digest → one
+    *      representative per group; one shuffle, hot groups handled by
+    *      Spark's spilling sort, never buffered in user code),
+    *   2. runs LSH over the representatives only, with band buckets
+    *      capped at `maxBucket` (oversized buckets are dropped and the
+    *      drop is logged through an observed metric — recall loss is
+    *      explicit, not an OOM),
+    *   3. re-attaches the collapsed members to the pair output:
+    *      identical docs pair at jacc 1.0 within their group, and every
+    *      rep-level pair expands to all member combinations (identical
+    *      text ⇒ identical Jaccard). The expansion is plain hash joins —
+    *      output size is inherent to the pairs contract, but no single
+    *      task ever sees a whole group crossed with itself in one row. */
   def minhashPairs(corpus: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    ObservedMetrics.register(corpus.sparkSession)
     val raw = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // Stage 0 — exact-duplicate pre-collapse. min-over-window instead of
+    // groupBy+join: one shuffle on the digest, text rides along, and a
+    // hot digest group external-sorts inside its partition (spill-safe).
+    val tagged = raw.withColumn("dig", md5(col("text")))
+      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy("dig")))
+    val members = tagged.select(col("rep_id"), col("doc_id"))
+    val reps = tagged.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+
+    val repPairs = lshBucketPairs(reps, threshold, maxBucket)
+
+    // Intra-group pairs: identical text ⇒ Jaccard exactly 1.0. The self
+    // equi-join on rep_id streams a hot group through the sort-merge
+    // join's spillable buffer instead of one collect_list row.
+    val intra = members.select(col("rep_id"), col("doc_id").as("x_id"))
+      .join(members.select(col("rep_id"), col("doc_id").as("y_id")), "rep_id")
+      .filter(col("x_id") < col("y_id"))
+      .select(col("x_id").as("a_id"), col("y_id").as("b_id"),
+        lit(1.0).as("jacc"))
+    // Cross-group expansion: each representative pair fans out to all
+    // member combinations; least/greatest restores canonical id order
+    // (member ids of the lower-rep group need not all be lower).
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("a_id"), col("doc_id").as("a_m")),
+        "a_id")
+      .join(members.select(col("rep_id").as("b_id"), col("doc_id").as("b_m")),
+        "b_id")
+      .select(least(col("a_m"), col("b_m")).as("a_id"),
+        greatest(col("a_m"), col("b_m")).as("b_id"), col("jacc"))
+    intra.unionByName(cross).orderBy("a_id", "b_id")
+  }
+
+  /** LSH bucket-join over an exact-dup-free corpus: shingle → minhash →
+    * band → capped bucket explosion → exact-Jaccard verify. Expects
+    * (doc_id, text); returns unordered canonical pairs (a_id, b_id,
+    * jacc ≥ threshold). */
+  private def lshBucketPairs(raw: DataFrame, threshold: Double,
+      maxBucket: Int): DataFrame = {
     // Signatures via explode → hash-agg: the scalable shape. The shingle
     // stream is a narrow map; the 32 per-permutation mins compute in one
     // codegen'd partial+final aggregate (map-side combine shrinks the
@@ -81,16 +155,28 @@ object DedupOps {
         (0 until ROWS_PER_BAND).map(r =>
           col(s"m${b * ROWS_PER_BAND + r}")): _*)): _*))
       .as(Seq("band", "bval")))
+    // Bucket sizes via a window count on the band key: one exchange on
+    // (band, bval) that the following groupBy reuses (no second
+    // shuffle), and oversized buckets are filtered out BEFORE any
+    // collect_list row materializes — the cap bounds both the explosion
+    // (≤ maxBucket² pairs per bucket) and the row size. The drop count
+    // surfaces through an observed metric that ObservedMetrics logs at
+    // WARN on query completion: recall loss is explicit, never silent.
+    val counted = bands
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("band", "bval")))
+      .observe(ObservedMetrics.nextName("graft_lsh_overflow"),
+        sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_rows"),
+        max(col("n")).as("max_bucket"))
     // Same-bucket pairs via one groupBy + pair explosion instead of a
     // band self-join: the signature pipeline is computed once, not twice
     // (a self-join materializes both sides), and the shuffle key is the
-    // band value — the standard LSH bucket-join at any scale. Buckets
-    // are tiny by construction (near-dup groups), so the quadratic
-    // within-bucket explosion is bounded.
-    val cand = bands
+    // band value — the standard LSH bucket-join at any scale; the cap
+    // bounds the within-bucket quadratic explosion.
+    val cand = counted
+      .filter(col("n").between(2, maxBucket))
       .groupBy("band", "bval")
       .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
       .select(explode(col("ids")).as("a_id"), col("ids"))
       .select(col("a_id"), explode(col("ids")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
@@ -111,7 +197,6 @@ object DedupOps {
       .select(col("a_id"), col("b_id"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jacc"))
       .filter(col("jacc") >= threshold)
-      .orderBy("a_id", "b_id")
   }
 
   /** 64-bit SimHash (two int32 halves packed in BIGINTs, cross-engine

@@ -116,6 +116,49 @@ class DedupOpsSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus should plant same-lang near-dup pairs")
   }
 
+  test("1000-copy boilerplate corpus survives LSH: collapse, cap, re-attach") {
+    import spark.implicits._
+    // The web-scale degenerate case: a thousand byte-identical pages.
+    // Pre-collapse must reduce them to ONE representative before
+    // shingling (so no band bucket ever holds the group), and member
+    // re-attachment must restore every intra-group pair at jacc 1.0
+    // plus the cross pair the representatives find.
+    val boiler = (1L to 1000L).map(i =>
+      (i, "exact boilerplate page body repeated verbatim across the crawl"))
+    val nearA = (2001L,
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val nearB = (2002L,
+      "alpha beta gamma delta epsilon zeta eta theta iota lambda")
+    val solo = (3001L,
+      "totally unrelated vocabulary sharing nothing with any other doc")
+    val corpus = (boiler ++ Seq(nearA, nearB, solo)).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashPairs(corpus, "doc_id", "text", 0.5)
+    assert(pairs.count() === 1000L * 999 / 2 + 1)
+    val near = pairs.filter(col("a_id") === 2001L).collect()
+    assert(near.length === 1 && near(0).getLong(1) === 2002L)
+    assert(near(0).getDouble(2) === 0.777778) // round(7/9, 6): 7 of 9 shingles
+    val intra = pairs.filter(col("a_id") === 1L && col("b_id") === 2L).head()
+    assert(intra.getDouble(2) === 1.0)
+  }
+
+  test("oversized band buckets drop with explicit recall loss, not explode") {
+    import spark.implicits._
+    // Five DISTINCT texts (different repetition counts of the same cycle)
+    // share the identical distinct 3-gram shingle set {x y z, y z x,
+    // z x y} → identical minhash signatures → one 5-doc bucket in every
+    // band, immune to the exact-dup collapse. With the cap below the
+    // bucket size the bucket must be dropped (bounded work, logged
+    // recall loss), not exploded.
+    val corpus = (1 to 5).map(i =>
+      (i.toLong, Seq.fill(3 + i)("x y z").mkString(" "))).toDF("doc_id", "text")
+    val full = DedupOps.minhashPairs(corpus, "doc_id", "text", 0.5)
+    assert(full.count() === 10)
+    full.collect().foreach(r => assert(r.getDouble(2) === 1.0))
+    val capped = DedupOps.minhashPairs(corpus, "doc_id", "text", 0.5,
+      maxBucket = 3)
+    assert(capped.count() === 0, "oversized buckets must drop, not explode")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("q_dedup_embedding")(spark, sfDir).collect()
     rows.foreach { r =>
