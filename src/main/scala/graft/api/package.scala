@@ -54,6 +54,21 @@ package object api {
     def withFingerprint(textCol: String, outCol: String = "fp"): DataFrame =
       TextOps.withFingerprint(df, textCol, outCol)
 
+    /** Near-duplicate CLUSTERS: connected components over the MinHash
+      * LSH pair graph → (doc_id, cluster_id = component min id, keeper).
+      * Iterative min-label propagation, fully distributed. */
+    def nearDupClusters(idCol: String, textCol: String,
+        threshold: Double = 0.5): DataFrame =
+      DedupOps.nearDupClusters(
+        DedupOps.minhashPairs(df, idCol, textCol, threshold),
+        df.select(col(idCol)), idCol)
+
+    /** Connected components over an arbitrary (a_id, b_id) pair set —
+      * compose with [[GraftVectorOps.embeddingNearDups]] or
+      * [[ngramJaccardPairs]] output. */
+    def clusterPairs(pairs: DataFrame, idCol: String): DataFrame =
+      DedupOps.nearDupClusters(pairs, df.select(col(idCol)), idCol)
+
     /** EXACT n-gram Jaccard near-duplicate pairs (block-matrix
       * equi-join; no LSH recall loss — use below j≈0.5 where banded
       * LSH misses). `withinCol` blocks pairs to equal values of a

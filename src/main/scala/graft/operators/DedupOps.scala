@@ -6,6 +6,7 @@ import graft.tools.ObservedMetrics
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.slf4j.LoggerFactory
 
 /** Tier D (dedup) — the deduplication family for training-data curation
   * (BASELINE.json north_star): exact hash dedup, MinHash+LSH near-dup,
@@ -197,6 +198,60 @@ object DedupOps {
       .select(col("a_id"), col("b_id"),
         round(jaccard(col("sh_a"), col("sh_b")), 6).as("jacc"))
       .filter(col("jacc") >= threshold)
+  }
+
+  /** Connected components over a near-duplicate pair set → the keeper
+    * table training-data curation actually consumes: one row per
+    * document with its cluster id (the component's minimum doc id) and
+    * a keeper flag (true exactly for that minimum).
+    *
+    * Algorithm: iterative min-label propagation as DataFrame joins —
+    * every label starts as the doc's own id; each round every node takes
+    * the min of its label and its neighbors' labels, until a round
+    * changes nothing (convergence in O(component diameter) rounds —
+    * near-dup clusters are shallow) or `maxIters` is hit (logged WARN;
+    * labels are then a refinement, never wrong within an iteration).
+    * All data stays distributed: per-round state is persisted and the
+    * previous round unpersisted; the only driver-side values are the
+    * per-round changed-row counts (scalars).
+    *
+    * `pairs` must carry (a_id, b_id) unordered unique pairs (the output
+    * contract of [[minhashPairs]] / [[ngramJaccardPairs]] /
+    * [[embeddingPairs]]); `ids` the full universe of document ids so
+    * singletons appear as their own cluster. */
+  def nearDupClusters(pairs: DataFrame, ids: DataFrame, idCol: String,
+      maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    val edges = fwd
+      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIters && changed > 0L) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("id")).agg(min("lbl").as("nlbl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("lbl") < col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next.select("id", "lbl")
+      iter += 1
+    }
+    if (changed > 0L)
+      LoggerFactory.getLogger(getClass).warn(
+        s"nearDupClusters stopped at maxIters=$maxIters with $changed " +
+          "labels still shrinking — raise maxIters for deeper components")
+    edges.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+      (col("id") === col("lbl")).as("keeper"))
+      .orderBy("doc_id")
   }
 
   /** 64-bit SimHash (two int32 halves packed in BIGINTs, cross-engine
@@ -398,6 +453,35 @@ object DedupOps {
                       6) >= 0.5
               ORDER BY a_id, b_id"""),
       (s, d) => minhashPairs(s, d)),
+
+    // Near-dup CLUSTERS: connected components over the LSH pair graph →
+    // (doc_id, cluster_id, keeper). The oracle recomputes components by
+    // brute force with a recursive CTE over the same ≥0.5 Jaccard edges.
+    Query(
+      "q_dedup_clusters",
+      Some("""WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         range(0, greatest(len(string_split(text,' ')) - 2, 1)),
+                         i -> array_to_string(
+                                string_split(text,' ')[i+1:i+3], ' '))) AS sh
+                FROM documents),
+              p AS (
+                SELECT a.doc_id AS a, b.doc_id AS b
+                FROM d a JOIN d b ON a.doc_id < b.doc_id
+                WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                        6) >= 0.5),
+              e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+              reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
+              SELECT id AS doc_id, min(r) AS cluster_id,
+                     (id = min(r)) AS keeper
+              FROM reach GROUP BY id ORDER BY doc_id"""),
+      (s, d) => nearDupClusters(minhashPairs(s, d),
+        Tables.documents(s, d).select("doc_id"), "doc_id")),
 
     // Exact n-gram Jaccard pairs at a LOW threshold (0.3) — below
     // where the banded-LSH recall guarantee holds, which is exactly the

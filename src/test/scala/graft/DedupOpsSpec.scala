@@ -159,6 +159,31 @@ class DedupOpsSpec extends SparkSpec {
     assert(capped.count() === 0, "oversized buckets must drop, not explode")
   }
 
+  test("near-dup clusters close over transitivity (a~b, b~c ⇒ one cluster)") {
+    import spark.implicits._
+    // a→b changes tokens 9,10 (jacc 6/10); b→c changes tokens 1,2
+    // (jacc 6/10); a vs c differ in shingles 1,2,7,8 (jacc 4/12 < 0.5) —
+    // so the PAIR set has no (a, c) edge and only label propagation can
+    // put all three in one component. d is a singleton.
+    val base = Seq("t1", "t2", "t3", "t4", "t5", "t6", "t7", "t8", "t9", "t10")
+    val a = base.mkString(" ")
+    val b = (base.dropRight(2) ++ Seq("x9", "x10")).mkString(" ")
+    val c = (Seq("y1", "y2") ++ base.drop(2).dropRight(2) ++ Seq("x9", "x10"))
+      .mkString(" ")
+    val d = "entirely different words with zero shingle overlap anywhere here"
+    val corpus = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashPairs(corpus, "doc_id", "text", 0.5)
+    val pairSet = pairs.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet === Set((1L, 2L), (2L, 3L)), "no direct a~c edge")
+    val clusters = DedupOps.nearDupClusters(pairs,
+      corpus.select("doc_id"), "doc_id")
+    val rows = clusters.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(rows === Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true)))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("q_dedup_embedding")(spark, sfDir).collect()
     rows.foreach { r =>
