@@ -16,6 +16,16 @@ import org.apache.spark.sql.SparkSession
   * the acceptance gate; (c) first-run times and per-query errors are
   * reported alongside (`cold`, `errors`) — a failed query shows up as
   * value -1 plus an error entry, never as a silently fast pass.
+  *
+  * Self-preservation (r02 verdict item 4): the JSON line is ALSO written
+  * to BENCH_local.json (override with SPARK_GRAFT_BENCH_OUT), so a
+  * truncated stdout capture can never lose the headline number.
+  * Accounting (r02 advice): rounds are recorded per-round as
+  * success-or-error, so `cold` is genuinely round 1 (-1 when round 1
+  * errored), `samples` holds null in an errored round's slot, and
+  * `included` counts the queries whose medians the total sums — two
+  * rounds with different error sets can no longer produce silently
+  * incomparable totals.
   */
 object Bench {
   private val RUNS = 3
@@ -56,24 +66,30 @@ object Bench {
     // are minutes apart and the median drops any single burst.
     final case class R(cold: Double, median: Double, err: Option[String])
     val names = SparkEntry.queries.keys.toSeq
-    val samples = collection.mutable.Map.empty[String, List[Double]]
+    // Per-round outcome per query, in round order: Some(seconds) on
+    // success, None on error — never collapsed, so round-1 identity and
+    // error placement survive into the report.
+    val rounds = collection.mutable.Map.empty[String, List[Option[Double]]]
     val errors = collection.mutable.Map.empty[String, String]
     for (_ <- 1 to RUNS; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        samples(name) = samples.getOrElse(name, Nil) :+
-          (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        errors(name) = s"${e.getClass.getSimpleName}: " +
-          Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
-      }
+      val outcome =
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)
+          None
+        }
+      rounds(name) = rounds.getOrElse(name, Nil) :+ outcome
     }
     val results = names.map { name =>
-      val times = samples.getOrElse(name, Nil)
+      val times = rounds.getOrElse(name, Nil).flatten
       val median = if (times.isEmpty) -1.0 else times.sorted.apply(times.length / 2)
-      name -> R(times.headOption.getOrElse(-1.0), median, errors.get(name))
+      val cold = rounds.getOrElse(name, Nil).headOption.flatten.getOrElse(-1.0)
+      name -> R(cold, median, errors.get(name))
     }.toMap
 
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -83,15 +99,25 @@ object Bench {
     def jmap(m: Iterable[(String, String)]): String =
       m.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
 
+    val included = results.values.count(_.median >= 0)
     val total = results.values.collect { case r if r.median >= 0 => r.median }.sum
     val qs = jmap(results.map { case (k, r) => k -> r.median.toString })
     val cold = jmap(results.map { case (k, r) => k -> r.cold.toString })
     val errs = jmap(results.collect { case (k, r) if r.err.isDefined =>
       k -> jstr(r.err.get) })
-    // all per-round samples, in round order — documents run variance
+    // all per-round outcomes, in round order (null = errored round) —
+    // documents run variance and error placement
     val samp = jmap(names.map { n =>
-      n -> samples.getOrElse(n, Nil).mkString("[", ",", "]") })
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$RUNS,"cold":$cold,"samples":$samp,"errors":$errs}""")
+      n -> rounds.getOrElse(n, Nil)
+        .map(_.map(_.toString).getOrElse("null")).mkString("[", ",", "]") })
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$RUNS,"included":$included,"cold":$cold,"samples":$samp,"errors":$errs}"""
+    println(line)
+    // stdout capture insurance: the same line, straight to a file
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()
   }
 }

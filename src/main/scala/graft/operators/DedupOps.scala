@@ -226,7 +226,12 @@ object DedupOps {
     val edges = fwd
       .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = ids.select(col(idCol).as("id"), col(idCol).as("lbl"))
+    // Iterate over the ACTIVE subgraph only — nodes that touch an edge.
+    // After dedup most of a corpus is singletons; they take no part in
+    // propagation and re-enter as their own cluster in the final join,
+    // so per-round state is O(|nodes with a near-dup|), not O(corpus).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var iter = 0
     var changed = 1L
@@ -249,8 +254,13 @@ object DedupOps {
         s"nearDupClusters stopped at maxIters=$maxIters with $changed " +
           "labels still shrinking — raise maxIters for deeper components")
     edges.unpersist(blocking = false)
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
-      (col("id") === col("lbl")).as("keeper"))
+    // Re-attach the full universe: singletons cluster as themselves.
+    ids.select(col(idCol).as("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("keeper", col("doc_id") === col("cluster_id"))
       .orderBy("doc_id")
   }
 
