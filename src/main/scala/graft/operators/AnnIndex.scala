@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -71,6 +70,10 @@ final case class AnnIndex(sigs: DataFrame) {
     * `sig` equality/IN predicates read only their own buckets. */
   def writeTable(table: String, buckets: Int = 32): Unit =
     graft.sources.Warehouse.writeBucketed(sigs, table, "sig", buckets)
+
+  /** Release the index's executor storage (lineage stays valid — a
+    * later probe recomputes instead of reading cached blocks). */
+  def close(): Unit = sigs.unpersist(blocking = false)
 }
 
 object AnnIndex {
@@ -93,12 +96,21 @@ object AnnIndex {
     AnnIndex(spark.table(table))
 
   // q_sim_ann builds the index once per (session, corpus) — "search"
-  // means an index outlives the query stream that probes it.
-  private val cache = new ConcurrentHashMap[(SparkSession, String), AnnIndex]()
+  // means an index outlives the query stream that probes it. The cache
+  // evicts on invalidate() and on session end (see IndexCache).
+  private val cache = new IndexCache[AnnIndex](
+    (spark, sfDir) => build(graft.sources.Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding"),
+    _.close())
 
   /** The cached index of a test-data corpus dir. */
   def forDir(spark: SparkSession, sfDir: String): AnnIndex =
-    cache.computeIfAbsent((spark, sfDir), _ =>
-      build(graft.sources.Tables.embeddings(spark, sfDir),
-        "vec_id", "embedding"))
+    cache.get(spark, sfDir)
+
+  /** Drop and unpersist the cached index of one corpus dir. */
+  def invalidate(spark: SparkSession, sfDir: String): Unit =
+    cache.invalidate(spark, sfDir)
+
+  /** Drop and unpersist every cached index of a session. */
+  def invalidateAll(spark: SparkSession): Unit = cache.invalidateAll(spark)
 }

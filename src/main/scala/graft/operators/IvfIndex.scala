@@ -1,6 +1,5 @@
 package graft.operators
 
-import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -64,6 +63,10 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]]) {
     * the bucket column reads only its nprobe buckets. */
   def writeTable(table: String, buckets: Int = 32): Unit =
     graft.sources.Warehouse.writeBucketed(cells, table, "cell", buckets)
+
+  /** Release the inverted file's executor storage (lineage stays
+    * valid — later probes recompute instead of reading cached blocks). */
+  def close(): Unit = cells.unpersist(blocking = false)
 }
 
 object IvfIndex {
@@ -116,11 +119,20 @@ object IvfIndex {
     IvfIndex(cells, centroids)
   }
 
-  private val cache = new ConcurrentHashMap[(SparkSession, String), IvfIndex]()
+  // Evicts on invalidate() and on session end (see IndexCache).
+  private val cache = new IndexCache[IvfIndex](
+    (spark, sfDir) => build(graft.sources.Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding"),
+    _.close())
 
   /** The cached IVF index of a test-data corpus dir. */
   def forDir(spark: SparkSession, sfDir: String): IvfIndex =
-    cache.computeIfAbsent((spark, sfDir), _ =>
-      build(graft.sources.Tables.embeddings(spark, sfDir),
-        "vec_id", "embedding"))
+    cache.get(spark, sfDir)
+
+  /** Drop and unpersist the cached index of one corpus dir. */
+  def invalidate(spark: SparkSession, sfDir: String): Unit =
+    cache.invalidate(spark, sfDir)
+
+  /** Drop and unpersist every cached index of a session. */
+  def invalidateAll(spark: SparkSession): Unit = cache.invalidateAll(spark)
 }

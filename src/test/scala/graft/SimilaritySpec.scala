@@ -118,6 +118,33 @@ class SimilaritySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivf_cells_rt")
   }
 
+  test("index invalidate releases executor storage and rebuild re-caches") {
+    import org.apache.spark.storage.StorageLevel
+    // start from a clean slate: Spark keys cached data by plan equality,
+    // so an earlier test's unpersist of an equivalent plan may already
+    // have dropped a cached entry's storage
+    graft.operators.AnnIndex.invalidate(spark, sfDir)
+    val ann = graft.operators.AnnIndex.forDir(spark, sfDir)
+    ann.sigs.count()
+    assert(ann.sigs.storageLevel !== StorageLevel.NONE, "index persisted")
+    graft.operators.AnnIndex.invalidate(spark, sfDir)
+    assert(ann.sigs.storageLevel === StorageLevel.NONE,
+      "invalidate must unpersist the signature table")
+    // a fresh forDir builds (not the stale entry) and persists again
+    val ann2 = graft.operators.AnnIndex.forDir(spark, sfDir)
+    assert(ann2 ne ann)
+    assert(ann2.sigs.storageLevel !== StorageLevel.NONE)
+    graft.operators.AnnIndex.invalidate(spark, sfDir)
+
+    graft.operators.IvfIndex.invalidate(spark, sfDir)
+    val ivf = graft.operators.IvfIndex.forDir(spark, sfDir)
+    ivf.cells.count()
+    assert(ivf.cells.storageLevel !== StorageLevel.NONE)
+    graft.operators.IvfIndex.invalidateAll(spark)
+    assert(ivf.cells.storageLevel === StorageLevel.NONE,
+      "invalidateAll must unpersist the inverted file")
+  }
+
   test("ANN recall against brute-force top-10 meets the design bound") {
     val bf = SimilarityOps.bruteForceTopK(spark, sfDir).collect()
       .map(_.getLong(0)).toSet
