@@ -24,10 +24,13 @@ final case class RunOut(user_id: Long, event_id: Long, seq: Long,
   * this hook is precisely the state shape window functions cannot run
   * incrementally on an unbounded stream.
   *
-  * Scale note: state is one small case class per key, the same bound a
-  * streaming deployment's state store carries; the batch form sorts one
-  * key's events in memory (bounded by the per-key event count, not the
-  * corpus). Typed `Encoder`s keep rows in Tungsten format off-heap.
+  * Scale note: state is one small case class per key in both forms. The
+  * batch form never buffers a group: it repartitions on the key, lets
+  * Spark's EXTERNAL (spilling) sort order each partition by (key, time),
+  * and streams the partition iterator through the state machine — a hot
+  * key with millions of events costs disk spill, not an executor OOM.
+  * The streaming form's per-micro-batch groups are bounded by trigger
+  * size. Typed `Encoder`s keep rows in Tungsten format off-heap.
   */
 object StatefulOps {
 
@@ -45,14 +48,30 @@ object StatefulOps {
 
   private def eventOrder(e: UserEvent) = (e.ts.getTime, e.event_id)
 
-  /** Batch form: per-key custom state via typed `flatMapGroups`. */
+  /** Batch form: per-key custom state as one streamed pass over a
+    * key-clustered, time-ordered partition. Equivalent to
+    * `groupByKey(...).flatMapGroups` with an in-group sort — but that
+    * shape buffers each group in memory (`it.toSeq`), which a hot key
+    * turns into an executor OOM at 100×. Here the shuffle clusters keys,
+    * the partition-local sort is Spark's external spilling sort, and the
+    * state machine resets whenever the key changes — O(1) state, zero
+    * group buffering. */
   def runningStats(ev: Dataset[UserEvent]): Dataset[RunOut] = {
     implicit val outEnc = Encoders.product[RunOut]
-    implicit val keyEnc = Encoders.scalaLong
-    ev.groupByKey(_.user_id)
-      .flatMapGroups { (_: Long, it: Iterator[UserEvent]) =>
-        advance(0L, Double.NegativeInfinity,
-          it.toSeq.sortBy(eventOrder))._1.iterator
+    ev.repartition(ev("user_id"))
+      .sortWithinPartitions(ev("user_id"), ev("ts"), ev("event_id"))
+      .mapPartitions { it =>
+        var cur = Long.MinValue
+        var seq = 0L
+        var mx = Double.NegativeInfinity
+        it.map { e =>
+          if (e.user_id != cur) {
+            cur = e.user_id; seq = 0L; mx = Double.NegativeInfinity
+          }
+          seq += 1
+          mx = math.max(mx, e.value)
+          RunOut(e.user_id, e.event_id, seq, mx)
+        }
       }
   }
 

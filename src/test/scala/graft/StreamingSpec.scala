@@ -219,6 +219,30 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("runningStats streams a hot key: skewed fixture equals window plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one user owns ~100k of 101k events — the straggler/OOM shape the
+    // old buffer-the-group form would concentrate in a single task
+    val n = 101000
+    val ev = spark.range(n).select(
+        when(col("id") % 101 === 0, 2L).otherwise(1L).as("user_id"),
+        col("id").as("event_id"),
+        col("id").cast("timestamp").as("ts"),
+        (col("id") % 97).cast("double").as("value"))
+      .as[graft.streaming.UserEvent]
+    val got = StatefulOps.runningStats(ev).toDF()
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = ev.toDF()
+      .select(col("user_id"), col("event_id"),
+        row_number().over(w).cast("long").as("seq"),
+        max("value").over(w).as("run_max"))
+    assert(got.count() === n.toLong)
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+  }
+
   test("graceful shutdown drains active queries cleanly (R12)") {
     val in = MemoryStream[(String, String)](spark)
     in.addData(("k1", "80"), ("k2", "90"))
