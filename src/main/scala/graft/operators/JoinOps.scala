@@ -41,9 +41,15 @@ object JoinOps {
     * `rightTime <= leftTime` on the same equi key (backward as-of, the
     * market-data/point-in-time-features shape). Spark has no native
     * as-of operator; this composes equi-join + range residual +
-    * partition-local row_number — the scale-correct spelling: the join
-    * shuffles on the equi key (bounded per-key history), the window
-    * dedup is local to that shuffle partition, no extra exchange.
+    * window dedup — the scale-correct spelling: the join shuffles on
+    * the equi key (bounded per-key history), and the window partitions
+    * by (leftKey, leftId) so the join output's hash partitioning on
+    * leftKey already satisfies the window's required distribution —
+    * the row_number dedup runs in the join's own partitions with no
+    * second exchange (leftId is unique, so adding leftKey to the
+    * partition spec changes no group). When the right side broadcasts,
+    * the window does insert its own exchange — there was no shuffle to
+    * reuse.
     *
     * Contract: left and right column names must be disjoint (alias
     * before calling); `leftId` uniquely identifies left rows; ties on
@@ -54,7 +60,7 @@ object JoinOps {
       leftTime: String, rightTime: String,
       leftId: String, rightId: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(leftId))
+      .partitionBy(col(leftKey), col(leftId))
       .orderBy(col(rightTime).desc, col(rightId).desc)
     left.join(right,
         col(leftKey) === col(rightKey) &&

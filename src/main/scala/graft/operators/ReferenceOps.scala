@@ -63,6 +63,11 @@ object ReferenceOps {
     // medians) keep at most ONE result copy on the driver heap instead
     // of accumulating one per nanoTime-suffixed name.
     val name = "graft_alert_stream"
+    // start() throws if a query with this fixed name is still active
+    // (concurrent invocations in one session — parallel tests, harness
+    // overlap); stop any straggler first, then drop its view.
+    spark.streams.active.filter(q => Option(q.name).contains(name))
+      .foreach(_.stop())
     spark.catalog.dropTempView(name)
     // Glob form: FileStreamSource requires its basePath (the non-glob
     // prefix) to be a directory; the driver lays tables out as one

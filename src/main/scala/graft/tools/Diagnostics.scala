@@ -11,7 +11,9 @@ import org.apache.spark.sql.SparkSession
   * misbehaves. Values go to stderr so stdout stays machine-parseable
   * (Bench/Verify print protocol JSON there); env VARIABLE VALUES are
   * deliberately not dumped (unlike the reference) — prod environments
-  * put credentials in env.
+  * put credentials in env — and Spark conf values whose KEY matches the
+  * session's `spark.redaction.regex` (secrets/passwords/tokens/access
+  * keys) are redacted, mirroring what the Spark UI and event log do.
   */
 object Diagnostics {
 
@@ -32,8 +34,15 @@ object Diagnostics {
       s" | defaultParallelism ${spark.sparkContext.defaultParallelism}" +
       s" | env vars ${sys.env.size} (names only: " +
       s"${sys.env.keys.toSeq.sorted.take(8).mkString(", ")}…)")
+    // Spark's own redaction heuristic (and its default), so a conf used
+    // as a credential store (spark.hadoop.fs.s3a.secret.key, JDBC
+    // passwords, delegation tokens) never lands in deployment logs.
+    val redact = spark.conf.getAll
+      .getOrElse("spark.redaction.regex", "(?i)secret|password|token|access[.]key")
+      .r
     spark.conf.getAll.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      err.println(s"  $k=$v")
+      val shown = if (redact.findFirstIn(k).isDefined) "*********(redacted)" else v
+      err.println(s"  $k=$shown")
     }
     err.println("=" * 64)
   }

@@ -91,6 +91,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Broadcast"), p.take(2000))
   }
 
+  test("as-of join window dedup reuses the join shuffle — no 2nd exchange") {
+    // the window partitions by (leftKey, leftId); the join output is
+    // hash-partitioned on leftKey, which satisfies that clustering — an
+    // exchange keyed (user_id, purchase_id) in the plan would mean the
+    // window re-shuffled the join output
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan(q("q_join_asof"))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(2000))
+      assert(!"hashpartitioning\\(user_id[^)]*purchase_id".r
+          .findFirstIn(p).isDefined,
+        "window added its own exchange on (user_id, purchase_id):\n" +
+          p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
   test("q_source_scan reads all columns (full-scan contract)") {
     val df = q("q_source_scan")
     assert(df.columns.length >=
