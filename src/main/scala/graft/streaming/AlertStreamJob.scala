@@ -44,17 +44,43 @@ object AlertStreamJob {
       try q.stop() catch { case _: Throwable => () }
     }
 
-  /** Kafka source options for the reference's deployment. Requires the
-    * spark-sql-kafka connector on the classpath (not present in the
-    * offline test image — exercised only in real deployments). */
+  /** Kafka source for the reference's deployment (topic `bme680`,
+    * String key/value — BME680.java:53,215-216). Fails fast with
+    * guidance when spark-sql-kafka is absent (offline test image). */
   def kafkaSource(spark: SparkSession, bootstrap: String,
-      topic: String = "bme680"): DataFrame =
+      topic: String = "bme680"): DataFrame = {
+    KafkaIntegration.requireConnector()
     spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .load()
       .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value")
+  }
+
+  /** The reference topology end-to-end against a Kafka deployment:
+    * consume `inTopic`, re-publish the unmodified stream to `outTopic`
+    * (R2, Kafka sink), alert branch to the MQTT-shaped publisher (R10).
+    * Runs on the default micro-batch trigger — the run-forever analog
+    * of the reference's latch.await() loop (BME680.java:244). Requires
+    * the spark-sql-kafka connector; fails fast otherwise. */
+  def startKafka(spark: SparkSession, bootstrap: String,
+      inTopic: String, outTopic: String, alertTopic: String,
+      newPublisher: () => AlertPublisher, checkpointRoot: String,
+      jsonPath: String = "$.bme680_tempf"): (StreamingQuery, StreamingQuery) = {
+    KafkaIntegration.requireConnector()
+    val records = kafkaSource(spark, bootstrap, inTopic)
+    graft.tools.Diagnostics.startupBanner(spark)
+    ensureOpsListener(spark)
+    installShutdownHook(spark)
+    val pass = KafkaIntegration.writeKafka(Pipelines.passthrough(records),
+      bootstrap, outTopic, s"$checkpointRoot/pass")
+    val alerts = Pipelines.alerts(records, jsonPath).writeStream
+      .foreach(new AlertForeachWriter(alertTopic, newPublisher))
+      .option("checkpointLocation", s"$checkpointRoot/alerts")
+      .start()
+    (pass, alerts)
+  }
 
   /** Start both branches; returns (passthroughQuery, alertQuery). */
   def start(records: DataFrame, alertTopic: String,

@@ -260,6 +260,39 @@ class StreamingSpec extends SparkSpec {
     CollectingPublisher.clear(runId)
   }
 
+  test("Kafka integration fails fast with guidance when connector absent (R1)") {
+    import graft.streaming.{AlertStreamJob, CollectingPublisher, KafkaIntegration}
+    if (KafkaIntegration.available)
+      cancel("spark-sql-kafka present — integration covered by deployment")
+    // every Kafka entry point must name the remedy, not die in source
+    // lookup: the source, the sink, and the full topology
+    val src = intercept[IllegalStateException] {
+      AlertStreamJob.kafkaSource(spark, "localhost:9092")
+    }
+    assert(src.getMessage.contains("spark-sql-kafka"))
+    val topo = intercept[IllegalStateException] {
+      AlertStreamJob.startKafka(spark, "localhost:9092", "bme680",
+        "bme680out", "alert", () => new CollectingPublisher("kafka-gate"),
+        "/tmp/graft-kafka-ck")
+    }
+    assert(topo.getMessage.contains("spark-sql-kafka"))
+  }
+
+  test("Kafka sink frame projects the exact (key, value) string contract (R2)") {
+    import graft.streaming.KafkaIntegration
+    // pure wiring, assertable offline: whatever the pass-through carries
+    // is cast into Kafka's sink schema — exactly two string columns
+    import spark.implicits._
+    val frame = Seq((42L, """{"bme680_tempf":"80.0"}"""))
+      .toDF("event_id", "props")
+      .selectExpr("CAST(event_id AS STRING) AS key", "props AS value")
+    val kf = KafkaIntegration.toKafkaFrame(
+      graft.streaming.Pipelines.passthrough(frame))
+    assert(kf.schema.fieldNames.toSeq === Seq("key", "value"))
+    assert(kf.schema.fields.forall(_.dataType.typeName === "string"))
+    assert(kf.head().getString(0) === "42")
+  }
+
   test("MQTT publisher is absent offline and fails fast with guidance (R10)") {
     assume(!MqttPublisher.available, "paho unexpectedly on classpath")
     val p = new MqttPublisher("tcp://localhost:1883", "graft-test")
