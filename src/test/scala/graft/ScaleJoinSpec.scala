@@ -40,6 +40,57 @@ class ScaleJoinSpec extends SparkSpec {
     assert(saltsUsed === 8)
   }
 
+  test("salted join bounds the hot key's max task input (50% skew fixture)") {
+    import spark.implicits._
+    // one key owns half the fact rows — the straggler shape AQE's
+    // skew-join also targets; here we prove the explicit salting utility
+    // delivers the bound on its own
+    val n = 20000L
+    val buckets = 16
+    val facts = spark.range(n).select(
+      when(col("id") < n / 2, 7L).otherwise(pmod(col("id"), lit(50L))).as("k"),
+      col("id"))
+    val dim = spark.range(50).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions")
+    // force the shuffle join a 100 TB fact⋈fact would use: with a
+    // broadcast dim there is no exchange on k and nothing to measure;
+    // and enough partitions that the salted spread isn't floored by the
+    // tiny test-session partition count
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      // group granularity: the hot key's largest (k, salt) slice — the
+      // unit a shuffle distributes — is ~1/buckets of the hot key
+      val hot = n / 2
+      val maxGroup = facts
+        .groupBy(col("k"),
+          pmod(xxhash64(col("id")), lit(buckets.toLong)).as("s"))
+        .count().agg(max("count")).head().getLong(0)
+      assert(maxGroup <= hot / buckets * 2,
+        s"hot-key salt slice $maxGroup vs ${hot / buckets} expected")
+      // partition granularity: the salted join's fullest shuffle
+      // partition holds a fraction of what the plain join concentrates
+      def maxPartition(df: org.apache.spark.sql.DataFrame): Long =
+        df.withColumn("p", spark_partition_id())
+          .groupBy("p").count().agg(max("count")).head().getLong(0)
+      val maxPlain = maxPartition(facts.join(dim, "k"))
+      val maxSalted = maxPartition(
+        JoinOps.saltedJoin(facts, dim, "k", col("id"), buckets))
+      assert(maxPlain >= hot, s"plain join should concentrate ($maxPlain)")
+      assert(maxSalted * 4 <= maxPlain,
+        s"salting must cut the max task input to a fraction " +
+          s"($maxSalted vs $maxPlain)")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+    }
+  }
+
   test("bucketed tables join with no Exchange (co-located)") {
     Warehouse.writeBucketed(
       Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),
