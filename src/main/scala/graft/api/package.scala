@@ -106,8 +106,10 @@ package object api {
       operators.AnnIndex.build(df, idCol, embCol)
 
     /** Build a deterministic IVF (inverted-file) index: hash-seeded
-      * centroids, DECIMAL-exact Lloyd refinement, nprobe-pruned probes. */
-    def ivfIndex(idCol: String, embCol: String, k: Int = 16,
+      * centroids, DECIMAL-exact Lloyd refinement, nprobe-pruned probes.
+      * k=32 default per the measured recall/cost frontier (BASELINE.md
+      * §IVF). */
+    def ivfIndex(idCol: String, embCol: String, k: Int = 32,
         iters: Int = 2): operators.IvfIndex =
       operators.IvfIndex.build(df, idCol, embCol, k, iters)
   }

@@ -29,6 +29,10 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]]) {
 
   import graft.functions.VectorOps
 
+  /** The nprobe cells a probe scans (exposed for recall/cost tooling). */
+  private[graft] def nearestCellsOf(v: Seq[Double], nprobe: Int): Seq[Int] =
+    nearestCells(v, nprobe)
+
   private def nearestCells(v: Seq[Double], nprobe: Int): Seq[Int] =
     centroids.zipWithIndex
       .map { case (c, i) => i -> IvfIndex.cosineOf(v, c) }
@@ -36,8 +40,10 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]]) {
       .take(nprobe).map(_._1)
 
   /** Top-k neighbors of an external query vector: literal cell filter
-    * (prunable scan), exact rescore, TakeOrderedAndProject. */
-  def topKVec(probe: Seq[Double], k: Int = 10, nprobe: Int = 6): DataFrame =
+    * (prunable scan), exact rescore, TakeOrderedAndProject. Default
+    * nprobe=8 sits on the measured recall/cost frontier (BASELINE.md
+    * §IVF: recall@10 ≈ 0.68 scanning ≈ 25% at k=32). */
+  def topKVec(probe: Seq[Double], k: Int = 10, nprobe: Int = 8): DataFrame =
     cells.filter(col("cell").isin(nearestCells(probe, nprobe): _*))
       .select(col("vec_id"),
         round(VectorOps.cosine(col("embedding"),
@@ -47,7 +53,7 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]]) {
 
   /** Top-k neighbors of an indexed vector (point lookup of the probe's
     * embedding, then the literal-cell scan; excludes the probe). */
-  def topK(probeId: Long, k: Int = 10, nprobe: Int = 6): DataFrame = {
+  def topK(probeId: Long, k: Int = 10, nprobe: Int = 8): DataFrame = {
     val probe = cells.filter(col("vec_id") === probeId)
       .select("embedding").head().getSeq[Double](0)
     cells.filter(col("vec_id") =!= probeId)
@@ -92,13 +98,18 @@ object IvfIndex {
   }
 
   /** Deterministic k-cell IVF build: hash-seeded centroids + `iters`
-    * Lloyd refinements with DECIMAL-exact (order-independent) means. */
+    * Lloyd refinements with DECIMAL-exact (order-independent) means.
+    * Default k=32 comes from the measured frontier (BASELINE.md §IVF):
+    * more, smaller cells dominate fewer, larger ones at equal scanned
+    * fraction. k is clamped to corpusSize/4 so tiny corpora keep
+    * meaningfully-sized cells. */
   def build(vectors: DataFrame, idCol: String, embCol: String,
-      k: Int = 16, iters: Int = 2): IvfIndex = {
+      k: Int = 32, iters: Int = 2): IvfIndex = {
     val e = vectors.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("embedding"))
+    val kEff = math.max(1, math.min(k, (e.count() / 4).toInt))
     var centroids: Seq[Seq[Double]] =
-      e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(k)
+      e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kEff)
         .select("embedding").collect().map(_.getSeq[Double](0).toSeq).toSeq
     for (_ <- 1 to iters) {
       val means = assign(e, centroids)

@@ -89,14 +89,21 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (id, cos) =>
       assert(exact(id) === cos, s"IVF similarity for $id must be exact")
     }
-    val bf = SimilarityOps.bruteForceTopK(spark, sfDir).collect()
-      .map(_.getLong(0)).toSet
-    val recall = (bf & ivf.map(_._1).toSet).size.toDouble / bf.size
-    // measured across sf0.001/0.01/0.1: 0.60/0.70/0.70 (tools.RecallScan;
-    // this corpus's neighbors sit at cos ≈ 0.3 — weak cluster structure,
-    // so recall tracks the scanned fraction nprobe/k)
-    info(f"IVF recall@10 = $recall%.2f (k=16 cells, nprobe=6)")
-    assert(recall >= 0.5, s"recall $recall below design bound")
+    // recall gate over the MEAN of 10 probes — a single probe's recall
+    // is one Bernoulli draw per neighbor, too noisy to bound (the same
+    // methodology as the BASELINE.md §IVF frontier, where k=32/nprobe=8
+    // reaches recall ≈ 0.68 scanning ≈ 25% at sf0.01: recall ≈ 2.5× the
+    // scanned fraction, i.e. the cells capture neighborhood structure).
+    val idx = graft.operators.IvfIndex.forDir(spark, sfDir)
+    val recalls = (0L until 10L).map { p =>
+      val bfP = SimilarityOps.bruteForceTopK(spark, sfDir, probeId = p)
+        .collect().map(_.getLong(0)).toSet
+      val got = idx.topK(p, 10).collect().map(_.getLong(0)).toSet
+      (bfP & got).size.toDouble / bfP.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"IVF mean recall@10 = $recall%.2f (k=32 clamped, nprobe=8)")
+    assert(recall >= 0.6, s"recall $recall below design bound")
   }
 
   test("bucketed index tables round-trip and probe identically") {
