@@ -100,7 +100,17 @@ object DedupOps {
     *      output size is inherent to the pairs contract, but no single
     *      task ever sees a whole group crossed with itself in one row. */
   def minhashPairs(corpus: DataFrame, idCol: String, textCol: String,
-      threshold: Double, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      threshold: Double, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    minhashPairsUnordered(corpus, idCol, textCol, threshold, maxBucket)
+      .orderBy("a_id", "b_id")
+
+  /** [[minhashPairs]] without the presentation sort — for consumers
+    * like [[nearDupClusters]] that treat the pairs as an edge set (the
+    * final orderBy is a range exchange + sort they would pay for
+    * nothing). */
+  def minhashPairsUnordered(corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     ObservedMetrics.register(corpus.sparkSession)
     val raw = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // Stage 0 — exact-duplicate pre-collapse. min-over-window instead of
@@ -132,7 +142,7 @@ object DedupOps {
         "b_id")
       .select(least(col("a_m"), col("b_m")).as("a_id"),
         greatest(col("a_m"), col("b_m")).as("b_id"), col("jacc"))
-    intra.unionByName(cross).orderBy("a_id", "b_id")
+    intra.unionByName(cross)
   }
 
   /** LSH bucket-join over an exact-dup-free corpus: shingle → minhash →
@@ -222,9 +232,22 @@ object DedupOps {
   def nearDupClusters(pairs: DataFrame, ids: DataFrame, idCol: String,
       maxIters: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val fwd = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-    val edges = fwd
-      .unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val spark = pairs.sparkSession
+    // Materialize the pair pipeline ONCE before symmetrizing: both
+    // branches of the edge union reference it, and without this barrier
+    // an expensive upstream operator (the LSH pipeline) evaluates twice.
+    val base = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = base.count()
+    // Scale-adaptive layout: a tiny active graph iterates in single-task
+    // jobs (per-iteration cost is pure scheduling otherwise); a
+    // web-scale graph spreads over the cluster's parallelism.
+    val p = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      edgeCount / 500000L + 1L)).toInt
+    val edges = base
+      .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(p, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Iterate over the ACTIVE subgraph only — nodes that touch an edge.
     // After dedup most of a corpus is singletons; they take no part in
@@ -233,26 +256,35 @@ object DedupOps {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Labels are monotone non-increasing (next = min(own, neighbors)),
+    // so the label sum strictly decreases exactly when a round changed
+    // anything — one DECIMAL-exact scalar per round is the whole
+    // convergence protocol, no changed-row join needed.
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = checksum(labels)
+    base.unpersist(blocking = false)
     var iter = 0
-    var changed = 1L
-    while (iter < maxIters && changed > 0L) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("lbl")), "src")
-        .groupBy(col("dst").as("id")).agg(min("lbl").as("nlbl"))
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+    var converged = edgeCount == 0L
+    while (iter < maxIters && !converged) {
+      val next = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("lbl").as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.filter(col("lbl") < col("old")).count()
+      val s = checksum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist(blocking = false)
-      labels = next.select("id", "lbl")
+      labels = next
       iter += 1
     }
-    if (changed > 0L)
+    if (!converged)
       LoggerFactory.getLogger(getClass).warn(
-        s"nearDupClusters stopped at maxIters=$maxIters with $changed " +
-          "labels still shrinking — raise maxIters for deeper components")
+        s"nearDupClusters stopped at maxIters=$maxIters before the label " +
+          "sum stabilized — raise maxIters for deeper components")
     edges.unpersist(blocking = false)
     // Re-attach the full universe: singletons cluster as themselves.
     ids.select(col(idCol).as("doc_id"))
@@ -490,7 +522,8 @@ object DedupOps {
               SELECT id AS doc_id, min(r) AS cluster_id,
                      (id = min(r)) AS keeper
               FROM reach GROUP BY id ORDER BY doc_id"""),
-      (s, d) => nearDupClusters(minhashPairs(s, d),
+      (s, d) => nearDupClusters(
+        minhashPairsUnordered(Tables.documents(s, d), "doc_id", "text", 0.5),
         Tables.documents(s, d).select("doc_id"), "doc_id")),
 
     // Exact n-gram Jaccard pairs at a LOW threshold (0.3) — below
