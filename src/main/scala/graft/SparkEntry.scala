@@ -12,7 +12,7 @@ object SparkEntry {
   private def registry: Seq[Query] =
     ReferenceOps.all ++ RelationalOps.all ++ FunctionOps.all ++
       StreamingOps.all ++ TextOps.all ++ DedupOps.all ++
-      SimilarityOps.all ++ MultimodalOps.all
+      CurationOps.all ++ SimilarityOps.all ++ MultimodalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DedupOps, SimilarityOps, TextOps}
+import graft.operators.{CurationOps, DedupOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -77,6 +77,42 @@ package object api {
         threshold: Double, withinCol: Option[String] = None): DataFrame =
       DedupOps.ngramJaccardPairs(df, idCol, textCol, threshold,
         withinCol = withinCol)
+  }
+
+  implicit class GraftCurationOps(private val df: DataFrame) {
+
+    /** Deterministic per-stratum sampling (md5 draw — reproducible
+      * across engines, runs, and partitionings). */
+    def stratifiedSample(idCol: String, strataCol: String,
+        rates: Map[String, Double], defaultRate: Double): DataFrame =
+      CurationOps.stratifiedSample(df, idCol, strataCol, rates, defaultRate)
+
+    /** Deterministic train/val/test assignment in a `split` column
+      * (16-bit md5 draw against integer cut points). */
+    def hashSplit(idCol: String, trainCut: Int = 52429,
+        valCut: Int = 58982): DataFrame =
+      CurationOps.hashSplit(df, idCol, trainCut, valCut)
+
+    /** Drop documents sharing any k-gram with a benchmark set
+      * (broadcast semi-join; returns the clean remainder). */
+    def decontaminate(idCol: String, textCol: String,
+        benchmark: DataFrame, benchTextCol: String,
+        k: Int = 3): DataFrame =
+      CurationOps.decontaminate(df, idCol, textCol, benchmark,
+        benchTextCol, k)
+
+    /** Greedy fixed-token sequence packing per stratum: appends
+      * (n_tokens, pack_id). */
+    def packSequences(idCol: String, textCol: String, strataCol: String,
+        packTokens: Int = 2048): DataFrame =
+      CurationOps.packSequences(df, idCol, textCol, strataCol, packTokens)
+
+    /** Composite Gopher-style quality filter over withQuality metrics. */
+    def qualityFilter(textCol: String, minTokens: Int = 20,
+        maxTokens: Int = 80, minStopRatio: Double = 0.02,
+        maxAvgTokLen: Double = 5.0): DataFrame =
+      CurationOps.qualityFilter(df, textCol, minTokens, maxTokens,
+        minStopRatio, maxAvgTokLen)
   }
 
   implicit class GraftVectorOps(private val df: DataFrame) {

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{CurationOps, DedupOps}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Curation tier laws beyond the oracle hashes: determinism, rate
+  * tolerance, split totality, decontamination soundness, pack bounds. */
+class CurationSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("stratified sample is deterministic and lands near its rates") {
+    val s1 = CurationOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.25), defaultRate = 0.5)
+    val s2 = CurationOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.25), defaultRate = 0.5)
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      s2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    total.foreach { case (lang, n) =>
+      val rate = kept.getOrElse(lang, 0L).toDouble / n
+      val want = if (lang == "en") 0.25 else 0.5
+      // 16-bit uniform draw: ±3.5σ binomial tolerance on a small corpus
+      val tol = 3.5 * math.sqrt(want * (1 - want) / n)
+      assert(math.abs(rate - want) <= tol,
+        s"$lang rate $rate vs $want (n=$n, tol $tol)")
+    }
+  }
+
+  test("hash split is total, disjoint, and near 80/10/10") {
+    val sp = CurationOps.hashSplit(docs, "doc_id")
+    val n = docs.count()
+    assert(sp.count() === n)
+    val byS = sp.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.values.sum === n)
+    assert(byS.keySet.subsetOf(Set("train", "val", "test")))
+    val trainRate = byS("train").toDouble / n
+    assert(math.abs(trainRate - 0.8) <= 3.5 * math.sqrt(0.8 * 0.2 / n),
+      s"train rate $trainRate")
+  }
+
+  test("decontaminated survivors share zero shingles with the benchmark") {
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val clean = CurationOps.decontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text", bench, "text")
+    val benchSh = bench
+      .select(explode(DedupOps.shingles(col("text"))).as("sh")).distinct()
+    val overlap = clean
+      .select(explode(DedupOps.shingles(col("text"))).as("sh"))
+      .join(benchSh, "sh").count()
+    assert(overlap === 0L)
+    assert(clean.count() > 0, "decontamination must not empty the corpus")
+  }
+
+  test("sequence packs respect the greedy token bound") {
+    val packed = CurationOps.packSequences(docs, "doc_id", "text", "lang",
+      packTokens = 2048)
+    // within each (lang, pack), the running total BEFORE the last doc is
+    // under the budget — the greedy invariant (the last doc may overflow)
+    val bad = packed
+      .groupBy("lang", "pack_id")
+      .agg(sum("n_tokens").as("tot"), max("n_tokens").as("mx"))
+      .filter(col("tot") - col("mx") >= 2048)
+      .count()
+    assert(bad === 0L)
+    // packs are dense per lang: ids 0..max with no gaps
+    val dense = packed.groupBy("lang")
+      .agg(countDistinct("pack_id").as("n"), max("pack_id").as("mx"))
+      .filter(col("n") =!= col("mx") + 1).count()
+    assert(dense === 0L)
+  }
+
+  test("quality filter keeps exactly the in-band documents") {
+    val kept = CurationOps.qualityFilter(docs, "text")
+    kept.select("n_tokens", "stop_ratio", "avg_tok_len").collect()
+      .foreach { r =>
+        assert(r.getInt(0) >= 20 && r.getInt(0) <= 80)
+        assert(r.getDouble(1) >= 0.02)
+        assert(r.getDouble(2) <= 5.0)
+      }
+    assert(kept.count() > 0)
+  }
+}
