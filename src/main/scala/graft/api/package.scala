@@ -107,6 +107,12 @@ package object api {
         packTokens: Int = 2048): DataFrame =
       CurationOps.packSequences(df, idCol, textCol, strataCol, packTokens)
 
+    /** Append a PII-scrubbed copy of a text column (emails and long
+      * digit runs redacted; narrow codegen'd regex passes). */
+    def withPiiScrubbed(textCol: String,
+        outCol: String = "scrubbed"): DataFrame =
+      df.withColumn(outCol, CurationOps.scrubPii(col(textCol)))
+
     /** Composite Gopher-style quality filter over withQuality metrics. */
     def qualityFilter(textCol: String, minTokens: Int = 20,
         maxTokens: Int = 80, minStopRatio: Double = 0.02,

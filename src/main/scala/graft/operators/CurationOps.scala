@@ -94,6 +94,21 @@ object CurationOps {
           .cast("long"))
   }
 
+  // Same regex dialect subset in Java (Spark) and RE2 (DuckDB): character
+  // classes, bounded repetition — no lookaround, no backrefs.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val LongIdRe = "[0-9]{6,}"
+
+  /** PII scrubbing: redact email addresses and long digit runs from a
+    * text column — a pure narrow codegen'd map (two regexp_replace
+    * passes), the shape a 100 TB scrub wants. The regexes stay inside
+    * the dialect subset Java and RE2 share, so the DuckDB oracle
+    * replays them byte-identically. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailRe, "<EMAIL>"),
+      LongIdRe, "<ID>")
+
   /** Composite quality filter (Gopher-style rules) over the metrics of
     * [[TextOps.withQuality]]: token-count band, minimum stopword ratio,
     * average-token-length band. Pure narrow filter. */
@@ -174,6 +189,23 @@ object CurationOps {
               FROM t ORDER BY doc_id"""),
       (s, d) => packSequences(Tables.documents(s, d), "doc_id", "text", "lang")
         .select("doc_id", "lang", "n_tokens", "pack_id")
+        .orderBy("doc_id")),
+
+    // PII scrubbing. The synthetic corpus carries no real PII, so the
+    // query plants a contact line from the source column and proves the
+    // scrub removes exactly it — both engines run the same two regexes.
+    Query(
+      "q_pii_scrub",
+      Some("""SELECT doc_id,
+                     regexp_replace(regexp_replace(
+                       'contact ' || source || '@example.com id 987654321 ' || text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'), '[0-9]{6,}', '<ID>', 'g') AS scrubbed
+              FROM documents ORDER BY doc_id"""),
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          scrubPii(concat(lit("contact "), col("source"),
+            lit("@example.com id 987654321 "), col("text"))).as("scrubbed"))
         .orderBy("doc_id")),
 
     // Composite quality filter with the corpus-calibrated thresholds.

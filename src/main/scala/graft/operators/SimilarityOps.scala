@@ -142,6 +142,34 @@ object SimilarityOps {
     // Approximate by design → recall-gated in SimilaritySpec, no oracle.
     Query("q_sim_ivf", None, (s, d) => IvfIndex.forDir(s, d).topK(0L, 10)),
 
+    // Per-language embedding centroids — the coarse-quantizer building
+    // block (what IVF's Lloyd step computes) exposed as a query. Sums
+    // are DECIMAL(38,18)-exact so the reduction is order-independent;
+    // the division happens in DOUBLE on both engines for bit parity.
+    Query(
+      "q_embed_centroid",
+      Some("""SELECT d.lang, CAST(r.i AS INT) AS pos,
+                     round(CAST(SUM(CAST(e.embedding[r.i + 1] AS
+                         DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+                       AS centroid
+              FROM documents d
+              JOIN embeddings e ON d.doc_id = e.vec_id
+              CROSS JOIN range(0, 64) r(i)
+              GROUP BY d.lang, r.i ORDER BY d.lang, pos"""),
+      (s, d) => {
+        val docs = graft.sources.Tables.documents(s, d)
+          .select(col("doc_id").as("vec_id"), col("lang"))
+        graft.sources.Tables.embeddings(s, d)
+          .join(docs, "vec_id")
+          .select(col("lang"),
+            posexplode(col("embedding").cast("array<double>"))
+              .as(Seq("pos", "v")))
+          .groupBy("lang", "pos")
+          .agg(round(sum(col("v").cast("decimal(38,18)")).cast("double") /
+            count(lit(1)), 6).as("centroid"))
+          .orderBy("lang", "pos")
+      }),
+
     // Multimodal projection: text + vector + label in one result row
     // (the reference's image-path columns, BME680.java:112,117, grown
     // up). Vector rendered as a rounded norm so the row is hashable.

@@ -75,6 +75,20 @@ class CurationSpec extends SparkSpec {
     assert(dense === 0L)
   }
 
+  test("PII scrub redacts emails and long digit runs, nothing else") {
+    import spark.implicits._
+    val rows = Seq(
+      "mail bob.smith+x@sub.example.co.uk now",
+      "id 123456789 and short 12345 stays",
+      "clean text with no pii at all")
+      .toDF("t")
+      .select(CurationOps.scrubPii(col("t")).as("s"))
+      .collect().map(_.getString(0))
+    assert(rows(0) === "mail <EMAIL> now")
+    assert(rows(1) === "id <ID> and short 12345 stays")
+    assert(rows(2) === "clean text with no pii at all")
+  }
+
   test("quality filter keeps exactly the in-band documents") {
     val kept = CurationOps.qualityFilter(docs, "text")
     kept.select("n_tokens", "stop_ratio", "avg_tok_len").collect()
