@@ -50,6 +50,11 @@ package object api {
     def withTokenCounts(textCol: String): DataFrame =
       TextOps.withTokenCounts(df, textCol)
 
+    /** Top-k TF-IDF terms per document (rational variant — IEEE-exact
+      * divisions only, engine-reproducible): (doc_id, tok, score, rk). */
+    def tfidfTopK(idCol: String, textCol: String, k: Int = 3): DataFrame =
+      TextOps.tfidfTopK(df, idCol, textCol, k)
+
     /** Append a MinHash document fingerprint column. */
     def withFingerprint(textCol: String, outCol: String = "fp"): DataFrame =
       TextOps.withFingerprint(df, textCol, outCol)

@@ -89,6 +89,39 @@ object TextOps {
       i => md5(concat_ws(" ", slice(toks, i + lit(1), lit(5)))))))
   }
 
+  /** Top-k TF-IDF terms per document, RATIONAL variant: score =
+    * (tf/doc_len)·(N/df) — term frequency times inverse document
+    * frequency without the customary log. Every operation is an IEEE
+    * 754 correctly-rounded division or multiply, so Spark and DuckDB
+    * produce bit-identical doubles (log is implementation-defined
+    * across libm's and would break the oracle hash at the 6th dp).
+    * Plan: one token explode feeding three hash aggregates (tf, doc
+    * length, document frequency — all map-side combined) + a broadcast
+    * of the scalar corpus count + a per-doc window top-k. */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok"))
+    tf.join(len, "doc_id")
+      .join(dfreq, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        round(col("tf").cast("double") / col("len") *
+          (col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("tok"), col("score"),
+        col("rk").cast("int").as("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   val all: Seq[Query] = Seq(
     // Token frequency: the explode/groupBy (Generator + hash agg) shape.
     // Top-100 with deterministic (n DESC, token) order.
@@ -177,6 +210,31 @@ object TextOps {
           .select("doc_id", "n_tokens", "avg_tok_len", "stop_ratio",
             "len_bucket")
           .orderBy("doc_id")),
+
+    // Top-3 TF-IDF terms per doc (rational variant — see tfidfTopK).
+    Query(
+      "q_tfidf",
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              tf AS (SELECT doc_id, tok, count(*) AS tf
+                     FROM toks GROUP BY doc_id, tok),
+              len AS (SELECT doc_id, count(*) AS len
+                      FROM toks GROUP BY doc_id),
+              dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+              n AS (SELECT count(*) AS n_docs FROM documents),
+              scored AS (
+                SELECT tf.doc_id, tf.tok,
+                       round(CAST(tf.tf AS DOUBLE) / len.len *
+                         (CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS score
+                FROM tf JOIN len USING (doc_id)
+                        JOIN dfreq USING (tok) CROSS JOIN n)
+              SELECT doc_id, tok, score,
+                     CAST(rk AS INT) AS rk
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, tok) AS rk FROM scored)
+              WHERE rk <= 3 ORDER BY doc_id, rk"""),
+      (s, d) => tfidfTopK(Tables.documents(s, d), "doc_id", "text")),
 
     // Token counting two ways — the cheap token-budget estimators.
     Query(
