@@ -65,7 +65,7 @@ package object api {
     def nearDupClusters(idCol: String, textCol: String,
         threshold: Double = 0.5): DataFrame =
       DedupOps.nearDupClusters(
-        DedupOps.minhashPairs(df, idCol, textCol, threshold),
+        DedupOps.nearDupEdges(df, idCol, textCol, threshold),
         df.select(col(idCol)), idCol)
 
     /** Connected components over an arbitrary (a_id, b_id) pair set —

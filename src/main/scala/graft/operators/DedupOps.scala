@@ -111,19 +111,8 @@ object DedupOps {
   def minhashPairsUnordered(corpus: DataFrame, idCol: String,
       textCol: String, threshold: Double,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    ObservedMetrics.register(corpus.sparkSession)
-    val raw = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    // Stage 0 — exact-duplicate pre-collapse. min-over-window instead of
-    // groupBy+join: one shuffle on the digest, text rides along, and a
-    // hot digest group external-sorts inside its partition (spill-safe).
-    val tagged = raw.withColumn("dig", md5(col("text")))
-      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy("dig")))
-    val members = tagged.select(col("rep_id"), col("doc_id"))
-    val reps = tagged.filter(col("doc_id") === col("rep_id"))
-      .select(col("doc_id"), col("text"))
-
-    val repPairs = lshBucketPairs(reps, threshold, maxBucket)
-
+    val (members, repPairs) = collapsedRepPairs(corpus, idCol, textCol,
+      threshold, maxBucket)
     // Intra-group pairs: identical text ⇒ Jaccard exactly 1.0. The self
     // equi-join on rep_id streams a hot group through the sort-merge
     // join's spillable buffer instead of one collect_list row.
@@ -143,6 +132,41 @@ object DedupOps {
       .select(least(col("a_m"), col("b_m")).as("a_id"),
         greatest(col("a_m"), col("b_m")).as("b_id"), col("jacc"))
     intra.unionByName(cross)
+  }
+
+  /** SPANNING near-duplicate edge set — connected-component-equivalent
+    * to [[minhashPairsUnordered]] but with |group|−1 star edges per
+    * exact-duplicate group instead of C(|group|,2) pairs, and rep-level
+    * LSH pairs left UNexpanded. At web scale (million-copy boilerplate
+    * groups) this is the difference between a linear and a quadratic
+    * edge list; [[nearDupClusters]] consumes this form. */
+  def nearDupEdges(corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val (members, repPairs) = collapsedRepPairs(corpus, idCol, textCol,
+      threshold, maxBucket)
+    members.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("a_id"), col("doc_id").as("b_id"))
+      .unionByName(repPairs.select("a_id", "b_id"))
+  }
+
+  /** Shared stage 0+1 of the LSH family: exact-duplicate collapse, then
+    * rep-level capped-bucket LSH pairs. Returns (members = (rep_id,
+    * doc_id) for every doc, repPairs = (a_id, b_id, jacc) between
+    * representatives). */
+  private def collapsedRepPairs(corpus: DataFrame, idCol: String,
+      textCol: String, threshold: Double, maxBucket: Int)
+      : (DataFrame, DataFrame) = {
+    ObservedMetrics.register(corpus.sparkSession)
+    val raw = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // Exact-duplicate pre-collapse. min-over-window instead of
+    // groupBy+join: one shuffle on the digest, text rides along, and a
+    // hot digest group external-sorts inside its partition (spill-safe).
+    val tagged = raw.withColumn("dig", md5(col("text")))
+      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy("dig")))
+    val members = tagged.select(col("rep_id"), col("doc_id"))
+    val reps = tagged.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    (members, lshBucketPairs(reps, threshold, maxBucket))
   }
 
   /** LSH bucket-join over an exact-dup-free corpus: shingle → minhash →
@@ -523,7 +547,7 @@ object DedupOps {
                      (id = min(r)) AS keeper
               FROM reach GROUP BY id ORDER BY doc_id"""),
       (s, d) => nearDupClusters(
-        minhashPairsUnordered(Tables.documents(s, d), "doc_id", "text", 0.5),
+        nearDupEdges(Tables.documents(s, d), "doc_id", "text", 0.5),
         Tables.documents(s, d).select("doc_id"), "doc_id")),
 
     // Exact n-gram Jaccard pairs at a LOW threshold (0.3) — below

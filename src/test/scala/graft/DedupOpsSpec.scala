@@ -184,6 +184,29 @@ class DedupOpsSpec extends SparkSpec {
       (4L, 4L, true)))
   }
 
+  test("spanning edge set yields the same components as the full pairs") {
+    import spark.implicits._
+    // 100 identical docs + a near-dup pair + a singleton: the spanning
+    // form carries 99 star edges + 1 rep pair instead of C(100,2)+1
+    // pairs, and must cluster identically
+    val corpus = ((1L to 100L).map(i => (i, "same body every single time"))
+      ++ Seq(
+        (201L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (202L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (301L, "nothing in common with anything else in this tiny corpus")))
+      .toDF("doc_id", "text")
+    val viaPairs = DedupOps.nearDupClusters(
+      DedupOps.minhashPairsUnordered(corpus, "doc_id", "text", 0.5),
+      corpus.select("doc_id"), "doc_id").collect().map(_.toSeq).toSeq
+    val viaEdges = DedupOps.nearDupClusters(
+      DedupOps.nearDupEdges(corpus, "doc_id", "text", 0.5),
+      corpus.select("doc_id"), "doc_id").collect().map(_.toSeq).toSeq
+    assert(viaEdges === viaPairs)
+    val edgeCount = DedupOps.nearDupEdges(corpus, "doc_id", "text", 0.5)
+      .count()
+    assert(edgeCount === 99L + 1L, "star edges + one rep pair")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = SparkEntry.queries("q_dedup_embedding")(spark, sfDir).collect()
     rows.foreach { r =>
