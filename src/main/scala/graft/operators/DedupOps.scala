@@ -269,17 +269,27 @@ object DedupOps {
     val p = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       edgeCount / 500000L + 1L)).toInt
+    // Iteration state lives in EAGER LOCAL CHECKPOINTS, not persist():
+    // a checkpointed round is stored blocks with a truncated plan, so
+    // round i+1's plan is a shallow join of two block scans no matter
+    // how many rounds ran — with persist() the growing lineage behind
+    // each round's plan was measurably re-evaluated (phase times doubled
+    // per round). Trade: lost executor blocks fail the job instead of
+    // recomputing — acceptable for a bounded iterative refinement (a
+    // reliable-checkpoint dir restores fault tolerance on a real
+    // cluster).
     val edges = base
       .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(p, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
+    base.unpersist(blocking = false)
     // Iterate over the ACTIVE subgraph only — nodes that touch an edge.
     // After dedup most of a corpus is singletons; they take no part in
     // propagation and re-enter as their own cluster in the final join,
     // so per-round state is O(|nodes with a near-dup|), not O(corpus).
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // Labels are monotone non-increasing (next = min(own, neighbors)),
     // so the label sum strictly decreases exactly when a round changed
     // anything — one DECIMAL-exact scalar per round is the whole
@@ -288,7 +298,6 @@ object DedupOps {
       Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
         .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = checksum(labels)
-    base.unpersist(blocking = false)
     var iter = 0
     var converged = edgeCount == 0L
     while (iter < maxIters && !converged) {
@@ -297,11 +306,10 @@ object DedupOps {
         .select(col("dst").as("id"), col("lbl"))
         .unionByName(labels)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val s = checksum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
-      labels.unpersist(blocking = false)
       labels = next
       iter += 1
     }
@@ -309,7 +317,6 @@ object DedupOps {
       LoggerFactory.getLogger(getClass).warn(
         s"nearDupClusters stopped at maxIters=$maxIters before the label " +
           "sum stabilized — raise maxIters for deeper components")
-    edges.unpersist(blocking = false)
     // Re-attach the full universe: singletons cluster as themselves.
     ids.select(col(idCol).as("doc_id"))
       .join(labels.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"),
