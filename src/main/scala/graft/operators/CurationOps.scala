@@ -67,11 +67,18 @@ object CurationOps {
     * corpus at any scale. Returns the CLEAN remainder. */
   def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, k: Int = 3): DataFrame = {
+    import graft.functions.TextHashOps
+    // Shingles travel as xxhash64 longs (one codegen'd pass per text,
+    // graft.functions.ShingleHashVec): the broadcast set and the probe
+    // stream compare 8-byte values instead of strings. A 64-bit
+    // collision could only DROP an extra document (conservative for
+    // decontamination) and is ~1e-9-probable; the string-comparing
+    // DuckDB oracle gates exactness on every gated corpus.
     val evalSh = benchmark
-      .select(explode(DedupOps.shingles(col(benchTextCol), k)).as("sh"))
+      .select(explode(TextHashOps.shingleHashes(col(benchTextCol), k)).as("sh"))
       .distinct()
     val contaminated = corpus
-      .select(col(idCol), explode(DedupOps.shingles(col(textCol), k)).as("sh"))
+      .select(col(idCol), explode(TextHashOps.shingleHashes(col(textCol), k)).as("sh"))
       .join(broadcast(evalSh), "sh")
       .select(idCol).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")

@@ -33,9 +33,11 @@ object DedupOps {
   }
 
   /** MinHash permutation family: for permutation p, min over shingles of
-    * xxhash64(p, shingle) — salted 64-bit hashes. xxhash64 is a codegen'd
-    * builtin, so the whole signature computes inside one hash-aggregate
-    * (see minhashPairs); no per-row array allocation, no md5 hex strings. */
+    * xxhash64(p, shingle) — salted 64-bit hashes. This explode → min
+    * aggregate spelling is the REFERENCE semantics of the signature; the
+    * pipeline itself computes the identical values in one pass with the
+    * native [[graft.functions.MinHashSig]] expression (bit-equality
+    * pinned in TextHashSpec). */
   def minhashCols(shingle: Column, perms: Int): Seq[Column] =
     (0 until perms).map(p => min(xxhash64(lit(p), shingle)).as(s"m$p"))
 
@@ -175,20 +177,21 @@ object DedupOps {
     * jacc ≥ threshold). */
   private def lshBucketPairs(raw: DataFrame, threshold: Double,
       maxBucket: Int): DataFrame = {
-    // Signatures via explode → hash-agg: the scalable shape. The shingle
-    // stream is a narrow map; the 32 per-permutation mins compute in one
-    // codegen'd partial+final aggregate (map-side combine shrinks the
-    // shuffle to one 32-long row per doc regardless of document size).
-    val mins = minhashCols(col("s"), PERMS)
-    val sigs = raw
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
+    import graft.functions.TextHashOps
+    // Signatures via the native MinHashSig expression: the entire
+    // 32-permutation signature computes in ONE codegen'd pass over the
+    // text bytes — a narrow projection with no shingle materialization,
+    // no explode, no aggregate and no shuffle (hash-compatible with the
+    // explode → min(xxhash64(p, shingle)) spelling, which it replaced at
+    // ~10× the stage cost; equivalence pinned in TextHashSpec). At any
+    // scale this stage is embarrassingly parallel.
+    val sigs = raw.select(col("doc_id"),
+      TextHashOps.minhashSig(col("text"), 3, PERMS).as("sig"))
     val nBands = PERMS / ROWS_PER_BAND
     val bands = sigs.select(col("doc_id"), posexplode(
       array((0 until nBands).map(b => concat_ws("\u0000",
         (0 until ROWS_PER_BAND).map(r =>
-          col(s"m${b * ROWS_PER_BAND + r}")): _*)): _*))
+          element_at(col("sig"), b * ROWS_PER_BAND + r + 1)): _*)): _*))
       .as(Seq("band", "bval")))
     // Bucket sizes via a window count on the band key: one exchange on
     // (band, bval) that the following groupBy reuses (no second
@@ -216,21 +219,25 @@ object DedupOps {
       .select(col("a_id"), explode(col("ids")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
       .distinct()
-    // Verify stage: shingle arrays are materialized ONLY for docs that
+    // Verify stage: shingle sets are materialized ONLY for docs that
     // appear in some candidate pair (a small semi-joined subset), never
     // for the whole corpus; candidate ids broadcast, so the verify adds
-    // no shuffle of document data.
+    // no shuffle of document data. Sets are sorted xxhash64 longs and
+    // the exact Jaccard is an allocation-free merge count — 8-byte
+    // compares instead of shingle strings (collision stance: Scaladoc of
+    // [[graft.functions.ShingleHashVec]]; the string-intersecting oracle
+    // gates equality).
     val candIds = cand
       .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .distinct()
     val candSh = raw
       .join(broadcast(candIds), "doc_id")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), TextHashOps.shingleHashes(col("text"), 3).as("sh"))
     candSh.select(col("doc_id").as("a_id"), col("sh").as("sh_a"))
       .join(broadcast(cand), "a_id")
       .join(candSh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jacc"))
+        round(TextHashOps.jaccardSorted(col("sh_a"), col("sh_b")), 6).as("jacc"))
       .filter(col("jacc") >= threshold)
   }
 
@@ -468,9 +475,10 @@ object DedupOps {
   def ngramJaccardPairs(corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3,
       withinCol: Option[String] = None): DataFrame = {
+    import graft.functions.TextHashOps
     val B = pairBlocks(corpus.sparkSession)
     val e = corpus.select(col(idCol).as("doc_id"),
-        transform(shingles(col(textCol), k), s => xxhash64(s)).as("sh"),
+        TextHashOps.shingleHashes(col(textCol), k).as("sh"),
         withinCol.map(col).getOrElse(lit(0)).as("part"))
       .withColumn("blk", pmod(hash(col("doc_id")), lit(B)))
     val lhs = e.select(col("doc_id").as("x_id"), col("sh").as("shx"),
@@ -485,7 +493,8 @@ object DedupOps {
         (col("i") * B + col("blk")).as("bp"))
     lhs.join(rhs, Seq("part", "bp"))
       .filter(pmod(col("bp"), lit(B + 1)) =!= 0 || col("x_id") < col("y_id"))
-      .withColumn("jacc", round(jaccard(col("shx"), col("shy")), 6))
+      .withColumn("jacc",
+        round(TextHashOps.jaccardSorted(col("shx"), col("shy")), 6))
       .filter(col("jacc") >= threshold)
       .select(least(col("x_id"), col("y_id")).as("a_id"),
         greatest(col("x_id"), col("y_id")).as("b_id"), col("jacc"))

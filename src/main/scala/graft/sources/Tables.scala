@@ -17,6 +17,7 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Session chokepoint: make the engine's native expressions callable.
     graft.functions.VectorOps.register(spark)
+    graft.functions.TextHashOps.register(spark)
     name match {
       case "events"     => events(spark, sfDir)
       // The driver lays each corpus table out as ONE parquet file = one
