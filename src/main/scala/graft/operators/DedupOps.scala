@@ -163,10 +163,25 @@ object DedupOps {
     // Exact-duplicate pre-collapse. min-over-window instead of
     // groupBy+join: one shuffle on the digest, text rides along, and a
     // hot digest group external-sorts inside its partition (spill-safe).
-    val tagged = raw.withColumn("dig", md5(col("text")))
+    // The member map is consumed by several downstream branches (intra
+    // pairs ×2, cross expansion ×2, representative derivation), each of
+    // which would re-run the digest window — so the tiny (rep_id,
+    // doc_id) projection is pinned with an eager localCheckpoint: ~16
+    // bytes/doc of executor storage (160 MB/executor at 10^10 docs on a
+    // 1000-node cluster), freed by the ContextCleaner when the result
+    // DataFrame is dropped.
+    val members = raw.withColumn("dig", md5(col("text")))
       .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy("dig")))
-    val members = tagged.select(col("rep_id"), col("doc_id"))
-    val reps = tagged.filter(col("doc_id") === col("rep_id"))
+      .select(col("rep_id"), col("doc_id"))
+      .localCheckpoint()
+    // Representatives re-acquire their text by joining the corpus on
+    // doc_id (a broadcast or id-aligned join — the loader's doc_id hash
+    // distribution means no corpus exchange) instead of filtering the
+    // window output, which would evaluate the digest shuffle a second
+    // time with the full text riding along.
+    val reps = raw.join(
+        members.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+        "doc_id")
       .select(col("doc_id"), col("text"))
     (members, lshBucketPairs(reps, threshold, maxBucket))
   }
@@ -211,6 +226,13 @@ object DedupOps {
     // (a self-join materializes both sides), and the shuffle key is the
     // band value — the standard LSH bucket-join at any scale; the cap
     // bounds the within-bucket quadratic explosion.
+    // The candidate set is referenced three times by the verify stage
+    // (pair list, both id sides); an eager localCheckpoint pins it so
+    // the signature/banding pipeline runs exactly once. Candidates are
+    // a capped, verified-later subset — O(pairs) ids, far smaller than
+    // the corpus. The checkpoint action also materializes the observe
+    // node above, so overflow logging fires here (checkpoint runs
+    // through withAction → QueryExecutionListener).
     val cand = counted
       .filter(col("n").between(2, maxBucket))
       .groupBy("band", "bval")
@@ -219,6 +241,7 @@ object DedupOps {
       .select(col("a_id"), explode(col("ids")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
       .distinct()
+      .localCheckpoint()
     // Verify stage: shingle sets are materialized ONLY for docs that
     // appear in some candidate pair (a small semi-joined subset), never
     // for the whole corpus; candidate ids broadcast, so the verify adds
