@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{JaccardSorted, MinHashSig, ShingleHashVec, VectorDot}
+
+/** Session-extension entry point: registers the engine's native
+  * expressions as session functions at SparkSession build time, so any
+  * session configured with
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  *
+  * (or `builder.withExtensions(new GraftExtensions)`) can call
+  * `vec_dot`, `minhash_sig`, `shingle_hashes` and `jaccard_sorted` from
+  * PURE SQL — no library import, no chokepoint call. This is the
+  * Spark-native registration mechanism for engine extensions (the same
+  * hook an optimizer `Rule` or a `SparkStrategy` would use); the
+  * [[graft.sources.Tables]] chokepoint registration remains for sessions
+  * built without the config, and both paths bind identical builders.
+  *
+  * Extension-injected functions live in the session's base registry, so
+  * they survive `SparkSession.newSession()` and appear in every derived
+  * session — unlike temp functions (GraftExtensionsSpec pins this).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) =>
+        MinHashSig(exprs(0), litInt(exprs(1)), litInt(exprs(2)))))
+    ext.injectFunction((FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashVec].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashVec(exprs(0), litInt(exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+      (exprs: Seq[Expression]) => JaccardSorted(exprs(0), exprs(1))))
+  }
+}

@@ -50,6 +50,11 @@ package object api {
     def withTokenCounts(textCol: String): DataFrame =
       TextOps.withTokenCounts(df, textCol)
 
+    /** Append Gopher-style repetition signals: dup_token_ratio,
+      * dup_3gram_ratio. */
+    def withRepetition(textCol: String): DataFrame =
+      TextOps.withRepetition(df, textCol)
+
     /** Top-k TF-IDF terms per document (rational variant — IEEE-exact
       * divisions only, engine-reproducible): (doc_id, tok, score, rk). */
     def tfidfTopK(idCol: String, textCol: String, k: Int = 3): DataFrame =

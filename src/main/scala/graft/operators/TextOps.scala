@@ -71,6 +71,27 @@ object TextOps {
         when(n < 50, "short").when(n < 200, "medium").otherwise("long"))
   }
 
+  /** Gopher-style repetition signals: the fraction of duplicate tokens
+    * and duplicate 3-gram shingles in a document — boilerplate and
+    * degenerate generations score high, natural prose low. Appends
+    * `dup_token_ratio` and `dup_3gram_ratio` (both in [0,1], 6 dp).
+    * Distinct 3-gram counting rides the native
+    * [[graft.functions.ShingleHashVec]] single-pass expression, so the
+    * whole operator is one codegen'd narrow map — no explode, no
+    * aggregate, linear at any corpus size. */
+  def withRepetition(df: DataFrame, textCol: String): DataFrame = {
+    import graft.functions.TextHashOps
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nSh = greatest(n - 2, lit(1))
+    df.withColumn("dup_token_ratio",
+        round(lit(1.0) - size(array_distinct(toks)).cast("double") / n, 6))
+      .withColumn("dup_3gram_ratio",
+        round(lit(1.0) -
+          size(TextHashOps.shingleHashes(col(textCol), 3)).cast("double") / nSh,
+          6))
+  }
+
   /** Token-budget estimators: whitespace tokens and a BPE-ish regex
     * (letter runs / digit runs / single non-alnum). Appends 2 columns. */
   def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
@@ -209,6 +230,28 @@ object TextOps {
         withQuality(Tables.documents(s, d), "text")
           .select("doc_id", "n_tokens", "avg_tok_len", "stop_ratio",
             "len_bucket")
+          .orderBy("doc_id")),
+
+    // Repetition signals (Gopher-style duplicate-fraction filters).
+    // Ratios are exact integer-count divisions in IEEE double — safe to
+    // hash-compare cross-engine (§7.6: division yes, libm no).
+    Query(
+      "q_repetition",
+      Some("""SELECT doc_id,
+                     round(1.0 - CAST(len(list_distinct(string_split(text, ' ')))
+                             AS DOUBLE) / len(string_split(text, ' ')),
+                       6) AS dup_token_ratio,
+                     round(1.0 - CAST(len(list_distinct(list_transform(
+                             range(0, greatest(len(string_split(text, ' ')) - 2, 1)),
+                             i -> array_to_string(
+                                    string_split(text, ' ')[i+1:i+3], ' '))))
+                             AS DOUBLE)
+                           / greatest(len(string_split(text, ' ')) - 2, 1),
+                       6) AS dup_3gram_ratio
+              FROM documents ORDER BY doc_id"""),
+      (s, d) =>
+        withRepetition(Tables.documents(s, d), "text")
+          .select("doc_id", "dup_token_ratio", "dup_3gram_ratio")
           .orderBy("doc_id")),
 
     // Top-3 TF-IDF terms per doc (rational variant — see tfidfTopK).

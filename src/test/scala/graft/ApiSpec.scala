@@ -34,6 +34,23 @@ class ApiSpec extends SparkSpec {
     assert(lib.map(_.toSeq) === reg.map(_.toSeq))
   }
 
+  test("withRepetition: known fixtures hit exact duplicate fractions") {
+    import spark.implicits._
+    val fx = Seq(
+      (1L, "a b c d e f"),        // all tokens + shingles distinct
+      (2L, "x x x x x x"),        // 1 distinct token of 6, 1 shingle of 4
+      (3L, "a b c a b c a b c")   // 3 distinct of 9; shingles cycle in 3
+    ).toDF("doc_id", "text").withRepetition("text").orderBy("doc_id")
+      .select("dup_token_ratio", "dup_3gram_ratio")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    def r6(d: Double): Double = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(fx(0) === ((0.0, 0.0)))
+    assert(fx(1) === ((r6(1 - 1.0 / 6), r6(1 - 1.0 / 4))))
+    // 9 tokens → 7 shingles, 3 distinct ("a b c","b c a","c a b")
+    assert(fx(2) === ((r6(1 - 3.0 / 9), r6(1 - 3.0 / 7))))
+  }
+
   test("renamed columns work: the facade is column-parametric") {
     val renamed = docs.select(col("doc_id").as("id"), col("text").as("body"))
     val pairs = renamed.nearDupPairs("id", "body").collect()
