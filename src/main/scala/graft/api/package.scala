@@ -111,6 +111,20 @@ package object api {
       CurationOps.decontaminate(df, idCol, textCol, benchmark,
         benchTextCol, k)
 
+    /** Memory-bounded Bloom-filter decontamination (the 100 TB path;
+      * false positives only drop extra clean docs). */
+    def decontaminateBloom(idCol: String, textCol: String,
+        benchmark: DataFrame, benchTextCol: String, k: Int = 3,
+        fpp: Double = 1e-12): DataFrame =
+      CurationOps.decontaminateBloom(df, idCol, textCol, benchmark,
+        benchTextCol, k, fpp)
+
+    /** Curation funnel report: per-stratum stage-survival counts
+      * (total → quality → keeper → final). */
+    def funnelReport(idCol: String, textCol: String,
+        strataCols: Seq[String]): DataFrame =
+      CurationOps.funnelReport(df, idCol, textCol, strataCols)
+
     /** Greedy fixed-token sequence packing per stratum: appends
       * (n_tokens, pack_id). */
     def packSequences(idCol: String, textCol: String, strataCol: String,

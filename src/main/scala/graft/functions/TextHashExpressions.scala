@@ -245,6 +245,15 @@ object TextHashOps {
         exprs => ShingleHashVec(exprs(0), litInt(exprs(1))), "built-in")
       reg.createOrReplaceTempFunction("jaccard_sorted",
         exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("might_contain",
+        exprs => new org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+      // Spark ships this aggregate for its runtime join filters but does
+      // not expose it in the public registry; surfacing it makes the
+      // build side of Bloom membership pruning declarative too.
+      reg.createOrReplaceTempFunction("bloom_filter_agg",
+        exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0), exprs(1), exprs(2)), "built-in")
     }
 
   /** `perms`-permutation MinHash signature of `text` over k-gram
@@ -259,4 +268,11 @@ object TextHashOps {
   /** Exact Jaccard of two sorted distinct `array<long>` columns. */
   def jaccardSorted(a: Column, b: Column): Column =
     call_function("jaccard_sorted", a, b)
+
+  /** Bloom-filter membership probe: `bloom` is a serialized filter (the
+    * binary produced by Spark's `bloom_filter_agg`, as a literal or
+    * scalar subquery), `value` a LONG. Spark's own runtime-filter
+    * expression, surfaced for declarative set-membership pruning. */
+  def mightContain(bloom: Column, value: Column): Column =
+    call_function("might_contain", bloom, value)
 }

@@ -84,6 +84,76 @@ object CurationOps {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Memory-bounded decontamination — the 100 TB path. [[decontaminate]]
+    * broadcasts the benchmark's exact shingle-hash set; when the
+    * benchmark itself is large (multi-benchmark suites, n-gram-heavy
+    * eval sets) that broadcast stops fitting. Here the membership set is
+    * a Bloom filter built by Spark's own `bloom_filter_agg` over the
+    * shingle hashes — constant-size per fpp (≈1.44·log2(1/fpp) bits per
+    * shingle, ~27 KB per million shingles at the default), probed by the
+    * codegen'd `might_contain` expression in one narrow corpus pass.
+    *
+    * Bloom semantics are one-sided: a false positive can only DROP an
+    * extra clean document (conservative for decontamination — never
+    * ships a contaminated one); expected extra drops ≈ fpp × probed
+    * shingles. The filter build is one aggregation job collected as
+    * index metadata (a few KB — same stance as the IVF centroids).
+    *
+    * Realized-fpp floor, measured: Spark's sketch BloomFilter derives
+    * its k probe indices from two 32-bit Murmur3 hashes by double
+    * hashing (`h1 + i*h2 mod numBits`), so when `h2 ≡ 0 (mod numBits)`
+    * every probe lands on one bit — an irreducible false-positive floor
+    * of ≈ 0.5/numBits REGARDLESS of the requested fpp (measured 3.3e-5
+    * at 28.7k bits / 500 items / k=40, where the formula promises
+    * 1e-12). Below fpp ≈ 1e-6 the only lever is more bits; this
+    * operator is honestly approximate and is spec-bounded, not
+    * oracle-equality-gated. */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, k: Int = 3,
+      fpp: Double = 1e-6): DataFrame = {
+    import graft.functions.TextHashOps
+    val sh = benchmark
+      .select(explode(TextHashOps.shingleHashes(col(benchTextCol), k)).as("sh"))
+    // Upper-bound the item count with the non-distinct total (one cheap
+    // job over the small side; oversizing only lowers the realized fpp).
+    val est = math.max(1L, sh.count())
+    // optimal bit count for the target fpp: -n·ln(p)/ln(2)^2
+    val bits = math.max(64L,
+      math.ceil(-est * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bf = sh.agg(call_function("bloom_filter_agg", col("sh"),
+        lit(est), lit(bits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val contaminated = corpus
+      .select(col(idCol), explode(TextHashOps.shingleHashes(col(textCol), k)).as("sh"))
+      .filter(TextHashOps.mightContain(lit(bf), col("sh")))
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Curation funnel report: per stratum (+ the hash split), how many
+    * documents survive each curation stage — total → quality filter →
+    * exact-dup keeper → final (both). The one-page summary a pipeline
+    * operator reads before committing a training mix; all counts in one
+    * aggregation over one narrow pass (the keeper flag is the same
+    * min-over-digest window the dedup family uses, the split the same
+    * md5 draw as [[hashSplit]]). */
+  def funnelReport(df: DataFrame, idCol: String, textCol: String,
+      strataCols: Seq[String], minTokens: Int = 20, maxTokens: Int = 80,
+      minStopRatio: Double = 0.02, maxAvgTokLen: Double = 5.0): DataFrame = {
+    val flagged = TextOps.withQuality(hashSplit(df, idCol), textCol)
+      .withColumn("keeper", col(idCol) === min(col(idCol))
+        .over(Window.partitionBy(md5(lower(trim(col(textCol)))))))
+    val qual = col("n_tokens").between(minTokens, maxTokens) &&
+      col("stop_ratio") >= minStopRatio && col("avg_tok_len") <= maxAvgTokLen
+    val keys = strataCols :+ "split"
+    flagged.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(qual, true)).as("n_quality"),
+        count(when(col("keeper"), true)).as("n_keepers"),
+        count(when(qual && col("keeper"), true)).as("n_final"))
+      .orderBy(keys.map(col): _*)
+  }
+
   /** Greedy sequence packing by cumulative token count: within each
     * stratum, documents in id order are assigned to the pack their
     * RUNNING token total (before them) lands in — the streaming packer
@@ -234,6 +304,56 @@ object CurationOps {
               ORDER BY doc_id"""),
       (s, d) => qualityFilter(Tables.documents(s, d), "text")
         .select("doc_id", "lang")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Bloom-filter decontamination, the memory-bounded scale variant.
+    // Approximate BY DESIGN (Spark's sketch BloomFilter has a measured
+    // false-positive floor of ~0.5/numBits — see decontaminateBloom's
+    // Scaladoc), so no oracle-equality gate: CurationSpec bounds it
+    // instead (bloom-clean ⊆ exact-clean, zero contaminated docs
+    // shipped, extra drops under 1%), the same stance as q_sim_ann.
+    Query(
+      "q_decontaminate_bloom",
+      None,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        decontaminateBloom(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text")
+          .select("doc_id", "lang")
+          .orderBy("doc_id")
+      }),
+
+    // The curation funnel: stage-survival counts per (source, lang,
+    // split) — total → quality → exact-dup keeper → final.
+    Query(
+      "q_curation_funnel",
+      Some(s"""WITH m AS (
+                 SELECT doc_id, source, lang,
+                        CASE WHEN ${sqlDraw("doc_id")} < 52429 THEN 'train'
+                             WHEN ${sqlDraw("doc_id")} < 58982 THEN 'val'
+                             ELSE 'test' END AS split,
+                        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                        round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                              / len(string_split(text, ' ')), 6) AS avg_tok_len,
+                        round(CAST(len(list_filter(string_split(text, ' '),
+                                t -> t IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+                              / len(string_split(text, ' ')), 6) AS stop_ratio,
+                        (doc_id = min(doc_id) OVER (
+                           PARTITION BY md5(lower(trim(text))))) AS keeper
+                 FROM documents)
+               SELECT source, lang, split, count(*) AS n_docs,
+                      count(*) FILTER (WHERE n_tokens BETWEEN 20 AND 80
+                        AND stop_ratio >= 0.02
+                        AND avg_tok_len <= 5.0) AS n_quality,
+                      count(*) FILTER (WHERE keeper) AS n_keepers,
+                      count(*) FILTER (WHERE keeper
+                        AND n_tokens BETWEEN 20 AND 80
+                        AND stop_ratio >= 0.02
+                        AND avg_tok_len <= 5.0) AS n_final
+               FROM m GROUP BY source, lang, split
+               ORDER BY source, lang, split"""),
+      (s, d) => funnelReport(Tables.documents(s, d), "doc_id", "text",
+        Seq("source", "lang")))
   )
 }

@@ -57,6 +57,43 @@ class CurationSpec extends SparkSpec {
     assert(clean.count() > 0, "decontamination must not empty the corpus")
   }
 
+  test("bloom decontamination is one-sided: drops every contaminated " +
+      "doc, never ships one") {
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val exact = CurationOps.decontaminate(
+      corpus, "doc_id", "text", bench, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a loose filter (high fpp) still never yields a contaminated doc:
+    // bloomClean ⊆ exactClean at ANY fpp (no false negatives)
+    val loose = CurationOps.decontaminateBloom(
+      corpus, "doc_id", "text", bench, "text", fpp = 0.05)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(loose.subsetOf(exact))
+    // at the default fpp the loss stays bounded (never zero by promise:
+    // Spark's sketch bloom has an FP floor ≈ 0.5/numBits — Scaladoc)
+    val tight = CurationOps.decontaminateBloom(
+      corpus, "doc_id", "text", bench, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tight.subsetOf(exact))
+    assert((exact.size - tight.size).toDouble / exact.size <= 0.01,
+      s"bloom dropped ${exact.size - tight.size} extra of ${exact.size}")
+  }
+
+  test("funnel counts are internally consistent and total to the corpus") {
+    val rep = CurationOps.funnelReport(docs, "doc_id", "text",
+      Seq("source", "lang")).collect()
+    assert(rep.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    rep.foreach { r =>
+      val (n, q, k, f) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_quality"),
+        r.getAs[Long]("n_keepers"), r.getAs[Long]("n_final"))
+      assert(q <= n && k <= n && f <= math.min(q, k))
+    }
+    // keepers over the whole corpus = number of distinct normalized texts
+    assert(rep.map(_.getAs[Long]("n_keepers")).sum ===
+      docs.select(md5(lower(trim(col("text"))))).distinct().count())
+  }
+
   test("sequence packs respect the greedy token bound") {
     val packed = CurationOps.packSequences(docs, "doc_id", "text", "lang",
       packTokens = 2048)
