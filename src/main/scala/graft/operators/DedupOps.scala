@@ -317,27 +317,36 @@ object DedupOps {
     // After dedup most of a corpus is singletons; they take no part in
     // propagation and re-enter as their own cluster in the final join,
     // so per-round state is O(|nodes with a near-dup|), not O(corpus).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
     // Labels are monotone non-increasing (next = min(own, neighbors)),
     // so the label sum strictly decreases exactly when a round changed
     // anything — one DECIMAL-exact scalar per round is the whole
-    // convergence protocol, no changed-row join needed.
-    def checksum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head()
-        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-    var prevSum = checksum(labels)
+    // convergence protocol, no changed-row join needed. The checksum is
+    // an `observe` metric read through `Observation`, so it rides the
+    // checkpoint's own materialization job (checkpoint runs through
+    // withAction → the listener fires) — ONE Spark job per round, not a
+    // checkpoint job plus a separate aggregate job.
+    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation(
+        graft.tools.ObservedMetrics.nextName("graft_cc_sum"))
+      val ckpt = df
+        .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .localCheckpoint()
+      val s = Option(obs.get("s").asInstanceOf[java.math.BigDecimal])
+        .getOrElse(java.math.BigDecimal.ZERO)
+      (ckpt, s)
+    }
+    var (labels, prevSum) = checkpointWithSum(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("lbl", col("id")))
     var iter = 0
     var converged = edgeCount == 0L
     while (iter < maxIters && !converged) {
-      val next = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("lbl"))
-        .unionByName(labels)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
-      val s = checksum(next)
+      val (next, s) = checkpointWithSum(
+        edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("lbl"))
+          .unionByName(labels)
+          .groupBy("id").agg(min("lbl").as("lbl")))
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next

@@ -122,16 +122,22 @@ object TextOps {
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Document length rides ALONG the token stream as a narrow
+    // size(split) column instead of a second explode + aggregate + join
+    // — one pass over the corpus, one fewer shuffle (max(len) inside
+    // the tf aggregate is constant per group; the token counts agree
+    // with the exploded row count by construction).
     val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("tok"))
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val len = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        split(col(textCol), " ").as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("len"),
+        explode(col("ts")).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("tok"))
-    tf.join(len, "doc_id")
-      .join(dfreq, "tok")
+    tf.join(dfreq, "tok")
       .crossJoin(broadcast(total))
       .withColumn("score",
         round(col("tf").cast("double") / col("len") *
