@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.functions.TextHashOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming document deduplication — the stream-time rendering of the
+  * batch dedup family (graft.operators.DedupOps), for pipelines that
+  * curate documents as they arrive rather than in a later batch sweep.
+  *
+  * Both filters are `dropDuplicates` over a fingerprint column with a
+  * watermark bounding the state store: a duplicate arriving within the
+  * watermark horizon of its first occurrence is dropped, and state for
+  * closed horizons is evicted — O(distinct fingerprints per horizon)
+  * state at any stream rate, the standard Structured Streaming dedup
+  * shape. Fingerprints are narrow per-row codegen'd expressions
+  * (no aggregation before the dedup operator, as append-mode streaming
+  * requires).
+  *
+  *  - [[exactDupFilter]] keys on md5 of the normalized text — the
+  *    streaming twin of q_doc_dedup's digest groups (first occurrence
+  *    kept, byte-identical duplicates dropped).
+  *  - [[nearDupFilter]] keys on the MinHash signature computed by
+  *    [[graft.functions.MinHashSig]]: two documents share the full
+  *    r-permutation signature with probability j^r (j = shingle-set
+  *    Jaccard), so r tunes sensitivity — r=32 drops exact and
+  *    VERY-near duplicates (j≈1: boilerplate with trivial edits),
+  *    smaller r drops more aggressively (r=8 catches j≥0.9 with ~43%
+  *    probability per pair). Probabilistic BY DESIGN — the streaming
+  *    analog can miss a near-dup the batch LSH verify would pair;
+  *    recall-certain near-dup mining stays a batch operator.
+  */
+object StreamingDedup {
+
+  /** Fingerprint column for [[nearDupFilter]]: the `perms`-permutation
+    * MinHash signature rendered as one string key (single evaluation of
+    * the signature expression; string keys are state-store friendly). */
+  def signatureKey(text: org.apache.spark.sql.Column, k: Int = 3,
+      perms: Int = 32): org.apache.spark.sql.Column =
+    TextHashOps.minhashSig(text, k, perms).cast("string")
+
+  /** Drop byte-identical (normalized) duplicate documents from a
+    * stream. `tsCol` must be the event-time column; `watermark` bounds
+    * dedup state (and how late a duplicate can still be caught). */
+  def exactDupFilter(stream: DataFrame, textCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    stream
+      .withColumn("graft_fp", md5(lower(trim(col(textCol)))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("graft_fp")
+      .drop("graft_fp")
+
+  /** Drop near-duplicate documents from a stream by MinHash-signature
+    * equality (see class doc for the j^perms sensitivity trade). */
+  def nearDupFilter(stream: DataFrame, textCol: String, tsCol: String,
+      watermark: String, k: Int = 3, perms: Int = 32): DataFrame = {
+    TextHashOps.register(stream.sparkSession)
+    stream
+      .withColumn("graft_fp", signatureKey(col(textCol), k, perms))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("graft_fp")
+      .drop("graft_fp")
+  }
+}

@@ -113,6 +113,63 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming near-dup filter drops exact and near duplicates, " +
+      "keeps distinct docs") {
+    val in = MemoryStream[(Timestamp, Long, String)](spark)
+    val name = s"sdd_${System.nanoTime()}"
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val q = StreamingDedup.nearDupFilter(
+        in.toDF().toDF("ts", "id", "text"), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+    in.addData((ts(1), 1L, base), (ts(2), 2L, base)) // exact dup → dropped
+    q.processAllAvailable()
+    // a distinct doc passes; a later exact copy of doc 1 still dropped
+    in.addData((ts(3), 3L, "completely different content here entirely"),
+      (ts(4), 4L, base))
+    q.processAllAvailable()
+    val kept = spark.table(name).select($"id").as[Long].collect().sorted
+    assert(kept === Seq(1L, 3L))
+    q.stop()
+  }
+
+  test("near-dup filter at low perms agrees with batch signature equality") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base.replace("dog", "cat")
+    // ground truth from the batch side: do the two docs share the
+    // 2-permutation signature key? (deterministic — fixed hashes)
+    val collide = Seq(base, near).toDF("text")
+      .select(StreamingDedup.signatureKey($"text", perms = 2).as("fp"))
+      .distinct().count() == 1L
+    val in = MemoryStream[(Timestamp, Long, String)](spark)
+    val name = s"sdn_${System.nanoTime()}"
+    val q = StreamingDedup.nearDupFilter(
+        in.toDF().toDF("ts", "id", "text"), "text", "ts", "10 minutes",
+        perms = 2)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+    in.addData((ts(1), 1L, base), (ts(2), 2L, near))
+    q.processAllAvailable()
+    val kept = spark.table(name).select($"id").as[Long].collect().sorted
+    assert(kept === (if (collide) Seq(1L) else Seq(1L, 2L)))
+    q.stop()
+  }
+
+  test("streaming exact-dup filter normalizes case/whitespace") {
+    val in = MemoryStream[(Timestamp, Long, String)](spark)
+    val name = s"sed_${System.nanoTime()}"
+    val q = StreamingDedup.exactDupFilter(
+        in.toDF().toDF("ts", "id", "text"), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+    in.addData((ts(1), 1L, "Hello World"), (ts(2), 2L, "  hello world  "),
+      (ts(3), 3L, "hello worlds"))
+    q.processAllAvailable()
+    val kept = spark.table(name).select($"id").as[Long].collect().sorted
+    assert(kept === Seq(1L, 3L))
+    q.stop()
+  }
+
   test("streaming session window merges within gap, splits beyond gap") {
     val in = MemoryStream[(Timestamp, String)](spark)
     val name = s"sess_${System.nanoTime()}"
