@@ -1,0 +1,64 @@
+package graft.tools
+
+import graft.operators.DedupOps
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev scaling probe: replicate the sf0.1 corpus N× (shifted ids →
+  * every document gains N−1 exact duplicates, the web-scale degenerate
+  * shape the LSH pipeline is skew-proofed for) and time the dedup
+  * family at each multiplier. Near-linear wall times across 1×/4×/16×
+  * are the evidence that the collapse → capped-bucket → verify shape
+  * holds as the corpus grows; super-linear growth would flag a stage
+  * whose cost rides pair counts instead of corpus size.
+  *
+  *   runMain graft.tools.ScaleProbe [sfDir] [multipliers...]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+      else Seq(1, 4, 16)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val n0 = base.count() // also warms the scan
+
+    def corpusTimes(mult: Int): (Long, Double, Double, Double) = {
+      val corpus = (0 until mult)
+        .map(i => base.select((col("doc_id") + lit(i.toLong * 1000000L))
+          .as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .localCheckpoint()
+      val rows = corpus.count()
+      def time(f: => Long): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val tPairs = time(DedupOps
+        .minhashPairsUnordered(corpus, "doc_id", "text", 0.5).count())
+      val tClusters = time(DedupOps.nearDupClusters(
+        DedupOps.nearDupEdges(corpus, "doc_id", "text", 0.5),
+        corpus.select("doc_id"), "doc_id").count())
+      val tSimhash = time(DedupOps.simhash(corpus, "doc_id", "text").count())
+      (rows, tPairs, tClusters, tSimhash)
+    }
+
+    println(f"[scale] base corpus: $n0 docs ($sfDir)")
+    println("[scale] mult    docs   pairs_s  clusters_s  simhash_s")
+    mults.foreach { m =>
+      val (rows, tp, tc, tsh) = corpusTimes(m)
+      println(f"[scale] ${m}%4d  ${rows}%6d  $tp%7.2f  $tc%9.2f  $tsh%8.2f")
+    }
+    spark.stop()
+  }
+}

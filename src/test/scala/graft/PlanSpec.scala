@@ -109,6 +109,43 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
+  test("minhash signature stage is one narrow codegen'd projection") {
+    import graft.functions.TextHashOps
+    import graft.sources.Tables
+    // the whole 32-permutation signature must be a map over the corpus:
+    // no Generate (explode), no Aggregate, no Exchange beyond the
+    // loader's repartition — the shape that is embarrassingly parallel
+    // at any corpus size
+    val sig = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextHashOps.minhashSig(col("text")).as("sig"))
+    sig.collect() // finalize THIS plan (AQE) so codegen spans are visible
+    // final-plan section only (the adaptive dump repeats the initial plan)
+    val p = plan(sig).split("== Initial Plan ==").head
+    assert(!p.contains("Generate"), p.take(2000))
+    assert(!p.contains("Aggregate"), p.take(2000))
+    // `*(n)` prefixes mark whole-stage-codegen'd operators
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined, p.take(2000))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"loader repartition only, got $exchanges:\n$p")
+  }
+
+  test("pairwise Jaccard verify is codegen'd — no HOF barrier") {
+    import graft.functions.TextHashOps
+    import graft.sources.Tables
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextHashOps.shingleHashes(col("text")).as("sh"))
+    val pairs = docs.select(col("doc_id").as("a"), col("sh").as("sha"))
+      .crossJoin(docs.select(col("doc_id").as("b"), col("sh").as("shb")))
+      .select(TextHashOps.jaccardSorted(col("sha"), col("shb")).as("j"))
+    pairs.collect() // finalize THIS plan (AQE)
+    val p = plan(pairs).split("== Initial Plan ==").head
+    // jaccard_sorted must sit inside a codegen stage (`*(n)` prefix),
+    // not fall back to an interpreted higher-order-function projection
+    assert("\\*\\(\\d+\\) Project \\[jaccard_sorted".r.findFirstIn(p).isDefined,
+      p.take(2000))
+    assert(!p.contains("ArrayIntersect"), p.take(2000))
+  }
+
   test("q_source_scan reads all columns (full-scan contract)") {
     val df = q("q_source_scan")
     assert(df.columns.length >=
