@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{JaccardSorted, MinHashSig, ShingleHashVec, VectorDot}
+import graft.functions.{JaccardSorted, MinHashSig, ShingleHashVec, SortedIntersectCount, VectorDot}
 
 /** Session-extension entry point: registers the engine's native
   * expressions as session functions at SparkSession build time, so any
@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
       (exprs: Seq[Expression]) => JaccardSorted(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
     // Spark's runtime-filter probe expression, not in the public SQL
     // registry — surfaced for declarative Bloom set-membership pruning
     // (pairs with the registered `bloom_filter_agg`).

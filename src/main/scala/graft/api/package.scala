@@ -87,6 +87,13 @@ package object api {
         threshold: Double, withinCol: Option[String] = None): DataFrame =
       DedupOps.ngramJaccardPairs(df, idCol, textCol, threshold,
         withinCol = withinCol)
+
+    /** Asymmetric shingle containment pairs |A∩B|/|A| ≥ threshold —
+      * the quote/subset detector (src fully inside dst ⇒ 1.0). */
+    def containmentPairs(idCol: String, textCol: String,
+        threshold: Double, withinCol: Option[String] = None): DataFrame =
+      DedupOps.containmentPairs(df, idCol, textCol, threshold,
+        withinCol = withinCol)
   }
 
   implicit class GraftCurationOps(private val df: DataFrame) {
@@ -164,6 +171,12 @@ package object api {
     def embeddingNearDups(idCol: String, embCol: String,
         threshold: Double): DataFrame =
       DedupOps.embeddingPairs(df, idCol, embCol, threshold)
+
+    /** Exact k-NN join: every vector's top-k cosine neighbors
+      * (src_id, dst_id, cos_sim, rn). O(n²) exact — the kNN-graph
+      * exactness spec; approximate graphs via lshIndex/ivfIndex. */
+    def knnJoin(idCol: String, embCol: String, k: Int = 10): DataFrame =
+      SimilarityOps.knnJoin(df, idCol, embCol, k)
 
     /** Build a materialized multi-table LSH signature index (persisted;
       * probe with `.topK(id)` / `.topKVec(vector)`; persist bucketed

@@ -202,6 +202,48 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** |A∩B| of two SORTED distinct long arrays by merge count — the raw
+  * overlap behind asymmetric measures (containment |A∩B|/|A|) that
+  * [[JaccardSorted]]'s symmetric ratio can't express. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SortedIntersectCount.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $cls.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  def compute(x: ArrayData, y: ArrayData): Long = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter
+  }
+}
+
 object JaccardSorted {
   def compute(x: ArrayData, y: ArrayData): Double = {
     val nx = x.numElements()
@@ -245,6 +287,8 @@ object TextHashOps {
         exprs => ShingleHashVec(exprs(0), litInt(exprs(1))), "built-in")
       reg.createOrReplaceTempFunction("jaccard_sorted",
         exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("sorted_intersect_count",
+        exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("might_contain",
         exprs => new org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
@@ -268,6 +312,10 @@ object TextHashOps {
   /** Exact Jaccard of two sorted distinct `array<long>` columns. */
   def jaccardSorted(a: Column, b: Column): Column =
     call_function("jaccard_sorted", a, b)
+
+  /** |A∩B| of two sorted distinct `array<long>` columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
 
   /** Bloom-filter membership probe: `bloom` is a serialized filter (the
     * binary produced by Spark's `bloom_filter_agg`, as a literal or

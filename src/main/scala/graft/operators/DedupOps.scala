@@ -450,7 +450,14 @@ object DedupOps {
     * an exact threshold join on dense vectors is honestly quadratic and
     * the job is to distribute it, which this shape does. */
   def embeddingPairs(vectors: DataFrame, idCol: String, embCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    embeddingPairsUnordered(vectors, idCol, embCol, threshold)
+      .orderBy("a_id", "b_id")
+
+  /** [[embeddingPairs]] without the presentation sort — for consumers
+    * like [[SimilarityOps.knnJoin]] that post-process the pair set. */
+  def embeddingPairsUnordered(vectors: DataFrame, idCol: String,
+      embCol: String, threshold: Double): DataFrame = {
     import graft.functions.VectorOps
     val B = pairBlocks(vectors.sparkSession)
     val e = vectors.select(col(idCol).as("vec_id"),
@@ -485,7 +492,6 @@ object DedupOps {
       .select(least(col("x_id"), col("y_id")).as("a_id"),
         greatest(col("x_id"), col("y_id")).as("b_id"),
         round(col("cos"), 6).as("cos_sim"))
-      .orderBy("a_id", "b_id")
   }
 
   /** Library form: EXACT n-gram (shingle) Jaccard near-duplicate pairs
@@ -531,6 +537,54 @@ object DedupOps {
       .select(least(col("x_id"), col("y_id")).as("a_id"),
         greatest(col("x_id"), col("y_id")).as("b_id"), col("jacc"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Asymmetric shingle CONTAINMENT pairs: |A∩B| / |A| ≥ threshold —
+    * the quote/subset detector Jaccard misses (a short document fully
+    * embedded in a long one has containment 1.0 but Jaccard near the
+    * length ratio). Same distributed block-matrix equi-join shape as
+    * [[ngramJaccardPairs]]; each unordered block pair is intersected
+    * ONCE (native merge count), pre-pruned by `inter ≥ t·min(|A|,|B|)`
+    * (necessary for either direction to pass), then exploded into its
+    * two directed rows. Output (src_id, dst_id, containment): fraction
+    * of src's shingles that dst also contains. */
+  def containmentPairs(corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3,
+      withinCol: Option[String] = None): DataFrame = {
+    import graft.functions.TextHashOps
+    val B = pairBlocks(corpus.sparkSession)
+    val e = corpus.select(col(idCol).as("doc_id"),
+        TextHashOps.shingleHashes(col(textCol), k).as("sh"),
+        withinCol.map(col).getOrElse(lit(0)).as("part"))
+      .withColumn("blk", pmod(hash(col("doc_id")), lit(B)))
+    val lhs = e.select(col("doc_id").as("x_id"), col("sh").as("shx"),
+        col("part"), col("blk"),
+        explode(sequence(col("blk"), lit(B - 1))).as("j"))
+      .select(col("x_id"), col("shx"), col("part"),
+        (col("blk") * B + col("j")).as("bp"))
+    val rhs = e.select(col("doc_id").as("y_id"), col("sh").as("shy"),
+        col("part"), col("blk"),
+        explode(sequence(lit(0), col("blk"))).as("i"))
+      .select(col("y_id"), col("shy"), col("part"),
+        (col("i") * B + col("blk")).as("bp"))
+    val nx = size(col("shx")).cast("double")
+    val ny = size(col("shy")).cast("double")
+    lhs.join(rhs, Seq("part", "bp"))
+      .filter(pmod(col("bp"), lit(B + 1)) =!= 0 || col("x_id") < col("y_id"))
+      .withColumn("inter",
+        TextHashOps.sortedIntersectCount(col("shx"), col("shy"))
+          .cast("double"))
+      // margin: the final filter compares the 6-dp ROUNDED ratio, so a
+      // raw value up to 5e-7 under the threshold can still round in
+      .filter(col("inter") >= lit(threshold - 1e-6) * least(nx, ny))
+      .select(explode(array(
+        struct(col("x_id").as("src_id"), col("y_id").as("dst_id"),
+          round(col("inter") / nx, 6).as("containment")),
+        struct(col("y_id").as("src_id"), col("x_id").as("dst_id"),
+          round(col("inter") / ny, 6).as("containment")))).as("r"))
+      .select(col("r.src_id"), col("r.dst_id"), col("r.containment"))
+      .filter(col("containment") >= threshold)
+      .orderBy("src_id", "dst_id")
   }
 
   val all: Seq[Query] = Seq(
@@ -623,6 +677,28 @@ object DedupOps {
               ORDER BY a_id, b_id"""),
       (s, d) => ngramJaccardPairs(Tables.documents(s, d),
         "doc_id", "text", threshold = 0.3, withinCol = Some("lang"))),
+
+    // Asymmetric containment pairs at 0.8, language-blocked — catches
+    // the short-doc-inside-long-doc shape Jaccard scores low.
+    Query(
+      "q_containment",
+      Some("""WITH d AS (
+                SELECT doc_id, lang,
+                       list_distinct(list_transform(
+                         range(0, greatest(len(string_split(text,' ')) - 2, 1)),
+                         i -> array_to_string(
+                                string_split(text,' ')[i+1:i+3], ' '))) AS sh
+                FROM documents)
+              SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+                     round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / len(a.sh), 6) AS containment
+              FROM d a JOIN d b
+                ON a.doc_id <> b.doc_id AND a.lang = b.lang
+              WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                          / len(a.sh), 6) >= 0.8
+              ORDER BY src_id, dst_id"""),
+      (s, d) => containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8, withinCol = Some("lang"))),
 
     // SimHash fingerprints — the values are oracle-gated (deterministic
     // salted-md5 bits); banded hamming candidate join is exercised in

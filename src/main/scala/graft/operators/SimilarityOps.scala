@@ -121,6 +121,37 @@ object SimilarityOps {
       probeId: Long, k: Int): DataFrame =
     AnnIndex.build(vectors, idCol, embCol).topK(probeId, k)
 
+  /** Exact k-NN JOIN: every vector's top-k cosine neighbors — the
+    * kNN-graph builder behind cluster analysis and graph-based near-dup
+    * curation. The pair space comes from the same distributed
+    * block-matrix equi-join as [[DedupOps.embeddingPairs]] (no nested
+    * loop, no cartesian), materialized once (localCheckpoint) because
+    * both edge directions consume it, then ranked per source with one
+    * window. Exact kNN is inherently O(n²) dot products — the scale
+    * path for approximate graphs is [[AnnIndex]]/[[IvfIndex]]; this
+    * operator is the exactness spec and the small-corpus tool.
+    * Deterministic: ranked by the 6-dp-rounded cosine with dst_id
+    * tiebreak, so both engines order identically. */
+  def knnJoin(vectors: DataFrame, idCol: String, embCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = DedupOps
+      .embeddingPairsUnordered(vectors, idCol, embCol, threshold = -2.0)
+      .localCheckpoint()
+    val both = pairs
+      .select(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+        col("cos_sim"))
+      .unionByName(pairs.select(col("b_id").as("src_id"),
+        col("a_id").as("dst_id"), col("cos_sim")))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("cos_sim").desc, col("dst_id"))
+    both.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("src_id"), col("dst_id"), col("cos_sim"),
+        col("rn").cast("int").as("rn"))
+      .orderBy("src_id", "rn")
+  }
+
   val all: Seq[Query] = Seq(
     Query(
       "q_sim_topk",
@@ -169,6 +200,26 @@ object SimilarityOps {
             count(lit(1)), 6).as("centroid"))
           .orderBy("lang", "pos")
       }),
+
+    // Exact k-NN join: the kNN graph every vector participates in.
+    // Ordered by the 6-dp-rounded cosine (dst_id tiebreak) so both
+    // engines rank identically.
+    Query(
+      "q_knn_join",
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     sqrt(list_inner_product(embedding::DOUBLE[],
+                          embedding::DOUBLE[])) AS nrm
+                     FROM embeddings),
+              p AS (SELECT a.vec_id AS src_id, b.vec_id AS dst_id,
+                     round(list_inner_product(a.v, b.v) /
+                       (a.nrm * b.nrm), 6) AS cos_sim
+                    FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+              SELECT src_id, dst_id, cos_sim, CAST(rn AS INT) AS rn
+              FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                      ORDER BY cos_sim DESC, dst_id) AS rn FROM p)
+              WHERE rn <= 5 ORDER BY src_id, rn"""),
+      (s, d) => knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 5)),
 
     // Multimodal projection: text + vector + label in one result row
     // (the reference's image-path columns, BME680.java:112,117, grown
