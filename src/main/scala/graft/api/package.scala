@@ -122,7 +122,7 @@ package object api {
       * false positives only drop extra clean docs). */
     def decontaminateBloom(idCol: String, textCol: String,
         benchmark: DataFrame, benchTextCol: String, k: Int = 3,
-        fpp: Double = 1e-12): DataFrame =
+        fpp: Double = 1e-6): DataFrame =
       CurationOps.decontaminateBloom(df, idCol, textCol, benchmark,
         benchTextCol, k, fpp)
 

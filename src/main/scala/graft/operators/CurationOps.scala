@@ -107,7 +107,17 @@ object CurationOps {
     * at 28.7k bits / 500 items / k=40, where the formula promises
     * 1e-12). Below fpp ≈ 1e-6 the only lever is more bits; this
     * operator is honestly approximate and is spec-bounded, not
-    * oracle-equality-gated. */
+    * oracle-equality-gated.
+    *
+    * Scale ceiling: Spark's `bloom_filter_agg` rejects requests above
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` (default
+    * 4M) / `.maxNumBits` (default 64M) with an AnalysisException, and
+    * `est` here is the NON-distinct shingle total, which an n-gram-
+    * heavy benchmark reaches quickly. We clamp to the session's caps
+    * instead of throwing — the filter degrades to a higher realized
+    * fpp (more clean docs conservatively dropped, never a contaminated
+    * one shipped), and the clamp is logged at WARN with the realized
+    * fpp. Callers with truly huge benchmarks raise the two confs. */
   def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, k: Int = 3,
       fpp: Double = 1e-6): DataFrame = {
@@ -116,10 +126,32 @@ object CurationOps {
       .select(explode(TextHashOps.shingleHashes(col(benchTextCol), k)).as("sh"))
     // Upper-bound the item count with the non-distinct total (one cheap
     // job over the small side; oversizing only lowers the realized fpp).
-    val est = math.max(1L, sh.count())
+    val rawEst = math.max(1L, sh.count())
     // optimal bit count for the target fpp: -n·ln(p)/ln(2)^2
-    val bits = math.max(64L,
-      math.ceil(-est * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val rawBits = math.max(64L,
+      math.ceil(-rawEst * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // Clamp to the session's bloom_filter_agg caps (AnalysisException
+    // above them); the clamp trades realized fpp for not failing.
+    val conf = corpus.sparkSession.conf
+    val maxItems = conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      .map(_.toLong).getOrElse(4000000L)
+    val maxBits = conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    val est = math.min(rawEst, maxItems)
+    val bits = math.min(rawBits, maxBits)
+    if (est < rawEst || bits < rawBits) {
+      // p = (1 - e^{-hn/m})^h with h = max(1, round(m/n · ln2)) hashes
+      val h = math.max(1L, math.round(bits.toDouble / rawEst * math.log(2)))
+      val realized = math.pow(
+        1 - math.exp(-h.toDouble * rawEst / bits), h.toDouble)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"decontaminateBloom clamped to session caps: items $rawEst->$est, " +
+          f"bits $rawBits->$bits (realized fpp ~$realized%.2e); raise " +
+          "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+          "for the requested fpp")
+    }
     val bf = sh.agg(call_function("bloom_filter_agg", col("sh"),
         lit(est), lit(bits)).as("bf"))
       .head().getAs[Array[Byte]]("bf")

@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * batch dedup family (graft.operators.DedupOps), for pipelines that
   * curate documents as they arrive rather than in a later batch sweep.
   *
-  * Both filters are `dropDuplicates` over a fingerprint column with a
-  * watermark bounding the state store: a duplicate arriving within the
-  * watermark horizon of its first occurrence is dropped, and state for
-  * closed horizons is evicted — O(distinct fingerprints per horizon)
-  * state at any stream rate, the standard Structured Streaming dedup
-  * shape. Fingerprints are narrow per-row codegen'd expressions
+  * Both filters are `dropDuplicatesWithinWatermark` over a fingerprint
+  * column: a duplicate arriving within the watermark horizon of its
+  * first occurrence is dropped, and state for closed horizons is
+  * evicted — O(distinct fingerprints per horizon) state at any stream
+  * rate. (Plain `dropDuplicates` on a key that excludes the event-time
+  * column would never evict state even with a watermark set; the
+  * WithinWatermark variant is the key-only-dedup-with-TTL operator.)
+  * Fingerprints are narrow per-row codegen'd expressions
   * (no aggregation before the dedup operator, as append-mode streaming
   * requires).
   *
@@ -47,7 +49,7 @@ object StreamingDedup {
     stream
       .withColumn("graft_fp", md5(lower(trim(col(textCol)))))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("graft_fp")
+      .dropDuplicatesWithinWatermark("graft_fp")
       .drop("graft_fp")
 
   /** Drop near-duplicate documents from a stream by MinHash-signature
@@ -58,7 +60,7 @@ object StreamingDedup {
     stream
       .withColumn("graft_fp", signatureKey(col(textCol), k, perms))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("graft_fp")
+      .dropDuplicatesWithinWatermark("graft_fp")
       .drop("graft_fp")
   }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * swept over (k cells, Lloyd iters, nprobe). `scan` is the probe's cost
   * proxy: the fraction of the corpus the nprobe cells actually hold.
   * Results are recorded in BASELINE.md §IVF; SimilaritySpec's bound is
-  * set from the frontier at the default (k=16, iters=2, nprobe=6).
+  * set from the frontier at the default (k=32, iters=2, nprobe=8).
   */
 object RecallScan {
   def main(args: Array[String]): Unit = {

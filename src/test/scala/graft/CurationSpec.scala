@@ -80,6 +80,32 @@ class CurationSpec extends SparkSpec {
       s"bloom dropped ${exact.size - tight.size} extra of ${exact.size}")
   }
 
+  test("bloom decontamination clamps to the session's bloom_filter_agg " +
+      "caps instead of throwing, staying one-sided") {
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+    val exact = CurationOps.decontaminate(
+      corpus, "doc_id", "text", bench, "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // Caps far below what fpp=1e-6 would request for this benchmark:
+    // without the clamp bloom_filter_agg raises an AnalysisException.
+    val items = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (spark.conf.get(items), spark.conf.get(bits))
+    try {
+      spark.conf.set(items, "256")
+      spark.conf.set(bits, "4096")
+      val clamped = CurationOps.decontaminateBloom(
+        corpus, "doc_id", "text", bench, "text")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      // degraded fpp may drop extra clean docs, never ship dirty ones
+      assert(clamped.subsetOf(exact))
+    } finally {
+      spark.conf.set(items, oldItems)
+      spark.conf.set(bits, oldBits)
+    }
+  }
+
   test("funnel counts are internally consistent and total to the corpus") {
     val rep = CurationOps.funnelReport(docs, "doc_id", "text",
       Seq("source", "lang")).collect()
