@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // typed top-k aggregation (knnJoin) must stay hash-based: the
+      // default 128-key fallback degrades the partial trim to a full
+      // in-partition sort of the O(n^2) edge stream (measured 5x wall)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -28,8 +28,13 @@ final class TopKAggregator(k: Int)
     TopKState(xs.sortWith(better).take(k))
 
   override def zero: TopKState = TopKState(Nil)
+  // `trim` keeps the buffer sorted best-first, so a full buffer rejects
+  // a non-improving row with ONE comparison and zero allocation — the
+  // hot path when this aggregator trims an O(n²) edge stream (knnJoin):
+  // almost every row is worse than the current k-th.
   override def reduce(buf: TopKState, row: TopKRow): TopKState =
-    trim(row +: buf.items)
+    if (buf.items.size >= k && !better(row, buf.items.last)) buf
+    else trim(row +: buf.items)
   override def merge(a: TopKState, b: TopKState): TopKState =
     trim(a.items ++ b.items)
   override def finish(buf: TopKState): TopKState = buf

@@ -25,6 +25,8 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -59,6 +61,44 @@ object ScaleProbe {
       val (rows, tp, tc, tsh) = corpusTimes(m)
       println(f"[scale] ${m}%4d  ${rows}%6d  $tp%7.2f  $tc%9.2f  $tsh%8.2f")
     }
+
+    // kNN-join shuffle-bytes probe: the dot-product work is inherently
+    // O(n²), but with the pre-shuffle TopKAggregator trim the EXCHANGE
+    // must grow ~linearly in n (k·B rows per source + the B-fold block
+    // replication), not quadratically — the r03 window shape shuffled
+    // the full pair set. Sub-quadratic byte growth at 2×/4× is the
+    // evidence the trim holds.
+    val listener = new ShuffleBytesListener
+    spark.sparkContext.addSparkListener(listener)
+    val embBase = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    println("[scale] knn:  mult    vecs   wall_s   shuffle_mb")
+    Seq(1, 2, 4).foreach { m =>
+      val vecs = (0 until m)
+        .map(i => embBase.select(
+          (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .localCheckpoint()
+      val n = vecs.count()
+      listener.reset()
+      val t0 = System.nanoTime()
+      graft.operators.SimilarityOps
+        .knnJoin(vecs, "vec_id", "embedding", k = 5).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // listener bus drains asynchronously
+      println(f"[scale] knn:  $m%4d  $n%6d  $wall%7.2f  ${listener.bytes / 1e6}%10.1f")
+    }
     spark.stop()
+  }
+
+  private final class ShuffleBytesListener
+    extends org.apache.spark.scheduler.SparkListener {
+    @volatile var bytes: Long = 0L
+    def reset(): Unit = bytes = 0L
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      bytes += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
   }
 }

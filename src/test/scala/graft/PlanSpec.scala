@@ -151,4 +151,19 @@ class PlanSpec extends SparkSpec {
     assert(df.columns.length >=
       graft.sources.Tables.events(spark, sfDir).columns.length)
   }
+
+  test("q_knn_join trims to k per source BEFORE the shuffle — no n² " +
+      "exchange, no checkpoint scan") {
+    val df = q("q_knn_join")
+    df.collect() // finalize THIS plan (AQE)
+    val p = plan(df).split("== Initial Plan ==").head
+    // the r03 shape localCheckpointed the n² pair set (an ExistingRDD
+    // scan) and ranked it through one window — both must stay gone
+    assert(!p.contains("ExistingRDD"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // TopKAggregator runs as a typed imperative aggregate in partial
+    // then final mode: the partial pass is the pre-shuffle k-trim
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2 ||
+      "SortAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
 }

@@ -21,6 +21,11 @@ object SparkSpec {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // typed top-k aggregation (knnJoin) must stay hash-based: the
+      // default 128-key fallback degrades the partial trim to a full
+      // in-partition sort of the O(n^2) edge stream (measured 5x wall)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         s"/tmp/graft-warehouse-${System.nanoTime()}")
