@@ -178,6 +178,14 @@ package object api {
     def knnJoin(idCol: String, embCol: String, k: Int = 10): DataFrame =
       SimilarityOps.knnJoin(df, idCol, embCol, k)
 
+    /** Approximate k-NN join through a batch-probed LSH index: one
+      * hash equi-join on the signature buckets, exact rescore, partial
+      * top-k — the scale path for kNN graphs (recall rides the LSH
+      * budget; see [[operators.SimilarityOps.knnJoinAnn]]). */
+    def knnJoinAnn(idCol: String, embCol: String, k: Int = 10,
+        tables: Int = 16, planesPerTable: Int = 4): DataFrame =
+      SimilarityOps.knnJoinAnn(df, idCol, embCol, k, tables, planesPerTable)
+
     /** Build a materialized multi-table LSH signature index (persisted;
       * probe with `.topK(id)` / `.topKVec(vector)`; persist bucketed
       * with `.writeTable`). */

@@ -24,8 +24,14 @@ final class TopKAggregator(k: Int)
   private def better(a: TopKRow, b: TopKRow): Boolean =
     a.score > b.score || (a.score == b.score && a.key < b.key)
 
+  // `distinct` makes the top-k a reduction over the distinct entry SET:
+  // multi-table LSH probes (AnnIndex.knnJoin) legitimately deliver the
+  // same (key, score) entry once per colliding table, and dedup inside
+  // the buffer beats a distinct shuffle before the aggregation. Entries
+  // dedup only when key AND score match — in the kNN pipelines the
+  // score is a pure function of the pair, so that is exact pair dedup.
   private def trim(xs: Seq[TopKRow]): TopKState =
-    TopKState(xs.sortWith(better).take(k))
+    TopKState(xs.distinct.sortWith(better).take(k))
 
   override def zero: TopKState = TopKState(Nil)
   // `trim` keeps the buffer sorted best-first, so a full buffer rejects

@@ -31,7 +31,9 @@ import org.apache.spark.storage.StorageLevel
   * Reference lineage: the reference engine has no vector search; this is
   * part of the LLM-data-pipeline tier (BASELINE.json north_star).
   */
-final case class AnnIndex(sigs: DataFrame) {
+final case class AnnIndex(sigs: DataFrame,
+    tables: Int = SimilarityOps.TABLES,
+    planesPerTable: Int = SimilarityOps.PLANES_PER_TABLE) {
 
   import graft.functions.VectorOps
 
@@ -53,7 +55,7 @@ final case class AnnIndex(sigs: DataFrame) {
     * driver-side, pushed as literal bucket predicates (prunable on a
     * bucketed index), cosine against the literal vector — zero joins. */
   def topKVec(probe: Seq[Double], k: Int = 10): DataFrame = {
-    val sigLits = SimilarityOps.tableSigsOf(probe)
+    val sigLits = SimilarityOps.tableSigsOf(probe, tables, planesPerTable)
     val cond = sigLits.zipWithIndex
       .map { case (s, t) => col("t") === lit(t) && col("sig") === lit(s) }
       .reduce(_ || _)
@@ -64,6 +66,44 @@ final case class AnnIndex(sigs: DataFrame) {
           typedLit(probe)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Approximate kNN JOIN through the index: every vector probes its
+    * own signature buckets at once — ONE hash equi-join of the
+    * signature table against itself on `(t, sig)`, instead of the
+    * O(n²) pair space the exact [[SimilarityOps.knnJoin]] must rank.
+    * Candidates are exactly rescored with the codegen'd cosine and
+    * reduced by the same pre-shuffle partial top-k as the exact join
+    * (the aggregator dedups a pair that collides in several tables, so
+    * no distinct barrier is needed). Hot buckets — the LSH skew shape —
+    * are capped at `maxBucket` rows with the drop count surfaced as an
+    * observed metric (WARN on completion, same stance as the minhash
+    * band cap): recall loss is explicit, never silent.
+    *
+    * Probabilistic BY DESIGN: a true neighbor sharing no bucket with
+    * its source is missed — recall is gated against the exact join in
+    * SimilaritySpec (≥0.8@k=5 at the q_knn_ann build parameters), not
+    * oracle-hashed. */
+  def knnJoin(k: Int, maxBucket: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.tools.ObservedMetrics.register(sigs.sparkSession)
+    val counted = sigs
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("t", "sig")))
+      .observe(graft.tools.ObservedMetrics.nextName("graft_ann_overflow"),
+        sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L)))
+          .as("dropped_rows"),
+        max(col("n")).as("max_bucket"))
+      .filter(col("n").between(2, maxBucket))
+      .localCheckpoint() // tiny (t, sig, id, vec) rows; consumed twice
+    val lhs = counted.select(col("t"), col("sig"),
+      col("vec_id").as("src_id"), col("embedding").as("se"))
+    val rhs = counted.select(col("t"), col("sig"),
+      col("vec_id").as("dst_id"), col("embedding").as("de"))
+    val edges = lhs.join(rhs, Seq("t", "sig"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .select(col("src_id"), col("dst_id"),
+        round(VectorOps.cosine(col("se"), col("de")), 6).as("cos_sim"))
+    SimilarityOps.topKPerSrc(edges, "cos_sim", k)
   }
 
   /** Persist the index as a bucketed warehouse table: probes with
@@ -78,17 +118,23 @@ final case class AnnIndex(sigs: DataFrame) {
 
 object AnnIndex {
 
-  /** Build (and cache in executor storage) the signature index of a
-    * vector DataFrame: T rows per vector, one narrow pass. */
-  def build(vectors: DataFrame, idCol: String, embCol: String): AnnIndex = {
-    val sigCols = SimilarityOps.lshTableSigs(col("embedding"))
-    val sigs = vectors
+  /** Build (and by default cache in executor storage) the signature
+    * index of a vector DataFrame: T rows per vector, one narrow pass.
+    * `persist = false` for one-shot consumers ([[AnnIndex.knnJoin]]
+    * pins its own working set and would otherwise leak the cache). */
+  def build(vectors: DataFrame, idCol: String, embCol: String,
+      tables: Int = SimilarityOps.TABLES,
+      planesPerTable: Int = SimilarityOps.PLANES_PER_TABLE,
+      persist: Boolean = true): AnnIndex = {
+    val sigCols = SimilarityOps.lshTableSigs(col("embedding"), tables,
+      planesPerTable)
+    val raw = vectors
       .select(col(idCol).as("vec_id"),
         col(embCol).cast("array<double>").as("embedding"))
       .select(col("vec_id"), col("embedding"),
         posexplode(array(sigCols: _*)).as(Seq("t", "sig")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    AnnIndex(sigs)
+    val sigs = if (persist) raw.persist(StorageLevel.MEMORY_AND_DISK) else raw
+    AnnIndex(sigs, tables, planesPerTable)
   }
 
   /** Reopen a bucketed index table written by [[AnnIndex.writeTable]]. */

@@ -42,27 +42,32 @@ object SimilarityOps {
   /** Deterministic ±1 hyperplanes: sign of the first md5 hex nibble bit
     * of "plane|dim". Public knowledge (random-hyperplane LSH, Charikar's
     * SimHash family); md5 stands in for an RNG so Spark and tests agree
-    * without stored index state. */
-  private[graft] lazy val hyperplanes: Seq[Seq[Double]] = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-    (0 until PLANES).map { p =>
+    * without stored index state. Plane vectors are generated on demand
+    * (and memoized) so an index may use any (tables × planes) budget —
+    * the single-probe default and the batch kNN join want different
+    * recall/cost points. */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap[Int, Seq[Double]]()
+  private[graft] def hyperplane(p: Int): Seq[Double] =
+    planeCache.getOrElseUpdate(p, {
+      val digest = java.security.MessageDigest.getInstance("MD5")
       (0 until DIMS).map { d =>
         val h = digest.digest(s"$p|$d".getBytes("UTF-8"))
         if ((h(0) & 1) == 1) 1.0 else -1.0
       }
-    }
-  }
+    })
 
   /** Per-table LSH signatures (each 0..2^b-1) of an embedding column —
     * codegen'd dot products against literal hyperplane arrays. On a
     * cluster these are the bucketing/partition keys of a precomputed
     * index table: the probe reads only its own buckets. */
-  def lshTableSigs(emb: Column): Seq[Column] = {
+  def lshTableSigs(emb: Column, tables: Int = TABLES,
+      planesPerTable: Int = PLANES_PER_TABLE): Seq[Column] = {
     val e = emb.cast("array<double>")
-    (0 until TABLES).map { t =>
-      (0 until PLANES_PER_TABLE).map { j =>
+    (0 until tables).map { t =>
+      (0 until planesPerTable).map { j =>
         val dot = graft.functions.VectorOps.dot(
-          e, typedLit(hyperplanes(t * PLANES_PER_TABLE + j)))
+          e, typedLit(hyperplane(t * planesPerTable + j)))
         when(dot > 0, lit(1 << j)).otherwise(lit(0))
       }.reduce(_ + _)
     }
@@ -72,10 +77,11 @@ object SimilarityOps {
     * per-table signatures of one query vector, computed against the same
     * deterministic hyperplanes (so a literal probe filter hits exactly
     * the buckets the indexed column computation filled). */
-  def tableSigsOf(v: Seq[Double]): Seq[Int] =
-    (0 until TABLES).map { t =>
-      (0 until PLANES_PER_TABLE).map { j =>
-        val plane = hyperplanes(t * PLANES_PER_TABLE + j)
+  def tableSigsOf(v: Seq[Double], tables: Int = TABLES,
+      planesPerTable: Int = PLANES_PER_TABLE): Seq[Int] =
+    (0 until tables).map { t =>
+      (0 until planesPerTable).map { j =>
+        val plane = hyperplane(t * planesPerTable + j)
         val dot = v.iterator.zip(plane.iterator).map { case (a, b) => a * b }.sum
         if (dot > 0) 1 << j else 0
       }.sum
@@ -144,6 +150,24 @@ object SimilarityOps {
       .embeddingPairsUnordered(vectors, idCol, embCol, threshold = -2.0)
     topKPerSrc(bothDirections(pairs, "cos_sim"), "cos_sim", k)
   }
+
+  /** Approximate kNN JOIN via a batch-probed LSH signature index: one
+    * hash equi-join of the signature table against itself — every
+    * vector probes its own buckets at once — with exact rescore and the
+    * same pre-shuffle partial top-k as [[knnJoin]]. The scale path for
+    * kNN-graph construction (no n² pair space; candidate volume rides
+    * the LSH parameters and the bucket cap). Defaults: 16 tables × 4
+    * planes — measured recall@5 vs the exact join is 0.89 (sf0.001) /
+    * 0.92 (sf0.1) on the test corpus, whose neighbors sit at cos ≈ 0.32
+    * over a cos ≈ 0 background; corpora with tighter near-dup structure
+    * (real web text: neighbors ≥ 0.8) should RAISE planesPerTable — the
+    * candidate set shrinks geometrically in it. */
+  def knnJoinAnn(vectors: DataFrame, idCol: String, embCol: String,
+      k: Int, tables: Int = 16,
+      planesPerTable: Int = PLANES_PER_TABLE,
+      maxBucket: Int = 4096): DataFrame =
+    AnnIndex.build(vectors, idCol, embCol, tables, planesPerTable,
+      persist = false).knnJoin(k, maxBucket)
 
   /** Fan an unordered pair set out to its two directed edges in one
     * narrow pass (the pair pipeline is evaluated once). */
@@ -239,6 +263,13 @@ object SimilarityOps {
                       ORDER BY cos_sim DESC, dst_id) AS rn FROM p)
               WHERE rn <= 5 ORDER BY src_id, rn"""),
       (s, d) => knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 5)),
+
+    // Approximate (index-probed) kNN join: the 100 TB path for the kNN
+    // graph. Probabilistic by design → recall-gated vs q_knn_join in
+    // SimilaritySpec (≥0.8@k=5), no SQL oracle.
+    Query("q_knn_ann", None,
+      (s, d) => knnJoinAnn(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 5)),
 
     // Multimodal projection: text + vector + label in one result row

