@@ -17,6 +17,15 @@ final case class TopKState(items: Seq[TopKRow])
   *
   * Ordering: score DESC, key ASC tiebreak — the same total order as
   * `ORDER BY score DESC, key LIMIT k`.
+  *
+  * SET semantics, not multiset: duplicate (key, score) input rows
+  * collapse to one entry — the top-k is a reduction over the DISTINCT
+  * entry set (multi-table LSH probes legitimately deliver the same pair
+  * once per colliding table, and dedup inside the buffer beats a
+  * distinct shuffle before the aggregation). Inputs whose duplicates
+  * must each count toward k need a multiset variant; the divergence
+  * from `ORDER BY … LIMIT k` on duplicate-bearing input is pinned in
+  * TopKAggregatorSpec.
   */
 final class TopKAggregator(k: Int)
   extends Aggregator[TopKRow, TopKState, TopKState] {

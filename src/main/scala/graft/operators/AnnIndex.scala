@@ -76,28 +76,41 @@ final case class AnnIndex(sigs: DataFrame,
     * reduced by the same pre-shuffle partial top-k as the exact join
     * (the aggregator dedups a pair that collides in several tables, so
     * no distinct barrier is needed). Hot buckets — the LSH skew shape —
-    * are capped at `maxBucket` rows with the drop count surfaced as an
-    * observed metric (WARN on completion, same stance as the minhash
-    * band cap): recall loss is explicit, never silent.
+    * are bounded at `maxBucket` rows: an OVERSIZED BUCKET IS DROPPED IN
+    * FULL (its members lose those candidates — on heavy-duplicate
+    * corpora where every bucket holding a group overflows, those
+    * sources can vanish from the output), with the dropped row count
+    * surfaced as an observed metric (WARN on completion, same stance as
+    * the minhash band cap): recall loss is explicit, never silent.
+    * Heavy-duplicate corpora should collapse exact duplicates first
+    * (the [[DedupOps.minhashPairs]] stage-0 shape) or raise the cap.
+    *
+    * Scale shape: bucket occupancy comes from a SEPARATE (t, sig)-only
+    * aggregate — tiny rows through the count exchange, broadcast back
+    * as the cap filter — so the embedding-carrying rows cross exactly
+    * two exchanges (the two sides of the candidate equi-join) and
+    * nothing is checkpointed. Only the probe side needs the filter: a
+    * dropped bucket key matches nothing, which drops the bucket's pairs
+    * bilaterally.
     *
     * Probabilistic BY DESIGN: a true neighbor sharing no bucket with
     * its source is missed — recall is gated against the exact join in
     * SimilaritySpec (≥0.8@k=5 at the q_knn_ann build parameters), not
     * oracle-hashed. */
   def knnJoin(k: Int, maxBucket: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.tools.ObservedMetrics.register(sigs.sparkSession)
-    val counted = sigs
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("t", "sig")))
+    val keep = sigs
+      .groupBy("t", "sig").agg(count(lit(1)).as("n"))
       .observe(graft.tools.ObservedMetrics.nextName("graft_ann_overflow"),
-        sum(when(col("n") > maxBucket, lit(1L)).otherwise(lit(0L)))
+        sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L)))
           .as("dropped_rows"),
         max(col("n")).as("max_bucket"))
       .filter(col("n").between(2, maxBucket))
-      .localCheckpoint() // tiny (t, sig, id, vec) rows; consumed twice
-    val lhs = counted.select(col("t"), col("sig"),
-      col("vec_id").as("src_id"), col("embedding").as("se"))
-    val rhs = counted.select(col("t"), col("sig"),
+      .select("t", "sig")
+    val lhs = sigs.join(keep, Seq("t", "sig"))
+      .select(col("t"), col("sig"),
+        col("vec_id").as("src_id"), col("embedding").as("se"))
+    val rhs = sigs.select(col("t"), col("sig"),
       col("vec_id").as("dst_id"), col("embedding").as("de"))
     val edges = lhs.join(rhs, Seq("t", "sig"))
       .filter(col("src_id") =!= col("dst_id"))

@@ -142,8 +142,10 @@ object CurationOps {
     val est = math.min(rawEst, maxItems)
     val bits = math.min(rawBits, maxBits)
     if (est < rawEst || bits < rawBits) {
-      // p = (1 - e^{-hn/m})^h with h = max(1, round(m/n · ln2)) hashes
-      val h = math.max(1L, math.round(bits.toDouble / rawEst * math.log(2)))
+      // p = (1 - e^{-hn/m})^h with n the TRUE item count (rawEst) but
+      // h derived the way Spark's BloomFilterImpl derives it — from the
+      // CLAMPED est it is handed: h = max(1, round(m/est · ln2))
+      val h = math.max(1L, math.round(bits.toDouble / est * math.log(2)))
       val realized = math.pow(
         1 - math.exp(-h.toDouble * rawEst / bits), h.toDouble)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

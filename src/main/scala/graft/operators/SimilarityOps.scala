@@ -143,7 +143,8 @@ object SimilarityOps {
     * [[knnJoinAnn]]/[[AnnIndex]]/[[IvfIndex]]; this operator is the
     * exactness spec and the small-corpus tool. Deterministic: ranked
     * by the 6-dp-rounded cosine with dst_id tiebreak, so both engines
-    * order identically. */
+    * order identically. `idCol` must be an integral type (ids ride the
+    * typed BIGINT top-k aggregator — see [[topKPerSrc]]). */
   def knnJoin(vectors: DataFrame, idCol: String, embCol: String,
       k: Int): DataFrame = {
     val pairs = DedupOps
@@ -161,7 +162,9 @@ object SimilarityOps {
     * 0.92 (sf0.1) on the test corpus, whose neighbors sit at cos ≈ 0.32
     * over a cos ≈ 0 background; corpora with tighter near-dup structure
     * (real web text: neighbors ≥ 0.8) should RAISE planesPerTable — the
-    * candidate set shrinks geometrically in it. */
+    * candidate set shrinks geometrically in it. `idCol` must be an
+    * integral type (ids ride the typed BIGINT top-k aggregator — see
+    * [[topKPerSrc]]). */
   def knnJoinAnn(vectors: DataFrame, idCol: String, embCol: String,
       k: Int, tables: Int = 16,
       planesPerTable: Int = PLANES_PER_TABLE,
@@ -182,11 +185,24 @@ object SimilarityOps {
 
   /** Reduce (src_id, dst_id, score) edges to each source's k best with
     * map-side partial top-k (TopKAggregator): every partition shuffles
-    * at most k rows per src it saw. Output ranked score DESC, dst ASC. */
+    * at most k rows per src it saw. Output ranked score DESC, dst ASC.
+    *
+    * Id contract: `dst_id` rides the typed aggregator as a BIGINT
+    * ([[graft.functions.TopKRow]]), so ids must be an integral type —
+    * under ANSI mode a string id would fail the implicit cast at
+    * analysis/runtime. Enforced eagerly with a clear message; callers
+    * with non-numeric ids should hash (`xxhash64`) or dense-rank them
+    * to BIGINT and join the original ids back. */
   private[graft] def topKPerSrc(edges: DataFrame, scoreCol: String,
       k: Int): DataFrame = {
     import graft.functions.{TopKAggregator, TopKRow}
     import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dstType = edges.schema("dst_id").dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dstType),
+      s"knnJoin ranks ids through a typed BIGINT aggregator; got $dstType " +
+        "for the id column — hash (xxhash64) or dense-rank non-numeric ids " +
+        "to BIGINT and join the originals back")
     val topk = udaf(new TopKAggregator(k), Encoders.product[TopKRow])
     edges.groupBy("src_id")
       .agg(topk(col("dst_id"), col(scoreCol)).as("tk"))

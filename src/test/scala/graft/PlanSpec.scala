@@ -166,4 +166,21 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2 ||
       "SortAggregate".r.findAllIn(p).size >= 2, p.take(3000))
   }
+
+  test("q_knn_ann: occupancy cap is a separate aggregate — no Window " +
+      "over the embedding-carrying signature table, no checkpoint scan") {
+    val df = q("q_knn_ann")
+    df.collect() // finalize THIS plan (AQE)
+    val p = plan(df).split("== Initial Plan ==").head
+    // the r4 shape computed bucket occupancy with count(*) OVER
+    // (PARTITION BY t, sig) — n·T embedding-carrying rows through a
+    // window exchange, then localCheckpointed (an ExistingRDD scan at
+    // T× the corpus vector bytes). Both must stay gone: occupancy now
+    // rides a (t, sig)-only aggregate joined back as the cap filter.
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("ExistingRDD"), p.take(2000))
+    // pre-shuffle partial top-k still in place (partial + final)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2 ||
+      "SortAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
 }

@@ -168,13 +168,12 @@ class SimilaritySpec extends SparkSpec {
       "the exact join") {
     import graft.sources.Tables
     val vecs = Tables.embeddings(spark, sfDir)
-    val exact = SimilarityOps.knnJoin(vecs, "vec_id", "embedding", k = 5)
-      .collect().groupBy(_.getLong(0))
+    val exactRows = SimilarityOps.knnJoin(vecs, "vec_id", "embedding", k = 5)
+      .collect()
+    val exact = exactRows.groupBy(_.getLong(0))
       .view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val ann = SimilarityOps.knnJoinAnn(vecs, "vec_id", "embedding", k = 5)
       .collect()
-    // every returned cos_sim must equal the exact pipeline's rounding
-    // (rescore is exact; only the candidate SET is approximate)
     val annBySrc = ann.groupBy(_.getLong(0))
       .view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val recalls = exact.map { case (src, nbrs) =>
@@ -184,8 +183,20 @@ class SimilaritySpec extends SparkSpec {
     info(f"index-probed kNN join mean recall@5 = $mean%.3f " +
       f"(16 tables x 4 planes, ${exact.size} sources)")
     assert(mean >= 0.8, f"mean recall@5 $mean%.3f below the 0.8 gate")
-    // ranks are dense 1..|found| and scores agree with brute force on
-    // a sample source
+    // rescore is exact, only the candidate SET is approximate: every
+    // (src, dst) pair both joins return must carry the IDENTICAL
+    // 6-dp-rounded cosine
+    val exactScore = exactRows
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val overlap = ann.filter(r =>
+      exactScore.contains((r.getLong(0), r.getLong(1))))
+    assert(overlap.nonEmpty, "no overlapping pairs to score-check")
+    overlap.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(r.getDouble(2) === exactScore(key),
+        s"ann cos_sim for $key must equal the exact join's rounding")
+    }
+    // ranks are dense 1..|found| per source
     val bySrc = ann.filter(_.getLong(0) == ann.head.getLong(0))
       .sortBy(_.getInt(3))
     assert(bySrc.map(_.getInt(3)).toSeq === (1 to bySrc.length))

@@ -40,4 +40,23 @@ class TopKAggregatorSpec extends SparkSpec {
       .foldLeft(a.zero)(a.reduce)
     assert(a.finish(s).items.map(_.key) === Seq(2L, 5L))
   }
+
+  test("SET semantics: duplicate (key, score) entries collapse to one " +
+      "(documented divergence from ORDER BY ... LIMIT k)") {
+    val a = new TopKAggregator(3)
+    // the same entry delivered twice (the multi-table LSH collision
+    // shape) counts once — a multiset LIMIT 3 would return (1,9),(1,9),(2,5)
+    val s = Seq(TopKRow(1, 9.0), TopKRow(1, 9.0), TopKRow(2, 5.0))
+      .foldLeft(a.zero)(a.reduce)
+    assert(a.finish(s).items === Seq(TopKRow(1, 9.0), TopKRow(2, 5.0)))
+    // dedup also holds across a partial-aggregate merge
+    val p1 = Seq(TopKRow(1, 9.0), TopKRow(3, 4.0)).foldLeft(a.zero)(a.reduce)
+    val p2 = Seq(TopKRow(1, 9.0), TopKRow(2, 5.0)).foldLeft(a.zero)(a.reduce)
+    assert(a.finish(a.merge(p1, p2)).items ===
+      Seq(TopKRow(1, 9.0), TopKRow(2, 5.0), TopKRow(3, 4.0)))
+    // same key at DIFFERENT scores is two distinct entries (dedup is on
+    // the full (key, score) pair, not the key)
+    val s2 = Seq(TopKRow(1, 9.0), TopKRow(1, 8.0)).foldLeft(a.zero)(a.reduce)
+    assert(a.finish(s2).items === Seq(TopKRow(1, 9.0), TopKRow(1, 8.0)))
+  }
 }
