@@ -587,6 +587,76 @@ object DedupOps {
       .orderBy("src_id", "dst_id")
   }
 
+  /** Substring-level EXACT dedup — repeated ≥`k`-token passages across
+    * (and within) otherwise-distinct documents: the second half of the
+    * Lee et al. dedup recipe (PAPERS.md), which whole-document MinHash
+    * ([[minhashPairs]]) cannot see. Their ExactSubstr pass builds a
+    * suffix array over the concatenated corpus; the distributed
+    * equivalent here is a sorted k-gram POSITION table:
+    *
+    *   1. every document emits its (pos, xxhash64(k-token gram)) rows —
+    *      one narrow pass, no shuffle;
+    *   2. one hash aggregation counts each gram's occurrences
+    *      corpus-wide (map-side partial combine, the classic
+    *      wordcount shape — a million-copy boilerplate gram is still
+    *      one row per partition before the exchange); grams at
+    *      ≥ `minOccurrences` locations are DUPLICATED;
+    *   3. the position table equi-joins the duplicated-gram keys (the
+    *      gram shuffle is reused across the two branches) and each
+    *      document's duplicated positions merge into MAXIMAL passages
+    *      with one gaps-and-islands window per doc (pos − row_number
+    *      is constant exactly on consecutive runs).
+    *
+    * Every exchange carries O(corpus tokens) rows of a few longs —
+    * growth is linear in corpus size (measured in ScaleProbe), never
+    * pair-quadratic; the suffix array's global sort becomes the gram
+    * hash shuffle, which is how the pass survives 100 TB.
+    *
+    * Semantics note (the standard k-gram approximation): a reported
+    * passage is a maximal token span ALL of whose k-grams occur
+    * elsewhere; distinct overlapping partners can chain into one span,
+    * so a passage is a union of repeats, not necessarily one
+    * contiguous repeat — conservative in the right direction for
+    * scrubbing (Lee et al. cut every such span). Gram identity rides
+    * xxhash64 (8-byte keys, ~1e-9 collision stance as everywhere);
+    * the string-grouping DuckDB oracle gates exactness.
+    *
+    * Returns (doc_id, start_pos, end_pos, n_tokens, passage), token
+    * positions 0-based inclusive, ordered (doc_id, start_pos). */
+  def duplicatePassages(corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    val base = corpus.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    // (doc_id, pos, gram-hash) — the k-gram position table. The HOF
+    // keeps the token array inside one row while hashing (no fat
+    // explode); only (doc_id, pos, 8-byte gh) rows leave the stage.
+    val grams = base
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+        .as(Seq("pos", "gh")))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minOccurrences)
+      .select("gh")
+    val dupPos = grams.join(dup, "gh")
+    // gaps-and-islands per document: consecutive duplicated positions
+    // share (pos - row_number), so one window + one aggregate yields
+    // the maximal passages.
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val passages = dupPos
+      .withColumn("isl", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + lit(k - 1)).as("end_pos"))
+    passages.join(base, "doc_id")
+      .select(col("doc_id"), col("start_pos"), col("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start_pos") + 1,
+          col("end_pos") - col("start_pos") + 1)).as("passage"))
+      .orderBy("doc_id", "start_pos")
+  }
+
   val all: Seq[Query] = Seq(
     // Exact dedup: hash-groupBy on normalized text. One shuffle on the
     // 32-char digest regardless of document size.
@@ -600,6 +670,39 @@ object DedupOps {
           .groupBy(md5(lower(trim(col("text")))).as("h"))
           .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keeper"))
           .orderBy("h")),
+
+    // Substring-level exact dedup: maximal repeated ≥8-token passages
+    // (Lee et al. ExactSubstr, distributed as a sorted k-gram position
+    // table). The oracle groups the raw gram strings by brute force.
+    Query(
+      "q_substring_dedup",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                         FROM documents),
+              g AS (SELECT doc_id,
+                           CAST(unnest(range(0, greatest(len(toks) - 7, 0)))
+                             AS INT) AS pos,
+                           unnest(list_transform(
+                             range(0, greatest(len(toks) - 7, 0)),
+                             i -> array_to_string(toks[i+1:i+8], ' ')))
+                             AS gram
+                    FROM t),
+              dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+              m AS (SELECT g.doc_id, g.pos,
+                           g.pos - CAST(row_number() OVER (
+                             PARTITION BY g.doc_id ORDER BY g.pos) AS INT)
+                             AS isl
+                    FROM g JOIN dup USING (gram)),
+              p AS (SELECT doc_id, min(pos) AS start_pos,
+                           max(pos) + 7 AS end_pos
+                    FROM m GROUP BY doc_id, isl)
+              SELECT p.doc_id, p.start_pos, p.end_pos,
+                     p.end_pos - p.start_pos + 1 AS n_tokens,
+                     array_to_string(
+                       t.toks[p.start_pos + 1 : p.end_pos + 1], ' ')
+                       AS passage
+              FROM p JOIN t ON p.doc_id = t.doc_id
+              ORDER BY p.doc_id, p.start_pos"""),
+      (s, d) => duplicatePassages(Tables.documents(s, d), "doc_id", "text")),
 
     // MinHash+LSH near-dup pairs, gated by a brute-force O(n²) oracle.
     Query(

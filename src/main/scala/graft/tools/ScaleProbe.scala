@@ -90,6 +90,29 @@ object ScaleProbe {
       Thread.sleep(2000) // listener bus drains asynchronously
       println(f"[scale] knn:  $m%4d  $n%6d  $wall%7.2f  ${listener.bytes / 1e6}%10.1f")
     }
+
+    // Substring-dedup shuffle probe: the k-gram position table is the
+    // only wide data — its count aggregate and dup-join shuffles must
+    // grow linearly with corpus tokens (the suffix-array sort becomes a
+    // hash shuffle), never with the pair count. Replication makes EVERY
+    // gram duplicated (worst-case dup-join fanout), so linear bytes at
+    // 2×/4× is the adversarial evidence.
+    println("[scale] substr: mult   docs   wall_s   shuffle_mb")
+    Seq(1, 2, 4).foreach { m =>
+      val corpus = (0 until m)
+        .map(i => base.select((col("doc_id") + lit(i.toLong * 1000000L))
+          .as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .localCheckpoint()
+      val n = corpus.count()
+      listener.reset()
+      val t0 = System.nanoTime()
+      DedupOps.duplicatePassages(corpus, "doc_id", "text").count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // listener bus drains asynchronously
+      println(f"[scale] substr: $m%4d  $n%6d  $wall%7.2f  ${listener.bytes / 1e6}%10.1f")
+    }
     spark.stop()
   }
 

@@ -214,4 +214,57 @@ class DedupOpsSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.45)
     }
   }
+
+  test("substring dedup finds exactly the planted passages, cross-doc " +
+      "and within-doc, with maximal boundaries") {
+    import spark.implicits._
+    val passage = (1 to 10).map(i => s"p$i")
+    val p = passage.mkString(" ")
+    // A and B embed the same 10-token passage at different offsets in
+    // otherwise-disjoint text; C is fully distinct; D repeats the
+    // passage twice WITHIN itself (self-repetition counts, Lee et al.);
+    // E is shorter than k and must be skipped, not crash
+    val docA = ((1 to 5).map(i => s"a$i") ++ passage ++
+      (1 to 5).map(i => s"z$i")).mkString(" ")
+    val docB = ((1 to 3).map(i => s"b$i") ++ passage ++
+      (1 to 7).map(i => s"y$i")).mkString(" ")
+    val docC = (1 to 20).map(i => s"c$i").mkString(" ")
+    val docD = (passage ++ Seq("m1", "m2") ++ passage).mkString(" ")
+    val docE = "too short for any gram"
+    val corpus = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD),
+      (5L, docE)).toDF("doc_id", "text")
+    val got = DedupOps.duplicatePassages(corpus, "doc_id", "text", k = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4))).toSeq
+    // 0-based inclusive token spans: A holds the passage at 5..14,
+    // B at 3..12, D at 0..9 and 12..21 — and nothing else anywhere
+    assert(got === Seq(
+      (1L, 5, 14, 10, p),
+      (2L, 3, 12, 10, p),
+      (4L, 0, 9, 10, p),
+      (4L, 12, 21, 10, p)))
+  }
+
+  test("substring dedup is idempotent on its own output corpus") {
+    import spark.implicits._
+    // scrubbing the reported spans then re-mining must find nothing:
+    // the passage list is the complete duplicated-substring surface
+    val passage = (1 to 10).map(i => s"p$i")
+    val docA = ((1 to 5).map(i => s"a$i") ++ passage ++
+      (1 to 5).map(i => s"z$i")).mkString(" ")
+    val docB = ((1 to 3).map(i => s"b$i") ++ passage ++
+      (1 to 7).map(i => s"y$i")).mkString(" ")
+    val corpus = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val spans = DedupOps.duplicatePassages(corpus, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val scrubbed = corpus.as[(Long, String)].collect().map { case (id, t) =>
+      val toks = t.split(" ").zipWithIndex.filterNot { case (_, i) =>
+        spans.exists { case (d, s, e) => d == id && i >= s && i <= e }
+      }.map(_._1)
+      (id, toks.mkString(" "))
+    }.toSeq.toDF("doc_id", "text")
+    assert(DedupOps.duplicatePassages(scrubbed, "doc_id", "text", k = 8)
+      .count() === 0L)
+  }
 }
