@@ -60,6 +60,149 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native hyperplane-sign sketch of an `array<double>` embedding:
+  * `words`×64 deterministic md5 hyperplanes (the
+  * [[graft.operators.SimilarityOps.hyperplane]] family at offset
+  * `base`), packed into `words` BIGINT sign words. One expression with
+  * a real generated loop over a broadcast plane matrix — the unrolled
+  * 256-dot spelling exceeded janino's 64 KB method limit and fell back
+  * to interpreted eval; this stays inside whole-stage codegen at any
+  * sketch width. Used by the IVF two-stage probe (IvfIndex.sketchCol).
+  */
+case class PlaneSketch(child: Expression, base: Int, words: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "plane_sketch"
+
+  // double[][] — executor-side rebuild rides the memoized hyperplane
+  // cache; the matrix itself is what codegen references
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(words * 64)(p =>
+      graft.operators.SimilarityOps.hyperplane(base + p).toArray)
+
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](words)
+    var w = 0
+    while (w < words) {
+      var word = 0L
+      var j = 0
+      while (j < 64) {
+        val pl = planes(w * 64 + j)
+        val n = math.min(e.numElements(), pl.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += e.getDouble(i) * pl(i); i += 1 }
+        if (s > 0) word |= (1L << j)
+        j += 1
+      }
+      out(w) = word
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, e => {
+      val p = ctx.addReferenceObj("planes", planes, "double[][]")
+      val out = ctx.freshName("out")
+      val w = ctx.freshName("w")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val word = ctx.freshName("word")
+      val pl = ctx.freshName("pl")
+      s"""
+         |long[] $out = new long[$words];
+         |for (int $w = 0; $w < $words; $w++) {
+         |  long $word = 0L;
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    double[] $pl = $p[$w * 64 + $j];
+         |    int $n = java.lang.Math.min($e.numElements(), $pl.length);
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $e.getDouble($i) * $pl[$i];
+         |    }
+         |    if ($s > 0) $word |= (1L << $j);
+         |  }
+         |  $out[$w] = $word;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneSketch =
+    copy(child = newChild)
+}
+
+/** Asymmetric sketch score: Σ over set sign bits of the query's REAL
+  * projection onto that bit's hyperplane — rank-equivalent to
+  * Σ sign_j·(q⋅h_j), the asymmetric-distance estimate of the cosine
+  * that never quantizes the query side. `left` is the stored sketch
+  * (`array<bigint>`), `right` the literal per-plane projection array
+  * (`array<double>`, length = 64×words). A generated bit loop, not
+  * 256 unrolled conditionals (janino 64 KB limit). */
+case class SketchDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  import org.apache.spark.sql.types.LongType
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sketch_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sk = a.asInstanceOf[ArrayData]
+    val pr = b.asInstanceOf[ArrayData]
+    var s = 0.0
+    var w = 0
+    while (w < sk.numElements()) {
+      val word = sk.getLong(w)
+      var j = 0
+      while (j < 64) {
+        if (((word >>> j) & 1L) == 1L && w * 64 + j < pr.numElements())
+          s += pr.getDouble(w * 64 + j)
+        j += 1
+      }
+      w += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val w = ctx.freshName("w")
+      val j = ctx.freshName("j")
+      val word = ctx.freshName("word")
+      s"""
+         |double $s = 0.0;
+         |for (int $w = 0; $w < $a.numElements(); $w++) {
+         |  long $word = $a.getLong($w);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($word >>> $j) & 1L) == 1L
+         |        && $w * 64 + $j < $b.numElements()) {
+         |      $s += $b.getDouble($w * 64 + $j);
+         |    }
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SketchDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level vector math built on [[VectorDot]].
   *
   * Spark 4 removed the public Column-from-Expression constructor, so the
@@ -75,16 +218,34 @@ object VectorOps {
   private val registered = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
-  /** Idempotently register `vec_dot` with a session (once per session). */
+  /** Idempotently register the vector expressions (once per session). */
   def register(spark: SparkSession): Unit =
-    if (registered.add(spark))
-      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (registered.add(spark)) {
+      val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry
-        .createOrReplaceTempFunction("vec_dot",
-          exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("vec_dot",
+        exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+      // base/words arrive as int literals from the library wrappers
+      reg.createOrReplaceTempFunction("plane_sketch",
+        exprs => PlaneSketch(exprs(0),
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int]), "built-in")
+      reg.createOrReplaceTempFunction("sketch_dot",
+        exprs => SketchDot(exprs(0), exprs(1)), "built-in")
+    }
 
   /** Dot product of two `array<double>` columns (codegen'd). */
   def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** `words`×64-bit hyperplane sign sketch of an embedding column
+    * (planes at offset `base` of the deterministic md5 family). */
+  def planeSketch(emb: Column, base: Int, words: Int): Column =
+    call_function("plane_sketch", emb.cast("array<double>"),
+      lit(base), lit(words))
+
+  /** Asymmetric sketch score against literal per-plane projections. */
+  def sketchDot(sketch: Column, projs: Seq[Double]): Column =
+    call_function("sketch_dot", sketch, typedLit(projs))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

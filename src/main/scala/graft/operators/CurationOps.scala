@@ -170,21 +170,40 @@ object CurationOps {
     * operator reads before committing a training mix; all counts in one
     * aggregation over one narrow pass (the keeper flag is the same
     * min-over-digest window the dedup family uses, the split the same
-    * md5 draw as [[hashSplit]]). */
+    * md5 draw as [[hashSplit]]).
+    *
+    * `clusterKeepers` feeds the NEAR-dup stage: a `(idCol, keeper)`
+    * DataFrame — the [[DedupOps.nearDupClusters]] output shape — joined
+    * in on the id, adding `n_nd_keepers` (near-dup cluster keepers) and
+    * `n_final_nd` (cluster keeper ∧ quality) columns, so the funnel
+    * reports the survival of the dedup stage a production mix actually
+    * runs (cluster keepers ⊆ exact keepers: every exact-duplicate group
+    * is one near-dup cluster or part of a bigger one). */
   def funnelReport(df: DataFrame, idCol: String, textCol: String,
       strataCols: Seq[String], minTokens: Int = 20, maxTokens: Int = 80,
-      minStopRatio: Double = 0.02, maxAvgTokLen: Double = 5.0): DataFrame = {
-    val flagged = TextOps.withQuality(hashSplit(df, idCol), textCol)
+      minStopRatio: Double = 0.02, maxAvgTokLen: Double = 5.0,
+      clusterKeepers: Option[DataFrame] = None): DataFrame = {
+    val exact = TextOps.withQuality(hashSplit(df, idCol), textCol)
       .withColumn("keeper", col(idCol) === min(col(idCol))
         .over(Window.partitionBy(md5(lower(trim(col(textCol)))))))
+    val flagged = clusterKeepers.fold(exact)(ck =>
+      exact.join(ck.select(col(idCol), col("keeper").as("nd_keeper")),
+        Seq(idCol)))
     val qual = col("n_tokens").between(minTokens, maxTokens) &&
       col("stop_ratio") >= minStopRatio && col("avg_tok_len") <= maxAvgTokLen
     val keys = strataCols :+ "split"
+    val baseAggs = Seq(
+      count(lit(1)).as("n_docs"),
+      count(when(qual, true)).as("n_quality"),
+      count(when(col("keeper"), true)).as("n_keepers"),
+      count(when(qual && col("keeper"), true)).as("n_final"))
+    val ndAggs = if (clusterKeepers.isDefined) Seq(
+      count(when(col("nd_keeper"), true)).as("n_nd_keepers"),
+      count(when(qual && col("nd_keeper"), true)).as("n_final_nd"))
+    else Nil
+    val aggs = baseAggs ++ ndAggs
     flagged.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_docs"),
-        count(when(qual, true)).as("n_quality"),
-        count(when(col("keeper"), true)).as("n_keepers"),
-        count(when(qual && col("keeper"), true)).as("n_final"))
+      .agg(aggs.head, aggs.tail: _*)
       .orderBy(keys.map(col): _*)
   }
 
@@ -359,10 +378,34 @@ object CurationOps {
       }),
 
     // The curation funnel: stage-survival counts per (source, lang,
-    // split) — total → quality → exact-dup keeper → final.
+    // split) — total → quality → exact-dup keeper → NEAR-dup cluster
+    // keeper → finals. The near-dup stage consumes the connected-
+    // component keeper flags of q_dedup_clusters (threshold 0.5), so
+    // the report covers the dedup pass a production mix actually runs;
+    // the oracle recomputes the components with the same recursive CTE.
     Query(
       "q_curation_funnel",
-      Some(s"""WITH m AS (
+      Some(s"""WITH RECURSIVE sh AS (
+                 SELECT doc_id,
+                        list_distinct(list_transform(
+                          range(0, greatest(len(string_split(text,' ')) - 2, 1)),
+                          i -> array_to_string(
+                                 string_split(text,' ')[i+1:i+3], ' '))) AS sh
+                 FROM documents),
+               p AS (
+                 SELECT a.doc_id AS a, b.doc_id AS b
+                 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                 WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                         (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+                         6) >= 0.5),
+               e AS (SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p),
+               reach(id, r) AS (
+                 SELECT doc_id, doc_id FROM documents
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id),
+               ck AS (SELECT id AS doc_id, (id = min(r)) AS nd_keeper
+                      FROM reach GROUP BY id),
+               m AS (
                  SELECT doc_id, source, lang,
                         CASE WHEN ${sqlDraw("doc_id")} < 52429 THEN 'train'
                              WHEN ${sqlDraw("doc_id")} < 58982 THEN 'val'
@@ -384,10 +427,21 @@ object CurationOps {
                       count(*) FILTER (WHERE keeper
                         AND n_tokens BETWEEN 20 AND 80
                         AND stop_ratio >= 0.02
-                        AND avg_tok_len <= 5.0) AS n_final
-               FROM m GROUP BY source, lang, split
+                        AND avg_tok_len <= 5.0) AS n_final,
+                      count(*) FILTER (WHERE nd_keeper) AS n_nd_keepers,
+                      count(*) FILTER (WHERE nd_keeper
+                        AND n_tokens BETWEEN 20 AND 80
+                        AND stop_ratio >= 0.02
+                        AND avg_tok_len <= 5.0) AS n_final_nd
+               FROM m JOIN ck USING (doc_id)
+               GROUP BY source, lang, split
                ORDER BY source, lang, split"""),
-      (s, d) => funnelReport(Tables.documents(s, d), "doc_id", "text",
-        Seq("source", "lang")))
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        funnelReport(docs, "doc_id", "text", Seq("source", "lang"),
+          clusterKeepers = Some(DedupOps.nearDupClusters(
+            DedupOps.nearDupEdges(docs, "doc_id", "text", 0.5),
+            docs.select("doc_id"), "doc_id")))
+      })
   )
 }

@@ -17,13 +17,28 @@ import org.apache.spark.storage.StorageLevel
   * index build is deterministic end to end (no RNG state to store, same
   * property as [[AnnIndex]]'s md5 hyperplanes). Assignment is one narrow
   * pass per iteration against ≤k literal centroids (k is small by
-  * design; the centroid set IS the index metadata).
+  * design; the centroid set IS the index metadata). The inverted file
+  * also stores a 256-bit hyperplane SKETCH per vector (4 BIGINTs,
+  * 32 bytes vs the 512-byte embedding) — the compact-code column the
+  * two-stage probe ranks on, the IVF-ADC shape (coarse quantizer +
+  * binary code + exact rerank; PAPERS.md similarity-search family).
   *
-  * Search: the probe ranks centroids driver-side (k tiny), takes its
-  * `nprobe` nearest cells, and scans ONLY those cells — on a cell-
-  * bucketed or cell-partitioned layout that is a pruned read of
-  * nprobe/k of the data — then exactly rescores with the codegen'd
-  * cosine. No join anywhere in the probe plan.
+  * Search, single-stage ([[topKVec]] with `rescoreCap = 0`): rank
+  * centroids driver-side (k tiny), scan ONLY the `nprobe` nearest
+  * cells — on a cell-bucketed layout a pruned read of nprobe/k of the
+  * data — and exactly rescore with the codegen'd cosine. No join in
+  * the probe plan.
+  *
+  * Search, two-stage reranked (`rescoreCap > 0`): sweep a WIDE nprobe
+  * over the SKETCH column only (hamming distance to the probe's
+  * sketch, codegen'd xor+bit_count), keep the best `rescoreCap`
+  * candidates (TakeOrderedAndProject — no shuffle), and exactly
+  * rescore only those embeddings. The wide sweep restores the recall
+  * a narrow cell set forfeits while paying sketch bytes, not
+  * embedding bytes, for the width: on a column-pruned cell-bucketed
+  * layout stage 1 reads (vec_id, sketch) of the probed cells and
+  * stage 2 fetches `rescoreCap` full rows — the byte-scan frontier is
+  * measured in BASELINE.md §IVF and gated in SimilaritySpec.
   */
 final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]]) {
 
@@ -39,26 +54,56 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]]) {
       .sortBy { case (i, cos) => (-cos, i) }
       .take(nprobe).map(_._1)
 
-  /** Top-k neighbors of an external query vector: literal cell filter
-    * (prunable scan), exact rescore, TakeOrderedAndProject. Default
-    * nprobe=8 sits on the measured recall/cost frontier (BASELINE.md
-    * §IVF: recall@10 ≈ 0.68 scanning ≈ 25% at k=32). */
-  def topKVec(probe: Seq[Double], k: Int = 10, nprobe: Int = 8): DataFrame =
-    cells.filter(col("cell").isin(nearestCells(probe, nprobe): _*))
-      .select(col("vec_id"),
-        round(VectorOps.cosine(col("embedding"),
-          typedLit(probe)), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-      .limit(k)
+  /** Top-k neighbors of an external query vector. `rescoreCap = 0`:
+    * literal cell filter (prunable scan), exact rescore of everything
+    * scanned, TakeOrderedAndProject (the r3 single-stage probe;
+    * recall@10 ≈ 0.68 scanning ≈ 25% at k=32/nprobe=8, BASELINE.md
+    * §IVF). `rescoreCap > 0`: two-stage — hamming on the 32-byte
+    * sketch column across the (wide) nprobe cells, top `rescoreCap`
+    * by (hd, vec_id), exact cosine on those rows only. */
+  def topKVec(probe: Seq[Double], k: Int = 10, nprobe: Int = 8,
+      rescoreCap: Int = 0): DataFrame =
+    rankScan(cells, probe, k, nprobe, rescoreCap)
 
   /** Top-k neighbors of an indexed vector (point lookup of the probe's
     * embedding, then the literal-cell scan; excludes the probe). */
-  def topK(probeId: Long, k: Int = 10, nprobe: Int = 8): DataFrame = {
+  def topK(probeId: Long, k: Int = 10, nprobe: Int = 8,
+      rescoreCap: Int = 0): DataFrame = {
     val probe = cells.filter(col("vec_id") === probeId)
       .select("embedding").head().getSeq[Double](0)
-    cells.filter(col("vec_id") =!= probeId)
-      .filter(col("cell").isin(nearestCells(probe, nprobe): _*))
-      .select(col("vec_id"),
+    rankScan(cells.filter(col("vec_id") =!= probeId), probe, k, nprobe,
+      rescoreCap)
+  }
+
+  /** Reranked probe with the measured-frontier policy (BASELINE.md
+    * §IVF rerank: recall@10 0.86 at 13% byte-scan on the gate corpus):
+    * wide nprobe = 3/4 of the cells, rescore cap = max(4k, 8% of the
+    * inverted file). The count is metadata off the persisted file. */
+  def topKAuto(probeId: Long, k: Int = 10): DataFrame = {
+    val n = cells.count()
+    topK(probeId, k, nprobe = math.max(1, centroids.size * 3 / 4),
+      rescoreCap = math.max(4 * k, (n * 0.08).toInt))
+  }
+
+  private def rankScan(from: DataFrame, probe: Seq[Double], k: Int,
+      nprobe: Int, rescoreCap: Int): DataFrame = {
+    val scanned = from.filter(
+      col("cell").isin(nearestCells(probe, nprobe): _*))
+    val source = if (rescoreCap <= 0) scanned else {
+      // stage 1 touches only (vec_id, sketch), ranked by the ASYMMETRIC
+      // sketch score (stored sign bits × the query's real projections —
+      // the query side is never quantized, the ADC refinement over
+      // symmetric hamming); ties break by vec_id so the candidate set
+      // is deterministic
+      val cand = scanned
+        .select(col("vec_id"),
+          IvfIndex.asymScore(col("sketch"), probe).as("s1"))
+        .orderBy(col("s1").desc, col("vec_id"))
+        .limit(rescoreCap)
+        .select("vec_id")
+      scanned.join(cand, "vec_id") // rescoreCap rows — broadcast-sized
+    }
+    source.select(col("vec_id"),
         round(VectorOps.cosine(col("embedding"),
           typedLit(probe)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -76,6 +121,35 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]]) {
 }
 
 object IvfIndex {
+
+  // 256-bit hyperplane sketch: 4 BIGINT words, planes drawn from the
+  // same deterministic md5 family as the LSH tables but offset far
+  // past any table budget so the two index kinds never share a plane.
+  private val SketchWords = 4
+  private val SketchBase = 1 << 20
+
+  /** Sketch column of an embedding column: 4 packed sign words over
+    * 256 deterministic hyperplanes — ONE native expression with a
+    * generated plane loop ([[graft.functions.PlaneSketch]]; the
+    * unrolled spelling broke janino's 64 KB method limit). */
+  private[graft] def sketchCol(emb: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.functions.VectorOps.planeSketch(emb, SketchBase, SketchWords)
+
+  /** Asymmetric sketch score of a stored sketch against a REAL-valued
+    * query: Σ bit_j · (query ⋅ plane_j), rank-equivalent to
+    * Σ sign_j · (query ⋅ plane_j) — the asymmetric-distance refinement
+    * of binary sketches (the query side is never quantized). The
+    * projections are computed driver-side; the row side is one native
+    * bit-loop expression ([[graft.functions.SketchDot]]). */
+  private[graft] def asymScore(sketch: org.apache.spark.sql.Column,
+      v: Seq[Double]): org.apache.spark.sql.Column = {
+    val projs = (0 until SketchWords * 64).map { p =>
+      val plane = SimilarityOps.hyperplane(SketchBase + p)
+      v.iterator.zip(plane.iterator).map { case (a, b) => a * b }.sum
+    }
+    graft.functions.VectorOps.sketchDot(sketch, projs)
+  }
 
   private[graft] def cosineOf(a: Seq[Double], b: Seq[Double]): Double = {
     val dot = a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
@@ -105,6 +179,7 @@ object IvfIndex {
     * meaningfully-sized cells. */
   def build(vectors: DataFrame, idCol: String, embCol: String,
       k: Int = 32, iters: Int = 2): IvfIndex = {
+    graft.functions.VectorOps.register(vectors.sparkSession)
     val e = vectors.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("embedding"))
     val kEff = math.max(1, math.min(k, (e.count() / 4).toInt))
@@ -126,6 +201,7 @@ object IvfIndex {
       }
     }
     val cells = assign(e, centroids)
+      .withColumn("sketch", sketchCol(col("embedding")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     IvfIndex(cells, centroids)
   }

@@ -18,7 +18,9 @@ object RecallScan {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sfs = if (args.nonEmpty) args.toSeq else Seq("0.01")
+    val rerankOnly = args.contains("--rerank-only")
+    val sfArgs = args.toSeq.filterNot(_ == "--rerank-only")
+    val sfs = if (sfArgs.nonEmpty) sfArgs else Seq("0.01")
     val probes = (0L until 10L).toSeq
     for (sf <- sfs) {
       val dir = s"/root/testdata/sf$sf"
@@ -27,7 +29,9 @@ object RecallScan {
         p -> SimilarityOps.bruteForceTopK(spark, dir, probeId = p).collect()
           .map(_.getLong(0)).toSet
       }.toMap
-      for (k <- Seq(8, 16, 32); iters <- Seq(1, 2, 4)) {
+      // --rerank-only skips the (slow) single-stage build sweep while
+      // iterating on the reranked frontier below
+      for (k <- Seq(8, 16, 32) if !rerankOnly; iters <- Seq(1, 2, 4)) {
         val idx = IvfIndex.build(
           graft.sources.Tables.embeddings(spark, dir),
           "vec_id", "embedding", k = k, iters = iters)
@@ -52,6 +56,40 @@ object RecallScan {
         }
         idx.close()
       }
+
+      // Two-stage reranked probe frontier (k=32, iters=2 — the build
+      // default): wide-nprobe sketch sweep + exact rescore of the best
+      // `cap` candidates. `rows` is the fraction of corpus rows whose
+      // sketch is read; `bytes` the byte-weighted scan fraction on a
+      // column-pruned cell-bucketed layout — (rows·(8B id + 32B sketch)
+      // + cap·(540B full row)) / (n·540B).
+      val idx = IvfIndex.build(graft.sources.Tables.embeddings(spark, dir),
+        "vec_id", "embedding")
+      val cellSizes = idx.cells.groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val kCells = idx.centroids.size
+      val fullRow = 8.0 + 32.0 + 512.0 // id + sketch + 64-dim double vec
+      for (nprobe <- Seq(8, 12, 16, 24, 32) if nprobe <= kCells;
+           capFrac <- Seq(0.02, 0.05, 0.10)) {
+        val cap = math.max(40, (n * capFrac).toInt)
+        val (recall, rows) = probes.map { p =>
+          val got = idx.topK(p, 10, nprobe, rescoreCap = cap).collect()
+            .map(_.getLong(0)).toSet
+          val r = (bf(p) & got).size.toDouble / bf(p).size
+          val probeVec = idx.cells
+            .filter(org.apache.spark.sql.functions.col("vec_id") === p)
+            .select("embedding").head().getSeq[Double](0)
+          val s = idx.nearestCellsOf(probeVec, nprobe)
+            .map(c => cellSizes.getOrElse(c, 0L)).sum / n
+          (r, s)
+        }.reduce((a, b) => (a._1 + b._1, a._2 + b._2)) match {
+          case (r, s) => (r / probes.size, s / probes.size)
+        }
+        val bytes = (rows * n * 40.0 + cap * fullRow) / (n * fullRow)
+        println(f"[recall] sf$sf RERANK nprobe=$nprobe%-2d cap=$cap%-5d " +
+          f"recall@10=$recall%.3f rows=$rows%.2f bytes=$bytes%.3f")
+      }
+      idx.close()
     }
     spark.stop()
   }

@@ -120,6 +120,28 @@ class CurationSpec extends SparkSpec {
       docs.select(md5(lower(trim(col("text"))))).distinct().count())
   }
 
+  test("cluster-aware funnel: near-dup stage is coherent with the " +
+      "cluster table and nested inside the exact stage") {
+    val ck = DedupOps.nearDupClusters(
+      DedupOps.nearDupEdges(docs, "doc_id", "text", 0.5),
+      docs.select("doc_id"), "doc_id")
+    val rep = CurationOps.funnelReport(docs, "doc_id", "text",
+      Seq("source", "lang"), clusterKeepers = Some(ck)).collect()
+    rep.foreach { r =>
+      val (k, f) = (r.getAs[Long]("n_keepers"), r.getAs[Long]("n_final"))
+      val (nk, nf) =
+        (r.getAs[Long]("n_nd_keepers"), r.getAs[Long]("n_final_nd"))
+      // a cluster keeper is the component minimum, hence also the
+      // minimum of its own exact-digest group: nd keepers ⊆ keepers
+      assert(nk <= k && nf <= f && nf <= nk)
+    }
+    // nd keepers over the corpus = number of near-dup clusters
+    assert(rep.map(_.getAs[Long]("n_nd_keepers")).sum ===
+      ck.filter(col("keeper")).count())
+    assert(rep.map(_.getAs[Long]("n_nd_keepers")).sum ===
+      ck.select("cluster_id").distinct().count())
+  }
+
   test("sequence packs respect the greedy token bound") {
     val packed = CurationOps.packSequences(docs, "doc_id", "text", "lang",
       packTokens = 2048)

@@ -90,20 +90,32 @@ class SimilaritySpec extends SparkSpec {
       assert(exact(id) === cos, s"IVF similarity for $id must be exact")
     }
     // recall gate over the MEAN of 10 probes — a single probe's recall
-    // is one Bernoulli draw per neighbor, too noisy to bound (the same
-    // methodology as the BASELINE.md §IVF frontier, where k=32/nprobe=8
-    // reaches recall ≈ 0.68 scanning ≈ 25% at sf0.01: recall ≈ 2.5× the
-    // scanned fraction, i.e. the cells capture neighborhood structure).
+    // is one Bernoulli draw per neighbor, too noisy to bound. The
+    // two-stage reranked probe (wide sketch sweep + exact rescore cap,
+    // the q_sim_ivf default) is gated at 0.8; the measured frontier
+    // point is 0.86 recall at ~13% byte-scan (BASELINE.md §IVF rerank;
+    // the r3 single-stage probe managed 0.68 scanning 25%).
     val idx = graft.operators.IvfIndex.forDir(spark, sfDir)
     val recalls = (0L until 10L).map { p =>
+      val bfP = SimilarityOps.bruteForceTopK(spark, sfDir, probeId = p)
+        .collect().map(_.getLong(0)).toSet
+      val got = idx.topKAuto(p, 10).collect().map(_.getLong(0)).toSet
+      (bfP & got).size.toDouble / bfP.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"IVF reranked mean recall@10 = $recall%.2f " +
+      "(nprobe=3/4 cells, cap=8%)")
+    assert(recall >= 0.8, s"recall $recall below design bound")
+    // the single-stage probe keeps its original floor
+    val single = (0L until 10L).map { p =>
       val bfP = SimilarityOps.bruteForceTopK(spark, sfDir, probeId = p)
         .collect().map(_.getLong(0)).toSet
       val got = idx.topK(p, 10).collect().map(_.getLong(0)).toSet
       (bfP & got).size.toDouble / bfP.size
     }
-    val recall = recalls.sum / recalls.size
-    info(f"IVF mean recall@10 = $recall%.2f (k=32 clamped, nprobe=8)")
-    assert(recall >= 0.6, s"recall $recall below design bound")
+    val singleMean = single.sum / single.size
+    info(f"IVF single-stage mean recall@10 = $singleMean%.2f (nprobe=8)")
+    assert(singleMean >= 0.6, s"recall $singleMean below design bound")
   }
 
   test("bucketed index tables round-trip and probe identically") {
