@@ -170,6 +170,73 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming exact-dup state EVICTS once the watermark passes the " +
+      "horizon (pins the dropDuplicatesWithinWatermark fix)") {
+    // plain dropDuplicates on a key excluding the event-time column
+    // never evicts state even with a watermark set (the r4 latent bug);
+    // WithinWatermark drops closed-horizon keys. Output alone cannot
+    // distinguish the two — only the state-store row count can, so
+    // that is what this case asserts.
+    val in = MemoryStream[(Timestamp, Long, String)](spark)
+    val name = s"sev_${System.nanoTime()}"
+    val q = StreamingDedup.exactDupFilter(
+        in.toDF().toDF("ts", "id", "text"), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+    // 20 distinct fingerprints land in state
+    in.addData((1L to 20L).map(i => (ts(i.toInt), i, s"document body $i")): _*)
+    q.processAllAvailable()
+    val loaded = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(loaded >= 20L, s"state should hold the 20 keys, saw $loaded")
+    // jump event time far past every key's horizon (20min + 10min
+    // watermark), then one more batch so eviction runs under the
+    // advanced watermark
+    in.addData((ts(120), 100L, "far future doc one"))
+    q.processAllAvailable()
+    in.addData((ts(121), 101L, "far future doc two"))
+    q.processAllAvailable()
+    val after = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(after < 20L,
+      s"closed-horizon state must evict (leaked dropDuplicates shape " +
+        s"would hold all 22 keys); saw $after rows")
+    // dedup still works for the live horizon
+    in.addData((ts(122), 102L, "far future doc two"))
+    q.processAllAvailable()
+    assert(!spark.table(name).select($"id").as[Long].collect().contains(102L))
+    q.stop()
+  }
+
+  test("near-dup filter across the watermark boundary: out-of-order dup " +
+      "inside the horizon drops, a post-horizon copy re-admits") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val in = MemoryStream[(Timestamp, Long, String)](spark)
+    val name = s"swb_${System.nanoTime()}"
+    val q = StreamingDedup.nearDupFilter(
+        in.toDF().toDF("ts", "id", "text"), "text", "ts", "10 minutes")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+    in.addData((ts(20), 1L, base)) // first occurrence at t=20
+    q.processAllAvailable()
+    // OUT-OF-ORDER duplicate: event time t=12 < the first occurrence,
+    // above the watermark (20-10=10) — must match state and drop
+    in.addData((ts(12), 2L, base))
+    q.processAllAvailable()
+    // advance the watermark far past doc 1's horizon (20+10), with a
+    // flushing batch so eviction completes
+    in.addData((ts(120), 3L, "completely different content here entirely"))
+    q.processAllAvailable()
+    in.addData((ts(121), 4L, "another unrelated document body"))
+    q.processAllAvailable()
+    // the SAME text after the horizon re-admits — dedup state is
+    // watermark-bounded BY DESIGN (the documented horizon semantics),
+    // not a leak
+    in.addData((ts(125), 5L, base))
+    q.processAllAvailable()
+    val kept = spark.table(name).select($"id").as[Long].collect().sorted
+    assert(kept === Seq(1L, 3L, 4L, 5L))
+    q.stop()
+  }
+
   test("streaming session window merges within gap, splits beyond gap") {
     val in = MemoryStream[(Timestamp, String)](spark)
     val name = s"sess_${System.nanoTime()}"
