@@ -119,6 +119,52 @@ final case class AnnIndex(sigs: DataFrame,
     SimilarityOps.topKPerSrc(edges, "cos_sim", k)
   }
 
+  /** Approximate kNN JOIN of an EXTERNAL query set against this
+    * index — the batch-serving shape: a probe batch (new documents, a
+    * request log, a holdout split) finds its neighbors among the
+    * indexed corpus in ONE hash equi-join instead of per-vector point
+    * lookups. Query vectors compute signatures under the index's own
+    * hyperplane budget (same `tables`×`planesPerTable`), join the
+    * indexed buckets on `(t, sig)`, are exactly rescored, and reduce
+    * through the same pre-shuffle partial top-k. The occupancy cap
+    * applies to INDEX buckets only (singleton buckets stay probe-able;
+    * oversized ones are dropped in full with the observed-metric WARN,
+    * as in [[knnJoin]]).
+    *
+    * Ids are NOT cross-filtered: probing with vectors that are
+    * themselves indexed returns each as its own cos=1 neighbor —
+    * callers re-probing corpus vectors drop rank 1 or filter
+    * `src_id =!= dst_id`. `idCol` must be an integral type (the typed
+    * BIGINT top-k aggregator — [[SimilarityOps.topKPerSrc]]).
+    *
+    * Returns (src_id = query id, dst_id = indexed id, cos_sim, rn),
+    * recall-gated on a held-out probe split in SimilaritySpec. */
+  def knnJoinWith(queries: DataFrame, idCol: String, embCol: String,
+      k: Int, maxBucket: Int = 4096): DataFrame = {
+    graft.tools.ObservedMetrics.register(sigs.sparkSession)
+    val keep = sigs
+      .groupBy("t", "sig").agg(count(lit(1)).as("n"))
+      .observe(graft.tools.ObservedMetrics.nextName("graft_ann_overflow"),
+        sum(when(col("n") > maxBucket, col("n")).otherwise(lit(0L)))
+          .as("dropped_rows"),
+        max(col("n")).as("max_bucket"))
+      .filter(col("n") <= maxBucket)
+      .select("t", "sig")
+    val qe = queries.select(col(idCol).as("src_id"),
+      col(embCol).cast("array<double>").as("se"))
+    val lhs = qe.select(col("src_id"), col("se"),
+      posexplode(array(SimilarityOps.lshTableSigs(col("se"), tables,
+        planesPerTable): _*)).as(Seq("t", "sig")))
+    val rhs = sigs.join(keep, Seq("t", "sig"))
+      .select(col("t"), col("sig"),
+        col("vec_id").as("dst_id"), col("embedding").as("de"))
+    val edges = lhs.join(rhs, Seq("t", "sig"))
+      .select(col("src_id"), col("dst_id"),
+        round(graft.functions.VectorOps.cosine(col("se"), col("de")), 6)
+          .as("cos_sim"))
+    SimilarityOps.topKPerSrc(edges, "cos_sim", k)
+  }
+
   /** Persist the index as a bucketed warehouse table: probes with
     * `sig` equality/IN predicates read only their own buckets. */
   def writeTable(table: String, buckets: Int = 32): Unit =

@@ -166,14 +166,15 @@ object DedupOps {
     // The member map is consumed by several downstream branches (intra
     // pairs ×2, cross expansion ×2, representative derivation), each of
     // which would re-run the digest window — so the tiny (rep_id,
-    // doc_id) projection is pinned with an eager localCheckpoint: ~16
-    // bytes/doc of executor storage (160 MB/executor at 10^10 docs on a
-    // 1000-node cluster), freed by the ContextCleaner when the result
-    // DataFrame is dropped.
-    val members = raw.withColumn("dig", md5(col("text")))
-      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy("dig")))
-      .select(col("rep_id"), col("doc_id"))
-      .localCheckpoint()
+    // doc_id) projection is pinned with an eager checkpoint
+    // (Checkpoints.pin: executor-local blocks, ~16 bytes/doc — 160
+    // MB/executor at 10^10 docs on a 1000-node cluster — or the
+    // session's reliable checkpoint dir when one is configured), freed
+    // by the ContextCleaner when the result DataFrame is dropped.
+    val members = graft.tools.Checkpoints.pin(
+      raw.withColumn("dig", md5(col("text")))
+        .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy("dig")))
+        .select(col("rep_id"), col("doc_id")))
     // Representatives re-acquire their text by joining the corpus on
     // doc_id (a broadcast or id-aligned join — the loader's doc_id hash
     // distribution means no corpus exchange) instead of filtering the
@@ -227,21 +228,20 @@ object DedupOps {
     // band value — the standard LSH bucket-join at any scale; the cap
     // bounds the within-bucket quadratic explosion.
     // The candidate set is referenced three times by the verify stage
-    // (pair list, both id sides); an eager localCheckpoint pins it so
+    // (pair list, both id sides); an eager checkpoint pins it so
     // the signature/banding pipeline runs exactly once. Candidates are
     // a capped, verified-later subset — O(pairs) ids, far smaller than
     // the corpus. The checkpoint action also materializes the observe
     // node above, so overflow logging fires here (checkpoint runs
     // through withAction → QueryExecutionListener).
-    val cand = counted
+    val cand = graft.tools.Checkpoints.pin(counted
       .filter(col("n").between(2, maxBucket))
       .groupBy("band", "bval")
       .agg(collect_list(col("doc_id")).as("ids"))
       .select(explode(col("ids")).as("a_id"), col("ids"))
       .select(col("a_id"), explode(col("ids")).as("b_id"))
       .filter(col("a_id") < col("b_id"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     // Verify stage: shingle sets are materialized ONLY for docs that
     // appear in some candidate pair (a small semi-joined subset), never
     // for the whole corpus; candidate ids broadcast, so the verify adds
@@ -299,19 +299,19 @@ object DedupOps {
     val p = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       edgeCount / 500000L + 1L)).toInt
-    // Iteration state lives in EAGER LOCAL CHECKPOINTS, not persist():
-    // a checkpointed round is stored blocks with a truncated plan, so
+    // Iteration state lives in EAGER CHECKPOINTS, not persist(): a
+    // checkpointed round is stored blocks with a truncated plan, so
     // round i+1's plan is a shallow join of two block scans no matter
     // how many rounds ran — with persist() the growing lineage behind
     // each round's plan was measurably re-evaluated (phase times doubled
-    // per round). Trade: lost executor blocks fail the job instead of
-    // recomputing — acceptable for a bounded iterative refinement (a
-    // reliable-checkpoint dir restores fault tolerance on a real
-    // cluster).
-    val edges = base
+    // per round). Checkpoints.pin chooses the spelling: executor-local
+    // blocks by default (lost blocks fail the bounded refinement — the
+    // local-mode trade), or the session's RELIABLE checkpoint dir when
+    // one is configured, which survives executor loss on a real
+    // cluster (DedupOpsSpec exercises both modes).
+    val edges = graft.tools.Checkpoints.pin(base
       .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(p, col("src"))
-      .localCheckpoint()
+      .repartition(p, col("src")))
     base.unpersist(blocking = false)
     // Iterate over the ACTIVE subgraph only — nodes that touch an edge.
     // After dedup most of a corpus is singletons; they take no part in
@@ -328,9 +328,8 @@ object DedupOps {
     def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
       val obs = org.apache.spark.sql.Observation(
         graft.tools.ObservedMetrics.nextName("graft_cc_sum"))
-      val ckpt = df
-        .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("s"))
-        .localCheckpoint()
+      val ckpt = graft.tools.Checkpoints.pin(df
+        .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("s")))
       val s = Option(obs.get("s").asInstanceOf[java.math.BigDecimal])
         .getOrElse(java.math.BigDecimal.ZERO)
       (ckpt, s)

@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan pinning for iterative / multiply-consumed intermediates.
+  *
+  * `localCheckpoint` stores blocks on executors with a truncated
+  * lineage — the right cost on local mode and for bounded refinements —
+  * but a lost executor on a real cluster FAILS the job instead of
+  * recomputing (no lineage to replay, no replicas). The
+  * reliable-checkpoint spelling writes the blocks to the fault-tolerant
+  * store behind `SparkContext.setCheckpointDir` (HDFS/object store) and
+  * survives executor loss.
+  *
+  * [[pin]] picks per session: if the context has a checkpoint dir
+  * configured it uses the reliable form, otherwise executor-local
+  * blocks. Cluster deployments set the dir once at session build
+  * (`spark.sparkContext.setCheckpointDir("hdfs://…/ckpt")`) and every
+  * iterative operator ([[graft.operators.DedupOps.nearDupClusters]],
+  * the LSH pipeline's pinned intermediates) becomes fault-tolerant with
+  * no code change; the driver-contract entry points stay local-fast.
+  * Both forms are EAGER (materialize now) and run through
+  * `withAction`, so `observe` metrics attached to the plan fire with
+  * the checkpoint job itself (the convergence-checksum protocol relies
+  * on this).
+  */
+object Checkpoints {
+
+  /** Materialize `df` as stored blocks with a truncated plan —
+    * reliable when the session has a checkpoint dir, local otherwise. */
+  def pin(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+}

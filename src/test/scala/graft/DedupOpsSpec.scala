@@ -215,6 +215,38 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("reliable-checkpoint mode: with a checkpointDir set, clusters and " +
+      "LSH pairs reproduce exactly and checkpoint files land in the dir") {
+    import spark.implicits._
+    val corpus = ((1L to 30L).map(i => (i, "same body every single time"))
+      ++ Seq(
+        (201L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (202L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (301L, "nothing in common with anything else in this tiny corpus")))
+      .toDF("doc_id", "text")
+    def run() = DedupOps.nearDupClusters(
+      DedupOps.minhashPairsUnordered(corpus, "doc_id", "text", 0.5),
+      corpus.select("doc_id"), "doc_id").collect().map(_.toSeq).toSeq
+    val viaLocal = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft_reliable_ckpt_")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      assert(spark.sparkContext.getCheckpointDir.isDefined)
+      val viaReliable = run()
+      assert(viaReliable === viaLocal,
+        "reliable-checkpoint mode must reproduce the local-mode answer")
+      // the blocks really went to the fault-tolerant store
+      val wrote = java.nio.file.Files.walk(dir)
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"no checkpoint files written under $dir")
+    } finally {
+      // Option(null) → None: restores executor-local pinning for the
+      // rest of the shared-session suites
+      spark.sparkContext.setCheckpointDir(null)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    }
+  }
+
   test("substring dedup finds exactly the planted passages, cross-doc " +
       "and within-doc, with maximal boundaries") {
     import spark.implicits._

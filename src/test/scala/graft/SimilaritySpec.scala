@@ -176,6 +176,53 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall below design bound")
   }
 
+  test("knnJoinWith: held-out probe set — exact scores, mean recall@5 " +
+      ">= 0.8 vs brute force") {
+    import graft.sources.Tables
+    import graft.operators.{AnnIndex, IvfIndex}
+    val vecs = Tables.embeddings(spark, sfDir)
+    // every 10th vector becomes an external query; the rest is indexed
+    val queries = vecs.filter(col("vec_id") % 10 === 0)
+    val corpus = vecs.filter(col("vec_id") % 10 =!= 0)
+    val idx = AnnIndex.build(corpus, "vec_id", "embedding",
+      tables = 16, persist = false)
+    val got = idx.knnJoinWith(queries, "vec_id", "embedding", k = 5)
+      .collect()
+    // driver-side brute force over the small gate corpus, same ranking
+    // contract (6-dp rounded cosine desc, dst_id tiebreak)
+    def embMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val qm = embMap(queries); val cm = embMap(corpus)
+    val exact = qm.map { case (qid, qv) =>
+      qid -> cm.toSeq
+        .map { case (cid, cv) =>
+          (cid, BigDecimal(IvfIndex.cosineOf(qv, cv))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(5)
+    }
+    val gotBySrc = got.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (qid, nbrs) =>
+      (gotBySrc.getOrElse(qid, Set.empty) &
+        nbrs.map(_._1).toSet).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"knnJoinWith held-out mean recall@5 = $mean%.3f " +
+      f"(${qm.size} queries over ${cm.size} indexed)")
+    assert(mean >= 0.8, f"mean recall@5 $mean%.3f below the 0.8 gate")
+    // rescore exactness: every returned score equals the brute-force
+    // 6-dp cosine for that (query, neighbor) pair
+    got.foreach { r =>
+      val expect = BigDecimal(IvfIndex.cosineOf(
+        qm(r.getLong(0)), cm(r.getLong(1))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === expect)
+    }
+  }
+
   test("index-probed kNN join: exact scores, mean recall@5 >= 0.8 vs " +
       "the exact join") {
     import graft.sources.Tables
