@@ -112,7 +112,15 @@ final case class AnnIndex(sigs: DataFrame,
         col("vec_id").as("src_id"), col("embedding").as("se"))
     val rhs = sigs.select(col("t"), col("sig"),
       col("vec_id").as("dst_id"), col("embedding").as("de"))
-    val edges = lhs.join(rhs, Seq("t", "sig"))
+    // The candidate self-join is SORT-MERGE by hint: local stats
+    // undersize the signature table and AQE picks a broadcast hash
+    // join, whose fused probe loop measured ~25× more per match than
+    // the sort-merge run iterator on these fat embedding rows (320 vs
+    // 13 µs/edge at 4M candidates — stage-metric comparison, r5). At
+    // scale both sides are far over any broadcast threshold and
+    // sort-merge is what a cluster picks anyway; the hint makes local
+    // behavior match the scale plan.
+    val edges = lhs.hint("merge").join(rhs, Seq("t", "sig"))
       .filter(col("src_id") =!= col("dst_id"))
       .select(col("src_id"), col("dst_id"),
         round(VectorOps.cosine(col("se"), col("de")), 6).as("cos_sim"))
@@ -158,7 +166,8 @@ final case class AnnIndex(sigs: DataFrame,
     val rhs = sigs.join(keep, Seq("t", "sig"))
       .select(col("t"), col("sig"),
         col("vec_id").as("dst_id"), col("embedding").as("de"))
-    val edges = lhs.join(rhs, Seq("t", "sig"))
+    // sort-merge by hint — same measured finding as [[knnJoin]]
+    val edges = lhs.hint("merge").join(rhs, Seq("t", "sig"))
       .select(col("src_id"), col("dst_id"),
         round(graft.functions.VectorOps.cosine(col("se"), col("de")), 6)
           .as("cos_sim"))

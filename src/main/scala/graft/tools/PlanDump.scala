@@ -1,0 +1,85 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: execute one registered query and dump its FINAL (AQE)
+  * physical plan plus wall time — the .explain feedback loop for plan
+  * audits. Usage: runMain graft.tools.PlanDump <sfDir> <query>
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("GRAFT_BROADCAST", "10485760"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // --edges: dump the q_knn_ann bucket histogram + candidate volume
+    if (args.contains("--edges")) {
+      import org.apache.spark.sql.functions._
+      val idx = graft.operators.AnnIndex.build(
+        graft.sources.Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+        tables = 16, persist = false)
+      val occ = idx.sigs.groupBy("t", "sig").count()
+      occ.orderBy(desc("count")).show(10)
+      val e = occ.agg(sum(col("count") * col("count"))).head().getLong(0)
+      println(s"[plandump] buckets=${occ.count()} candidate_edges=$e")
+      spark.stop(); return
+    }
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = s.stageInfo
+          println(f"[stage] id=${i.stageId}%3d tasks=${i.numTasks}%3d " +
+            f"run=${i.taskMetrics.executorRunTime / 1000.0}%7.1fs " +
+            f"cpu=${i.taskMetrics.executorCpuTime / 1e9}%7.1fs " +
+            i.name.take(80))
+        }
+      })
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    val t0 = System.nanoTime()
+    val n = df.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[plandump] $name rows=$n wall=$secs%.2fs")
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    def dump(p: org.apache.spark.sql.execution.SparkPlan, d: Int): Unit = {
+      val m = p.metrics.toSeq
+        .filter { case (k, _) => k.contains("numOutputRows") || k.contains("Time") }
+        .sortBy(_._1)
+        .map { case (k, v) => s"$k=${v.value}" }.mkString(", ")
+      println(s"[plandump] ${"  " * d}${p.nodeName} | $m")
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(a.plan)
+        case a: org.apache.spark.sql.execution.InputAdapter => Seq(a.child)
+        case a: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+          Seq(a.child)
+        case _ => p.children
+      }
+      kids.foreach(dump(_, d + 1))
+    }
+    dump(plan, 0)
+    // --codegen additionally writes the generated code per stage to
+    // /tmp/graft_codegen.txt (too large for a terminal)
+    if (args.contains("--codegen"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("/tmp/graft_codegen.txt"),
+        org.apache.spark.sql.execution.debug.codegenString(plan)
+          .getBytes("UTF-8"))
+    spark.stop()
+  }
+}

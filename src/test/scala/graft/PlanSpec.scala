@@ -179,6 +179,10 @@ class PlanSpec extends SparkSpec {
     // rides a (t, sig)-only aggregate joined back as the cap filter.
     assert(!p.contains("Window"), p.take(2000))
     assert(!p.contains("ExistingRDD"), p.take(2000))
+    // the candidate self-join must stay SORT-MERGE (hinted): the fused
+    // broadcast-hash probe measured ~25× more per match on the fat
+    // embedding rows (r5 regression — 66 s vs 2.6 s at sf0.1 bench)
+    assert(p.contains("SortMergeJoin"), p.take(3000))
     // pre-shuffle partial top-k still in place (partial + final)
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2 ||
       "SortAggregate".r.findAllIn(p).size >= 2, p.take(3000))
