@@ -143,6 +143,87 @@ case class PlaneSketch(child: Expression, base: Int, words: Int)
     copy(child = newChild)
 }
 
+/** Native multi-table LSH signatures of an `array<double>` embedding:
+  * `tables` signatures, each packing `planes` hyperplane sign bits
+  * (plane p of table t = the deterministic md5 family at index
+  * `base + t*planes + p`). Bit-equal to the unrolled
+  * `SimilarityOps.lshTableSigs` spelling (pinned in
+  * VectorExpressionsSpec) but ONE generated loop instead of
+  * tables×planes unrolled dot expressions — the unrolled form cost
+  * ~0.5 s per scan of a 2000-row corpus and bloated every plan string.
+  */
+case class PlaneSigs(child: Expression, base: Int, tables: Int, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  import org.apache.spark.sql.types.IntegerType
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "plane_sigs"
+
+  @transient private lazy val planeMatrix: Array[Array[Double]] =
+    Array.tabulate(tables * planes)(p =>
+      graft.operators.SimilarityOps.hyperplane(base + p).toArray)
+
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0
+      var j = 0
+      while (j < planes) {
+        val pl = planeMatrix(t * planes + j)
+        val n = math.min(e.numElements(), pl.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += e.getDouble(i) * pl(i); i += 1 }
+        if (s > 0) sig |= (1 << j)
+        j += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, e => {
+      val p = ctx.addReferenceObj("planes", planeMatrix, "double[][]")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val sig = ctx.freshName("sig")
+      val pl = ctx.freshName("pl")
+      s"""
+         |int[] $out = new int[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  int $sig = 0;
+         |  for (int $j = 0; $j < $planes; $j++) {
+         |    double[] $pl = $p[$t * $planes + $j];
+         |    int $n = java.lang.Math.min($e.numElements(), $pl.length);
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += $e.getDouble($i) * $pl[$i];
+         |    }
+         |    if ($s > 0) $sig |= (1 << $j);
+         |  }
+         |  $out[$t] = $sig;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneSigs =
+    copy(child = newChild)
+}
+
 /** Asymmetric sketch score: Σ over set sign bits of the query's REAL
   * projection onto that bit's hyperplane — rank-equivalent to
   * Σ sign_j·(q⋅h_j), the asymmetric-distance estimate of the cosine
@@ -232,6 +313,11 @@ object VectorOps {
           exprs(2).eval().asInstanceOf[Int]), "built-in")
       reg.createOrReplaceTempFunction("sketch_dot",
         exprs => SketchDot(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("plane_sigs",
+        exprs => PlaneSigs(exprs(0),
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int],
+          exprs(3).eval().asInstanceOf[Int]), "built-in")
     }
 
   /** Dot product of two `array<double>` columns (codegen'd). */
@@ -246,6 +332,12 @@ object VectorOps {
   /** Asymmetric sketch score against literal per-plane projections. */
   def sketchDot(sketch: Column, projs: Seq[Double]): Column =
     call_function("sketch_dot", sketch, typedLit(projs))
+
+  /** Multi-table LSH signature array (planes at offset `base` of the
+    * deterministic md5 family; `planes` sign bits per table). */
+  def planeSigs(emb: Column, base: Int, tables: Int, planes: Int): Column =
+    call_function("plane_sigs", emb.cast("array<double>"),
+      lit(base), lit(tables), lit(planes))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -158,11 +158,12 @@ final case class AnnIndex(sigs: DataFrame,
         max(col("n")).as("max_bucket"))
       .filter(col("n") <= maxBucket)
       .select("t", "sig")
+    graft.functions.VectorOps.register(sigs.sparkSession)
     val qe = queries.select(col(idCol).as("src_id"),
       col(embCol).cast("array<double>").as("se"))
     val lhs = qe.select(col("src_id"), col("se"),
-      posexplode(array(SimilarityOps.lshTableSigs(col("se"), tables,
-        planesPerTable): _*)).as(Seq("t", "sig")))
+      posexplode(graft.functions.VectorOps.planeSigs(
+        col("se"), 0, tables, planesPerTable)).as(Seq("t", "sig")))
     val rhs = sigs.join(keep, Seq("t", "sig"))
       .select(col("t"), col("sig"),
         col("vec_id").as("dst_id"), col("embedding").as("de"))
@@ -194,13 +195,17 @@ object AnnIndex {
       tables: Int = SimilarityOps.TABLES,
       planesPerTable: Int = SimilarityOps.PLANES_PER_TABLE,
       persist: Boolean = true): AnnIndex = {
-    val sigCols = SimilarityOps.lshTableSigs(col("embedding"), tables,
-      planesPerTable)
+    graft.functions.VectorOps.register(vectors.sparkSession)
+    // ONE native loop expression (PlaneSigs, bit-equal to the unrolled
+    // lshTableSigs spelling — VectorExpressionsSpec) computes all
+    // table signatures: the unrolled tables×planes dot expressions
+    // cost ~0.5 s per corpus scan and bloated every downstream plan.
     val raw = vectors
       .select(col(idCol).as("vec_id"),
         col(embCol).cast("array<double>").as("embedding"))
       .select(col("vec_id"), col("embedding"),
-        posexplode(array(sigCols: _*)).as(Seq("t", "sig")))
+        posexplode(graft.functions.VectorOps.planeSigs(
+          col("embedding"), 0, tables, planesPerTable)).as(Seq("t", "sig")))
     val sigs = if (persist) raw.persist(StorageLevel.MEMORY_AND_DISK) else raw
     AnnIndex(sigs, tables, planesPerTable)
   }

@@ -62,4 +62,40 @@ class VectorExpressionsSpec extends SparkSpec {
       .select("vec_id", "d").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(interp === gen)
   }
+
+  test("plane_sigs is bit-equal to the unrolled lshTableSigs spelling") {
+    import graft.operators.SimilarityOps
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val viaNative = e.select(col("vec_id"),
+        VectorOps.planeSigs(col("v"), 0, 16, 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val unrolled = SimilarityOps.lshTableSigs(col("v"), 16, 4)
+    val viaUnrolled = e.select(col("vec_id") +: unrolled.zipWithIndex
+        .map { case (c, t) => c.as(s"t$t") }: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getInt)).toMap
+    assert(viaNative.view.mapValues(_.toSeq).toMap ===
+      viaUnrolled.view.mapValues(_.toSeq).toMap)
+  }
+
+  test("sketch_dot equals a driver-side bit-weighted sum") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(50)
+    val base = 1 << 20
+    val projs = (0 until 256).map(_ * 0.01 - 1.0) // arbitrary weights
+    val rows = e.select(col("vec_id"),
+        VectorOps.planeSketch(col("v"), base, 4).as("sk"),
+        VectorOps.sketchDot(
+          VectorOps.planeSketch(col("v"), base, 4), projs).as("score"))
+      .collect()
+    rows.foreach { r =>
+      val sk = r.getSeq[Long](1)
+      var s = 0.0
+      for (w <- 0 until 4; j <- 0 until 64)
+        if (((sk(w) >>> j) & 1L) == 1L) s += projs(w * 64 + j)
+      assert(r.getDouble(2) === s, s"sketch_dot mismatch for ${r.getLong(0)}")
+    }
+  }
 }
