@@ -624,21 +624,8 @@ object DedupOps {
     * positions 0-based inclusive, ordered (doc_id, start_pos). */
   def duplicatePassages(corpus: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minOccurrences: Int = 2): DataFrame = {
-    val base = corpus.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("toks"))
-    // (doc_id, pos, gram-hash) — the k-gram position table. The HOF
-    // keeps the token array inside one row while hashing (no fat
-    // explode); only (doc_id, pos, 8-byte gh) rows leave the stage.
-    val grams = base
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("toks")) - k),
-        i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
-        .as(Seq("pos", "gh")))
-    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minOccurrences)
-      .select("gh")
-    val dupPos = grams.join(dup, "gh")
+    val (base, dupPos) = dupGramPositions(corpus, idCol, textCol, k,
+      minOccurrences)
     // gaps-and-islands per document: consecutive duplicated positions
     // share (pos - row_number), so one window + one aggregate yields
     // the maximal passages.
@@ -654,6 +641,63 @@ object DedupOps {
         concat_ws(" ", slice(col("toks"), col("start_pos") + 1,
           col("end_pos") - col("start_pos") + 1)).as("passage"))
       .orderBy("doc_id", "start_pos")
+  }
+
+  /** Scrub the [[duplicatePassages]] spans OUT of the corpus — the
+    * apply side of the ExactSubstr pass (Lee et al. cut every
+    * duplicated span from every occurrence; keeping one copy is the
+    * documented open problem there, and dropping all is the
+    * conservative trade their pipeline ships). Tokens covered by any
+    * duplicated ≥`k`-gram are removed; documents left with zero tokens
+    * (fully duplicated) drop from the output entirely.
+    *
+    * Same linear shape as the mining pass plus one anti-join of token
+    * positions against covered positions and one per-doc aggregate
+    * (order restored by sorting the (pos, token) structs — no
+    * collect_list ordering assumption).
+    *
+    * Returns (doc_id, n_kept, scrubbed), ordered by doc_id. */
+  def scrubDuplicatePassages(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int = 8, minOccurrences: Int = 2): DataFrame = {
+    val (base, dupPos) = dupGramPositions(corpus, idCol, textCol, k,
+      minOccurrences)
+    val covered = dupPos
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tp"))
+      .distinct()
+    val toks = base.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("tp", "tok")))
+    toks.join(covered, Seq("doc_id", "tp"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          s => s.getField("tok"))).as("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared stage of the substring-dedup family: the k-gram position
+    * table and its duplicated positions. Returns (base = (doc_id,
+    * toks), dupPos = (doc_id, pos) of grams at ≥ minOccurrences
+    * corpus-wide locations). The HOF keeps the token array inside one
+    * row while hashing (no fat explode); only (doc_id, pos, 8-byte gh)
+    * rows leave the stage, and the duplicated-gram count aggregate is
+    * map-side combined. */
+  private def dupGramPositions(corpus: DataFrame, idCol: String,
+      textCol: String, k: Int, minOccurrences: Int)
+      : (DataFrame, DataFrame) = {
+    val base = corpus.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+    val grams = base
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("toks")) - k),
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
+        .as(Seq("pos", "gh")))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minOccurrences)
+      .select("gh")
+    (base, grams.join(dup, "gh").select("doc_id", "pos"))
   }
 
   val all: Seq[Query] = Seq(
@@ -702,6 +746,37 @@ object DedupOps {
               FROM p JOIN t ON p.doc_id = t.doc_id
               ORDER BY p.doc_id, p.start_pos"""),
       (s, d) => duplicatePassages(Tables.documents(s, d), "doc_id", "text")),
+
+    // The apply side of the substring pass: cut every duplicated
+    // >=8-token span from every occurrence (fully-duplicated documents
+    // drop), returning the scrubbed corpus a pretraining mix ingests.
+    Query(
+      "q_substring_scrub",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                         FROM documents),
+              g AS (SELECT doc_id,
+                           CAST(unnest(range(0, greatest(len(toks) - 7, 0)))
+                             AS INT) AS pos,
+                           unnest(list_transform(
+                             range(0, greatest(len(toks) - 7, 0)),
+                             i -> array_to_string(toks[i+1:i+8], ' ')))
+                             AS gram
+                    FROM t),
+              dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+              m AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+              cov AS (SELECT DISTINCT m.doc_id, CAST(m.pos + r.u AS INT) AS tp
+                      FROM m, range(0, 8) r(u)),
+              tok AS (SELECT doc_id,
+                             CAST(unnest(range(0, len(toks))) AS INT) AS tp,
+                             unnest(toks) AS tok
+                      FROM t),
+              kept AS (SELECT tok.doc_id, tok.tp, tok.tok
+                       FROM tok ANTI JOIN cov USING (doc_id, tp))
+              SELECT doc_id, count(*) AS n_kept,
+                     array_to_string(list(tok ORDER BY tp), ' ') AS scrubbed
+              FROM kept GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => scrubDuplicatePassages(Tables.documents(s, d),
+        "doc_id", "text")),
 
     // MinHash+LSH near-dup pairs, gated by a brute-force O(n²) oracle.
     Query(

@@ -278,6 +278,39 @@ class DedupOpsSpec extends SparkSpec {
       (4L, 12, 21, 10, p)))
   }
 
+  test("substring scrub removes exactly the covered spans; fully-" +
+      "duplicated docs drop; the scrubbed corpus re-mines to nothing") {
+    import spark.implicits._
+    val passage = (1 to 10).map(i => s"p$i")
+    val docA = ((1 to 5).map(i => s"a$i") ++ passage ++
+      (1 to 5).map(i => s"z$i")).mkString(" ")
+    val docB = ((1 to 3).map(i => s"b$i") ++ passage ++
+      (1 to 7).map(i => s"y$i")).mkString(" ")
+    val docC = (1 to 20).map(i => s"c$i").mkString(" ")
+    val docD = (passage ++ Seq("m1", "m2") ++ passage).mkString(" ")
+    val docF = passage.mkString(" ") // fully duplicated → drops
+    val corpus = Seq((1L, docA), (2L, docB), (3L, docC), (4L, docD),
+      (6L, docF)).toDF("doc_id", "text")
+    val got = DedupOps.scrubDuplicatePassages(corpus, "doc_id", "text",
+        k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // A and B keep their unique prefixes/suffixes; C is untouched;
+    // D keeps only the m1 m2 bridge; F vanishes (all tokens covered)
+    assert(got === Seq(
+      (1L, 10L, (1 to 5).map(i => s"a$i").mkString(" ") + " " +
+        (1 to 5).map(i => s"z$i").mkString(" ")),
+      (2L, 10L, (1 to 3).map(i => s"b$i").mkString(" ") + " " +
+        (1 to 7).map(i => s"y$i").mkString(" ")),
+      (3L, 20L, docC),
+      (4L, 2L, "m1 m2")))
+    // scrubbing is complete: no duplicated k-gram survives
+    val remined = DedupOps.duplicatePassages(
+      DedupOps.scrubDuplicatePassages(corpus, "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("scrubbed").as("text")),
+      "doc_id", "text", k = 8)
+    assert(remined.count() === 0L)
+  }
+
   test("substring dedup is idempotent on its own output corpus") {
     import spark.implicits._
     // scrubbing the reported spans then re-mining must find nothing:
