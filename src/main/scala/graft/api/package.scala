@@ -94,6 +94,20 @@ package object api {
         threshold: Double, withinCol: Option[String] = None): DataFrame =
       DedupOps.containmentPairs(df, idCol, textCol, threshold,
         withinCol = withinCol)
+
+    /** Substring-level EXACT dedup (Lee et al. ExactSubstr): maximal
+      * repeated ≥k-token passages across and within documents —
+      * (doc_id, start_pos, end_pos, n_tokens, passage). */
+    def duplicatePassages(idCol: String, textCol: String, k: Int = 8,
+        minOccurrences: Int = 2): DataFrame =
+      DedupOps.duplicatePassages(df, idCol, textCol, k, minOccurrences)
+
+    /** Scrub the duplicated passages OUT of the corpus (every
+      * occurrence cut; fully-duplicated documents drop) —
+      * (doc_id, n_kept, scrubbed). */
+    def scrubDuplicatePassages(idCol: String, textCol: String, k: Int = 8,
+        minOccurrences: Int = 2): DataFrame =
+      DedupOps.scrubDuplicatePassages(df, idCol, textCol, k, minOccurrences)
   }
 
   implicit class GraftCurationOps(private val df: DataFrame) {
@@ -127,10 +141,14 @@ package object api {
         benchTextCol, k, fpp)
 
     /** Curation funnel report: per-stratum stage-survival counts
-      * (total → quality → keeper → final). */
+      * (total → quality → exact keeper → final; pass `clusterKeepers` —
+      * a nearDupClusters keeper table — to also report the near-dup
+      * stage as n_nd_keepers / n_final_nd). */
     def funnelReport(idCol: String, textCol: String,
-        strataCols: Seq[String]): DataFrame =
-      CurationOps.funnelReport(df, idCol, textCol, strataCols)
+        strataCols: Seq[String],
+        clusterKeepers: Option[DataFrame] = None): DataFrame =
+      CurationOps.funnelReport(df, idCol, textCol, strataCols,
+        clusterKeepers = clusterKeepers)
 
     /** Greedy fixed-token sequence packing per stratum: appends
       * (n_tokens, pack_id). */
@@ -187,15 +205,18 @@ package object api {
       SimilarityOps.knnJoinAnn(df, idCol, embCol, k, tables, planesPerTable)
 
     /** Build a materialized multi-table LSH signature index (persisted;
-      * probe with `.topK(id)` / `.topKVec(vector)`; persist bucketed
-      * with `.writeTable`). */
+      * probe with `.topK(id)` / `.topKVec(vector)`; batch-probe an
+      * external query set with `.knnJoinWith(queries, …)`; persist
+      * bucketed with `.writeTable`). */
     def lshIndex(idCol: String, embCol: String): operators.AnnIndex =
       operators.AnnIndex.build(df, idCol, embCol)
 
     /** Build a deterministic IVF (inverted-file) index: hash-seeded
-      * centroids, DECIMAL-exact Lloyd refinement, nprobe-pruned probes.
-      * k=32 default per the measured recall/cost frontier (BASELINE.md
-      * §IVF). */
+      * centroids, DECIMAL-exact Lloyd refinement, a 256-bit sketch
+      * column, and both probe modes — single-stage `.topK(id, k,
+      * nprobe)` and the two-stage reranked `.topKAuto(id, k)` (wide
+      * sketch sweep + exact rescore; the measured-frontier default,
+      * BASELINE.md §IVF rerank). */
     def ivfIndex(idCol: String, embCol: String, k: Int = 32,
         iters: Int = 2): operators.IvfIndex =
       operators.IvfIndex.build(df, idCol, embCol, k, iters)

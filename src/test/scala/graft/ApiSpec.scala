@@ -97,6 +97,28 @@ class ApiSpec extends SparkSpec {
     assert(first.getLong(0) === 0L && first.getDouble(1) >= 0.999999)
     val ivf = vecs.ivfIndex("vec_id", "embedding")
     assert(ivf.topK(0L, 10).count() === 10)
+    assert(ivf.topKAuto(0L, 10).count() === 10)
     lsh.sigs.unpersist(); ivf.cells.unpersist()
+  }
+
+  test("duplicatePassages / scrubDuplicatePassages == registry queries") {
+    val mineLib = docs.duplicatePassages("doc_id", "text").collect().toSeq
+    val mineReg = SparkEntry.queries("q_substring_dedup")(spark, sfDir)
+      .collect().toSeq
+    assert(mineLib.map(_.toSeq) === mineReg.map(_.toSeq))
+    val scrubLib = docs.scrubDuplicatePassages("doc_id", "text")
+      .collect().toSeq
+    val scrubReg = SparkEntry.queries("q_substring_scrub")(spark, sfDir)
+      .collect().toSeq
+    assert(scrubLib.map(_.toSeq) === scrubReg.map(_.toSeq))
+  }
+
+  test("funnelReport with clusterKeepers == q_curation_funnel") {
+    val ck = docs.nearDupClusters("doc_id", "text", threshold = 0.5)
+    val lib = docs.funnelReport("doc_id", "text", Seq("source", "lang"),
+      clusterKeepers = Some(ck)).collect().toSeq
+    val reg = SparkEntry.queries("q_curation_funnel")(spark, sfDir)
+      .collect().toSeq
+    assert(lib.map(_.toSeq) === reg.map(_.toSeq))
   }
 }
