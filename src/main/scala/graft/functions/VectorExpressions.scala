@@ -224,6 +224,73 @@ case class PlaneSigs(child: Expression, base: Int, tables: Int, planes: Int)
     copy(child = newChild)
 }
 
+/** Native per-row plane projections of an `array<double>` embedding:
+  * the REAL-valued dots of the embedding against `count` deterministic
+  * md5 hyperplanes at offset `base` — the query-side half of the
+  * asymmetric sketch score when the queries are a DATAFRAME (the batch
+  * kNN join) rather than one driver-side vector. Output
+  * `array<double>` of length `count`, consumed by [[SketchDot]] with a
+  * column right-hand side. Same generated-loop stance as
+  * [[PlaneSketch]] (janino 64 KB limit forbids unrolling). */
+case class PlaneProject(child: Expression, base: Int, count: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "plane_project"
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(count)(p =>
+      graft.operators.SimilarityOps.hyperplane(base + p).toArray)
+
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val out = new Array[Double](count)
+    var j = 0
+    while (j < count) {
+      val pl = planes(j)
+      val n = math.min(e.numElements(), pl.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += e.getDouble(i) * pl(i); i += 1 }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, e => {
+      val p = ctx.addReferenceObj("planes", planes, "double[][]")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val pl = ctx.freshName("pl")
+      s"""
+         |double[] $out = new double[$count];
+         |for (int $j = 0; $j < $count; $j++) {
+         |  double[] $pl = $p[$j];
+         |  int $n = java.lang.Math.min($e.numElements(), $pl.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $e.getDouble($i) * $pl[$i];
+         |  }
+         |  $out[$j] = $s;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneProject =
+    copy(child = newChild)
+}
+
 /** Asymmetric sketch score: Σ over set sign bits of the query's REAL
   * projection onto that bit's hyperplane — rank-equivalent to
   * Σ sign_j·(q⋅h_j), the asymmetric-distance estimate of the cosine
@@ -299,6 +366,25 @@ object VectorOps {
   private val registered = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
+  // Parameter positions of the registered wrappers must be foldable
+  // integral literals (the library wrappers pass `lit(int)`); SQL users
+  // can hand us a BIGINT literal, a non-foldable column, or NULL — turn
+  // each into a clear analysis-time error instead of an opaque
+  // ClassCastException/NPE at use time.
+  private def intArg(fn: String, name: String, e: Expression): Int = {
+    def fail(got: String) = throw new IllegalArgumentException(
+      s"$fn expects a literal INT for '$name'; got $got")
+    if (!e.foldable) fail(s"non-foldable expression ${e.sql}")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case null => fail("NULL")
+      case other => fail(s"${e.dataType.simpleString} value $other")
+    }
+  }
+
   /** Idempotently register the vector expressions (once per session). */
   def register(spark: SparkSession): Unit =
     if (registered.add(spark)) {
@@ -306,18 +392,21 @@ object VectorOps {
         .sessionState.functionRegistry
       reg.createOrReplaceTempFunction("vec_dot",
         exprs => VectorDot(exprs(0), exprs(1)), "built-in")
-      // base/words arrive as int literals from the library wrappers
       reg.createOrReplaceTempFunction("plane_sketch",
         exprs => PlaneSketch(exprs(0),
-          exprs(1).eval().asInstanceOf[Int],
-          exprs(2).eval().asInstanceOf[Int]), "built-in")
+          intArg("plane_sketch", "base", exprs(1)),
+          intArg("plane_sketch", "words", exprs(2))), "built-in")
       reg.createOrReplaceTempFunction("sketch_dot",
         exprs => SketchDot(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("plane_project",
+        exprs => PlaneProject(exprs(0),
+          intArg("plane_project", "base", exprs(1)),
+          intArg("plane_project", "count", exprs(2))), "built-in")
       reg.createOrReplaceTempFunction("plane_sigs",
         exprs => PlaneSigs(exprs(0),
-          exprs(1).eval().asInstanceOf[Int],
-          exprs(2).eval().asInstanceOf[Int],
-          exprs(3).eval().asInstanceOf[Int]), "built-in")
+          intArg("plane_sigs", "base", exprs(1)),
+          intArg("plane_sigs", "tables", exprs(2)),
+          intArg("plane_sigs", "planes", exprs(3))), "built-in")
     }
 
   /** Dot product of two `array<double>` columns (codegen'd). */
@@ -332,6 +421,17 @@ object VectorOps {
   /** Asymmetric sketch score against literal per-plane projections. */
   def sketchDot(sketch: Column, projs: Seq[Double]): Column =
     call_function("sketch_dot", sketch, typedLit(projs))
+
+  /** Asymmetric sketch score against a per-ROW projection column (the
+    * batch form — queries are a DataFrame, see [[PlaneProject]]). */
+  def sketchDotCol(sketch: Column, projs: Column): Column =
+    call_function("sketch_dot", sketch, projs)
+
+  /** Per-row projections of an embedding column onto `count` planes of
+    * the deterministic md5 family at offset `base`. */
+  def planeProject(emb: Column, base: Int, count: Int): Column =
+    call_function("plane_project", emb.cast("array<double>"),
+      lit(base), lit(count))
 
   /** Multi-table LSH signature array (planes at offset `base` of the
     * deterministic md5 family; `planes` sign bits per table). */

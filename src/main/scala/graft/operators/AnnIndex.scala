@@ -175,10 +175,39 @@ final case class AnnIndex(sigs: DataFrame,
     SimilarityOps.topKPerSrc(edges, "cos_sim", k)
   }
 
+  /** A new index covering this index's vectors PLUS `newVectors` — the
+    * ingestion path for a live corpus (daily document batches, the
+    * streaming dedup filter): the batch's signatures are computed
+    * under THIS index's hyperplane budget (one narrow pass — probes
+    * keep hitting the same buckets) and unioned onto the signature
+    * table, whose persisted blocks keep serving the bulk. Chained
+    * appends stack narrow unions on the plan; long-running consumers
+    * compact periodically through the [[writeTable]]/[[fromTable]]
+    * round trip (or [[appendTable]] for the durable path). The
+    * original index stays valid and this method never unpersists it. */
+  def append(newVectors: DataFrame, idCol: String, embCol: String): AnnIndex = {
+    val add = AnnIndex.build(newVectors, idCol, embCol, tables,
+      planesPerTable, persist = false)
+    AnnIndex(sigs.unionByName(add.sigs), tables, planesPerTable)
+  }
+
   /** Persist the index as a bucketed warehouse table: probes with
     * `sig` equality/IN predicates read only their own buckets. */
   def writeTable(table: String, buckets: Int = 32): Unit =
     graft.sources.Warehouse.writeBucketed(sigs, table, "sig", buckets)
+
+  /** Append a new batch's signature rows to a bucketed index table
+    * written by [[writeTable]] — the durable twin of [[append]].
+    * `buckets` must match the original write (Spark refuses a
+    * mismatched bucket spec), so existing probes keep pruning to their
+    * buckets across the appended files. */
+  def appendTable(table: String, newVectors: DataFrame, idCol: String,
+      embCol: String, buckets: Int = 32): Unit = {
+    val add = AnnIndex.build(newVectors, idCol, embCol, tables,
+      planesPerTable, persist = false)
+    add.sigs.write.mode("append").format("parquet")
+      .bucketBy(buckets, "sig").sortBy("sig").saveAsTable(table)
+  }
 
   /** Release the index's executor storage (lineage stays valid — a
     * later probe recomputes instead of reading cached blocks). */

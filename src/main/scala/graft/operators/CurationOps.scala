@@ -173,22 +173,38 @@ object CurationOps {
     * md5 draw as [[hashSplit]]).
     *
     * `clusterKeepers` feeds the NEAR-dup stage: a `(idCol, keeper)`
-    * DataFrame — the [[DedupOps.nearDupClusters]] output shape — joined
-    * in on the id, adding `n_nd_keepers` (near-dup cluster keepers) and
-    * `n_final_nd` (cluster keeper ∧ quality) columns, so the funnel
-    * reports the survival of the dedup stage a production mix actually
-    * runs (cluster keepers ⊆ exact keepers: every exact-duplicate group
-    * is one near-dup cluster or part of a bigger one). */
+    * DataFrame — the [[DedupOps.nearDupClusters]] output shape (which
+    * names its id column after the caller's `idCol`) — LEFT-joined in
+    * on the id (a doc absent from the keeper table counts as a
+    * non-keeper; it never vanishes from the earlier-stage counts),
+    * adding `n_nd_keepers` (near-dup cluster keepers) and `n_final_nd`
+    * (cluster keeper ∧ quality) columns, so the funnel reports the
+    * survival of the dedup stage a production mix actually runs
+    * (cluster keepers ⊆ exact keepers: every exact-duplicate group is
+    * one near-dup cluster or part of a bigger one). */
   def funnelReport(df: DataFrame, idCol: String, textCol: String,
       strataCols: Seq[String], minTokens: Int = 20, maxTokens: Int = 80,
       minStopRatio: Double = 0.02, maxAvgTokLen: Double = 5.0,
       clusterKeepers: Option[DataFrame] = None): DataFrame = {
-    val exact = TextOps.withQuality(hashSplit(df, idCol), textCol)
-      .withColumn("keeper", col(idCol) === min(col(idCol))
-        .over(Window.partitionBy(md5(lower(trim(col(textCol)))))))
+    val withQ = TextOps.withQuality(hashSplit(df, idCol), textCol)
+    // Exact-keeper flag, collapse-first (the dedup family's stance): a
+    // map-side-combined aggregate per distinct digest — a billion-copy
+    // boilerplate doc is one row per partition before the exchange —
+    // joined back on the digest. The previous corpus-wide
+    // min-over-window spelling forced every row of a hot digest into
+    // one window partition (skew-pathological at scale); same keeper
+    // semantics, same exchange count, pinned window-free in PlanSpec.
+    val dig = md5(lower(trim(col(textCol))))
+    val keepers = withQ.select(dig.as("graft_dig"), col(idCol))
+      .groupBy("graft_dig").agg(min(col(idCol)).as("graft_keeper_id"))
+    val exact = withQ.withColumn("graft_dig", dig)
+      .join(keepers, "graft_dig")
+      .withColumn("keeper", col(idCol) === col("graft_keeper_id"))
+      .drop("graft_dig", "graft_keeper_id")
     val flagged = clusterKeepers.fold(exact)(ck =>
       exact.join(ck.select(col(idCol), col("keeper").as("nd_keeper")),
-        Seq(idCol)))
+          Seq(idCol), "left")
+        .withColumn("nd_keeper", coalesce(col("nd_keeper"), lit(false))))
     val qual = col("n_tokens").between(minTokens, maxTokens) &&
       col("stop_ratio") >= minStopRatio && col("avg_tok_len") <= maxAvgTokLen
     val keys = strataCols :+ "split"
@@ -436,12 +452,11 @@ object CurationOps {
                FROM m JOIN ck USING (doc_id)
                GROUP BY source, lang, split
                ORDER BY source, lang, split"""),
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        funnelReport(docs, "doc_id", "text", Seq("source", "lang"),
-          clusterKeepers = Some(DedupOps.nearDupClusters(
-            DedupOps.nearDupEdges(docs, "doc_id", "text", 0.5),
-            docs.select("doc_id"), "doc_id")))
-      })
+      (s, d) => funnelReport(Tables.documents(s, d), "doc_id", "text",
+        Seq("source", "lang"),
+        // the keeper table is cached per (session, corpus) — the LSH +
+        // connected-components chain runs once for this query AND
+        // q_dedup_clusters, not once per consumer
+        clusterKeepers = Some(DedupOps.clusterKeepersForDir(s, d))))
   )
 }

@@ -356,14 +356,35 @@ object DedupOps {
         s"nearDupClusters stopped at maxIters=$maxIters before the label " +
           "sum stabilized — raise maxIters for deeper components")
     // Re-attach the full universe: singletons cluster as themselves.
-    ids.select(col(idCol).as("doc_id"))
-      .join(labels.select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"),
-        "left")
-      .select(col("doc_id"),
-        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-      .withColumn("keeper", col("doc_id") === col("cluster_id"))
-      .orderBy("doc_id")
+    // The id column keeps the CALLER's name (`idCol`), so downstream
+    // joins (funnelReport's clusterKeepers contract) need no rename.
+    ids.select(col(idCol).as("graft_cc_id"))
+      .join(labels.select(col("id").as("graft_cc_id"), col("lbl")),
+        Seq("graft_cc_id"), "left")
+      .select(col("graft_cc_id").as(idCol),
+        coalesce(col("lbl"), col("graft_cc_id")).as("cluster_id"))
+      .withColumn("keeper", col(idCol) === col("cluster_id"))
+      .orderBy(idCol)
   }
+
+  /** The near-dup cluster-keeper table of a test-corpus dir (Jaccard
+    * threshold 0.5), cached per (session, corpus) like the ANN indexes:
+    * the LSH + connected-components chain is the heaviest plan in the
+    * engine, and both `q_dedup_clusters` and `q_curation_funnel`
+    * consume exactly this table — the cache pays the chain once per
+    * session instead of once per consumer. Evicts on [[IndexCache]]'s
+    * session-end hook; executor storage is released then. */
+  def clusterKeepersForDir(spark: SparkSession, sfDir: String): DataFrame =
+    keeperCache.get(spark, sfDir)
+
+  private val keeperCache = new IndexCache[DataFrame](
+    (spark, sfDir) => {
+      val docs = Tables.documents(spark, sfDir)
+      nearDupClusters(nearDupEdges(docs, "doc_id", "text", 0.5),
+        docs.select("doc_id"), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    },
+    _.unpersist(blocking = false))
 
   /** 64-bit SimHash (two int32 halves packed in BIGINTs, cross-engine
     * bit-op-safe): per distinct token, bits come from the first 16 hex
@@ -644,12 +665,17 @@ object DedupOps {
   }
 
   /** Scrub the [[duplicatePassages]] spans OUT of the corpus — the
-    * apply side of the ExactSubstr pass (Lee et al. cut every
-    * duplicated span from every occurrence; keeping one copy is the
-    * documented open problem there, and dropping all is the
-    * conservative trade their pipeline ships). Tokens covered by any
-    * duplicated ≥`k`-gram are removed; documents left with zero tokens
-    * (fully duplicated) drop from the output entirely.
+    * apply side of the ExactSubstr pass. Default (`keepFirst = false`,
+    * the Lee et al. conservative trade): tokens covered by any
+    * duplicated ≥`k`-gram are removed from EVERY occurrence; documents
+    * left with zero tokens (fully duplicated) drop from the output
+    * entirely. `keepFirst = true` is the production-mix variant
+    * (keeping one copy is the documented open problem in Lee et al.):
+    * each duplicated gram is OWNED by its minimal (doc_id, pos)
+    * occurrence — a deterministic owner needing only a min-struct in
+    * the same gram aggregate — and only non-owner occurrences are
+    * scrubbed, so exactly one copy of a duplicated passage survives
+    * (the one in the lowest doc id, earliest position).
     *
     * Same linear shape as the mining pass plus one anti-join of token
     * positions against covered positions and one per-doc aggregate
@@ -658,9 +684,10 @@ object DedupOps {
     *
     * Returns (doc_id, n_kept, scrubbed), ordered by doc_id. */
   def scrubDuplicatePassages(corpus: DataFrame, idCol: String,
-      textCol: String, k: Int = 8, minOccurrences: Int = 2): DataFrame = {
+      textCol: String, k: Int = 8, minOccurrences: Int = 2,
+      keepFirst: Boolean = false): DataFrame = {
     val (base, dupPos) = dupGramPositions(corpus, idCol, textCol, k,
-      minOccurrences)
+      minOccurrences, excludeOwners = keepFirst)
     val covered = dupPos
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tp"))
@@ -682,10 +709,13 @@ object DedupOps {
     * corpus-wide locations). The HOF keeps the token array inside one
     * row while hashing (no fat explode); only (doc_id, pos, 8-byte gh)
     * rows leave the stage, and the duplicated-gram count aggregate is
-    * map-side combined. */
+    * map-side combined. `excludeOwners` additionally computes each
+    * gram's owner — the lexicographic-minimal (doc_id, pos) occurrence,
+    * a min-struct riding the SAME map-side-combined aggregate — and
+    * filters owner occurrences out of dupPos (the keep-first scrub). */
   private def dupGramPositions(corpus: DataFrame, idCol: String,
-      textCol: String, k: Int, minOccurrences: Int)
-      : (DataFrame, DataFrame) = {
+      textCol: String, k: Int, minOccurrences: Int,
+      excludeOwners: Boolean = false): (DataFrame, DataFrame) = {
     val base = corpus.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("toks"))
     val grams = base
@@ -694,10 +724,23 @@ object DedupOps {
         sequence(lit(0), size(col("toks")) - k),
         i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(k))))))
         .as(Seq("pos", "gh")))
-    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minOccurrences)
-      .select("gh")
-    (base, grams.join(dup, "gh").select("doc_id", "pos"))
+    val dupPos = if (!excludeOwners) {
+      val dup = grams.groupBy("gh").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minOccurrences)
+        .select("gh")
+      grams.join(dup, "gh").select("doc_id", "pos")
+    } else {
+      val dup = grams.groupBy("gh")
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("doc_id"), col("pos"))).as("own"))
+        .filter(col("n") >= minOccurrences)
+        .select("gh", "own")
+      grams.join(dup, "gh")
+        .filter(col("doc_id") =!= col("own.doc_id") ||
+          col("pos") =!= col("own.pos"))
+        .select("doc_id", "pos")
+    }
+    (base, dupPos)
   }
 
   val all: Seq[Query] = Seq(
@@ -778,6 +821,41 @@ object DedupOps {
       (s, d) => scrubDuplicatePassages(Tables.documents(s, d),
         "doc_id", "text")),
 
+    // Keep-FIRST substring scrub: each duplicated >=8-token gram is
+    // owned by its minimal (doc_id, pos) occurrence and survives there;
+    // only the other occurrences are cut — the production-mix variant
+    // (one copy of every duplicated passage remains in the corpus).
+    Query(
+      "q_substring_keepfirst",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                         FROM documents),
+              g AS (SELECT doc_id,
+                           CAST(unnest(range(0, greatest(len(toks) - 7, 0)))
+                             AS INT) AS pos,
+                           unnest(list_transform(
+                             range(0, greatest(len(toks) - 7, 0)),
+                             i -> array_to_string(toks[i+1:i+8], ' ')))
+                             AS gram
+                    FROM t),
+              dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+              m AS (SELECT g.doc_id, g.pos
+                    FROM g JOIN dup USING (gram)
+                    QUALIFY row_number() OVER (PARTITION BY gram
+                      ORDER BY g.doc_id, g.pos) > 1),
+              cov AS (SELECT DISTINCT m.doc_id, CAST(m.pos + r.u AS INT) AS tp
+                      FROM m, range(0, 8) r(u)),
+              tok AS (SELECT doc_id,
+                             CAST(unnest(range(0, len(toks))) AS INT) AS tp,
+                             unnest(toks) AS tok
+                      FROM t),
+              kept AS (SELECT tok.doc_id, tok.tp, tok.tok
+                       FROM tok ANTI JOIN cov USING (doc_id, tp))
+              SELECT doc_id, count(*) AS n_kept,
+                     array_to_string(list(tok ORDER BY tp), ' ') AS scrubbed
+              FROM kept GROUP BY doc_id ORDER BY doc_id"""),
+      (s, d) => scrubDuplicatePassages(Tables.documents(s, d),
+        "doc_id", "text", keepFirst = true)),
+
     // MinHash+LSH near-dup pairs, gated by a brute-force O(n²) oracle.
     Query(
       "q_dedup_minhash",
@@ -825,9 +903,7 @@ object DedupOps {
               SELECT id AS doc_id, min(r) AS cluster_id,
                      (id = min(r)) AS keeper
               FROM reach GROUP BY id ORDER BY doc_id"""),
-      (s, d) => nearDupClusters(
-        nearDupEdges(Tables.documents(s, d), "doc_id", "text", 0.5),
-        Tables.documents(s, d).select("doc_id"), "doc_id")),
+      (s, d) => clusterKeepersForDir(s, d)),
 
     // Exact n-gram Jaccard pairs at a LOW threshold (0.3) — below
     // where the banded-LSH recall guarantee holds, which is exactly the

@@ -30,8 +30,9 @@ import org.apache.spark.storage.StorageLevel
   * the probe plan.
   *
   * Search, two-stage reranked (`rescoreCap > 0`): sweep a WIDE nprobe
-  * over the SKETCH column only (hamming distance to the probe's
-  * sketch, codegen'd xor+bit_count), keep the best `rescoreCap`
+  * over the SKETCH column only, ranked by the ASYMMETRIC sketch score
+  * (stored sign bits × the query's real plane projections — ADC; the
+  * query side is never quantized), keep the best `rescoreCap`
   * candidates (TakeOrderedAndProject — no shuffle), and exactly
   * rescore only those embeddings. The wide sweep restores the recall
   * a narrow cell set forfeits while paying sketch bytes, not
@@ -40,7 +41,8 @@ import org.apache.spark.storage.StorageLevel
   * stage 2 fetches `rescoreCap` full rows — the byte-scan frontier is
   * measured in BASELINE.md §IVF and gated in SimilaritySpec.
   */
-final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]]) {
+final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]],
+    size: Long) {
 
   import graft.functions.VectorOps
 
@@ -58,9 +60,10 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]]) {
     * literal cell filter (prunable scan), exact rescore of everything
     * scanned, TakeOrderedAndProject (the r3 single-stage probe;
     * recall@10 ≈ 0.68 scanning ≈ 25% at k=32/nprobe=8, BASELINE.md
-    * §IVF). `rescoreCap > 0`: two-stage — hamming on the 32-byte
-    * sketch column across the (wide) nprobe cells, top `rescoreCap`
-    * by (hd, vec_id), exact cosine on those rows only. */
+    * §IVF). `rescoreCap > 0`: two-stage — the asymmetric sketch score
+    * ([[IvfIndex.asymScore]]) on the 32-byte sketch column across the
+    * (wide) nprobe cells, top `rescoreCap` by (score, vec_id), exact
+    * cosine on those rows only. */
   def topKVec(probe: Seq[Double], k: Int = 10, nprobe: Int = 8,
       rescoreCap: Int = 0): DataFrame =
     rankScan(cells, probe, k, nprobe, rescoreCap)
@@ -76,14 +79,18 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]]) {
   }
 
   /** Reranked probe with the measured-frontier policy (BASELINE.md
-    * §IVF rerank: recall@10 0.86 at 13% byte-scan on the gate corpus):
-    * wide nprobe = 3/4 of the cells, rescore cap = max(4k, 8% of the
-    * inverted file). The count is metadata off the persisted file. */
-  def topKAuto(probeId: Long, k: Int = 10): DataFrame = {
-    val n = cells.count()
+    * §IVF rerank): wide nprobe = 3/4 of the cells, rescore cap
+    * SATURATED at an absolute ceiling — max(4k, min(8% of the
+    * inverted file, [[IvfIndex.AutoRescoreCeiling]])). The fractional
+    * term sizes small corpora onto the measured frontier; the absolute
+    * ceiling is what survives 100× — without it stage 1's global limit
+    * funnels O(0.08·n) rows through one partition and stage 2 rescores
+    * a corpus fraction per point probe. `size` is build-time index
+    * metadata, so a probe launches no count job. */
+  def topKAuto(probeId: Long, k: Int = 10): DataFrame =
     topK(probeId, k, nprobe = math.max(1, centroids.size * 3 / 4),
-      rescoreCap = math.max(4 * k, (n * 0.08).toInt))
-  }
+      rescoreCap = math.max(4 * k,
+        math.min((size * 0.08).toLong, IvfIndex.AutoRescoreCeiling).toInt))
 
   private def rankScan(from: DataFrame, probe: Seq[Double], k: Int,
       nprobe: Int, rescoreCap: Int): DataFrame = {
@@ -110,6 +117,71 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]]) {
       .limit(k)
   }
 
+  /** Approximate kNN JOIN of an EXTERNAL query set through the
+    * inverted file — the batch-serving shape on the coarse-quantizer
+    * index (the twin of [[AnnIndex.knnJoinWith]]):
+    *
+    *   1. each query ranks the ≤k literal centroids IN-ROW (a tiny
+    *      struct-array sort — no driver loop, no collect) and fans out
+    *      to its `nprobe` nearest cells;
+    *   2. stage 1 equi-joins the query fan-out against the inverted
+    *      file ON THE CELL KEY, touching only (vec_id, cell, sketch) —
+    *      the 32-byte code column, never the 512-byte embedding — and
+    *      ranks candidates by the asymmetric sketch score (stored sign
+    *      bits × the query's [[graft.functions.PlaneProject]]
+    *      projections, computed once per query as a narrow map);
+    *      [[SimilarityOps.topKPerSrc]] trims to `rescorePerQuery`
+    *      candidates per query BEFORE the shuffle;
+    *   3. stage 2 joins the shortlist back to the embeddings of its
+    *      O(rescorePerQuery) rows per query, exactly rescores with the
+    *      codegen'd cosine, and reduces through the same partial
+    *      top-k.
+    *
+    * No cartesian anywhere; every join is a hash/merge equi-join; the
+    * candidate volume is nprobe/k_cells of the corpus per query in
+    * SKETCH bytes and rescorePerQuery rows per query in embedding
+    * bytes — the IVF-ADC serving shape at any scale. Ids must be
+    * integral (the typed top-k aggregator, see [[SimilarityOps
+    * .topKPerSrc]]). Indexed queries return themselves at cos 1 —
+    * callers re-probing corpus vectors filter `src_id =!= dst_id`.
+    * Probabilistic by design (a neighbor outside the probed cells or
+    * the sketch shortlist is missed): held-out recall is gated in
+    * SimilaritySpec, no SQL oracle. */
+  def knnJoinWith(queries: DataFrame, idCol: String, embCol: String,
+      k: Int, nprobe: Int = 16, rescorePerQuery: Int = 160): DataFrame = {
+    import graft.functions.{VectorOps => V}
+    V.register(cells.sparkSession)
+    val qe = queries.select(col(idCol).as("src_id"),
+      col(embCol).cast("array<double>").as("se"))
+    // in-row centroid ranking: struct(negCos, cell) sorts ascending =
+    // best cosine first, lowest cell id on ties (the point probe's
+    // nearestCells ordering, spelled as a codegen'd expression)
+    val scoredCells = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-round(V.cosine(col("se"), typedLit(c)), 9)).as("negCos"),
+        lit(i).as("cell"))
+    }: _*)
+    val fanout = qe
+      .withColumn("qprojs", IvfIndex.projCol(col("se")))
+      .select(col("src_id"), col("qprojs"),
+        explode(slice(array_sort(scoredCells), 1,
+          math.min(math.max(1, nprobe), centroids.size)).getField("cell"))
+          .as("cell"))
+    val cand = fanout
+      .join(cells.select(col("cell"), col("vec_id").as("dst_id"),
+        col("sketch")), Seq("cell"))
+      .select(col("src_id"), col("dst_id"),
+        V.sketchDotCol(col("sketch"), col("qprojs")).as("s1"))
+    val shortlist = SimilarityOps.topKPerSrc(cand, "s1", rescorePerQuery)
+      .select("src_id", "dst_id")
+    val edges = shortlist
+      .join(cells.select(col("vec_id").as("dst_id"),
+        col("embedding").as("de")), "dst_id")
+      .join(qe, "src_id")
+      .select(col("src_id"), col("dst_id"),
+        round(V.cosine(col("se"), col("de")), 6).as("cos_sim"))
+    SimilarityOps.topKPerSrc(edges, "cos_sim", k)
+  }
+
   /** Persist the inverted file bucketed by cell: a probe's IN-filter on
     * the bucket column reads only its nprobe buckets. */
   def writeTable(table: String, buckets: Int = 32): Unit =
@@ -121,6 +193,18 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]]) {
 }
 
 object IvfIndex {
+
+  /** Absolute ceiling on [[IvfIndex.topKAuto]]'s rescore cap. Picked
+    * from the RecallScan ABSCAP frontier (BASELINE.md §IVF rerank):
+    * at sf0.1 (n=5000, nprobe=3/4 cells) absolute caps 128/256/512
+    * measure recall@10 = 0.91/0.94/0.94 — the curve saturates by the
+    * mid-hundreds at these dimensions, so 512 buys full saturated
+    * recall with headroom for larger candidate pools. A constant, not
+    * a corpus fraction, is the policy that survives 100×: stage 2
+    * rescores O(C) rows per probe regardless of corpus size, and
+    * stage 1's global limit never funnels a corpus fraction through
+    * one partition. */
+  val AutoRescoreCeiling = 512
 
   // 256-bit hyperplane sketch: 4 BIGINT words, planes drawn from the
   // same deterministic md5 family as the LSH tables but offset far
@@ -135,6 +219,12 @@ object IvfIndex {
   private[graft] def sketchCol(emb: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     graft.functions.VectorOps.planeSketch(emb, SketchBase, SketchWords)
+
+  /** Per-row projections of a query embedding onto the sketch planes —
+    * the query-side half of the asymmetric score in batch form. */
+  private[graft] def projCol(emb: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    graft.functions.VectorOps.planeProject(emb, SketchBase, SketchWords * 64)
 
   /** Asymmetric sketch score of a stored sketch against a REAL-valued
     * query: Σ bit_j · (query ⋅ plane_j), rank-equivalent to
@@ -182,7 +272,10 @@ object IvfIndex {
     graft.functions.VectorOps.register(vectors.sparkSession)
     val e = vectors.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("embedding"))
-    val kEff = math.max(1, math.min(k, (e.count() / 4).toInt))
+    // one count at build time — stamped on the index as metadata so
+    // probes (topKAuto's cap policy) never launch their own count job
+    val nVecs = e.count()
+    val kEff = math.max(1, math.min(k, (nVecs / 4).toInt))
     var centroids: Seq[Seq[Double]] =
       e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kEff)
         .select("embedding").collect().map(_.getSeq[Double](0).toSeq).toSeq
@@ -203,7 +296,7 @@ object IvfIndex {
     val cells = assign(e, centroids)
       .withColumn("sketch", sketchCol(col("embedding")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    IvfIndex(cells, centroids)
+    IvfIndex(cells, centroids, nVecs)
   }
 
   // Evicts on invalidate() and on session end (see IndexCache).

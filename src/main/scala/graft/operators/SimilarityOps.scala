@@ -292,6 +292,25 @@ object SimilarityOps {
       (s, d) => knnJoinAnn(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 5)),
 
+    // Batch kNN join through the IVF inverted file (the coarse-
+    // quantizer serving shape): every 10th vector probes the cached
+    // whole-corpus index — cell fan-out, sketch-score shortlist, exact
+    // rescore. Queries are themselves indexed, so the cos=1 self-match
+    // is filtered and the 5 best true neighbors kept (one tiny re-rank
+    // over the ≤6 surviving rows per query). Recall-gated in
+    // SimilaritySpec, no SQL oracle.
+    Query("q_knn_ivf", None,
+      (s, d) => {
+        val probes = Tables.embeddings(s, d)
+          .filter(col("vec_id") % 10 === 0)
+        topKPerSrc(
+          IvfIndex.forDir(s, d)
+            .knnJoinWith(probes, "vec_id", "embedding", k = 6)
+            .filter(col("src_id") =!= col("dst_id"))
+            .select("src_id", "dst_id", "cos_sim"),
+          "cos_sim", 5)
+      }),
+
     // Multimodal projection: text + vector + label in one result row
     // (the reference's image-path columns, BME680.java:112,117, grown
     // up). Vector rendered as a rounded norm so the row is hashable.

@@ -63,4 +63,64 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("graft_fp")
       .drop("graft_fp")
   }
+
+  /** Streaming dedup against a persisted HISTORICAL index — the gap
+    * the watermark filters above cannot cover: their state holds only
+    * what arrived inside the current horizon, so a document duplicating
+    * last month's corpus sails through. [[IndexDedupFilter]] probes an
+    * [[graft.operators.AnnIndex]] of the historical corpus instead
+    * (each micro-batch is ONE [[graft.operators.AnnIndex.knnJoinWith]]
+    * equi-join — the batch-serving shape, never per-row lookups) and
+    * appends each batch's novel vectors, so a batch-2 near-duplicate
+    * of a batch-1 arrival is caught too. Use from
+    * `writeStream.foreachBatch` (index mutation is driver-side state —
+    * exactly what foreachBatch exists for). */
+  def againstIndex(index: graft.operators.AnnIndex, idCol: String,
+      embCol: String, threshold: Double): IndexDedupFilter =
+    new IndexDedupFilter(index, idCol, embCol, threshold)
+}
+
+/** foreachBatch consumer deduplicating arriving vectors against a
+  * growing historical [[graft.operators.AnnIndex]]: per batch, one
+  * index-probing kNN equi-join flags rows whose best indexed neighbor
+  * reaches `threshold` cosine; survivors are appended to the index
+  * before the next batch (so in-stream duplicates across batches are
+  * caught). Probabilistic exactly as the underlying LSH index is —
+  * the probe path's recall is gated in StreamingSpec/SimilaritySpec.
+  *
+  * Each batch's novel rows stay persisted: they back the appended
+  * signature rows of the in-memory index chain. Long streams compact
+  * through [[graft.operators.AnnIndex.writeTable]] /
+  * [[graft.operators.AnnIndex.appendTable]].
+  */
+final class IndexDedupFilter private[streaming] (
+    initial: graft.operators.AnnIndex, idCol: String, embCol: String,
+    threshold: Double) {
+
+  @volatile private var idx = initial
+
+  /** The current index (initial corpus + every processed batch's
+    * novel vectors). */
+  def index: graft.operators.AnnIndex = idx
+
+  /** Process one micro-batch: returns its NOVEL rows (no indexed
+    * neighbor at ≥ `threshold` cosine) and appends them to the index. */
+  def processBatch(batch: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val b = batch.persist(StorageLevel.MEMORY_AND_DISK)
+    val dupIds = idx.knnJoinWith(b, idCol, embCol, k = 1)
+      .filter(col("cos_sim") >= threshold)
+      .select(col("src_id").as(idCol))
+    val novel = b.join(dupIds, Seq(idCol), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    novel.count() // materialize NOW: the probe must see the pre-append index
+    idx = idx.append(novel, idCol, embCol)
+    b.unpersist(blocking = false)
+    novel
+  }
+
+  /** Adapter for `writeStream.foreachBatch`: dedups each micro-batch
+    * and hands the novel remainder to `onNovel`. */
+  def foreachBatch(onNovel: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) => onNovel(processBatch(batch), batchId)
 }

@@ -21,15 +21,26 @@ import org.apache.spark.sql.DataFrame
   * no code change; the driver-contract entry points stay local-fast.
   * Both forms are EAGER (materialize now) and run through
   * `withAction`, so `observe` metrics attached to the plan fire with
-  * the checkpoint job itself (the convergence-checksum protocol relies
+  * the first materialization (the convergence-checksum protocol relies
   * on this).
+  *
+  * Reliable mode runs TWO jobs (Spark's `ReliableRDDCheckpointData`
+  * writes checkpoint files in a separate job after the eager action
+  * computes the RDD), so [[pin]] persists the plan around the
+  * checkpoint write: the second job reads cached blocks instead of
+  * re-executing the plan — halving the compute per pinned round and
+  * keeping `observe` accumulators (convergence checksums, dropped-pair
+  * WARN counts) single-counted, since a cached read skips the
+  * instrumented computation.
   */
 object Checkpoints {
 
   /** Materialize `df` as stored blocks with a truncated plan —
     * reliable when the session has a checkpoint dir, local otherwise. */
   def pin(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try df.checkpoint(eager = true)
+      finally df.unpersist(blocking = false)
+    } else df.localCheckpoint(eager = true)
 }

@@ -69,9 +69,7 @@ object RecallScan {
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       val kCells = idx.centroids.size
       val fullRow = 8.0 + 32.0 + 512.0 // id + sketch + 64-dim double vec
-      for (nprobe <- Seq(8, 12, 16, 24, 32) if nprobe <= kCells;
-           capFrac <- Seq(0.02, 0.05, 0.10)) {
-        val cap = math.max(40, (n * capFrac).toInt)
+      def rerankRow(nprobe: Int, cap: Int, tag: String): Unit = {
         val (recall, rows) = probes.map { p =>
           val got = idx.topK(p, 10, nprobe, rescoreCap = cap).collect()
             .map(_.getLong(0)).toSet
@@ -86,9 +84,18 @@ object RecallScan {
           case (r, s) => (r / probes.size, s / probes.size)
         }
         val bytes = (rows * n * 40.0 + cap * fullRow) / (n * fullRow)
-        println(f"[recall] sf$sf RERANK nprobe=$nprobe%-2d cap=$cap%-5d " +
+        println(f"[recall] sf$sf $tag nprobe=$nprobe%-2d cap=$cap%-5d " +
           f"recall@10=$recall%.3f rows=$rows%.2f bytes=$bytes%.3f")
       }
+      for (nprobe <- Seq(8, 12, 16, 24, 32) if nprobe <= kCells;
+           capFrac <- Seq(0.02, 0.05, 0.10))
+        rerankRow(nprobe, math.max(40, (n * capFrac).toInt), "RERANK")
+      // ABSOLUTE caps at the topKAuto nprobe (3/4 of cells): the rows
+      // that justify IvfIndex.AutoRescoreCeiling — a CONSTANT rescore
+      // budget must hold the recall floor, because at 100× the corpus
+      // only an absolute cap keeps stage 2 O(C) per probe
+      for (cap <- Seq(64, 128, 256, 512))
+        rerankRow(math.max(1, kCells * 3 / 4), cap, "ABSCAP")
       idx.close()
     }
     spark.stop()

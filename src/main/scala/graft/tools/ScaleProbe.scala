@@ -97,7 +97,7 @@ object ScaleProbe {
     // hash shuffle), never with the pair count. Replication makes EVERY
     // gram duplicated (worst-case dup-join fanout), so linear bytes at
     // 2×/4× is the adversarial evidence.
-    println("[scale] substr: mult   docs   wall_s   shuffle_mb")
+    println("[scale] substr: mult   docs   mine_s  mine_mb   scrub_s  scrub_mb")
     Seq(1, 2, 4).foreach { m =>
       val corpus = (0 until m)
         .map(i => base.select((col("doc_id") + lit(i.toLong * 1000000L))
@@ -107,11 +107,21 @@ object ScaleProbe {
         .localCheckpoint()
       val n = corpus.count()
       listener.reset()
-      val t0 = System.nanoTime()
+      var t0 = System.nanoTime()
       DedupOps.duplicatePassages(corpus, "doc_id", "text").count()
-      val wall = (System.nanoTime() - t0) / 1e9
+      val wallMine = (System.nanoTime() - t0) / 1e9
       Thread.sleep(2000) // listener bus drains asynchronously
-      println(f"[scale] substr: $m%4d  $n%6d  $wall%7.2f  ${listener.bytes / 1e6}%10.1f")
+      val mbMine = listener.bytes / 1e6
+      // the scrub adds a token-position anti-join + per-doc reassembly
+      // on top of the mining shape — its shuffle must stay linear too
+      listener.reset()
+      t0 = System.nanoTime()
+      DedupOps.scrubDuplicatePassages(corpus, "doc_id", "text").count()
+      val wallScrub = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      val mbScrub = listener.bytes / 1e6
+      println(f"[scale] substr: $m%4d  $n%6d  $wallMine%6.2f  $mbMine%7.1f" +
+        f"  $wallScrub%7.2f  $mbScrub%8.1f")
     }
     spark.stop()
   }

@@ -167,6 +167,46 @@ class PlanSpec extends SparkSpec {
       "SortAggregate".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("substring family: no cartesian pair space, gram count is " +
+      "map-side combined (partial + final)") {
+    // the ExactSubstr translation must stay linear: a cartesian (or
+    // nested-loop) anywhere in the gram pipeline would be the O(n²)
+    // suffix-comparison shape the k-gram position table exists to avoid
+    for (name <- Seq("q_substring_dedup", "q_substring_scrub",
+        "q_substring_keepfirst")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(2000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n" + p.take(2000))
+      // duplicated-gram count: partial aggregate before the gh exchange
+      // (a million-copy boilerplate gram is one row per partition
+      // pre-shuffle), final after
+      assert("HashAggregate".r.findAllIn(p).size >= 2, s"$name:\n" + p.take(3000))
+    }
+  }
+
+  test("q_curation_funnel keeper flag is collapse-first — no Window " +
+      "over the corpus") {
+    // the exact-keeper flag must ride a groupBy-digest aggregate joined
+    // back (skew-safe: hot digests combine map-side), not a corpus-wide
+    // min-over-window that funnels every copy of a hot digest into one
+    // window partition
+    val p = plan(q("q_curation_funnel"))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("q_knn_ivf: cell-key equi-joins only, pre-shuffle partial top-k " +
+      "in both stages") {
+    val df = q("q_knn_ivf")
+    df.collect() // finalize THIS plan (AQE)
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the typed top-k aggregator runs partial then final in BOTH the
+    // sketch-shortlist stage and the exact-rescore stage
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4 ||
+      "SortAggregate".r.findAllIn(p).size >= 4, p.take(3000))
+  }
+
   test("q_knn_ann: occupancy cap is a separate aggregate — no Window " +
       "over the embedding-carrying signature table, no checkpoint scan") {
     val df = q("q_knn_ann")

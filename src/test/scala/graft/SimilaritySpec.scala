@@ -129,12 +129,31 @@ class SimilaritySpec extends SparkSpec {
     ivf.writeTable("ivf_cells_rt", buckets = 8)
     // reopened inverted file + the original centroids probe identically
     val ivfBack = graft.operators.IvfIndex(
-      spark.table("ivf_cells_rt"), ivf.centroids)
+      spark.table("ivf_cells_rt"), ivf.centroids, ivf.size)
     assert(ivfBack.topK(0L).collect().map(_.toSeq).toSeq ===
       ivf.topK(0L).collect().map(_.toSeq).toSeq)
     lsh.sigs.unpersist(); ivf.cells.unpersist()
     spark.sql("DROP TABLE IF EXISTS ann_sigs_rt")
     spark.sql("DROP TABLE IF EXISTS ivf_cells_rt")
+  }
+
+  test("appendTable grows a bucketed index table — probes equal a " +
+      "from-scratch build over the union") {
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val half = vecs.filter(col("vec_id") < 250)
+    val rest = vecs.filter(col("vec_id") >= 250)
+    val idx = graft.operators.AnnIndex.build(half, "vec_id", "embedding",
+      persist = false)
+    idx.writeTable("ann_sigs_app", buckets = 8)
+    idx.appendTable("ann_sigs_app", rest, "vec_id", "embedding", buckets = 8)
+    val back = graft.operators.AnnIndex.fromTable(spark, "ann_sigs_app")
+    val full = graft.operators.AnnIndex.build(vecs, "vec_id", "embedding",
+      persist = false)
+    // signatures are deterministic per vector, so append ∪ base must
+    // probe exactly like an index built over the whole corpus
+    assert(back.topK(0L).collect().map(_.toSeq).toSeq ===
+      full.topK(0L).collect().map(_.toSeq).toSeq)
+    spark.sql("DROP TABLE IF EXISTS ann_sigs_app")
   }
 
   test("index invalidate releases executor storage and rebuild re-caches") {
@@ -221,6 +240,49 @@ class SimilaritySpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       assert(r.getDouble(2) === expect)
     }
+  }
+
+  test("IVF knnJoinWith: held-out probe set — exact scores, mean " +
+      "recall@5 >= 0.8 vs brute force") {
+    import graft.sources.Tables
+    import graft.operators.IvfIndex
+    val vecs = Tables.embeddings(spark, sfDir)
+    val queries = vecs.filter(col("vec_id") % 10 === 0)
+    val corpus = vecs.filter(col("vec_id") % 10 =!= 0)
+    val idx = IvfIndex.build(corpus, "vec_id", "embedding")
+    val got = idx.knnJoinWith(queries, "vec_id", "embedding", k = 5)
+      .collect()
+    def embMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val qm = embMap(queries); val cm = embMap(corpus)
+    val exact = qm.map { case (qid, qv) =>
+      qid -> cm.toSeq
+        .map { case (cid, cv) =>
+          (cid, BigDecimal(IvfIndex.cosineOf(qv, cv))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(5)
+    }
+    val gotBySrc = got.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (qid, nbrs) =>
+      (gotBySrc.getOrElse(qid, Set.empty) &
+        nbrs.map(_._1).toSet).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF knnJoinWith held-out mean recall@5 = $mean%.3f " +
+      f"(${qm.size} queries over ${cm.size} indexed, nprobe=16, cap=160)")
+    assert(mean >= 0.8, f"mean recall@5 $mean%.3f below the 0.8 gate")
+    // rescore exactness on every returned pair
+    got.foreach { r =>
+      val expect = BigDecimal(IvfIndex.cosineOf(
+        qm(r.getLong(0)), cm(r.getLong(1))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === expect)
+    }
+    idx.close()
   }
 
   test("index-probed kNN join: exact scores, mean recall@5 >= 0.8 vs " +

@@ -170,6 +170,48 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("dedup against a persisted index: historical duplicates AND a " +
+      "batch-2 near-duplicate of a batch-1 arrival are flagged") {
+    import scala.collection.mutable
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val nHist = vecs.count()
+    val hist = graft.operators.AnnIndex.build(vecs, "vec_id", "embedding",
+      tables = 16, persist = false)
+    val filter = StreamingDedup.againstIndex(hist, "vec_id", "embedding",
+      threshold = 0.95)
+    // an exact copy of an INDEXED vector (historical duplicate)...
+    val indexed0 = vecs.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    // ...and synthetic unit vectors: novel vs the random-ish corpus
+    // (max |cos| well under the 0.95 gate), deterministic signatures
+    def unit(dim: Int, eps: Double = 0.0): Seq[Double] =
+      Seq.tabulate(64)(i =>
+        if (i == dim) 1.0 else if (i == dim + 1) eps else 0.0)
+    val novelIds = mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Timestamp, Long, Seq[Double])](spark)
+    val q = in.toDF().toDF("ts", "vec_id", "embedding")
+      .writeStream
+      .foreachBatch(filter.foreachBatch { (novel, _) =>
+        novelIds ++= novel.select("vec_id").collect().map(_.getLong(0))
+      })
+      .option("checkpointLocation", tmpCkpt())
+      .start()
+    // batch 1: 1001 duplicates the historical corpus → dropped;
+    // 1002 is novel → kept and APPENDED to the index
+    in.addData((ts(1), 1001L, indexed0), (ts(2), 1002L, unit(0)))
+    q.processAllAvailable()
+    // batch 2: 2001 near-duplicates batch-1's 1002 (not the historical
+    // corpus!) → must be flagged via the appended index; 2002 is novel
+    in.addData((ts(3), 2001L, unit(0, eps = 1e-6)),
+      (ts(4), 2002L, unit(1)))
+    q.processAllAvailable()
+    q.stop()
+    assert(novelIds.sorted === Seq(1002L, 2002L))
+    // the index grew by exactly the two novel arrivals
+    assert(filter.index.sigs.select("vec_id").distinct().count() ===
+      nHist + 2)
+  }
+
   test("streaming exact-dup state EVICTS once the watermark passes the " +
       "horizon (pins the dropDuplicatesWithinWatermark fix)") {
     // plain dropDuplicates on a key excluding the event-time column

@@ -79,6 +79,41 @@ class VectorExpressionsSpec extends SparkSpec {
       viaUnrolled.view.mapValues(_.toSeq).toMap)
   }
 
+  test("plane_project matches driver-side projections bit-for-bit, and " +
+      "sketch_dot over it equals the literal-projection spelling") {
+    import graft.operators.SimilarityOps
+    val base = 1 << 20
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(25)
+    val rows = e.select(col("vec_id"), col("v"),
+        VectorOps.planeProject(col("v"), base, 256).as("pr"),
+        VectorOps.sketchDotCol(VectorOps.planeSketch(col("v"), base, 4),
+          VectorOps.planeProject(col("v"), base, 256)).as("score"),
+        VectorOps.planeSketch(col("v"), base, 4).as("sk"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val pr = r.getSeq[Double](2)
+      // projections = left-to-right double dots against the md5 planes
+      (0 until 256).foreach { p =>
+        val plane = SimilarityOps.hyperplane(base + p)
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i) * plane(i); i += 1 }
+        assert(java.lang.Double.doubleToLongBits(s) ===
+          java.lang.Double.doubleToLongBits(pr(p)),
+          s"plane_project bit-mismatch at plane $p for ${r.getLong(0)}")
+      }
+      // the column-projection score equals the driver-side sum
+      val sk = r.getSeq[Long](4)
+      var s = 0.0
+      for (w <- 0 until 4; j <- 0 until 64)
+        if (((sk(w) >>> j) & 1L) == 1L) s += pr(w * 64 + j)
+      assert(r.getDouble(3) === s)
+    }
+  }
+
   test("sketch_dot equals a driver-side bit-weighted sum") {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
