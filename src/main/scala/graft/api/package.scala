@@ -102,12 +102,15 @@ package object api {
         minOccurrences: Int = 2): DataFrame =
       DedupOps.duplicatePassages(df, idCol, textCol, k, minOccurrences)
 
-    /** Scrub the duplicated passages OUT of the corpus (every
-      * occurrence cut; fully-duplicated documents drop) —
-      * (doc_id, n_kept, scrubbed). */
+    /** Scrub the duplicated passages OUT of the corpus —
+      * (doc_id, n_kept, scrubbed). Default cuts EVERY occurrence
+      * (fully-duplicated documents drop); `keepFirst = true` keeps the
+      * copy at each gram's minimal (doc_id, pos) — the production-mix
+      * variant where one occurrence of every passage survives. */
     def scrubDuplicatePassages(idCol: String, textCol: String, k: Int = 8,
-        minOccurrences: Int = 2): DataFrame =
-      DedupOps.scrubDuplicatePassages(df, idCol, textCol, k, minOccurrences)
+        minOccurrences: Int = 2, keepFirst: Boolean = false): DataFrame =
+      DedupOps.scrubDuplicatePassages(df, idCol, textCol, k,
+        minOccurrences, keepFirst)
   }
 
   implicit class GraftCurationOps(private val df: DataFrame) {
@@ -206,20 +209,34 @@ package object api {
 
     /** Build a materialized multi-table LSH signature index (persisted;
       * probe with `.topK(id)` / `.topKVec(vector)`; batch-probe an
-      * external query set with `.knnJoinWith(queries, …)`; persist
+      * external query set with `.knnJoinWith(queries, …)`; grow it
+      * with `.append(newVectors, …)` / `.appendTable`; persist
       * bucketed with `.writeTable`). */
     def lshIndex(idCol: String, embCol: String): operators.AnnIndex =
       operators.AnnIndex.build(df, idCol, embCol)
 
     /** Build a deterministic IVF (inverted-file) index: hash-seeded
       * centroids, DECIMAL-exact Lloyd refinement, a 256-bit sketch
-      * column, and both probe modes — single-stage `.topK(id, k,
-      * nprobe)` and the two-stage reranked `.topKAuto(id, k)` (wide
-      * sketch sweep + exact rescore; the measured-frontier default,
-      * BASELINE.md §IVF rerank). */
+      * column, and three probe modes — single-stage `.topK(id, k,
+      * nprobe)`, the two-stage reranked `.topKAuto(id, k)` (wide
+      * sketch sweep + saturated-cap exact rescore; the
+      * measured-frontier default, BASELINE.md §IVF rerank), and the
+      * batch-serving `.knnJoinWith(queries, …)` kNN join. */
     def ivfIndex(idCol: String, embCol: String, k: Int = 32,
         iters: Int = 2): operators.IvfIndex =
       operators.IvfIndex.build(df, idCol, embCol, k, iters)
+
+    /** Streaming dedup against a growing HISTORICAL index: wrap an
+      * [[operators.AnnIndex]] of the existing corpus and hand
+      * `.foreachBatch(onNovel)` to `writeStream.foreachBatch` — each
+      * micro-batch is one index-probing kNN equi-join, novel vectors
+      * are appended so later batches dedup against earlier arrivals
+      * too (see [[streaming.IndexDedupFilter]]). */
+    def indexDedupFilter(idCol: String, embCol: String,
+        threshold: Double): streaming.IndexDedupFilter =
+      streaming.StreamingDedup.againstIndex(
+        operators.AnnIndex.build(df, idCol, embCol, tables = 16,
+          persist = false), idCol, embCol, threshold)
   }
 
   implicit class GraftJoinOps(private val facts: DataFrame) {
