@@ -182,10 +182,55 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]],
     SimilarityOps.topKPerSrc(edges, "cos_sim", k)
   }
 
+  /** Grow the index with a new vector batch WITHOUT re-clustering —
+    * the standard IVF ingest: arrivals are assigned to the EXISTING
+    * centroids (one narrow codegen'd pass; cell boundaries stay
+    * exactly where every stored vector was assigned, so probes remain
+    * consistent), sketched, and unioned onto the inverted file. The
+    * stamped size grows too, keeping [[topKAuto]]'s cap policy honest.
+    * Centroid drift accumulates as the corpus shifts — re-run
+    * [[IvfIndex.build]] to re-cluster when cell occupancy skews. */
+  def append(newVectors: DataFrame, idCol: String, embCol: String): IvfIndex = {
+    val e = newVectors.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("embedding"))
+    val n = e.count()
+    val add = IvfIndex.assign(e, centroids)
+      .withColumn("sketch", IvfIndex.sketchCol(col("embedding")))
+    IvfIndex(cells.unionByName(add), centroids, size + n)
+  }
+
   /** Persist the inverted file bucketed by cell: a probe's IN-filter on
-    * the bucket column reads only its nprobe buckets. */
-  def writeTable(table: String, buckets: Int = 32): Unit =
+    * the bucket column reads only its nprobe buckets. A tiny sidecar
+    * table (`<table>_meta`: one row per centroid + the stamped size)
+    * makes the pair self-describing — [[IvfIndex.fromTable]] reopens
+    * the index with no out-of-band state. */
+  def writeTable(table: String, buckets: Int = 32): Unit = {
     graft.sources.Warehouse.writeBucketed(cells, table, "cell", buckets)
+    val spark = cells.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c, size) }
+      .toDF("cell", "centroid", "n")
+      .write.mode("overwrite").format("parquet").saveAsTable(table + "_meta")
+  }
+
+  /** Append a new batch to a bucketed index table written by
+    * [[writeTable]] — assignment against THIS index's centroids, same
+    * bucket spec (probes keep pruning), sidecar size updated. */
+  def appendTable(table: String, newVectors: DataFrame, idCol: String,
+      embCol: String, buckets: Int = 32): Unit = {
+    val e = newVectors.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("embedding"))
+    val n = e.count()
+    IvfIndex.assign(e, centroids)
+      .withColumn("sketch", IvfIndex.sketchCol(col("embedding")))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(table)
+    val spark = cells.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c, size + n) }
+      .toDF("cell", "centroid", "n")
+      .write.mode("overwrite").format("parquet").saveAsTable(table + "_meta")
+  }
 
   /** Release the inverted file's executor storage (lineage stays
     * valid — later probes recompute instead of reading cached blocks). */
@@ -297,6 +342,19 @@ object IvfIndex {
       .withColumn("sketch", sketchCol(col("embedding")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     IvfIndex(cells, centroids, nVecs)
+  }
+
+  /** Reopen a bucketed index table + its `_meta` sidecar written by
+    * [[IvfIndex.writeTable]]: centroids and the stamped size come off
+    * the sidecar, so the reopened index probes identically (including
+    * [[IvfIndex.topKAuto]]'s cap policy) with no out-of-band state. */
+  def fromTable(spark: SparkSession, table: String): IvfIndex = {
+    val meta = spark.table(table + "_meta").collect()
+    require(meta.nonEmpty, s"missing sidecar table ${table}_meta — was " +
+      "the index written by IvfIndex.writeTable?")
+    val centroids = meta.sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    IvfIndex(spark.table(table), centroids, meta.head.getLong(2))
   }
 
   // Evicts on invalidate() and on session end (see IndexCache).

@@ -127,14 +127,49 @@ class SimilaritySpec extends SparkSpec {
       lsh.topK(0L).collect().map(_.toSeq).toSeq)
     val ivf = graft.operators.IvfIndex.build(vecs, "vec_id", "embedding")
     ivf.writeTable("ivf_cells_rt", buckets = 8)
-    // reopened inverted file + the original centroids probe identically
-    val ivfBack = graft.operators.IvfIndex(
-      spark.table("ivf_cells_rt"), ivf.centroids, ivf.size)
+    // the _meta sidecar makes the table self-describing: fromTable
+    // restores centroids AND the stamped size with no in-memory state
+    val ivfBack = graft.operators.IvfIndex.fromTable(spark, "ivf_cells_rt")
+    assert(ivfBack.centroids === ivf.centroids)
+    assert(ivfBack.size === ivf.size)
     assert(ivfBack.topK(0L).collect().map(_.toSeq).toSeq ===
       ivf.topK(0L).collect().map(_.toSeq).toSeq)
     lsh.sigs.unpersist(); ivf.cells.unpersist()
     spark.sql("DROP TABLE IF EXISTS ann_sigs_rt")
     spark.sql("DROP TABLE IF EXISTS ivf_cells_rt")
+    spark.sql("DROP TABLE IF EXISTS ivf_cells_rt_meta")
+  }
+
+  test("IVF append assigns arrivals to the existing cells — a full-" +
+      "nprobe probe of the grown index equals exact brute force") {
+    import graft.operators.IvfIndex
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val half = vecs.filter(col("vec_id") < 250)
+    val rest = vecs.filter(col("vec_id") >= 250)
+    val idx = IvfIndex.build(half, "vec_id", "embedding")
+    // in-memory ingest: size grows, centroids stay put
+    val grown = idx.append(rest, "vec_id", "embedding")
+    assert(grown.size === vecs.count())
+    assert(grown.centroids === idx.centroids)
+    // scanning ALL cells exact-rescores everything → must equal the
+    // brute-force ranking over the full union (old + appended rows)
+    val got = grown.topK(0L, 10, nprobe = grown.centroids.size)
+      .collect().map(_.toSeq).toSeq
+    val exact = graft.operators.SimilarityOps
+      .bruteForceTopK(vecs, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(got === exact)
+    // durable ingest: appendTable + fromTable round-trips the same
+    idx.writeTable("ivf_cells_app", buckets = 8)
+    idx.appendTable("ivf_cells_app", rest, "vec_id", "embedding",
+      buckets = 8)
+    val back = IvfIndex.fromTable(spark, "ivf_cells_app")
+    assert(back.size === vecs.count())
+    assert(back.topK(0L, 10, nprobe = back.centroids.size)
+      .collect().map(_.toSeq).toSeq === exact)
+    idx.close()
+    spark.sql("DROP TABLE IF EXISTS ivf_cells_app")
+    spark.sql("DROP TABLE IF EXISTS ivf_cells_app_meta")
   }
 
   test("appendTable grows a bucketed index table — probes equal a " +
