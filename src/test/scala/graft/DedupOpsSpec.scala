@@ -311,6 +311,40 @@ class DedupOpsSpec extends SparkSpec {
     assert(remined.count() === 0L)
   }
 
+  test("keep-first substring scrub: exactly ONE occurrence of each " +
+      "duplicated passage survives — at the minimal (doc_id, pos) owner") {
+    import spark.implicits._
+    val passage = (1 to 10).map(i => s"p$i")
+    val p = passage.mkString(" ")
+    val docA = ((1 to 5).map(i => s"a$i") ++ passage ++
+      (1 to 5).map(i => s"z$i")).mkString(" ")
+    val docB = ((1 to 3).map(i => s"b$i") ++ passage ++
+      (1 to 7).map(i => s"y$i")).mkString(" ")
+    val docF = p // fully duplicated and NOT the owner → still drops
+    val corpus = Seq((1L, docA), (2L, docB), (6L, docF))
+      .toDF("doc_id", "text")
+    val got = DedupOps.scrubDuplicatePassages(corpus, "doc_id", "text",
+        k = 8, keepFirst = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // doc 1 owns every passage gram (lowest doc id) → kept INTACT;
+    // doc 2's copy is cut; doc 6 vanishes (all tokens covered)
+    assert(got === Seq(
+      (1L, 20L, docA),
+      (2L, 10L, (1 to 3).map(i => s"b$i").mkString(" ") + " " +
+        (1 to 7).map(i => s"y$i").mkString(" "))))
+    // exactly one surviving occurrence of the passage corpus-wide
+    val survivors = got.map(_._3).mkString(" ")
+    assert(survivors.indexOf(p) >= 0 &&
+      survivors.indexOf(p) === survivors.lastIndexOf(p))
+    // within ONE doc, the first occurrence owns its grams and survives
+    val gotD = DedupOps.scrubDuplicatePassages(
+        Seq((4L, (passage ++ Seq("m1", "m2") ++ passage).mkString(" ")))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", k = 8, keepFirst = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(gotD === Seq((4L, 12L, p + " m1 m2")))
+  }
+
   test("substring dedup is idempotent on its own output corpus") {
     import spark.implicits._
     // scrubbing the reported spans then re-mining must find nothing:
