@@ -102,6 +102,21 @@ package object api {
         minOccurrences: Int = 2): DataFrame =
       DedupOps.duplicatePassages(df, idCol, textCol, k, minOccurrences)
 
+    /** foreachBatch filter deduplicating a STREAM against this corpus
+      * by exact normalized-text digest — the history-backed twin of
+      * the watermark-bounded [[streaming.StreamingDedup.exactDupFilter]]
+      * (novel fingerprints accumulate, so cross-batch copies drop
+      * too; see [[streaming.FingerprintDedupFilter]]). */
+    def historyDedupFilter(textCol: String)
+        : streaming.FingerprintDedupFilter =
+      streaming.StreamingDedup.exactAgainstCorpus(df, textCol)
+
+    /** MinHash-signature near-dup variant of [[historyDedupFilter]]
+      * (j^perms sensitivity; probabilistic by design). */
+    def historyNearDupFilter(textCol: String, k: Int = 3,
+        perms: Int = 32): streaming.FingerprintDedupFilter =
+      streaming.StreamingDedup.nearAgainstCorpus(df, textCol, k, perms)
+
     /** Scrub the duplicated passages OUT of the corpus —
       * (doc_id, n_kept, scrubbed). Default cuts EVERY occurrence
       * (fully-duplicated documents drop); `keepFirst = true` keeps the

@@ -78,6 +78,86 @@ object StreamingDedup {
   def againstIndex(index: graft.operators.AnnIndex, idCol: String,
       embCol: String, threshold: Double): IndexDedupFilter =
     new IndexDedupFilter(index, idCol, embCol, threshold)
+
+  /** TEXT twin of [[againstIndex]]: dedup arriving documents against a
+    * historical corpus by EXACT normalized-text digest. The corpus is
+    * rendered once to its distinct md5 fingerprint set (hash-
+    * partitioned on the digest and persisted, so each micro-batch's
+    * anti-join reuses that layout and shuffles only the batch);
+    * novel fingerprints accumulate per batch, so a batch-2 copy of a
+    * batch-1 arrival is caught. Deterministic and exact — the
+    * streaming rendering of `q_doc_dedup`'s digest groups. */
+  def exactAgainstCorpus(history: DataFrame,
+      textCol: String): FingerprintDedupFilter =
+    new FingerprintDedupFilter(history, textCol,
+      t => md5(lower(trim(t))))
+
+  /** Near-dup variant of [[exactAgainstCorpus]]: fingerprints are the
+    * `perms`-permutation MinHash [[signatureKey]], so arrivals whose
+    * FULL signature matches any historical (or earlier-arrived)
+    * document drop — the j^perms sensitivity trade of
+    * [[nearDupFilter]], now with unbounded history instead of a
+    * watermark horizon. Probabilistic by design. */
+  def nearAgainstCorpus(history: DataFrame, textCol: String,
+      k: Int = 3, perms: Int = 32): FingerprintDedupFilter = {
+    TextHashOps.register(history.sparkSession)
+    new FingerprintDedupFilter(history, textCol,
+      t => signatureKey(t, k, perms))
+  }
+}
+
+/** foreachBatch consumer deduplicating arriving documents against the
+  * fingerprint set of a historical corpus plus everything that arrived
+  * before them: per batch, one anti-join of the batch's fingerprints
+  * against the accumulated set (batch-internal copies collapse to one
+  * surviving row first), then the batch's novel fingerprints join the
+  * set. Exactness rides the fingerprint: md5 digests are exact,
+  * MinHash signature keys are the probabilistic near-dup trade.
+  *
+  * Scale shape: the historical set is distinct fingerprints only (16
+  * bytes a document), hash-partitioned once and persisted — a
+  * micro-batch anti-join reuses that partitioning and shuffles only
+  * the (small) batch side. Per-batch novel sets chain as narrow
+  * unions; long streams compact by writing the fingerprint set to a
+  * bucketed warehouse table ([[graft.sources.Warehouse.writeBucketed]]
+  * on the digest) and restarting the filter from it.
+  */
+final class FingerprintDedupFilter private[streaming] (
+    history: DataFrame, textCol: String,
+    fp: org.apache.spark.sql.Column => org.apache.spark.sql.Column) {
+
+  import org.apache.spark.storage.StorageLevel
+
+  @volatile private var keys: DataFrame = {
+    val spark = history.sparkSession
+    history.select(fp(col(textCol)).as("graft_fp")).distinct()
+      .repartition(spark.sparkContext.defaultParallelism, col("graft_fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The accumulated fingerprint set (history + novel arrivals). */
+  def fingerprints: DataFrame = keys
+
+  /** Process one micro-batch: returns its NOVEL rows — no fingerprint
+    * match in the accumulated set, ONE surviving row per fingerprint
+    * within the batch (an arbitrary representative, the
+    * `dropDuplicates` contract — pre-sort or pre-collapse the batch if
+    * a specific copy must win) — and accumulates their fingerprints. */
+  def processBatch(batch: DataFrame): DataFrame = {
+    val b = batch.withColumn("graft_fp", fp(col(textCol)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val novel = b.join(keys, Seq("graft_fp"), "left_anti")
+      .dropDuplicates("graft_fp")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    novel.count() // materialize against the PRE-accumulation key set
+    keys = keys.unionByName(novel.select("graft_fp"))
+    b.unpersist(blocking = false)
+    novel.drop("graft_fp")
+  }
+
+  /** Adapter for `writeStream.foreachBatch`. */
+  def foreachBatch(onNovel: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) => onNovel(processBatch(batch), batchId)
 }
 
 /** foreachBatch consumer deduplicating arriving vectors against a

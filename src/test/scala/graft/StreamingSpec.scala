@@ -212,6 +212,44 @@ class StreamingSpec extends SparkSpec {
       nHist + 2)
   }
 
+  test("text dedup against a historical corpus: corpus copies, batch-" +
+      "internal copies, and cross-batch copies all drop; novelty survives") {
+    import scala.collection.mutable
+    val hist = Seq("the quick brown fox jumps over the lazy dog",
+      "an entirely different historical document body")
+      .toDF("text")
+    val filter = StreamingDedup.exactAgainstCorpus(hist, "text")
+    val novelIds = mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Timestamp, Long, String)](spark)
+    val q = in.toDF().toDF("ts", "id", "text")
+      .writeStream
+      .foreachBatch(filter.foreachBatch { (novel, _) =>
+        novelIds ++= novel.select("id").collect().map(_.getLong(0))
+      })
+      .option("checkpointLocation", tmpCkpt())
+      .start()
+    // batch 1: 11 duplicates HISTORY (normalized — case/whitespace);
+    // 12 is novel; 13 duplicates 12 INSIDE the batch → one survives
+    in.addData(
+      (ts(1), 11L, "  The Quick Brown Fox Jumps Over The Lazy Dog  "),
+      (ts(2), 12L, "a genuinely new document arriving in batch one"),
+      (ts(3), 13L, "a genuinely new document arriving in batch one"))
+    q.processAllAvailable()
+    // batch 2: 21 duplicates batch-1's arrival (not history!) → drops
+    // via the accumulated fingerprints; 22 is novel
+    in.addData(
+      (ts(4), 21L, "a genuinely new document arriving in batch one"),
+      (ts(5), 22L, "and a second novelty arriving in batch two"))
+    q.processAllAvailable()
+    q.stop()
+    assert(novelIds.length === 2)
+    assert(novelIds.toSet.subsetOf(Set(12L, 13L, 22L)), // 12 or 13 survives
+      s"unexpected survivors: $novelIds")
+    assert(novelIds.contains(22L))
+    // the fingerprint set grew by exactly the two novel texts
+    assert(filter.fingerprints.count() === 2L + 2L)
+  }
+
   test("streaming exact-dup state EVICTS once the watermark passes the " +
       "horizon (pins the dropDuplicatesWithinWatermark fix)") {
     // plain dropDuplicates on a key excluding the event-time column
