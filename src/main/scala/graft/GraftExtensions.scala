@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{JaccardSorted, MinHashSig, ShingleHashVec, SortedIntersectCount, VectorDot}
+import graft.functions.{JaccardSorted, MinHashSig, PlaneProject, PlaneSigs, PlaneSketch, ShingleHashVec, SketchDot, SortedIntersectCount, VectorDot, VectorOps}
 
 /** Session-extension entry point: registers the engine's native
   * expressions as session functions at SparkSession build time, so any
@@ -49,6 +49,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    // The hyperplane-sketch family (the ANN/IVF compact-code surface);
+    // int parameters are validated foldable literals (clear analysis
+    // errors instead of cast failures — VectorOps.intArg)
+    ext.injectFunction((FunctionIdentifier("plane_sketch"),
+      new ExpressionInfo(classOf[PlaneSketch].getName, "plane_sketch"),
+      (exprs: Seq[Expression]) => PlaneSketch(exprs(0),
+        VectorOps.intArg("plane_sketch", "base", exprs(1)),
+        VectorOps.intArg("plane_sketch", "words", exprs(2)))))
+    ext.injectFunction((FunctionIdentifier("plane_sigs"),
+      new ExpressionInfo(classOf[PlaneSigs].getName, "plane_sigs"),
+      (exprs: Seq[Expression]) => PlaneSigs(exprs(0),
+        VectorOps.intArg("plane_sigs", "base", exprs(1)),
+        VectorOps.intArg("plane_sigs", "tables", exprs(2)),
+        VectorOps.intArg("plane_sigs", "planes", exprs(3)))))
+    ext.injectFunction((FunctionIdentifier("plane_project"),
+      new ExpressionInfo(classOf[PlaneProject].getName, "plane_project"),
+      (exprs: Seq[Expression]) => PlaneProject(exprs(0),
+        VectorOps.intArg("plane_project", "base", exprs(1)),
+        VectorOps.intArg("plane_project", "count", exprs(2)))))
+    ext.injectFunction((FunctionIdentifier("sketch_dot"),
+      new ExpressionInfo(classOf[SketchDot].getName, "sketch_dot"),
+      (exprs: Seq[Expression]) => SketchDot(exprs(0), exprs(1))))
     // Spark's runtime-filter probe expression, not in the public SQL
     // registry — surfaced for declarative Bloom set-membership pruning
     // (pairs with the registered `bloom_filter_agg`).

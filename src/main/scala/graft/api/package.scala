@@ -168,6 +168,14 @@ package object api {
       CurationOps.funnelReport(df, idCol, textCol, strataCols,
         clusterKeepers = clusterKeepers)
 
+    /** Fixed-window chunking with overlap: split documents longer than
+      * the training context into maxTokens-token chunks sharing
+      * `overlap` tokens of left context — (idCol, chunk_id, n_tokens,
+      * chunk). Narrow map, no shuffle. */
+    def chunkDocuments(idCol: String, textCol: String,
+        maxTokens: Int = 32, overlap: Int = 4): DataFrame =
+      CurationOps.chunkDocuments(df, idCol, textCol, maxTokens, overlap)
+
     /** Greedy fixed-token sequence packing per stratum: appends
       * (n_tokens, pack_id). */
     def packSequences(idCol: String, textCol: String, strataCol: String,

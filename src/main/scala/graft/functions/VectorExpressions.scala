@@ -371,7 +371,7 @@ object VectorOps {
   // can hand us a BIGINT literal, a non-foldable column, or NULL — turn
   // each into a clear analysis-time error instead of an opaque
   // ClassCastException/NPE at use time.
-  private def intArg(fn: String, name: String, e: Expression): Int = {
+  private[graft] def intArg(fn: String, name: String, e: Expression): Int = {
     def fail(got: String) = throw new IllegalArgumentException(
       s"$fn expects a literal INT for '$name'; got $got")
     if (!e.foldable) fail(s"non-foldable expression ${e.sql}")

@@ -223,6 +223,33 @@ object CurationOps {
       .orderBy(keys.map(col): _*)
   }
 
+  /** Fixed-window document chunking with overlap — the standard
+    * pretraining splitter for documents longer than the training
+    * context: chunk i covers tokens [i·stride, i·stride + maxTokens)
+    * with stride = maxTokens − overlap, so consecutive chunks share
+    * `overlap` tokens of left context; the final chunk may be shorter.
+    * Documents at or under `maxTokens` pass through as chunk 0. One
+    * narrow codegen'd map + posexplode — no shuffle, embarrassingly
+    * parallel at any corpus size. Returns (idCol, chunk_id, n_tokens,
+    * chunk). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      maxTokens: Int = 32, overlap: Int = 4): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap ($overlap) must be in [0, maxTokens=$maxTokens)")
+    val stride = maxTokens - overlap
+    val toks = split(col(textCol), " ")
+    val nChunks = ceil(greatest(size(toks) - overlap, lit(1)) /
+      lit(stride.toDouble)).cast("int")
+    df.select(col(idCol), toks.as("graft_toks"), nChunks.as("graft_nc"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), col("graft_nc") - 1),
+        i => concat_ws(" ",
+          slice(col("graft_toks"), i * stride + 1, lit(maxTokens)))))
+        .as(Seq("chunk_id", "chunk")))
+      .select(col(idCol), col("chunk_id"),
+        size(split(col("chunk"), " ")).as("n_tokens"), col("chunk"))
+  }
+
   /** Greedy sequence packing by cumulative token count: within each
     * stratum, documents in id order are assigned to the pack their
     * RUNNING token total (before them) lands in — the streaming packer
@@ -336,6 +363,31 @@ object CurationOps {
       (s, d) => packSequences(Tables.documents(s, d), "doc_id", "text", "lang")
         .select("doc_id", "lang", "n_tokens", "pack_id")
         .orderBy("doc_id")),
+
+    // Fixed-window chunking with overlap: 32-token chunks, 4 tokens of
+    // shared left context — the context-length splitter a pretraining
+    // pipeline runs between curation and packing.
+    Query(
+      "q_chunk_docs",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                         FROM documents),
+              n AS (SELECT doc_id, toks,
+                           CAST(ceil(CAST(greatest(len(toks) - 4, 1)
+                             AS DOUBLE) / 28.0) AS INT) AS nc
+                    FROM t),
+              c AS (SELECT doc_id,
+                           CAST(unnest(range(0, nc)) AS INT) AS chunk_id,
+                           unnest(list_transform(range(0, nc),
+                             i -> array_to_string(
+                                    toks[i*28+1 : i*28+32], ' ')))
+                             AS chunk
+                    FROM n)
+              SELECT doc_id, chunk_id,
+                     CAST(len(string_split(chunk, ' ')) AS INT) AS n_tokens,
+                     chunk
+              FROM c ORDER BY doc_id, chunk_id"""),
+      (s, d) => chunkDocuments(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id", "chunk_id")),
 
     // PII scrubbing. The synthetic corpus carries no real PII, so the
     // query plants a contact line from the source column and proves the

@@ -174,6 +174,36 @@ class CurationSpec extends SparkSpec {
     assert(rows(2) === "clean text with no pii at all")
   }
 
+  test("chunkDocuments: fixed windows share exactly the overlap and " +
+      "reconstruct the document; short docs pass through as chunk 0") {
+    import spark.implicits._
+    val toks = (1 to 78).map(i => s"t$i")
+    val df = Seq((1L, toks.mkString(" ")), (2L, "just a few tokens here"))
+      .toDF("doc_id", "text")
+    val got = CurationOps
+      .chunkDocuments(df, "doc_id", "text", maxTokens = 32, overlap = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val one = got.filter(_._1 == 1L).sortBy(_._2)
+    // dense chunk ids, every chunk within the window bound
+    assert(one.map(_._2).toSeq === (0 until one.length))
+    assert(one.forall(_._3 <= 32))
+    // a full chunk's last 4 tokens are the next chunk's first 4
+    one.sliding(2).foreach {
+      case Array(a, b) if a._3 == 32 =>
+        assert(a._4.split(" ").takeRight(4).toSeq ===
+          b._4.split(" ").take(4).toSeq)
+      case _ =>
+    }
+    // dropping each later chunk's overlap reconstructs the document
+    val rec = one.head._4.split(" ").toSeq ++
+      one.tail.toSeq.flatMap(_._4.split(" ").drop(4).toSeq)
+    assert(rec === toks)
+    // a doc at or under maxTokens is exactly its own chunk 0
+    assert(got.filter(_._1 == 2L).toSeq ===
+      Seq((2L, 0, 5, "just a few tokens here")))
+  }
+
   test("quality filter keeps exactly the in-band documents") {
     val kept = CurationOps.qualityFilter(docs, "text")
     kept.select("n_tokens", "stop_ratio", "avg_tok_len").collect()

@@ -21,6 +21,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getDouble(3) === 0.5)
   }
 
+  test("sketch family resolves from pure SQL; bad literal args raise a " +
+      "clear error naming the function") {
+    val s2 = spark.newSession()
+    val row = s2.sql(
+      """SELECT size(plane_sketch(array(1.0d, -2.0d), 1048576, 4)) AS w,
+               size(plane_sigs(array(1.0d, -2.0d), 0, 8, 4)) AS t,
+               size(plane_project(array(1.0d, -2.0d), 1048576, 16)) AS p,
+               sketch_dot(array(3L), array(1.0d, 2.0d)) AS s
+      """).head()
+    assert(row.getInt(0) === 4) // BIGINT literal accepted (fits int)
+    assert(row.getInt(1) === 8)
+    assert(row.getInt(2) === 16)
+    assert(row.getDouble(3) === 3.0) // bits 0+1 set → 1.0 + 2.0
+    // a non-foldable int parameter fails with the function's name, not
+    // an opaque ClassCastException/NPE
+    val err = intercept[Exception] {
+      s2.sql("SELECT plane_sketch(array(1.0d), cast(rand()*4 as int), 4)")
+        .head()
+    }
+    assert(err.getMessage.contains("plane_sketch"), err.getMessage)
+  }
+
   test("SQL minhash_sig agrees with the library column API") {
     import org.apache.spark.sql.functions._
     val s2 = spark.newSession()
