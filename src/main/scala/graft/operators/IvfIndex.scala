@@ -311,7 +311,10 @@ object IvfIndex {
     * Default k=32 comes from the measured frontier (BASELINE.md §IVF):
     * more, smaller cells dominate fewer, larger ones at equal scanned
     * fraction. k is clamped to corpusSize/4 so tiny corpora keep
-    * meaningfully-sized cells. */
+    * meaningfully-sized cells. SCALE NOTE: per-probe cost rides
+    * nprobe·(n/k), so k must GROW with the corpus — the classic
+    * k ≈ √n sizing keeps cells bounded; pass it explicitly when
+    * indexing beyond test scale (the default suits the gate corpora). */
   def build(vectors: DataFrame, idCol: String, embCol: String,
       k: Int = 32, iters: Int = 2): IvfIndex = {
     graft.functions.VectorOps.register(vectors.sparkSession)

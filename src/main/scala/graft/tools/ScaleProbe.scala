@@ -91,6 +91,34 @@ object ScaleProbe {
       println(f"[scale] knn:  $m%4d  $n%6d  $wall%7.2f  ${listener.bytes / 1e6}%10.1f")
     }
 
+    // IVF batch-join probe: a 10% query split joins the inverted file
+    // of the replicated corpus. Stage 1 touches only the 48-byte
+    // (vec_id, cell, sketch) projection and stage 2 rescores a CONSTANT
+    // rescorePerQuery rows per probe, so shuffle bytes must grow with
+    // (queries × nprobe + corpus sketch rows) — linear — never with the
+    // query×corpus product.
+    println("[scale] ivfknn: mult   vecs   wall_s   shuffle_mb")
+    Seq(1, 2, 4).foreach { m =>
+      val vecs = (0 until m)
+        .map(i => embBase.select(
+          (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .localCheckpoint()
+      val n = vecs.count()
+      val idx = graft.operators.IvfIndex.build(vecs, "vec_id", "embedding")
+      idx.cells.count() // build outside the timed window
+      val queries = vecs.filter(col("vec_id") % 10 === 0)
+      listener.reset()
+      val t0 = System.nanoTime()
+      idx.knnJoinWith(queries, "vec_id", "embedding", k = 5).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      println(f"[scale] ivfknn: $m%4d  $n%6d  $wall%7.2f  ${listener.bytes / 1e6}%10.1f")
+      idx.close()
+    }
+
     // Substring-dedup shuffle probe: the k-gram position table is the
     // only wide data — its count aggregate and dup-join shuffles must
     // grow linearly with corpus tokens (the suffix-array sort becomes a
