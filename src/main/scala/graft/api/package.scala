@@ -249,6 +249,15 @@ package object api {
         iters: Int = 2): operators.IvfIndex =
       operators.IvfIndex.build(df, idCol, embCol, k, iters)
 
+    /** Build a deterministic product-quantization index (per-subspace
+      * hash-seeded Lloyd codebook, one small code per subspace): ADC
+      * probes rank the CODE column only — an order of magnitude fewer
+      * scan bytes than the embedding — then exact-rescore the best
+      * `rescoreCap` rows (`.topK(id)` / `.topKVec(vector)`). */
+    def pqIndex(idCol: String, embCol: String, subspaces: Int = 8,
+        centroidsPerSub: Int = 16): operators.PqIndex =
+      operators.PqIndex.build(df, idCol, embCol, subspaces, centroidsPerSub)
+
     /** Streaming dedup against a growing HISTORICAL index: wrap an
       * [[operators.AnnIndex]] of the existing corpus and hand
       * `.foreachBatch(onNovel)` to `writeStream.foreachBatch` — each

@@ -351,6 +351,159 @@ case class SketchDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native product-quantization encoder: split an `array<double>`
+  * embedding into `codebook.length` equal subvectors and emit, per
+  * subspace, the index of the L2-nearest trained centroid —
+  * `array<int>` of one small code per subspace (4-bit codes at the
+  * default 16 centroids/subspace: a 512-byte embedding becomes an
+  * 8-code row, the FAISS-PQ compact representation). The trained
+  * codebook ([[graft.operators.PqIndex.build]]) rides the expression
+  * as a broadcast reference object; the loop is generated (janino-safe
+  * at any codebook size, same stance as [[PlaneSketch]]). Codebook
+  * layout: `codebook(sub)(centroid)` = centroid vector of length
+  * dims/subspaces. */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  import org.apache.spark.sql.types.IntegerType
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val subs = codebook.length
+    val dsub = if (subs == 0) 0 else codebook(0)(0).length
+    val out = new Array[Int](subs)
+    var s = 0
+    while (s < subs) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < codebook(s).length) {
+        val cen = codebook(s)(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val base = s * dsub + i
+          val v = if (base < e.numElements()) e.getDouble(base) else 0.0
+          val diff = v - cen(i)
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, e => {
+      val cb = ctx.addReferenceObj("codebook", codebook, "double[][][]")
+      val subs = codebook.length
+      val dsub = if (subs == 0) 0 else codebook(0)(0).length
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val bestD = ctx.freshName("bestD")
+      val best = ctx.freshName("best")
+      val diff = ctx.freshName("diff")
+      val base = ctx.freshName("base")
+      val v = ctx.freshName("v")
+      val cen = ctx.freshName("cen")
+      s"""
+         |int[] $out = new int[$subs];
+         |for (int $s = 0; $s < $subs; $s++) {
+         |  int $best = 0;
+         |  double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $cb[$s].length; $c++) {
+         |    double[] $cen = $cb[$s][$c];
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      int $base = $s * $dsub + $i;
+         |      double $v = $base < $e.numElements()
+         |        ? $e.getDouble($base) : 0.0;
+         |      double $diff = $v - $cen[$i];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $out[$s] = $best;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) score of a PQ code row against a query
+  * lookup table: Σ over subspaces of `lut[s·cps + code[s]]`, where the
+  * table holds the query subvector's inner product with every centroid
+  * (`cps` = centroids per subspace, derived as lut.length/codes.length
+  * — no extra parameter). The query side is never quantized; ranking
+  * reads one table entry per subspace instead of touching the
+  * embedding. `left` = codes (`array<int>`), `right` = lut
+  * (`array<double>`). */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  import org.apache.spark.sql.types.IntegerType
+
+  override def inputTypes = Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    val subs = codes.numElements()
+    if (subs == 0) return 0.0
+    val cps = lut.numElements() / subs
+    var sc = 0.0
+    var s = 0
+    while (s < subs) {
+      val idx = s * cps + codes.getInt(s)
+      if (idx < lut.numElements()) sc += lut.getDouble(idx)
+      s += 1
+    }
+    sc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val sc = ctx.freshName("sc")
+      val s = ctx.freshName("s")
+      val subs = ctx.freshName("subs")
+      val cps = ctx.freshName("cps")
+      val idx = ctx.freshName("idx")
+      s"""
+         |double $sc = 0.0;
+         |int $subs = $a.numElements();
+         |int $cps = $subs == 0 ? 0 : $b.numElements() / $subs;
+         |for (int $s = 0; $s < $subs; $s++) {
+         |  int $idx = $s * $cps + $a.getInt($s);
+         |  if ($idx < $b.numElements()) $sc += $b.getDouble($idx);
+         |}
+         |${ev.value} = $sc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level vector math built on [[VectorDot]].
   *
   * Spark 4 removed the public Column-from-Expression constructor, so the
@@ -385,6 +538,20 @@ object VectorOps {
     }
   }
 
+  // pq_encode's codebook arrives as a foldable nested-array literal
+  // (the trained matrix is runtime data, so it rides a typedLit) and is
+  // unpacked once at expression construction.
+  private def codebookOf(fn: String, e: Expression)
+      : Array[Array[Array[Double]]] = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn expects a literal codebook (array<array<array<double>>>)")
+    val top = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(top.numElements()) { s =>
+      val sub = top.getArray(s)
+      Array.tabulate(sub.numElements())(c => sub.getArray(c).toDoubleArray())
+    }
+  }
+
   /** Idempotently register the vector expressions (once per session). */
   def register(spark: SparkSession): Unit =
     if (registered.add(spark)) {
@@ -402,6 +569,11 @@ object VectorOps {
         exprs => PlaneProject(exprs(0),
           intArg("plane_project", "base", exprs(1)),
           intArg("plane_project", "count", exprs(2))), "built-in")
+      reg.createOrReplaceTempFunction("pq_encode",
+        exprs => PqEncode(exprs(0),
+          codebookOf("pq_encode", exprs(1))), "built-in")
+      reg.createOrReplaceTempFunction("pq_adc",
+        exprs => PqAdc(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("plane_sigs",
         exprs => PlaneSigs(exprs(0),
           intArg("plane_sigs", "base", exprs(1)),
@@ -438,6 +610,17 @@ object VectorOps {
   def planeSigs(emb: Column, base: Int, tables: Int, planes: Int): Column =
     call_function("plane_sigs", emb.cast("array<double>"),
       lit(base), lit(tables), lit(planes))
+
+  /** PQ codes of an embedding column under a trained codebook
+    * (`codebook(sub)(centroid)` subvectors — see
+    * [[graft.operators.PqIndex.build]]). */
+  def pqEncode(emb: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    call_function("pq_encode", emb.cast("array<double>"), typedLit(codebook))
+
+  /** ADC score of a PQ code column against a literal query lookup
+    * table (laid out `lut(sub·cps + centroid)`). */
+  def pqAdc(codes: Column, lut: Seq[Double]): Column =
+    call_function("pq_adc", codes, typedLit(lut))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -237,6 +237,13 @@ object SimilarityOps {
     // in SimilaritySpec, no oracle.
     Query("q_sim_ivf", None, (s, d) => IvfIndex.forDir(s, d).topKAuto(0L, 10)),
 
+    // Product-quantization ANN (the FAISS compact-code shape):
+    // deterministic per-subspace Lloyd codebook, 8 codes per vector,
+    // ADC ranking over the code column only + exact rescore of the
+    // best candidates. Approximate by design → recall-gated in
+    // SimilaritySpec, no oracle.
+    Query("q_sim_pq", None, (s, d) => PqIndex.forDir(s, d).topK(0L, 10)),
+
     // Per-language embedding centroids — the coarse-quantizer building
     // block (what IVF's Lloyd step computes) exposed as a query. Sums
     // are DECIMAL(38,18)-exact so the reduction is order-independent;

@@ -118,6 +118,36 @@ class SimilaritySpec extends SparkSpec {
     assert(singleMean >= 0.6, s"recall $singleMean below design bound")
   }
 
+  test("PQ index: codebook is bit-reproducible, rescored values are " +
+      "exact, and mean recall@10 meets the design bound") {
+    import graft.operators.PqIndex
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val a = PqIndex.build(vecs, "vec_id", "embedding")
+    val b = PqIndex.build(vecs, "vec_id", "embedding")
+    assert(a.codebook === b.codebook,
+      "hash-seeded starts + DECIMAL-exact means must reproduce")
+    a.close(); b.close()
+    val idx = PqIndex.forDir(spark, sfDir)
+    // exactness: every returned cos_sim equals the brute-force value
+    val exact = SimilarityOps.bruteForceTopK(spark, sfDir, k = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    SparkEntry.queries("q_sim_pq")(spark, sfDir).collect().foreach { r =>
+      assert(exact(r.getLong(0)) === r.getDouble(1),
+        s"PQ similarity for ${r.getLong(0)} must be exact")
+    }
+    // recall over the 10-probe mean (single probes are too noisy)
+    val recalls = (0L until 10L).map { p =>
+      val bfP = SimilarityOps.bruteForceTopK(spark, sfDir, probeId = p)
+        .collect().map(_.getLong(0)).toSet
+      val got = idx.topK(p, 10).collect().map(_.getLong(0)).toSet
+      (bfP & got).size.toDouble / bfP.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"PQ ADC mean recall@10 = $recall%.2f " +
+      "(8 subspaces x 16 centroids, rescoreCap=100)")
+    assert(recall >= 0.8, s"recall $recall below design bound")
+  }
+
   test("bucketed index tables round-trip and probe identically") {
     val vecs = graft.sources.Tables.embeddings(spark, sfDir)
     val lsh = graft.operators.AnnIndex.build(vecs, "vec_id", "embedding")
