@@ -258,6 +258,17 @@ package object api {
         centroidsPerSub: Int = 16): operators.PqIndex =
       operators.PqIndex.build(df, idCol, embCol, subspaces, centroidsPerSub)
 
+    /** Build the two-level IVF-PQ index (coarse cells + residual PQ
+      * codes — the canonical billion-scale layout): probes prune to
+      * their nprobe cells AND rank only the 8-code column inside
+      * them, then exact-rescore an absolute cap
+      * (`.topK(id)` / `.topKVec(vector)`). */
+    def ivfPqIndex(idCol: String, embCol: String, kCells: Int = 32,
+        subspaces: Int = 8, centroidsPerSub: Int = 16)
+        : operators.IvfPqIndex =
+      operators.IvfPqIndex.build(df, idCol, embCol, kCells, subspaces,
+        centroidsPerSub)
+
     /** Streaming dedup against a growing HISTORICAL index: wrap an
       * [[operators.AnnIndex]] of the existing corpus and hand
       * `.foreachBatch(onNovel)` to `writeStream.foreachBatch` — each

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** IVF-PQ — the coarse quantizer ([[IvfIndex]] cells) composed with
+  * product-quantized RESIDUALS ([[PqIndex]] codes): the canonical
+  * billion-scale ANN layout (FAISS's IVFPQ; PAPERS.md
+  * similarity-search family). Every vector stores its cell id and the
+  * PQ codes of `embedding − centroid(cell)`; a probe prunes to its
+  * `nprobe` nearest cells and ranks ONLY the 8-code column inside
+  * them — cell pruning cuts the rows scanned, PQ cuts the bytes per
+  * row, and the two multiply.
+  *
+  * Scoring uses the inner-product decomposition
+  * `IP(q, x) ≈ IP(q, c) + IP(q, r̂)`: the residual-codebook lookup
+  * table is CELL-INDEPENDENT (one table per probe, laid out exactly
+  * as [[PqIndex]]'s), and the per-cell term is a constant added
+  * through a literal map on the cell id — so the probe plan stays a
+  * literal IN-filter (prunable on a cell-bucketed layout) + one
+  * narrow scan + TakeOrderedAndProject, no join before the rescore.
+  * The best `rescoreCap` candidates are exactly rescored by cosine
+  * (the cap is ABSOLUTE — the [[IvfIndex.topKAuto]] scale stance).
+  *
+  * Deterministic end to end: hash-seeded IVF centroids, hash-seeded
+  * residual codebook, DECIMAL-exact means everywhere — both levels
+  * bit-reproducible with no stored RNG state. Approximate by design:
+  * recall-gated in SimilaritySpec, no SQL oracle.
+  */
+final case class IvfPqIndex(cells: DataFrame, centroids: Seq[Seq[Double]],
+    codebook: Seq[Seq[Seq[Double]]], size: Long) {
+
+  import graft.functions.VectorOps
+
+  private def dsub: Int = codebook.head.head.length
+
+  private def nearestCells(v: Seq[Double], nprobe: Int): Seq[Int] =
+    centroids.zipWithIndex
+      .map { case (c, i) => i -> IvfIndex.cosineOf(v, c) }
+      .sortBy { case (i, cos) => (-cos, i) }
+      .take(nprobe).map(_._1)
+
+  /** The probe's residual-codebook lookup table (`lut(sub·cps + c)` =
+    * inner product of the query subvector with residual centroid c). */
+  private def lutOf(probe: Seq[Double]): Seq[Double] =
+    codebook.zipWithIndex.flatMap { case (cents, s) =>
+      val q = probe.slice(s * dsub, (s + 1) * dsub)
+      cents.map(c =>
+        q.iterator.zip(c.iterator).map { case (a, b) => a * b }.sum)
+    }
+
+  /** Top-k neighbors of an external query vector. */
+  def topKVec(probe: Seq[Double], k: Int = 10, nprobe: Int = 16,
+      rescoreCap: Int = 192): DataFrame =
+    rankScan(cells, probe, k, nprobe, rescoreCap)
+
+  /** Top-k neighbors of an indexed vector (excludes the probe). */
+  def topK(probeId: Long, k: Int = 10, nprobe: Int = 16,
+      rescoreCap: Int = 192): DataFrame = {
+    val probe = cells.filter(col("vec_id") === probeId)
+      .select("embedding").head().getSeq[Double](0)
+    rankScan(cells.filter(col("vec_id") =!= probeId), probe, k, nprobe,
+      rescoreCap)
+  }
+
+  private def rankScan(from: DataFrame, probe: Seq[Double], k: Int,
+      nprobe: Int, rescoreCap: Int): DataFrame = {
+    val pc = nearestCells(probe, math.min(math.max(1, nprobe),
+      centroids.size))
+    // per-cell constant IP(q, centroid) rides a literal map; the
+    // residual table is one literal shared by every probed cell
+    val consts: Map[Int, Double] =
+      pc.map(c => c -> probe.iterator.zip(centroids(c).iterator)
+        .map { case (a, b) => a * b }.sum).toMap
+    val scanned = from.filter(col("cell").isin(pc: _*))
+    val cand = scanned
+      .select(col("vec_id"),
+        (VectorOps.pqAdc(col("pqcode"), lutOf(probe)) +
+          element_at(typedLit(consts), col("cell"))).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(rescoreCap)
+      .select("vec_id")
+    scanned.join(cand, "vec_id") // rescoreCap rows — broadcast-sized
+      .select(col("vec_id"),
+        round(VectorOps.cosine(col("embedding"),
+          typedLit(probe)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Release the index's executor storage. */
+  def close(): Unit = cells.unpersist(blocking = false)
+}
+
+object IvfPqIndex {
+
+  /** Two-level deterministic build: the [[IvfIndex]] coarse quantizer
+    * first, then a [[PqIndex.trainCodebook]] residual codebook over
+    * `embedding − centroid(cell)` and the residual codes stored next
+    * to each row's cell id. The cell-count caveat of
+    * [[IvfIndex.build]] applies unchanged (k ≈ √n beyond test
+    * scale). */
+  def build(vectors: DataFrame, idCol: String, embCol: String,
+      kCells: Int = 32, subspaces: Int = 8, centroidsPerSub: Int = 16,
+      iters: Int = 2): IvfPqIndex = {
+    graft.functions.VectorOps.register(vectors.sparkSession)
+    val ivf = IvfIndex.build(vectors, idCol, embCol, kCells, iters)
+    val resid = ivf.cells.withColumn("graft_resid",
+      zip_with(col("embedding"),
+        element_at(typedLit(centroidSeq(ivf)), col("cell") + 1),
+        (a, b) => a - b))
+    val cb = PqIndex.trainCodebook(resid, "graft_resid", subspaces,
+      centroidsPerSub, iters)
+    val cells = resid
+      .withColumn("pqcode",
+        graft.functions.VectorOps.pqEncode(col("graft_resid"), cb))
+      .drop("graft_resid", "sketch")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cells.count() // materialize before releasing the parent's storage
+    ivf.close()
+    IvfPqIndex(cells, ivf.centroids, cb, ivf.size)
+  }
+
+  private def centroidSeq(ivf: IvfIndex): Seq[Seq[Double]] = ivf.centroids
+
+  // Evicts on invalidate() and on session end (see IndexCache).
+  private val cache = new IndexCache[IvfPqIndex](
+    (spark, sfDir) => build(graft.sources.Tables.embeddings(spark, sfDir),
+      "vec_id", "embedding"),
+    _.close())
+
+  /** The cached IVF-PQ index of a test-data corpus dir. */
+  def forDir(spark: SparkSession, sfDir: String): IvfPqIndex =
+    cache.get(spark, sfDir)
+
+  /** Drop and unpersist the cached index of one corpus dir. */
+  def invalidate(spark: SparkSession, sfDir: String): Unit =
+    cache.invalidate(spark, sfDir)
+
+  /** Drop and unpersist every cached index of a session. */
+  def invalidateAll(spark: SparkSession): Unit = cache.invalidateAll(spark)
+}

@@ -98,14 +98,31 @@ object PqIndex {
     val e = vectors.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("embedding"))
     val n = e.count()
-    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    val cbSeq = trainCodebook(e, "embedding", subspaces, centroidsPerSub,
+      iters)
+    val codes = e
+      .withColumn("codes",
+        graft.functions.VectorOps.pqEncode(col("embedding"), cbSeq))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    PqIndex(codes, cbSeq, n)
+  }
+
+  /** Deterministic per-subspace Lloyd training over `df(vecCol)`
+    * (shared by [[build]] and the IVF-PQ residual codebook,
+    * [[IvfPqIndex.build]]): hash-seeded starts (`df` must carry a
+    * `vec_id` column), DECIMAL-exact means, one corpus pass per
+    * iteration. Returns `codebook(sub)(centroid)`. */
+  private[operators] def trainCodebook(df: DataFrame, vecCol: String,
+      subspaces: Int, centroidsPerSub: Int,
+      iters: Int): Seq[Seq[Seq[Double]]] = {
+    val dims = df.select(size(col(vecCol))).head().getInt(0)
     require(dims % subspaces == 0,
       s"embedding dims ($dims) must divide into $subspaces subspaces")
     val dsub = dims / subspaces
     // hash-seeded starts: subvectors of the lowest-hash vectors
-    val seeds = e.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val seeds = df.orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(centroidsPerSub)
-      .select("embedding").collect().map(_.getSeq[Double](0).toSeq)
+      .select(vecCol).collect().map(_.getSeq[Double](0).toSeq)
     require(seeds.length >= 1, "empty corpus")
     var cb: Array[Array[Array[Double]]] = Array.tabulate(subspaces)(s =>
       Array.tabulate(math.min(centroidsPerSub, seeds.length))(c =>
@@ -116,12 +133,12 @@ object PqIndex {
       // one corpus pass per iteration: encode under the current
       // codebook, then DECIMAL-exact means per (sub, code, dim) — the
       // same order-independent reduction as the IVF Lloyd step
-      val means = e
-        .select(col("embedding"), posexplode(
-          graft.functions.VectorOps.pqEncode(col("embedding"), cbSeq))
+      val means = df
+        .select(col(vecCol).as("graft_v"), posexplode(
+          graft.functions.VectorOps.pqEncode(col(vecCol), cbSeq))
           .as(Seq("sub", "code")))
         .select(col("sub"), col("code"), posexplode(
-          slice(col("embedding"), col("sub") * lit(dsub) + 1, lit(dsub)))
+          slice(col("graft_v"), col("sub") * lit(dsub) + 1, lit(dsub)))
           .as(Seq("d", "v")))
         .groupBy("sub", "code", "d")
         .agg((sum(col("v").cast("decimal(38,18)")) /
@@ -136,12 +153,7 @@ object PqIndex {
             Array.tabulate(dsub)(d => means((s, c, d)))
           else cb(s)(c)))
     }
-    val cbSeq: Seq[Seq[Seq[Double]]] = cb.map(_.map(_.toSeq).toSeq).toSeq
-    val codes = e
-      .withColumn("codes",
-        graft.functions.VectorOps.pqEncode(col("embedding"), cbSeq))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    PqIndex(codes, cbSeq, n)
+    cb.map(_.map(_.toSeq).toSeq).toSeq
   }
 
   // Evicts on invalidate() and on session end (see IndexCache).

