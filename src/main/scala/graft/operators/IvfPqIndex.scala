@@ -89,6 +89,26 @@ final case class IvfPqIndex(cells: DataFrame, centroids: Seq[Seq[Double]],
       .limit(k)
   }
 
+  /** Persist the index bucketed by cell (a probe's IN-filter reads
+    * only its nprobe buckets) plus a `_meta` sidecar holding BOTH
+    * quantizer levels — coarse centroids (`kind = 'cell'`) and the
+    * residual codebook (`kind = 'pq'`) — and the stamped size, so
+    * [[IvfPqIndex.fromTable]] reopens the pair with no out-of-band
+    * state. */
+  def writeTable(table: String, buckets: Int = 32): Unit = {
+    graft.sources.Warehouse.writeBucketed(cells, table, "cell", buckets)
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val cellRows = centroids.zipWithIndex.map { case (c, i) =>
+      ("cell", i, 0, c, size)
+    }
+    val pqRows = codebook.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (c, j) => ("pq", s, j, c, size) }
+    }
+    (cellRows ++ pqRows).toDF("kind", "i", "j", "centroid", "n")
+      .write.mode("overwrite").format("parquet").saveAsTable(table + "_meta")
+  }
+
   /** Release the index's executor storage. */
   def close(): Unit = cells.unpersist(blocking = false)
 }
@@ -123,6 +143,22 @@ object IvfPqIndex {
   }
 
   private def centroidSeq(ivf: IvfIndex): Seq[Seq[Double]] = ivf.centroids
+
+  /** Reopen a bucketed index table + `_meta` sidecar written by
+    * [[IvfPqIndex.writeTable]]. */
+  def fromTable(spark: SparkSession, table: String): IvfPqIndex = {
+    val meta = spark.table(table + "_meta").collect()
+    require(meta.nonEmpty, s"missing sidecar table ${table}_meta — was " +
+      "the index written by IvfPqIndex.writeTable?")
+    val byKind = meta.groupBy(_.getString(0))
+    val cents = byKind.getOrElse("cell", Array.empty)
+      .sortBy(_.getInt(1)).map(_.getSeq[Double](3).toSeq).toSeq
+    val cb = byKind.getOrElse("pq", Array.empty)
+      .groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (_, rows) =>
+        rows.sortBy(_.getInt(2)).map(_.getSeq[Double](3).toSeq).toSeq
+      }
+    IvfPqIndex(spark.table(table), cents, cb, meta.head.getLong(4))
+  }
 
   // Evicts on invalidate() and on session end (see IndexCache).
   private val cache = new IndexCache[IvfPqIndex](

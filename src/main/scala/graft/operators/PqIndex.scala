@@ -79,6 +79,20 @@ final case class PqIndex(codes: DataFrame,
       .limit(k)
   }
 
+  /** Persist the code table bucketed by vec_id (point lookups and id
+    * joins prune) plus a `_meta` sidecar holding the codebook and the
+    * stamped size — the pair is self-describing,
+    * [[PqIndex.fromTable]] reopens it with no out-of-band state. */
+  def writeTable(table: String, buckets: Int = 32): Unit = {
+    graft.sources.Warehouse.writeBucketed(codes, table, "vec_id", buckets)
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codebook.zipWithIndex.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (c, j) => (s, j, c, size) }
+    }.toDF("sub", "code", "centroid", "n")
+      .write.mode("overwrite").format("parquet").saveAsTable(table + "_meta")
+  }
+
   /** Release the code table's executor storage. */
   def close(): Unit = codes.unpersist(blocking = false)
 }
@@ -154,6 +168,20 @@ object PqIndex {
           else cb(s)(c)))
     }
     cb.map(_.map(_.toSeq).toSeq).toSeq
+  }
+
+  /** Reopen a code table + `_meta` sidecar written by [[PqIndex
+    * .writeTable]]: codebook and size come off the sidecar, so the
+    * reopened index probes identically. */
+  def fromTable(spark: SparkSession, table: String): PqIndex = {
+    val meta = spark.table(table + "_meta").collect()
+    require(meta.nonEmpty, s"missing sidecar table ${table}_meta — was " +
+      "the index written by PqIndex.writeTable?")
+    val cb = meta.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+      case (_, rows) => rows.sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toSeq).toSeq
+    }
+    PqIndex(spark.table(table), cb, meta.head.getLong(3))
   }
 
   // Evicts on invalidate() and on session end (see IndexCache).

@@ -195,10 +195,31 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfBack.size === ivf.size)
     assert(ivfBack.topK(0L).collect().map(_.toSeq).toSeq ===
       ivf.topK(0L).collect().map(_.toSeq).toSeq)
-    lsh.sigs.unpersist(); ivf.cells.unpersist()
+    // PQ and IVF-PQ: codebooks (and both quantizer levels) ride the
+    // sidecar; the reopened index must probe identically
+    val pq = graft.operators.PqIndex.build(vecs, "vec_id", "embedding")
+    pq.writeTable("pq_codes_rt", buckets = 8)
+    val pqBack = graft.operators.PqIndex.fromTable(spark, "pq_codes_rt")
+    assert(pqBack.codebook === pq.codebook)
+    assert(pqBack.size === pq.size)
+    assert(pqBack.topK(0L).collect().map(_.toSeq).toSeq ===
+      pq.topK(0L).collect().map(_.toSeq).toSeq)
+    val ivfpq = graft.operators.IvfPqIndex.build(vecs, "vec_id", "embedding")
+    ivfpq.writeTable("ivfpq_cells_rt", buckets = 8)
+    val ivfpqBack = graft.operators.IvfPqIndex.fromTable(spark,
+      "ivfpq_cells_rt")
+    assert(ivfpqBack.centroids === ivfpq.centroids)
+    assert(ivfpqBack.codebook === ivfpq.codebook)
+    assert(ivfpqBack.topK(0L).collect().map(_.toSeq).toSeq ===
+      ivfpq.topK(0L).collect().map(_.toSeq).toSeq)
+    lsh.sigs.unpersist(); ivf.cells.unpersist(); pq.close(); ivfpq.close()
     spark.sql("DROP TABLE IF EXISTS ann_sigs_rt")
     spark.sql("DROP TABLE IF EXISTS ivf_cells_rt")
     spark.sql("DROP TABLE IF EXISTS ivf_cells_rt_meta")
+    spark.sql("DROP TABLE IF EXISTS pq_codes_rt")
+    spark.sql("DROP TABLE IF EXISTS pq_codes_rt_meta")
+    spark.sql("DROP TABLE IF EXISTS ivfpq_cells_rt")
+    spark.sql("DROP TABLE IF EXISTS ivfpq_cells_rt_meta")
   }
 
   test("IVF append assigns arrivals to the existing cells — a full-" +
