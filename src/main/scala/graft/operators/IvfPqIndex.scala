@@ -137,8 +137,12 @@ object IvfPqIndex {
         graft.functions.VectorOps.pqEncode(col("graft_resid"), cb))
       .drop("graft_resid", "sketch")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    cells.count() // materialize before releasing the parent's storage
-    ivf.close()
+    // Deliberately NOT ivf.close(): Spark's cache manager keys storage
+    // by PLAN EQUALITY, so unpersisting the inner build would also
+    // evict the storage of any same-plan IvfIndex the session holds
+    // (IvfIndex.forDir — measured as a 15× q_sim_ivf regression when
+    // this build closed it). The inner persist call resolves to that
+    // shared entry, so leaving it alive leaks nothing.
     IvfPqIndex(cells, ivf.centroids, cb, ivf.size)
   }
 
