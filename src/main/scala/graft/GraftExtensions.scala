@@ -71,6 +71,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("sketch_dot"),
       new ExpressionInfo(classOf[SketchDot].getName, "sketch_dot"),
       (exprs: Seq[Expression]) => SketchDot(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(
+        classOf[graft.functions.PqEncode].getName, "pq_encode"),
+      (exprs: Seq[Expression]) => graft.functions.PqEncode(exprs(0),
+        VectorOps.codebookOf("pq_encode", exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[graft.functions.PqAdc].getName, "pq_adc"),
+      (exprs: Seq[Expression]) => graft.functions.PqAdc(exprs(0), exprs(1))))
     // Spark's runtime-filter probe expression, not in the public SQL
     // registry — surfaced for declarative Bloom set-membership pruning
     // (pairs with the registered `bloom_filter_agg`).

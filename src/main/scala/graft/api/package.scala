@@ -277,9 +277,12 @@ package object api {
       * too (see [[streaming.IndexDedupFilter]]). */
     def indexDedupFilter(idCol: String, embCol: String,
         threshold: Double): streaming.IndexDedupFilter =
+      // the historical signature table IS the per-batch probe target —
+      // persisted, or every micro-batch recomputes all of history;
+      // release via filter.index.close() when the stream ends
       streaming.StreamingDedup.againstIndex(
-        operators.AnnIndex.build(df, idCol, embCol, tables = 16,
-          persist = false), idCol, embCol, threshold)
+        operators.AnnIndex.build(df, idCol, embCol, tables = 16),
+        idCol, embCol, threshold)
   }
 
   implicit class GraftJoinOps(private val facts: DataFrame) {

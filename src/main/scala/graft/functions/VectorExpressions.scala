@@ -541,14 +541,21 @@ object VectorOps {
   // pq_encode's codebook arrives as a foldable nested-array literal
   // (the trained matrix is runtime data, so it rides a typedLit) and is
   // unpacked once at expression construction.
-  private def codebookOf(fn: String, e: Expression)
+  private[graft] def codebookOf(fn: String, e: Expression)
       : Array[Array[Array[Double]]] = {
     if (!e.foldable) throw new IllegalArgumentException(
       s"$fn expects a literal codebook (array<array<array<double>>>)")
-    val top = e.eval().asInstanceOf[ArrayData]
-    Array.tabulate(top.numElements()) { s =>
-      val sub = top.getArray(s)
-      Array.tabulate(sub.numElements())(c => sub.getArray(c).toDoubleArray())
+    e.eval() match {
+      case top: ArrayData =>
+        Array.tabulate(top.numElements()) { s =>
+          val sub = top.getArray(s)
+          Array.tabulate(sub.numElements())(c =>
+            sub.getArray(c).toDoubleArray())
+        }
+      case null => throw new IllegalArgumentException(
+        s"$fn expects a literal codebook; got NULL")
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal codebook; got $other")
     }
   }
 

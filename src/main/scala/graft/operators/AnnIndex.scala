@@ -192,9 +192,18 @@ final case class AnnIndex(sigs: DataFrame,
   }
 
   /** Persist the index as a bucketed warehouse table: probes with
-    * `sig` equality/IN predicates read only their own buckets. */
-  def writeTable(table: String, buckets: Int = 32): Unit =
+    * `sig` equality/IN predicates read only their own buckets. A tiny
+    * `_meta` sidecar records the hyperplane BUDGET (tables ×
+    * planesPerTable) so [[AnnIndex.fromTable]] reopens with the same
+    * probe coverage — without it a 16-table index reopened at the
+    * 8-table default would silently probe half its buckets. */
+  def writeTable(table: String, buckets: Int = 32): Unit = {
     graft.sources.Warehouse.writeBucketed(sigs, table, "sig", buckets)
+    val spark = sigs.sparkSession
+    import spark.implicits._
+    Seq((tables, planesPerTable)).toDF("tables", "planes_per_table")
+      .write.mode("overwrite").format("parquet").saveAsTable(table + "_meta")
+  }
 
   /** Append a new batch's signature rows to a bucketed index table
     * written by [[writeTable]] — the durable twin of [[append]].
@@ -239,9 +248,20 @@ object AnnIndex {
     AnnIndex(sigs, tables, planesPerTable)
   }
 
-  /** Reopen a bucketed index table written by [[AnnIndex.writeTable]]. */
-  def fromTable(spark: SparkSession, table: String): AnnIndex =
-    AnnIndex(spark.table(table))
+  /** Reopen a bucketed index table written by [[AnnIndex.writeTable]]:
+    * the hyperplane budget comes off the `_meta` sidecar (pre-sidecar
+    * tables fall back to the engine defaults, which match how they
+    * were written). Registers the vector functions so a FRESH session
+    * can probe without the build() chokepoint having run. */
+  def fromTable(spark: SparkSession, table: String): AnnIndex = {
+    graft.functions.VectorOps.register(spark)
+    val (t, p) =
+      if (spark.catalog.tableExists(table + "_meta")) {
+        val r = spark.table(table + "_meta").head()
+        (r.getInt(0), r.getInt(1))
+      } else (SimilarityOps.TABLES, SimilarityOps.PLANES_PER_TABLE)
+    AnnIndex(spark.table(table), t, p)
+  }
 
   // q_sim_ann builds the index once per (session, corpus) — "search"
   // means an index outlives the query stream that probes it. The cache

@@ -194,7 +194,10 @@ object CurationOps {
     // min-over-window spelling forced every row of a hot digest into
     // one window partition (skew-pathological at scale); same keeper
     // semantics, same exchange count, pinned window-free in PlanSpec.
-    val dig = md5(lower(trim(col(textCol))))
+    // NULL-safe digest: md5(NULL) is NULL and an equi-join would drop
+    // NULL-text rows from every count (the window spelling kept them
+    // as one partition) — coalesce to a sentinel no md5 hex can equal
+    val dig = coalesce(md5(lower(trim(col(textCol)))), lit("graft_null"))
     val keepers = withQ.select(dig.as("graft_dig"), col(idCol))
       .groupBy("graft_dig").agg(min(col(idCol)).as("graft_keeper_id"))
     val exact = withQ.withColumn("graft_dig", dig)

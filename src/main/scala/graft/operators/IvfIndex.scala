@@ -221,13 +221,18 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]],
     val e = newVectors.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("embedding"))
     val n = e.count()
+    val spark = cells.sparkSession
+    // the CURRENT durable size comes off the sidecar, not this handle's
+    // stamp — repeated appends through one in-memory handle must
+    // accumulate, not overwrite each other's counts
+    val durable = spark.table(table + "_meta")
+      .select("n").head().getLong(0)
     IvfIndex.assign(e, centroids)
       .withColumn("sketch", IvfIndex.sketchCol(col("embedding")))
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(table)
-    val spark = cells.sparkSession
     import spark.implicits._
-    centroids.zipWithIndex.map { case (c, i) => (i, c, size + n) }
+    centroids.zipWithIndex.map { case (c, i) => (i, c, durable + n) }
       .toDF("cell", "centroid", "n")
       .write.mode("overwrite").format("parquet").saveAsTable(table + "_meta")
   }
@@ -316,7 +321,7 @@ object IvfIndex {
     * k ≈ √n sizing keeps cells bounded; pass it explicitly when
     * indexing beyond test scale (the default suits the gate corpora). */
   def build(vectors: DataFrame, idCol: String, embCol: String,
-      k: Int = 32, iters: Int = 2): IvfIndex = {
+      k: Int = 32, iters: Int = 2, persist: Boolean = true): IvfIndex = {
     graft.functions.VectorOps.register(vectors.sparkSession)
     val e = vectors.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("embedding"))
@@ -341,9 +346,14 @@ object IvfIndex {
         else old
       }
     }
-    val cells = assign(e, centroids)
+    val raw = assign(e, centroids)
       .withColumn("sketch", sketchCol(col("embedding")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // `persist = false` for one-shot consumers (IvfPqIndex.build keeps
+    // its own working set; an unwanted persist here would either leak
+    // or — worse — share a cache entry with IvfIndex.forDir that the
+    // consumer's cleanup then evicts, the measured 15× probe trap)
+    val cells = if (persist) raw.persist(StorageLevel.MEMORY_AND_DISK)
+      else raw
     IvfIndex(cells, centroids, nVecs)
   }
 
@@ -352,6 +362,9 @@ object IvfIndex {
     * the sidecar, so the reopened index probes identically (including
     * [[IvfIndex.topKAuto]]'s cap policy) with no out-of-band state. */
   def fromTable(spark: SparkSession, table: String): IvfIndex = {
+    // a fresh session has no temp functions — the reopened index must
+    // probe without the build() chokepoint having run
+    graft.functions.VectorOps.register(spark)
     val meta = spark.table(table + "_meta").collect()
     require(meta.nonEmpty, s"missing sidecar table ${table}_meta — was " +
       "the index written by IvfIndex.writeTable?")

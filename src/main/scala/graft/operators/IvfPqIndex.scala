@@ -125,11 +125,21 @@ object IvfPqIndex {
       kCells: Int = 32, subspaces: Int = 8, centroidsPerSub: Int = 16,
       iters: Int = 2): IvfPqIndex = {
     graft.functions.VectorOps.register(vectors.sparkSession)
-    val ivf = IvfIndex.build(vectors, idCol, embCol, kCells, iters)
+    // persist = false: the inner inverted file is a build-time
+    // intermediate here. Persisting it would either leak a
+    // corpus-sized cache entry per build, or — since Spark's cache
+    // manager keys storage by PLAN EQUALITY — share an entry with a
+    // session-cached IvfIndex of the same corpus that a cleanup here
+    // would then evict (the measured 15× q_sim_ivf probe trap). The
+    // residual frame below (a plan unique to this build) carries the
+    // working set instead.
+    val ivf = IvfIndex.build(vectors, idCol, embCol, kCells, iters,
+      persist = false)
     val resid = ivf.cells.withColumn("graft_resid",
       zip_with(col("embedding"),
         element_at(typedLit(centroidSeq(ivf)), col("cell") + 1),
         (a, b) => a - b))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cb = PqIndex.trainCodebook(resid, "graft_resid", subspaces,
       centroidsPerSub, iters)
     val cells = resid
@@ -137,12 +147,8 @@ object IvfPqIndex {
         graft.functions.VectorOps.pqEncode(col("graft_resid"), cb))
       .drop("graft_resid", "sketch")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Deliberately NOT ivf.close(): Spark's cache manager keys storage
-    // by PLAN EQUALITY, so unpersisting the inner build would also
-    // evict the storage of any same-plan IvfIndex the session holds
-    // (IvfIndex.forDir — measured as a 15× q_sim_ivf regression when
-    // this build closed it). The inner persist call resolves to that
-    // shared entry, so leaving it alive leaks nothing.
+    cells.count() // materialize before releasing the training frame
+    resid.unpersist(blocking = false)
     IvfPqIndex(cells, ivf.centroids, cb, ivf.size)
   }
 
@@ -151,6 +157,8 @@ object IvfPqIndex {
   /** Reopen a bucketed index table + `_meta` sidecar written by
     * [[IvfPqIndex.writeTable]]. */
   def fromTable(spark: SparkSession, table: String): IvfPqIndex = {
+    // fresh sessions must be able to probe the reopened index
+    graft.functions.VectorOps.register(spark)
     val meta = spark.table(table + "_meta").collect()
     require(meta.nonEmpty, s"missing sidecar table ${table}_meta — was " +
       "the index written by IvfPqIndex.writeTable?")

@@ -174,6 +174,8 @@ object PqIndex {
     * .writeTable]]: codebook and size come off the sidecar, so the
     * reopened index probes identically. */
   def fromTable(spark: SparkSession, table: String): PqIndex = {
+    // fresh sessions must be able to probe the reopened index
+    graft.functions.VectorOps.register(spark)
     val meta = spark.table(table + "_meta").collect()
     require(meta.nonEmpty, s"missing sidecar table ${table}_meta — was " +
       "the index written by PqIndex.writeTable?")

@@ -146,13 +146,21 @@ final class FingerprintDedupFilter private[streaming] (
   def processBatch(batch: DataFrame): DataFrame = {
     val b = batch.withColumn("graft_fp", fp(col(textCol)))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val novel = b.join(keys, Seq("graft_fp"), "left_anti")
-      .dropDuplicates("graft_fp")
+    // ONLY the novel fingerprint set is pinned long-term: pinning the
+    // full novel rows would grow executor storage with document bytes,
+    // not the documented 16 bytes a document. The returned rows
+    // re-evaluate from the bounded micro-batch source — consume them
+    // inside the foreachBatch callback.
+    val novelFps = b.join(keys, Seq("graft_fp"), "left_anti")
+      .select("graft_fp").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    novel.count() // materialize against the PRE-accumulation key set
-    keys = keys.unionByName(novel.select("graft_fp"))
+    novelFps.count() // materialize against the PRE-accumulation key set
+    keys = keys.unionByName(novelFps)
+    val novel = b.join(novelFps, Seq("graft_fp"))
+      .dropDuplicates("graft_fp")
+      .drop("graft_fp")
     b.unpersist(blocking = false)
-    novel.drop("graft_fp")
+    novel
   }
 
   /** Adapter for `writeStream.foreachBatch`. */

@@ -39,8 +39,16 @@ object Checkpoints {
     * reliable when the session has a checkpoint dir, local otherwise. */
   def pin(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Spark's cache manager keys storage by PLAN EQUALITY, so if an
+      // equivalent plan is already cached (storageLevel lookup resolves
+      // through the cache manager) our unpersist would evict storage
+      // the CALLER still relies on — only manage the cache entry when
+      // we created it
+      val ours =
+        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+      if (ours)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try df.checkpoint(eager = true)
-      finally df.unpersist(blocking = false)
+      finally if (ours) df.unpersist(blocking = false)
     } else df.localCheckpoint(eager = true)
 }

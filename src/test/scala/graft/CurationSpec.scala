@@ -204,6 +204,24 @@ class CurationSpec extends SparkSpec {
       Seq((2L, 0, 5, "just a few tokens here")))
   }
 
+  test("funnelReport keeps NULL-text documents in every count (the " +
+      "digest join is null-safe)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("the a of and words here and more of the tokens " +
+        "padding out to a plausible length for the band")),
+      (2L, Option.empty[String]),
+      (3L, Option.empty[String]))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+    val rows = CurationOps.funnelReport(df, "doc_id", "text",
+      Seq("source", "lang")).collect()
+    // all three docs are counted; the two NULL-text docs form one
+    // digest group whose keeper is the minimum id
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === 3L)
+    assert(rows.map(_.getAs[Long]("n_keepers")).sum === 2L)
+  }
+
   test("quality filter keeps exactly the in-band documents") {
     val kept = CurationOps.qualityFilter(docs, "text")
     kept.select("n_tokens", "stop_ratio", "avg_tok_len").collect()

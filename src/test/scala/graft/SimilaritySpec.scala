@@ -212,8 +212,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfpqBack.codebook === ivfpq.codebook)
     assert(ivfpqBack.topK(0L).collect().map(_.toSeq).toSeq ===
       ivfpq.topK(0L).collect().map(_.toSeq).toSeq)
+    // a FRESH session (no temp functions, no build() chokepoint run)
+    // must reopen and probe every index kind — fromTable registers the
+    // vector functions itself, and AnnIndex's budget rides its sidecar
+    val s2 = spark.newSession()
+    assert(graft.operators.AnnIndex.fromTable(s2, "ann_sigs_rt")
+      .topK(0L).collect().map(_.toSeq).toSeq ===
+      lsh.topK(0L).collect().map(_.toSeq).toSeq)
+    assert(graft.operators.IvfIndex.fromTable(s2, "ivf_cells_rt")
+      .topK(0L).collect().map(_.toSeq).toSeq ===
+      ivf.topK(0L).collect().map(_.toSeq).toSeq)
+    assert(graft.operators.PqIndex.fromTable(s2, "pq_codes_rt")
+      .topK(0L).collect().map(_.toSeq).toSeq ===
+      pq.topK(0L).collect().map(_.toSeq).toSeq)
+    assert(graft.operators.IvfPqIndex.fromTable(s2, "ivfpq_cells_rt")
+      .topK(0L).collect().map(_.toSeq).toSeq ===
+      ivfpq.topK(0L).collect().map(_.toSeq).toSeq)
     lsh.sigs.unpersist(); ivf.cells.unpersist(); pq.close(); ivfpq.close()
     spark.sql("DROP TABLE IF EXISTS ann_sigs_rt")
+    spark.sql("DROP TABLE IF EXISTS ann_sigs_rt_meta")
     spark.sql("DROP TABLE IF EXISTS ivf_cells_rt")
     spark.sql("DROP TABLE IF EXISTS ivf_cells_rt_meta")
     spark.sql("DROP TABLE IF EXISTS pq_codes_rt")
@@ -241,10 +258,14 @@ class SimilaritySpec extends SparkSpec {
       .bruteForceTopK(vecs, "vec_id", "embedding", 0L, 10)
       .collect().map(_.toSeq).toSeq
     assert(got === exact)
-    // durable ingest: appendTable + fromTable round-trips the same
+    // durable ingest: TWO appends through the same handle must
+    // accumulate the sidecar size (the stamp comes off the sidecar,
+    // not the handle's stale field)
     idx.writeTable("ivf_cells_app", buckets = 8)
-    idx.appendTable("ivf_cells_app", rest, "vec_id", "embedding",
-      buckets = 8)
+    idx.appendTable("ivf_cells_app",
+      rest.filter(col("vec_id") < 375), "vec_id", "embedding", buckets = 8)
+    idx.appendTable("ivf_cells_app",
+      rest.filter(col("vec_id") >= 375), "vec_id", "embedding", buckets = 8)
     val back = IvfIndex.fromTable(spark, "ivf_cells_app")
     assert(back.size === vecs.count())
     assert(back.topK(0L, 10, nprobe = back.centroids.size)
