@@ -262,7 +262,8 @@ package object api {
       * codes — the canonical billion-scale layout): probes prune to
       * their nprobe cells AND rank only the 8-code column inside
       * them, then exact-rescore an absolute cap
-      * (`.topK(id)` / `.topKVec(vector)`). */
+      * (`.topK(id)` / `.topKVec(vector)`); batch-serve an external
+      * query set with `.knnJoinWith(queries, …)`. */
     def ivfPqIndex(idCol: String, embCol: String, kCells: Int = 32,
         subspaces: Int = 8, centroidsPerSub: Int = 16)
         : operators.IvfPqIndex =

@@ -447,6 +447,87 @@ case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
     copy(child = newChild)
 }
 
+/** Per-row ADC lookup table of a QUERY embedding against a PQ
+  * codebook: `lut(s·cps + c)` = inner product of the query's subspace-s
+  * slice with centroid c of subspace s — the batch form of the
+  * driver-side table a point probe computes, letting a query DATAFRAME
+  * join PQ code rows and score them with [[PqAdc]] (column right-hand
+  * side). One generated loop per row (subspaces × centroids × dsub
+  * mults — ~1k at the defaults, paid once per query, not per
+  * candidate). */
+case class PqLut(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  override def inputTypes = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override def nullSafeEval(input: Any): Any = {
+    val e = input.asInstanceOf[ArrayData]
+    val subs = codebook.length
+    val cps = if (subs == 0) 0 else codebook(0).length
+    val dsub = if (subs == 0) 0 else codebook(0)(0).length
+    val out = new Array[Double](subs * cps)
+    var s = 0
+    while (s < subs) {
+      var c = 0
+      while (c < cps) {
+        val cen = codebook(s)(c)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val base = s * dsub + i
+          if (base < e.numElements()) d += e.getDouble(base) * cen(i)
+          i += 1
+        }
+        out(s * cps + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, e => {
+      val cb = ctx.addReferenceObj("codebook", codebook, "double[][][]")
+      val subs = codebook.length
+      val cps = if (subs == 0) 0 else codebook(0).length
+      val dsub = if (subs == 0) 0 else codebook(0)(0).length
+      val out = ctx.freshName("out")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val base = ctx.freshName("base")
+      val cen = ctx.freshName("cen")
+      s"""
+         |double[] $out = new double[$subs * $cps];
+         |for (int $s = 0; $s < $subs; $s++) {
+         |  for (int $c = 0; $c < $cps; $c++) {
+         |    double[] $cen = $cb[$s][$c];
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $dsub; $i++) {
+         |      int $base = $s * $dsub + $i;
+         |      if ($base < $e.numElements()) {
+         |        $d += $e.getDouble($base) * $cen[$i];
+         |      }
+         |    }
+         |    $out[$s * $cps + $c] = $d;
+         |  }
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
 /** Asymmetric-distance (ADC) score of a PQ code row against a query
   * lookup table: Σ over subspaces of `lut[s·cps + code[s]]`, where the
   * table holds the query subvector's inner product with every centroid
@@ -581,6 +662,9 @@ object VectorOps {
           codebookOf("pq_encode", exprs(1))), "built-in")
       reg.createOrReplaceTempFunction("pq_adc",
         exprs => PqAdc(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("pq_lut",
+        exprs => PqLut(exprs(0),
+          codebookOf("pq_lut", exprs(1))), "built-in")
       reg.createOrReplaceTempFunction("plane_sigs",
         exprs => PlaneSigs(exprs(0),
           intArg("plane_sigs", "base", exprs(1)),
@@ -628,6 +712,16 @@ object VectorOps {
     * table (laid out `lut(sub·cps + centroid)`). */
   def pqAdc(codes: Column, lut: Seq[Double]): Column =
     call_function("pq_adc", codes, typedLit(lut))
+
+  /** ADC score against a per-ROW lookup-table column (the batch form;
+    * see [[PqLut]]). */
+  def pqAdcCol(codes: Column, lut: Column): Column =
+    call_function("pq_adc", codes, lut)
+
+  /** Per-row ADC lookup table of a query embedding column under a
+    * trained codebook. */
+  def pqLut(emb: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
+    call_function("pq_lut", emb.cast("array<double>"), typedLit(codebook))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

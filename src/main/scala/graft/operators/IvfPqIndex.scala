@@ -89,6 +89,56 @@ final case class IvfPqIndex(cells: DataFrame, centroids: Seq[Seq[Double]],
       .limit(k)
   }
 
+  /** Approximate kNN JOIN of an EXTERNAL query set through the IVF-PQ
+    * layout — the batch-serving shape on the strongest index (the twin
+    * of [[IvfIndex.knnJoinWith]], with PQ codes replacing the sketch):
+    * each query ranks the literal centroids in-row, fans out to its
+    * `nprobe` cells carrying its per-row ADC table (one
+    * [[graft.functions.PqLut]] pass — subspaces×centroids dots ONCE
+    * per query, not per candidate), stage 1 equi-joins on the cell key
+    * touching only (vec_id, cell, pqcode) and scores `PqAdc(code,
+    * lut) + IP(q, centroid)` (the residual decomposition — the cell
+    * term rides the fan-out row), [[SimilarityOps.topKPerSrc]] trims
+    * to `rescorePerQuery` before the shuffle, and stage 2
+    * exact-rescores the shortlist. No cartesian; candidate bytes are
+    * nprobe/k_cells of the corpus per query in CODE bytes. Ids must be
+    * integral; indexed queries return themselves at cos 1. Recall
+    * gated held-out in SimilaritySpec, no SQL oracle. */
+  def knnJoinWith(queries: DataFrame, idCol: String, embCol: String,
+      k: Int, nprobe: Int = 16, rescorePerQuery: Int = 192): DataFrame = {
+    import graft.functions.{VectorOps => V}
+    V.register(cells.sparkSession)
+    val qe = queries.select(col(idCol).as("src_id"),
+      col(embCol).cast("array<double>").as("se"))
+    val scoredCells = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-round(V.cosine(col("se"), typedLit(c)), 9)).as("negCos"),
+        lit(i).as("cell"))
+    }: _*)
+    val fanout = qe
+      .withColumn("qlut", V.pqLut(col("se"), codebook))
+      .select(col("src_id"), col("qlut"), col("se"),
+        explode(slice(array_sort(scoredCells), 1,
+          math.min(math.max(1, nprobe), centroids.size)).getField("cell"))
+          .as("cell"))
+      .withColumn("cconst", V.dot(col("se"),
+        element_at(typedLit(centroids: Seq[Seq[Double]]), col("cell") + 1)))
+      .select("src_id", "qlut", "cconst", "cell")
+    val cand = fanout
+      .join(cells.select(col("cell"), col("vec_id").as("dst_id"),
+        col("pqcode")), Seq("cell"))
+      .select(col("src_id"), col("dst_id"),
+        (V.pqAdcCol(col("pqcode"), col("qlut")) + col("cconst")).as("s1"))
+    val shortlist = SimilarityOps.topKPerSrc(cand, "s1", rescorePerQuery)
+      .select("src_id", "dst_id")
+    val edges = shortlist
+      .join(cells.select(col("vec_id").as("dst_id"),
+        col("embedding").as("de")), "dst_id")
+      .join(qe, "src_id")
+      .select(col("src_id"), col("dst_id"),
+        round(V.cosine(col("se"), col("de")), 6).as("cos_sim"))
+    SimilarityOps.topKPerSrc(edges, "cos_sim", k)
+  }
+
   /** Persist the index bucketed by cell (a probe's IN-filter reads
     * only its nprobe buckets) plus a `_meta` sidecar holding BOTH
     * quantizer levels — coarse centroids (`kind = 'cell'`) and the

@@ -251,6 +251,22 @@ object SimilarityOps {
     Query("q_sim_ivfpq", None,
       (s, d) => IvfPqIndex.forDir(s, d).topK(0L, 10)),
 
+    // Batch kNN join through the IVF-PQ layout: every 10th vector
+    // probes the cached index (cell fan-out, per-query ADC table,
+    // exact rescore); the cos=1 self-match is filtered and the 5 best
+    // true neighbors kept. Recall-gated in SimilaritySpec, no oracle.
+    Query("q_knn_ivfpq", None,
+      (s, d) => {
+        val probes = Tables.embeddings(s, d)
+          .filter(col("vec_id") % 10 === 0)
+        topKPerSrc(
+          IvfPqIndex.forDir(s, d)
+            .knnJoinWith(probes, "vec_id", "embedding", k = 6)
+            .filter(col("src_id") =!= col("dst_id"))
+            .select("src_id", "dst_id", "cos_sim"),
+          "cos_sim", 5)
+      }),
+
     // Per-language embedding centroids — the coarse-quantizer building
     // block (what IVF's Lloyd step computes) exposed as a query. Sums
     // are DECIMAL(38,18)-exact so the reduction is order-independent;

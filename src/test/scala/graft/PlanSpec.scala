@@ -194,17 +194,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
-  test("q_knn_ivf: cell-key equi-joins only, pre-shuffle partial top-k " +
-      "in both stages") {
-    val df = q("q_knn_ivf")
-    df.collect() // finalize THIS plan (AQE)
-    val p = plan(df).split("== Initial Plan ==").head
-    assert(!p.contains("CartesianProduct"), p.take(2000))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    // the typed top-k aggregator runs partial then final in BOTH the
-    // sketch-shortlist stage and the exact-rescore stage
-    assert("ObjectHashAggregate".r.findAllIn(p).size >= 4 ||
-      "SortAggregate".r.findAllIn(p).size >= 4, p.take(3000))
+  test("q_knn_ivf / q_knn_ivfpq: cell-key equi-joins only, pre-shuffle " +
+      "partial top-k in both stages") {
+    for (name <- Seq("q_knn_ivf", "q_knn_ivfpq")) {
+      val df = q(name)
+      df.collect() // finalize THIS plan (AQE)
+      val p = plan(df).split("== Initial Plan ==").head
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(2000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n" + p.take(2000))
+      // the typed top-k aggregator runs partial then final in BOTH the
+      // compact-code shortlist stage and the exact-rescore stage
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 4 ||
+        "SortAggregate".r.findAllIn(p).size >= 4, s"$name:\n" + p.take(3000))
+    }
   }
 
   test("q_knn_ann: occupancy cap is a separate aggregate — no Window " +

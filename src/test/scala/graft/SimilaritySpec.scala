@@ -423,6 +423,48 @@ class SimilaritySpec extends SparkSpec {
     idx.close()
   }
 
+  test("IVF-PQ knnJoinWith: held-out probe set — exact scores, mean " +
+      "recall@5 >= 0.8 vs brute force") {
+    import graft.sources.Tables
+    import graft.operators.{IvfIndex, IvfPqIndex}
+    val vecs = Tables.embeddings(spark, sfDir)
+    val queries = vecs.filter(col("vec_id") % 10 === 0)
+    val corpus = vecs.filter(col("vec_id") % 10 =!= 0)
+    val idx = IvfPqIndex.build(corpus, "vec_id", "embedding")
+    val got = idx.knnJoinWith(queries, "vec_id", "embedding", k = 5)
+      .collect()
+    def embMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val qm = embMap(queries); val cm = embMap(corpus)
+    val exact = qm.map { case (qid, qv) =>
+      qid -> cm.toSeq
+        .map { case (cid, cv) =>
+          (cid, BigDecimal(IvfIndex.cosineOf(qv, cv))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (cid, cos) => (-cos, cid) }
+        .take(5)
+    }
+    val gotBySrc = got.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (qid, nbrs) =>
+      (gotBySrc.getOrElse(qid, Set.empty) &
+        nbrs.map(_._1).toSet).size.toDouble / nbrs.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF-PQ knnJoinWith held-out mean recall@5 = $mean%.3f " +
+      f"(${qm.size} queries over ${cm.size} indexed, nprobe=16, cap=192)")
+    assert(mean >= 0.8, f"mean recall@5 $mean%.3f below the 0.8 gate")
+    got.foreach { r =>
+      val expect = BigDecimal(IvfIndex.cosineOf(
+        qm(r.getLong(0)), cm(r.getLong(1))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(2) === expect)
+    }
+    idx.close()
+  }
+
   test("index-probed kNN join: exact scores, mean recall@5 >= 0.8 vs " +
       "the exact join") {
     import graft.sources.Tables
