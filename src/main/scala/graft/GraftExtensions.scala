@@ -79,6 +79,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[graft.functions.PqAdc].getName, "pq_adc"),
       (exprs: Seq[Expression]) => graft.functions.PqAdc(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("pq_lut"),
+      new ExpressionInfo(classOf[graft.functions.PqLut].getName, "pq_lut"),
+      (exprs: Seq[Expression]) => graft.functions.PqLut(exprs(0),
+        VectorOps.codebookOf("pq_lut", exprs(1)))))
     // Spark's runtime-filter probe expression, not in the public SQL
     // registry — surfaced for declarative Bloom set-membership pruning
     // (pairs with the registered `bloom_filter_agg`).

@@ -280,7 +280,7 @@ package object api {
         threshold: Double): streaming.IndexDedupFilter =
       // the historical signature table IS the per-batch probe target —
       // persisted, or every micro-batch recomputes all of history;
-      // release via filter.index.close() when the stream ends
+      // release via filter.close() when the stream ends
       streaming.StreamingDedup.againstIndex(
         operators.AnnIndex.build(df, idCol, embCol, tables = 16),
         idCol, embCol, threshold)

@@ -554,8 +554,12 @@ case class PqAdc(left: Expression, right: Expression)
     var sc = 0.0
     var s = 0
     while (s < subs) {
-      val idx = s * cps + codes.getInt(s)
-      if (idx < lut.numElements()) sc += lut.getDouble(idx)
+      // a code outside [0, cps) — codes from a different codebook, or
+      // corrupted input through the SQL surface — contributes nothing
+      // rather than reading out of bounds or aliasing into another
+      // subspace's table entries
+      val code = codes.getInt(s)
+      if (code >= 0 && code < cps) sc += lut.getDouble(s * cps + code)
       s += 1
     }
     sc
@@ -567,14 +571,16 @@ case class PqAdc(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val subs = ctx.freshName("subs")
       val cps = ctx.freshName("cps")
-      val idx = ctx.freshName("idx")
+      val code = ctx.freshName("code")
       s"""
          |double $sc = 0.0;
          |int $subs = $a.numElements();
          |int $cps = $subs == 0 ? 0 : $b.numElements() / $subs;
          |for (int $s = 0; $s < $subs; $s++) {
-         |  int $idx = $s * $cps + $a.getInt($s);
-         |  if ($idx < $b.numElements()) $sc += $b.getDouble($idx);
+         |  int $code = $a.getInt($s);
+         |  if ($code >= 0 && $code < $cps) {
+         |    $sc += $b.getDouble($s * $cps + $code);
+         |  }
          |}
          |${ev.value} = $sc;
        """.stripMargin
@@ -626,7 +632,7 @@ object VectorOps {
       : Array[Array[Array[Double]]] = {
     if (!e.foldable) throw new IllegalArgumentException(
       s"$fn expects a literal codebook (array<array<array<double>>>)")
-    e.eval() match {
+    val cb = e.eval() match {
       case top: ArrayData =>
         Array.tabulate(top.numElements()) { s =>
           val sub = top.getArray(s)
@@ -638,6 +644,13 @@ object VectorOps {
       case other => throw new IllegalArgumentException(
         s"$fn expects a literal codebook; got $other")
     }
+    // the expressions derive dsub from codebook(0)(0) — reject shapes
+    // that would throw an opaque AIOOBE at execution time instead
+    if (cb.isEmpty || cb.exists(_.isEmpty) ||
+        cb.exists(_.exists(_.isEmpty)))
+      throw new IllegalArgumentException(
+        s"$fn expects >= 1 non-empty centroid per subspace")
+    cb
   }
 
   /** Idempotently register the vector expressions (once per session). */

@@ -234,16 +234,18 @@ object CurationOps {
     * Documents at or under `maxTokens` pass through as chunk 0. One
     * narrow codegen'd map + posexplode — no shuffle, embarrassingly
     * parallel at any corpus size. Returns (idCol, chunk_id, n_tokens,
-    * chunk). */
+    * chunk). NULL-text documents produce no chunks (they'd otherwise
+    * surface as a bogus empty chunk and corrupt token accounting). */
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
       maxTokens: Int = 32, overlap: Int = 4): DataFrame = {
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap ($overlap) must be in [0, maxTokens=$maxTokens)")
     val stride = maxTokens - overlap
     val toks = split(col(textCol), " ")
+    val src = df.filter(col(textCol).isNotNull)
     val nChunks = ceil(greatest(size(toks) - overlap, lit(1)) /
       lit(stride.toDouble)).cast("int")
-    df.select(col(idCol), toks.as("graft_toks"), nChunks.as("graft_nc"))
+    src.select(col(idCol), toks.as("graft_toks"), nChunks.as("graft_nc"))
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), col("graft_nc") - 1),
         i => concat_ws(" ",

@@ -33,22 +33,16 @@ final case class IvfPqIndex(cells: DataFrame, centroids: Seq[Seq[Double]],
 
   import graft.functions.VectorOps
 
-  private def dsub: Int = codebook.head.head.length
-
   private def nearestCells(v: Seq[Double], nprobe: Int): Seq[Int] =
     centroids.zipWithIndex
       .map { case (c, i) => i -> IvfIndex.cosineOf(v, c) }
       .sortBy { case (i, cos) => (-cos, i) }
       .take(nprobe).map(_._1)
 
-  /** The probe's residual-codebook lookup table (`lut(sub·cps + c)` =
-    * inner product of the query subvector with residual centroid c). */
+  /** The probe's residual-codebook lookup table — the shared
+    * [[PqIndex.lutOf]] layout over the residual codebook. */
   private def lutOf(probe: Seq[Double]): Seq[Double] =
-    codebook.zipWithIndex.flatMap { case (cents, s) =>
-      val q = probe.slice(s * dsub, (s + 1) * dsub)
-      cents.map(c =>
-        q.iterator.zip(c.iterator).map { case (a, b) => a * b }.sum)
-    }
+    PqIndex.lutOf(probe, codebook)
 
   /** Top-k neighbors of an external query vector. */
   def topKVec(probe: Seq[Double], k: Int = 10, nprobe: Int = 16,
@@ -187,7 +181,7 @@ object IvfPqIndex {
       persist = false)
     val resid = ivf.cells.withColumn("graft_resid",
       zip_with(col("embedding"),
-        element_at(typedLit(centroidSeq(ivf)), col("cell") + 1),
+        element_at(typedLit(ivf.centroids), col("cell") + 1),
         (a, b) => a - b))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cb = PqIndex.trainCodebook(resid, "graft_resid", subspaces,
@@ -201,8 +195,6 @@ object IvfPqIndex {
     resid.unpersist(blocking = false)
     IvfPqIndex(cells, ivf.centroids, cb, ivf.size)
   }
-
-  private def centroidSeq(ivf: IvfIndex): Seq[Seq[Double]] = ivf.centroids
 
   /** Reopen a bucketed index table + `_meta` sidecar written by
     * [[IvfPqIndex.writeTable]]. */

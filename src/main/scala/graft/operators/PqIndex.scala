@@ -37,8 +37,6 @@ final case class PqIndex(codes: DataFrame,
 
   import graft.functions.VectorOps
 
-  private def dsub: Int = codebook.head.head.length
-
   /** Top-k neighbors of an external query vector: ADC scan of the code
     * column, exact rescore of the best `rescoreCap` rows. */
   def topKVec(probe: Seq[Double], k: Int = 10,
@@ -52,14 +50,9 @@ final case class PqIndex(codes: DataFrame,
     rankScan(codes.filter(col("vec_id") =!= probeId), probe, k, rescoreCap)
   }
 
-  /** The probe's ADC lookup table: inner product of each query
-    * subvector with each centroid, laid out `lut(sub·cps + c)`. */
+  /** The probe's ADC lookup table (shared layout — [[PqIndex.lutOf]]). */
   private[graft] def lutOf(probe: Seq[Double]): Seq[Double] =
-    codebook.zipWithIndex.flatMap { case (centroids, s) =>
-      val q = probe.slice(s * dsub, (s + 1) * dsub)
-      centroids.map(c =>
-        q.iterator.zip(c.iterator).map { case (a, b) => a * b }.sum)
-    }
+    PqIndex.lutOf(probe, codebook)
 
   private def rankScan(from: DataFrame, probe: Seq[Double], k: Int,
       rescoreCap: Int): DataFrame = {
@@ -119,6 +112,22 @@ object PqIndex {
         graft.functions.VectorOps.pqEncode(col("embedding"), cbSeq))
       .persist(StorageLevel.MEMORY_AND_DISK)
     PqIndex(codes, cbSeq, n)
+  }
+
+  /** Driver-side ADC lookup table of a probe vector against a
+    * codebook, laid out `lut(sub·cps + c)` = inner product of the
+    * query's subspace-s slice with centroid c — THE layout contract
+    * [[graft.functions.PqAdc]] consumes ([[graft.functions.PqLut]] is
+    * the per-row twin). One definition serves both [[PqIndex]] and
+    * [[IvfPqIndex]] so the layout cannot drift between them. */
+  private[operators] def lutOf(probe: Seq[Double],
+      codebook: Seq[Seq[Seq[Double]]]): Seq[Double] = {
+    val dsub = codebook.head.head.length
+    codebook.zipWithIndex.flatMap { case (cents, s) =>
+      val q = probe.slice(s * dsub, (s + 1) * dsub)
+      cents.map(c =>
+        q.iterator.zip(c.iterator).map { case (a, b) => a * b }.sum)
+    }
   }
 
   /** Deterministic per-subspace Lloyd training over `df(vecCol)`

@@ -128,11 +128,24 @@ final class FingerprintDedupFilter private[streaming] (
 
   import org.apache.spark.storage.StorageLevel
 
+  // NULL-safe fingerprint (the funnelReport stance): a NULL text would
+  // yield a NULL fingerprint that no equi-join matches — the row would
+  // neither emit as novel nor dedup, and a NULL key row would re-enter
+  // the set every batch. Coalesce to a sentinel no digest can equal.
+  private def fpOf(t: org.apache.spark.sql.Column) =
+    coalesce(fp(t), lit("graft_null"))
+
+  // every persisted frame this filter creates, releasable via close()
+  private val pinned =
+    scala.collection.mutable.ArrayBuffer[DataFrame]()
+
   @volatile private var keys: DataFrame = {
     val spark = history.sparkSession
-    history.select(fp(col(textCol)).as("graft_fp")).distinct()
+    val k = history.select(fpOf(col(textCol)).as("graft_fp")).distinct()
       .repartition(spark.sparkContext.defaultParallelism, col("graft_fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.synchronized { pinned += k }
+    k
   }
 
   /** The accumulated fingerprint set (history + novel arrivals). */
@@ -144,7 +157,7 @@ final class FingerprintDedupFilter private[streaming] (
     * `dropDuplicates` contract — pre-sort or pre-collapse the batch if
     * a specific copy must win) — and accumulates their fingerprints. */
   def processBatch(batch: DataFrame): DataFrame = {
-    val b = batch.withColumn("graft_fp", fp(col(textCol)))
+    val b = batch.withColumn("graft_fp", fpOf(col(textCol)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // ONLY the novel fingerprint set is pinned long-term: pinning the
     // full novel rows would grow executor storage with document bytes,
@@ -155,6 +168,7 @@ final class FingerprintDedupFilter private[streaming] (
       .select("graft_fp").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     novelFps.count() // materialize against the PRE-accumulation key set
+    pinned.synchronized { pinned += novelFps }
     keys = keys.unionByName(novelFps)
     val novel = b.join(novelFps, Seq("graft_fp"))
       .dropDuplicates("graft_fp")
@@ -166,6 +180,14 @@ final class FingerprintDedupFilter private[streaming] (
   /** Adapter for `writeStream.foreachBatch`. */
   def foreachBatch(onNovel: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch, batchId) => onNovel(processBatch(batch), batchId)
+
+  /** Release every persisted frame this filter pinned (the history
+    * key set + each batch's novel fingerprints). Call when the stream
+    * ends; the filter must not process further batches after. */
+  def close(): Unit = pinned.synchronized {
+    pinned.foreach(_.unpersist(blocking = false))
+    pinned.clear()
+  }
 }
 
 /** foreachBatch consumer deduplicating arriving vectors against a
@@ -186,6 +208,13 @@ final class IndexDedupFilter private[streaming] (
     threshold: Double) {
 
   @volatile private var idx = initial
+  // every persisted frame this filter pinned, releasable via close():
+  // append() returns a new handle over a UNION plan, so close() on the
+  // final index would unpersist nothing (exact-plan matching) — the
+  // initial signature table and each batch's novel rows must be
+  // released individually
+  private val pinned =
+    scala.collection.mutable.ArrayBuffer[DataFrame](initial.sigs)
 
   /** The current index (initial corpus + every processed batch's
     * novel vectors). */
@@ -202,6 +231,7 @@ final class IndexDedupFilter private[streaming] (
     val novel = b.join(dupIds, Seq(idCol), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     novel.count() // materialize NOW: the probe must see the pre-append index
+    pinned.synchronized { pinned += novel }
     idx = idx.append(novel, idCol, embCol)
     b.unpersist(blocking = false)
     novel
@@ -211,4 +241,12 @@ final class IndexDedupFilter private[streaming] (
     * and hands the novel remainder to `onNovel`. */
   def foreachBatch(onNovel: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (batch, batchId) => onNovel(processBatch(batch), batchId)
+
+  /** Release every persisted frame this filter pinned (the initial
+    * signature table + each batch's novel rows). Call when the stream
+    * ends; the filter must not process further batches after. */
+  def close(): Unit = pinned.synchronized {
+    pinned.foreach(_.unpersist(blocking = false))
+    pinned.clear()
+  }
 }

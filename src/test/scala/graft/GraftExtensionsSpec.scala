@@ -34,6 +34,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getInt(1) === 8)
     assert(row.getInt(2) === 16)
     assert(row.getDouble(3) === 3.0) // bits 0+1 set → 1.0 + 2.0
+    // PQ family on the extension surface; out-of-range codes (wrong
+    // codebook / corrupted input) contribute nothing instead of
+    // reading out of bounds
+    val pq = s2.sql(
+      """SELECT size(pq_lut(array(1.0d, 2.0d),
+               array(array(array(1.0d), array(2.0d))))) AS nl,
+               pq_adc(array(1), array(1.0d, 2.0d)) AS ok,
+               pq_adc(array(-1), array(1.0d, 2.0d)) AS neg,
+               pq_adc(array(9), array(1.0d, 2.0d)) AS oob
+      """).head()
+    assert(pq.getInt(0) === 2)
+    assert(pq.getDouble(1) === 2.0) // one subspace, cps=2: code 1 → lut(1)
+    assert(pq.getDouble(2) === 0.0) // negative code → ignored, not OOB read
+    assert(pq.getDouble(3) === 0.0) // code 9 >= cps → ignored, no aliasing
     // a non-foldable int parameter fails with the function's name, not
     // an opaque ClassCastException/NPE
     val err = intercept[Exception] {

@@ -229,25 +229,32 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", tmpCkpt())
       .start()
     // batch 1: 11 duplicates HISTORY (normalized — case/whitespace);
-    // 12 is novel; 13 duplicates 12 INSIDE the batch → one survives
+    // 12 is novel; 13 duplicates 12 INSIDE the batch → one survives;
+    // 14 has NULL text → the sentinel fingerprint, novel once
     in.addData(
       (ts(1), 11L, "  The Quick Brown Fox Jumps Over The Lazy Dog  "),
       (ts(2), 12L, "a genuinely new document arriving in batch one"),
-      (ts(3), 13L, "a genuinely new document arriving in batch one"))
+      (ts(3), 13L, "a genuinely new document arriving in batch one"),
+      (ts(4), 14L, null))
     q.processAllAvailable()
     // batch 2: 21 duplicates batch-1's arrival (not history!) → drops
-    // via the accumulated fingerprints; 22 is novel
+    // via the accumulated fingerprints; 22 is novel; 23's NULL text
+    // dedups against 14's sentinel (NULL rows neither vanish nor
+    // re-admit forever — the null-safe fingerprint)
     in.addData(
-      (ts(4), 21L, "a genuinely new document arriving in batch one"),
-      (ts(5), 22L, "and a second novelty arriving in batch two"))
+      (ts(5), 21L, "a genuinely new document arriving in batch one"),
+      (ts(6), 22L, "and a second novelty arriving in batch two"),
+      (ts(7), 23L, null))
     q.processAllAvailable()
     q.stop()
-    assert(novelIds.length === 2)
-    assert(novelIds.toSet.subsetOf(Set(12L, 13L, 22L)), // 12 or 13 survives
+    assert(novelIds.length === 3, s"unexpected survivors: $novelIds")
+    assert(novelIds.toSet.subsetOf(Set(12L, 13L, 14L, 22L)),
       s"unexpected survivors: $novelIds")
+    assert(novelIds.contains(14L))
     assert(novelIds.contains(22L))
-    // the fingerprint set grew by exactly the two novel texts
-    assert(filter.fingerprints.count() === 2L + 2L)
+    // the fingerprint set grew by exactly the three novel fingerprints
+    assert(filter.fingerprints.count() === 2L + 3L)
+    filter.close() // release the pinned history + per-batch key frames
   }
 
   test("streaming exact-dup state EVICTS once the watermark passes the " +
