@@ -591,6 +591,95 @@ case class PqAdc(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native argmax-cosine cell assignment: the index of the centroid (in
+  * an `array<array<double>>` matrix column, element c = centroid of
+  * cell c) with the highest cosine against the embedding — ties break
+  * to the LOWEST cell id (strict `>` over an ascending scan). The
+  * coarse-quantizer assignment of [[graft.operators.IvfIndex]]: the
+  * matrix arrives as a COLUMN (one packed row broadcast-joined onto
+  * the corpus — see `IvfIndex.assign`), never as an in-plan literal,
+  * so plan size and task-serialization cost stay O(1) at any cell
+  * count and assignment is a zero-shuffle narrow map. The embedding's
+  * own norm scales every cell identically, so the score is
+  * `dot(e, c) / |c|` — one generated loop per cell, no per-row sort,
+  * no allocation. A zero-norm centroid scores NaN and is never
+  * selected (strict `>`); an empty matrix yields cell 0.
+  */
+case class BestCell(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  import org.apache.spark.sql.types.IntegerType
+
+  override def inputTypes =
+    Seq(ArrayType(DoubleType), ArrayType(ArrayType(DoubleType)))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "best_cell"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val m = b.asInstanceOf[ArrayData]
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var c = 0
+    val k = m.numElements()
+    while (c < k) {
+      val cent = m.getArray(c)
+      val n = math.min(e.numElements(), cent.numElements())
+      var dot = 0.0
+      var nrm2 = 0.0
+      var i = 0
+      while (i < n) {
+        val cv = cent.getDouble(i)
+        dot += e.getDouble(i) * cv
+        nrm2 += cv * cv
+        i += 1
+      }
+      val score = dot / java.lang.Math.sqrt(nrm2)
+      if (score > bestScore) { bestScore = score; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val c = ctx.freshName("c")
+      val k = ctx.freshName("k")
+      val cent = ctx.freshName("cent")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nrm2 = ctx.freshName("nrm2")
+      val i = ctx.freshName("i")
+      val cv = ctx.freshName("cv")
+      val score = ctx.freshName("score")
+      s"""
+         |int $best = 0;
+         |double $bestScore = Double.NEGATIVE_INFINITY;
+         |int $k = $b.numElements();
+         |for (int $c = 0; $c < $k; $c++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cent = $b.getArray($c);
+         |  int $n = java.lang.Math.min($a.numElements(), $cent.numElements());
+         |  double $dot = 0.0;
+         |  double $nrm2 = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $cv = $cent.getDouble($i);
+         |    $dot += $a.getDouble($i) * $cv;
+         |    $nrm2 += $cv * $cv;
+         |  }
+         |  double $score = $dot / java.lang.Math.sqrt($nrm2);
+         |  if ($score > $bestScore) { $bestScore = $score; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BestCell =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level vector math built on [[VectorDot]].
   *
   * Spark 4 removed the public Column-from-Expression constructor, so the
@@ -678,6 +767,8 @@ object VectorOps {
       reg.createOrReplaceTempFunction("pq_lut",
         exprs => PqLut(exprs(0),
           codebookOf("pq_lut", exprs(1))), "built-in")
+      reg.createOrReplaceTempFunction("best_cell",
+        exprs => BestCell(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("plane_sigs",
         exprs => PlaneSigs(exprs(0),
           intArg("plane_sigs", "base", exprs(1)),
@@ -735,6 +826,14 @@ object VectorOps {
     * trained codebook. */
   def pqLut(emb: Column, codebook: Seq[Seq[Seq[Double]]]): Column =
     call_function("pq_lut", emb.cast("array<double>"), typedLit(codebook))
+
+  /** Argmax-cosine cell of an embedding column against a centroid
+    * MATRIX column (`array<array<double>>`, element c = cell c's
+    * centroid — see [[BestCell]]): the IVF coarse-assignment loop as
+    * one codegen'd expression, taking its centroids from a
+    * broadcast-joined column rather than an in-plan literal. */
+  def bestCell(emb: Column, cents: Column): Column =
+    call_function("best_cell", emb.cast("array<double>"), cents)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

@@ -33,7 +33,15 @@ import org.apache.spark.storage.StorageLevel
   */
 final case class AnnIndex(sigs: DataFrame,
     tables: Int = SimilarityOps.TABLES,
-    planesPerTable: Int = SimilarityOps.PLANES_PER_TABLE) {
+    planesPerTable: Int = SimilarityOps.PLANES_PER_TABLE)
+    extends VectorIndex {
+
+  private[graft] override def backing: DataFrame = sigs
+
+  /** [[VectorIndex]] probe at the default bucket cap. */
+  override def knnJoinWith(queries: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame =
+    knnJoinWith(queries, idCol, embCol, k, maxBucket = 4096)
 
   import graft.functions.VectorOps
 
@@ -185,7 +193,8 @@ final case class AnnIndex(sigs: DataFrame,
     * compact periodically through the [[writeTable]]/[[fromTable]]
     * round trip (or [[appendTable]] for the durable path). The
     * original index stays valid and this method never unpersists it. */
-  def append(newVectors: DataFrame, idCol: String, embCol: String): AnnIndex = {
+  override def append(newVectors: DataFrame, idCol: String,
+      embCol: String): AnnIndex = {
     val add = AnnIndex.build(newVectors, idCol, embCol, tables,
       planesPerTable, persist = false)
     AnnIndex(sigs.unionByName(add.sigs), tables, planesPerTable)

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -15,19 +16,38 @@ import org.apache.spark.storage.StorageLevel
   * in DECIMAL(38,18), which is associative-exact — so centroids are
   * bit-reproducible regardless of partitioning or merge order, and the
   * index build is deterministic end to end (no RNG state to store, same
-  * property as [[AnnIndex]]'s md5 hyperplanes). Assignment is one narrow
-  * pass per iteration against ≤k literal centroids (k is small by
-  * design; the centroid set IS the index metadata). The inverted file
-  * also stores a 256-bit hyperplane SKETCH per vector (4 BIGINTs,
-  * 32 bytes vs the 512-byte embedding) — the compact-code column the
-  * two-stage probe ranks on, the IVF-ADC shape (coarse quantizer +
-  * binary code + exact rerank; PAPERS.md similarity-search family).
+  * property as [[AnnIndex]]'s md5 hyperplanes).
   *
-  * Search, single-stage ([[topKVec]] with `rescoreCap = 0`): rank
-  * centroids driver-side (k tiny), scan ONLY the `nprobe` nearest
-  * cells — on a cell-bucketed layout a pruned read of nprobe/k of the
-  * data — and exactly rescore with the codegen'd cosine. No join in
-  * the probe plan.
+  * THE CENTROID SET IS A DATAFRAME, NOT DRIVER STATE (r7; clears the
+  * r6 `weak`): the coarse quantizer lives as a k-row `(cell, centroid)`
+  * table that every consumer reaches RELATIONALLY —
+  *
+  *  - corpus/batch assignment broadcast-joins ONE packed centroid-matrix
+  *    row onto the vectors and picks the argmax-cosine cell with the
+  *    codegen'd [[graft.functions.BestCell]] loop: zero shuffle, no
+  *    per-row sort, and plan size O(1) in k (the r6 shape serialized a
+  *    `typedLit` of the full centroid set into every task and broke
+  *    down at the k ≈ √n cell counts a 100 TB corpus needs);
+  *  - the Lloyd refinement keeps the per-iteration means DISTRIBUTED
+  *    (partial DECIMAL sums → a k×dims-row aggregate folded back to a
+  *    k-row table) — the driver never holds a k×dims collect;
+  *  - batch probes ([[knnJoinWith]]) rank cells per query via a
+  *    broadcast join + pre-shuffle partial top-nprobe
+  *    ([[SimilarityOps.topKPerSrc]]);
+  *  - point probes rank the k-row table in one tiny Spark job and push
+  *    the nprobe winners as literal cell predicates (prunable on a
+  *    cell-bucketed layout) — only the QUERY vector is ever a literal.
+  *
+  * The inverted file also stores a 256-bit hyperplane SKETCH per vector
+  * (4 BIGINTs, 32 bytes vs the 512-byte embedding) — the compact-code
+  * column the two-stage probe ranks on, the IVF-ADC shape (coarse
+  * quantizer + binary code + exact rerank; PAPERS.md similarity-search
+  * family).
+  *
+  * Search, single-stage ([[topKVec]] with `rescoreCap = 0`): scan ONLY
+  * the `nprobe` nearest cells — on a cell-bucketed layout a pruned read
+  * of nprobe/k of the data — and exactly rescore with the codegen'd
+  * cosine. No join in the probe plan.
   *
   * Search, two-stage reranked (`rescoreCap > 0`): sweep a WIDE nprobe
   * over the SKETCH column only, ranked by the ASYMMETRIC sketch score
@@ -41,41 +61,65 @@ import org.apache.spark.storage.StorageLevel
   * stage 2 fetches `rescoreCap` full rows — the byte-scan frontier is
   * measured in BASELINE.md §IVF and gated in SimilaritySpec.
   */
-final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]],
-    size: Long) {
+final case class IvfIndex(cells: DataFrame, centroids: DataFrame,
+    nCells: Int, size: Long) extends VectorIndex {
+
+  private[graft] override def backing: DataFrame = cells
+
+  /** [[VectorIndex]] probe at the default cell/rescore budget. */
+  override def knnJoinWith(queries: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame =
+    knnJoinWith(queries, idCol, embCol, k, nprobe = 0)
 
   import graft.functions.VectorOps
+
+  /** Driver copy of the coarse quantizer (k×dims doubles, ordered by
+    * cell) — for tests and tooling that compare quantizers. Probes,
+    * builds, and appends never materialize it. */
+  def centroidArrays: Seq[Seq[Double]] =
+    centroids.orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
 
   /** The nprobe cells a probe scans (exposed for recall/cost tooling). */
   private[graft] def nearestCellsOf(v: Seq[Double], nprobe: Int): Seq[Int] =
     nearestCells(v, nprobe)
 
+  // Point-probe cell ranking: ONE tiny job over the k-row centroid
+  // table (codegen'd cosine against the literal QUERY vector — the only
+  // literal a probe plan ever carries), returning nprobe ints. The
+  // k-row table stays distributed at any cell count.
   private def nearestCells(v: Seq[Double], nprobe: Int): Seq[Int] =
-    centroids.zipWithIndex
-      .map { case (c, i) => i -> IvfIndex.cosineOf(v, c) }
-      .sortBy { case (i, cos) => (-cos, i) }
-      .take(nprobe).map(_._1)
+    IvfIndex.cosineRankedCells(centroids, v, nprobe)
+
+  // nprobe <= 0 selects the default FRACTION of the cell count, so the
+  // scan fraction stays put as the k ≈ √n sizing grows cells with the
+  // corpus: 1/4 for single-stage point probes (the measured BASELINE.md
+  // §IVF point), 1/2 for the batch join (the held-out recall gate's
+  // operating point).
+  private def effNprobe(nprobe: Int, num: Int, den: Int): Int =
+    math.min(math.max(1, if (nprobe > 0) nprobe else nCells * num / den),
+      nCells)
 
   /** Top-k neighbors of an external query vector. `rescoreCap = 0`:
     * literal cell filter (prunable scan), exact rescore of everything
     * scanned, TakeOrderedAndProject (the r3 single-stage probe;
-    * recall@10 ≈ 0.68 scanning ≈ 25% at k=32/nprobe=8, BASELINE.md
-    * §IVF). `rescoreCap > 0`: two-stage — the asymmetric sketch score
+    * recall@10 ≈ 0.68 scanning ≈ 25%, BASELINE.md §IVF).
+    * `rescoreCap > 0`: two-stage — the asymmetric sketch score
     * ([[IvfIndex.asymScore]]) on the 32-byte sketch column across the
     * (wide) nprobe cells, top `rescoreCap` by (score, vec_id), exact
-    * cosine on those rows only. */
-  def topKVec(probe: Seq[Double], k: Int = 10, nprobe: Int = 8,
+    * cosine on those rows only. `nprobe <= 0` = nCells/4. */
+  def topKVec(probe: Seq[Double], k: Int = 10, nprobe: Int = 0,
       rescoreCap: Int = 0): DataFrame =
-    rankScan(cells, probe, k, nprobe, rescoreCap)
+    rankScan(cells, probe, k, effNprobe(nprobe, 1, 4), rescoreCap)
 
   /** Top-k neighbors of an indexed vector (point lookup of the probe's
     * embedding, then the literal-cell scan; excludes the probe). */
-  def topK(probeId: Long, k: Int = 10, nprobe: Int = 8,
+  def topK(probeId: Long, k: Int = 10, nprobe: Int = 0,
       rescoreCap: Int = 0): DataFrame = {
     val probe = cells.filter(col("vec_id") === probeId)
       .select("embedding").head().getSeq[Double](0)
-    rankScan(cells.filter(col("vec_id") =!= probeId), probe, k, nprobe,
-      rescoreCap)
+    rankScan(cells.filter(col("vec_id") =!= probeId), probe, k,
+      effNprobe(nprobe, 1, 4), rescoreCap)
   }
 
   /** Reranked probe with the measured-frontier policy (BASELINE.md
@@ -88,7 +132,7 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]],
     * a corpus fraction per point probe. `size` is build-time index
     * metadata, so a probe launches no count job. */
   def topKAuto(probeId: Long, k: Int = 10): DataFrame =
-    topK(probeId, k, nprobe = math.max(1, centroids.size * 3 / 4),
+    topK(probeId, k, nprobe = math.max(1, nCells * 3 / 4),
       rescoreCap = math.max(4 * k,
         math.min((size * 0.08).toLong, IvfIndex.AutoRescoreCeiling).toInt))
 
@@ -121,9 +165,12 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]],
     * inverted file — the batch-serving shape on the coarse-quantizer
     * index (the twin of [[AnnIndex.knnJoinWith]]):
     *
-    *   1. each query ranks the ≤k literal centroids IN-ROW (a tiny
-    *      struct-array sort — no driver loop, no collect) and fans out
-    *      to its `nprobe` nearest cells;
+    *   1. each query ranks the cells RELATIONALLY — a broadcast join
+    *      against the k-row centroid table scores every (query, cell)
+    *      pair with the codegen'd cosine, and [[SimilarityOps
+    *      .topKPerSrc]] trims to the `nprobe` best cells per query
+    *      BEFORE the shuffle (no literal centroid array in the plan,
+    *      no per-row sort — plan size O(1) in the cell count);
     *   2. stage 1 equi-joins the query fan-out against the inverted
     *      file ON THE CELL KEY, touching only (vec_id, cell, sketch) —
     *      the 32-byte code column, never the 512-byte embedding — and
@@ -137,35 +184,35 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]],
     *      codegen'd cosine, and reduces through the same partial
     *      top-k.
     *
-    * No cartesian anywhere; every join is a hash/merge equi-join; the
-    * candidate volume is nprobe/k_cells of the corpus per query in
-    * SKETCH bytes and rescorePerQuery rows per query in embedding
-    * bytes — the IVF-ADC serving shape at any scale. Ids must be
-    * integral (the typed top-k aggregator, see [[SimilarityOps
-    * .topKPerSrc]]). Indexed queries return themselves at cos 1 —
-    * callers re-probing corpus vectors filter `src_id =!= dst_id`.
-    * Probabilistic by design (a neighbor outside the probed cells or
-    * the sketch shortlist is missed): held-out recall is gated in
-    * SimilaritySpec, no SQL oracle. */
+    * No cartesian over the corpus anywhere; the only nested-loop node
+    * is the k-row centroid fan-out (every query × every cell IS the
+    * coarse-quantizer contract, and the build side is the k-row
+    * centroid table); every embedding-carrying join is a hash/merge
+    * equi-join. Candidate volume is nprobe/k_cells of the corpus per
+    * query in SKETCH bytes and rescorePerQuery rows per query in
+    * embedding bytes — the IVF-ADC serving shape at any scale. Ids
+    * must be integral (the typed top-k aggregator, see
+    * [[SimilarityOps.topKPerSrc]]). Indexed queries return themselves
+    * at cos 1 — callers re-probing corpus vectors filter
+    * `src_id =!= dst_id`. `nprobe <= 0` = nCells/2. Probabilistic by
+    * design (a neighbor outside the probed cells or the sketch
+    * shortlist is missed): held-out recall is gated in SimilaritySpec,
+    * no SQL oracle. */
   def knnJoinWith(queries: DataFrame, idCol: String, embCol: String,
-      k: Int, nprobe: Int = 16, rescorePerQuery: Int = 160): DataFrame = {
+      k: Int, nprobe: Int = 0, rescorePerQuery: Int = 160): DataFrame = {
     import graft.functions.{VectorOps => V}
     V.register(cells.sparkSession)
+    val np = effNprobe(nprobe, 1, 2)
     val qe = queries.select(col(idCol).as("src_id"),
       col(embCol).cast("array<double>").as("se"))
-    // in-row centroid ranking: struct(negCos, cell) sorts ascending =
-    // best cosine first, lowest cell id on ties (the point probe's
-    // nearestCells ordering, spelled as a codegen'd expression)
-    val scoredCells = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct((-round(V.cosine(col("se"), typedLit(c)), 9)).as("negCos"),
-        lit(i).as("cell"))
-    }: _*)
-    val fanout = qe
+    val scoredCells = qe.crossJoin(broadcast(centroids))
+      .select(col("src_id"), col("cell").as("dst_id"),
+        round(V.cosine(col("se"), col("centroid")), 9).as("qcos"))
+    val fan = SimilarityOps.topKPerSrc(scoredCells, "qcos", np)
+      .select(col("src_id"), col("dst_id").cast("int").as("cell"))
+    val fanout = fan.join(qe, "src_id")
       .withColumn("qprojs", IvfIndex.projCol(col("se")))
-      .select(col("src_id"), col("qprojs"),
-        explode(slice(array_sort(scoredCells), 1,
-          math.min(math.max(1, nprobe), centroids.size)).getField("cell"))
-          .as("cell"))
+      .select(col("src_id"), col("qprojs"), col("cell"))
     val cand = fanout
       .join(cells.select(col("cell"), col("vec_id").as("dst_id"),
         col("sketch")), Seq("cell"))
@@ -184,19 +231,22 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]],
 
   /** Grow the index with a new vector batch WITHOUT re-clustering —
     * the standard IVF ingest: arrivals are assigned to the EXISTING
-    * centroids (one narrow codegen'd pass; cell boundaries stay
-    * exactly where every stored vector was assigned, so probes remain
-    * consistent), sketched, and unioned onto the inverted file. The
-    * stamped size grows too, keeping [[topKAuto]]'s cap policy honest.
-    * Centroid drift accumulates as the corpus shifts — re-run
-    * [[IvfIndex.build]] to re-cluster when cell occupancy skews. */
-  def append(newVectors: DataFrame, idCol: String, embCol: String): IvfIndex = {
+    * centroids (the broadcast-matrix [[graft.functions.BestCell]]
+    * pass; cell boundaries stay exactly where every stored vector was
+    * assigned, so probes remain consistent), sketched, and unioned
+    * onto the inverted file. The stamped size grows too, keeping
+    * [[topKAuto]]'s cap policy honest. Centroid drift accumulates as
+    * the corpus shifts — re-run [[IvfIndex.build]] to re-cluster when
+    * cell occupancy skews. */
+  override def append(newVectors: DataFrame, idCol: String,
+      embCol: String): IvfIndex = {
+    graft.functions.VectorOps.register(cells.sparkSession)
     val e = newVectors.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("embedding"))
     val n = e.count()
     val add = IvfIndex.assign(e, centroids)
       .withColumn("sketch", IvfIndex.sketchCol(col("embedding")))
-    IvfIndex(cells.unionByName(add), centroids, size + n)
+    IvfIndex(cells.unionByName(add), centroids, nCells, size + n)
   }
 
   /** Persist the inverted file bucketed by cell: a probe's IN-filter on
@@ -206,39 +256,51 @@ final case class IvfIndex(cells: DataFrame, centroids: Seq[Seq[Double]],
     * the index with no out-of-band state. */
   def writeTable(table: String, buckets: Int = 32): Unit = {
     graft.sources.Warehouse.writeBucketed(cells, table, "cell", buckets)
-    val spark = cells.sparkSession
-    import spark.implicits._
-    centroids.zipWithIndex.map { case (c, i) => (i, c, size) }
-      .toDF("cell", "centroid", "n")
+    centroids.select(col("cell"), col("centroid"), lit(size).as("n"))
       .write.mode("overwrite").format("parquet").saveAsTable(table + "_meta")
   }
 
   /** Append a new batch to a bucketed index table written by
     * [[writeTable]] — assignment against THIS index's centroids, same
-    * bucket spec (probes keep pruning), sidecar size updated. */
+    * bucket spec (probes keep pruning), sidecar size updated. Refuses
+    * a handle whose quantizer does not match the table's sidecar:
+    * appending rows assigned under DIFFERENT centroids would silently
+    * corrupt every future probe of the table. */
   def appendTable(table: String, newVectors: DataFrame, idCol: String,
       embCol: String, buckets: Int = 32): Unit = {
+    graft.functions.VectorOps.register(cells.sparkSession)
     val e = newVectors.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("embedding"))
     val n = e.count()
     val spark = cells.sparkSession
+    val side = spark.table(table + "_meta")
+    val ours = centroids.select(col("cell"), col("centroid"))
+    require(side.select("cell", "centroid").exceptAll(ours).isEmpty &&
+        ours.exceptAll(side.select("cell", "centroid")).isEmpty,
+      s"this handle's centroids do not match ${table}_meta — appendTable " +
+        "must run through a handle of the index that wrote the table " +
+        "(IvfIndex.fromTable reopens one)")
     // the CURRENT durable size comes off the sidecar, not this handle's
     // stamp — repeated appends through one in-memory handle must
     // accumulate, not overwrite each other's counts
-    val durable = spark.table(table + "_meta")
-      .select("n").head().getLong(0)
+    val durable = side.agg(max(col("n"))).head().getLong(0)
     IvfIndex.assign(e, centroids)
       .withColumn("sketch", IvfIndex.sketchCol(col("embedding")))
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(table)
-    import spark.implicits._
-    centroids.zipWithIndex.map { case (c, i) => (i, c, durable + n) }
-      .toDF("cell", "centroid", "n")
+    centroids.select(col("cell"), col("centroid"),
+        lit(durable + n).as("n"))
       .write.mode("overwrite").format("parquet").saveAsTable(table + "_meta")
   }
 
   /** Release the inverted file's executor storage (lineage stays
-    * valid — later probes recompute instead of reading cached blocks). */
+    * valid — later probes recompute instead of reading cached blocks).
+    * The k-row centroid table is deliberately NOT unpersisted: Spark
+    * keys cached storage by plan equality, so a same-corpus sibling
+    * (IvfIndex.forDir, an IvfPqIndex.build's inner quantizer) may
+    * share the entry — evicting it re-runs the full Lloyd lineage on
+    * the sibling's next probe (the measured 15× q_sim_ivf trap, r6).
+    * The leak is k rows, LRU-evictable, and recompute-correct. */
   def close(): Unit = cells.unpersist(blocking = false)
 }
 
@@ -266,14 +328,12 @@ object IvfIndex {
     * 256 deterministic hyperplanes — ONE native expression with a
     * generated plane loop ([[graft.functions.PlaneSketch]]; the
     * unrolled spelling broke janino's 64 KB method limit). */
-  private[graft] def sketchCol(emb: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
+  private[graft] def sketchCol(emb: Column): Column =
     graft.functions.VectorOps.planeSketch(emb, SketchBase, SketchWords)
 
   /** Per-row projections of a query embedding onto the sketch planes —
     * the query-side half of the asymmetric score in batch form. */
-  private[graft] def projCol(emb: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
+  private[graft] def projCol(emb: Column): Column =
     graft.functions.VectorOps.planeProject(emb, SketchBase, SketchWords * 64)
 
   /** Asymmetric sketch score of a stored sketch against a REAL-valued
@@ -282,8 +342,7 @@ object IvfIndex {
     * of binary sketches (the query side is never quantized). The
     * projections are computed driver-side; the row side is one native
     * bit-loop expression ([[graft.functions.SketchDot]]). */
-  private[graft] def asymScore(sketch: org.apache.spark.sql.Column,
-      v: Seq[Double]): org.apache.spark.sql.Column = {
+  private[graft] def asymScore(sketch: Column, v: Seq[Double]): Column = {
     val projs = (0 until SketchWords * 64).map { p =>
       val plane = SimilarityOps.hyperplane(SketchBase + p)
       v.iterator.zip(plane.iterator).map { case (a, b) => a * b }.sum
@@ -298,55 +357,104 @@ object IvfIndex {
     dot / (na * nb)
   }
 
-  /** Assign every vector its nearest centroid by cosine (ties → lowest
-    * cell id), as one narrow codegen'd pass over literal centroids. */
-  private def assign(e: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
-    import graft.functions.VectorOps
-    // greatest(struct(cos, -cell)) picks max cos, lowest cell on ties
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      struct(
-        round(VectorOps.cosine(col("embedding"), typedLit(c)), 9).as("cos"),
-        lit(-i).as("negCell"))
-    }
-    e.withColumn("cell", (-greatest(scored: _*).getField("negCell")).cast("int"))
+  /** The nprobe best cells of a `(cell, centroid)` table for a point
+    * query, by codegen'd cosine (desc, cell asc ties) — one tiny k-row
+    * job; the query vector is the only literal. Shared by the point
+    * probes of [[IvfIndex]] and [[IvfPqIndex]] and the recall
+    * tooling. */
+  private[graft] def cosineRankedCells(cdf: DataFrame, v: Seq[Double],
+      nprobe: Int): Seq[Int] = {
+    graft.functions.VectorOps.register(cdf.sparkSession)
+    cdf.orderBy(graft.functions.VectorOps
+        .cosine(col("centroid"), typedLit(v)).desc, col("cell"))
+      .limit(nprobe).select("cell")
+      .collect().map(_.getInt(0)).toSeq
   }
 
+  /** One packed centroid-MATRIX row of a `(cell, centroid)` table:
+    * `array<array<double>>` with element c = cell c's centroid (cells
+    * are contiguous 0..k-1 by construction). Broadcast-joined onto a
+    * vector frame it feeds [[graft.functions.BestCell]] — the matrix
+    * ships once per executor instead of riding every task as a plan
+    * literal. */
+  private def packed(cdf: DataFrame): DataFrame =
+    cdf.groupBy().agg(
+      transform(
+        array_sort(collect_list(struct(col("cell"), col("centroid")))),
+        x => x.getField("centroid")).as("graft_cents"))
+
+  /** Assign every vector its nearest centroid by cosine (ties → lowest
+    * cell id): one broadcast of the packed centroid matrix + the
+    * codegen'd [[graft.functions.BestCell]] argmax loop. Zero shuffle,
+    * plan size O(1) in the cell count. */
+  private[operators] def assign(e: DataFrame, cdf: DataFrame): DataFrame =
+    e.crossJoin(broadcast(packed(cdf)))
+      .withColumn("cell", graft.functions.VectorOps.bestCell(
+        col("embedding"), col("graft_cents")))
+      .drop("graft_cents")
+
   /** Deterministic k-cell IVF build: hash-seeded centroids + `iters`
-    * Lloyd refinements with DECIMAL-exact (order-independent) means.
-    * Default k=32 comes from the measured frontier (BASELINE.md §IVF):
-    * more, smaller cells dominate fewer, larger ones at equal scanned
-    * fraction. k is clamped to corpusSize/4 so tiny corpora keep
-    * meaningfully-sized cells. SCALE NOTE: per-probe cost rides
-    * nprobe·(n/k), so k must GROW with the corpus — the classic
-    * k ≈ √n sizing keeps cells bounded; pass it explicitly when
-    * indexing beyond test scale (the default suits the gate corpora). */
+    * Lloyd refinements with DECIMAL-exact (order-independent) means,
+    * every step distributed (seeding is a top-k, assignment a
+    * broadcast-matrix map, means a partial-aggregated fold back to a
+    * k-row table — the driver never holds the quantizer).
+    *
+    * CELL-COUNT POLICY: `k <= 0` (the default) sizes the quantizer as
+    * 4·ceil(√n) clamped to [8, n/4] — the FAISS sizing band (4√n to
+    * 16√n): per-probe cost rides nprobe·(n/k) with nprobe a fraction
+    * of k, so k must GROW with the corpus, and the measured frontier
+    * (BASELINE.md §IVF cells) shows recall RISING with k at a fixed
+    * scanned fraction — more, finer cells dominate. At n = 10⁹
+    * vectors this is ~1.3×10⁵ cells: a ~64 MB packed matrix (one
+    * broadcast per executor, never a task literal) and k-row
+    * relational ranking everywhere else — the representation holds at
+    * any corpus this engine targets. Pass k explicitly to pin a
+    * measured frontier point. */
   def build(vectors: DataFrame, idCol: String, embCol: String,
-      k: Int = 32, iters: Int = 2, persist: Boolean = true): IvfIndex = {
+      k: Int = 0, iters: Int = 2, persist: Boolean = true): IvfIndex = {
     graft.functions.VectorOps.register(vectors.sparkSession)
     val e = vectors.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("embedding"))
     // one count at build time — stamped on the index as metadata so
     // probes (topKAuto's cap policy) never launch their own count job
     val nVecs = e.count()
-    val kEff = math.max(1, math.min(k, (nVecs / 4).toInt))
-    var centroids: Seq[Seq[Double]] =
-      e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(kEff)
-        .select("embedding").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val kWanted = if (k > 0) k
+      else math.max(8, 4 * math.ceil(math.sqrt(nVecs.toDouble)).toInt)
+    val kEff = math.max(1, math.min(kWanted, (nVecs / 4).toInt))
+    // hash-seeded start, as a k-row (cell, centroid) TABLE: cell c =
+    // the c-th lowest (xxhash64(vec_id), vec_id) vector
+    val seedOrder = Seq(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+    var cdf: DataFrame = e.orderBy(seedOrder: _*).limit(kEff)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(seedOrder: _*)) - 1))
+      .select(col("cell"), col("embedding").as("centroid"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cdf.count()
     for (_ <- 1 to iters) {
-      val means = assign(e, centroids)
+      // per-(cell, dim) DECIMAL-exact means: the corpus pass partial-
+      // aggregates map-side (the exchange carries k×dims partial sums
+      // per partition, never corpus rows), and the k×dims mean rows
+      // fold back into a k-row centroid table — all distributed
+      val means = assign(e, cdf)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
         .agg((sum(col("v").cast("decimal(38,18)")) /
           count(lit(1))).cast("double").as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-      centroids = centroids.zipWithIndex.map { case (old, cell) =>
-        // empty cells keep their previous centroid
-        if (means.contains((cell, 0)))
-          old.indices.map(p => means((cell, p)))
-        else old
-      }
+      val next = means.groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("graft_next"))
+      // empty cells keep their previous centroid
+      val refreshed = cdf
+        .join(broadcast(next), Seq("cell"), "left")
+        .select(col("cell"),
+          coalesce(col("graft_next"), col("centroid")).as("centroid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      refreshed.count()
+      cdf.unpersist(blocking = false)
+      cdf = refreshed
     }
-    val raw = assign(e, centroids)
+    val raw = assign(e, cdf)
       .withColumn("sketch", sketchCol(col("embedding")))
     // `persist = false` for one-shot consumers (IvfPqIndex.build keeps
     // its own working set; an unwanted persist here would either leak
@@ -354,23 +462,27 @@ object IvfIndex {
     // consumer's cleanup then evicts, the measured 15× probe trap)
     val cells = if (persist) raw.persist(StorageLevel.MEMORY_AND_DISK)
       else raw
-    IvfIndex(cells, centroids, nVecs)
+    IvfIndex(cells, cdf, kEff, nVecs)
   }
 
   /** Reopen a bucketed index table + its `_meta` sidecar written by
-    * [[IvfIndex.writeTable]]: centroids and the stamped size come off
-    * the sidecar, so the reopened index probes identically (including
-    * [[IvfIndex.topKAuto]]'s cap policy) with no out-of-band state. */
+    * [[IvfIndex.writeTable]]: the centroid table and the stamped size
+    * come off the sidecar, so the reopened index probes identically
+    * (including [[IvfIndex.topKAuto]]'s cap policy) with no
+    * out-of-band state. */
   def fromTable(spark: SparkSession, table: String): IvfIndex = {
     // a fresh session has no temp functions — the reopened index must
     // probe without the build() chokepoint having run
     graft.functions.VectorOps.register(spark)
-    val meta = spark.table(table + "_meta").collect()
-    require(meta.nonEmpty, s"missing sidecar table ${table}_meta — was " +
-      "the index written by IvfIndex.writeTable?")
-    val centroids = meta.sortBy(_.getInt(0))
-      .map(_.getSeq[Double](1).toSeq).toSeq
-    IvfIndex(spark.table(table), centroids, meta.head.getLong(2))
+    require(spark.catalog.tableExists(table + "_meta"),
+      s"missing sidecar table ${table}_meta — was the index written by " +
+        "IvfIndex.writeTable?")
+    val meta = spark.table(table + "_meta")
+    val stats = meta.agg(count(lit(1)), max(col("n"))).head()
+    require(stats.getLong(0) > 0, s"sidecar table ${table}_meta is " +
+      "empty — was the index written by IvfIndex.writeTable?")
+    IvfIndex(spark.table(table), meta.select("cell", "centroid"),
+      stats.getLong(0).toInt, stats.getLong(1))
   }
 
   // Evicts on invalidate() and on session end (see IndexCache).

@@ -72,18 +72,69 @@ final case class PqIndex(codes: DataFrame,
       .limit(k)
   }
 
+  /** Grow the index with a new vector batch WITHOUT retraining — the
+    * fixed-codebook ingest stance of [[IvfIndex.append]]: arrivals are
+    * encoded under the EXISTING codebook (probes keep ranking every
+    * stored code against the same lookup tables) and unioned onto the
+    * code table; the stamped size grows. Codebook drift accumulates as
+    * the corpus shifts — re-run [[PqIndex.build]] to retrain when
+    * recall sags. */
+  def append(newVectors: DataFrame, idCol: String, embCol: String): PqIndex = {
+    graft.functions.VectorOps.register(codes.sparkSession)
+    val e = newVectors.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("embedding"))
+    val n = e.count()
+    val add = e.withColumn("codes",
+      graft.functions.VectorOps.pqEncode(col("embedding"), codebook))
+    PqIndex(codes.unionByName(add), codebook, size + n)
+  }
+
   /** Persist the code table bucketed by vec_id (point lookups and id
     * joins prune) plus a `_meta` sidecar holding the codebook and the
     * stamped size — the pair is self-describing,
     * [[PqIndex.fromTable]] reopens it with no out-of-band state. */
   def writeTable(table: String, buckets: Int = 32): Unit = {
     graft.sources.Warehouse.writeBucketed(codes, table, "vec_id", buckets)
+    metaRows(size)
+      .write.mode("overwrite").format("parquet").saveAsTable(table + "_meta")
+  }
+
+  /** Append a new batch to a bucketed index table written by
+    * [[writeTable]] — encoding under THIS handle's codebook, same
+    * bucket spec, sidecar size updated. Refuses a handle whose
+    * codebook does not match the table's sidecar (rows encoded under a
+    * different codebook would silently corrupt every future probe). */
+  def appendTable(table: String, newVectors: DataFrame, idCol: String,
+      embCol: String, buckets: Int = 32): Unit = {
+    graft.functions.VectorOps.register(codes.sparkSession)
+    val spark = codes.sparkSession
+    val e = newVectors.select(col(idCol).as("vec_id"),
+      col(embCol).cast("array<double>").as("embedding"))
+    val n = e.count()
+    val side = spark.table(table + "_meta").select("sub", "code", "centroid")
+    val ours = metaRows(size).select("sub", "code", "centroid")
+    require(side.exceptAll(ours).isEmpty && ours.exceptAll(side).isEmpty,
+      s"this handle's codebook does not match ${table}_meta — appendTable " +
+        "must run through a handle of the index that wrote the table " +
+        "(PqIndex.fromTable reopens one)")
+    val durable = spark.table(table + "_meta")
+      .agg(max(col("n"))).head().getLong(0)
+    e.withColumn("codes",
+        graft.functions.VectorOps.pqEncode(col("embedding"), codebook))
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id").saveAsTable(table)
+    metaRows(durable + n)
+      .write.mode("overwrite").format("parquet").saveAsTable(table + "_meta")
+  }
+
+  // Sidecar rows at a given stamped size (the codebook is a bounded
+  // constant — subspaces × centroidsPerSub rows).
+  private def metaRows(n: Long): DataFrame = {
     val spark = codes.sparkSession
     import spark.implicits._
     codebook.zipWithIndex.flatMap { case (cents, s) =>
-      cents.zipWithIndex.map { case (c, j) => (s, j, c, size) }
+      cents.zipWithIndex.map { case (c, j) => (s, j, c, n) }
     }.toDF("sub", "code", "centroid", "n")
-      .write.mode("overwrite").format("parquet").saveAsTable(table + "_meta")
   }
 
   /** Release the code table's executor storage. */
@@ -171,9 +222,13 @@ object PqIndex {
         .toMap
       cb = Array.tabulate(subspaces)(s =>
         Array.tabulate(cb(s).length)(c =>
-          // empty codes keep their previous centroid
+          // empty codes keep their previous centroid; dims past every
+          // assigned vector's length keep theirs too (short vectors
+          // slice to fewer dims than the encoder's zero-padded view,
+          // so a (sub, code) cluster fed only short vectors has no
+          // mean rows for its high dims)
           if (means.contains((s, c, 0)))
-            Array.tabulate(dsub)(d => means((s, c, d)))
+            Array.tabulate(dsub)(d => means.getOrElse((s, c, d), cb(s)(c)(d)))
           else cb(s)(c)))
     }
     cb.map(_.map(_.toSeq).toSeq).toSeq

@@ -67,15 +67,19 @@ object StreamingDedup {
   /** Streaming dedup against a persisted HISTORICAL index — the gap
     * the watermark filters above cannot cover: their state holds only
     * what arrived inside the current horizon, so a document duplicating
-    * last month's corpus sails through. [[IndexDedupFilter]] probes an
-    * [[graft.operators.AnnIndex]] of the historical corpus instead
-    * (each micro-batch is ONE [[graft.operators.AnnIndex.knnJoinWith]]
-    * equi-join — the batch-serving shape, never per-row lookups) and
-    * appends each batch's novel vectors, so a batch-2 near-duplicate
-    * of a batch-1 arrival is caught too. Use from
-    * `writeStream.foreachBatch` (index mutation is driver-side state —
-    * exactly what foreachBatch exists for). */
-  def againstIndex(index: graft.operators.AnnIndex, idCol: String,
+    * last month's corpus sails through. [[IndexDedupFilter]] probes a
+    * [[graft.operators.VectorIndex]] of the historical corpus instead
+    * (each micro-batch is ONE
+    * [[graft.operators.VectorIndex.knnJoinWith]] equi-join — the
+    * batch-serving shape, never per-row lookups) and appends each
+    * batch's novel vectors, so a batch-2 near-duplicate of a batch-1
+    * arrival is caught too. Any index family backs the filter —
+    * [[graft.operators.AnnIndex]] (LSH), [[graft.operators.IvfIndex]],
+    * or [[graft.operators.IvfPqIndex]] (the best recall-per-byte at
+    * scale) — pick by corpus; all three share the probe-and-append
+    * contract. Use from `writeStream.foreachBatch` (index mutation is
+    * driver-side state — exactly what foreachBatch exists for). */
+  def againstIndex(index: graft.operators.VectorIndex, idCol: String,
       embCol: String, threshold: Double): IndexDedupFilter =
     new IndexDedupFilter(index, idCol, embCol, threshold)
 
@@ -151,12 +155,68 @@ final class FingerprintDedupFilter private[streaming] (
   /** The accumulated fingerprint set (history + novel arrivals). */
   def fingerprints: DataFrame = keys
 
+  // auto-compaction state (see withAutoCompaction)
+  @volatile private var compactEvery = 0
+  @volatile private var compactBase: String = _
+  private var batches = 0L
+  private var generation = 0L
+
+  /** Turn on AUTOMATIC compaction of the fingerprint chain: every
+    * `everyN` processed batches the accumulated set (history + all
+    * novel increments) is collapsed into one bucketed warehouse table
+    * (`<base>_g<N>` — generations ping-pong because Spark refuses to
+    * overwrite a table its source plan still reads) and the filter
+    * reloads from it — the per-batch union chain the class doc
+    * describes goes back to depth 0, every superseded pinned frame is
+    * released, and the superseded generation table is dropped. The
+    * manual recipe (write the set, restart the filter from it), made
+    * an operational default instead of a footgun. Returns this filter
+    * for chaining at construction:
+    * `StreamingDedup.exactAgainstCorpus(h, "text")
+    *   .withAutoCompaction("fp_set", 64)`. */
+  def withAutoCompaction(baseTable: String, everyN: Int): this.type = {
+    require(everyN > 0, "everyN must be positive")
+    compactBase = baseTable
+    compactEvery = everyN
+    this
+  }
+
+  /** Collapse the accumulated fingerprint chain into a bucketed
+    * warehouse table NOW and reload from it (used by
+    * [[withAutoCompaction]]; callable directly for manual control).
+    * After the call [[fingerprints]] is one bucketed table scan. */
+  def compact(baseTable: String): Unit = synchronized {
+    val spark = history.sparkSession
+    generation += 1
+    val table = s"${baseTable}_g$generation"
+    graft.sources.Warehouse.writeBucketed(keys, table, "graft_fp",
+      buckets = spark.sparkContext.defaultParallelism)
+    val reloaded = spark.table(table)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.synchronized {
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned.clear()
+      pinned += reloaded
+    }
+    keys = reloaded
+    if (generation > 1)
+      spark.sql(s"DROP TABLE IF EXISTS ${baseTable}_g${generation - 1}")
+  }
+
   /** Process one micro-batch: returns its NOVEL rows — no fingerprint
     * match in the accumulated set, ONE surviving row per fingerprint
     * within the batch (an arbitrary representative, the
     * `dropDuplicates` contract — pre-sort or pre-collapse the batch if
-    * a specific copy must win) — and accumulates their fingerprints. */
+    * a specific copy must win) — and accumulates their fingerprints.
+    * With [[withAutoCompaction]] configured, every N-th batch also
+    * collapses the accumulated set. */
   def processBatch(batch: DataFrame): DataFrame = {
+    // compaction runs at the START of the batch FOLLOWING each N-th:
+    // the rows returned below stay lazy until the foreachBatch callback
+    // consumes them, so nothing may unpersist their lineage mid-flight
+    if (compactEvery > 0 && batches > 0 && batches % compactEvery == 0)
+      compact(compactBase)
+    batches += 1
     val b = batch.withColumn("graft_fp", fpOf(col(textCol)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // ONLY the novel fingerprint set is pinned long-term: pinning the
@@ -191,44 +251,69 @@ final class FingerprintDedupFilter private[streaming] (
 }
 
 /** foreachBatch consumer deduplicating arriving vectors against a
-  * growing historical [[graft.operators.AnnIndex]]: per batch, one
-  * index-probing kNN equi-join flags rows whose best indexed neighbor
-  * reaches `threshold` cosine; survivors are appended to the index
-  * before the next batch (so in-stream duplicates across batches are
-  * caught). Probabilistic exactly as the underlying LSH index is —
-  * the probe path's recall is gated in StreamingSpec/SimilaritySpec.
+  * growing historical [[graft.operators.VectorIndex]] (any family —
+  * LSH, IVF, IVF-PQ): per batch, one index-probing kNN equi-join
+  * flags rows whose best indexed neighbor reaches `threshold` cosine;
+  * the survivors are then deduplicated WITHIN the batch (near-dup
+  * pairs arriving together — an LSH self-probe of the batch keeps the
+  * lowest id of each near-dup group, so the first batch of a stream
+  * cannot absorb a backlog's duplicate pairs wholesale); what remains
+  * is appended to the index before the next batch (so in-stream
+  * duplicates across batches are caught). Probabilistic exactly as
+  * the underlying index probes are — recall is gated in
+  * StreamingSpec/SimilaritySpec. The intra-batch pass ranks each row
+  * against its [[IndexDedupFilter.IntraK]] best batch neighbors: a
+  * near-dup group wider than that budget can over-survive (the
+  * members' shortlists may all fill with higher-cosine large-id
+  * twins) — the same candidate-set approximation the index itself
+  * makes.
   *
   * Each batch's novel rows stay persisted: they back the appended
-  * signature rows of the in-memory index chain. Long streams compact
-  * through [[graft.operators.AnnIndex.writeTable]] /
-  * [[graft.operators.AnnIndex.appendTable]].
+  * rows of the in-memory index chain. Long streams compact through
+  * the family's `writeTable` / `appendTable`.
   */
 final class IndexDedupFilter private[streaming] (
-    initial: graft.operators.AnnIndex, idCol: String, embCol: String,
+    initial: graft.operators.VectorIndex, idCol: String, embCol: String,
     threshold: Double) {
 
   @volatile private var idx = initial
   // every persisted frame this filter pinned, releasable via close():
   // append() returns a new handle over a UNION plan, so close() on the
   // final index would unpersist nothing (exact-plan matching) — the
-  // initial signature table and each batch's novel rows must be
+  // initial backing table and each batch's novel rows must be
   // released individually
   private val pinned =
-    scala.collection.mutable.ArrayBuffer[DataFrame](initial.sigs)
+    scala.collection.mutable.ArrayBuffer[DataFrame](initial.backing)
 
   /** The current index (initial corpus + every processed batch's
     * novel vectors). */
-  def index: graft.operators.AnnIndex = idx
+  def index: graft.operators.VectorIndex = idx
 
   /** Process one micro-batch: returns its NOVEL rows (no indexed
-    * neighbor at ≥ `threshold` cosine) and appends them to the index. */
+    * neighbor at ≥ `threshold` cosine, and not a near-dup of a
+    * lower-id row in the SAME batch) and appends them to the index. */
   def processBatch(batch: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val b = batch.persist(StorageLevel.MEMORY_AND_DISK)
     val dupIds = idx.knnJoinWith(b, idCol, embCol, k = 1)
       .filter(col("cos_sim") >= threshold)
       .select(col("src_id").as(idCol))
-    val novel = b.join(dupIds, Seq(idCol), "left_anti")
+    val survivors = b.join(dupIds, Seq(idCol), "left_anti")
+    // intra-batch pass: an LSH self-probe of the index survivors (one
+    // narrow signature pass + one bucket equi-join — LSH because it
+    // needs no training, whatever family backs the HISTORICAL index);
+    // a row with a ≥ threshold neighbor of SMALLER id in the same
+    // batch drops — the keep-lowest-id contract of the batch dedup
+    // family's connected components
+    val batchIdx = graft.operators.AnnIndex.build(survivors, idCol, embCol,
+      tables = 16, persist = false)
+    val intraDup = batchIdx
+      .knnJoinWith(survivors, idCol, embCol, k = IndexDedupFilter.IntraK)
+      .filter(col("cos_sim") >= threshold && col("dst_id") < col("src_id"))
+      .select(col("src_id").cast(
+        survivors.schema(idCol).dataType).as(idCol))
+      .distinct()
+    val novel = survivors.join(intraDup, Seq(idCol), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
     novel.count() // materialize NOW: the probe must see the pre-append index
     pinned.synchronized { pinned += novel }
@@ -243,10 +328,17 @@ final class IndexDedupFilter private[streaming] (
     (batch, batchId) => onNovel(processBatch(batch), batchId)
 
   /** Release every persisted frame this filter pinned (the initial
-    * signature table + each batch's novel rows). Call when the stream
+    * backing table + each batch's novel rows). Call when the stream
     * ends; the filter must not process further batches after. */
   def close(): Unit = pinned.synchronized {
     pinned.foreach(_.unpersist(blocking = false))
     pinned.clear()
   }
+}
+
+object IndexDedupFilter {
+  /** Neighbor budget of the intra-batch self-probe: each surviving row
+    * checks its IntraK best batch neighbors for a smaller-id near-dup.
+    * Groups wider than this can over-survive (never over-drop). */
+  val IntraK = 8
 }

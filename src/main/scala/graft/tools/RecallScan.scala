@@ -67,7 +67,7 @@ object RecallScan {
         "vec_id", "embedding")
       val cellSizes = idx.cells.groupBy("cell").count().collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val kCells = idx.centroids.size
+      val kCells = idx.nCells
       val fullRow = 8.0 + 32.0 + 512.0 // id + sketch + 64-dim double vec
       def rerankRow(nprobe: Int, cap: Int, tag: String): Unit = {
         val (recall, rows) = probes.map { p =>
@@ -97,6 +97,77 @@ object RecallScan {
       for (cap <- Seq(64, 128, 256, 512))
         rerankRow(math.max(1, kCells * 3 / 4), cap, "ABSCAP")
       idx.close()
+
+      // CELL-COUNT frontier (the k ≈ √n policy's evidence): sweep the
+      // cell count at FIXED nprobe fractions — the scanned fraction per
+      // probe is nprobe/k, so it must FALL as k grows at held recall.
+      // Uses the single-point topKVec probe path (external vector) with
+      // the two-stage rerank at the topKAuto cap policy.
+      for (kc <- Seq(16, 32, 64, 128, 256)
+           if kc <= n / 4) {
+        val kidx = IvfIndex.build(
+          graft.sources.Tables.embeddings(spark, dir),
+          "vec_id", "embedding", k = kc)
+        val sizes = kidx.cells.groupBy("cell").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        for (frac <- Seq(4, 2)) { // nprobe = k/4, k/2
+          val nprobe = math.max(1, kc / frac)
+          val cap = math.max(40, math.min((n * 0.08).toLong,
+            IvfIndex.AutoRescoreCeiling).toInt)
+          val (recall, rows) = probes.map { p =>
+            val got = kidx.topK(p, 10, nprobe, rescoreCap = cap).collect()
+              .map(_.getLong(0)).toSet
+            val r = (bf(p) & got).size.toDouble / bf(p).size
+            val probeVec = kidx.cells
+              .filter(org.apache.spark.sql.functions.col("vec_id") === p)
+              .select("embedding").head().getSeq[Double](0)
+            val s = kidx.nearestCellsOf(probeVec, nprobe)
+              .map(c => sizes.getOrElse(c, 0L)).sum / n
+            (r, s)
+          }.reduce((a, b) => (a._1 + b._1, a._2 + b._2)) match {
+            case (r, s) => (r / probes.size, s / probes.size)
+          }
+          println(f"[recall] sf$sf KFRONT k=$kc%-4d nprobe=$nprobe%-3d " +
+            f"cap=$cap%-4d recall@10=$recall%.3f scan=$rows%.2f")
+        }
+        kidx.close()
+      }
+
+      // IVF-PQ frontier: cells × nprobe-fraction × rescore cap. The
+      // byte proxy: stage 1 reads (8B id + 4B cell + 8×0.5B codes) of
+      // the probed cells' rows + cap full rows.
+      for (kc <- Seq(16, 32, 64) if kc <= n / 4) {
+        val pidx = graft.operators.IvfPqIndex.build(
+          graft.sources.Tables.embeddings(spark, dir),
+          "vec_id", "embedding", kCells = kc)
+        val sizes = pidx.cells.groupBy("cell").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val cellsOf = (p: Long, nprobe: Int) => {
+          val v = pidx.cells
+            .filter(org.apache.spark.sql.functions.col("vec_id") === p)
+            .select("embedding").head().getSeq[Double](0)
+          graft.operators.IvfIndex
+            .cosineRankedCells(pidx.centroids, v, nprobe)
+        }
+        for (frac <- Seq(4, 2); cap <- Seq(128, 192, 256)) {
+          val nprobe = math.max(1, kc / frac)
+          val (recall, rows) = probes.map { p =>
+            val got = pidx.topK(p, 10, nprobe, rescoreCap = cap).collect()
+              .map(_.getLong(0)).toSet
+            val r = (bf(p) & got).size.toDouble / bf(p).size
+            val s = cellsOf(p, nprobe)
+              .map(c => sizes.getOrElse(c, 0L)).sum / n
+            (r, s)
+          }.reduce((a, b) => (a._1 + b._1, a._2 + b._2)) match {
+            case (r, s) => (r / probes.size, s / probes.size)
+          }
+          val bytes = (rows * n * 16.0 + cap * fullRow) / (n * fullRow)
+          println(f"[recall] sf$sf IVFPQ k=$kc%-4d nprobe=$nprobe%-3d " +
+            f"cap=$cap%-4d recall@10=$recall%.3f rows=$rows%.2f " +
+            f"bytes=$bytes%.3f")
+        }
+        pidx.close()
+      }
     }
     spark.stop()
   }

@@ -195,18 +195,50 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_knn_ivf / q_knn_ivfpq: cell-key equi-joins only, pre-shuffle " +
-      "partial top-k in both stages") {
+      "partial top-k in both stages, relational centroid fan-out") {
     for (name <- Seq("q_knn_ivf", "q_knn_ivfpq")) {
       val df = q(name)
       df.collect() // finalize THIS plan (AQE)
       val p = plan(df).split("== Initial Plan ==").head
       assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(2000))
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n" + p.take(2000))
-      // the typed top-k aggregator runs partial then final in BOTH the
-      // compact-code shortlist stage and the exact-rescore stage
-      assert("ObjectHashAggregate".r.findAllIn(p).size >= 4 ||
-        "SortAggregate".r.findAllIn(p).size >= 4, s"$name:\n" + p.take(3000))
+      // the r6 shape ranked a typedLit of the FULL centroid set in-row
+      // (plan size O(k), a multi-MB literal into every task at the
+      // k ≈ √n cell counts 100 TB needs). Now the only nested-loop
+      // node is the k-row centroid fan-out — queries × the BROADCAST
+      // centroid table, ranked through the partial top-k aggregator —
+      // and every corpus-side join is an equi-join. Exactly ONE such
+      // node, and no literal centroid array anywhere: the plan string
+      // stays O(1) in the cell count (pinned below by size).
+      val probeSide = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      assert(probeSide <= 1, s"$name: $probeSide nested-loop joins\n" +
+        p.take(2000))
+      assert(p.length < 120000,
+        s"$name: plan string ${p.length} chars — a centroid literal " +
+          "re-entered the probe plan?")
+      // the typed top-k aggregator runs partial then final in the cell
+      // fan-out, the compact-code shortlist, and the exact-rescore
+      // reduction
+      assert("ObjectHashAggregate".r.findAllIn(p).size >= 6 ||
+        "SortAggregate".r.findAllIn(p).size >= 6, s"$name:\n" + p.take(3000))
     }
+  }
+
+  test("IVF batch-probe plan size is O(1) in the cell count") {
+    // the r6 weak in one assertion: quadrupling the cell count must not
+    // grow the probe plan (the centroid set rides a broadcast relation,
+    // never an in-plan literal)
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val probes = vecs.limit(20)
+    val small = graft.operators.IvfIndex.build(vecs, "vec_id", "embedding",
+      k = 8, persist = false)
+    val big = graft.operators.IvfIndex.build(vecs, "vec_id", "embedding",
+      k = 32, persist = false)
+    def planLen(idx: graft.operators.IvfIndex) =
+      idx.knnJoinWith(probes, "vec_id", "embedding", k = 5)
+        .queryExecution.optimizedPlan.toString.length
+    val (ls, lb) = (planLen(small), planLen(big))
+    assert(lb < ls * 1.2 + 2000,
+      s"plan grew with cell count: k=8 -> $ls chars, k=32 -> $lb chars")
   }
 
   test("q_knn_ann: occupancy cap is a separate aggregate — no Window " +

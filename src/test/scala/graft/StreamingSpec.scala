@@ -208,7 +208,7 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(novelIds.sorted === Seq(1002L, 2002L))
     // the index grew by exactly the two novel arrivals
-    assert(filter.index.sigs.select("vec_id").distinct().count() ===
+    assert(filter.index.backing.select("vec_id").distinct().count() ===
       nHist + 2)
   }
 
@@ -255,6 +255,124 @@ class StreamingSpec extends SparkSpec {
     // the fingerprint set grew by exactly the three novel fingerprints
     assert(filter.fingerprints.count() === 2L + 3L)
     filter.close() // release the pinned history + per-batch key frames
+  }
+
+  test("dedup against an IVF-PQ index: the probe-and-append trait lets " +
+      "the compact-code family back the streaming filter") {
+    import scala.collection.mutable
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val hist = graft.operators.IvfPqIndex.build(vecs, "vec_id", "embedding")
+    val filter = StreamingDedup.againstIndex(hist, "vec_id", "embedding",
+      threshold = 0.95)
+    val indexed0 = vecs.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    def unit(dim: Int, eps: Double = 0.0): Seq[Double] =
+      Seq.tabulate(64)(i =>
+        if (i == dim) 1.0 else if (i == dim + 1) eps else 0.0)
+    val novelIds = mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Timestamp, Long, Seq[Double])](spark)
+    val q = in.toDF().toDF("ts", "vec_id", "embedding")
+      .writeStream
+      .foreachBatch(filter.foreachBatch { (novel, _) =>
+        novelIds ++= novel.select("vec_id").collect().map(_.getLong(0))
+      })
+      .option("checkpointLocation", tmpCkpt())
+      .start()
+    // batch 1: a copy of an INDEXED vector drops (the IVF-PQ probe
+    // rescores exactly, so the cos=1 match clears the threshold);
+    // a novel unit vector survives and is appended (residual-encoded
+    // under the EXISTING quantizers)
+    in.addData((ts(1), 1001L, indexed0), (ts(2), 1002L, unit(0)))
+    q.processAllAvailable()
+    // batch 2: a near-copy of batch-1's NOVEL arrival must be caught
+    // via the appended rows; an unrelated unit vector survives
+    in.addData((ts(3), 2001L, unit(0, eps = 1e-6)),
+      (ts(4), 2002L, unit(1)))
+    q.processAllAvailable()
+    q.stop()
+    assert(novelIds.sorted === Seq(1002L, 2002L))
+    filter.close(); hist.close()
+  }
+
+  test("index dedup filter drops near-duplicate pairs arriving in the " +
+      "SAME micro-batch (keep-lowest-id)") {
+    import scala.collection.mutable
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val hist = graft.operators.AnnIndex.build(vecs, "vec_id", "embedding",
+      tables = 16, persist = false)
+    val filter = StreamingDedup.againstIndex(hist, "vec_id", "embedding",
+      threshold = 0.95)
+    def unit(dim: Int, eps: Double = 0.0): Seq[Double] =
+      Seq.tabulate(64)(i =>
+        if (i == dim) 1.0 else if (i == dim + 1) eps else 0.0)
+    val novelIds = mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Timestamp, Long, Seq[Double])](spark)
+    val q = in.toDF().toDF("ts", "vec_id", "embedding")
+      .writeStream
+      .foreachBatch(filter.foreachBatch { (novel, _) =>
+        novelIds ++= novel.select("vec_id").collect().map(_.getLong(0))
+      })
+      .option("checkpointLocation", tmpCkpt())
+      .start()
+    // ONE batch carrying a near-dup pair (the backlog-absorption shape
+    // the r6 filter admitted wholesale) + an unrelated vector: only
+    // the LOWEST id of the pair may survive
+    in.addData((ts(1), 3001L, unit(2)), (ts(2), 3002L, unit(2, eps = 1e-6)),
+      (ts(3), 3003L, unit(3)))
+    q.processAllAvailable()
+    q.stop()
+    assert(novelIds.sorted === Seq(3001L, 3003L))
+    // only the surviving rows were appended
+    assert(filter.index.backing.select("vec_id").distinct().count() ===
+      vecs.count() + 2)
+    filter.close()
+  }
+
+  test("fingerprint auto-compaction bounds the union chain and leaves " +
+      "novel-row output unchanged") {
+    import scala.collection.mutable
+    val hist = Seq("historical document one", "historical document two")
+      .toDF("text")
+    val base = s"fpc_${System.nanoTime()}"
+    val filter = StreamingDedup.exactAgainstCorpus(hist, "text")
+      .withAutoCompaction(base, everyN = 2)
+    val novelIds = mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Timestamp, Long, String)](spark)
+    val q = in.toDF().toDF("ts", "id", "text")
+      .writeStream
+      .foreachBatch(filter.foreachBatch { (novel, _) =>
+        novelIds ++= novel.select("id").collect().map(_.getLong(0))
+      })
+      .option("checkpointLocation", tmpCkpt())
+      .start()
+    // 5 batches (> 2 compaction cycles): novel docs interleaved with
+    // duplicates of history, earlier batches, and pre/post-compaction
+    // arrivals — output must be exactly the first occurrence of each
+    in.addData((ts(1), 1L, "novel doc alpha"),
+      (ts(2), 2L, "historical document one"))
+    q.processAllAvailable()
+    in.addData((ts(3), 3L, "novel doc beta"), (ts(4), 4L, "novel doc alpha"))
+    q.processAllAvailable() // next batch compacts (2 processed)
+    in.addData((ts(5), 5L, "novel doc gamma"),
+      (ts(6), 6L, "novel doc beta")) // dup of a PRE-compaction arrival
+    q.processAllAvailable()
+    in.addData((ts(7), 7L, "historical document two"))
+    q.processAllAvailable() // next batch compacts again (4 processed)
+    in.addData((ts(8), 8L, "novel doc delta"),
+      (ts(9), 9L, "novel doc gamma")) // dup of a post-compaction arrival
+    q.processAllAvailable()
+    q.stop()
+    assert(novelIds.sorted === Seq(1L, 3L, 5L, 8L))
+    // the chain is COLLAPSED: after ≥1 compaction the fingerprint set
+    // reads from the bucketed generation table, not a union chain
+    val keysPlan = filter.fingerprints.queryExecution.analyzed.toString
+    val depth = "Union".r.findAllIn(keysPlan).size
+    assert(depth <= 2, s"union chain depth $depth — compaction did not " +
+      s"collapse the chain:\n${keysPlan.take(2000)}")
+    assert(filter.fingerprints.count() === 2L + 4L)
+    filter.close()
+    spark.sql(s"DROP TABLE IF EXISTS ${base}_g2")
+    spark.sql(s"DROP TABLE IF EXISTS ${base}_g3")
   }
 
   test("streaming exact-dup state EVICTS once the watermark passes the " +
