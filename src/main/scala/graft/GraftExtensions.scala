@@ -100,5 +100,82 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+    // TABLE-level surface: the flagship kNN join as a table-valued
+    // function, so a SQL-first user reaches the batch ANN serving shape
+    // without the Scala API (see GraftExtensions.knnJoinPlan).
+    ext.injectTableFunction((FunctionIdentifier("knn_join"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "knn_join"),
+      (exprs: Seq[Expression]) => GraftExtensions.knnJoinPlan(exprs)))
+  }
+}
+
+object GraftExtensions {
+
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import graft.operators.{AnnIndex, IvfIndex, IvfPqIndex, VectorIndex}
+
+  private def litStr(name: String, e: Expression): String = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"knn_join expects a literal STRING for '$name'; got ${e.sql}")
+    val v = e.eval()
+    if (v == null) throw new IllegalArgumentException(
+      s"knn_join expects a literal STRING for '$name'; got NULL")
+    v.toString
+  }
+
+  /** `knn_join(corpus, queries, k [, kind])` — the approximate kNN join
+    * ([[graft.operators.VectorIndex.knnJoinWith]]) from PURE SQL:
+    *
+    * {{{
+    *   SELECT * FROM knn_join('corpus_tbl', 'query_tbl', 5, 'ivfpq')
+    * }}}
+    *
+    * Both tables must carry `(vec_id, embedding)`. `corpus` is either a
+    * raw vector table — the index is built ONE-SHOT at the family's
+    * defaults (`kind` ∈ ann | ivf | ivfpq, default ann) — or a DURABLE
+    * index table written by the family's `writeTable`, detected (and
+    * its family inferred, `kind` ignored) via the `_meta` sidecar: the
+    * production path, where probes prune the bucketed layout and no
+    * per-query build happens. Returns `(src_id, dst_id, cos_sim, rn)`
+    * exactly as the Scala API does. */
+  private[graft] def knnJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
+    if (exprs.length < 3 || exprs.length > 4)
+      throw new IllegalArgumentException(
+        "knn_join(corpus_table, queries_table, k [, kind]) — got " +
+          s"${exprs.length} arguments")
+    val spark = SparkSession.active
+    val corpus = litStr("corpus_table", exprs(0))
+    val queries = litStr("queries_table", exprs(1))
+    val k = VectorOps.intArg("knn_join", "k", exprs(2))
+    val kind =
+      if (exprs.length > 3) litStr("kind", exprs(3)).toLowerCase else "ann"
+    val idx: VectorIndex =
+      if (spark.catalog.tableExists(corpus + "_meta")) {
+        // a durable index table: the sidecar schema names its family
+        spark.table(corpus + "_meta").columns.toSeq match {
+          case Seq("tables", "planes_per_table") =>
+            AnnIndex.fromTable(spark, corpus)
+          case Seq("cell", "centroid", "n") =>
+            IvfIndex.fromTable(spark, corpus)
+          case Seq("kind", "i", "j", "centroid", "n") =>
+            IvfPqIndex.fromTable(spark, corpus)
+          case cols => throw new IllegalArgumentException(
+            s"table $corpus has a ${corpus}_meta sidecar of unsupported " +
+              s"shape ${cols.mkString("(", ", ", ")")} — knn_join serves " +
+              "AnnIndex, IvfIndex, and IvfPqIndex tables")
+        }
+      } else kind match {
+        case "ann" => AnnIndex.build(spark.table(corpus),
+          "vec_id", "embedding", persist = false)
+        case "ivf" => IvfIndex.build(spark.table(corpus),
+          "vec_id", "embedding", persist = false)
+        case "ivfpq" => IvfPqIndex.build(spark.table(corpus),
+          "vec_id", "embedding")
+        case other => throw new IllegalArgumentException(
+          s"knn_join kind '$other' — one of ann, ivf, ivfpq")
+      }
+    idx.knnJoinWith(spark.table(queries), "vec_id", "embedding", k)
+      .queryExecution.analyzed
   }
 }

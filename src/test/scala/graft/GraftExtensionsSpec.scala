@@ -57,6 +57,46 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("plane_sketch"), err.getMessage)
   }
 
+  test("knn_join table-valued function runs the batch ANN join from " +
+      "pure SQL — one-shot build and durable sidecar table") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val vecs = graft.sources.Tables.embeddings(s2, sfDir)
+    vecs.createOrReplaceTempView("knn_corpus_sql")
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    queries.createOrReplaceTempView("knn_queries_sql")
+    // one-shot path: the index is built at the family defaults
+    val got = s2.sql(
+      "SELECT * FROM knn_join('knn_corpus_sql', 'knn_queries_sql', 5)")
+    assert(got.columns.toSeq === Seq("src_id", "dst_id", "cos_sim", "rn"))
+    val gotRows = got.collect()
+    val want = graft.operators.AnnIndex
+      .build(vecs, "vec_id", "embedding", persist = false)
+      .knnJoinWith(queries, "vec_id", "embedding", 5).collect()
+    assert(gotRows.map(_.toSeq).toSet === want.map(_.toSeq).toSet)
+    assert(gotRows.nonEmpty)
+    // durable path: a bucketed IVF index table is detected (family
+    // inferred from the _meta sidecar schema) and reopened, not rebuilt
+    val ivf = graft.operators.IvfIndex.build(vecs, "vec_id", "embedding",
+      persist = false)
+    ivf.writeTable("knn_ivf_sql", buckets = 8)
+    val viaSql = s2.sql(
+      "SELECT * FROM knn_join('knn_ivf_sql', 'knn_queries_sql', 3)")
+      .collect()
+    val viaApi = graft.operators.IvfIndex.fromTable(s2, "knn_ivf_sql")
+      .knnJoinWith(queries, "vec_id", "embedding", 3).collect()
+    assert(viaSql.map(_.toSeq).toSet === viaApi.map(_.toSeq).toSet)
+    assert(viaSql.nonEmpty)
+    // misuse fails with guidance, not an opaque resolution error
+    val err = intercept[Exception] {
+      s2.sql("SELECT * FROM knn_join('knn_corpus_sql', " +
+        "'knn_queries_sql', 5, 'hnsw')").collect()
+    }
+    assert(err.getMessage.contains("ann, ivf, ivfpq"), err.getMessage)
+    s2.sql("DROP TABLE IF EXISTS knn_ivf_sql")
+    s2.sql("DROP TABLE IF EXISTS knn_ivf_sql_meta")
+  }
+
   test("SQL minhash_sig agrees with the library column API") {
     import org.apache.spark.sql.functions._
     val s2 = spark.newSession()

@@ -280,6 +280,65 @@ class SimilaritySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ivf_cells_app_meta")
   }
 
+  test("PQ and IVF-PQ append encode arrivals under the EXISTING " +
+      "quantizers — a full-budget probe of the grown index equals " +
+      "exact brute force over the union") {
+    import graft.operators.{IvfPqIndex, PqIndex}
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val half = vecs.filter(col("vec_id") < 250)
+    val rest = vecs.filter(col("vec_id") >= 250)
+    val n = vecs.count().toInt
+    val exact = graft.operators.SimilarityOps
+      .bruteForceTopK(vecs, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.toSeq).toSeq
+    // PQ: rescoring EVERYTHING makes the probe exact regardless of the
+    // codebook, so the grown index must reproduce brute force
+    val pq = PqIndex.build(half, "vec_id", "embedding")
+    val pqGrown = pq.append(rest, "vec_id", "embedding")
+    assert(pqGrown.size === n.toLong)
+    assert(pqGrown.topK(0L, 10, rescoreCap = n).collect()
+      .map(_.toSeq).toSeq === exact)
+    // IVF-PQ: all cells + full rescore likewise
+    val ivfpq = IvfPqIndex.build(half, "vec_id", "embedding")
+    val ipGrown = ivfpq.append(rest, "vec_id", "embedding")
+    assert(ipGrown.size === n.toLong)
+    assert(ipGrown.nCells === ivfpq.nCells)
+    assert(ipGrown.topK(0L, 10, nprobe = ipGrown.nCells,
+      rescoreCap = n).collect().map(_.toSeq).toSeq === exact)
+    // durable twin: two appendTable calls accumulate the sidecar size
+    // and the reopened indexes probe the union exactly
+    pq.writeTable("pq_codes_app", buckets = 8)
+    pq.appendTable("pq_codes_app",
+      rest.filter(col("vec_id") < 375), "vec_id", "embedding", buckets = 8)
+    pq.appendTable("pq_codes_app",
+      rest.filter(col("vec_id") >= 375), "vec_id", "embedding", buckets = 8)
+    val pqBack = PqIndex.fromTable(spark, "pq_codes_app")
+    assert(pqBack.size === n.toLong)
+    assert(pqBack.topK(0L, 10, rescoreCap = n).collect()
+      .map(_.toSeq).toSeq === exact)
+    ivfpq.writeTable("ivfpq_cells_app", buckets = 8)
+    ivfpq.appendTable("ivfpq_cells_app", rest, "vec_id", "embedding",
+      buckets = 8)
+    val ipBack = IvfPqIndex.fromTable(spark, "ivfpq_cells_app")
+    assert(ipBack.size === n.toLong)
+    assert(ipBack.topK(0L, 10, nprobe = ipBack.nCells,
+      rescoreCap = n).collect().map(_.toSeq).toSeq === exact)
+    // a handle with DIFFERENT quantizers must refuse the durable append
+    // (silently mixed encodings would corrupt every future probe)
+    val other = PqIndex.build(vecs, "vec_id", "embedding",
+      centroidsPerSub = 8)
+    val err = intercept[IllegalArgumentException] {
+      other.appendTable("pq_codes_app", rest, "vec_id", "embedding",
+        buckets = 8)
+    }
+    assert(err.getMessage.contains("does not match"))
+    other.close(); pq.close(); ivfpq.close()
+    spark.sql("DROP TABLE IF EXISTS pq_codes_app")
+    spark.sql("DROP TABLE IF EXISTS pq_codes_app_meta")
+    spark.sql("DROP TABLE IF EXISTS ivfpq_cells_app")
+    spark.sql("DROP TABLE IF EXISTS ivfpq_cells_app_meta")
+  }
+
   test("appendTable grows a bucketed index table — probes equal a " +
       "from-scratch build over the union") {
     val vecs = graft.sources.Tables.embeddings(spark, sfDir)
