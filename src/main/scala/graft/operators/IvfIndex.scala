@@ -94,8 +94,8 @@ final case class IvfIndex(cells: DataFrame, centroids: DataFrame,
   // nprobe <= 0 selects the default FRACTION of the cell count, so the
   // scan fraction stays put as the k ≈ √n sizing grows cells with the
   // corpus: 1/4 for single-stage point probes (the measured BASELINE.md
-  // §IVF point), 1/2 for the batch join (the held-out recall gate's
-  // operating point).
+  // §IVF point) and for the batch join (the finer auto-sized cells
+  // hold the held-out recall gate at a 25% scan — §IVF cells).
   private def effNprobe(nprobe: Int, num: Int, den: Int): Int =
     math.min(math.max(1, if (nprobe > 0) nprobe else nCells * num / den),
       nCells)
@@ -194,7 +194,10 @@ final case class IvfIndex(cells: DataFrame, centroids: DataFrame,
     * must be integral (the typed top-k aggregator, see
     * [[SimilarityOps.topKPerSrc]]). Indexed queries return themselves
     * at cos 1 — callers re-probing corpus vectors filter
-    * `src_id =!= dst_id`. `nprobe <= 0` = nCells/2. Probabilistic by
+    * `src_id =!= dst_id`. `nprobe <= 0` = nCells/4 — the
+    * auto-sized quantizer's cells are fine enough that a 25% scan
+    * holds the recall gate (BASELINE.md §IVF cells), at HALF the r6
+    * candidate volume. Probabilistic by
     * design (a neighbor outside the probed cells or the sketch
     * shortlist is missed): held-out recall is gated in SimilaritySpec,
     * no SQL oracle. */
@@ -202,7 +205,7 @@ final case class IvfIndex(cells: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int = 0, rescorePerQuery: Int = 160): DataFrame = {
     import graft.functions.{VectorOps => V}
     V.register(cells.sparkSession)
-    val np = effNprobe(nprobe, 1, 2)
+    val np = effNprobe(nprobe, 1, 4)
     val qe = queries.select(col(idCol).as("src_id"),
       col(embCol).cast("array<double>").as("se"))
     val scoredCells = qe.crossJoin(broadcast(centroids))
@@ -210,8 +213,12 @@ final case class IvfIndex(cells: DataFrame, centroids: DataFrame,
         round(V.cosine(col("se"), col("centroid")), 9).as("qcos"))
     val fan = SimilarityOps.topKPerSrc(scoredCells, "qcos", np)
       .select(col("src_id"), col("dst_id").cast("int").as("cell"))
-    val fanout = fan.join(qe, "src_id")
-      .withColumn("qprojs", IvfIndex.projCol(col("se")))
+    // the plane projections are computed ONCE PER QUERY on the query
+    // side of the join — projecting after it would redo the
+    // 256-plane×dims pass once per fan-out ROW (nprobe× the work)
+    val qp = qe.select(col("src_id"),
+      IvfIndex.projCol(col("se")).as("qprojs"))
+    val fanout = fan.join(qp, "src_id")
       .select(col("src_id"), col("qprojs"), col("cell"))
     val cand = fanout
       .join(cells.select(col("cell"), col("vec_id").as("dst_id"),

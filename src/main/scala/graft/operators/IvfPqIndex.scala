@@ -70,8 +70,11 @@ final case class IvfPqIndex(cells: DataFrame, centroids: DataFrame,
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toSeq
   }
 
-  private def effNprobe(nprobe: Int): Int =
-    math.min(math.max(1, if (nprobe > 0) nprobe else nCells / 2), nCells)
+  // nprobe <= 0 defaults: nCells/2 for the point probe (the measured
+  // §PQ/IVFPQ frontier), nCells/4 for the batch join (finer auto-sized
+  // cells hold the recall gate at a 25% scan — §IVF cells).
+  private def effNprobe(nprobe: Int, den: Int): Int =
+    math.min(math.max(1, if (nprobe > 0) nprobe else nCells / den), nCells)
 
   /** The probe's residual-codebook lookup table — the shared
     * [[PqIndex.lutOf]] layout over the residual codebook. */
@@ -82,7 +85,7 @@ final case class IvfPqIndex(cells: DataFrame, centroids: DataFrame,
     * nCells/2 (the measured-frontier default). */
   def topKVec(probe: Seq[Double], k: Int = 10, nprobe: Int = 0,
       rescoreCap: Int = 192): DataFrame =
-    rankScan(cells, probe, k, effNprobe(nprobe), rescoreCap)
+    rankScan(cells, probe, k, effNprobe(nprobe, 2), rescoreCap)
 
   /** Top-k neighbors of an indexed vector (excludes the probe). */
   def topK(probeId: Long, k: Int = 10, nprobe: Int = 0,
@@ -90,7 +93,7 @@ final case class IvfPqIndex(cells: DataFrame, centroids: DataFrame,
     val probe = cells.filter(col("vec_id") === probeId)
       .select("embedding").head().getSeq[Double](0)
     rankScan(cells.filter(col("vec_id") =!= probeId), probe, k,
-      effNprobe(nprobe), rescoreCap)
+      effNprobe(nprobe, 2), rescoreCap)
   }
 
   private def rankScan(from: DataFrame, probe: Seq[Double], k: Int,
@@ -135,13 +138,14 @@ final case class IvfPqIndex(cells: DataFrame, centroids: DataFrame,
     * nested-loop node is the k-row centroid fan-out); candidate bytes
     * are nprobe/k_cells of the corpus per query in CODE bytes. Ids
     * must be integral; indexed queries return themselves at cos 1.
-    * `nprobe <= 0` = nCells/2. Recall gated held-out in
-    * SimilaritySpec, no SQL oracle. */
+    * `nprobe <= 0` = nCells/4 (the finer
+    * auto-sized cells hold the gate at a 25% scan). Recall gated
+    * held-out in SimilaritySpec, no SQL oracle. */
   def knnJoinWith(queries: DataFrame, idCol: String, embCol: String,
       k: Int, nprobe: Int = 0, rescorePerQuery: Int = 192): DataFrame = {
     import graft.functions.{VectorOps => V}
     V.register(cells.sparkSession)
-    val np = effNprobe(nprobe)
+    val np = effNprobe(nprobe, 4)
     val qe = queries.select(col(idCol).as("src_id"),
       col(embCol).cast("array<double>").as("se"))
     val scoredCells = qe.crossJoin(broadcast(centroids))
@@ -149,9 +153,14 @@ final case class IvfPqIndex(cells: DataFrame, centroids: DataFrame,
         round(V.cosine(col("se"), col("centroid")), 9).as("qcos"))
     val fan = SimilarityOps.topKPerSrc(scoredCells, "qcos", np)
       .select(col("src_id"), col("dst_id").cast("int").as("cell"))
-    val fanout = fan.join(qe, "src_id")
+    // the ADC table is computed ONCE PER QUERY on the query side of
+    // the join (post-join it would rerun the subspaces×centroids pass
+    // once per fan-out ROW); only the per-(query, cell) centroid dot
+    // legitimately rides the fan-out row
+    val qp = qe.select(col("src_id"), col("se"),
+      V.pqLut(col("se"), codebook).as("qlut"))
+    val fanout = fan.join(qp, "src_id")
       .join(broadcast(centroids), "cell")
-      .withColumn("qlut", V.pqLut(col("se"), codebook))
       .withColumn("cconst",
         V.dot(col("se"), col("centroid").cast("array<double>")))
       .select("src_id", "qlut", "cconst", "cell")
