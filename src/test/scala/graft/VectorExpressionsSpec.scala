@@ -114,6 +114,49 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("best_cell matches a driver-side argmax-cosine loop (ties to " +
+      "the lowest cell) on both eval paths") {
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("embedding").cast("array<double>").as("e"))
+    // a deterministic 7-cell matrix drawn from the corpus itself, plus
+    // a duplicated cell (index 5 = index 2) to force a cosine tie that
+    // must resolve to the LOWER cell id
+    val cents = Tables.embeddings(spark, sfDir)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(6)
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val matrix = cents.take(5) ++ Seq(cents(2), cents(5))
+    val got = e
+      .withColumn("cell", VectorOps.bestCell(col("e"), typedLit(matrix)))
+      .collect()
+    def cosOf(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var n2 = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i) * b(i); n2 += b(i) * b(i); i += 1 }
+      dot / math.sqrt(n2)
+    }
+    got.foreach { r =>
+      val v = r.getSeq[Double](0)
+      var best = 0; var bestScore = Double.NegativeInfinity
+      matrix.zipWithIndex.foreach { case (c, i) =>
+        val s = cosOf(v, c)
+        if (s > bestScore) { bestScore = s; best = i }
+      }
+      assert(r.getInt(1) === best)
+      assert(r.getInt(1) != 5, "duplicated cell 5 must lose its tie to 2")
+    }
+    // interpreted path (whole-stage codegen off) agrees
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interp = e
+        .withColumn("cell", VectorOps.bestCell(col("e"), typedLit(matrix)))
+        .collect().map(r => r.getSeq[Double](0) -> r.getInt(1)).toMap
+      got.foreach { r =>
+        assert(interp(r.getSeq[Double](0)) === r.getInt(1))
+      }
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("sketch_dot equals a driver-side bit-weighted sum") {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
