@@ -171,7 +171,7 @@ object GraftExtensions {
         case "ivf" => IvfIndex.build(spark.table(corpus),
           "vec_id", "embedding", persist = false)
         case "ivfpq" => IvfPqIndex.build(spark.table(corpus),
-          "vec_id", "embedding")
+          "vec_id", "embedding", persist = false)
         case other => throw new IllegalArgumentException(
           s"knn_join kind '$other' — one of ann, ivf, ivfpq")
       }

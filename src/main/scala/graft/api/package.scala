@@ -244,8 +244,10 @@ package object api {
       * nprobe)`, the two-stage reranked `.topKAuto(id, k)` (wide
       * sketch sweep + saturated-cap exact rescore; the
       * measured-frontier default, BASELINE.md §IVF rerank), and the
-      * batch-serving `.knnJoinWith(queries, …)` kNN join. */
-    def ivfIndex(idCol: String, embCol: String, k: Int = 32,
+      * batch-serving `.knnJoinWith(queries, …)` kNN join.
+      * `k = 0` (the default) auto-sizes the quantizer as 4·√n
+      * ([[operators.IvfIndex.build]]'s cell-count policy). */
+    def ivfIndex(idCol: String, embCol: String, k: Int = 0,
         iters: Int = 2): operators.IvfIndex =
       operators.IvfIndex.build(df, idCol, embCol, k, iters)
 
@@ -263,8 +265,9 @@ package object api {
       * their nprobe cells AND rank only the 8-code column inside
       * them, then exact-rescore an absolute cap
       * (`.topK(id)` / `.topKVec(vector)`); batch-serve an external
-      * query set with `.knnJoinWith(queries, …)`. */
-    def ivfPqIndex(idCol: String, embCol: String, kCells: Int = 32,
+      * query set with `.knnJoinWith(queries, …)`. `kCells = 0` (the
+      * default) auto-sizes the coarse quantizer as 4·√n. */
+    def ivfPqIndex(idCol: String, embCol: String, kCells: Int = 0,
         subspaces: Int = 8, centroidsPerSub: Int = 16)
         : operators.IvfPqIndex =
       operators.IvfPqIndex.build(df, idCol, embCol, kCells, subspaces,

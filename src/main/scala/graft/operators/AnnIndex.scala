@@ -221,6 +221,20 @@ final case class AnnIndex(sigs: DataFrame,
     * buckets across the appended files. */
   def appendTable(table: String, newVectors: DataFrame, idCol: String,
       embCol: String, buckets: Int = 32): Unit = {
+    // refuse a handle whose hyperplane budget differs from the table's
+    // sidecar: rows signed under a different (tables x planes) budget
+    // would silently land in buckets future probes never match
+    val spark = sigs.sparkSession
+    val (st, sp) =
+      if (spark.catalog.tableExists(table + "_meta")) {
+        val r = spark.table(table + "_meta").head()
+        (r.getInt(0), r.getInt(1))
+      } else (SimilarityOps.TABLES, SimilarityOps.PLANES_PER_TABLE)
+    require(st == tables && sp == planesPerTable,
+      s"this handle's hyperplane budget (${tables}x$planesPerTable) does " +
+        s"not match ${table}'s (${st}x$sp) — appendTable must run through " +
+        "a handle of the index that wrote the table (AnnIndex.fromTable " +
+        "reopens one)")
     val add = AnnIndex.build(newVectors, idCol, embCol, tables,
       planesPerTable, persist = false)
     add.sigs.write.mode("append").format("parquet")

@@ -204,36 +204,18 @@ final case class IvfIndex(cells: DataFrame, centroids: DataFrame,
   def knnJoinWith(queries: DataFrame, idCol: String, embCol: String,
       k: Int, nprobe: Int = 0, rescorePerQuery: Int = 160): DataFrame = {
     import graft.functions.{VectorOps => V}
-    V.register(cells.sparkSession)
-    val np = effNprobe(nprobe, 1, 4)
-    val qe = queries.select(col(idCol).as("src_id"),
-      col(embCol).cast("array<double>").as("se"))
-    val scoredCells = qe.crossJoin(broadcast(centroids))
-      .select(col("src_id"), col("cell").as("dst_id"),
-        round(V.cosine(col("se"), col("centroid")), 9).as("qcos"))
-    val fan = SimilarityOps.topKPerSrc(scoredCells, "qcos", np)
-      .select(col("src_id"), col("dst_id").cast("int").as("cell"))
-    // the plane projections are computed ONCE PER QUERY on the query
-    // side of the join — projecting after it would redo the
-    // 256-plane×dims pass once per fan-out ROW (nprobe× the work)
-    val qp = qe.select(col("src_id"),
-      IvfIndex.projCol(col("se")).as("qprojs"))
-    val fanout = fan.join(qp, "src_id")
-      .select(col("src_id"), col("qprojs"), col("cell"))
-    val cand = fanout
-      .join(cells.select(col("cell"), col("vec_id").as("dst_id"),
-        col("sketch")), Seq("cell"))
-      .select(col("src_id"), col("dst_id"),
-        V.sketchDotCol(col("sketch"), col("qprojs")).as("s1"))
-    val shortlist = SimilarityOps.topKPerSrc(cand, "s1", rescorePerQuery)
-      .select("src_id", "dst_id")
-    val edges = shortlist
-      .join(cells.select(col("vec_id").as("dst_id"),
-        col("embedding").as("de")), "dst_id")
-      .join(qe, "src_id")
-      .select(col("src_id"), col("dst_id"),
-        round(V.cosine(col("se"), col("de")), 6).as("cos_sim"))
-    SimilarityOps.topKPerSrc(edges, "cos_sim", k)
+    IvfIndex.cellFanoutKnn(cells, centroids, queries, idCol, embCol,
+      k, effNprobe(nprobe, 1, 4), rescorePerQuery,
+      codeCols = Seq("sketch"),
+      // the plane projections are computed ONCE PER QUERY on the query
+      // side of the fan-out join — projecting after it would redo the
+      // 256-plane×dims pass once per fan-out ROW (nprobe× the work,
+      // the measured r7 3.9 s q_knn_ivf trap)
+      perQuery = qe => qe.select(col("src_id"),
+        IvfIndex.projCol(col("se")).as("qprojs")),
+      fanout = (fan, qp) => fan.join(qp, "src_id")
+        .select(col("src_id"), col("qprojs"), col("cell")),
+      stage1 = V.sketchDotCol(col("sketch"), col("qprojs")))
   }
 
   /** Grow the index with a new vector batch WITHOUT re-clustering —
@@ -263,8 +245,9 @@ final case class IvfIndex(cells: DataFrame, centroids: DataFrame,
     * the index with no out-of-band state. */
   def writeTable(table: String, buckets: Int = 32): Unit = {
     graft.sources.Warehouse.writeBucketed(cells, table, "cell", buckets)
-    centroids.select(col("cell"), col("centroid"), lit(size).as("n"))
-      .write.mode("overwrite").format("parquet").saveAsTable(table + "_meta")
+    graft.sources.Warehouse.overwriteSelfRead(
+      centroids.select(col("cell"), col("centroid"), lit(size).as("n")),
+      table + "_meta")
   }
 
   /** Append a new batch to a bucketed index table written by
@@ -295,9 +278,11 @@ final case class IvfIndex(cells: DataFrame, centroids: DataFrame,
       .withColumn("sketch", IvfIndex.sketchCol(col("embedding")))
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(table)
-    centroids.select(col("cell"), col("centroid"),
-        lit(durable + n).as("n"))
-      .write.mode("overwrite").format("parquet").saveAsTable(table + "_meta")
+    // staged: a fromTable handle's centroid frame READS the sidecar it
+    // restamps here — a direct overwrite throws (Warehouse doc)
+    graft.sources.Warehouse.overwriteSelfRead(
+      centroids.select(col("cell"), col("centroid"),
+        lit(durable + n).as("n")), table + "_meta")
   }
 
   /** Release the inverted file's executor storage (lineage stays
@@ -378,6 +363,55 @@ object IvfIndex {
       .collect().map(_.getInt(0)).toSeq
   }
 
+  /** The shared three-stage batch-kNN skeleton of the IVF family —
+    * [[IvfIndex.knnJoinWith]] and [[IvfPqIndex.knnJoinWith]] are this
+    * pipeline with different stage-1 compact-code scoring (asymmetric
+    * sketch dot vs residual ADC + centroid constant); keeping one
+    * skeleton stops the twins drifting:
+    *
+    *   1. relational cell ranking: queries × the BROADCAST k-row
+    *      centroid table (the only nested-loop node — every query ×
+    *      every cell IS the coarse-quantizer contract), codegen'd
+    *      cosine, partial top-`np` per query before the shuffle;
+    *   2. `fanout` attaches the per-query payload (computed ONCE per
+    *      query by `perQuery` — never per fan-out row) and equi-joins
+    *      the inverted file ON THE CELL KEY touching only `codeCols`;
+    *      `stage1` scores each candidate and partial top-k trims to
+    *      `rescorePerQuery` pre-shuffle;
+    *   3. the shortlist joins back to its embeddings, exact cosine,
+    *      final partial top-k. */
+  private[operators] def cellFanoutKnn(cells: DataFrame,
+      centroids: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, np: Int, rescorePerQuery: Int,
+      codeCols: Seq[String],
+      perQuery: DataFrame => DataFrame,
+      fanout: (DataFrame, DataFrame) => DataFrame,
+      stage1: Column): DataFrame = {
+    import graft.functions.{VectorOps => V}
+    V.register(cells.sparkSession)
+    val qe = queries.select(col(idCol).as("src_id"),
+      col(embCol).cast("array<double>").as("se"))
+    val scoredCells = qe.crossJoin(broadcast(centroids))
+      .select(col("src_id"), col("cell").as("dst_id"),
+        round(V.cosine(col("se"), col("centroid")), 9).as("qcos"))
+    val fan = SimilarityOps.topKPerSrc(scoredCells, "qcos", np)
+      .select(col("src_id"), col("dst_id").cast("int").as("cell"))
+    val fo = fanout(fan, perQuery(qe))
+    val cand = fo
+      .join(cells.select(col("cell") +: col("vec_id").as("dst_id") +:
+        codeCols.map(col): _*), Seq("cell"))
+      .select(col("src_id"), col("dst_id"), stage1.as("s1"))
+    val shortlist = SimilarityOps.topKPerSrc(cand, "s1", rescorePerQuery)
+      .select("src_id", "dst_id")
+    val edges = shortlist
+      .join(cells.select(col("vec_id").as("dst_id"),
+        col("embedding").as("de")), "dst_id")
+      .join(qe, "src_id")
+      .select(col("src_id"), col("dst_id"),
+        round(V.cosine(col("se"), col("de")), 6).as("cos_sim"))
+    SimilarityOps.topKPerSrc(edges, "cos_sim", k)
+  }
+
   /** One packed centroid-MATRIX row of a `(cell, centroid)` table:
     * `array<array<double>>` with element c = cell c's centroid (cells
     * are contiguous 0..k-1 by construction). Broadcast-joined onto a
@@ -418,7 +452,8 @@ object IvfIndex {
     * any corpus this engine targets. Pass k explicitly to pin a
     * measured frontier point. */
   def build(vectors: DataFrame, idCol: String, embCol: String,
-      k: Int = 0, iters: Int = 2, persist: Boolean = true): IvfIndex = {
+      k: Int = 0, iters: Int = 2, persist: Boolean = true,
+      sketch: Boolean = true): IvfIndex = {
     graft.functions.VectorOps.register(vectors.sparkSession)
     val e = vectors.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("embedding"))
@@ -461,8 +496,14 @@ object IvfIndex {
       cdf.unpersist(blocking = false)
       cdf = refreshed
     }
-    val raw = assign(e, cdf)
-      .withColumn("sketch", sketchCol(col("embedding")))
+    // `sketch = false` builds a coarse-quantizer-only inverted file —
+    // for consumers that replace the sketch with their own code column
+    // (IvfPqIndex.build): the 256-plane pass costs as much as the
+    // assignment itself and would be dropped on the floor. Such an
+    // index supports single-stage probes and assignment only.
+    val raw0 = assign(e, cdf)
+    val raw = if (sketch) raw0.withColumn("sketch", sketchCol(col("embedding")))
+      else raw0
     // `persist = false` for one-shot consumers (IvfPqIndex.build keeps
     // its own working set; an unwanted persist here would either leak
     // or — worse — share a cache entry with IvfIndex.forDir that the

@@ -144,40 +144,21 @@ final case class IvfPqIndex(cells: DataFrame, centroids: DataFrame,
   def knnJoinWith(queries: DataFrame, idCol: String, embCol: String,
       k: Int, nprobe: Int = 0, rescorePerQuery: Int = 192): DataFrame = {
     import graft.functions.{VectorOps => V}
-    V.register(cells.sparkSession)
-    val np = effNprobe(nprobe, 4)
-    val qe = queries.select(col(idCol).as("src_id"),
-      col(embCol).cast("array<double>").as("se"))
-    val scoredCells = qe.crossJoin(broadcast(centroids))
-      .select(col("src_id"), col("cell").as("dst_id"),
-        round(V.cosine(col("se"), col("centroid")), 9).as("qcos"))
-    val fan = SimilarityOps.topKPerSrc(scoredCells, "qcos", np)
-      .select(col("src_id"), col("dst_id").cast("int").as("cell"))
-    // the ADC table is computed ONCE PER QUERY on the query side of
-    // the join (post-join it would rerun the subspaces×centroids pass
-    // once per fan-out ROW); only the per-(query, cell) centroid dot
-    // legitimately rides the fan-out row
-    val qp = qe.select(col("src_id"), col("se"),
-      V.pqLut(col("se"), codebook).as("qlut"))
-    val fanout = fan.join(qp, "src_id")
-      .join(broadcast(centroids), "cell")
-      .withColumn("cconst",
-        V.dot(col("se"), col("centroid").cast("array<double>")))
-      .select("src_id", "qlut", "cconst", "cell")
-    val cand = fanout
-      .join(cells.select(col("cell"), col("vec_id").as("dst_id"),
-        col("pqcode")), Seq("cell"))
-      .select(col("src_id"), col("dst_id"),
-        (V.pqAdcCol(col("pqcode"), col("qlut")) + col("cconst")).as("s1"))
-    val shortlist = SimilarityOps.topKPerSrc(cand, "s1", rescorePerQuery)
-      .select("src_id", "dst_id")
-    val edges = shortlist
-      .join(cells.select(col("vec_id").as("dst_id"),
-        col("embedding").as("de")), "dst_id")
-      .join(qe, "src_id")
-      .select(col("src_id"), col("dst_id"),
-        round(V.cosine(col("se"), col("de")), 6).as("cos_sim"))
-    SimilarityOps.topKPerSrc(edges, "cos_sim", k)
+    IvfIndex.cellFanoutKnn(cells, centroids, queries, idCol, embCol,
+      k, effNprobe(nprobe, 4), rescorePerQuery,
+      codeCols = Seq("pqcode"),
+      // the ADC table is computed ONCE PER QUERY on the query side of
+      // the fan-out join (post-join it would rerun the
+      // subspaces×centroids pass once per fan-out ROW); only the
+      // per-(query, cell) centroid dot legitimately rides the fan-out
+      perQuery = qe => qe.select(col("src_id"), col("se"),
+        V.pqLut(col("se"), codebook).as("qlut")),
+      fanout = (fan, qp) => fan.join(qp, "src_id")
+        .join(broadcast(centroids), "cell")
+        .withColumn("cconst",
+          V.dot(col("se"), col("centroid").cast("array<double>")))
+        .select("src_id", "qlut", "cconst", "cell"),
+      stage1 = V.pqAdcCol(col("pqcode"), col("qlut")) + col("cconst"))
   }
 
   /** Grow the index with a new vector batch WITHOUT retraining either
@@ -205,8 +186,8 @@ final case class IvfPqIndex(cells: DataFrame, centroids: DataFrame,
     * state. */
   def writeTable(table: String, buckets: Int = 32): Unit = {
     graft.sources.Warehouse.writeBucketed(cells, table, "cell", buckets)
-    metaRows(size)
-      .write.mode("overwrite").format("parquet").saveAsTable(table + "_meta")
+    graft.sources.Warehouse.overwriteSelfRead(metaRows(size),
+      table + "_meta")
   }
 
   /** Append a new batch to a bucketed index table written by
@@ -232,8 +213,10 @@ final case class IvfPqIndex(cells: DataFrame, centroids: DataFrame,
     IvfPqIndex.encode(e, centroids, codebook)
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(table)
-    metaRows(durable + n)
-      .write.mode("overwrite").format("parquet").saveAsTable(table + "_meta")
+    // staged: a fromTable handle's centroid frame READS the sidecar it
+    // restamps here — a direct overwrite throws (Warehouse doc)
+    graft.sources.Warehouse.overwriteSelfRead(metaRows(durable + n),
+      table + "_meta")
   }
 
   // Sidecar rows at a given stamped size: k-row 'cell' kind from the
@@ -280,7 +263,7 @@ object IvfPqIndex {
     * stored next to each row's cell id. */
   def build(vectors: DataFrame, idCol: String, embCol: String,
       kCells: Int = 0, subspaces: Int = 8, centroidsPerSub: Int = 16,
-      iters: Int = 2): IvfPqIndex = {
+      iters: Int = 2, persist: Boolean = true): IvfPqIndex = {
     graft.functions.VectorOps.register(vectors.sparkSession)
     // persist = false: the inner inverted file is a build-time
     // intermediate here. Persisting it would either leak a
@@ -290,8 +273,11 @@ object IvfPqIndex {
     // would then evict (the measured 15× q_sim_ivf probe trap). The
     // residual frame below (a plan unique to this build) carries the
     // working set instead.
+    // sketch = false: this index stores PQ codes where IvfIndex stores
+    // its 256-bit sketch — computing a sketch column only to drop it
+    // would double the build's per-row CPU
     val ivf = IvfIndex.build(vectors, idCol, embCol, kCells, iters,
-      persist = false)
+      persist = false, sketch = false)
     val resid = ivf.cells
       .join(broadcast(ivf.centroids), "cell")
       .withColumn("graft_resid",
@@ -301,12 +287,17 @@ object IvfPqIndex {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cb = PqIndex.trainCodebook(resid, "graft_resid", subspaces,
       centroidsPerSub, iters)
-    val cells = resid
+    val raw = resid
       .withColumn("pqcode",
         graft.functions.VectorOps.pqEncode(col("graft_resid"), cb))
       .select("vec_id", "embedding", "cell", "pqcode")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    cells.count() // materialize before releasing the training frame
+    // `persist = false` for one-shot consumers (the SQL knn_join's
+    // ad-hoc build) — a handle nobody closes must not pin a
+    // corpus-sized cache entry for the session lifetime
+    val cells = if (persist) raw.persist(StorageLevel.MEMORY_AND_DISK)
+      else raw
+    if (persist)
+      cells.count() // materialize before releasing the training frame
     resid.unpersist(blocking = false)
     IvfPqIndex(cells, ivf.centroids, ivf.nCells, cb, ivf.size)
   }

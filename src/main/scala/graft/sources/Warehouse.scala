@@ -29,4 +29,22 @@ object Warehouse {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Overwrite `table` with `df` even when df's PLAN READS `table` —
+    * Spark (correctly) refuses a direct self-overwrite ("Cannot
+    * overwrite a table that is also being read from"), which breaks
+    * exactly the reopened-handle ingest path: an index handle from
+    * `fromTable` derives its metadata frame from the sidecar it must
+    * restamp. Staging through `<table>_stage` (write the new content,
+    * re-read it free of the dependency, overwrite, drop the stage)
+    * keeps the operation fully relational — no driver collect of the
+    * content — at the cost of writing the small frame twice. */
+  def overwriteSelfRead(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val stage = table + "_stage"
+    df.write.mode("overwrite").format("parquet").saveAsTable(stage)
+    spark.table(stage).write.mode("overwrite").format("parquet")
+      .saveAsTable(table)
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+  }
 }

@@ -269,7 +269,10 @@ class SimilaritySpec extends SparkSpec {
     idx.writeTable("ivf_cells_app", buckets = 8)
     idx.appendTable("ivf_cells_app",
       rest.filter(col("vec_id") < 375), "vec_id", "embedding", buckets = 8)
-    idx.appendTable("ivf_cells_app",
+    // the second append runs through a REOPENED handle — the exact path
+    // the require() message recommends; its centroid frame READS the
+    // sidecar being restamped (the staged-overwrite fix, r7 review)
+    IvfIndex.fromTable(spark, "ivf_cells_app").appendTable("ivf_cells_app",
       rest.filter(col("vec_id") >= 375), "vec_id", "embedding", buckets = 8)
     val back = IvfIndex.fromTable(spark, "ivf_cells_app")
     assert(back.size === vecs.count())
@@ -317,8 +320,10 @@ class SimilaritySpec extends SparkSpec {
     assert(pqBack.topK(0L, 10, rescoreCap = n).collect()
       .map(_.toSeq).toSeq === exact)
     ivfpq.writeTable("ivfpq_cells_app", buckets = 8)
-    ivfpq.appendTable("ivfpq_cells_app", rest, "vec_id", "embedding",
-      buckets = 8)
+    // reopened-handle append (the sidecar self-read path, r7 review)
+    IvfPqIndex.fromTable(spark, "ivfpq_cells_app")
+      .appendTable("ivfpq_cells_app", rest, "vec_id", "embedding",
+        buckets = 8)
     val ipBack = IvfPqIndex.fromTable(spark, "ivfpq_cells_app")
     assert(ipBack.size === n.toLong)
     assert(ipBack.topK(0L, 10, nprobe = ipBack.nCells,
@@ -356,6 +361,25 @@ class SimilaritySpec extends SparkSpec {
     assert(back.topK(0L).collect().map(_.toSeq).toSeq ===
       full.topK(0L).collect().map(_.toSeq).toSeq)
     spark.sql("DROP TABLE IF EXISTS ann_sigs_app")
+  }
+
+  test("AnnIndex.appendTable refuses a handle whose hyperplane budget " +
+      "differs from the table's sidecar") {
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val idx16 = graft.operators.AnnIndex.build(vecs, "vec_id", "embedding",
+      tables = 16, persist = false)
+    idx16.writeTable("ann_sigs_guard", buckets = 8)
+    // an 8-table handle signing rows into a 16-table index would land
+    // them in buckets future probes never match — must refuse
+    val idx8 = graft.operators.AnnIndex.build(vecs, "vec_id", "embedding",
+      tables = 8, persist = false)
+    val err = intercept[IllegalArgumentException] {
+      idx8.appendTable("ann_sigs_guard", vecs, "vec_id", "embedding",
+        buckets = 8)
+    }
+    assert(err.getMessage.contains("does not match"))
+    spark.sql("DROP TABLE IF EXISTS ann_sigs_guard")
+    spark.sql("DROP TABLE IF EXISTS ann_sigs_guard_meta")
   }
 
   test("index invalidate releases executor storage and rebuild re-caches") {
