@@ -100,28 +100,83 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
-    // TABLE-level surface: the flagship kNN join as a table-valued
-    // function, so a SQL-first user reaches the batch ANN serving shape
-    // without the Scala API (see GraftExtensions.knnJoinPlan).
+    // TABLE-level surface: the flagship LLM-pipeline operators as
+    // table-valued functions, so a SQL-first user reaches the batch ANN
+    // serving shape, the dedup family, and the curation funnel without
+    // the Scala API (builders in the companion object below). Document
+    // TVFs share the engine's documents contract: the named table must
+    // carry (doc_id, text).
     ext.injectTableFunction((FunctionIdentifier("knn_join"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "knn_join"),
       (exprs: Seq[Expression]) => GraftExtensions.knnJoinPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("dedup_pairs"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "dedup_pairs"),
+      (exprs: Seq[Expression]) => GraftExtensions.dedupPairsPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("dedup_clusters"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "dedup_clusters"),
+      (exprs: Seq[Expression]) => GraftExtensions.dedupClustersPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("substring_scrub"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "substring_scrub"),
+      (exprs: Seq[Expression]) => GraftExtensions.substringScrubPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("chunk_docs"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "chunk_docs"),
+      (exprs: Seq[Expression]) => GraftExtensions.chunkDocsPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("curation_funnel"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "curation_funnel"),
+      (exprs: Seq[Expression]) => GraftExtensions.curationFunnelPlan(exprs)))
   }
 }
 
 object GraftExtensions {
 
-  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.{DataFrame, SparkSession}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-  import graft.operators.{AnnIndex, IvfIndex, IvfPqIndex, VectorIndex}
+  import graft.operators.{AnnIndex, CurationOps, DedupOps, IvfIndex, IvfPqIndex, VectorIndex}
 
-  private def litStr(name: String, e: Expression): String = {
+  private def litVal(fn: String, name: String, e: Expression): Any = {
     if (!e.foldable) throw new IllegalArgumentException(
-      s"knn_join expects a literal STRING for '$name'; got ${e.sql}")
+      s"$fn expects a literal for '$name'; got ${e.sql}")
     val v = e.eval()
     if (v == null) throw new IllegalArgumentException(
-      s"knn_join expects a literal STRING for '$name'; got NULL")
-    v.toString
+      s"$fn expects a literal for '$name'; got NULL")
+    v
+  }
+
+  private def litStr(fn: String, name: String, e: Expression): String =
+    litVal(fn, name, e).toString
+
+  private def litDouble(fn: String, name: String, e: Expression): Double =
+    litVal(fn, name, e) match {
+      case n: Number => n.doubleValue()
+      // SQL fractional literals eval to Spark's internal Decimal
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a numeric literal for '$name'; got $other")
+    }
+
+  private def litBool(fn: String, name: String, e: Expression): Boolean =
+    litVal(fn, name, e) match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a BOOLEAN literal for '$name'; got $other")
+    }
+
+  private def arity(usage: String, exprs: Seq[Expression], min: Int,
+      max: Int): Unit =
+    if (exprs.length < min || exprs.length > max)
+      throw new IllegalArgumentException(
+        s"$usage — got ${exprs.length} arguments")
+
+  /** Resolve a documents-contract table: must carry (doc_id, text). The
+    * check runs at TVF-plan-build time so a misnamed/misshaped table
+    * fails with the contract spelled out, not a downstream unresolved-
+    * column error deep in the operator's plan. */
+  private def docTable(fn: String, table: String): DataFrame = {
+    val df = SparkSession.active.table(table)
+    require(df.columns.contains("doc_id") && df.columns.contains("text"),
+      s"$fn expects table '$table' to carry (doc_id, text) — the " +
+        s"documents contract; found ${df.columns.mkString("(", ", ", ")")}")
+    df
   }
 
   /** `knn_join(corpus, queries, k [, kind])` — the approximate kNN join
@@ -140,16 +195,13 @@ object GraftExtensions {
     * per-query build happens. Returns `(src_id, dst_id, cos_sim, rn)`
     * exactly as the Scala API does. */
   private[graft] def knnJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
-    if (exprs.length < 3 || exprs.length > 4)
-      throw new IllegalArgumentException(
-        "knn_join(corpus_table, queries_table, k [, kind]) — got " +
-          s"${exprs.length} arguments")
+    arity("knn_join(corpus_table, queries_table, k [, kind])", exprs, 3, 4)
     val spark = SparkSession.active
-    val corpus = litStr("corpus_table", exprs(0))
-    val queries = litStr("queries_table", exprs(1))
+    val corpus = litStr("knn_join", "corpus_table", exprs(0))
+    val queries = litStr("knn_join", "queries_table", exprs(1))
     val k = VectorOps.intArg("knn_join", "k", exprs(2))
-    val kind =
-      if (exprs.length > 3) litStr("kind", exprs(3)).toLowerCase else "ann"
+    val kind = if (exprs.length > 3)
+      litStr("knn_join", "kind", exprs(3)).toLowerCase else "ann"
     val idx: VectorIndex =
       if (spark.catalog.tableExists(corpus + "_meta")) {
         // a durable index table: the sidecar schema names its family
@@ -177,5 +229,104 @@ object GraftExtensions {
       }
     idx.knnJoinWith(spark.table(queries), "vec_id", "embedding", k)
       .queryExecution.analyzed
+  }
+
+  /** `dedup_pairs(doc_table [, threshold])` — MinHash+LSH near-duplicate
+    * pairs ([[DedupOps.minhashPairs]]) from pure SQL:
+    *
+    * {{{
+    *   SELECT * FROM dedup_pairs('documents', 0.5)
+    * }}}
+    *
+    * Returns `(a_id, b_id, jacc)` with a_id < b_id and exact Jaccard ≥
+    * `threshold` (default 0.5) — the collapse-first capped-bucket
+    * pipeline, not an all-pairs join. */
+  private[graft] def dedupPairsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("dedup_pairs(doc_table [, threshold])", exprs, 1, 2)
+    val df = docTable("dedup_pairs", litStr("dedup_pairs", "doc_table",
+      exprs(0)))
+    val thr = if (exprs.length > 1)
+      litDouble("dedup_pairs", "threshold", exprs(1)) else 0.5
+    DedupOps.minhashPairs(df, "doc_id", "text", thr)
+      .queryExecution.analyzed
+  }
+
+  /** `dedup_clusters(doc_table [, threshold])` — near-duplicate
+    * connected components over the LSH edge set
+    * ([[DedupOps.nearDupClusters]]): every document labeled with its
+    * cluster's minimal id and a `keeper` flag (the dedup survivor).
+    * Returns `(doc_id, cluster_id, keeper)`; singletons cluster as
+    * themselves. */
+  private[graft] def dedupClustersPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("dedup_clusters(doc_table [, threshold])", exprs, 1, 2)
+    val df = docTable("dedup_clusters", litStr("dedup_clusters",
+      "doc_table", exprs(0)))
+    val thr = if (exprs.length > 1)
+      litDouble("dedup_clusters", "threshold", exprs(1)) else 0.5
+    DedupOps.nearDupClusters(
+      DedupOps.nearDupEdges(df, "doc_id", "text", thr),
+      df.select("doc_id"), "doc_id").queryExecution.analyzed
+  }
+
+  /** `substring_scrub(doc_table [, k [, keep_first]])` — the ExactSubstr
+    * scrub ([[DedupOps.scrubDuplicatePassages]]): tokens covered by any
+    * corpus-duplicated ≥`k`-gram (default 8) are removed; with
+    * `keep_first` (default false) the minimal (doc_id, pos) occurrence
+    * of each duplicated gram survives. Returns
+    * `(doc_id, n_kept, scrubbed)`. */
+  private[graft] def substringScrubPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("substring_scrub(doc_table [, k [, keep_first]])", exprs, 1, 3)
+    val df = docTable("substring_scrub", litStr("substring_scrub",
+      "doc_table", exprs(0)))
+    val k = if (exprs.length > 1)
+      VectorOps.intArg("substring_scrub", "k", exprs(1)) else 8
+    val keepFirst = if (exprs.length > 2)
+      litBool("substring_scrub", "keep_first", exprs(2)) else false
+    DedupOps.scrubDuplicatePassages(df, "doc_id", "text", k,
+      keepFirst = keepFirst).queryExecution.analyzed
+  }
+
+  /** `chunk_docs(doc_table [, max_tokens [, overlap]])` — fixed-window
+    * pretraining chunking ([[CurationOps.chunkDocuments]]): chunks of at
+    * most `max_tokens` (default 32) whitespace tokens, consecutive
+    * chunks sharing `overlap` (default 4) tokens of left context.
+    * Returns `(doc_id, chunk_id, n_tokens, chunk)`. */
+  private[graft] def chunkDocsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("chunk_docs(doc_table [, max_tokens [, overlap]])", exprs, 1, 3)
+    val df = docTable("chunk_docs", litStr("chunk_docs", "doc_table",
+      exprs(0)))
+    val maxTokens = if (exprs.length > 1)
+      VectorOps.intArg("chunk_docs", "max_tokens", exprs(1)) else 32
+    val overlap = if (exprs.length > 2)
+      VectorOps.intArg("chunk_docs", "overlap", exprs(2)) else 4
+    CurationOps.chunkDocuments(df, "doc_id", "text", maxTokens, overlap)
+      .queryExecution.analyzed
+  }
+
+  /** `curation_funnel(doc_table [, with_clusters])` — the per-stratum
+    * curation survival report ([[CurationOps.funnelReport]]) over the
+    * engine's documents contract (strata = source, lang; the synthetic
+    * corpus layout). `with_clusters = true` additionally runs the
+    * LSH + connected-components chain over the table and reports
+    * near-dup-keeper survival (`n_nd_keepers`, `n_final_nd`) — the
+    * heavy production mix; default false reports exact-dedup × quality
+    * survival only. */
+  private[graft] def curationFunnelPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("curation_funnel(doc_table [, with_clusters])", exprs, 1, 2)
+    val df = docTable("curation_funnel", litStr("curation_funnel",
+      "doc_table", exprs(0)))
+    require(df.columns.contains("source") && df.columns.contains("lang"),
+      "curation_funnel strata are (source, lang) — the documents " +
+        s"contract; found ${df.columns.mkString("(", ", ", ")")}")
+    val withClusters = if (exprs.length > 1)
+      litBool("curation_funnel", "with_clusters", exprs(1)) else false
+    val ck = if (withClusters) Some(DedupOps.nearDupClusters(
+      DedupOps.nearDupEdges(df, "doc_id", "text", 0.5),
+      df.select("doc_id"), "doc_id")) else None
+    CurationOps.funnelReport(df, "doc_id", "text", Seq("source", "lang"),
+      clusterKeepers = ck).queryExecution.analyzed
   }
 }

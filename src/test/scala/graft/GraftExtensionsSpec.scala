@@ -97,6 +97,51 @@ class GraftExtensionsSpec extends SparkSpec {
     s2.sql("DROP TABLE IF EXISTS knn_ivf_sql_meta")
   }
 
+  test("document TVF family runs the table-level LLM operators from " +
+      "pure SQL and agrees with the Scala API") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val docs = graft.sources.Tables.documents(s2, sfDir)
+    docs.createOrReplaceTempView("docs_sql")
+    // dedup_pairs ≡ minhashPairs at the same threshold
+    val pairsSql = s2.sql("SELECT * FROM dedup_pairs('docs_sql', 0.5)")
+    assert(pairsSql.columns.toSeq === Seq("a_id", "b_id", "jacc"))
+    assert(pairsSql.collect().map(_.toSeq).toSet ===
+      graft.operators.DedupOps.minhashPairs(docs, "doc_id", "text", 0.5)
+        .collect().map(_.toSeq).toSet)
+    // dedup_clusters ≡ nearDupClusters over the LSH edge set
+    val clSql = s2.sql("SELECT * FROM dedup_clusters('docs_sql')")
+    assert(clSql.columns.toSeq === Seq("doc_id", "cluster_id", "keeper"))
+    val clRows = clSql.collect()
+    assert(clRows.length === docs.count())
+    assert(clRows.exists(r => !r.getBoolean(2))) // some non-keepers exist
+    // substring_scrub ≡ scrubDuplicatePassages (keep-first variant)
+    val scrubSql = s2.sql(
+      "SELECT * FROM substring_scrub('docs_sql', 8, true)")
+    assert(scrubSql.columns.toSeq === Seq("doc_id", "n_kept", "scrubbed"))
+    assert(scrubSql.collect().map(_.toSeq).toSet ===
+      graft.operators.DedupOps.scrubDuplicatePassages(docs, "doc_id",
+        "text", 8, keepFirst = true).collect().map(_.toSeq).toSet)
+    // chunk_docs ≡ chunkDocuments at the same window
+    val chunkSql = s2.sql("SELECT * FROM chunk_docs('docs_sql', 16, 2)")
+    assert(chunkSql.collect().map(_.toSeq).toSet ===
+      graft.operators.CurationOps.chunkDocuments(docs, "doc_id", "text",
+        16, 2).collect().map(_.toSeq).toSet)
+    // curation_funnel base variant ≡ funnelReport without clusters
+    val funSql = s2.sql("SELECT * FROM curation_funnel('docs_sql')")
+    assert(funSql.collect().map(_.toSeq).toSet ===
+      graft.operators.CurationOps.funnelReport(docs, "doc_id", "text",
+        Seq("source", "lang")).collect().map(_.toSeq).toSet)
+    // contract violations fail at plan-build time with the contract
+    // spelled out, not a downstream unresolved-column error
+    docs.select(col("doc_id"), col("text").as("body"))
+      .createOrReplaceTempView("docs_bad_sql")
+    val err = intercept[Exception] {
+      s2.sql("SELECT * FROM dedup_pairs('docs_bad_sql')").collect()
+    }
+    assert(err.getMessage.contains("(doc_id, text)"), err.getMessage)
+  }
+
   test("SQL minhash_sig agrees with the library column API") {
     import org.apache.spark.sql.functions._
     val s2 = spark.newSession()
