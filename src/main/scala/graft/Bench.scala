@@ -117,13 +117,20 @@ object Bench {
       n -> rounds.getOrElse(n, Nil)
         .map(_.map(_.toString).getOrElse("null")).mkString("[", ",", "]") })
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$RUNS,"included":$included,"cold":$cold,"samples":$samp,"errors":$errs}"""
-    println(line)
-    // stdout capture insurance: the same line, straight to a file
+    // Full record (per-query medians, cold, samples, errors) goes to a
+    // file only: at 87 queries x 3 samples it is ~8 KB, and the driver
+    // keeps just a ~2 KB stdout tail — printing it cost rounds 6-8 their
+    // headline metric ("parsed": null). Override path with
+    // SPARK_GRAFT_BENCH_OUT.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: $e") }
+    // The LAST stdout line is a compact total-only JSON (~150 bytes) so
+    // the tail capture always parses.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$RUNS,"included":$included,"errors_count":${errors.size},"detail":"$out"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -124,12 +124,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("curation_funnel"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "curation_funnel"),
       (exprs: Seq[Expression]) => GraftExtensions.curationFunnelPlan(exprs)))
+    // the curation STAGES, so a SQL-first user reaches every step of
+    // the funnel (not just the composite report)
+    ext.injectTableFunction((FunctionIdentifier("pii_scrub"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "pii_scrub"),
+      (exprs: Seq[Expression]) => GraftExtensions.piiScrubPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("quality_filter"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "quality_filter"),
+      (exprs: Seq[Expression]) => GraftExtensions.qualityFilterPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("split_assign"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "split_assign"),
+      (exprs: Seq[Expression]) => GraftExtensions.splitAssignPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("decontaminate"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "decontaminate"),
+      (exprs: Seq[Expression]) => GraftExtensions.decontaminatePlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("pack_sequences"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "pack_sequences"),
+      (exprs: Seq[Expression]) => GraftExtensions.packSequencesPlan(exprs)))
   }
 }
 
 object GraftExtensions {
 
   import org.apache.spark.sql.{DataFrame, SparkSession}
+  import org.apache.spark.sql.functions.col
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   import graft.operators.{AnnIndex, CurationOps, DedupOps, IvfIndex, IvfPqIndex, VectorIndex}
 
@@ -202,31 +220,31 @@ object GraftExtensions {
     val k = VectorOps.intArg("knn_join", "k", exprs(2))
     val kind = if (exprs.length > 3)
       litStr("knn_join", "kind", exprs(3)).toLowerCase else "ann"
-    val idx: VectorIndex =
-      if (spark.catalog.tableExists(corpus + "_meta")) {
-        // a durable index table: the sidecar schema names its family
-        spark.table(corpus + "_meta").columns.toSeq match {
-          case Seq("tables", "planes_per_table") =>
-            AnnIndex.fromTable(spark, corpus)
-          case Seq("cell", "centroid", "n") =>
-            IvfIndex.fromTable(spark, corpus)
-          case Seq("kind", "i", "j", "centroid", "n") =>
-            IvfPqIndex.fromTable(spark, corpus)
-          case cols => throw new IllegalArgumentException(
-            s"table $corpus has a ${corpus}_meta sidecar of unsupported " +
-              s"shape ${cols.mkString("(", ", ", ")")} — knn_join serves " +
-              "AnnIndex, IvfIndex, and IvfPqIndex tables")
-        }
-      } else kind match {
-        case "ann" => AnnIndex.build(spark.table(corpus),
-          "vec_id", "embedding", persist = false)
-        case "ivf" => IvfIndex.build(spark.table(corpus),
-          "vec_id", "embedding", persist = false)
-        case "ivfpq" => IvfPqIndex.build(spark.table(corpus),
-          "vec_id", "embedding", persist = false)
-        case other => throw new IllegalArgumentException(
-          s"knn_join kind '$other' — one of ann, ivf, ivfpq")
-      }
+    def oneShot(): VectorIndex = kind match {
+      case "ann" => AnnIndex.build(spark.table(corpus),
+        "vec_id", "embedding", persist = false)
+      case "ivf" => IvfIndex.build(spark.table(corpus),
+        "vec_id", "embedding", persist = false)
+      case "ivfpq" => IvfPqIndex.build(spark.table(corpus),
+        "vec_id", "embedding", persist = false)
+      case other => throw new IllegalArgumentException(
+        s"knn_join kind '$other' — one of ann, ivf, ivfpq")
+    }
+    // Durable index tables dispatch on their `_meta` sidecar
+    // (VectorIndex.detect — the sidecar schema names the family). A
+    // COINCIDENTAL `<corpus>_meta` no family wrote does not poison a
+    // valid raw vector table: detect returns None and the one-shot
+    // build runs as if the decoy did not exist. Only a corpus that is
+    // neither a recognized index nor raw (vec_id, embedding) errors.
+    val idx: VectorIndex = VectorIndex.detect(spark, corpus).getOrElse {
+      val raw = spark.table(corpus).columns
+      if (raw.contains("vec_id") && raw.contains("embedding")) oneShot()
+      else throw new IllegalArgumentException(
+        s"table $corpus is neither a durable index table (no recognized " +
+          s"${corpus}_meta sidecar) nor a raw (vec_id, embedding) vector " +
+          "table — knn_join serves AnnIndex, IvfIndex, and IvfPqIndex " +
+          "durable tables, or builds one-shot from a raw vector table")
+    }
     idx.knnJoinWith(spark.table(queries), "vec_id", "embedding", k)
       .queryExecution.analyzed
   }
@@ -328,5 +346,107 @@ object GraftExtensions {
       df.select("doc_id"), "doc_id")) else None
     CurationOps.funnelReport(df, "doc_id", "text", Seq("source", "lang"),
       clusterKeepers = ck).queryExecution.analyzed
+  }
+
+  /** `pii_scrub(doc_table)` — PII redaction
+    * ([[CurationOps.scrubPii]]): email addresses and ≥6-digit runs in
+    * `text` replaced with `<EMAIL>` / `<ID>`. A pure narrow codegen'd
+    * map — the shape a 100 TB scrub wants. Returns
+    * `(doc_id, scrubbed)`. */
+  private[graft] def piiScrubPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("pii_scrub(doc_table)", exprs, 1, 1)
+    val df = docTable("pii_scrub", litStr("pii_scrub", "doc_table",
+      exprs(0)))
+    df.select(col("doc_id"),
+        CurationOps.scrubPii(col("text")).as("scrubbed"))
+      .queryExecution.analyzed
+  }
+
+  /** `quality_filter(doc_table [, min_tokens [, max_tokens [,
+    * min_stop_ratio [, max_avg_tok_len]]]])` — the Gopher-style
+    * composite quality filter ([[CurationOps.qualityFilter]]):
+    * survivors are rows inside the token-count band with at least the
+    * stopword ratio and at most the average token length. Returns the
+    * input columns plus the computed quality metrics
+    * (`n_tokens`, `avg_tok_len`, `stop_ratio`). */
+  private[graft] def qualityFilterPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("quality_filter(doc_table [, min_tokens [, max_tokens [, " +
+      "min_stop_ratio [, max_avg_tok_len]]]])", exprs, 1, 5)
+    val df = docTable("quality_filter", litStr("quality_filter",
+      "doc_table", exprs(0)))
+    val minTokens = if (exprs.length > 1)
+      VectorOps.intArg("quality_filter", "min_tokens", exprs(1)) else 20
+    val maxTokens = if (exprs.length > 2)
+      VectorOps.intArg("quality_filter", "max_tokens", exprs(2)) else 80
+    val minStop = if (exprs.length > 3)
+      litDouble("quality_filter", "min_stop_ratio", exprs(3)) else 0.02
+    val maxAvg = if (exprs.length > 4)
+      litDouble("quality_filter", "max_avg_tok_len", exprs(4)) else 5.0
+    CurationOps.qualityFilter(df, "text", minTokens, maxTokens, minStop,
+      maxAvg).queryExecution.analyzed
+  }
+
+  /** `split_assign(doc_table [, train_cut [, val_cut]])` —
+    * deterministic train/val/test assignment
+    * ([[CurationOps.hashSplit]]) from the 16-bit md5 draw of `doc_id`:
+    * draws under `train_cut` (default 52429 ≈ 80%) are `train`, under
+    * `val_cut` (default 58982 ≈ +10%) `val`, the rest `test`. Returns
+    * the input columns plus `split`. */
+  private[graft] def splitAssignPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("split_assign(doc_table [, train_cut [, val_cut]])", exprs, 1, 3)
+    val df = docTable("split_assign", litStr("split_assign", "doc_table",
+      exprs(0)))
+    val trainCut = if (exprs.length > 1)
+      VectorOps.intArg("split_assign", "train_cut", exprs(1)) else 52429
+    val valCut = if (exprs.length > 2)
+      VectorOps.intArg("split_assign", "val_cut", exprs(2)) else 58982
+    CurationOps.hashSplit(df, "doc_id", trainCut, valCut)
+      .queryExecution.analyzed
+  }
+
+  /** `decontaminate(corpus_table, benchmark_table [, k])` — benchmark
+    * decontamination ([[CurationOps.decontaminate]]): corpus documents
+    * sharing any `k`-gram (default 3) shingle with any benchmark
+    * document drop; the benchmark's shingle set broadcasts, so the
+    * corpus side is one shuffle-free probe pass at any scale. Both
+    * tables carry the documents contract. Returns the CLEAN corpus
+    * remainder. */
+  private[graft] def decontaminatePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("decontaminate(corpus_table, benchmark_table [, k])", exprs,
+      2, 3)
+    val corpus = docTable("decontaminate", litStr("decontaminate",
+      "corpus_table", exprs(0)))
+    val bench = docTable("decontaminate", litStr("decontaminate",
+      "benchmark_table", exprs(1)))
+    val k = if (exprs.length > 2)
+      VectorOps.intArg("decontaminate", "k", exprs(2)) else 3
+    CurationOps.decontaminate(corpus, "doc_id", "text", bench, "text", k)
+      .queryExecution.analyzed
+  }
+
+  /** `pack_sequences(doc_table, strata_col [, pack_tokens])` — greedy
+    * fixed-context sequence packing ([[CurationOps.packSequences]]):
+    * within each stratum (ordered by `doc_id`) documents land in the
+    * `floor(running_tokens / pack_tokens)` pack (default 2048). The
+    * stratum column must exist on the table — it is the packing
+    * parallelism unit. Returns
+    * `(doc_id, <strata_col>, n_tokens, pack_id)`. */
+  private[graft] def packSequencesPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("pack_sequences(doc_table, strata_col [, pack_tokens])", exprs,
+      2, 3)
+    val df = docTable("pack_sequences", litStr("pack_sequences",
+      "doc_table", exprs(0)))
+    val strata = litStr("pack_sequences", "strata_col", exprs(1))
+    require(df.columns.contains(strata),
+      s"pack_sequences strata_col '$strata' is not a column of the " +
+        s"table; found ${df.columns.mkString("(", ", ", ")")}")
+    val packTokens = if (exprs.length > 2)
+      VectorOps.intArg("pack_sequences", "pack_tokens", exprs(2)) else 2048
+    CurationOps.packSequences(df, "doc_id", "text", strata, packTokens)
+      .queryExecution.analyzed
   }
 }

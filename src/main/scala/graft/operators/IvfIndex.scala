@@ -310,6 +310,25 @@ object IvfIndex {
     * one partition. */
   val AutoRescoreCeiling = 512
 
+  /** Ceiling on the AUTO cell-count policy (explicit k is never
+    * clamped). 2¹⁷ cells keeps the single packed centroid-matrix row
+    * at k·d·8 B = 64 MB for d = 64 — broadcast-sized, far from Spark's
+    * 2 GB single-row limit — and bounds [[graft.functions.BestCell]]'s
+    * per-row argmax at O(2¹⁷·d). The 4·√n auto policy hits this only
+    * at n ≳ 10⁹; beyond it, see the two-level coarse-quantizer note on
+    * [[IvfIndex.build]]. */
+  val AutoCellCeiling = 1 << 17
+
+  /** The auto cell-count policy as a pure function of corpus size:
+    * 4·ceil(√n) clamped to [8, n/4] and capped at
+    * [[AutoCellCeiling]]. Factored out of [[build]] so the ceiling is
+    * testable without a 10⁹-row build (SimilaritySpec pins it). */
+  def autoCellCount(nVecs: Long): Int = {
+    val wanted = math.min(AutoCellCeiling.toLong,
+      math.max(8L, 4L * math.ceil(math.sqrt(nVecs.toDouble)).toLong))
+    math.max(1L, math.min(wanted, nVecs / 4)).toInt
+  }
+
   // 256-bit hyperplane sketch: 4 BIGINT words, planes drawn from the
   // same deterministic md5 family as the LSH tables but offset far
   // past any table budget so the two index kinds never share a plane.
@@ -448,9 +467,30 @@ object IvfIndex {
     * scanned fraction — more, finer cells dominate. At n = 10⁹
     * vectors this is ~1.3×10⁵ cells: a ~64 MB packed matrix (one
     * broadcast per executor, never a task literal) and k-row
-    * relational ranking everywhere else — the representation holds at
-    * any corpus this engine targets. Pass k explicitly to pin a
-    * measured frontier point. */
+    * relational ranking everywhere else.
+    *
+    * AUTO-K CEILING: the auto policy additionally clamps to
+    * [[IvfIndex.AutoCellCeiling]] = 2¹⁷ cells. Two representation
+    * costs grow linearly in k: (a) the packed matrix is ONE
+    * `array<array<double>>` row of k·d·8 bytes — at d = 64 that is
+    * 2¹⁷·64·8 = 64 MB, comfortably under Spark's 2 GB single-row hard
+    * limit but already the broadcast size you want per executor; at
+    * the unclamped 4·√n policy, n = 10¹¹ would yield k ≈ 1.3×10⁶ and
+    * a ~640 MB row at d = 64 (multi-GB at larger d) — past the
+    * broadcast sweet spot and within sight of the row limit; (b)
+    * [[graft.functions.BestCell]] pays O(k·d) per assigned row. Past
+    * the ceiling the right structure is a TWO-LEVEL coarse quantizer —
+    * cluster the k cell centroids into √k super-cells, assign each
+    * vector to a super-cell (O(√k·d)) then argmax only that
+    * super-cell's member cells (O(√k·d) again), turning both costs
+    * into O(√k·d) with a √k-row packed matrix per level. Not built:
+    * the ceiling binds only beyond n ≈ 10⁹ (where 4·√n > 2¹⁷), two
+    * orders of magnitude past the gate corpora; above it the clamp
+    * degrades GRACEFULLY (cells average n/2¹⁷ vectors — probe cost
+    * grows linearly in n but answers stay correct), not loudly.
+    * Pass k explicitly to pin a measured frontier point — explicit k
+    * is intentionally NOT subject to the ceiling (the caller owns the
+    * trade; the [1, n/4] sanity clamp still applies). */
   def build(vectors: DataFrame, idCol: String, embCol: String,
       k: Int = 0, iters: Int = 2, persist: Boolean = true,
       sketch: Boolean = true): IvfIndex = {
@@ -460,9 +500,8 @@ object IvfIndex {
     // one count at build time — stamped on the index as metadata so
     // probes (topKAuto's cap policy) never launch their own count job
     val nVecs = e.count()
-    val kWanted = if (k > 0) k
-      else math.max(8, 4 * math.ceil(math.sqrt(nVecs.toDouble)).toInt)
-    val kEff = math.max(1, math.min(kWanted, (nVecs / 4).toInt))
+    val kEff = if (k > 0) math.max(1, math.min(k.toLong, nVecs / 4).toInt)
+      else autoCellCount(nVecs)
     // hash-seeded start, as a k-row (cell, centroid) TABLE: cell c =
     // the c-th lowest (xxhash64(vec_id), vec_id) vector
     val seedOrder = Seq(xxhash64(col("vec_id")).asc, col("vec_id").asc)

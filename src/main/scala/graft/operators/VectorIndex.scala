@@ -40,4 +40,36 @@ trait VectorIndex {
   /** The index's backing storage frame (signature table / inverted
     * file) — for lifecycle owners that pin and release it. */
   private[graft] def backing: DataFrame
+
+  /** Persist the index as a bucketed warehouse table plus its `_meta`
+    * sidecar (the family-specific parameters probes must reopen
+    * with). [[VectorIndex.detect]] reopens the right family from the
+    * sidecar alone — the durable half of the probe-and-append
+    * contract, and what lets a family-agnostic consumer
+    * ([[graft.streaming.IndexDedupFilter]]'s auto-compaction) collapse
+    * an in-memory append chain without knowing which index backs it. */
+  def writeTable(table: String, buckets: Int = 32): Unit
+}
+
+object VectorIndex {
+
+  import org.apache.spark.sql.SparkSession
+
+  /** Reopen a durable index table written by any family's
+    * [[VectorIndex.writeTable]], dispatching on the `_meta` sidecar's
+    * schema (each family's sidecar shape is unique). Returns None when
+    * the sidecar is missing or matches no family — a COINCIDENTAL
+    * `<table>_meta` a caller may treat as "not an index table" rather
+    * than an error (the knn_join TVF falls back to a one-shot build). */
+  def detect(spark: SparkSession, table: String): Option[VectorIndex] =
+    if (!spark.catalog.tableExists(table + "_meta")) None
+    else spark.table(table + "_meta").columns.toSeq match {
+      case Seq("tables", "planes_per_table") =>
+        Some(AnnIndex.fromTable(spark, table))
+      case Seq("cell", "centroid", "n") =>
+        Some(IvfIndex.fromTable(spark, table))
+      case Seq("kind", "i", "j", "centroid", "n") =>
+        Some(IvfPqIndex.fromTable(spark, table))
+      case _ => None
+    }
 }

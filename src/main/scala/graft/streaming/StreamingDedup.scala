@@ -270,7 +270,8 @@ final class FingerprintDedupFilter private[streaming] (
   *
   * Each batch's novel rows stay persisted: they back the appended
   * rows of the in-memory index chain. Long streams compact through
-  * the family's `writeTable` / `appendTable`.
+  * [[withAutoCompaction]] (or manually through the family's
+  * `writeTable` / `appendTable`).
   */
 final class IndexDedupFilter private[streaming] (
     initial: graft.operators.VectorIndex, idCol: String, embCol: String,
@@ -289,11 +290,74 @@ final class IndexDedupFilter private[streaming] (
     * novel vectors). */
   def index: graft.operators.VectorIndex = idx
 
+  // auto-compaction state — the vector twin of
+  // FingerprintDedupFilter.withAutoCompaction
+  @volatile private var compactEvery = 0
+  @volatile private var compactBase: String = _
+  private var batches = 0L
+  private var generation = 0L
+
+  /** Turn on AUTOMATIC compaction of the index's append chain: every
+    * `everyN` processed batches the accumulated index (initial corpus
+    * + all novel arrivals) is collapsed into one bucketed warehouse
+    * index table (`<base>_g<N>` — generations ping-pong, because the
+    * reloaded index reads the table it came from) via the family's
+    * [[graft.operators.VectorIndex.writeTable]], and the filter
+    * reloads from it through
+    * [[graft.operators.VectorIndex.detect]] — the per-batch union
+    * chain goes back to depth 0, every superseded pinned frame is
+    * released, and the superseded generation (table + `_meta`
+    * sidecar) is dropped. Works whichever family backs the filter.
+    * The manual `writeTable`/`appendTable` recipe, made an
+    * operational default. */
+  def withAutoCompaction(baseTable: String, everyN: Int): this.type = {
+    require(everyN > 0, "everyN must be positive")
+    compactBase = baseTable
+    compactEvery = everyN
+    this
+  }
+
+  /** Collapse the index's append chain into a bucketed warehouse
+    * index table NOW and reload from it (used by
+    * [[withAutoCompaction]]; callable directly for manual control).
+    * After the call [[index]] probes one bucketed table scan. */
+  def compact(baseTable: String): Unit = synchronized {
+    import org.apache.spark.storage.StorageLevel
+    val spark = idx.backing.sparkSession
+    generation += 1
+    val table = s"${baseTable}_g$generation"
+    idx.writeTable(table, buckets = spark.sparkContext.defaultParallelism)
+    val reloaded = graft.operators.VectorIndex.detect(spark, table)
+      .getOrElse(throw new IllegalStateException(
+        s"just-written index table $table did not reopen — " +
+          s"${table}_meta missing or of unrecognized shape"))
+    reloaded.backing.persist(StorageLevel.MEMORY_AND_DISK)
+    pinned.synchronized {
+      pinned.foreach(_.unpersist(blocking = false))
+      pinned.clear()
+      pinned += reloaded.backing
+    }
+    idx = reloaded
+    if (generation > 1) {
+      spark.sql(s"DROP TABLE IF EXISTS ${baseTable}_g${generation - 1}")
+      spark.sql(s"DROP TABLE IF EXISTS ${baseTable}_g${generation - 1}_meta")
+    }
+  }
+
   /** Process one micro-batch: returns its NOVEL rows (no indexed
     * neighbor at ≥ `threshold` cosine, and not a near-dup of a
-    * lower-id row in the SAME batch) and appends them to the index. */
+    * lower-id row in the SAME batch) and appends them to the index.
+    * With [[withAutoCompaction]] configured, every N-th batch also
+    * collapses the append chain. */
   def processBatch(batch: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // compaction runs at the START of the batch FOLLOWING each N-th
+    // (the fingerprint twin's stance): the previous batch's returned
+    // rows stay lazy until the foreachBatch callback consumes them, so
+    // nothing may unpersist their lineage mid-flight
+    if (compactEvery > 0 && batches > 0 && batches % compactEvery == 0)
+      compact(compactBase)
+    batches += 1
     val b = batch.persist(StorageLevel.MEMORY_AND_DISK)
     val dupIds = idx.knnJoinWith(b, idCol, embCol, k = 1)
       .filter(col("cos_sim") >= threshold)

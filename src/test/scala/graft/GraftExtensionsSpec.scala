@@ -93,8 +93,35 @@ class GraftExtensionsSpec extends SparkSpec {
         "'knn_queries_sql', 5, 'hnsw')").collect()
     }
     assert(err.getMessage.contains("ann, ivf, ivfpq"), err.getMessage)
-    s2.sql("DROP TABLE IF EXISTS knn_ivf_sql")
-    s2.sql("DROP TABLE IF EXISTS knn_ivf_sql_meta")
+    // DECOY sidecar: a coincidental `<corpus>_meta` no index family
+    // wrote must not poison a valid raw vector table — detection falls
+    // back to the one-shot build as if the decoy did not exist
+    import s2.implicits._
+    Seq(("unrelated", 1)).toDF("note", "version")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("knn_decoy_sql_meta")
+    vecs.write.mode("overwrite").format("parquet")
+      .saveAsTable("knn_decoy_sql")
+    val viaDecoy = s2.sql(
+      "SELECT * FROM knn_join('knn_decoy_sql', 'knn_queries_sql', 5)")
+      .collect()
+    assert(viaDecoy.map(_.toSeq).toSet === want.map(_.toSeq).toSet)
+    // ...while a decoy sidecar next to a NON-vector table still names
+    // both contracts in its error
+    Seq((1L, "x")).toDF("some_id", "payload")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("knn_notvec_sql")
+    Seq(("unrelated", 1)).toDF("note", "version")
+      .write.mode("overwrite").format("parquet")
+      .saveAsTable("knn_notvec_sql_meta")
+    val err2 = intercept[Exception] {
+      s2.sql("SELECT * FROM knn_join('knn_notvec_sql', " +
+        "'knn_queries_sql', 5)").collect()
+    }
+    assert(err2.getMessage.contains("vec_id, embedding"), err2.getMessage)
+    Seq("knn_ivf_sql", "knn_ivf_sql_meta", "knn_decoy_sql",
+      "knn_decoy_sql_meta", "knn_notvec_sql", "knn_notvec_sql_meta")
+      .foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("document TVF family runs the table-level LLM operators from " +
@@ -140,6 +167,64 @@ class GraftExtensionsSpec extends SparkSpec {
       s2.sql("SELECT * FROM dedup_pairs('docs_bad_sql')").collect()
     }
     assert(err.getMessage.contains("(doc_id, text)"), err.getMessage)
+  }
+
+  test("curation-stage TVFs (pii_scrub, quality_filter, split_assign, " +
+      "decontaminate, pack_sequences) agree with the Scala API") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val docs = graft.sources.Tables.documents(s2, sfDir)
+    docs.createOrReplaceTempView("cur_docs_sql")
+    // pii_scrub ≡ scrubPii over the text column
+    val piiSql = s2.sql("SELECT * FROM pii_scrub('cur_docs_sql')")
+    assert(piiSql.columns.toSeq === Seq("doc_id", "scrubbed"))
+    assert(piiSql.collect().map(_.toSeq).toSet ===
+      docs.select(col("doc_id"),
+        graft.operators.CurationOps.scrubPii(col("text")).as("scrubbed"))
+        .collect().map(_.toSeq).toSet)
+    // quality_filter ≡ qualityFilter at explicit and default thresholds
+    val qfSql = s2.sql(
+      "SELECT * FROM quality_filter('cur_docs_sql', 20, 80, 0.02, 5.0)")
+    val qfApi = graft.operators.CurationOps.qualityFilter(docs, "text")
+    assert(qfSql.columns.toSeq === qfApi.columns.toSeq)
+    assert(qfSql.collect().map(_.toSeq).toSet ===
+      qfApi.collect().map(_.toSeq).toSet)
+    assert(s2.sql("SELECT * FROM quality_filter('cur_docs_sql')").count()
+      === qfApi.count())
+    // split_assign ≡ hashSplit at the 80/10/10 default cuts
+    val spSql = s2.sql("SELECT * FROM split_assign('cur_docs_sql')")
+    assert(spSql.columns.contains("split"))
+    assert(spSql.collect().map(_.toSeq).toSet ===
+      graft.operators.CurationOps.hashSplit(docs, "doc_id")
+        .collect().map(_.toSeq).toSet)
+    // decontaminate ≡ the Scala operator over a corpus/benchmark split
+    docs.filter(col("doc_id") % 50 =!= 0)
+      .createOrReplaceTempView("cur_corpus_sql")
+    docs.filter(col("doc_id") % 50 === 0)
+      .createOrReplaceTempView("cur_bench_sql")
+    val deSql = s2.sql(
+      "SELECT * FROM decontaminate('cur_corpus_sql', 'cur_bench_sql', 3)")
+    val deApi = graft.operators.CurationOps.decontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+      docs.filter(col("doc_id") % 50 === 0), "text")
+    assert(deSql.collect().map(_.toSeq).toSet ===
+      deApi.collect().map(_.toSeq).toSet)
+    assert(deSql.count() > 0 && deSql.count() < docs.count())
+    // pack_sequences ≡ packSequences per language stratum
+    val pkSql = s2.sql(
+      "SELECT * FROM pack_sequences('cur_docs_sql', 'lang', 512)")
+    assert(pkSql.columns.toSeq ===
+      Seq("doc_id", "lang", "n_tokens", "pack_id"))
+    assert(pkSql.collect().map(_.toSeq).toSet ===
+      graft.operators.CurationOps.packSequences(docs, "doc_id", "text",
+        "lang", 512).collect().map(_.toSeq).toSet)
+    // a missing stratum column names the contract, not an unresolved
+    // column deep in the window plan
+    val err = intercept[Exception] {
+      s2.sql(
+        "SELECT * FROM pack_sequences('cur_docs_sql', 'no_such')").collect()
+    }
+    assert(err.getMessage.contains("strata_col"), err.getMessage)
   }
 
   test("SQL minhash_sig agrees with the library column API") {

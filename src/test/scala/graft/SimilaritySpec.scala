@@ -590,4 +590,32 @@ class SimilaritySpec extends SparkSpec {
       .sortBy(_.getInt(3))
     assert(bySrc.map(_.getInt(3)).toSeq === (1 to bySrc.length))
   }
+
+  test("IVF auto cell-count policy: FAISS band in the middle, n/4 floor " +
+      "clamp at tiny corpora, hard ceiling at extreme ones") {
+    import graft.operators.IvfIndex.{autoCellCount, AutoCellCeiling}
+    // tiny corpora: n/4 dominates (the band would over-segment)
+    assert(autoCellCount(16) === 4)
+    assert(autoCellCount(100) === 25)
+    // the 4·√n band, within [8, n/4]
+    assert(autoCellCount(10000) === 400)
+    assert(autoCellCount(1000000) === 4000)
+    // the ceiling binds from n ≈ 1.07×10⁹ (where 4·√n = 2¹⁷) upward:
+    // the packed centroid-matrix row stays k·d·8 B = 64 MB at d = 64,
+    // and BestCell's per-row argmax stays O(2¹⁷·d) — see the two-level
+    // coarse-quantizer note on IvfIndex.build for the beyond-ceiling
+    // design
+    assert(autoCellCount(2000000000L) === AutoCellCeiling)
+    assert(autoCellCount(100000000000L) === AutoCellCeiling)
+    // monotone non-decreasing across the clamp joints
+    val ns = Seq(8L, 32L, 1000L, 250000L, 1000000000L, 4000000000L)
+    val ks = ns.map(autoCellCount)
+    assert(ks === ks.sorted, s"policy must be monotone: $ns -> $ks")
+    // a built index at gate scale actually uses the policy
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val n = emb.count()
+    val ivf = graft.operators.IvfIndex.forDir(spark, sfDir)
+    assert(ivf.nCells === autoCellCount(n))
+    assert(ivf.nCells <= AutoCellCeiling)
+  }
 }

@@ -328,6 +328,63 @@ class StreamingSpec extends SparkSpec {
     filter.close()
   }
 
+  test("index auto-compaction bounds the append chain and leaves " +
+      "novel-row output unchanged (vector twin of the fingerprint case)") {
+    import scala.collection.mutable
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val hist = graft.operators.AnnIndex.build(vecs, "vec_id", "embedding",
+      tables = 16, persist = false)
+    val base = s"ixc_${System.nanoTime()}"
+    val filter = StreamingDedup.againstIndex(hist, "vec_id", "embedding",
+      threshold = 0.95).withAutoCompaction(base, everyN = 2)
+    def unit(dim: Int, eps: Double = 0.0): Seq[Double] =
+      Seq.tabulate(64)(i =>
+        if (i == dim) 1.0 else if (i == dim + 1) eps else 0.0)
+    val novelIds = mutable.ArrayBuffer[Long]()
+    val in = MemoryStream[(Timestamp, Long, Seq[Double])](spark)
+    val q = in.toDF().toDF("ts", "vec_id", "embedding")
+      .writeStream
+      .foreachBatch(filter.foreachBatch { (novel, _) =>
+        novelIds ++= novel.select("vec_id").collect().map(_.getLong(0))
+      })
+      .option("checkpointLocation", tmpCkpt())
+      .start()
+    // 5 batches (> 2 compaction cycles): novel vectors interleaved
+    // with near-copies of earlier batches, pre- and post-compaction —
+    // output must be exactly the first occurrence of each direction
+    in.addData((ts(1), 4001L, unit(2)), (ts(2), 4002L, unit(3)))
+    q.processAllAvailable()
+    in.addData((ts(3), 4003L, unit(2, eps = 1e-6)), // dup of batch 1
+      (ts(4), 4004L, unit(4)))
+    q.processAllAvailable() // next batch compacts (2 processed)
+    in.addData((ts(5), 4005L, unit(3, eps = 1e-6)), // dup of a PRE-
+      (ts(6), 4006L, unit(5)))                      // compaction arrival
+    q.processAllAvailable()
+    in.addData((ts(7), 4007L, unit(6)))
+    q.processAllAvailable() // next batch compacts again (4 processed)
+    in.addData((ts(8), 4008L, unit(5, eps = 1e-6)), // dup of a post-
+      (ts(9), 4009L, unit(7)))                      // compaction arrival
+    q.processAllAvailable()
+    q.stop()
+    assert(novelIds.sorted ===
+      Seq(4001L, 4002L, 4004L, 4006L, 4007L, 4009L))
+    // the chain is COLLAPSED: after ≥1 compaction the index backing
+    // reads from the bucketed generation table, not a deep union chain
+    // (post-compaction batches may each add one union arm)
+    val plan = filter.index.backing.queryExecution.analyzed.toString
+    val depth = "Union".r.findAllIn(plan).size
+    assert(depth <= 2, s"union chain depth $depth — compaction did not " +
+      s"collapse the chain:\n${plan.take(2000)}")
+    // every arrival the filter admitted is probeable in the index
+    assert(filter.index.backing.select("vec_id").distinct().count() ===
+      vecs.count() + 6)
+    filter.close()
+    (1 to 3).foreach { g =>
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_g$g")
+      spark.sql(s"DROP TABLE IF EXISTS ${base}_g${g}_meta")
+    }
+  }
+
   test("fingerprint auto-compaction bounds the union chain and leaves " +
       "novel-row output unchanged") {
     import scala.collection.mutable
