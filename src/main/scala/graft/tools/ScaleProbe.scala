@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val mults = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+    val skewOnly = args.contains("--skew-only")
+    val posArgs = args.toSeq.filterNot(_.startsWith("--"))
+    val sfDir = posArgs.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = if (posArgs.length > 1) posArgs.drop(1).map(_.toInt)
       else Seq(1, 4, 16)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -56,10 +58,13 @@ object ScaleProbe {
     }
 
     println(f"[scale] base corpus: $n0 docs ($sfDir)")
+    if (!skewOnly) {
     println("[scale] mult    docs   pairs_s  clusters_s  simhash_s")
     mults.foreach { m =>
       val (rows, tp, tc, tsh) = corpusTimes(m)
       println(f"[scale] ${m}%4d  ${rows}%6d  $tp%7.2f  $tc%9.2f  $tsh%8.2f")
+    }
+
     }
 
     // kNN-join shuffle-bytes probe: the dot-product work is inherently
@@ -72,6 +77,7 @@ object ScaleProbe {
     spark.sparkContext.addSparkListener(listener)
     val embBase = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding")
+    if (!skewOnly) {
     println("[scale] knn:  mult    vecs   wall_s   shuffle_mb")
     Seq(1, 2, 4).foreach { m =>
       val vecs = (0 until m)
@@ -150,6 +156,78 @@ object ScaleProbe {
       val mbScrub = listener.bytes / 1e6
       println(f"[scale] substr: $m%4d  $n%6d  $wallMine%6.2f  $mbMine%7.1f" +
         f"  $wallScrub%7.2f  $mbScrub%8.1f")
+    }
+    }
+
+    // Cell-skew probe: natural corpora have hot clusters, and a hot
+    // CELL concentrates the IVF stage-1 equi-join's work in one task
+    // once the inverted file is too big to broadcast (the 100 TB
+    // regime — locally AQE broadcasts the cells side and no skew can
+    // exist, so the probe FORCES the shuffle join). A corpus where one
+    // cluster holds ~30% of all vectors probes the index; the evidence
+    // that the shape survives is (a) AQE's skew-join splitting the hot
+    // partition ("skew=true" in the executed plan) and (b) wall time
+    // in the same band as the balanced corpus at equal size.
+    {
+      val conf = spark.conf
+      val saved = Seq(
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        .map(k => k -> conf.getOption(k)).toMap
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // local partitions are KBs, not the 256 MB production default —
+      // scale the skew detector down so the same AQE rule can engage
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+      println("[scale] skew:  shape      vecs  hot_frac  wall_s  skew_split")
+      Seq(false, true).foreach { skewed =>
+        // 4x the corpus; in the skewed variant 30% of vectors collapse
+        // into ONE IDENTICAL vector — the one cluster shape no
+        // quantizer can split (Lloyd's density-proportional seeding
+        // self-balances any cluster with internal spread, measured:
+        // a tight-but-distinct cluster lands hot_frac ~0.009), so
+        // every duplicate assigns to the same cell
+        val m = 4
+        val raw = (0 until m)
+          .map(i => embBase.select(
+            (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ unionByName _)
+        val vecs = (if (!skewed) raw else raw.select(col("vec_id"),
+            when(pmod(col("vec_id"), lit(10)) < 3,
+              transform(col("embedding").cast("array<double>"),
+                (v, i) => when(i === 0, lit(100.0)).otherwise(lit(0.01))))
+              .otherwise(col("embedding").cast("array<double>"))
+              .as("embedding")))
+          .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+          .localCheckpoint()
+        val n = vecs.count()
+        val idx = graft.operators.IvfIndex.build(vecs, "vec_id", "embedding")
+        idx.cells.count() // build outside the timed window
+        val hotFrac = idx.cells.groupBy("cell").count()
+          .agg(max("count")).head().getLong(0).toDouble / n
+        val queries = vecs.filter(col("vec_id") % 10 === 0)
+        val t0 = System.nanoTime()
+        val joined = idx.knnJoinWith(queries, "vec_id", "embedding", k = 5)
+        // collect through the SAME QueryExecution the plan is read
+        // from — count() would wrap a fresh one whose adaptive plan
+        // never finalizes
+        joined.collect()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val split = joined.queryExecution.executedPlan.toString
+          .contains("skew=true")
+        println(f"[scale] skew:  ${if (skewed) "clustered" else "balanced "}" +
+          f"  $n%6d  $hotFrac%8.3f  $wall%6.2f  $split%s")
+        idx.close()
+      }
+      saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(conf.set(k, _)) }
     }
     spark.stop()
   }

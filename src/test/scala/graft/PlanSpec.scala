@@ -241,6 +241,70 @@ class PlanSpec extends SparkSpec {
       s"plan grew with cell count: k=8 -> $ls chars, k=32 -> $lb chars")
   }
 
+  test("hot-cell skew: AQE splits the stage-1 cell join when the " +
+      "inverted file cannot broadcast (the 100 TB shuffle-join regime)") {
+    // Natural corpora have hot clusters; an identical-duplicate
+    // cluster is the one shape no quantizer can split (Lloyd's
+    // density-proportional seeding self-balances clusters with
+    // internal spread — ScaleProbe --skew-only measures hot_frac
+    // 0.009 for a tight-but-distinct cluster vs 0.300 here). Locally
+    // AQE broadcasts the cells side and skew cannot exist, so the
+    // probe FORCES the shuffle join and scales the skew detector's
+    // byte thresholds down to local partition sizes — the same AQE
+    // rule a production 256 MB-partition run would hit.
+    import org.apache.spark.sql.functions.{col, lit, pmod, transform, when}
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2k")
+      // at the suite's 4 shuffle partitions the hot-cell partition is
+      // only ~2x the median (each partition holds ~45 of the ~180
+      // cells) — the skew must be visible at the PARTITION level for
+      // the rule to see it, exactly as on a real cluster
+      conf.set("spark.sql.shuffle.partitions", "32")
+      val base = graft.sources.Tables.embeddings(spark, sfDir)
+        .select("vec_id", "embedding")
+      val raw = (0 until 4)
+        .map(i => base.select(
+          (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _)
+      val vecs = raw.select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(10)) < 3,
+            transform(col("embedding").cast("array<double>"),
+              (_, i) => when(i === 0, lit(100.0)).otherwise(lit(0.01))))
+            .otherwise(col("embedding").cast("array<double>"))
+            .as("embedding"))
+        .localCheckpoint()
+      val n = vecs.count()
+      val idx = graft.operators.IvfIndex.build(vecs, "vec_id", "embedding",
+        persist = false)
+      val hotFrac = idx.cells.groupBy("cell").count()
+        .agg(org.apache.spark.sql.functions.max("count"))
+        .head().getLong(0).toDouble / n
+      assert(hotFrac > 0.25, f"cluster did not concentrate: $hotFrac%.3f")
+      val joined = idx.knnJoinWith(
+        vecs.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", k = 5)
+      joined.collect() // finalize THIS adaptive plan
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE did not split the hot-cell join partition:\n" + p.take(3000))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("q_knn_ann: occupancy cap is a separate aggregate — no Window " +
       "over the embedding-carrying signature table, no checkpoint scan") {
     val df = q("q_knn_ann")
