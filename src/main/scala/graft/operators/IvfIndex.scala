@@ -233,7 +233,7 @@ final case class IvfIndex(cells: DataFrame, centroids: DataFrame,
     val e = newVectors.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("embedding"))
     val n = e.count()
-    val add = IvfIndex.assign(e, centroids)
+    val add = IvfIndex.assign(e, centroids, nCells)
       .withColumn("sketch", IvfIndex.sketchCol(col("embedding")))
     IvfIndex(cells.unionByName(add), centroids, nCells, size + n)
   }
@@ -274,7 +274,7 @@ final case class IvfIndex(cells: DataFrame, centroids: DataFrame,
     // stamp — repeated appends through one in-memory handle must
     // accumulate, not overwrite each other's counts
     val durable = side.agg(max(col("n"))).head().getLong(0)
-    IvfIndex.assign(e, centroids)
+    IvfIndex.assign(e, centroids, nCells)
       .withColumn("sketch", IvfIndex.sketchCol(col("embedding")))
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(table)
@@ -446,12 +446,106 @@ object IvfIndex {
   /** Assign every vector its nearest centroid by cosine (ties → lowest
     * cell id): one broadcast of the packed centroid matrix + the
     * codegen'd [[graft.functions.BestCell]] argmax loop. Zero shuffle,
-    * plan size O(1) in the cell count. */
-  private[operators] def assign(e: DataFrame, cdf: DataFrame): DataFrame =
-    e.crossJoin(broadcast(packed(cdf)))
-      .withColumn("cell", graft.functions.VectorOps.bestCell(
-        col("embedding"), col("graft_cents")))
-      .drop("graft_cents")
+    * plan size O(1) in the cell count. Past `twoLevelAbove` cells
+    * (default [[AutoCellCeiling]] — reachable only through an EXPLICIT
+    * k, the auto policy clamps first) the single packed row would
+    * approach Spark's 2 GB row limit and the per-row argmax O(k·d), so
+    * assignment switches to [[assignTwoLevel]]. */
+  private[graft] def assign(e: DataFrame, cdf: DataFrame, k: Int,
+      twoLevelAbove: Int = AutoCellCeiling): DataFrame =
+    if (k <= twoLevelAbove)
+      e.crossJoin(broadcast(packed(cdf)))
+        .withColumn("cell", graft.functions.VectorOps.bestCell(
+          col("embedding"), col("graft_cents")))
+        .drop("graft_cents")
+    else assignTwoLevel(e, cdf, k)
+
+  /** TWO-LEVEL coarse assignment — the beyond-[[AutoCellCeiling]] path
+    * the ceiling scaladoc records: cluster the k cell centroids into
+    * k₂ = ceil(√k) SUPER-cells (hash-seeded Lloyd over the k-row
+    * centroid table — a tiny, fully relational job), then assign each
+    * vector in two O(√k·d) argmax passes — best super-cell against the
+    * packed k₂-row matrix, then best member cell against that
+    * super-cell's packed member matrix, equi-joined in. Representation
+    * costs fall from one k·d·8 B row + O(k·d) per row to k₂ rows of
+    * ~√k·d·8 B each + two O(√k·d) passes: at k = 10⁶, d = 64 that is
+    * ~1000 rows of ~0.5 MB instead of one 512 MB row.
+    *
+    * Assignment is APPROXIMATE exactly as every two-level quantizer
+    * (IMI / hierarchical IVF) is: a vector whose true nearest cell
+    * lives in a DIFFERENT super-cell lands in the best cell of its own
+    * super-cell instead. Cells are an index structure — this trades a
+    * little probe recall past the ceiling, never result correctness
+    * (probes rescore exactly). Vectors rank only NON-EMPTY super-cells
+    * (a super-centroid can end up nearest to zero cells while still
+    * being some vector's best super-cell — ranking it would drop the
+    * vector at the member join). Deterministic end-to-end: hash-seeded
+    * super-seeds, DECIMAL-exact means, ties to the lowest id at both
+    * levels. */
+  private[graft] def assignTwoLevel(e: DataFrame, cdf: DataFrame,
+      k: Int): DataFrame = {
+    import graft.functions.{VectorOps => V}
+    val k2 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val seedOrder = Seq(xxhash64(col("cell")).asc, col("cell").asc)
+    var sdf = cdf.orderBy(seedOrder: _*).limit(k2)
+      .withColumn("scell",
+        row_number().over(Window.orderBy(seedOrder: _*)) - 1)
+      .select(col("scell"), col("centroid").as("scentroid"))
+    def packedSuper(s: DataFrame) = packed(
+      s.select(col("scell").as("cell"), col("scentroid").as("centroid")))
+    // Lloyd over the CENTROID table (k rows — every step is a tiny
+    // relational job; empty super-cells keep their previous centroid)
+    for (_ <- 1 to 2) {
+      val means = cdf.crossJoin(broadcast(packedSuper(sdf)))
+        .withColumn("scell",
+          V.bestCell(col("centroid"), col("graft_cents")))
+        .select(col("scell"),
+          posexplode(col("centroid")).as(Seq("pos", "v")))
+        .groupBy("scell", "pos")
+        .agg((sum(col("v").cast("decimal(38,18)")) /
+          count(lit(1))).cast("double").as("m"))
+        .groupBy("scell")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("graft_next"))
+      sdf = sdf.join(broadcast(means), Seq("scell"), "left")
+        .select(col("scell"),
+          coalesce(col("graft_next"), col("scentroid")).as("scentroid"))
+    }
+    // member table: each NON-EMPTY super-cell's cells, packed (matrix
+    // + parallel cell-id array, both sorted by cell id so BestCell's
+    // lowest-index tie-break stays lowest-cell-id)
+    val members = cdf.crossJoin(broadcast(packedSuper(sdf)))
+      .withColumn("scell", V.bestCell(col("centroid"), col("graft_cents")))
+      .groupBy("scell")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("cell"), col("centroid")))),
+          x => x.getField("centroid")).as("graft_mcents"),
+        transform(
+          array_sort(collect_list(struct(col("cell"), col("centroid")))),
+          x => x.getField("cell")).as("graft_mcells"))
+    // level-1 ranking restricted to non-empty super-cells: pack their
+    // centroids WITH their ids (scells may be non-contiguous here, so
+    // BestCell's position must translate through the id array)
+    val sTab = sdf.join(members, "scell")
+    val packedS = sTab.groupBy().agg(
+      transform(
+        array_sort(collect_list(struct(col("scell"), col("scentroid")))),
+        x => x.getField("scentroid")).as("graft_scents"),
+      transform(
+        array_sort(collect_list(struct(col("scell"), col("scentroid")))),
+        x => x.getField("scell")).as("graft_sids"))
+    e.crossJoin(broadcast(packedS))
+      .withColumn("graft_scell", element_at(col("graft_sids"),
+        V.bestCell(col("embedding"), col("graft_scents")) + 1))
+      .drop("graft_scents", "graft_sids")
+      .join(broadcast(sTab.select(col("scell").as("graft_scell"),
+        col("graft_mcents"), col("graft_mcells"))), "graft_scell")
+      .withColumn("cell", element_at(col("graft_mcells"),
+        V.bestCell(col("embedding"), col("graft_mcents")) + 1))
+      .drop("graft_scell", "graft_mcents", "graft_mcells")
+  }
 
   /** Deterministic k-cell IVF build: hash-seeded centroids + `iters`
     * Lloyd refinements with DECIMAL-exact (order-independent) means,
@@ -517,7 +611,7 @@ object IvfIndex {
       // aggregates map-side (the exchange carries k×dims partial sums
       // per partition, never corpus rows), and the k×dims mean rows
       // fold back into a k-row centroid table — all distributed
-      val means = assign(e, cdf)
+      val means = assign(e, cdf, kEff)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
         .agg((sum(col("v").cast("decimal(38,18)")) /
@@ -540,7 +634,7 @@ object IvfIndex {
     // (IvfPqIndex.build): the 256-plane pass costs as much as the
     // assignment itself and would be dropped on the floor. Such an
     // index supports single-stage probes and assignment only.
-    val raw0 = assign(e, cdf)
+    val raw0 = assign(e, cdf, kEff)
     val raw = if (sketch) raw0.withColumn("sketch", sketchCol(col("embedding")))
       else raw0
     // `persist = false` for one-shot consumers (IvfPqIndex.build keeps

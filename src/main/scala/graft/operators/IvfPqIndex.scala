@@ -174,7 +174,7 @@ final case class IvfPqIndex(cells: DataFrame, centroids: DataFrame,
     val e = newVectors.select(col(idCol).as("vec_id"),
       col(embCol).cast("array<double>").as("embedding"))
     val n = e.count()
-    IvfPqIndex(cells.unionByName(IvfPqIndex.encode(e, centroids, codebook)),
+    IvfPqIndex(cells.unionByName(IvfPqIndex.encode(e, centroids, nCells, codebook)),
       centroids, nCells, codebook, size + n)
   }
 
@@ -210,7 +210,7 @@ final case class IvfPqIndex(cells: DataFrame, centroids: DataFrame,
         "(IvfPqIndex.fromTable reopens one)")
     val durable = spark.table(table + "_meta")
       .agg(max(col("n"))).head().getLong(0)
-    IvfPqIndex.encode(e, centroids, codebook)
+    IvfPqIndex.encode(e, centroids, nCells, codebook)
       .write.mode("append").format("parquet")
       .bucketBy(buckets, "cell").sortBy("cell").saveAsTable(table)
     // staged: a fromTable handle's centroid frame READS the sidecar it
@@ -246,9 +246,9 @@ object IvfPqIndex {
   // centroid, PQ codes via the native generated loop. Shared by build,
   // append, and appendTable so the encoding cannot drift between them.
   private[operators] def encode(e: DataFrame, cdf: DataFrame,
-      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+      k: Int, cb: Seq[Seq[Seq[Double]]]): DataFrame = {
     graft.functions.VectorOps.register(e.sparkSession)
-    IvfIndex.assign(e, cdf)
+    IvfIndex.assign(e, cdf, k)
       .join(broadcast(cdf), "cell")
       .withColumn("pqcode", graft.functions.VectorOps.pqEncode(
         zip_with(col("embedding"), col("centroid").cast("array<double>"),

@@ -618,4 +618,46 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nCells === autoCellCount(n))
     assert(ivf.nCells <= AutoCellCeiling)
   }
+
+  test("two-level coarse assignment: deterministic, drop-free, and in " +
+      "high agreement with the exact argmax (the beyond-ceiling path)") {
+    import graft.operators.IvfIndex
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val n = e.count()
+    val ivf = IvfIndex.forDir(spark, sfDir)
+    val cdf = ivf.centroids
+    def cellsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val two = cellsOf(IvfIndex.assignTwoLevel(e, cdf, ivf.nCells))
+    // no vector may vanish at the member join (the empty-super-cell
+    // trap: a super-centroid nearest to zero CELLS can still be some
+    // VECTOR's best super-cell — ranking only non-empty super-cells
+    // keeps the join total)
+    assert(two.size === n)
+    // deterministic end-to-end (hash seeds, decimal-exact means,
+    // sorted packing)
+    assert(cellsOf(IvfIndex.assignTwoLevel(e, cdf, ivf.nCells)) === two)
+    // every assigned cell is a real cell
+    val valid = cdf.select("cell").collect().map(_.getInt(0)).toSet
+    assert(two.values.forall(valid))
+    // agreement with the exact single-level argmax: two-level is
+    // approximate BY DESIGN (a vector whose nearest cell sits in a
+    // different super-cell lands in its own super-cell's best member),
+    // but at √k super-cells the disagreement is the IMI-style tail,
+    // not the norm
+    val one = cellsOf(IvfIndex.assign(e, cdf, ivf.nCells))
+    val agree = two.count { case (id, c) => one(id) == c }.toDouble / n
+    info(f"two-level vs exact argmax agreement = $agree%.3f " +
+      f"($n vectors, ${ivf.nCells} cells)")
+    assert(agree >= 0.5, f"two-level agreement $agree%.3f — the " +
+      "super-quantizer is mis-routing most vectors")
+    // the assign() switch takes the two-level path past the threshold
+    // and the packed single-row path below it
+    val switched = cellsOf(IvfIndex.assign(e, cdf, ivf.nCells,
+      twoLevelAbove = 1))
+    assert(switched === two)
+  }
 }
