@@ -126,7 +126,10 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $out: $e") }
+      // the file was the only copy of the full record — preserve it on
+      // stderr rather than lose a full run's per-query data
+      System.err.println(s"[bench] could not write $out: $e")
+      System.err.println(line) }
     // The LAST stdout line is a compact total-only JSON (~150 bytes) so
     // the tail capture always parses.
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$RUNS,"included":$included,"errors_count":${errors.size},"detail":"$out"}"""

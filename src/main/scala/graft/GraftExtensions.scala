@@ -234,11 +234,23 @@ object GraftExtensions {
     // (VectorIndex.detect — the sidecar schema names the family). A
     // COINCIDENTAL `<corpus>_meta` no family wrote does not poison a
     // valid raw vector table: detect returns None and the one-shot
-    // build runs as if the decoy did not exist. Only a corpus that is
-    // neither a recognized index nor raw (vec_id, embedding) errors.
+    // build runs as if the decoy did not exist. The fallback REFUSES a
+    // table that carries index-backing columns (sig/cell/sketch/
+    // pqcode): that shape means a REAL durable index whose sidecar is
+    // corrupted or version-skewed, and silently one-shot-building over
+    // e.g. an LSH signature table (vec_ids duplicated once per hash
+    // table) would return wrong top-k lists with no error.
     val idx: VectorIndex = VectorIndex.detect(spark, corpus).getOrElse {
       val raw = spark.table(corpus).columns
-      if (raw.contains("vec_id") && raw.contains("embedding")) oneShot()
+      val indexCols = raw.filter(Set("sig", "cell", "sketch", "pqcode"))
+      if (indexCols.nonEmpty) throw new IllegalArgumentException(
+        s"table $corpus looks like a durable index backing (columns " +
+          s"${indexCols.mkString(", ")}) but its ${corpus}_meta sidecar " +
+          "is missing or of unrecognized shape — refusing to rebuild " +
+          "over index rows; restore the sidecar (the family's " +
+          "writeTable writes it) or point knn_join at the raw vectors")
+      else if (raw.contains("vec_id") && raw.contains("embedding"))
+        oneShot()
       else throw new IllegalArgumentException(
         s"table $corpus is neither a durable index table (no recognized " +
           s"${corpus}_meta sidecar) nor a raw (vec_id, embedding) vector " +
@@ -419,8 +431,14 @@ object GraftExtensions {
       2, 3)
     val corpus = docTable("decontaminate", litStr("decontaminate",
       "corpus_table", exprs(0)))
-    val bench = docTable("decontaminate", litStr("decontaminate",
-      "benchmark_table", exprs(1)))
+    // the benchmark side only contributes its shingle set — `text` is
+    // the whole contract (a (prompt_id, text) eval table qualifies;
+    // requiring doc_id here would reject tables the Scala API accepts)
+    val benchName = litStr("decontaminate", "benchmark_table", exprs(1))
+    val bench = SparkSession.active.table(benchName)
+    require(bench.columns.contains("text"),
+      s"decontaminate expects benchmark table '$benchName' to carry a " +
+        s"text column; found ${bench.columns.mkString("(", ", ", ")")}")
     val k = if (exprs.length > 2)
       VectorOps.intArg("decontaminate", "k", exprs(2)) else 3
     CurationOps.decontaminate(corpus, "doc_id", "text", bench, "text", k)

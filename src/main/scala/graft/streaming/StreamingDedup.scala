@@ -164,16 +164,24 @@ final class FingerprintDedupFilter private[streaming] (
   /** Turn on AUTOMATIC compaction of the fingerprint chain: every
     * `everyN` processed batches the accumulated set (history + all
     * novel increments) is collapsed into one bucketed warehouse table
-    * (`<base>_g<N>` — generations ping-pong because Spark refuses to
-    * overwrite a table its source plan still reads) and the filter
-    * reloads from it — the per-batch union chain the class doc
-    * describes goes back to depth 0, every superseded pinned frame is
-    * released, and the superseded generation table is dropped. The
-    * manual recipe (write the set, restart the filter from it), made
-    * an operational default instead of a footgun. Returns this filter
-    * for chaining at construction:
+    * (generations write to an INCREMENTING `<base>_g<N>` name —
+    * Spark refuses to overwrite a table its source plan still reads —
+    * and the superseded generation is dropped, so at most two exist
+    * transiently and exactly one persists) and the filter reloads
+    * from it — the per-batch union chain the class doc describes goes
+    * back to depth 0 and every superseded pinned frame is released.
+    * The manual recipe (write the set, restart the filter from it),
+    * made an operational default instead of a footgun. Returns this
+    * filter for chaining at construction:
     * `StreamingDedup.exactAgainstCorpus(h, "text")
-    *   .withAutoCompaction("fp_set", 64)`. */
+    *   .withAutoCompaction("fp_set", 64)`.
+    *
+    * Lifecycle caveats: a [[fingerprints]] handle taken BEFORE a
+    * compaction reads the generation table that the SECOND-next
+    * compaction drops — treat handles as valid only until the next
+    * compaction boundary. The FINAL generation table (live state)
+    * intentionally survives [[close]]; drop `<base>_g<last>` when the
+    * stream is truly done. */
   def withAutoCompaction(baseTable: String, everyN: Int): this.type = {
     require(everyN > 0, "everyN must be positive")
     compactBase = baseTable
@@ -300,16 +308,27 @@ final class IndexDedupFilter private[streaming] (
   /** Turn on AUTOMATIC compaction of the index's append chain: every
     * `everyN` processed batches the accumulated index (initial corpus
     * + all novel arrivals) is collapsed into one bucketed warehouse
-    * index table (`<base>_g<N>` — generations ping-pong, because the
-    * reloaded index reads the table it came from) via the family's
+    * index table (an INCREMENTING `<base>_g<N>` name — the reloaded
+    * index reads the table it came from, so the next generation must
+    * be a new table; the superseded one is dropped, table + `_meta`
+    * sidecar) via the family's
     * [[graft.operators.VectorIndex.writeTable]], and the filter
-    * reloads from it through
-    * [[graft.operators.VectorIndex.detect]] — the per-batch union
-    * chain goes back to depth 0, every superseded pinned frame is
-    * released, and the superseded generation (table + `_meta`
-    * sidecar) is dropped. Works whichever family backs the filter.
-    * The manual `writeTable`/`appendTable` recipe, made an
-    * operational default. */
+    * reloads from it through [[graft.operators.VectorIndex.detect]] —
+    * the per-batch union chain goes back to depth 0 and every
+    * superseded pinned frame is released. Works whichever family
+    * backs the filter. The manual `writeTable`/`appendTable` recipe,
+    * made an operational default.
+    *
+    * Lifecycle caveats (shared with the fingerprint twin): an
+    * [[index]] handle taken before a compaction reads a generation
+    * table that the second-next compaction DROPS — treat handles as
+    * valid only until the next compaction boundary. The final
+    * generation (live state) survives [[close]]; drop it when the
+    * stream is done. The reloaded backing is re-persisted
+    * MEMORY_AND_DISK because every subsequent batch probes it — the
+    * entry is LRU-evictable and recomputes as a bucketed table scan,
+    * so eviction degrades to disk reads, never to replaying the
+    * append chain. */
   def withAutoCompaction(baseTable: String, everyN: Int): this.type = {
     require(everyN > 0, "everyN must be positive")
     compactBase = baseTable

@@ -54,38 +54,35 @@ object KnnFrontier {
     println(f"[frontier] n=$n kCells=${ivfpq.nCells} " +
       f"(default nprobe: ivfpq=${ivfpq.nCells / 4} ivf=${ivf.nCells / 4})")
     println("[frontier] family  den  nprobe  wall1_s  wall2_s  recall@5")
-    for (den <- Seq(4, 6, 8, 12, 16)) {
-      val np = math.max(1, ivfpq.nCells / den)
-      def run() = {
-        val t0 = System.nanoTime()
-        val rows = SimilarityOps.topKPerSrc(
-          ivfpq.knnJoinWith(probes, "vec_id", "embedding", k = 6,
-              nprobe = np)
-            .filter(col("src_id") =!= col("dst_id"))
-            .select("src_id", "dst_id", "cos_sim"), "cos_sim", 5)
-          .collect()
-        ((System.nanoTime() - t0) / 1e9, rows)
+    // one sweep body for both families, so a methodology change (runs,
+    // k, filters) cannot skew the ivf-vs-ivfpq comparison
+    def sweep(label: String,
+        probe: (org.apache.spark.sql.DataFrame, Int) =>
+          org.apache.spark.sql.DataFrame,
+        nCells: Int, dens: Seq[Int]): Unit =
+      for (den <- dens) {
+        val np = math.max(1, nCells / den)
+        def run() = {
+          val t0 = System.nanoTime()
+          val rows = SimilarityOps.topKPerSrc(
+            probe(probes, np)
+              .filter(col("src_id") =!= col("dst_id"))
+              .select("src_id", "dst_id", "cos_sim"), "cos_sim", 5)
+            .collect()
+          ((System.nanoTime() - t0) / 1e9, rows)
+        }
+        val (w1, _) = run(); val (w2, rows) = run()
+        println(f"[frontier] $label%-6s  $den%3d  $np%6d  $w1%7.2f" +
+          f"  $w2%7.2f  ${recallOf(rows)}%.3f")
       }
-      val (w1, _) = run(); val (w2, rows) = run()
-      println(f"[frontier] ivfpq   $den%3d  $np%6d  $w1%7.2f  $w2%7.2f" +
-        f"  ${recallOf(rows)}%.3f")
-    }
-    for (den <- Seq(2, 4, 6, 8)) {
-      val np = math.max(1, ivf.nCells / den)
-      def run() = {
-        val t0 = System.nanoTime()
-        val rows = SimilarityOps.topKPerSrc(
-          ivf.knnJoinWith(probes, "vec_id", "embedding", k = 6,
-              nprobe = np)
-            .filter(col("src_id") =!= col("dst_id"))
-            .select("src_id", "dst_id", "cos_sim"), "cos_sim", 5)
-          .collect()
-        ((System.nanoTime() - t0) / 1e9, rows)
-      }
-      val (w1, _) = run(); val (w2, rows) = run()
-      println(f"[frontier] ivf     $den%3d  $np%6d  $w1%7.2f  $w2%7.2f" +
-        f"  ${recallOf(rows)}%.3f")
-    }
+    sweep("ivfpq",
+      (q, np) => ivfpq.knnJoinWith(q, "vec_id", "embedding", k = 6,
+        nprobe = np),
+      ivfpq.nCells, Seq(4, 6, 8, 12, 16))
+    sweep("ivf",
+      (q, np) => ivf.knnJoinWith(q, "vec_id", "embedding", k = 6,
+        nprobe = np),
+      ivf.nCells, Seq(2, 4, 6, 8))
     spark.stop()
   }
 }

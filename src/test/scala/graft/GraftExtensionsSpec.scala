@@ -119,6 +119,18 @@ class GraftExtensionsSpec extends SparkSpec {
         "'knn_queries_sql', 5)").collect()
     }
     assert(err2.getMessage.contains("vec_id, embedding"), err2.getMessage)
+    // ...and a table that LOOKS like an index backing (sig/cell/
+    // sketch/pqcode columns) with a broken sidecar is REFUSED, never
+    // silently rebuilt: one-shot-building over an LSH signature table
+    // (vec_ids duplicated once per hash table) would return wrong
+    // top-k lists with no error
+    s2.sql("DROP TABLE IF EXISTS knn_ivf_sql_meta")
+    val err3 = intercept[Exception] {
+      s2.sql("SELECT * FROM knn_join('knn_ivf_sql', " +
+        "'knn_queries_sql', 3)").collect()
+    }
+    assert(err3.getMessage.contains("refusing to rebuild"),
+      err3.getMessage)
     Seq("knn_ivf_sql", "knn_ivf_sql_meta", "knn_decoy_sql",
       "knn_decoy_sql_meta", "knn_notvec_sql", "knn_notvec_sql_meta")
       .foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
@@ -210,6 +222,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(deSql.collect().map(_.toSeq).toSet ===
       deApi.collect().map(_.toSeq).toSet)
     assert(deSql.count() > 0 && deSql.count() < docs.count())
+    // the benchmark side's contract is text-only — an eval table
+    // without doc_id (e.g. (prompt_id, text)) must be accepted, as
+    // the Scala API accepts it
+    docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("prompt_id"), col("text"))
+      .createOrReplaceTempView("cur_bench_noid_sql")
+    assert(s2.sql("SELECT * FROM decontaminate('cur_corpus_sql', " +
+        "'cur_bench_noid_sql', 3)").collect().map(_.toSeq).toSet ===
+      deApi.collect().map(_.toSeq).toSet)
     // pack_sequences ≡ packSequences per language stratum
     val pkSql = s2.sql(
       "SELECT * FROM pack_sequences('cur_docs_sql', 'lang', 512)")
