@@ -109,6 +109,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("knn_join"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "knn_join"),
       (exprs: Seq[Expression]) => GraftExtensions.knnJoinPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("knn_probe"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "knn_probe"),
+      (exprs: Seq[Expression]) => GraftExtensions.knnProbePlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("dedup_embedding"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "dedup_embedding"),
+      (exprs: Seq[Expression]) => GraftExtensions.dedupEmbeddingPlan(exprs)))
     ext.injectTableFunction((FunctionIdentifier("dedup_pairs"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "dedup_pairs"),
       (exprs: Seq[Expression]) => GraftExtensions.dedupPairsPlan(exprs)))
@@ -147,7 +154,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
 
   import org.apache.spark.sql.{DataFrame, SparkSession}
-  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.functions.{col, row_number}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   import graft.operators.{AnnIndex, CurationOps, DedupOps, IvfIndex, IvfPqIndex, VectorIndex}
 
@@ -212,14 +219,21 @@ object GraftExtensions {
     * production path, where probes prune the bucketed layout and no
     * per-query build happens. Returns `(src_id, dst_id, cos_sim, rn)`
     * exactly as the Scala API does. */
-  private[graft] def knnJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
-    arity("knn_join(corpus_table, queries_table, k [, kind])", exprs, 3, 4)
+  /** Shared corpus resolution of the ANN TVF family ([[knnJoinPlan]],
+    * [[knnProbePlan]]): durable index tables dispatch on their `_meta`
+    * sidecar ([[VectorIndex.detect]] — the sidecar schema names the
+    * family). A COINCIDENTAL `<corpus>_meta` no family wrote does not
+    * poison a valid raw vector table: detect returns None and the
+    * one-shot build runs as if the decoy did not exist. The fallback
+    * REFUSES a table that carries index-backing columns (sig/cell/
+    * sketch/pqcode): that shape means a REAL durable index whose
+    * sidecar is corrupted or version-skewed, and silently
+    * one-shot-building over e.g. an LSH signature table (vec_ids
+    * duplicated once per hash table) would return wrong top-k lists
+    * with no error. */
+  private def resolveIndex(fn: String, corpus: String,
+      kind: String): VectorIndex = {
     val spark = SparkSession.active
-    val corpus = litStr("knn_join", "corpus_table", exprs(0))
-    val queries = litStr("knn_join", "queries_table", exprs(1))
-    val k = VectorOps.intArg("knn_join", "k", exprs(2))
-    val kind = if (exprs.length > 3)
-      litStr("knn_join", "kind", exprs(3)).toLowerCase else "ann"
     def oneShot(): VectorIndex = kind match {
       case "ann" => AnnIndex.build(spark.table(corpus),
         "vec_id", "embedding", persist = false)
@@ -228,36 +242,105 @@ object GraftExtensions {
       case "ivfpq" => IvfPqIndex.build(spark.table(corpus),
         "vec_id", "embedding", persist = false)
       case other => throw new IllegalArgumentException(
-        s"knn_join kind '$other' — one of ann, ivf, ivfpq")
+        s"$fn kind '$other' — one of ann, ivf, ivfpq")
     }
-    // Durable index tables dispatch on their `_meta` sidecar
-    // (VectorIndex.detect — the sidecar schema names the family). A
-    // COINCIDENTAL `<corpus>_meta` no family wrote does not poison a
-    // valid raw vector table: detect returns None and the one-shot
-    // build runs as if the decoy did not exist. The fallback REFUSES a
-    // table that carries index-backing columns (sig/cell/sketch/
-    // pqcode): that shape means a REAL durable index whose sidecar is
-    // corrupted or version-skewed, and silently one-shot-building over
-    // e.g. an LSH signature table (vec_ids duplicated once per hash
-    // table) would return wrong top-k lists with no error.
-    val idx: VectorIndex = VectorIndex.detect(spark, corpus).getOrElse {
+    VectorIndex.detect(spark, corpus).getOrElse {
       val raw = spark.table(corpus).columns
       val indexCols = raw.filter(Set("sig", "cell", "sketch", "pqcode"))
       if (indexCols.nonEmpty) throw new IllegalArgumentException(
         s"table $corpus looks like a durable index backing (columns " +
           s"${indexCols.mkString(", ")}) but its ${corpus}_meta sidecar " +
           "is missing or of unrecognized shape — refusing to rebuild " +
-          "over index rows; restore the sidecar (the family's " +
-          "writeTable writes it) or point knn_join at the raw vectors")
+          s"over index rows; restore the sidecar (the family's " +
+          s"writeTable writes it) or point $fn at the raw vectors")
       else if (raw.contains("vec_id") && raw.contains("embedding"))
         oneShot()
       else throw new IllegalArgumentException(
         s"table $corpus is neither a durable index table (no recognized " +
           s"${corpus}_meta sidecar) nor a raw (vec_id, embedding) vector " +
-          "table — knn_join serves AnnIndex, IvfIndex, and IvfPqIndex " +
+          s"table — $fn serves AnnIndex, IvfIndex, and IvfPqIndex " +
           "durable tables, or builds one-shot from a raw vector table")
     }
-    idx.knnJoinWith(spark.table(queries), "vec_id", "embedding", k)
+  }
+
+  private[graft] def knnJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("knn_join(corpus_table, queries_table, k [, kind])", exprs, 3, 4)
+    val spark = SparkSession.active
+    val corpus = litStr("knn_join", "corpus_table", exprs(0))
+    val queries = litStr("knn_join", "queries_table", exprs(1))
+    val k = VectorOps.intArg("knn_join", "k", exprs(2))
+    val kind = if (exprs.length > 3)
+      litStr("knn_join", "kind", exprs(3)).toLowerCase else "ann"
+    resolveIndex("knn_join", corpus, kind)
+      .knnJoinWith(spark.table(queries), "vec_id", "embedding", k)
+      .queryExecution.analyzed
+  }
+
+  /** `knn_probe(corpus_table, probe_id, k [, kind])` — the POINT-query
+    * twin of [[knnJoinPlan]]: top-k neighbors of one INDEXED vector
+    * from pure SQL.
+    *
+    * {{{
+    *   SELECT * FROM knn_probe('corpus_tbl', 42, 10, 'ivfpq')
+    * }}}
+    *
+    * Corpus resolution is [[resolveIndex]] exactly as `knn_join`
+    * (durable sidecar detection, decoy fallback, index-shape refusal).
+    * The probe runs through the family's [[VectorIndex.knnJoinWith]]
+    * with the one-row query set `vec_id = probe_id` — the same
+    * equi-join serving shape, bucket-prunable on a durable layout —
+    * and the probe's cos=1 self-match is removed. Returns
+    * `(vec_id, cos_sim, rn)`. */
+  private[graft] def knnProbePlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("knn_probe(corpus_table, probe_id, k [, kind])", exprs, 3, 4)
+    val spark = SparkSession.active
+    val corpus = litStr("knn_probe", "corpus_table", exprs(0))
+    val probeId = litVal("knn_probe", "probe_id", exprs(1)) match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"knn_probe expects an integral literal for 'probe_id'; got $other")
+    }
+    val k = VectorOps.intArg("knn_probe", "k", exprs(2))
+    val kind = if (exprs.length > 3)
+      litStr("knn_probe", "kind", exprs(3)).toLowerCase else "ann"
+    val idx = resolveIndex("knn_probe", corpus, kind)
+    // the probe row comes off the INDEX's own backing (works for both
+    // durable tables and raw builds; knnJoinWith rescores exactly, so
+    // the self-match is a clean cos=1 row to drop)
+    val probe = idx.backing
+      .filter(col("vec_id") === probeId)
+      .select("vec_id", "embedding").limit(1)
+    idx.knnJoinWith(probe, "vec_id", "embedding", k + 1)
+      .filter(col("dst_id") =!= probeId)
+      .orderBy(col("cos_sim").desc, col("dst_id"))
+      .limit(k)
+      .select(col("dst_id").as("vec_id"), col("cos_sim"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos_sim").desc, col("dst_id"))).as("rn"))
+      .queryExecution.analyzed
+  }
+
+  /** `dedup_embedding(vec_table [, threshold])` — EXACT embedding-
+    * cosine near-duplicate pairs ([[DedupOps.embeddingPairs]]) from
+    * pure SQL: all pairs with cosine ≥ `threshold` (default 0.45),
+    * `a_id < b_id`, computed through the distributed block-matrix
+    * pair space (hash equi-join on block keys — no cartesian, no
+    * nested-loop; the honest exact-quadratic distributed shape).
+    * The table must carry `(vec_id, embedding)`. Returns
+    * `(a_id, b_id, cos_sim)`. */
+  private[graft] def dedupEmbeddingPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("dedup_embedding(vec_table [, threshold])", exprs, 1, 2)
+    val name = litStr("dedup_embedding", "vec_table", exprs(0))
+    val df = SparkSession.active.table(name)
+    require(df.columns.contains("vec_id") &&
+        df.columns.contains("embedding"),
+      s"dedup_embedding expects table '$name' to carry " +
+        s"(vec_id, embedding); found " +
+        df.columns.mkString("(", ", ", ")"))
+    val thr = if (exprs.length > 1)
+      litDouble("dedup_embedding", "threshold", exprs(1)) else 0.45
+    DedupOps.embeddingPairs(df, "vec_id", "embedding", thr)
       .queryExecution.analyzed
   }
 

@@ -136,6 +136,43 @@ class GraftExtensionsSpec extends SparkSpec {
       .foreach(t => s2.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("knn_probe and dedup_embedding TVFs agree with the library " +
+      "point probe and the exact pair miner") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val vecs = graft.sources.Tables.embeddings(s2, sfDir)
+    vecs.createOrReplaceTempView("probe_corpus_sql")
+    // knn_probe ≡ a one-row knnJoinWith through the same one-shot
+    // index, self-match removed, re-ranked
+    val probeId = vecs.select("vec_id").orderBy("vec_id")
+      .head().getLong(0)
+    val got = s2.sql(
+      s"SELECT * FROM knn_probe('probe_corpus_sql', $probeId, 5)")
+    assert(got.columns.toSeq === Seq("vec_id", "cos_sim", "rn"))
+    val gotRows = got.collect()
+    assert(gotRows.length === 5)
+    assert(gotRows.map(_.getInt(2)).toSeq === (1 to 5))
+    assert(!gotRows.exists(_.getLong(0) == probeId))
+    val want = graft.operators.AnnIndex
+      .build(vecs, "vec_id", "embedding", persist = false)
+      .knnJoinWith(vecs.filter(col("vec_id") === probeId),
+        "vec_id", "embedding", 6)
+      .filter(col("dst_id") =!= probeId)
+      .orderBy(col("cos_sim").desc, col("dst_id"))
+      .limit(5).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(gotRows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      want.toSeq)
+    // dedup_embedding ≡ the exact block-matrix pair miner
+    val pairsSql = s2.sql(
+      "SELECT * FROM dedup_embedding('probe_corpus_sql', 0.45)")
+    assert(pairsSql.columns.toSeq === Seq("a_id", "b_id", "cos_sim"))
+    assert(pairsSql.collect().map(_.toSeq).toSet ===
+      graft.operators.DedupOps
+        .embeddingPairs(vecs, "vec_id", "embedding", 0.45)
+        .collect().map(_.toSeq).toSet)
+  }
+
   test("document TVF family runs the table-level LLM operators from " +
       "pure SQL and agrees with the Scala API") {
     import org.apache.spark.sql.functions.col
