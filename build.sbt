@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout (no sbt
+// "[info] " logger prefix), and sbt's trailing "[success] Total time"
+// line is suppressed — together these make graft.Bench's final compact
+// JSON line the literal last line of `sbt "runMain graft.Bench"`
+// output, which a short stdout-tail capture can always parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+// the two keys above are read by sbt's command layer, not other tasks —
+// exclude them from the unused-key lint so startup stays warning-free
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
