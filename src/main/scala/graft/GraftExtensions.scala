@@ -148,6 +148,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("pack_sequences"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "pack_sequences"),
       (exprs: Seq[Expression]) => GraftExtensions.packSequencesPlan(exprs)))
+    // the TEXT-ANALYSIS tier, completing SQL reach over every document
+    // operator family: language-ID, quality signals, token budgets,
+    // repetition ratios, fingerprints, top-k TF-IDF terms
+    ext.injectTableFunction((FunctionIdentifier("lang_id"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "lang_id"),
+      (exprs: Seq[Expression]) => GraftExtensions.langIdPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("text_quality"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "text_quality"),
+      (exprs: Seq[Expression]) => GraftExtensions.textQualityPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("token_count"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "token_count"),
+      (exprs: Seq[Expression]) => GraftExtensions.tokenCountPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "repetition_stats"),
+      (exprs: Seq[Expression]) => GraftExtensions.repetitionStatsPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("doc_fingerprint"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "doc_fingerprint"),
+      (exprs: Seq[Expression]) => GraftExtensions.docFingerprintPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("tfidf_topk"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "tfidf_topk"),
+      (exprs: Seq[Expression]) => GraftExtensions.tfidfTopKPlan(exprs)))
   }
 }
 
@@ -156,7 +179,7 @@ object GraftExtensions {
   import org.apache.spark.sql.{DataFrame, SparkSession}
   import org.apache.spark.sql.functions.{col, row_number}
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-  import graft.operators.{AnnIndex, CurationOps, DedupOps, IvfIndex, IvfPqIndex, VectorIndex}
+  import graft.operators.{AnnIndex, CurationOps, DedupOps, IvfIndex, IvfPqIndex, TextOps, VectorIndex}
 
   private def litVal(fn: String, name: String, e: Expression): Any = {
     if (!e.foldable) throw new IllegalArgumentException(
@@ -549,5 +572,88 @@ object GraftExtensions {
       VectorOps.intArg("pack_sequences", "pack_tokens", exprs(2)) else 2048
     CurationOps.packSequences(df, "doc_id", "text", strata, packTokens)
       .queryExecution.analyzed
+  }
+
+  /** `lang_id(doc_table)` — the stopword-marker language-ID heuristic
+    * ([[TextOps.withLangId]]) from pure SQL: a codegen'd narrow map, no
+    * shuffle. Returns `(doc_id, pred_lang)` with pred_lang ∈
+    * en | de | fr | es (fixed tie order). */
+  private[graft] def langIdPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("lang_id(doc_table)", exprs, 1, 1)
+    val df = docTable("lang_id", litStr("lang_id", "doc_table", exprs(0)))
+    TextOps.withLangId(df, "text")
+      .select("doc_id", "pred_lang").queryExecution.analyzed
+  }
+
+  /** `text_quality(doc_table)` — pretraining-filter quality signals
+    * ([[TextOps.withQuality]]): token count, mean token length,
+    * stopword ratio, length bucket. Narrow map. Returns
+    * `(doc_id, n_tokens, avg_tok_len, stop_ratio, len_bucket)`. */
+  private[graft] def textQualityPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("text_quality(doc_table)", exprs, 1, 1)
+    val df = docTable("text_quality", litStr("text_quality", "doc_table",
+      exprs(0)))
+    TextOps.withQuality(df, "text")
+      .select("doc_id", "n_tokens", "avg_tok_len", "stop_ratio",
+        "len_bucket").queryExecution.analyzed
+  }
+
+  /** `token_count(doc_table)` — the token-budget estimators
+    * ([[TextOps.withTokenCounts]]): whitespace tokens and a BPE-ish
+    * regex count. Narrow map. Returns
+    * `(doc_id, ws_tokens, re_tokens)`. */
+  private[graft] def tokenCountPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("token_count(doc_table)", exprs, 1, 1)
+    val df = docTable("token_count", litStr("token_count", "doc_table",
+      exprs(0)))
+    TextOps.withTokenCounts(df, "text")
+      .select("doc_id", "ws_tokens", "re_tokens").queryExecution.analyzed
+  }
+
+  /** `repetition_stats(doc_table)` — Gopher-style repetition signals
+    * ([[TextOps.withRepetition]]): duplicate-token and duplicate-3-gram
+    * fractions per document, both in [0,1]. Single-pass codegen'd
+    * narrow map (the shingle set rides the native ShingleHashVec
+    * expression — no explode, no aggregate). Returns
+    * `(doc_id, dup_token_ratio, dup_3gram_ratio)`. */
+  private[graft] def repetitionStatsPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("repetition_stats(doc_table)", exprs, 1, 1)
+    val df = docTable("repetition_stats", litStr("repetition_stats",
+      "doc_table", exprs(0)))
+    TextOps.withRepetition(df, "text")
+      .select("doc_id", "dup_token_ratio", "dup_3gram_ratio")
+      .queryExecution.analyzed
+  }
+
+  /** `doc_fingerprint(doc_table)` — 1-permutation MinHash document
+    * fingerprint ([[TextOps.withFingerprint]]): min over 5-gram shingle
+    * md5s, the rolling-hash primitive exact-dedup groups on. Narrow
+    * map. Returns `(doc_id, fp)`. */
+  private[graft] def docFingerprintPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("doc_fingerprint(doc_table)", exprs, 1, 1)
+    val df = docTable("doc_fingerprint", litStr("doc_fingerprint",
+      "doc_table", exprs(0)))
+    TextOps.withFingerprint(df, "text")
+      .select("doc_id", "fp").queryExecution.analyzed
+  }
+
+  /** `tfidf_topk(doc_table [, k])` — top-`k` (default 3) TF-IDF terms
+    * per document ([[TextOps.tfidfTopK]], the rational variant:
+    * (tf/len)·(N/df), no libm log). One token explode feeding map-side-
+    * combined aggregates + a per-doc window top-k. Returns
+    * `(doc_id, tok, score, rk)` ordered by (doc_id, rk). */
+  private[graft] def tfidfTopKPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("tfidf_topk(doc_table [, k])", exprs, 1, 2)
+    val df = docTable("tfidf_topk", litStr("tfidf_topk", "doc_table",
+      exprs(0)))
+    val k = if (exprs.length > 1)
+      VectorOps.intArg("tfidf_topk", "k", exprs(1)) else 3
+    require(k > 0, s"tfidf_topk k must be positive; got $k")
+    TextOps.tfidfTopK(df, "doc_id", "text", k).queryExecution.analyzed
   }
 }

@@ -285,6 +285,68 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(err.getMessage.contains("strata_col"), err.getMessage)
   }
 
+  test("text-analysis TVFs (lang_id, text_quality, token_count, " +
+      "repetition_stats, doc_fingerprint, tfidf_topk) agree with the " +
+      "Scala API") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val docs = graft.sources.Tables.documents(s2, sfDir)
+    docs.createOrReplaceTempView("txt_docs_sql")
+    // lang_id ≡ withLangId projected to the prediction
+    val liSql = s2.sql("SELECT * FROM lang_id('txt_docs_sql')")
+    assert(liSql.columns.toSeq === Seq("doc_id", "pred_lang"))
+    assert(liSql.collect().map(_.toSeq).toSet ===
+      graft.operators.TextOps.withLangId(docs, "text")
+        .select("doc_id", "pred_lang").collect().map(_.toSeq).toSet)
+    // text_quality ≡ withQuality's four signals
+    val tqSql = s2.sql("SELECT * FROM text_quality('txt_docs_sql')")
+    assert(tqSql.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "avg_tok_len", "stop_ratio", "len_bucket"))
+    assert(tqSql.collect().map(_.toSeq).toSet ===
+      graft.operators.TextOps.withQuality(docs, "text")
+        .select("doc_id", "n_tokens", "avg_tok_len", "stop_ratio",
+          "len_bucket").collect().map(_.toSeq).toSet)
+    // token_count ≡ withTokenCounts
+    val tcSql = s2.sql("SELECT * FROM token_count('txt_docs_sql')")
+    assert(tcSql.collect().map(_.toSeq).toSet ===
+      graft.operators.TextOps.withTokenCounts(docs, "text")
+        .select("doc_id", "ws_tokens", "re_tokens")
+        .collect().map(_.toSeq).toSet)
+    // repetition_stats ≡ withRepetition
+    val rpSql = s2.sql("SELECT * FROM repetition_stats('txt_docs_sql')")
+    assert(rpSql.collect().map(_.toSeq).toSet ===
+      graft.operators.TextOps.withRepetition(docs, "text")
+        .select("doc_id", "dup_token_ratio", "dup_3gram_ratio")
+        .collect().map(_.toSeq).toSet)
+    // doc_fingerprint ≡ withFingerprint
+    val fpSql = s2.sql("SELECT * FROM doc_fingerprint('txt_docs_sql')")
+    assert(fpSql.collect().map(_.toSeq).toSet ===
+      graft.operators.TextOps.withFingerprint(docs, "text")
+        .select("doc_id", "fp").collect().map(_.toSeq).toSet)
+    // tfidf_topk at a non-default k ≡ tfidfTopK; default k = 3
+    val tfSql = s2.sql("SELECT * FROM tfidf_topk('txt_docs_sql', 2)")
+    assert(tfSql.columns.toSeq === Seq("doc_id", "tok", "score", "rk"))
+    assert(tfSql.collect().map(_.toSeq).toSet ===
+      graft.operators.TextOps.tfidfTopK(docs, "doc_id", "text", 2)
+        .collect().map(_.toSeq).toSet)
+    assert(s2.sql("SELECT * FROM tfidf_topk('txt_docs_sql')")
+      .groupBy("doc_id").count().select("count").distinct()
+      .collect().map(_.getLong(0)).forall(_ <= 3))
+    // contract violation fails at plan-build time naming the contract
+    docs.select(col("doc_id"), col("text").as("body"))
+      .createOrReplaceTempView("txt_docs_bad_sql")
+    val err = intercept[Exception] {
+      s2.sql("SELECT * FROM lang_id('txt_docs_bad_sql')").collect()
+    }
+    assert(err.getMessage.contains("(doc_id, text)"), err.getMessage)
+    // a non-positive k names the argument instead of planning an
+    // empty-window query
+    val errK = intercept[Exception] {
+      s2.sql("SELECT * FROM tfidf_topk('txt_docs_sql', 0)").collect()
+    }
+    assert(errK.getMessage.contains("k must be positive"), errK.getMessage)
+  }
+
   test("SQL minhash_sig agrees with the library column API") {
     import org.apache.spark.sql.functions._
     val s2 = spark.newSession()
