@@ -481,7 +481,10 @@ object IvfIndex {
     * being some vector's best super-cell — ranking it would drop the
     * vector at the member join). Deterministic end-to-end: hash-seeded
     * super-seeds, DECIMAL-exact means, ties to the lowest id at both
-    * levels. */
+    * levels. Measured end-to-end (tools.TwoLevelProbe, BASELINE.md
+    * §Round-9): probe recall degrades far less than assignment
+    * agreement — mis-routes land in adjacent, still-probed cells —
+    * and doubling nprobe recovers the single-level recall band. */
   private[graft] def assignTwoLevel(e: DataFrame, cdf: DataFrame,
       k: Int): DataFrame = {
     import graft.functions.{VectorOps => V}
