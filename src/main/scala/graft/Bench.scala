@@ -135,5 +135,10 @@ object Bench {
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$RUNS,"included":$included,"errors_count":${errors.size},"detail":"$out"}"""
     println(compact)
     spark.stop()
+    // A run with analysis failures must not read as healthy: the r9 driver
+    // artifact carried rc=0 with 18 queries errored (-1.0, excluded from the
+    // total) and the regression slipped past. Any per-query error is a
+    // nonzero exit so the round gates on it.
+    if (errors.nonEmpty) sys.exit(2)
   }
 }

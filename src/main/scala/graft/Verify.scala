@@ -21,10 +21,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Queries that error before producing output must stay visible: in r9
+    // the driver's correctness file silently DROPPED 18 failed queries
+    // (69 entries vs 87) and coverage shrank without a single failure row.
+    // Record every failure here and exit nonzero so absence can never read
+    // as health.
+    val failed = collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed(name) = s"${e.getClass.getSimpleName}: " +
+          Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -43,6 +51,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(2)
   }
 }

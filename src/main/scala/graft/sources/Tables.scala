@@ -38,17 +38,29 @@ object Tables {
     }
   }
 
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * 4.x rejects outright. We read the raw int64 nanos
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate ns→µs — exactly
-    * the truncation DuckDB applies natively, so oracle timestamps agree
-    * (SURVEY.md §1.2).
+  /** The driver has shipped `events.parquet` with two `ts` layouts: parquet
+    * TIMESTAMP(NANOS) (which Spark 4.x rejects outright, so we read the raw
+    * int64 nanos via `spark.sql.legacy.parquet.nanosAsLong` and truncate
+    * ns→µs — the truncation DuckDB applies natively, SURVEY.md §1.2) and,
+    * since round 9, plain TIMESTAMP(MICROS) which Spark reads directly.
+    * Adapt on the inferred type rather than assuming either layout: only a
+    * LongType `ts` (the nanos-as-long read) needs the conversion.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
-      .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Micros-without-zone infers as NTZ; downstream code (and the old
+        // nanos path's timestamp_micros) expects TimestampType. The session
+        // runs UTC, so this cast is wall-clock-identical to DuckDB's naive
+        // read of the same file.
+        raw.withColumn("ts", col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =

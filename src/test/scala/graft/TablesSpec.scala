@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Pins the `events.ts` loader adaptation (Tables.events).
+  *
+  * The driver has regenerated `events.parquet` with different physical `ts`
+  * layouts across rounds: TIMESTAMP(NANOS) (read as raw int64 via
+  * nanosAsLong), and since round 9 TIMESTAMP(MICROS) (which Spark infers as
+  * TIMESTAMP_NTZ). Round 9 lost all 18 events-backed queries to a loader
+  * that assumed the nanos layout — this suite makes any future layout change
+  * fail HERE, in `sbt test`, instead of silently at driver time.
+  */
+class TablesSpec extends SparkSpec {
+  import graft.sources.Tables
+
+  test("driver testdata events.ts resolves to TimestampType and queries run") {
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.schema("ts").dataType == TimestampType,
+      s"ts inferred as ${ev.schema("ts").dataType}")
+    // unix_micros is the canary: it rejects both LongType and TIMESTAMP_NTZ,
+    // the two raw layouts the loader must normalize away.
+    val n = ev.select(expr("unix_micros(ts)")).count()
+    assert(n > 0)
+  }
+
+  test("legacy int64-nanos layout still converts (ts div 1000 branch)") {
+    val dir = s"/tmp/graft-events-nanos-${System.nanoTime()}"
+    // 2020-01-01T00:00:00.123456789Z in nanos; truncation keeps micros
+    val nanos = 1577836800L * 1000000000L + 123456789L
+    spark.range(1).select(lit(nanos).as("ts"), lit("d1").as("device"))
+      .write.parquet(s"$dir/events.parquet")
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val micros = ev.select(expr("unix_micros(ts)")).head.getLong(0)
+    assert(micros == 1577836800L * 1000000L + 123456L)
+  }
+
+  test("micros-NTZ layout passes through as wall-clock-identical TIMESTAMP") {
+    val dir = s"/tmp/graft-events-ntz-${System.nanoTime()}"
+    spark.range(1)
+      .select(expr("CAST(TIMESTAMP_NTZ'2020-01-01 00:00:00.123456' AS " +
+        "TIMESTAMP_NTZ)").as("ts"), lit("d1").as("device"))
+      .write.parquet(s"$dir/events.parquet")
+    // Confirm the fixture really round-trips as NTZ before testing the loader
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+      != LongType)
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    // Session TZ is UTC, so the cast must preserve the wall-clock instant
+    val micros = ev.select(expr("unix_micros(ts)")).head.getLong(0)
+    assert(micros == 1577836800L * 1000000L + 123456L)
+  }
+}
