@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{JaccardSorted, MinHashSig, PlaneProject, PlaneSigs, PlaneSketch, ShingleHashVec, SketchDot, SortedIntersectCount, VectorDot, VectorOps}
+import graft.functions.{JaccardSorted, MinHashSig, NfcNormalize, PlaneProject, PlaneSigs, PlaneSketch, ShingleHashVec, SketchDot, SortedIntersectCount, VectorDot, VectorOps}
 
 /** Session-extension entry point: registers the engine's native
   * expressions as session functions at SparkSession build time, so any
@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
     // The hyperplane-sketch family (the ANN/IVF compact-code surface);
     // int parameters are validated foldable literals (clear analysis
     // errors instead of cast failures — VectorOps.intArg)
@@ -171,6 +174,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("tfidf_topk"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "tfidf_topk"),
       (exprs: Seq[Expression]) => GraftExtensions.tfidfTopKPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("normalize_text"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "normalize_text"),
+      (exprs: Seq[Expression]) => GraftExtensions.normalizeTextPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("corpus_shuffle"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "corpus_shuffle"),
+      (exprs: Seq[Expression]) => GraftExtensions.corpusShufflePlan(exprs)))
   }
 }
 
@@ -626,6 +637,37 @@ object GraftExtensions {
     TextOps.withRepetition(df, "text")
       .select("doc_id", "dup_token_ratio", "dup_3gram_ratio")
       .queryExecution.analyzed
+  }
+
+  /** `normalize_text(doc_table)` — canonical cleanup
+    * ([[TextOps.normalizeText]]): Unicode NFC, control/whitespace runs
+    * collapsed to one space, trimmed. Codegen'd narrow map. Returns
+    * `(doc_id, clean)`. */
+  private[graft] def normalizeTextPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("normalize_text(doc_table)", exprs, 1, 1)
+    val df = docTable("normalize_text", litStr("normalize_text",
+      "doc_table", exprs(0)))
+    df.select(col("doc_id"),
+        TextOps.normalizeText(col("text")).as("clean"))
+      .queryExecution.analyzed
+  }
+
+  /** `corpus_shuffle(doc_table [, n_shards])` — deterministic global
+    * shuffle + shard assignment for training export
+    * ([[CurationOps.corpusShuffle]]): md5-ordered within md5-assigned
+    * shards, reproducible across runs and engines. One narrow map plus
+    * one per-shard window. Returns `(doc_id, shard, pos)`. */
+  private[graft] def corpusShufflePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("corpus_shuffle(doc_table [, n_shards])", exprs, 1, 2)
+    val df = docTable("corpus_shuffle", litStr("corpus_shuffle",
+      "doc_table", exprs(0)))
+    val nShards = if (exprs.length > 1)
+      VectorOps.intArg("corpus_shuffle", "n_shards", exprs(1)) else 8
+    require(nShards > 0, s"corpus_shuffle n_shards must be > 0, got $nShards")
+    CurationOps.corpusShuffle(df, "doc_id", nShards)
+      .select("doc_id", "shard", "pos").queryExecution.analyzed
   }
 
   /** `doc_fingerprint(doc_table)` — 1-permutation MinHash document

@@ -263,6 +263,51 @@ object JaccardSorted {
   }
 }
 
+/** Unicode NFC normalization (UAX #15 canonical composition) — the text
+  * cleanup step Spark has no builtin for. Name and semantics match
+  * DuckDB's `nfc_normalize`, so the oracle computes it natively. ASCII
+  * input (the overwhelming case in a web corpus) short-circuits on a
+  * byte scan without materializing a java String. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  def computeFor(input: UTF8String): UTF8String = {
+    val n = input.numBytes()
+    val base = input.getBaseObject
+    val off = input.getBaseOffset
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((org.apache.spark.unsafe.Platform.getByte(base, off + i) & 0x80) != 0)
+        ascii = false
+      i += 1
+    }
+    if (ascii) input
+    else {
+      val s = input.toString
+      if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC))
+        input
+      else UTF8String.fromString(
+        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeFor(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcNormalize", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeFor($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 /** Column-level API for the text-hash expressions, registered through the
   * session `FunctionRegistry` and invoked via `call_function` (Spark 4
   * removed the public Column-from-Expression constructor — same pattern
@@ -289,6 +334,8 @@ object TextHashOps {
         exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("sorted_intersect_count",
         exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction("nfc_normalize",
+        exprs => NfcNormalize(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("might_contain",
         exprs => new org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
@@ -316,6 +363,11 @@ object TextHashOps {
   /** |A∩B| of two sorted distinct `array<long>` columns. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+
+  /** Unicode NFC normalization of a string column (codegen'd; ASCII
+    * fast path). Matches DuckDB's `nfc_normalize`. */
+  def nfcNormalize(text: Column): Column =
+    call_function("nfc_normalize", text)
 
   /** Bloom-filter membership probe: `bloom` is a serialized filter (the
     * binary produced by Spark's `bloom_filter_agg`, as a literal or

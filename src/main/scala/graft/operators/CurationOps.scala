@@ -287,6 +287,40 @@ object CurationOps {
       regexp_replace(text, EmailRe, "<EMAIL>"),
       LongIdRe, "<ID>")
 
+  /** Deterministic global shuffle + shard assignment — the last step
+    * before a training export: examples must arrive in a reproducible
+    * pseudo-random order, sharded into equal-ish files. The order key is
+    * the FULL 128-bit md5 hex of a salted id (collision-free in
+    * practice, id tie-break for determinism anyway); the shard comes
+    * from the trailing 16 bits so it is independent of the leading-byte
+    * sort order. Appends `shard` and `pos` (1-based rank within shard).
+    *
+    * Scale shape: one narrow md5 map, then ONE window partitioned by
+    * shard — each shard sorts independently in its own task(s). nShards
+    * is the parallelism/file-size knob: at 100 TB size it to
+    * ~corpus/1 GB (e.g. 10⁵ shards) so every per-shard sort is a
+    * spillable single-task sort, and the export writes one file per
+    * shard with no further shuffle. */
+  def corpusShuffle(df: DataFrame, idCol: String,
+      nShards: Int = 8, salt: String = "shuffle:"): DataFrame = {
+    val h = "__gs_h"
+    df.withColumn(h, md5(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring(col(h), 29, 4), 16, 10).cast("long"),
+          lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col(h), col(idCol))))
+      .drop(h)
+  }
+
+  // The oracle's spelling of the trailing-16-bit shard draw (DuckDB
+  // lacks base-16 conv; nibbles parsed positionally, like sqlDraw).
+  private def sqlShard(h: String, nShards: Int): String =
+    (0 until 4).map { i =>
+      s"(instr('0123456789abcdef', substr($h, ${29 + i}, 1)) - 1) " +
+        s"* ${1 << (4 * (3 - i))}"
+    }.mkString("((", " + ", s") % $nShards)")
+
   /** Composite quality filter (Gopher-style rules) over the metrics of
     * [[TextOps.withQuality]]: token-count band, minimum stopword ratio,
     * average-token-length band. Pure narrow filter. */
@@ -449,6 +483,28 @@ object CurationOps {
           .select("doc_id", "lang")
           .orderBy("doc_id")
       }),
+
+    // Deterministic shuffle + shard for training export: 8 shards,
+    // reproducible pseudo-random within-shard order. `pos` makes the
+    // ORDER itself content-visible to the (order-insensitive) hash
+    // compare — two engines disagreeing on the permutation produce
+    // different (doc_id, pos) rows.
+    Query(
+      "q_corpus_shuffle",
+      Some(s"""WITH t AS (
+                 SELECT doc_id,
+                        md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS h
+                 FROM documents),
+               s AS (SELECT doc_id, h,
+                            CAST(${sqlShard("h", 8)} AS INT) AS shard
+                     FROM t)
+               SELECT doc_id, shard,
+                      CAST(row_number() OVER (
+                        PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+               FROM s ORDER BY doc_id"""),
+      (s, d) => corpusShuffle(Tables.documents(s, d), "doc_id")
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")),
 
     // The curation funnel: stage-survival counts per (source, lang,
     // split) — total → quality → exact-dup keeper → NEAR-dup cluster

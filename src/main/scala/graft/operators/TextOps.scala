@@ -92,6 +92,19 @@ object TextOps {
           6))
   }
 
+  /** Canonical text cleanup: Unicode NFC (via the codegen'd
+    * [[graft.functions.NfcNormalize]] — visually-identical strings must
+    * hash identically before any dedup), then every run of control
+    * chars/whitespace/DEL (`[\x00-\x20\x7f]+` — the explicit class, not
+    * `\s`, because Java and RE2 disagree on whether `\s` covers
+    * vertical tab) collapses to one space, then trim. One narrow
+    * codegen'd pass; the NFC step is a byte-scan no-op on ASCII. */
+  def normalizeText(text: Column): Column = {
+    import graft.functions.TextHashOps
+    trim(regexp_replace(TextHashOps.nfcNormalize(text),
+      "[\\x00-\\x20\\x7f]+", " "))
+  }
+
   /** Token-budget estimators: whitespace tokens and a BPE-ish regex
     * (letter runs / digit runs / single non-alnum). Appends 2 columns. */
   def withTokenCounts(df: DataFrame, textCol: String): DataFrame =
@@ -297,6 +310,26 @@ object TextOps {
         withTokenCounts(Tables.documents(s, d), "text")
           .select("doc_id", "ws_tokens", "re_tokens")
           .orderBy("doc_id")),
+
+    // Text normalization — the cleanup pass a pretraining pipeline runs
+    // before any hashing or dedup (NFC so visually-identical strings
+    // hash identically, control/whitespace collapse, trim). The corpus
+    // is ASCII, so like q_pii_scrub the query PLANTS a dirty prefix —
+    // a decomposed e+U+0301, a tab, a vertical tab, a doubled space —
+    // and both engines must converge on the same clean bytes.
+    Query(
+      "q_text_normalize",
+      Some("""SELECT doc_id,
+                     trim(regexp_replace(
+                       nfc_normalize('Cafe' || chr(769) || chr(9) || 'No' ||
+                         chr(11) || '12  ' || text),
+                       '[\x00-\x20\x7f]+', ' ', 'g')) AS clean
+              FROM documents ORDER BY doc_id"""),
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          normalizeText(concat(lit("Cafe\u0301\tNo\u000b12  "), col("text")))
+            .as("clean"))
+        .orderBy("doc_id")),
 
     // Document fingerprint over the driver corpus.
     Query(

@@ -232,4 +232,39 @@ class CurationSpec extends SparkSpec {
       }
     assert(kept.count() > 0)
   }
+
+  test("corpus shuffle: total, deterministic, contiguous per-shard ranks, " +
+      "shuffle order independent of id order") {
+    import org.apache.spark.sql.functions._
+    val n = docs.count()
+    val out = CurationOps.corpusShuffle(docs, "doc_id", nShards = 8)
+      .select("doc_id", "shard", "pos")
+    // total: every document assigned exactly once
+    assert(out.count() === n)
+    // rerun is bit-identical (no RNG state, stable under repartitioning)
+    assert(out.collect().map(_.toSeq).toSet ===
+      CurationOps.corpusShuffle(docs.repartition(7), "doc_id", 8)
+        .select("doc_id", "shard", "pos").collect().map(_.toSeq).toSet)
+    // per-shard positions are exactly 1..count(shard) — an export can
+    // address (shard, pos) as a dense file offset
+    out.groupBy("shard").agg(count(lit(1)).as("c"), max(col("pos")).as("m"),
+        min(col("pos")).as("lo"), countDistinct(col("pos")).as("d"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("c") === r.getAs[Int]("m").toLong)
+        assert(r.getAs[Int]("lo") === 1)
+        assert(r.getAs[Long]("d") === r.getAs[Long]("c"))
+      }
+    // shards cover the full range and are roughly balanced (md5 uniform:
+    // each shard within 3x of fair share on 500 docs)
+    val sizes = out.groupBy("shard").count().collect()
+      .map(r => r.getAs[Int]("shard") -> r.getAs[Long]("count")).toMap
+    assert(sizes.keySet === (0 until 8).toSet)
+    sizes.values.foreach(c => assert(c > n / 24 && c < n * 3 / 8))
+    // the permutation actually shuffles: within-shard order must not be
+    // id order (P(sorted by chance) ~ 1/(m!) per shard)
+    val firstShard = out.filter(col("shard") === 0)
+      .orderBy("pos").select("doc_id").collect().map(_.getLong(0))
+    assert(firstShard.length > 3)
+    assert(!(firstShard.toSeq == firstShard.sorted.toSeq))
+  }
 }

@@ -347,6 +347,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(errK.getMessage.contains("k must be positive"), errK.getMessage)
   }
 
+  test("normalize_text and corpus_shuffle TVFs agree with the Scala API") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val docs = graft.sources.Tables.documents(s2, sfDir)
+    docs.createOrReplaceTempView("norm_docs_sql")
+    val ntSql = s2.sql("SELECT * FROM normalize_text('norm_docs_sql')")
+    assert(ntSql.columns.toSeq === Seq("doc_id", "clean"))
+    assert(ntSql.collect().map(_.toSeq).toSet ===
+      docs.select(col("doc_id"),
+          graft.operators.TextOps.normalizeText(col("text")).as("clean"))
+        .collect().map(_.toSeq).toSet)
+    // corpus_shuffle at a non-default shard count ≡ corpusShuffle
+    val csSql = s2.sql("SELECT * FROM corpus_shuffle('norm_docs_sql', 4)")
+    assert(csSql.columns.toSeq === Seq("doc_id", "shard", "pos"))
+    assert(csSql.collect().map(_.toSeq).toSet ===
+      graft.operators.CurationOps.corpusShuffle(docs, "doc_id", 4)
+        .select("doc_id", "shard", "pos").collect().map(_.toSeq).toSet)
+    val errN = intercept[Exception] {
+      s2.sql("SELECT * FROM corpus_shuffle('norm_docs_sql', 0)").collect()
+    }
+    assert(errN.getMessage.contains("n_shards"), errN.getMessage)
+  }
+
   test("SQL minhash_sig agrees with the library column API") {
     import org.apache.spark.sql.functions._
     val s2 = spark.newSession()

@@ -25,6 +25,40 @@ class TablesSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("driver testdata carries the columns and types the engine assumes") {
+    import org.apache.spark.sql.types._
+    // The canary for the NEXT silent regeneration: every column the query
+    // surface depends on, with its loader-normalized type. A driver-side
+    // layout change fails here, in `sbt test`, naming the drifted column.
+    val expected = Map(
+      "documents" -> Seq("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType,
+        "n_chars" -> LongType),
+      "embeddings" -> Seq("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType), "label" -> IntegerType),
+      "events" -> Seq("event_id" -> LongType, "ts" -> TimestampType,
+        "user_id" -> LongType, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType))
+    expected.foreach { case (table, cols) =>
+      val schema = Tables(spark, sfDir, table).schema
+      cols.foreach { case (name, tpe) =>
+        assert(schema.fieldNames.contains(name), s"$table lost column $name")
+        assert(schema(name).dataType == tpe,
+          s"$table.$name drifted to ${schema(name).dataType}, engine " +
+            s"assumes $tpe")
+      }
+    }
+    // the TPC-H-ish star: key columns only (join keys + the measures the
+    // pricing/window queries aggregate)
+    val li = Tables.lineitem(spark, sfDir).schema
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate")
+      .foreach(c => assert(li.fieldNames.contains(c), s"lineitem lost $c"))
+    val ord = Tables.orders(spark, sfDir).schema
+    Seq("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .foreach(c => assert(ord.fieldNames.contains(c), s"orders lost $c"))
+  }
+
   test("legacy int64-nanos layout still converts (ts div 1000 branch)") {
     val dir = s"/tmp/graft-events-nanos-${System.nanoTime()}"
     // 2020-01-01T00:00:00.123456789Z in nanos; truncation keeps micros

@@ -80,4 +80,33 @@ class TextHashSpec extends SparkSpec {
     assert(h === s)
     assert(s.nonEmpty)
   }
+
+  test("nfc_normalize composes decomposed sequences and is an ASCII no-op") {
+    import spark.implicits._
+    // decomposed e + U+0301 must compose to the precomposed é; ASCII and
+    // already-composed input pass through byte-identical; null stays null
+    val rows = Seq(
+      (1L, "Cafe\u0301"),          // decomposed -> "Café"
+      (2L, "Café"),           // already NFC -> unchanged
+      (3L, "plain ascii text"),    // ASCII fast path
+      (4L, "")).toDF("id", "t")
+      .select(col("id"), TextHashOps.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) === "Café")
+    assert(rows(2L) === "Café")
+    assert(rows(3L) === "plain ascii text")
+    assert(rows(4L) === "")
+    val n = Seq(Tuple1(null: String)).toDF("t")
+      .select(TextHashOps.nfcNormalize(col("t")).as("n")).head
+    assert(n.isNullAt(0))
+  }
+
+  test("normalizeText collapses control/whitespace runs after NFC") {
+    import spark.implicits._
+    val out = Seq((1L, "Cafe\u0301\tNo\u000b12  x \r\n y\u007f"))
+      .toDF("id", "t")
+      .select(graft.operators.TextOps.normalizeText(col("t")).as("n"))
+      .head.getString(0)
+    assert(out === "Café No 12 x y")
+  }
 }
