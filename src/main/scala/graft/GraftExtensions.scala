@@ -119,6 +119,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(GraftExtensions.getClass.getName,
         "dedup_embedding"),
       (exprs: Seq[Expression]) => GraftExtensions.dedupEmbeddingPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("dedup_semantic"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "dedup_semantic"),
+      (exprs: Seq[Expression]) => GraftExtensions.dedupSemanticPlan(exprs)))
     ext.injectTableFunction((FunctionIdentifier("dedup_pairs"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "dedup_pairs"),
       (exprs: Seq[Expression]) => GraftExtensions.dedupPairsPlan(exprs)))
@@ -375,6 +379,31 @@ object GraftExtensions {
     val thr = if (exprs.length > 1)
       litDouble("dedup_embedding", "threshold", exprs(1)) else 0.45
     DedupOps.embeddingPairs(df, "vec_id", "embedding", thr)
+      .queryExecution.analyzed
+  }
+
+  /** `dedup_semantic(vec_table [, threshold [, n_clusters]])` —
+    * SemDeDup-style clustered semantic dedup
+    * ([[DedupOps.semanticDedup]]): deterministic Lloyd clustering, then
+    * exact cosine pairs WITHIN clusters only, keep-lowest-id. Returns
+    * `(vec_id, cell, keeper)`. `n_clusters` 0 = the quantizer's auto
+    * policy (4·√n). */
+  private[graft] def dedupSemanticPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("dedup_semantic(vec_table [, threshold [, n_clusters]])",
+      exprs, 1, 3)
+    val name = litStr("dedup_semantic", "vec_table", exprs(0))
+    val df = SparkSession.active.table(name)
+    require(df.columns.contains("vec_id") &&
+        df.columns.contains("embedding"),
+      s"dedup_semantic expects table '$name' to carry " +
+        s"(vec_id, embedding); found " +
+        df.columns.mkString("(", ", ", ")"))
+    val thr = if (exprs.length > 1)
+      litDouble("dedup_semantic", "threshold", exprs(1)) else 0.45
+    val k = if (exprs.length > 2)
+      VectorOps.intArg("dedup_semantic", "n_clusters", exprs(2)) else 0
+    DedupOps.semanticDedup(df, "vec_id", "embedding", thr, k)
       .queryExecution.analyzed
   }
 

@@ -514,6 +514,52 @@ object DedupOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Semantic dedup, SemDeDup-style (cluster-then-verify; Abbas et al.
+    * 2023, PAPERS.md): cluster the embedding space with the engine's
+    * deterministic Lloyd quantizer ([[IvfIndex.build]] — hash-seeded
+    * starts, DECIMAL-exact means, bit-reproducible), then mine exact
+    * cosine-≥threshold pairs WITHIN clusters only and drop every vector
+    * with a smaller-id in-cluster neighbor (the family's keep-lowest-id
+    * stance). Returns `(vec_id, cell, keeper)` over the full input.
+    *
+    * The trade vs [[embeddingPairs]] (exact, block-matrix, honestly
+    * quadratic): pair work drops from n²/2 to Σ_c n_c²/2 ≈ n²/(2k) —
+    * at the SemDeDup operating point (k ∝ √n, near-identical
+    * thresholds) that is an O(√n)-fold cut, the difference between
+    * infeasible and routine at 10⁹ vectors — in exchange for missing
+    * cross-cluster pairs. Recall is highest where semantic dedup is
+    * actually run (near-identical pairs co-cluster almost surely;
+    * DedupOpsSpec measures the corpus's recall vs the exact pair set
+    * and pins precision exact-by-construction). The within-cell join
+    * is a cell-key equi-join — no cartesian, AQE splits hot cells the
+    * same way the kNN stage-1 join does (PlanSpec "hot-cell skew").
+    *
+    * `nClusters = 0` → the quantizer's auto policy (4·√n). Smaller k
+    * raises recall and cost together; k = 1 degenerates to the exact
+    * all-pairs semantics. */
+  def semanticDedup(vectors: DataFrame, idCol: String, embCol: String,
+      threshold: Double = 0.45, nClusters: Int = 0): DataFrame = {
+    import graft.functions.VectorOps
+    val idx = IvfIndex.build(vectors, idCol, embCol, k = nClusters,
+      persist = false, sketch = false)
+    val assigned = idx.cells
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val lhs = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val rhs = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val dropped = lhs.join(rhs, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(VectorOps.dot(col("ea"), col("eb")) /
+        (col("na") * col("nb")) >= threshold)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.join(dropped.withColumn("__gs_d", lit(true)),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("__gs_d"), lit(false)).unary_!.as("keeper"))
+  }
+
   /** Library form: EXACT n-gram (shingle) Jaccard near-duplicate pairs
     * via the same distributed block-matrix shape as [[embeddingPairs]].
     * Complements [[minhashPairs]]: LSH recall is probabilistic and
@@ -1001,6 +1047,34 @@ object DedupOps {
                        sqrt(list_inner_product(b.e, b.e))) >= 0.45
               ORDER BY a_id, b_id"""),
       (s, d) => embeddingPairs(Tables.embeddings(s, d),
-        "vec_id", "embedding", threshold = 0.45))
+        "vec_id", "embedding", threshold = 0.45)),
+
+    // Semantic dedup at its real operating point (near-identical pairs).
+    // The corpus's max pair cosine is ~0.5, so the query PLANTS
+    // 0.5-scaled copies of every 20th vector: exactly parallel
+    // (cos 1.0 — scaling is a power of two, so BestCell scores scale
+    // exactly and each copy provably co-clusters with its original).
+    // At threshold 0.95 the result is fully determined — every copy
+    // drops, everything else keeps — so unlike the recall-gated ANN
+    // family this clustered path is ORACLE-gated: a cross-cluster miss
+    // or an invented drop is a hash mismatch, not a soft metric.
+    Query(
+      "q_dedup_semantic",
+      Some("""SELECT vec_id, keeper FROM (
+                SELECT vec_id, true AS keeper FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000 AS vec_id, false AS keeper
+                FROM embeddings WHERE vec_id % 20 = 0)
+              ORDER BY vec_id"""),
+      (s, d) => {
+        val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val planted = vecs.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+            transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+        semanticDedup(vecs.unionByName(planted), "vec_id", "embedding",
+            threshold = 0.95)
+          .select("vec_id", "keeper")
+          .orderBy("vec_id")
+      })
   )
 }

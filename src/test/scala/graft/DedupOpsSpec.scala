@@ -366,4 +366,43 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.duplicatePassages(scrubbed, "doc_id", "text", k = 8)
       .count() === 0L)
   }
+
+  test("semantic dedup: deterministic, drops are a subset of the exact " +
+      "pair set, and planted parallel copies are always caught") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    // determinism under repartitioning (Lloyd is hash-seeded + exact)
+    val out = DedupOps.semanticDedup(vecs, "vec_id", "embedding", 0.45)
+      .select("vec_id", "cell", "keeper")
+    assert(out.collect().map(_.toSeq).toSet ===
+      DedupOps.semanticDedup(vecs.repartition(7), "vec_id", "embedding",
+        0.45).select("vec_id", "cell", "keeper")
+        .collect().map(_.toSeq).toSet)
+    assert(out.count() === vecs.count())
+    // precision is exact BY CONSTRUCTION (within-cell pairs are exact
+    // cosine): every non-keeper must appear as the larger id of a pair
+    // in the global exact set — cluster pruning can miss, never invent
+    val exactDropIds = DedupOps.embeddingPairs(vecs, "vec_id", "embedding",
+      0.45).select(col("b_id")).distinct().collect().map(_.getLong(0)).toSet
+    val semDropIds = out.filter(!col("keeper")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(semDropIds.subsetOf(exactDropIds),
+      s"invented drops: ${semDropIds.diff(exactDropIds)}")
+    // the operator's real operating point — near-identical duplicates:
+    // a 0.5-scaled copy is exactly parallel (cos 1.0) and BestCell
+    // scores scale exactly (power-of-two), so every copy co-clusters
+    // with its original and MUST drop; all originals keep (corpus max
+    // pair cosine ~0.5, far under 0.95)
+    val planted = vecs.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+    val nPlanted = planted.count()
+    assert(nPlanted > 0)
+    val sem95 = DedupOps.semanticDedup(vecs.unionByName(planted),
+      "vec_id", "embedding", 0.95)
+    val dropped95 = sem95.filter(!col("keeper")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(dropped95 === planted.select("vec_id").collect()
+      .map(_.getLong(0)).toSet)
+  }
 }

@@ -370,6 +370,25 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(errN.getMessage.contains("n_shards"), errN.getMessage)
   }
 
+  test("dedup_semantic TVF agrees with the Scala API") {
+    val s2 = spark.newSession()
+    val vecs = graft.sources.Tables.embeddings(s2, sfDir)
+      .select("vec_id", "embedding")
+    vecs.createOrReplaceTempView("sem_vecs_sql")
+    val sql = s2.sql(
+      "SELECT * FROM dedup_semantic('sem_vecs_sql', 0.45, 16)")
+    assert(sql.columns.toSeq === Seq("vec_id", "cell", "keeper"))
+    assert(sql.collect().map(_.toSeq).toSet ===
+      graft.operators.DedupOps.semanticDedup(vecs, "vec_id", "embedding",
+        0.45, 16).collect().map(_.toSeq).toSet)
+    vecs.withColumnRenamed("embedding", "emb")
+      .createOrReplaceTempView("sem_vecs_bad_sql")
+    val err = intercept[Exception] {
+      s2.sql("SELECT * FROM dedup_semantic('sem_vecs_bad_sql')").collect()
+    }
+    assert(err.getMessage.contains("(vec_id, embedding)"), err.getMessage)
+  }
+
   test("SQL minhash_sig agrees with the library column API") {
     import org.apache.spark.sql.functions._
     val s2 = spark.newSession()
