@@ -178,6 +178,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("tfidf_topk"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "tfidf_topk"),
       (exprs: Seq[Expression]) => GraftExtensions.tfidfTopKPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("sample_budget"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "sample_budget"),
+      (exprs: Seq[Expression]) => GraftExtensions.sampleBudgetPlan(exprs)))
     ext.injectTableFunction((FunctionIdentifier("normalize_text"),
       new ExpressionInfo(GraftExtensions.getClass.getName,
         "normalize_text"),
@@ -611,6 +615,26 @@ object GraftExtensions {
     val packTokens = if (exprs.length > 2)
       VectorOps.intArg("pack_sequences", "pack_tokens", exprs(2)) else 2048
     CurationOps.packSequences(df, "doc_id", "text", strata, packTokens)
+      .queryExecution.analyzed
+  }
+
+  /** `sample_budget(doc_table, budget_tokens)` — token-budget sampling
+    * ([[CurationOps.sampleTokenBudget]]): the budget-length prefix of
+    * the derandomized corpus shuffle, via a two-level distributed
+    * prefix sum. Returns `(doc_id, n_tokens, cum_tokens)`. */
+  private[graft] def sampleBudgetPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("sample_budget(doc_table, budget_tokens)", exprs, 2, 2)
+    val df = docTable("sample_budget", litStr("sample_budget",
+      "doc_table", exprs(0)))
+    val budget = litVal("sample_budget", "budget_tokens", exprs(1)) match {
+      case n: Number => n.longValue()
+      case v => throw new IllegalArgumentException(
+        s"sample_budget budget_tokens must be a number, got $v")
+    }
+    require(budget > 0,
+      s"sample_budget budget_tokens must be > 0, got $budget")
+    CurationOps.sampleTokenBudget(df, "doc_id", "text", budget)
       .queryExecution.analyzed
   }
 

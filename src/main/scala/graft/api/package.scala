@@ -194,6 +194,25 @@ package object api {
         maxAvgTokLen: Double = 5.0): DataFrame =
       CurationOps.qualityFilter(df, textCol, minTokens, maxTokens,
         minStopRatio, maxAvgTokLen)
+
+    /** Canonical text cleanup (NFC + control/whitespace collapse + trim)
+      * appended as `outCol`. One codegen'd narrow pass. */
+    def withNormalizedText(textCol: String,
+        outCol: String = "clean"): DataFrame =
+      df.withColumn(outCol, TextOps.normalizeText(col(textCol)))
+
+    /** Deterministic global shuffle + shard assignment for training
+      * export: appends `shard` and `pos` (dense 1-based rank within
+      * shard). At warehouse scale size nShards ≈ corpus/1 GB. */
+    def corpusShuffle(idCol: String, nShards: Int = 8): DataFrame =
+      CurationOps.corpusShuffle(df, idCol, nShards)
+
+    /** Token-budget sampling: the budget-length prefix of the
+      * derandomized shuffle, via a two-level distributed prefix sum.
+      * Returns `(doc_id, n_tokens, cum_tokens)`. */
+    def sampleTokenBudget(idCol: String, textCol: String,
+        budgetTokens: Long): DataFrame =
+      CurationOps.sampleTokenBudget(df, idCol, textCol, budgetTokens)
   }
 
   implicit class GraftVectorOps(private val df: DataFrame) {
@@ -215,6 +234,13 @@ package object api {
     def embeddingNearDups(idCol: String, embCol: String,
         threshold: Double): DataFrame =
       DedupOps.embeddingPairs(df, idCol, embCol, threshold)
+
+    /** SemDeDup-style clustered semantic dedup: deterministic Lloyd
+      * clusters, exact cosine pairs WITHIN clusters, keep-lowest-id.
+      * Returns `(vec_id, cell, keeper)`; `nClusters` 0 = auto (4·√n). */
+    def semanticDedup(idCol: String, embCol: String,
+        threshold: Double = 0.45, nClusters: Int = 0): DataFrame =
+      DedupOps.semanticDedup(df, idCol, embCol, threshold, nClusters)
 
     /** Exact k-NN join: every vector's top-k cosine neighbors
       * (src_id, dst_id, cos_sim, rn). O(n²) exact — the kNN-graph

@@ -313,6 +313,48 @@ object CurationOps {
       .drop(h)
   }
 
+  /** Token-budget sampling — the data-mixing primitive: take a
+    * reproducible pseudo-random subset of the corpus totaling at most
+    * `budgetTokens` whitespace tokens. Semantics are PREFIX-greedy: docs
+    * are ordered by the salted md5 draw (the same derandomized coin as
+    * [[corpusShuffle]]) and kept while the running token total stays
+    * within budget — i.e. the kept set is the budget-length prefix of a
+    * deterministic shuffle, which is exactly "a uniform ~N-token
+    * sample" without knapsack cherry-picking. Returns
+    * `(doc_id, n_tokens, cum_tokens)` for the kept prefix.
+    *
+    * Scale shape — a textbook TWO-LEVEL distributed prefix sum, because
+    * a single `SUM() OVER (ORDER BY h)` window would move the corpus to
+    * one task: the leading byte of the order key buckets rows into 256
+    * ranges that are PREFIX-ALIGNED with the global order (bucket i's
+    * rows all precede bucket j's for i < j), per-bucket token sums fold
+    * into a 256-row cumulative-offset table (broadcast), and each
+    * bucket's within-window running sum adds its offset. Every wide op
+    * is distributed: one hash-agg over the corpus, one 256-row window,
+    * one broadcast join, 256 independent per-bucket windows. */
+  def sampleTokenBudget(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, salt: String = "budget:"): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"),
+      md5(concat(lit(salt), col(idCol).cast("string"))).as("h"),
+      size(split(col(textCol), " ")).as("n_tokens"))
+    val b = base.withColumn("bkt",
+      conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    // 256-row bucket totals; the cumulative-offset window runs over
+    // bucket COUNT rows (constant in corpus size), not corpus rows
+    val offsets = b.groupBy("bkt")
+      .agg(sum(col("n_tokens").cast("long")).as("s"))
+      .withColumn("off", coalesce(sum(col("s")).over(
+        Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "off")
+    b.join(broadcast(offsets), "bkt")
+      .withColumn("cum_tokens", col("off") +
+        sum(col("n_tokens").cast("long")).over(
+          Window.partitionBy("bkt").orderBy(col("h"), col("doc_id"))))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select("doc_id", "n_tokens", "cum_tokens")
+  }
+
   // The oracle's spelling of the trailing-16-bit shard draw (DuckDB
   // lacks base-16 conv; nibbles parsed positionally, like sqlDraw).
   private def sqlShard(h: String, nShards: Int): String =
@@ -504,6 +546,28 @@ object CurationOps {
                FROM s ORDER BY doc_id"""),
       (s, d) => corpusShuffle(Tables.documents(s, d), "doc_id")
         .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")),
+
+    // Token-budget sampling: the 10k-token prefix of the derandomized
+    // shuffle. cum_tokens makes the prefix ORDER content-visible to the
+    // hash compare (same stance as q_corpus_shuffle's pos).
+    Query(
+      "q_sample_budget",
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       md5('budget:' || CAST(doc_id AS VARCHAR)) AS h,
+                       CAST(len(string_split(text, ' ')) AS INT)
+                         AS n_tokens
+                FROM documents),
+              c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(SUM(n_tokens) OVER (ORDER BY h, doc_id)
+                         AS BIGINT) AS cum_tokens
+                FROM t)
+              SELECT doc_id, n_tokens, cum_tokens FROM c
+              WHERE cum_tokens <= 10000 ORDER BY doc_id"""),
+      (s, d) => sampleTokenBudget(Tables.documents(s, d), "doc_id",
+          "text", budgetTokens = 10000L)
         .orderBy("doc_id")),
 
     // The curation funnel: stage-survival counts per (source, lang,

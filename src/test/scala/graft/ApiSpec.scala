@@ -121,4 +121,27 @@ class ApiSpec extends SparkSpec {
       .collect().toSeq
     assert(lib.map(_.toSeq) === reg.map(_.toSeq))
   }
+
+  test("round-10 facade wrappers delegate to their operators") {
+    import org.apache.spark.sql.functions.col
+    // withNormalizedText / corpusShuffle / sampleTokenBudget /
+    // semanticDedup — result-equal to the operator calls they wrap
+    assert(docs.withNormalizedText("text").select("doc_id", "clean")
+        .collect().map(_.toSeq).toSet ===
+      docs.select(col("doc_id"),
+        graft.operators.TextOps.normalizeText(col("text")).as("clean"))
+        .collect().map(_.toSeq).toSet)
+    assert(docs.corpusShuffle("doc_id", 4).select("doc_id", "shard", "pos")
+        .collect().map(_.toSeq).toSet ===
+      graft.operators.CurationOps.corpusShuffle(docs, "doc_id", 4)
+        .select("doc_id", "shard", "pos").collect().map(_.toSeq).toSet)
+    assert(docs.sampleTokenBudget("doc_id", "text", 8000L)
+        .collect().map(_.toSeq).toSet ===
+      graft.operators.CurationOps.sampleTokenBudget(docs, "doc_id",
+        "text", 8000L).collect().map(_.toSeq).toSet)
+    assert(vecs.semanticDedup("vec_id", "embedding", 0.45, 16)
+        .collect().map(_.toSeq).toSet ===
+      graft.operators.DedupOps.semanticDedup(vecs, "vec_id", "embedding",
+        0.45, 16).collect().map(_.toSeq).toSet)
+  }
 }

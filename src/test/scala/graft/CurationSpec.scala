@@ -233,6 +233,42 @@ class CurationSpec extends SparkSpec {
     assert(kept.count() > 0)
   }
 
+  test("token-budget sample: two-level prefix sum equals the one-window " +
+      "reference, prefix property holds, budget is respected") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 8000L
+    val out = CurationOps.sampleTokenBudget(docs, "doc_id", "text", budget)
+    // reference: the global single-window cumulative sum (the shape the
+    // distributed version must agree with exactly)
+    val ref = docs.select(col("doc_id"),
+        md5(concat(lit("budget:"), col("doc_id").cast("string"))).as("h"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens").cast("long")).over(
+        Window.orderBy(col("h"), col("doc_id"))))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "n_tokens", "cum_tokens")
+    assert(out.collect().map(_.toSeq).toSet ===
+      ref.collect().map(_.toSeq).toSet)
+    // budget respected, non-trivial, and a true prefix: max cum plus the
+    // NEXT doc in hash order must exceed the budget (nothing was skipped)
+    val kept = out.collect()
+    assert(kept.nonEmpty && kept.length < docs.count())
+    val maxCum = kept.map(_.getAs[Long]("cum_tokens")).max
+    assert(maxCum <= budget)
+    val nextTokens = docs.select(col("doc_id"),
+        md5(concat(lit("budget:"), col("doc_id").cast("string"))).as("h"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .join(out.select(col("doc_id"), lit(1).as("k")), Seq("doc_id"), "left")
+      .filter(col("k").isNull).orderBy("h", "doc_id")
+      .select("n_tokens").head.getInt(0)
+    assert(maxCum + nextTokens > budget)
+    // determinism under repartitioning
+    assert(CurationOps.sampleTokenBudget(docs.repartition(7), "doc_id",
+        "text", budget).collect().map(_.toSeq).toSet ===
+      kept.map(_.toSeq).toSet)
+  }
+
   test("corpus shuffle: total, deterministic, contiguous per-shard ranks, " +
       "shuffle order independent of id order") {
     import org.apache.spark.sql.functions._

@@ -370,6 +370,21 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(errN.getMessage.contains("n_shards"), errN.getMessage)
   }
 
+  test("sample_budget TVF agrees with the Scala API") {
+    val s2 = spark.newSession()
+    val docs = graft.sources.Tables.documents(s2, sfDir)
+    docs.createOrReplaceTempView("budget_docs_sql")
+    val sql = s2.sql("SELECT * FROM sample_budget('budget_docs_sql', 8000)")
+    assert(sql.columns.toSeq === Seq("doc_id", "n_tokens", "cum_tokens"))
+    assert(sql.collect().map(_.toSeq).toSet ===
+      graft.operators.CurationOps.sampleTokenBudget(docs, "doc_id",
+        "text", 8000L).collect().map(_.toSeq).toSet)
+    val err = intercept[Exception] {
+      s2.sql("SELECT * FROM sample_budget('budget_docs_sql', 0)").collect()
+    }
+    assert(err.getMessage.contains("budget_tokens"), err.getMessage)
+  }
+
   test("dedup_semantic TVF agrees with the Scala API") {
     val s2 = spark.newSession()
     val vecs = graft.sources.Tables.embeddings(s2, sfDir)

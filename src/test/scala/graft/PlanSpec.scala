@@ -325,4 +325,41 @@ class PlanSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2 ||
       "SortAggregate".r.findAllIn(p).size >= 2, p.take(3000))
   }
+
+  test("q_text_normalize: nfc_normalize runs inside whole-stage codegen") {
+    val df = q("q_text_normalize")
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // the NFC expression must not break the codegen stage — a fallback
+    // to interpreted projection would serialize the whole cleanup pass
+    assert("\\*\\(\\d+\\) Project \\[".r.findFirstIn(p).isDefined &&
+      p.contains("nfc_normalize"), p.take(2000))
+  }
+
+  test("q_corpus_shuffle: the only wide op is the per-shard window — " +
+      "partitioned, never a single-partition global sort") {
+    val df = q("q_corpus_shuffle")
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    // the window must partition by shard (a global row_number would
+    // move the corpus to ONE task — the warned-about killer shape)
+    assert("Window \\[.*partitionBy".r.findFirstIn(p).isDefined ||
+      p.contains("hashpartitioning(shard"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q_dedup_semantic: within-cell pairs ride a cell equi-join — no " +
+      "cartesian, exactly the quantizer's one nested-loop fan-out") {
+    val df = q("q_dedup_semantic")
+    df.collect()
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the packed-centroid assignment is the family's single allowed
+    // nested-loop (1-row build side); the PAIR join must be hash/merge
+    // on the cell key
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      "BroadcastHashJoin.*cell".r.findFirstIn(p).isDefined, p.take(3000))
+  }
 }
