@@ -34,6 +34,16 @@ object Verify {
         failed(name) = s"${e.getClass.getSimpleName}: " +
           Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(200)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Still write SOMETHING under the query's name: a one-row
+        // error-schema parquet. A comparer that iterates output dirs
+        // then records a loud schema/hash FAILURE for this query
+        // instead of silently skipping it (the r9 mode, where 18
+        // failed queries vanished from the correctness file).
+        try {
+          import spark.implicits._
+          Seq(failed(name)).toDF("graft_error")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
