@@ -407,6 +407,8 @@ object GraftExtensions {
       litDouble("dedup_semantic", "threshold", exprs(1)) else 0.45
     val k = if (exprs.length > 2)
       VectorOps.intArg("dedup_semantic", "n_clusters", exprs(2)) else 0
+    require(k >= 0,
+      s"dedup_semantic n_clusters must be >= 0 (0 = auto), got $k")
     DedupOps.semanticDedup(df, "vec_id", "embedding", thr, k)
       .queryExecution.analyzed
   }

@@ -506,6 +506,11 @@ object DedupOps {
       // (or double dot product) is needed. Off-diagonal keys match each
       // pair once already, in arbitrary id order.
       .filter(pmod(col("bp"), lit(B + 1)) =!= 0 || col("x_id") < col("y_id"))
+      // Zero-norm guard: cos of a zero vector is 0/0 = NaN, which
+      // Spark's nan-safe ordering would pass through >= threshold while
+      // SQL engines (and the DuckDB oracle) exclude it — a zero
+      // embedding must pair with nothing, in both engines.
+      .filter(col("nx") > 0 && col("ny") > 0)
       .withColumn("cos",
         VectorOps.dot(col("ex"), col("ey")) / (col("nx") * col("ny")))
       .filter(col("cos") >= threshold)
@@ -542,22 +547,31 @@ object DedupOps {
     import graft.functions.VectorOps
     val idx = IvfIndex.build(vectors, idCol, embCol, k = nClusters,
       persist = false, sketch = false)
+    // The assignment (scan + O(k·d) BestCell argmax per row) feeds THREE
+    // plan references (both pair-join sides and the keeper join) —
+    // persist it so one pass serves all three, the nearDupClusters
+    // stance for double-referenced inputs.
     val assigned = idx.cells
       .select(col("vec_id"), col("embedding"), col("cell"))
       .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lhs = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val rhs = assigned.select(col("cell"), col("vec_id").as("b_id"),
       col("embedding").as("eb"), col("nrm").as("nb"))
     val dropped = lhs.join(rhs, Seq("cell"))
       .filter(col("a_id") < col("b_id"))
+      // Zero-norm guard: a zero embedding yields cos = 0/0 = NaN, and
+      // Spark's nan-safe ordering ranks NaN ABOVE every threshold — one
+      // zero vector would silently mark its whole cell as duplicates.
+      // SQL engines (and the oracle) exclude NaN from >=; do the same.
+      .filter(col("na") > 0 && col("nb") > 0)
       .filter(VectorOps.dot(col("ea"), col("eb")) /
         (col("na") * col("nb")) >= threshold)
       .select(col("b_id").as("vec_id")).distinct()
     assigned.join(dropped.withColumn("__gs_d", lit(true)),
         Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"),
-        coalesce(col("__gs_d"), lit(false)).unary_!.as("keeper"))
+      .select(col("vec_id"), col("cell"), col("__gs_d").isNull.as("keeper"))
   }
 
   /** Library form: EXACT n-gram (shingle) Jaccard near-duplicate pairs
@@ -1063,13 +1077,13 @@ object DedupOps {
       Some("""SELECT vec_id, keeper FROM (
                 SELECT vec_id, true AS keeper FROM embeddings
                 UNION ALL
-                SELECT vec_id + 100000 AS vec_id, false AS keeper
+                SELECT vec_id + 100000000 AS vec_id, false AS keeper
                 FROM embeddings WHERE vec_id % 20 = 0)
               ORDER BY vec_id"""),
       (s, d) => {
         val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
         val planted = vecs.filter(col("vec_id") % 20 === 0)
-          .select((col("vec_id") + 100000).as("vec_id"),
+          .select((col("vec_id") + 100000000L).as("vec_id"),
             transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
         semanticDedup(vecs.unionByName(planted), "vec_id", "embedding",
             threshold = 0.95)

@@ -394,7 +394,7 @@ class DedupOpsSpec extends SparkSpec {
     // with its original and MUST drop; all originals keep (corpus max
     // pair cosine ~0.5, far under 0.95)
     val planted = vecs.filter(col("vec_id") % 20 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"),
+      .select((col("vec_id") + 100000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
     val nPlanted = planted.count()
     assert(nPlanted > 0)
@@ -404,5 +404,37 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(dropped95 === planted.select("vec_id").collect()
       .map(_.getLong(0)).toSet)
+  }
+
+  test("zero-norm embeddings pair with nothing (NaN guard, both paths)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // cos(0, x) = 0/0 = NaN; Spark's nan-safe ordering would rank it
+    // above any threshold, so an unguarded filter lets one zero vector
+    // (e.g. an empty document's embedding) claim its whole cell/block as
+    // duplicates — SQL engines exclude NaN from >= and so must we.
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val dim = vecs.select(size(col("embedding"))).head.getInt(0)
+    val zero = Seq((-1L, Array.fill(dim)(0f))).toDF("vec_id", "embedding")
+    val withZero = vecs.unionByName(zero)
+    // exact path: the zero vector appears in no pair
+    val pairs = DedupOps.embeddingPairs(withZero, "vec_id", "embedding", 0.1)
+    assert(pairs.filter(col("a_id") === -1L || col("b_id") === -1L)
+      .count() === 0L)
+    // clustered path: the zero vector (lowest id — the adversarial
+    // placement) drops nobody, and is itself a keeper
+    val sem = DedupOps.semanticDedup(withZero, "vec_id", "embedding", 0.1, 4)
+    val semBase = DedupOps.semanticDedup(vecs, "vec_id", "embedding", 0.1, 4)
+    assert(sem.filter(col("vec_id") === -1L).select("keeper")
+      .head.getBoolean(0))
+    // non-keepers with the zero vector present must be a subset of the
+    // exact pair set's larger ids — the zero vector invents no drops
+    val exactDrops = DedupOps.embeddingPairs(vecs, "vec_id", "embedding",
+      0.1).select(col("b_id")).distinct().collect().map(_.getLong(0)).toSet
+    val semDrops = sem.filter(!col("keeper")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(semDrops.subsetOf(exactDrops),
+      s"zero vector invented drops: ${semDrops.diff(exactDrops)}")
+    assert(semBase.count() + 1 === sem.count())
   }
 }
