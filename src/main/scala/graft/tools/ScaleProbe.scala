@@ -157,6 +157,59 @@ object ScaleProbe {
       println(f"[scale] substr: $m%4d  $n%6d  $wallMine%6.2f  $mbMine%7.1f" +
         f"  $wallScrub%7.2f  $mbScrub%8.1f")
     }
+
+    // Round-10 curation probe: corpus shuffle (one md5 map + per-shard
+    // windows), token-budget sampling (two-level prefix sum — the
+    // 256-row offset table is constant-size, so bytes must track corpus
+    // rows), and semantic dedup (Lloyd build + within-cell pair join —
+    // wall may grow super-linearly with REPLICATED corpora because
+    // every vector gains m−1 exact duplicates that co-cluster by
+    // construction, the adversarial worst case for any clustered
+    // pair-miner; shuffle bytes must still track corpus size, never the
+    // full pair count).
+    println("[scale] cur10: mult   docs  shuf_s  shuf_mb  budget_s  budget_mb  sem_s  sem_mb")
+    Seq(1, 2, 4).foreach { m =>
+      val corpus = (0 until m)
+        .map(i => base.select((col("doc_id") + lit(i.toLong * 1000000L))
+          .as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .localCheckpoint()
+      val n = corpus.count()
+      val vecs = (0 until m)
+        .map(i => embBase.select(
+          (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .localCheckpoint()
+      vecs.count()
+      listener.reset()
+      var t0 = System.nanoTime()
+      // consume `pos` (not a bare count) so Catalyst cannot prune the
+      // window — a count() of the unreferenced window column measured a
+      // windowless plan (0 shuffle bytes)
+      graft.operators.CurationOps.corpusShuffle(corpus, "doc_id", 64)
+        .agg(sum(col("pos"))).head()
+      val wallShuf = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      val mbShuf = listener.bytes / 1e6
+      listener.reset()
+      t0 = System.nanoTime()
+      graft.operators.CurationOps.sampleTokenBudget(corpus, "doc_id",
+        "text", Long.MaxValue / 4).count()
+      val wallBud = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      val mbBud = listener.bytes / 1e6
+      listener.reset()
+      t0 = System.nanoTime()
+      DedupOps.semanticDedup(vecs, "vec_id", "embedding", 0.45).count()
+      val wallSem = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      val mbSem = listener.bytes / 1e6
+      println(f"[scale] cur10: $m%4d  $n%5d  $wallShuf%6.2f  $mbShuf%7.1f" +
+        f"  $wallBud%8.2f  $mbBud%9.1f  $wallSem%5.2f  $mbSem%6.1f")
+    }
     }
 
     // Cell-skew probe: natural corpora have hot clusters, and a hot
