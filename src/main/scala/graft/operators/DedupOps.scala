@@ -541,7 +541,13 @@ object DedupOps {
     *
     * `nClusters = 0` → the quantizer's auto policy (4·√n). Smaller k
     * raises recall and cost together; k = 1 degenerates to the exact
-    * all-pairs semantics. */
+    * all-pairs semantics.
+    *
+    * Caching: the corpus assignment persists (MEMORY_AND_DISK) so its
+    * three plan references share one computation; Spark's cache manager
+    * dedupes identical calls onto one entry (the clusterKeepersForDir
+    * stance). Long-lived sessions cycling many corpora should release
+    * with `spark.catalog.clearCache()` or scope a session per corpus. */
   def semanticDedup(vectors: DataFrame, idCol: String, embCol: String,
       threshold: Double = 0.45, nClusters: Int = 0): DataFrame = {
     import graft.functions.VectorOps
