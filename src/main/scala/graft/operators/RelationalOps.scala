@@ -174,6 +174,31 @@ object RelationalOps {
             "left_anti")
           .select("c_custkey", "c_name")
           .orderBy("c_custkey")),
+    // Full outer join with non-matching rows planted on BOTH sides
+    // (even-key customers × every-50th order): customers without a
+    // qualifying order keep a null right side, orders of odd-key
+    // customers keep a null left side. Presentation order rides
+    // coalesced keys so the two engines' differing NULL sort defaults
+    // can't skew the row order the compare walks.
+    Query(
+      "q_join_full",
+      Some("""SELECT c_custkey, o_orderkey
+              FROM (SELECT c_custkey FROM customer
+                    WHERE c_custkey % 2 = 0) c
+              FULL OUTER JOIN (SELECT o_orderkey, o_custkey FROM orders
+                               WHERE o_orderkey % 50 = 0) o
+                ON o_custkey = c_custkey
+              ORDER BY coalesce(c_custkey, -1), coalesce(o_orderkey, -1)"""),
+      (s, d) =>
+        Tables.customer(s, d)
+          .filter(col("c_custkey") % 2 === 0).select("c_custkey")
+          .join(Tables.orders(s, d)
+              .filter(col("o_orderkey") % 50 === 0)
+              .select("o_orderkey", "o_custkey"),
+            col("o_custkey") === col("c_custkey"), "full_outer")
+          .select("c_custkey", "o_orderkey")
+          .orderBy(coalesce(col("c_custkey"), lit(-1)),
+            coalesce(col("o_orderkey"), lit(-1)))),
     Query(
       "q_join_range",
       Some("""SELECT o_orderkey, count(*) AS n
