@@ -96,6 +96,54 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: matches emit eagerly, " +
+      "unmatched views null-pad only after the watermark closes their " +
+      "interval") {
+    // The outer twin of q_stream_join: a view left-joins purchases by
+    // the same user within [vts, vts + 10 min]. Structured Streaming
+    // must buffer an unmatched view until the watermark proves no
+    // purchase can still arrive, THEN emit it null-padded — the
+    // late-emission semantics the inner join never exercises.
+    val views = MemoryStream[(Timestamp, Long, Long)](spark)
+    val buys = MemoryStream[(Timestamp, Long, Long)](spark)
+    val name = s"soj_${System.nanoTime()}"
+    val v = views.toDF().toDF("vts", "user_id", "view_id")
+      .withWatermark("vts", "5 minutes")
+    val b = buys.toDF().toDF("bts", "b_user", "purchase_id")
+      .withWatermark("bts", "5 minutes")
+    val joined = v.join(b,
+      expr("""user_id = b_user AND
+              bts >= vts AND bts <= vts + INTERVAL 10 MINUTES"""),
+      "left_outer")
+      .select($"view_id", $"purchase_id")
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+
+    // view 1 (user 7) gets a purchase in-window; view 2 (user 8) never
+    // does — and user 8's eventual purchase lands OUTSIDE the interval
+    views.addData((ts(1), 7L, 1L), (ts(2), 8L, 2L))
+    buys.addData((ts(5), 7L, 100L))
+    q.processAllAvailable()
+    val matched = spark.table(name)
+      .select($"view_id", $"purchase_id").as[(Long, java.lang.Long)]
+      .collect().toSet
+    assert(matched.contains((1L, 100L: java.lang.Long)))
+    // the unmatched view must NOT have null-padded yet: its interval
+    // [2, 12] + 5 min watermark delay is still open
+    assert(!matched.exists { case (vid, pid) => vid == 2L && pid == null })
+
+    // advance both watermarks far past view 2's interval
+    views.addData((ts(60), 9L, 3L))
+    buys.addData((ts(60), 8L, 101L))
+    q.processAllAvailable()
+    val after = spark.table(name)
+      .select($"view_id", $"purchase_id").as[(Long, java.lang.Long)]
+      .collect().toSet
+    assert(after.exists { case (vid, pid) => vid == 2L && pid == null },
+      s"unmatched view should null-pad after watermark: $after")
+    q.stop()
+  }
+
   test("streaming dropDuplicates with watermark keeps first occurrence") {
     val in = MemoryStream[(Timestamp, String)](spark)
     val name = s"dd_${System.nanoTime()}"
