@@ -1,0 +1,210 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import graft.streaming._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Provider-parametrized stateful streaming gate (VERDICT r10 item 1):
+  * every stateful family — windowed agg + watermark late-drop
+  * (q_stream_agg / s_watermark_late), custom state via
+  * `flatMapGroupsWithState` (q_stateful_running's streaming form),
+  * streaming dedup filters (StreamingDedup), and the stream-stream
+  * interval join — runs under BOTH state-store providers and must
+  * produce IDENTICAL results:
+  *
+  *  - `HDFSBackedStateStoreProvider` — Spark's in-heap default;
+  *  - `RocksDBStateStoreProvider` — the off-heap provider the 100 TB
+  *    state story requires (see [[graft.streaming.StateStores]]).
+  *
+  * Each provider runs in its own `newSession` (isolated SQLConf over
+  * the shared context), mirroring how a production job selects the
+  * provider — a session conf, zero operator-code changes. The RocksDB
+  * runs additionally assert the provider ENGAGED (rocksdb* entries in
+  * the state operator's custom metrics), so a conf typo can't pass as
+  * a silent fall-through to the default provider.
+  */
+class StateStoreSpec extends SparkSpec {
+
+  private def ts(min: Int) = new Timestamp(min * 60000L)
+  private def tmpCkpt(): String =
+    Files.createTempDirectory("graft_ckpt_").toString
+
+  private def sessions(): Seq[(String, SparkSession)] = Seq(
+    "HDFSBacked" -> StateStores.sessionWithProvider(
+      spark, StateStores.DefaultProvider),
+    "RocksDB" -> StateStores.rocksDBSession(spark))
+
+  /** Union of state-operator custom-metric names across the run. */
+  private def stateMetricKeys(q: StreamingQuery): Set[String] =
+    q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      .flatMap(_.customMetrics.keySet().asScala).toSet
+
+  private def assertEngaged(label: String, q: StreamingQuery): Unit =
+    if (label == "RocksDB") {
+      val keys = stateMetricKeys(q)
+      assert(keys.exists(_.startsWith("rocksdb")),
+        s"expected rocksdb* state metrics, got: $keys")
+    }
+
+  test("windowed agg + watermark late-drop: identical under both providers") {
+    val results = sessions().map { case (label, s) =>
+      import s.implicits._
+      val in = MemoryStream[(Timestamp, String)](s)
+      val name = s"ss_agg_${label}_${System.nanoTime()}"
+      val q = in.toDF().toDF("ts", "k")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "10 minutes"), $"k")
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+      in.addData((ts(1), "a"), (ts(2), "a"), (ts(5), "b")) // window [0,10)
+      q.processAllAvailable()
+      in.addData((ts(60), "c")) // watermark → 50 min; [0,10) finalizes
+      q.processAllAvailable()
+      in.addData((ts(3), "a")) // LATE: inside closed [0,10) — dropped
+      q.processAllAvailable()
+      val out = s.table(name).select($"k", $"n")
+        .as[(String, Long)].collect().sorted.toSeq
+      assertEngaged(label, q)
+      q.stop()
+      label -> out
+    }
+    results.foreach { case (label, out) =>
+      assert(out === Seq(("a", 2L), ("b", 1L)), s"provider $label")
+    }
+  }
+
+  test("flatMapGroupsWithState running stats: cross-batch state identical " +
+      "under both providers and equal to the batch form") {
+    // the batch (oracle-gated q_stateful_running) form on the union is
+    // the ground truth for the streaming state machine
+    val ev = Seq(
+      UserEvent(1L, 10L, ts(1), 5.0), UserEvent(2L, 40L, ts(1), 1.0),
+      UserEvent(1L, 11L, ts(2), 3.0), UserEvent(1L, 12L, ts(3), 7.0))
+    val results = sessions().map { case (label, s) =>
+      import s.implicits._
+      val in = MemoryStream[UserEvent](s)
+      val name = s"ss_run_${label}_${System.nanoTime()}"
+      val q = StatefulOps.runningStatsStream(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+      in.addData(ev(0), ev(1)) // batch 1: first event of users 1 and 2
+      q.processAllAvailable()
+      in.addData(ev(2), ev(3)) // batch 2: user 1 continues — state reload
+      q.processAllAvailable()
+      val out = s.table(name).as[RunOut].collect()
+        .sortBy(r => (r.user_id, r.seq)).toSeq
+      assertEngaged(label, q)
+      q.stop()
+      label -> out
+    }
+    val expected = {
+      import spark.implicits._
+      StatefulOps.runningStats(ev.toDS())
+        .collect().sortBy(r => (r.user_id, r.seq)).toSeq
+    }
+    assert(expected.map(r => (r.user_id, r.event_id, r.seq, r.run_max)) ===
+      Seq((1L, 10L, 1L, 5.0), (1L, 11L, 2L, 5.0), (1L, 12L, 3L, 7.0),
+        (2L, 40L, 1L, 1.0)))
+    results.foreach { case (label, out) =>
+      assert(out === expected, s"provider $label diverges from batch form")
+    }
+  }
+
+  test("streaming exact-dup filter: cross-batch dedup state identical " +
+      "under both providers") {
+    val results = sessions().map { case (label, s) =>
+      import s.implicits._
+      val in = MemoryStream[(Timestamp, Long, String)](s)
+      val name = s"ss_dd_${label}_${System.nanoTime()}"
+      val q = StreamingDedup.exactDupFilter(
+          in.toDF().toDF("ts", "id", "text"), "text", "ts", "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+      in.addData((ts(1), 1L, "Hello World"))
+      q.processAllAvailable()
+      // batch 2's normalized duplicate of batch 1's doc must hit STORED
+      // state — the cross-batch read path the provider owns
+      in.addData((ts(2), 2L, "  hello world  "), (ts(3), 3L, "hello worlds"))
+      q.processAllAvailable()
+      val kept = s.table(name).select($"id").as[Long].collect().sorted.toSeq
+      assertEngaged(label, q)
+      q.stop()
+      label -> kept
+    }
+    results.foreach { case (label, kept) =>
+      assert(kept === Seq(1L, 3L), s"provider $label")
+    }
+  }
+
+  test("streaming near-dup filter: minhash signature state identical " +
+      "under both providers") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val results = sessions().map { case (label, s) =>
+      import s.implicits._
+      val in = MemoryStream[(Timestamp, Long, String)](s)
+      val name = s"ss_nd_${label}_${System.nanoTime()}"
+      val q = StreamingDedup.nearDupFilter(
+          in.toDF().toDF("ts", "id", "text"), "text", "ts", "10 minutes")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+      in.addData((ts(1), 1L, base))
+      q.processAllAvailable()
+      in.addData((ts(2), 2L, base), // cross-batch exact dup → dropped
+        (ts(3), 3L, "completely different content here entirely"))
+      q.processAllAvailable()
+      val kept = s.table(name).select($"id").as[Long].collect().sorted.toSeq
+      assertEngaged(label, q)
+      q.stop()
+      label -> kept
+    }
+    results.foreach { case (label, kept) =>
+      assert(kept === Seq(1L, 3L), s"provider $label")
+    }
+  }
+
+  test("stream-stream left-outer interval join: buffered-state null-pad " +
+      "identical under both providers") {
+    val results = sessions().map { case (label, s) =>
+      import s.implicits._
+      val views = MemoryStream[(Timestamp, Long, Long)](s)
+      val buys = MemoryStream[(Timestamp, Long, Long)](s)
+      val name = s"ss_oj_${label}_${System.nanoTime()}"
+      val v = views.toDF().toDF("vts", "user_id", "view_id")
+        .withWatermark("vts", "5 minutes")
+      val b = buys.toDF().toDF("bts", "b_user", "purchase_id")
+        .withWatermark("bts", "5 minutes")
+      val q = v.join(b,
+          expr("""user_id = b_user AND
+                  bts >= vts AND bts <= vts + INTERVAL 10 MINUTES"""),
+          "left_outer")
+        .select($"view_id", $"purchase_id")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+      views.addData((ts(1), 7L, 1L), (ts(2), 8L, 2L))
+      buys.addData((ts(5), 7L, 100L))
+      q.processAllAvailable()
+      // advance both watermarks past view 2's interval → null-pad
+      views.addData((ts(60), 9L, 3L))
+      buys.addData((ts(60), 8L, 101L))
+      q.processAllAvailable()
+      val out = s.table(name).select($"view_id", $"purchase_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assertEngaged(label, q)
+      q.stop()
+      label -> out
+    }
+    results.foreach { case (label, out) =>
+      assert(out.contains((1L, Some(100L))), s"provider $label: $out")
+      assert(out.contains((2L, None)), s"provider $label: $out")
+    }
+    assert(results.map(_._2).distinct.size === 1,
+      "providers diverge on the interval join")
+  }
+}
