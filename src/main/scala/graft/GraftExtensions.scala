@@ -357,7 +357,9 @@ object GraftExtensions {
       .orderBy(col("cos_sim").desc, col("dst_id"))
       .limit(k)
       .select(col("dst_id").as("vec_id"), col("cos_sim"),
+        // global on purpose over the k probe-result rows (BoundedWindow)
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(graft.operators.BoundedWindow.key(col("dst_id")))
           .orderBy(col("cos_sim").desc, col("dst_id"))).as("rn"))
       .queryExecution.analyzed
   }

@@ -344,7 +344,9 @@ object CurationOps {
     val offsets = b.groupBy("bkt")
       .agg(sum(col("n_tokens").cast("long")).as("s"))
       .withColumn("off", coalesce(sum(col("s")).over(
-        Window.orderBy("bkt")
+        // global on purpose over ≤256 bucket rows — declared, so the
+        // WindowExec all-to-one warning stays meaningful elsewhere
+        Window.partitionBy(BoundedWindow.key(col("bkt"))).orderBy("bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("bkt", "off")
     b.join(broadcast(offsets), "bkt")

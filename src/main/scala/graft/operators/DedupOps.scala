@@ -546,10 +546,29 @@ object DedupOps {
     * Caching: the corpus assignment persists (MEMORY_AND_DISK) so its
     * three plan references share one computation; Spark's cache manager
     * dedupes identical calls onto one entry (the clusterKeepersForDir
-    * stance). Long-lived sessions cycling many corpora should release
-    * with `spark.catalog.clearCache()` or scope a session per corpus. */
+    * stance). For a SCOPED lifecycle — amortize the quantizer across
+    * many probes, then release without a session-wide `clearCache()` —
+    * use [[semanticIndex]]/[[SemanticIndex.close]] (the r10 ADVICE
+    * release path); the per-corpus cached form is
+    * [[semanticKeepersForDir]]. */
   def semanticDedup(vectors: DataFrame, idCol: String, embCol: String,
-      threshold: Double = 0.45, nClusters: Int = 0): DataFrame = {
+      threshold: Double = 0.45, nClusters: Int = 0): DataFrame =
+    semanticIndex(vectors, idCol, embCol, nClusters).keepers(threshold)
+
+  /** The amortizable half of [[semanticDedup]]: the deterministic Lloyd
+    * quantizer build plus the corpus cell assignment, materialized and
+    * persisted ONCE. [[SemanticIndex.keepers]] then prices only the
+    * within-cell pair mining — the production shape when one corpus is
+    * deduped at several thresholds, or re-probed across a session
+    * (mirrors how q_sim_ivf amortizes via `IvfIndex.forDir`).
+    *
+    * Resource scope: the assignment is persisted eagerly (one
+    * materializing pass); the build-time centroid table is unpersisted
+    * here — only the assignment is referenced downstream (r10 ADVICE).
+    * Release with [[SemanticIndex.close]], or let the per-corpus cache
+    * ([[semanticKeepersForDir]]) evict on session end. */
+  def semanticIndex(vectors: DataFrame, idCol: String, embCol: String,
+      nClusters: Int = 0): SemanticIndex = {
     import graft.functions.VectorOps
     val idx = IvfIndex.build(vectors, idCol, embCol, k = nClusters,
       persist = false, sketch = false)
@@ -561,6 +580,58 @@ object DedupOps {
       .select(col("vec_id"), col("embedding"), col("cell"))
       .withColumn("nrm", VectorOps.norm(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    assigned.count()
+    // only `assigned` is referenced from here on; dropping the centroid
+    // table's storage now (instead of at clearCache) is the scoped
+    // release of the build working set. A later assigned-partition
+    // eviction recomputes through the (unpersisted) centroid lineage —
+    // slower, never wrong.
+    idx.centroids.unpersist(blocking = false)
+    SemanticIndex(assigned)
+  }
+
+  /** A materialized semantic-dedup corpus assignment (vec_id, embedding,
+    * cell, nrm) — build once, probe at any threshold, release scoped. */
+  final case class SemanticIndex(assigned: DataFrame) {
+    /** (vec_id, cell, keeper) at `threshold` — [[semanticDedup]]'s
+      * result, priced WITHOUT the quantizer build. */
+    def keepers(threshold: Double): DataFrame =
+      semanticKeepers(assigned, threshold)
+    /** Unpersist the assignment (the scoped alternative to
+      * `spark.catalog.clearCache()`). */
+    def close(): Unit = assigned.unpersist(blocking = false)
+  }
+
+  // Evicts on invalidate() and on session end (see IndexCache). Keyed by
+  // corpus dir; builds over the PLANTED corpus (the q_dedup_semantic
+  // fixture) so warm probes hash-match the cold query exactly.
+  private val semCache = new IndexCache[SemanticIndex](
+    (spark, sfDir) => semanticIndex(
+      plantedEmbeddings(spark, sfDir), "vec_id", "embedding"),
+    _.close())
+
+  /** Cached [[semanticIndex]] keepers over a test-data corpus dir's
+    * planted fixture — the warm twin of q_dedup_semantic. */
+  def semanticKeepersForDir(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, threshold: Double): DataFrame =
+    semCache.get(spark, sfDir).keepers(threshold)
+
+  /** The q_dedup_semantic fixture: the embeddings corpus plus a
+    * 0.5-scaled copy of every 20th vector (cos 1.0 with its original —
+    * the scaling is a power of two, so BestCell scores scale exactly and
+    * each copy provably co-clusters with its original). */
+  private def plantedEmbeddings(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val planted = vecs.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+    vecs.unionByName(planted)
+  }
+
+  private def semanticKeepers(assigned: DataFrame,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorOps
     val lhs = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("embedding").as("ea"), col("nrm").as("na"))
     val rhs = assigned.select(col("cell"), col("vec_id").as("b_id"),
@@ -1086,15 +1157,26 @@ object DedupOps {
                 SELECT vec_id + 100000000 AS vec_id, false AS keeper
                 FROM embeddings WHERE vec_id % 20 = 0)
               ORDER BY vec_id"""),
-      (s, d) => {
-        val vecs = Tables.embeddings(s, d).select("vec_id", "embedding")
-        val planted = vecs.filter(col("vec_id") % 20 === 0)
-          .select((col("vec_id") + 100000000L).as("vec_id"),
-            transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
-        semanticDedup(vecs.unionByName(planted), "vec_id", "embedding",
-            threshold = 0.95)
-          .select("vec_id", "keeper")
-          .orderBy("vec_id")
-      })
+      (s, d) => semanticDedup(plantedEmbeddings(s, d), "vec_id", "embedding",
+          threshold = 0.95)
+        .select("vec_id", "keeper")
+        .orderBy("vec_id")),
+
+    // The warm twin (VERDICT r10 item 2): identical fixture, identical
+    // oracle, but the quantizer+assignment come from the per-corpus
+    // SemanticIndex cache — so the bench median prices the within-cell
+    // pair mining alone, the production steady state (cold build cost
+    // stays visible on q_dedup_semantic above).
+    Query(
+      "q_dedup_semantic_warm",
+      Some("""SELECT vec_id, keeper FROM (
+                SELECT vec_id, true AS keeper FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000000 AS vec_id, false AS keeper
+                FROM embeddings WHERE vec_id % 20 = 0)
+              ORDER BY vec_id"""),
+      (s, d) => semanticKeepersForDir(s, d, threshold = 0.95)
+        .select("vec_id", "keeper")
+        .orderBy("vec_id"))
   )
 }

@@ -492,7 +492,10 @@ object IvfIndex {
     val seedOrder = Seq(xxhash64(col("cell")).asc, col("cell").asc)
     var sdf = cdf.orderBy(seedOrder: _*).limit(k2)
       .withColumn("scell",
-        row_number().over(Window.orderBy(seedOrder: _*)) - 1)
+        // global on purpose over ≤√k centroid rows (BoundedWindow)
+        row_number().over(Window
+          .partitionBy(BoundedWindow.key(col("cell")))
+          .orderBy(seedOrder: _*)) - 1)
       .select(col("scell"), col("centroid").as("scentroid"))
     def packedSuper(s: DataFrame) = packed(
       s.select(col("scell").as("cell"), col("scentroid").as("centroid")))
@@ -605,7 +608,11 @@ object IvfIndex {
     var cdf: DataFrame = e.orderBy(seedOrder: _*).limit(kEff)
       .select(col("vec_id"), col("embedding"))
       .withColumn("cell",
-        (row_number().over(Window.orderBy(seedOrder: _*)) - 1))
+        // global on purpose over the limit(kEff) seed rows — ≤2^17 by
+        // AutoCellCeiling (BoundedWindow)
+        (row_number().over(Window
+          .partitionBy(BoundedWindow.key(col("vec_id")))
+          .orderBy(seedOrder: _*)) - 1))
       .select(col("cell"), col("embedding").as("centroid"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     cdf.count()

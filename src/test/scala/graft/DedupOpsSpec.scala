@@ -437,4 +437,18 @@ class DedupOpsSpec extends SparkSpec {
       s"zero vector invented drops: ${semDrops.diff(exactDrops)}")
     assert(semBase.count() + 1 === sem.count())
   }
+
+  test("warm semantic twin (q_dedup_semantic_warm) is hash-identical to " +
+      "the cold path") {
+    val cold = SparkEntry.queries("q_dedup_semantic")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    // two warm calls: the first builds + caches the SemanticIndex, the
+    // second must serve from it — both must equal the cold result
+    val w1 = SparkEntry.queries("q_dedup_semantic_warm")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    val w2 = SparkEntry.queries("q_dedup_semantic_warm")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq
+    assert(w1 === cold)
+    assert(w2 === cold)
+  }
 }

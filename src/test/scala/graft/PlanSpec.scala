@@ -362,4 +362,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       "BroadcastHashJoin.*cell".r.findFirstIn(p).isDefined, p.take(3000))
   }
+
+  test("no registered query carries an undeclared GLOBAL window: every " +
+      "logical Window keeps a partition spec post-optimizer " +
+      "(BoundedWindow audit — VERDICT r10 watch item 1)") {
+    // The four windows that are global ON PURPOSE run over bounded
+    // inputs and declare it via BoundedWindow.key (non-foldable, so
+    // EliminateWindowPartitions cannot strip it). Anything surfacing
+    // here is an ACCIDENTAL all-rows-to-one-task window — the shape the
+    // WindowExec warning exists to flag, now a test failure instead of
+    // log noise.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow,
+      WindowGroupLimit}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val lp = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.optimizedPlan
+      lp.collect {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          s"$name: ${w.simpleString(120)}"
+        case w: WindowGroupLimit if w.partitionSpec.isEmpty =>
+          s"$name: ${w.simpleString(120)}"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }
