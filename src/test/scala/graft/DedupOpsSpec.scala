@@ -451,4 +451,34 @@ class DedupOpsSpec extends SparkSpec {
     assert(w1 === cold)
     assert(w2 === cold)
   }
+
+  test("semantic dedup cross-cluster recall floor at natural thresholds " +
+      "(SemRecallScan fixture, auto-k)") {
+    // Perturbed copies (not exactly parallel — they CAN straddle cells)
+    // of every 5th vector; ground truth is the exact pair set. All
+    // inputs are hash-deterministic, so the measured recall is a fixed
+    // number per corpus; floors sit under the measured band
+    // (BASELINE.md §semantic-recall: 0.91/0.90 at tau=0.8,
+    // 0.78/0.65 at tau=0.6 for sf0.01/sf0.1) with margin for driver
+    // corpus regeneration. Precision stays exact (subset property,
+    // pinned above) — recall is the only free axis.
+    import graft.tools.SemRecallScan
+    val vecs = Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    for ((alpha, tau, floor) <- Seq((0.62, 0.8, 0.80), (1.17, 0.6, 0.55))) {
+      val corpus = SemRecallScan.perturbed(vecs, alpha)
+      val exactDrops = DedupOps.embeddingPairs(corpus, "vec_id",
+          "embedding", tau).select("b_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(exactDrops.nonEmpty)
+      val si = DedupOps.semanticIndex(corpus, "vec_id", "embedding")
+      val semDrops = si.keepers(tau).filter(!col("keeper"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      si.close()
+      val recall = (semDrops & exactDrops).size.toDouble / exactDrops.size
+      assert(recall >= floor,
+        f"tau=$tau recall=$recall%.3f under floor $floor")
+    }
+  }
 }
