@@ -110,8 +110,11 @@ class SimilaritySpec extends SparkSpec {
     val recall = recalls.sum / recalls.size
     info(f"IVF reranked mean recall@10 = $recall%.2f " +
       "(nprobe=3/4 cells, cap=8%)")
-    assert(recall >= 0.8, s"recall $recall below design bound")
-    // the single-stage probe keeps its original floor
+    // floor = measured 0.90 minus a 0.05 regeneration margin (the run
+    // is hash-deterministic per corpus; the only drift source is the
+    // driver regenerating testdata, ~binomial noise on a 10-probe mean)
+    assert(recall >= 0.85, s"recall $recall below design bound")
+    // single-stage floor: measured 0.79 minus margin
     val single = (0L until 10L).map { p =>
       val bfP = SimilarityOps.bruteForceTopK(spark, sfDir, probeId = p)
         .collect().map(_.getLong(0)).toSet
@@ -120,7 +123,7 @@ class SimilaritySpec extends SparkSpec {
     }
     val singleMean = single.sum / single.size
     info(f"IVF single-stage mean recall@10 = $singleMean%.2f (nprobe=8)")
-    assert(singleMean >= 0.6, s"recall $singleMean below design bound")
+    assert(singleMean >= 0.72, s"recall $singleMean below design bound")
   }
 
   test("PQ index: codebook is bit-reproducible, rescored values are " +
@@ -150,7 +153,9 @@ class SimilaritySpec extends SparkSpec {
     val recall = recalls.sum / recalls.size
     info(f"PQ ADC mean recall@10 = $recall%.2f " +
       "(8 subspaces x 16 centroids, rescoreCap=100)")
-    assert(recall >= 0.8, s"recall $recall below design bound")
+    // measured 0.88 minus a 0.06 regeneration margin (r10 ADVICE: a
+    // regression to 0.81 used to pass the old 0.8 gate)
+    assert(recall >= 0.82, s"recall $recall below design bound")
   }
 
   test("IVF-PQ: both quantizer levels reproduce, rescored values are " +
@@ -181,7 +186,8 @@ class SimilaritySpec extends SparkSpec {
     val recall = recalls.sum / recalls.size
     info(f"IVF-PQ mean recall@10 = $recall%.2f " +
       "(nprobe=16/32 cells, residual PQ 8x16, cap=192)")
-    assert(recall >= 0.8, s"recall $recall below design bound")
+    // measured 0.95 minus a 0.07 regeneration margin
+    assert(recall >= 0.88, s"recall $recall below design bound")
   }
 
   test("bucketed index tables round-trip and probe identically") {
@@ -417,8 +423,10 @@ class SimilaritySpec extends SparkSpec {
     val recall = (bf & ann).size.toDouble / bf.size
     info(f"ANN recall@10 = $recall%.2f (8 tables x 4 planes)")
     // deterministic hyperplanes → stable value; expected ≈ 1-(1-p^4)^8
-    // ≈ 0.7 at this corpus's neighbor similarities (cos ≈ 0.3)
-    assert(recall >= 0.5, s"recall $recall below design bound")
+    // ≈ 0.7 at this corpus's neighbor similarities (cos ≈ 0.3).
+    // Floor = measured 0.70 minus a 0.10 margin (single-probe recall is
+    // one 10-draw binomial — the widest-variance gate in the family)
+    assert(recall >= 0.6, s"recall $recall below design bound")
   }
 
   test("knnJoinWith: held-out probe set — exact scores, mean recall@5 " +
@@ -457,7 +465,8 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     info(f"knnJoinWith held-out mean recall@5 = $mean%.3f " +
       f"(${qm.size} queries over ${cm.size} indexed)")
-    assert(mean >= 0.8, f"mean recall@5 $mean%.3f below the 0.8 gate")
+    // measured 0.920 minus a 0.07 regeneration margin (50-query mean)
+    assert(mean >= 0.85, f"mean recall@5 $mean%.3f below the 0.85 gate")
     // rescore exactness: every returned score equals the brute-force
     // 6-dp cosine for that (query, neighbor) pair
     got.foreach { r =>
@@ -500,6 +509,7 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     info(f"IVF knnJoinWith held-out mean recall@5 = $mean%.3f " +
       f"(${qm.size} queries over ${cm.size} indexed, nprobe=16, cap=160)")
+    // measured 0.828 — the old 0.8 floor IS measured-minus-margin here
     assert(mean >= 0.8, f"mean recall@5 $mean%.3f below the 0.8 gate")
     // rescore exactness on every returned pair
     got.foreach { r =>
@@ -543,6 +553,7 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     info(f"IVF-PQ knnJoinWith held-out mean recall@5 = $mean%.3f " +
       f"(${qm.size} queries over ${cm.size} indexed, nprobe=16, cap=192)")
+    // measured 0.828 — the old 0.8 floor IS measured-minus-margin here
     assert(mean >= 0.8, f"mean recall@5 $mean%.3f below the 0.8 gate")
     got.foreach { r =>
       val expect = BigDecimal(IvfIndex.cosineOf(
@@ -571,7 +582,9 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     info(f"index-probed kNN join mean recall@5 = $mean%.3f " +
       f"(16 tables x 4 planes, ${exact.size} sources)")
-    assert(mean >= 0.8, f"mean recall@5 $mean%.3f below the 0.8 gate")
+    // measured 0.888 minus a 0.05 regeneration margin (500-source mean
+    // — the tightest-variance gate in the family)
+    assert(mean >= 0.84, f"mean recall@5 $mean%.3f below the 0.84 gate")
     // rescore is exact, only the candidate SET is approximate: every
     // (src, dst) pair both joins return must carry the IDENTICAL
     // 6-dp-rounded cosine
@@ -652,7 +665,8 @@ class SimilaritySpec extends SparkSpec {
     val agree = two.count { case (id, c) => one(id) == c }.toDouble / n
     info(f"two-level vs exact argmax agreement = $agree%.3f " +
       f"($n vectors, ${ivf.nCells} cells)")
-    assert(agree >= 0.5, f"two-level agreement $agree%.3f — the " +
+    // measured 0.652 minus a 0.07 regeneration margin
+    assert(agree >= 0.58, f"two-level agreement $agree%.3f — the " +
       "super-quantizer is mis-routing most vectors")
     // the assign() switch takes the two-level path past the threshold
     // and the packed single-row path below it
