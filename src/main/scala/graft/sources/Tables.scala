@@ -54,9 +54,16 @@ object Tables {
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         // Micros-without-zone infers as NTZ; downstream code (and the old
-        // nanos path's timestamp_micros) expects TimestampType. The session
-        // runs UTC, so this cast is wall-clock-identical to DuckDB's naive
-        // read of the same file.
+        // nanos path's timestamp_micros) expects TimestampType. The cast
+        // is wall-clock-identical to DuckDB's naive read of the same file
+        // ONLY under a UTC session zone — under any other zone it would
+        // silently shift every instant, so the invariant fails loudly
+        // here instead (r10 ADVICE; every entrypoint in this engine sets
+        // UTC, this guards ad-hoc sessions).
+        require(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "Tables.events requires spark.sql.session.timeZone=UTC: the " +
+            "NTZ→Timestamp cast of events.ts is zone-sensitive and the " +
+            s"session zone is '${spark.conf.get("spark.sql.session.timeZone")}'")
         raw.withColumn("ts", col("ts").cast(
           org.apache.spark.sql.types.TimestampType))
       case _ => raw

@@ -59,31 +59,64 @@ class TablesSpec extends SparkSpec {
       .foreach(c => assert(ord.fieldNames.contains(c), s"orders lost $c"))
   }
 
+  // fixture dirs are java.nio temp dirs removed in a finally — repeated
+  // runs must not accumulate /tmp garbage (r10 ADVICE)
+  private def withFixtureDir[T](prefix: String)(body: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    try body(dir.toString)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("legacy int64-nanos layout still converts (ts div 1000 branch)") {
-    val dir = s"/tmp/graft-events-nanos-${System.nanoTime()}"
-    // 2020-01-01T00:00:00.123456789Z in nanos; truncation keeps micros
-    val nanos = 1577836800L * 1000000000L + 123456789L
-    spark.range(1).select(lit(nanos).as("ts"), lit("d1").as("device"))
-      .write.parquet(s"$dir/events.parquet")
-    val ev = Tables.events(spark, dir)
-    assert(ev.schema("ts").dataType == TimestampType)
-    val micros = ev.select(expr("unix_micros(ts)")).head.getLong(0)
-    assert(micros == 1577836800L * 1000000L + 123456L)
+    withFixtureDir("graft-events-nanos-") { dir =>
+      // 2020-01-01T00:00:00.123456789Z in nanos; truncation keeps micros
+      val nanos = 1577836800L * 1000000000L + 123456789L
+      spark.range(1).select(lit(nanos).as("ts"), lit("d1").as("device"))
+        .write.parquet(s"$dir/events.parquet")
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType)
+      val micros = ev.select(expr("unix_micros(ts)")).head.getLong(0)
+      assert(micros == 1577836800L * 1000000L + 123456L)
+    }
   }
 
   test("micros-NTZ layout passes through as wall-clock-identical TIMESTAMP") {
-    val dir = s"/tmp/graft-events-ntz-${System.nanoTime()}"
-    spark.range(1)
-      .select(expr("CAST(TIMESTAMP_NTZ'2020-01-01 00:00:00.123456' AS " +
-        "TIMESTAMP_NTZ)").as("ts"), lit("d1").as("device"))
-      .write.parquet(s"$dir/events.parquet")
-    // Confirm the fixture really round-trips as NTZ before testing the loader
-    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-      != LongType)
-    val ev = Tables.events(spark, dir)
-    assert(ev.schema("ts").dataType == TimestampType)
-    // Session TZ is UTC, so the cast must preserve the wall-clock instant
-    val micros = ev.select(expr("unix_micros(ts)")).head.getLong(0)
-    assert(micros == 1577836800L * 1000000L + 123456L)
+    withFixtureDir("graft-events-ntz-") { dir =>
+      spark.range(1)
+        .select(expr("CAST(TIMESTAMP_NTZ'2020-01-01 00:00:00.123456' AS " +
+          "TIMESTAMP_NTZ)").as("ts"), lit("d1").as("device"))
+        .write.parquet(s"$dir/events.parquet")
+      // Confirm the fixture really round-trips as NTZ before testing the loader
+      assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+        != LongType)
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampType)
+      // Session TZ is UTC, so the cast must preserve the wall-clock instant
+      val micros = ev.select(expr("unix_micros(ts)")).head.getLong(0)
+      assert(micros == 1577836800L * 1000000L + 123456L)
+    }
+  }
+
+  test("NTZ loader path fails loudly under a non-UTC session zone " +
+      "(r10 ADVICE: never silently shift events.ts)") {
+    withFixtureDir("graft-events-tz-") { dir =>
+      spark.range(1)
+        .select(expr("CAST(TIMESTAMP_NTZ'2020-01-01 00:00:00' AS " +
+          "TIMESTAMP_NTZ)").as("ts"), lit("d1").as("device"))
+        .write.parquet(s"$dir/events.parquet")
+      val prev = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        val e = intercept[IllegalArgumentException] {
+          Tables.events(spark, dir)
+        }
+        assert(e.getMessage.contains("UTC"))
+      } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    }
   }
 }
