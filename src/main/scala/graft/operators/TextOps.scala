@@ -162,6 +162,46 @@ object TextOps {
       .orderBy("doc_id", "rk")
   }
 
+  /** BM25 (Okapi) relevance of every document against a fixed query
+    * term set — the retrieval-grade upgrade of [[tfidfTopK]]'s
+    * frequency score (Robertson–Spärck Jones idf with +1 smoothing;
+    * the k1 saturation / b length-normalization defaults are the
+    * standard 1.2 / 0.75).
+    *
+    * Scale shape: document length rides along the token stream (the
+    * tfidf stance — one explode, no second pass), and the explode is
+    * FILTERED TO THE QUERY TERMS before the tf aggregate, so the
+    * shuffle carries at most |terms| rows per document regardless of
+    * document length. The per-term df table (≤|terms| rows) and the
+    * 1-row corpus stats (N, avgdl) broadcast; the final score is one
+    * map-side-combined sum per matching document. No corpus-wide
+    * window, no driver collect. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("dl"),
+        explode(col("ts")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+    val tf = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(split(col(textCol), " "))).as("avgdl"))
+    tf.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("part", col("idf") *
+        col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum(col("part")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
   val all: Seq[Query] = Seq(
     // Token frequency: the explode/groupBy (Generator + hash agg) shape.
     // Top-100 with deterministic (n DESC, token) order.
@@ -330,6 +370,35 @@ object TextOps {
           normalizeText(concat(lit("Cafe\u0301\tNo\u000b12  "), col("text")))
             .as("clean"))
         .orderBy("doc_id")),
+
+    // BM25 ranking against a fixed 3-term query (terms chosen from the
+    // corpus's dense center of the vocabulary so every engine-side
+    // branch — tf saturation, length normalization, idf — is exercised
+    // on hundreds of docs at both gate scales).
+    Query(
+      "q_bm25",
+      Some("""WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+              stats AS (
+                SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM docs),
+              tf AS (
+                SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+                FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok
+                      FROM docs)
+                WHERE tok IN ('join', 'filter', 'scan')
+                GROUP BY doc_id, tok),
+              dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+              SELECT doc_id,
+                     round(sum(
+                       ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+                       tf * (1.2 + 1) /
+                       (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+                       AS bm25
+              FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+              GROUP BY doc_id
+              ORDER BY bm25 DESC, doc_id"""),
+      (s, d) => bm25(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("join", "filter", "scan"))),
 
     // Document fingerprint over the driver corpus.
     Query(

@@ -87,4 +87,27 @@ class PropertySpec extends SparkSpec {
     assert(a.intersect(a).count() === distinctN)
     assert(a.except(a).count() === 0)
   }
+
+  test("bm25: hand-computed fixture, absent terms score nothing, and " +
+      "longer duplicates score lower (length normalization)") {
+    import spark.implicits._
+    // N=2, avgdl=2.5; terms {a,b}: df(a)=1, df(b)=2 — independently
+    // computed: doc1 = ln(2)*2*2.2/(2+1.2*1.15) + ln(1.2)*2.2/(1+1.2*1.15)
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.bm25(docs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(1L -> 1.070854, 2L -> 0.198568))
+    // a doc with no query term is absent, not zero-scored
+    val out2 = TextOps.bm25(
+      Seq((1L, "a"), (2L, "z z z")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("a"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(out2 === Seq(1L))
+    // same tf, longer doc → lower score (b-normalization kicks in)
+    val out3 = TextOps.bm25(
+      Seq((1L, "a x"), (2L, "a x x x x x")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out3(1L) > out3(2L))
+  }
 }
