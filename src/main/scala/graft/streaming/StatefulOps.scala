@@ -75,6 +75,48 @@ object StatefulOps {
       }
   }
 
+  /** The same running-stats state machine on Spark 4's
+    * `transformWithState` operator — the arbitrary-state API that
+    * SUPERSEDES `flatMapGroupsWithState` for new pipelines: typed state
+    * variables (`ValueState`/`ListState`/`MapState`) with per-variable
+    * TTL, timers, and schema evolution, executed ONLY on the RocksDB
+    * state store ([[StateStores]]) — the pairing this engine's 100 TB
+    * streaming-state story standardizes on. Semantics are pinned equal
+    * to both the fMGWS form and the oracle-gated batch form
+    * (StateStoreSpec). */
+  final class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, RunOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[RunState] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunState]("runState",
+        Encoders.product[RunState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RunOut] = {
+      val st =
+        if (state.exists()) state.get()
+        else RunState(0L, Double.NegativeInfinity)
+      val (out, seq, mx) = advance(st.seq, st.runMax,
+        rows.toSeq.sortBy(eventOrder))
+      state.update(RunState(seq, mx))
+      out.iterator
+    }
+  }
+
+  /** [[runningStatsStream]] on the `transformWithState` operator
+    * (requires the RocksDB state store provider). */
+  def runningStatsTws(ev: Dataset[UserEvent]): Dataset[RunOut] = {
+    implicit val outEnc = Encoders.product[RunOut]
+    implicit val keyEnc = Encoders.scalaLong
+    ev.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Streaming form: the same state machine as `runningStats`, carried
     * across micro-batches by `flatMapGroupsWithState`. Within a batch,
     * events sort by event time; the `RunState` persists per user. */

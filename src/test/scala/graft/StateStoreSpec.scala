@@ -207,4 +207,32 @@ class StateStoreSpec extends SparkSpec {
     assert(results.map(_._2).distinct.size === 1,
       "providers diverge on the interval join")
   }
+
+  test("transformWithState running stats (RocksDB-only operator): " +
+      "cross-batch ValueState equal to the fMGWS and batch forms") {
+    val ev = Seq(
+      UserEvent(1L, 10L, ts(1), 5.0), UserEvent(2L, 40L, ts(1), 1.0),
+      UserEvent(1L, 11L, ts(2), 3.0), UserEvent(1L, 12L, ts(3), 7.0))
+    val s = StateStores.rocksDBSession(spark)
+    import s.implicits._
+    val in = MemoryStream[UserEvent](s)
+    val name = s"ss_tws_${System.nanoTime()}"
+    val q = StatefulOps.runningStatsTws(in.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+    in.addData(ev(0), ev(1))
+    q.processAllAvailable()
+    in.addData(ev(2), ev(3)) // user 1 continues — ValueState reload
+    q.processAllAvailable()
+    val out = s.table(name).as[RunOut].collect()
+      .sortBy(r => (r.user_id, r.seq)).toSeq
+    assertEngaged("RocksDB", q)
+    q.stop()
+    val expected = {
+      import spark.implicits._
+      StatefulOps.runningStats(ev.toDS())
+        .collect().sortBy(r => (r.user_id, r.seq)).toSeq
+    }
+    assert(out === expected, "transformWithState diverges from batch form")
+  }
 }
