@@ -84,15 +84,17 @@ object StatefulOps {
     * streaming-state story standardizes on. Semantics are pinned equal
     * to both the fMGWS form and the oracle-gated batch form
     * (StateStoreSpec). */
-  final class RunningStatsProcessor
+  final class RunningStatsProcessor(
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, UserEvent, RunOut] {
-    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig}
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
     @transient private var state:
       org.apache.spark.sql.streaming.ValueState[RunState] = _
     override def init(outputMode: OM, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[RunState]("runState",
-        Encoders.product[RunState], TTLConfig.NONE)
+        Encoders.product[RunState], ttl)
     override def handleInputRows(key: Long, rows: Iterator[UserEvent],
         timers: org.apache.spark.sql.streaming.TimerValues)
         : Iterator[RunOut] = {
@@ -107,13 +109,21 @@ object StatefulOps {
   }
 
   /** [[runningStatsStream]] on the `transformWithState` operator
-    * (requires the RocksDB state store provider). */
-  def runningStatsTws(ev: Dataset[UserEvent]): Dataset[RunOut] = {
+    * (requires the RocksDB state store provider). A finite `ttl` bounds
+    * idle per-key state — the knob that keeps an unbounded key space
+    * (session ids, doc fingerprints) from growing state forever at
+    * 100 TB; expiry resets the key's running stats. TTL state requires
+    * processing-time mode, so the time mode follows the config. */
+  def runningStatsTws(ev: Dataset[UserEvent],
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[RunOut] = {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
     implicit val outEnc = Encoders.product[RunOut]
     implicit val keyEnc = Encoders.scalaLong
+    val mode = if (ttl == TTLConfig.NONE) TimeMode.None()
+      else TimeMode.ProcessingTime()
     ev.groupByKey(_.user_id)
-      .transformWithState(new RunningStatsProcessor,
-        org.apache.spark.sql.streaming.TimeMode.None(),
+      .transformWithState(new RunningStatsProcessor(ttl), mode,
         OutputMode.Append())
   }
 

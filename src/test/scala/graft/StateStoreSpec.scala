@@ -235,4 +235,92 @@ class StateStoreSpec extends SparkSpec {
     }
     assert(out === expected, "transformWithState diverges from batch form")
   }
+
+  test("checkpoint restart: a NEW query resumes per-key state from the " +
+      "same checkpoint under both providers (RocksDB via changelog)") {
+    // In-flight state coverage exists (state across micro-batches in a
+    // live query); this pins the RESTART path — stop, construct a new
+    // query over the same checkpoint dir, and the per-key state machine
+    // must continue (seq resumes, running max remembered), not reset.
+    // Under RocksDB this reloads SST+changelog; under HDFSBacked, the
+    // delta snapshot chain.
+    val results = sessions().map { case (label, s) =>
+      import s.implicits._
+      val in = MemoryStream[UserEvent](s)
+      val ckpt = tmpCkpt()
+      // the memory sink refuses checkpoint recovery; a foreachBatch
+      // collector is the restart-capable test sink
+      val sunk = new java.util.concurrent.ConcurrentLinkedQueue[RunOut]()
+      def start() = StatefulOps.runningStatsStream(in.toDS())
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[RunOut], _: Long) =>
+          df.collect().foreach(sunk.add)
+        }
+        .outputMode("append").option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      in.addData(UserEvent(1L, 10L, ts(1), 50.0),
+        UserEvent(1L, 11L, ts(2), 80.0))
+      q1.processAllAvailable()
+      val before = sunk.asScala
+        .map(r => r.event_id -> ((r.seq, r.run_max))).toMap
+      q1.stop()
+      sunk.clear()
+      // NEW query object, same checkpoint: state must resume, and the
+      // already-committed batch must not replay into the new sink
+      val q2 = start()
+      in.addData(UserEvent(1L, 12L, ts(3), 60.0))
+      q2.processAllAvailable()
+      val after = sunk.asScala
+        .map(r => r.event_id -> ((r.seq, r.run_max))).toMap
+      assertEngaged(label, q2)
+      q2.stop()
+      assert(before === Map(10L -> ((1L, 50.0)), 11L -> ((2L, 80.0))),
+        s"provider $label pre-restart")
+      label -> after
+    }
+    results.foreach { case (label, after) =>
+      // seq continues at 3 and the pre-restart running max (80.0)
+      // survived the restart; committed events 10/11 did not replay
+      assert(after === Map(12L -> ((3L, 80.0))),
+        s"provider $label post-restart state: $after")
+    }
+  }
+
+  test("transformWithState per-variable TTL: idle key state expires and " +
+      "the running stats reset (the unbounded-key-space bound)") {
+    val s = StateStores.rocksDBSession(spark)
+    import s.implicits._
+    val in = MemoryStream[UserEvent](s)
+    val name = s"ss_ttl_${System.nanoTime()}"
+    val q = StatefulOps.runningStatsTws(in.toDS(),
+        org.apache.spark.sql.streaming.TTLConfig(
+          java.time.Duration.ofMillis(300)))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+    // NOTE: no processAllAvailable here — under TimeMode.ProcessingTime
+    // the micro-batch loop never goes idle (timer/TTL sweeps keep it
+    // busy), so processAllAvailable blocks forever; poll the sink with
+    // a deadline instead.
+    def awaitRows(n: Int): Map[Long, (Long, Double)] = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var out = Map.empty[Long, (Long, Double)]
+      while (out.size < n && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        out = s.table(name).as[RunOut].collect()
+          .map(r => r.event_id -> ((r.seq, r.run_max))).toMap
+      }
+      out
+    }
+    in.addData(UserEvent(1L, 10L, ts(1), 80.0))
+    assert(awaitRows(1).size === 1)
+    // let the 300 ms TTL lapse with a margin, then touch the key again:
+    // the expired ValueState must read as absent — seq restarts at 1
+    // and the pre-expiry running max (80.0) is forgotten
+    Thread.sleep(1500)
+    in.addData(UserEvent(1L, 11L, ts(2), 40.0))
+    val out = awaitRows(2)
+    q.stop()
+    assert(out(10L) === ((1L, 80.0)))
+    assert(out(11L) === ((1L, 40.0)), s"state survived its TTL: $out")
+  }
 }
