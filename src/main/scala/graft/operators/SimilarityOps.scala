@@ -212,6 +212,37 @@ object SimilarityOps {
       .orderBy("src_id", "rn")
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009): fuse any number of
+    * ranked candidate lists into one ranking by `Σ 1/(c + rank_i)` —
+    * the standard score-free hybrid-retrieval combiner (lexical BM25 +
+    * dense ANN being the canonical pair). Each input must carry
+    * `idCol` and a 1-based `rn` rank column; ids absent from a list
+    * simply contribute nothing (no imputation). `c = 60` is the
+    * published default that damps the head of each list.
+    *
+    * Scale shape: inputs are top-k lists — BOUNDED by construction —
+    * so the union and the per-id sum touch `Σ k_i` rows total
+    * regardless of corpus size; the heavy lifting stays in the
+    * upstream retrievers (BM25's filtered aggregate, the ANN index
+    * probes). No window, no corpus-wide shuffle here. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val u = lists.map(_.select(col(idCol), col("rn"))).reduce(_ unionByName _)
+    u.groupBy(idCol)
+      .agg(round(sum(lit(1.0) / (lit(c) + col("rn"))), 6).as("rrf"),
+        count(lit(1)).cast("int").as("n_lists"))
+      .orderBy(col("rrf").desc, col(idCol))
+  }
+
+  /** 1-based rank column over a BOUNDED (top-k) list — declared
+    * single-partition window (see [[BoundedWindow]]). */
+  private def rankBounded(topk: DataFrame, idCol: String,
+      order: Seq[Column]): DataFrame =
+    topk.select(col(idCol), row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(BoundedWindow.key(col(idCol)))
+        .orderBy(order: _*)).as("rn"))
+
   val all: Seq[Query] = Seq(
     Query(
       "q_sim_topk",
@@ -362,6 +393,68 @@ object SimilarityOps {
             round(graft.functions.VectorOps.norm(
               col("embedding").cast("array<double>")), 6).as("vec_norm"))
           .orderBy("doc_id")
+      }),
+
+    // Hybrid retrieval: RRF-fuse the lexical BM25 top-50 (q_bm25's
+    // 3-term query) with the dense cosine top-50 around probe vector 0
+    // (q_sim_topk's retriever) — documents and embeddings share the id
+    // space (the q_multimodal_cols contract). Rank ties break by id on
+    // both engines, so the fused scores are fully determined.
+    Query(
+      "q_rrf",
+      Some("""WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+              stats AS (
+                SELECT count(*) AS n_docs, avg(len(ts)) AS avgdl FROM docs),
+              tf AS (
+                SELECT doc_id, tok, count(*) AS tf, max(dl) AS dl
+                FROM (SELECT doc_id, len(ts) AS dl, unnest(ts) AS tok
+                      FROM docs)
+                WHERE tok IN ('join', 'filter', 'scan')
+                GROUP BY doc_id, tok),
+              dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+              bm AS (
+                SELECT doc_id,
+                       round(sum(
+                         ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+                         tf * (1.2 + 1) /
+                         (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+                         AS bm25
+                FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
+                GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+              bmr AS (
+                SELECT doc_id, row_number()
+                         OVER (ORDER BY bm25 DESC, doc_id) AS rn
+                FROM bm),
+              p AS (SELECT embedding::DOUBLE[] AS pe
+                    FROM embeddings WHERE vec_id = 0),
+              cs AS (
+                SELECT vec_id,
+                       round(list_inner_product(embedding::DOUBLE[], pe) /
+                         (sqrt(list_inner_product(embedding::DOUBLE[],
+                                                  embedding::DOUBLE[])) *
+                          sqrt(list_inner_product(pe, pe))), 6) AS cos_sim
+                FROM embeddings, p WHERE vec_id <> 0
+                ORDER BY cos_sim DESC, vec_id LIMIT 50),
+              csr AS (
+                SELECT vec_id AS doc_id, row_number()
+                         OVER (ORDER BY cos_sim DESC, vec_id) AS rn
+                FROM cs),
+              u AS (SELECT * FROM bmr UNION ALL SELECT * FROM csr)
+              SELECT doc_id,
+                     round(sum(CAST(1 AS DOUBLE) / (60 + rn)), 6) AS rrf,
+                     CAST(count(*) AS INT) AS n_lists
+              FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id"""),
+      (s, d) => {
+        val bm = TextOps.bm25(Tables.documents(s, d), "doc_id", "text",
+          terms = Seq("join", "filter", "scan")).limit(50)
+        val bmRanked = rankBounded(bm, "doc_id",
+          Seq(col("bm25").desc, col("doc_id")))
+        val cs = bruteForceTopK(s, d, probeId = 0L, k = 50)
+          .withColumnRenamed("vec_id", "doc_id")
+        val csRanked = rankBounded(cs, "doc_id",
+          Seq(col("cos_sim").desc, col("doc_id")))
+        rrfFuse(Seq(bmRanked, csRanked), "doc_id")
       })
   )
 }

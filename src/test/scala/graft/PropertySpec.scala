@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DedupOps, ReferenceOps, TextOps}
+import graft.operators.{DedupOps, ReferenceOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -109,5 +109,21 @@ class PropertySpec extends SparkSpec {
       "doc_id", "text", Seq("a"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out3(1L) > out3(2L))
+  }
+
+  test("rrfFuse: overlap outranks either single list, scores are the " +
+      "published 1/(c+rank) sums, absent ids contribute nothing") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rn")
+    val b = Seq((30L, 1), (40L, 2)).toDF("doc_id", "rn")
+    val out = SimilarityOps.rrfFuse(Seq(a, b), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    // 30 is rank-3 lexically and rank-1 densely: 1/63 + 1/61 beats
+    // everyone's single-list 1/61; 20 and 40 tie at 1/62 and the id
+    // tiebreak orders them deterministically
+    assert(out.map(_._1).toSeq === Seq(30L, 10L, 20L, 40L))
+    assert(out.head === ((30L, math.rint((1.0/63 + 1.0/61) * 1e6) / 1e6, 2)))
+    assert(out.map(t => t._1 -> t._3).toMap ===
+      Map(10L -> 1, 20L -> 1, 30L -> 2, 40L -> 1))
   }
 }
