@@ -210,6 +210,60 @@ object ScaleProbe {
       println(f"[scale] cur10: $m%4d  $n%5d  $wallShuf%6.2f  $mbShuf%7.1f" +
         f"  $wallBud%8.2f  $mbBud%9.1f  $wallSem%5.2f  $mbSem%6.1f")
     }
+
+    // Round-11 retrieval probe: BM25's explode is filtered to the query
+    // terms BEFORE the tf aggregate, so shuffle bytes must track the
+    // number of matching docs (≤|terms| rows per doc), never token
+    // counts; RRF fuses two BOUNDED top-50 lists, so its extra bytes
+    // over the underlying retrievers must stay ~flat as the corpus
+    // replicates (only the retriever scans grow).
+    println("[scale] ret11: mult   docs  bm25_s  bm25_mb  rrf_s  rrf_mb")
+    Seq(1, 2, 4).foreach { m =>
+      val corpus = (0 until m)
+        .map(i => base.select((col("doc_id") + lit(i.toLong * 1000000L))
+          .as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .localCheckpoint()
+      val n = corpus.count()
+      val vecs = (0 until m)
+        .map(i => embBase.select(
+          (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+          col("embedding")))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+        .localCheckpoint()
+      vecs.count()
+      val terms = Seq("join", "filter", "scan")
+      listener.reset()
+      var t0 = System.nanoTime()
+      graft.operators.TextOps.bm25(corpus, "doc_id", "text", terms).count()
+      val wallBm = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      val mbBm = listener.bytes / 1e6
+      listener.reset()
+      t0 = System.nanoTime()
+      locally {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.{BoundedWindow, SimilarityOps, TextOps}
+        def rank(df: DataFrame, idCol: String, order: Seq[org.apache.spark.sql.Column]) =
+          df.select(col(idCol), row_number().over(Window
+            .partitionBy(BoundedWindow.key(col(idCol)))
+            .orderBy(order: _*)).as("rn"))
+        val bm = rank(TextOps.bm25(corpus, "doc_id", "text", terms).limit(50),
+          "doc_id", Seq(col("bm25").desc, col("doc_id")))
+        val cs = rank(SimilarityOps.bruteForceTopK(vecs, "vec_id",
+            "embedding", probeId = 0L, k = 50)
+            .withColumnRenamed("vec_id", "doc_id"),
+          "doc_id", Seq(col("cos_sim").desc, col("doc_id")))
+        SimilarityOps.rrfFuse(Seq(bm, cs), "doc_id").count()
+      }
+      val wallRrf = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000)
+      val mbRrf = listener.bytes / 1e6
+      println(f"[scale] ret11: $m%4d  $n%5d  $wallBm%6.2f  $mbBm%7.1f" +
+        f"  $wallRrf%5.2f  $mbRrf%6.1f")
+    }
     }
 
     // Cell-skew probe: natural corpora have hot clusters, and a hot
