@@ -178,6 +178,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("tfidf_topk"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "tfidf_topk"),
       (exprs: Seq[Expression]) => GraftExtensions.tfidfTopKPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("bm25"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "bm25"),
+      (exprs: Seq[Expression]) => GraftExtensions.bm25Plan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("rrf"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "rrf"),
+      (exprs: Seq[Expression]) => GraftExtensions.rrfPlan(exprs)))
     ext.injectTableFunction((FunctionIdentifier("sample_budget"),
       new ExpressionInfo(GraftExtensions.getClass.getName,
         "sample_budget"),
@@ -754,5 +760,54 @@ object GraftExtensions {
       VectorOps.intArg("tfidf_topk", "k", exprs(1)) else 3
     require(k > 0, s"tfidf_topk k must be positive; got $k")
     TextOps.tfidfTopK(df, "doc_id", "text", k).queryExecution.analyzed
+  }
+
+  /** `bm25(doc_table, terms)` — Okapi BM25 relevance of every document
+    * against a space-separated query-term string
+    * ([[graft.operators.TextOps.bm25]]):
+    *
+    * {{{
+    *   SELECT * FROM bm25('documents', 'join filter scan')
+    * }}}
+    *
+    * Returns `(doc_id, bm25)` for documents matching ≥1 term, best
+    * first. Standard k1=1.2 / b=0.75. */
+  private[graft] def bm25Plan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("bm25(doc_table, terms)", exprs, 2, 2)
+    val df = docTable("bm25", litStr("bm25", "doc_table", exprs(0)))
+    val terms = litStr("bm25", "terms", exprs(1)).trim.split("\\s+").toSeq
+    require(terms.nonEmpty && terms.head.nonEmpty,
+      "bm25 terms must contain at least one token")
+    TextOps.bm25(df, "doc_id", "text", terms).queryExecution.analyzed
+  }
+
+  /** `rrf(doc_table, vec_table, terms, probe_id [, k])` — hybrid
+    * retrieval: reciprocal-rank fusion of the BM25 top-k against
+    * `terms` with the exact cosine top-k around `probe_id`
+    * ([[graft.operators.SimilarityOps.hybridRrf]]):
+    *
+    * {{{
+    *   SELECT * FROM rrf('documents', 'embeddings', 'join filter scan', 0)
+    * }}}
+    *
+    * Returns `(doc_id, rrf, n_lists)`, fused-best first. */
+  private[graft] def rrfPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("rrf(doc_table, vec_table, terms, probe_id [, k])", exprs, 4, 5)
+    val docs = docTable("rrf", litStr("rrf", "doc_table", exprs(0)))
+    val vname = litStr("rrf", "vec_table", exprs(1))
+    val vecs = SparkSession.active.table(vname)
+    require(vecs.columns.contains("vec_id") &&
+        vecs.columns.contains("embedding"),
+      s"rrf expects table '$vname' to carry (vec_id, embedding); found " +
+        vecs.columns.mkString("(", ", ", ")"))
+    val terms = litStr("rrf", "terms", exprs(2)).trim.split("\\s+").toSeq
+    require(terms.nonEmpty && terms.head.nonEmpty,
+      "rrf terms must contain at least one token")
+    val probeId = VectorOps.intArg("rrf", "probe_id", exprs(3)).toLong
+    val k = if (exprs.length > 4) VectorOps.intArg("rrf", "k", exprs(4))
+      else 50
+    require(k > 0, s"rrf k must be positive; got $k")
+    graft.operators.SimilarityOps.hybridRrf(docs, vecs, terms, probeId, k)
+      .queryExecution.analyzed
   }
 }

@@ -234,6 +234,23 @@ object SimilarityOps {
       .orderBy(col("rrf").desc, col(idCol))
   }
 
+  /** Lexical+dense hybrid retrieval: RRF-fuse the BM25 top-`k` against
+    * `terms` with the exact cosine top-`k` around `probeId` (documents
+    * and vectors share the id space — the q_multimodal_cols contract).
+    * The composed shape of [[rrfFuse]] both q_rrf and the SQL `rrf`
+    * TVF reach. */
+  def hybridRrf(docs: DataFrame, vecs: DataFrame, terms: Seq[String],
+      probeId: Long, k: Int = 50): DataFrame = {
+    val bm = rankBounded(
+      TextOps.bm25(docs, "doc_id", "text", terms).limit(k),
+      "doc_id", Seq(col("bm25").desc, col("doc_id")))
+    val cs = rankBounded(
+      bruteForceTopK(vecs, "vec_id", "embedding", probeId, k)
+        .withColumnRenamed("vec_id", "doc_id"),
+      "doc_id", Seq(col("cos_sim").desc, col("doc_id")))
+    rrfFuse(Seq(bm, cs), "doc_id")
+  }
+
   /** 1-based rank column over a BOUNDED (top-k) list — declared
     * single-partition window (see [[BoundedWindow]]). */
   private def rankBounded(topk: DataFrame, idCol: String,
@@ -445,16 +462,7 @@ object SimilarityOps {
                      round(sum(CAST(1 AS DOUBLE) / (60 + rn)), 6) AS rrf,
                      CAST(count(*) AS INT) AS n_lists
               FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id"""),
-      (s, d) => {
-        val bm = TextOps.bm25(Tables.documents(s, d), "doc_id", "text",
-          terms = Seq("join", "filter", "scan")).limit(50)
-        val bmRanked = rankBounded(bm, "doc_id",
-          Seq(col("bm25").desc, col("doc_id")))
-        val cs = bruteForceTopK(s, d, probeId = 0L, k = 50)
-          .withColumnRenamed("vec_id", "doc_id")
-        val csRanked = rankBounded(cs, "doc_id",
-          Seq(col("cos_sim").desc, col("doc_id")))
-        rrfFuse(Seq(bmRanked, csRanked), "doc_id")
-      })
+      (s, d) => hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),
+        terms = Seq("join", "filter", "scan"), probeId = 0L))
   )
 }

@@ -418,4 +418,36 @@ class GraftExtensionsSpec extends SparkSpec {
       .head().getSeq[Long](0)
     assert(viaSql === viaApi)
   }
+
+  test("retrieval TVFs (bm25, rrf) agree with the Scala API and reject " +
+      "bad arguments") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val docs = graft.sources.Tables.documents(s2, sfDir)
+    val vecs = graft.sources.Tables.embeddings(s2, sfDir)
+    docs.createOrReplaceTempView("ret_docs_sql")
+    vecs.createOrReplaceTempView("ret_vecs_sql")
+    // bm25 ≡ TextOps.bm25 (terms as a space-separated literal)
+    val bmSql = s2.sql("SELECT * FROM bm25('ret_docs_sql', 'join filter scan')")
+    assert(bmSql.columns.toSeq === Seq("doc_id", "bm25"))
+    assert(bmSql.collect().map(_.toSeq).toSeq ===
+      graft.operators.TextOps.bm25(docs, "doc_id", "text",
+        Seq("join", "filter", "scan")).collect().map(_.toSeq).toSeq)
+    // rrf ≡ SimilarityOps.hybridRrf at the q_rrf operating point
+    val rrfSql = s2.sql(
+      "SELECT * FROM rrf('ret_docs_sql', 'ret_vecs_sql', 'join filter scan', 0)")
+    assert(rrfSql.columns.toSeq === Seq("doc_id", "rrf", "n_lists"))
+    assert(rrfSql.collect().map(_.toSeq).toSeq ===
+      graft.operators.SimilarityOps.hybridRrf(docs, vecs,
+        Seq("join", "filter", "scan"), probeId = 0L)
+        .collect().map(_.toSeq).toSeq)
+    // argument validation fails at ANALYSIS with a named-parameter error
+    val e1 = intercept[Exception](
+      s2.sql("SELECT * FROM bm25('ret_docs_sql', '   ')").collect())
+    assert(e1.getMessage.contains("at least one token"))
+    val e2 = intercept[Exception](
+      s2.sql("SELECT * FROM rrf('ret_docs_sql', 'ret_docs_sql', 'x', 0)")
+        .collect())
+    assert(e2.getMessage.contains("vec_id"))
+  }
 }
