@@ -43,6 +43,90 @@ object RelationalOps {
       (lit(1).cast(dec) - col("l_discount").cast(dec))).cast("double")
   }
 
+  /** Per-column profile of `cols` (numeric): value/null/distinct
+    * counts, min/max, and DECIMAL-exact mean/stddev — one row per
+    * column, ONE scan of the table (all aggregates in a single
+    * `agg`; the unpivot is a `stack` over the final 1-row scalars,
+    * not a per-column pass). Deterministic at any partitioning:
+    * per-row squares are IEEE-exact, sums run in DECIMAL(38,6)
+    * (associative-exact; see the cast-width note below), and the
+    * mean/variance fold from those sums in DOUBLE identically on any
+    * engine. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        // DECIMAL(38,6), not (38,18): Spark's double→decimal cast reads
+        // the SHORTEST decimal repr of the double while DuckDB reads the
+        // exact binary expansion — at 18 places the two decimals differ
+        // in the binary-noise digits (~1e-17 relative) and the sums
+        // drift apart at ~1e-10, enough to flip a 6-dp rounding. At 6
+        // places both casts see the same value (the noise lives far
+        // below 1e-6), so the sums are identical decimals on any engine
+        // AND order-independent.
+        sum(col(c).cast(DecimalType(38, 6))).as(s"${c}__s1"),
+        sum((col(c) * col(c)).cast(DecimalType(38, 6))).as(s"${c}__s2"))
+    }
+    val named = df.agg(aggs.head, aggs.tail: _*).select(cols.flatMap { c =>
+      val n = col(s"${c}__n")
+      val s1 = col(s"${c}__s1").cast("double")
+      val s2 = col(s"${c}__s2").cast("double")
+      // 6-dp rounding via scale-then-round-to-integer: round(x·1e6)/1e6.
+      // Plain round(x, 6) rounds the double's INFINITE decimal
+      // expansion (BigDecimal HALF_UP) while DuckDB rounds the scaled
+      // double — at an exact .5 in the scaled double (l_tax's mean hit
+      // one) the two disagree by 1e-6. Scaling first snaps both engines
+      // to the same representable double, and integer rounding of a
+      // double is half-away-from-zero in both.
+      def r6(x: Column) = round(x * lit(1000000.0)) / lit(1000000.0)
+      Seq(
+        col(s"${c}__n"), col(s"${c}__nulls"), col(s"${c}__distinct"),
+        col(s"${c}__min"), col(s"${c}__max"),
+        r6(s1 / n).as(s"${c}__mean"),
+        // sample variance from exact sums; clamped at 0 against the
+        // tiny negative a constant column folds to
+        r6(sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), lit(0.0))))
+          .as(s"${c}__sd"))
+    }: _*)
+    named.select(expr(
+      s"stack(${cols.size}, " + cols.map(c =>
+        s"'$c', ${c}__n, ${c}__nulls, ${c}__distinct, ${c}__min, " +
+          s"${c}__max, ${c}__mean, ${c}__sd").mkString(", ") +
+        ") as (col_name, n_values, n_nulls, n_distinct, min_v, max_v, " +
+        "mean_v, stddev_v)"))
+      .orderBy("col_name")
+  }
+
+  /** The DuckDB spelling of [[profile]] over `lineitem` — same exact
+    * DECIMAL sums, same DOUBLE fold, same clamp. */
+  private def profileOracleSql(cols: Seq[String]): String = {
+    val per = cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+             CAST(count($c) AS BIGINT) AS n_values,
+             CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             CAST(min($c) AS DOUBLE) AS min_v,
+             CAST(max($c) AS DOUBLE) AS max_v,
+             round(CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE)
+               / count($c) * 1000000.0) / 1000000.0 AS mean_v,
+             round(sqrt(greatest(
+               (CAST(sum(CAST($c * $c AS DECIMAL(38,6))) AS DOUBLE)
+                - CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE)
+                  * CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE)
+                  / count($c)) / (count($c) - 1), 0.0))
+               * 1000000.0) / 1000000.0 AS stddev_v
+         FROM lineitem"""
+    }
+    per.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY col_name")
+  }
+
   val all: Seq[Query] = Seq(
     // -- scans / filter / project ------------------------------------
     Query(
@@ -339,6 +423,39 @@ object RelationalOps {
             percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
               .as("p99"))
           .orderBy("l_returnflag")),
+    // EXACT grouped percentiles — the oracle-gated twin of
+    // q_approx_quantile (linear interpolation at p·(n−1), the
+    // quantile_cont definition both engines share). Exactness costs a
+    // per-group sort of the values; at 100 TB a user reaches for the
+    // sketch twin above — shipping both, cross-gated, is the point.
+    Query(
+      "q_percentile",
+      Some("""SELECT l_returnflag,
+                     round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                     round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+            round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90"))
+          .orderBy("l_returnflag")),
+    // Column profiling — the pipeline-health primitive (nulls, distinct
+    // counts, range, DECIMAL-exact moments) every ingest step runs
+    // before heavier curation. One aggregate pass over the table (the
+    // multi-distinct expands via Expand, still one scan), then a
+    // stack() unpivot of the final scalars — never one pass per column.
+    // Moments are order-independent: per-row squares are deterministic
+    // IEEE doubles, the sums run in DECIMAL(38,18) (the
+    // q_embed_centroid stance), and the variance folds in DOUBLE from
+    // identical decimal sums on both engines.
+    Query(
+      "q_profile",
+      Some(profileOracleSql(Seq("l_quantity", "l_extendedprice",
+        "l_discount", "l_tax"))),
+      (s, d) => profile(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     Query(
       "q_rollup",
       Some("""SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{DedupOps, ReferenceOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, ReferenceOps, RelationalOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
@@ -125,5 +125,25 @@ class PropertySpec extends SparkSpec {
     assert(out.head === ((30L, math.rint((1.0/63 + 1.0/61) * 1e6) / 1e6, 2)))
     assert(out.map(t => t._1 -> t._3).toMap ===
       Map(10L -> 1, 20L -> 1, 30L -> 2, 40L -> 1))
+  }
+
+  test("profile: null accounting, exact moments, and the constant-column " +
+      "stddev clamp") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 5.0), (2.0, 5.0), (3.0, 5.0), (null, 5.0))
+      .toDF("x", "c")
+    val out = RelationalOps.profile(df, Seq("x", "c")).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    // x: 3 values, 1 null, 3 distinct, range [1,3], mean 2, sd 1
+    assert(out("x") === Seq(3L, 1L, 3L, 1.0, 3.0, 2.0, 1.0))
+    // c: constant → stddev exactly 0 (variance clamp, no NaN from the
+    // tiny negative the double fold can produce)
+    assert(out("c") === Seq(4L, 0L, 1L, 5.0, 5.0, 5.0, 0.0))
+    // determinism under repartitioning (decimal sums are associative)
+    assert(RelationalOps.profile(df.repartition(7), Seq("x", "c"))
+      .collect().map(_.toSeq).toSet === 
+      RelationalOps.profile(df, Seq("x", "c"))
+      .collect().map(_.toSeq).toSet)
   }
 }
