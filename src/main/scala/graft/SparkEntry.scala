@@ -10,8 +10,8 @@ import graft.operators._
 object SparkEntry {
 
   private def registry: Seq[Query] =
-    ReferenceOps.all ++ RelationalOps.all ++ FunctionOps.all ++
-      StreamingOps.all ++ TextOps.all ++ DedupOps.all ++
+    ReferenceOps.all ++ RelationalOps.all ++ EventOps.all ++
+      FunctionOps.all ++ StreamingOps.all ++ TextOps.all ++ DedupOps.all ++
       CurationOps.all ++ SimilarityOps.all ++ MultimodalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

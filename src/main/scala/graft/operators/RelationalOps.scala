@@ -456,6 +456,146 @@ object RelationalOps {
         "l_discount", "l_tax"))),
       (s, d) => profile(Tables.lineitem(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+    // Grouped covariance/correlation from the same DECIMAL-exact sums
+    // as q_profile: the builtin corr/covar_samp aggregates fold their
+    // moments in DOUBLE during partial aggregation, so their last bits
+    // depend on partition order — instead the five raw sums run in
+    // DECIMAL(38,6) (order-independent, engine-identical; the per-row
+    // products are IEEE-exact doubles) and both engines fold the same
+    // textbook formulas from the same decimal values. One scan, one
+    // map-side-combined aggregate — unchanged at any corpus size.
+    Query(
+      "q_corr",
+      Some("""SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                     round((sxy - sx*sy/n)/(n-1) * 1000000.0)/1000000.0
+                       AS cov_qp,
+                     round((n*sxy - sx*sy)
+                           / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))
+                           * 1000000.0)/1000000.0 AS corr_qp
+              FROM (
+                SELECT l_returnflag, CAST(count(*) AS DOUBLE) n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) sy,
+                  CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6)))
+                    AS DOUBLE) sxy,
+                  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(38,6)))
+                    AS DOUBLE) sxx,
+                  CAST(sum(CAST(l_extendedprice*l_extendedprice
+                    AS DECIMAL(38,6))) AS DOUBLE) syy
+                FROM lineitem GROUP BY 1)
+              ORDER BY l_returnflag"""),
+      (s, d) => {
+        val dec = DecimalType(38, 6)
+        val g = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("l_quantity").cast(dec)).cast("double").as("sx"),
+            sum(col("l_extendedprice").cast(dec)).cast("double").as("sy"),
+            sum((col("l_quantity") * col("l_extendedprice")).cast(dec))
+              .cast("double").as("sxy"),
+            sum((col("l_quantity") * col("l_quantity")).cast(dec))
+              .cast("double").as("sxx"),
+            sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec))
+              .cast("double").as("syy"))
+        def r6(x: Column) = round(x * lit(1000000.0)) / lit(1000000.0)
+        val n = col("n"); val sx = col("sx"); val sy = col("sy")
+        val sxy = col("sxy"); val sxx = col("sxx"); val syy = col("syy")
+        g.select(
+            col("l_returnflag"),
+            n.cast("bigint").as("n"),
+            r6((sxy - sx * sy / n) / (n - lit(1))).as("cov_qp"),
+            r6((n * sxy - sx * sy) /
+              sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))).as("corr_qp"))
+          .orderBy("l_returnflag")
+      }),
+    // Fixed-width histogram — the distribution primitive under every
+    // data-quality dashboard. The bucket id is a pure narrow map
+    // (floor of an IEEE division both engines share), so the whole
+    // query is one map-side-combined count per bucket: ~21 result rows
+    // at ANY corpus size, shuffle bytes constant in the bucket count.
+    Query(
+      "q_histogram",
+      Some("""SELECT CAST(floor(l_extendedprice / CAST(5000.0 AS DOUBLE))
+                       AS BIGINT) AS bucket,
+                     CAST(CAST(floor(l_extendedprice / CAST(5000.0 AS DOUBLE))
+                       AS BIGINT) AS DOUBLE) * CAST(5000.0 AS DOUBLE)
+                       AS bin_lo,
+                     count(*) AS n,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty
+              FROM lineitem GROUP BY 1, 2 ORDER BY bucket"""),
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .withColumn("bucket",
+            floor(col("l_extendedprice") / lit(5000.0)).cast("bigint"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .select(
+            col("bucket"),
+            (col("bucket").cast("double") * lit(5000.0)).as("bin_lo"),
+            col("n"), col("sum_qty"))
+          .orderBy("bucket")),
+    // SCD-1 merge (upsert): apply a change set to a base table —
+    // updated rows take the new values, unmatched changes insert,
+    // untouched base rows carry through, each tagged with its action.
+    // The merge is ONE full-outer sort-merge join co-partitioned on the
+    // key (updates are usually ≪ base, so at 100 TB the base side's
+    // shuffle dominates; with a bucketed base table the exchange
+    // disappears entirely — see ScaleSpec's bucketed-join pin). The
+    // 10% price bump runs in exact DECIMAL arithmetic ((18,2)×(3,1) —
+    // a double multiply by 1.1 rounds differently per engine).
+    Query(
+      "q_merge_upsert",
+      Some("""WITH u AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                         * CAST('1.1' AS DECIMAL(3,1)) AS DOUBLE)
+                         AS o_totalprice
+                FROM orders WHERE o_orderkey % 7 = 0
+                UNION ALL
+                SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+                FROM orders WHERE o_orderkey % 97 = 0)
+              SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+                     coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
+                     coalesce(u.o_totalprice, b.o_totalprice)
+                       AS o_totalprice,
+                     CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                          WHEN u.o_orderkey IS NULL THEN 'keep'
+                          ELSE 'update' END AS action
+              FROM orders b FULL OUTER JOIN u
+                ON b.o_orderkey = u.o_orderkey
+              ORDER BY o_orderkey"""),
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val updates = base
+          .filter(col("o_orderkey") % 7 === 0)
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice").cast(DecimalType(18, 2)) *
+              expr("CAST('1.1' AS DECIMAL(3,1))")).cast("double")
+              .as("o_totalprice"))
+          .unionAll(base
+            .filter(col("o_orderkey") % 97 === 0)
+            .select(
+              (col("o_orderkey") + 10000000L).as("o_orderkey"),
+              col("o_custkey"), col("o_totalprice")))
+        val u = updates.columns.foldLeft(updates)((df, c) =>
+          df.withColumnRenamed(c, s"u_$c"))
+        base.join(u, col("o_orderkey") === col("u_o_orderkey"),
+            "full_outer")
+          .select(
+            coalesce(col("u_o_orderkey"), col("o_orderkey"))
+              .as("o_orderkey"),
+            coalesce(col("u_o_custkey"), col("o_custkey")).as("o_custkey"),
+            coalesce(col("u_o_totalprice"), col("o_totalprice"))
+              .as("o_totalprice"),
+            when(col("o_orderkey").isNull, lit("insert"))
+              .when(col("u_o_orderkey").isNull, lit("keep"))
+              .otherwise(lit("update")).as("action"))
+          .orderBy("o_orderkey")
+      }),
     Query(
       "q_rollup",
       Some("""SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch event-analytics tier (EventOps) + the round-11 relational
+  * additions (q_corr / q_histogram / q_merge_upsert): each query's law
+  * checked against an independent in-memory computation at sf0.001,
+  * plus repartition determinism for every DECIMAL-sum fold. */
+class EventOpsSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  // ---- q_anomaly ----
+
+  test("anomaly: flagged set matches a brute-force per-type z-score") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byType = ev.groupBy(_._2)
+    val want = ev.filter { case (_, t, v) =>
+      val vs = byType(t).map(_._3)
+      val n = vs.length.toDouble
+      val m = vs.sum / n
+      val sd = math.sqrt(vs.map(x => (x - m) * (x - m)).sum / (n - 1))
+      math.abs((v - m) / sd) > 3.0
+    }.map(_._1).toSet
+    val got = run("q_anomaly").select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    // DECIMAL-sum moments vs naive double moments can disagree only in
+    // the last bits — far from the 3.0 cut for any real row — so the
+    // flagged SETS must match even though the z values differ in noise.
+    assert(got === want)
+    assert(got.nonEmpty, "fixture must flag at least one outlier")
+  }
+
+  test("anomaly: deterministic under repartitioning") {
+    val a = run("q_anomaly").collect().toSeq
+    val b = SparkEntry.queries("q_anomaly")(spark, sfDir) // fresh plan
+    assert(b.repartition(7).orderBy("event_id").collect().toSeq === a)
+  }
+
+  // ---- q_retention ----
+
+  test("retention: offset-0 row counts every cohort's full size and " +
+    "offsets never exceed the cohort size") {
+    val rows = run("q_retention").collect()
+      .map(r => (r.getDate(0), r.getLong(1), r.getLong(2)))
+    val cohortSize = rows.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    // every user is active on their own first-seen day
+    val users = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("user_id").distinct().count()
+    assert(cohortSize.values.sum === users)
+    rows.foreach { case (day, off, n) =>
+      assert(off >= 0L)
+      assert(n <= cohortSize(day),
+        s"cohort $day offset $off: $n > cohort size ${cohortSize(day)}")
+    }
+  }
+
+  // ---- q_event_funnel ----
+
+  test("funnel: stage counts are non-increasing and match brute force") {
+    val got = run("q_event_funnel").collect()
+      .map(r => (r.getInt(0), r.getLong(2)))
+    assert(got.map(_._1).toSeq === Seq(1, 2, 3))
+    val Seq(c1, c2, c3) = got.map(_._2).toSeq
+    assert(c1 >= c2 && c2 >= c3)
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perUser = ev.groupBy(_._1).values.map { rs =>
+      def t(k: String) =
+        rs.filter(_._2 == k).map(_._3) match {
+          case e if e.isEmpty => None; case e => Some(e.min)
+        }
+      (t("view"), t("click"), t("purchase"))
+    }
+    val w1 = perUser.count(_._1.isDefined)
+    val w2 = perUser.count { case (a, b, _) =>
+      a.isDefined && b.exists(_ > a.get) }
+    val w3 = perUser.count { case (a, b, c) =>
+      a.isDefined && b.exists(_ > a.get) && c.exists(x => b.exists(x > _)) }
+    assert((c1, c2, c3) === (w1, w2, w3))
+  }
+
+  // ---- q_corr ----
+
+  test("corr: coefficients in [-1,1], covariance matches brute force " +
+    "to 1e-6, deterministic under repartitioning") {
+    val rows = run("q_corr").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.foreach { case (flag, n, cov, corr) =>
+      assert(corr >= -1.0 && corr <= 1.0)
+      val g = li.filter(_._1 == flag)
+      assert(n === g.length)
+      val mx = g.map(_._2).sum / n
+      val my = g.map(_._3).sum / n
+      val want = g.map(t => (t._2 - mx) * (t._3 - my)).sum / (n - 1)
+      assert(math.abs(cov - want) < 1e-4 * math.max(1.0, math.abs(want)),
+        s"$flag: cov $cov vs brute $want")
+    }
+    val again = SparkEntry.queries("q_corr")(spark, sfDir)
+      .repartition(5).orderBy("l_returnflag").collect()
+    assert(again.toSeq === run("q_corr").collect().toSeq)
+  }
+
+  // ---- q_histogram ----
+
+  test("histogram: bucket counts partition the table; edges consistent") {
+    val rows = run("q_histogram").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val total = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(rows.map(_._3).sum === total)
+    rows.foreach { case (b, lo, n) =>
+      assert(lo === b * 5000.0)
+      assert(n > 0L) // empty buckets are absent, not zero rows
+    }
+    assert(rows.map(_._1).toSeq === rows.map(_._1).sorted.toSeq)
+  }
+
+  // ---- q_merge_upsert ----
+
+  test("merge upsert: action partition reconciles with base and change " +
+    "set; updated prices are the exact DECIMAL 1.1x") {
+    val base = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val out = run("q_merge_upsert").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    val byAction = out.groupBy(_._3).view.mapValues(_.length).toMap
+    val updKeys = base.keySet.filter(_ % 7 == 0)
+    val insKeys = base.keySet.filter(_ % 97 == 0)
+    assert(byAction("update") === updKeys.size)
+    assert(byAction("insert") === insKeys.size)
+    assert(byAction("keep") === base.size - updKeys.size)
+    assert(out.length === base.size + insKeys.size)
+    // updated rows carry the exact decimal bump
+    out.filter(_._3 == "update").foreach { case (k, p, _) =>
+      val want = (BigDecimal(base(k)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal("1.1")).toDouble
+      assert(p === want, s"key $k")
+    }
+    // inserts surface under the shifted key with the original price
+    out.filter(_._3 == "insert").foreach { case (k, p, _) =>
+      assert(p === base(k - 10000000L))
+    }
+  }
+}

@@ -386,4 +386,30 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("q_anomaly: per-type stats broadcast back over the scoring scan") {
+    // the stats side is ≤|event types| rows — a shuffle join here would
+    // re-shuffle the corpus for a 5-row lookup
+    val p = plan(q("q_anomaly"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q_merge_upsert: the merge is one equi-join, no nested loop") {
+    val p = plan(q("q_merge_upsert"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q_event_funnel and q_histogram aggregate map-side — partial+final " +
+    "HashAggregate pairs, no window, no join") {
+    for (name <- Seq("q_event_funnel", "q_histogram")) {
+      val p = plan(q(name))
+      assert(p.contains("HashAggregate"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("Join"), s"$name:\n" + p.take(1500))
+      assert(!p.contains("WindowExec"), s"$name:\n" + p.take(1500))
+    }
+  }
 }
