@@ -542,7 +542,7 @@ object RelationalOps {
     // The merge is ONE full-outer sort-merge join co-partitioned on the
     // key (updates are usually ≪ base, so at 100 TB the base side's
     // shuffle dominates; with a bucketed base table the exchange
-    // disappears entirely — see ScaleSpec's bucketed-join pin). The
+    // disappears entirely — see StorageLayoutSpec's bucketed-join pin). The
     // 10% price bump runs in exact DECIMAL arithmetic ((18,2)×(3,1) —
     // a double multiply by 1.1 rounds differently per engine).
     Query(

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Storage-layout levers for the 100 TB path: bucketing (pre-shuffled
+  * tables make key-joins exchange-free) and partition pruning (a
+  * partitioned layout turns a partition-key filter into skipped
+  * directories, not scanned-and-dropped rows). Neither is reachable
+  * from the sf parquet fixtures directly — these specs build tiny
+  * bucketed/partitioned copies and pin the PLAN facts that matter at
+  * scale, the same way PlanSpec pins per-query shapes.
+  */
+class StorageLayoutSpec extends SparkSpec {
+
+  private def withConf[T](pairs: (String, String)*)(body: => T): T = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  private def withFixtureDir[T](prefix: String)(body: String => T): T = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    try body(dir.toString)
+    finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    // AQE's toString appends the pre-adaptive "== Initial Plan ==" —
+    // count nodes only in the final section
+    df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+  }
+
+  test("bucketed-by-key tables join with ZERO exchange — the co-located " +
+    "join every 100 TB fact-fact workload should be reading") {
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    try {
+      orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("b_orders_a")
+      orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("b_orders_b")
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val j = spark.table("b_orders_a").join(
+          spark.table("b_orders_b").withColumnRenamed("o_totalprice", "p2")
+            .withColumnRenamed("o_custkey", "c2"),
+          "o_orderkey")
+        val p = finalPlan(j)
+        assert(!p.contains("Exchange"),
+          "bucketed-bucketed key join must be exchange-free:\n" +
+            p.take(2500))
+        assert(j.count() === orders.count())
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders_a")
+      spark.sql("DROP TABLE IF EXISTS b_orders_b")
+    }
+  }
+
+  test("merge against a bucketed base shuffles ONLY the change set") {
+    // the q_merge_upsert shape with a bucketed base: the corpus-sized
+    // side reads pre-partitioned, the (much smaller) update side pays
+    // the single exchange
+    val orders = graft.sources.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice")
+    try {
+      orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("b_orders_base")
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val base = spark.table("b_orders_base")
+        val updates = orders.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("u_key"),
+            col("o_totalprice").as("u_price"))
+        val j = base.join(updates, col("o_orderkey") === col("u_key"),
+          "full_outer")
+        val p = finalPlan(j)
+        val exchanges = "Exchange".r.findAllIn(p).length
+        assert(exchanges === 1,
+          s"expected exactly 1 exchange (update side), got $exchanges:\n" +
+            p.take(2500))
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS b_orders_base")
+  }
+
+  test("partition-key filter prunes directories at plan time — the scan " +
+    "never touches non-matching partitions") {
+    withFixtureDir("graft-partitioned-events-") { dir =>
+      val ev = graft.sources.Tables.events(spark, sfDir)
+      ev.write.partitionBy("event_type").parquet(s"$dir/events_p")
+      val df = spark.read.parquet(s"$dir/events_p")
+        .filter(col("event_type") === "click")
+        .select("event_id", "value")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters:"), p.take(2000))
+      assert(p.contains("= click"),
+        "the partition predicate must reach the scan:\n" + p.take(2000))
+      // the pruned read agrees with the unpartitioned filter
+      assert(df.count() ===
+        ev.filter(col("event_type") === "click").count())
+    }
+  }
+
+  test("range-partitioned (sorted) write keeps min/max file statistics " +
+    "tight — a sort-key filter reads a bounded file subset") {
+    // parquet footer min/max + repartitionByRange give file-skipping on
+    // the sort key: the plan must push the filter to the scan; the
+    // correctness half (same rows) guards the layout transform itself
+    withFixtureDir("graft-sorted-lineitem-") { dir =>
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_shipdate", "l_extendedprice")
+      li.repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.parquet(s"$dir/li_sorted")
+      val df = spark.read.parquet(s"$dir/li_sorted")
+        .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp"))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+        p.take(2000))
+      assert(df.count() === li.filter(
+        col("l_shipdate") >= lit("1995-06-01").cast("timestamp")).count())
+    }
+  }
+}
