@@ -196,6 +196,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(GraftExtensions.getClass.getName,
         "corpus_shuffle"),
       (exprs: Seq[Expression]) => GraftExtensions.corpusShufflePlan(exprs)))
+    // round-11 event-analytics + descriptive-statistics tier: every
+    // operator family stays SQL-reachable
+    ext.injectTableFunction((FunctionIdentifier("anomaly"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "anomaly"),
+      (exprs: Seq[Expression]) => GraftExtensions.anomalyPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("retention"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "retention"),
+      (exprs: Seq[Expression]) => GraftExtensions.retentionPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("event_funnel"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "event_funnel"),
+      (exprs: Seq[Expression]) => GraftExtensions.eventFunnelPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("histogram"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "histogram"),
+      (exprs: Seq[Expression]) => GraftExtensions.histogramPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("merge_upsert"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "merge_upsert"),
+      (exprs: Seq[Expression]) => GraftExtensions.mergeUpsertPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("profile"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "profile"),
+      (exprs: Seq[Expression]) => GraftExtensions.profilePlan(exprs)))
   }
 }
 
@@ -808,6 +828,116 @@ object GraftExtensions {
       else 50
     require(k > 0, s"rrf k must be positive; got $k")
     graft.operators.SimilarityOps.hybridRrf(docs, vecs, terms, probeId, k)
+      .queryExecution.analyzed
+  }
+
+  /** Resolve a table and verify it carries `cols`, failing at TVF
+    * plan-build time with the expectation spelled out. */
+  private def namedTable(fn: String, table: String,
+      cols: Seq[String]): DataFrame = {
+    val df = SparkSession.active.table(table)
+    cols.foreach(c => require(df.columns.contains(c),
+      s"$fn expects table '$table' to carry " +
+        cols.mkString("(", ", ", ")") +
+        s"; found ${df.columns.mkString("(", ", ", ")")}"))
+    df
+  }
+
+  /** `anomaly(table, group_col, id_col, value_col [, z])` — per-group
+    * z-score outlier rows ([[graft.operators.EventOps.anomaly]]):
+    * DECIMAL-exact group moments broadcast back over a narrow scoring
+    * scan. Returns `(id, group, value, z)` ordered by id. */
+  private[graft] def anomalyPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("anomaly(table, group_col, id_col, value_col [, z])",
+      exprs, 4, 5)
+    val Seq(g, id, v) = (1 to 3).map(i =>
+      litStr("anomaly", Seq("group_col", "id_col", "value_col")(i - 1),
+        exprs(i)))
+    val df = namedTable("anomaly", litStr("anomaly", "table", exprs(0)),
+      Seq(g, id, v))
+    val z = if (exprs.length > 4) litDouble("anomaly", "z", exprs(4))
+      else 3.0
+    require(z > 0, s"anomaly z must be positive; got $z")
+    graft.operators.EventOps.anomaly(df, g, id, v, z)
+      .queryExecution.analyzed
+  }
+
+  /** `retention(table, user_col, ts_col)` — cohort retention triangle
+    * ([[graft.operators.EventOps.retention]]). Returns
+    * `(cohort_day, day_offset, users)`. */
+  private[graft] def retentionPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("retention(table, user_col, ts_col)", exprs, 3, 3)
+    val u = litStr("retention", "user_col", exprs(1))
+    val t = litStr("retention", "ts_col", exprs(2))
+    val df = namedTable("retention",
+      litStr("retention", "table", exprs(0)), Seq(u, t))
+    graft.operators.EventOps.retention(df, u, t).queryExecution.analyzed
+  }
+
+  /** `event_funnel(table, user_col, type_col, ts_col, stages)` —
+    * strict-ordered first-touch funnel counts through the
+    * space-separated `stages` ([[graft.operators.EventOps.funnel]]).
+    * Returns `(stage_idx, stage, users)`. */
+  private[graft] def eventFunnelPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("event_funnel(table, user_col, type_col, ts_col, stages)",
+      exprs, 5, 5)
+    val u = litStr("event_funnel", "user_col", exprs(1))
+    val ty = litStr("event_funnel", "type_col", exprs(2))
+    val t = litStr("event_funnel", "ts_col", exprs(3))
+    val df = namedTable("event_funnel",
+      litStr("event_funnel", "table", exprs(0)), Seq(u, ty, t))
+    val stages = litStr("event_funnel", "stages", exprs(4)).trim
+      .split("\\s+").toSeq
+    require(stages.nonEmpty && stages.head.nonEmpty,
+      "event_funnel stages must contain at least one stage name")
+    graft.operators.EventOps.funnel(df, u, ty, t, stages)
+      .queryExecution.analyzed
+  }
+
+  /** `histogram(table, column, width)` — fixed-width histogram of a
+    * numeric column ([[graft.operators.RelationalOps.histogram]]).
+    * Returns `(bucket, bin_lo, n)` ordered by bucket. */
+  private[graft] def histogramPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("histogram(table, column, width)", exprs, 3, 3)
+    val c = litStr("histogram", "column", exprs(1))
+    val df = namedTable("histogram",
+      litStr("histogram", "table", exprs(0)), Seq(c))
+    val w = litDouble("histogram", "width", exprs(2))
+    require(w > 0, s"histogram width must be positive; got $w")
+    graft.operators.RelationalOps.histogram(df, c, w)
+      .queryExecution.analyzed
+  }
+
+  /** `merge_upsert(base_table, updates_table, key)` — SCD-1 merge
+    * ([[graft.operators.RelationalOps.mergeUpsert]]): one full-outer
+    * equi-join on `key`; identical schemas required. Returns the base
+    * schema plus an `action` tag (update / insert / keep). */
+  private[graft] def mergeUpsertPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("merge_upsert(base_table, updates_table, key)", exprs, 3, 3)
+    val key = litStr("merge_upsert", "key", exprs(2))
+    val base = namedTable("merge_upsert",
+      litStr("merge_upsert", "base_table", exprs(0)), Seq(key))
+    val updates = namedTable("merge_upsert",
+      litStr("merge_upsert", "updates_table", exprs(1)), Seq(key))
+    graft.operators.RelationalOps.mergeUpsert(base, updates, key)
+      .queryExecution.analyzed
+  }
+
+  /** `profile(table, cols)` — one-scan per-column profiling
+    * ([[graft.operators.RelationalOps.profile]]); `cols` is a
+    * space-separated numeric-column list. Returns one row per column:
+    * `(col_name, n_values, n_nulls, n_distinct, min_v, max_v, mean_v,
+    * stddev_v)`. */
+  private[graft] def profilePlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("profile(table, cols)", exprs, 2, 2)
+    val cols = litStr("profile", "cols", exprs(1)).trim.split("\\s+").toSeq
+    require(cols.nonEmpty && cols.head.nonEmpty,
+      "profile cols must contain at least one column name")
+    val df = namedTable("profile",
+      litStr("profile", "table", exprs(0)), cols)
+    graft.operators.RelationalOps.profile(df, cols)
       .queryExecution.analyzed
   }
 }

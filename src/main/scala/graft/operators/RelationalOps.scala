@@ -43,6 +43,50 @@ object RelationalOps {
       (lit(1).cast(dec) - col("l_discount").cast(dec))).cast("double")
   }
 
+  /** Fixed-width histogram of a numeric column: bucket = ⌊x / width⌋
+    * (a pure narrow map — floor of an IEEE division any engine
+    * shares), so the whole query is one map-side-combined count per
+    * bucket: result rows constant in corpus size, shuffle bytes
+    * constant in the bucket count. */
+  def histogram(df: DataFrame, column: String, width: Double): DataFrame = {
+    require(width > 0, s"histogram width must be positive; got $width")
+    df.withColumn("bucket",
+        floor(col(column) / lit(width)).cast("bigint"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("bucket"),
+        (col("bucket").cast("double") * lit(width)).as("bin_lo"),
+        col("n"))
+      .orderBy("bucket")
+  }
+
+  /** SCD-1 merge (upsert): apply `updates` to `base` on `key` —
+    * matched rows take the update's values, unmatched updates insert,
+    * untouched base rows carry through, each tagged with its `action`
+    * (update / insert / keep). Both sides must share the schema. ONE
+    * full-outer equi-join co-partitioned on the key; with a bucketed
+    * base only the change set shuffles (StorageLayoutSpec's
+    * exactly-one-exchange pin). */
+  def mergeUpsert(base: DataFrame, updates: DataFrame,
+      key: String): DataFrame = {
+    require(base.columns.sameElements(updates.columns),
+      s"mergeUpsert expects identical schemas; base has " +
+        s"${base.columns.mkString("(", ", ", ")")}, updates " +
+        s"${updates.columns.mkString("(", ", ", ")")}")
+    require(base.columns.contains(key), s"mergeUpsert key '$key' not in " +
+      base.columns.mkString("(", ", ", ")"))
+    val u = updates.columns.foldLeft(updates)((df, c) =>
+      df.withColumnRenamed(c, s"__u_$c"))
+    base.join(u, col(key) === col(s"__u_$key"), "full_outer")
+      .select(base.columns.map(c =>
+        coalesce(col(s"__u_$c"), col(c)).as(c)) :+
+        when(col(key).isNull, lit("insert"))
+          .when(col(s"__u_$key").isNull, lit("keep"))
+          .otherwise(lit("update")).as("action"): _*)
+      .orderBy(key)
+  }
+
   /** Per-column profile of `cols` (numeric): value/null/distinct
     * counts, min/max, and DECIMAL-exact mean/stddev — one row per
     * column, ONE scan of the table (all aggregates in a single
@@ -581,20 +625,7 @@ object RelationalOps {
             .select(
               (col("o_orderkey") + 10000000L).as("o_orderkey"),
               col("o_custkey"), col("o_totalprice")))
-        val u = updates.columns.foldLeft(updates)((df, c) =>
-          df.withColumnRenamed(c, s"u_$c"))
-        base.join(u, col("o_orderkey") === col("u_o_orderkey"),
-            "full_outer")
-          .select(
-            coalesce(col("u_o_orderkey"), col("o_orderkey"))
-              .as("o_orderkey"),
-            coalesce(col("u_o_custkey"), col("o_custkey")).as("o_custkey"),
-            coalesce(col("u_o_totalprice"), col("o_totalprice"))
-              .as("o_totalprice"),
-            when(col("o_orderkey").isNull, lit("insert"))
-              .when(col("u_o_orderkey").isNull, lit("keep"))
-              .otherwise(lit("update")).as("action"))
-          .orderBy("o_orderkey")
+        mergeUpsert(base, updates, "o_orderkey")
       }),
     Query(
       "q_rollup",

@@ -450,4 +450,69 @@ class GraftExtensionsSpec extends SparkSpec {
         .collect())
     assert(e2.getMessage.contains("vec_id"))
   }
+
+  test("event-analytics TVFs (anomaly, retention, event_funnel) agree " +
+      "with the Scala API and validate their column contracts") {
+    val s2 = spark.newSession()
+    val ev = graft.sources.Tables.events(s2, sfDir)
+    ev.createOrReplaceTempView("ev_sql")
+    val aSql = s2.sql(
+      "SELECT * FROM anomaly('ev_sql', 'event_type', 'event_id', 'value')")
+    assert(aSql.columns.toSeq === Seq("event_id", "event_type", "value", "z"))
+    assert(aSql.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.anomaly(ev, "event_type", "event_id",
+        "value").collect().map(_.toSeq).toSeq)
+    val rSql = s2.sql("SELECT * FROM retention('ev_sql', 'user_id', 'ts')")
+    assert(rSql.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.retention(ev, "user_id", "ts")
+        .collect().map(_.toSeq).toSeq)
+    val fSql = s2.sql("SELECT * FROM event_funnel('ev_sql', 'user_id', " +
+      "'event_type', 'ts', 'view click purchase')")
+    assert(fSql.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.funnel(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")).collect().map(_.toSeq).toSeq)
+    // contract violations fail at plan-build with the columns named
+    val e = intercept[Exception](
+      s2.sql("SELECT * FROM retention('ev_sql', 'no_such', 'ts')")
+        .collect())
+    assert(e.getMessage.contains("no_such"), e.getMessage)
+  }
+
+  test("statistics TVFs (histogram, profile, merge_upsert) agree with " +
+      "the Scala API") {
+    val s2 = spark.newSession()
+    val li = graft.sources.Tables.lineitem(s2, sfDir)
+    li.createOrReplaceTempView("li_sql")
+    val hSql = s2.sql("SELECT * FROM histogram('li_sql', " +
+      "'l_extendedprice', 5000.0)")
+    assert(hSql.columns.toSeq === Seq("bucket", "bin_lo", "n"))
+    assert(hSql.collect().map(_.toSeq).toSeq ===
+      graft.operators.RelationalOps.histogram(li, "l_extendedprice",
+        5000.0).collect().map(_.toSeq).toSeq)
+    val pSql = s2.sql(
+      "SELECT * FROM profile('li_sql', 'l_quantity l_discount')")
+    assert(pSql.collect().map(_.toSeq).toSeq ===
+      graft.operators.RelationalOps.profile(li,
+        Seq("l_quantity", "l_discount")).collect().map(_.toSeq).toSeq)
+    val ord = graft.sources.Tables.orders(s2, sfDir)
+      .select("o_orderkey", "o_totalprice")
+    ord.createOrReplaceTempView("mu_base_sql")
+    import org.apache.spark.sql.functions.col
+    ord.filter(col("o_orderkey") % 7 === 0)
+      .createOrReplaceTempView("mu_upd_sql")
+    val mSql = s2.sql("SELECT * FROM merge_upsert('mu_base_sql', " +
+      "'mu_upd_sql', 'o_orderkey')")
+    assert(mSql.columns.toSeq ===
+      Seq("o_orderkey", "o_totalprice", "action"))
+    assert(mSql.collect().map(_.toSeq).toSeq ===
+      graft.operators.RelationalOps.mergeUpsert(ord,
+        ord.filter(col("o_orderkey") % 7 === 0), "o_orderkey")
+        .collect().map(_.toSeq).toSeq)
+    // mismatched schemas refuse with both schemas spelled out
+    ord.select("o_orderkey").createOrReplaceTempView("mu_bad_sql")
+    val e = intercept[Exception](
+      s2.sql("SELECT * FROM merge_upsert('mu_base_sql', 'mu_bad_sql', " +
+        "'o_orderkey')").collect())
+    assert(e.getMessage.contains("identical schemas"), e.getMessage)
+  }
 }
