@@ -216,6 +216,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("profile"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "profile"),
       (exprs: Seq[Expression]) => GraftExtensions.profilePlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("scd2"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "scd2"),
+      (exprs: Seq[Expression]) => GraftExtensions.scd2Plan(exprs)))
   }
 }
 
@@ -938,6 +941,22 @@ object GraftExtensions {
     val df = namedTable("profile",
       litStr("profile", "table", exprs(0)), cols)
     graft.operators.RelationalOps.profile(df, cols)
+      .queryExecution.analyzed
+  }
+
+  /** `scd2(table, key, value, ts, tie)` — SCD-2 dimension build
+    * ([[graft.operators.RelationalOps.scd2Build]]): change detection
+    * plus validity-interval assembly via per-key windows; `tie` totals
+    * the per-key order under duplicate timestamps and rides along as
+    * `src_key`. Returns `(key, value, valid_from, valid_to, src_key,
+    * is_current)`. */
+  private[graft] def scd2Plan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("scd2(table, key, value, ts, tie)", exprs, 5, 5)
+    val Seq(k, v, t, tie) = (1 to 4).map(i =>
+      litStr("scd2", Seq("key", "value", "ts", "tie")(i - 1), exprs(i)))
+    val df = namedTable("scd2", litStr("scd2", "table", exprs(0)),
+      Seq(k, v, t, tie))
+    graft.operators.RelationalOps.scd2Build(df, k, v, t, tie)
       .queryExecution.analyzed
   }
 }

@@ -87,6 +87,32 @@ object RelationalOps {
       .orderBy(key)
   }
 
+  /** SCD-2 dimension build: collapse a change stream into validity
+    * intervals — change detection (drop rows equal to the previous
+    * value) then interval assembly (valid_to = next version's
+    * valid_from; open interval = current). Both passes are windows
+    * PARTITIONED BY the dimension key with a total (ts, tie) order —
+    * per-key state only, no global window, so the build scales with
+    * the key count like any grouped aggregate. `tieCol` must make the
+    * per-key order total (duplicate timestamps are real in change
+    * streams); it rides along as lineage (`src_key`). */
+  def scd2Build(changes: DataFrame, keyCol: String, valueCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val versions = changes
+      .withColumn("__prev", lag(col(valueCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(valueCol))
+    val wv = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    versions
+      .select(
+        col(keyCol), col(valueCol),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(wv).as("valid_to"),
+        col(tieCol).as("src_key"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col(keyCol), col("valid_from"), col("src_key"))
+  }
+
   /** Per-column profile of `cols` (numeric): value/null/distinct
     * counts, min/max, and DECIMAL-exact mean/stddev — one row per
     * column, ONE scan of the table (all aggregates in a single
@@ -627,6 +653,41 @@ object RelationalOps {
               col("o_custkey"), col("o_totalprice")))
         mergeUpsert(base, updates, "o_orderkey")
       }),
+    // SCD-2 history build over the customer-priority change stream:
+    // each customer's order history collapses to the dated intervals
+    // during which their priority held (the type-2 dimension every
+    // warehouse maintains). Change detection + interval assembly are
+    // per-key windows with a total (date, orderkey) order — duplicate
+    // dates are real and the orderkey tiebreak keeps both engines'
+    // version sequences identical.
+    Query(
+      "q_scd2",
+      Some("""WITH c AS (
+                SELECT o_custkey, o_orderkey, o_orderdate,
+                       o_orderpriority,
+                       lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS prev
+                FROM orders),
+              v AS (
+                SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+                FROM c WHERE prev IS NULL OR prev <> o_orderpriority)
+              SELECT o_custkey AS custkey, o_orderpriority AS priority,
+                     o_orderdate AS valid_from,
+                     lead(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS valid_to,
+                     o_orderkey AS src_key,
+                     CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) IS NULL
+                       AS BOOLEAN) AS is_current
+              FROM v
+              ORDER BY custkey, valid_from, src_key"""),
+      (s, d) =>
+        scd2Build(
+          Tables.orders(s, d).select(
+            col("o_custkey").as("custkey"),
+            col("o_orderpriority").as("priority"),
+            col("o_orderdate"), col("o_orderkey")),
+          "custkey", "priority", "o_orderdate", "o_orderkey")),
     Query(
       "q_rollup",
       Some("""SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,

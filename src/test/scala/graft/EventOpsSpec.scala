@@ -151,4 +151,38 @@ class EventOpsSpec extends SparkSpec {
       assert(p === base(k - 10000000L))
     }
   }
+
+  // ---- q_scd2 ----
+
+  test("scd2: per-key intervals chain gaplessly, exactly one current " +
+    "version per key, and consecutive versions always change value") {
+    def ms(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime
+      case l: java.time.LocalDateTime => // NTZ layouts surface as LDT
+        l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => fail(s"unexpected temporal $other")
+    }
+    val rows = run("q_scd2").collect().map(r =>
+      (r.getLong(0), r.getString(1), ms(r.get(2)),
+        Option(r.get(3)).map(ms), r.getBoolean(5), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val keys = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(rows.count(_._5) === keys, "one open interval per key")
+    rows.groupBy(_._1).foreach { case (k, vs) =>
+      // duplicate change dates are real: total-order by (from, src_key),
+      // the same tiebreak the operator's window uses
+      val seq = vs.sortBy(v => (v._3, v._6))
+      // intervals chain: each valid_to equals the next valid_from
+      seq.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4.contains(b._3), s"key $k: gap/overlap in chain")
+          assert(a._2 !== b._2, s"key $k: consecutive versions equal")
+        case _ => ()
+      }
+      assert(seq.last._4.isEmpty && seq.last._5,
+        s"key $k: last version must be open and current")
+      assert(seq.init.forall(!_._5), s"key $k: only the last is current")
+    }
+  }
 }

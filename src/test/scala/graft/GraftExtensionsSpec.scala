@@ -514,5 +514,16 @@ class GraftExtensionsSpec extends SparkSpec {
       s2.sql("SELECT * FROM merge_upsert('mu_base_sql', 'mu_bad_sql', " +
         "'o_orderkey')").collect())
     assert(e.getMessage.contains("identical schemas"), e.getMessage)
+    // scd2 ≡ RelationalOps.scd2Build
+    val orders = graft.sources.Tables.orders(s2, sfDir)
+    orders.createOrReplaceTempView("scd2_sql")
+    val sSql = s2.sql("SELECT * FROM scd2('scd2_sql', 'o_custkey', " +
+      "'o_orderpriority', 'o_orderdate', 'o_orderkey')")
+    assert(sSql.columns.toSeq === Seq("o_custkey", "o_orderpriority",
+      "valid_from", "valid_to", "src_key", "is_current"))
+    assert(sSql.collect().map(_.toSeq).toSeq ===
+      graft.operators.RelationalOps.scd2Build(orders, "o_custkey",
+        "o_orderpriority", "o_orderdate", "o_orderkey")
+        .collect().map(_.toSeq).toSeq)
   }
 }
