@@ -264,6 +264,69 @@ object ScaleProbe {
       println(f"[scale] ret11: $m%4d  $n%5d  $wallBm%6.2f  $mbBm%7.1f" +
         f"  $wallRrf%5.2f  $mbRrf%6.1f")
     }
+
+    // Round-11 event/warehouse probe: anomaly's only exchanges are the
+    // |types|-row stats aggregate; retention shuffles user-keyed
+    // aggregates; scd2 shuffles once per key partition; merge is one
+    // full-outer equi-join. All four must grow shuffle bytes ~linearly
+    // in the corpus — replication shifts user/cust keys so key
+    // cardinality scales with the data, the adversarial direction for
+    // the grouped shapes.
+    println("[scale] evt11: mult  events  anom_s/mb  ret_s/mb  " +
+      "scd2_s/mb  merge_s/mb")
+    locally {
+      val evBase = Tables.events(spark, sfDir)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      val ordBase = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_orderdate",
+          "o_orderpriority", "o_totalprice")
+      Seq(1, 2, 4).foreach { m =>
+        val ev = (0 until m)
+          .map(i => evBase.select(
+            (col("event_id") + lit(i.toLong * 10000000L)).as("event_id"),
+            (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+            col("event_type"), col("ts"), col("value")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("event_id"))
+          .localCheckpoint()
+        val n = ev.count()
+        val ord = (0 until m)
+          .map(i => ordBase.select(
+            (col("o_orderkey") + lit(i.toLong * 10000000L))
+              .as("o_orderkey"),
+            (col("o_custkey") + lit(i.toLong * 1000000L)).as("o_custkey"),
+            col("o_orderdate"), col("o_orderpriority"),
+            col("o_totalprice")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("o_orderkey"))
+          .localCheckpoint()
+        ord.count()
+        def measure(f: => Long): (Double, Double) = {
+          listener.reset()
+          val t0 = System.nanoTime()
+          f
+          val w = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          (w, listener.bytes / 1e6)
+        }
+        val (wA, bA) = measure(graft.operators.EventOps
+          .anomaly(ev, "event_type", "event_id", "value").count())
+        val (wR, bR) = measure(graft.operators.EventOps
+          .retention(ev, "user_id", "ts").count())
+        val (wS, bS) = measure(graft.operators.RelationalOps
+          .scd2Build(ord, "o_custkey", "o_orderpriority", "o_orderdate",
+            "o_orderkey").count())
+        val (wM, bM) = measure {
+          val b = ord.select("o_orderkey", "o_totalprice")
+          graft.operators.RelationalOps.mergeUpsert(
+            b, b.filter(col("o_orderkey") % 7 === 0), "o_orderkey").count()
+        }
+        println(f"[scale] evt11: $m%4d  $n%6d  $wA%4.2f/$bA%5.1f" +
+          f"  $wR%4.2f/$bR%5.1f  $wS%4.2f/$bS%5.1f  $wM%4.2f/$bM%5.1f")
+      }
+    }
     }
 
     // Cell-skew probe: natural corpora have hot clusters, and a hot
