@@ -219,6 +219,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("scd2"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "scd2"),
       (exprs: Seq[Expression]) => GraftExtensions.scd2Plan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("dq_checks"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "dq_checks"),
+      (exprs: Seq[Expression]) => GraftExtensions.dqChecksPlan(exprs)))
   }
 }
 
@@ -958,5 +961,52 @@ object GraftExtensions {
       Seq(k, v, t, tie))
     graft.operators.RelationalOps.scd2Build(df, k, v, t, tie)
       .queryExecution.analyzed
+  }
+
+  /** `dq_checks(table, spec)` — declarative data-quality report
+    * ([[graft.operators.ConstraintOps.dqReport]]). `spec` is a
+    * space-separated check list:
+    *
+    * {{{
+    *   not_null:<col>  range:<col>:<lo>:<hi>  unique:<col>
+    *   ref:<fk_col>:<dim_table>:<pk_col>
+    * }}}
+    *
+    * e.g. `SELECT * FROM dq_checks('lineitem',
+    * 'not_null:l_orderkey range:l_discount:0:1
+    * ref:l_orderkey:orders:o_orderkey')`. Returns `(check_name,
+    * violations)` ordered by name; scalar checks fuse into one scan. */
+  private[graft] def dqChecksPlan(exprs: Seq[Expression]): LogicalPlan = {
+    import graft.operators.ConstraintOps
+    arity("dq_checks(table, spec)", exprs, 2, 2)
+    val df = SparkSession.active.table(
+      litStr("dq_checks", "table", exprs(0)))
+    val items = litStr("dq_checks", "spec", exprs(1)).trim.split("\\s+")
+      .toSeq.filter(_.nonEmpty)
+    require(items.nonEmpty, "dq_checks spec must contain at least one check")
+    val checks = items.map { item =>
+      item.split(":").toSeq match {
+        case Seq("not_null", c) => ConstraintOps.NotNull(c)
+        case Seq("range", c, lo, hi) =>
+          ConstraintOps.InRange(c, lo.toDouble, hi.toDouble)
+        case Seq("unique", c) => ConstraintOps.UniqueKey(c)
+        case Seq("ref", fk, dimTable, pk) =>
+          ConstraintOps.RefIntegrity(fk,
+            namedTable("dq_checks", dimTable, Seq(pk)), dimTable, pk)
+        case _ => throw new IllegalArgumentException(
+          s"dq_checks: unrecognized check '$item' — expected " +
+            "not_null:<col>, range:<col>:<lo>:<hi>, unique:<col>, or " +
+            "ref:<fk_col>:<dim_table>:<pk_col>")
+      }
+    }
+    checks.collect {
+      case c: ConstraintOps.NotNull => c.col
+      case c: ConstraintOps.InRange => c.col
+      case c: ConstraintOps.UniqueKey => c.col
+      case c: ConstraintOps.RefIntegrity => c.fkCol
+    }.foreach(c => require(df.columns.contains(c),
+      s"dq_checks: column '$c' not found in " +
+        df.columns.mkString("(", ", ", ")")))
+    ConstraintOps.dqReport(df, checks).queryExecution.analyzed
   }
 }

@@ -11,8 +11,9 @@ object SparkEntry {
 
   private def registry: Seq[Query] =
     ReferenceOps.all ++ RelationalOps.all ++ EventOps.all ++
-      FunctionOps.all ++ StreamingOps.all ++ TextOps.all ++ DedupOps.all ++
-      CurationOps.all ++ SimilarityOps.all ++ MultimodalOps.all
+      ConstraintOps.all ++ FunctionOps.all ++ StreamingOps.all ++
+      TextOps.all ++ DedupOps.all ++ CurationOps.all ++
+      SimilarityOps.all ++ MultimodalOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -526,4 +526,29 @@ class GraftExtensionsSpec extends SparkSpec {
         "o_orderpriority", "o_orderdate", "o_orderkey")
         .collect().map(_.toSeq).toSeq)
   }
+
+  test("dq_checks TVF agrees with the Scala API and rejects malformed " +
+      "specs") {
+    import graft.operators.ConstraintOps
+    val s2 = spark.newSession()
+    val li = graft.sources.Tables.lineitem(s2, sfDir)
+    li.createOrReplaceTempView("dq_li_sql")
+    graft.sources.Tables.orders(s2, sfDir)
+      .createOrReplaceTempView("dq_ord_sql")
+    val got = s2.sql("SELECT * FROM dq_checks('dq_li_sql', " +
+      "'not_null:l_orderkey range:l_discount:0:1 unique:l_orderkey " +
+      "ref:l_orderkey:dq_ord_sql:o_orderkey')")
+    assert(got.columns.toSeq === Seq("check_name", "violations"))
+    assert(got.collect().map(_.toSeq).toSeq ===
+      ConstraintOps.dqReport(li, Seq(
+        ConstraintOps.NotNull("l_orderkey"),
+        ConstraintOps.InRange("l_discount", 0.0, 1.0),
+        ConstraintOps.UniqueKey("l_orderkey"),
+        ConstraintOps.RefIntegrity("l_orderkey",
+          graft.sources.Tables.orders(s2, sfDir), "dq_ord_sql",
+          "o_orderkey"))).collect().map(_.toSeq).toSeq)
+    val e = intercept[Exception](
+      s2.sql("SELECT * FROM dq_checks('dq_li_sql', 'bogus:x')").collect())
+    assert(e.getMessage.contains("unrecognized check"), e.getMessage)
+  }
 }
