@@ -35,21 +35,37 @@ object EventOps {
     * exactly. Two scans: a tiny per-group stats aggregate (≤|groups|
     * rows, broadcast), then a narrow scoring filter. */
   def anomaly(df: DataFrame, groupCol: String, idCol: String,
-      valueCol: String, z: Double = 3.0): DataFrame = {
+      valueCol: String, z: Double = 3.0): DataFrame =
+    anomalyScore(df, anomalyStats(df, groupCol, valueCol), groupCol,
+      idCol, valueCol, z)
+      .orderBy(idCol)
+
+  /** The per-group moment table behind [[anomaly]] — ≤|groups| rows of
+    * DECIMAL-exact (n, Σx, Σx²). Computed batch; broadcastable. */
+  def anomalyStats(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
     val dec = DecimalType(38, 6)
-    val stats = df.groupBy(groupCol)
+    df.groupBy(groupCol)
       .agg(
         count(lit(1)).cast("double").as("n"),
         sum(col(valueCol).cast(dec)).cast("double").as("s1"),
         sum((col(valueCol) * col(valueCol)).cast(dec)).cast("double")
           .as("s2"))
+  }
+
+  /** The scoring half of [[anomaly]], factored so a STREAM can run it
+    * against batch-computed stats: one broadcast stream-static join +
+    * a narrow filter — stateless, so the streaming plan stays
+    * shuffle-free per micro-batch. No ORDER BY here (streams cannot
+    * sort); the batch wrapper adds it. */
+  def anomalyScore(df: DataFrame, stats: DataFrame, groupCol: String,
+      idCol: String, valueCol: String, z: Double = 3.0): DataFrame = {
     val n = col("n"); val s1 = col("s1"); val s2 = col("s2")
     val zscore = (col(valueCol) - s1 / n) /
       sqrt((s2 - s1 * s1 / n) / (n - lit(1)))
     df.join(broadcast(stats), groupCol)
       .filter(abs(zscore) > z)
       .select(col(idCol), col(groupCol), col(valueCol), r6(zscore).as("z"))
-      .orderBy(idCol)
   }
 
   /** Cohort retention: users grouped by first-seen day, counted on

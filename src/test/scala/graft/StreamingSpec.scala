@@ -784,4 +784,39 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(streamed === batch && streamed.nonEmpty)
   }
+
+  test("stream-STATIC broadcast join: streaming events scored against " +
+    "batch anomaly stats match the batch result exactly") {
+    // the enrichment pattern at scale: a static (batch-computed,
+    // broadcastable) reference table joined into every micro-batch of
+    // an unbounded stream — stateless, no watermark, no state store
+    import graft.operators.EventOps
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select("event_id", "event_type", "value")
+    val stats = EventOps.anomalyStats(ev, "event_type", "value")
+      .localCheckpoint() // freeze: the static side of the join
+    val in = MemoryStream[(Long, String, Double)](spark)
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Double)]()
+    val q = EventOps.anomalyScore(
+        in.toDF().toDF("event_id", "event_type", "value"),
+        stats, "event_type", "event_id", "value")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(r => (r.getLong(0), r.getDouble(3)))
+        ()
+      }
+      .option("checkpointLocation", tmpCkpt())
+      .start()
+    val rows = ev.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // feed the same corpus through in two micro-batches
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    in.addData(b1.toIndexedSeq); q.processAllAvailable()
+    in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val want = EventOps.anomaly(ev, "event_type", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(got.sortBy(_._1).toSeq === want.sortBy(_._1).toSeq)
+    assert(got.nonEmpty)
+  }
 }
