@@ -222,6 +222,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("dq_checks"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "dq_checks"),
       (exprs: Seq[Expression]) => GraftExtensions.dqChecksPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("drift"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "drift"),
+      (exprs: Seq[Expression]) => GraftExtensions.driftPlan(exprs)))
   }
 }
 
@@ -1008,5 +1011,22 @@ object GraftExtensions {
       s"dq_checks: column '$c' not found in " +
         df.columns.mkString("(", ", ", ")")))
     ConstraintOps.dqReport(df, checks).queryExecution.analyzed
+  }
+
+  /** `drift(table, group_col, value_col, period_col, width)` —
+    * population-stability-index drift between the `period_col`=0
+    * baseline and =1 current populations per group
+    * ([[graft.operators.EventOps.drift]]). Returns `(group, psi)`. */
+  private[graft] def driftPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("drift(table, group_col, value_col, period_col, width)",
+      exprs, 5, 5)
+    val Seq(g, v, per) = (1 to 3).map(i => litStr("drift",
+      Seq("group_col", "value_col", "period_col")(i - 1), exprs(i)))
+    val df = namedTable("drift", litStr("drift", "table", exprs(0)),
+      Seq(g, v, per))
+    val w = litDouble("drift", "width", exprs(4))
+    require(w > 0, s"drift width must be positive; got $w")
+    graft.operators.EventOps.drift(df, g, v, per, w)
+      .queryExecution.analyzed
   }
 }

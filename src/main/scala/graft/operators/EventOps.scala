@@ -123,6 +123,47 @@ object EventOps {
       .orderBy("stage_idx")
   }
 
+  /** Population-stability-index drift between two populations of
+    * `valueCol` per `groupCol`: fixed-width value buckets, +0.5
+    * Laplace smoothing against empty cells, PSI = Σ (p_a−p_b)·ln(p_a/p_b)
+    * (the standard monitoring statistic; >0.2 conventionally flags a
+    * shift). `periodCol` must be 0 (baseline) / 1 (current) —
+    * callers bind it from a date cutoff, an experiment arm, or a
+    * deployment boundary.
+    *
+    * Scale + determinism: two map-side-combined aggregates (cells,
+    * then per-group totals — the totals table is ≤|groups| rows,
+    * broadcast back); the per-bucket PSI terms are deterministic IEEE
+    * doubles and their ~|buckets|-term sum runs in DECIMAL(38,12) —
+    * order-independent, and 12 places sits far above the
+    * shortest-repr-vs-binary double→decimal divergence (the
+    * profile cast-width lesson) while far below the 6-dp rounding. */
+  def drift(df: DataFrame, groupCol: String, valueCol: String,
+      periodCol: String, width: Double): DataFrame = {
+    require(width > 0, s"drift width must be positive; got $width")
+    val cells = df
+      .select(col(groupCol),
+        floor(col(valueCol) / lit(width)).cast("bigint").as("__bucket"),
+        col(periodCol).as("__period"))
+      .groupBy(groupCol, "__bucket")
+      .agg(
+        sum(when(col("__period") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("__period") === 1, 1L).otherwise(0L)).as("nb"))
+    val totals = cells.groupBy(groupCol)
+      .agg(sum(col("na")).as("ta"), sum(col("nb")).as("tb"),
+        count(lit(1)).as("nbuckets"))
+    val pa = (col("na").cast("double") + lit(0.5)) /
+      (col("ta").cast("double") + lit(0.5) * col("nbuckets"))
+    val pb = (col("nb").cast("double") + lit(0.5)) /
+      (col("tb").cast("double") + lit(0.5) * col("nbuckets"))
+    cells.join(broadcast(totals), groupCol)
+      .select(col(groupCol),
+        ((pa - pb) * log(pa / pb)).cast(DecimalType(38, 12)).as("__term"))
+      .groupBy(groupCol)
+      .agg(r6(sum(col("__term")).cast("double")).as("psi"))
+      .orderBy(groupCol)
+  }
+
   val all: Seq[Query] = Seq(
     Query(
       "q_anomaly",
@@ -175,6 +216,47 @@ object EventOps {
               FROM m WHERE t1 IS NOT NULL AND t2 > t1 AND t3 > t2
               ORDER BY stage_idx"""),
       (s, d) => funnel(Tables.events(s, d), "user_id", "event_type", "ts",
-        Seq("view", "click", "purchase")))
+        Seq("view", "click", "purchase"))),
+    // Distribution drift per event type between the corpus's first and
+    // second halves (cutoff at the span midpoint) — the monitoring
+    // query a pipeline runs between ingest snapshots. The fixture's
+    // synthetic generator is stationary, so all five PSIs sit near 0
+    // (< 0.011) — and the oracle hash pins every 6-dp digit of them.
+    Query(
+      "q_drift",
+      Some("""WITH b AS (
+                SELECT event_type,
+                       CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                         THEN 0 ELSE 1 END AS period,
+                       CAST(floor(value / CAST(50.0 AS DOUBLE))
+                         AS BIGINT) AS bucket
+                FROM events),
+              c AS (
+                SELECT event_type, bucket,
+                       sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS na,
+                       sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS nb
+                FROM b GROUP BY 1, 2),
+              t AS (
+                SELECT event_type, sum(na) AS ta, sum(nb) AS tb,
+                       count(*) AS nbuckets
+                FROM c GROUP BY 1),
+              p AS (
+                SELECT c.event_type,
+                       (CAST(na AS DOUBLE) + 0.5)
+                         / (CAST(ta AS DOUBLE) + 0.5 * nbuckets) AS pa,
+                       (CAST(nb AS DOUBLE) + 0.5)
+                         / (CAST(tb AS DOUBLE) + 0.5 * nbuckets) AS pb
+                FROM c JOIN t ON c.event_type = t.event_type)
+              SELECT event_type,
+                     round(CAST(sum(CAST((pa - pb) * ln(pa / pb)
+                         AS DECIMAL(38,12))) AS DOUBLE)
+                       * 1000000.0) / 1000000.0 AS psi
+              FROM p GROUP BY 1 ORDER BY event_type"""),
+      (s, d) =>
+        drift(
+          Tables.events(s, d).withColumn("period",
+            when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"),
+              0).otherwise(1)),
+          "event_type", "value", "period", 50.0))
   )
 }

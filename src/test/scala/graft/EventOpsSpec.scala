@@ -152,6 +152,29 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q_drift ----
+
+  test("drift: PSI is zero for identical populations, positive and " +
+    "large for a planted shift, and non-negative everywhere") {
+    import spark.implicits._
+    val same = (1 to 500).flatMap(i =>
+      Seq(("g", i.toDouble % 100, 0), ("g", i.toDouble % 100, 1)))
+      .toDF("grp", "v", "period")
+    val zero = graft.operators.EventOps.drift(same, "grp", "v",
+      "period", 10.0).collect()
+    assert(zero.map(_.getDouble(1)).toSeq === Seq(0.0))
+    // baseline uniform in [0,100); current shifted to [200,300)
+    val shifted = ((1 to 500).map(i => ("g", i.toDouble % 100, 0)) ++
+      (1 to 500).map(i => ("g", 200.0 + i % 100, 1)))
+      .toDF("grp", "v", "period")
+    val psi = graft.operators.EventOps.drift(shifted, "grp", "v",
+      "period", 10.0).collect().head.getDouble(1)
+    assert(psi > 0.2, s"disjoint supports must flag hard, got $psi")
+    val fixture = SparkEntry.queries("q_drift")(spark, sfDir).collect()
+    assert(fixture.length === 5)
+    fixture.foreach(r => assert(r.getDouble(1) >= 0.0, r.toString))
+  }
+
   // ---- q_scd2 ----
 
   test("scd2: per-key intervals chain gaplessly, exactly one current " +

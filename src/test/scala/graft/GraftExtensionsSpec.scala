@@ -551,4 +551,20 @@ class GraftExtensionsSpec extends SparkSpec {
       s2.sql("SELECT * FROM dq_checks('dq_li_sql', 'bogus:x')").collect())
     assert(e.getMessage.contains("unrecognized check"), e.getMessage)
   }
+
+  test("drift TVF agrees with the Scala API") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val s2 = spark.newSession()
+    val ev = graft.sources.Tables.events(s2, sfDir)
+      .withColumn("period",
+        when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"), 0)
+          .otherwise(1))
+    ev.createOrReplaceTempView("drift_sql")
+    val got = s2.sql("SELECT * FROM drift('drift_sql', 'event_type', " +
+      "'value', 'period', 50.0)")
+    assert(got.columns.toSeq === Seq("event_type", "psi"))
+    assert(got.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.drift(ev, "event_type", "value",
+        "period", 50.0).collect().map(_.toSeq).toSeq)
+  }
 }
