@@ -52,6 +52,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("zorder_key"),
+      new ExpressionInfo(graft.functions.ZOrder.getClass.getName,
+        "zorder_key"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          s"zorder_key(x, y) — got ${exprs.length} arguments")
+        graft.functions.ZOrder.zorderKeyExpr(exprs(0), exprs(1))
+      }))
     // The hyperplane-sketch family (the ANN/IVF compact-code surface);
     // int parameters are validated foldable literals (clear analysis
     // errors instead of cast failures — VectorOps.intArg)

@@ -30,6 +30,25 @@ object Warehouse {
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
+  /** Write `df` to `path` Z-ORDERED on two bucket expressions: the
+    * Morton key range-partitions the data into `files` tight 2-D
+    * tiles and each file sorts by it, so parquet row-group min/max
+    * stay narrow on BOTH underlying columns and a pushed filter on
+    * either one skips row groups at read time
+    * ([[graft.functions.ZOrder.zorderKey]]; StorageLayoutSpec measures
+    * the skip). One range exchange at write time — the same cost as
+    * any sorted export. */
+  def writeZOrdered(df: DataFrame, path: String,
+      xBucket: org.apache.spark.sql.Column,
+      yBucket: org.apache.spark.sql.Column, files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__z", graft.functions.ZOrder.zorderKey(xBucket, yBucket))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Overwrite `table` with `df` even when df's PLAN READS `table` —
     * Spark (correctly) refuses a direct self-overwrite ("Cannot
     * overwrite a table that is also being read from"), which breaks

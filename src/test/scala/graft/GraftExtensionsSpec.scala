@@ -552,6 +552,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("unrecognized check"), e.getMessage)
   }
 
+  test("zorder_key SQL function agrees with the Column API and the " +
+      "reference interleave") {
+    val s2 = spark.newSession()
+    val row = s2.sql(
+      "SELECT zorder_key(5L, 3L) AS a, zorder_key(48L, 12L) AS b").head()
+    assert(row.getLong(0) ===
+      graft.functions.ZOrder.interleaveRef(5L, 3L))
+    assert(row.getLong(1) ===
+      graft.functions.ZOrder.interleaveRef(48L, 12L))
+  }
+
   test("drift TVF agrees with the Scala API") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val s2 = spark.newSession()

@@ -110,6 +110,53 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("zorderKey matches the reference bit-interleave") {
+    import spark.implicits._
+    import graft.functions.ZOrder
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L),
+      (0xFFFFL, 0x1234L), (0xFFFFFFFFL, 0xFFFFFFFFL), (48L, 12L))
+    val got = samples.toDF("x", "y")
+      .select(ZOrder.zorderKey(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got === samples.map { case (x, y) => ZOrder.interleaveRef(x, y) })
+  }
+
+  test("z-ordered layout skips row groups on BOTH dimensions — a " +
+    "second-dim filter reads a fraction of what a single-sorted " +
+    "layout scans") {
+    import graft.functions.ZOrder
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    withFixtureDir("graft-zorder-") { dir =>
+      val li = graft.sources.Tables
+        .lineitem(spark, "/root/testdata/sf0.01")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val n = 16
+      // layout A: sorted by price only
+      li.repartitionByRange(n, col("l_extendedprice"))
+        .sortWithinPartitions("l_extendedprice")
+        .write.parquet(s"$dir/price_sorted")
+      // layout B: z-ordered on (price bucket, quantity)
+      graft.sources.Warehouse.writeZOrdered(li, s"$dir/zordered",
+        floor(col("l_extendedprice") / lit(2000.0)), col("l_quantity"),
+        files = n)
+      def q(path: String) = spark.read.parquet(path)
+        .filter(col("l_quantity") >= 10.0 && col("l_quantity") <= 12.0)
+      // same answer from both layouts
+      assert(q(s"$dir/zordered").count() === q(s"$dir/price_sorted").count())
+      val aRows = scanRows(q(s"$dir/price_sorted"))
+      val zRows = scanRows(q(s"$dir/zordered"))
+      // the price-sorted layout's row groups all span the full quantity
+      // range — nothing skips; the z-tiles bound quantity, so the scan
+      // emits a strict fraction
+      assert(zRows < aRows / 2,
+        s"z-order must skip row groups: z=$zRows vs sorted=$aRows")
+    }
+  }
+
   test("range-partitioned (sorted) write keeps min/max file statistics " +
     "tight — a sort-key filter reads a bounded file subset") {
     // parquet footer min/max + repartitionByRange give file-skipping on
