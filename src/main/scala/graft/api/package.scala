@@ -332,4 +332,65 @@ package object api {
       operators.JoinOps.asOfJoin(facts, right, leftKey, rightKey,
         leftTime, rightTime, leftId, rightId)
   }
+
+  /** Warehouse + observability tier (round 11): merge, dimension
+    * history, profiling, constraints, drift, and event analytics as
+    * DataFrame extensions — the batch toolkit around the LLM-pipeline
+    * operators above. */
+  implicit class GraftWarehouseOps(private val df: DataFrame) {
+
+    /** SCD-1 merge: apply `updates` on `key` — one full-outer
+      * equi-join; result carries an `action` tag (update/insert/keep).
+      * Schemas must match. */
+    def mergeUpsert(updates: DataFrame, key: String): DataFrame =
+      operators.RelationalOps.mergeUpsert(df, updates, key)
+
+    /** SCD-2 history build: collapse this change stream into validity
+      * intervals (`valid_from`/`valid_to`/`is_current`), change-
+      * detected and totally ordered per key by (ts, tie). */
+    def scd2(key: String, value: String, ts: String,
+        tie: String): DataFrame =
+      operators.RelationalOps.scd2Build(df, key, value, ts, tie)
+
+    /** One-pass-per-kind column profile: counts, nulls, exact
+      * distinct, range, DECIMAL-exact mean/stddev per column. */
+    def profileColumns(cols: Seq[String]): DataFrame =
+      operators.RelationalOps.profile(df, cols)
+
+    /** Fixed-width histogram of a numeric column: (bucket, bin_lo, n). */
+    def histogram(column: String, width: Double): DataFrame =
+      operators.RelationalOps.histogram(df, column, width)
+
+    /** Declarative data-quality report: one violation-count row per
+      * [[operators.ConstraintOps.Check]]; scalar checks share one scan. */
+    def dqReport(checks: Seq[operators.ConstraintOps.Check]): DataFrame =
+      operators.ConstraintOps.dqReport(df, checks)
+
+    /** PSI drift between the `periodCol`=0 and =1 populations of
+      * `valueCol` per `groupCol` (fixed-width buckets, smoothed). */
+    def drift(groupCol: String, valueCol: String, periodCol: String,
+        width: Double): DataFrame =
+      operators.EventOps.drift(df, groupCol, valueCol, periodCol, width)
+
+    /** Per-group z-score outliers of `valueCol` (|z| > z). */
+    def anomalies(groupCol: String, idCol: String, valueCol: String,
+        z: Double = 3.0): DataFrame =
+      operators.EventOps.anomaly(df, groupCol, idCol, valueCol, z)
+
+    /** Cohort retention triangle (cohort_day, day_offset, users). */
+    def retention(userCol: String, tsCol: String): DataFrame =
+      operators.EventOps.retention(df, userCol, tsCol)
+
+    /** Strict-ordered first-touch funnel counts through `stages`. */
+    def eventFunnel(userCol: String, typeCol: String, tsCol: String,
+        stages: Seq[String]): DataFrame =
+      operators.EventOps.funnel(df, userCol, typeCol, tsCol, stages)
+
+    /** Export Z-ORDERED on two bucket expressions: 2-D-tiled files
+      * whose row-group stats stay narrow on both columns
+      * ([[sources.Warehouse.writeZOrdered]]). */
+    def writeZOrdered(path: String, xBucket: org.apache.spark.sql.Column,
+        yBucket: org.apache.spark.sql.Column, files: Int): Unit =
+      sources.Warehouse.writeZOrdered(df, path, xBucket, yBucket, files)
+  }
 }

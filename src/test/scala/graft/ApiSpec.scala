@@ -144,4 +144,37 @@ class ApiSpec extends SparkSpec {
       graft.operators.DedupOps.semanticDedup(vecs, "vec_id", "embedding",
         0.45, 16).collect().map(_.toSeq).toSet)
   }
+
+  test("warehouse tier extensions delegate to the gated operators") {
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.anomalies("event_type", "event_id", "value")
+        .collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("q_anomaly")(spark, sfDir)
+        .collect().map(_.toSeq).toSeq)
+    assert(ev.retention("user_id", "ts").collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("q_retention")(spark, sfDir)
+        .collect().map(_.toSeq).toSeq)
+    assert(ev.eventFunnel("user_id", "event_type", "ts",
+        Seq("view", "click", "purchase")).collect().map(_.toSeq).toSeq ===
+      SparkEntry.queries("q_event_funnel")(spark, sfDir)
+        .collect().map(_.toSeq).toSeq)
+    val li = Tables.lineitem(spark, sfDir)
+    assert(li.histogram("l_extendedprice", 5000.0).count() > 0)
+    assert(li.profileColumns(Seq("l_quantity")).count() === 1)
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice")
+    val merged = ord.mergeUpsert(
+      ord.filter(col("o_orderkey") % 7 === 0), "o_orderkey")
+    assert(merged.filter(col("action") === "update").count() ===
+      ord.filter(col("o_orderkey") % 7 === 0).count())
+    assert(Tables.orders(spark, sfDir)
+      .scd2("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+      .filter(col("is_current")).count() ===
+      Tables.orders(spark, sfDir).select("o_custkey").distinct().count())
+    import graft.operators.ConstraintOps.{NotNull, UniqueKey}
+    val dq = li.dqReport(Seq(NotNull("l_orderkey"),
+        UniqueKey("l_orderkey")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dq("not_null l_orderkey") === 0L)
+  }
 }
