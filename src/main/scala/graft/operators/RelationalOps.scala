@@ -825,6 +825,36 @@ object RelationalOps {
               .cast("double").as("mov_sum3"))
           .orderBy("event_id")
       }),
+    // EVENT-TIME range frame — the trailing-window moving aggregate
+    // (count + exact sum over the last hour per user) ROWS frames
+    // cannot express when event spacing is irregular. The RANGE bound
+    // rides on epoch micros (a numeric order key both engines share;
+    // RANGE peers at equal timestamps make the result tiebreak-free),
+    // and the window stays partitioned by user — per-key state only,
+    // no global sort.
+    Query(
+      "q_window_range",
+      Some("""SELECT event_id, user_id,
+                     CAST(count(*) OVER w AS BIGINT) AS n_1h,
+                     CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w
+                       AS DOUBLE) AS sum_1h
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 3600000000 PRECEDING
+                             AND CURRENT ROW)
+              ORDER BY event_id"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        Tables.events(s, d)
+          .select(
+            col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(col("value").cast(DecimalType(18, 2))).over(w)
+              .cast("double").as("sum_1h"))
+          .orderBy("event_id")
+      }),
 
     // -- sort / limit / set ops --------------------------------------
     Query(

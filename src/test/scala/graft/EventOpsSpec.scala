@@ -152,6 +152,26 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q_window_range ----
+
+  test("window_range: every event counts itself and a brute-force " +
+    "trailing-hour recount agrees on a sampled user") {
+    val rows = run("q_window_range").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.forall(_._3 >= 1L), "each event is in its own window")
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val u = ev.head._2
+    val mine = ev.filter(_._2 == u)
+    val want = mine.map { case (id, _, us) =>
+      id -> mine.count(e => e._3 >= us - 3600000000L && e._3 <= us).toLong
+    }.toMap
+    rows.filter(_._2 == u).foreach { case (id, _, n) =>
+      assert(n === want(id), s"event $id")
+    }
+  }
+
   // ---- q_drift ----
 
   test("drift: PSI is zero for identical populations, positive and " +
