@@ -412,4 +412,23 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("WindowExec"), s"$name:\n" + p.take(1500))
     }
   }
+
+  test("q_scd2: both per-key windows share ONE shuffle (same " +
+    "partitioning and ordering)") {
+    val p = plan(q("q_scd2"))
+    // exchanges: one hash(key) feeding both Window nodes + the final
+    // presentation range sort — a third would mean the second window
+    // re-shuffled
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"got $exchanges exchanges:\n" + p.take(2500))
+    assert("Window".r.findAllIn(p).length >= 2, p.take(2500))
+  }
+
+  test("q_drift: the totals table broadcasts — no corpus re-shuffle " +
+    "for a ≤|groups|-row lookup") {
+    val p = plan(q("q_drift"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }

@@ -819,4 +819,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq === want.sortBy(_._1).toSeq)
     assert(got.nonEmpty)
   }
+
+  test("streaming drift monitor: per-micro-batch PSI against a static " +
+    "baseline equals the batch drift on the same split") {
+    // drift monitoring as an operational loop: the baseline population
+    // (period 0) is a static frame; each micro-batch unions in as
+    // period 1 and the SAME oracle-gated drift operator scores it —
+    // batch is the semantic spec, foreachBatch just re-runs it
+    import graft.operators.EventOps
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        (col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+          .cast("int").as("is_base"))
+    val baseline = ev.filter(col("is_base") === 1)
+      .select(col("event_type"), col("value"), lit(0).as("period"))
+      .localCheckpoint()
+    val currentRows = ev.filter(col("is_base") === 0)
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val in = MemoryStream[(String, Double)](spark)
+    var last: Seq[(String, Double)] = Nil
+    val q = in.toDF().toDF("event_type", "value")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cur = b.select(col("event_type"), col("value"),
+          lit(1).as("period"))
+        last = EventOps.drift(baseline.unionByName(cur), "event_type",
+            "value", "period", 50.0)
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        ()
+      }
+      .option("checkpointLocation", tmpCkpt())
+      .start()
+    in.addData(currentRows.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    // one micro-batch carrying the whole current population ≡ q_drift
+    val want = SparkEntry.queries("q_drift")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(last === want && last.nonEmpty)
+  }
 }
