@@ -233,6 +233,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("drift"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "drift"),
       (exprs: Seq[Expression]) => GraftExtensions.driftPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("anomaly_mad"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "anomaly_mad"),
+      (exprs: Seq[Expression]) => GraftExtensions.anomalyMadPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("sample_weighted"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "sample_weighted"),
+      (exprs: Seq[Expression]) => GraftExtensions.sampleWeightedPlan(exprs)))
   }
 }
 
@@ -1035,6 +1042,39 @@ object GraftExtensions {
     val w = litDouble("drift", "width", exprs(4))
     require(w > 0, s"drift width must be positive; got $w")
     graft.operators.EventOps.drift(df, g, v, per, w)
+      .queryExecution.analyzed
+  }
+
+  /** `anomaly_mad(table, group_col, id_col, value_col [, z])` — robust
+    * median/MAD outliers (modified z-score, default cut 3.5;
+    * [[graft.operators.EventOps.anomalyMad]]). */
+  private[graft] def anomalyMadPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("anomaly_mad(table, group_col, id_col, value_col [, z])",
+      exprs, 4, 5)
+    val Seq(g, id, v) = (1 to 3).map(i => litStr("anomaly_mad",
+      Seq("group_col", "id_col", "value_col")(i - 1), exprs(i)))
+    val df = namedTable("anomaly_mad",
+      litStr("anomaly_mad", "table", exprs(0)), Seq(g, id, v))
+    val z = if (exprs.length > 4) litDouble("anomaly_mad", "z", exprs(4))
+      else 3.5
+    require(z > 0, s"anomaly_mad z must be positive; got $z")
+    graft.operators.EventOps.anomalyMad(df, g, id, v, z)
+      .queryExecution.analyzed
+  }
+
+  /** `sample_weighted(table, id_col, weight_col, n)` — derandomized
+    * A-ES weighted sampling without replacement
+    * ([[graft.operators.CurationOps.weightedSample]]). */
+  private[graft] def sampleWeightedPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("sample_weighted(table, id_col, weight_col, n)", exprs, 4, 4)
+    val id = litStr("sample_weighted", "id_col", exprs(1))
+    val w = litStr("sample_weighted", "weight_col", exprs(2))
+    val df = namedTable("sample_weighted",
+      litStr("sample_weighted", "table", exprs(0)), Seq(id, w))
+    val n = VectorOps.intArg("sample_weighted", "n", exprs(3))
+    require(n > 0, s"sample_weighted n must be positive; got $n")
+    graft.operators.CurationOps.weightedSample(df, id, w, n)
       .queryExecution.analyzed
   }
 }

@@ -357,6 +357,31 @@ object CurationOps {
       .select("doc_id", "n_tokens", "cum_tokens")
   }
 
+  /** Weighted sampling without replacement (A-ES / Efraimidis–
+    * Spirakis, derandomized): each row's key is u^(1/w) for the
+    * md5-derived uniform u and weight w, and the top-n keys ARE a
+    * weighted sample — the data-MIXING primitive (oversample
+    * high-quality or under-represented sources by weight) that
+    * uniform [[sampleTokenBudget]] deliberately avoids. Deterministic
+    * across runs, partitionings, and engines (the u grid is the
+    * 16-bit hashDraw both engines compute nibble-identically). One
+    * narrow key map + a distributed partial top-n
+    * (TakeOrderedAndProject) — no corpus-wide window, no RNG state. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      n: Int, salt: String = "-wsamp"): DataFrame = {
+    require(n > 0, s"weightedSample n must be positive; got $n")
+    val u = (hashDraw(concat(col(idCol).cast("string"), lit(salt)))
+      .cast("double") + lit(0.5)) / lit(65536.0)
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    df.select(col(idCol), col(weightCol).cast("double").as("w"),
+        key.as("k"))
+      .orderBy(col("k").desc, col(idCol))
+      .limit(n)
+      .select(col(idCol), col("w"),
+        (round(col("k") * lit(1000000.0)) / lit(1000000.0)).as("wkey"))
+      .orderBy(idCol)
+  }
+
   // The oracle's spelling of the trailing-16-bit shard draw (DuckDB
   // lacks base-16 conv; nibbles parsed positionally, like sqlDraw).
   private def sqlShard(h: String, nShards: Int): String =
@@ -571,6 +596,24 @@ object CurationOps {
       (s, d) => sampleTokenBudget(Tables.documents(s, d), "doc_id",
           "text", budgetTokens = 10000L)
         .orderBy("doc_id")),
+
+    // Weighted sampling by document length (n_chars): the A-ES top-200
+    // oversamples long documents — the fixture sample's mean weight is
+    // ~359 chars vs the corpus's ~298 — while staying exactly
+    // reproducible (the oracle recomputes every u nibble-by-nibble).
+    Query(
+      "q_sample_weighted",
+      Some(s"""SELECT doc_id, w, round(wkey * 1000000.0)/1000000.0 AS wkey
+               FROM (
+                 SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+                        pow((${sqlDraw("doc_id || '-wsamp'")} + 0.5)
+                              / 65536.0,
+                            1.0 / CAST(n_chars AS DOUBLE)) AS wkey
+                 FROM documents
+                 ORDER BY wkey DESC, doc_id LIMIT 200)
+               ORDER BY doc_id"""),
+      (s, d) => weightedSample(Tables.documents(s, d), "doc_id",
+        "n_chars", n = 200)),
 
     // The curation funnel: stage-survival counts per (source, lang,
     // split) — total → quality → exact-dup keeper → NEAR-dup cluster

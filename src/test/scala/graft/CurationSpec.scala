@@ -303,4 +303,35 @@ class CurationSpec extends SparkSpec {
     assert(firstShard.length > 3)
     assert(!(firstShard.toSeq == firstShard.sorted.toSeq))
   }
+
+  test("weighted sample: exact size, weight-tilted, deterministic " +
+    "under repartitioning, and exactly the top-n by A-ES key") {
+    import graft.operators.CurationOps
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val n = 50
+    val out = CurationOps.weightedSample(docs, "doc_id", "n_chars", n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.length === n)
+    val corpusMean = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    val sampleMean = out.map(_._2).sum / n
+    assert(sampleMean > corpusMean,
+      s"weighting must tilt the sample: $sampleMean vs $corpusMean")
+    val again = CurationOps
+      .weightedSample(docs.repartition(7), "doc_id", "n_chars", n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(again.toSeq === out.toSeq)
+    // the selected ids are exactly the brute-force top-n keys
+    val all = docs.select(col("doc_id"), col("n_chars")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$id-wsamp".getBytes("UTF-8"))
+          .take(2).map("%02x".format(_)).mkString
+        val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 65536.0
+        (id, math.pow(u, 1.0 / r.getLong(1)))
+      }
+    val want = all.sortBy { case (id, k) => (-k, id) }.take(n)
+      .map(_._1).toSet
+    assert(out.map(_._1).toSet === want)
+  }
 }

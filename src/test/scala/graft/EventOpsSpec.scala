@@ -34,6 +34,32 @@ class EventOpsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture must flag at least one outlier")
   }
 
+  test("anomaly_mad: flagged set matches a brute-force median/MAD " +
+    "scoring and is larger than the sigma-based set on this tail") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      val pos = 0.5 * (n - 1); val lo = s(pos.toInt)
+      val hi = s(math.min(pos.toInt + 1, n - 1))
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val byType = ev.groupBy(_._2)
+    val want = ev.filter { case (_, t, v) =>
+      val vs = byType(t).map(_._3).toSeq
+      val med = medianOf(vs)
+      val mad = medianOf(vs.map(x => math.abs(x - med)))
+      math.abs(0.6745 * (v - med) / mad) > 3.5
+    }.map(_._1).toSet
+    val got = run("q_anomaly_mad").select("event_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === want)
+    val sigma = run("q_anomaly").count()
+    assert(got.size > sigma,
+      s"robust scoring must out-flag sigma on this tail: ${got.size} vs $sigma")
+  }
+
   test("anomaly: deterministic under repartitioning") {
     val a = run("q_anomaly").collect().toSeq
     val b = SparkEntry.queries("q_anomaly")(spark, sfDir) // fresh plan

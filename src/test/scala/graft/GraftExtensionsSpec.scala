@@ -563,6 +563,26 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.functions.ZOrder.interleaveRef(48L, 12L))
   }
 
+  test("anomaly_mad and sample_weighted TVFs agree with the Scala API") {
+    val s2 = spark.newSession()
+    graft.sources.Tables.events(s2, sfDir)
+      .createOrReplaceTempView("mad_sql")
+    val m = s2.sql("SELECT * FROM anomaly_mad('mad_sql', 'event_type', " +
+      "'event_id', 'value')")
+    assert(m.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.anomalyMad(
+        graft.sources.Tables.events(s2, sfDir), "event_type",
+        "event_id", "value").collect().map(_.toSeq).toSeq)
+    graft.sources.Tables.documents(s2, sfDir)
+      .createOrReplaceTempView("wsamp_sql")
+    val w = s2.sql(
+      "SELECT * FROM sample_weighted('wsamp_sql', 'doc_id', 'n_chars', 50)")
+    assert(w.collect().map(_.toSeq).toSeq ===
+      graft.operators.CurationOps.weightedSample(
+        graft.sources.Tables.documents(s2, sfDir), "doc_id", "n_chars",
+        50).collect().map(_.toSeq).toSeq)
+  }
+
   test("drift TVF agrees with the Scala API") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val s2 = spark.newSession()
