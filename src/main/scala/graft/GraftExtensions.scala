@@ -838,12 +838,8 @@ object GraftExtensions {
   private[graft] def rrfPlan(exprs: Seq[Expression]): LogicalPlan = {
     arity("rrf(doc_table, vec_table, terms, probe_id [, k])", exprs, 4, 5)
     val docs = docTable("rrf", litStr("rrf", "doc_table", exprs(0)))
-    val vname = litStr("rrf", "vec_table", exprs(1))
-    val vecs = SparkSession.active.table(vname)
-    require(vecs.columns.contains("vec_id") &&
-        vecs.columns.contains("embedding"),
-      s"rrf expects table '$vname' to carry (vec_id, embedding); found " +
-        vecs.columns.mkString("(", ", ", ")"))
+    val vecs = namedTable("rrf", litStr("rrf", "vec_table", exprs(1)),
+      Seq("vec_id", "embedding"))
     val terms = litStr("rrf", "terms", exprs(2)).trim.split("\\s+").toSeq
     require(terms.nonEmpty && terms.head.nonEmpty,
       "rrf terms must contain at least one token")

@@ -28,9 +28,12 @@ object ZOrder {
     v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x5555555555555555L))
   }
 
-  /** Morton-interleave two NON-NEGATIVE bucket ids (each < 2³²) into
-    * one long: x takes the even bit positions, y the odd. Callers
-    * bucket raw values first (e.g. `floor(col / width)`). */
+  /** Morton-interleave two NON-NEGATIVE bucket ids (each < 2³¹ — y's
+    * bit 31 would land in the long's SIGN bit and negative keys sort
+    * before everything, silently un-tiling the layout) into one long:
+    * x takes the even bit positions, y the odd. Callers bucket raw
+    * values first (e.g. `floor(col / width)`); 2³¹ tiles per dimension
+    * is far past any practical layout. */
   def zorderKey(x: Column, y: Column): Column =
     spread(x).bitwiseOR(shiftleft(spread(y), 1))
 

@@ -55,6 +55,16 @@ object ConstraintOps {
     * violations)` row per check, ordered by name. */
   def dqReport(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "dqReport needs at least one check")
+    // check names embed column names in a stack() SQL string — hold
+    // them to plain identifiers (the profile/funnel rule) so a weird
+    // name fails here, not as a parse error inside the unpivot
+    val checkedCols = checks.collect {
+      case c: NotNull => c.col
+      case c: InRange => c.col
+    }
+    require(checkedCols.forall(_.matches("[A-Za-z0-9_]+")),
+      s"dqReport column names must be simple identifiers; " +
+        s"got $checkedCols")
     // coalesce: a sum over an empty table folds to NULL, and an empty
     // input must read "0 violations", not an unknown
     val scalar = checks.collect {

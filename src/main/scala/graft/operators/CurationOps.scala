@@ -373,7 +373,12 @@ object CurationOps {
     val u = (hashDraw(concat(col(idCol).cast("string"), lit(salt)))
       .cast("double") + lit(0.5)) / lit(65536.0)
     val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
-    df.select(col(idCol), col(weightCol).cast("double").as("w"),
+    // A-ES is defined for w > 0 only: w = 0 gives key 0 (never
+    // sampled — correct limit) but w < 0 gives key > 1, outranking
+    // every legitimate row. Filter the invalid domain out rather than
+    // returning a garbage sample.
+    df.filter(col(weightCol).cast("double") > 0.0)
+      .select(col(idCol), col(weightCol).cast("double").as("w"),
         key.as("k"))
       .orderBy(col("k").desc, col(idCol))
       .limit(n)

@@ -69,6 +69,16 @@ object RelationalOps {
     * base only the change set shuffles (StorageLayoutSpec's
     * exactly-one-exchange pin). */
   def mergeUpsert(base: DataFrame, updates: DataFrame,
+      key: String): DataFrame =
+    mergeRows(base, updates, key).orderBy(key)
+
+  /** [[mergeUpsert]] without the presentation sort — the shape
+    * operational loops want (CdcApply re-buckets the result anyway; a
+    * per-batch global sort of the full base table would be pure
+    * waste). Matched rows take the update's values INCLUDING NULLs —
+    * update-row presence, not value-level coalesce, decides each
+    * column, so a change that clears a field lands (MERGE semantics). */
+  def mergeRows(base: DataFrame, updates: DataFrame,
       key: String): DataFrame = {
     require(base.columns.sameElements(updates.columns),
       s"mergeUpsert expects identical schemas; base has " +
@@ -78,13 +88,13 @@ object RelationalOps {
       base.columns.mkString("(", ", ", ")"))
     val u = updates.columns.foldLeft(updates)((df, c) =>
       df.withColumnRenamed(c, s"__u_$c"))
+    val matched = col(s"__u_$key").isNotNull
     base.join(u, col(key) === col(s"__u_$key"), "full_outer")
       .select(base.columns.map(c =>
-        coalesce(col(s"__u_$c"), col(c)).as(c)) :+
+        when(matched, col(s"__u_$c")).otherwise(col(c)).as(c)) :+
         when(col(key).isNull, lit("insert"))
-          .when(col(s"__u_$key").isNull, lit("keep"))
+          .when(!matched, lit("keep"))
           .otherwise(lit("update")).as("action"): _*)
-      .orderBy(key)
   }
 
   /** SCD-2 dimension build: collapse a change stream into validity
@@ -124,6 +134,12 @@ object RelationalOps {
     * those sums in DOUBLE identically on any engine. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // names are interpolated into the stack() SQL string and generated
+    // aliases — restrict to plain identifiers (the funnel-stage rule)
+    // so exotic-but-legal Spark names fail here with the rule named,
+    // not downstream with an opaque ParseException
+    require(cols.forall(_.matches("[A-Za-z0-9_]+")),
+      s"profile column names must be simple identifiers; got $cols")
     // Distinct counts run as a SEPARATE skinny pass, not as
     // countDistinct inside the stats aggregate: Spark rewrites N
     // distinct aggregates into an Expand that replicates every row
@@ -522,25 +538,30 @@ object RelationalOps {
     Query(
       "q_percentile",
       Some("""SELECT l_returnflag,
-                     round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
-                     round(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+                     round(quantile_cont(l_extendedprice, 0.5)
+                       * 1000000.0) / 1000000.0 AS p50,
+                     round(quantile_cont(l_extendedprice, 0.9)
+                       * 1000000.0) / 1000000.0 AS p90
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
-      (s, d) =>
+      (s, d) => {
+        def r6(x: Column) = round(x * lit(1000000.0)) / lit(1000000.0)
         Tables.lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(
-            round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
-            round(percentile(col("l_extendedprice"), lit(0.9)), 6).as("p90"))
-          .orderBy("l_returnflag")),
+            r6(percentile(col("l_extendedprice"), lit(0.5))).as("p50"),
+            r6(percentile(col("l_extendedprice"), lit(0.9))).as("p90"))
+          .orderBy("l_returnflag")
+      }),
     // Column profiling — the pipeline-health primitive (nulls, distinct
     // counts, range, DECIMAL-exact moments) every ingest step runs
-    // before heavier curation. One aggregate pass over the table (the
-    // multi-distinct expands via Expand, still one scan), then a
-    // stack() unpivot of the final scalars — never one pass per column.
-    // Moments are order-independent: per-row squares are deterministic
-    // IEEE doubles, the sums run in DECIMAL(38,18) (the
-    // q_embed_centroid stance), and the variance folds in DOUBLE from
-    // identical decimal sums on both engines.
+    // before heavier curation. One narrow stats pass plus one skinny
+    // dedup-before-shuffle distinct pass (see the Expand note at the
+    // impl) — never one pass per column. Moments are
+    // order-independent: per-row squares are deterministic IEEE
+    // doubles, the sums run in DECIMAL(38,6) — NOT (38,18); see the
+    // cast-width note at the impl for why 18 places diverge
+    // cross-engine — and the variance folds in DOUBLE from identical
+    // decimal sums on both engines.
     Query(
       "q_profile",
       Some(profileOracleSql(Seq("l_quantity", "l_extendedprice",
@@ -647,10 +668,12 @@ object RelationalOps {
                 UNION ALL
                 SELECT o_orderkey + 10000000, o_custkey, o_totalprice
                 FROM orders WHERE o_orderkey % 97 = 0)
-              SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
-                     coalesce(u.o_custkey, b.o_custkey) AS o_custkey,
-                     coalesce(u.o_totalprice, b.o_totalprice)
-                       AS o_totalprice,
+              SELECT CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderkey
+                          ELSE b.o_orderkey END AS o_orderkey,
+                     CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey
+                          ELSE b.o_custkey END AS o_custkey,
+                     CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice
+                          ELSE b.o_totalprice END AS o_totalprice,
                      CASE WHEN b.o_orderkey IS NULL THEN 'insert'
                           WHEN u.o_orderkey IS NULL THEN 'keep'
                           ELSE 'update' END AS action

@@ -229,7 +229,10 @@ object SimilarityOps {
     require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
     val u = lists.map(_.select(col(idCol), col("rn"))).reduce(_ unionByName _)
     u.groupBy(idCol)
-      .agg(round(sum(lit(1.0) / (lit(c) + col("rn"))), 6).as("rrf"),
+      // scaled rounding (the profile stance) — plain round(x, 6) can
+      // disagree with DuckDB at an exact .5 in the scaled double
+      .agg((round(sum(lit(1.0) / (lit(c) + col("rn"))) * lit(1000000.0))
+          / lit(1000000.0)).as("rrf"),
         count(lit(1)).cast("int").as("n_lists"))
       .orderBy(col("rrf").desc, col(idCol))
   }
@@ -435,8 +438,8 @@ object SimilarityOps {
                        round(sum(
                          ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
                          tf * (1.2 + 1) /
-                         (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
-                         AS bm25
+                         (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+                         * 1000000.0) / 1000000.0 AS bm25
                 FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
                 GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
               bmr AS (
@@ -459,7 +462,8 @@ object SimilarityOps {
                 FROM cs),
               u AS (SELECT * FROM bmr UNION ALL SELECT * FROM csr)
               SELECT doc_id,
-                     round(sum(CAST(1 AS DOUBLE) / (60 + rn)), 6) AS rrf,
+                     round(sum(CAST(1 AS DOUBLE) / (60 + rn))
+                       * 1000000.0) / 1000000.0 AS rrf,
                      CAST(count(*) AS INT) AS n_lists
               FROM u GROUP BY doc_id ORDER BY rrf DESC, doc_id"""),
       (s, d) => hybridRrf(Tables.documents(s, d), Tables.embeddings(s, d),

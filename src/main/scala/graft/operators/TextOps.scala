@@ -198,7 +198,11 @@ object TextOps {
         (col("tf") + lit(k1) *
           (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
       .groupBy("doc_id")
-      .agg(round(sum(col("part")), 6).as("bm25"))
+      // scaled rounding (round(x·1e6)/1e6, the profile stance) — plain
+      // round(x, 6) rounds the double's infinite decimal expansion and
+      // can disagree with DuckDB's scaled-double rounding at exact .5s
+      .agg((round(sum(col("part")) * lit(1000000.0)) / lit(1000000.0))
+        .as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
   }
 
@@ -392,8 +396,8 @@ object TextOps {
                      round(sum(
                        ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
                        tf * (1.2 + 1) /
-                       (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
-                       AS bm25
+                       (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))
+                       * 1000000.0) / 1000000.0 AS bm25
               FROM tf JOIN dfreq USING (tok) CROSS JOIN stats
               GROUP BY doc_id
               ORDER BY bm25 DESC, doc_id"""),

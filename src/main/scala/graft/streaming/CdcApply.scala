@@ -63,10 +63,12 @@ final class CdcApply private (
       .select(payload.map(col): _*)
     val deletes = latest.filter(col(opCol) === "d")
       .select(col(keyCol).as("__del_key"))
-    // 2+3. merge into the live generation (or bootstrap from empty)
+    // 2+3. merge into the live generation (or bootstrap from empty) —
+    // the sort-free variant: writeBucketed re-distributes anyway, and
+    // update rows win whole-row (a NULL-bearing change clears fields)
     val merged = current(spark) match {
       case Some(base) =>
-        RelationalOps.mergeUpsert(base, upserts, keyCol).drop("action")
+        RelationalOps.mergeRows(base, upserts, keyCol).drop("action")
       case None => upserts
     }
     val next = merged

@@ -178,6 +178,19 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("merge takes the update's values INCLUDING NULLs — a change " +
+    "that clears a field lands, not silently keeps the stale value") {
+    import spark.implicits._
+    val b = Seq((1L, Option("a")), (2L, Option("b")))
+      .toDF("id", "name")
+    val u = Seq((1L, Option.empty[String])).toDF("id", "name")
+    val m = graft.operators.RelationalOps.mergeUpsert(b, u, "id")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.getString(2)))).toMap
+    assert(m(1L) === ((None, "update")), m.toString)
+    assert(m(2L) === ((Some("b"), "keep")), m.toString)
+  }
+
   // ---- q_window_range ----
 
   test("window_range: every event counts itself and a brute-force " +

@@ -114,11 +114,18 @@ class StorageLayoutSpec extends SparkSpec {
     import spark.implicits._
     import graft.functions.ZOrder
     val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 3L),
-      (0xFFFFL, 0x1234L), (0xFFFFFFFFL, 0xFFFFFFFFL), (48L, 12L))
+      (0xFFFFL, 0x1234L), (0x7FFFFFFFL, 0x7FFFFFFFL), (48L, 12L))
     val got = samples.toDF("x", "y")
       .select(ZOrder.zorderKey(col("x"), col("y")).as("z"))
       .as[Long].collect().toSeq
     assert(got === samples.map { case (x, y) => ZOrder.interleaveRef(x, y) })
+    // the documented domain keeps keys non-negative (signed long sort
+    // stays monotone in the tile order); max in-domain key is positive
+    assert(got.forall(_ >= 0L))
+    // monotone in each dim at fixed other dim, within the domain
+    val ys = (0L until 64L)
+      .map(y => ZOrder.interleaveRef(7L, y))
+    assert(ys === ys.sorted)
   }
 
   test("z-ordered layout skips row groups on BOTH dimensions — a " +
