@@ -49,6 +49,33 @@ object Warehouse {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Compact a parquet directory's small files into
+    * ~`targetBytes`-sized ones — the hygiene pass every streaming
+    * sink needs (micro-batches bleed one-file-per-trigger; at 100 TB
+    * the resulting millions of tiny files dominate scan planning and
+    * NameNode/listing cost long before data volume does). Content is
+    * preserved row-for-row; file count becomes
+    * ⌈input_bytes / targetBytes⌉. Staged write + atomic-ish swap (the
+    * overwriteSelfRead pattern): the new layout lands beside the old
+    * under `<path>__compact`, then replaces it, so a reader never sees
+    * a half-written directory. Returns the new file count. */
+  def compactPath(spark: SparkSession, path: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive; got $targetBytes")
+    val hadoopPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inputBytes = fs.getContentSummary(hadoopPath).getLength
+    val files = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
+    val stage = new org.apache.hadoop.fs.Path(path + "__compact")
+    spark.read.parquet(path)
+      .repartition(files)
+      .write.mode("overwrite").parquet(stage.toString)
+    fs.delete(hadoopPath, true)
+    require(fs.rename(stage, hadoopPath),
+      s"compactPath: rename $stage -> $hadoopPath failed")
+    files
+  }
+
   /** Overwrite `table` with `df` even when df's PLAN READS `table` —
     * Spark (correctly) refuses a direct self-overwrite ("Cannot
     * overwrite a table that is also being read from"), which breaks

@@ -164,6 +164,33 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("compactPath collapses a many-small-files directory preserving " +
+    "content row-for-row") {
+    withFixtureDir("graft-compact-") { dir =>
+      val p = s"$dir/shredded"
+      val li = graft.sources.Tables
+        .lineitem(spark, "/root/testdata/sf0.001")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      li.repartition(64).write.parquet(p) // 64 tiny files
+      val before = li.collect().map(_.toSeq).toSet
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def nFiles = fs.listStatus(hp)
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(nFiles === 64)
+      val total = fs.getContentSummary(hp).getLength
+      val made = graft.sources.Warehouse
+        .compactPath(spark, p, targetBytes = total / 2)
+      assert(made === 2 || made === 3, s"made $made files") // ceil slack
+      assert(nFiles === made)
+      assert(spark.read.parquet(p).collect().map(_.toSeq).toSet === before)
+      // idempotent-ish: compacting again at a huge target -> 1 file
+      assert(graft.sources.Warehouse
+        .compactPath(spark, p, targetBytes = Long.MaxValue) === 1)
+      assert(spark.read.parquet(p).collect().map(_.toSeq).toSet === before)
+    }
+  }
+
   test("range-partitioned (sorted) write keeps min/max file statistics " +
     "tight — a sort-key filter reads a bounded file subset") {
     // parquet footer min/max + repartitionByRange give file-skipping on
