@@ -146,6 +146,36 @@ object FunctionOps {
             col("event_id"),
             explode(from_json(col("props"),
               org.apache.spark.sql.types.DataType.fromDDL("map<string,int>"))))
-          .orderBy("event_id", "key"))
+          .orderBy("event_id", "key")),
+    // Spark 4's native VARIANT path for semi-structured columns:
+    // parse once into the shredded binary encoding, then typed
+    // variant_get extraction — the engine-native alternative to
+    // per-access string JSON parsing (get_json_object re-parses the
+    // document on every call; a VARIANT column parses once and every
+    // downstream extraction reads the binary form). Same narrow
+    // codegen'd scan shape; the oracle spells the identical semantics
+    // through DuckDB's JSON type.
+    Query(
+      "q_variant_json",
+      Some("""WITH x AS (
+                SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         AS k
+                FROM events)
+              SELECT event_type, count(k) AS n,
+                     CAST(sum(k) AS BIGINT) AS sum_k,
+                     CAST(min(k) AS BIGINT) AS min_k,
+                     CAST(max(k) AS BIGINT) AS max_k
+              FROM x GROUP BY event_type ORDER BY event_type"""),
+      (s, d) =>
+        Tables.events(s, d)
+          .select(col("event_type"),
+            variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+          .groupBy("event_type")
+          .agg(count(col("k")).as("n"),
+            sum(col("k")).cast("bigint").as("sum_k"),
+            min(col("k")).cast("bigint").as("min_k"),
+            max(col("k")).cast("bigint").as("max_k"))
+          .orderBy("event_type"))
   )
 }

@@ -66,6 +66,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("variant path equals the string-JSON path row-for-row") {
+    // parse_json/variant_get and get_json_object must agree on every
+    // extraction — the VARIANT column is an encoding change, not a
+    // semantics change
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val viaVariant = ev.select(col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("k"))
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaString = ev.select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaVariant.toSeq === viaString.toSeq)
+    assert(viaVariant.nonEmpty)
+  }
+
   test("dedup idempotence: q_dedup(q_dedup base) is a fixpoint") {
     val once = SparkEntry.queries("q_dedup")(spark, sfDir)
     // applying the same keep-first rule to its own output changes nothing
