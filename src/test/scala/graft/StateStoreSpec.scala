@@ -323,4 +323,35 @@ class StateStoreSpec extends SparkSpec {
     assert(out(10L) === ((1L, 80.0)))
     assert(out(11L) === ((1L, 40.0)), s"state survived its TTL: $out")
   }
+
+  test("statestore reader: checkpointed streaming state is inspectable " +
+    "as a DataFrame under both providers") {
+    // the Spark 4 state data source — the ops surface for debugging a
+    // live pipeline's keyed state without instrumenting the query
+    sessions().foreach { case (label, s) =>
+      import s.implicits._
+      val in = MemoryStream[(String, Long)](s)
+      val ckpt = tmpCkpt()
+      val name = s"ss_reader_${label}_${System.nanoTime()}"
+      val q = in.toDF().toDF("k", "v")
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").option("checkpointLocation", ckpt).start()
+      in.addData(("a", 1L), ("a", 2L), ("b", 10L))
+      q.processAllAvailable()
+      in.addData(("a", 4L), ("c", 100L))
+      q.processAllAvailable()
+      q.stop()
+      val state = s.read.format("statestore").load(ckpt)
+      // key is a struct of the grouping cols; value carries the agg
+      // buffer — project positionally to stay schema-name-agnostic
+      val rows = state.select($"key".getField("k").as("k"),
+          $"value".getField("count").as("n"),
+          $"value".getField("sum").as("s"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(rows === Set(("a", 3L, 7L), ("b", 1L, 10L), ("c", 1L, 100L)),
+        s"provider $label read back $rows")
+    }
+  }
 }
