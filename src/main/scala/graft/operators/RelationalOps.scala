@@ -511,6 +511,27 @@ object RelationalOps {
           .groupBy("o_orderpriority")
           .agg(approx_count_distinct(col("o_orderkey")).as("approx_orders"))
           .orderBy("o_orderpriority")),
+    // MERGEABLE HLL sketches (Datasketches builtins) — the
+    // pre-aggregation pattern behind every 100 TB distinct-count
+    // dashboard: build one small sketch per (group, day) partition
+    // once, STORE the sketches, and answer any coarser rollup by
+    // unioning them — no re-scan of the raw corpus, union cost
+    // proportional to sketch count, error unchanged by merging. Here:
+    // per-(type, day) user sketches union up to per-type monthly
+    // distinct users. Approximate by design → ScalaTest bound vs the
+    // exact two-level countDistinct, no oracle.
+    Query(
+      "q_hll_merge",
+      None,
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        daily.groupBy("event_type")
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("approx_users"))
+          .orderBy("event_type")
+      }),
     // Quantile sketch (KLL/GK-family builtin): per-group p50/p95/p99 of
     // extendedprice in ONE pass — the sketch merges associatively, so
     // the partial/final aggregation shape shuffles one small sketch per

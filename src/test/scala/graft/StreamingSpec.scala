@@ -756,6 +756,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q_hll_merge: daily-sketch union within 5% of exact distinct " +
+    "users per type, and merging loses nothing vs one-shot sketching") {
+    val merged = SparkEntry.queries("q_hll_merge")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(merged(k) - n) <= math.max(1L, (n * 0.05).toLong),
+        s"type $k: merged ${merged(k)} vs exact $n")
+    }
+    // the merge path must equal sketching the un-partitioned corpus
+    // directly — mergeability is the operator's whole claim
+    val oneShot = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === oneShot)
+  }
+
   test("q_approx_quantile: sketch percentiles within 1% rank error of exact") {
     val approx = SparkEntry.queries("q_approx_quantile")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
