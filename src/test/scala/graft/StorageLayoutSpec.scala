@@ -164,6 +164,48 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition overwrite touches ONLY the partitions the " +
+    "incremental batch carries — the idempotent-backfill write mode") {
+    withFixtureDir("graft-dyn-overwrite-") { dir =>
+      val p = s"$dir/events_p"
+      val ev = graft.sources.Tables.events(spark, sfDir)
+        .select("event_id", "event_type", "value")
+      ev.write.partitionBy("event_type").parquet(p)
+      val beforeOther = spark.read.parquet(p)
+        .filter(col("event_type") =!= "click").count()
+      val clickFixed = ev.filter(col("event_type") === "click")
+        .withColumn("value", lit(0.0))
+      withConf("spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+        clickFixed.write.mode("overwrite").partitionBy("event_type")
+          .parquet(p)
+      }
+      val after = spark.read.parquet(p)
+      // static overwrite would have DELETED every other partition;
+      // dynamic replaces only the 'click' directory
+      assert(after.filter(col("event_type") =!= "click").count()
+        === beforeOther)
+      assert(after.filter(col("event_type") === "click")
+        .agg(sum(col("value"))).head().getDouble(0) === 0.0)
+    }
+  }
+
+  test("mergeSchema read unifies evolved parquet schemas — new columns " +
+    "surface as nulls on old files, not as read failures") {
+    withFixtureDir("graft-schema-evo-") { dir =>
+      import spark.implicits._
+      val p = s"$dir/evolved"
+      Seq((1L, "a")).toDF("id", "name").write.parquet(s"$p/gen=1")
+      Seq((2L, "b", 9.5)).toDF("id", "name", "score")
+        .write.parquet(s"$p/gen=2")
+      val df = spark.read.option("mergeSchema", "true").parquet(p)
+      assert(df.columns.toSet === Set("id", "name", "score", "gen"))
+      val rows = df.select("id", "score").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(rows(1L) === None)   // pre-evolution file: column is null
+      assert(rows(2L) === Some(9.5))
+    }
+  }
+
   test("compactPath collapses a many-small-files directory preserving " +
     "content row-for-row") {
     withFixtureDir("graft-compact-") { dir =>
