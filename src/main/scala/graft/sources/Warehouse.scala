@@ -54,26 +54,53 @@ object Warehouse {
     * sink needs (micro-batches bleed one-file-per-trigger; at 100 TB
     * the resulting millions of tiny files dominate scan planning and
     * NameNode/listing cost long before data volume does). Content is
-    * preserved row-for-row; file count becomes
-    * ⌈input_bytes / targetBytes⌉. Staged write + atomic-ish swap (the
-    * overwriteSelfRead pattern): the new layout lands beside the old
-    * under `<path>__compact`, then replaces it, so a reader never sees
-    * a half-written directory. Returns the new file count. */
+    * preserved row-for-row; the file count targets
+    * ⌈input_bytes / targetBytes⌉ (the ACTUAL on-disk count is
+    * returned — empty partitions write no file). Staged write +
+    * checked three-step swap: the new layout lands beside the old at
+    * `<path>__compact`, the old moves aside to `<path>__old`, the
+    * stage renames in, the old drops — the data is reachable at the
+    * canonical or __old path at every step, and a failed rename
+    * restores the original instead of losing it. Not safe against a
+    * CONCURRENT writer; readers racing the two renames can observe a
+    * brief not-found, never a half-written directory. */
   def compactPath(spark: SparkSession, path: String,
       targetBytes: Long): Int = {
     require(targetBytes > 0, s"targetBytes must be positive; got $targetBytes")
-    val hadoopPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val inputBytes = fs.getContentSummary(hadoopPath).getLength
+    // Path-normalize FIRST and derive siblings via the parent — string
+    // concatenation on a trailing-slash path would put the stage INSIDE
+    // the directory being replaced (deleting it would destroy both)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(target.getParent,
+      target.getName + "__compact")
+    val retired = new org.apache.hadoop.fs.Path(target.getParent,
+      target.getName + "__old")
+    // leftovers from a crashed prior run must not poison the swap
+    fs.delete(stage, true)
+    fs.delete(retired, true)
+    val inputBytes = fs.getContentSummary(target).getLength
     val files = math.max(1, math.ceil(inputBytes.toDouble / targetBytes).toInt)
-    val stage = new org.apache.hadoop.fs.Path(path + "__compact")
-    spark.read.parquet(path)
+    spark.read.parquet(target.toString)
       .repartition(files)
       .write.mode("overwrite").parquet(stage.toString)
-    fs.delete(hadoopPath, true)
-    require(fs.rename(stage, hadoopPath),
-      s"compactPath: rename $stage -> $hadoopPath failed")
-    files
+    // rename-aside → rename-in → delete: the data is reachable at
+    // EITHER the canonical or the __old path at every step, and each
+    // rename's result is checked — a failed swap leaves the original
+    // intact instead of silently nesting the stage inside it
+    require(fs.rename(target, retired),
+      s"compactPath: rename $target -> $retired failed; nothing changed")
+    if (!fs.rename(stage, target)) {
+      // restore and fail loudly — the original is still whole
+      fs.rename(retired, target)
+      throw new IllegalStateException(
+        s"compactPath: rename $stage -> $target failed; original restored")
+    }
+    fs.delete(retired, true)
+    // actual on-disk count: empty partitions write no file, so the
+    // requested count can exceed reality on few-row inputs
+    fs.listStatus(target)
+      .count(_.getPath.getName.endsWith(".parquet"))
   }
 
   /** Overwrite `table` with `df` even when df's PLAN READS `table` —

@@ -345,7 +345,10 @@ class StateStoreSpec extends SparkSpec {
       q.stop()
       val state = s.read.format("statestore").load(ckpt)
       // key is a struct of the grouping cols; value carries the agg
-      // buffer — project positionally to stay schema-name-agnostic
+      // buffer under Spark's INTERNAL buffer-attribute names
+      // ("count"/"sum" for Count/Sum) — not a public contract, so a
+      // Spark upgrade renaming them fails here with an
+      // unresolved-field error, which is this pin doing its job
       val rows = state.select($"key".getField("k").as("k"),
           $"value".getField("count").as("n"),
           $"value".getField("sum").as("s"))

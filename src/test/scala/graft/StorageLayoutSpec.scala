@@ -210,8 +210,7 @@ class StorageLayoutSpec extends SparkSpec {
     "content row-for-row") {
     withFixtureDir("graft-compact-") { dir =>
       val p = s"$dir/shredded"
-      val li = graft.sources.Tables
-        .lineitem(spark, "/root/testdata/sf0.001")
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
       li.repartition(64).write.parquet(p) // 64 tiny files
       val before = li.collect().map(_.toSeq).toSet
@@ -230,6 +229,31 @@ class StorageLayoutSpec extends SparkSpec {
       assert(graft.sources.Warehouse
         .compactPath(spark, p, targetBytes = Long.MaxValue) === 1)
       assert(spark.read.parquet(p).collect().map(_.toSeq).toSet === before)
+      // trailing-slash path must NOT nest the stage inside the target
+      // (string concat would have destroyed the data)
+      assert(graft.sources.Warehouse
+        .compactPath(spark, p + "/", targetBytes = Long.MaxValue) === 1)
+      assert(spark.read.parquet(p).collect().map(_.toSeq).toSet === before)
+    }
+  }
+
+  test("compactPath returns the ACTUAL file count when the byte-derived " +
+    "partition request exceeds what the rows can fill") {
+    withFixtureDir("graft-compact-tiny-") { dir =>
+      import spark.implicits._
+      val p = s"$dir/tiny"
+      Seq(1L, 2L, 3L).toDF("id").write.parquet(p)
+      // targetBytes=1 requests ~file-size partitions, far more than 3
+      // rows can fill — empty partitions write no file, and the return
+      // value must reflect the disk, not the request
+      val made = graft.sources.Warehouse.compactPath(spark, p, 1L)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val onDisk = fs.listStatus(hp)
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(made === onDisk)
+      assert(spark.read.parquet(p).as[Long].collect().sorted
+        === Array(1L, 2L, 3L))
     }
   }
 
