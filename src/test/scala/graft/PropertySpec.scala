@@ -66,6 +66,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("scd2 law on random change streams: the interval table replays " +
+    "every change exactly (point-in-time lookup == source of truth)") {
+    import spark.implicits._
+    val ev = Gen.zip(Gen.choose(1L, 8L), Gen.oneOf("a", "b", "c"),
+      Gen.choose(0L, 50L))
+    val changes = samples(ev, 400).zipWithIndex
+      .map { case ((k, v, t), i) => (k, v, t, i.toLong) } // seq = tiebreak
+    val out = graft.operators.RelationalOps.scd2Build(
+        changes.toDF("k", "v", "t", "seq"), "k", "v", "t", "seq")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+    // brute force: per key, the change-detected version sequence
+    val wantVersions = changes.groupBy(_._1).map { case (k, cs) =>
+      val ordered = cs.sortBy(c => (c._3, c._4))
+      val versions = ordered.foldLeft(Vector.empty[(String, Long, Long)]) {
+        case (acc, (_, v, t, seq)) =>
+          if (acc.nonEmpty && acc.last._1 == v) acc
+          else acc :+ ((v, t, seq))
+      }
+      k -> versions
+    }
+    out.groupBy(_._1).foreach { case (k, vs) =>
+      val got = vs.sortBy(v => (v._3, v._5)).map(v => (v._2, v._3, v._5))
+      assert(got.toVector === wantVersions(k), s"key $k")
+    }
+    // interval chaining: valid_to == next valid_from, last open
+    out.groupBy(_._1).foreach { case (k, vs) =>
+      val s = vs.sortBy(v => (v._3, v._5))
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3), s"key $k chain")
+        case _ => ()
+      }
+      assert(s.last._4.isEmpty, s"key $k open tail")
+    }
+  }
+
+  test("merge law on random overlap: action partition and values " +
+    "reconcile with a Map-based brute force, NULLs included") {
+    import spark.implicits._
+    val baseRows = (1L to 40L).map(k => (k, Option(s"b$k")))
+    val upd = Gen.zip(Gen.choose(20L, 60L),
+      Gen.option(Gen.oneOf("x", "y")))
+    val updRows = samples(upd, 30).distinctBy(_._1)
+    val out = graft.operators.RelationalOps.mergeUpsert(
+        baseRows.toDF("k", "v"), updRows.toDF("k", "v"), "k")
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getString(2))))
+      .toMap
+    val baseMap = baseRows.toMap
+    val updMap = updRows.toMap
+    assert(out.keySet === baseMap.keySet ++ updMap.keySet)
+    out.foreach { case (k, (v, action)) =>
+      (baseMap.contains(k), updMap.contains(k)) match {
+        case (true, true) =>
+          assert(action === "update" && v === updMap(k), s"key $k")
+        case (true, false) =>
+          assert(action === "keep" && v === baseMap(k), s"key $k")
+        case (false, true) =>
+          assert(action === "insert" && v === updMap(k), s"key $k")
+        case _ => fail(s"phantom key $k")
+      }
+    }
+  }
+
   test("variant path equals the string-JSON path row-for-row") {
     // parse_json/variant_get and get_json_object must agree on every
     // extraction — the VARIANT column is an encoding change, not a
