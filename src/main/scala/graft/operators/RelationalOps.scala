@@ -511,6 +511,41 @@ object RelationalOps {
           .groupBy("o_orderpriority")
           .agg(approx_count_distinct(col("o_orderkey")).as("approx_orders"))
           .orderBy("o_orderpriority")),
+    // Aggregate-shaped argmax/argmin (max_by/min_by): "the best order
+    // per customer" WITHOUT a window — one map-side-combinable hash
+    // aggregate (each partial keeps a single champion per key) instead
+    // of the window path's per-key sort, the cheaper plan whenever
+    // only the top-1 row is wanted. Both engines break argmax ties
+    // arbitrarily, so the ordering key is made UNIQUE by construction:
+    // exact-decimal price scaled to an integer plus the orderkey
+    // (orderkey < 1e8 by fixture construction) — no tie can exist at
+    // any scale factor.
+    Query(
+      "q_argmax",
+      Some("""SELECT o_custkey,
+                     arg_max(o_orderkey,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                         * 100000000 AS BIGINT) + o_orderkey)
+                       AS best_order,
+                     CAST(max(CAST(o_totalprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS best_price,
+                     arg_min(o_orderkey,
+                       CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                         * 100000000 AS BIGINT) + o_orderkey)
+                       AS cheapest_order
+              FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
+      (s, d) => {
+        val ukey = (col("o_totalprice").cast(DecimalType(18, 2)) *
+          lit(100000000L)).cast("long") + col("o_orderkey")
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(
+            max_by(col("o_orderkey"), ukey).as("best_order"),
+            max(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("best_price"),
+            min_by(col("o_orderkey"), ukey).as("cheapest_order"))
+          .orderBy("o_custkey")
+      }),
     // MERGEABLE HLL sketches (Datasketches builtins) — the
     // pre-aggregation pattern behind every 100 TB distinct-count
     // dashboard: build one small sketch per (group, day) partition

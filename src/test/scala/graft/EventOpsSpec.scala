@@ -191,6 +191,28 @@ class EventOpsSpec extends SparkSpec {
     assert(m(2L) === ((Some("b"), "keep")), m.toString)
   }
 
+  // ---- q_argmax ----
+
+  test("argmax: the aggregate champion equals the window-rank top-1 " +
+    "per customer on both ends of the ordering") {
+    val agg = run("q_argmax").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    import org.apache.spark.sql.expressions.Window
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    def top(desc: Boolean) = {
+      val w = Window.partitionBy("o_custkey").orderBy(
+        if (desc) col("o_totalprice").desc else col("o_totalprice").asc,
+        if (desc) col("o_orderkey").desc else col("o_orderkey").asc)
+      ord.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    }
+    val (best, cheapest) = (top(desc = true), top(desc = false))
+    agg.foreach { case (cust, (b, c)) =>
+      assert(b === best(cust), s"cust $cust best")
+      assert(c === cheapest(cust), s"cust $cust cheapest")
+    }
+  }
+
   // ---- q_window_range ----
 
   test("window_range: every event counts itself and a brute-force " +

@@ -413,6 +413,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_argmax is window-free: one map-side-combinable aggregate, " +
+    "no per-key sort") {
+    val p = plan(q("q_argmax"))
+    assert(!p.contains("WindowExec") && !p.contains("WindowGroupLimit"),
+      p.take(1500))
+    assert(p.contains("Aggregate"), p.take(1500))
+  }
+
   test("q_scd2: both per-key windows share ONE shuffle (same " +
     "partitioning and ordering)") {
     val p = plan(q("q_scd2"))
