@@ -615,6 +615,7 @@ object CurationOps {
                               / 65536.0,
                             1.0 / CAST(n_chars AS DOUBLE)) AS wkey
                  FROM documents
+                 WHERE CAST(n_chars AS DOUBLE) > 0
                  ORDER BY wkey DESC, doc_id LIMIT 200)
                ORDER BY doc_id"""),
       (s, d) => weightedSample(Tables.documents(s, d), "doc_id",

@@ -136,9 +136,15 @@ object EventOps {
       valueCol: String, z: Double = 3.5): DataFrame = {
     val med = df.groupBy(groupCol)
       .agg(percentile(col(valueCol), lit(0.5)).as("med"))
+    // Zero-MAD groups (any group where a majority of values equal the
+    // median) are EXCLUDED: their score is 0/0 or ±∞, and engines
+    // disagree on NaN ordering (Spark drops NaN from `> z`, DuckDB
+    // sorts NaN greater) — a robust score is undefined when the
+    // scale estimate degenerates, so the inner join below drops them.
     val mad = df.join(broadcast(med), groupCol)
       .groupBy(groupCol)
       .agg(percentile(abs(col(valueCol) - col("med")), lit(0.5)).as("mad"))
+      .filter(col("mad") > 0)
     val rz = lit(0.6745) * (col(valueCol) - col("med")) / col("mad")
     df.join(broadcast(med), groupCol)
       .join(broadcast(mad), groupCol)
@@ -216,9 +222,11 @@ object EventOps {
                 SELECT event_type, quantile_cont(value, 0.5) AS med
                 FROM events GROUP BY 1),
               a AS (
-                SELECT e.event_type,
-                       quantile_cont(abs(e.value - m.med), 0.5) AS mad
-                FROM events e JOIN m USING (event_type) GROUP BY 1)
+                SELECT * FROM (
+                  SELECT e.event_type,
+                         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+                  FROM events e JOIN m USING (event_type) GROUP BY 1)
+                WHERE mad > 0)
               SELECT event_id, e.event_type, value,
                      round(0.6745 * (value - med) / mad
                        * 1000000.0)/1000000.0 AS rz

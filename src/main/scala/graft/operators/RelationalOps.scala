@@ -86,14 +86,21 @@ object RelationalOps {
         s"${updates.columns.mkString("(", ", ", ")")}")
     require(base.columns.contains(key), s"mergeUpsert key '$key' not in " +
       base.columns.mkString("(", ", ", ")"))
+    // Presence is decided by per-side literal markers, NOT key
+    // nullability: a NULL merge key never equi-matches, so both a
+    // NULL-key update (a legitimate insert, payload from the update
+    // side) and a NULL-key base row (a keep) fall through the join
+    // unmatched — inferring presence from the key would drop the
+    // former's payload and mislabel the latter.
     val u = updates.columns.foldLeft(updates)((df, c) =>
-      df.withColumnRenamed(c, s"__u_$c"))
-    val matched = col(s"__u_$key").isNotNull
-    base.join(u, col(key) === col(s"__u_$key"), "full_outer")
+      df.withColumnRenamed(c, s"__u_$c")).withColumn("__upd", lit(1))
+    val b = base.withColumn("__base", lit(1))
+    val fromUpdate = col("__upd").isNotNull
+    b.join(u, col(key) === col(s"__u_$key"), "full_outer")
       .select(base.columns.map(c =>
-        when(matched, col(s"__u_$c")).otherwise(col(c)).as(c)) :+
-        when(col(key).isNull, lit("insert"))
-          .when(!matched, lit("keep"))
+        when(fromUpdate, col(s"__u_$c")).otherwise(col(c)).as(c)) :+
+        when(col("__base").isNull, lit("insert"))
+          .when(col("__upd").isNull, lit("keep"))
           .otherwise(lit("update")).as("action"): _*)
   }
 
@@ -516,27 +523,31 @@ object RelationalOps {
     // aggregate (each partial keeps a single champion per key) instead
     // of the window path's per-key sort, the cheaper plan whenever
     // only the top-1 row is wanted. Both engines break argmax ties
-    // arbitrarily, so the ordering key is made UNIQUE by construction:
-    // exact-decimal price scaled to an integer plus the orderkey
-    // (orderkey < 1e8 by fixture construction) — no tie can exist at
-    // any scale factor.
+    // arbitrarily, so the ordering key is made UNIQUE by construction
+    // AND price-consistent: price scaled to cents*1e8 plus the
+    // orderkey. Invariant: one cent of price = 1e8 key units, so as
+    // long as o_orderkey < 1e8 (TPC-H reaches 6e9 rows only past
+    // sf~1000; 1e8 orders ≈ sf 66) the orderkey term can never
+    // outweigh a real price difference, and distinct orderkeys make
+    // the key unique. Max key ≈ 5e5 dollars × 1e10 = 5e15 — well
+    // inside BIGINT.
     Query(
       "q_argmax",
       Some("""SELECT o_custkey,
                      arg_max(o_orderkey,
                        CAST(CAST(o_totalprice AS DECIMAL(18,2))
-                         * 100000000 AS BIGINT) + o_orderkey)
+                         * 10000000000 AS BIGINT) + o_orderkey)
                        AS best_order,
                      CAST(max(CAST(o_totalprice AS DECIMAL(18,2)))
                        AS DOUBLE) AS best_price,
                      arg_min(o_orderkey,
                        CAST(CAST(o_totalprice AS DECIMAL(18,2))
-                         * 100000000 AS BIGINT) + o_orderkey)
+                         * 10000000000 AS BIGINT) + o_orderkey)
                        AS cheapest_order
               FROM orders GROUP BY o_custkey ORDER BY o_custkey"""),
       (s, d) => {
         val ukey = (col("o_totalprice").cast(DecimalType(18, 2)) *
-          lit(100000000L)).cast("long") + col("o_orderkey")
+          lit(10000000000L)).cast("long") + col("o_orderkey")
         Tables.orders(s, d)
           .groupBy("o_custkey")
           .agg(

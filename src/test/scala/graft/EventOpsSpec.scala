@@ -60,6 +60,26 @@ class EventOpsSpec extends SparkSpec {
       s"robust scoring must out-flag sigma on this tail: ${got.size} vs $sigma")
   }
 
+  test("anomalyMad excludes zero-MAD groups: a group where a " +
+    "majority of values equal the median scores 0/0 — undefined, " +
+    "dropped — while healthy groups still flag") {
+    import spark.implicits._
+    val df = (
+      // degenerate group: 9 of 10 values identical → MAD = 0
+      (1L to 9L).map(i => (i, "flat", 5.0)) :+ ((10L, "flat", 500.0))
+    ) ++ (
+      // healthy group: tight cluster + one wild outlier
+      (11L to 20L).map(i => (i, "ok", i.toDouble % 3)) :+ ((21L, "ok", 1e6))
+    )
+    val out = graft.operators.EventOps
+      .anomalyMad(df.toDF("event_id", "event_type", "value"),
+        "event_type", "event_id", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(!out.exists(_._2 == "flat"),
+      s"zero-MAD group must be excluded, got ${out.mkString(",")}")
+    assert(out.contains((21L, "ok")), out.mkString(","))
+  }
+
   test("anomaly: deterministic under repartitioning") {
     val a = run("q_anomaly").collect().toSeq
     val b = SparkEntry.queries("q_anomaly")(spark, sfDir) // fresh plan
@@ -189,6 +209,25 @@ class EventOpsSpec extends SparkSpec {
         ((Option(r.getString(1)), r.getString(2)))).toMap
     assert(m(1L) === ((None, "update")), m.toString)
     assert(m(2L) === ((Some("b"), "keep")), m.toString)
+  }
+
+  test("merge with NULL keys: a NULL-key update inserts WITH its " +
+    "payload and a NULL-key base row keeps — presence markers, not " +
+    "key nullability, decide match status") {
+    import spark.implicits._
+    val b = Seq((Option(1L), Option("a")), (Option.empty[Long], Option("orphan")))
+      .toDF("id", "name")
+    val u = Seq((Option(1L), Option("a2")), (Option.empty[Long], Option("new")))
+      .toDF("id", "name")
+    val rows = graft.operators.RelationalOps.mergeRows(b, u, "id")
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        r.getString(1), r.getString(2)))
+      .toSet
+    assert(rows === Set(
+      (Some(1L), "a2", "update"),     // matched on the real key
+      (None, "orphan", "keep"),       // NULL-key base row carries through
+      (None, "new", "insert")))       // NULL-key update keeps its payload
   }
 
   // ---- q_argmax ----
