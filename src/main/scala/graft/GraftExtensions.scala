@@ -111,6 +111,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(exprs(0), exprs(1), exprs(2))))
+    // Frequent-items (heavy-hitter) sketch tier — mergeable
+    // Datasketches ItemsSketch aggregates + decoders
+    // (graft.functions.FreqSketch; the approximate twin of the exact
+    // token groupBy).
+    ext.injectFunction((FunctionIdentifier("freq_sketch_agg"),
+      new ExpressionInfo(classOf[graft.functions.FreqItemsAgg].getName,
+        "freq_sketch_agg"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.FreqItemsAgg(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("freq_union_agg"),
+      new ExpressionInfo(classOf[graft.functions.FreqUnionAgg].getName,
+        "freq_union_agg"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.FreqUnionAgg(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("freq_sketch_topk"),
+      new ExpressionInfo(classOf[graft.functions.FreqSketchTopK].getName,
+        "freq_sketch_topk"),
+      (exprs: Seq[Expression]) => graft.functions.FreqSketchTopK(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("freq_sketch_error"),
+      new ExpressionInfo(classOf[graft.functions.FreqSketchError].getName,
+        "freq_sketch_error"),
+      (exprs: Seq[Expression]) => graft.functions.FreqSketchError(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("freq_sketch_estimate"),
+      new ExpressionInfo(
+        classOf[graft.functions.FreqSketchEstimate].getName,
+        "freq_sketch_estimate"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.FreqSketchEstimate(exprs(0), exprs(1))))
     // TABLE-level surface: the flagship LLM-pipeline operators as
     // table-valued functions, so a SQL-first user reaches the batch ANN
     // serving shape, the dedup family, and the curation funnel without
@@ -189,6 +218,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("bm25"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "bm25"),
       (exprs: Seq[Expression]) => GraftExtensions.bm25Plan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("topk_tokens"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "topk_tokens"),
+      (exprs: Seq[Expression]) => GraftExtensions.topkTokensPlan(exprs)))
     ext.injectTableFunction((FunctionIdentifier("rrf"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "rrf"),
       (exprs: Seq[Expression]) => GraftExtensions.rrfPlan(exprs)))
@@ -804,6 +836,31 @@ object GraftExtensions {
       VectorOps.intArg("tfidf_topk", "k", exprs(1)) else 3
     require(k > 0, s"tfidf_topk k must be positive; got $k")
     TextOps.tfidfTopK(df, "doc_id", "text", k).queryExecution.analyzed
+  }
+
+  /** `topk_tokens(doc_table [, k [, max_map_size]])` — approximate
+    * top-`k` (default 20) corpus tokens via one mergeable
+    * frequent-items sketch ([[TextOps.topkTokensApprox]]):
+    *
+    * {{{
+    *   SELECT * FROM topk_tokens('documents', 50)
+    * }}}
+    *
+    * Returns `(tok, est, lower, upper)` best-first; every token whose
+    * true count exceeds the sketch's max error is guaranteed present
+    * (NO_FALSE_NEGATIVES), and `lower ≤ true ≤ upper` per row. The
+    * shuffle carries one ≤`max_map_size` sketch per partition — the
+    * 100 TB-safe shape of the exact token groupBy. */
+  private[graft] def topkTokensPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("topk_tokens(doc_table [, k [, max_map_size]])", exprs, 1, 3)
+    val df = docTable("topk_tokens", litStr("topk_tokens", "doc_table",
+      exprs(0)))
+    val k = if (exprs.length > 1)
+      VectorOps.intArg("topk_tokens", "k", exprs(1)) else 20
+    require(k > 0, s"topk_tokens k must be positive; got $k")
+    val m = if (exprs.length > 2)
+      VectorOps.intArg("topk_tokens", "max_map_size", exprs(2)) else 1024
+    TextOps.topkTokensApprox(df, "text", k, m).queryExecution.analyzed
   }
 
   /** `bm25(doc_table, terms)` — Okapi BM25 relevance of every document

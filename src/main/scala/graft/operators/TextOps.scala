@@ -206,6 +206,29 @@ object TextOps {
       .orderBy(col("bm25").desc, col("doc_id"))
   }
 
+  /** Approximate top-`k` tokens of a corpus via ONE mergeable
+    * frequent-items sketch ([[graft.functions.FreqSketch]]): each
+    * partition folds its tokens into a `maxMapSize`-bounded
+    * ItemsSketch, the partials merge associatively, and the single
+    * final sketch decodes to `(tok, est, lower, upper)` rows. The
+    * approximate twin of the exact explode/groupBy in
+    * `q_text_tokenize`: instead of shuffling every distinct token of a
+    * Zipf-skewed corpus, the exchange carries one ≤maxMapSize sketch
+    * per partition — constant bytes per partition at any corpus size.
+    * `NO_FALSE_NEGATIVES` decode: every token with true count above
+    * the sketch's max error is present. */
+  def topkTokensApprox(df: DataFrame, textCol: String, k: Int = 20,
+      maxMapSize: Int = 1024): DataFrame = {
+    graft.functions.FreqSketch.register(df.sparkSession)
+    import graft.functions.FreqSketch._
+    df.select(explode(tokens(col(textCol))).as("tok"))
+      .agg(freqSketchAgg(col("tok"), maxMapSize).as("sk"))
+      .select(explode(freqSketchTopK(col("sk"), k)).as("hit"))
+      .select(col("hit.item").as("tok"), col("hit.estimate").as("est"),
+        col("hit.lower").as("lower"), col("hit.upper").as("upper"))
+      .orderBy(col("est").desc, col("tok"))
+  }
+
   val all: Seq[Query] = Seq(
     // Token frequency: the explode/groupBy (Generator + hash agg) shape.
     // Top-100 with deterministic (n DESC, token) order.
@@ -222,6 +245,35 @@ object TextOps {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("tok"))
           .limit(100)),
+
+    // Approximate heavy hitters — the sketch twin of q_text_tokenize,
+    // in the stored-rollup shape of q_hll_merge: build one bounded
+    // ItemsSketch per (lang, source) shard, STORE those, answer the
+    // per-lang question by unioning shard sketches (never re-scanning
+    // text), decode top-10 with NO_FALSE_NEGATIVES. At 100 TB the
+    // exact twin shuffles every distinct token; this shuffles one
+    // ≤1024-entry sketch per shard. Approximate by design →
+    // FreqSketchSpec pins the no-miss + bracket guarantees vs exact
+    // counts, no SQL oracle.
+    Query(
+      "q_topk_tokens_approx",
+      None,
+      (s, d) => {
+        graft.functions.FreqSketch.register(s)
+        import graft.functions.FreqSketch._
+        val shard = Tables.documents(s, d)
+          .select(col("lang"), col("source"),
+            explode(tokens(col("text"))).as("tok"))
+          .groupBy("lang", "source")
+          .agg(freqSketchAgg(col("tok"), 1024).as("sk"))
+        shard.groupBy("lang")
+          .agg(freqUnionAgg(col("sk"), 1024).as("sk"))
+          .select(col("lang"),
+            explode(freqSketchTopK(col("sk"), 10)).as("hit"))
+          .select(col("lang"), col("hit.item").as("tok"),
+            col("hit.estimate").as("est"))
+          .orderBy(col("lang"), col("est").desc, col("tok"))
+      }),
 
     // Corpus stats per language.
     Query(
