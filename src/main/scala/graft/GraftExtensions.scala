@@ -140,6 +140,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "freq_sketch_estimate"),
       (exprs: Seq[Expression]) =>
         graft.functions.FreqSketchEstimate(exprs(0), exprs(1))))
+    // Theta sketches — distinct counts closed under set algebra
+    // (graft.functions.ThetaSketch): the audience-overlap tier HLL
+    // unions cannot answer.
+    ext.injectFunction((FunctionIdentifier("theta_sketch_agg"),
+      new ExpressionInfo(classOf[graft.functions.ThetaSketchAgg].getName,
+        "theta_sketch_agg"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ThetaSketchAgg(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("theta_union_agg"),
+      new ExpressionInfo(classOf[graft.functions.ThetaUnionAgg].getName,
+        "theta_union_agg"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ThetaUnionAgg(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[graft.functions.ThetaEstimate].getName,
+        "theta_estimate"),
+      (exprs: Seq[Expression]) => graft.functions.ThetaEstimate(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("theta_lb"),
+      new ExpressionInfo(classOf[graft.functions.ThetaBound].getName,
+        "theta_lb"),
+      (exprs: Seq[Expression]) => graft.functions.ThetaBound(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(), upper = false)))
+    ext.injectFunction((FunctionIdentifier("theta_ub"),
+      new ExpressionInfo(classOf[graft.functions.ThetaBound].getName,
+        "theta_ub"),
+      (exprs: Seq[Expression]) => graft.functions.ThetaBound(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(), upper = true)))
+    ext.injectFunction((FunctionIdentifier("theta_intersect"),
+      new ExpressionInfo(classOf[graft.functions.ThetaSetOp].getName,
+        "theta_intersect"),
+      (exprs: Seq[Expression]) => graft.functions.ThetaSetOp(exprs(0),
+        exprs(1), graft.functions.ThetaSetOp.Intersect)))
+    ext.injectFunction((FunctionIdentifier("theta_anotb"),
+      new ExpressionInfo(classOf[graft.functions.ThetaSetOp].getName,
+        "theta_anotb"),
+      (exprs: Seq[Expression]) => graft.functions.ThetaSetOp(exprs(0),
+        exprs(1), graft.functions.ThetaSetOp.ANotB)))
+    ext.injectFunction((FunctionIdentifier("theta_union_pair"),
+      new ExpressionInfo(classOf[graft.functions.ThetaSetOp].getName,
+        "theta_union_pair"),
+      (exprs: Seq[Expression]) => graft.functions.ThetaSetOp(exprs(0),
+        exprs(1), graft.functions.ThetaSetOp.UnionPair)))
     // TABLE-level surface: the flagship LLM-pipeline operators as
     // table-valued functions, so a SQL-first user reaches the batch ANN
     // serving shape, the dedup family, and the curation funnel without

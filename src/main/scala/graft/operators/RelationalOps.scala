@@ -578,6 +578,42 @@ object RelationalOps {
             .as("approx_users"))
           .orderBy("event_type")
       }),
+    // Theta-sketch set algebra — the audience-overlap question HLL
+    // cannot answer: distinct users in A∩B / A\B / A∪B per event-type
+    // pair, computed ENTIRELY on stored sketches. Build one theta
+    // sketch per (type, day) — the shard a 100 TB store would persist —
+    // union shards per type, then run set ops on the 5 tiny per-type
+    // sketches (a broadcast pair join of ≤|types|² rows, no re-scan).
+    // Theta is order-invariant (k smallest hashes of the SET) so the
+    // output is bit-stable; exact below nominal capacity. Approximate
+    // by design → ThetaSketchSpec bounds both regimes, no oracle.
+    Query(
+      "q_theta_overlap",
+      None,
+      (s, d) => {
+        graft.functions.ThetaSketch.register(s)
+        import graft.functions.ThetaSketch._
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(thetaSketchAgg(col("user_id"), 12).as("sk"))
+        val perType = daily.groupBy("event_type")
+          .agg(thetaUnionAgg(col("sk"), 12).as("sk"))
+        val a = perType.select(col("event_type").as("type_a"),
+          col("sk").as("sk_a"))
+        val b = perType.select(col("event_type").as("type_b"),
+          col("sk").as("sk_b"))
+        a.join(broadcast(b), col("type_a") < col("type_b"))
+          .select(col("type_a"), col("type_b"),
+            round(thetaEstimate(col("sk_a"))).cast("long").as("users_a"),
+            round(thetaEstimate(col("sk_b"))).cast("long").as("users_b"),
+            round(thetaEstimate(thetaIntersect(col("sk_a"), col("sk_b"))))
+              .cast("long").as("overlap"),
+            round(thetaEstimate(thetaANotB(col("sk_a"), col("sk_b"))))
+              .cast("long").as("only_a"),
+            round(thetaEstimate(thetaUnionPair(col("sk_a"), col("sk_b"))))
+              .cast("long").as("together"))
+          .orderBy("type_a", "type_b")
+      }),
     // Quantile sketch (KLL/GK-family builtin): per-group p50/p95/p99 of
     // extendedprice in ONE pass — the sketch merges associatively, so
     // the partial/final aggregation shape shuffles one small sketch per
