@@ -982,6 +982,55 @@ object RelationalOps {
           .orderBy("event_id")
       }),
 
+    // The last corners of the window-function matrix a SQL user would
+    // notice missing: cume_dist (fraction of the partition at or below
+    // this row), nth_value over the FULL frame (the 3rd-cheapest order
+    // key of the priority class), and percentile_disc — the
+    // SQL-standard discrete percentile, an actual data value, computed
+    // per group and broadcast back (≤|priorities| rows). cume_dist
+    // needs a total order tiebreak like every window here; nth_value
+    // needs the explicit unbounded frame (the default frame stops at
+    // CURRENT ROW and would return NULL for the first two rows).
+    Query(
+      "q_window_misc",
+      Some("""WITH p AS (
+                SELECT o_orderpriority,
+                       quantile_disc(CAST(o_totalprice AS DOUBLE), 0.5)
+                         AS p50_price
+                FROM orders GROUP BY 1)
+              SELECT o_orderpriority, o_orderkey,
+                     round(cume_dist() OVER
+                       (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey)
+                       * 1000000.0)/1000000.0 AS cd,
+                     nth_value(o_orderkey, 3) OVER
+                       (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS third_key,
+                     p50_price
+              FROM orders JOIN p USING (o_orderpriority)
+              ORDER BY o_orderpriority, o_orderkey"""),
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val wFull = w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        val ord = Tables.orders(s, d)
+        val p50 = ord.groupBy("o_orderpriority")
+          .agg(expr("percentile_disc(0.5) WITHIN GROUP " +
+            "(ORDER BY o_totalprice)").as("p50_price"))
+        ord
+          .join(broadcast(p50), "o_orderpriority")
+          .select(
+            col("o_orderpriority"), col("o_orderkey"),
+            (round(cume_dist().over(w) * lit(1000000.0)) /
+              lit(1000000.0)).as("cd"),
+            nth_value(col("o_orderkey"), 3).over(wFull).as("third_key"),
+            col("p50_price"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      }),
+
     // -- sort / limit / set ops --------------------------------------
     Query(
       "q_topk",
