@@ -56,9 +56,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(graft.functions.ZOrder.getClass.getName,
         "zorder_key"),
       (exprs: Seq[Expression]) => {
-        if (exprs.length != 2) throw new IllegalArgumentException(
-          s"zorder_key(x, y) — got ${exprs.length} arguments")
-        graft.functions.ZOrder.zorderKeyExpr(exprs(0), exprs(1))
+        if (exprs.length < 2 || exprs.length > 4)
+          throw new IllegalArgumentException(
+            s"zorder_key(c1, ..., cN) takes 2 to 4 columns — got " +
+              s"${exprs.length} arguments")
+        graft.functions.ZOrder.zorderKeyExpr(exprs)
       }))
     // The hyperplane-sketch family (the ANN/IVF compact-code surface);
     // int parameters are validated foldable literals (clear analysis

@@ -40,9 +40,17 @@ object Warehouse {
     * any sorted export. */
   def writeZOrdered(df: DataFrame, path: String,
       xBucket: org.apache.spark.sql.Column,
-      yBucket: org.apache.spark.sql.Column, files: Int): Unit = {
+      yBucket: org.apache.spark.sql.Column, files: Int): Unit =
+    writeZOrdered(df, path, Seq(xBucket, yBucket), files)
+
+  /** N-dimensional form (2–4 bucket expressions): the same one-range-
+    * exchange write, tiling every keyed dimension at once. Capacity
+    * per dim falls with N (2³² / 2²¹ / 2¹⁶ tiles) — see
+    * [[graft.functions.ZOrder]]. */
+  def writeZOrdered(df: DataFrame, path: String,
+      buckets: Seq[org.apache.spark.sql.Column], files: Int): Unit = {
     import org.apache.spark.sql.functions.col
-    df.withColumn("__z", graft.functions.ZOrder.zorderKey(xBucket, yBucket))
+    df.withColumn("__z", graft.functions.ZOrder.zorderKey(buckets))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

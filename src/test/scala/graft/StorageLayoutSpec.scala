@@ -128,6 +128,88 @@ class StorageLayoutSpec extends SparkSpec {
     assert(ys === ys.sorted)
   }
 
+  test("zorderKey N-dim matches the reference interleave, stays " +
+    "monotone per dim, and the SQL varargs form agrees") {
+    import spark.implicits._
+    import graft.functions.ZOrder
+    val s3 = Seq(Seq(0L, 0L, 0L), Seq(1L, 2L, 3L), Seq(5L, 3L, 7L),
+      Seq(0x1FFFFFL, 0x1FFFFFL, 0x1FFFFFL), Seq(1000L, 2000L, 4000L))
+    val got3 = s3.map(v => (v(0), v(1), v(2))).toDF("x", "y", "z")
+      .select(ZOrder.zorderKey(col("x"), col("y"), col("z")).as("k"))
+      .as[Long].collect().toSeq
+    assert(got3 === s3.map(ZOrder.interleaveRef))
+    assert(got3.forall(_ >= 0L), "in-domain 3-D keys stay non-negative")
+    val s4 = Seq(Seq(0L, 0L, 0L, 0L), Seq(1L, 2L, 3L, 4L),
+      Seq(0xFFFFL, 0xFFFFL, 0xFFFFL, 0xFFFFL), Seq(48L, 12L, 7L, 3L))
+    val got4 = s4.map(v => (v(0), v(1), v(2), v(3))).toDF("a", "b", "c", "d")
+      .select(ZOrder.zorderKey(
+        col("a"), col("b"), col("c"), col("d")).as("k"))
+      .as[Long].collect().toSeq
+    assert(got4 === s4.map(ZOrder.interleaveRef))
+    // monotone in the third dim at fixed others
+    val zs = (0L until 64L).map(z => ZOrder.interleaveRef(Seq(7L, 3L, z)))
+    assert(zs === zs.sorted)
+    // SQL varargs form produces the identical keys
+    val sqlK = s3.map(v => (v(0), v(1), v(2))).toDF("x", "y", "z")
+      .selectExpr("zorder_key(x, y, z) AS k").as[Long].collect().toSeq
+    assert(sqlK === got3)
+    // arity outside [2,4] is rejected with the rule named
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("zorder_key(id)").collect()
+    }
+    assert(e.getMessage.contains("2 to 4"))
+  }
+
+  test("3-D z-ordered layout bounds row-group min/max on BOTH " +
+    "secondary dimensions — filters on either skip against a " +
+    "price-sorted baseline") {
+    import graft.functions.ZOrder
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    withFixtureDir("graft-zorder3-") { dir =>
+      val li = graft.sources.Tables
+        .lineitem(spark, "/root/testdata/sf0.01")
+        .select("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_discount")
+      // 64 range cuts with BALANCED per-dim bit budgets (~4 bits each:
+      // 13 price buckets, 13 quantity buckets, 11 discount buckets) —
+      // the 6-bit partitioning prefix then pins the top TWO bits of
+      // every dimension, resolving each into 4 blocks (the N-th-root
+      // trade). Unbalanced budgets waste the prefix on one dim and the
+      // others stop skipping.
+      val n = 64
+      li.repartitionByRange(n, col("l_extendedprice"))
+        .sortWithinPartitions("l_extendedprice")
+        .write.parquet(s"$dir/price_sorted")
+      graft.sources.Warehouse.writeZOrdered(li, s"$dir/z3",
+        Seq(floor(col("l_extendedprice") / lit(8192.0)),
+          floor(col("l_quantity") / lit(4.0)),
+          floor(col("l_discount") * lit(100.0))),
+        files = n)
+      def qQty(path: String) = spark.read.parquet(path)
+        .filter(col("l_quantity") >= 10.0 && col("l_quantity") <= 12.0)
+      def qDisc(path: String) = spark.read.parquet(path)
+        .filter(col("l_discount") === 0.04)
+      // identical answers from both layouts on both filters
+      assert(qQty(s"$dir/z3").count() === qQty(s"$dir/price_sorted").count())
+      assert(qDisc(s"$dir/z3").count() ===
+        qDisc(s"$dir/price_sorted").count())
+      // and the z-tiles skip on EACH secondary dim where the
+      // single-sorted layout scans everything
+      val (aQty, zQty) = (scanRows(qQty(s"$dir/price_sorted")),
+        scanRows(qQty(s"$dir/z3")))
+      val (aDisc, zDisc) = (scanRows(qDisc(s"$dir/price_sorted")),
+        scanRows(qDisc(s"$dir/z3")))
+      assert(zQty < aQty / 2,
+        s"3-D z-order must skip on quantity: z=$zQty vs sorted=$aQty")
+      assert(zDisc < aDisc / 2,
+        s"3-D z-order must skip on discount: z=$zDisc vs sorted=$aDisc")
+    }
+  }
+
   test("z-ordered layout skips row groups on BOTH dimensions — a " +
     "second-dim filter reads a fraction of what a single-sorted " +
     "layout scans") {
