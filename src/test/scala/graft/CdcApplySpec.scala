@@ -62,6 +62,84 @@ class CdcApplySpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${base}_g${3}")
   }
 
+  test("streaming SCD-2: any batch-split of a change set builds " +
+    "EXACTLY the history batch scd2Build derives, and a restart " +
+    "resumes from the surviving generation") {
+    import graft.streaming.Scd2Apply
+    val base = s"scd2_hist_${System.nanoTime()}"
+    // the q_scd2 change set: priority changes per customer over order
+    // dates, orderkey as the in-day tiebreak
+    val changes = graft.sources.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderpriority"),
+        col("o_orderdate"), col("o_orderkey"))
+    // canonicalize the interval timestamps to strings: the saved
+    // generation reads back as TIMESTAMP while Tables.orders carries
+    // parquet NTZ (LocalDateTime) — same wall-clock under the pinned
+    // UTC session, different JVM classes
+    def canon(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select(col("o_custkey"), col("o_orderpriority"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss").as("vf"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss").as("vt"),
+        col("src_key"), col("is_current"))
+        .collect().map(_.toSeq).toSet
+    val expected = canon(graft.operators.RelationalOps
+      .scd2Build(changes, "o_custkey", "o_orderpriority",
+        "o_orderdate", "o_orderkey"))
+    // split into 4 batches along the global (ts, tie) order — a
+    // contiguous prefix split, so per-key event-time order holds
+    // across batches (the documented in-order CDC contract)
+    import org.apache.spark.sql.expressions.Window
+    val ranked = changes.withColumn("__rn", row_number().over(
+      Window.orderBy(col("o_orderdate"), col("o_orderkey"))))
+    val n = changes.count()
+    val cuts = Seq(0L, n / 4, n / 2, 3 * n / 4, n)
+    val apply = Scd2Apply(base, "o_custkey", "o_orderpriority",
+      "o_orderdate", "o_orderkey")
+    try {
+      cuts.sliding(2).foreach { case Seq(lo, hi) =>
+        apply.processBatch(
+          ranked.filter(col("__rn") > lo && col("__rn") <= hi)
+            .drop("__rn"))
+      }
+      val got = canon(apply.current(spark).get)
+      assert(got === expected,
+        s"stream-built history diverged: ${got.size} vs " +
+          s"${expected.size} rows; e.g. ${(got -- expected).take(3)} / " +
+          s"${(expected -- got).take(3)}")
+      // restart: resume sees the same history and keeps folding — a
+      // later change closes the open interval it supersedes
+      val resumed = Scd2Apply.resume(spark, base, "o_custkey",
+        "o_orderpriority", "o_orderdate", "o_orderkey")
+      assert(canon(resumed.current(spark).get) === expected)
+      import spark.implicits._
+      val k = expected.head.head.asInstanceOf[Long]
+      val openBefore = apply.current(spark).get
+        .filter(col("o_custkey") === k && col("is_current"))
+        .collect().head
+      resumed.processBatch(
+        Seq((k, "9-SYNTH", java.sql.Timestamp.valueOf("2099-01-01 00:00:00"),
+          999999999L))
+          .toDF("o_custkey", "o_orderpriority", "o_orderdate",
+            "o_orderkey"))
+      val hist = resumed.current(spark).get
+        .filter(col("o_custkey") === k).collect()
+      val nowOpen = hist.filter(_.getBoolean(5))
+      assert(nowOpen.length === 1 && nowOpen.head.getString(1) === "9-SYNTH")
+      val closed = hist.filter(r =>
+        r.getLong(4) === openBefore.getLong(4))
+      assert(closed.head.get(3) != null,
+        "the superseded open interval must close at the new valid_from")
+      // untouched keys carried through bit-for-bit
+      assert(canon(resumed.current(spark).get
+        .filter(col("o_custkey") =!= k))
+        === expected.filter(_.head.asInstanceOf[Long] != k))
+    } finally {
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith(s"${base}_g"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("each apply reads its base pre-shuffled: the merge join plans " +
     "with an exchange ONLY on the change-set side") {
     import spark.implicits._
