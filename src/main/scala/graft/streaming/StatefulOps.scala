@@ -14,6 +14,17 @@ final case class RunState(seq: Long, runMax: Double)
 final case class RunOut(user_id: Long, event_id: Long, seq: Long,
     run_max: Double)
 
+/** Per-key session aggregate carried across micro-batches (timerMs =
+  * the single live event-time timer armed for this key; 0 = none). */
+final case class SessionAgg(startMs: Long, lastMs: Long, n: Long,
+    sum: Double, timerMs: Long)
+
+/** One closed session: emitted on gap-out (a later event arrived past
+  * the gap) or on event-time timer expiry (watermark passed
+  * `lastMs + gap` with no successor). */
+final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+    n_events: Long, sum_value: Double)
+
 /** Custom-state operators over `KeyValueGroupedDataset` — the
   * `mapGroupsWithState`/`flatMapGroupsWithState` surface the north star
   * names for state Spark's built-in operators can't express. The demo
@@ -125,6 +136,126 @@ object StatefulOps {
     ev.groupByKey(_.user_id)
       .transformWithState(new RunningStatsProcessor(ttl), mode,
         OutputMode.Append())
+  }
+
+  /** Event-time session gap-out via `transformWithState` TIMERS — the
+    * remaining arbitrary-state surface Spark 4 offers beyond state
+    * variables: a session aggregate per user closes either when a
+    * LATER event of the same user arrives past the gap (in-stream
+    * detection) or, crucially, when the EVENT-TIME WATERMARK passes
+    * `last_event + gap` with no successor — the timer path, which is
+    * the only way an idle key's final session ever emits. One
+    * ValueState + one armed timer per key; each new batch of a key
+    * re-arms its timer (delete + register), so exactly one timer per
+    * key is live and timer state stays O(keys). */
+  final class SessionizeProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, SessionOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode,
+      TTLConfig, TimerValues, ExpiredTimerInfo}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[SessionAgg] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionAgg]("session",
+        Encoders.product[SessionAgg], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val evs = rows.toSeq.sortBy(eventOrder)
+      var closed = List.empty[SessionOut]
+      var st: SessionAgg =
+        if (state.exists()) state.get() else null
+      evs.foreach { e =>
+        val t = e.ts.getTime
+        if (st == null)
+          st = SessionAgg(t, t, 1L, e.value, 0L)
+        else if (t - st.lastMs > gapMs) {
+          closed ::= SessionOut(key, st.startMs, st.lastMs, st.n, st.sum)
+          st = SessionAgg(t, t, 1L, e.value, 0L)
+        } else
+          st = st.copy(lastMs = math.max(st.lastMs, t), n = st.n + 1L,
+            sum = st.sum + e.value)
+      }
+      // re-arm: at most one live timer per key
+      if (st.timerMs > 0L) getHandle.deleteTimer(st.timerMs)
+      val timerMs = st.lastMs + gapMs
+      getHandle.registerTimer(timerMs)
+      state.update(st.copy(timerMs = timerMs))
+      closed.reverse.iterator
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (state.exists()) {
+        val st = state.get()
+        // a stale timer (superseded by a re-arm) must not close the
+        // successor session
+        if (st.timerMs == expired.getExpiryTimeInMs) {
+          state.clear()
+          return Iterator(
+            SessionOut(key, st.startMs, st.lastMs, st.n, st.sum))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** [[SessionizeProcessor]] wired to event time: watermark on `ts`
+    * (the timer clock), `TimeMode.EventTime`. Emits one row per CLOSED
+    * session — gap-superseded in-stream or timed out at the
+    * watermark. */
+  def sessionizeTws(ev: Dataset[UserEvent], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val keyEnc = Encoders.scalaLong
+    ev.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** The same session gap-out on `flatMapGroupsWithState` with
+    * `GroupStateTimeout.EventTimeTimeout` — the event-time-timer
+    * surface that runs under BOTH state-store providers
+    * (`transformWithState` requires RocksDB's column families;
+    * StateStoreSpec pins that fail-fast). Semantics identical to
+    * [[sessionizeTws]]: close on in-stream gap-out or when the
+    * watermark passes `last + gap` (the timeout callback). */
+  def sessionizeStream(ev: Dataset[UserEvent], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val stateEnc = Encoders.product[SessionAgg]
+    implicit val keyEnc = Encoders.scalaLong
+    ev.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[UserEvent], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(SessionOut(key, st.startMs, st.lastMs, st.n, st.sum))
+          } else {
+            val evs = it.toSeq.sortBy(eventOrder)
+            var closed = List.empty[SessionOut]
+            var st: SessionAgg =
+              state.getOption.orNull
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              if (st == null)
+                st = SessionAgg(t, t, 1L, e.value, 0L)
+              else if (t - st.lastMs > gapMs) {
+                closed ::= SessionOut(key, st.startMs, st.lastMs,
+                  st.n, st.sum)
+                st = SessionAgg(t, t, 1L, e.value, 0L)
+              } else
+                st = st.copy(lastMs = math.max(st.lastMs, t),
+                  n = st.n + 1L, sum = st.sum + e.value)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastMs + gapMs)
+            closed.reverse.iterator
+          }
+      }
   }
 
   /** Streaming form: the same state machine as `runningStats`, carried

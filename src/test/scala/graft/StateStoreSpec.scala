@@ -236,6 +236,91 @@ class StateStoreSpec extends SparkSpec {
     assert(out === expected, "transformWithState diverges from batch form")
   }
 
+  test("transformWithState EVENT-TIME TIMERS: sessions close by " +
+      "in-stream gap-out AND by watermark timer for idle keys, " +
+      "identically under both providers") {
+    val gap = 5 * 60000L
+    val expectedClosed = Set(
+      // user 1 session A: closed IN-STREAM by its own later event
+      // arriving past the gap
+      (1L, ts(1).getTime, ts(2).getTime, 2L, 5.0),
+      // user 2: single event, no successor — only the TIMER can close
+      // it (watermark passes 1min + gap once later data arrives)
+      (2L, ts(1).getTime, ts(1).getTime, 1L, 1.0),
+      // user 1 session B: closed by its re-armed timer
+      (1L, ts(30).getTime, ts(30).getTime, 1L, 4.0),
+      // user 3: closed by timer once the watermark reaches 45min
+      (3L, ts(40).getTime, ts(40).getTime, 1L, 9.0))
+    // the both-provider surface is fMGWS + EventTimeTimeout; the TWS
+    // timer runs where Spark supports it (RocksDB — see the fail-fast
+    // case below)
+    val runs: Seq[(String, SparkSession,
+        org.apache.spark.sql.Dataset[UserEvent] =>
+          org.apache.spark.sql.Dataset[SessionOut])] =
+      sessions().map { case (label, s) =>
+        (s"fMGWS-$label", s,
+          (ds: org.apache.spark.sql.Dataset[UserEvent]) =>
+            StatefulOps.sessionizeStream(ds, gapMs = gap))
+      } :+ (("TWS-RocksDB", StateStores.rocksDBSession(spark),
+        (ds: org.apache.spark.sql.Dataset[UserEvent]) =>
+          StatefulOps.sessionizeTws(ds, gapMs = gap)))
+    val results = runs.map { case (label, s, mk) =>
+      import s.implicits._
+      val in = MemoryStream[UserEvent](s)
+      val name = s"ss_timer_${label.replace("-", "_")}_${System.nanoTime()}"
+      val q = mk(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tmpCkpt()).start()
+      // batch 1: user 1 opens a session (1, 2 min); user 2 one event
+      in.addData(UserEvent(1L, 10L, ts(1), 2.0),
+        UserEvent(1L, 11L, ts(2), 3.0), UserEvent(2L, 20L, ts(1), 1.0))
+      q.processAllAvailable()
+      // batch 2: user 1 jumps past the gap — session A closes
+      // in-stream, session B opens, timer re-arms to 35 min
+      in.addData(UserEvent(1L, 12L, ts(30), 4.0))
+      q.processAllAvailable()
+      // batch 3: unrelated key advances the watermark to 40 min —
+      // user 2's timer (6 min) fires
+      in.addData(UserEvent(3L, 30L, ts(40), 9.0))
+      q.processAllAvailable()
+      // batch 4: watermark to 60 min — user 1's re-armed timer
+      // (35 min) and user 3's (45 min) fire; user 4 stays OPEN
+      in.addData(UserEvent(4L, 40L, ts(60), 8.0))
+      q.processAllAvailable()
+      val out = s.table(name).as[SessionOut].collect()
+        .map(o => (o.user_id, o.start_ms, o.end_ms, o.n_events,
+          o.sum_value)).toSet
+      if (label.endsWith("RocksDB")) assertEngaged("RocksDB", q)
+      q.stop()
+      assert(out === expectedClosed, s"[$label] closed sessions")
+      label -> out
+    }
+    assert(results.map(_._2).distinct.size === 1,
+      "providers and operators must agree bit-for-bit")
+  }
+
+  test("transformWithState on the HDFSBacked provider fails FAST with " +
+      "the multiple-column-families error — the documented reason the " +
+      "TWS timer surface is RocksDB-only") {
+    val s = StateStores.sessionWithProvider(spark,
+      StateStores.DefaultProvider)
+    import s.implicits._
+    val in = MemoryStream[UserEvent](s)
+    val q = StatefulOps.sessionizeTws(in.toDS(), gapMs = 60000L)
+      .writeStream.format("memory")
+      .queryName(s"ss_timer_ff_${System.nanoTime()}")
+      .outputMode("append").option("checkpointLocation", tmpCkpt())
+      .start()
+    in.addData(UserEvent(1L, 1L, ts(1), 1.0))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(e.getMessage.contains("STATE_STORE_MULTIPLE_COLUMN_FAMILIES"),
+      e.getMessage.take(300))
+    q.stop()
+  }
+
   test("checkpoint restart: a NEW query resumes per-key state from the " +
       "same checkpoint under both providers (RocksDB via changelog)") {
     // In-flight state coverage exists (state across micro-batches in a
