@@ -184,6 +184,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "theta_union_pair"),
       (exprs: Seq[Expression]) => graft.functions.ThetaSetOp(exprs(0),
         exprs(1), graft.functions.ThetaSetOp.UnionPair)))
+    // KLL quantile sketches — the mergeable quantile tier
+    // (graft.functions.Kll): store per-shard sketches, answer any
+    // coarser quantile rollup by merging, never re-scan raw values.
+    ext.injectFunction((FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[graft.functions.KllSketchAgg].getName,
+        "kll_sketch_agg"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.KllSketchAgg(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("kll_union_agg"),
+      new ExpressionInfo(classOf[graft.functions.KllUnionAgg].getName,
+        "kll_union_agg"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.KllUnionAgg(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[graft.functions.KllQuantile].getName,
+        "kll_quantile"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.KllQuantile(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("kll_rank"),
+      new ExpressionInfo(classOf[graft.functions.KllRank].getName,
+        "kll_rank"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.KllRank(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("kll_n"),
+      new ExpressionInfo(classOf[graft.functions.KllN].getName, "kll_n"),
+      (exprs: Seq[Expression]) => graft.functions.KllN(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("kll_error"),
+      new ExpressionInfo(classOf[graft.functions.KllError].getName,
+        "kll_error"),
+      (exprs: Seq[Expression]) => graft.functions.KllError(exprs(0))))
     // TABLE-level surface: the flagship LLM-pipeline operators as
     // table-valued functions, so a SQL-first user reaches the batch ANN
     // serving shape, the dedup family, and the curation funnel without

@@ -614,6 +614,37 @@ object RelationalOps {
               .cast("long").as("together"))
           .orderBy("type_a", "type_b")
       }),
+    // MERGEABLE KLL quantile sketches — what q_approx_quantile's
+    // percentile_approx cannot do: consume STORED sketches. Build one
+    // small sketch per (returnflag, ship-month) shard — the unit a
+    // 100 TB store would persist — then answer the per-flag rollup by
+    // merging the ~84 shard sketches, never re-scanning the values.
+    // Same stored-rollup shape as q_hll_merge/q_theta_overlap;
+    // completes the sketch family on the quantile axis. KLL compaction
+    // is randomized, so estimates are rank-error-bounded, not
+    // hash-stable → no oracle; KllSketchSpec pins exact-n merge
+    // integrity, the rank-error guarantee vs exact percentiles, and
+    // merge-vs-one-shot agreement.
+    Query(
+      "q_kll_merge",
+      None,
+      (s, d) => {
+        graft.functions.Kll.register(s)
+        import graft.functions.Kll._
+        val shards = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"),
+            date_trunc("month", col("l_shipdate")).as("ship_month"))
+          .agg(kllSketchAgg(col("l_extendedprice"), 400).as("sk"))
+        shards.groupBy("l_returnflag")
+          .agg(kllUnionAgg(col("sk"), 400).as("sk"))
+          .select(col("l_returnflag"),
+            kllN(col("sk")).as("n_exact"),
+            round(kllQuantile(col("sk"), lit(0.5)), 2).as("p50"),
+            round(kllQuantile(col("sk"), lit(0.95)), 2).as("p95"),
+            round(kllQuantile(col("sk"), lit(0.99)), 2).as("p99"),
+            round(kllError(col("sk")), 6).as("rank_err"))
+          .orderBy("l_returnflag")
+      }),
     // Quantile sketch (KLL/GK-family builtin): per-group p50/p95/p99 of
     // extendedprice in ONE pass — the sketch merges associatively, so
     // the partial/final aggregation shape shuffles one small sketch per
