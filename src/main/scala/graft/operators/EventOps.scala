@@ -194,6 +194,44 @@ object EventOps {
       .orderBy(groupCol)
   }
 
+  /** Time-series resampling with gap fill: bucket `tsCol` to a fixed
+    * `step` grid per group, materialize EVERY grid point between each
+    * group's first and last observation (missing buckets appear with
+    * n=0 and is_gap=true), and forward-fill the per-bucket mean from
+    * the last observed bucket — the regularization step between raw
+    * event feeds and anything that assumes an evenly spaced series
+    * (drift monitors, forecasting, joins on aligned clocks).
+    *
+    * Scale: the dense grid is |groups| × |buckets| rows — generated
+    * distributed (per-group `sequence` + explode, never a driver
+    * loop) and tiny relative to the raw events it summarizes. The
+    * forward fill is one running `last(ignoreNulls)` window
+    * PARTITIONED by group (linear, no global window). Bucket means
+    * fold in DECIMAL so partial-aggregation order can't perturb the
+    * fill values. */
+  def resample(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, step: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucketed = df
+      .groupBy(col(groupCol), window(col(tsCol), step)("start").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col(valueCol).cast(DecimalType(18, 2))).cast("double") /
+          count(lit(1))).as("v"))
+    val spine = bucketed.groupBy(groupCol)
+      .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(col(groupCol),
+        explode(sequence(col("b0"), col("b1"),
+          expr(s"INTERVAL $step"))).as("bucket"))
+    val w = Window.partitionBy(groupCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(bucketed, Seq(groupCol, "bucket"), "left")
+      .select(col(groupCol), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("n").isNull.as("is_gap"),
+        r6(last(col("v"), ignoreNulls = true).over(w)).as("v_fill"))
+      .orderBy(groupCol, "bucket")
+  }
+
   val all: Seq[Query] = Seq(
     Query(
       "q_anomaly",
@@ -311,6 +349,39 @@ object EventOps {
           Tables.events(s, d).withColumn("period",
             when(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"),
               0).otherwise(1)),
-          "event_type", "value", "period", 50.0))
+          "event_type", "value", "period", 50.0)),
+    // Gap-filled hourly resample per event type: every hour between a
+    // type's first and last event, observed hours carrying their
+    // DECIMAL-exact mean, missing hours flagged and forward-filled.
+    // time_bucket ≡ window().start for hour-divisible steps (the
+    // q_window_tumbling pin); generate_series and sequence() are both
+    // end-inclusive.
+    Query(
+      "q_resample",
+      Some("""WITH hourly AS (
+                SELECT event_type,
+                       time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+                       count(*) AS n,
+                       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                         / count(*) AS v
+                FROM events GROUP BY 1, 2),
+              spine AS (
+                SELECT event_type,
+                       unnest(generate_series(min(bucket), max(bucket),
+                         INTERVAL 1 HOUR)) AS bucket
+                FROM hourly GROUP BY event_type)
+              SELECT s.event_type, s.bucket,
+                     COALESCE(h.n, 0) AS n,
+                     h.n IS NULL AS is_gap,
+                     round(last_value(h.v IGNORE NULLS) OVER (
+                         PARTITION BY s.event_type ORDER BY s.bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) * 1000000.0) / 1000000.0
+                       AS v_fill
+              FROM spine s LEFT JOIN hourly h
+                ON s.event_type = h.event_type AND s.bucket = h.bucket
+              ORDER BY s.event_type, s.bucket"""),
+      (s, d) => resample(Tables.events(s, d),
+        "event_type", "ts", "value", "1 hour"))
   )
 }

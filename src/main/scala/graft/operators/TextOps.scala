@@ -4,6 +4,7 @@ import graft.Query
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Tier D (text) — the text-analysis operators a training-data pipeline
   * needs (BASELINE.json north_star): tokenization, corpus stats,
@@ -217,6 +218,45 @@ object TextOps {
     * per partition — constant bytes per partition at any corpus size.
     * `NO_FALSE_NEGATIVES` decode: every token with true count above
     * the sketch's max error is present. */
+  /** Unigram language-model scoring: fit a unigram LM on the corpus
+    * itself (token counts over a bounded top-`vocabSize` vocabulary,
+    * out-of-vocabulary tokens at the 1/total floor), then score every
+    * document by its per-token cross-entropy `xent = −Σ ln p(tok) / n`
+    * and perplexity `exp(xent)` — the classic model-based quality
+    * signal next to the heuristic [[withQuality]] ratios: gibberish
+    * and boilerplate-free prose separate on perplexity long before a
+    * real LM enters the pipeline.
+    *
+    * Scale shape: one explode over the corpus (linear), ONE shuffle
+    * for the token counts, and a bounded top-V vocabulary (distributed
+    * partial TakeOrdered, ≤`vocabSize` rows) that BROADCASTS to the
+    * scoring join — the full Zipf-tailed token table never shuffles
+    * against the corpus. Per-doc sums are map-side-combined; each
+    * −ln p term rounds into DECIMAL(38,12) before summing (the drift
+    * stance) so partial-aggregation order and last-ulp libm divergence
+    * cannot perturb the 6-dp result. */
+  def unigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 32768): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (-log(coalesce(col("cnt").cast("double"), lit(1.0)) / col("total")))
+          .cast(DecimalType(38, 12)).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        (round(sum(col("nll")).cast("double") / count(lit(1))
+          * lit(1000000.0)) / lit(1000000.0)).as("xent"))
+      .withColumn("ppl",
+        round(exp(col("xent")) * lit(1000000.0)) / lit(1000000.0))
+      .orderBy("doc_id")
+  }
+
   def topkTokensApprox(df: DataFrame, textCol: String, k: Int = 20,
       maxMapSize: Int = 1024): DataFrame = {
     graft.functions.FreqSketch.register(df.sparkSession)
@@ -468,6 +508,36 @@ object TextOps {
       (s, d) =>
         withFingerprint(Tables.documents(s, d), "text")
           .select("doc_id", "fp")
-          .orderBy("doc_id"))
+          .orderBy("doc_id")),
+
+    // Unigram-LM perplexity — the model-based quality score next to
+    // q_text_quality's heuristics. Self-fit on the corpus (top-32768
+    // vocab, OOV at the 1/total floor); per-token −ln p terms round
+    // into DECIMAL(38,12) before the per-doc sum (the q_drift stance:
+    // order-independent AND immune to last-ulp ln() divergence between
+    // engines), so even a log-bearing model score is hash-green.
+    Query(
+      "q_perplexity",
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+              total AS (SELECT count(*) AS total FROM toks),
+              vocab AS (SELECT tok, cnt FROM counts
+                        ORDER BY cnt DESC, tok LIMIT 32768),
+              scored AS (
+                SELECT t.doc_id,
+                       CAST(-ln(COALESCE(CAST(v.cnt AS DOUBLE), 1.0)
+                           / total.total) AS DECIMAL(38,12)) AS nll
+                FROM toks t LEFT JOIN vocab v USING (tok) CROSS JOIN total),
+              agg AS (
+                SELECT doc_id, count(*) AS n_tok,
+                       round(CAST(sum(nll) AS DOUBLE) / count(*)
+                         * 1000000.0) / 1000000.0 AS xent
+                FROM scored GROUP BY doc_id)
+              SELECT doc_id, n_tok, xent,
+                     round(exp(xent) * 1000000.0) / 1000000.0 AS ppl
+              FROM agg ORDER BY doc_id"""),
+      (s, d) => unigramPerplexity(Tables.documents(s, d), "doc_id", "text"))
   )
 }

@@ -328,4 +328,63 @@ class EventOpsSpec extends SparkSpec {
       assert(seq.init.forall(!_._5), s"key $k: only the last is current")
     }
   }
+
+  // ---- q_resample ----
+
+  test("resample: each group's grid is contiguous hourly from first " +
+    "to last observation; observed buckets carry exact counts; gaps " +
+    "have n=0 and forward-fill the last observed mean") {
+    val rows = run("q_resample").collect().map(r =>
+      (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getBoolean(3), Option(r.get(4)).map(_.asInstanceOf[Double])))
+    assert(rows.nonEmpty)
+    val hourMs = 3600 * 1000L
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val seq = vs.sortBy(_._2)
+      seq.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 - a._2 === hourMs, s"$g: grid not contiguous")
+        case _ => ()
+      }
+      assert(!seq.head._4 && !seq.last._4,
+        s"$g: endpoints must be observed buckets")
+      // forward fill: a gap row's v_fill equals the previous row's
+      seq.sliding(2).foreach {
+        case Array(a, b) if b._4 => assert(b._5 === a._5, s"$g fill")
+        case _ => ()
+      }
+      seq.foreach { v => assert(v._4 === (v._3 == 0L), s"$g gap flag") }
+    }
+    // observed buckets reconcile with an independent recount
+    val expected = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("h"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getLong(2))
+      .toMap
+    val observed = rows.filter(!_._4)
+      .map(v => (v._1, v._2) -> v._3).toMap
+    assert(observed === expected)
+  }
+
+  test("resample: synthetic gaps fill with the last mean and flag " +
+    "every missing grid point") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "2024-01-01 00:10:00", 10.0),
+      ("a", "2024-01-01 00:40:00", 20.0), // hour 0 mean 15.0
+      ("a", "2024-01-01 03:05:00", 40.0), // hours 1,2 are gaps
+      ("b", "2024-01-01 05:00:00", 7.0)
+    ).toDF("g", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = graft.operators.EventOps.resample(df, "g", "ts", "v")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString,
+        r.getLong(2), r.getBoolean(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      ("a", "2024-01-01 00:00:00.0", 2L, false, 15.0),
+      ("a", "2024-01-01 01:00:00.0", 0L, true, 15.0),
+      ("a", "2024-01-01 02:00:00.0", 0L, true, 15.0),
+      ("a", "2024-01-01 03:00:00.0", 1L, false, 40.0),
+      ("b", "2024-01-01 05:00:00.0", 1L, false, 7.0)))
+  }
 }
