@@ -11,9 +11,11 @@ import org.apache.spark.sql.SparkSession
   * through the session cache manager (later logically-identical scans
   * serve from the InMemoryRelation — sameResult matching — so timed runs
   * measure operator cost, not repeated single-file parquet I/O); (b) each
-  * query runs three times and the reported number is the per-query
-  * MEDIAN, so one GC pause or co-tenant burst cannot push the round over
-  * the acceptance gate; (c) first-run times and per-query errors are
+  * query runs five times in interleaved whole-set rounds and the
+  * reported number is the per-query MEDIAN-OF-5 (r11 verdict item 7:
+  * several r11 medians sat next to one burst sample — with five rounds
+  * minutes apart, at least three must be bursts before a burst can be
+  * the median); (c) first-run times and per-query errors are
   * reported alongside (`cold`, `errors`) — a failed query shows up as
   * value -1 plus an error entry, never as a silently fast pass.
   *
@@ -28,7 +30,7 @@ import org.apache.spark.sql.SparkSession
   * incomparable totals.
   */
 object Bench {
-  private val RUNS = 3
+  private val RUNS = 5
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -68,8 +70,8 @@ object Bench {
     // three back-to-back runs per query): the co-tenant bursts observed
     // on this machine last tens of seconds, so consecutive repeats of
     // one query all land inside the same burst and a per-query median
-    // filters nothing. With whole-set rounds, a query's three samples
-    // are minutes apart and the median drops any single burst.
+    // filters nothing. With whole-set rounds, a query's five samples
+    // are minutes apart and the median drops up to two bursts.
     final case class R(cold: Double, median: Double, err: Option[String])
     val names = SparkEntry.queries.keys.toSeq
     // Per-round outcome per query, in round order: Some(seconds) on
