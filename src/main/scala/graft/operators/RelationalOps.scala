@@ -130,6 +130,58 @@ object RelationalOps {
       .orderBy(col(keyCol), col("valid_from"), col("src_key"))
   }
 
+  /** Point-in-time (temporal) lookup against an SCD-2 history: for
+    * each fact row, the dimension version whose
+    * `[valid_from, valid_to)` interval contains the fact's timestamp
+    * — THE consumption pattern for [[scd2Build]]'s output ("which
+    * priority did this customer have when this item shipped?"), where
+    * a plain key join would smear every historical version across the
+    * facts. Left join: facts predating the first version keep NULL
+    * dimension columns. Half-open intervals make the match unique by
+    * construction (a same-day change closes the old version at its
+    * own start — zero-length, matches nothing).
+    *
+    * Scale: an equi-join on the dimension key with the interval test
+    * as residual — shuffles once on the key like any fact-dim join
+    * (AQE skew-splits a hot key); per-key version chains are short,
+    * so the residual scans a handful of rows per fact. No windows, no
+    * fact-side state. */
+  def scd2Lookup(facts: DataFrame, history: DataFrame, factKeyCol: String,
+      factTsCol: String, dimKeyCol: String): DataFrame = {
+    val f = facts.alias("f")
+    val h = history.alias("h")
+    f.join(h,
+      col(s"f.$factKeyCol") === col(s"h.$dimKeyCol") &&
+        col(s"f.$factTsCol") >= col("h.valid_from") &&
+        (col("h.valid_to").isNull ||
+          col(s"f.$factTsCol") < col("h.valid_to")),
+      "left")
+  }
+
+  /** Order-independent content checksum per group: each row folds to a
+    * 60-bit integer (the first 15 hex digits of the md5 of its
+    * '|'-joined column renderings) and the group checksum is the
+    * DECIMAL(38,0)-exact SUM of those — commutative, so partitioning
+    * and shuffle order cannot perturb it, and any single-row
+    * difference flips it with probability 1 − 2⁻⁶⁰. The
+    * anti-entropy primitive for 100 TB replication: two clusters
+    * compare |groups| checksum rows instead of moving data, and a
+    * mismatched group pinpoints where to re-sync. Doubles must be
+    * rendered through DECIMAL casts by the caller (raw double→string
+    * formatting is engine-specific); NULLs render as '' via coalesce
+    * — callers needing NULL-vs-'' distinction add a sentinel. */
+  def tableChecksum(df: DataFrame, cols: Seq[Column],
+      groupCols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableChecksum needs at least one column")
+    val rowHash = conv(
+      substring(md5(concat_ws("|",
+        cols.map(c => coalesce(c.cast("string"), lit(""))): _*)), 1, 15),
+      16, 10).cast(DecimalType(38, 0))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"), sum(rowHash).as("checksum"))
+      .orderBy(groupCols.map(col): _*)
+  }
+
   /** Per-column profile of `cols` (numeric): value/null/distinct
     * counts, min/max, and DECIMAL-exact mean/stddev — one row per
     * column, TWO passes of the table (a single narrow stats `agg`
@@ -866,6 +918,90 @@ object RelationalOps {
             col("o_orderpriority").as("priority"),
             col("o_orderdate"), col("o_orderkey")),
           "custkey", "priority", "o_orderdate", "o_orderkey")),
+    // Point-in-time lookup against that history: every lineitem
+    // shipped joins the priority version valid AT ITS SHIP DATE (not
+    // today's) — facts shipped before the customer's first version
+    // keep NULL → 'NONE'. The compact per-priority rollup keeps the
+    // gate output small while any interval-matching error (overlap,
+    // gap, off-by-one at a boundary) shifts rows between buckets and
+    // breaks the hash.
+    Query(
+      "q_scd2_lookup",
+      Some("""WITH c AS (
+                SELECT o_custkey, o_orderkey, o_orderdate,
+                       o_orderpriority,
+                       lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS prev
+                FROM orders),
+              v AS (
+                SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+                FROM c WHERE prev IS NULL OR prev <> o_orderpriority),
+              h AS (
+                SELECT o_custkey AS custkey,
+                       o_orderpriority AS priority,
+                       o_orderdate AS valid_from,
+                       lead(o_orderdate) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS valid_to
+                FROM v),
+              f AS (
+                SELECT o.o_custkey AS fact_key, l.l_shipdate,
+                       l.l_extendedprice
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey)
+              SELECT coalesce(h.priority, 'NONE') AS priority_at_ship,
+                     count(*) AS n,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS revenue
+              FROM f LEFT JOIN h
+                ON f.fact_key = h.custkey
+               AND f.l_shipdate >= h.valid_from
+               AND (h.valid_to IS NULL OR f.l_shipdate < h.valid_to)
+              GROUP BY 1 ORDER BY 1"""),
+      (s, d) => {
+        val hist = scd2Build(
+          Tables.orders(s, d).select(
+            col("o_custkey").as("custkey"),
+            col("o_orderpriority").as("priority"),
+            col("o_orderdate"), col("o_orderkey")),
+          "custkey", "priority", "o_orderdate", "o_orderkey")
+        val facts = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("fact_key"),
+            col("l_shipdate"), col("l_extendedprice"))
+        scd2Lookup(facts, hist, "fact_key", "l_shipdate", "custkey")
+          .groupBy(coalesce(col("priority"), lit("NONE"))
+            .as("priority_at_ship"))
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("priority_at_ship")
+      }),
+    // Order-independent per-group content checksums — the anti-entropy
+    // primitive: two replicas compare |groups| (n_rows, checksum) rows
+    // instead of shipping 100 TB. 60-bit md5-prefix row hashes SUM in
+    // DECIMAL(38,0) (commutative — partitioning cannot perturb it);
+    // money renders through DECIMAL(18,2) because raw double→string
+    // formatting is engine-specific.
+    Query(
+      "q_table_checksum",
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(sum(CAST('0x' || substr(md5(concat_ws('|',
+                         CAST(l_orderkey AS VARCHAR),
+                         CAST(l_linenumber AS VARCHAR),
+                         CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR),
+                         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           AS VARCHAR),
+                         CAST(l_shipdate AS VARCHAR))), 1, 15) AS BIGINT))
+                       AS DECIMAL(38,0)) AS checksum
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, d) =>
+        tableChecksum(
+          Tables.lineitem(s, d),
+          Seq(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast(DecimalType(18, 2)),
+            col("l_extendedprice").cast(DecimalType(18, 2)),
+            col("l_shipdate")),
+          Seq("l_returnflag"))),
     Query(
       "q_rollup",
       Some("""SELECT CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS BIGINT) AS gid,

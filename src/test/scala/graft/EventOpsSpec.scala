@@ -329,6 +329,71 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q_scd2_lookup ----
+
+  test("scd2_lookup: every fact matches exactly one version or NONE, " +
+    "and a brute-force interval scan agrees on every customer") {
+    val buckets = run("q_scd2_lookup").collect()
+    val nFacts = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    assert(buckets.map(_.getLong(1)).sum === nFacts,
+      "bucket counts must partition the fact table")
+    // brute force: collect the history and replay the interval match
+    // (temporal columns surface as Date or LocalDateTime depending on
+    // the parquet layout — normalize to epoch millis)
+    def ms(v: Any): Long = v match {
+      case d: java.sql.Date => d.getTime
+      case t: java.sql.Timestamp => t.getTime
+      case l: java.time.LocalDateTime =>
+        l.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      case other => fail(s"unexpected temporal $other")
+    }
+    val hist = run("q_scd2").collect().map(r => (r.getLong(0),
+      r.getString(1), ms(r.get(2)),
+      Option(r.get(3)).map(ms))).groupBy(_._1)
+    val facts = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .join(spark.read.parquet(s"$sfDir/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), ms(r.get(1))))
+    val expected = facts.groupBy { case (ck, ship) =>
+      hist.getOrElse(ck, Array.empty).find { case (_, _, from, to) =>
+        ship >= from && to.forall(ship < _)
+      }.map(_._2).getOrElse("NONE")
+    }.map { case (p, xs) => p -> xs.length.toLong }
+    assert(buckets.map(r => r.getString(0) -> r.getLong(1)).toMap
+      === expected)
+  }
+
+  // ---- q_table_checksum ----
+
+  test("table_checksum: deterministic under repartitioning, counts " +
+    "reconcile, and any single-row change flips the group checksum") {
+    import graft.operators.RelationalOps.tableChecksum
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val cols = Seq(col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("decimal(18,2)"),
+      col("l_extendedprice").cast("decimal(18,2)"), col("l_shipdate"))
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      tableChecksum(df, cols, Seq("l_returnflag")).collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getDecimal(2))).toMap
+    val base = sums(li)
+    assert(base.values.map(_._1).sum === li.count())
+    assert(sums(li.repartition(13)) === base, "order independence")
+    // perturb exactly one existing row's quantity; only its group moves
+    val probe = li.select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber").head()
+    val perturbed = sums(li.withColumn("l_quantity",
+      when(col("l_orderkey") === probe.get(0)
+        && col("l_linenumber") === probe.get(1),
+        col("l_quantity") + 1)
+        .otherwise(col("l_quantity"))))
+    val changed = base.keySet.filter(k => base(k)._2 != perturbed(k)._2)
+    assert(changed.size === 1, "exactly one group checksum must move")
+    assert(base.view.mapValues(_._1).toMap ===
+      perturbed.view.mapValues(_._1).toMap, "counts unchanged")
+  }
+
   // ---- q_resample ----
 
   test("resample: each group's grid is contiguous hourly from first " +
