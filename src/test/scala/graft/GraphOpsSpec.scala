@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.functions._
+
+/** Laws for the PageRank tier. The oracle gate hash-compares the
+  * 5-iteration sweep against DuckDB's unrolled-CTE twin at sf0.01;
+  * these pin the algorithm itself — mass conservation, a hand-computed
+  * closed form, hub dominance — plus bit determinism. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mass conservation: with no dangling nodes the rank vector " +
+    "sums to 1 after every sweep") {
+    val e0 = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst")
+    val edges = e0.union(e0.select(col("dst").as("src"),
+      col("src").as("dst")))
+    (1 to 4).foreach { it =>
+      val total = GraphOps.pageRank(edges, iterations = it)
+        .agg(sum("r")).head().getDouble(0)
+      assert(math.abs(total - 1.0) < 1e-9, s"iteration $it")
+    }
+  }
+
+  test("closed form on a symmetric star: after one sweep the hub " +
+    "holds (1-d)/N + d*k/(k+... ) computed by hand, leaves are equal, " +
+    "and the hub outranks every leaf at any iteration count") {
+    // star: hub h connected to 3 leaves, symmetrized. N=4.
+    // outdeg(h)=3, outdeg(leaf)=1. r0 = 1/4 each.
+    // r1(h)   = 0.15/4 + 0.85 * (3 * (1/4)/1)     = 0.0375 + 0.6375
+    // r1(leaf)= 0.15/4 + 0.85 * ((1/4)/3)         = 0.0375 + 0.0708333...
+    val e0 = Seq(("h", "l1"), ("h", "l2"), ("h", "l3")).toDF("src", "dst")
+    val edges = e0.union(e0.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val r1 = GraphOps.pageRank(edges, iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r1("h") - 0.675) < 1e-9)
+    Seq("l1", "l2", "l3").foreach { l =>
+      assert(math.abs(r1(l) - (0.0375 + 0.85 * 0.25 / 3)) < 1e-9, l)
+    }
+    (2 to 6).foreach { it =>
+      val r = GraphOps.pageRank(edges, iterations = it)
+        .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+      assert(r("h") > r("l1") && r("l1") === r("l2") &&
+        r("l2") === r("l3"), s"iteration $it")
+    }
+  }
+
+  test("bit-determinism under repartitioning (DECIMAL contribution " +
+    "sums): the full q_pagerank top-20 is identical at any layout") {
+    val base = SparkEntry.queries("q_pagerank")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(base.size === 20)
+    // ranks descend and the (rank, node) order is total
+    assert(base.map(_._2) === base.map(_._2).sorted.reverse)
+    val again = SparkEntry.queries("q_pagerank")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(base === again)
+  }
+
+  test("parameter domains are validated") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    assert(intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, iterations = 0)
+    }.getMessage.contains("iterations"))
+    assert(intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, damping = 1.0)
+    }.getMessage.contains("damping"))
+  }
+}
