@@ -346,6 +346,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(GraftExtensions.getClass.getName,
         "sample_weighted"),
       (exprs: Seq[Expression]) => GraftExtensions.sampleWeightedPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("resample"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "resample"),
+      (exprs: Seq[Expression]) => GraftExtensions.resamplePlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("perplexity"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "perplexity"),
+      (exprs: Seq[Expression]) => GraftExtensions.perplexityPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("pagerank"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "pagerank"),
+      (exprs: Seq[Expression]) => GraftExtensions.pageRankPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("table_checksum"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "table_checksum"),
+      (exprs: Seq[Expression]) => GraftExtensions.tableChecksumPlan(exprs)))
   }
 }
 
@@ -1202,6 +1215,81 @@ object GraftExtensions {
     val n = VectorOps.intArg("sample_weighted", "n", exprs(3))
     require(n > 0, s"sample_weighted n must be positive; got $n")
     graft.operators.CurationOps.weightedSample(df, id, w, n)
+      .queryExecution.analyzed
+  }
+
+  /** `resample(table, group_col, ts_col, value_col [, step])` —
+    * gap-filled fixed-grid resampling with forward fill
+    * ([[graft.operators.EventOps.resample]]). `step` is a whitelisted
+    * interval phrase (it lands inside an INTERVAL literal — the
+    * pattern gate keeps arbitrary SQL out of the plan). */
+  private[graft] def resamplePlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("resample(table, group_col, ts_col, value_col [, step])",
+      exprs, 4, 5)
+    val Seq(g, ts, v) = (1 to 3).map(i => litStr("resample",
+      Seq("group_col", "ts_col", "value_col")(i - 1), exprs(i)))
+    val df = namedTable("resample", litStr("resample", "table", exprs(0)),
+      Seq(g, ts, v))
+    val step = if (exprs.length > 4) litStr("resample", "step", exprs(4))
+      else "1 hour"
+    require(step.matches("\\d+ (second|minute|hour|day|week)s?"),
+      s"resample step must look like '15 minutes' / '1 hour'; got '$step'")
+    graft.operators.EventOps.resample(df, g, ts, v, step)
+      .queryExecution.analyzed
+  }
+
+  /** `perplexity(table [, vocab_size])` — self-fit unigram-LM
+    * cross-entropy/perplexity per document over the documents contract
+    * ([[graft.operators.TextOps.unigramPerplexity]]). */
+  private[graft] def perplexityPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("perplexity(table [, vocab_size])", exprs, 1, 2)
+    val df = docTable("perplexity",
+      litStr("perplexity", "table", exprs(0)))
+    val v = if (exprs.length > 1)
+      VectorOps.intArg("perplexity", "vocab_size", exprs(1)) else 32768
+    require(v > 0, s"perplexity vocab_size must be positive; got $v")
+    graft.operators.TextOps.unigramPerplexity(df, "doc_id", "text", v)
+      .queryExecution.analyzed
+  }
+
+  /** `pagerank(table, src_col, dst_col [, iterations, damping])` —
+    * fixed-iteration PageRank over a directed edge table
+    * ([[graft.operators.GraphOps.pageRank]]); rows ordered rank DESC
+    * with a node tiebreak. */
+  private[graft] def pageRankPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("pagerank(table, src_col, dst_col [, iterations, damping])",
+      exprs, 3, 5)
+    val src = litStr("pagerank", "src_col", exprs(1))
+    val dst = litStr("pagerank", "dst_col", exprs(2))
+    val df = namedTable("pagerank",
+      litStr("pagerank", "table", exprs(0)), Seq(src, dst))
+    val iters = if (exprs.length > 3)
+      VectorOps.intArg("pagerank", "iterations", exprs(3)) else 5
+    val damping = if (exprs.length > 4)
+      litDouble("pagerank", "damping", exprs(4)) else 0.85
+    import org.apache.spark.sql.functions.col
+    graft.operators.GraphOps.pageRank(
+        df.select(col(src).as("src"), col(dst).as("dst")),
+        iters, damping)
+      .orderBy(col("r").desc, col("node"))
+      .queryExecution.analyzed
+  }
+
+  /** `table_checksum(table, group_col)` — order-independent content
+    * checksum of every non-group column (name order) per group
+    * ([[graft.operators.RelationalOps.tableChecksum]]). Engine-side
+    * fingerprint: double columns render via this engine's string
+    * formatting, so compare checksums produced by THIS function, not
+    * hand-built ones from another engine. */
+  private[graft] def tableChecksumPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("table_checksum(table, group_col)", exprs, 2, 2)
+    val g = litStr("table_checksum", "group_col", exprs(1))
+    val df = namedTable("table_checksum",
+      litStr("table_checksum", "table", exprs(0)), Seq(g))
+    import org.apache.spark.sql.functions.col
+    val cols = df.columns.filterNot(_ == g).sorted.map(col(_))
+    graft.operators.RelationalOps.tableChecksum(df, cols.toSeq, Seq(g))
       .queryExecution.analyzed
   }
 }

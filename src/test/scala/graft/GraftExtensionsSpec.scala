@@ -598,4 +598,50 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.operators.EventOps.drift(ev, "event_type", "value",
         "period", 50.0).collect().map(_.toSeq).toSeq)
   }
+
+  test("round-12 TVFs (resample, perplexity, pagerank, table_checksum) " +
+    "agree with the Scala API and validate their domains") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val ev = graft.sources.Tables.events(s2, sfDir)
+    ev.createOrReplaceTempView("ev_r12")
+    val rs = s2.sql(
+      "SELECT * FROM resample('ev_r12', 'event_type', 'ts', 'value')")
+    assert(rs.columns.toSeq ===
+      Seq("event_type", "bucket", "n", "is_gap", "v_fill"))
+    assert(rs.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.resample(ev, "event_type", "ts", "value")
+        .collect().map(_.toSeq).toSeq)
+    // the step phrase is whitelisted — it lands in an INTERVAL literal
+    assert(intercept[Exception] {
+      s2.sql("SELECT * FROM resample('ev_r12', 'event_type', 'ts', " +
+        "'value', '1 hour) SELECT 1 --')").collect()
+    }.getMessage.contains("step"))
+
+    val docs = graft.sources.Tables.documents(s2, sfDir)
+    docs.createOrReplaceTempView("docs_r12")
+    assert(s2.sql("SELECT * FROM perplexity('docs_r12')")
+      .collect().map(_.toSeq).toSeq ===
+      graft.operators.TextOps.unigramPerplexity(docs, "doc_id", "text")
+        .collect().map(_.toSeq).toSeq)
+
+    import s2.implicits._
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("u", "v")
+    edges.createOrReplaceTempView("edges_r12")
+    val pr = s2.sql("SELECT * FROM pagerank('edges_r12', 'u', 'v', 3)")
+    assert(pr.columns.toSeq === Seq("node", "r"))
+    assert(pr.collect().map(_.toSeq).toSeq ===
+      graft.operators.GraphOps.pageRank(
+        edges.select(col("u").as("src"), col("v").as("dst")), 3)
+        .orderBy(col("r").desc, col("node"))
+        .collect().map(_.toSeq).toSeq)
+
+    val cs = s2.sql("SELECT * FROM table_checksum('ev_r12', 'event_type')")
+    assert(cs.columns.toSeq === Seq("event_type", "n_rows", "checksum"))
+    assert(cs.collect().map(_.toSeq).toSeq ===
+      graft.operators.RelationalOps.tableChecksum(ev,
+        ev.columns.filterNot(_ == "event_type").sorted.toSeq.map(col),
+        Seq("event_type")).collect().map(_.toSeq).toSeq)
+  }
 }

@@ -439,4 +439,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("q_perplexity: the bounded vocabulary BROADCASTS to the scoring " +
+    "join — the Zipf-tailed token table never shuffles against the " +
+    "corpus") {
+    val p = plan(q("q_perplexity"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("q_scd2_lookup: the interval lookup is an equi-join on the " +
+    "dimension key with the interval test as residual — never a " +
+    "nested loop over facts × versions") {
+    val p = plan(q("q_scd2_lookup"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
+
+  test("q_table_checksum: one map-side-combined aggregate — no join, " +
+    "no window, no sort before the final presentation order") {
+    val p = plan(q("q_table_checksum"))
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("WindowExec"), p.take(2000))
+  }
+
+  test("q_pagerank: every sweep's contribution join is an equi-join; " +
+    "the only nested-loop nodes are 1-row node-count broadcasts") {
+    val p = plan(q("q_pagerank"))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(3000))
+    // the N-node fan-out is the documented broadcast-1-row pattern
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 6, s"got $bnlj nested-loop nodes:\n" + p.take(3000))
+  }
+
+  test("q_kll_merge and q_resample stay shuffle-disciplined: sketch " +
+    "aggregates run as object-hash partial+final; the resample " +
+    "spine join is an equi-join") {
+    val pk = plan(q("q_kll_merge"))
+    assert(pk.contains("ObjectHashAggregate"), pk.take(2000))
+    assert(!pk.contains("SortAggregate"), pk.take(2000))
+    val pr = plan(q("q_resample"))
+    assert(!pr.contains("CartesianProduct") &&
+      !pr.contains("BroadcastNestedLoopJoin"), pr.take(2500))
+  }
 }
