@@ -214,6 +214,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.KllError].getName,
         "kll_error"),
       (exprs: Seq[Expression]) => graft.functions.KllError(exprs(0))))
+    // Reservoir sampling sketches — mergeable uniform per-group
+    // samples (graft.functions.ReservoirSketch).
+    ext.injectFunction((FunctionIdentifier("reservoir_agg"),
+      new ExpressionInfo(classOf[graft.functions.ReservoirAgg].getName,
+        "reservoir_agg"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ReservoirAgg(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("reservoir_union_agg"),
+      new ExpressionInfo(
+        classOf[graft.functions.ReservoirUnionAgg].getName,
+        "reservoir_union_agg"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ReservoirUnionAgg(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("reservoir_items"),
+      new ExpressionInfo(classOf[graft.functions.ReservoirItems].getName,
+        "reservoir_items"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.ReservoirItems(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("reservoir_n"),
+      new ExpressionInfo(classOf[graft.functions.ReservoirN].getName,
+        "reservoir_n"),
+      (exprs: Seq[Expression]) => graft.functions.ReservoirN(exprs(0))))
     // TABLE-level surface: the flagship LLM-pipeline operators as
     // table-valued functions, so a SQL-first user reaches the batch ANN
     // serving shape, the dedup family, and the curation funnel without

@@ -389,6 +389,24 @@ object CurationOps {
 
   // The oracle's spelling of the trailing-16-bit shard draw (DuckDB
   // lacks base-16 conv; nibbles parsed positionally, like sqlDraw).
+  /** Canonicalize a web URL for corpus-level dedup — the first pass of
+    * any crawl pipeline, where `http://WWW.Site.com/a?utm_source=x#top`
+    * and `https://site.com/a` are the same document: lowercase, strip
+    * scheme / leading `www.` / fragment / tracking parameters
+    * (`utm_*`, `fbclid`, `gclid`), and trim dangling `?`/`&`/`/`.
+    * Pure codegen'd regexp chain (RE2-compatible patterns — no
+    * lookahead — so the DuckDB oracle applies the IDENTICAL chain with
+    * the 'g' flag matching Spark's replace-all semantics). */
+  def urlNormalize(url: Column): Column = {
+    val lowered = lower(trim(url))
+    val noScheme = regexp_replace(lowered, "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    val noFrag = regexp_replace(noWww, "#.*$", "")
+    val noTrack = regexp_replace(noFrag,
+      "(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "")
+    regexp_replace(regexp_replace(noTrack, "[?&]+$", ""), "/+$", "")
+  }
+
   private def sqlShard(h: String, nShards: Int): String =
     (0 until 4).map { i =>
       s"(instr('0123456789abcdef', substr($h, ${29 + i}, 1)) - 1) " +
@@ -685,6 +703,63 @@ object CurationOps {
         // the keeper table is cached per (session, corpus) — the LSH +
         // connected-components chain runs once for this query AND
         // q_dedup_clusters, not once per consumer
-        clusterKeepers = Some(DedupOps.clusterKeepersForDir(s, d))))
+        clusterKeepers = Some(DedupOps.clusterKeepersForDir(s, d)))),
+
+    // URL canonicalization — crawl dedup's first pass. The fixtures
+    // carry no URLs, so the query SYNTHESIZES them deterministically
+    // from (source, doc_id) with the messiness the normalizer exists
+    // for (mixed case, www, utm/tracking params, fragments), then
+    // canonicalizes and flags the keeper per canonical URL — identical
+    // expression chains on both engines, hash-green end to end. Narrow
+    // codegen'd regexp chain + one url-keyed window.
+    Query(
+      "q_url_normalize",
+      Some("""WITH raw AS (
+                SELECT doc_id,
+                       'HTTPS://WWW.' || source || '.Example.com/Docs/'
+                         || (doc_id % 50)
+                         || CASE WHEN doc_id % 2 = 0
+                              THEN '?utm_source=feed'
+                              ELSE '?page=' || (doc_id % 7)
+                                   || '&utm_campaign=x' END
+                         || CASE WHEN doc_id % 3 = 0
+                              THEN '#section-2' ELSE '' END AS url
+                FROM documents),
+              n AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(
+                         regexp_replace(regexp_replace(regexp_replace(
+                           lower(trim(url)),
+                           '^https?://', '', 'g'),
+                           '^www\.', '', 'g'),
+                           '#.*$', '', 'g'),
+                           '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                           '[?&]+$', '', 'g'),
+                           '/+$', '', 'g') AS url_norm
+                FROM raw)
+              SELECT doc_id, url_norm,
+                     regexp_extract(url_norm, '^([^/?]+)', 1) AS host,
+                     row_number() OVER (PARTITION BY url_norm
+                       ORDER BY doc_id) = 1 AS is_first
+              FROM n ORDER BY doc_id"""),
+      (s, d) => {
+        val raw = Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("HTTPS://WWW."), col("source"),
+            lit(".Example.com/Docs/"),
+            (col("doc_id") % 50).cast("string"),
+            when(col("doc_id") % 2 === 0, lit("?utm_source=feed"))
+              .otherwise(concat(lit("?page="),
+                (col("doc_id") % 7).cast("string"),
+                lit("&utm_campaign=x"))),
+            when(col("doc_id") % 3 === 0, lit("#section-2"))
+              .otherwise(lit(""))).as("url"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("url_norm").orderBy("doc_id")
+        raw.select(col("doc_id"), urlNormalize(col("url")).as("url_norm"))
+          .select(col("doc_id"), col("url_norm"),
+            regexp_extract(col("url_norm"), "^([^/?]+)", 1).as("host"),
+            (row_number().over(w) === 1).as("is_first"))
+          .orderBy("doc_id")
+      })
   )
 }

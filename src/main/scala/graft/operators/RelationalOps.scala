@@ -697,6 +697,28 @@ object RelationalOps {
             round(kllError(col("sk")), 6).as("rank_err"))
           .orderBy("l_returnflag")
       }),
+    // Mergeable uniform samples — the exploration primitive of the
+    // stored-sketch tier: per-(type, day) shard reservoirs of user ids
+    // roll up to an unbiased per-type sample (the union reweighs by
+    // each shard's true n). Sampled ITEMS are random → the gate output
+    // carries only the structural invariants (exact n, sample size);
+    // ReservoirSketchSpec pins membership/uniformity. No oracle.
+    Query(
+      "q_reservoir_sample",
+      None,
+      (s, d) => {
+        graft.functions.ReservoirSketch.register(s)
+        import graft.functions.ReservoirSketch._
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(reservoirAgg(col("user_id"), 20).as("sk"))
+        daily.groupBy("event_type")
+          .agg(reservoirUnionAgg(col("sk"), 20).as("sk"))
+          .select(col("event_type"),
+            reservoirN(col("sk")).as("n_exact"),
+            size(reservoirItems(col("sk"))).as("n_samples"))
+          .orderBy("event_type")
+      }),
     // Quantile sketch (KLL/GK-family builtin): per-group p50/p95/p99 of
     // extendedprice in ONE pass — the sketch merges associatively, so
     // the partial/final aggregation shape shuffles one small sketch per

@@ -327,6 +327,73 @@ object ScaleProbe {
           f"  $wR%4.2f/$bR%5.1f  $wS%4.2f/$bS%5.1f  $wM%4.2f/$bM%5.1f")
       }
     }
+
+    // Round-12 probe: the new operator families' shuffle discipline
+    // under replication. resample's exchanges are the per-(group,
+    // bucket) aggregate + the spine join (grid rows ≪ events);
+    // perplexity shuffles the token counts ONCE and broadcasts the
+    // bounded vocab (bytes track token volume, never vocab × corpus);
+    // pagerank shuffles each sweep's contributions (≈ iterations ×
+    // |E|-linear); table_checksum is one map-side-combined aggregate
+    // (bytes ≈ |groups|-tiny). Replication shifts keys, so group/node
+    // cardinality scales adversarially with the data.
+    println("[scale] r12: mult  rows  resamp_s/mb  perp_s/mb  " +
+      "pr_s/mb  cksum_s/mb")
+    locally {
+      val evBase = Tables.events(spark, sfDir)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      val docBase = Tables.documents(spark, sfDir)
+        .select("doc_id", "text")
+      Seq(1, 2, 4).foreach { m =>
+        val ev = (0 until m)
+          .map(i => evBase.select(
+            (col("event_id") + lit(i.toLong * 10000000L)).as("event_id"),
+            col("user_id"),
+            concat(col("event_type"), lit("_" + i)).as("event_type"),
+            col("ts"), col("value")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("event_id"))
+          .localCheckpoint()
+        val n = ev.count()
+        val docs = (0 until m)
+          .map(i => docBase.select(
+            (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+            col("text")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("doc_id"))
+          .localCheckpoint()
+        docs.count()
+        def measure(f: => Long): (Double, Double) = {
+          listener.reset()
+          val t0 = System.nanoTime()
+          f
+          val w = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          (w, listener.bytes / 1e6)
+        }
+        val (wRs, bRs) = measure(graft.operators.EventOps
+          .resample(ev, "event_type", "ts", "value").count())
+        val (wP, bP) = measure(graft.operators.TextOps
+          .unigramPerplexity(docs, "doc_id", "text").count())
+        val (wPr, bPr) = measure {
+          val e0 = ev.select(
+            concat(lit("u"), col("user_id").cast("string")).as("src"),
+            col("event_type").as("dst")).distinct()
+          val edges = e0.union(
+            e0.select(col("dst").as("src"), col("src").as("dst")))
+          graft.operators.GraphOps.pageRank(edges, 3).count()
+        }
+        val (wC, bC) = measure(graft.operators.RelationalOps
+          .tableChecksum(ev,
+            Seq(col("event_id"), col("user_id"),
+              col("value").cast("decimal(18,2)")),
+            Seq("event_type")).count())
+        println(f"[scale] r12: $m%4d  $n%6d  $wRs%4.2f/$bRs%5.1f" +
+          f"  $wP%4.2f/$bP%5.1f  $wPr%4.2f/$bPr%5.1f  $wC%4.2f/$bC%5.1f")
+      }
+    }
     }
 
     // Cell-skew probe: natural corpora have hot clusters, and a hot

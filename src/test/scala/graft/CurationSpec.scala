@@ -334,4 +334,32 @@ class CurationSpec extends SparkSpec {
       .map(_._1).toSet
     assert(out.map(_._1).toSet === want)
   }
+
+  test("urlNormalize: canonicalizes the crawl-mess cases by hand, is " +
+    "idempotent, and q_url_normalize flags exactly one keeper per " +
+    "canonical URL") {
+    import spark.implicits._
+    import graft.operators.CurationOps.urlNormalize
+    val cases = Seq(
+      "HTTPS://WWW.Site.com/A/B?utm_source=x#top" -> "site.com/a/b",
+      "http://site.com/a/b/" -> "site.com/a/b",
+      "site.com/a/b?page=2&utm_campaign=c" -> "site.com/a/b?page=2",
+      "www.site.com/a?utm_a=1&id=2&fbclid=zz" -> "site.com/a?id=2",
+      "  https://Site.Com  " -> "site.com")
+    val got = cases.map(_._1).toDF("u")
+      .select(urlNormalize(col("u")).as("n"),
+        urlNormalize(urlNormalize(col("u"))).as("nn"))
+      .collect()
+    got.zip(cases).foreach { case (r, (in, want)) =>
+      assert(r.getString(0) === want, s"normalize($in)")
+      assert(r.getString(1) === r.getString(0), s"idempotence($in)")
+    }
+    val out = SparkEntry.queries("q_url_normalize")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(3)))
+    val byUrl = out.groupBy(_._2)
+    byUrl.foreach { case (u, rows) =>
+      assert(rows.count(_._3) === 1, s"$u keepers")
+      assert(rows.minBy(_._1)._3, s"$u keeper must be the lowest doc_id")
+    }
+  }
 }
