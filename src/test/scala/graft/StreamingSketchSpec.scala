@@ -91,6 +91,37 @@ class StreamingSketchSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantiles with bounded state: a KLL sketch " +
+    "aggregation carries exact n across micro-batches and answers " +
+    "rank queries within its published error") {
+    graft.functions.Kll.register(spark)
+    import graft.functions.Kll._
+    val in = MemoryStream[Double](spark)
+    val name = s"skkll_${System.nanoTime()}"
+    val q = in.toDF().groupBy()
+      .agg(kllSketchAgg(col("value"), 200).as("sk"))
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_kll_").toString)
+      .start()
+    try {
+      val fed = scala.collection.mutable.ArrayBuffer.empty[Double]
+      Seq((1 to 400), (401 to 900), (901 to 1000)).foreach { batch =>
+        val vs = batch.map(_.toDouble)
+        fed ++= vs; in.addData(vs: _*); q.processAllAvailable()
+      }
+      val row = spark.table(name)
+        .select(kllN(col("sk")).as("n"),
+          kllQuantile(col("sk"), lit(0.5)).as("p50"),
+          kllError(col("sk")).as("err")).head()
+      assert(row.getLong(0) === fed.length.toLong, "exact stream length")
+      val sorted = fed.sorted
+      val trueRank = sorted.count(_ <= row.getDouble(1)).toDouble / sorted.size
+      assert(math.abs(trueRank - 0.5) <= 3 * row.getDouble(2) + 0.001,
+        s"p50 rank $trueRank")
+    } finally q.stop()
+  }
+
   test("the sketch aggregation runs under the RocksDB state-store " +
     "provider with identical decoded counts") {
     val s2 = graft.streaming.StateStores.rocksDBSession(spark)
