@@ -236,6 +236,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.ReservoirN].getName,
         "reservoir_n"),
       (exprs: Seq[Expression]) => graft.functions.ReservoirN(exprs(0))))
+    // VarOpt weighted sampling sketches — the weighted half of the
+    // sampling tier (graft.functions.VarOptSketch).
+    ext.injectFunction((FunctionIdentifier("varopt_agg"),
+      new ExpressionInfo(classOf[graft.functions.VarOptAgg].getName,
+        "varopt_agg"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.VarOptAgg(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((FunctionIdentifier("varopt_union_agg"),
+      new ExpressionInfo(classOf[graft.functions.VarOptUnionAgg].getName,
+        "varopt_union_agg"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.VarOptUnionAgg(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("varopt_samples"),
+      new ExpressionInfo(classOf[graft.functions.VarOptSamples].getName,
+        "varopt_samples"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.VarOptSamples(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("varopt_n"),
+      new ExpressionInfo(classOf[graft.functions.VarOptN].getName,
+        "varopt_n"),
+      (exprs: Seq[Expression]) => graft.functions.VarOptN(exprs(0))))
     // TABLE-level surface: the flagship LLM-pipeline operators as
     // table-valued functions, so a SQL-first user reaches the batch ANN
     // serving shape, the dedup family, and the curation funnel without

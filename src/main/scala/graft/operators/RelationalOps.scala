@@ -719,6 +719,34 @@ object RelationalOps {
             size(reservoirItems(col("sk"))).as("n_samples"))
           .orderBy("event_type")
       }),
+    // Weighted samples (VarOpt) — the weighted half of the sampling
+    // tier: per-(type, day) shard sketches of user ids WEIGHTED by
+    // event value roll up per type; any subset's weight is estimable
+    // from the ≤k retained rows, and the total adjusted weight is the
+    // EXACT input weight sum under any merge shape. Items are random →
+    // the gate output carries the structural invariants (exact n,
+    // sample size, total weight in DECIMAL-rounded form);
+    // VarOptSketchSpec pins membership/unbiasedness. No oracle.
+    Query(
+      "q_varopt_sample",
+      None,
+      (s, d) => {
+        graft.functions.VarOptSketch.register(s)
+        import graft.functions.VarOptSketch._
+        val daily = Tables.events(s, d)
+          .filter(col("value") > 0)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(varoptAgg(col("user_id"), col("value"), 20).as("sk"))
+        daily.groupBy("event_type")
+          .agg(varoptUnionAgg(col("sk"), 20).as("sk"))
+          .select(col("event_type"),
+            varoptN(col("sk")).as("n_exact"),
+            size(varoptSamples(col("sk"))).as("n_samples"),
+            round(aggregate(varoptSamples(col("sk")), lit(0.0d),
+              (acc, x) => acc + x.getField("weight")), 2)
+              .as("w_total"))
+          .orderBy("event_type")
+      }),
     // Quantile sketch (KLL/GK-family builtin): per-group p50/p95/p99 of
     // extendedprice in ONE pass — the sketch merges associatively, so
     // the partial/final aggregation shape shuffles one small sketch per
