@@ -232,6 +232,45 @@ object EventOps {
       .orderBy(groupCol, "bucket")
   }
 
+  /** Session path analysis — the sequence-mining face of the event
+    * tier next to [[funnel]]'s fixed-stage conversion: sessionize by
+    * inactivity gap (gaps-and-islands — identical on any engine,
+    * unlike `session_window`'s implementation-defined edge
+    * semantics), take each session's first `steps` event types in
+    * (ts, id) total order, and count sessions per path — "what do
+    * users actually do first?" without pre-declaring the stages.
+    *
+    * Scale: two user-partitioned windows sharing one (user) shuffle
+    * (lag + running sum — the q_window_session shape), one grouped
+    * fold per session whose `array_sort(collect_list)` buffers only a
+    * SESSION's events (bounded by the gap, never the corpus), and a
+    * map-side-combined path count. Top-k via TakeOrdered. */
+  def pathTopK(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapSeconds: Long = 1800,
+      steps: Int = 3, k: Int = 20): DataFrame = {
+    require(gapSeconds > 0 && steps > 0 && k > 0,
+      "pathTopK needs positive gapSeconds/steps/k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    val sess = df
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new",
+        (col("__prev").isNull ||
+          col(tsCol).cast("long") - col("__prev").cast("long") >
+            gapSeconds).cast("long"))
+      .withColumn("__sid", sum(col("__new")).over(w))
+    sess.groupBy(col(userCol), col("__sid"))
+      .agg(array_join(
+        slice(transform(
+          array_sort(collect_list(
+            struct(col(tsCol), col(idCol), col(typeCol)))),
+          x => x.getField(typeCol)), 1, steps), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   val all: Seq[Query] = Seq(
     Query(
       "q_anomaly",
@@ -382,6 +421,38 @@ object EventOps {
                 ON s.event_type = h.event_type AND s.bucket = h.bucket
               ORDER BY s.event_type, s.bucket"""),
       (s, d) => resample(Tables.events(s, d),
-        "event_type", "ts", "value", "1 hour"))
+        "event_type", "ts", "value", "1 hour")),
+    // Top session paths: 30-minute-gap sessions, first 3 event types
+    // per session in (ts, event_id) total order, top-20 paths. The
+    // oracle builds the identical gaps-and-islands sessions and
+    // ordered list slice.
+    Query(
+      "q_path_topk",
+      Some("""WITH s AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev
+                FROM events),
+              g AS (
+                SELECT user_id, ts, event_id, event_type,
+                       sum(CASE WHEN prev IS NULL
+                                OR epoch(ts) - epoch(prev) > 1800
+                             THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+                FROM s),
+              p AS (
+                SELECT user_id, sid,
+                       array_to_string(
+                         list_slice(
+                           list(event_type ORDER BY ts, event_id),
+                           1, 3), '>') AS path
+                FROM g GROUP BY user_id, sid)
+              SELECT path, count(*) AS n_sessions
+              FROM p GROUP BY path
+              ORDER BY n_sessions DESC, path LIMIT 20"""),
+      (s, d) => pathTopK(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type"))
   )
 }

@@ -329,6 +329,53 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q_path_topk ----
+
+  test("pathTopK: synthetic sessions produce the hand-derived paths " +
+    "— gap split, first-N truncation, in-session total order") {
+    import spark.implicits._
+    val df = Seq(
+      // user 1, session 1: view > click > purchase > view (truncates to 3)
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (1L, "2024-01-01 10:05:00", 2L, "click"),
+      (1L, "2024-01-01 10:10:00", 3L, "purchase"),
+      (1L, "2024-01-01 10:15:00", 4L, "view"),
+      // user 1, session 2 (gap > 30 min): view > click
+      (1L, "2024-01-01 11:00:00", 5L, "view"),
+      (1L, "2024-01-01 11:20:00", 6L, "click"),
+      // user 2: same-ts pair ordered by event_id, then a lone session
+      (2L, "2024-01-01 10:00:00", 8L, "click"),
+      (2L, "2024-01-01 10:00:00", 7L, "view"),
+      (2L, "2024-01-01 12:00:00", 9L, "error")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = graft.operators.EventOps
+      .pathTopK(df, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("view>click>purchase" -> 1L, "view>click" -> 2L,
+      "error" -> 1L))
+  }
+
+  test("q_path_topk: session count reconciles — the paths partition " +
+    "the gaps-and-islands session set") {
+    val out = run("q_path_topk").collect()
+    assert(out.length === 20)
+    assert(out.map(_.getLong(1)).toSeq ===
+      out.map(_.getLong(1)).sortBy(-_).toSeq, "descending counts")
+    // independent session count via the same gap rule
+    val sessions = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      .groupBy(_._1).map { case (_, xs) =>
+        val ts = xs.map(_._2).sorted
+        1 + ts.sliding(2).count {
+          case Array(a, b) => b - a > 1800 * 1000L
+          case _ => false
+        }
+      }.sum
+    assert(out.map(_.getLong(1)).sum <= sessions)
+  }
+
   // ---- q_scd2_lookup ----
 
   test("scd2_lookup: every fact matches exactly one version or NONE, " +
