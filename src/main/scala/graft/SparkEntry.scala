@@ -13,7 +13,8 @@ object SparkEntry {
     ReferenceOps.all ++ RelationalOps.all ++ EventOps.all ++
       ConstraintOps.all ++ FunctionOps.all ++ StreamingOps.all ++
       TextOps.all ++ DedupOps.all ++ CurationOps.all ++
-      SimilarityOps.all ++ MultimodalOps.all ++ GraphOps.all
+      SimilarityOps.all ++ MultimodalOps.all ++ GraphOps.all ++
+      AffinityOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,225 @@
+package graft.operators
+
+import graft.Query
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tier B″ — co-occurrence & affinity mining: windowed token
+  * co-occurrence with PMI scoring (the word2vec-era phrase/association
+  * signal over `documents`) and market-basket association rules
+  * (support / confidence / lift over order baskets). Both answer the
+  * same shape of question — "which items appear together more than
+  * chance?" — on the two corpora a 100 TB pipeline actually has: text
+  * and transactions. The co-purchase pair table built here also feeds
+  * the graph tier's triangle counting (GraphOps.q_triangles).
+  *
+  * Scale stance: token pairs are generated with a SHIFT-ZIP over the
+  * token array (`transform`/`zip_with`/`slice` HOFs — pure map-side,
+  * n·window pairs per doc, never a positions self-join whose per-doc
+  * fan-out is quadratic in document length); basket pairs come from a
+  * basket-keyed equi self-join whose fan-out is bounded by the
+  * `maxBasket` cap (C(64,2) rows per basket worst case — baskets above
+  * the cap are excluded on BOTH engines, the hot-bucket-cap pattern of
+  * DedupOps' LSH). The only shuffles are map-side-combined pair/item
+  * counts; corpus totals ride along as broadcast 1-row aggregates.
+  */
+object AffinityOps {
+
+  private def r6(x: Column): Column =
+    round(x * lit(1000000.0)) / lit(1000000.0)
+
+  /** Unordered within-`window` token pair counts `(tok1 < tok2,
+    * n_pair)` via shift-zip: for each distance k in 1..window, zip the
+    * token array with itself shifted by k. Linear in tokens·window —
+    * no join until the final map-side-combined pair count. Self-pairs
+    * (equal tokens) are excluded; pairs are canonicalized
+    * least/greatest so both directions merge. */
+  def cooccurPairs(docs: DataFrame, textCol: String,
+      window: Int = 4): DataFrame = {
+    require(window >= 1 && window <= 64,
+      s"window must be in [1, 64]; got $window")
+    val t = TextOps.tokens(col(textCol))
+    val pairs = flatten(transform(sequence(lit(1), lit(window)), k =>
+      filter(
+        zip_with(t, slice(t, k + lit(1), greatest(size(t) - k, lit(0))),
+          (a, b) => struct(least(a, b).as("tok1"),
+            greatest(a, b).as("tok2"))),
+        // trailing zips pad b with null → least/greatest collapse to
+        // (a, a), removed by the same self-pair exclusion
+        p => p("tok1") =!= p("tok2"))))
+    docs.select(explode(pairs).as("p"))
+      .select(col("p.tok1").as("tok1"), col("p.tok2").as("tok2"))
+      .groupBy("tok1", "tok2")
+      .agg(count(lit(1)).as("n_pair"))
+  }
+
+  /** Top-`k` token pairs by pointwise mutual information:
+    * `pmi = ln( p(a,b) / (p(a)·p(b)) )` with pair probabilities over
+    * the windowed pair table and unigram probabilities over all token
+    * positions. `minCount` suppresses the unstable low-frequency tail
+    * (PMI's classic failure mode). Unigram counts join to the pair
+    * table on token (vocabulary-sized side, AQE broadcasts at fixture
+    * scale); the two corpus totals are broadcast 1-row aggregates. All
+    * inputs to the `ln` are exact integer counts combined in one fixed
+    * double expression, so both engines evaluate identical IEEE ops. */
+  def cooccurPmi(docs: DataFrame, textCol: String, window: Int = 4,
+      minCount: Int = 5, k: Int = 100): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1; got $minCount")
+    require(k >= 1, s"k must be >= 1; got $k")
+    val toks = docs.select(explode(TextOps.tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    val pairs = cooccurPairs(docs, textCol, window)
+    val pr = pairs.filter(col("n_pair") >= minCount)
+    val ptot = pairs.agg(sum(col("n_pair")).as("p"))
+    pr.join(uni.select(col("tok").as("tok1"), col("c").as("ca")), "tok1")
+      .join(uni.select(col("tok").as("tok2"), col("c").as("cb")), "tok2")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(ptot))
+      .select(col("tok1"), col("tok2"), col("n_pair"),
+        r6(log((col("n_pair").cast("double") * col("t") * col("t")) /
+          (col("p").cast("double") * col("ca") * col("cb")))).as("pmi"))
+      .orderBy(col("pmi").desc, col("tok1"), col("tok2"))
+      .limit(k)
+  }
+
+  /** Distinct within-basket item pair counts `(item1 < item2, n_pair)`
+    * over baskets of at most `maxBasket` distinct items (larger
+    * baskets excluded — the bounded-fan-out cap; at 100 TB a
+    * pathological mega-basket would otherwise quadratically dominate
+    * one task). One basket-keyed equi self-join (≤ C(maxBasket,2)
+    * rows per basket), then a map-side-combined pair count. */
+  def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
+      maxBasket: Int = 64): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2; got $maxBasket")
+    val capped = cappedBaskets(df, basketCol, itemCol, maxBasket)
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+      .groupBy(col("a.it").as("item1"), col("b.it").as("item2"))
+      .agg(count(lit(1)).as("n_pair"))
+  }
+
+  private def cappedBaskets(df: DataFrame, basketCol: String,
+      itemCol: String, maxBasket: Int): DataFrame = {
+    val op = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
+      .distinct()
+    val ok = op.groupBy("bk").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBasket)
+      .select("bk")
+    op.join(ok, "bk")
+  }
+
+  /** Association rules `antecedent → consequent` over item pairs
+    * co-occurring in at least `minSupport` baskets, both directions,
+    * top-`k` by lift: `support = n_pair/N`, `confidence =
+    * n_pair/c(ante)`, `lift = n_pair·N / (c(ante)·c(cons))`. Exact
+    * integer counts, one fixed double expression per metric (the
+    * count product runs in double — two 1e10 item counts would
+    * overflow a BIGINT product at warehouse scale). */
+  def basketRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Int = 2, maxBasket: Int = 64, k: Int = 100): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1; got $minSupport")
+    require(k >= 1, s"k must be >= 1; got $k")
+    val capped = cappedBaskets(df, basketCol, itemCol, maxBasket)
+    val nb = capped.agg(countDistinct(col("bk")).as("n"))
+    val ic = capped.groupBy(col("it")).agg(count(lit(1)).as("cnt"))
+    val pr = basketPairs(df, basketCol, itemCol, maxBasket)
+      .filter(col("n_pair") >= minSupport)
+      .join(ic.select(col("it").as("item1"), col("cnt").as("ca")), "item1")
+      .join(ic.select(col("it").as("item2"), col("cnt").as("cb")), "item2")
+    val fwd = pr.select(col("item1").as("antecedent"),
+      col("item2").as("consequent"), col("n_pair"),
+      col("ca").as("c_ante"), col("cb").as("c_cons"))
+    val bwd = pr.select(col("item2").as("antecedent"),
+      col("item1").as("consequent"), col("n_pair"),
+      col("cb").as("c_ante"), col("ca").as("c_cons"))
+    fwd.union(bwd)
+      .crossJoin(broadcast(nb))
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        r6(col("n_pair").cast("double") / col("n")).as("support"),
+        r6(col("n_pair").cast("double") / col("c_ante")).as("confidence"),
+        r6((col("n_pair").cast("double") * col("n")) /
+          (col("c_ante").cast("double") * col("c_cons"))).as("lift"))
+      .orderBy(col("lift").desc, col("confidence").desc,
+        col("antecedent"), col("consequent"))
+      .limit(k)
+  }
+
+  val all: Seq[Query] = Seq(
+    // Windowed (±4) token co-occurrence with PMI scoring on the
+    // document corpus: the association signal behind phrase mining and
+    // distributional similarity. Oracle generates the same pairs via a
+    // positions self-join (provably the same set as the shift-zip);
+    // the engine never materializes positions — pure HOF map-side.
+    Query(
+      "q_cooccur_pmi",
+      Some("""WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS tok,
+                       unnest(generate_series(1,
+                         len(string_split(text, ' ')))) AS pos
+                FROM documents),
+              uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+              tot AS (SELECT count(*) AS t FROM toks),
+              pr AS (SELECT least(a.tok, b.tok) AS tok1,
+                            greatest(a.tok, b.tok) AS tok2,
+                            count(*) AS n_pair
+                     FROM toks a JOIN toks b
+                       ON a.doc_id = b.doc_id
+                      AND b.pos > a.pos AND b.pos <= a.pos + 4
+                      AND a.tok <> b.tok
+                     GROUP BY 1, 2),
+              pt AS (SELECT sum(n_pair) AS p FROM pr)
+              SELECT tok1, tok2, n_pair,
+                     round(ln((CAST(n_pair AS DOUBLE) * t * t)
+                              / (CAST(p AS DOUBLE) * ca.c * cb.c))
+                           * 1000000.0) / 1000000.0 AS pmi
+              FROM pr
+              CROSS JOIN tot CROSS JOIN pt
+              JOIN uni ca ON tok1 = ca.tok
+              JOIN uni cb ON tok2 = cb.tok
+              WHERE n_pair >= 5
+              ORDER BY pmi DESC, tok1, tok2 LIMIT 100"""),
+      (s, d) => cooccurPmi(Tables.documents(s, d), "text")),
+
+    // Market-basket association rules over order baskets (distinct
+    // parts per order): which parts predict which, by lift. Both rule
+    // directions emitted; minSupport 2 trims the singleton tail.
+    Query(
+      "q_basket_rules",
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS bk,
+                                 l_partkey AS it FROM lineitem),
+              ok AS (SELECT bk FROM op GROUP BY bk
+                     HAVING count(*) <= 64),
+              c AS (SELECT op.bk, it FROM op JOIN ok USING (bk)),
+              nb AS (SELECT count(DISTINCT bk) AS n FROM c),
+              ic AS (SELECT it, count(*) AS cnt FROM c GROUP BY it),
+              pr AS (SELECT a.it AS i1, b.it AS i2, count(*) AS n_pair
+                     FROM c a JOIN c b
+                       ON a.bk = b.bk AND a.it < b.it
+                     GROUP BY 1, 2 HAVING count(*) >= 2),
+              r AS (SELECT i1 AS antecedent, i2 AS consequent, n_pair,
+                           ca.cnt AS c_ante, cb.cnt AS c_cons
+                    FROM pr JOIN ic ca ON i1 = ca.it
+                            JOIN ic cb ON i2 = cb.it
+                    UNION ALL
+                    SELECT i2, i1, n_pair, cb.cnt, ca.cnt
+                    FROM pr JOIN ic ca ON i1 = ca.it
+                            JOIN ic cb ON i2 = cb.it)
+              SELECT antecedent, consequent, n_pair,
+                     round(CAST(n_pair AS DOUBLE) / n
+                           * 1000000.0) / 1000000.0 AS support,
+                     round(CAST(n_pair AS DOUBLE) / c_ante
+                           * 1000000.0) / 1000000.0 AS confidence,
+                     round((CAST(n_pair AS DOUBLE) * n)
+                           / (CAST(c_ante AS DOUBLE) * c_cons)
+                           * 1000000.0) / 1000000.0 AS lift
+              FROM r CROSS JOIN nb
+              ORDER BY lift DESC, confidence DESC,
+                       antecedent, consequent LIMIT 100"""),
+      (s, d) => basketRules(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey"))
+  )
+}

@@ -271,6 +271,40 @@ object EventOps {
       .limit(k)
   }
 
+  /** Per-group exponentially weighted moving average of `valueCol` in
+    * `(tsCol, idCol)` order — the de-noised "current level" signal a
+    * metrics pipeline smooths every series with. Normalized (bias-
+    * corrected) form over a BOUNDED trailing window of `span` rows:
+    * `ewma_t = Σ_{k<span} (1-α)^k·x_{t-k} / Σ_{k<span} (1-α)^k` — the
+    * truncated tail carries < (1-α)^span ≈ 0.08% of the mass at the
+    * defaults, and the bound is what keeps the operator scalable: the
+    * window never grows with history, so no per-row state exceeds
+    * `span` doubles and the frame is a plain partitioned ROWS window
+    * (no global window, no driver state). The weighted fold runs over
+    * the frame's `collect_list` with `transform`+`aggregate` HOFs in
+    * list order on both engines, so the float summation order — and
+    * therefore the 6-dp rounding — is engine-identical. */
+  def ewma(df: DataFrame, partCol: String, tsCol: String, idCol: String,
+      valueCol: String, alpha: Double = 0.3, span: Int = 20): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"alpha must be in (0, 1); got $alpha")
+    require(span >= 1 && span <= 4096, s"span must be in [1, 4096]; got $span")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    val decay = lit(1.0 - alpha)
+    def wsum(weighted: Column => Column): Column =
+      aggregate(
+        transform(col("__w"), (x, i) =>
+          weighted(x) * pow(decay, (size(col("__w")) - 1 - i).cast("double"))),
+        lit(0.0), (acc, x) => acc + x)
+    df.select(col(idCol), col(partCol), col(tsCol), col(valueCol),
+        collect_list(col(valueCol)).over(w).as("__w"))
+      .select(col(idCol), col(partCol), col(tsCol), col(valueCol),
+        r6(wsum(x => x) / wsum(_ => lit(1.0))).as("ewma"))
+      .orderBy(idCol)
+  }
+
   val all: Seq[Query] = Seq(
     Query(
       "q_anomaly",
@@ -453,6 +487,29 @@ object EventOps {
               FROM p GROUP BY path
               ORDER BY n_sessions DESC, path LIMIT 20"""),
       (s, d) => pathTopK(Tables.events(s, d),
-        "user_id", "ts", "event_id", "event_type"))
+        "user_id", "ts", "event_id", "event_type")),
+
+    // Per-user EWMA of event values (α=0.3, 20-row trailing window):
+    // the smoothed-level twin of q_window_frame's plain moving
+    // average. DuckDB's indexed list lambdas are 1-based (len(w)-i)
+    // vs Spark's 0-based (size-1-i) — the weight series is identical.
+    Query(
+      "q_ewma",
+      Some("""WITH s AS (
+                SELECT event_id, user_id, ts, value,
+                       list(value) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS w
+                FROM events)
+              SELECT event_id, user_id, ts, value,
+                     round(
+                       list_sum(list_transform(w,
+                         (x, i) -> x * power(0.7, len(w) - i))) /
+                       list_sum(list_transform(w,
+                         (x, i) -> power(0.7, len(w) - i)))
+                       * 1000000.0) / 1000000.0 AS ewma
+              FROM s ORDER BY event_id"""),
+      (s, d) => ewma(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value"))
   )
 }

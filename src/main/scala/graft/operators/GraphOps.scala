@@ -94,6 +94,59 @@ object GraphOps {
     r
   }
 
+  /** Triangle enumeration over an undirected edge list via
+    * DEGREE-ORDERED orientation: every edge is directed from its
+    * lower-(degree, id) endpoint to the higher, wedges enumerate pairs
+    * of out-neighbors, and a wedge closes iff the oriented edge
+    * between its endpoints exists. The orientation bounds per-node
+    * out-degree by O(√m) on any graph (the arboricity argument behind
+    * every production triangle counter), so wedge fan-out is
+    * Σ outdeg² ≤ O(m^1.5) instead of the hub-quadratic Σ deg² a naive
+    * id-ordering pays on skewed graphs — at 100 TB the hottest hub no
+    * longer owns the join. Emits each triangle once as its sorted
+    * id triple, so the result is orientation-independent (the
+    * DuckDB oracle uses plain id-ordering and must agree exactly;
+    * GraphOpsSpec pins the equivalence on random graphs).
+    *
+    * Input: `(src, dst)` rows in any direction/multiplicity —
+    * canonicalized, self-loops dropped. All three hops are equi-joins
+    * on node ids (AQE splits residual skew); nothing touches the
+    * driver. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val dj = e
+      .join(deg.select(col("node").as("u"), col("d").as("ud")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("vd")), "v")
+    val oriented = dj.select(
+      when(struct(col("ud"), col("u")) < struct(col("vd"), col("v")),
+        struct(col("u").as("s"), col("v").as("t"), col("vd").as("td")))
+        .otherwise(
+          struct(col("v").as("s"), col("u").as("t"), col("ud").as("td")))
+        .as("o"))
+      .select(col("o.s").as("s"), col("o.t").as("t"), col("o.td").as("td"))
+    val wedges = oriented.as("x")
+      .join(oriented.as("y"),
+        col("x.s") === col("y.s") &&
+          struct(col("x.td"), col("x.t")) < struct(col("y.td"), col("y.t")))
+      .select(col("x.s").as("a"), col("x.t").as("b"), col("y.t").as("c"))
+    // the wedge endpoints are rank-ordered (b before c), so the
+    // closing edge — if present — is oriented exactly b→c
+    wedges
+      .join(oriented.select(col("s").as("b"), col("t").as("c")),
+        Seq("b", "c"))
+      .select(array_sort(array(col("a"), col("b"), col("c"))).as("t3"))
+      .select(col("t3")(0).as("p1"), col("t3")(1).as("p2"),
+        col("t3")(2).as("p3"))
+      .orderBy("p1", "p2", "p3")
+  }
+
   /** One PageRank sweep term for the oracle: kept in sync with the
     * unrolled CTE iteration in q_pagerank's SQL. */
   private def iterSql(prev: String, cur: String): String =
@@ -172,6 +225,35 @@ object GraphOps {
               .as("rank"))
           .orderBy(col("rank").desc, col("node"))
           .limit(20)
-      })
+      }),
+
+    // Triangles of the support-≥2 co-purchase graph (parts bought
+    // together in ≥2 orders — AffinityOps' capped basket pairs): the
+    // cohesion primitive behind clustering coefficients and community
+    // seeds. The engine runs the degree-ordered orientation; the
+    // oracle counts the same triangles by plain id-ordering — the
+    // results must agree row-for-row, which is itself the correctness
+    // pin of the orientation trick.
+    Query(
+      "q_triangles",
+      Some("""WITH op AS (SELECT DISTINCT l_orderkey AS bk,
+                                 l_partkey AS it FROM lineitem),
+              ok AS (SELECT bk FROM op GROUP BY bk
+                     HAVING count(*) <= 64),
+              c AS (SELECT op.bk, it FROM op JOIN ok USING (bk)),
+              e AS (SELECT a.it AS u, b.it AS v
+                    FROM c a JOIN c b ON a.bk = b.bk AND a.it < b.it
+                    GROUP BY 1, 2 HAVING count(*) >= 2)
+              SELECT ab.u AS p1, ab.v AS p2, bc.v AS p3
+              FROM e ab
+              JOIN e bc ON ab.v = bc.u
+              JOIN e ac ON ac.u = ab.u AND ac.v = bc.v
+              ORDER BY p1, p2, p3"""),
+      (s, d) =>
+        triangles(
+          AffinityOps.basketPairs(Tables.lineitem(s, d),
+            "l_orderkey", "l_partkey")
+            .filter(col("n_pair") >= 2)
+            .select(col("item1").as("src"), col("item2").as("dst"))))
   )
 }

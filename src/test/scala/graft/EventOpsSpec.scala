@@ -499,4 +499,39 @@ class EventOpsSpec extends SparkSpec {
       ("a", "2024-01-01 03:00:00.0", 1L, false, 40.0),
       ("b", "2024-01-01 05:00:00.0", 1L, false, 7.0)))
   }
+
+  test("ewma: hand-computed normalized weights, per-group isolation, " +
+    "and span truncation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "u", "2024-01-01 00:00:00", 1.0),
+      (2L, "u", "2024-01-01 00:01:00", 2.0),
+      (3L, "u", "2024-01-01 00:02:00", 4.0),
+      (4L, "w", "2024-01-01 00:00:00", 9.0)
+    ).toDF("id", "g", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = graft.operators.EventOps
+      .ewma(df, "g", "ts", "id", "v", alpha = 0.3, span = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // row 1: [1]            → 1.0
+    // row 2: [1,2]          → (0.7·1 + 2)/1.7              = 1.588235
+    // row 3: [1,2,4]        → (0.49·1 + 0.7·2 + 4)/2.19    = 2.689498
+    // row 4: fresh group    → 9.0
+    assert(out(1L) === 1.0 && out(4L) === 9.0)
+    assert(math.abs(out(2L) - 2.7 / 1.7) < 1e-6)
+    assert(math.abs(out(3L) - 5.89 / 2.19) < 1e-6)
+    // span=1 degenerates to the raw series
+    val raw = graft.operators.EventOps
+      .ewma(df, "g", "ts", "id", "v", alpha = 0.3, span = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(raw === Map(1L -> 1.0, 2L -> 2.0, 3L -> 4.0, 4L -> 9.0))
+    // span=2 drops the oldest term of row 3: (0.7·2 + 4)/1.7
+    val s2 = graft.operators.EventOps
+      .ewma(df, "g", "ts", "id", "v", alpha = 0.3, span = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(math.abs(s2(3L) - 5.4 / 1.7) < 1e-6)
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.EventOps.ewma(df, "g", "ts", "id", "v", alpha = 1.0)
+    }.getMessage.contains("alpha"))
+  }
 }
