@@ -402,6 +402,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(GraftExtensions.getClass.getName,
         "table_checksum"),
       (exprs: Seq[Expression]) => GraftExtensions.tableChecksumPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("cooccur_pmi"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "cooccur_pmi"),
+      (exprs: Seq[Expression]) => GraftExtensions.cooccurPmiPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("basket_rules"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "basket_rules"),
+      (exprs: Seq[Expression]) => GraftExtensions.basketRulesPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("triangles"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "triangles"),
+      (exprs: Seq[Expression]) => GraftExtensions.trianglesPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("ewma"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "ewma"),
+      (exprs: Seq[Expression]) => GraftExtensions.ewmaPlan(exprs)))
   }
 }
 
@@ -1333,6 +1345,84 @@ object GraftExtensions {
     import org.apache.spark.sql.functions.col
     val cols = df.columns.filterNot(_ == g).sorted.map(col(_))
     graft.operators.RelationalOps.tableChecksum(df, cols.toSeq, Seq(g))
+      .queryExecution.analyzed
+  }
+
+  /** `cooccur_pmi(table, text_col [, window, min_count, k])` — top-k
+    * within-window token pairs by pointwise mutual information
+    * ([[graft.operators.AffinityOps.cooccurPmi]]): shift-zip pair
+    * generation, no positions self-join. Returns
+    * `(tok1, tok2, n_pair, pmi)` by descending pmi. */
+  private[graft] def cooccurPmiPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("cooccur_pmi(table, text_col [, window, min_count, k])",
+      exprs, 2, 5)
+    val t = litStr("cooccur_pmi", "text_col", exprs(1))
+    val df = namedTable("cooccur_pmi",
+      litStr("cooccur_pmi", "table", exprs(0)), Seq(t))
+    val w = if (exprs.length > 2)
+      VectorOps.intArg("cooccur_pmi", "window", exprs(2)) else 4
+    val mc = if (exprs.length > 3)
+      VectorOps.intArg("cooccur_pmi", "min_count", exprs(3)) else 5
+    val k = if (exprs.length > 4)
+      VectorOps.intArg("cooccur_pmi", "k", exprs(4)) else 100
+    graft.operators.AffinityOps.cooccurPmi(df, t, w, mc, k)
+      .queryExecution.analyzed
+  }
+
+  /** `basket_rules(table, basket_col, item_col [, min_support,
+    * max_basket, k])` — association rules by lift over distinct
+    * within-basket item pairs
+    * ([[graft.operators.AffinityOps.basketRules]]). Returns
+    * `(antecedent, consequent, n_pair, support, confidence, lift)`. */
+  private[graft] def basketRulesPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("basket_rules(table, basket_col, item_col [, min_support, " +
+      "max_basket, k])", exprs, 3, 6)
+    val b = litStr("basket_rules", "basket_col", exprs(1))
+    val i = litStr("basket_rules", "item_col", exprs(2))
+    val df = namedTable("basket_rules",
+      litStr("basket_rules", "table", exprs(0)), Seq(b, i))
+    val ms = if (exprs.length > 3)
+      VectorOps.intArg("basket_rules", "min_support", exprs(3)) else 2
+    val mb = if (exprs.length > 4)
+      VectorOps.intArg("basket_rules", "max_basket", exprs(4)) else 64
+    val k = if (exprs.length > 5)
+      VectorOps.intArg("basket_rules", "k", exprs(5)) else 100
+    graft.operators.AffinityOps.basketRules(df, b, i, ms, mb, k)
+      .queryExecution.analyzed
+  }
+
+  /** `triangles(table, src_col, dst_col)` — every triangle of the
+    * undirected graph, one sorted `(p1, p2, p3)` row each, via
+    * degree-ordered orientation
+    * ([[graft.operators.GraphOps.triangles]]). */
+  private[graft] def trianglesPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("triangles(table, src_col, dst_col)", exprs, 3, 3)
+    val src = litStr("triangles", "src_col", exprs(1))
+    val dst = litStr("triangles", "dst_col", exprs(2))
+    val df = namedTable("triangles",
+      litStr("triangles", "table", exprs(0)), Seq(src, dst))
+    graft.operators.GraphOps.triangles(
+        df.select(col(src).as("src"), col(dst).as("dst")))
+      .queryExecution.analyzed
+  }
+
+  /** `ewma(table, part_col, ts_col, id_col, value_col [, alpha,
+    * span])` — per-group bias-corrected EWMA over a bounded trailing
+    * row window ([[graft.operators.EventOps.ewma]]). Returns the id,
+    * group, ts and value columns plus `ewma`, ordered by id. */
+  private[graft] def ewmaPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("ewma(table, part_col, ts_col, id_col, value_col [, alpha, " +
+      "span])", exprs, 5, 7)
+    val names = Seq("part_col", "ts_col", "id_col", "value_col")
+    val Seq(p, t, id, v) = (1 to 4).map(i =>
+      litStr("ewma", names(i - 1), exprs(i)))
+    val df = namedTable("ewma", litStr("ewma", "table", exprs(0)),
+      Seq(p, t, id, v))
+    val alpha = if (exprs.length > 5) litDouble("ewma", "alpha", exprs(5))
+      else 0.3
+    val span = if (exprs.length > 6)
+      VectorOps.intArg("ewma", "span", exprs(6)) else 20
+    graft.operators.EventOps.ewma(df, p, t, id, v, alpha, span)
       .queryExecution.analyzed
   }
 }

@@ -644,4 +644,54 @@ class GraftExtensionsSpec extends SparkSpec {
         ev.columns.filterNot(_ == "event_type").sorted.toSeq.map(col),
         Seq("event_type")).collect().map(_.toSeq).toSeq)
   }
+
+  test("affinity TVFs (cooccur_pmi, basket_rules, triangles, ewma) " +
+    "agree with the Scala API and validate their domains") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val docs = graft.sources.Tables.documents(s2, sfDir)
+    docs.createOrReplaceTempView("docs_aff")
+    val pmi = s2.sql(
+      "SELECT * FROM cooccur_pmi('docs_aff', 'text', 3, 2, 25)")
+    assert(pmi.columns.toSeq === Seq("tok1", "tok2", "n_pair", "pmi"))
+    assert(pmi.collect().map(_.toSeq).toSeq ===
+      graft.operators.AffinityOps.cooccurPmi(docs, "text", 3, 2, 25)
+        .collect().map(_.toSeq).toSeq)
+
+    val li = graft.sources.Tables.lineitem(s2, sfDir)
+    li.createOrReplaceTempView("li_aff")
+    val br = s2.sql(
+      "SELECT * FROM basket_rules('li_aff', 'l_orderkey', 'l_partkey')")
+    assert(br.columns.toSeq === Seq("antecedent", "consequent", "n_pair",
+      "support", "confidence", "lift"))
+    assert(br.collect().map(_.toSeq).toSeq ===
+      graft.operators.AffinityOps.basketRules(li,
+        "l_orderkey", "l_partkey").collect().map(_.toSeq).toSeq)
+
+    import s2.implicits._
+    val k4 = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+      .toDF("a", "b")
+    k4.createOrReplaceTempView("k4_aff")
+    assert(s2.sql("SELECT * FROM triangles('k4_aff', 'a', 'b')")
+      .collect().map(_.toSeq).toSeq ===
+      Seq(Seq(1, 2, 3), Seq(1, 2, 4), Seq(1, 3, 4), Seq(2, 3, 4)))
+
+    val ev = graft.sources.Tables.events(s2, sfDir)
+    ev.createOrReplaceTempView("ev_aff")
+    val ew = s2.sql("SELECT * FROM ewma('ev_aff', 'user_id', 'ts', " +
+      "'event_id', 'value', 0.5, 10)")
+    assert(ew.columns.toSeq ===
+      Seq("event_id", "user_id", "ts", "value", "ewma"))
+    assert(ew.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.ewma(ev, "user_id", "ts", "event_id",
+        "value", 0.5, 10).collect().map(_.toSeq).toSeq)
+    assert(intercept[Exception] {
+      s2.sql("SELECT * FROM ewma('ev_aff', 'user_id', 'ts', " +
+        "'event_id', 'value', 2.0)").collect()
+    }.getMessage.contains("alpha"))
+    assert(intercept[Exception] {
+      s2.sql("SELECT * FROM cooccur_pmi('docs_aff', 'no_such_col')")
+        .collect()
+    }.getMessage.contains("no_such_col"))
+  }
 }

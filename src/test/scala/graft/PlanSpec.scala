@@ -505,4 +505,30 @@ class PlanSpec extends SparkSpec {
     assert(!pr.contains("CartesianProduct") &&
       !pr.contains("BroadcastNestedLoopJoin"), pr.take(2500))
   }
+
+  test("affinity tier shuffle discipline: PMI pairs are generated " +
+    "map-side (no positions self-join), basket/triangle joins are all " +
+    "equi, and q_ewma needs no join at all") {
+    // q_cooccur_pmi: the ONLY nested-loop nodes are the two broadcast
+    // 1-row total fan-outs; pair generation itself is Generate over
+    // HOFs — a positions self-join would surface as an extra join
+    val pp = plan(q("q_cooccur_pmi"))
+    assert(!pp.contains("CartesianProduct"), pp.take(2500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pp).size === 2,
+      pp.take(2500))
+    // q_basket_rules: basket self-join + two item-count joins + one
+    // 1-row N fan-out; nothing non-equi beyond that single fan-out
+    val pb = plan(q("q_basket_rules"))
+    assert(!pb.contains("CartesianProduct"), pb.take(2500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pb).size === 1,
+      pb.take(2500))
+    // q_triangles: three equi hops, zero nested-loop anything
+    val pt = plan(q("q_triangles"))
+    assert(!pt.contains("CartesianProduct") &&
+      !pt.contains("BroadcastNestedLoopJoin"), pt.take(2500))
+    // q_ewma: one partitioned window, no join of any kind
+    val pe = plan(q("q_ewma"))
+    assert(!pe.contains("Join"), pe.take(2500))
+    assert(pe.contains("Window"), pe.take(2500))
+  }
 }
