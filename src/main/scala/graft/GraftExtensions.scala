@@ -414,6 +414,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("ewma"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "ewma"),
       (exprs: Seq[Expression]) => GraftExtensions.ewmaPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("session_intervals"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "session_intervals"),
+      (exprs: Seq[Expression]) => GraftExtensions.sessionIntervalsPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("interval_join"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "interval_join"),
+      (exprs: Seq[Expression]) => GraftExtensions.intervalJoinPlan(exprs)))
   }
 }
 
@@ -1423,6 +1430,63 @@ object GraftExtensions {
     val span = if (exprs.length > 6)
       VectorOps.intArg("ewma", "span", exprs(6)) else 20
     graft.operators.EventOps.ewma(df, p, t, id, v, alpha, span)
+      .queryExecution.analyzed
+  }
+
+  /** `session_intervals(table, user_col, ts_col, id_col [,
+    * gap_seconds])` — gaps-and-islands sessionization to closed
+    * `(user, sid, st, en)` intervals
+    * ([[graft.operators.EventOps.sessionIntervals]]). */
+  private[graft] def sessionIntervalsPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("session_intervals(table, user_col, ts_col, id_col " +
+      "[, gap_seconds])", exprs, 4, 5)
+    val names = Seq("user_col", "ts_col", "id_col")
+    val Seq(u, t, id) = (1 to 3).map(i =>
+      litStr("session_intervals", names(i - 1), exprs(i)))
+    val df = namedTable("session_intervals",
+      litStr("session_intervals", "table", exprs(0)), Seq(u, t, id))
+    val gap = if (exprs.length > 4)
+      litVal("session_intervals", "gap_seconds", exprs(4)) match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          "session_intervals expects a numeric literal for " +
+            s"'gap_seconds'; got $other")
+      }
+      else 1800L
+    graft.operators.EventOps.sessionIntervals(df, u, t, id, gap)
+      .queryExecution.analyzed
+  }
+
+  /** `interval_join(left_table, right_table, l_start, l_end, r_start,
+    * r_end, bucket_seconds [, max_buckets])` — bucketed overlap join of
+    * two interval tables ([[graft.operators.JoinOps.intervalJoin]]):
+    * equi-join on time buckets with the exact closed-interval predicate
+    * as residual; never a nested loop. Column names of the two tables
+    * must be disjoint. */
+  private[graft] def intervalJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("interval_join(left_table, right_table, l_start, l_end, " +
+      "r_start, r_end, bucket_seconds [, max_buckets])", exprs, 7, 8)
+    val names = Seq("l_start", "l_end", "r_start", "r_end")
+    val Seq(ls, le, rs, re) = (2 to 5).map(i =>
+      litStr("interval_join", names(i - 2), exprs(i)))
+    val l = namedTable("interval_join",
+      litStr("interval_join", "left_table", exprs(0)), Seq(ls, le))
+    val r = namedTable("interval_join",
+      litStr("interval_join", "right_table", exprs(1)), Seq(rs, re))
+    val overlap = l.columns.toSet.intersect(r.columns.toSet)
+    require(overlap.isEmpty, "interval_join requires disjoint column " +
+      s"names; both tables carry ${overlap.mkString("(", ", ", ")")}")
+    val bs = litVal("interval_join", "bucket_seconds", exprs(6)) match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"interval_join expects a numeric literal for 'bucket_seconds'; " +
+          s"got $other")
+    }
+    val mb = if (exprs.length > 7)
+      VectorOps.intArg("interval_join", "max_buckets", exprs(7)) else 1024
+    graft.operators.JoinOps.intervalJoin(l, r, ls, le, rs, re, bs,
+        maxBucketsPerInterval = mb)
       .queryExecution.analyzed
   }
 }

@@ -70,7 +70,10 @@ object AffinityOps {
     val toks = docs.select(explode(TextOps.tokens(col(textCol))).as("tok"))
     val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
     val tot = toks.agg(count(lit(1)).as("t"))
-    val pairs = cooccurPairs(docs, textCol, window)
+    // the pair table is distinct-pair-sized (≤ vocab², tiny next to
+    // the corpus) but its plan scans every token — checkpoint it so
+    // the filter branch and the 1-row total don't each re-scan
+    val pairs = cooccurPairs(docs, textCol, window).localCheckpoint()
     val pr = pairs.filter(col("n_pair") >= minCount)
     val ptot = pairs.agg(sum(col("n_pair")).as("p"))
     pr.join(uni.select(col("tok").as("tok1"), col("c").as("ca")), "tok1")

@@ -271,6 +271,27 @@ object EventOps {
       .limit(k)
   }
 
+  /** Per-user session intervals by gaps-and-islands (`gapSeconds`
+    * inactivity closes a session): `(user, sid, st, en)` with CLOSED
+    * bounds at the first/last event. The same engine-identical
+    * sessionization [[pathTopK]] uses (session_window's edge semantics
+    * differ between engines); both windows share one user-keyed
+    * shuffle, and the gap test runs on exact `unix_micros` longs. */
+  def sessionIntervals(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long = 1800): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive; got $gapSeconds")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new",
+        (col("__prev").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("__prev")) >
+            gapSeconds * 1000000L).cast("long"))
+      .withColumn("__sid", sum(col("__new")).over(w))
+      .groupBy(col(userCol), col("__sid").as("sid"))
+      .agg(min(col(tsCol)).as("st"), max(col(tsCol)).as("en"))
+  }
+
   /** Per-group exponentially weighted moving average of `valueCol` in
     * `(tsCol, idCol)` order — the de-noised "current level" signal a
     * metrics pipeline smooths every series with. Normalized (bias-
@@ -510,6 +531,60 @@ object EventOps {
                        * 1000000.0) / 1000000.0 AS ewma
               FROM s ORDER BY event_id"""),
       (s, d) => ewma(Tables.events(s, d),
-        "user_id", "ts", "event_id", "value"))
+        "user_id", "ts", "event_id", "value")),
+
+    // Concurrent-session analysis: which user pairs are active at the
+    // same time, by total overlap. The overlap join runs BUCKETED
+    // (JoinOps.intervalJoin: hour-bucket equi-join + first-shared-
+    // bucket uniqueness + exact residual) — the oracle states the
+    // textbook range predicate, so the hash gate pins the bucketed
+    // rewrite against the naive spelling Spark could never scale.
+    Query(
+      "q_interval_join",
+      Some("""WITH g AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               > 1800000000 THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+              s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g),
+              iv AS (
+                SELECT user_id, sid, min(ts) AS st, max(ts) AS en
+                FROM s GROUP BY 1, 2)
+              SELECT a.user_id AS user_a, b.user_id AS user_b,
+                     count(*) AS n_overlaps,
+                     CAST(sum(least(epoch_us(a.en), epoch_us(b.en))
+                              - greatest(epoch_us(a.st), epoch_us(b.st)))
+                          AS BIGINT) AS overlap_us
+              FROM iv a JOIN iv b
+                ON a.user_id < b.user_id
+               AND epoch_us(a.st) <= epoch_us(b.en)
+               AND epoch_us(b.st) <= epoch_us(a.en)
+              GROUP BY 1, 2
+              ORDER BY overlap_us DESC, user_a, user_b LIMIT 100"""),
+      (s, d) => {
+        val iv = sessionIntervals(Tables.events(s, d),
+          "user_id", "ts", "event_id")
+        val a = iv.select(col("user_id").as("user_a"),
+          col("st").as("st_a"), col("en").as("en_a"))
+        val b = iv.select(col("user_id").as("user_b"),
+          col("st").as("st_b"), col("en").as("en_b"))
+        JoinOps.intervalJoin(a, b, "st_a", "en_a", "st_b", "en_b",
+            bucketSeconds = 3600,
+            residual = col("user_a") < col("user_b"))
+          .groupBy("user_a", "user_b")
+          .agg(count(lit(1)).as("n_overlaps"),
+            sum(least(unix_micros(col("en_a")), unix_micros(col("en_b")))
+              - greatest(unix_micros(col("st_a")),
+                unix_micros(col("st_b")))).as("overlap_us"))
+          .orderBy(col("overlap_us").desc, col("user_a"), col("user_b"))
+          .limit(100)
+      })
   )
 }

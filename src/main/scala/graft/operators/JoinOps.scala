@@ -55,6 +55,57 @@ object JoinOps {
     * before calling); `leftId` uniquely identifies left rows; ties on
     * `rightTime` break toward the largest `rightId`. Inner semantics:
     * left rows with no qualifying right row are dropped. */
+  /** Interval-overlap join: every (left, right) pair whose CLOSED time
+    * intervals `[lStart, lEnd]` / `[rStart, rEnd]` intersect
+    * (`lStart <= rEnd && rStart <= lEnd`), optionally narrowed by
+    * `residual`. Spark has no range-join optimization, so the naive
+    * spelling is a BroadcastNestedLoopJoin — O(|L|·|R|) predicate
+    * evaluations that no cluster survives. This is the BUCKETED
+    * spelling: each interval explodes into the `bucketSeconds`-wide
+    * epoch buckets it covers and the join runs as an EQUI-join on the
+    * bucket key with the exact predicate as residual. Two overlapping
+    * intervals share every bucket of their intersection — the
+    * first-shared-bucket condition (`bucket ==
+    * max(floor(lStart), floor(rStart))`) emits each pair exactly once
+    * with no post-join dedup.
+    *
+    * Scale: shuffle is keyed on time buckets, so work distributes
+    * across the timeline; per-row fan-out = interval length in
+    * buckets, bounded by `maxBucketsPerInterval` (longer intervals are
+    * EXCLUDED — size `bucketSeconds` near the p99 interval length and
+    * split pathological giants upstream; the cap keeps one mega-
+    * interval from replicating into every partition of the timeline).
+    * A hot bucket (many concurrent intervals) is a plain skewed
+    * equi-join key — AQE splits it.
+    *
+    * Contract: left/right column names disjoint (alias first);
+    * interval bounds are TIMESTAMP columns; arithmetic runs on exact
+    * `unix_micros` longs so engines cannot diverge on fractional
+    * seconds. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketSeconds: Long, residual: Column = lit(true),
+      maxBucketsPerInterval: Int = 1024): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    val bs = lit(bucketSeconds * 1000000L)
+    def bk(c: String) = floor(unix_micros(col(c)) / bs)
+    def spans(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(unix_micros(col(e)) >= unix_micros(col(s)) &&
+        bk(e) - bk(s) < lit(maxBucketsPerInterval))
+    val l = spans(left, lStart, lEnd)
+      .withColumn("__graft_bkl", explode(sequence(bk(lStart), bk(lEnd))))
+    val r = spans(right, rStart, rEnd)
+      .withColumn("__graft_bkr", explode(sequence(bk(rStart), bk(rEnd))))
+    l.join(r,
+        col("__graft_bkl") === col("__graft_bkr") &&
+        col("__graft_bkl") === greatest(bk(lStart), bk(rStart)) &&
+        unix_micros(col(lStart)) <= unix_micros(col(rEnd)) &&
+        unix_micros(col(rStart)) <= unix_micros(col(lEnd)) &&
+        residual)
+      .drop("__graft_bkl", "__graft_bkr")
+  }
+
   def asOfJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,

@@ -394,6 +394,85 @@ object ScaleProbe {
           f"  $wP%4.2f/$bP%5.1f  $wPr%4.2f/$bPr%5.1f  $wC%4.2f/$bC%5.1f")
       }
     }
+
+    // Affinity-tier probe (round 12): cooccur's pair stream is
+    // map-side-combined into a vocab-bounded pair table, so shuffle
+    // bytes should stay ~FLAT as the corpus replicates (fixed vocab =
+    // fixed distinct-pair cardinality); basket rules shuffle the
+    // capped per-basket pair stream (linear in baskets); ewma shuffles
+    // each series once for its partitioned window (linear); triangles
+    // ride the support-filtered edge set, which DENSIFIES under
+    // replication (counts multiply, more pairs clear the floor) — its
+    // growth is data densification, not an algorithmic blowup, and
+    // the wedge fan-out stays degree-orientation-bounded.
+    println("[scale] aff12: mult  docs  pmi_s/mb  rules_s/mb  " +
+      "tri_s/mb(edges)  ewma_s/mb")
+    locally {
+      val docBase = Tables.documents(spark, sfDir)
+        .select("doc_id", "text")
+      val liBase = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_partkey")
+      val evBase = Tables.events(spark, sfDir)
+        .select("event_id", "user_id", "ts", "value")
+      Seq(1, 2, 4).foreach { m =>
+        val docs = (0 until m)
+          .map(i => docBase.select(
+            (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+            col("text")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("doc_id"))
+          .localCheckpoint()
+        val nd = docs.count()
+        // orderkeys shift, partkeys stay: the hot-item adversarial
+        // case — every item's basket membership grows m×
+        val li = (0 until m)
+          .map(i => liBase.select(
+            (col("l_orderkey") + lit(i.toLong * 10000000L))
+              .as("l_orderkey"), col("l_partkey")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("l_orderkey"))
+          .localCheckpoint()
+        li.count()
+        val ev = (0 until m)
+          .map(i => evBase.select(
+            (col("event_id") + lit(i.toLong * 10000000L)).as("event_id"),
+            col("user_id"), col("ts"), col("value")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("event_id"))
+          .localCheckpoint()
+        ev.count()
+        def measure(f: => Long): (Double, Double) = {
+          listener.reset()
+          val t0 = System.nanoTime()
+          f
+          val w = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          (w, listener.bytes / 1e6)
+        }
+        val (wPm, bPm) = measure(graft.operators.AffinityOps
+          .cooccurPmi(docs, "text").count())
+        val (wBr, bBr) = measure(graft.operators.AffinityOps
+          .basketRules(li, "l_orderkey", "l_partkey").count())
+        var nEdges = 0L
+        val (wTr, bTr) = measure {
+          val e = graft.operators.AffinityOps
+            .basketPairs(li, "l_orderkey", "l_partkey")
+            .filter(col("n_pair") >= 2)
+            .select(col("item1").as("src"), col("item2").as("dst"))
+            .localCheckpoint()
+          nEdges = e.count()
+          graft.operators.GraphOps.triangles(e).count()
+        }
+        val (wEw, bEw) = measure(graft.operators.EventOps
+          .ewma(ev, "user_id", "ts", "event_id", "value").count())
+        println(f"[scale] aff12: $m%4d  $nd%6d  $wPm%4.2f/$bPm%5.1f" +
+          f"  $wBr%4.2f/$bBr%5.1f  $wTr%4.2f/$bTr%6.1f($nEdges)" +
+          f"  $wEw%4.2f/$bEw%5.1f")
+      }
+    }
     }
 
     // Cell-skew probe: natural corpora have hot clusters, and a hot

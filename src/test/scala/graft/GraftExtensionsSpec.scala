@@ -694,4 +694,45 @@ class GraftExtensionsSpec extends SparkSpec {
         .collect()
     }.getMessage.contains("no_such_col"))
   }
+
+  test("session_intervals and interval_join TVFs compose from pure SQL " +
+    "and agree with the Scala API") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val ev = graft.sources.Tables.events(s2, sfDir)
+    ev.createOrReplaceTempView("ev_ij")
+    val si = s2.sql(
+      "SELECT * FROM session_intervals('ev_ij', 'user_id', 'ts', " +
+        "'event_id', 900)")
+    assert(si.columns.toSeq === Seq("user_id", "sid", "st", "en"))
+    assert(si.orderBy("user_id", "sid").collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.sessionIntervals(ev, "user_id", "ts",
+        "event_id", 900).orderBy("user_id", "sid")
+        .collect().map(_.toSeq).toSeq)
+    // compose: overlap-join the session table with itself (aliased)
+    s2.sql("CREATE OR REPLACE TEMP VIEW iv_a AS SELECT user_id AS ua, " +
+      "st AS st_a, en AS en_a FROM session_intervals('ev_ij', " +
+      "'user_id', 'ts', 'event_id')")
+    s2.sql("CREATE OR REPLACE TEMP VIEW iv_b AS SELECT user_id AS ub, " +
+      "st AS st_b, en AS en_b FROM session_intervals('ev_ij', " +
+      "'user_id', 'ts', 'event_id')")
+    val ij = s2.sql("SELECT * FROM interval_join('iv_a', 'iv_b', " +
+      "'st_a', 'en_a', 'st_b', 'en_b', 3600) WHERE ua < ub")
+    val api = {
+      val iv = graft.operators.EventOps.sessionIntervals(ev, "user_id",
+        "ts", "event_id")
+      graft.operators.JoinOps.intervalJoin(
+        iv.select(col("user_id").as("ua"), col("st").as("st_a"),
+          col("en").as("en_a")),
+        iv.select(col("user_id").as("ub"), col("st").as("st_b"),
+          col("en").as("en_b")),
+        "st_a", "en_a", "st_b", "en_b", 3600,
+        residual = col("ua") < col("ub"))
+    }
+    assert(ij.count() === api.count() && ij.count() > 0)
+    assert(intercept[Exception] {
+      s2.sql("SELECT * FROM interval_join('iv_a', 'iv_a', 'st_a', " +
+        "'en_a', 'st_a', 'en_a', 3600)").collect()
+    }.getMessage.contains("disjoint"))
+  }
 }

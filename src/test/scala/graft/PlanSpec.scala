@@ -531,4 +531,13 @@ class PlanSpec extends SparkSpec {
     assert(!pe.contains("Join"), pe.take(2500))
     assert(pe.contains("Window"), pe.take(2500))
   }
+
+  test("q_interval_join runs as a bucket EQUI-join — the naive range " +
+    "spelling would be a nested loop over sessions × sessions") {
+    val p = plan(q("q_interval_join"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(2500))
+  }
 }

@@ -120,4 +120,50 @@ class ScaleJoinSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
     }
   }
+
+  test("intervalJoin equals the naive range join on random intervals — " +
+    "each overlapping pair exactly once, closed-bound semantics, at " +
+    "several bucket widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def mkIv(n: Int, tag: String) = (0 until n).map { i =>
+      val st = rnd.nextInt(100000)
+      val len = if (rnd.nextBoolean()) rnd.nextInt(5000) else 0 // points too
+      (s"$tag$i", new java.sql.Timestamp(st * 1000L),
+        new java.sql.Timestamp((st + len) * 1000L))
+    }
+    val l = mkIv(120, "l").toDF("lid", "ls", "le")
+    val r = mkIv(150, "r").toDF("rid", "rs", "re")
+    val naive = l.join(r,
+        unix_micros(col("ls")) <= unix_micros(col("re")) &&
+        unix_micros(col("rs")) <= unix_micros(col("le")))
+      .select("lid", "rid").collect().map(x => (x.getString(0),
+        x.getString(1))).sorted.toSeq
+    assert(naive.nonEmpty && naive.distinct === naive)
+    Seq(60L, 3600L, 86400L).foreach { bs =>
+      val got = JoinOps.intervalJoin(l, r, "ls", "le", "rs", "re", bs)
+        .select("lid", "rid").collect().map(x => (x.getString(0),
+          x.getString(1))).sorted.toSeq
+      assert(got === naive, s"bucketSeconds=$bs")
+    }
+  }
+
+  test("intervalJoin residual narrows inside the join and the " +
+    "maxBucketsPerInterval cap excludes giants from either side") {
+    import spark.implicits._
+    val l = Seq(("a", ts(0), ts(10)), ("b", ts(5), ts(15)),
+      ("g", ts(0), ts(500000))) // giant: 500k s / 60 s ≫ 100 buckets
+      .toDF("lid", "ls", "le")
+    val r = Seq(("x", ts(8), ts(12))).toDF("rid", "rs", "re")
+    val all = JoinOps.intervalJoin(l, r, "ls", "le", "rs", "re", 60L,
+      maxBucketsPerInterval = 100)
+      .select("lid", "rid").collect().map(x => x.getString(0)).sorted
+    assert(all.toSeq === Seq("a", "b")) // giant excluded, others kept
+    val narrowed = JoinOps.intervalJoin(l, r, "ls", "le", "rs", "re", 60L,
+      residual = col("lid") === lit("b"), maxBucketsPerInterval = 100)
+      .select("lid").collect().map(_.getString(0))
+    assert(narrowed.toSeq === Seq("b"))
+  }
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
 }
