@@ -421,6 +421,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("interval_join"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "interval_join"),
       (exprs: Seq[Expression]) => GraftExtensions.intervalJoinPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("label_prop"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "label_prop"),
+      (exprs: Seq[Expression]) => GraftExtensions.labelPropPlan(exprs)))
   }
 }
 
@@ -1487,6 +1490,26 @@ object GraftExtensions {
       VectorOps.intArg("interval_join", "max_buckets", exprs(7)) else 1024
     graft.operators.JoinOps.intervalJoin(l, r, ls, le, rs, re, bs,
         maxBucketsPerInterval = mb)
+      .queryExecution.analyzed
+  }
+
+  /** `label_prop(table, src_col, dst_col [, iterations])` —
+    * deterministic synchronous label-propagation communities over a
+    * directed edge table (symmetrize for undirected graphs;
+    * [[graft.operators.GraphOps.labelPropagation]]). Returns
+    * `(node, lbl)` ordered by node. */
+  private[graft] def labelPropPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("label_prop(table, src_col, dst_col [, iterations])",
+      exprs, 3, 4)
+    val src = litStr("label_prop", "src_col", exprs(1))
+    val dst = litStr("label_prop", "dst_col", exprs(2))
+    val df = namedTable("label_prop",
+      litStr("label_prop", "table", exprs(0)), Seq(src, dst))
+    val iters = if (exprs.length > 3)
+      VectorOps.intArg("label_prop", "iterations", exprs(3)) else 4
+    graft.operators.GraphOps.labelPropagation(
+        df.select(col(src).as("src"), col(dst).as("dst")), iters)
+      .orderBy("node")
       .queryExecution.analyzed
   }
 }

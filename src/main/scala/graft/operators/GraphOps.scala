@@ -147,6 +147,65 @@ object GraphOps {
       .orderBy("p1", "p2", "p3")
   }
 
+  /** Synchronous label-propagation community detection over a
+    * DIRECTED edge list (callers symmetrize): `l₀(v) = v`;
+    * `lₜ₊₁(v) = ` the most frequent label among v's in-neighbors,
+    * ties broken toward the SMALLEST label — the deterministic
+    * variant of LPA (classic LPA breaks ties randomly and is
+    * irreproducible; the min-label rule makes every run, every
+    * partitioning, and the DuckDB oracle agree exactly). Fixed
+    * `iterations` keeps the plan static (the q_pagerank stance);
+    * neighbors-only updates mean strictly bipartite graphs can
+    * two-color-oscillate — run on a one-mode projection (as
+    * q_label_prop does) or add more sweeps.
+    *
+    * Scale: per sweep one |E|-row equi-join to the ≤N-row label
+    * table, one map-side-combined (node, label) count, one
+    * NODE-PARTITIONED row_number (never global), one left join back
+    * to nodes — all keyed on node ids, AQE splits hub keys, no
+    * driver state. Loop inputs are localCheckpoint-ed once and the
+    * label table re-truncates every 10 sweeps (the measured
+    * iterative-lineage trap, see [[pageRank]]). */
+  def labelPropagation(edges: DataFrame, iterations: Int = 4): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50]; got $iterations")
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    var lbl = nodes.select(col("node"), col("node").as("lbl"))
+    for (i <- 1 to iterations) {
+      val w = Window.partitionBy("node")
+        .orderBy(col("c").desc, col("lbl"))
+      val winner = e
+        .join(lbl.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+      lbl = nodes.join(winner, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("lbl"), col("node")).as("lbl"))
+      if (i % 10 == 0 && i < iterations) lbl = lbl.localCheckpoint()
+    }
+    lbl
+  }
+
+  /** One label-propagation sweep term for the oracle: kept in sync
+    * with the unrolled CTE iteration in q_label_prop's SQL. */
+  private def lpaIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+          SELECT n.node, COALESCE(w.lbl, n.node) AS lbl
+          FROM nodes n LEFT JOIN (
+            SELECT node, lbl FROM (
+              SELECT e.dst AS node, p.lbl, count(*) AS c,
+                     row_number() OVER (PARTITION BY e.dst
+                       ORDER BY count(*) DESC, p.lbl) AS rn
+              FROM edges e JOIN $prev p ON e.src = p.node
+              GROUP BY e.dst, p.lbl) WHERE rn = 1) w
+          ON n.node = w.node)"""
+
   /** One PageRank sweep term for the oracle: kept in sync with the
     * unrolled CTE iteration in q_pagerank's SQL. */
   private def iterSql(prev: String, cur: String): String =
@@ -254,6 +313,47 @@ object GraphOps {
           AffinityOps.basketPairs(Tables.lineitem(s, d),
             "l_orderkey", "l_partkey")
             .filter(col("n_pair") >= 2)
-            .select(col("item1").as("src"), col("item2").as("dst"))))
+            .select(col("item1").as("src"), col("item2").as("dst")))),
+
+    // Communities of the same support-≥2 co-purchase graph
+    // (symmetrized one-mode projection — the bipartite-oscillation-
+    // safe shape): 4 deterministic LPA sweeps, then community sizes.
+    // The oracle unrolls the same 4 sweeps as chained CTEs with the
+    // identical min-label tiebreak — hash-green means every sweep's
+    // full label vector agreed.
+    Query(
+      "q_label_prop",
+      Some(s"""WITH op AS (SELECT DISTINCT l_orderkey AS bk,
+                                  l_partkey AS it FROM lineitem),
+               ok AS (SELECT bk FROM op GROUP BY bk
+                      HAVING count(*) <= 64),
+               c AS (SELECT op.bk, it FROM op JOIN ok USING (bk)),
+               e0 AS (SELECT a.it AS u, b.it AS v
+                      FROM c a JOIN c b ON a.bk = b.bk AND a.it < b.it
+                      GROUP BY 1, 2 HAVING count(*) >= 2),
+               edges AS (SELECT u AS src, v AS dst FROM e0
+                         UNION ALL SELECT v, u FROM e0),
+               nodes AS (SELECT DISTINCT src AS node FROM edges),
+               l0 AS (SELECT node, node AS lbl FROM nodes),
+               ${lpaIterSql("l0", "l1")},
+               ${lpaIterSql("l1", "l2")},
+               ${lpaIterSql("l2", "l3")},
+               ${lpaIterSql("l3", "l4")}
+               SELECT lbl AS community, count(*) AS n_members
+               FROM l4 GROUP BY lbl
+               ORDER BY n_members DESC, community LIMIT 50"""),
+      (s, d) => {
+        val e0 = AffinityOps.basketPairs(Tables.lineitem(s, d),
+            "l_orderkey", "l_partkey")
+          .filter(col("n_pair") >= 2)
+          .select(col("item1").as("src"), col("item2").as("dst"))
+        val edges = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        labelPropagation(edges, iterations = 4)
+          .groupBy(col("lbl").as("community"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("n_members").desc, col("community"))
+          .limit(50)
+      })
   )
 }

@@ -735,4 +735,19 @@ class GraftExtensionsSpec extends SparkSpec {
         "'en_a', 'st_a', 'en_a', 3600)").collect()
     }.getMessage.contains("disjoint"))
   }
+
+  test("label_prop TVF agrees with the Scala API") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val e0 = Seq((1, 2), (2, 3), (1, 3), (10, 11)).toDF("a", "b")
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    edges.createOrReplaceTempView("lp_edges")
+    val got = s2.sql("SELECT * FROM label_prop('lp_edges', 'a', 'b', 4)")
+    assert(got.columns.toSeq === Seq("node", "lbl"))
+    assert(got.collect().map(_.toSeq).toSeq ===
+      graft.operators.GraphOps.labelPropagation(
+        edges.select(col("a").as("src"), col("b").as("dst")), 4)
+        .orderBy("node").collect().map(_.toSeq).toSeq)
+  }
 }

@@ -67,5 +67,41 @@ class GraphOpsSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       GraphOps.pageRank(edges, damping = 1.0)
     }.getMessage.contains("damping"))
+    assert(intercept[IllegalArgumentException] {
+      GraphOps.labelPropagation(edges, iterations = 0)
+    }.getMessage.contains("iterations"))
+  }
+
+  test("labelPropagation: two disjoint triangles converge to their " +
+    "min-id labels; an isolated bridge-free component never leaks") {
+    val e0 = Seq((1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12))
+      .toDF("src", "dst")
+    val edges = e0.union(e0.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val got = GraphOps.labelPropagation(edges, iterations = 4)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got === Map(1 -> 1, 2 -> 1, 3 -> 1,
+      10 -> 10, 11 -> 10, 12 -> 10))
+  }
+
+  test("labelPropagation: deterministic under repartitioning and the " +
+    "min-label tiebreak picks the smallest label on exact ties") {
+    // star with two leaves: center 5's neighbors {7, 9} tie 1-1 →
+    // label 7 (smallest); sync update, neighbors-only
+    val e0 = Seq((5, 7), (5, 9)).toDF("src", "dst")
+    val edges = e0.union(e0.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val l1 = GraphOps.labelPropagation(edges, iterations = 1)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(l1(5) === 7 && l1(7) === 5 && l1(9) === 5)
+    val base = SparkEntry.queries("q_label_prop")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val again = SparkEntry.queries("q_label_prop")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(base === again && base.nonEmpty)
+    // sizes descend; communities are distinct
+    val sizes = base.map(_(1).asInstanceOf[Long])
+    assert(sizes === sizes.sorted.reverse)
+    assert(base.map(_(0)).distinct.length === base.length)
   }
 }
