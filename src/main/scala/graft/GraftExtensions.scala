@@ -424,6 +424,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("label_prop"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "label_prop"),
       (exprs: Seq[Expression]) => GraftExtensions.labelPropPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("acf"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "acf"),
+      (exprs: Seq[Expression]) => GraftExtensions.acfPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("fuzzy_join"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "fuzzy_join"),
+      (exprs: Seq[Expression]) => GraftExtensions.fuzzyJoinPlan(exprs)))
   }
 }
 
@@ -1510,6 +1516,53 @@ object GraftExtensions {
     graft.operators.GraphOps.labelPropagation(
         df.select(col(src).as("src"), col(dst).as("dst")), iters)
       .orderBy("node")
+      .queryExecution.analyzed
+  }
+
+  /** `acf(table, group_col, ts_col, value_col [, max_lag,
+    * bucket_seconds])` — per-group autocorrelogram over the bucketed
+    * mean series ([[graft.operators.EventOps.acf]]). Returns
+    * `(g, lag, n, acf)` ordered by group and lag. */
+  private[graft] def acfPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("acf(table, group_col, ts_col, value_col [, max_lag, " +
+      "bucket_seconds])", exprs, 4, 6)
+    val names = Seq("group_col", "ts_col", "value_col")
+    val Seq(g, t, v) = (1 to 3).map(i =>
+      litStr("acf", names(i - 1), exprs(i)))
+    val df = namedTable("acf", litStr("acf", "table", exprs(0)),
+      Seq(g, t, v))
+    val maxLag = if (exprs.length > 4)
+      VectorOps.intArg("acf", "max_lag", exprs(4)) else 24
+    val bs = if (exprs.length > 5)
+      litVal("acf", "bucket_seconds", exprs(5)) match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"acf expects a numeric literal for 'bucket_seconds'; got $other")
+      }
+      else 3600L
+    graft.operators.EventOps.acf(df, g, t, v, maxLag, bs)
+      .queryExecution.analyzed
+  }
+
+  /** `fuzzy_join(table, name_col [, max_distance, block_prefix])` —
+    * entity-resolution pairs of distinct names within `max_distance`
+    * Levenshtein edits, blocked on the first `block_prefix` characters
+    * ([[graft.operators.DedupOps.fuzzyNamePairs]]). Returns
+    * `(name_a, name_b, d, n_a, n_b)`. */
+  private[graft] def fuzzyJoinPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("fuzzy_join(table, name_col [, max_distance, block_prefix])",
+      exprs, 2, 4)
+    val n = litStr("fuzzy_join", "name_col", exprs(1))
+    val df = namedTable("fuzzy_join",
+      litStr("fuzzy_join", "table", exprs(0)), Seq(n))
+    val maxD = if (exprs.length > 2)
+      VectorOps.intArg("fuzzy_join", "max_distance", exprs(2)) else 3
+    val prefix = if (exprs.length > 3)
+      VectorOps.intArg("fuzzy_join", "block_prefix", exprs(3)) else 1
+    require(prefix >= 1, s"fuzzy_join block_prefix must be >= 1; got $prefix")
+    import org.apache.spark.sql.functions.substring
+    graft.operators.DedupOps.fuzzyNamePairs(df, n,
+        substring(col("name"), 1, prefix), maxD)
       .queryExecution.analyzed
   }
 }

@@ -1177,6 +1177,63 @@ object DedupOps {
               ORDER BY vec_id"""),
       (s, d) => semanticKeepersForDir(s, d, threshold = 0.95)
         .select("vec_id", "keeper")
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Entity resolution: probable typo/variant families among part
+    // names, blocked on (first char) with the |len diff| ≤ maxD
+    // necessary condition — collapse-first (64 distinct names at any
+    // corpus size), so the pair space never sees row multiplicity.
+    Query(
+      "q_fuzzy_join",
+      Some("""WITH nm AS (SELECT p_name AS name, count(*) AS n
+                          FROM part GROUP BY 1)
+              SELECT a.name AS name_a, b.name AS name_b,
+                     levenshtein(a.name, b.name) AS d,
+                     a.n AS n_a, b.n AS n_b
+              FROM nm a JOIN nm b
+                ON substr(a.name, 1, 1) = substr(b.name, 1, 1)
+               AND abs(length(a.name) - length(b.name)) <= 3
+               AND a.name < b.name
+              WHERE levenshtein(a.name, b.name) <= 3
+              ORDER BY d, name_a, name_b"""),
+      (s, d) => fuzzyNamePairs(Tables.part(s, d), "p_name",
+        substring(col("name"), 1, 1), maxDistance = 3))
   )
+
+  /** Entity-resolution fuzzy self-join on a name column: pairs of
+    * DISTINCT names within `maxDistance` Levenshtein edits, candidates
+    * limited to equal `blockKey` (an expression over the collapsed
+    * `name` column) plus the |length difference| ≤ maxDistance filter
+    * — which is a NECESSARY condition for the distance bound, so it
+    * costs no recall; the block key is the standard ER recall/cost
+    * trade (a pair whose edits change the key is missed — run
+    * multiple passes with different keys and union when that matters).
+    *
+    * Scale: collapse-first — names dedup to the distinct-name table
+    * (vocabulary-sized, with multiplicities carried as `n_a`/`n_b`)
+    * BEFORE any pairing, so row multiplicity never enters the
+    * quadratic stage; the self-join is an equi-join on the block key
+    * and the Levenshtein evaluation (codegen'd builtin, identical
+    * definition in DuckDB) touches only same-block candidates. */
+  def fuzzyNamePairs(df: DataFrame, nameCol: String, blockKey: Column,
+      maxDistance: Int): DataFrame = {
+    require(maxDistance >= 1, s"maxDistance must be >= 1; got $maxDistance")
+    val nm = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__blk", blockKey)
+    val a = nm.select(col("name").as("name_a"), col("n").as("n_a"),
+      col("__blk").as("__blk_a"))
+    val b = nm.select(col("name").as("name_b"), col("n").as("n_b"),
+      col("__blk").as("__blk_b"))
+    a.join(b,
+        col("__blk_a") === col("__blk_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <=
+          lit(maxDistance) &&
+        col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= lit(maxDistance))
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("d"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("d"), col("name_a"), col("name_b"))
+  }
 }

@@ -271,6 +271,62 @@ object EventOps {
       .limit(k)
   }
 
+  /** Autocorrelation function per series: Pearson correlation between
+    * the `bucketSeconds`-bucketed mean series and its lag-`k`-shifted
+    * self for `k = 1..maxLag` — the periodicity/memory diagnostic
+    * (a daily cycle shows as an ACF peak at lag 24 on hourly buckets)
+    * next to [[resample]]'s gap view and [[ewma]]'s smoothing. Missing
+    * buckets simply contribute no pair (the irregular-series
+    * convention); groups need ≥3 pairs and positive variance at a lag
+    * or that (group, lag) row is dropped — identically on both
+    * engines.
+    *
+    * Determinism: bucket means are one division of a DECIMAL-exact sum
+    * by an exact count; the per-lag moment sums round each product
+    * into DECIMAL(38,6) before summing (the q_corr stance), so
+    * partial-aggregation order cannot perturb the 6-dp result.
+    *
+    * Scale: the bucket table is |groups|×|buckets| — aggregated
+    * map-side from the raw feed, tiny next to it; the lag pairing is
+    * maxLag bucket-shifted EQUI-joins of that small table against
+    * itself (one `explode(sequence)` fan-out, join keyed on
+    * (group, bucket), AQE handles a hot series), and the final
+    * aggregate is |groups|×maxLag rows. The raw corpus is scanned
+    * once. */
+  def acf(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, maxLag: Int = 24,
+      bucketSeconds: Long = 3600): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 4096,
+      s"maxLag must be in [1, 4096]; got $maxLag")
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val dec = DecimalType(38, 6)
+    val buckets = df.groupBy(col(groupCol).as("g"),
+        floor(unix_micros(col(tsCol)) / lit(bucketSeconds * 1000000L))
+          .as("b"))
+      .agg((sum(col(valueCol).cast(dec)).cast("double") /
+        count(lit(1))).as("m"))
+    val x = buckets.withColumn("lag",
+      explode(sequence(lit(1), lit(maxLag))))
+    val y = buckets.select(col("g").as("g2"), col("b").as("b2"),
+      col("m").as("m2"))
+    val joined = x.join(y,
+      col("g") === col("g2") && col("b2") === col("b") + col("lag"))
+    val agg = joined.groupBy(col("g"), col("lag"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("m").cast(dec)).cast("double").as("sx"),
+        sum(col("m2").cast(dec)).cast("double").as("sy"),
+        sum((col("m") * col("m2")).cast(dec)).cast("double").as("sxy"),
+        sum((col("m") * col("m")).cast(dec)).cast("double").as("sxx"),
+        sum((col("m2") * col("m2")).cast(dec)).cast("double").as("syy"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n") * col("syy") - col("sy") * col("sy")
+    agg.filter(col("n") >= 3 && vx > 0 && vy > 0)
+      .select(col("g"), col("lag"), col("n").cast("bigint").as("n"),
+        r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt(vx * vy)).as("acf"))
+      .orderBy("g", "lag")
+  }
+
   /** Per-user session intervals by gaps-and-islands (`gapSeconds`
     * inactivity closes a session): `(user, sid, st, en)` with CLOSED
     * bounds at the first/last event. The same engine-identical
@@ -585,6 +641,43 @@ object EventOps {
                 unix_micros(col("st_b")))).as("overlap_us"))
           .orderBy(col("overlap_us").desc, col("user_a"), col("user_b"))
           .limit(100)
-      })
+      }),
+
+    // Hourly-bucket autocorrelogram per event type, lags 1..24: the
+    // periodicity diagnostic (a daily cycle peaks at lag 24). Both
+    // engines share the DECIMAL-moment corr fold and the same
+    // degenerate-lag exclusions.
+    Query(
+      "q_acf",
+      Some("""WITH bk AS (
+                SELECT event_type AS g,
+                       CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                         AS b,
+                       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                         / count(*) AS m
+                FROM events GROUP BY 1, 2),
+              pr AS (
+                SELECT x.g, l.lag, x.m AS mx, y.m AS my
+                FROM bk x
+                CROSS JOIN (SELECT unnest(generate_series(1, 24)) AS lag) l
+                JOIN bk y ON y.g = x.g AND y.b = x.b + l.lag),
+              ag AS (
+                SELECT g, lag, CAST(count(*) AS DOUBLE) n,
+                  CAST(sum(CAST(mx AS DECIMAL(38,6))) AS DOUBLE) sx,
+                  CAST(sum(CAST(my AS DECIMAL(38,6))) AS DOUBLE) sy,
+                  CAST(sum(CAST(mx*my AS DECIMAL(38,6))) AS DOUBLE) sxy,
+                  CAST(sum(CAST(mx*mx AS DECIMAL(38,6))) AS DOUBLE) sxx,
+                  CAST(sum(CAST(my*my AS DECIMAL(38,6))) AS DOUBLE) syy
+                FROM pr GROUP BY 1, 2)
+              SELECT g AS event_type, lag, CAST(n AS BIGINT) AS n,
+                     round((n*sxy - sx*sy)
+                           / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))
+                           * 1000000.0)/1000000.0 AS acf
+              FROM ag
+              WHERE n >= 3 AND (n*sxx - sx*sx) > 0
+                AND (n*syy - sy*sy) > 0
+              ORDER BY event_type, lag"""),
+      (s, d) => acf(Tables.events(s, d), "event_type", "ts", "value")
+        .withColumnRenamed("g", "event_type"))
   )
 }

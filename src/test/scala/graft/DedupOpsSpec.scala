@@ -481,4 +481,28 @@ class DedupOpsSpec extends SparkSpec {
         f"tau=$tau recall=$recall%.3f under floor $floor")
     }
   }
+
+  test("fuzzyNamePairs: collapse-first multiplicities, distance and " +
+    "length filters, and the documented blocking miss") {
+    import spark.implicits._
+    val df = Seq("red bolt", "red bolt", "red bolt", "red bolts",
+      "blue gear", "blue gear", "ted bolt", "red bolt extra long name")
+      .toDF("nm")
+    val got = graft.operators.DedupOps.fuzzyNamePairs(df, "nm",
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.col("name"), 1, 1),
+        maxDistance = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4)))
+    // 'red bolt'↔'red bolts' d=1 with counts 3 and 1 — the only pair:
+    // 'ted bolt' (d=1 from 'red bolt') is in block 't' — the blocking
+    // recall trade, asserted missed; the long variant fails the
+    // |len diff| <= maxDistance necessary filter; 'blue gear' has no
+    // in-block partner
+    assert(got.toSeq === Seq(("red bolt", "red bolts", 1, 3L, 1L)))
+    assert(intercept[IllegalArgumentException] {
+      graft.operators.DedupOps.fuzzyNamePairs(df, "nm",
+        org.apache.spark.sql.functions.col("name"), 0)
+    }.getMessage.contains("maxDistance"))
+  }
 }

@@ -534,4 +534,32 @@ class EventOpsSpec extends SparkSpec {
       graft.operators.EventOps.ewma(df, "g", "ts", "id", "v", alpha = 1.0)
     }.getMessage.contains("alpha"))
   }
+
+  test("acf: an alternating series has acf(-1) at lag 1 and acf(+1) at " +
+    "lag 2; constant series drop on the zero-variance guard") {
+    import spark.implicits._
+    val rows = (0 until 12).flatMap { h =>
+      val ts = s"2024-01-01 ${"%02d".format(h)}:30:00"
+      Seq(("alt", ts, if (h % 2 == 0) 1.0 else -1.0),
+        ("flat", ts, 7.0))
+    }
+    val df = rows.toDF("g", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = graft.operators.EventOps.acf(df, "g", "ts", "v", maxLag = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3))
+      .toMap
+    assert(out.keySet.forall(_._1 == "alt")) // flat: zero variance, dropped
+    assert(math.abs(out(("alt", 1)) + 1.0) < 1e-6)
+    assert(math.abs(out(("alt", 2)) - 1.0) < 1e-6)
+    assert(math.abs(out(("alt", 3)) + 1.0) < 1e-6)
+    // sparse series: buckets with no events contribute no pair — a
+    // 3-point series at hours 0, 1, 5 has 2 pairs at lag 1 → below
+    // the n>=3 floor, so no row survives
+    val sparse = Seq(("s", "2024-01-01 00:00:00", 1.0),
+      ("s", "2024-01-01 01:00:00", 2.0),
+      ("s", "2024-01-01 05:00:00", 3.0)).toDF("g", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    assert(graft.operators.EventOps.acf(sparse, "g", "ts", "v", 2)
+      .count() === 0L)
+  }
 }

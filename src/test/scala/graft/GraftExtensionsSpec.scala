@@ -736,6 +736,26 @@ class GraftExtensionsSpec extends SparkSpec {
     }.getMessage.contains("disjoint"))
   }
 
+  test("acf and fuzzy_join TVFs agree with the Scala API") {
+    import org.apache.spark.sql.functions.{col, substring}
+    val s2 = spark.newSession()
+    val ev = graft.sources.Tables.events(s2, sfDir)
+    ev.createOrReplaceTempView("ev_acf")
+    val a = s2.sql("SELECT * FROM acf('ev_acf', 'event_type', 'ts', " +
+      "'value', 6)")
+    assert(a.columns.toSeq === Seq("g", "lag", "n", "acf"))
+    assert(a.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.acf(ev, "event_type", "ts", "value", 6)
+        .collect().map(_.toSeq).toSeq)
+    val pt = graft.sources.Tables.part(s2, sfDir)
+    pt.createOrReplaceTempView("pt_fz")
+    val f = s2.sql("SELECT * FROM fuzzy_join('pt_fz', 'p_name', 3, 1)")
+    assert(f.columns.toSeq === Seq("name_a", "name_b", "d", "n_a", "n_b"))
+    assert(f.collect().map(_.toSeq).toSeq ===
+      graft.operators.DedupOps.fuzzyNamePairs(pt, "p_name",
+        substring(col("name"), 1, 1), 3).collect().map(_.toSeq).toSeq)
+  }
+
   test("label_prop TVF agrees with the Scala API") {
     import org.apache.spark.sql.functions.col
     val s2 = spark.newSession()

@@ -532,6 +532,16 @@ class PlanSpec extends SparkSpec {
     assert(pe.contains("Window"), pe.take(2500))
   }
 
+  test("q_acf, q_fuzzy_join, q_label_prop: equi-joins only — the lag " +
+    "pairing, the blocked name join, and every LPA sweep avoid " +
+    "nested loops") {
+    Seq("q_acf", "q_fuzzy_join", "q_label_prop").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name: ${p.take(2500)}")
+    }
+  }
+
   test("q_interval_join runs as a bucket EQUI-join — the naive range " +
     "spelling would be a nested loop over sessions × sessions") {
     val p = plan(q("q_interval_join"))
