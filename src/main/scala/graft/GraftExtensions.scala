@@ -430,6 +430,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("fuzzy_join"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "fuzzy_join"),
       (exprs: Seq[Expression]) => GraftExtensions.fuzzyJoinPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("rolling_median"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "rolling_median"),
+      (exprs: Seq[Expression]) => GraftExtensions.rollingMedianPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("trend"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "trend"),
+      (exprs: Seq[Expression]) => GraftExtensions.trendPlan(exprs)))
   }
 }
 
@@ -1563,6 +1570,50 @@ object GraftExtensions {
     import org.apache.spark.sql.functions.substring
     graft.operators.DedupOps.fuzzyNamePairs(df, n,
         substring(col("name"), 1, prefix), maxD)
+      .queryExecution.analyzed
+  }
+
+  /** `rolling_median(table, part_col, ts_col, id_col, value_col
+    * [, span])` — per-group bounded-window rolling median
+    * ([[graft.operators.EventOps.rollingMedian]]), the robust twin of
+    * `ewma`. Returns the id, group, ts and value columns plus `rmed`,
+    * ordered by id. */
+  private[graft] def rollingMedianPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("rolling_median(table, part_col, ts_col, id_col, value_col " +
+      "[, span])", exprs, 5, 6)
+    val names = Seq("part_col", "ts_col", "id_col", "value_col")
+    val Seq(p, t, id, v) = (1 to 4).map(i =>
+      litStr("rolling_median", names(i - 1), exprs(i)))
+    val df = namedTable("rolling_median",
+      litStr("rolling_median", "table", exprs(0)), Seq(p, t, id, v))
+    val span = if (exprs.length > 5)
+      VectorOps.intArg("rolling_median", "span", exprs(5)) else 20
+    graft.operators.EventOps.rollingMedian(df, p, t, id, v, span)
+      .queryExecution.analyzed
+  }
+
+  /** `trend(table, group_col, ts_col, value_col [, bucket_seconds])` —
+    * per-group least-squares slope/intercept over the bucketed mean
+    * series ([[graft.operators.EventOps.trend]]). Returns
+    * `(g, n, slope, intercept)` ordered by group. */
+  private[graft] def trendPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("trend(table, group_col, ts_col, value_col " +
+      "[, bucket_seconds])", exprs, 4, 5)
+    val names = Seq("group_col", "ts_col", "value_col")
+    val Seq(g, t, v) = (1 to 3).map(i =>
+      litStr("trend", names(i - 1), exprs(i)))
+    val df = namedTable("trend", litStr("trend", "table", exprs(0)),
+      Seq(g, t, v))
+    val bs = if (exprs.length > 4)
+      litVal("trend", "bucket_seconds", exprs(4)) match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"trend expects a numeric literal for 'bucket_seconds'; " +
+            s"got $other")
+      }
+      else 3600L
+    graft.operators.EventOps.trend(df, g, t, v, bs)
       .queryExecution.analyzed
   }
 }

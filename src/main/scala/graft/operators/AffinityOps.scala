@@ -96,13 +96,15 @@ object AffinityOps {
   def basketPairs(df: DataFrame, basketCol: String, itemCol: String,
       maxBasket: Int = 64): DataFrame = {
     require(maxBasket >= 2, s"maxBasket must be >= 2; got $maxBasket")
-    val capped = cappedBaskets(df, basketCol, itemCol, maxBasket)
+    pairsFromCapped(cappedBaskets(df, basketCol, itemCol, maxBasket))
+  }
+
+  private def pairsFromCapped(capped: DataFrame): DataFrame =
     capped.as("a")
       .join(capped.as("b"),
         col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
       .groupBy(col("a.it").as("item1"), col("b.it").as("item2"))
       .agg(count(lit(1)).as("n_pair"))
-  }
 
   private def cappedBaskets(df: DataFrame, basketCol: String,
       itemCol: String, maxBasket: Int): DataFrame = {
@@ -125,10 +127,15 @@ object AffinityOps {
       minSupport: Int = 2, maxBasket: Int = 64, k: Int = 100): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1; got $minSupport")
     require(k >= 1, s"k must be >= 1; got $k")
+    require(maxBasket >= 2, s"maxBasket must be >= 2; got $maxBasket")
+    // the capped basket table feeds THREE consumers (pair mining, the
+    // item counts, the basket total) — checkpoint it so the
+    // distinct+size-filter pipeline runs once, not three times
     val capped = cappedBaskets(df, basketCol, itemCol, maxBasket)
+      .localCheckpoint()
     val nb = capped.agg(countDistinct(col("bk")).as("n"))
     val ic = capped.groupBy(col("it")).agg(count(lit(1)).as("cnt"))
-    val pr = basketPairs(df, basketCol, itemCol, maxBasket)
+    val pr = pairsFromCapped(capped)
       .filter(col("n_pair") >= minSupport)
       .join(ic.select(col("it").as("item1"), col("cnt").as("ca")), "item1")
       .join(ic.select(col("it").as("item2"), col("cnt").as("cb")), "item2")

@@ -327,6 +327,75 @@ object EventOps {
       .orderBy("g", "lag")
   }
 
+  /** Per-group rolling median of `valueCol` over a bounded `span`-row
+    * trailing window — the ROBUST smoothing twin of [[ewma]] (a single
+    * spike moves an EWMA but not the median). Exact: the frame's
+    * `collect_list` sorts and reads its middle (mean of the two
+    * middles for even frames — `quantile_cont(0.5)` semantics, so the
+    * DuckDB window-median oracle agrees bit-for-bit; the only
+    * arithmetic is one IEEE add and halve). Same scale stance as ewma:
+    * bounded frame, one partitioned ROWS window, per-row state ≤ span
+    * doubles, no join. */
+  def rollingMedian(df: DataFrame, partCol: String, tsCol: String,
+      idCol: String, valueCol: String, span: Int = 20): DataFrame = {
+    require(span >= 1 && span <= 4096, s"span must be in [1, 4096]; got $span")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    val s = col("__s"); val n = size(s)
+    val mid = element_at(s, ((n + lit(1)) / lit(2)).cast("int"))
+    val mid2 = element_at(s, (n / lit(2) + lit(1)).cast("int"))
+    df.select(col(idCol), col(partCol), col(tsCol), col(valueCol),
+        array_sort(collect_list(col(valueCol)).over(w)).as("__s"))
+      .select(col(idCol), col(partCol), col(tsCol), col(valueCol),
+        when(n % 2 === 1, mid)
+          .otherwise((mid + mid2) / lit(2.0)).as("rmed"))
+      .orderBy(idCol)
+  }
+
+  /** Per-group least-squares trend over the `bucketSeconds`-bucketed
+    * mean series: slope (units per bucket) and intercept (level at
+    * the group's FIRST bucket, x=0) of `m ~ a + b·x` where `x` is the
+    * bucket index relative to the group's first bucket — the
+    * "is this metric drifting?" companion to [[acf]]'s periodicity
+    * view. Groups need ≥3 buckets and x-variance > 0. Determinism:
+    * the same DECIMAL-moment fold as [[acf]]/q_corr; x is an exact
+    * small integer.
+    *
+    * Scale: identical to [[acf]] minus the lag fan-out — one map-side
+    * bucket aggregate, one tiny per-group min-bucket join (broadcast
+    * at any realistic group count), one |groups|-row result. */
+  def trend(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, bucketSeconds: Long = 3600): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val dec = DecimalType(38, 6)
+    val buckets = df.groupBy(col(groupCol).as("g"),
+        floor(unix_micros(col(tsCol)) / lit(bucketSeconds * 1000000L))
+          .as("b"))
+      .agg((sum(col(valueCol).cast(dec)).cast("double") /
+        count(lit(1))).as("m"))
+      .localCheckpoint()
+    val b0 = buckets.groupBy(col("g").as("g0"))
+      .agg(min(col("b")).as("bmin"))
+    val xy = buckets.join(b0, col("g") === col("g0"))
+      .select(col("g"), (col("b") - col("bmin")).cast("double").as("x"),
+        col("m"))
+    val agg = xy.groupBy("g")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast(dec)).cast("double").as("sx"),
+        sum(col("m").cast(dec)).cast("double").as("sy"),
+        sum((col("x") * col("m")).cast(dec)).cast("double").as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).cast("double").as("sxx"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    agg.filter(col("n") >= 3 && vx > 0)
+      .select(col("g"), col("n").cast("bigint").as("n"),
+        r6((col("n") * col("sxy") - col("sx") * col("sy")) / vx)
+          .as("slope"),
+        r6((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+          / vx * col("sx")) / col("n")).as("intercept"))
+      .orderBy("g")
+  }
+
   /** Per-user session intervals by gaps-and-islands (`gapSeconds`
     * inactivity closes a session): `(user, sid, st, en)` with CLOSED
     * bounds at the first/last event. The same engine-identical
@@ -678,6 +747,52 @@ object EventOps {
                 AND (n*syy - sy*sy) > 0
               ORDER BY event_type, lag"""),
       (s, d) => acf(Tables.events(s, d), "event_type", "ts", "value")
+        .withColumnRenamed("g", "event_type")),
+
+    // Robust smoothing twin of q_ewma on the same feed: the rolling
+    // window median via sorted frame list, quantile_cont(0.5)
+    // semantics on both engines.
+    Query(
+      "q_rolling_median",
+      Some("""SELECT event_id, user_id, ts, value,
+                     quantile_cont(value, 0.5) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                       AS rmed
+              FROM events ORDER BY event_id"""),
+      (s, d) => rollingMedian(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value")),
+
+    // Per-type hourly drift line: least-squares slope/intercept over
+    // the bucketed mean series — the trend companion to q_acf.
+    Query(
+      "q_trend",
+      Some("""WITH bk AS (
+                SELECT event_type AS g,
+                       CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                         AS b,
+                       CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                         / count(*) AS m
+                FROM events GROUP BY 1, 2),
+              b0 AS (SELECT g AS g0, min(b) AS bmin FROM bk GROUP BY 1),
+              xy AS (SELECT g, CAST(b - bmin AS DOUBLE) AS x, m
+                     FROM bk JOIN b0 ON g = g0),
+              ag AS (
+                SELECT g, CAST(count(*) AS DOUBLE) n,
+                  CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) sx,
+                  CAST(sum(CAST(m AS DECIMAL(38,6))) AS DOUBLE) sy,
+                  CAST(sum(CAST(x*m AS DECIMAL(38,6))) AS DOUBLE) sxy,
+                  CAST(sum(CAST(x*x AS DECIMAL(38,6))) AS DOUBLE) sxx
+                FROM xy GROUP BY 1)
+              SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+                     round((n*sxy - sx*sy) / (n*sxx - sx*sx)
+                           * 1000000.0)/1000000.0 AS slope,
+                     round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx)
+                           / n * 1000000.0)/1000000.0 AS intercept
+              FROM ag
+              WHERE n >= 3 AND (n*sxx - sx*sx) > 0
+              ORDER BY event_type"""),
+      (s, d) => trend(Tables.events(s, d), "event_type", "ts", "value")
         .withColumnRenamed("g", "event_type"))
   )
 }

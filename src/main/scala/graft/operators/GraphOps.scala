@@ -113,11 +113,19 @@ object GraphOps {
     * on node ids (AQE splits residual skew); nothing touches the
     * driver. */
   def triangles(edges: DataFrame): DataFrame = {
+    // the canonical edge list is referenced by FOUR downstream plans
+    // (degree table twice via the union, the orientation join, the
+    // closing-edge join) — left declarative, an expensive edge
+    // DERIVATION (q_triangles mines 1.2M co-purchase pairs for it)
+    // re-executes once per reference (measured 16.9 s → ~4 s at
+    // sf0.1). Same for the oriented table (3 references). Both are
+    // ≤|E| rows — the iterative-lineage cut of pageRank.
     val e = edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint()
     val deg = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -131,6 +139,7 @@ object GraphOps {
           struct(col("v").as("s"), col("u").as("t"), col("ud").as("td")))
         .as("o"))
       .select(col("o.s").as("s"), col("o.t").as("t"), col("o.td").as("td"))
+      .localCheckpoint()
     val wedges = oriented.as("x")
       .join(oriented.as("y"),
         col("x.s") === col("y.s") &&
@@ -259,12 +268,15 @@ object GraphOps {
                      round(r * 1000000.0) / 1000000.0 AS rank
               FROM r5 ORDER BY rank DESC, node LIMIT 20"""),
       (s, d) => {
+        // checkpoint BEFORE symmetrizing — the union scans e0 twice,
+        // and e0's plan is the lineitem⋈orders distinct
         val e0 = Tables.lineitem(s, d)
           .join(Tables.orders(s, d),
             col("l_orderkey") === col("o_orderkey"))
           .select((col("o_custkey") * 2).as("src"),
             (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
+          .localCheckpoint()
         val edges = e0.union(
           e0.select(col("dst").as("src"), col("src").as("dst")))
         // N = |customers| + |suppliers| — broadcast-sized by the
@@ -343,10 +355,13 @@ object GraphOps {
                FROM l4 GROUP BY lbl
                ORDER BY n_members DESC, community LIMIT 50"""),
       (s, d) => {
+        // checkpoint BEFORE symmetrizing: the union references e0
+        // twice, and e0's plan is the 1.2M-pair mine
         val e0 = AffinityOps.basketPairs(Tables.lineitem(s, d),
             "l_orderkey", "l_partkey")
           .filter(col("n_pair") >= 2)
           .select(col("item1").as("src"), col("item2").as("dst"))
+          .localCheckpoint()
         val edges = e0.union(
           e0.select(col("dst").as("src"), col("src").as("dst")))
         labelPropagation(edges, iterations = 4)

@@ -562,4 +562,49 @@ class EventOpsSpec extends SparkSpec {
     assert(graft.operators.EventOps.acf(sparse, "g", "ts", "v", 2)
       .count() === 0L)
   }
+
+  test("rollingMedian: hand-computed middles (odd and even frames) and " +
+    "robustness — a spike moves the EWMA but not the median") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "u", "2024-01-01 00:00:00", 1.0),
+      (2L, "u", "2024-01-01 00:01:00", 100.0), // spike
+      (3L, "u", "2024-01-01 00:02:00", 2.0),
+      (4L, "u", "2024-01-01 00:03:00", 3.0)
+    ).toDF("id", "g", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val med = graft.operators.EventOps
+      .rollingMedian(df, "g", "ts", "id", "v", span = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // frames: [1] → 1; [1,100] → 50.5; [1,2,100] → 2; [1,2,3,100] → 2.5
+    assert(med === Map(1L -> 1.0, 2L -> 50.5, 3L -> 2.0, 4L -> 2.5))
+    val ew = graft.operators.EventOps
+      .ewma(df, "g", "ts", "id", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // after the spike decays two steps, EWMA still carries it far
+    // above the data's 1-3 band; the median has fully rejected it
+    assert(ew(4L) > 20.0 && med(4L) < 3.0)
+  }
+
+  test("trend: an exact hourly line recovers slope and intercept " +
+    "exactly; constant series fit slope 0; short series drop") {
+    import spark.implicits._
+    val rows = (0 until 10).map { h =>
+      ("line", s"2024-01-01 ${"%02d".format(h)}:15:00", 3.0 + 2.0 * h)
+    } ++ (0 until 10).map { h =>
+      ("flat", s"2024-01-01 ${"%02d".format(h)}:15:00", 7.0)
+    } ++ Seq(("short", "2024-01-01 00:00:00", 1.0),
+      ("short", "2024-01-01 01:00:00", 2.0))
+    val df = rows.toDF("g", "ts", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = graft.operators.EventOps.trend(df, "g", "ts", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set("line", "flat")) // 'short' dropped (n<3)
+    assert(out("line")._1 === 10L)
+    assert(math.abs(out("line")._2 - 2.0) < 1e-9)
+    assert(math.abs(out("line")._3 - 3.0) < 1e-9)
+    assert(math.abs(out("flat")._2) < 1e-9)
+    assert(math.abs(out("flat")._3 - 7.0) < 1e-9)
+  }
 }

@@ -756,6 +756,25 @@ class GraftExtensionsSpec extends SparkSpec {
         substring(col("name"), 1, 1), 3).collect().map(_.toSeq).toSeq)
   }
 
+  test("rolling_median and trend TVFs agree with the Scala API") {
+    val s2 = spark.newSession()
+    val ev = graft.sources.Tables.events(s2, sfDir)
+    ev.createOrReplaceTempView("ev_rt")
+    val rm = s2.sql("SELECT * FROM rolling_median('ev_rt', 'user_id', " +
+      "'ts', 'event_id', 'value', 10)")
+    assert(rm.columns.toSeq ===
+      Seq("event_id", "user_id", "ts", "value", "rmed"))
+    assert(rm.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.rollingMedian(ev, "user_id", "ts",
+        "event_id", "value", 10).collect().map(_.toSeq).toSeq)
+    val tr = s2.sql("SELECT * FROM trend('ev_rt', 'event_type', 'ts', " +
+      "'value')")
+    assert(tr.columns.toSeq === Seq("g", "n", "slope", "intercept"))
+    assert(tr.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.trend(ev, "event_type", "ts", "value")
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("label_prop TVF agrees with the Scala API") {
     import org.apache.spark.sql.functions.col
     val s2 = spark.newSession()
