@@ -16,6 +16,9 @@ final case class RunOut(user_id: Long, event_id: Long, seq: Long,
 
 /** Per-key session aggregate carried across micro-batches (timerMs =
   * the single live event-time timer armed for this key; 0 = none). */
+final case class EwmaState(ewma: Double)
+final case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
+
 final case class SessionAgg(startMs: Long, lastMs: Long, n: Long,
     sum: Double, timerMs: Long)
 
@@ -135,6 +138,87 @@ object StatefulOps {
       else TimeMode.ProcessingTime()
     ev.groupByKey(_.user_id)
       .transformWithState(new RunningStatsProcessor(ttl), mode,
+        OutputMode.Append())
+  }
+
+  private def advanceEwma(st: Option[Double], alpha: Double,
+      events: Seq[UserEvent]): (Seq[EwmaOut], Double) = {
+    var s = st.getOrElse(Double.NaN)
+    val out = events.map { e =>
+      s = if (s.isNaN) e.value else alpha * e.value + (1 - alpha) * s
+      EwmaOut(e.user_id, e.event_id, s)
+    }
+    (out, s)
+  }
+
+  /** Batch form of the RECURSIVE per-key EWMA
+    * (`s_t = α·x_t + (1−α)·s_{t−1}`, seeded at the first value) — the
+    * streaming-natural spelling whose whole state is ONE double per
+    * key, vs the batch tier's bounded-window normalized q_ewma
+    * (EventOps.ewma); after `span` rows the two agree within
+    * `(1−α)^span` of the value range. Same no-group-buffering shape
+    * as [[runningStats]]: key-clustered shuffle, external sort, O(1)
+    * streamed state. */
+  def ewmaBatch(ev: Dataset[UserEvent], alpha: Double = 0.3)
+      : Dataset[EwmaOut] = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"alpha must be in (0, 1); got $alpha")
+    implicit val outEnc = Encoders.product[EwmaOut]
+    ev.repartition(ev("user_id"))
+      .sortWithinPartitions(ev("user_id"), ev("ts"), ev("event_id"))
+      .mapPartitions { it =>
+        var cur = Long.MinValue
+        var s = Double.NaN
+        it.map { e =>
+          if (e.user_id != cur) { cur = e.user_id; s = Double.NaN }
+          s = if (s.isNaN) e.value else alpha * e.value + (1 - alpha) * s
+          EwmaOut(e.user_id, e.event_id, s)
+        }
+      }
+  }
+
+  /** The recursive EWMA on `transformWithState`: one
+    * `ValueState[EwmaState]` per key (a single double — the smallest
+    * possible streaming-smoothing state), rows folded in event order
+    * within each batch, state carried across micro-batches. TTL as in
+    * [[runningStatsTws]]. StateStoreSpec pins stream ≡ batch at any
+    * micro-batch split. */
+  final class EwmaProcessor(alpha: Double,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, UserEvent, EwmaOut] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    @transient private var state:
+      org.apache.spark.sql.streaming.ValueState[EwmaState] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[EwmaState]("ewmaState",
+        Encoders.product[EwmaState], ttl)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[EwmaOut] = {
+      val st = if (state.exists()) Some(state.get().ewma) else None
+      val (out, s) = advanceEwma(st, alpha,
+        rows.toSeq.sortBy(eventOrder))
+      state.update(EwmaState(s))
+      out.iterator
+    }
+  }
+
+  /** Streaming recursive EWMA (requires the RocksDB provider — the
+    * transformWithState contract). */
+  def ewmaTws(ev: Dataset[UserEvent], alpha: Double = 0.3,
+      ttl: org.apache.spark.sql.streaming.TTLConfig =
+        org.apache.spark.sql.streaming.TTLConfig.NONE): Dataset[EwmaOut] = {
+    require(alpha > 0.0 && alpha < 1.0,
+      s"alpha must be in (0, 1); got $alpha")
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    implicit val outEnc = Encoders.product[EwmaOut]
+    implicit val keyEnc = Encoders.scalaLong
+    val mode = if (ttl == TTLConfig.NONE) TimeMode.None()
+      else TimeMode.ProcessingTime()
+    ev.groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor(alpha, ttl), mode,
         OutputMode.Append())
   }
 

@@ -236,6 +236,54 @@ class StateStoreSpec extends SparkSpec {
     assert(out === expected, "transformWithState diverges from batch form")
   }
 
+  test("transformWithState recursive EWMA: one double of state per " +
+      "key, cross-batch fold equal to the batch form, and after a " +
+      "window of rows it converges to the bounded-window q_ewma") {
+    val ev = (0 until 30).map(i =>
+      UserEvent(1L + i % 2, 100L + i, ts(i + 1),
+        if (i % 5 == 0) 10.0 else 2.0))
+    val s = StateStores.rocksDBSession(spark)
+    import s.implicits._
+    val in = MemoryStream[UserEvent](s)
+    val name = s"ss_ewma_${System.nanoTime()}"
+    val q = StatefulOps.ewmaTws(in.toDS(), alpha = 0.3)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").option("checkpointLocation", tmpCkpt()).start()
+    in.addData(ev.take(11): _*)   // uneven micro-batch split
+    q.processAllAvailable()
+    in.addData(ev.drop(11): _*)
+    q.processAllAvailable()
+    val out = s.table(name).as[EwmaOut].collect()
+      .sortBy(r => (r.user_id, r.event_id)).toSeq
+    assertEngaged("RocksDB", q)
+    q.stop()
+    val batch = {
+      import spark.implicits._
+      StatefulOps.ewmaBatch(ev.toDS(), alpha = 0.3)
+        .collect().sortBy(r => (r.user_id, r.event_id)).toSeq
+    }
+    assert(out.map(_.user_id) === batch.map(_.user_id))
+    out.zip(batch).foreach { case (a, b) =>
+      assert(a.event_id === b.event_id &&
+        math.abs(a.ewma - b.ewma) < 1e-12, s"$a vs $b")
+    }
+    // convergence to the batch tier's bounded-window normalized form:
+    // by the last row of each key (15 rows deep), the truncated-tail
+    // and seeding differences are < (1-α)^14 of the value range
+    val bounded = {
+      import spark.implicits._
+      graft.operators.EventOps.ewma(ev.toDS().toDF(),
+          "user_id", "ts", "event_id", "value", alpha = 0.3, span = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(4))).toMap
+    }
+    val lastPerKey = out.groupBy(_.user_id).view
+      .mapValues(_.maxBy(_.event_id)).toMap
+    lastPerKey.foreach { case (_, o) =>
+      assert(math.abs(o.ewma - bounded(o.event_id)) < 8.0 * 0.05,
+        s"recursive ${o.ewma} vs bounded ${bounded(o.event_id)}")
+    }
+  }
+
   test("transformWithState EVENT-TIME TIMERS: sessions close by " +
       "in-stream gap-out AND by watermark timer for idle keys, " +
       "identically under both providers") {
