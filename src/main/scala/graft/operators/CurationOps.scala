@@ -30,7 +30,7 @@ object CurationOps {
 
   // The oracle's spelling of hashDraw: DuckDB lacks base-16 conv, so the
   // four nibbles are parsed positionally.
-  private def sqlDraw(key: String): String =
+  private[operators] def sqlDraw(key: String): String =
     (0 until 4).map { i =>
       s"(instr('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), ${i + 1}, 1)) - 1) " +
         s"* ${1 << (4 * (3 - i))}"

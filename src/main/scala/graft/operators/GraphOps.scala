@@ -156,6 +156,48 @@ object GraphOps {
       .orderBy("p1", "p2", "p3")
   }
 
+  /** Bounded-hop BFS shortest-path distances from one source over a
+    * DIRECTED edge list `(src, dst)` (callers symmetrize for
+    * undirected graphs): frontier expansion with a visited set, so a
+    * node's recorded distance is its FIRST arrival hop — exactly the
+    * minimum distance (the BFS invariant), never refined later.
+    * `maxHops` bounds the sweep; unreached nodes are absent.
+    *
+    * Scale: per hop — one equi-join of the edge list to the (≤ layer
+    * size) frontier, a distinct, and an anti-join against the visited
+    * set, all shuffles keyed on node id (AQE splits hub skew); the
+    * frontier is O(|layer|), never O(|V|), and nothing touches the
+    * driver. Per-hop state is `localCheckpoint`ed — the iterative-
+    * lineage cut of [[pageRank]] — so hop t's plan is a shallow join
+    * of stored blocks, not a t-deep replay. Determinism: the result
+    * is a pure function of the edge set (BFS layers are
+    * set-determined; no ordering or partitioning sensitivity). */
+  def shortestPaths(edges: DataFrame, sourceId: Long,
+      maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50,
+      s"maxHops must be in [1, 50]; got $maxHops")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).localCheckpoint()
+    val spark = edges.sparkSession
+    var visited = spark.range(1)
+      .select(lit(sourceId).as("node"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = visited.select("node")
+    var h = 1
+    while (h <= maxHops) {
+      val next = e
+        .join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select("node")
+      h += 1
+    }
+    visited
+  }
+
   /** Synchronous label-propagation community detection over a
     * DIRECTED edge list (callers symmetrize): `l₀(v) = v`;
     * `lₜ₊₁(v) = ` the most frequent label among v's in-neighbors,
@@ -369,6 +411,60 @@ object GraphOps {
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("n_members").desc, col("community"))
           .limit(50)
+      }),
+
+    // BFS hop distances from customer 1 over the symmetrized
+    // customer↔supplier trade graph (the q_pagerank edge set, packed
+    // long ids) within 4 hops — "how far is every trading partner
+    // from this account", the reachability question behind blast-
+    // radius and supply-chain exposure analyses. The oracle is a
+    // DuckDB recursive CTE enumerating every (node, d≤4) arrival and
+    // taking min(d) — true shortest distances, so hash-green pins the
+    // BFS visited-set invariant (first arrival = minimum), not just a
+    // sweep-for-sweep replay.
+    Query(
+      "q_shortest_path",
+      Some("""WITH RECURSIVE e0 AS (
+                SELECT DISTINCT o_custkey * 2 AS src,
+                       l_suppkey * 2 + 1 AS dst
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              edges AS (SELECT src, dst FROM e0
+                        UNION ALL SELECT dst, src FROM e0),
+              walk(node, d) AS (
+                SELECT CAST(2 AS BIGINT), 0
+                UNION
+                SELECT e.dst, w.d + 1
+                FROM walk w JOIN edges e ON e.src = w.node
+                WHERE w.d < 4)
+              SELECT CASE WHEN node % 2 = 0
+                       THEN 'c' || CAST(CAST(node / 2 AS BIGINT) AS VARCHAR)
+                       ELSE 's' || CAST(CAST((node - 1) / 2 AS BIGINT)
+                                        AS VARCHAR) END AS node,
+                     min(d) AS dist
+              FROM walk GROUP BY 1 ORDER BY dist, node"""),
+      (s, d) => {
+        // checkpoint BEFORE symmetrizing (the q_pagerank stance): the
+        // union scans e0 twice, and e0's plan is the lineitem⋈orders
+        // distinct
+        val e0 = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("src"),
+            (col("l_suppkey") * 2 + 1).as("dst"))
+          .distinct()
+          .localCheckpoint()
+        val edges = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        shortestPaths(edges, sourceId = 2L, maxHops = 4)
+          .select(
+            when(col("node") % 2 === 0,
+              concat(lit("c"), (col("node") / 2).cast("long")
+                .cast("string")))
+              .otherwise(concat(lit("s"),
+                ((col("node") - 1) / 2).cast("long").cast("string")))
+              .as("node"),
+            col("dist"))
+          .orderBy("dist", "node")
       })
   )
 }

@@ -1,0 +1,277 @@
+package graft.operators
+
+import graft.Query
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Decision-analytics tier: multi-objective frontier extraction
+  * (skyline), robust statistics (winsorized means), and experiment
+  * readouts (two-proportion A/B z-test) — the "which rows matter and is
+  * the difference real" questions a warehouse answers daily, each with
+  * an exact DuckDB oracle.
+  *
+  * Everything here is declarative DataFrame code: Catalyst plans it,
+  * the shuffles are keyed hash-aggregations, and the only global sorts
+  * run over provably tiny inputs (a 256-row bucket table, the frontier
+  * candidate set) declared via [[BoundedWindow.key]].
+  */
+object StatsOps {
+
+  /** 2-D Pareto frontier (skyline) of distinct `(x, y)` points, both
+    * dimensions maximized: a point survives iff no other point is ≥ in
+    * both dimensions and > in at least one.
+    *
+    * Scale design — prune-then-verify, never all-pairs:
+    *  1. PREFILTER: points bucket by `x` into 256 coarse ranges (the
+    *     min/max ride along as a broadcast 1-row aggregate — no driver
+    *     `.collect()`). For each bucket the running max of `y` over
+    *     strictly-HIGHER buckets (a 256-row bounded window) dominates
+    *     everything at or below it: any point with `y ≤` that max
+    *     loses to some strictly-richer point and is dropped in one
+    *     codegen'd pass. A within-bucket staircase window (partitioned
+    *     by bucket — scales out) removes bucket-local dominated points
+    *     too.
+    *  2. VERIFY: the survivors — the union of 256 bucket staircases,
+    *     already cross-bucket pruned — run the exact sort-scan: order
+    *     by `(x DESC, y DESC)`, keep a point iff its `y` strictly
+    *     exceeds the running max of all preceding rows. This stage is
+    *     O(|candidates|), and |candidates| is output-bounded in the
+    *     anti-correlated worst case (when the frontier itself is the
+    *     answer, no algorithm returns less); on correlated real data
+    *     it is a few rows per bucket. The window is global on purpose
+    *     and declared via [[BoundedWindow.key]].
+    *
+    * The prefilter can never drop a frontier point (a strictly-higher-
+    * bucket point with `y ≥` yours dominates you by definition), and a
+    * skyline over any dominated-point-free superset of the frontier
+    * equals the frontier — so the two phases compose exactly; the
+    * DuckDB oracle runs the one-pass sort-scan over ALL points and
+    * must agree row-for-row. */
+  def skyline(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pts = df.select(col(xCol).as("x"), col(yCol).as("y")).distinct()
+    val bounds = pts.agg(min(col("x").cast("double")).as("xmin"),
+      max(col("x").cast("double")).as("xmax"))
+    val bucketed = pts.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        least(lit(255), greatest(lit(0),
+          floor((col("x").cast("double") - col("xmin")) * 256.0 /
+            (col("xmax") - col("xmin") + lit(1e-9))))).cast("int"))
+      .drop("xmin", "xmax")
+    // per-bucket max y, then the max over strictly higher buckets —
+    // a ≤256-row table, bounded by construction
+    val bmax = bucketed.groupBy("bkt").agg(max("y").as("by"))
+    val hmax = bmax.withColumn("hmax",
+      max(col("by")).over(
+        Window.partitionBy(BoundedWindow.key(col("bkt")))
+          .orderBy(col("bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bkt"), col("hmax"))
+    // cross-bucket prune + within-bucket staircase (partitioned window)
+    val wb = Window.partitionBy("bkt")
+      .orderBy(col("x").desc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val survivors = bucketed
+      .join(broadcast(hmax), "bkt")
+      .filter(col("hmax").isNull || col("y") > col("hmax"))
+      .withColumn("bmax", max(col("y")).over(wb))
+      .filter(col("bmax").isNull || col("y") > col("bmax"))
+      .select("x", "y")
+    // exact pass over the candidate set — global window, bounded by
+    // the prune (worst case = the frontier itself, i.e. the output)
+    val wg = Window.partitionBy(BoundedWindow.key(col("x")))
+      .orderBy(col("x").desc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    survivors
+      .withColumn("mx", max(col("y")).over(wg))
+      .filter(col("mx").isNull || col("y") > col("mx"))
+      .select("x", "y")
+  }
+
+  /** Per-group winsorized mean: clamp values at the group's discrete
+    * p05/p95 (actual data values — `percentile_disc`, so no
+    * interpolation arithmetic can drift cross-engine) and average the
+    * clamped column. The robust-mean twin of plain `avg` — one
+    * outlier-heavy supplier no longer owns the group statistic.
+    *
+    * Scale: one pass for the two discrete percentiles per group (≤
+    * |groups| rows, broadcast back), one clamped-aggregate pass —
+    * both map-side-combined hash aggregations; sums run in
+    * DECIMAL(18,2)-exact cents so partial-agg order can't perturb the
+    * 6-dp mean. */
+  def winsorizedMean(df: DataFrame, groupCol: String, valCol: String,
+      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bad bounds [$lo, $hi]")
+    val cuts = df.groupBy(col(groupCol))
+      .agg(
+        expr(s"percentile_disc($lo) WITHIN GROUP (ORDER BY $valCol)")
+          .as("p_lo"),
+        expr(s"percentile_disc($hi) WITHIN GROUP (ORDER BY $valCol)")
+          .as("p_hi"))
+    df.join(broadcast(cuts), groupCol)
+      .select(col(groupCol),
+        least(greatest(col(valCol), col("p_lo")), col("p_hi")).as("w"),
+        col(valCol).as("v"), col("p_lo"), col("p_hi"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        min("p_lo").cast("decimal(18,2)").as("p_lo"),
+        max("p_hi").cast("decimal(18,2)").as("p_hi"),
+        (round(sum(col("v").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)) * lit(1000000.0)) / lit(1000000.0))
+          .as("mean_raw"),
+        (round(sum(col("w").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)) * lit(1000000.0)) / lit(1000000.0))
+          .as("mean_wins"))
+  }
+
+  /** Two-proportion A/B readout: deterministic 50/50 variant
+    * assignment from the md5 hash draw (the q_split_assign
+    * primitive — no RNG state, reproducible across engines and
+    * retries), per-variant conversion counts, and the pooled
+    * two-proportion z statistic `(p_A − p_B) / √(p̂(1−p̂)(1/n_A+1/n_B))`
+    * repeated on both rows.
+    *
+    * Scale: conversion is a `max(flag)` grouped by unit — one shuffle
+    * keyed on the unit id; the per-variant rollup is 2 rows, and the z
+    * arithmetic runs on broadcast scalars. Everything up to the final
+    * division is integer-exact, so the 6-dp rounding is the only float
+    * step and both engines agree bit-for-bit. */
+  def abMetrics(units: DataFrame, unitCol: String, converted: DataFrame,
+      convUnitCol: String): DataFrame = {
+    val v = units.select(col(unitCol).as("unit"),
+      when(CurationOps.hashDraw(col(unitCol)) < 32768, "A")
+        .otherwise("B").as("variant"))
+    val conv = v.join(
+        converted.select(col(convUnitCol).as("unit"),
+          lit(1).as("flag")).distinct(),
+        Seq("unit"), "left")
+      .groupBy("unit", "variant")
+      .agg(max(coalesce(col("flag"), lit(0))).as("converted"))
+    val per = conv.groupBy("variant")
+      .agg(count(lit(1)).as("n_units"), sum("converted").as("n_conv"))
+    val tot = per.agg(
+      sum(when(col("variant") === "A", col("n_units"))).as("na"),
+      sum(when(col("variant") === "A", col("n_conv"))).as("ca"),
+      sum(when(col("variant") === "B", col("n_units"))).as("nb"),
+      sum(when(col("variant") === "B", col("n_conv"))).as("cb"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("p", (col("ca") + col("cb")).cast("double") /
+        (col("na") + col("nb")))
+      .select(col("variant"), col("n_units"), col("n_conv"),
+        (round(col("n_conv").cast("double") / col("n_units")
+          * lit(1000000.0)) / lit(1000000.0)).as("rate"),
+        (round((col("ca").cast("double") / col("na")
+            - col("cb").cast("double") / col("nb"))
+          / sqrt(col("p") * (lit(1.0) - col("p"))
+            * (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+          * lit(1000000.0)) / lit(1000000.0)).as("z"))
+  }
+
+  val all: Seq[Query] = Seq(
+    // Pareto frontier of orders over (totalprice ↑, orderdate ↑): the
+    // orders no other order beats on both value and recency. The
+    // oracle runs the textbook one-pass sort-scan over ALL distinct
+    // points; hash-green therefore pins the engine's two-phase
+    // bucket-prune + verify as EXACTLY frontier-preserving.
+    Query(
+      "q_skyline",
+      Some("""WITH pts AS (
+                SELECT DISTINCT CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                       o_orderdate AS odate FROM orders),
+              rk AS (SELECT price, odate,
+                            max(odate) OVER (ORDER BY price DESC, odate DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS mx
+                     FROM pts),
+              fr AS (SELECT price, odate FROM rk
+                     WHERE mx IS NULL OR odate > mx)
+              SELECT o.o_orderkey,
+                     CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+                     o.o_orderdate AS odate
+              FROM orders o
+              JOIN fr ON CAST(o.o_totalprice AS DECIMAL(18,2)) = fr.price
+                     AND o.o_orderdate = fr.odate
+              ORDER BY price DESC, o.o_orderkey"""),
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("price"),
+            col("o_orderdate").as("odate"))
+        ord.join(
+            skyline(ord, "price", "odate")
+              .select(col("x").as("price"), col("y").as("odate")),
+            Seq("price", "odate"))
+          .select(col("o_orderkey"), col("price"), col("odate"))
+          .orderBy(col("price").desc, col("o_orderkey"))
+      }),
+
+    // Winsorized per-flag mean of lineitem extendedprice, p05/p95
+    // discrete clamps. percentile_disc picks ACTUAL stored doubles on
+    // both engines — no interpolation drift — and the means sum exact
+    // DECIMAL cents.
+    Query(
+      "q_winsorize",
+      Some("""WITH cuts AS (
+                SELECT l_returnflag,
+                       quantile_disc(l_extendedprice, 0.05) AS p_lo,
+                       quantile_disc(l_extendedprice, 0.95) AS p_hi
+                FROM lineitem GROUP BY l_returnflag)
+              SELECT l.l_returnflag, count(*) AS n,
+                     CAST(min(c.p_lo) AS DECIMAL(18,2)) AS p_lo,
+                     CAST(max(c.p_hi) AS DECIMAL(18,2)) AS p_hi,
+                     round(CAST(sum(CAST(l.l_extendedprice
+                         AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) * 1000000.0) / 1000000.0 AS mean_raw,
+                     round(CAST(sum(CAST(least(greatest(l.l_extendedprice,
+                           c.p_lo), c.p_hi) AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) * 1000000.0) / 1000000.0 AS mean_wins
+              FROM lineitem l JOIN cuts c USING (l_returnflag)
+              GROUP BY l.l_returnflag
+              ORDER BY l.l_returnflag"""),
+      (s, d) => winsorizedMean(Tables.lineitem(s, d), "l_returnflag",
+          "l_extendedprice")
+        .orderBy("l_returnflag")),
+
+    // A/B readout: customers split 50/50 by hash draw; conversion =
+    // placed at least one >$480k order. Integer-exact to the last
+    // division; z repeated per row so the 2-row result carries the
+    // whole readout.
+    Query(
+      "q_ab_metrics",
+      Some(s"""WITH v AS (
+                 SELECT c_custkey AS unit,
+                        CASE WHEN ${CurationOps.sqlDraw("c_custkey")} < 32768
+                          THEN 'A' ELSE 'B' END AS variant
+                 FROM customer),
+               conv AS (
+                 SELECT v.unit, v.variant,
+                        max(CASE WHEN o.o_totalprice > 480000
+                            THEN 1 ELSE 0 END) AS converted
+                 FROM v LEFT JOIN orders o ON v.unit = o.o_custkey
+                 GROUP BY v.unit, v.variant),
+               per AS (
+                 SELECT variant, count(*) AS n_units,
+                        sum(converted) AS n_conv
+                 FROM conv GROUP BY variant),
+               tot AS (
+                 SELECT sum(CASE WHEN variant = 'A' THEN n_units END) AS na,
+                        sum(CASE WHEN variant = 'A' THEN n_conv END) AS ca,
+                        sum(CASE WHEN variant = 'B' THEN n_units END) AS nb,
+                        sum(CASE WHEN variant = 'B' THEN n_conv END) AS cb
+                 FROM per)
+               SELECT variant, n_units, n_conv,
+                      round(n_conv * 1.0 / n_units * 1000000.0)
+                        / 1000000.0 AS rate,
+                      round((ca * 1.0 / na - cb * 1.0 / nb)
+                        / sqrt(((ca + cb) * 1.0 / (na + nb))
+                          * (1.0 - (ca + cb) * 1.0 / (na + nb))
+                          * (1.0 / na + 1.0 / nb))
+                        * 1000000.0) / 1000000.0 AS z
+               FROM per CROSS JOIN tot ORDER BY variant"""),
+      (s, d) => abMetrics(Tables.customer(s, d), "c_custkey",
+          Tables.orders(s, d).filter(col("o_totalprice") > 480000)
+            .select("o_custkey"), "o_custkey")
+        .orderBy("variant"))
+  )
+}

@@ -269,6 +269,53 @@ object TextOps {
       .orderBy(col("est").desc, col("tok"))
   }
 
+  /** Per-group Shannon entropy of the token distribution — the
+    * corpus-diversity signal next to the heuristic quality ratios: a
+    * source whose token entropy collapses is boilerplate or template
+    * spam long before a human reads it. `H = log₂T − (Σ c·ln c)/T/ln2`
+    * over per-token counts `c`, total `T` — one explode (linear), one
+    * hash-agg shuffle on (group, token) with map-side combine, then a
+    * per-group rollup; nothing is driver-side. Each `c·ln c` term
+    * rounds into DECIMAL(38,12) before summing (the q_drift stance) so
+    * partial-aggregation order and last-ulp libm divergence cannot
+    * perturb the 6-dp result. */
+  def tokenEntropy(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(groupCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum((col("c").cast("double") * log(col("c").cast("double")))
+          .cast(DecimalType(38, 12))).as("clnc"))
+      .select(col(groupCol), col("n_tokens"), col("n_distinct"),
+        (round((log(col("n_tokens").cast("double"))
+            - col("clnc").cast("double") / col("n_tokens"))
+          / log(lit(2.0)) * lit(1000000.0)) / lit(1000000.0))
+          .as("entropy"))
+
+  /** Top-k word n-grams of a corpus — collocation mining and the
+    * boilerplate-detection primitive (a crawl's top bigrams ARE its
+    * navigation chrome). The n-gram stream is built inside codegen
+    * (`transform` over an index sequence + `slice`/`concat_ws` — no
+    * UDF, no self-join on token position), exploded, and hash-agged:
+    * one linear pass plus ONE shuffle on the n-gram key with map-side
+    * combine, then a distributed partial top-k. The exact count is the
+    * corollary of `q_text_tokenize`'s shape; at 100 TB the mergeable
+    * frequent-items sketch ([[topkTokensApprox]]) is the same query
+    * without the Zipf-skewed full shuffle. */
+  def ngramTopK(docs: DataFrame, textCol: String, n: Int = 2,
+      k: Int = 50): DataFrame = {
+    require(n >= 2 && n <= 8, s"n must be in [2, 8]; got $n")
+    val t = tokens(col(textCol))
+    val grams = when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(explode(grams).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram")).limit(k)
+  }
+
   val all: Seq[Query] = Seq(
     // Token frequency: the explode/groupBy (Generator + hash agg) shape.
     // Top-100 with deterministic (n DESC, token) order.
@@ -538,6 +585,42 @@ object TextOps {
               SELECT doc_id, n_tok, xent,
                      round(exp(xent) * 1000000.0) / 1000000.0 AS ppl
               FROM agg ORDER BY doc_id"""),
-      (s, d) => unigramPerplexity(Tables.documents(s, d), "doc_id", "text"))
+      (s, d) => unigramPerplexity(Tables.documents(s, d), "doc_id", "text")),
+
+    // Per-source token entropy: diversity scoring per corpus slice.
+    // The oracle mirrors the DECIMAL(38,12)-rounded c·ln(c) terms, so
+    // hash-green pins the drift stance, not just the formula.
+    Query(
+      "q_entropy",
+      Some("""WITH cnt AS (
+                SELECT source, tok, count(*) AS c
+                FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY source, tok),
+              agg AS (
+                SELECT source, sum(c) AS n_tokens, count(*) AS n_distinct,
+                       sum(CAST(c * ln(c) AS DECIMAL(38,12))) AS clnc
+                FROM cnt GROUP BY source)
+              SELECT source, n_tokens, n_distinct,
+                     round((ln(n_tokens) - CAST(clnc AS DOUBLE) / n_tokens)
+                       / ln(2) * 1000000.0) / 1000000.0 AS entropy
+              FROM agg ORDER BY source"""),
+      (s, d) => tokenEntropy(Tables.documents(s, d), "source", "text")
+        .orderBy("source")),
+
+    // Top-50 corpus bigrams: collocations / boilerplate chrome. The
+    // oracle builds the identical n-gram stream with a list_transform
+    // over 1-indexed slices.
+    Query(
+      "q_ngram_topk",
+      Some("""WITH l AS (SELECT string_split(text, ' ') AS l
+                         FROM documents),
+              bg AS (SELECT unnest(list_transform(
+                       range(0, greatest(len(l) - 1, 0)),
+                       i -> array_to_string(l[i+1:i+2], ' '))) AS ngram
+                     FROM l)
+              SELECT ngram, count(*) AS n FROM bg
+              GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50"""),
+      (s, d) => ngramTopK(Tables.documents(s, d), "text", n = 2, k = 50))
   )
 }

@@ -104,4 +104,35 @@ class GraphOpsSpec extends SparkSpec {
     assert(sizes === sizes.sorted.reverse)
     assert(base.map(_(0)).distinct.length === base.length)
   }
+
+  test("shortestPaths: hand-computed distances on a path-plus-chord " +
+    "graph, unreachable nodes absent, maxHops truncates the frontier") {
+    // 1—2—3—4—5 with chord 1—4; node 9 isolated edge 9—10.
+    // From 1: d(1)=0, d(2)=1, d(4)=1 (chord beats the path), d(3)=2,
+    // d(5)=2; 9/10 unreachable.
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (9L, 10L)).toDF("src", "dst")
+    val edges = e0.union(e0.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val d = GraphOps.shortestPaths(edges, sourceId = 1L, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+    // maxHops=1 stops at the first layer
+    val d1 = GraphOps.shortestPaths(edges, sourceId = 1L, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d1 === Map(1L -> 0, 2L -> 1, 4L -> 1))
+  }
+
+  test("shortestPaths: BFS first-arrival equals min distance under " +
+    "repartitioning, and the visited set never revises a distance") {
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+      .repartition(7)
+    val edges = e0.union(e0.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val d = GraphOps.shortestPaths(edges, 1L, maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 3 is reachable in 1 via the direct edge AND in 2 via 2 — the
+    // visited anti-join must keep the hop-1 arrival
+    assert(d === Map(1L -> 0, 2L -> 1, 3L -> 1))
+  }
 }

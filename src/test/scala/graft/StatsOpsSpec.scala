@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.{StatsOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Laws for the decision-analytics tier (StatsOps) plus the entropy /
+  * n-gram text additions. The oracle gate hash-compares each query
+  * against DuckDB at sf0.01; these pin the algorithms themselves —
+  * skyline vs brute-force dominance on random point sets, winsorize
+  * clamp laws, the z-statistic's closed form, entropy edge cases. */
+class StatsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- skyline -------------------------------------------------------
+
+  private def bruteSkyline(pts: Seq[(Double, Double)]): Set[(Double, Double)] = {
+    val d = pts.distinct
+    d.filter { case (x, y) =>
+      !d.exists { case (a, b) =>
+        a >= x && b >= y && (a > x || b > y)
+      }
+    }.toSet
+  }
+
+  test("skyline equals brute-force dominance on random point sets " +
+    "(correlated, anti-correlated, and duplicate-heavy)") {
+    val rnd = new scala.util.Random(42)
+    val shapes: Seq[Seq[(Double, Double)]] = Seq(
+      // independent uniform
+      Seq.fill(400)((rnd.nextDouble() * 100, rnd.nextDouble() * 100)),
+      // anti-correlated: the frontier is most of the data
+      (0 until 200).map(i => (i.toDouble, (200 - i).toDouble)),
+      // correlated + duplicates: tiny frontier, repeated points
+      Seq.fill(300) {
+        val v = rnd.nextInt(50).toDouble
+        (v, v + rnd.nextInt(3))
+      })
+    shapes.foreach { pts =>
+      val got = StatsOps.skyline(pts.toDF("x", "y"), "x", "y")
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+      assert(got === bruteSkyline(pts))
+    }
+  }
+
+  test("skyline is deterministic under repartitioning and contains " +
+    "the global maxima of each dimension") {
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(500)((rnd.nextDouble() * 10, rnd.nextDouble() * 10))
+    val df = pts.toDF("x", "y")
+    val a = StatsOps.skyline(df, "x", "y").collect().toSet
+    val b = StatsOps.skyline(df.repartition(13), "x", "y").collect().toSet
+    assert(a === b)
+    val got = a.map(r => (r.getDouble(0), r.getDouble(1)))
+    val maxX = pts.maxBy(p => (p._1, p._2))
+    val maxY = pts.maxBy(p => (p._2, p._1))
+    assert(got.contains(maxX) && got.contains(maxY))
+  }
+
+  // -- winsorized mean ----------------------------------------------
+
+  test("winsorizedMean: clamped mean sits within [p_lo, p_hi], raw " +
+    "mean matches avg, and an injected outlier moves only mean_raw") {
+    val base = (1 to 100).map(i => ("g", i * 100.0))
+    val withOutlier = base :+ ("g", 1e9)
+    val r = StatsOps.winsorizedMean(withOutlier.toDF("k", "v"), "k", "v")
+      .collect().head
+    val lo = r.getAs[java.math.BigDecimal]("p_lo").doubleValue()
+    val hi = r.getAs[java.math.BigDecimal]("p_hi").doubleValue()
+    val raw = r.getAs[Double]("mean_raw")
+    val wins = r.getAs[Double]("mean_wins")
+    assert(lo < hi && wins >= lo && wins <= hi)
+    // the 1e9 outlier dominates the raw mean but is clamped to p_hi
+    assert(raw > 1e6 && wins < 20000)
+    // p_lo / p_hi are actual data values (percentile_disc)
+    val vals = withOutlier.map(_._2).toSet
+    assert(vals.contains(lo) && vals.contains(hi))
+  }
+
+  test("winsorizedMean with degenerate bounds (lo=0, hi=1) reduces to " +
+    "the plain mean") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 60.0)).toDF("k", "v")
+    val r = StatsOps.winsorizedMean(df, "k", "v", lo = 0.0, hi = 1.0)
+      .collect().head
+    assert(r.getAs[Double]("mean_raw") === 30.0)
+    assert(r.getAs[Double]("mean_wins") === 30.0)
+  }
+
+  // -- A/B metrics ---------------------------------------------------
+
+  test("abMetrics: counts partition the population, rates are " +
+    "n_conv/n_units, and z matches the closed form computed by hand") {
+    val units = (1L to 400L).toDF("id")
+    // convert exactly the multiples of 3
+    val conv = (1L to 400L).filter(_ % 3 == 0).toDF("id")
+    val rows = StatsOps.abMetrics(units, "id", conv, "id")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (na, ca, rateA, zA) = rows("A")
+    val (nb, cb, rateB, zB) = rows("B")
+    assert(na + nb === 400 && ca + cb === 133)
+    assert(math.abs(rateA - ca.toDouble / na) < 1e-6)
+    assert(math.abs(rateB - cb.toDouble / nb) < 1e-6)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z = (ca.toDouble / na - cb.toDouble / nb) /
+      math.sqrt(p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(zA - z) < 1e-6 && zA === zB)
+  }
+
+  // -- token entropy -------------------------------------------------
+
+  test("tokenEntropy: uniform distribution scores log2(n), a single " +
+    "repeated token scores 0, and counts are exact") {
+    val docs = Seq(
+      ("u", "a b c d"),      // 4 distinct, uniform → log2(4) = 2
+      ("m", "x x x x"))      // 1 token repeated → 0
+      .toDF("source", "text")
+    val r = TextOps.tokenEntropy(docs, "source", "text")
+      .collect().map(row => row.getString(0) ->
+        (row.getLong(1), row.getLong(2), row.getDouble(3))).toMap
+    assert(r("u") === ((4L, 4L, 2.0)))
+    assert(r("m") === ((4L, 1L, 0.0)))
+  }
+
+  // -- n-gram top-k --------------------------------------------------
+
+  test("ngramTopK: bigram counts match a hand count, short docs emit " +
+    "nothing, ties break lexicographically, and trigrams generalize") {
+    val docs = Seq("a b a b", "a b", "z").toDF("text")
+    val bi = TextOps.ngramTopK(docs, "text", n = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "a b a b" → [a b, b a, a b]; "a b" → [a b]; "z" → nothing
+    assert(bi === Seq(("a b", 3L), ("b a", 1L)))
+    val tri = TextOps.ngramTopK(docs, "text", n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(tri === Seq(("a b a", 1L), ("b a b", 1L)))
+  }
+}
