@@ -437,6 +437,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("trend"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "trend"),
       (exprs: Seq[Expression]) => GraftExtensions.trendPlan(exprs)))
+    // the decision-analytics tier (StatsOps) + BFS + text diversity
+    ext.injectTableFunction((FunctionIdentifier("skyline"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "skyline"),
+      (exprs: Seq[Expression]) => GraftExtensions.skylinePlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("winsorize"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "winsorize"),
+      (exprs: Seq[Expression]) => GraftExtensions.winsorizePlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("ab_metrics"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "ab_metrics"),
+      (exprs: Seq[Expression]) => GraftExtensions.abMetricsPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("shortest_path"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "shortest_path"),
+      (exprs: Seq[Expression]) => GraftExtensions.shortestPathPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("token_entropy"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "token_entropy"),
+      (exprs: Seq[Expression]) => GraftExtensions.tokenEntropyPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("ngram_topk"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "ngram_topk"),
+      (exprs: Seq[Expression]) => GraftExtensions.ngramTopKPlan(exprs)))
   }
 }
 
@@ -1614,6 +1635,122 @@ object GraftExtensions {
       }
       else 3600L
     graft.operators.EventOps.trend(df, g, t, v, bs)
+      .queryExecution.analyzed
+  }
+
+  /** `skyline(table, x_col, y_col)` — 2-D Pareto frontier, both
+    * dimensions maximized ([[graft.operators.StatsOps.skyline]]):
+    * bucket-pruned then exact. Returns distinct frontier `(x, y)`
+    * ordered by x descending. */
+  private[graft] def skylinePlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("skyline(table, x_col, y_col)", exprs, 3, 3)
+    val x = litStr("skyline", "x_col", exprs(1))
+    val y = litStr("skyline", "y_col", exprs(2))
+    val df = namedTable("skyline",
+      litStr("skyline", "table", exprs(0)), Seq(x, y))
+    import org.apache.spark.sql.functions.col
+    graft.operators.StatsOps.skyline(df, x, y)
+      .orderBy(col("x").desc, col("y").desc)
+      .queryExecution.analyzed
+  }
+
+  /** `winsorize(table, group_col, value_col [, lo, hi])` — per-group
+    * winsorized mean at discrete percentile clamps
+    * ([[graft.operators.StatsOps.winsorizedMean]]). Returns
+    * `(group, n, p_lo, p_hi, mean_raw, mean_wins)` ordered by group. */
+  private[graft] def winsorizePlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("winsorize(table, group_col, value_col [, lo, hi])",
+      exprs, 3, 5)
+    val g = litStr("winsorize", "group_col", exprs(1))
+    val v = litStr("winsorize", "value_col", exprs(2))
+    val df = namedTable("winsorize",
+      litStr("winsorize", "table", exprs(0)), Seq(g, v))
+    val lo = if (exprs.length > 3)
+      litDouble("winsorize", "lo", exprs(3)) else 0.05
+    val hi = if (exprs.length > 4)
+      litDouble("winsorize", "hi", exprs(4)) else 0.95
+    import org.apache.spark.sql.functions.col
+    graft.operators.StatsOps.winsorizedMean(df, g, v, lo, hi)
+      .orderBy(col(g))
+      .queryExecution.analyzed
+  }
+
+  /** `ab_metrics(units_table, unit_col, conv_table, conv_unit_col)` —
+    * two-proportion A/B readout over the deterministic hash split
+    * ([[graft.operators.StatsOps.abMetrics]]). Returns
+    * `(variant, n_units, n_conv, rate, z)` ordered by variant. */
+  private[graft] def abMetricsPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("ab_metrics(units_table, unit_col, conv_table, conv_unit_col)",
+      exprs, 4, 4)
+    val uc = litStr("ab_metrics", "unit_col", exprs(1))
+    val cc = litStr("ab_metrics", "conv_unit_col", exprs(3))
+    val units = namedTable("ab_metrics",
+      litStr("ab_metrics", "units_table", exprs(0)), Seq(uc))
+    val conv = namedTable("ab_metrics",
+      litStr("ab_metrics", "conv_table", exprs(2)), Seq(cc))
+    import org.apache.spark.sql.functions.col
+    graft.operators.StatsOps.abMetrics(units, uc, conv, cc)
+      .orderBy(col("variant"))
+      .queryExecution.analyzed
+  }
+
+  /** `shortest_path(table, src_col, dst_col, source_id [, max_hops])`
+    * — bounded-hop BFS distances from `source_id`
+    * ([[graft.operators.GraphOps.shortestPaths]]). Returns
+    * `(node, dist)` ordered by (dist, node); unreached nodes absent. */
+  private[graft] def shortestPathPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("shortest_path(table, src_col, dst_col, source_id " +
+      "[, max_hops])", exprs, 4, 5)
+    val src = litStr("shortest_path", "src_col", exprs(1))
+    val dst = litStr("shortest_path", "dst_col", exprs(2))
+    val df = namedTable("shortest_path",
+      litStr("shortest_path", "table", exprs(0)), Seq(src, dst))
+    val source = litVal("shortest_path", "source_id", exprs(3)) match {
+      case n: Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"shortest_path expects a numeric literal for 'source_id'; " +
+          s"got $other")
+    }
+    val hops = if (exprs.length > 4)
+      VectorOps.intArg("shortest_path", "max_hops", exprs(4)) else 4
+    import org.apache.spark.sql.functions.col
+    graft.operators.GraphOps.shortestPaths(
+        df.select(col(src).as("src"), col(dst).as("dst")), source, hops)
+      .orderBy(col("dist"), col("node"))
+      .queryExecution.analyzed
+  }
+
+  /** `token_entropy(table, group_col, text_col)` — per-group Shannon
+    * entropy of the token distribution
+    * ([[graft.operators.TextOps.tokenEntropy]]). Returns
+    * `(group, n_tokens, n_distinct, entropy)` ordered by group. */
+  private[graft] def tokenEntropyPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("token_entropy(table, group_col, text_col)", exprs, 3, 3)
+    val g = litStr("token_entropy", "group_col", exprs(1))
+    val t = litStr("token_entropy", "text_col", exprs(2))
+    val df = namedTable("token_entropy",
+      litStr("token_entropy", "table", exprs(0)), Seq(g, t))
+    import org.apache.spark.sql.functions.col
+    graft.operators.TextOps.tokenEntropy(df, g, t)
+      .orderBy(col(g))
+      .queryExecution.analyzed
+  }
+
+  /** `ngram_topk(table, text_col [, n, k])` — exact top-k word
+    * n-grams ([[graft.operators.TextOps.ngramTopK]]). Returns
+    * `(ngram, n)` by descending count. */
+  private[graft] def ngramTopKPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("ngram_topk(table, text_col [, n, k])", exprs, 2, 4)
+    val t = litStr("ngram_topk", "text_col", exprs(1))
+    val df = namedTable("ngram_topk",
+      litStr("ngram_topk", "table", exprs(0)), Seq(t))
+    val n = if (exprs.length > 2)
+      VectorOps.intArg("ngram_topk", "n", exprs(2)) else 2
+    val k = if (exprs.length > 3)
+      VectorOps.intArg("ngram_topk", "k", exprs(3)) else 50
+    graft.operators.TextOps.ngramTopK(df, t, n, k)
       .queryExecution.analyzed
   }
 }

@@ -789,4 +789,70 @@ class GraftExtensionsSpec extends SparkSpec {
         edges.select(col("a").as("src"), col("b").as("dst")), 4)
         .orderBy("node").collect().map(_.toSeq).toSeq)
   }
+
+  test("stats TVFs (skyline, winsorize, ab_metrics) agree with the " +
+    "Scala API") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val ord = graft.sources.Tables.orders(s2, sfDir)
+      .select(col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"),
+        col("o_orderdate").as("odate"))
+    ord.createOrReplaceTempView("st_ord")
+    val sky = s2.sql("SELECT * FROM skyline('st_ord', 'price', 'odate')")
+    assert(sky.columns.toSeq === Seq("x", "y"))
+    assert(sky.collect().map(_.toSeq).toSet ===
+      graft.operators.StatsOps.skyline(ord, "price", "odate")
+        .collect().map(_.toSeq).toSet)
+    val wz = s2.sql(
+      "SELECT * FROM winsorize('st_ord', 'o_custkey', 'price', 0.1, 0.9)")
+    assert(wz.columns.toSeq ===
+      Seq("o_custkey", "n", "p_lo", "p_hi", "mean_raw", "mean_wins"))
+    assert(wz.collect().map(_.toSeq).toSeq ===
+      graft.operators.StatsOps.winsorizedMean(ord, "o_custkey", "price",
+        0.1, 0.9).orderBy("o_custkey").collect().map(_.toSeq).toSeq)
+    graft.sources.Tables.customer(s2, sfDir)
+      .createOrReplaceTempView("st_cust")
+    ord.filter(col("price") > 400000).createOrReplaceTempView("st_conv")
+    val ab = s2.sql("SELECT * FROM ab_metrics('st_cust', 'c_custkey', " +
+      "'st_conv', 'o_custkey')")
+    assert(ab.columns.toSeq ===
+      Seq("variant", "n_units", "n_conv", "rate", "z"))
+    assert(ab.collect().map(_.toSeq).toSeq ===
+      graft.operators.StatsOps.abMetrics(
+        graft.sources.Tables.customer(s2, sfDir), "c_custkey",
+        ord.filter(col("price") > 400000).select("o_custkey"),
+        "o_custkey").orderBy("variant").collect().map(_.toSeq).toSeq)
+  }
+
+  test("shortest_path, token_entropy, and ngram_topk TVFs agree with " +
+    "the Scala API") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+    edges.createOrReplaceTempView("sp_edges")
+    val sp = s2.sql(
+      "SELECT * FROM shortest_path('sp_edges', 'a', 'b', 1, 3)")
+    assert(sp.columns.toSeq === Seq("node", "dist"))
+    assert(sp.collect().map(_.toSeq).toSeq ===
+      graft.operators.GraphOps.shortestPaths(
+        edges.select(col("a").as("src"), col("b").as("dst")), 1L, 3)
+        .orderBy("dist", "node").collect().map(_.toSeq).toSeq)
+    val docs = graft.sources.Tables.documents(s2, sfDir)
+    docs.createOrReplaceTempView("te_docs")
+    val te = s2.sql(
+      "SELECT * FROM token_entropy('te_docs', 'lang', 'text')")
+    assert(te.columns.toSeq ===
+      Seq("lang", "n_tokens", "n_distinct", "entropy"))
+    assert(te.collect().map(_.toSeq).toSeq ===
+      graft.operators.TextOps.tokenEntropy(docs, "lang", "text")
+        .orderBy("lang").collect().map(_.toSeq).toSeq)
+    val ng = s2.sql("SELECT * FROM ngram_topk('te_docs', 'text', 3, 15)")
+    assert(ng.columns.toSeq === Seq("ngram", "n"))
+    assert(ng.collect().map(_.toSeq).toSeq ===
+      graft.operators.TextOps.ngramTopK(docs, "text", 3, 15)
+        .collect().map(_.toSeq).toSeq)
+  }
 }

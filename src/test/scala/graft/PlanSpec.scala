@@ -550,4 +550,45 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), p.take(2500))
   }
+
+  test("q_skyline: no cartesian pair space — the only nested-loop " +
+    "joins ship broadcast 1-row/256-row bounded sides, and every " +
+    "window carries a partition spec") {
+    val df = q("q_skyline")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    // the exact stage and the bucket staircase both run as WindowExec
+    // with NON-EMPTY partition specs (BoundedWindow.key / bkt) — an
+    // accidentally-global window would print an empty partition list
+    assert(p.contains("windowspecdefinition("), p.take(2500))
+    assert(!p.contains("windowspecdefinition(,") &&
+      !p.contains("windowspecdefinition( ,"), p.take(2500))
+  }
+
+  test("q_shortest_path: every BFS hop is an equi-join keyed on node " +
+    "id — no nested loop anywhere in the 4-hop chain") {
+    val p = plan(q("q_shortest_path"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
+
+  test("q_ngram_topk takes its top-50 with TakeOrderedAndProject — " +
+    "partial per-partition top-k, never a total sort of the n-gram " +
+    "table") {
+    val p = plan(q("q_ngram_topk"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("q_entropy and q_winsorize aggregate map-side with no " +
+    "cartesian: entropy is two chained hash-aggs; winsorize " +
+    "broadcasts its per-group cut table back to the scan") {
+    val pe = plan(q("q_entropy"))
+    assert(pe.contains("HashAggregate") &&
+      !pe.contains("CartesianProduct"), pe.take(2000))
+    val pw = plan(q("q_winsorize"))
+    assert(!pw.contains("CartesianProduct") &&
+      !pw.contains("BroadcastNestedLoopJoin"), pw.take(2500))
+    assert(pw.contains("BroadcastHashJoin"), pw.take(2500))
+  }
 }
