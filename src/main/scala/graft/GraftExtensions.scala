@@ -62,6 +62,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"${exprs.length} arguments")
         graft.functions.ZOrder.zorderKeyExpr(exprs)
       }))
+    ext.injectFunction((FunctionIdentifier("geohash"),
+      new ExpressionInfo(graft.functions.Geohash.getClass.getName,
+        "geohash"),
+      (exprs: Seq[Expression]) => {
+        if (exprs.length != 3)
+          throw new IllegalArgumentException(
+            "geohash(lat, lon, precision) takes exactly 3 arguments — " +
+              s"got ${exprs.length}")
+        graft.functions.Geohash.geohashExpr(exprs(0), exprs(1),
+          VectorOps.intArg("geohash", "precision", exprs(2)))
+      }))
     // The hyperplane-sketch family (the ANN/IVF compact-code surface);
     // int parameters are validated foldable literals (clear analysis
     // errors instead of cast failures — VectorOps.intArg)

@@ -451,6 +451,93 @@ object EventOps {
       .orderBy(idCol)
   }
 
+  /** Gaps-and-islands: collapse each user's distinct activity days
+    * into maximal runs of CONSECUTIVE days (islands) — the classic
+    * streak/coverage shape ("how long do users stay active without a
+    * break", "which date ranges have telemetry"). The island key is
+    * the textbook `day − row_number()` trick: constant within a
+    * consecutive run, strictly decreasing across a gap.
+    *
+    * Scale: the distinct-day projection is a map-side-combined
+    * dedup on `(user, day)` (days per user are bounded by the
+    * calendar, not the event volume); the window and the island
+    * aggregate are both PARTITIONED BY user — per-key state only,
+    * no global window. */
+  def gapsIslands(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = df
+      .select(col(userCol), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val w = Window.partitionBy(userCol).orderBy("day")
+    days
+      .withColumn("__grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col(userCol), col("__grp"))
+      .agg(min("day").as("start_day"), max("day").as("end_day"),
+        count(lit(1)).as("n_days"))
+      .drop("__grp")
+      .orderBy(userCol, "start_day")
+  }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for each ordered pair of consecutive events (by
+    * `(ts, tie)` within a user) count `src → dst` and normalize to
+    * P(dst | src) — the session-flow model behind "what do users do
+    * after a click". `tieCol` makes the per-user order total, so both
+    * engines pair identical neighbors.
+    *
+    * Scale: ONE user-partitioned lag window (per-key state), then a
+    * hash aggregate whose key space is |types|² — the probability
+    * normalization windows over that tiny pair table, partitioned by
+    * `src`. Nothing global, nothing corpus-proportional after the
+    * first aggregate. */
+  def transitions(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("src"), col("__next").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("p", r6(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("src"))))
+      .orderBy("src", "dst")
+  }
+
+  /** First/last-touch conversion attribution: each `convType` event
+    * credits the user's FIRST and LAST preceding non-conversion
+    * event type (the marketing "which channel opened the journey /
+    * which closed it" readout); conversions with no preceding touch
+    * are unattributable and drop. One user-partitioned window pass
+    * computes both carries (`ignoreNulls` first/last over the
+    * preceding frame); the two credit kinds then unpivot map-side
+    * into a single |channels|-row aggregate — no second scan, no
+    * join. */
+  def attribution(df: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, convType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= convType, col(typeCol))
+    df
+      .withColumn("__ft", first(touch, ignoreNulls = true).over(w))
+      .withColumn("__lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType && col("__lt").isNotNull)
+      .select(explode(array(
+        struct(lit("first").as("kind"), col("__ft").as("channel")),
+        struct(lit("last").as("kind"), col("__lt").as("channel"))))
+        .as("t"))
+      .groupBy(col("t.channel").as("channel"))
+      .agg(
+        sum(when(col("t.kind") === "first", 1L).otherwise(0L))
+          .as("first_touch"),
+        sum(when(col("t.kind") === "last", 1L).otherwise(0L))
+          .as("last_touch"))
+      .orderBy("channel")
+  }
+
   val all: Seq[Query] = Seq(
     Query(
       "q_anomaly",
@@ -793,6 +880,78 @@ object EventOps {
               WHERE n >= 3 AND (n*sxx - sx*sx) > 0
               ORDER BY event_type"""),
       (s, d) => trend(Tables.events(s, d), "event_type", "ts", "value")
-        .withColumnRenamed("g", "event_type"))
+        .withColumnRenamed("g", "event_type")),
+
+    // Activity streaks: each user's consecutive-day islands. The
+    // day − row_number() island key is pure integer date arithmetic —
+    // identical on both engines — so the hash pins every streak
+    // boundary.
+    Query(
+      "q_gaps_islands",
+      Some("""WITH days AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+              grp AS (
+                SELECT user_id, day,
+                       day - CAST(row_number() OVER (
+                         PARTITION BY user_id ORDER BY day) AS INT)
+                         AS g
+                FROM days)
+              SELECT user_id, min(day) AS start_day, max(day) AS end_day,
+                     count(*) AS n_days
+              FROM grp GROUP BY user_id, g
+              ORDER BY user_id, start_day"""),
+      (s, d) => gapsIslands(Tables.events(s, d), "user_id", "ts")),
+
+    // Session-flow transition matrix: P(next type | type) over
+    // (ts, event_id)-ordered per-user sequences. Counts are exact;
+    // the only float step is the final 6-dp normalized probability.
+    Query(
+      "q_transitions",
+      Some("""WITH nx AS (
+                SELECT event_type AS src,
+                       lead(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS dst
+                FROM events),
+              pairs AS (
+                SELECT src, dst, count(*) AS n
+                FROM nx WHERE dst IS NOT NULL GROUP BY src, dst)
+              SELECT src, dst, n,
+                     round(n * 1.0 / sum(n) OVER (PARTITION BY src)
+                       * 1000000.0) / 1000000.0 AS p
+              FROM pairs ORDER BY src, dst"""),
+      (s, d) => transitions(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id")),
+
+    // First/last-touch purchase attribution by preceding channel —
+    // integer-exact end to end (counts only), with the ignoreNulls
+    // window carries pinned against DuckDB's IGNORE NULLS spelling.
+    Query(
+      "q_attribution",
+      Some("""WITH t AS (
+                SELECT event_type,
+                       first_value(CASE WHEN event_type <> 'purchase'
+                           THEN event_type END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS ft,
+                       last_value(CASE WHEN event_type <> 'purchase'
+                           THEN event_type END IGNORE NULLS)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS lt
+                FROM events),
+              p AS (SELECT ft, lt FROM t
+                    WHERE event_type = 'purchase' AND lt IS NOT NULL)
+              SELECT channel,
+                     CAST(sum(f) AS BIGINT) AS first_touch,
+                     CAST(sum(l) AS BIGINT) AS last_touch
+              FROM (
+                SELECT ft AS channel, 1 AS f, 0 AS l FROM p
+                UNION ALL
+                SELECT lt, 0, 1 FROM p)
+              GROUP BY channel ORDER BY channel"""),
+      (s, d) => attribution(Tables.events(s, d), "user_id",
+        "event_type", "ts", "event_id", "purchase"))
   )
 }

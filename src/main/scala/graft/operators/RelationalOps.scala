@@ -182,6 +182,59 @@ object RelationalOps {
       .orderBy(groupCols.map(col): _*)
   }
 
+  /** Row-level reconciliation diff between two snapshots sharing a
+    * schema: the companion to [[tableChecksum]] — once a checksum
+    * mismatch names a group, this names the ROWS. Emits only the
+    * differing rows, each tagged `added` (key only in `next`),
+    * `removed` (key only in `prev`), or `changed` (key in both, some
+    * non-key column differs) with the comma-joined list of changed
+    * columns in declared column order; identical rows — the ~100%
+    * bulk at 100 TB — produce NOTHING, so the output is
+    * change-bounded, not table-bounded.
+    *
+    * Presence comes from per-side literal markers (the [[mergeRows]]
+    * stance — key nullability can't distinguish an unmatched NULL-key
+    * row from absence) and per-column comparison is null-safe
+    * (`<=>`): NULL→value and value→NULL both count as changes,
+    * NULL→NULL does not.
+    *
+    * Scale: ONE full-outer equi-join hash-partitioned on the key —
+    * the same exchange discipline as [[mergeRows]]; with both
+    * snapshots bucketed on the key it is exchange-free. Column
+    * compares are a codegen'd projection; no window, no sort beyond
+    * the caller's presentation ORDER BY. */
+  def tableDiff(prev: DataFrame, next: DataFrame,
+      key: String): DataFrame = {
+    require(prev.columns.sameElements(next.columns),
+      s"tableDiff expects identical schemas; prev has " +
+        s"${prev.columns.mkString("(", ", ", ")")}, next " +
+        s"${next.columns.mkString("(", ", ", ")")}")
+    require(prev.columns.contains(key), s"tableDiff key '$key' not in " +
+      prev.columns.mkString("(", ", ", ")"))
+    val valCols = prev.columns.filterNot(_ == key).toSeq
+    val n = next.columns.foldLeft(next)((df, c) =>
+      df.withColumnRenamed(c, s"__n_$c")).withColumn("__nxt", lit(1))
+    val p = prev.withColumn("__prv", lit(1))
+    val inPrev = col("__prv").isNotNull
+    val inNext = col("__nxt").isNotNull
+    val changedCols = concat_ws(",", valCols.map(c =>
+      when(!(col(c) <=> col(s"__n_$c")), lit(c))): _*)
+    p.join(n, col(key) === col(s"__n_$key"), "full_outer")
+      .withColumn("status",
+        when(!inPrev, lit("added"))
+          .when(!inNext, lit("removed"))
+          .when(valCols.map(c => !(col(c) <=> col(s"__n_$c")))
+            .reduce(_ || _), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(
+        coalesce(col(key), col(s"__n_$key")).as(key) +:
+          col("status") +:
+          when(col("status") === "changed", changedCols)
+            .as("changed_cols") +:
+          valCols.map(c => col(c).as(s"prev_$c")) ++:
+          valCols.map(c => col(s"__n_$c").as(s"next_$c")): _*)
+  }
+
   /** Per-column profile of `cols` (numeric): value/null/distinct
     * counts, min/max, and DECIMAL-exact mean/stddev — one row per
     * column, TWO passes of the table (a single narrow stats `agg`
@@ -932,6 +985,73 @@ object RelationalOps {
               (col("o_orderkey") + 10000000L).as("o_orderkey"),
               col("o_custkey"), col("o_totalprice")))
         mergeUpsert(base, updates, "o_orderkey")
+      }),
+    // Snapshot reconciliation: diff two derived order snapshots (prev
+    // drops %1000=13 keys, next drops %1000=7, bumps %100=5 prices
+    // DECIMAL-exactly and flips %100=6 statuses) — the row-level
+    // answer to a q_table_checksum mismatch. Output is ONLY the ~330
+    // differing rows of 15k; the price perturbation runs in DECIMAL
+    // so both engines' next-side doubles are bit-identical and the
+    // null-safe compares agree exactly.
+    Query(
+      "q_table_diff",
+      Some("""WITH prev AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                FROM orders WHERE o_orderkey % 1000 <> 13),
+              next AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 100 = 6 THEN 'X'
+                            ELSE o_orderstatus END AS o_orderstatus,
+                       CASE WHEN o_orderkey % 100 = 5
+                         THEN CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST('1.1' AS DECIMAL(3,1)) AS DOUBLE)
+                         ELSE o_totalprice END AS o_totalprice
+                FROM orders WHERE o_orderkey % 1000 <> 7)
+              SELECT coalesce(p.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     CASE WHEN p.o_orderkey IS NULL THEN 'added'
+                          WHEN n.o_orderkey IS NULL THEN 'removed'
+                          ELSE 'changed' END AS status,
+                     CASE WHEN p.o_orderkey IS NOT NULL
+                           AND n.o_orderkey IS NOT NULL THEN
+                       concat_ws(',',
+                         CASE WHEN NOT (p.o_custkey IS NOT DISTINCT
+                           FROM n.o_custkey) THEN 'o_custkey' END,
+                         CASE WHEN NOT (p.o_orderstatus IS NOT DISTINCT
+                           FROM n.o_orderstatus)
+                           THEN 'o_orderstatus' END,
+                         CASE WHEN NOT (p.o_totalprice IS NOT DISTINCT
+                           FROM n.o_totalprice)
+                           THEN 'o_totalprice' END)
+                     END AS changed_cols,
+                     p.o_custkey AS prev_o_custkey,
+                     p.o_orderstatus AS prev_o_orderstatus,
+                     p.o_totalprice AS prev_o_totalprice,
+                     n.o_custkey AS next_o_custkey,
+                     n.o_orderstatus AS next_o_orderstatus,
+                     n.o_totalprice AS next_o_totalprice
+              FROM prev p FULL OUTER JOIN next n
+                ON p.o_orderkey = n.o_orderkey
+              WHERE p.o_orderkey IS NULL OR n.o_orderkey IS NULL
+                 OR NOT (p.o_custkey IS NOT DISTINCT FROM n.o_custkey)
+                 OR NOT (p.o_orderstatus IS NOT DISTINCT
+                   FROM n.o_orderstatus)
+                 OR NOT (p.o_totalprice IS NOT DISTINCT
+                   FROM n.o_totalprice)
+              ORDER BY o_orderkey"""),
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice")
+        val prev = base.filter(col("o_orderkey") % 1000 =!= 13)
+        val next = base.filter(col("o_orderkey") % 1000 =!= 7)
+          .select(col("o_orderkey"), col("o_custkey"),
+            when(col("o_orderkey") % 100 === 6, lit("X"))
+              .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+            when(col("o_orderkey") % 100 === 5,
+              (col("o_totalprice").cast(DecimalType(18, 2)) *
+                expr("CAST('1.1' AS DECIMAL(3,1))")).cast("double"))
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+        tableDiff(prev, next, "o_orderkey").orderBy("o_orderkey")
       }),
     // SCD-2 history build over the customer-priority change stream:
     // each customer's order history collapses to the dated intervals

@@ -168,6 +168,40 @@ object StatsOps {
           * lit(1000000.0)) / lit(1000000.0)).as("z"))
   }
 
+  /** Benford first-digit audit: the distribution of leading digits of
+    * `valCol` (values ≥ 1) against Benford's law
+    * `P(d) = log10(1 + 1/d)`, with per-digit χ² contributions — the
+    * classic fraud/data-fabrication screen over financial columns.
+    * A genuinely organic amount column tracks the curve; a fabricated
+    * one (uniform leading digits) lights up the χ² column.
+    *
+    * Scale: one map-side-combined 9-key hash aggregate over a
+    * codegen'd digit projection; the total rides back as a broadcast
+    * 1-row aggregate. The only float steps are the final 6-dp
+    * readouts (observed share, expected share, χ² term) — counts are
+    * exact, and log10's cross-engine ulp noise sits ~10⁸ ulps from
+    * every 6-dp rounding boundary for d = 1…9. */
+  def benford(df: DataFrame, valCol: String): DataFrame = {
+    val counts = df
+      .filter(col(valCol) >= 1)
+      .groupBy(substring(floor(col(valCol)).cast("bigint")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("total"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__ep", log10(lit(1.0) + lit(1.0) / col("digit")))
+      .select(col("digit"), col("n"),
+        (round(col("n").cast("double") / col("total")
+          * lit(1000000.0)) / lit(1000000.0)).as("obs_p"),
+        (round(col("__ep") * lit(1000000.0)) / lit(1000000.0))
+          .as("exp_p"),
+        (round(pow(col("n").cast("double")
+            - col("total") * col("__ep"), 2)
+          / (col("total") * col("__ep"))
+          * lit(1000000.0)) / lit(1000000.0)).as("chi2"))
+      .orderBy("digit")
+  }
+
   val all: Seq[Query] = Seq(
     // Pareto frontier of orders over (totalprice ↑, orderdate ↑): the
     // orders no other order beats on both value and recency. The
@@ -272,6 +306,31 @@ object StatsOps {
       (s, d) => abMetrics(Tables.customer(s, d), "c_custkey",
           Tables.orders(s, d).filter(col("o_totalprice") > 480000)
             .select("o_custkey"), "o_custkey")
-        .orderBy("variant"))
+        .orderBy("variant")),
+
+    // Benford screen over order totals. TPC-H prices are sums of many
+    // uniform draws, NOT Benford-distributed — the χ² column is
+    // enormous by construction, and the hash pins all 9 rows of it
+    // digit-for-digit.
+    Query(
+      "q_benford",
+      Some("""WITH c AS (
+                SELECT CAST(substring(CAST(CAST(floor(o_totalprice)
+                         AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                       count(*) AS n
+                FROM orders WHERE o_totalprice >= 1
+                GROUP BY 1),
+              t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+              SELECT digit, n,
+                     round(n * 1.0 / total * 1000000.0) / 1000000.0
+                       AS obs_p,
+                     round(log10(1.0 + 1.0 / digit) * 1000000.0)
+                       / 1000000.0 AS exp_p,
+                     round(pow(n * 1.0 - total * log10(1.0 + 1.0 / digit),
+                           2)
+                         / (total * log10(1.0 + 1.0 / digit))
+                       * 1000000.0) / 1000000.0 AS chi2
+              FROM c CROSS JOIN t ORDER BY digit"""),
+      (s, d) => benford(Tables.orders(s, d), "o_totalprice"))
   )
 }

@@ -607,4 +607,150 @@ class EventOpsSpec extends SparkSpec {
     assert(math.abs(out("flat")._2) < 1e-9)
     assert(math.abs(out("flat")._3 - 7.0) < 1e-9)
   }
+
+  // ---- q_gaps_islands ----
+
+  test("gapsIslands: hand-built streaks split exactly at day gaps, " +
+    "multiple events per day collapse, users stay isolated") {
+    import spark.implicits._
+    val rows = Seq(
+      // user 1: a 3-day streak (with a duplicated day), a gap, a 1-day
+      (1L, "2024-01-01 08:00:00"), (1L, "2024-01-01 21:00:00"),
+      (1L, "2024-01-02 09:00:00"), (1L, "2024-01-03 01:00:00"),
+      (1L, "2024-01-05 12:00:00"),
+      // user 2: two singletons
+      (2L, "2024-02-01 00:30:00"), (2L, "2024-02-03 23:59:00"))
+    val df = rows.toDF("user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = graft.operators.EventOps.gapsIslands(df, "user_id", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getDate(2).toString, r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, "2024-01-01", "2024-01-03", 3L),
+      (1L, "2024-01-05", "2024-01-05", 1L),
+      (2L, "2024-02-01", "2024-02-01", 1L),
+      (2L, "2024-02-03", "2024-02-03", 1L)))
+  }
+
+  // ---- q_transitions ----
+
+  test("transitions: counts match a brute-force per-user pairing and " +
+    "each source's probabilities sum to 1") {
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        col("ts").cast("long").as("tsl"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    val brute = ev.groupBy(_._1).values.toSeq.flatMap { rows =>
+      rows.toSeq.sortBy(r => (r._3, r._4)).sliding(2).collect {
+        case Seq(a, b) => (a._2, b._2)
+      }
+    }.groupBy(p => p).map { case (k, v) => k -> v.size.toLong }
+    val got = run("q_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.view.mapValues(_._1).toMap === brute)
+    got.keys.map(_._1).toSeq.distinct.foreach { src =>
+      val ps = got.collect { case ((s, _), (_, p)) if s == src => p }
+      assert(math.abs(ps.sum - 1.0) < 1e-4, s"src $src sums ${ps.sum}")
+    }
+  }
+
+  // ---- q_attribution ----
+
+  test("attribution: hand-built journeys credit the first and last " +
+    "preceding channel; unattributable conversions drop") {
+    import spark.implicits._
+    val rows = Seq(
+      // user 1: view → click → purchase (first=view, last=click)
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L),
+      // user 2: click → purchase → view → purchase (second purchase
+      // first=click, last=view)
+      (2L, "click", 1L), (2L, "purchase", 2L), (2L, "view", 3L),
+      (2L, "purchase", 4L),
+      // user 3: purchase with no preceding touch — dropped
+      (3L, "purchase", 1L))
+    val df = rows.map { case (u, t, i) =>
+      (u, t, new java.sql.Timestamp(i * 1000), i)
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val got = graft.operators.EventOps.attribution(
+        df, "user_id", "event_type", "ts", "event_id", "purchase")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // purchases attributed: u1 (first view / last click), u2#1
+    // (click/click), u2#2 (click/view) → first: click 2, view 1;
+    // last: click 2, view 1
+    assert(got.toSeq === Seq(
+      ("click", 2L, 2L), ("view", 1L, 1L)))
+  }
+
+  // ---- q_table_diff ----
+
+  test("tableDiff: identical rows vanish; added/removed/changed tag " +
+    "correctly; NULL-value flips count as changes and NULL==NULL " +
+    "does not") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, Some("a"), Some(1.0)), // unchanged
+      (2L, Some("b"), Some(2.0)), // value change
+      (3L, None, Some(3.0)),      // NULL → value change
+      (4L, Some("d"), None),      // NULL == NULL on the double col
+      (5L, Some("e"), Some(5.0))  // removed
+    ).toDF("k", "s", "v")
+    val next = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, Some("B"), Some(2.0)),
+      (3L, Some("c"), Some(3.0)),
+      (4L, Some("d"), None),
+      (6L, Some("f"), Some(6.0))  // added
+    ).toDF("k", "s", "v")
+    val got = graft.operators.RelationalOps.tableDiff(prev, next, "k")
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+    assert(got.toSeq === Seq(
+      (2L, "changed", Some("s")),
+      (3L, "changed", Some("s")),
+      (5L, "removed", None),
+      (6L, "added", None)))
+  }
+
+  test("tableDiff is symmetric-consistent: swapping snapshots swaps " +
+    "added and removed and keeps the changed set") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "s")
+    val b = Seq((2L, "y"), (3L, "w"), (4L, "u")).toDF("k", "s")
+    def statuses(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fwd = statuses(graft.operators.RelationalOps.tableDiff(a, b, "k"))
+    val bwd = statuses(graft.operators.RelationalOps.tableDiff(b, a, "k"))
+    assert(fwd === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    assert(bwd === Map(1L -> "added", 3L -> "changed", 4L -> "removed"))
+  }
+
+  // ---- q_benford ----
+
+  test("benford: digit shares sum to 1, expected shares follow " +
+    "log10(1+1/d), and a perfect Benford sample scores chi2 ~ 0") {
+    import spark.implicits._
+    val out = run("q_benford").collect()
+    assert(out.map(_.getInt(0)).toSeq === (1 to 9))
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    out.foreach { r =>
+      val d = r.getInt(0)
+      assert(math.abs(r.getDouble(3) - math.log10(1.0 + 1.0 / d)) < 1e-6)
+      assert(r.getDouble(4) >= 0.0)
+    }
+    // a synthetic exactly-Benford distribution: counts proportional to
+    // the law → every chi2 term collapses toward 0
+    val n = 100000
+    val rows = (1 to 9).flatMap { d =>
+      val c = math.round(n * math.log10(1.0 + 1.0 / d)).toInt
+      Seq.fill(c)(d * 10.0 + 1.0)
+    }
+    val chi = graft.operators.StatsOps.benford(rows.toDF("v"), "v")
+      .agg(sum("chi2")).head().getDouble(0)
+    assert(chi < 1.0, s"chi2 on an exact Benford sample was $chi")
+  }
 }

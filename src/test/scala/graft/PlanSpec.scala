@@ -591,4 +591,37 @@ class PlanSpec extends SparkSpec {
       !pw.contains("BroadcastNestedLoopJoin"), pw.take(2500))
     assert(pw.contains("BroadcastHashJoin"), pw.take(2500))
   }
+
+  test("q_geo_join blocks on grid-cell EQUI-keys — the 150k-pair " +
+    "cross product the oracle brute-forces never appears in the " +
+    "engine plan") {
+    val p = plan(q("q_geo_join"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      p.take(2500))
+  }
+
+  test("q_table_diff runs as ONE full-outer equi-join (the mergeRows " +
+    "exchange discipline) with the column compares as a codegen'd " +
+    "projection") {
+    val p = plan(q("q_table_diff"))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert("SortMergeJoin|ShuffledHashJoin".r
+      .findAllMatchIn(p).size === 1, p.take(2500))
+  }
+
+  test("q_gaps_islands, q_transitions, q_attribution: every window " +
+    "carries a user partition — per-key state, nothing global") {
+    Seq("q_gaps_islands", "q_transitions", "q_attribution").foreach {
+      name =>
+        val p = plan(q(name))
+        assert(!p.contains("CartesianProduct"), s"$name: ${p.take(1500)}")
+        assert(p.contains("windowspecdefinition("), name)
+        assert(!p.contains("windowspecdefinition(,") &&
+          !p.contains("windowspecdefinition( ,"),
+          s"$name has a global window: ${p.take(2000)}")
+    }
+  }
 }
