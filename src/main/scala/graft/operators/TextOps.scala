@@ -621,6 +621,32 @@ object TextOps {
                      FROM l)
               SELECT ngram, count(*) AS n FROM bg
               GROUP BY ngram ORDER BY n DESC, ngram LIMIT 50"""),
-      (s, d) => ngramTopK(Tables.documents(s, d), "text", n = 2, k = 50))
+      (s, d) => ngramTopK(Tables.documents(s, d), "text", n = 2, k = 50)),
+
+    // Subword tokenization: train a 2048-piece WordPiece-style vocab
+    // on the corpus (distributed gram counts, deterministic
+    // tiebreaks), encode every document with the codegen'd greedy
+    // longest-match expression, report the top pieces — the
+    // tokenizer-health dashboard of a pretraining pipeline. No SQL
+    // oracle (greedy longest-match is
+    // not SQL-expressible): WordpieceSpec pins the algorithm (public
+    // reference vectors, round-trip reconstruction, zero-UNK coverage
+    // on the training corpus) and determinism makes the rows-only
+    // gate stable.
+    Query(
+      "q_wordpiece",
+      None,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = graft.functions.WordpieceOps.trainVocab(
+          docs, "text", vocabSize = 2048)
+        val pieces = docs.select(explode(
+          graft.functions.WordpieceOps.wordpieceEncode(
+            s, lower(col("text")), vocab)).as("piece"))
+        pieces
+          .groupBy("piece").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("piece"))
+          .limit(40)
+      })
   )
 }
