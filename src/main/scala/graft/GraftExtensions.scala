@@ -469,6 +469,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("ngram_topk"),
       new ExpressionInfo(GraftExtensions.getClass.getName, "ngram_topk"),
       (exprs: Seq[Expression]) => GraftExtensions.ngramTopKPlan(exprs)))
+    // the reconciliation / sequence-analytics / geo additions
+    ext.injectTableFunction((FunctionIdentifier("table_diff"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "table_diff"),
+      (exprs: Seq[Expression]) => GraftExtensions.tableDiffPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("gaps_islands"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "gaps_islands"),
+      (exprs: Seq[Expression]) => GraftExtensions.gapsIslandsPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("transitions"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "transitions"),
+      (exprs: Seq[Expression]) => GraftExtensions.transitionsPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("attribution"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "attribution"),
+      (exprs: Seq[Expression]) => GraftExtensions.attributionPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("benford"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "benford"),
+      (exprs: Seq[Expression]) => GraftExtensions.benfordPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("geo_radius_join"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "geo_radius_join"),
+      (exprs: Seq[Expression]) =>
+        GraftExtensions.geoRadiusJoinPlan(exprs)))
   }
 }
 
@@ -1762,6 +1786,108 @@ object GraftExtensions {
     val k = if (exprs.length > 3)
       VectorOps.intArg("ngram_topk", "k", exprs(3)) else 50
     graft.operators.TextOps.ngramTopK(df, t, n, k)
+      .queryExecution.analyzed
+  }
+
+  /** `table_diff(prev_table, next_table, key_col)` — row-level
+    * snapshot reconciliation
+    * ([[graft.operators.RelationalOps.tableDiff]]): only differing
+    * rows, tagged added/removed/changed with the changed column
+    * list. Both tables must share a schema. Ordered by the key. */
+  private[graft] def tableDiffPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("table_diff(prev_table, next_table, key_col)", exprs, 3, 3)
+    val key = litStr("table_diff", "key_col", exprs(2))
+    val prev = namedTable("table_diff",
+      litStr("table_diff", "prev_table", exprs(0)), Seq(key))
+    val next = namedTable("table_diff",
+      litStr("table_diff", "next_table", exprs(1)), Seq(key))
+    graft.operators.RelationalOps.tableDiff(prev, next, key)
+      .orderBy(key)
+      .queryExecution.analyzed
+  }
+
+  /** `gaps_islands(table, user_col, ts_col)` — consecutive-day
+    * activity islands per user
+    * ([[graft.operators.EventOps.gapsIslands]]). Returns
+    * `(user, start_day, end_day, n_days)`. */
+  private[graft] def gapsIslandsPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("gaps_islands(table, user_col, ts_col)", exprs, 3, 3)
+    val u = litStr("gaps_islands", "user_col", exprs(1))
+    val t = litStr("gaps_islands", "ts_col", exprs(2))
+    val df = namedTable("gaps_islands",
+      litStr("gaps_islands", "table", exprs(0)), Seq(u, t))
+    graft.operators.EventOps.gapsIslands(df, u, t)
+      .queryExecution.analyzed
+  }
+
+  /** `transitions(table, user_col, type_col, ts_col, tie_col)` —
+    * first-order Markov transition matrix over per-user sequences
+    * ([[graft.operators.EventOps.transitions]]). Returns
+    * `(src, dst, n, p)`. */
+  private[graft] def transitionsPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("transitions(table, user_col, type_col, ts_col, tie_col)",
+      exprs, 5, 5)
+    val Seq(u, ty, ts, tie) = (1 to 4).map(i =>
+      litStr("transitions",
+        Seq("user_col", "type_col", "ts_col", "tie_col")(i - 1),
+        exprs(i)))
+    val df = namedTable("transitions",
+      litStr("transitions", "table", exprs(0)), Seq(u, ty, ts, tie))
+    graft.operators.EventOps.transitions(df, u, ty, ts, tie)
+      .queryExecution.analyzed
+  }
+
+  /** `attribution(table, user_col, type_col, ts_col, tie_col,
+    * conv_type)` — first/last-touch conversion attribution
+    * ([[graft.operators.EventOps.attribution]]). Returns
+    * `(channel, first_touch, last_touch)`. */
+  private[graft] def attributionPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("attribution(table, user_col, type_col, ts_col, tie_col, " +
+      "conv_type)", exprs, 6, 6)
+    val Seq(u, ty, ts, tie, conv) = (1 to 5).map(i =>
+      litStr("attribution",
+        Seq("user_col", "type_col", "ts_col", "tie_col",
+          "conv_type")(i - 1), exprs(i)))
+    val df = namedTable("attribution",
+      litStr("attribution", "table", exprs(0)), Seq(u, ty, ts, tie))
+    graft.operators.EventOps.attribution(df, u, ty, ts, tie, conv)
+      .queryExecution.analyzed
+  }
+
+  /** `benford(table, value_col)` — first-digit Benford audit
+    * ([[graft.operators.StatsOps.benford]]). Returns
+    * `(digit, n, obs_p, exp_p, chi2)`. */
+  private[graft] def benfordPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("benford(table, value_col)", exprs, 2, 2)
+    val v = litStr("benford", "value_col", exprs(1))
+    val df = namedTable("benford",
+      litStr("benford", "table", exprs(0)), Seq(v))
+    graft.operators.StatsOps.benford(df, v)
+      .queryExecution.analyzed
+  }
+
+  /** `geo_radius_join(left_table, right_table, radius_km)` — all
+    * cross-table point pairs within the great-circle radius
+    * ([[graft.operators.GeoOps.radiusJoin]]); both tables must carry
+    * (lat, lon) double columns, |lat| ≤ 70. Grid-cell blocked — never
+    * a cross product. */
+  private[graft] def geoRadiusJoinPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("geo_radius_join(left_table, right_table, radius_km)",
+      exprs, 3, 3)
+    val radius = litDouble("geo_radius_join", "radius_km", exprs(2))
+    require(radius > 0 && radius <= 5000,
+      s"geo_radius_join radius_km must be in (0, 5000]; got $radius")
+    val left = namedTable("geo_radius_join",
+      litStr("geo_radius_join", "left_table", exprs(0)),
+      Seq("lat", "lon"))
+    val right = namedTable("geo_radius_join",
+      litStr("geo_radius_join", "right_table", exprs(1)),
+      Seq("lat", "lon"))
+    graft.operators.GeoOps.radiusJoin(left, right, radius)
       .queryExecution.analyzed
   }
 }

@@ -855,4 +855,85 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.operators.TextOps.ngramTopK(docs, "text", 3, 15)
         .collect().map(_.toSeq).toSeq)
   }
+
+  test("reconciliation/sequence TVFs (table_diff, gaps_islands, " +
+    "transitions, attribution, benford) agree with the Scala API") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val ord = graft.sources.Tables.orders(s2, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    ord.filter(col("o_orderkey") % 100 =!= 7)
+      .createOrReplaceTempView("td_prev")
+    ord.filter(col("o_orderkey") % 100 =!= 13)
+      .createOrReplaceTempView("td_next")
+    val diff = s2.sql(
+      "SELECT * FROM table_diff('td_prev', 'td_next', 'o_orderkey')")
+    assert(diff.columns.take(3).toSeq ===
+      Seq("o_orderkey", "status", "changed_cols"))
+    assert(diff.collect().map(_.toSeq).toSeq ===
+      graft.operators.RelationalOps.tableDiff(
+          ord.filter(col("o_orderkey") % 100 =!= 7),
+          ord.filter(col("o_orderkey") % 100 =!= 13), "o_orderkey")
+        .orderBy("o_orderkey").collect().map(_.toSeq).toSeq)
+    val ev = graft.sources.Tables.events(s2, sfDir)
+    ev.createOrReplaceTempView("sq_events")
+    val gi = s2.sql(
+      "SELECT * FROM gaps_islands('sq_events', 'user_id', 'ts')")
+    assert(gi.columns.toSeq ===
+      Seq("user_id", "start_day", "end_day", "n_days"))
+    assert(gi.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.gapsIslands(ev, "user_id", "ts")
+        .collect().map(_.toSeq).toSeq)
+    val tr = s2.sql("SELECT * FROM transitions('sq_events', " +
+      "'user_id', 'event_type', 'ts', 'event_id')")
+    assert(tr.columns.toSeq === Seq("src", "dst", "n", "p"))
+    assert(tr.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.transitions(ev, "user_id", "event_type",
+        "ts", "event_id").collect().map(_.toSeq).toSeq)
+    val at = s2.sql("SELECT * FROM attribution('sq_events', " +
+      "'user_id', 'event_type', 'ts', 'event_id', 'purchase')")
+    assert(at.columns.toSeq ===
+      Seq("channel", "first_touch", "last_touch"))
+    assert(at.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.attribution(ev, "user_id", "event_type",
+        "ts", "event_id", "purchase").collect().map(_.toSeq).toSeq)
+    graft.sources.Tables.orders(s2, sfDir)
+      .createOrReplaceTempView("bf_orders")
+    val bf = s2.sql("SELECT * FROM benford('bf_orders', 'o_totalprice')")
+    assert(bf.columns.toSeq === Seq("digit", "n", "obs_p", "exp_p",
+      "chi2"))
+    assert(bf.collect().map(_.toSeq).toSeq ===
+      graft.operators.StatsOps.benford(
+          graft.sources.Tables.orders(s2, sfDir), "o_totalprice")
+        .collect().map(_.toSeq).toSeq)
+  }
+
+  test("geo_radius_join TVF agrees with the Scala API and rejects a " +
+    "coordinate-free table at plan time") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val cust = graft.sources.Tables.customer(s2, sfDir).select(
+      col("c_custkey"),
+      graft.operators.GeoOps.syntheticLat(col("c_custkey")).as("lat"),
+      graft.operators.GeoOps.syntheticLon(col("c_custkey")).as("lon"))
+    val supp = graft.sources.Tables.supplier(s2, sfDir).select(
+      col("s_suppkey"),
+      graft.operators.GeoOps.syntheticLat(col("s_suppkey")).as("lat"),
+      graft.operators.GeoOps.syntheticLon(col("s_suppkey")).as("lon"))
+    cust.createOrReplaceTempView("geo_c")
+    supp.createOrReplaceTempView("geo_s")
+    val got = s2.sql(
+        "SELECT * FROM geo_radius_join('geo_c', 'geo_s', 700.0)")
+      .orderBy("l_c_custkey", "r_s_suppkey")
+    assert(got.collect().map(_.toSeq).toSeq ===
+      graft.operators.GeoOps.radiusJoin(cust, supp, 700.0)
+        .orderBy("l_c_custkey", "r_s_suppkey")
+        .collect().map(_.toSeq).toSeq)
+    graft.sources.Tables.orders(s2, sfDir)
+      .createOrReplaceTempView("geo_bad")
+    val err = intercept[Exception] {
+      s2.sql("SELECT * FROM geo_radius_join('geo_bad', 'geo_s', 100.0)")
+    }
+    assert(err.getMessage.contains("lat"))
+  }
 }
