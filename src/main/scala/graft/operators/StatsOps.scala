@@ -202,6 +202,37 @@ object StatsOps {
       .orderBy("digit")
   }
 
+  /** Per-group weighted median: the smallest value v whose cumulative
+    * weight reaches half the group's total — the volume-weighted
+    * robust center ("the price at which half the QUANTITY trades",
+    * not half the rows). Textbook lower weighted median; no
+    * interpolation, so the answer is an actual stored value.
+    *
+    * Scale: weights pre-aggregate per (group, value) — a map-side-
+    * combined hash aggregate that caps the window input at the
+    * distinct-value cardinality — then one group-partitioned
+    * cumulative window. Weight sums run in DECIMAL(38,6) (exact,
+    * order-independent) and the 2·cum ≥ total crossing test is
+    * integer-exact decimal arithmetic on both engines. */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+      weightCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 6)
+    val byVal = df.groupBy(col(groupCol), col(valCol).as("v"))
+      .agg(sum(col(weightCol).cast(dec)).as("w"))
+    val wCum = Window.partitionBy(groupCol).orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCol)
+    byVal
+      .withColumn("cumw", sum("w").over(wCum))
+      .withColumn("total", sum("w").over(wAll))
+      .filter(col("cumw") * lit(2) >= col("total"))
+      .groupBy(col(groupCol))
+      .agg(
+        min("v").cast(DecimalType(18, 2)).as("wmedian"),
+        min("total").as("total_w"))
+  }
+
   val all: Seq[Query] = Seq(
     // Pareto frontier of orders over (totalprice ↑, orderdate ↑): the
     // orders no other order beats on both value and recency. The
@@ -331,6 +362,33 @@ object StatsOps {
                          / (total * log10(1.0 + 1.0 / digit))
                        * 1000000.0) / 1000000.0 AS chi2
               FROM c CROSS JOIN t ORDER BY digit"""),
-      (s, d) => benford(Tables.orders(s, d), "o_totalprice"))
+      (s, d) => benford(Tables.orders(s, d), "o_totalprice")),
+
+    // Quantity-weighted median price per return flag: the robust
+    // volume-center the plain median misses. The (group, value)
+    // pre-aggregate, the DECIMAL cumulative window and the integer-
+    // exact crossing test make the hash pin every digit.
+    Query(
+      "q_weighted_median",
+      Some("""WITH bv AS (
+                SELECT l_returnflag, l_extendedprice AS v,
+                       sum(CAST(l_quantity AS DECIMAL(38,6))) AS w
+                FROM lineitem GROUP BY 1, 2),
+              cm AS (
+                SELECT l_returnflag, v, w,
+                       sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cumw,
+                       sum(w) OVER (PARTITION BY l_returnflag) AS total
+                FROM bv)
+              SELECT l_returnflag,
+                     CAST(min(v) AS DECIMAL(18,2)) AS wmedian,
+                     min(total) AS total_w
+              FROM cm WHERE cumw * 2 >= total
+              GROUP BY l_returnflag
+              ORDER BY l_returnflag"""),
+      (s, d) => weightedMedian(Tables.lineitem(s, d), "l_returnflag",
+          "l_extendedprice", "l_quantity")
+        .orderBy("l_returnflag"))
   )
 }

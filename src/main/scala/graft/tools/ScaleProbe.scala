@@ -473,6 +473,106 @@ object ScaleProbe {
           f"  $wEw%4.2f/$bEw%5.1f")
       }
     }
+
+    // Geo / reconciliation / tokenizer probe (round 12 additions):
+    // radiusJoin's left side replicates m× against a FIXED right side,
+    // so candidate pairs, output and shuffle must all grow ~linearly
+    // (the 3×3 cell fan-out is a constant ×9, never data-dependent);
+    // tableDiff is one full-outer equi-join — linear; wordpiece encode
+    // is a narrow codegen'd map whose piece-count aggregate is
+    // VOCAB-bounded after map-side combine, so its shuffle should stay
+    // ~FLAT as the corpus replicates (the cooccurPmi story).
+    println("[scale] geo12: mult  rows  radius_s/mb(pairs)  " +
+      "diff_s/mb  wp_s/mb")
+    locally {
+      val custBase = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"),
+          graft.operators.GeoOps.syntheticLat(col("c_custkey"))
+            .as("lat"),
+          graft.operators.GeoOps.syntheticLon(col("c_custkey"))
+            .as("lon"))
+      val supp = Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"),
+          graft.operators.GeoOps.syntheticLat(col("s_suppkey"))
+            .as("lat"),
+          graft.operators.GeoOps.syntheticLon(col("s_suppkey"))
+            .as("lon"))
+        .localCheckpoint()
+      supp.count()
+      val ordBase = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice")
+      val docBase = Tables.documents(spark, sfDir)
+        .select("doc_id", "text")
+      val wpVocab = graft.functions.WordpieceOps.trainVocab(
+        docBase, "text", vocabSize = 2048)
+      Seq(1, 2, 4).foreach { m =>
+        val cust = (0 until m)
+          .map(i => custBase.select(
+            (col("c_custkey") + lit(i.toLong * 10000000L))
+              .as("c_custkey"),
+            // jitter replicas so cell occupancy, not dedup, grows
+            (col("lat") + lit(i * 0.01)).as("lat"), col("lon")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("c_custkey"))
+          .localCheckpoint()
+        val nc = cust.count()
+        val ord = (0 until m)
+          .map(i => ordBase.select(
+            (col("o_orderkey") + lit(i.toLong * 10000000L))
+              .as("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("o_orderkey"))
+          .localCheckpoint()
+        ord.count()
+        val docs = (0 until m)
+          .map(i => docBase.select(
+            (col("doc_id") + lit(i.toLong * 1000000L)).as("doc_id"),
+            col("text")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("doc_id"))
+          .localCheckpoint()
+        docs.count()
+        def measure(f: => Long): (Double, Double) = {
+          listener.reset()
+          val t0 = System.nanoTime()
+          f
+          val w = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          (w, listener.bytes / 1e6)
+        }
+        var nPairs = 0L
+        val (wGj, bGj) = measure {
+          nPairs = graft.operators.GeoOps.radiusJoin(cust, supp, 500.0)
+            .count()
+          nPairs
+        }
+        val (wDf, bDf) = measure {
+          val next = ord.filter(col("o_orderkey") % 1000 =!= 7)
+            .withColumn("o_totalprice",
+              when(col("o_orderkey") % 100 === 5,
+                col("o_totalprice") + 1.0)
+                .otherwise(col("o_totalprice")))
+          graft.operators.RelationalOps.tableDiff(
+            ord.filter(col("o_orderkey") % 1000 =!= 13), next,
+            "o_orderkey").count()
+        }
+        val (wWp, bWp) = measure {
+          docs.select(explode(
+              graft.functions.WordpieceOps.wordpieceEncode(
+                spark, lower(col("text")), wpVocab)).as("piece"))
+            .groupBy("piece").agg(count(lit(1)).as("n"))
+            .count()
+        }
+        println(f"[scale] geo12: $m%4d  $nc%6d" +
+          f"  $wGj%4.2f/$bGj%5.1f($nPairs)" +
+          f"  $wDf%4.2f/$bDf%5.1f  $wWp%4.2f/$bWp%5.1f")
+      }
+    }
     }
 
     // Cell-skew probe: natural corpora have hot clusters, and a hot

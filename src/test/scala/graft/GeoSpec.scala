@@ -106,6 +106,44 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("nearestJoin returns each left point's TRUE global nearest — " +
+    "matching brute force through every escalation stage including " +
+    "the far-straggler broadcast sweep") {
+    val rnd = new scala.util.Random(11)
+    // a dense cluster (stage-1 matches), a mid ring (stage 2/3), and
+    // isolated far points that must fall through to the brute sweep
+    val ls = (1 to 80).map(i =>
+      (i.toLong, rnd.nextDouble() * 10, rnd.nextDouble() * 10)) ++
+      (81 to 100).map(i =>
+        (i.toLong, rnd.nextDouble() * 140 - 70,
+          rnd.nextDouble() * 360 - 180))
+    val rs = (1 to 10).map(i =>
+      (i.toLong, rnd.nextDouble() * 10, rnd.nextDouble() * 10))
+    import spark.implicits._
+    val left = ls.toDF("id", "lat", "lon")
+    val right = rs.toDF("id", "lat", "lon")
+    def hav(lat1: Double, lon1: Double, lat2: Double, lon2: Double) = {
+      val dLat = math.toRadians(lat2 - lat1) / 2
+      val dLon = math.toRadians(lon2 - lon1) / 2
+      2 * 6371.0088 * math.asin(math.sqrt(
+        math.pow(math.sin(dLat), 2) +
+          math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+            math.pow(math.sin(dLon), 2)))
+    }
+    val brute = ls.map { case (li, la, lo) =>
+      li -> rs.map { case (ri, rla, rlo) =>
+        (hav(la, lo, rla, rlo), ri)
+      }.min._2
+    }.toMap
+    val got = GeoOps.nearestJoin(left, right, "id", "id",
+        radii = Seq(200.0, 1500.0))
+      .select("l_id", "r_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === ls.map(_._1).toSet,
+      "every left point gets exactly one nearest")
+    assert(got === brute)
+  }
+
   test("radiusJoin carries no duplicate pairs when the radius is so " +
     "large the longitude circle has few cells") {
     val left = Seq((1L, 10.0, 179.5), (2L, -5.0, -179.5))

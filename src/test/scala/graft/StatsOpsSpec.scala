@@ -134,4 +134,40 @@ class StatsOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(tri === Seq(("a b a", 1L), ("b a b", 1L)))
   }
+
+  // -- weighted median -----------------------------------------------
+
+  test("weightedMedian: hand-computed crossings — duplicate values " +
+    "pool their weights, a heavy tail value wins over many light " +
+    "rows, and equal-weight rows reduce to the lower median") {
+    val df = Seq(
+      // group a: values 1..4 weight 1 each → 2*cum(2)=4 ≥ 4 → 2
+      ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 1.0), ("a", 4.0, 1.0),
+      // group b: one heavy value outweighs three light ones
+      ("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 1.0), ("b", 9.0, 10.0),
+      // group c: duplicate values pool — 5.0 carries 2+3=5 of total 6
+      ("c", 5.0, 2.0), ("c", 5.0, 3.0), ("c", 7.0, 1.0)
+    ).toDF("g", "v", "w")
+    val got = StatsOps.weightedMedian(df, "g", "v", "w")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getDecimal(1).doubleValue(), r.getDecimal(2).doubleValue())))
+      .toMap
+    assert(got("a") === ((2.0, 4.0)))
+    assert(got("b") === ((9.0, 13.0)))
+    assert(got("c") === ((5.0, 6.0)))
+  }
+
+  test("weightedMedian with unit weights equals the discrete lower " +
+    "median and is repartition-deterministic") {
+    val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
+    val df = vals.map(("g", _, 1.0)).toDF("g", "v", "w")
+    val m1 = StatsOps.weightedMedian(df, "g", "v", "w")
+      .head().getDecimal(1).doubleValue()
+    // lower median of [1,1,2,3,4,5,6,9]: cum hits half (4 of 8) at 3
+    assert(m1 === 3.0)
+    val m2 = StatsOps.weightedMedian(df.repartition(7), "g", "v", "w")
+      .head().getDecimal(1).doubleValue()
+    assert(m2 === m1)
+  }
 }

@@ -246,6 +246,49 @@ class StorageLayoutSpec extends SparkSpec {
     }
   }
 
+  test("geohash-sorted layout skips on BOTH coordinates — a pure-" +
+    "longitude box scan reads a fraction of what a lat-sorted " +
+    "layout reads (prefix truncation = grid coarsening)") {
+    import graft.functions.Geohash
+    import graft.operators.GeoOps
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    withFixtureDir("graft-geohash-") { dir =>
+      val pts = graft.sources.Tables
+        .orders(spark, "/root/testdata/sf0.01")
+        .select(col("o_orderkey").as("id"),
+          GeoOps.syntheticLat(col("o_orderkey")).as("lat"),
+          GeoOps.syntheticLon(col("o_orderkey")).as("lon"))
+      // 64 files: a Morton range only localizes once a file covers a
+      // fraction of a top-level 45° geohash cell — at 16 files each
+      // spans multiple top cells and lon min/max stays wide
+      val n = 64
+      // layout A: sorted by latitude only — its row groups all span
+      // the full longitude range
+      pts.repartitionByRange(n, col("lat"))
+        .sortWithinPartitions("lat")
+        .write.parquet(s"$dir/lat_sorted")
+      // layout B: sorted by the geohash key — contiguous key ranges
+      // are spatial tiles, narrow in BOTH coordinates
+      pts.withColumn("gh",
+          Geohash.geohash(col("lat"), col("lon"), 6))
+        .repartitionByRange(n, col("gh"))
+        .sortWithinPartitions("gh")
+        .write.parquet(s"$dir/gh_sorted")
+      def q(path: String) = spark.read.parquet(path)
+        .filter(col("lon") >= -10.0 && col("lon") <= 10.0)
+      assert(q(s"$dir/gh_sorted").count() ===
+        q(s"$dir/lat_sorted").count())
+      val aRows = scanRows(q(s"$dir/lat_sorted"))
+      val gRows = scanRows(q(s"$dir/gh_sorted"))
+      assert(gRows < aRows / 2,
+        s"geohash layout must skip: gh=$gRows vs lat-sorted=$aRows")
+    }
+  }
+
   test("dynamic partition overwrite touches ONLY the partitions the " +
     "incremental batch carries — the idempotent-backfill write mode") {
     withFixtureDir("graft-dyn-overwrite-") { dir =>
