@@ -165,7 +165,12 @@ object GeoOps {
     var remaining = left
     var best: Option[DataFrame] = None
     radii.foreach { r =>
-      val stage = argmin(radiusJoinRaw(remaining, right, r))
+      // pin each stage: its result feeds BOTH the answer union and the
+      // next stage's anti-join, and without the lineage cut stage k
+      // re-derives every earlier stage's blocked join once per
+      // consumer (the BFS recompute trap — measured 2× on the bench)
+      val stage = graft.tools.Checkpoints.pin(
+        argmin(radiusJoinRaw(remaining, right, r)))
       best = Some(best.map(_.unionByName(stage)).getOrElse(stage))
       remaining = remaining.join(
         stage.select(col(lk).as(leftKey)), Seq(leftKey), "left_anti")
@@ -182,6 +187,24 @@ object GeoOps {
     best.get.unionByName(far)
       .withColumn("dist_km",
         round(col("dist_km") * lit(1000.0)) / lit(1000.0))
+  }
+
+  /** Spatial proximity clusters: connected components of the
+    * "within `radiusKm`" graph (DBSCAN with minPts=1 / single-linkage
+    * at a distance cut) — region discovery without a preset grid. The
+    * pair graph comes from the blocked [[radiusJoinRaw]] self-join
+    * (cell-bounded, never n²) and the components run on
+    * [[DedupOps.nearDupClusters]]'s checkpointed min-label
+    * propagation — the identical machinery that clusters near-dup
+    * documents, reused verbatim on spatial edges. Output:
+    * (`keyCol`, cluster_id = component's min key, keeper). */
+  def spatialClusters(pts: DataFrame, keyCol: String,
+      radiusKm: Double): DataFrame = {
+    val pairs = radiusJoinRaw(pts, pts, radiusKm)
+      .filter(col(s"l_$keyCol") < col(s"r_$keyCol"))
+      .select(col(s"l_$keyCol").as("a_id"),
+        col(s"r_$keyCol").as("b_id"))
+    DedupOps.nearDupClusters(pairs, pts.select(col(keyCol)), keyCol)
   }
 
   /** Spatial density rollup: point counts (plus a DECIMAL-exact
@@ -282,6 +305,44 @@ object GeoOps {
         nearestJoin(cust, supp, "c_custkey", "s_suppkey")
           .select(col("l_c_custkey").as("c_custkey"),
             col("r_s_suppkey").as("s_suppkey"), col("dist_km"))
+          .orderBy("c_custkey")
+      }),
+
+    // Proximity clusters at a 150 km cut: connected components of the
+    // radius graph (DBSCAN minPts=1), the near-dup cluster machinery
+    // on spatial edges. The oracle's recursive CTE computes true
+    // reachability over the brute-forced pair set — hash-green pins
+    // both the blocked pair graph AND the label-propagation
+    // convergence.
+    Query(
+      "q_geo_clusters",
+      Some(s"""WITH RECURSIVE c AS (
+                 SELECT c_custkey, ${sqlLat("c_custkey")} AS lat,
+                        ${sqlLon("c_custkey")} AS lon
+                 FROM customer),
+               p AS (
+                 SELECT a.c_custkey AS a, b.c_custkey AS b
+                 FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+                 WHERE 2.0 * 6371.0088 * asin(sqrt(
+                         pow(sin(radians(b.lat - a.lat) / 2.0), 2) +
+                         cos(radians(a.lat)) * cos(radians(b.lat)) *
+                           pow(sin(radians(b.lon - a.lon) / 2.0), 2)))
+                       <= 150.0),
+               e AS (SELECT a, b FROM p
+                     UNION ALL SELECT b AS a, a AS b FROM p),
+               reach(id, r) AS (
+                 SELECT c_custkey, c_custkey FROM customer
+                 UNION
+                 SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
+               SELECT id AS c_custkey, min(r) AS cluster_id,
+                      (id = min(r)) AS keeper
+               FROM reach GROUP BY id ORDER BY c_custkey"""),
+      (s, d) => {
+        val cust = Tables.customer(s, d).select(
+          col("c_custkey"),
+          syntheticLat(col("c_custkey")).as("lat"),
+          syntheticLon(col("c_custkey")).as("lon"))
+        spatialClusters(cust, "c_custkey", 150.0)
           .orderBy("c_custkey")
       }),
 

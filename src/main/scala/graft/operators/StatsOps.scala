@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Query
 import graft.sources.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -218,14 +218,53 @@ object StatsOps {
       weightCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 6)
-    val byVal = df.groupBy(col(groupCol), col(valCol).as("v"))
-      .agg(sum(col(weightCol).cast(dec)).as("w"))
+    val nBuckets = 1024
+    // PREFILTER (the skyline stance — prune, then verify exactly): a
+    // naive cumulative window partitioned only by the group is a
+    // near-global sort when groups are few (3 return flags = 3 window
+    // partitions for the whole table; measured 2.4 s of the bench
+    // line). Instead: three NARROW passes over the raw table, no
+    // shared intermediate to re-derive — (1) per-group bounds +
+    // DECIMAL total, (2) per-(group, 1/1024-bucket) weight sums with
+    // a ≤1024-row cumulative window locating each group's crossing
+    // bucket, (3) the exact value-ordered window over ONLY the
+    // crossing bucket's rows (~1/1024 of the data, still
+    // group-partitioned). Bucket assignment is monotone in v and all
+    // weight sums are DECIMAL-exact, so the crossing bucket — and the
+    // final crossing value — are engine-identical.
+    val bounds = df.groupBy(col(groupCol))
+      .agg(min(col(valCol).cast("double")).as("__vmin"),
+        max(col(valCol).cast("double")).as("__vmax"),
+        sum(col(weightCol).cast(dec)).as("total"))
+    def bucketOf(v: Column): Column =
+      least(lit(nBuckets - 1), greatest(lit(0),
+        floor((v.cast("double") - col("__vmin")) * nBuckets /
+          (col("__vmax") - col("__vmin") + lit(1e-9))))).cast("int")
+    val wBkt = Window.partitionBy(groupCol).orderBy("__bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val crossing = df.join(broadcast(bounds), groupCol)
+      .groupBy(col(groupCol), bucketOf(col(valCol)).as("__bkt"))
+      .agg(sum(col(weightCol).cast(dec)).as("__bw"),
+        min("total").as("total"))
+      .withColumn("__before",
+        coalesce(sum(col("__bw")).over(wBkt), lit(0).cast(dec)))
+      // the crossing bucket: weight before it is short of half, with
+      // it reaches half
+      .filter(col("__before") * lit(2) < col("total") &&
+        (col("__before") + col("__bw")) * lit(2) >= col("total"))
+      .select(col(groupCol), col("__bkt").as("__cbkt"),
+        col("__before"), col("total"))
+    // VERIFY: exact crossing within the one bucket per group
     val wCum = Window.partitionBy(groupCol).orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(groupCol)
-    byVal
-      .withColumn("cumw", sum("w").over(wCum))
-      .withColumn("total", sum("w").over(wAll))
+    df.join(broadcast(crossing.join(
+        bounds.select(col(groupCol), col("__vmin"), col("__vmax")),
+        groupCol)), groupCol)
+      .filter(bucketOf(col(valCol)) === col("__cbkt"))
+      .groupBy(col(groupCol), col(valCol).as("v"))
+      .agg(sum(col(weightCol).cast(dec)).as("w"),
+        min("__before").as("__before"), min("total").as("total"))
+      .withColumn("cumw", col("__before") + sum("w").over(wCum))
       .filter(col("cumw") * lit(2) >= col("total"))
       .groupBy(col(groupCol))
       .agg(
