@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.eval().asInstanceOf[Number].intValue()
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in approximate mode: COUNT(DISTINCT x) → HLL sketch when
+    // spark.graft.approx.countDistinct=true (no-op otherwise)
+    ext.injectOptimizerRule(_ => new graft.plans.ApproxDistinctRewrite)
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))

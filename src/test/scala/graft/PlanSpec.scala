@@ -612,6 +612,35 @@ class PlanSpec extends SparkSpec {
       .findAllMatchIn(p).size === 1, p.take(2500))
   }
 
+  test("q_geo_nearest: the escalation ladder is blocked equi-joins " +
+    "end to end — the ONLY nested-loop join is the declared " +
+    "broadcast brute sweep over the straggler remainder") {
+    val p = plan(q("q_geo_nearest"))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert("BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1,
+      p.take(2500))
+  }
+
+  test("q_weighted_median: the exact window runs only inside the " +
+    "crossing bucket — the value-ordered windows are group-" +
+    "partitioned and the bucket tables broadcast back") {
+    val p = plan(q("q_weighted_median"))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(p.contains("windowspecdefinition("), p.take(2500))
+    assert(!p.contains("windowspecdefinition(,") &&
+      !p.contains("windowspecdefinition( ,"),
+      s"global window leaked: ${p.take(2500)}")
+  }
+
+  test("q_geo_clusters: the spatial pair graph is a blocked " +
+    "equi-self-join (never n²) and the presented component plan is " +
+    "checkpoint-truncated like every iterative operator") {
+    val p = plan(q("q_geo_clusters"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+  }
+
   test("q_gaps_islands, q_transitions, q_attribution: every window " +
     "carries a user partition — per-key state, nothing global") {
     Seq("q_gaps_islands", "q_transitions", "q_attribution").foreach {
