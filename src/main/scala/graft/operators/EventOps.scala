@@ -538,6 +538,41 @@ object EventOps {
       .orderBy("channel")
   }
 
+  /** Inactivity-gap sessionization (batch): split each user's
+    * (ts, tie)-ordered events into sessions wherever the gap to the
+    * previous event exceeds `gapMinutes`, and roll each session up to
+    * (start, end, n_events, duration_s). The batch twin of the
+    * streaming session window (q_window_session) — same semantics,
+    * replayable over history. Both windows are user-partitioned
+    * (lag + running gap count — per-key state only); the rollup is a
+    * keyed hash aggregate. Gap comparison runs on integer epoch
+    * seconds, engine-exact. */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    def micros(c: Column) = unix_micros(c)
+    val prev = lag(col(tsCol), 1).over(w)
+    // integer MICROsecond arithmetic on both engines — second-level
+    // casts truncate vs round differently across engines on
+    // sub-second timestamps
+    val isNew = when(prev.isNull ||
+      micros(col(tsCol)) - micros(prev) >
+        gapMinutes * 60L * 1000000L, 1L).otherwise(0L)
+    df
+      .withColumn("__new", isNew)
+      .withColumn("session_idx", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"),
+        count(lit(1)).as("n_events"),
+        floor((micros(max(col(tsCol))) - micros(min(col(tsCol))))
+          / lit(1000000.0)).cast("long").as("duration_s"))
+      .orderBy(userCol, "session_idx")
+  }
+
   val all: Seq[Query] = Seq(
     Query(
       "q_anomaly",
@@ -952,6 +987,38 @@ object EventOps {
                 SELECT lt, 0, 1 FROM p)
               GROUP BY channel ORDER BY channel"""),
       (s, d) => attribution(Tables.events(s, d), "user_id",
-        "event_type", "ts", "event_id", "purchase"))
+        "event_type", "ts", "event_id", "purchase")),
+
+    // Batch sessionization at a 30-min gap: the replayable-history
+    // twin of the streaming session window. Epoch-second integer gap
+    // tests and counts make the hash pin every session boundary.
+    Query(
+      "q_sessionize",
+      Some("""WITH g AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                              PARTITION BY user_id
+                              ORDER BY ts, event_id)) > 1800000000
+                         THEN 1 ELSE 0 END AS n,
+                       event_id
+                FROM events),
+              s AS (
+                SELECT user_id, ts,
+                       sum(n) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS session_idx
+                FROM g)
+              SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                     min(ts) AS start_ts, max(ts) AS end_ts,
+                     count(*) AS n_events,
+                     (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                       AS duration_s
+              FROM s GROUP BY user_id, session_idx
+              ORDER BY user_id, session_idx"""),
+      (s, d) => sessionize(Tables.events(s, d), "user_id", "ts",
+        "event_id", gapMinutes = 30))
   )
 }

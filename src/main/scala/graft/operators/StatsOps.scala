@@ -272,6 +272,74 @@ object StatsOps {
         min("total").as("total_w"))
   }
 
+  // Poisson(1) CDF thresholds on the 16-bit draw scale: a uniform
+  // u ∈ [0, 65536) maps to weight w = #{k : u ≥ t_k} (max 8) — the
+  // standard Poisson bootstrap resampling weight, derandomized. The
+  // SQL oracle interpolates the SAME integers, so both engines draw
+  // identical weights from identical md5 nibbles.
+  private[graft] val PoissonCum: Seq[Double] = {
+    val invE = math.exp(-1.0)
+    Iterator.iterate((invE, invE, 0)) { case (term, cum, k) =>
+      val t = term / (k + 1); (t, cum + t, k + 1)
+    }.take(8).map(_._2).toSeq
+  }
+  private[graft] val PoissonT: Seq[Long] =
+    PoissonCum.map(c => math.floor(c * 65536.0).toLong)
+
+  /** Per-group mean with a 95% bootstrap confidence interval — in ONE
+    * aggregation pass, no row resampling. The Poisson bootstrap
+    * (Chamandy et al. 2012 — THE bootstrap for map-reduce): replicate
+    * b reweights every row by an independent Poisson(1) draw, so all
+    * `reps` replicate sums fold as extra aggregate columns exactly
+    * like simhash's 64 bit sums — zero row inflation, zero extra
+    * shuffle, and the CI costs one wide map-side-combined aggregate.
+    *
+    * Derandomized: row i's weight in replicate b comes from md5 of
+    * `id#chunk` (8 sixteen-bit draws per hash → reps/8 hashes per
+    * row), thresholded through the integer Poisson CDF — no RNG
+    * state, reproducible across retries, partitionings, and ENGINES
+    * (the oracle draws the identical weights nibble-for-nibble).
+    * Replicate sums run in DECIMAL(38,6); the interval is the
+    * percentile bootstrap on the `reps` replicate means (order
+    * statistics ⌈0.025·reps⌉ and ⌈0.975·reps⌉ of the sorted array —
+    * a `sort_array` over a reps-length array per GROUP, never a
+    * window). */
+  def bootstrapCi(df: DataFrame, groupCol: String, idCol: String,
+      valCol: String, reps: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(reps % 8 == 0 && reps > 0, s"reps must be a multiple of 8")
+    val dec = DecimalType(38, 6)
+    val chunks = reps / 8
+    val hashed = df.select(
+      col(groupCol) +: col(valCol).cast("double").as("__x") +:
+        (0 until chunks).map(c =>
+          md5(concat(col(idCol).cast("string"), lit(s"#$c")))
+            .as(s"__h$c")): _*)
+    def weight(b: Int): Column = {
+      val u = conv(substring(col(s"__h${b / 8}"), (b % 8) * 4 + 1, 4),
+        16, 10).cast("long")
+      PoissonT.map(t => (u >= lit(t)).cast("long")).reduce(_ + _)
+    }
+    val aggs =
+      Seq(count(lit(1)).as("__n"), sum(col("__x").cast(dec)).as("__s")) ++
+        (0 until reps).flatMap(b => Seq(
+          sum((weight(b) * col("__x")).cast(dec)).as(s"__bs$b"),
+          sum(weight(b)).as(s"__bn$b")))
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val loIdx = math.ceil(0.025 * reps).toInt
+    val hiIdx = math.ceil(0.975 * reps).toInt
+    hashed.groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol), col("__n").as("n"),
+        r6(col("__s").cast("double") / col("__n")).as("mean"),
+        sort_array(array((0 until reps).map(b =>
+          col(s"__bs$b").cast("double") / col(s"__bn$b")): _*))
+          .as("__ms"))
+      .select(col(groupCol), col("n"), col("mean"),
+        r6(element_at(col("__ms"), loIdx)).as("ci_lo"),
+        r6(element_at(col("__ms"), hiIdx)).as("ci_hi"))
+  }
+
   val all: Seq[Query] = Seq(
     // Pareto frontier of orders over (totalprice ↑, orderdate ↑): the
     // orders no other order beats on both value and recency. The
@@ -428,6 +496,62 @@ object StatsOps {
               ORDER BY l_returnflag"""),
       (s, d) => weightedMedian(Tables.lineitem(s, d), "l_returnflag",
           "l_extendedprice", "l_quantity")
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Derandomized Poisson-bootstrap 95% CI on the mean order total
+    // per priority — one wide aggregate, no resampled rows. The
+    // oracle rebuilds all 64 replicates from the same md5 nibbles and
+    // the same integer CDF thresholds, so even the interval
+    // endpoints hash-match to 6 dp.
+    Query(
+      "q_bootstrap_ci",
+      Some {
+        val wExpr = PoissonT.map(t => s"(u >= $t)::INT")
+          .mkString("(", " + ", ")")
+        s"""WITH base AS (
+              SELECT o_orderpriority AS g, o_totalprice AS x,
+                     [md5(CAST(o_orderkey AS VARCHAR) || '#' || c)
+                       for c in range(8)] AS hs
+              FROM orders),
+            u AS (
+              SELECT g, x, b,
+                     (instr('0123456789abcdef',
+                        substr(hs[(b // 8) + 1], (b % 8) * 4 + 1, 1)) - 1)
+                       * 4096
+                   + (instr('0123456789abcdef',
+                        substr(hs[(b // 8) + 1], (b % 8) * 4 + 2, 1)) - 1)
+                       * 256
+                   + (instr('0123456789abcdef',
+                        substr(hs[(b // 8) + 1], (b % 8) * 4 + 3, 1)) - 1)
+                       * 16
+                   + (instr('0123456789abcdef',
+                        substr(hs[(b // 8) + 1], (b % 8) * 4 + 4, 1)) - 1)
+                       AS u
+              FROM base CROSS JOIN range(0, 64) t(b)),
+            rep AS (
+              SELECT g, b,
+                     CAST(sum(CAST($wExpr * x AS DECIMAL(38,6)))
+                       AS DOUBLE) / sum($wExpr) AS m
+              FROM u GROUP BY g, b),
+            stats AS (
+              SELECT g, count(*) AS n,
+                     round(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+                       / count(*) * 1000000.0) / 1000000.0 AS mean
+              FROM base GROUP BY g),
+            ord AS (
+              SELECT g, m,
+                     row_number() OVER (PARTITION BY g ORDER BY m) AS rn
+              FROM rep)
+            SELECT s.g AS o_orderpriority, s.n, s.mean,
+                   round(lo.m * 1000000.0) / 1000000.0 AS ci_lo,
+                   round(hi.m * 1000000.0) / 1000000.0 AS ci_hi
+            FROM stats s
+            JOIN ord lo ON lo.g = s.g AND lo.rn = 2
+            JOIN ord hi ON hi.g = s.g AND hi.rn = 63
+            ORDER BY o_orderpriority"""
+      },
+      (s, d) => bootstrapCi(Tables.orders(s, d), "o_orderpriority",
+          "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority"))
   )
 }

@@ -170,4 +170,56 @@ class StatsOpsSpec extends SparkSpec {
       .head().getDecimal(1).doubleValue()
     assert(m2 === m1)
   }
+
+  // -- bootstrap CI --------------------------------------------------
+
+  test("bootstrapCi: the interval brackets the sample mean, narrows " +
+    "roughly as 1/sqrt(n), and is repartition-deterministic") {
+    import org.apache.spark.sql.DataFrame
+    def gen(n: Int, g: String): DataFrame =
+      spark.range(1, n + 1)
+        .selectExpr(s"'$g' AS g", "id",
+          // a deterministic skewed positive variable
+          "CAST(1.0 + pmod(id * 37, 100) + " +
+            "CASE WHEN id % 17 = 0 THEN 500.0 ELSE 0.0 END AS DOUBLE)" +
+            " AS x")
+    val df = gen(400, "small").unionByName(gen(40000, "large"))
+    val out = StatsOps.bootstrapCi(df, "g", "id", "x")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    out.foreach { case (g, (n, mean, lo, hi)) =>
+      assert(lo < mean && mean < hi, s"$g: [$lo, $hi] vs mean $mean")
+      assert(n === (if (g == "small") 400L else 40000L))
+    }
+    val (_, _, sl, sh) = out("small")
+    val (_, _, ll, lh) = out("large")
+    // 100× the data → ~10× narrower; allow generous slack
+    assert((lh - ll) < (sh - sl) / 3.0,
+      s"large CI ${lh - ll} vs small CI ${sh - sl}")
+    val again = StatsOps.bootstrapCi(df.repartition(13), "g", "id", "x")
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    assert(again === out)
+  }
+
+  test("the Poisson thresholds integrate to the CDF of Poisson(1): " +
+    "weight frequencies over the full 16-bit range match the pmf") {
+    val t = StatsOps.PoissonT
+    assert(t.length === 8 && t === t.sorted)
+    // P(w = 0) = t0/65536 ≈ e^-1; successive gaps match the pmf terms
+    val pmf = (0 until 8).map { k =>
+      val lo = if (k == 0) 0L else t(k - 1)
+      val hi = t(k)
+      (hi - lo).toDouble / 65536.0
+    }
+    var term = math.exp(-1.0)
+    pmf.zipWithIndex.foreach { case (p, k) =>
+      assert(math.abs(p - term) < 1e-4, s"k=$k: $p vs $term")
+      term = term / (k + 1)
+    }
+  }
 }
