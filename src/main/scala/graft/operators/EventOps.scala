@@ -573,6 +573,88 @@ object EventOps {
       .orderBy(userCol, "session_idx")
   }
 
+  /** Single-changepoint detection per group: the hour at which the
+    * series' level most plausibly shifts, via the classic CUSUM
+    * deviation statistic `D_t = |S_t − t·S_n/n|` maximized over all
+    * prefix lengths t < n (S_t = prefix event-count sum over the
+    * group's hourly buckets). The comparison runs on the INTEGER
+    * rescaling `n·S_t − t·S_n` — exact on both engines, so the argmax
+    * (earliest hour on ties) is engine-identical; only the final
+    * readouts (stat = D/n, the two segment means) divide.
+    *
+    * Scale: the corpus folds to ≤ |groups|·|hours| rows in one
+    * map-side-combined hash aggregate before any window; the prefix
+    * window and the argmax fold are group-partitioned (the argmax is
+    * a `max(struct(...))` aggregate — no second shuffle, the window's
+    * hash partitioning satisfies it). */
+  def changepoint(df: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = df
+      .groupBy(col(groupCol), date_trunc("hour", col(tsCol)).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    val totals = hourly.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+    val w = Window.partitionBy(groupCol).orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = hourly
+      .join(broadcast(totals), groupCol :: Nil)
+      .withColumn("i", count(lit(1)).over(w))
+      .withColumn("st", sum(col("c")).over(w))
+      .filter(col("i") < col("n"))
+      .withColumn("dd", abs(col("n") * col("st") - col("i") * col("s")))
+    // argmax via lexicographic struct max: highest dd, earliest hour
+    // on ties (-i ascending == i descending under max). Integer-exact.
+    scored
+      .groupBy(col(groupCol))
+      .agg(max(struct(col("dd"), (-col("i")).as("ni"), col("hr"),
+        col("st"), col("n"), col("s"))).as("m"))
+      .select(col(groupCol),
+        col("m.hr").as("cp_hour"),
+        r6(col("m.dd").cast("double") / col("m.n")).as("stat"),
+        r6(col("m.st").cast("double") / (-col("m.ni")))
+          .as("mean_before"),
+        r6((col("m.s") - col("m.st")).cast("double") /
+          (col("m.n") + col("m.ni"))).as("mean_after"))
+      .orderBy(groupCol)
+  }
+
+  /** Point-in-time trailing-window features at each label event: for
+    * every `labelValue` row, the count of the user's events in the
+    * trailing 1-day and 7-day windows and the 7-day value sum — with
+    * the label instant itself EXCLUDED (frame ends 1 µs before the
+    * current row's event time), the leakage rule every training-data
+    * pipeline must enforce. RANGE frames on integer epoch-micros make
+    * tie handling (same-microsecond events) identical across engines;
+    * the value sum folds in DECIMAL(38,6).
+    *
+    * Scale: one shuffle on the user key serves all three frames (one
+    * Window node); state per partition is the 7-day row span of one
+    * user, never the corpus. */
+  def trailingFeatures(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, valCol: String,
+      labelValue: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 6)
+    // materialize the ordering key ONCE: each frame then orders by the
+    // same attribute, so the three Window nodes share one exchange and
+    // one physical sort (per-expression aliases would re-sort between
+    // nodes)
+    def trail(days: Int) = Window.partitionBy(userCol)
+      .orderBy(col("__us"))
+      .rangeBetween(-days * 86400000000L, -1L)
+    df
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("n_1d", count(lit(1)).over(trail(1)))
+      .withColumn("n_7d", count(lit(1)).over(trail(7)))
+      .withColumn("v_7d", coalesce(
+        sum(col(valCol).cast(dec)).over(trail(7)), lit(0).cast(dec)))
+      .filter(col(typeCol) === labelValue)
+      .select(col(idCol), col(userCol), col(tsCol),
+        col("n_1d"), col("n_7d"), col("v_7d"))
+      .orderBy(idCol)
+  }
+
   val all: Seq[Query] = Seq(
     Query(
       "q_anomaly",
@@ -1019,6 +1101,72 @@ object EventOps {
               FROM s GROUP BY user_id, session_idx
               ORDER BY user_id, session_idx"""),
       (s, d) => sessionize(Tables.events(s, d), "user_id", "ts",
-        "event_id", gapMinutes = 30))
+        "event_id", gapMinutes = 30)),
+
+    // CUSUM level-shift detection per event type over hourly counts:
+    // the integer rescaling n*S_t - t*S_n keeps the argmax exact on
+    // both engines; only the three readout divisions are float.
+    Query(
+      "q_changepoint",
+      Some("""WITH h AS (
+                SELECT event_type, date_trunc('hour', ts) AS hr,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2),
+              t AS (SELECT event_type, count(*) AS n, sum(c) AS s
+                    FROM h GROUP BY 1),
+              w AS (
+                SELECT h.event_type, hr, n, s,
+                       row_number() OVER (PARTITION BY h.event_type
+                         ORDER BY hr) AS i,
+                       sum(c) OVER (PARTITION BY h.event_type
+                         ORDER BY hr
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS st
+                FROM h JOIN t USING (event_type)),
+              d AS (
+                SELECT *, abs(n * st - i * s) AS dd,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY abs(n * st - i * s) DESC, i) AS rk
+                FROM w WHERE i < n)
+              SELECT event_type, hr AS cp_hour,
+                     round(dd * 1.0 / n * 1000000.0) / 1000000.0
+                       AS stat,
+                     round(st * 1.0 / i * 1000000.0) / 1000000.0
+                       AS mean_before,
+                     round((s - st) * 1.0 / (n - i) * 1000000.0)
+                       / 1000000.0 AS mean_after
+              FROM d WHERE rk = 1 ORDER BY event_type"""),
+      (s, d) => changepoint(Tables.events(s, d), "event_type", "ts")),
+
+    // Point-in-time trailing features at each purchase: 1d/7d counts
+    // and the 7d DECIMAL value sum, label instant excluded (the
+    // leakage rule). RANGE frames on integer epoch-micros.
+    Query(
+      "q_trailing_features",
+      Some("""WITH w AS (
+                SELECT event_id, user_id, ts, event_type,
+                       count(*) OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 86400000000 PRECEDING
+                         AND 1 PRECEDING) AS n_1d,
+                       count(*) OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 604800000000 PRECEDING
+                         AND 1 PRECEDING) AS n_7d,
+                       coalesce(sum(CAST(value AS DECIMAL(38,6)))
+                         OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 604800000000 PRECEDING
+                           AND 1 PRECEDING),
+                         CAST(0 AS DECIMAL(38,6))) AS v_7d
+                FROM events)
+              SELECT event_id, user_id, ts,
+                     CAST(n_1d AS BIGINT) AS n_1d,
+                     CAST(n_7d AS BIGINT) AS n_7d,
+                     CAST(v_7d AS DECIMAL(38,6)) AS v_7d
+              FROM w WHERE event_type = 'purchase'
+              ORDER BY event_id"""),
+      (s, d) => trailingFeatures(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type", "value", "purchase"))
   )
 }

@@ -340,6 +340,72 @@ object StatsOps {
         r6(element_at(col("__ms"), hiIdx)).as("ci_hi"))
   }
 
+  /** Contingency table with χ² independence terms: observed counts
+    * for every `(a, b)` category pair, the expected count under
+    * independence `rowTotal·colTotal/total`, and the per-cell χ²
+    * contribution `(n−e)²/e` — the "are these two categoricals
+    * related" screen (summing the chi2 column against the χ²
+    * distribution is the test itself).
+    *
+    * Scale: ONE map-side-combined hash aggregate over the raw table
+    * (keyed on the pair); marginals re-aggregate the cell table —
+    * ≤|A|·|B| rows — and ride back as broadcast joins. Counts are
+    * exact integers; the only float steps are the two 6-dp readouts,
+    * computed with the identical IEEE op sequence in the oracle. */
+  def crosstabChi2(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy(col(aCol)).agg(sum("n").as("rt"))
+    val colT = cells.groupBy(col(bCol)).agg(sum("n").as("ct"))
+    val tot = cells.agg(sum("n").as("total"))
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val e = col("rt").cast("double") * col("ct") / col("total")
+    cells
+      .join(broadcast(rowT), aCol)
+      .join(broadcast(colT), bCol)
+      .crossJoin(broadcast(tot))
+      .select(col(aCol), col(bCol), col("n"),
+        r6(e).as("expected"),
+        r6((col("n") - e) * (col("n") - e) / e).as("chi2"))
+      .orderBy(aCol, bCol)
+  }
+
+  /** Hot-key profiler: the `topN` heaviest values of a join/groupBy
+    * key with each key's share of the table, cumulative share, and
+    * skew ratio (count ÷ the mean per-key count) — the diagnostic
+    * that tells you whether a shuffle on this key needs salting or
+    * AQE skew handling BEFORE you run the join at 100 TB.
+    *
+    * Scale: one map-side-combined count aggregate keyed on the key,
+    * then `TakeOrderedAndProject` (partial per-partition top-N before
+    * the single-partition fold — never a global sort); the cumulative
+    * window runs over the ≤topN survivors (declared via
+    * [[BoundedWindow.key]]) and the table-level marginals are a
+    * broadcast 1-row aggregate. Ties break on the key value, so the
+    * cut is a total order on both engines. */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 10)
+      : DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(count(lit(1)).as("nkeys"),
+      sum("cnt").as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("key")).limit(topN)
+    val wCum = Window
+      .partitionBy(BoundedWindow.key(col("key")))
+      .orderBy(col("cnt").desc, col("key"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    top.crossJoin(broadcast(tot))
+      .withColumn("cum", sum("cnt").over(wCum))
+      .select(col("key"), col("cnt"),
+        r6(col("cnt").cast("double") / col("total")).as("share"),
+        r6(col("cum").cast("double") / col("total")).as("cum_share"),
+        r6(col("cnt").cast("double") * col("nkeys") / col("total"))
+          .as("skew"))
+      .orderBy(col("cnt").desc, col("key"))
+  }
+
   val all: Seq[Query] = Seq(
     // Pareto frontier of orders over (totalprice ↑, orderdate ↑): the
     // orders no other order beats on both value and recency. The
@@ -552,6 +618,58 @@ object StatsOps {
       },
       (s, d) => bootstrapCi(Tables.orders(s, d), "o_orderpriority",
           "o_orderkey", "o_totalprice")
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // Contingency + chi-square independence terms over order status x
+    // priority. Counts and marginals are exact integers; expected and
+    // chi2 use the identical IEEE op sequence on both engines.
+    Query(
+      "q_crosstab",
+      Some("""WITH c AS (
+                SELECT o_orderstatus, o_orderpriority, count(*) AS n
+                FROM orders GROUP BY 1, 2),
+              r AS (SELECT o_orderstatus, sum(n) AS rt
+                    FROM c GROUP BY 1),
+              k AS (SELECT o_orderpriority, sum(n) AS ct
+                    FROM c GROUP BY 1),
+              t AS (SELECT sum(n) AS total FROM c)
+              SELECT c.o_orderstatus, c.o_orderpriority,
+                     CAST(n AS BIGINT) AS n,
+                     round(rt * 1.0 * ct / total * 1000000.0)
+                       / 1000000.0 AS expected,
+                     round((n - rt * 1.0 * ct / total)
+                         * (n - rt * 1.0 * ct / total)
+                         / (rt * 1.0 * ct / total) * 1000000.0)
+                       / 1000000.0 AS chi2
+              FROM c
+              JOIN r USING (o_orderstatus)
+              JOIN k USING (o_orderpriority)
+              CROSS JOIN t
+              ORDER BY o_orderstatus, o_orderpriority"""),
+      (s, d) => crosstabChi2(Tables.orders(s, d), "o_orderstatus",
+        "o_orderpriority")),
+
+    // Hot-key profiler on lineitem's part join key: top-10 keys with
+    // share / cumulative share / skew ratio vs the mean key.
+    Query(
+      "q_key_skew",
+      Some("""WITH c AS (
+                SELECT l_partkey AS key, count(*) AS cnt
+                FROM lineitem GROUP BY 1),
+              t AS (SELECT count(*) AS nkeys, sum(cnt) AS total FROM c),
+              top AS (SELECT key, cnt FROM c
+                      ORDER BY cnt DESC, key LIMIT 10)
+              SELECT key, CAST(cnt AS BIGINT) AS cnt,
+                     round(cnt * 1.0 / total * 1000000.0)
+                       / 1000000.0 AS share,
+                     round(sum(cnt) OVER (ORDER BY cnt DESC, key
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) * 1.0 / total * 1000000.0)
+                       / 1000000.0 AS cum_share,
+                     round(cnt * 1.0 * nkeys / total * 1000000.0)
+                       / 1000000.0 AS skew
+              FROM top CROSS JOIN t
+              ORDER BY cnt DESC, key"""),
+      (s, d) => keySkew(Tables.lineitem(s, d), "l_partkey"))
   )
 }

@@ -753,4 +753,87 @@ class EventOpsSpec extends SparkSpec {
       .agg(sum("chi2")).head().getDouble(0)
     assert(chi < 1.0, s"chi2 on an exact Benford sample was $chi")
   }
+
+  // ---- q_changepoint ----
+
+  test("changepoint finds a constructed level shift at the exact " +
+    "boundary hour with the two segment means") {
+    import spark.implicits._
+    // hours 0-4 at 5 events/hour, hours 5-9 at 50: the CUSUM argmax
+    // lands on the last pre-shift hour (prefix t=5)
+    val rows = (0 until 10).flatMap { h =>
+      val c = if (h < 5) 5 else 50
+      Seq.fill(c)(("a", h * 3600L))
+    } ++ (0 until 8).flatMap(h => Seq.fill(3)(("flat", h * 3600L)))
+    val df = rows.toDF("g", "sec")
+      .select(col("g"), timestamp_seconds(col("sec")).as("ts"))
+    val out = graft.operators.EventOps.changepoint(df, "g", "ts")
+      .collect()
+    assert(out.length === 2)
+    val a = out.find(_.getString(0) == "a").get
+    assert(a.getAs[java.sql.Timestamp]("cp_hour").getTime === 4 * 3600000L)
+    assert(a.getAs[Double]("mean_before") === 5.0)
+    assert(a.getAs[Double]("mean_after") === 50.0)
+    // the flat series' best split still reports, with equal means
+    val f = out.find(_.getString(0) == "flat").get
+    assert(f.getAs[Double]("mean_before") === f.getAs[Double]("mean_after"))
+    assert(f.getAs[Double]("stat") === 0.0)
+    // deterministic under repartitioning
+    val again = graft.operators.EventOps
+      .changepoint(df.repartition(7), "g", "ts").collect()
+    assert(again.toSeq === out.toSeq)
+  }
+
+  test("changepoint statistic matches the brute-force CUSUM max on " +
+    "a random series and breaks ties on the earliest hour") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val counts = Seq.fill(24)(1 + rnd.nextInt(6))
+    val df = counts.zipWithIndex
+      .flatMap { case (c, h) => Seq.fill(c)(("g", h * 3600L)) }
+      .toDF("g", "sec")
+      .select(col("g"), timestamp_seconds(col("sec")).as("ts"))
+    val out = graft.operators.EventOps.changepoint(df, "g", "ts")
+      .collect().head
+    val n = counts.length.toLong
+    val s = counts.map(_.toLong).sum
+    val dd = counts.scanLeft(0L)(_ + _).tail.zipWithIndex.init
+      .map { case (st, i0) => (math.abs(n * st - (i0 + 1) * s), i0 + 1) }
+    val best = dd.maxBy { case (d, t) => (d, -t) }
+    assert(out.getAs[java.sql.Timestamp]("cp_hour").getTime ===
+      (best._2 - 1) * 3600000L)
+    assert(out.getAs[Double]("stat") ===
+      math.round(best._1.toDouble / n * 1e6) / 1e6)
+  }
+
+  // ---- q_trailing_features ----
+
+  test("trailingFeatures matches brute force and excludes the label " +
+    "instant (no leakage, same-microsecond peers excluded)") {
+    import spark.implicits._
+    val day = 86400L
+    // (id, user, sec, type, value)
+    val ev = Seq(
+      (1L, 1L, 0L, "view", 1.0),
+      (2L, 1L, day / 2, "view", 2.0),            // 12h before label
+      (3L, 1L, day, "purchase", 10.0),           // label: sees 1,2
+      (4L, 1L, day, "view", 4.0),                // same-instant peer
+      (5L, 1L, 8 * day, "purchase", 5.0),        // 7d window: 3,4 (ts=day
+                                                 // is exactly 7d before —
+                                                 // in range), not 1,2
+      (6L, 2L, day, "purchase", 9.0))            // other user: empty
+    val df = ev.toDF("event_id", "user_id", "sec", "event_type", "value")
+      .select(col("event_id"), col("user_id"),
+        timestamp_seconds(col("sec")).as("ts"),
+        col("event_type"), col("value"))
+    val out = graft.operators.EventOps.trailingFeatures(df, "user_id",
+        "ts", "event_id", "event_type", "value", "purchase")
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Long]("n_1d"), r.getAs[Long]("n_7d"),
+        r.getAs[java.math.BigDecimal]("v_7d").doubleValue))
+    assert(out.toSeq === Seq(
+      (3L, 2L, 2L, 3.0),   // events 1,2 in both windows; 4 excluded
+      (5L, 0L, 2L, 14.0),  // events 3,4 at exactly -7d; nothing in 1d
+      (6L, 0L, 0L, 0.0)))  // other user isolated
+  }
 }

@@ -653,4 +653,47 @@ class PlanSpec extends SparkSpec {
           s"$name has a global window: ${p.take(2000)}")
     }
   }
+
+  test("q_key_skew takes its top-10 with TakeOrderedAndProject — " +
+    "partial per-partition top-k, never a global sort of the key table") {
+    val p = plan(q("q_key_skew"))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // marginals ride back as broadcasts; no shuffle join of the counts
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("q_crosstab: one aggregate over the raw table, marginals " +
+    "broadcast back — no shuffle join, no cartesian") {
+    val p = plan(q("q_crosstab"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q_changepoint and q_trailing_features: windows are " +
+    "group/user-partitioned and the argmax fold adds no exchange " +
+    "after the prefix window") {
+    Seq("q_changepoint", "q_trailing_features").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("windowspecdefinition(,") &&
+        !p.contains("windowspecdefinition( ,"),
+        s"$name has a global window: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(1500)}")
+    }
+    // the three trailing frames stack as Window nodes over ONE
+    // user-keyed exchange and ONE physical sort — the ordering key is
+    // materialized once, so EnsureRequirements elides the re-sorts
+    // (node lines counted in plan text — AQE hides children from
+    // executedPlan.collect before execution)
+    val tf = plan(q("q_trailing_features"))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(tf).length
+    assert(hashEx === 1,
+      s"expected one user-keyed exchange, got $hashEx:\n${tf.take(2500)}")
+    val localSorts = "(?m)^[\\s+:*-]*Sort .*, false,".r
+      .findAllIn(tf).length
+    assert(localSorts === 1,
+      s"expected one window sort, got $localSorts:\n${tf.take(2500)}")
+  }
 }

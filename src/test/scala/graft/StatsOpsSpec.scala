@@ -222,4 +222,84 @@ class StatsOpsSpec extends SparkSpec {
       term = term / (k + 1)
     }
   }
+
+  // -- crosstab chi2 ---------------------------------------------------
+
+  test("crosstab chi2 is exactly 0 on an exact product distribution " +
+    "and positive on a diagonal one") {
+    // independence by construction: n(a,b) = wa(a) * wb(b), so the
+    // expected count rt*ct/total collapses to n and every chi2 term
+    // is 0 before rounding
+    val wa = Map("x" -> 2, "y" -> 3, "z" -> 5)
+    val wb = Map("p" -> 4, "q" -> 6)
+    val indep = (for {
+      (a, na) <- wa.toSeq; (b, nb) <- wb.toSeq
+      _ <- 0 until na * nb
+    } yield (a, b)).toDF("a", "b")
+    val got = StatsOps.crosstabChi2(indep, "a", "b").collect()
+    assert(got.length === 6)
+    got.foreach { r =>
+      assert(r.getAs[Double]("chi2") === 0.0, r.toString)
+      assert(r.getAs[Double]("expected") ===
+        r.getAs[Long]("n").toDouble, r.toString)
+    }
+    // perfectly dependent: mass only on the diagonal
+    val dep = (for {
+      k <- Seq("x", "y"); _ <- 0 until 10
+    } yield (k, k)).toDF("a", "b")
+    val chi2 = StatsOps.crosstabChi2(dep, "a", "b")
+      .agg(sum("chi2")).head.getDouble(0)
+    // 2x2 all-diagonal: each observed cell contributes (10-5)^2/5 = 5
+    // (the table emits OBSERVED cells; the two structural zeros would
+    // add another 10 to the full statistic)
+    assert(math.abs(chi2 - 10.0) < 1e-6)
+  }
+
+  test("crosstab expected counts preserve the grand total") {
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(500)((s"a${rnd.nextInt(4)}", s"b${rnd.nextInt(3)}"))
+      .toDF("a", "b")
+    val out = StatsOps.crosstabChi2(df, "a", "b").collect()
+    assert(out.map(_.getAs[Long]("n")).sum === 500L)
+    // expected counts also sum to n (up to the 6-dp readout rounding)
+    val expSum = out.map(_.getAs[Double]("expected")).sum
+    assert(math.abs(expSum - 500.0) < 1e-3)
+  }
+
+  // -- key skew --------------------------------------------------------
+
+  test("keySkew on a uniform key reports share 1/nkeys and skew 1") {
+    val df = (for { k <- 0 until 20; _ <- 0 until 5 } yield k)
+      .toDF("k")
+    val out = StatsOps.keySkew(df, "k", topN = 10).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      assert(r.getAs[Long]("cnt") === 5L)
+      assert(r.getAs[Double]("share") === 0.05)
+      assert(r.getAs[Double]("skew") === 1.0)
+    }
+    // uniform ties break on the key value: lowest 10 keys surface
+    assert(out.map(_.getAs[Int]("key")).toSeq === (0 until 10))
+    // cumulative share climbs by exactly one share per row (compare
+    // through the same double-op sequence the engine rounds through)
+    assert(out.map(_.getAs[Double]("cum_share")).toSeq ===
+      (1 to 10).map(i =>
+        math.round((i * 5L).toDouble / 100 * 1e6) / 1e6))
+  }
+
+  test("keySkew surfaces the hot key first with the exact skew ratio " +
+    "and is deterministic under repartitioning") {
+    // 1 key with 100 rows + 9 keys with 1 row: total 109, nkeys 10
+    val df = (Seq.fill(100)(7) ++ (1 to 9).map(_ + 100)).toDF("k")
+    val out = StatsOps.keySkew(df, "k", topN = 10).collect()
+    assert(out.head.getAs[Int]("key") === 7)
+    assert(out.head.getAs[Long]("cnt") === 100L)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    assert(out.head.getAs[Double]("share") === r6(100.0 / 109))
+    assert(out.head.getAs[Double]("skew") === r6(100.0 * 10 / 109))
+    assert(out.last.getAs[Double]("cum_share") === 1.0)
+    val again = StatsOps.keySkew(df.repartition(7), "k", topN = 10)
+      .collect()
+    assert(again.toSeq === out.toSeq)
+  }
 }
