@@ -496,6 +496,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "geo_radius_join"),
       (exprs: Seq[Expression]) =>
         GraftExtensions.geoRadiusJoinPlan(exprs)))
+    // round-12 diagnostics / feature-engineering additions
+    ext.injectTableFunction((FunctionIdentifier("crosstab_chi2"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "crosstab_chi2"),
+      (exprs: Seq[Expression]) =>
+        GraftExtensions.crosstabChi2Plan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("key_skew"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "key_skew"),
+      (exprs: Seq[Expression]) => GraftExtensions.keySkewPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("changepoint"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "changepoint"),
+      (exprs: Seq[Expression]) =>
+        GraftExtensions.changepointPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("trailing_features"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "trailing_features"),
+      (exprs: Seq[Expression]) =>
+        GraftExtensions.trailingFeaturesPlan(exprs)))
   }
 }
 
@@ -1892,5 +1911,71 @@ object GraftExtensions {
       Seq("lat", "lon"))
     graft.operators.GeoOps.radiusJoin(left, right, radius)
       .queryExecution.analyzed
+  }
+
+  /** `crosstab_chi2(table, a_col, b_col)` — contingency table with
+    * per-cell χ² independence terms
+    * ([[graft.operators.StatsOps.crosstabChi2]]). Returns
+    * `(a, b, n, expected, chi2)` ordered by the pair. */
+  private[graft] def crosstabChi2Plan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("crosstab_chi2(table, a_col, b_col)", exprs, 3, 3)
+    val a = litStr("crosstab_chi2", "a_col", exprs(1))
+    val b = litStr("crosstab_chi2", "b_col", exprs(2))
+    val df = namedTable("crosstab_chi2",
+      litStr("crosstab_chi2", "table", exprs(0)), Seq(a, b))
+    graft.operators.StatsOps.crosstabChi2(df, a, b)
+      .queryExecution.analyzed
+  }
+
+  /** `key_skew(table, key_col [, topn])` — hot-key profiler
+    * ([[graft.operators.StatsOps.keySkew]]): the topn heaviest key
+    * values with share / cumulative share / skew ratio. Returns
+    * `(key, cnt, share, cum_share, skew)` heaviest-first. */
+  private[graft] def keySkewPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("key_skew(table, key_col [, topn])", exprs, 2, 3)
+    val k = litStr("key_skew", "key_col", exprs(1))
+    val topn = if (exprs.length > 2)
+      VectorOps.intArg("key_skew", "topn", exprs(2)) else 10
+    require(topn > 0 && topn <= 10000,
+      s"key_skew topn must be in [1, 10000]; got $topn")
+    val df = namedTable("key_skew",
+      litStr("key_skew", "table", exprs(0)), Seq(k))
+    graft.operators.StatsOps.keySkew(df, k, topn)
+      .queryExecution.analyzed
+  }
+
+  /** `changepoint(table, group_col, ts_col)` — per-group CUSUM
+    * level-shift detection over hourly counts
+    * ([[graft.operators.EventOps.changepoint]]). Returns
+    * `(group, cp_hour, stat, mean_before, mean_after)`. */
+  private[graft] def changepointPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("changepoint(table, group_col, ts_col)", exprs, 3, 3)
+    val g = litStr("changepoint", "group_col", exprs(1))
+    val t = litStr("changepoint", "ts_col", exprs(2))
+    val df = namedTable("changepoint",
+      litStr("changepoint", "table", exprs(0)), Seq(g, t))
+    graft.operators.EventOps.changepoint(df, g, t)
+      .queryExecution.analyzed
+  }
+
+  /** `trailing_features(table, user_col, ts_col, id_col, type_col,
+    * val_col, label)` — leakage-safe point-in-time trailing features
+    * ([[graft.operators.EventOps.trailingFeatures]]). Returns
+    * `(id, user, ts, n_1d, n_7d, v_7d)` for each label row. */
+  private[graft] def trailingFeaturesPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("trailing_features(table, user_col, ts_col, id_col, " +
+      "type_col, val_col, label)", exprs, 7, 7)
+    val Seq(u, ts, id, ty, v, label) = (1 to 6).map(i =>
+      litStr("trailing_features",
+        Seq("user_col", "ts_col", "id_col", "type_col", "val_col",
+          "label")(i - 1), exprs(i)))
+    val df = namedTable("trailing_features",
+      litStr("trailing_features", "table", exprs(0)),
+      Seq(u, ts, id, ty, v))
+    graft.operators.EventOps.trailingFeatures(df, u, ts, id, ty, v,
+      label).queryExecution.analyzed
   }
 }

@@ -936,4 +936,49 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("lat"))
   }
+
+  test("diagnostics/feature TVFs (crosstab_chi2, key_skew, " +
+    "changepoint, trailing_features) agree with the Scala API") {
+    val s2 = spark.newSession()
+    val ord = graft.sources.Tables.orders(s2, sfDir)
+    ord.createOrReplaceTempView("dg_orders")
+    val ct = s2.sql("SELECT * FROM crosstab_chi2('dg_orders', " +
+      "'o_orderstatus', 'o_orderpriority')")
+    assert(ct.columns.toSeq === Seq("o_orderstatus", "o_orderpriority",
+      "n", "expected", "chi2"))
+    assert(ct.collect().map(_.toSeq).toSeq ===
+      graft.operators.StatsOps.crosstabChi2(ord, "o_orderstatus",
+        "o_orderpriority").collect().map(_.toSeq).toSeq)
+    val li = graft.sources.Tables.lineitem(s2, sfDir)
+    li.createOrReplaceTempView("dg_lineitem")
+    val ks = s2.sql(
+      "SELECT * FROM key_skew('dg_lineitem', 'l_partkey', 5)")
+    assert(ks.columns.toSeq ===
+      Seq("key", "cnt", "share", "cum_share", "skew"))
+    assert(ks.collect().map(_.toSeq).toSeq ===
+      graft.operators.StatsOps.keySkew(li, "l_partkey", 5)
+        .collect().map(_.toSeq).toSeq)
+    val ev = graft.sources.Tables.events(s2, sfDir)
+    ev.createOrReplaceTempView("dg_events")
+    val cp = s2.sql(
+      "SELECT * FROM changepoint('dg_events', 'event_type', 'ts')")
+    assert(cp.columns.toSeq === Seq("event_type", "cp_hour", "stat",
+      "mean_before", "mean_after"))
+    assert(cp.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.changepoint(ev, "event_type", "ts")
+        .collect().map(_.toSeq).toSeq)
+    val tf = s2.sql("SELECT * FROM trailing_features('dg_events', " +
+      "'user_id', 'ts', 'event_id', 'event_type', 'value', 'purchase')")
+    assert(tf.columns.toSeq ===
+      Seq("event_id", "user_id", "ts", "n_1d", "n_7d", "v_7d"))
+    assert(tf.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.trailingFeatures(ev, "user_id", "ts",
+          "event_id", "event_type", "value", "purchase")
+        .collect().map(_.toSeq).toSeq)
+    // literal-contract errors fire at plan time with the usage string
+    val bad = intercept[Exception] {
+      s2.sql("SELECT * FROM key_skew('dg_lineitem', 'no_such_key')")
+    }
+    assert(bad.getMessage.contains("no_such_key"))
+  }
 }
