@@ -386,6 +386,30 @@ package object api {
         stages: Seq[String]): DataFrame =
       operators.EventOps.funnel(df, userCol, typeCol, tsCol, stages)
 
+    /** Per-group CUSUM level-shift detection over hourly counts:
+      * (group, cp_hour, stat, mean_before, mean_after). */
+    def changepoints(groupCol: String, tsCol: String): DataFrame =
+      operators.EventOps.changepoint(df, groupCol, tsCol)
+
+    /** Leakage-safe point-in-time trailing features at each
+      * `labelValue` row (1d/7d counts + 7d DECIMAL value sum; the
+      * label instant itself is excluded from every frame). */
+    def trailingFeatures(userCol: String, tsCol: String, idCol: String,
+        typeCol: String, valCol: String, labelValue: String): DataFrame =
+      operators.EventOps.trailingFeatures(df, userCol, tsCol, idCol,
+        typeCol, valCol, labelValue)
+
+    /** Contingency table with per-cell χ² independence terms:
+      * (a, b, n, expected, chi2). */
+    def crosstabChi2(aCol: String, bCol: String): DataFrame =
+      operators.StatsOps.crosstabChi2(df, aCol, bCol)
+
+    /** Hot-key profiler: topN heaviest `keyCol` values with share /
+      * cumulative share / skew ratio — run it on a join key BEFORE
+      * the 100 TB shuffle to decide on salting / AQE skew handling. */
+    def keySkew(keyCol: String, topN: Int = 10): DataFrame =
+      operators.StatsOps.keySkew(df, keyCol, topN)
+
     /** Export Z-ORDERED on two bucket expressions: 2-D-tiled files
       * whose row-group stats stay narrow on both columns
       * ([[sources.Warehouse.writeZOrdered]]). */

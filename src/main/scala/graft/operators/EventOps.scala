@@ -619,6 +619,30 @@ object EventOps {
       .orderBy(groupCol)
   }
 
+  /** Hour-of-day seasonal profile per group: event count per (group,
+    * hour-of-day), the share of the group's total, and the seasonal
+    * index `share · 24` (1.0 = perfectly flat; 2.0 = that hour runs
+    * double the average load) — the capacity-planning/monitoring twin
+    * of [[changepoint]]. Counts are exact; the two readouts divide
+    * with the identical IEEE op sequence in the oracle.
+    *
+    * Scale: the corpus folds to ≤ |groups|·24 rows in one map-side-
+    * combined aggregate; group totals re-aggregate that table and
+    * broadcast back. */
+  def seasonality(df: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val byHod = df
+      .groupBy(col(groupCol), hour(col(tsCol)).as("hod"))
+      .agg(count(lit(1)).as("n"))
+    val tot = byHod.groupBy(col(groupCol)).agg(sum("n").as("total"))
+    byHod.join(broadcast(tot), groupCol)
+      .select(col(groupCol), col("hod"), col("n"),
+        r6(col("n").cast("double") / col("total")).as("share"),
+        r6(col("n").cast("double") * lit(24.0) / col("total"))
+          .as("idx"))
+      .orderBy(groupCol, "hod")
+  }
+
   /** Point-in-time trailing-window features at each label event: for
     * every `labelValue` row, the count of the user's events in the
     * trailing 1-day and 7-day windows and the 7-day value sum — with
@@ -1167,6 +1191,25 @@ object EventOps {
               FROM w WHERE event_type = 'purchase'
               ORDER BY event_id"""),
       (s, d) => trailingFeatures(Tables.events(s, d), "user_id", "ts",
-        "event_id", "event_type", "value", "purchase"))
+        "event_id", "event_type", "value", "purchase")),
+
+    // Hour-of-day load profile per event type: exact counts, 6-dp
+    // share and seasonal index readouts.
+    Query(
+      "q_seasonality",
+      Some("""WITH h AS (
+                SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+              t AS (SELECT event_type, sum(n) AS total
+                    FROM h GROUP BY 1)
+              SELECT event_type, hod, CAST(n AS BIGINT) AS n,
+                     round(n * 1.0 / total * 1000000.0) / 1000000.0
+                       AS share,
+                     round(n * 24.0 / total * 1000000.0) / 1000000.0
+                       AS idx
+              FROM h JOIN t USING (event_type)
+              ORDER BY event_type, hod"""),
+      (s, d) => seasonality(Tables.events(s, d), "event_type", "ts"))
   )
 }

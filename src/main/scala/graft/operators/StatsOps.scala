@@ -406,6 +406,80 @@ object StatsOps {
       .orderBy(col("cnt").desc, col("key"))
   }
 
+  /** RFM segmentation: per-entity Recency (days since last activity,
+    * against the table's own max date so the run is replayable) /
+    * Frequency / Monetary rollup, each scored 1–5 by QUINTILE CUTS —
+    * computed as five `percentile_disc` values over the per-entity
+    * table and broadcast back, NEVER a global `ntile` (which would
+    * total-sort all entities; at 10⁹ customers that is the single
+    * worst window in marketing analytics). Discrete percentiles are
+    * actual stored values and the bucket test is `>` on exact
+    * integer/DECIMAL rollups, so scores are engine-identical.
+    * Recency scores invert (fewer days = better = 5). */
+  def rfm(df: DataFrame, entityCol: String, dateCol: String,
+      amountCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val per = df
+      .crossJoin(broadcast(df.agg(max(col(dateCol)).as("__maxd"))))
+      .groupBy(col(entityCol))
+      .agg(
+        min(datediff(to_date(col("__maxd")), to_date(col(dateCol))))
+          .cast("long").as("r_days"),
+        count(lit(1)).as("f"),
+        sum(col(amountCol).cast(DecimalType(18, 2)))
+          .cast(DecimalType(18, 2)).as("m"))
+    def cuts(c: String) = (1 to 4).map(i => expr(
+      s"percentile_disc(0.${i * 2}) WITHIN GROUP (ORDER BY $c)")
+      .as(s"__${c}_$i"))
+    val cutRow = per.agg(cuts("r_days").head,
+      (cuts("r_days").tail ++ cuts("f") ++ cuts("m")): _*)
+    def score(c: String) = (1 to 4)
+      .map(i => (col(c) > col(s"__${c}_$i")).cast("int"))
+      .reduce(_ + _) + 1
+    per.crossJoin(broadcast(cutRow))
+      .select(col(entityCol), col("r_days"), col("f"), col("m"),
+        (lit(6) - score("r_days")).as("r_score"),
+        score("f").as("f_score"),
+        score("m").as("m_score"))
+      .withColumn("segment", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+      .orderBy(entityCol)
+  }
+
+  /** Join-size pre-flight: the EXACT output cardinality of an
+    * equi-join on `keyCol` between `left` and `right`, computed from
+    * the two per-key count tables (Σ cL(k)·cR(k)) — the "will this
+    * shuffle explode" question answered from two cheap aggregates
+    * BEFORE paying for the join itself. Also reports the hottest
+    * key's contribution. One row out; pairs with [[keySkew]] for the
+    * per-key breakdown.
+    *
+    * Scale: two map-side-combined count aggregates, one equi-join of
+    * count tables (|keys| rows each — the small residue of the big
+    * tables), one 1-row fold. Everything integer-exact except the
+    * 6-dp expansion ratio. */
+  def joinSizeEstimate(left: DataFrame, right: DataFrame,
+      keyCol: String): DataFrame = {
+    val lc = left.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cl"))
+    val rc = right.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cr"))
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val joined = lc.join(rc, "k")
+      .select(col("k"), (col("cl") * col("cr")).as("pairs"))
+    val totals = left.agg(count(lit(1)).as("left_rows"))
+      .crossJoin(right.agg(count(lit(1)).as("right_rows")))
+    joined
+      .agg(count(lit(1)).as("matched_keys"),
+        sum("pairs").as("est_rows"),
+        max(struct(col("pairs"), col("k"))).as("__hot"))
+      .crossJoin(broadcast(totals))
+      .select(col("left_rows"), col("right_rows"), col("matched_keys"),
+        col("est_rows"), col("__hot.k").as("hottest_key"),
+        col("__hot.pairs").as("hottest_pairs"),
+        r6(col("est_rows").cast("double") /
+          greatest(col("left_rows"), col("right_rows")))
+          .as("expansion"))
+  }
+
   val all: Seq[Query] = Seq(
     // Pareto frontier of orders over (totalprice ↑, orderdate ↑): the
     // orders no other order beats on both value and recency. The
@@ -670,6 +744,82 @@ object StatsOps {
                        / 1000000.0 AS skew
               FROM top CROSS JOIN t
               ORDER BY cnt DESC, key"""),
-      (s, d) => keySkew(Tables.lineitem(s, d), "l_partkey"))
+      (s, d) => keySkew(Tables.lineitem(s, d), "l_partkey")),
+
+    // RFM segmentation of customers over orders: quintile cuts via
+    // percentile_disc broadcast back - never a global ntile sort.
+    Query(
+      "q_rfm",
+      Some("""WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+              per AS (
+                SELECT o_custkey,
+                       CAST(min(date_diff('day',
+                           CAST(o_orderdate AS DATE),
+                           CAST(maxd AS DATE))) AS BIGINT) AS r_days,
+                       count(*) AS f,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS m
+                FROM orders CROSS JOIN mx GROUP BY 1),
+              c AS (
+                SELECT
+                  percentile_disc(0.2) WITHIN GROUP (ORDER BY r_days) AS r1,
+                  percentile_disc(0.4) WITHIN GROUP (ORDER BY r_days) AS r2,
+                  percentile_disc(0.6) WITHIN GROUP (ORDER BY r_days) AS r3,
+                  percentile_disc(0.8) WITHIN GROUP (ORDER BY r_days) AS r4,
+                  percentile_disc(0.2) WITHIN GROUP (ORDER BY f) AS f1,
+                  percentile_disc(0.4) WITHIN GROUP (ORDER BY f) AS f2,
+                  percentile_disc(0.6) WITHIN GROUP (ORDER BY f) AS f3,
+                  percentile_disc(0.8) WITHIN GROUP (ORDER BY f) AS f4,
+                  percentile_disc(0.2) WITHIN GROUP (ORDER BY m) AS m1,
+                  percentile_disc(0.4) WITHIN GROUP (ORDER BY m) AS m2,
+                  percentile_disc(0.6) WITHIN GROUP (ORDER BY m) AS m3,
+                  percentile_disc(0.8) WITHIN GROUP (ORDER BY m) AS m4
+                FROM per),
+              s AS (
+                SELECT o_custkey, r_days, f, m,
+                       6 - (1 + CAST(r_days > r1 AS INT)
+                              + CAST(r_days > r2 AS INT)
+                              + CAST(r_days > r3 AS INT)
+                              + CAST(r_days > r4 AS INT)) AS r_score,
+                       1 + CAST(f > f1 AS INT) + CAST(f > f2 AS INT)
+                         + CAST(f > f3 AS INT) + CAST(f > f4 AS INT)
+                         AS f_score,
+                       1 + CAST(m > m1 AS INT) + CAST(m > m2 AS INT)
+                         + CAST(m > m3 AS INT) + CAST(m > m4 AS INT)
+                         AS m_score
+                FROM per CROSS JOIN c)
+              SELECT o_custkey, r_days, CAST(f AS BIGINT) AS f, m,
+                     r_score, f_score, m_score,
+                     CAST(r_score AS VARCHAR) ||
+                     CAST(f_score AS VARCHAR) ||
+                     CAST(m_score AS VARCHAR) AS segment
+              FROM s ORDER BY o_custkey"""),
+      (s, d) => rfm(Tables.orders(s, d), "o_custkey", "o_orderdate",
+        "o_totalprice")),
+
+    // Join-size pre-flight: exact equi-join output cardinality from
+    // the two per-key count tables - the lineitem self-join on
+    // l_partkey (the dedup/similarity pair space).
+    Query(
+      "q_join_size",
+      Some("""WITH lc AS (SELECT l_partkey AS k, count(*) AS cl
+                          FROM lineitem GROUP BY 1),
+              j AS (SELECT a.k, a.cl * b.cl AS pairs
+                    FROM lc a JOIN lc b ON a.k = b.k),
+              hot AS (SELECT k, pairs FROM j
+                      ORDER BY pairs DESC, k DESC LIMIT 1),
+              t AS (SELECT count(*) AS matched_keys,
+                           CAST(sum(pairs) AS BIGINT) AS est_rows
+                    FROM j),
+              n AS (SELECT count(*) AS left_rows FROM lineitem)
+              SELECT left_rows, left_rows AS right_rows, matched_keys,
+                     est_rows, hot.k AS hottest_key,
+                     hot.pairs AS hottest_pairs,
+                     round(est_rows * 1.0 /
+                       greatest(left_rows, left_rows) * 1000000.0)
+                       / 1000000.0 AS expansion
+              FROM t CROSS JOIN n CROSS JOIN hot"""),
+      (s, d) => joinSizeEstimate(Tables.lineitem(s, d),
+        Tables.lineitem(s, d), "l_partkey"))
   )
 }

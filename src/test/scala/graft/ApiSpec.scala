@@ -177,4 +177,23 @@ class ApiSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(dq("not_null l_orderkey") === 0L)
   }
+
+  test("diagnostics facade: changepoints / trailingFeatures / " +
+    "crosstabChi2 / keySkew delegate to the registry operators") {
+    val ev = Tables.events(spark, sfDir)
+    assert(ev.changepoints("event_type", "ts").collect().toSeq ===
+      SparkEntry.queries("q_changepoint")(spark, sfDir)
+        .collect().toSeq)
+    assert(ev.trailingFeatures("user_id", "ts", "event_id",
+        "event_type", "value", "purchase").collect().toSeq ===
+      SparkEntry.queries("q_trailing_features")(spark, sfDir)
+        .collect().toSeq)
+    val ord = Tables.orders(spark, sfDir)
+    assert(ord.crosstabChi2("o_orderstatus", "o_orderpriority")
+        .collect().toSeq ===
+      SparkEntry.queries("q_crosstab")(spark, sfDir).collect().toSeq)
+    assert(Tables.lineitem(spark, sfDir).keySkew("l_partkey")
+        .collect().toSeq ===
+      SparkEntry.queries("q_key_skew")(spark, sfDir).collect().toSeq)
+  }
 }

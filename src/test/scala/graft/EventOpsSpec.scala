@@ -836,4 +836,29 @@ class EventOpsSpec extends SparkSpec {
       (5L, 0L, 2L, 14.0),  // events 3,4 at exactly -7d; nothing in 1d
       (6L, 0L, 0L, 0.0)))  // other user isolated
   }
+
+  // ---- q_seasonality ----
+
+  test("seasonality: a single-hour group indexes at 24, a flat group " +
+    "at 1, and shares sum to 1 per group") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(50)(("spike", 3L * 3600)) ++
+        (0 until 24).flatMap(h => Seq.fill(2)(("flat", h * 3600L)))
+    val df = rows.toDF("g", "sec")
+      .select(col("g"), timestamp_seconds(col("sec")).as("ts"))
+    val out = graft.operators.EventOps.seasonality(df, "g", "ts")
+      .collect()
+    val spike = out.filter(_.getString(0) == "spike")
+    assert(spike.length === 1)
+    assert(spike.head.getAs[Int]("hod") === 3)
+    assert(spike.head.getAs[Double]("idx") === 24.0)
+    assert(spike.head.getAs[Double]("share") === 1.0)
+    val flat = out.filter(_.getString(0) == "flat")
+    assert(flat.length === 24)
+    flat.foreach(r => assert(r.getAs[Double]("idx") === 1.0))
+    // shares are 6-dp rounded (2/48 → 0.041667), so the sum carries
+    // up to 24 half-ulp rounding residues
+    assert(math.abs(flat.map(_.getAs[Double]("share")).sum - 1.0) < 2e-5)
+  }
 }

@@ -302,4 +302,67 @@ class StatsOpsSpec extends SparkSpec {
       .collect()
     assert(again.toSeq === out.toSeq)
   }
+
+  // -- rfm ---------------------------------------------------------------
+
+  test("rfm scores land in 1..5, extremes score 5, and the segment " +
+    "concatenates the three scores") {
+    // 10 entities: entity i places i+1 orders of amount 100*(i+1),
+    // most recent order i days before the table max ⇒ entity 9 is
+    // best on all three dimensions, entity 0 worst on F/M
+    val rows = (0 until 10).flatMap { i =>
+      (0 to i).map(j => (i.toLong,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 28)
+          .minusDays(i + j)).toString,
+        100.0 * (i + 1)))
+    }
+    val df = rows.toDF("cust", "d", "amt")
+      .select(col("cust"), to_timestamp(col("d")).as("d"), col("amt"))
+    val out = StatsOps.rfm(df, "cust", "d", "amt").collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Int](c)
+        assert(v >= 1 && v <= 5, s"$c=$v out of range: $r")
+      }
+      assert(r.getAs[String]("segment") ===
+        s"${r.getAs[Int]("r_score")}${r.getAs[Int]("f_score")}" +
+          s"${r.getAs[Int]("m_score")}")
+    }
+    val best = out.find(_.getAs[Long]("cust") == 9L).get
+    assert(best.getAs[Int]("f_score") === 5)
+    assert(best.getAs[Int]("m_score") === 5)
+    assert(best.getAs[Long]("r_days") === 9L)
+    // entity 0 ordered once at the table max date: r_days 0 ⇒ best
+    // recency, worst frequency/monetary
+    val worst = out.find(_.getAs[Long]("cust") == 0L).get
+    assert(worst.getAs[Int]("r_score") === 5)
+    assert(worst.getAs[Int]("f_score") === 1)
+    assert(worst.getAs[Int]("m_score") === 1)
+    val again = StatsOps.rfm(df.repartition(7), "cust", "d", "amt")
+      .collect()
+    assert(again.toSeq === out.toSeq)
+  }
+
+  // -- join size ---------------------------------------------------------
+
+  test("joinSizeEstimate predicts the exact self-join and cross-join " +
+    "cardinality with the hottest key") {
+    val left = (Seq.fill(2)("a") ++ Seq.fill(3)("b")).toDF("k")
+    val self = StatsOps.joinSizeEstimate(left, left, "k").collect().head
+    assert(self.getAs[Long]("left_rows") === 5L)
+    assert(self.getAs[Long]("matched_keys") === 2L)
+    assert(self.getAs[Long]("est_rows") === 13L)   // 2^2 + 3^2
+    assert(self.getAs[String]("hottest_key") === "b")
+    assert(self.getAs[Long]("hottest_pairs") === 9L)
+    assert(self.getAs[Double]("expansion") === 2.6)
+    // the prediction equals the materialized join size
+    assert(left.as("l").join(left.as("r"), "k").count() === 13L)
+    val right = (Seq.fill(4)("b") ++ Seq.fill(1)("c")).toDF("k")
+    val cross = StatsOps.joinSizeEstimate(left, right, "k")
+      .collect().head
+    assert(cross.getAs[Long]("est_rows") === 12L)  // only b matches: 3*4
+    assert(cross.getAs[Long]("matched_keys") === 1L)
+    assert(left.join(right, "k").count() === 12L)
+  }
 }
