@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val skewOnly = args.contains("--skew-only")
+    val fxOnly = args.contains("--fx-only")
     val posArgs = args.toSeq.filterNot(_.startsWith("--"))
     val sfDir = posArgs.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = if (posArgs.length > 1) posArgs.drop(1).map(_.toInt)
@@ -58,7 +59,7 @@ object ScaleProbe {
     }
 
     println(f"[scale] base corpus: $n0 docs ($sfDir)")
-    if (!skewOnly) {
+    if (!skewOnly && !fxOnly) {
     println("[scale] mult    docs   pairs_s  clusters_s  simhash_s")
     mults.foreach { m =>
       val (rows, tp, tc, tsh) = corpusTimes(m)
@@ -77,7 +78,7 @@ object ScaleProbe {
     spark.sparkContext.addSparkListener(listener)
     val embBase = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding")
-    if (!skewOnly) {
+    if (!skewOnly && !fxOnly) {
     println("[scale] knn:  mult    vecs   wall_s   shuffle_mb")
     Seq(1, 2, 4).foreach { m =>
       val vecs = (0 until m)
@@ -575,6 +576,74 @@ object ScaleProbe {
     }
     }
 
+    if (!skewOnly) {
+    // Round-12 diagnostics/feature probe: trailingFeatures' only
+    // exchange is the user-keyed window shuffle (linear in events —
+    // key cardinality scales with the replication); sessionize is the
+    // same user-keyed shape plus the session rollup; changepoint and
+    // seasonality fold to |types|·|hours| / |types|·24 rows map-side,
+    // so their exchanges must stay FLAT as events grow; keySkew and
+    // joinSizeEstimate shuffle only per-key count tables.
+    println("[scale] fx12: mult  events  trail_s/mb  sess_s/mb  " +
+      "cp_s/mb  seas_s/mb  skew_s/mb  jsz_s/mb")
+    locally {
+      val evBase = Tables.events(spark, sfDir)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+      val liBase = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_partkey")
+      Seq(1, 2, 4).foreach { m =>
+        val ev = (0 until m)
+          .map(i => evBase.select(
+            (col("event_id") + lit(i.toLong * 10000000L)).as("event_id"),
+            (col("user_id") + lit(i.toLong * 1000000L)).as("user_id"),
+            col("event_type"), col("ts"), col("value")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("event_id"))
+          .localCheckpoint()
+        val n = ev.count()
+        val li = (0 until m)
+          .map(i => liBase.select(
+            (col("l_orderkey") + lit(i.toLong * 10000000L))
+              .as("l_orderkey"),
+            col("l_partkey")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("l_orderkey"))
+          .localCheckpoint()
+        li.count()
+        def measure(f: => Long): (Double, Double) = {
+          listener.reset()
+          val t0 = System.nanoTime()
+          f
+          val w = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(2000)
+          (w, listener.bytes / 1e6)
+        }
+        // aggregate OVER a feature column — a bare count() lets
+        // ColumnPruning drop the unused window expressions and the
+        // whole user-keyed exchange with them (measured 0.0 MB)
+        val (wT, bT) = measure(graft.operators.EventOps
+          .trailingFeatures(ev, "user_id", "ts", "event_id",
+            "event_type", "value", "purchase")
+          .agg(sum("n_7d")).head.getLong(0))
+        val (wSe, bSe) = measure(graft.operators.EventOps
+          .sessionize(ev, "user_id", "ts", "event_id").count())
+        val (wC, bC) = measure(graft.operators.EventOps
+          .changepoint(ev, "event_type", "ts").count())
+        val (wSn, bSn) = measure(graft.operators.EventOps
+          .seasonality(ev, "event_type", "ts").count())
+        val (wK, bK) = measure(graft.operators.StatsOps
+          .keySkew(li, "l_partkey").count())
+        val (wJ, bJ) = measure(graft.operators.StatsOps
+          .joinSizeEstimate(li, li, "l_partkey").count())
+        println(f"[scale] fx12: $m%4d  $n%6d  $wT%4.2f/$bT%5.1f" +
+          f"  $wSe%4.2f/$bSe%5.1f  $wC%4.2f/$bC%5.1f" +
+          f"  $wSn%4.2f/$bSn%5.1f  $wK%4.2f/$bK%5.1f  $wJ%4.2f/$bJ%5.1f")
+      }
+    }
+    }
+
     // Cell-skew probe: natural corpora have hot clusters, and a hot
     // CELL concentrates the IVF stage-1 equi-join's work in one task
     // once the inverted file is too big to broadcast (the 100 TB
@@ -584,7 +653,7 @@ object ScaleProbe {
     // that the shape survives is (a) AQE's skew-join splitting the hot
     // partition ("skew=true" in the executed plan) and (b) wall time
     // in the same band as the balanced corpus at equal size.
-    {
+    if (!fxOnly) {
       val conf = spark.conf
       val saved = Seq(
         "spark.sql.autoBroadcastJoinThreshold",
