@@ -480,6 +480,70 @@ object StatsOps {
           .as("expansion"))
   }
 
+  /** Lorenz curve + Gini coefficient of `valCol` concentration across
+    * entities: per-decile cumulative share of the total held by the
+    * bottom d·10% of entities (ranked poorest-first), and the Gini
+    * `G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n` — the concentration audit
+    * behind "the top 1% of customers drive 40% of revenue" and the
+    * corpus-curation question "how skewed is my source mix".
+    *
+    * Scale design — the global rank/prefix-sum is TWO-LEVEL (the
+    * sampleTokenBudget stance), because `ROW_NUMBER() OVER (ORDER BY
+    * m)` at 10⁹ entities is a one-task sort: per-entity sums bucket
+    * into 1024 value ranges that are prefix-aligned with the global
+    * order, per-bucket (count, sum) fold into a ≤1024-row broadcast
+    * offset table, and each bucket ranks/prefix-sums independently
+    * (bucket-partitioned windows). All moments are DECIMAL-exact
+    * integer-cent arithmetic; the three float readouts divide with
+    * the identical IEEE op sequence in the oracle. */
+  def lorenzGini(df: DataFrame, entityCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 2)
+    val per = df.groupBy(col(entityCol).as("e"))
+      .agg(sum(col(valCol).cast(dec)).cast(dec).as("m"))
+    val bounds = per.agg(min(col("m").cast("double")).as("__lo"),
+      max(col("m").cast("double")).as("__hi"))
+    val nBuckets = 1024
+    val bucketed = per.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        least(lit(nBuckets - 1), greatest(lit(0),
+          floor((col("m").cast("double") - col("__lo")) * nBuckets /
+            (col("__hi") - col("__lo") + lit(1e-9))))).cast("int"))
+      .drop("__lo", "__hi")
+    // ≤1024-row cumulative offsets (count + value sum per bucket)
+    val wOff = Window.partitionBy(BoundedWindow.key(col("bkt")))
+      .orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bkt")
+      .agg(count(lit(1)).as("nb"), sum("m").as("sb"))
+      .select(col("bkt"),
+        coalesce(sum(col("nb")).over(wOff), lit(0L)).as("off_n"),
+        coalesce(sum(col("sb")).over(wOff), lit(0).cast(dec))
+          .as("off_s"))
+    val wIn = Window.partitionBy("bkt").orderBy(col("m"), col("e"))
+    val ranked = bucketed.join(broadcast(offsets), "bkt")
+      .withColumn("i", col("off_n") + row_number().over(wIn))
+      .withColumn("cum", col("off_s") +
+        sum("m").over(wIn.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val tot = ranked.agg(count(lit(1)).as("n"), sum("m").as("tot"),
+      sum(col("i") * col("m")).as("s"))
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val deciles = df.sparkSession.range(1, 11)
+      .select(col("id").cast("int").as("decile"))
+    val nD = col("n").cast("double")
+    ranked.crossJoin(broadcast(tot))
+      .join(broadcast(deciles),
+        col("i") === expr("n * decile div 10"))
+      .select(col("decile"),
+        r6(col("cum").cast("double") / col("tot").cast("double"))
+          .as("cum_share"),
+        r6(lit(2.0) * col("s").cast("double") /
+            (nD * col("tot").cast("double")) -
+          (nD + lit(1.0)) / nD).as("gini"))
+      .orderBy("decile")
+  }
+
   val all: Seq[Query] = Seq(
     // Pareto frontier of orders over (totalprice ↑, orderdate ↑): the
     // orders no other order beats on both value and recency. The
@@ -820,6 +884,40 @@ object StatsOps {
                        / 1000000.0 AS expansion
               FROM t CROSS JOIN n CROSS JOIN hot"""),
       (s, d) => joinSizeEstimate(Tables.lineitem(s, d),
-        Tables.lineitem(s, d), "l_partkey"))
+        Tables.lineitem(s, d), "l_partkey")),
+
+    // Customer-spend concentration: Lorenz deciles + Gini over
+    // per-customer order totals. The oracle ranks with ONE global
+    // window (fine in DuckDB); the engine's two-level prefix sum must
+    // reproduce every rank, cum, and readout bit-for-bit.
+    Query(
+      "q_gini",
+      Some("""WITH per AS (
+                SELECT o_custkey AS e,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS m
+                FROM orders GROUP BY 1),
+              r AS (
+                SELECT e, m,
+                       row_number() OVER (ORDER BY m, e) AS i,
+                       sum(m) OVER (ORDER BY m, e
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum
+                FROM per),
+              t AS (SELECT count(*) AS n, sum(m) AS tot,
+                           sum(i * m) AS s
+                    FROM r)
+              SELECT CAST(d.range AS INT) AS decile,
+                     round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                       * 1000000.0) / 1000000.0 AS cum_share,
+                     round((2.0 * CAST(s AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                       - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                       * 1000000.0) / 1000000.0 AS gini
+              FROM r CROSS JOIN t
+              JOIN range(1, 11) d ON i = (n * d.range) // 10
+              ORDER BY decile"""),
+      (s, d) => lorenzGini(Tables.orders(s, d), "o_custkey",
+        "o_totalprice"))
   )
 }

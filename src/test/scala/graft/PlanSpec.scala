@@ -696,4 +696,15 @@ class PlanSpec extends SparkSpec {
     assert(localSorts === 1,
       s"expected one window sort, got $localSorts:\n${tf.take(2500)}")
   }
+
+  test("q_gini: the global rank/prefix-sum is two-level — every " +
+    "window carries a partition key, no cartesian pair space") {
+    val p = plan(q("q_gini"))
+    assert(!p.contains("windowspecdefinition(,") &&
+      !p.contains("windowspecdefinition( ,"),
+      s"global window leaked into the Lorenz rank: ${p.take(2500)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the per-entity table ranks inside bucket-partitioned windows
+    assert(p.contains("windowspecdefinition(bkt"), p.take(2500))
+  }
 }

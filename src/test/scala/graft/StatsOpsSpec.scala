@@ -365,4 +365,59 @@ class StatsOpsSpec extends SparkSpec {
     assert(cross.getAs[Long]("matched_keys") === 1L)
     assert(left.join(right, "k").count() === 12L)
   }
+
+  // -- lorenz / gini -------------------------------------------------------
+
+  test("lorenzGini: perfect equality scores 0, total concentration " +
+    "scores (n-1)/n, and deciles read the Lorenz curve") {
+    // 20 entities, one value row each, all equal
+    val eq = (1 to 20).map(e => (e.toLong, 50.0)).toDF("e", "v")
+    val eqOut = StatsOps.lorenzGini(eq, "e", "v").collect()
+    assert(eqOut.length === 10)
+    eqOut.foreach(r => assert(r.getAs[Double]("gini") === 0.0))
+    assert(eqOut.map(r => (r.getAs[Int]("decile"),
+      r.getAs[Double]("cum_share"))).toSeq ===
+      (1 to 10).map(d => (d, d / 10.0)))
+    // one entity holds everything (others contribute epsilon-free 0)
+    val conc = ((1 to 19).map(e => (e.toLong, 0.0)) :+ (20L, 1000.0))
+      .toDF("e", "v")
+    val cOut = StatsOps.lorenzGini(conc, "e", "v").collect()
+    val expectGini = math.round((2.0 * 20 * 1000.0 /
+      (20.0 * 1000.0) - 21.0 / 20.0) * 1e6) / 1e6 // = (n-1)/n = 0.95
+    cOut.foreach(r => assert(r.getAs[Double]("gini") === expectGini))
+    assert(cOut.filter(_.getAs[Int]("decile") < 10)
+      .forall(_.getAs[Double]("cum_share") === 0.0))
+    assert(cOut.find(_.getAs[Int]("decile") == 10).get
+      .getAs[Double]("cum_share") === 1.0)
+  }
+
+  test("lorenzGini matches the brute-force global-sort computation on " +
+    "random data and is deterministic under repartitioning") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 500).map(e =>
+      (e.toLong, math.round(rnd.nextDouble() * 10000) / 100.0))
+    val df = rows.toDF("e", "v")
+    val out = StatsOps.lorenzGini(df, "e", "v").collect()
+    // brute force in exact cents
+    val sorted = rows.map { case (e, v) =>
+      (e, BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    }.sortBy { case (e, m) => (m, e) }
+    val n = sorted.length
+    val tot = sorted.map(_._2).sum
+    val s = sorted.zipWithIndex
+      .map { case ((_, m), i0) => m * (i0 + 1) }.sum
+    val gini = math.round((2.0 * s.toDouble / (n.toDouble * tot.toDouble)
+      - (n + 1.0) / n) * 1e6) / 1e6
+    out.foreach(r => assert(r.getAs[Double]("gini") === gini))
+    (1 to 10).foreach { d =>
+      val iD = n * d / 10
+      val cum = sorted.take(iD).map(_._2).sum
+      assert(out.find(_.getAs[Int]("decile") == d).get
+          .getAs[Double]("cum_share") ===
+        math.round(cum.toDouble / tot.toDouble * 1e6) / 1e6, s"d=$d")
+    }
+    val again = StatsOps.lorenzGini(df.repartition(7), "e", "v")
+      .collect()
+    assert(again.toSeq === out.toSeq)
+  }
 }
