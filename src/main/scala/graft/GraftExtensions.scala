@@ -515,6 +515,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "trailing_features"),
       (exprs: Seq[Expression]) =>
         GraftExtensions.trailingFeaturesPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("rfm"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "rfm"),
+      (exprs: Seq[Expression]) => GraftExtensions.rfmPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("join_size"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "join_size"),
+      (exprs: Seq[Expression]) => GraftExtensions.joinSizePlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("seasonality"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "seasonality"),
+      (exprs: Seq[Expression]) =>
+        GraftExtensions.seasonalityPlan(exprs)))
+    ext.injectTableFunction((FunctionIdentifier("lorenz_gini"),
+      new ExpressionInfo(GraftExtensions.getClass.getName,
+        "lorenz_gini"),
+      (exprs: Seq[Expression]) => GraftExtensions.lorenzGiniPlan(exprs)))
   }
 }
 
@@ -1977,5 +1992,60 @@ object GraftExtensions {
       Seq(u, ts, id, ty, v))
     graft.operators.EventOps.trailingFeatures(df, u, ts, id, ty, v,
       label).queryExecution.analyzed
+  }
+
+  /** `rfm(table, entity_col, date_col, amount_col)` — RFM
+    * segmentation ([[graft.operators.StatsOps.rfm]]). Returns
+    * `(entity, r_days, f, m, r_score, f_score, m_score, segment)`. */
+  private[graft] def rfmPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("rfm(table, entity_col, date_col, amount_col)", exprs, 4, 4)
+    val Seq(e, d, a) = (1 to 3).map(i => litStr("rfm",
+      Seq("entity_col", "date_col", "amount_col")(i - 1), exprs(i)))
+    val df = namedTable("rfm", litStr("rfm", "table", exprs(0)),
+      Seq(e, d, a))
+    graft.operators.StatsOps.rfm(df, e, d, a)
+      .queryExecution.analyzed
+  }
+
+  /** `join_size(left_table, right_table, key_col)` — exact equi-join
+    * output cardinality from per-key count tables
+    * ([[graft.operators.StatsOps.joinSizeEstimate]]). */
+  private[graft] def joinSizePlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("join_size(left_table, right_table, key_col)", exprs, 3, 3)
+    val key = litStr("join_size", "key_col", exprs(2))
+    val left = namedTable("join_size",
+      litStr("join_size", "left_table", exprs(0)), Seq(key))
+    val right = namedTable("join_size",
+      litStr("join_size", "right_table", exprs(1)), Seq(key))
+    graft.operators.StatsOps.joinSizeEstimate(left, right, key)
+      .queryExecution.analyzed
+  }
+
+  /** `seasonality(table, group_col, ts_col)` — hour-of-day load
+    * profile ([[graft.operators.EventOps.seasonality]]). Returns
+    * `(group, hod, n, share, idx)`. */
+  private[graft] def seasonalityPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("seasonality(table, group_col, ts_col)", exprs, 3, 3)
+    val g = litStr("seasonality", "group_col", exprs(1))
+    val t = litStr("seasonality", "ts_col", exprs(2))
+    val df = namedTable("seasonality",
+      litStr("seasonality", "table", exprs(0)), Seq(g, t))
+    graft.operators.EventOps.seasonality(df, g, t)
+      .queryExecution.analyzed
+  }
+
+  /** `lorenz_gini(table, entity_col, value_col)` — Lorenz deciles +
+    * Gini concentration ([[graft.operators.StatsOps.lorenzGini]]).
+    * Returns `(decile, cum_share, gini)`. */
+  private[graft] def lorenzGiniPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("lorenz_gini(table, entity_col, value_col)", exprs, 3, 3)
+    val e = litStr("lorenz_gini", "entity_col", exprs(1))
+    val v = litStr("lorenz_gini", "value_col", exprs(2))
+    val df = namedTable("lorenz_gini",
+      litStr("lorenz_gini", "table", exprs(0)), Seq(e, v))
+    graft.operators.StatsOps.lorenzGini(df, e, v)
+      .queryExecution.analyzed
   }
 }

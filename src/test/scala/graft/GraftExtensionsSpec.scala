@@ -981,4 +981,43 @@ class GraftExtensionsSpec extends SparkSpec {
     }
     assert(bad.getMessage.contains("no_such_key"))
   }
+
+  test("warehouse-analytics TVFs (rfm, join_size, seasonality, " +
+    "lorenz_gini) agree with the Scala API") {
+    val s2 = spark.newSession()
+    val ord = graft.sources.Tables.orders(s2, sfDir)
+    ord.createOrReplaceTempView("wa_orders")
+    val rf = s2.sql("SELECT * FROM rfm('wa_orders', 'o_custkey', " +
+      "'o_orderdate', 'o_totalprice')")
+    assert(rf.columns.toSeq === Seq("o_custkey", "r_days", "f", "m",
+      "r_score", "f_score", "m_score", "segment"))
+    assert(rf.collect().map(_.toSeq).toSeq ===
+      graft.operators.StatsOps.rfm(ord, "o_custkey", "o_orderdate",
+        "o_totalprice").collect().map(_.toSeq).toSeq)
+    val li = graft.sources.Tables.lineitem(s2, sfDir)
+    li.createOrReplaceTempView("wa_lineitem")
+    val js = s2.sql("SELECT * FROM join_size('wa_lineitem', " +
+      "'wa_lineitem', 'l_partkey')")
+    assert(js.columns.toSeq === Seq("left_rows", "right_rows",
+      "matched_keys", "est_rows", "hottest_key", "hottest_pairs",
+      "expansion"))
+    assert(js.collect().map(_.toSeq).toSeq ===
+      graft.operators.StatsOps.joinSizeEstimate(li, li, "l_partkey")
+        .collect().map(_.toSeq).toSeq)
+    val ev = graft.sources.Tables.events(s2, sfDir)
+    ev.createOrReplaceTempView("wa_events")
+    val se = s2.sql(
+      "SELECT * FROM seasonality('wa_events', 'event_type', 'ts')")
+    assert(se.columns.toSeq === Seq("event_type", "hod", "n", "share",
+      "idx"))
+    assert(se.collect().map(_.toSeq).toSeq ===
+      graft.operators.EventOps.seasonality(ev, "event_type", "ts")
+        .collect().map(_.toSeq).toSeq)
+    val lg = s2.sql("SELECT * FROM lorenz_gini('wa_orders', " +
+      "'o_custkey', 'o_totalprice')")
+    assert(lg.columns.toSeq === Seq("decile", "cum_share", "gini"))
+    assert(lg.collect().map(_.toSeq).toSeq ===
+      graft.operators.StatsOps.lorenzGini(ord, "o_custkey",
+        "o_totalprice").collect().map(_.toSeq).toSeq)
+  }
 }
