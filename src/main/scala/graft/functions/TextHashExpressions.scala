@@ -308,6 +308,51 @@ case class NfcNormalize(child: Expression)
     copy(child = newChild)
 }
 
+/** Deflate compression ratio of a string (compressed bytes ÷ raw
+  * bytes, 6-dp): the classic corpus-curation quality signal — highly
+  * compressible text (boilerplate, repeated spans, template spam)
+  * scores low, natural prose ~0.4–0.7, random bytes ≳1. Complements
+  * the exact repetition fractions (`q_repetition`) with a single
+  * scale-free score. Computed with the JVM's raw-deflate at the
+  * default level; per-row work is linear in the string, no state
+  * escapes the row (the `Deflater` is created and ended inside the
+  * call), so the expression codegens into the scan like the hash
+  * expressions above. No DuckDB oracle (no SQL zlib) — spec-bounded. */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deflate_ratio"
+
+  def computeFor(input: UTF8String): Double = {
+    val bytes = input.getBytes
+    if (bytes.length == 0) 1.0
+    else {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      math.round(total.toDouble / bytes.length * 1e6) / 1e6
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeFor(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("deflateRatio", this)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeFor($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}
+
 /** Column-level API for the text-hash expressions, registered through the
   * session `FunctionRegistry` and invoked via `call_function` (Spark 4
   * removed the public Column-from-Expression constructor — same pattern
@@ -336,6 +381,8 @@ object TextHashOps {
         exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
       reg.createOrReplaceTempFunction("nfc_normalize",
         exprs => NfcNormalize(exprs(0)), "built-in")
+      reg.createOrReplaceTempFunction("deflate_ratio",
+        exprs => DeflateRatio(exprs(0)), "built-in")
       reg.createOrReplaceTempFunction("might_contain",
         exprs => new org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")

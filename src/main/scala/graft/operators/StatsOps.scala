@@ -544,6 +544,42 @@ object StatsOps {
       .orderBy("decile")
   }
 
+  /** Equal-frequency discretization (quantile binning) of a numeric
+    * column — the generic feature-engineering primitive behind
+    * [[rfm]]'s quintiles: `nBins−1` discrete quantile cuts computed
+    * once and broadcast, rows assigned by exact `>` comparisons, and
+    * the per-bin profile (count, min, max) returned. Equal-frequency
+    * bins are what tree models and calibration tables want; the
+    * equal-WIDTH twin is `q_histogram`.
+    *
+    * Scale: one percentile aggregate (cuts ride back as a broadcast
+    * 1-row table — never a global ntile sort), one map-side-combined
+    * per-bin fold. Cuts are stored values (percentile_disc) and the
+    * rollups are exact DECIMAL/integer, so bins and profiles are
+    * engine-identical. */
+  def quantileBins(df: DataFrame, valCol: String,
+      nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(nBins >= 2 && nBins <= 1000, s"nBins in [2,1000]; got $nBins")
+    val dec = DecimalType(18, 2)
+    val v = col(valCol).cast(dec)
+    val cuts = df.agg(
+      expr(s"percentile_disc(${1.0 / nBins}) WITHIN GROUP " +
+        s"(ORDER BY CAST($valCol AS DECIMAL(18,2)))").as("__c1"),
+      (2 until nBins).map(i => expr(
+        s"percentile_disc(${i.toDouble / nBins}) WITHIN GROUP " +
+          s"(ORDER BY CAST($valCol AS DECIMAL(18,2)))").as(s"__c$i")): _*)
+    val bin = (1 until nBins)
+      .map(i => (v > col(s"__c$i")).cast("int"))
+      .reduce(_ + _) + 1
+    df.crossJoin(broadcast(cuts))
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(v).as("lo"),
+        max(v).as("hi"))
+      .orderBy("bin")
+  }
+
   val all: Seq[Query] = Seq(
     // Pareto frontier of orders over (totalprice ↑, orderdate ↑): the
     // orders no other order beats on both value and recency. The
@@ -918,6 +954,30 @@ object StatsOps {
               JOIN range(1, 11) d ON i = (n * d.range) // 10
               ORDER BY decile"""),
       (s, d) => lorenzGini(Tables.orders(s, d), "o_custkey",
-        "o_totalprice"))
+        "o_totalprice")),
+
+    // Equal-frequency decile bins of lineitem price: broadcast
+    // percentile_disc cuts, exact DECIMAL comparisons, per-bin profile.
+    Query(
+      "q_quantile_bins",
+      Some {
+        val cast = "CAST(l_extendedprice AS DECIMAL(18,2))"
+        val cuts = (1 to 9).map(i =>
+          s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY $cast) AS c$i")
+          .mkString(",\n                  ")
+        val bin = (1 to 9).map(i => s"CAST($cast > c$i AS INT)")
+          .mkString(" + ")
+        s"""WITH c AS (
+                SELECT
+                  $cuts
+                FROM lineitem)
+              SELECT 1 + $bin AS bin,
+                     count(*) AS n,
+                     min($cast) AS lo,
+                     max($cast) AS hi
+              FROM lineitem CROSS JOIN c
+              GROUP BY 1 ORDER BY bin"""
+      },
+      (s, d) => quantileBins(Tables.lineitem(s, d), "l_extendedprice"))
   )
 }

@@ -657,6 +657,30 @@ object TextOps {
           .groupBy("piece").agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), asc("piece"))
           .limit(40)
+      }),
+
+    // Compression-ratio quality screen: per-source mean deflate ratio
+    // and the count of highly-compressible (boilerplate-shaped) docs.
+    // No DuckDB oracle (no SQL zlib) — the DeflateRatio expression and
+    // this rollup are bounded in TextHashSpec (repetitive << prose <
+    // random, empty-string and determinism laws).
+    Query(
+      "q_compress_ratio",
+      None,
+      (s, d) => {
+        graft.functions.TextHashOps.register(s)
+        Tables.documents(s, d)
+          .select(col("source"),
+            call_function("deflate_ratio", col("text")).as("r"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            (round(sum(col("r").cast(
+                org.apache.spark.sql.types.DataTypes
+                  .createDecimalType(38, 6))).cast("double")
+              / count(lit(1)) * lit(1000000.0)) / lit(1000000.0))
+              .as("mean_ratio"),
+            sum((col("r") < 0.35).cast("long")).as("n_compressible"))
+          .orderBy("source")
       })
   )
 }

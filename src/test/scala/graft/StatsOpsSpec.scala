@@ -420,4 +420,32 @@ class StatsOpsSpec extends SparkSpec {
       .collect()
     assert(again.toSeq === out.toSeq)
   }
+
+  // -- quantile bins -------------------------------------------------------
+
+  test("quantileBins: equal-frequency bins on distinct values, bins " +
+    "tile the range, and counts sum to the input") {
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val out = StatsOps.quantileBins(df, "v", nBins = 10).collect()
+    assert(out.length === 10)
+    assert(out.map(_.getAs[Long]("n")).sum === 1000L)
+    // distinct uniform values: every decile bin holds exactly 100
+    out.foreach(r => assert(r.getAs[Long]("n") === 100L, r.toString))
+    // bins are ordered and non-overlapping: each hi < next lo
+    val sorted = out.sortBy(_.getAs[Int]("bin"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[java.math.BigDecimal]("hi")
+          .compareTo(b.getAs[java.math.BigDecimal]("lo")) < 0)
+      case _ =>
+    }
+    val again = StatsOps.quantileBins(df.repartition(7), "v", 10)
+      .collect()
+    assert(again.toSeq === out.toSeq)
+    // heavy ties collapse into the tied value's bin, counts still sum
+    val skewed = (Seq.fill(500)(1.0) ++ (1 to 500).map(_ + 1.0))
+      .toDF("v")
+    val sk = StatsOps.quantileBins(skewed, "v", nBins = 4).collect()
+    assert(sk.map(_.getAs[Long]("n")).sum === 1000L)
+  }
 }

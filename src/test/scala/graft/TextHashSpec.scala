@@ -109,4 +109,51 @@ class TextHashSpec extends SparkSpec {
       .head.getString(0)
     assert(out === "Café No 12 x y")
   }
+
+  test("deflate_ratio: repetition compresses far below prose, prose " +
+    "below randomness; empty is 1.0; null-safe; deterministic") {
+    import spark.implicits._
+    graft.functions.TextHashOps.register(spark)
+    val rnd = new scala.util.Random(5)
+    val rows = Seq(
+      ("rep", "the cat sat. " * 300),
+      ("prose", "A quiet library held maps, letters, and a brass " +
+        "clock that nobody wound; visitors came for the view and " +
+        "stayed for the silence of the reading room. " * 10),
+      ("rand", Seq.fill(2000)(
+        (rnd.nextInt(95) + 0x20).toChar).mkString),
+      ("empty", ""),
+      ("nul", null))
+    val out = rows.toDF("k", "t")
+      .select(col("k"), call_function("deflate_ratio", col("t")).as("r"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val rep = out("rep").asInstanceOf[Double]
+    val prose = out("prose").asInstanceOf[Double]
+    val rand = out("rand").asInstanceOf[Double]
+    assert(rep < 0.05, s"repetition ratio $rep")
+    assert(prose > rep && prose < 0.7, s"prose ratio $prose")
+    // uniform printable ASCII carries ~6.57 bits/char, so deflate
+    // cannot go below ~0.82; prose sits well under it
+    assert(rand > 0.8, s"random ratio $rand")
+    assert(out("empty") === 1.0)
+    assert(out("nul") === null)
+    // per-row, state-free: identical under repartitioning
+    val a = rows.toDF("k", "t").repartition(5)
+      .select(call_function("deflate_ratio", col("t"))).collect()
+      .map(r => if (r.isNullAt(0)) -1.0 else r.getDouble(0)).sorted
+    val b = rows.toDF("k", "t")
+      .select(call_function("deflate_ratio", col("t"))).collect()
+      .map(r => if (r.isNullAt(0)) -1.0 else r.getDouble(0)).sorted
+    assert(a.toSeq === b.toSeq)
+    // the registered rollup runs and covers every source
+    val q = SparkEntry.queries("q_compress_ratio")(spark, sfDir)
+      .collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val m = r.getAs[Double]("mean_ratio")
+      assert(m > 0.0 && m <= 1.2, r.toString)
+      assert(r.getAs[Long]("n_compressible") >= 0L)
+    }
+  }
 }
