@@ -563,16 +563,50 @@ object StatsOps {
     require(nBins >= 2 && nBins <= 1000, s"nBins in [2,1000]; got $nBins")
     val dec = DecimalType(18, 2)
     val v = col(valCol).cast(dec)
-    val cuts = df.agg(
-      expr(s"percentile_disc(${1.0 / nBins}) WITHIN GROUP " +
-        s"(ORDER BY CAST($valCol AS DECIMAL(18,2)))").as("__c1"),
-      (2 until nBins).map(i => expr(
-        s"percentile_disc(${i.toDouble / nBins}) WITHIN GROUP " +
-          s"(ORDER BY CAST($valCol AS DECIMAL(18,2)))").as(s"__c$i")): _*)
+    // CUTS, distributed (the weightedMedian stance): Spark's own
+    // percentile_disc buffers the ENTIRE column per aggregate — nine
+    // single-reducer sorted copies of the corpus (measured 29 s on 6M
+    // rows; a 100 TB killer). Instead: fold to (value, count) rows
+    // map-side, bucket the distinct values into 1024 prefix-aligned
+    // ranges, cumulative-count through a ≤1024-row offset table +
+    // bucket-partitioned windows, and read cut k as the smallest
+    // value whose cumulative count reaches k·n/nBins — the
+    // percentile_disc definition in EXACT integer arithmetic
+    // (cm·nBins ≥ k·n), which the oracle states identically.
+    val vc = df.groupBy(v.as("v")).agg(count(lit(1)).as("c"))
+    val tot = vc.agg(sum("c").as("n"))
+    val bounds = vc.agg(min(col("v").cast("double")).as("__lo"),
+      max(col("v").cast("double")).as("__hi"))
+    val nBuckets = 1024
+    val bucketed = vc.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        least(lit(nBuckets - 1), greatest(lit(0),
+          floor((col("v").cast("double") - col("__lo")) * nBuckets /
+            (col("__hi") - col("__lo") + lit(1e-9))))).cast("int"))
+      .drop("__lo", "__hi")
+    val wOff = Window.partitionBy(BoundedWindow.key(col("bkt")))
+      .orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bkt").agg(sum("c").as("bc"))
+      .select(col("bkt"),
+        coalesce(sum(col("bc")).over(wOff), lit(0L)).as("off"))
+    val wIn = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed.join(broadcast(offsets), "bkt")
+      .withColumn("cm", col("off") + sum("c").over(wIn))
+    val ks = df.sparkSession.range(1, nBins)
+      .select(col("id").cast("long").as("k"))
+    val cuts = cum.crossJoin(broadcast(tot))
+      .join(broadcast(ks),
+        col("cm") * lit(nBins) >= col("k") * col("n"))
+      .groupBy("k").agg(min("v").as("cut"))
+    val cutRow = cuts.agg(
+      max(when(col("k") === 1, col("cut"))).as("__c1"),
+      (2 until nBins).map(i =>
+        max(when(col("k") === i, col("cut"))).as(s"__c$i")): _*)
     val bin = (1 until nBins)
       .map(i => (v > col(s"__c$i")).cast("int"))
       .reduce(_ + _) + 1
-    df.crossJoin(broadcast(cuts))
+    df.crossJoin(broadcast(cutRow))
       .groupBy(bin.as("bin"))
       .agg(count(lit(1)).as("n"),
         min(v).as("lo"),
@@ -956,21 +990,37 @@ object StatsOps {
       (s, d) => lorenzGini(Tables.orders(s, d), "o_custkey",
         "o_totalprice")),
 
-    // Equal-frequency decile bins of lineitem price: broadcast
-    // percentile_disc cuts, exact DECIMAL comparisons, per-bin profile.
+    // Equal-frequency decile bins of lineitem price. The oracle
+    // states the cut rule in the same exact integer arithmetic the
+    // engine uses (smallest v with cum*10 >= k*n == percentile_disc
+    // at k/10), so there is no float percentile boundary to diverge.
     Query(
       "q_quantile_bins",
       Some {
         val cast = "CAST(l_extendedprice AS DECIMAL(18,2))"
-        val cuts = (1 to 9).map(i =>
-          s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY $cast) AS c$i")
+        val pivot = (1 to 9).map(i =>
+          s"max(CASE WHEN k = $i THEN cut END) AS c$i")
           .mkString(",\n                  ")
         val bin = (1 to 9).map(i => s"CAST($cast > c$i AS INT)")
           .mkString(" + ")
-        s"""WITH c AS (
+        s"""WITH vc AS (
+                SELECT $cast AS v, count(*) AS c
+                FROM lineitem GROUP BY 1),
+              t AS (SELECT sum(c) AS n FROM vc),
+              cum AS (
+                SELECT v, sum(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW) AS cm
+                FROM vc),
+              cuts AS (
+                SELECT k, min(v) AS cut
+                FROM cum CROSS JOIN t
+                JOIN range(1, 10) r(k) ON cm * 10 >= k * n
+                GROUP BY k),
+              c AS (
                 SELECT
-                  $cuts
-                FROM lineitem)
+                  $pivot
+                FROM cuts)
               SELECT 1 + $bin AS bin,
                      count(*) AS n,
                      min($cast) AS lo,
