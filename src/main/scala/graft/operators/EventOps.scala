@@ -674,8 +674,10 @@ object EventOps {
       .withColumn("v_7d", coalesce(
         sum(col(valCol).cast(dec)).over(trail(7)), lit(0).cast(dec)))
       .filter(col(typeCol) === labelValue)
+      // DECIMAL(38,6)-exact fold, DOUBLE render (§7.6): both engines
+      // cast the identical 6-dp decimal, so the doubles agree.
       .select(col(idCol), col(userCol), col(tsCol),
-        col("n_1d"), col("n_7d"), col("v_7d"))
+        col("n_1d"), col("n_7d"), col("v_7d").cast("double").as("v_7d"))
       .orderBy(idCol)
   }
 
@@ -1187,7 +1189,7 @@ object EventOps {
               SELECT event_id, user_id, ts,
                      CAST(n_1d AS BIGINT) AS n_1d,
                      CAST(n_7d AS BIGINT) AS n_7d,
-                     CAST(v_7d AS DECIMAL(38,6)) AS v_7d
+                     CAST(CAST(v_7d AS DECIMAL(38,6)) AS DOUBLE) AS v_7d
               FROM w WHERE event_type = 'purchase'
               ORDER BY event_id"""),
       (s, d) => trailingFeatures(Tables.events(s, d), "user_id", "ts",

@@ -216,7 +216,9 @@ object GeoOps {
         floor(col(latCol) / lit(edgeDeg)).cast("long").as("cell_lat"),
         floor(col(lonCol) / lit(edgeDeg)).cast("long").as("cell_lon"))
       .agg(count(lit(1)).as("n"),
-        sum(col(measureCol).cast("decimal(18,2)")).as("measure_sum"))
+        // DECIMAL-exact fold, DOUBLE render (§7.6 final-render rule)
+        sum(col(measureCol).cast("decimal(18,2)")).cast("double")
+          .as("measure_sum"))
       .orderBy("cell_lat", "cell_lon")
 
   val all: Seq[Query] = Seq(
@@ -358,8 +360,8 @@ object GeoOps {
                SELECT CAST(floor(lat / 5.0) AS BIGINT) AS cell_lat,
                       CAST(floor(lon / 5.0) AS BIGINT) AS cell_lon,
                       count(*) AS n,
-                      sum(CAST(c_acctbal AS DECIMAL(18,2)))
-                        AS measure_sum
+                      CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                        AS DOUBLE) AS measure_sum
                FROM c GROUP BY 1, 2
                ORDER BY cell_lat, cell_lon"""),
       (s, d) => gridDensity(

@@ -115,8 +115,9 @@ object StatsOps {
         col(valCol).as("v"), col("p_lo"), col("p_hi"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"),
-        min("p_lo").cast("decimal(18,2)").as("p_lo"),
-        max("p_hi").cast("decimal(18,2)").as("p_hi"),
+        // DECIMAL-exact clamp bounds, DOUBLE render (§7.6)
+        min("p_lo").cast("decimal(18,2)").cast("double").as("p_lo"),
+        max("p_hi").cast("decimal(18,2)").cast("double").as("p_hi"),
         (round(sum(col("v").cast("decimal(18,2)")).cast("double")
           / count(lit(1)) * lit(1000000.0)) / lit(1000000.0))
           .as("mean_raw"),
@@ -267,9 +268,11 @@ object StatsOps {
       .withColumn("cumw", col("__before") + sum("w").over(wCum))
       .filter(col("cumw") * lit(2) >= col("total"))
       .groupBy(col(groupCol))
+      // §7.6 final-render rule: DECIMAL stays internal (exact math),
+      // outputs go out as DOUBLE so the gate's two read paths agree.
       .agg(
-        min("v").cast(DecimalType(18, 2)).as("wmedian"),
-        min("total").as("total_w"))
+        min("v").cast(DecimalType(18, 2)).cast("double").as("wmedian"),
+        min("total").cast("double").as("total_w"))
   }
 
   // Poisson(1) CDF thresholds on the 16-bit draw scale: a uniform
@@ -437,7 +440,10 @@ object StatsOps {
       .map(i => (col(c) > col(s"__${c}_$i")).cast("int"))
       .reduce(_ + _) + 1
     per.crossJoin(broadcast(cutRow))
-      .select(col(entityCol), col("r_days"), col("f"), col("m"),
+      // cuts/scores run on the exact DECIMAL m; only the rendered
+      // column goes out as DOUBLE (§7.6 final-render rule).
+      .select(col(entityCol), col("r_days"), col("f"),
+        col("m").cast("double").as("m"),
         (lit(6) - score("r_days")).as("r_score"),
         score("f").as("f_score"),
         score("m").as("m_score"))
@@ -608,9 +614,11 @@ object StatsOps {
       .reduce(_ + _) + 1
     df.crossJoin(broadcast(cutRow))
       .groupBy(bin.as("bin"))
+      // bin assignment runs on the exact DECIMAL v; bounds render as
+      // DOUBLE (§7.6 final-render rule).
       .agg(count(lit(1)).as("n"),
-        min(v).as("lo"),
-        max(v).as("hi"))
+        min(v).cast("double").as("lo"),
+        max(v).cast("double").as("hi"))
       .orderBy("bin")
   }
 
@@ -633,7 +641,8 @@ object StatsOps {
               fr AS (SELECT price, odate FROM rk
                      WHERE mx IS NULL OR odate > mx)
               SELECT o.o_orderkey,
-                     CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+                     CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                       AS DOUBLE) AS price,
                      o.o_orderdate AS odate
               FROM orders o
               JOIN fr ON CAST(o.o_totalprice AS DECIMAL(18,2)) = fr.price
@@ -648,7 +657,10 @@ object StatsOps {
             skyline(ord, "price", "odate")
               .select(col("x").as("price"), col("y").as("odate")),
             Seq("price", "odate"))
-          .select(col("o_orderkey"), col("price"), col("odate"))
+          // join/frontier math on the exact DECIMAL; DOUBLE render
+          // (§7.6 final-render rule)
+          .select(col("o_orderkey"),
+            col("price").cast("double").as("price"), col("odate"))
           .orderBy(col("price").desc, col("o_orderkey"))
       }),
 
@@ -664,8 +676,10 @@ object StatsOps {
                        quantile_disc(l_extendedprice, 0.95) AS p_hi
                 FROM lineitem GROUP BY l_returnflag)
               SELECT l.l_returnflag, count(*) AS n,
-                     CAST(min(c.p_lo) AS DECIMAL(18,2)) AS p_lo,
-                     CAST(max(c.p_hi) AS DECIMAL(18,2)) AS p_hi,
+                     CAST(CAST(min(c.p_lo) AS DECIMAL(18,2))
+                       AS DOUBLE) AS p_lo,
+                     CAST(CAST(max(c.p_hi) AS DECIMAL(18,2))
+                       AS DOUBLE) AS p_hi,
                      round(CAST(sum(CAST(l.l_extendedprice
                          AS DECIMAL(18,2))) AS DOUBLE)
                        / count(*) * 1000000.0) / 1000000.0 AS mean_raw,
@@ -698,7 +712,7 @@ object StatsOps {
                  GROUP BY v.unit, v.variant),
                per AS (
                  SELECT variant, count(*) AS n_units,
-                        sum(converted) AS n_conv
+                        CAST(sum(converted) AS BIGINT) AS n_conv
                  FROM conv GROUP BY variant),
                tot AS (
                  SELECT sum(CASE WHEN variant = 'A' THEN n_units END) AS na,
@@ -763,8 +777,9 @@ object StatsOps {
                        sum(w) OVER (PARTITION BY l_returnflag) AS total
                 FROM bv)
               SELECT l_returnflag,
-                     CAST(min(v) AS DECIMAL(18,2)) AS wmedian,
-                     min(total) AS total_w
+                     CAST(CAST(min(v) AS DECIMAL(18,2)) AS DOUBLE)
+                       AS wmedian,
+                     CAST(min(total) AS DOUBLE) AS total_w
               FROM cm WHERE cumw * 2 >= total
               GROUP BY l_returnflag
               ORDER BY l_returnflag"""),
@@ -922,7 +937,8 @@ object StatsOps {
                          + CAST(m > m3 AS INT) + CAST(m > m4 AS INT)
                          AS m_score
                 FROM per CROSS JOIN c)
-              SELECT o_custkey, r_days, CAST(f AS BIGINT) AS f, m,
+              SELECT o_custkey, r_days, CAST(f AS BIGINT) AS f,
+                     CAST(m AS DOUBLE) AS m,
                      r_score, f_score, m_score,
                      CAST(r_score AS VARCHAR) ||
                      CAST(f_score AS VARCHAR) ||
@@ -1023,8 +1039,8 @@ object StatsOps {
                 FROM cuts)
               SELECT 1 + $bin AS bin,
                      count(*) AS n,
-                     min($cast) AS lo,
-                     max($cast) AS hi
+                     CAST(min($cast) AS DOUBLE) AS lo,
+                     CAST(max($cast) AS DOUBLE) AS hi
               FROM lineitem CROSS JOIN c
               GROUP BY 1 ORDER BY bin"""
       },

@@ -609,7 +609,8 @@ object TextOps {
                 SELECT source, sum(c) AS n_tokens, count(*) AS n_distinct,
                        sum(CAST(c * ln(c) AS DECIMAL(38,12))) AS clnc
                 FROM cnt GROUP BY source)
-              SELECT source, n_tokens, n_distinct,
+              SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     n_distinct,
                      round((ln(n_tokens) - CAST(clnc AS DOUBLE) / n_tokens)
                        / ln(2) * 1000000.0) / 1000000.0 AS entropy
               FROM agg ORDER BY source"""),

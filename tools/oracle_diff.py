@@ -1,0 +1,126 @@
+#!/usr/bin/env python3
+"""Self-serve reproduction of the driver's hash gate, read-path-exact.
+
+The driver reads the engine's parquet through pyarrow/pandas and the
+oracle through DuckDB — TWO read paths, so a value-identical result can
+still hash-fail on output TYPE (Decimal('59.10') vs 59.1, BIGINT vs
+HUGEINT, DECIMAL(28,2) vs DECIMAL(38,2)).  tools/compare.py reads both
+sides through DuckDB (one path) and is blind to that class — which is
+how the r12 round shipped 8 value-correct hash-fails.  This tool
+reproduces the asymmetry: for each query it prints the typed-schema
+delta (the thing the hash sees but rows_match doesn't) and the first
+differing TYPED cell.
+
+Usage:
+  python3 tools/oracle_diff.py <sfDir> <verifyOutDir> [query ...]
+(run `sbt` Verify first to populate <verifyOutDir>; see BASELINE.md)
+"""
+import sys, os, json, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+
+def cells(rows, cols, order):
+    for r in rows:
+        yield tuple(r[i] for i in order)
+
+
+def typed(v):
+    """The typed rendering the hash gate distinguishes on.
+
+    Datetime-likes normalize to the instant (pyarrow hands back pandas
+    Timestamp for timestamp[ns] where DuckDB hands datetime — same
+    instant, and the driver's gate treats them as equal; r12's
+    q_trailing_features passed rows+schema with a ts column and only
+    hash-failed on its DECIMAL column)."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "float:NaN"
+        return f"float:{v!r}"
+    if hasattr(v, "isoformat"):
+        return f"ts:{v.isoformat()}"
+    return f"{type(v).__name__}:{v!r}"
+
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracles = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        # subset Verify runs dump only the named queries; absence of a
+        # dir here means "not run this time", not a failure (the full
+        # driver run always dumps everything)
+        if not only and not os.path.isdir(f"{out}/{name}"):
+            continue
+        # SPARK SIDE: pyarrow, the driver's engine-read path
+        try:
+            tbl = pq.read_table(f"{out}/{name}")
+            s_cols = tbl.column_names
+            s_types = {c: str(tbl.schema.field(c).type) for c in s_cols}
+            s_rows = [tuple(d[c] for c in s_cols) for d in tbl.to_pylist()]
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            n_fail += 1
+            continue
+        # ORACLE SIDE: duckdb, the driver's oracle-read path
+        try:
+            cur = con.execute(sql)
+            d_rows = cur.fetchall()
+            d_cols = [d[0] for d in cur.description]
+            d_types = {d[0]: str(d[1]) for d in cur.description}
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: column sets differ\n"
+                  f"   spark: {sorted(s_cols)}\n   duck:  {sorted(d_cols)}")
+            n_fail += 1
+            continue
+        # the driver sorts columns by name before hashing values
+        si = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+        di = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rows {len(s_rows)} vs {len(d_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(cells(s_rows, s_cols, si),
+                                       cells(d_rows, d_cols, di))):
+            if tuple(map(typed, a)) != tuple(map(typed, b)):
+                bad = (i, a, b)
+                break
+        if bad is None:
+            print(f"PASS {name} ({len(s_rows)} rows, typed-identical)")
+            n_pass += 1
+            continue
+        n_fail += 1
+        i, a, b = bad
+        print(f"FAIL {name}: first typed diff @row {i}")
+        scol = [s_cols[j] for j in si]
+        for c, x, y in zip(scol, a, b):
+            tx, ty = typed(x), typed(y)
+            mark = "   " if tx == ty else "** "
+            print(f"  {mark}{c}: spark={tx}  duck={ty}")
+        # the dtype/typed-schema delta — the thing the hash sees but
+        # rows_match doesn't
+        for c in sorted(s_cols):
+            st, dt = s_types.get(c), d_types.get(c)
+            print(f"    dtype {c}: spark-parquet={st}  duck={dt}")
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
