@@ -6,7 +6,6 @@ import graft.tools.ObservedMetrics
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.slf4j.LoggerFactory
 
 /** Tier D (dedup) — the deduplication family for training-data curation
   * (BASELINE.json north_star): exact hash dedup, MinHash+LSH near-dup,
@@ -269,28 +268,56 @@ object DedupOps {
     * document with its cluster id (the component's minimum doc id) and
     * a keeper flag (true exactly for that minimum).
     *
-    * Algorithm: iterative min-label propagation as DataFrame joins —
-    * every label starts as the doc's own id; each round every node takes
-    * the min of its label and its neighbors' labels, until a round
-    * changes nothing (convergence in O(component diameter) rounds —
-    * near-dup clusters are shallow) or `maxIters` is hit (logged WARN;
-    * labels are then a refinement, never wrong within an iteration).
-    * All data stays distributed: per-round state is persisted and the
-    * previous round unpersisted; the only driver-side values are the
-    * per-round changed-row counts (scalars).
+    * Algorithm: alternating large-star/small-star contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14)
+    * as plain DataFrame aggregates and joins. Each round rewires every
+    * edge toward its neighborhood minimum — large-star re-points
+    * larger neighbors at the local min, small-star collapses smaller
+    * neighbors onto it — and both operations preserve connectivity
+    * exactly, so the edge set contracts to a star forest rooted at
+    * each component's minimum id in O(log n) ROUNDS, not O(component
+    * diameter) sweeps. That distinction is the 100 TB story: the
+    * previous min-label propagation needed diameter-many sweeps and
+    * hit its iteration cap on the deep LSH chains of a large corpus
+    * (r12 bench tail); a path graph of 10k nodes converges here in a
+    * handful of rounds (DedupOpsSpec pins ≤ 2·log₂(n)).
+    *
+    * Convergence is exact, not heuristic: each star operation counts
+    * its re-pointed edges in an `observe` metric that rides the
+    * checkpoint materialization job, and the loop ends on the first
+    * round where neither operation changed an edge — a fixpoint of
+    * both stars is a star forest. If `maxIters` rounds pass without
+    * that fixpoint the call FAILS (IllegalStateException) instead of
+    * shipping unconverged clusters; at O(log n) rounds the default cap
+    * covers any graph that fits in storage.
+    *
+    * All data stays distributed: per-round state is the current edge
+    * set (monotonically shrinking under dedup, never larger than the
+    * input), eagerly checkpointed via [[graft.tools.Checkpoints.pin]]
+    * so round plans stay shallow and, with a reliable checkpoint dir
+    * configured, survive executor loss. The only driver-side values
+    * are the per-round changed-edge counts (scalars).
     *
     * `pairs` must carry (a_id, b_id) unordered unique pairs (the output
     * contract of [[minhashPairs]] / [[ngramJaccardPairs]] /
     * [[embeddingPairs]]); `ids` the full universe of document ids so
     * singletons appear as their own cluster. */
   def nearDupClusters(pairs: DataFrame, ids: DataFrame, idCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 64): DataFrame =
+    nearDupClustersWithRounds(pairs, ids, idCol, maxIters)._1
+
+  /** [[nearDupClusters]] plus the number of large/small-star rounds it
+    * took — the O(log n) convergence bound is a tested contract
+    * (DedupOpsSpec's deep-path fixture), not a comment. */
+  private[graft] def nearDupClustersWithRounds(pairs: DataFrame,
+      ids: DataFrame, idCol: String,
+      maxIters: Int = 64): (DataFrame, Int) = {
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
-    // Materialize the pair pipeline ONCE before symmetrizing: both
-    // branches of the edge union reference it, and without this barrier
-    // an expensive upstream operator (the LSH pipeline) evaluates twice.
-    val base = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+    // Materialize the pair pipeline ONCE before canonicalizing: the
+    // LSH pipeline upstream is expensive and must not re-evaluate.
+    val base = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .filter(col("u") =!= col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgeCount = base.count()
     // Scale-adaptive layout: a tiny active graph iterates in single-task
@@ -299,72 +326,85 @@ object DedupOps {
     val p = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       edgeCount / 500000L + 1L)).toInt
-    // Iteration state lives in EAGER CHECKPOINTS, not persist(): a
-    // checkpointed round is stored blocks with a truncated plan, so
-    // round i+1's plan is a shallow join of two block scans no matter
-    // how many rounds ran — with persist() the growing lineage behind
-    // each round's plan was measurably re-evaluated (phase times doubled
-    // per round). Checkpoints.pin chooses the spelling: executor-local
-    // blocks by default (lost blocks fail the bounded refinement — the
-    // local-mode trade), or the session's RELIABLE checkpoint dir when
-    // one is configured, which survives executor loss on a real
-    // cluster (DedupOpsSpec exercises both modes).
-    val edges = graft.tools.Checkpoints.pin(base
-      .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
-      .repartition(p, col("src")))
-    base.unpersist(blocking = false)
-    // Iterate over the ACTIVE subgraph only — nodes that touch an edge.
-    // After dedup most of a corpus is singletons; they take no part in
-    // propagation and re-enter as their own cluster in the final join,
-    // so per-round state is O(|nodes with a near-dup|), not O(corpus).
-    // Labels are monotone non-increasing (next = min(own, neighbors)),
-    // so the label sum strictly decreases exactly when a round changed
-    // anything — one DECIMAL-exact scalar per round is the whole
-    // convergence protocol, no changed-row join needed. The checksum is
-    // an `observe` metric read through `Observation`, so it rides the
-    // checkpoint's own materialization job (checkpoint runs through
-    // withAction → the listener fires) — ONE Spark job per round, not a
-    // checkpoint job plus a separate aggregate job.
-    def checkpointWithSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+    // Pin each round's edge set and read its changed-edge count from an
+    // `observe` metric — the metric fires during the checkpoint's own
+    // materialization (pin runs through withAction), so convergence
+    // costs ONE Spark job per star, no separate aggregate job. The
+    // repartition keys the dedup aggregate AND sets the round's
+    // partition count in one exchange.
+    def pinStar(df: DataFrame): (DataFrame, Long) = {
       val obs = org.apache.spark.sql.Observation(
-        graft.tools.ObservedMetrics.nextName("graft_cc_sum"))
+        graft.tools.ObservedMetrics.nextName("graft_cc_chg"))
       val ckpt = graft.tools.Checkpoints.pin(df
-        .observe(obs, sum(col("lbl").cast("decimal(38,0)")).as("s")))
-      val s = Option(obs.get("s").asInstanceOf[java.math.BigDecimal])
-        .getOrElse(java.math.BigDecimal.ZERO)
-      (ckpt, s)
+        .observe(obs,
+          coalesce(sum(col("__chg").cast("long")), lit(0L)).as("c"))
+        .repartition(p, col("x"), col("y"))
+        .dropDuplicates("x", "y")
+        .select("x", "y"))
+      (ckpt, obs.get("c").asInstanceOf[Long])
     }
-    var (labels, prevSum) = checkpointWithSum(
-      edges.select(col("src").as("id")).distinct()
-        .withColumn("lbl", col("id")))
+    // Large-star: every node u re-points its LARGER neighbors at
+    // m(u) = min(neighborhood ∪ {u}). Emitted edges stay canonical
+    // (m ≤ u < v ⇒ x = m, y = v); an edge changed iff m < u.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("x").as("nu"), col("y").as("nv"))
+        .unionByName(e.select(col("y").as("nu"), col("x").as("nv")))
+      val m = sym.groupBy("nu").agg(min("nv").as("mn"))
+        .select(col("nu"), least(col("nu"), col("mn")).as("m"))
+      sym.join(m, "nu")
+        .filter(col("nv") > col("nu"))
+        .select(col("m").as("x"), col("nv").as("y"),
+          (col("m") < col("nu")).cast("int").as("__chg"))
+    }
+    // Small-star: every node u collapses its SMALLER neighbors onto
+    // m(u) = min of them; u itself re-points at m(u). Canonical form
+    // (x, y) with x < y orients each edge big→small for free (u = y).
+    // Changed iff the neighbor wasn't already m. Fixpoint ⇔ every node
+    // has at most one smaller neighbor ⇔ the edges form a forest of
+    // stars rooted at component minima.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("y").as("nu")).agg(min("x").as("m"))
+      e.select(col("y").as("nu"), col("x").as("nv"))
+        .join(m, "nu")
+        .select(col("m").as("x"),
+          when(col("nv") === col("m"), col("nu")).otherwise(col("nv"))
+            .as("y"),
+          (col("nv") =!= col("m")).cast("int").as("__chg"))
+    }
+    var edges = graft.tools.Checkpoints.pin(base
+      .select(least(col("u"), col("v")).as("x"),
+        greatest(col("u"), col("v")).as("y"))
+      .repartition(p, col("x"), col("y"))
+      .dropDuplicates("x", "y"))
+    base.unpersist(blocking = false)
     var iter = 0
     var converged = edgeCount == 0L
     while (iter < maxIters && !converged) {
-      val (next, s) = checkpointWithSum(
-        edges
-          .join(labels.withColumnRenamed("id", "src"), "src")
-          .select(col("dst").as("id"), col("lbl"))
-          .unionByName(labels)
-          .groupBy("id").agg(min("lbl").as("lbl")))
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
+      val (afterLarge, chgL) = pinStar(largeStar(edges))
+      val (afterSmall, chgS) = pinStar(smallStar(afterLarge))
+      edges = afterSmall
+      converged = chgL == 0L && chgS == 0L
       iter += 1
     }
     if (!converged)
-      LoggerFactory.getLogger(getClass).warn(
-        s"nearDupClusters stopped at maxIters=$maxIters before the label " +
-          "sum stabilized — raise maxIters for deeper components")
-    // Re-attach the full universe: singletons cluster as themselves.
-    // The id column keeps the CALLER's name (`idCol`), so downstream
-    // joins (funnelReport's clusterKeepers contract) need no rename.
-    ids.select(col(idCol).as("graft_cc_id"))
-      .join(labels.select(col("id").as("graft_cc_id"), col("lbl")),
+      throw new IllegalStateException(
+        s"nearDupClusters did not reach the star-forest fixpoint in " +
+          s"$maxIters large/small-star rounds — at O(log n) rounds " +
+          "this indicates ids outside a total order or a bug, not a " +
+          "deep graph; refusing to ship unconverged clusters")
+    // At the fixpoint the edges are (root = component min, member):
+    // each non-root appears exactly once as y. Re-attach the full
+    // universe: singletons cluster as themselves. The id column keeps
+    // the CALLER's name (`idCol`), so downstream joins (funnelReport's
+    // clusterKeepers contract) need no rename.
+    val out = ids.select(col(idCol).as("graft_cc_id"))
+      .join(edges.select(col("y").as("graft_cc_id"), col("x").as("lbl")),
         Seq("graft_cc_id"), "left")
       .select(col("graft_cc_id").as(idCol),
         coalesce(col("lbl"), col("graft_cc_id")).as("cluster_id"))
       .withColumn("keeper", col(idCol) === col("cluster_id"))
       .orderBy(idCol)
+    (out, iter)
   }
 
   /** The near-dup cluster-keeper table of a test-corpus dir (Jaccard

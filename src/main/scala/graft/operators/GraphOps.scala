@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Query
 import graft.sources.Tables
+import graft.tools.Checkpoints
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -44,28 +45,58 @@ object GraphOps {
     * / deg are referenced by EVERY sweep — left declarative, sweep
     * t's plan re-derives the edge list ~3t times and re-executes
     * every upstream shuffle (measured 17.5 s for 5 sweeps at sf0.1
-    * vs ~2 s truncated). So the loop INPUTS are `localCheckpoint`ed
-    * once — the same lineage cut GraphX applies — after which each
-    * rank feeds the next sweep exactly once and the whole chain
-    * executes in one action with no recomputation; the rank table is
-    * additionally truncated every 10 sweeps to bound analyzer cost
-    * at deep iteration counts. */
+    * vs ~2 s truncated). So the loop INPUTS are pinned once via
+    * [[graft.tools.Checkpoints.pin]] — the same lineage cut GraphX
+    * applies, upgraded to RELIABLE checkpoint blocks when the session
+    * has a checkpoint dir (so the loop survives executor loss on a
+    * real cluster) — after which each rank feeds the next sweep
+    * exactly once and the whole chain executes in one action with no
+    * recomputation; the rank table is additionally truncated every 10
+    * sweeps to bound analyzer cost at deep iteration counts.
+    *
+    * `tolerance`: a 100× graph silently under-iterates a fixed sweep
+    * count, so `Some(tol)` switches to a convergence-tested loop —
+    * each sweep materializes (pinned blocks) with the L1 rank delta
+    * `Σ|rₜ(v) − rₜ₋₁(v)|` riding the same job as an `observe` metric,
+    * and the loop stops at the first sweep with delta ≤ tol or after
+    * `iterations` sweeps, whichever comes first. The delta is a STOP
+    * SIGNAL only (a float sum, partition-order-dependent in its last
+    * ulps), never part of the output; ranks themselves stay
+    * DECIMAL-summed and bit-deterministic, and a tolerance run that
+    * stops after k sweeps returns exactly the fixed-k result
+    * (GraphOpsSpec pins the equivalence). Standard tolerances:
+    * 1e-6/N-ish for scoring, tighter for ranking stability. */
   def pageRank(edges: DataFrame, iterations: Int = 5,
-      damping: Double = 0.85, broadcastRanks: Boolean = false): DataFrame = {
+      damping: Double = 0.85, broadcastRanks: Boolean = false,
+      tolerance: Option[Double] = None): DataFrame =
+    pageRankWithRounds(edges, iterations, damping, broadcastRanks,
+      tolerance)._1
+
+  /** [[pageRank]] plus the number of sweeps actually run (= the fixed
+    * `iterations` unless a `tolerance` stop fired earlier). */
+  private[graft] def pageRankWithRounds(edges: DataFrame,
+      iterations: Int = 5, damping: Double = 0.85,
+      broadcastRanks: Boolean = false,
+      tolerance: Option[Double] = None): (DataFrame, Int) = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50]; got $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1); got $damping")
-    val e = edges.localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
+    tolerance.foreach(t => require(t >= 0.0,
+      s"tolerance must be >= 0; got $t"))
+    val e = Checkpoints.pin(edges)
+    val nodes = Checkpoints.pin(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
-      .distinct().localCheckpoint()
-    val nn = nodes.agg(count(lit(1)).as("n_nodes")).localCheckpoint()
-    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint()
+      .distinct())
+    val nn = Checkpoints.pin(nodes.agg(count(lit(1)).as("n_nodes")))
+    val deg = Checkpoints.pin(
+      e.groupBy("src").agg(count(lit(1)).as("outdeg")))
     var r = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
-    for (i <- 1 to iterations) {
+    var i = 0
+    var done = false
+    while (i < iterations && !done) {
+      i += 1
       // broadcastRanks: when the caller KNOWS N is broadcast-sized
       // (dimension-graph shapes like customer↔supplier), shipping the
       // rank+degree tables to the edge partitions removes every sort
@@ -80,18 +111,42 @@ object GraphOps {
           (col("r") / col("outdeg")).cast(DecimalType(38, 12)).as("c"))
         .groupBy("node")
         .agg(sum(col("c")).cast("double").as("m"))
-      r = nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(nn))
-        .select(col("node"),
-          (lit(1.0 - damping) / col("n_nodes") +
-            lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
-      // each rank feeds the next sweep exactly once, so the chain
-      // executes in ONE action with no recomputation — truncate only
-      // every 10th sweep to bound analyzer cost at deep iteration
-      // counts without paying a per-sweep materialization
-      if (i % 10 == 0 && i < iterations) r = r.localCheckpoint()
+      tolerance match {
+        case Some(tol) =>
+          // convergence-tested sweep: the previous rank table is
+          // pinned blocks (or the cheap initial projection), so
+          // referencing it twice — once inside contrib, once as the
+          // join base carrying the previous rank — costs two block
+          // scans, not a lineage replay
+          val next = r.select(col("node"), col("r").as("__prev"))
+            .join(contrib, Seq("node"), "left")
+            .crossJoin(broadcast(nn))
+            .select(col("node"),
+              (lit(1.0 - damping) / col("n_nodes") +
+                lit(damping) * coalesce(col("m"), lit(0.0))).as("r"),
+              col("__prev"))
+          val obs = org.apache.spark.sql.Observation(
+            graft.tools.ObservedMetrics.nextName("graft_pr_l1"))
+          r = Checkpoints.pin(next
+            .observe(obs,
+              sum(abs(col("r") - col("__prev"))).as("d"))
+            .drop("__prev"))
+          done = obs.get("d").asInstanceOf[Double] <= tol
+        case None =>
+          r = nodes.join(contrib, Seq("node"), "left")
+            .crossJoin(broadcast(nn))
+            .select(col("node"),
+              (lit(1.0 - damping) / col("n_nodes") +
+                lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+          // each rank feeds the next sweep exactly once, so the chain
+          // executes in ONE action with no recomputation — truncate
+          // only every 10th sweep to bound analyzer cost at deep
+          // iteration counts without paying a per-sweep
+          // materialization
+          if (i % 10 == 0 && i < iterations) r = Checkpoints.pin(r)
+      }
     }
-    r
+    (r, i)
   }
 
   /** Triangle enumeration over an undirected edge list via
@@ -120,12 +175,11 @@ object GraphOps {
     // re-executes once per reference (measured 16.9 s → ~4 s at
     // sf0.1). Same for the oriented table (3 references). Both are
     // ≤|E| rows — the iterative-lineage cut of pageRank.
-    val e = edges
+    val e = Checkpoints.pin(edges
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     val deg = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -139,7 +193,7 @@ object GraphOps {
           struct(col("v").as("s"), col("u").as("t"), col("ud").as("td")))
         .as("o"))
       .select(col("o.s").as("s"), col("o.t").as("t"), col("o.td").as("td"))
-      .localCheckpoint()
+      .transform(Checkpoints.pin)
     val wedges = oriented.as("x")
       .join(oriented.as("y"),
         col("x.s") === col("y.s") &&
@@ -167,33 +221,39 @@ object GraphOps {
     * size) frontier, a distinct, and an anti-join against the visited
     * set, all shuffles keyed on node id (AQE splits hub skew); the
     * frontier is O(|layer|), never O(|V|), and nothing touches the
-    * driver. Per-hop state is `localCheckpoint`ed — the iterative-
-    * lineage cut of [[pageRank]] — so hop t's plan is a shallow join
-    * of stored blocks, not a t-deep replay. Determinism: the result
-    * is a pure function of the edge set (BFS layers are
-    * set-determined; no ordering or partitioning sensitivity). */
+    * driver. Per-hop state is pinned via
+    * [[graft.tools.Checkpoints.pin]] — the iterative-lineage cut of
+    * [[pageRank]], reliable-dir-aware — so hop t's plan is a shallow
+    * join of stored blocks, not a t-deep replay, and the sweep ends
+    * EARLY when a frontier empties (the pinned frontier makes
+    * `isEmpty` a cheap stored-block probe — no wasted hop jobs on
+    * small or disconnected graphs). Determinism: the result is a pure
+    * function of the edge set (BFS layers are set-determined; no
+    * ordering or partitioning sensitivity). */
   def shortestPaths(edges: DataFrame, sourceId: Long,
       maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1 && maxHops <= 50,
       s"maxHops must be in [1, 50]; got $maxHops")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).localCheckpoint()
+    val e = Checkpoints.pin(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")))
     val spark = edges.sparkSession
-    var visited = spark.range(1)
-      .select(lit(sourceId).as("node"), lit(0).as("dist"))
-      .localCheckpoint()
+    var visited = Checkpoints.pin(spark.range(1)
+      .select(lit(sourceId).as("node"), lit(0).as("dist")))
     var frontier = visited.select("node")
     var h = 1
-    while (h <= maxHops) {
-      val next = e
+    var exhausted = false
+    while (h <= maxHops && !exhausted) {
+      val next = Checkpoints.pin(e
         .join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .withColumn("dist", lit(h))
-        .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
-      frontier = next.select("node")
-      h += 1
+        .withColumn("dist", lit(h)))
+      exhausted = next.isEmpty
+      if (!exhausted) {
+        visited = Checkpoints.pin(visited.unionByName(next))
+        frontier = next.select("node")
+        h += 1
+      }
     }
     visited
   }
@@ -214,16 +274,17 @@ object GraphOps {
     * table, one map-side-combined (node, label) count, one
     * NODE-PARTITIONED row_number (never global), one left join back
     * to nodes — all keyed on node ids, AQE splits hub keys, no
-    * driver state. Loop inputs are localCheckpoint-ed once and the
-    * label table re-truncates every 10 sweeps (the measured
-    * iterative-lineage trap, see [[pageRank]]). */
+    * driver state. Loop inputs are pinned once via
+    * [[graft.tools.Checkpoints.pin]] (reliable-dir-aware, the
+    * [[pageRank]] lineage cut) and the label table re-truncates every
+    * 10 sweeps (the measured iterative-lineage trap). */
   def labelPropagation(edges: DataFrame, iterations: Int = 4): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50]; got $iterations")
     import org.apache.spark.sql.expressions.Window
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("node")).distinct()
-      .localCheckpoint()
+    val e = Checkpoints.pin(edges.select(col("src"), col("dst")))
+    val nodes = Checkpoints.pin(
+      e.select(col("src").as("node")).distinct())
     var lbl = nodes.select(col("node"), col("node").as("lbl"))
     for (i <- 1 to iterations) {
       val w = Window.partitionBy("node")
@@ -238,7 +299,7 @@ object GraphOps {
       lbl = nodes.join(winner, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("lbl"), col("node")).as("lbl"))
-      if (i % 10 == 0 && i < iterations) lbl = lbl.localCheckpoint()
+      if (i % 10 == 0 && i < iterations) lbl = Checkpoints.pin(lbl)
     }
     lbl
   }
@@ -318,7 +379,7 @@ object GraphOps {
           .select((col("o_custkey") * 2).as("src"),
             (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
-          .localCheckpoint()
+          .transform(Checkpoints.pin)
         val edges = e0.union(
           e0.select(col("dst").as("src"), col("src").as("dst")))
         // N = |customers| + |suppliers| — broadcast-sized by the
@@ -403,7 +464,7 @@ object GraphOps {
             "l_orderkey", "l_partkey")
           .filter(col("n_pair") >= 2)
           .select(col("item1").as("src"), col("item2").as("dst"))
-          .localCheckpoint()
+          .transform(Checkpoints.pin)
         val edges = e0.union(
           e0.select(col("dst").as("src"), col("src").as("dst")))
         labelPropagation(edges, iterations = 4)
@@ -452,7 +513,7 @@ object GraphOps {
           .select((col("o_custkey") * 2).as("src"),
             (col("l_suppkey") * 2 + 1).as("dst"))
           .distinct()
-          .localCheckpoint()
+          .transform(Checkpoints.pin)
         val edges = e0.union(
           e0.select(col("dst").as("src"), col("src").as("dst")))
         shortestPaths(edges, sourceId = 2L, maxHops = 4)

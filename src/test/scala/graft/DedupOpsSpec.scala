@@ -159,6 +159,53 @@ class DedupOpsSpec extends SparkSpec {
     assert(capped.count() === 0, "oversized buckets must drop, not explode")
   }
 
+  test("deep components converge in O(log n) rounds, exactly labeled: " +
+      "10k-node path graph") {
+    import spark.implicits._
+    // The worst case for the old min-label propagation (diameter-many
+    // sweeps, capped at 20): a single path 0-1-2-…-9999. Alternating
+    // large-star/small-star must (a) label every node with component
+    // min 0, (b) converge within ~2·log₂(n) rounds, (c) never warn or
+    // refuse — the r12 bench tail's maxIters WARN class is now
+    // impossible by construction (converges or throws).
+    val n = 10000L
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val ids = spark.range(n).select(col("id").as("doc_id"))
+    val (clusters, rounds) = DedupOps.nearDupClustersWithRounds(
+      pairs.toDF(), ids.toDF(), "doc_id")
+    val rows = clusters.collect()
+    assert(rows.length === n)
+    assert(rows.forall(_.getLong(1) === 0L),
+      "every path node labels with the component minimum")
+    assert(rows.count(_.getBoolean(2)) === 1, "exactly one keeper")
+    val bound = 2 * (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
+    assert(rounds <= bound,
+      s"$rounds rounds on a diameter-$n path exceeds the O(log n) " +
+        s"contract (bound $bound)")
+  }
+
+  test("star-forest fixpoint on adversarial shapes: two components, " +
+      "reversed ids, duplicate and self edges") {
+    import spark.implicits._
+    // ids arrive in DESCENDING chains plus noise the contract says to
+    // tolerate: duplicate pairs and an accidental self-pair.
+    val pairs = Seq(
+      (9L, 8L), (8L, 7L), (7L, 6L),           // chain 6..9
+      (9L, 8L),                               // duplicate
+      (3L, 3L),                               // self edge (ignored)
+      (100L, 50L), (50L, 75L)                 // component {50, 75, 100}
+    ).toDF("a_id", "b_id")
+    val ids = Seq(3L, 6L, 7L, 8L, 9L, 50L, 75L, 100L).toDF("doc_id")
+    val got = DedupOps.nearDupClusters(pairs, ids, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq
+    assert(got === Seq(
+      (3L, 3L, true),
+      (6L, 6L, true), (7L, 6L, false), (8L, 6L, false), (9L, 6L, false),
+      (50L, 50L, true), (75L, 50L, false), (100L, 50L, false)))
+  }
+
   test("near-dup clusters close over transitivity (a~b, b~c ⇒ one cluster)") {
     import spark.implicits._
     // a→b changes tokens 9,10 (jacc 6/10); b→c changes tokens 1,2

@@ -123,6 +123,59 @@ class GraphOpsSpec extends SparkSpec {
     assert(d1 === Map(1L -> 0, 2L -> 1, 4L -> 1))
   }
 
+  test("tolerance-stop pageRank: stops before the cap, returns exactly " +
+    "the fixed-iteration result at the sweep it stopped on, and " +
+    "tolerance=0 runs the full budget") {
+    val e0 = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst")
+    val edges = e0.union(e0.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val (converged, k) = GraphOps.pageRankWithRounds(edges,
+      iterations = 50, tolerance = Some(1e-9))
+    assert(k < 50, s"loose tolerance must stop early; ran $k")
+    // a tolerance run that stops after k sweeps IS the fixed-k run:
+    // same DECIMAL-summed arithmetic, the delta is only a stop signal
+    val fixed = GraphOps.pageRank(edges, iterations = k)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = converged.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === fixed)
+    // tolerance 0 can't trigger on a still-moving vector: runs the cap
+    val (_, kAll) = GraphOps.pageRankWithRounds(edges,
+      iterations = 3, tolerance = Some(0.0))
+    assert(kAll === 3)
+  }
+
+  test("reliable-checkpoint mode: pageRank and shortestPaths reproduce " +
+    "exactly with a checkpoint dir set, and blocks land in the dir") {
+    val e0 = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst")
+    val edges = e0.union(e0.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val prLocal = GraphOps.pageRank(edges, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val e1 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val bfsEdges = e1.union(e1.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val bfsLocal = GraphOps.shortestPaths(bfsEdges, 1L, maxHops = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_graph_ckpt_")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    try {
+      val prReliable = GraphOps.pageRank(edges, iterations = 3)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(prReliable === prLocal)
+      val bfsReliable = GraphOps.shortestPaths(bfsEdges, 1L, maxHops = 4)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(bfsReliable === bfsLocal)
+      val wrote = java.nio.file.Files.walk(dir)
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"no checkpoint files written under $dir")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null)
+    }
+  }
+
   test("shortestPaths: BFS first-arrival equals min distance under " +
     "repartitioning, and the visited set never revises a distance") {
     val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
