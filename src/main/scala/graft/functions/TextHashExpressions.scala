@@ -314,10 +314,16 @@ case class NfcNormalize(child: Expression)
   * scores low, natural prose ~0.4–0.7, random bytes ≳1. Complements
   * the exact repetition fractions (`q_repetition`) with a single
   * scale-free score. Computed with the JVM's raw-deflate at the
-  * default level; per-row work is linear in the string, no state
-  * escapes the row (the `Deflater` is created and ended inside the
-  * call), so the expression codegens into the scan like the hash
-  * expressions above. No DuckDB oracle (no SQL zlib) — spec-bounded. */
+  * default level; per-row work is linear in the string and no row
+  * state escapes — each executor THREAD reuses one native `Deflater`
+  * (reset between rows) instead of paying native stream setup +
+  * teardown per row, the dominant cost on wide scans; `reset()` fully
+  * re-initializes the stream, so rows are independent. The dictionary
+  * is process-lifetime by design (one per task thread, ended with the
+  * JVM); a mid-compress exception leaves the instance reset-able, so
+  * nothing native leaks per row. The expression codegens into the
+  * scan like the hash expressions above. No DuckDB oracle (no SQL
+  * zlib) — spec-bounded. */
 case class DeflateRatio(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 
@@ -329,15 +335,15 @@ case class DeflateRatio(child: Expression)
     val bytes = input.getBytes
     if (bytes.length == 0) 1.0
     else {
-      val d = new java.util.zip.Deflater(
-        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
-      d.setInput(bytes)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(buf)
-      d.end()
-      math.round(total.toDouble / bytes.length * 1e6) / 1e6
+      val d = DeflateRatio.local.get()
+      try {
+        d.setInput(bytes)
+        d.finish()
+        val buf = DeflateRatio.buffer.get()
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        math.round(total.toDouble / bytes.length * 1e6) / 1e6
+      } finally d.reset()
     }
   }
 
@@ -351,6 +357,17 @@ case class DeflateRatio(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
     copy(child = newChild)
+}
+
+object DeflateRatio {
+  // per-thread native deflater + scratch buffer, reset between rows —
+  // allocation-free row path, no per-row native setup/teardown
+  private val local =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+      new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true))
+  private val buffer =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
 }
 
 /** Column-level API for the text-hash expressions, registered through the

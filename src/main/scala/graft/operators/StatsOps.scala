@@ -331,12 +331,23 @@ object StatsOps {
     val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
     val loIdx = math.ceil(0.025 * reps).toInt
     val hiIdx = math.ceil(0.975 * reps).toInt
+    // A replicate whose Poisson weights all drew 0 in a small group
+    // has __bn = 0; its mean is then NULL/NaN, and Spark's sort_array
+    // (NULL/NaN last-ish) and the oracle's ORDER BY (NULLS LAST)
+    // disagree on where it lands — silently shifting the order
+    // statistics. Degenerate replicates fall back to the UNROUNDED
+    // group mean on both engines (identical DECIMAL-exact sum /
+    // count), keeping the sorted array total and engine-identical.
+    // P(draw) = e^-n per replicate, so only tiny groups ever hit it.
+    val gmean = col("__s").cast("double") / col("__n")
     hashed.groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(groupCol), col("__n").as("n"),
         r6(col("__s").cast("double") / col("__n")).as("mean"),
         sort_array(array((0 until reps).map(b =>
-          col(s"__bs$b").cast("double") / col(s"__bn$b")): _*))
+          when(col(s"__bn$b") === 0, gmean)
+            .otherwise(col(s"__bs$b").cast("double") /
+              col(s"__bn$b"))): _*))
           .as("__ms"))
       .select(col(groupCol), col("n"), col("mean"),
         r6(element_at(col("__ms"), loIdx)).as("ci_lo"),
@@ -819,18 +830,22 @@ object StatsOps {
               FROM base CROSS JOIN range(0, 64) t(b)),
             rep AS (
               SELECT g, b,
-                     CAST(sum(CAST($wExpr * x AS DECIMAL(38,6)))
-                       AS DOUBLE) / sum($wExpr) AS m
+                     CASE WHEN sum($wExpr) = 0 THEN NULL
+                       ELSE CAST(sum(CAST($wExpr * x AS DECIMAL(38,6)))
+                         AS DOUBLE) / sum($wExpr) END AS m
               FROM u GROUP BY g, b),
             stats AS (
               SELECT g, count(*) AS n,
+                     CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
+                       / count(*) AS mean_raw,
                      round(CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
                        / count(*) * 1000000.0) / 1000000.0 AS mean
               FROM base GROUP BY g),
             ord AS (
-              SELECT g, m,
-                     row_number() OVER (PARTITION BY g ORDER BY m) AS rn
-              FROM rep)
+              SELECT rep.g, coalesce(m, s0.mean_raw) AS m,
+                     row_number() OVER (PARTITION BY rep.g
+                       ORDER BY coalesce(m, s0.mean_raw)) AS rn
+              FROM rep JOIN stats s0 ON rep.g = s0.g)
             SELECT s.g AS o_orderpriority, s.n, s.mean,
                    round(lo.m * 1000000.0) / 1000000.0 AS ci_lo,
                    round(hi.m * 1000000.0) / 1000000.0 AS ci_hi

@@ -64,8 +64,8 @@ class StatsOpsSpec extends SparkSpec {
     val withOutlier = base :+ ("g", 1e9)
     val r = StatsOps.winsorizedMean(withOutlier.toDF("k", "v"), "k", "v")
       .collect().head
-    val lo = r.getAs[java.math.BigDecimal]("p_lo").doubleValue()
-    val hi = r.getAs[java.math.BigDecimal]("p_hi").doubleValue()
+    val lo = r.getAs[Double]("p_lo")
+    val hi = r.getAs[Double]("p_hi")
     val raw = r.getAs[Double]("mean_raw")
     val wins = r.getAs[Double]("mean_wins")
     assert(lo < hi && wins >= lo && wins <= hi)
@@ -151,7 +151,7 @@ class StatsOpsSpec extends SparkSpec {
     val got = StatsOps.weightedMedian(df, "g", "v", "w")
       .collect()
       .map(r => r.getString(0) ->
-        ((r.getDecimal(1).doubleValue(), r.getDecimal(2).doubleValue())))
+        ((r.getDouble(1), r.getDouble(2))))
       .toMap
     assert(got("a") === ((2.0, 4.0)))
     assert(got("b") === ((9.0, 13.0)))
@@ -163,11 +163,11 @@ class StatsOpsSpec extends SparkSpec {
     val vals = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0)
     val df = vals.map(("g", _, 1.0)).toDF("g", "v", "w")
     val m1 = StatsOps.weightedMedian(df, "g", "v", "w")
-      .head().getDecimal(1).doubleValue()
+      .head().getDouble(1)
     // lower median of [1,1,2,3,4,5,6,9]: cum hits half (4 of 8) at 3
     assert(m1 === 3.0)
     val m2 = StatsOps.weightedMedian(df.repartition(7), "g", "v", "w")
-      .head().getDecimal(1).doubleValue()
+      .head().getDouble(1)
     assert(m2 === m1)
   }
 
@@ -204,6 +204,25 @@ class StatsOpsSpec extends SparkSpec {
         ((r.getLong(1), r.getDouble(2), r.getDouble(3),
           r.getDouble(4)))).toMap
     assert(again === out)
+  }
+
+  test("bootstrapCi: degenerate replicates (total Poisson weight 0 in " +
+    "a tiny group) fall back to the group mean — no NULL/NaN entering " +
+    "the order statistics") {
+    import spark.implicits._
+    // a 1-row group: ~37% of its 64 replicates draw weight 0 (e^-1
+    // each), so without the fallback the sorted replicate array holds
+    // NULL/NaN and the endpoints shift engine-dependently
+    val df = Seq(("solo", 1L, 42.0), ("big", 2L, 1.0), ("big", 3L, 2.0),
+      ("big", 4L, 3.0)).toDF("g", "id", "x")
+    val out = StatsOps.bootstrapCi(df, "g", "id", "x").collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (m, lo, hi) = out("solo")
+    assert(m === 42.0)
+    // every replicate mean is either 42 (weight>0) or the fallback 42
+    assert(lo === 42.0 && hi === 42.0)
+    assert(!out("big")._2.isNaN && !out("big")._3.isNaN)
   }
 
   test("the Poisson thresholds integrate to the CDF of Poisson(1): " +
@@ -435,8 +454,7 @@ class StatsOpsSpec extends SparkSpec {
     val sorted = out.sortBy(_.getAs[Int]("bin"))
     sorted.sliding(2).foreach {
       case Array(a, b) =>
-        assert(a.getAs[java.math.BigDecimal]("hi")
-          .compareTo(b.getAs[java.math.BigDecimal]("lo")) < 0)
+        assert(a.getAs[Double]("hi") < b.getAs[Double]("lo"))
       case _ =>
     }
     val again = StatsOps.quantileBins(df.repartition(7), "v", 10)
