@@ -580,41 +580,57 @@ object StatsOps {
     require(nBins >= 2 && nBins <= 1000, s"nBins in [2,1000]; got $nBins")
     val dec = DecimalType(18, 2)
     val v = col(valCol).cast(dec)
-    // CUTS, distributed (the weightedMedian stance): Spark's own
-    // percentile_disc buffers the ENTIRE column per aggregate — nine
-    // single-reducer sorted copies of the corpus (measured 29 s on 6M
-    // rows; a 100 TB killer). Instead: fold to (value, count) rows
-    // map-side, bucket the distinct values into 1024 prefix-aligned
-    // ranges, cumulative-count through a ≤1024-row offset table +
-    // bucket-partitioned windows, and read cut k as the smallest
-    // value whose cumulative count reaches k·n/nBins — the
+    // CUTS, distributed (the weightedMedian prune-then-verify
+    // stance): Spark's own percentile_disc buffers the ENTIRE column
+    // per aggregate — nine single-reducer sorted copies of the corpus
+    // (measured 29 s on 6M rows; a 100 TB killer). And folding per
+    // DISTINCT value first is itself a full shuffle on a near-unique
+    // DOUBLE column (10⁸ distinct ⇒ 10⁸-row exchange). So bucket RAW
+    // rows first: (1) one pass for bounds + total, (2) a map-side-
+    // combined 1024-key bucket fold (the shuffle carries ≤1024 rows
+    // per map partition regardless of value cardinality), (3) locate
+    // each cut's crossing bucket through a ≤1024-row offset table,
+    // (4) fold distinct values ONLY inside the ≤nBins−1 crossing
+    // buckets (~nBins/1024 of the data) and read cut k as the
+    // smallest value whose cumulative count reaches k·n/nBins — the
     // percentile_disc definition in EXACT integer arithmetic
-    // (cm·nBins ≥ k·n), which the oracle states identically.
-    val vc = df.groupBy(v.as("v")).agg(count(lit(1)).as("c"))
-    val tot = vc.agg(sum("c").as("n"))
-    val bounds = vc.agg(min(col("v").cast("double")).as("__lo"),
-      max(col("v").cast("double")).as("__hi"))
+    // (cm·nBins ≥ k·n), which the oracle states identically. Bucket
+    // assignment is monotone in v, so the bucketed cumulative equals
+    // the global one and the cuts are engine-identical.
     val nBuckets = 1024
-    val bucketed = vc.crossJoin(broadcast(bounds))
-      .withColumn("bkt",
-        least(lit(nBuckets - 1), greatest(lit(0),
-          floor((col("v").cast("double") - col("__lo")) * nBuckets /
-            (col("__hi") - col("__lo") + lit(1e-9))))).cast("int"))
-      .drop("__lo", "__hi")
+    val bounds = df.agg(min(v.cast("double")).as("__lo"),
+      max(v.cast("double")).as("__hi"), count(lit(1)).as("n"))
+    def bucketOf(c: Column): Column =
+      least(lit(nBuckets - 1), greatest(lit(0),
+        floor((c.cast("double") - col("__lo")) * nBuckets /
+          (col("__hi") - col("__lo") + lit(1e-9))))).cast("int")
     val wOff = Window.partitionBy(BoundedWindow.key(col("bkt")))
       .orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("bkt").agg(sum("c").as("bc"))
-      .select(col("bkt"),
+    val offsets = df.crossJoin(broadcast(bounds))
+      .groupBy(bucketOf(v).as("bkt"))
+      .agg(count(lit(1)).as("bc"), min("n").as("n"))
+      .select(col("bkt"), col("bc"), col("n"),
         coalesce(sum(col("bc")).over(wOff), lit(0L)).as("off"))
-    val wIn = Window.partitionBy("bkt").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = bucketed.join(broadcast(offsets), "bkt")
-      .withColumn("cm", col("off") + sum("c").over(wIn))
     val ks = df.sparkSession.range(1, nBins)
       .select(col("id").cast("long").as("k"))
-    val cuts = cum.crossJoin(broadcast(tot))
-      .join(broadcast(ks),
-        col("cm") * lit(nBins) >= col("k") * col("n"))
+    // bucket b is cut k's crossing bucket iff the count before b is
+    // short of k·n/nBins and b's last value reaches it
+    val crossing = offsets.join(broadcast(ks),
+        col("off") * lit(nBins) < col("k") * col("n") &&
+          (col("off") + col("bc")) * lit(nBins) >= col("k") * col("n"))
+      .select(col("k"), col("bkt"), col("off"), col("n"))
+    val wIn = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df.crossJoin(broadcast(bounds.select("__lo", "__hi")))
+      .withColumn("bkt", bucketOf(v))
+      .join(broadcast(crossing.select("bkt", "off", "n").distinct()),
+        "bkt")
+      .groupBy(col("bkt"), v.as("v"))
+      .agg(count(lit(1)).as("c"), min("off").as("off"),
+        min("n").as("n"))
+      .withColumn("cm", col("off") + sum("c").over(wIn))
+    val cuts = cum.join(broadcast(crossing.select("k", "bkt")), "bkt")
+      .filter(col("cm") * lit(nBins) >= col("k") * col("n"))
       .groupBy("k").agg(min("v").as("cut"))
     val cutRow = cuts.agg(
       max(when(col("k") === 1, col("cut"))).as("__c1"),

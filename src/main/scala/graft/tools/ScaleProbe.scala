@@ -19,6 +19,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val skewOnly = args.contains("--skew-only")
     val fxOnly = args.contains("--fx-only")
+    val qbOnly = args.contains("--qb-only")
     val posArgs = args.toSeq.filterNot(_.startsWith("--"))
     val sfDir = posArgs.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = if (posArgs.length > 1) posArgs.drop(1).map(_.toInt)
@@ -59,7 +60,7 @@ object ScaleProbe {
     }
 
     println(f"[scale] base corpus: $n0 docs ($sfDir)")
-    if (!skewOnly && !fxOnly) {
+    if (!skewOnly && !fxOnly && !qbOnly) {
     println("[scale] mult    docs   pairs_s  clusters_s  simhash_s")
     mults.foreach { m =>
       val (rows, tp, tc, tsh) = corpusTimes(m)
@@ -78,7 +79,7 @@ object ScaleProbe {
     spark.sparkContext.addSparkListener(listener)
     val embBase = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding")
-    if (!skewOnly && !fxOnly) {
+    if (!skewOnly && !fxOnly && !qbOnly) {
     println("[scale] knn:  mult    vecs   wall_s   shuffle_mb")
     Seq(1, 2, 4).foreach { m =>
       val vecs = (0 until m)
@@ -576,7 +577,7 @@ object ScaleProbe {
     }
     }
 
-    if (!skewOnly) {
+    if (!skewOnly && !qbOnly) {
     // Round-12 diagnostics/feature probe: trailingFeatures' only
     // exchange is the user-keyed window shuffle (linear in events —
     // key cardinality scales with the replication); sessionize is the
@@ -644,6 +645,43 @@ object ScaleProbe {
     }
     }
 
+    // Round-13 probe: quantileBins cut cost under VALUE-CARDINALITY
+    // scaling at fixed row count. The r12 shape folded per distinct
+    // value first — a full shuffle that grows with cardinality (the
+    // residual BASELINE.md priced); the r13 shape buckets raw rows
+    // into a 1024-key map-side-combined fold and only folds distinct
+    // values inside the ≤9 crossing buckets, so cut-stage shuffle
+    // bytes and wall must stay ~FLAT from 10³ distinct to
+    // near-unique while the answer stays integer-exact.
+    if (qbOnly || (!skewOnly && !fxOnly)) {
+      println("[scale] qb13: card  rows  bins_s/mb")
+      val n = 6000000L
+      // absorb codegen/JIT/AQE compile outside the timed rows — a
+      // small warmup leaves ~5 s of first-run overhead (size-dependent
+      // plan variants), so warm at full size
+      graft.operators.StatsOps.quantileBins(
+        spark.range(n).select((col("id").cast("double") / 3.0)
+          .as("v")), "v").count()
+      Seq(1000L, 100000L, 0L).foreach { card =>
+        val v = if (card == 0L) col("id").cast("double") / 100.0
+          else pmod(xxhash64(col("id")), lit(card)).cast("double") / 7.0
+        val df = spark.range(n).select(v.as("v"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint()
+        df.count()
+        listener.reset()
+        val t0 = System.nanoTime()
+        val out = graft.operators.StatsOps.quantileBins(df, "v")
+          .agg(sum("n")).head.getLong(0)
+        val w = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000)
+        require(out == n, s"bins must tile all $n rows; got $out")
+        val label = if (card == 0L) "unique" else card.toString
+        println(f"[scale] qb13: $label%7s  $n%8d  $w%5.2f/" +
+          f"${listener.bytes / 1e6}%7.1f")
+      }
+    }
+
     // Cell-skew probe: natural corpora have hot clusters, and a hot
     // CELL concentrates the IVF stage-1 equi-join's work in one task
     // once the inverted file is too big to broadcast (the 100 TB
@@ -653,7 +691,7 @@ object ScaleProbe {
     // that the shape survives is (a) AQE's skew-join splitting the hot
     // partition ("skew=true" in the executed plan) and (b) wall time
     // in the same band as the balanced corpus at equal size.
-    if (!fxOnly) {
+    if (!fxOnly && !qbOnly) {
       val conf = spark.conf
       val saved = Seq(
         "spark.sql.autoBroadcastJoinThreshold",
