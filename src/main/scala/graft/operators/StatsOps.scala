@@ -358,8 +358,10 @@ object StatsOps {
     * for every `(a, b)` category pair, the expected count under
     * independence `rowTotal·colTotal/total`, and the per-cell χ²
     * contribution `(n−e)²/e` — the "are these two categoricals
-    * related" screen (summing the chi2 column against the χ²
-    * distribution is the test itself).
+    * related" screen (on a fully-populated table summing the chi2
+    * column against the χ² distribution is the test itself; with
+    * EMPTY cells, [[cramersV]] carries their (0−e)²/e mass — this
+    * per-cell view reports observed pairs only).
     *
     * Scale: ONE map-side-combined hash aggregate over the raw table
     * (keyed on the pair); marginals re-aggregate the cell table —
@@ -383,6 +385,125 @@ object StatsOps {
         r6(e).as("expected"),
         r6((col("n") - e) * (col("n") - e) / e).as("chi2"))
       .orderBy(aCol, bCol)
+  }
+
+  /** Mutual information between two categorical columns, in bits:
+    * per-cell contributions `p(a,b)·log₂(p(a,b)/(p(a)p(b)))` plus the
+    * MI total repeated on every row — "how much does knowing A tell
+    * you about B", the model-free dependence measure the χ² screen
+    * ([[crosstabChi2]]) can't give you a magnitude for. The
+    * feature-selection / leakage-detection primitive: MI(feature,
+    * label) ≈ H(label) means the feature IS the label.
+    *
+    * Scale: one map-side-combined hash aggregate keyed on the pair;
+    * marginals re-aggregate the ≤|A|·|B|-row cell table and ride back
+    * as broadcast joins. Counts are exact; each cell's float term is
+    * rounded into DECIMAL(38,12) before the total sums (the q_entropy
+    * drift stance — order-independent), and the 6-dp readouts use the
+    * identical IEEE op sequence in the oracle. */
+  def mutualInfo(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy(col(aCol)).agg(sum("n").as("rt"))
+    val colT = cells.groupBy(col(bCol)).agg(sum("n").as("ct"))
+    val tot = cells.agg(sum("n").as("total"))
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val term = col("n").cast("double") / col("total") *
+      log(col("n").cast("double") * col("total") /
+        (col("rt").cast("double") * col("ct"))) / log(lit(2.0))
+    val terms = cells
+      .join(broadcast(rowT), aCol)
+      .join(broadcast(colT), bCol)
+      .crossJoin(broadcast(tot))
+      .select(col(aCol), col(bCol), col("n"),
+        term.as("__term"))
+    val mi = terms.agg(
+      sum(col("__term").cast(DecimalType(38, 12))).as("__mi"))
+    terms.crossJoin(broadcast(mi))
+      .select(col(aCol), col(bCol), col("n"),
+        r6(col("__term")).as("mi_term"),
+        r6(col("__mi").cast("double")).as("mi_total"))
+      .orderBy(aCol, bCol)
+  }
+
+  /** Cramér's V: the [0, 1] effect size of association between two
+    * categorical columns — χ² normalized by table size and dimension,
+    * `V = √(χ²/n / (min(r,c) − 1))` — the one-number answer to "HOW
+    * related are these", comparable across tables of any shape (χ²
+    * itself grows with n). One row out: n, cell count, dof, the χ²
+    * total, V.
+    *
+    * Scale: the [[crosstabChi2]] aggregate shape (one pair-keyed
+    * fold, broadcast marginals) collapsed to a single row; per-cell
+    * χ² terms round into DECIMAL(38,12) before summing so the total
+    * is partition-order-independent and engine-identical. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy(col(aCol)).agg(sum("n").as("rt"))
+    val colT = cells.groupBy(col(bCol)).agg(sum("n").as("ct"))
+    val tot = cells.agg(sum("n").as("total"))
+    val dims = cells.agg(
+      count_distinct(col(aCol)).as("ra"),
+      count_distinct(col(bCol)).as("cb"))
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val e = col("rt").cast("double") * col("ct") / col("total")
+    // the cell table holds OBSERVED pairs only; every absent (a, b)
+    // cell still contributes (0 − e)²/e = e to χ². Σ over ALL cells
+    // of e is exactly n, so the missing mass is n − Σ_observed e —
+    // no dense cross join needed, sparse tables stay sparse.
+    val chi2sum = cells
+      .join(broadcast(rowT), aCol)
+      .join(broadcast(colT), bCol)
+      .crossJoin(broadcast(tot))
+      .agg(sum(((col("n") - e) * (col("n") - e) / e)
+          .cast(DecimalType(38, 12))).as("__chi2o"),
+        sum(e.cast(DecimalType(38, 12))).as("__esum"),
+        count(lit(1)).as("n_cells"), min("total").as("n"))
+    val chi2raw = col("__chi2o").cast("double") +
+      (col("n") - col("__esum").cast("double"))
+    chi2sum.crossJoin(broadcast(dims))
+      .select(col("n"), col("n_cells"),
+        (least(col("ra"), col("cb")) - lit(1)).as("dof"),
+        r6(chi2raw).as("chi2"),
+        r6(sqrt(chi2raw / col("n") /
+          (least(col("ra"), col("cb")) - lit(1)))).as("v"))
+  }
+
+  /** Cohen's κ between two boolean judgments over the same rows: the
+    * chance-corrected agreement `κ = (p_o − p_e)/(1 − p_e)` with the
+    * full 2×2 confusion — the label-quality primitive for
+    * training-data pipelines (are two labelers / two heuristic
+    * quality screens agreeing beyond what their base rates force?).
+    * κ = 1 perfect, 0 chance-level, < 0 systematic disagreement.
+    *
+    * Scale: ONE map-side-combined aggregate over the raw table — five
+    * exact integer counts; every readout is a 6-dp division of exact
+    * longs, stated with the identical op sequence in the oracle. */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol)
+    val b = col(bCol)
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    df.agg(
+        count(lit(1)).as("n"),
+        sum((a && b).cast("long")).as("n11"),
+        sum((a && !b).cast("long")).as("n10"),
+        sum((!a && b).cast("long")).as("n01"),
+        sum((!a && !b).cast("long")).as("n00"))
+      .withColumn("__po",
+        (col("n11") + col("n00")).cast("double") / col("n"))
+      .withColumn("__pe",
+        (col("n11") + col("n10")).cast("double") / col("n") *
+          ((col("n11") + col("n01")).cast("double") / col("n")) +
+        (col("n01") + col("n00")).cast("double") / col("n") *
+          ((col("n10") + col("n00")).cast("double") / col("n")))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        r6(col("__po")).as("po"),
+        r6(col("__pe")).as("pe"),
+        r6((col("__po") - col("__pe")) / (lit(1.0) - col("__pe")))
+          .as("kappa"))
   }
 
   /** Hot-key profiler: the `topN` heaviest values of a join/groupBy
@@ -1075,6 +1196,119 @@ object StatsOps {
               FROM lineitem CROSS JOIN c
               GROUP BY 1 ORDER BY bin"""
       },
-      (s, d) => quantileBins(Tables.lineitem(s, d), "l_extendedprice"))
+      (s, d) => quantileBins(Tables.lineitem(s, d), "l_extendedprice")),
+
+    // Mutual information between order status and priority: per-cell
+    // pointwise-MI contributions plus the DECIMAL(38,12)-summed total
+    // repeated per row (the q_entropy drift stance).
+    Query(
+      "q_mutual_info",
+      Some("""WITH c AS (
+                SELECT o_orderstatus AS a, o_orderpriority AS b,
+                       count(*) AS n
+                FROM orders GROUP BY 1, 2),
+              r AS (SELECT a, sum(n) AS rt FROM c GROUP BY 1),
+              k AS (SELECT b, sum(n) AS ct FROM c GROUP BY 1),
+              t AS (SELECT sum(n) AS total FROM c),
+              terms AS (
+                SELECT a, b, n,
+                       CAST(n AS DOUBLE) / total
+                         * ln(CAST(n AS DOUBLE) * total
+                             / (CAST(rt AS DOUBLE) * ct)) / ln(2) AS term
+                FROM c JOIN r USING (a) JOIN k USING (b) CROSS JOIN t),
+              m AS (SELECT sum(CAST(term AS DECIMAL(38,12))) AS mi
+                    FROM terms)
+              SELECT a AS o_orderstatus, b AS o_orderpriority, n,
+                     round(term * 1000000.0) / 1000000.0 AS mi_term,
+                     round(CAST(mi AS DOUBLE) * 1000000.0) / 1000000.0
+                       AS mi_total
+              FROM terms CROSS JOIN m ORDER BY a, b"""),
+      (s, d) => mutualInfo(Tables.orders(s, d), "o_orderstatus",
+        "o_orderpriority")),
+
+    // Cramér's V effect size for the same contingency — the
+    // comparable-across-tables strength-of-association readout.
+    Query(
+      "q_cramers_v",
+      Some("""WITH c AS (
+                SELECT o_orderstatus AS a, o_orderpriority AS b,
+                       count(*) AS n
+                FROM orders GROUP BY 1, 2),
+              r AS (SELECT a, sum(n) AS rt FROM c GROUP BY 1),
+              k AS (SELECT b, sum(n) AS ct FROM c GROUP BY 1),
+              t AS (SELECT sum(n) AS total FROM c),
+              s AS (
+                SELECT sum(CAST(
+                         (n - CAST(rt AS DOUBLE) * ct / total)
+                         * (n - CAST(rt AS DOUBLE) * ct / total)
+                         / (CAST(rt AS DOUBLE) * ct / total)
+                       AS DECIMAL(38,12))) AS chi2o,
+                       sum(CAST(CAST(rt AS DOUBLE) * ct / total
+                         AS DECIMAL(38,12))) AS esum,
+                       count(*) AS n_cells,
+                       CAST(min(total) AS BIGINT) AS n
+                FROM c JOIN r USING (a) JOIN k USING (b) CROSS JOIN t),
+              d AS (SELECT count(DISTINCT a) AS ra,
+                           count(DISTINCT b) AS cb FROM c),
+              f AS (SELECT n, n_cells,
+                           CAST(chi2o AS DOUBLE)
+                             + (n - CAST(esum AS DOUBLE)) AS chi2raw
+                    FROM s)
+              SELECT n, n_cells, least(ra, cb) - 1 AS dof,
+                     round(chi2raw * 1000000.0) / 1000000.0 AS chi2,
+                     round(sqrt(chi2raw / n / (least(ra, cb) - 1))
+                       * 1000000.0) / 1000000.0 AS v
+              FROM f CROSS JOIN d"""),
+      (s, d) => cramersV(Tables.orders(s, d), "o_orderstatus",
+        "o_orderpriority")),
+
+    // Cohen's κ between two heuristic document quality screens
+    // (length ≥ 30 tokens vs distinct-token ratio ≥ 0.5): the
+    // label-agreement primitive — κ says whether two labelers agree
+    // beyond their base rates, the question every weak-supervision
+    // pipeline asks before trusting a vote.
+    Query(
+      "q_kappa",
+      Some("""WITH s AS (
+                SELECT (len(string_split(text, ' ')) >= 30) AS a,
+                       (CAST(len(list_distinct(string_split(text, ' ')))
+                          AS DOUBLE)
+                        / len(string_split(text, ' ')) >= 0.5) AS b
+                FROM documents),
+              agg AS (
+                SELECT count(*) AS n,
+                       CAST(sum((a AND b)::INT) AS BIGINT) AS n11,
+                       CAST(sum((a AND NOT b)::INT) AS BIGINT) AS n10,
+                       CAST(sum((NOT a AND b)::INT) AS BIGINT) AS n01,
+                       CAST(sum((NOT a AND NOT b)::INT) AS BIGINT) AS n00
+                FROM s)
+              SELECT n, n11, n10, n01, n00,
+                     round(CAST(n11 + n00 AS DOUBLE) / n * 1000000.0)
+                       / 1000000.0 AS po,
+                     round((CAST(n11 + n10 AS DOUBLE) / n
+                           * (CAST(n11 + n01 AS DOUBLE) / n)
+                         + CAST(n01 + n00 AS DOUBLE) / n
+                           * (CAST(n10 + n00 AS DOUBLE) / n))
+                       * 1000000.0) / 1000000.0 AS pe,
+                     round((CAST(n11 + n00 AS DOUBLE) / n
+                         - (CAST(n11 + n10 AS DOUBLE) / n
+                             * (CAST(n11 + n01 AS DOUBLE) / n)
+                           + CAST(n01 + n00 AS DOUBLE) / n
+                             * (CAST(n10 + n00 AS DOUBLE) / n)))
+                       / (1.0 - (CAST(n11 + n10 AS DOUBLE) / n
+                             * (CAST(n11 + n01 AS DOUBLE) / n)
+                           + CAST(n01 + n00 AS DOUBLE) / n
+                             * (CAST(n10 + n00 AS DOUBLE) / n)))
+                       * 1000000.0) / 1000000.0 AS kappa
+              FROM agg"""),
+      (s, d) => {
+        val t = TextOps.tokens(col("text"))
+        cohenKappa(
+          Tables.documents(s, d).select(
+            (size(t) >= 30).as("len_ok"),
+            (size(array_distinct(t)).cast("double") / size(t) >= 0.5)
+              .as("div_ok")),
+          "len_ok", "div_ok")
+      })
   )
 }

@@ -830,7 +830,7 @@ class EventOpsSpec extends SparkSpec {
         "ts", "event_id", "event_type", "value", "purchase")
       .collect().map(r => (r.getLong(0),
         r.getAs[Long]("n_1d"), r.getAs[Long]("n_7d"),
-        r.getAs[java.math.BigDecimal]("v_7d").doubleValue))
+        r.getAs[Double]("v_7d")))
     assert(out.toSeq === Seq(
       (3L, 2L, 2L, 3.0),   // events 1,2 in both windows; 4 excluded
       (5L, 0L, 2L, 14.0),  // events 3,4 at exactly -7d; nothing in 1d

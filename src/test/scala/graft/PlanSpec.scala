@@ -413,6 +413,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_mutual_info / q_cramers_v: marginals ride back as broadcasts " +
+    "over the tiny cell table — no shuffle join, no cartesian blowup") {
+    for (name <- Seq("q_mutual_info", "q_cramers_v")) {
+      val p = plan(q(name))
+      assert(!p.contains("SortMergeJoin") &&
+        !p.contains("ShuffledHashJoin"), s"$name:\n" + p.take(2000))
+      assert(!p.contains("CartesianProduct"), s"$name:\n" + p.take(2000))
+      assert(p.contains("HashAggregate"), s"$name:\n" + p.take(2000))
+    }
+  }
+
+  test("q_kappa folds to five counts in ONE map-side-combined " +
+    "aggregate: no join, no window, no shuffle beyond the 1-row final") {
+    val p = plan(q("q_kappa"))
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("WindowExec"), p.take(2000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("q_argmax is window-free: one map-side-combinable aggregate, " +
     "no per-key sort") {
     val p = plan(q("q_argmax"))

@@ -171,6 +171,61 @@ class StatsOpsSpec extends SparkSpec {
     assert(m2 === m1)
   }
 
+  // -- mutual information / Cramér's V / Cohen's κ -------------------
+
+  test("mutualInfo: identical columns recover the entropy, independent " +
+    "columns score ~0, and a hand-computed 2x2 checks out") {
+    // identical: MI(A, A) = H(A); two equiprobable values → 1 bit
+    val ident = (1 to 100).map(i => (i % 2, i % 2)).toDF("a", "b")
+    val mIdent = StatsOps.mutualInfo(ident, "a", "b")
+      .select("mi_total").head().getDouble(0)
+    assert(mIdent === 1.0)
+    // independent uniform 2x2: every cell 25 → MI exactly 0
+    val indep = (0 until 100).map(i => (i % 2, (i / 2) % 2)).toDF("a", "b")
+    val mIndep = StatsOps.mutualInfo(indep, "a", "b")
+      .select("mi_total").head().getDouble(0)
+    assert(math.abs(mIndep) < 1e-9)
+    // hand-computed: cells (0,0)=50, (0,1)=25, (1,1)=25
+    val hand = ((1 to 50).map(_ => (0, 0)) ++ (1 to 25).map(_ => (0, 1))
+      ++ (1 to 25).map(_ => (1, 1))).toDF("a", "b")
+    val expected = {
+      def t(p: Double, pa: Double, pb: Double) =
+        p * math.log(p / (pa * pb)) / math.log(2.0)
+      t(0.5, 0.75, 0.5) + t(0.25, 0.75, 0.5) + t(0.25, 0.25, 0.5)
+    }
+    val mHand = StatsOps.mutualInfo(hand, "a", "b")
+      .select("mi_total").head().getDouble(0)
+    assert(math.abs(mHand - expected) < 1e-6)
+  }
+
+  test("cramersV: perfect association scores 1, independence ~0, and " +
+    "dof is min(r,c)-1") {
+    val perfect = (1 to 90).map(i => (i % 3, i % 3)).toDF("a", "b")
+    val rp = StatsOps.cramersV(perfect, "a", "b").head()
+    assert(rp.getAs[Double]("v") === 1.0)
+    assert(rp.getAs[Long]("dof") === 2L)
+    val indep = (0 until 600).map(i => (i % 3, (i / 3) % 2)).toDF("a", "b")
+    val ri = StatsOps.cramersV(indep, "a", "b").head()
+    assert(math.abs(ri.getAs[Double]("v")) < 1e-9)
+    assert(ri.getAs[Long]("dof") === 1L)
+    assert(ri.getAs[Long]("n") === 600L)
+  }
+
+  test("cohenKappa: perfect agreement is 1, complementary judgments " +
+    "land at the hand-computed negative, and the confusion reconciles") {
+    val agree = (1 to 40).map(i => (i % 2 == 0, i % 2 == 0)).toDF("a", "b")
+    assert(StatsOps.cohenKappa(agree, "a", "b").head()
+      .getAs[Double]("kappa") === 1.0)
+    // a = first 30 true of 40; b = NOT a → po = 0, pe by hand
+    val opp = (1 to 40).map(i => (i <= 30, i > 30)).toDF("a", "b")
+    val r = StatsOps.cohenKappa(opp, "a", "b").head()
+    assert(r.getAs[Long]("n11") === 0L && r.getAs[Long]("n00") === 0L)
+    assert(r.getAs[Long]("n10") === 30L && r.getAs[Long]("n01") === 10L)
+    val pe = 0.75 * 0.25 + 0.25 * 0.75
+    val expected = math.round((0.0 - pe) / (1.0 - pe) * 1e6) / 1e6
+    assert(r.getAs[Double]("kappa") === expected)
+  }
+
   // -- bootstrap CI --------------------------------------------------
 
   test("bootstrapCi: the interval brackets the sample mean, narrows " +
