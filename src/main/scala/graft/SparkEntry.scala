@@ -14,7 +14,8 @@ object SparkEntry {
       ConstraintOps.all ++ FunctionOps.all ++ StreamingOps.all ++
       TextOps.all ++ DedupOps.all ++ CurationOps.all ++
       SimilarityOps.all ++ MultimodalOps.all ++ GraphOps.all ++
-      AffinityOps.all ++ StatsOps.all ++ GeoOps.all
+      AffinityOps.all ++ StatsOps.all ++ GeoOps.all ++
+      FitOps.all ++ ProfileOps.all ++ HypothesisOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

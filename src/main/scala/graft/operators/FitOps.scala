@@ -1,0 +1,423 @@
+package graft.operators
+
+import graft.Query
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Model-fitting & lifetime analytics tier: per-group OLS regression,
+  * the Theil–Sen robust trend (median of pairwise slopes), lagged
+  * cross-correlation between two daily series, the Kaplan–Meier
+  * survival estimator, and monthly cohort retention — the "fit a line,
+  * trust it under outliers, and read lifetime behavior" questions,
+  * each with an exact DuckDB oracle.
+  *
+  * Determinism stance (SURVEY §7.6): every cross-partition sum folds in
+  * DECIMAL (exact, order-independent); both engines then evaluate the
+  * same textbook formula over the same decimal-exact doubles, and all
+  * DOUBLE outputs render through round-to-6dp. No builtin `corr`/
+  * `regr_*` aggregates anywhere — their DOUBLE partial-aggregation
+  * moments are partition-order-dependent in the last bits.
+  */
+object FitOps {
+
+  private val dec = DecimalType(38, 6)
+  private def r6(c: Column): Column = round(c * lit(1000000.0)) / lit(1000000.0)
+
+  /** Per-group simple OLS of `yCol` on `xCol`: slope, intercept, R².
+    * Same five DECIMAL(38,6)-exact raw sums as [[RelationalOps]]'
+    * q_corr (one scan, one map-side-combined hash aggregate — shuffle
+    * bytes constant in the group count at any corpus size); the
+    * closed-form normal-equation solution folds driver-free from the
+    * aggregate row. */
+  def groupOls(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol); val y = col(yCol)
+    val g = df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x.cast(dec)).cast("double").as("sx"),
+        sum(y.cast(dec)).cast("double").as("sy"),
+        sum((x * y).cast(dec)).cast("double").as("sxy"),
+        sum((x * x).cast(dec)).cast("double").as("sxx"),
+        sum((y * y).cast(dec)).cast("double").as("syy"))
+    val n = col("n"); val sx = col("sx"); val sy = col("sy")
+    val sxy = col("sxy"); val sxx = col("sxx"); val syy = col("syy")
+    val cov = n * sxy - sx * sy // n² · covariance, exact-input double
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val slope = cov / vx
+    // degenerate groups (constant x, or constant y for R²) have no
+    // defined fit → NULL, not an ANSI divide-by-zero
+    g.select(
+        col(groupCol),
+        n.cast("bigint").as("n"),
+        when(vx =!= 0, r6(slope)).as("slope"),
+        when(vx =!= 0, r6((sy - slope * sx) / n)).as("intercept"),
+        when(vx =!= 0 && vy =!= 0, r6(cov * cov / (vx * vy))).as("r2"))
+      .orderBy(groupCol)
+  }
+
+  /** Theil–Sen robust trend of a daily series: aggregate `valCol` per
+    * day (DECIMAL-exact), then take the LOWER median of all pairwise
+    * slopes (y_j − y_i)/(x_j − x_i), i < j, and the lower median of the
+    * per-day residuals y − slope·x as the intercept. Slopes compare at
+    * 6 dp (both engines round before the median, so the median's
+    * groupBy key is engine-identical).
+    *
+    * Scale design: the pair space is quadratic in the SERIES LENGTH,
+    * not the corpus — the per-day pre-aggregation is the only pass over
+    * raw rows, and a 10-year daily series is ~3.7k points → ~6.6M
+    * pairs. Those pairs materialize through the same replicate-to-
+    * block-pair hash EQUI-join as [[DedupOps.embeddingPairs]] (B=8,
+    * B(B+1)/2 independent tasks, no BroadcastNestedLoopJoin /
+    * CartesianProduct in the plan), and the median itself is
+    * [[StatsOps.weightedMedian]]'s prune-then-verify crossing search —
+    * never a global sort of the pair set. */
+  def theilSen(df: DataFrame, dateCol: String, valCol: String): DataFrame = {
+    val daily = df
+      .groupBy(to_date(col(dateCol)).as("d"))
+      .agg(sum(col(valCol).cast(dec)).cast("double").as("y"))
+      .select(
+        datediff(col("d"), to_date(lit("1970-01-01"))).cast("double").as("x"),
+        col("y"))
+    val B = 8
+    val pts = daily.withColumn("blk", pmod(hash(col("x")), lit(B)))
+    // Replicate each point to every block-pair key it participates in;
+    // pairs materialize via hash equi-join on the packed (bi, bj) key
+    // (the embeddingPairs shape). Slope is symmetric and IEEE division
+    // of negated operands is sign-exact, so off-diagonal pairs need no
+    // order normalization; diagonal keys keep x-order to dedup.
+    val lhs = pts.select(col("x").as("xa"), col("y").as("ya"),
+        col("blk"), explode(sequence(col("blk"), lit(B - 1))).as("j"))
+      .select(col("xa"), col("ya"), (col("blk") * B + col("j")).as("bp"))
+    val rhs = pts.select(col("x").as("xb"), col("y").as("yb"),
+        col("blk"), explode(sequence(lit(0), col("blk"))).as("i"))
+      .select(col("xb"), col("yb"), (col("i") * B + col("blk")).as("bp"))
+    // The "group" is the whole series — a constant key. It must be
+    // NON-foldable (BoundedWindow stance) or EliminateWindowPartitions
+    // strips weightedMedian's partition specs to accidental globals;
+    // the windows it feeds are bounded anyway (≤1024 bucket rows + the
+    // one crossing bucket, ~pairs/1024 rows).
+    val pairs = lhs.join(rhs, "bp")
+      .filter(pmod(col("bp"), lit(B + 1)) =!= 0 || col("xa") < col("xb"))
+      .filter(col("xa") =!= col("xb")) // same day never pairs with itself
+      // the when() re-guard keeps the ANSI division safe even after
+      // Catalyst merges this projection into downstream filters that
+      // may evaluate it ahead of the xa ≠ xb predicate
+      .select(
+        when(col("xa") =!= col("xb"),
+          r6((col("yb") - col("ya")) / (col("xb") - col("xa")))).as("s"),
+        lit(1.0).as("w"))
+      .withColumn("g", BoundedWindow.key(col("s")))
+    val slopeRow = StatsOps
+      .weightedMedian(pairs, "g", "s", "w", renderValue = _.cast("double"))
+      .select(col("wmedian").as("slope"),
+        col("total_w").cast("bigint").as("n_pairs"))
+    val resid = daily.crossJoin(broadcast(slopeRow))
+      .select(r6(col("y") - col("slope") * col("x")).as("r"),
+        lit(1.0).as("w"))
+      .withColumn("g", BoundedWindow.key(col("r")))
+    val interceptRow = StatsOps
+      .weightedMedian(resid, "g", "r", "w", renderValue = _.cast("double"))
+      .select(col("wmedian").as("intercept"))
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    broadcast(nDays).crossJoin(broadcast(slopeRow))
+      .crossJoin(broadcast(interceptRow))
+      .select(col("n_days"), col("n_pairs"), col("slope"), col("intercept"))
+  }
+
+  /** Lagged cross-correlation between two daily series (x from `a`,
+    * y from `b`): corr(x(d), y(d + lag)) for lag 0..maxLag. Daily
+    * values carry as EXACT DECIMAL(18,2) end-to-end (the source columns
+    * are 2-dp prices): the per-lag products stay decimal — (18,2)² fits
+    * (37,4) with no overflow — so every cross-partition sum is exact
+    * and no derived double is ever re-cast to decimal (the one rounding
+    * step two engines could disagree on). The lag spine is an
+    * `explode(sequence(...))` on the already-aggregated day table — a
+    * (maxLag+1)-fold fan-out of ~thousands of rows, then one hash
+    * equi-join on the shifted day key and one aggregate per lag. */
+  def crossCorr(a: DataFrame, aDate: String, aVal: String,
+      b: DataFrame, bDate: String, bVal: String, maxLag: Int = 7)
+      : DataFrame = {
+    val dec2 = DecimalType(18, 2)
+    // The re-cast of the summed decimal back to (18,2) is exact (same
+    // scale, values fit) and keeps the product width ≤ 38 on BOTH
+    // engines: sum() widens to (28,2)/(38,2), whose square would
+    // overflow decimal — (18,2)² = (37,4) does not.
+    def daily(df: DataFrame, dt: String, v: String, out: String) = df
+      .groupBy(datediff(to_date(col(dt)), to_date(lit("1970-01-01"))).as("d"))
+      .agg(sum(col(v).cast(dec2)).cast(dec2).as(out))
+    val xs = daily(a, aDate, aVal, "x")
+    val ys = daily(b, bDate, bVal, "y")
+    val xl = xs
+      .select(col("d"), col("x"),
+        explode(sequence(lit(0), lit(maxLag))).as("lag"))
+      .select((col("d") + col("lag")).as("d"), col("lag"), col("x"))
+    val m = xl.join(ys, "d")
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+    val n = col("n"); val sx = col("sx"); val sy = col("sy")
+    val sxy = col("sxy"); val sxx = col("sxx"); val syy = col("syy")
+    val vprod = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    m.select(
+        col("lag").cast("bigint").as("lag"),
+        n.cast("bigint").as("n"),
+        when(vprod > 0, r6((n * sxy - sx * sy) / sqrt(vprod))).as("xcorr"))
+      .orderBy("lag")
+  }
+
+  /** Kaplan–Meier survival estimator over per-subject activity spans:
+    * a subject's duration is first→last active day; spans still active
+    * within `censorDays` of the corpus end are right-censored. At each
+    * distinct duration t: d = deaths (uncensored spans ending at t),
+    * c = censored exits, n_risk = subjects with duration ≥ t, and
+    * S(t) = Π_{t' ≤ t} (1 − d/n_risk) folded as exp(Σ ln(·)) — the same
+    * associative form both engines evaluate over identical exact
+    * integers, in the same ascending-t order.
+    *
+    * Scale: one groupBy(subject) scan, one groupBy(duration) aggregate;
+    * the cumulative windows run over the distinct-DURATION table — at
+    * most the corpus' span in days (bounded by construction, declared
+    * via [[BoundedWindow.key]]) — never over subjects. */
+  def kaplanMeier(events: DataFrame, subjectCol: String, tsCol: String,
+      censorDays: Int = 3): DataFrame = {
+    val subj = events.groupBy(col(subjectCol))
+      .agg(min(to_date(col(tsCol))).as("d0"), max(to_date(col(tsCol))).as("d1"))
+    val mx = events.agg(max(to_date(col(tsCol))).as("dmax"))
+    val spans = subj.crossJoin(broadcast(mx))
+      .select(
+        datediff(col("d1"), col("d0")).cast("bigint").as("t"),
+        when(datediff(col("dmax"), col("d1")) < censorDays, 1L)
+          .otherwise(0L).as("cens"))
+    val byT = spans.groupBy("t")
+      .agg(sum(when(col("cens") === 0, 1L).otherwise(0L)).as("d"),
+        sum(col("cens")).as("c"), count(lit(1)).as("all_n"))
+    val tot = spans.agg(count(lit(1)).as("n_total"))
+    // ≤ corpus-day-span rows from here down: global windows on purpose.
+    val wPrev = Window.partitionBy(BoundedWindow.key(col("t"))).orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(BoundedWindow.key(col("t"))).orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum("all_n").over(wPrev), lit(0L)))
+      .withColumn("surv",
+        exp(sum(log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .over(wCum)))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        r6(col("surv")).as("surv"))
+      .orderBy("t")
+  }
+
+  /** Monthly cohort retention: cohort = month of a customer's first
+    * order; for each month offset k = 0..maxK, how many of the cohort's
+    * customers ordered in cohort+k, and what fraction of the cohort
+    * that is (k = 0 row IS the cohort size — every member orders in
+    * their own first month). Month arithmetic is pure integer
+    * (Δyear·12 + Δmonth), immune to engine date-function drift.
+    *
+    * Scale: groupBy(customer) for first-month, equi-join back on the
+    * customer key, count-distinct per (cohort, k) — three keyed
+    * shuffles, no window over customers. */
+  def cohortRetention(orders: DataFrame, custCol: String, dateCol: String,
+      maxK: Int = 11): DataFrame = {
+    val om = orders.select(col(custCol).as("cust"),
+      (year(col(dateCol)) * 12 + month(col(dateCol))).as("ym"))
+    val first = om.groupBy("cust").agg(min("ym").as("ym0"))
+    val counts = om.join(first, "cust")
+      .select(col("cust"), col("ym0"), (col("ym") - col("ym0")).as("k"))
+      .filter(col("k") <= maxK)
+      .groupBy("ym0", "k")
+      .agg(countDistinct("cust").as("n_active"))
+    val wSize = Window.partitionBy("ym0")
+    counts
+      .withColumn("size",
+        max(when(col("k") === 0, col("n_active"))).over(wSize))
+      .select(
+        format_string("%04d-%02d", ((col("ym0") - 1) / 12).cast("int"),
+          (pmod(col("ym0") - 1, lit(12)) + 1).cast("int")).as("cohort"),
+        col("k").cast("bigint").as("k"),
+        col("n_active"),
+        r6(col("n_active").cast("double") / col("size")).as("retention"))
+      .orderBy("cohort", "k")
+  }
+
+  // ---------------------------------------------------------------- //
+
+  private val corrSumsSql =
+    """CAST(count(*) AS DOUBLE) AS n,
+       CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+       CAST(sum(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+       CAST(sum(CAST(x*y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+       CAST(sum(CAST(x*x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+       CAST(sum(CAST(y*y AS DECIMAL(38,6))) AS DOUBLE) AS syy"""
+
+  val all: Seq[Query] = Seq(
+    // Per-returnflag OLS of extended price on quantity — the grouped
+    // trend-line primitive under every scatter-with-fit dashboard.
+    Query(
+      "q_group_ols",
+      Some(s"""WITH b AS (SELECT l_returnflag,
+                     l_quantity AS x, l_extendedprice AS y FROM lineitem),
+              m AS (SELECT l_returnflag, $corrSumsSql FROM b GROUP BY 1)
+              SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                     round((n*sxy - sx*sy)/nullif(n*sxx - sx*sx, 0)
+                       * 1000000.0)/1000000.0 AS slope,
+                     round((sy - (n*sxy - sx*sy)/nullif(n*sxx - sx*sx, 0)
+                       *sx)/n * 1000000.0)/1000000.0 AS intercept,
+                     round((n*sxy - sx*sy)*(n*sxy - sx*sy)
+                       / nullif((n*sxx - sx*sx)*(n*syy - sy*sy), 0)
+                       * 1000000.0)/1000000.0 AS r2
+              FROM m ORDER BY l_returnflag"""),
+      (s, d) => groupOls(Tables.lineitem(s, d), "l_returnflag",
+        "l_quantity", "l_extendedprice")),
+
+    // Theil–Sen trend of daily order revenue: the robust slope a few
+    // outlier days can't move (OLS breakdown point 0, Theil–Sen 29%).
+    Query(
+      "q_theil_sen",
+      Some("""WITH daily AS (
+                SELECT CAST(date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                         AS DOUBLE) AS y
+                FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+              pairs AS (
+                SELECT round((b.y - a.y) / (b.x - a.x) * 1000000.0)
+                         / 1000000.0 AS s
+                FROM daily a JOIN daily b ON a.x < b.x),
+              bv AS (SELECT s, count(*) AS w FROM pairs GROUP BY 1),
+              cm AS (SELECT s,
+                       sum(w) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS cumw,
+                       sum(w) OVER () AS total FROM bv),
+              med AS (SELECT min(s) AS slope,
+                             CAST(min(total) AS BIGINT) AS n_pairs
+                      FROM cm WHERE cumw * 2 >= total),
+              resid AS (
+                SELECT round((d.y - m.slope * d.x) * 1000000.0)
+                         / 1000000.0 AS r
+                FROM daily d CROSS JOIN med m),
+              rv AS (SELECT r, count(*) AS w FROM resid GROUP BY 1),
+              rcm AS (SELECT r,
+                        sum(w) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS cumw,
+                        sum(w) OVER () AS total FROM rv),
+              imed AS (SELECT min(r) AS intercept FROM rcm
+                       WHERE cumw * 2 >= total),
+              nd AS (SELECT count(*) AS n_days FROM daily)
+              SELECT CAST(n_days AS BIGINT) AS n_days, n_pairs,
+                     CAST(slope AS DOUBLE) AS slope,
+                     CAST(intercept AS DOUBLE) AS intercept
+              FROM nd CROSS JOIN med CROSS JOIN imed"""),
+      (s, d) => theilSen(Tables.orders(s, d), "o_orderdate",
+        "o_totalprice")),
+
+    // Does shipping volume track ordering volume, and at what delay?
+    // Cross-correlation of daily order revenue vs daily shipped revenue
+    // at lags 0..7 — the "which series leads" readout.
+    Query(
+      "q_xcorr",
+      Some("""WITH xs AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS d,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS x
+                FROM orders GROUP BY 1),
+              ys AS (
+                SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(l_shipdate AS DATE)) AS d,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS y
+                FROM lineitem GROUP BY 1),
+              xl AS (SELECT xs.d + t.lag AS d, t.lag AS lag, xs.x
+                     FROM xs CROSS JOIN
+                       (SELECT range AS lag FROM range(8)) t),
+              j AS (SELECT lag, x, y FROM xl JOIN ys USING (d)),
+              m AS (SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(x) AS DOUBLE) AS sx,
+                      CAST(sum(y) AS DOUBLE) AS sy,
+                      CAST(sum(x*y) AS DOUBLE) AS sxy,
+                      CAST(sum(x*x) AS DOUBLE) AS sxx,
+                      CAST(sum(y*y) AS DOUBLE) AS syy
+                    FROM j GROUP BY 1)
+              SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+                     CASE WHEN (n*sxx - sx*sx)*(n*syy - sy*sy) > 0
+                       THEN round((n*sxy - sx*sy)
+                         / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))
+                         * 1000000.0)/1000000.0 END AS xcorr
+              FROM m ORDER BY lag"""),
+      (s, d) => crossCorr(Tables.orders(s, d), "o_orderdate", "o_totalprice",
+        Tables.lineitem(s, d), "l_shipdate", "l_extendedprice")),
+
+    // Kaplan–Meier survival of user activity spans on the events
+    // stream: S(t) = P(still active after t days), censoring spans that
+    // reach the corpus edge — the churn readout a raw histogram of
+    // span lengths gets WRONG (it counts live users as churned).
+    Query(
+      "q_kaplan_meier",
+      Some("""WITH subj AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+                       max(CAST(ts AS DATE)) AS d1
+                FROM events GROUP BY 1),
+              mx AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+              s AS (SELECT date_diff('day', d0, d1) AS t,
+                           CASE WHEN date_diff('day', d1, dmax) < 3
+                                THEN 1 ELSE 0 END AS cens
+                    FROM subj CROSS JOIN mx),
+              byt AS (SELECT t,
+                        sum(CASE WHEN cens = 0 THEN 1 ELSE 0 END) AS d,
+                        sum(cens) AS c, count(*) AS all_n
+                      FROM s GROUP BY 1),
+              tot AS (SELECT count(*) AS n_total FROM s),
+              km AS (SELECT t, d, c,
+                       n_total - coalesce(sum(all_n) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                         PRECEDING), 0) AS n_risk
+                     FROM byt CROSS JOIN tot)
+              SELECT CAST(t AS BIGINT) AS t,
+                     CAST(n_risk AS BIGINT) AS n_risk,
+                     CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+                     round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_risk))
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW))
+                       * 1000000.0)/1000000.0 AS surv
+              FROM km ORDER BY t"""),
+      (s, d) => kaplanMeier(Tables.events(s, d), "user_id", "ts")),
+
+    // Monthly cohort retention matrix on orders: of the customers whose
+    // FIRST order fell in month M, how many ordered again in M+k.
+    Query(
+      "q_cohort",
+      Some("""WITH om AS (
+                SELECT o_custkey AS cust,
+                       year(o_orderdate) * 12 + month(o_orderdate) AS ym
+                FROM orders),
+              f AS (SELECT cust, min(ym) AS ym0 FROM om GROUP BY 1),
+              c AS (SELECT ym0, om.ym - ym0 AS k,
+                           count(DISTINCT om.cust) AS n_active
+                    FROM om JOIN f ON om.cust = f.cust
+                    WHERE om.ym - ym0 <= 11 GROUP BY 1, 2),
+              w AS (SELECT ym0, k, n_active,
+                           max(CASE WHEN k = 0 THEN n_active END)
+                             OVER (PARTITION BY ym0) AS sz
+                    FROM c)
+              SELECT printf('%04d-%02d', (ym0 - 1) // 12,
+                       ((ym0 - 1) % 12) + 1) AS cohort,
+                     CAST(k AS BIGINT) AS k,
+                     CAST(n_active AS BIGINT) AS n_active,
+                     round(CAST(n_active AS DOUBLE) / sz
+                       * 1000000.0)/1000000.0 AS retention
+              FROM w ORDER BY cohort, k"""),
+      (s, d) => cohortRetention(Tables.orders(s, d), "o_custkey",
+        "o_orderdate")))
+}

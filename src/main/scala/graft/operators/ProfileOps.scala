@@ -1,0 +1,226 @@
+package graft.operators
+
+import graft.Query
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Schema-profiling & drift tier: functional-dependency discovery,
+  * candidate-key detection, and the population stability index — the
+  * "what does this table's shape actually guarantee, and has the
+  * distribution moved" questions that gate every ingest. All counts
+  * are exact integers; ratios render per SURVEY §7.6.
+  */
+object ProfileOps {
+
+  private def r6(c: Column): Column = round(c * lit(1000000.0)) / lit(1000000.0)
+
+  /** Functional-dependency profile for candidate `lhs → rhs` pairs:
+    * per pair, how many distinct LHS values exist, how many of them
+    * map to MORE than one RHS value (violations), the worst fan-out,
+    * and whether the FD holds exactly.
+    *
+    * Scale: each pair is two keyed hash aggregates over two pruned
+    * columns (groupBy lhs with an exact distinct-rhs count, then one
+    * global fold) — no windows, no joins; pairs union independently,
+    * so the whole profile is one job of parallel two-stage aggregates. */
+  def fdProfile(df: DataFrame, fds: Seq[(String, String)]): DataFrame =
+    fds.map { case (lhs, rhs) =>
+      df.groupBy(col(lhs))
+        .agg(countDistinct(col(rhs)).as("nr"))
+        .agg(
+          count(lit(1)).as("n_lhs"),
+          sum(when(col("nr") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("nr").as("max_rhs"))
+        .select(lit(s"$lhs->$rhs").as("fd"), col("n_lhs"),
+          col("n_violating"), col("max_rhs"),
+          when(col("n_violating") === 0, 1L).otherwise(0L).as("holds"))
+    }.reduce(_.union(_)).orderBy("fd")
+
+  /** Candidate-key profile: per column — exact distinct count, null
+    * count, uniqueness ratio, and whether the column is a key (unique
+    * and null-free). One pass over the table: all 2·|cols| measures
+    * fold in a single wide aggregate (Catalyst plans the multi-
+    * distinct via one expand), then unpivot to a row per column with
+    * `stack` — no second scan, no join. */
+  def candidateKeys(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap(c => Seq(
+      countDistinct(col(c)).as(s"__d_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__z_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols
+      .map(c => s"'$c', __d_$c, __z_$c").mkString(", ")
+    one.selectExpr("__n",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_distinct, n_null)")
+      .select(col("col_name"), col("__n").as("n_rows"),
+        col("n_distinct"), col("n_null"),
+        r6(col("n_distinct").cast("double") / col("__n")).as("uniq_ratio"),
+        when(col("n_distinct") === col("__n") && col("n_null") === 0, 1L)
+          .otherwise(0L).as("is_key"))
+      .orderBy("col_name")
+  }
+
+  /** Population stability index of a value column between the first
+    * and second half of the corpus' time span: 10 equal-width bins
+    * over the GLOBAL value range, Laplace-smoothed proportions
+    * p=(n+0.5)/(N+5), PSI = Σ (p−q)·ln(p/q). Per-bin terms plus the
+    * total repeated per row (the q_mutual_info drift stance: exact
+    * DECIMAL(38,12) term sum, rendered once).
+    *
+    * Scale: the time/value bounds ride along as a broadcast 1-row
+    * aggregate (no driver collect); binning is a pure narrow map, the
+    * profile one 20-cell hash aggregate, and the bin spine is a
+    * 10-row `spark.range` — constant-size everything except the one
+    * linear scan. */
+  def psi(df: DataFrame, tsCol: String, valCol: String,
+      nBins: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val dec12 = DecimalType(38, 12)
+    val bounds = df.agg(
+      min(col(tsCol).cast("long")).as("__t0"),
+      max(col(tsCol).cast("long")).as("__t1"),
+      min(col(valCol).cast("double")).as("__v0"),
+      max(col(valCol).cast("double")).as("__v1"))
+    val binned = df.crossJoin(broadcast(bounds))
+      .select(
+        when(col(tsCol).cast("long") * 2 < col("__t0") + col("__t1"), 0)
+          .otherwise(1).as("half"),
+        least(lit(nBins - 1), greatest(lit(0),
+          floor((col(valCol).cast("double") - col("__v0")) * nBins /
+            (col("__v1") - col("__v0") + lit(1e-9))))).cast("bigint")
+          .as("bin"))
+    val counts = binned.groupBy("bin")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_second"))
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+    val full = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_second"), lit(0L)).as("n_second"))
+    val tots = full.agg(sum("n_first").as("__na"),
+      sum("n_second").as("__nb"))
+    val terms = full.crossJoin(broadcast(tots))
+      .withColumn("p", (col("n_first").cast("double") + lit(0.5)) /
+        (col("__na").cast("double") + lit(0.5) * nBins))
+      .withColumn("q", (col("n_second").cast("double") + lit(0.5)) /
+        (col("__nb").cast("double") + lit(0.5) * nBins))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+    val tot = terms.agg(sum(col("term").cast(dec12)).as("__psi"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_first"), col("n_second"),
+        r6(col("p")).as("p"), r6(col("q")).as("q"),
+        r6(col("term")).as("psi_term"),
+        r6(col("__psi").cast("double")).as("psi_total"))
+      .orderBy("bin")
+  }
+
+  val all: Seq[Query] = Seq(
+    // Which part attributes determine which: brand→type fails, name→
+    // brand holds, etc. — the dependency census schema inference needs.
+    Query(
+      "q_fd_profile",
+      Some("""WITH pairs AS (
+                SELECT 'p_brand->p_type' AS fd, p_brand AS lhs,
+                       p_type AS rhs FROM part
+                UNION ALL
+                SELECT 'p_type->p_brand', p_type, p_brand FROM part
+                UNION ALL
+                SELECT 'p_name->p_brand', p_name, p_brand FROM part
+                UNION ALL
+                SELECT 'p_name->p_type', p_name, p_type FROM part),
+              g AS (SELECT fd, lhs, count(DISTINCT rhs) AS nr
+                    FROM pairs GROUP BY 1, 2)
+              SELECT fd, CAST(count(*) AS BIGINT) AS n_lhs,
+                     CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_violating,
+                     CAST(max(nr) AS BIGINT) AS max_rhs,
+                     CAST(CASE WHEN sum(CASE WHEN nr > 1 THEN 1 ELSE 0
+                       END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+              FROM g GROUP BY fd ORDER BY fd"""),
+      (s, d) => fdProfile(Tables.part(s, d), Seq(
+        "p_brand" -> "p_type", "p_type" -> "p_brand",
+        "p_name" -> "p_brand", "p_name" -> "p_type"))),
+
+    // Which columns of orders could be a primary key — exact
+    // distinct/null census per column in one pass.
+    Query(
+      "q_candidate_keys",
+      Some {
+        val cols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+          "o_orderpriority", "o_orderstatus", "o_totalprice")
+        val branches = cols.map { c =>
+          s"""SELECT '$c' AS col_name,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null,
+                round(CAST(count(DISTINCT $c) AS DOUBLE) / count(*)
+                  * 1000000.0)/1000000.0 AS uniq_ratio,
+                CAST(CASE WHEN count(DISTINCT $c) = count(*)
+                  AND sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) = 0
+                  THEN 1 ELSE 0 END AS BIGINT) AS is_key
+              FROM orders"""
+        }
+        branches.mkString("", " UNION ALL ", " ORDER BY col_name")
+      },
+      (s, d) => candidateKeys(Tables.orders(s, d), Seq(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"))),
+
+    // Has the event-value distribution drifted between the first and
+    // second half of the corpus' time span — the PSI gate (rule of
+    // thumb: <0.1 stable, >0.25 investigate) model monitors run daily.
+    Query(
+      "q_psi",
+      Some("""WITH b AS (
+                SELECT CAST(min(floor(date_part('epoch', ts))) AS BIGINT)
+                         AS t0,
+                       CAST(max(floor(date_part('epoch', ts))) AS BIGINT)
+                         AS t1,
+                       min(value) AS v0, max(value) AS v1
+                FROM events),
+              binned AS (
+                SELECT CASE WHEN CAST(floor(date_part('epoch', ts))
+                         AS BIGINT) * 2 < t0 + t1 THEN 0 ELSE 1 END
+                         AS half,
+                       CAST(least(9, greatest(0,
+                         floor((value - v0) * 10 / (v1 - v0 + 1e-9))))
+                         AS BIGINT) AS bin
+                FROM events CROSS JOIN b),
+              counts AS (
+                SELECT bin,
+                       sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                         AS n_first,
+                       sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                         AS n_second
+                FROM binned GROUP BY 1),
+              filled AS (
+                SELECT r.range AS bin,
+                       coalesce(n_first, 0) AS n_first,
+                       coalesce(n_second, 0) AS n_second
+                FROM range(10) r LEFT JOIN counts ON counts.bin = r.range),
+              t AS (SELECT sum(n_first) AS na, sum(n_second) AS nb
+                    FROM filled),
+              terms AS (
+                SELECT bin, n_first, n_second,
+                       (CAST(n_first AS DOUBLE) + 0.5)
+                         / (CAST(na AS DOUBLE) + 5.0) AS p,
+                       (CAST(n_second AS DOUBLE) + 0.5)
+                         / (CAST(nb AS DOUBLE) + 5.0) AS q
+                FROM filled CROSS JOIN t),
+              tt AS (SELECT bin, n_first, n_second, p, q,
+                            (p - q) * ln(p / q) AS term FROM terms),
+              s AS (SELECT sum(CAST(term AS DECIMAL(38,12))) AS psi
+                    FROM tt)
+              SELECT CAST(bin AS BIGINT) AS bin,
+                     CAST(n_first AS BIGINT) AS n_first,
+                     CAST(n_second AS BIGINT) AS n_second,
+                     round(p * 1000000.0)/1000000.0 AS p,
+                     round(q * 1000000.0)/1000000.0 AS q,
+                     round(term * 1000000.0)/1000000.0 AS psi_term,
+                     round(CAST(psi AS DOUBLE) * 1000000.0)/1000000.0
+                       AS psi_total
+              FROM tt CROSS JOIN s ORDER BY bin"""),
+      (s, d) => psi(Tables.events(s, d), "ts", "value")))
+}

@@ -216,7 +216,11 @@ object StatsOps {
     * order-independent) and the 2·cum ≥ total crossing test is
     * integer-exact decimal arithmetic on both engines. */
   def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
-      weightCol: String): DataFrame = {
+      weightCol: String, renderValue: Column => Column =
+        c => {
+          import org.apache.spark.sql.types.DecimalType
+          c.cast(DecimalType(18, 2)).cast("double")
+        }): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 6)
     val nBuckets = 1024
@@ -271,7 +275,7 @@ object StatsOps {
       // §7.6 final-render rule: DECIMAL stays internal (exact math),
       // outputs go out as DOUBLE so the gate's two read paths agree.
       .agg(
-        min("v").cast(DecimalType(18, 2)).cast("double").as("wmedian"),
+        renderValue(min("v")).as("wmedian"),
         min("total").cast("double").as("total_w"))
   }
 
@@ -680,6 +684,37 @@ object StatsOps {
             (nD * col("tot").cast("double")) -
           (nD + lit(1.0)) / nD).as("gini"))
       .orderBy("decile")
+  }
+
+  /** Herfindahl–Hirschman concentration index per group: the sum of
+    * squared percentage shares (0..10000 scale; >2500 = "highly
+    * concentrated" under the DOJ guideline) of each entity's value
+    * within its group — [[lorenzGini]]'s antitrust-flavored sibling,
+    * and the one that needs NO ranking at all.
+    *
+    * Scale: two keyed hash aggregates (entity rollup, group totals) +
+    * a broadcast of the per-group totals; the share terms are IEEE-
+    * identical doubles from DECIMAL-exact sums and the HHI total folds
+    * in DECIMAL(38,12) (order-independent). */
+  def hhi(df: DataFrame, groupCol: String, entityCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec2 = DecimalType(18, 2)
+    val dec12 = DecimalType(38, 12)
+    val per = df.groupBy(col(groupCol), col(entityCol))
+      .agg(sum(col(valCol).cast(dec2)).cast(dec2).as("m"))
+    val tot = per.groupBy(col(groupCol))
+      .agg(sum("m").as("__t"), count(lit(1)).as("n_entities"))
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val share = lit(100.0) * (col("m").cast("double") /
+      col("__t").cast("double"))
+    per.join(broadcast(tot), groupCol)
+      .groupBy(col(groupCol), col("n_entities"),
+        col("__t").cast("double").as("total"))
+      .agg(sum((share * share).cast(dec12)).as("__hhi"))
+      .select(col(groupCol), col("n_entities"), col("total"),
+        r6(col("__hhi").cast("double")).as("hhi"))
+      .orderBy(groupCol)
   }
 
   /** Equal-frequency discretization (quantile binning) of a numeric
@@ -1309,6 +1344,33 @@ object StatsOps {
             (size(array_distinct(t)).cast("double") / size(t) >= 0.5)
               .as("div_ok")),
           "len_ok", "div_ok")
-      })
+      }),
+
+    // Market concentration per segment: HHI of customer order spend —
+    // is revenue spread across many customers or owned by a few?
+    Query(
+      "q_hhi",
+      Some("""WITH per AS (
+                SELECT c_mktsegment AS seg, o_custkey,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DECIMAL(18,2)) AS m
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY 1, 2),
+              t AS (SELECT seg, sum(m) AS tt, count(*) AS n_entities
+                    FROM per GROUP BY 1),
+              terms AS (
+                SELECT per.seg, n_entities, CAST(tt AS DOUBLE) AS total,
+                       100.0 * (CAST(m AS DOUBLE) / CAST(tt AS DOUBLE))
+                         AS sh
+                FROM per JOIN t ON per.seg = t.seg)
+              SELECT seg AS c_mktsegment,
+                     CAST(n_entities AS BIGINT) AS n_entities, total,
+                     round(CAST(sum(CAST(sh * sh AS DECIMAL(38,12)))
+                         AS DOUBLE) * 1000000.0)/1000000.0 AS hhi
+              FROM terms GROUP BY 1, 2, 3 ORDER BY 1"""),
+      (s, d) => hhi(
+        Tables.orders(s, d).join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "o_custkey", "o_totalprice"))
   )
 }

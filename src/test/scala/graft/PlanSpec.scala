@@ -726,4 +726,53 @@ class PlanSpec extends SparkSpec {
     // the per-entity table ranks inside bucket-partitioned windows
     assert(p.contains("windowspecdefinition(bkt"), p.take(2500))
   }
+
+  test("q_theil_sen: the pairwise-slope space materializes through the " +
+    "block-pair EQUI-join — no CartesianProduct; nested-loop joins are " +
+    "only the declared 1-row broadcasts") {
+    val p = plan(q("q_theil_sen"))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    // Every BNLJ in this plan is a declared 1-row-aggregate broadcast
+    // (resid's slope row + the two final assembly rows); they appear
+    // up to 3× each because weightedMedian re-derives its input per
+    // internal branch. The O(days²) pair join itself must be a hash
+    // equi-join on the packed block-pair key.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 8, p.take(3000))
+    assert(p.contains("hashpartitioning(bp#") ||
+      "Join \\[bp#|BroadcastHashJoin \\[bp#".r.findFirstIn(p).nonEmpty,
+      s"block-pair equi-join key missing: ${p.take(2500)}")
+    assert(!p.contains("windowspecdefinition(,") &&
+      !p.contains("windowspecdefinition( ,"),
+      s"weightedMedian lost its partition spec: ${p.take(2500)}")
+  }
+
+  test("q_group_ols and q_xcorr: pure keyed hash-aggregations — no " +
+    "nested-loop joins, aggregates fold map-side") {
+    Seq("q_group_ols", "q_xcorr").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name: ${p.take(2000)}")
+      assert(p.contains("partial_"), // map-side combine before exchange
+        s"$name: no partial aggregation:\n${p.take(2000)}")
+    }
+  }
+
+  test("q_candidate_keys profiles all columns in ONE scan (the " +
+    "multi-distinct plans via a single expand, not per-column jobs)") {
+    val p = plan(q("q_candidate_keys"))
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected one orders scan, got $scans:\n${p.take(2500)}")
+    assert(p.contains("Expand"), s"multi-distinct should expand:\n${p.take(2000)}")
+  }
+
+  test("q_kaplan_meier and q_psi: bounds/totals ride as broadcast " +
+    "1-row aggregates and every window is partitioned") {
+    Seq("q_kaplan_meier", "q_psi").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(2000)}")
+      assert(!p.contains("windowspecdefinition(,") &&
+        !p.contains("windowspecdefinition( ,"),
+        s"$name has a global window: ${p.take(2500)}")
+    }
+  }
 }

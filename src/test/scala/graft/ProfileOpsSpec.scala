@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.ProfileOps
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Laws for the schema-profiling & drift tier: FD verdicts on
+  * constructed dependency fixtures, candidate-key flags under nulls and
+  * duplicates, and PSI's zero-on-identical / large-on-shifted behavior. */
+class ProfileOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- fdProfile -----------------------------------------------------
+
+  test("fdProfile: a→b holds, b→a counts its violators and worst fan-out") {
+    // b determines nothing: b=1 maps to a ∈ {x, y, z}
+    val df = Seq(("x", 1), ("x", 1), ("y", 1), ("z", 1), ("w", 2))
+      .toDF("a", "b")
+    val got = ProfileOps.fdProfile(df, Seq("a" -> "b", "b" -> "a"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a->b") === ((4L, 0L, 1L, 1L))) // 4 lhs, no violations
+    assert(got("b->a") === ((2L, 1L, 3L, 0L))) // b=1 fans out to 3 a's
+  }
+
+  test("fdProfile treats duplicate rows as one evidence pair " +
+    "(distinct rhs per lhs, not row counts)") {
+    val df = Seq(("k", "v"), ("k", "v"), ("k", "v")).toDF("a", "b")
+    val r = ProfileOps.fdProfile(df, Seq("a" -> "b")).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(4)) === ((1L, 0L, 1L)))
+  }
+
+  // -- candidateKeys -------------------------------------------------
+
+  test("candidateKeys flags unique null-free columns as keys and " +
+    "rejects columns with duplicates or nulls") {
+    val df = Seq(
+      (1L, "a", Some("x")), (2L, "a", Some("y")), (3L, "b", None))
+      .toDF("id", "dup", "hasnull")
+    val got = ProfileOps.candidateKeys(df, Seq("id", "dup", "hasnull"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getLong(5))).toMap
+    assert(got("id") === ((3L, 3L, 0L, 1.0, 1L)))
+    assert(got("dup") === ((3L, 2L, 0L, 0.666667, 0L)))
+    // unique among non-nulls but has a null → not a key
+    assert(got("hasnull") === ((3L, 2L, 1L, 0.666667, 0L)))
+  }
+
+  // -- psi -----------------------------------------------------------
+
+  private def ts(day: Int, hour: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("psi is ~0 when both halves draw the same distribution and " +
+    "exceeds the 0.25 alert line under a hard shift") {
+    val rnd = new scala.util.Random(3)
+    // every day carries the identical value set 0..99 → the two time
+    // halves have the exact same bin profile → every PSI term is 0
+    val same = (for { day <- 1 to 20; j <- 0 until 100 }
+      yield (ts(day, j % 24), j.toDouble)).toDF("t", "v")
+    val psiSame = ProfileOps.psi(same, "t", "v")
+      .collect()(0).getAs[Double]("psi_total")
+    assert(math.abs(psiSame) < 0.001, s"identical halves → psi ≈ 0: $psiSame")
+    // second half shifted into the top decile
+    val shifted = (0 until 2000).map { i =>
+      val day = 1 + i % 20
+      val v = if (day <= 10) rnd.nextInt(50).toDouble
+              else 90.0 + rnd.nextInt(10)
+      (ts(day, i % 24), v)
+    }.toDF("t", "v")
+    val psiShift = ProfileOps.psi(shifted, "t", "v")
+      .collect()(0).getAs[Double]("psi_total")
+    assert(psiShift > 0.25, s"hard shift must alert: $psiShift")
+  }
+
+  test("psi emits the full 10-bin spine (empty bins included, " +
+    "smoothed) and per-bin terms sum to the total") {
+    // all values in one bin → 9 empty bins must still appear
+    val df = (0 until 100).map(i => (ts(1 + i % 20, i % 24), 5.0))
+      .toDF("t", "v")
+    val rows = ProfileOps.psi(df, "t", "v").collect()
+    assert(rows.length === 10)
+    val termSum = rows.map(_.getAs[Double]("psi_term")).sum
+    val total = rows.head.getAs[Double]("psi_total")
+    assert(math.abs(termSum - total) < 1e-4)
+  }
+}
