@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{HypothesisOps, StatsOps}
+
+/** Laws for the nonparametric two-sample tier: KS against a
+  * brute-force ECDF sweep, Mann–Whitney against a brute-force average-
+  * rank computation (ties included), the U + U' = nA·nB symmetry, and
+  * HHI's closed forms on monopoly / equal-share fixtures. */
+class HypothesisOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+
+  // -- ksTest --------------------------------------------------------
+
+  private def bruteKs(a: Seq[Double], b: Seq[Double]): Double = {
+    val vs = (a ++ b).distinct.sorted
+    vs.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.size -
+        b.count(_ <= v).toDouble / b.size)
+    }.max
+  }
+
+  test("ksTest equals the brute-force ECDF max-gap on tied, shifted, " +
+    "and identical samples") {
+    val rnd = new scala.util.Random(19)
+    val a = Seq.fill(300)(rnd.nextInt(40).toDouble)
+    val shifted = Seq.fill(250)(10.0 + rnd.nextInt(40))
+    val cases = Seq((a, shifted), (a, a.map(identity)))
+    cases.foreach { case (xs, ys) =>
+      val df = (xs.map(("A", _)) ++ ys.map(("B", _))).toDF("g", "v")
+      val row = HypothesisOps.ksTest(df, "v", "g", "A", "B").collect()(0)
+      assert(row.getAs[Long]("n_a") === xs.size.toLong)
+      assert(row.getAs[Double]("d_stat") === r6(bruteKs(xs, ys)))
+    }
+    // identical samples: zero gap, p capped at 1
+    val same = (a.map(("A", _)) ++ a.map(("B", _))).toDF("g", "v")
+    val r = HypothesisOps.ksTest(same, "v", "g", "A", "B").collect()(0)
+    assert(r.getAs[Double]("d_stat") === 0.0)
+    assert(r.getAs[Double]("p_value") === 1.0)
+  }
+
+  test("ksTest detects a hard shift with a near-zero p-value") {
+    val a = (1 to 200).map(i => ("A", i.toDouble))
+    val b = (1 to 200).map(i => ("B", i + 1000.0))
+    val r = HypothesisOps.ksTest((a ++ b).toDF("g", "v"), "v", "g",
+      "A", "B").collect()(0)
+    assert(r.getAs[Double]("d_stat") === 1.0)
+    assert(r.getAs[Double]("p_value") === 0.0)
+  }
+
+  // -- mannWhitney ---------------------------------------------------
+
+  private def bruteU(a: Seq[Double], b: Seq[Double]): Double = {
+    val pooled = (a ++ b).sorted
+    def avgRank(v: Double): Double = {
+      val lo = pooled.count(_ < v); val c = pooled.count(_ == v)
+      lo + (c + 1) / 2.0
+    }
+    a.map(avgRank).sum - a.size.toDouble * (a.size + 1) / 2
+  }
+
+  test("mannWhitney matches the brute-force tie-averaged rank sum and " +
+    "swapping the groups mirrors U to nA·nB − U with z negated") {
+    val rnd = new scala.util.Random(23)
+    val a = Seq.fill(150)(rnd.nextInt(25).toDouble)   // heavy ties
+    val b = Seq.fill(120)(5.0 + rnd.nextInt(25))
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+    val f = HypothesisOps.mannWhitney(df, "v", "g", "A", "B").collect()(0)
+    assert(f.getAs[Double]("u") === r6(bruteU(a, b)))
+    val g = HypothesisOps.mannWhitney(df, "v", "g", "B", "A").collect()(0)
+    assert(f.getAs[Double]("u") + g.getAs[Double]("u") ===
+      a.size.toDouble * b.size)
+    assert(r6(f.getAs[Double]("z") + g.getAs[Double]("z")) === 0.0)
+  }
+
+  test("mannWhitney on identical distributions gives z near 0; on a " +
+    "hard shift U saturates at nA·nB") {
+    val a = (1 to 100).map(i => ("A", (i % 20).toDouble))
+    val b = (1 to 100).map(i => ("B", (i % 20).toDouble))
+    val same = HypothesisOps.mannWhitney((a ++ b).toDF("g", "v"),
+      "v", "g", "A", "B").collect()(0)
+    assert(math.abs(same.getAs[Double]("z")) < 0.01)
+    val hi = (1 to 100).map(i => ("B", 1000.0 + i))
+    val shift = HypothesisOps.mannWhitney((a ++ hi).toDF("g", "v"),
+      "v", "g", "B", "A").collect()(0)
+    assert(shift.getAs[Double]("u") === 100.0 * 100.0)
+  }
+
+  // -- hhi -----------------------------------------------------------
+
+  test("hhi: monopoly scores 10000, k equal entities score 10000/k, " +
+    "and entity fragmentation strictly lowers concentration") {
+    val mono = Seq(("m", 1L, 50.0), ("m", 1L, 30.0)).toDF("g", "e", "v")
+    val eq4 = (1 to 4).map(e => ("q", e.toLong, 25.0)).toDF("g", "e", "v")
+    val skew = Seq(("s", 1L, 90.0), ("s", 2L, 5.0), ("s", 3L, 5.0))
+      .toDF("g", "e", "v")
+    val got = StatsOps.hhi(mono.union(eq4).union(skew), "g", "e", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    assert(got("m") === ((1L, 10000.0)))
+    assert(got("q") === ((4L, 2500.0)))
+    assert(got("s")._2 === r6(8100.0 + 25.0 + 25.0))
+    assert(got("s")._2 < 10000.0 && got("s")._2 > 2500.0)
+  }
+}
