@@ -77,45 +77,35 @@ object FitOps {
     * [[StatsOps.weightedMedian]]'s prune-then-verify crossing search —
     * never a global sort of the pair set. */
   def theilSen(df: DataFrame, dateCol: String, valCol: String): DataFrame = {
-    val daily = df
+    // Pinned (Checkpoints.pin): weightedMedian derives bounds/crossing/
+    // final from ITS input three times, and the intercept median
+    // re-derives the slope median per branch — unpinned, the raw scan
+    // and the O(days²) pair join would re-execute 6+ times (measured
+    // 30 s → 3 s at sf0.1). The day table is ~series-length rows and
+    // the slope table ≤ distinct-6dp-slope rows: both tiny to store.
+    val daily = graft.tools.Checkpoints.pin(df
       .groupBy(to_date(col(dateCol)).as("d"))
       .agg(sum(col(valCol).cast(dec)).cast("double").as("y"))
       .select(
         datediff(col("d"), to_date(lit("1970-01-01"))).cast("double").as("x"),
-        col("y"))
-    val B = 8
-    val pts = daily.withColumn("blk", pmod(hash(col("x")), lit(B)))
-    // Replicate each point to every block-pair key it participates in;
-    // pairs materialize via hash equi-join on the packed (bi, bj) key
-    // (the embeddingPairs shape). Slope is symmetric and IEEE division
-    // of negated operands is sign-exact, so off-diagonal pairs need no
-    // order normalization; diagonal keys keep x-order to dedup.
-    val lhs = pts.select(col("x").as("xa"), col("y").as("ya"),
-        col("blk"), explode(sequence(col("blk"), lit(B - 1))).as("j"))
-      .select(col("xa"), col("ya"), (col("blk") * B + col("j")).as("bp"))
-    val rhs = pts.select(col("x").as("xb"), col("y").as("yb"),
-        col("blk"), explode(sequence(lit(0), col("blk"))).as("i"))
-      .select(col("xb"), col("yb"), (col("i") * B + col("blk")).as("bp"))
+        col("y")))
+    // pin the RAW slope column (one narrow double, no shuffle): slopes
+    // are near-unique, so a pre-aggregated histogram would be a
+    // multi-million-key hash shuffle for nothing — weightedMedian's
+    // iterative bucket folds aggregate map-side and only the final
+    // ≤65536-row scope ever groups by value.
     // The "group" is the whole series — a constant key. It must be
     // NON-foldable (BoundedWindow stance) or EliminateWindowPartitions
-    // strips weightedMedian's partition specs to accidental globals;
-    // the windows it feeds are bounded anyway (≤1024 bucket rows + the
-    // one crossing bucket, ~pairs/1024 rows).
-    val pairs = lhs.join(rhs, "bp")
-      .filter(pmod(col("bp"), lit(B + 1)) =!= 0 || col("xa") < col("xb"))
-      .filter(col("xa") =!= col("xb")) // same day never pairs with itself
-      // the when() re-guard keeps the ANSI division safe even after
-      // Catalyst merges this projection into downstream filters that
-      // may evaluate it ahead of the xa ≠ xb predicate
-      .select(
-        when(col("xa") =!= col("xb"),
-          r6((col("yb") - col("ya")) / (col("xb") - col("xa")))).as("s"),
-        lit(1.0).as("w"))
+    // strips weightedMedian's partition specs to accidental globals.
+    val slopes = graft.tools.Checkpoints.pin(slopePairs(daily))
+      .withColumn("w", lit(1.0))
       .withColumn("g", BoundedWindow.key(col("s")))
-    val slopeRow = StatsOps
-      .weightedMedian(pairs, "g", "s", "w", renderValue = _.cast("double"))
+    // 1-row pin: the intercept median consumes this from 3 internal
+    // branches; unpinned, each re-runs the whole slope-median chain
+    val slopeRow = graft.tools.Checkpoints.pin(StatsOps
+      .weightedMedian(slopes, "g", "s", "w", renderValue = _.cast("double"))
       .select(col("wmedian").as("slope"),
-        col("total_w").cast("bigint").as("n_pairs"))
+        col("total_w").cast("bigint").as("n_pairs")))
     val resid = daily.crossJoin(broadcast(slopeRow))
       .select(r6(col("y") - col("slope") * col("x")).as("r"),
         lit(1.0).as("w"))
@@ -127,6 +117,33 @@ object FitOps {
     broadcast(nDays).crossJoin(broadcast(slopeRow))
       .crossJoin(broadcast(interceptRow))
       .select(col("n_days"), col("n_pairs"), col("slope"), col("intercept"))
+  }
+
+  /** All-pairs slope column over a `(x, y)` point table. Replicates
+    * each point to every block-pair key it participates in; pairs
+    * materialize via hash equi-join on the packed (bi, bj) key (the
+    * [[DedupOps.embeddingPairs]] shape — PlanSpec pins no cartesian).
+    * Slope is symmetric and IEEE division of negated operands is
+    * sign-exact, so off-diagonal pairs need no order normalization;
+    * diagonal keys keep x-order to dedup. */
+  private[graft] def slopePairs(daily: DataFrame): DataFrame = {
+    val B = 8
+    val pts = daily.withColumn("blk", pmod(hash(col("x")), lit(B)))
+    val lhs = pts.select(col("x").as("xa"), col("y").as("ya"),
+        col("blk"), explode(sequence(col("blk"), lit(B - 1))).as("j"))
+      .select(col("xa"), col("ya"), (col("blk") * B + col("j")).as("bp"))
+    val rhs = pts.select(col("x").as("xb"), col("y").as("yb"),
+        col("blk"), explode(sequence(lit(0), col("blk"))).as("i"))
+      .select(col("xb"), col("yb"), (col("i") * B + col("blk")).as("bp"))
+    lhs.join(rhs, "bp")
+      .filter(pmod(col("bp"), lit(B + 1)) =!= 0 || col("xa") < col("xb"))
+      .filter(col("xa") =!= col("xb")) // same day never pairs with itself
+      // the when() re-guard keeps the ANSI division safe even after
+      // Catalyst merges this projection into downstream filters that
+      // may evaluate it ahead of the xa ≠ xb predicate
+      .select(
+        when(col("xa") =!= col("xb"),
+          r6((col("yb") - col("ya")) / (col("xb") - col("xa")))).as("s"))
   }
 
   /** Lagged cross-correlation between two daily series (x from `a`,

@@ -209,12 +209,32 @@ object StatsOps {
     * not half the rows). Textbook lower weighted median; no
     * interpolation, so the answer is an actual stored value.
     *
-    * Scale: weights pre-aggregate per (group, value) — a map-side-
-    * combined hash aggregate that caps the window input at the
-    * distinct-value cardinality — then one group-partitioned
-    * cumulative window. Weight sums run in DECIMAL(38,6) (exact,
-    * order-independent) and the 2·cum ≥ total crossing test is
-    * integer-exact decimal arithmetic on both engines. */
+    * Scale — ITERATIVE prune-then-verify: a single bucket pass
+    * (the r12 shape) bounds the exact-window input only for benign
+    * value distributions; on a heavy-tailed column the equal-width
+    * buckets over [min, max] put nearly ALL mass in one bucket (the
+    * Theil–Sen slope table measured 2.35M of 2.9M rows landing in the
+    * crossing bucket — a single-partition sort in disguise). So the
+    * bucket search RECURSES: each round re-buckets only the previous
+    * crossing bucket (its weight-before rides along as an exact
+    * DECIMAL offset), shrinking the candidate range nBuckets× per
+    * round,
+    * until the crossing bucket's row count is ≤ 65536 or a round cap
+    * of 8 (the cap only stops refinement — the exact verify stage is
+    * correct at ANY candidate size, its window just gets bigger; the
+    * groupBy(v) below it collapses pathological all-equal buckets
+    * anyway). Each round is ONE linear scan with a map-side-combined
+    * nBuckets-cell fold plus a bucket-count-bounded window; the loop
+    * state is a |groups|-row broadcast pinned via Checkpoints.pin.
+    *
+    * Bucket ids are UNCLAMPED floor((v−lo)·nB/(hi−lo+1e-9)) — a pure
+    * function of (v, lo, hi) — and each round's scope filter replays
+    * the PREVIOUS round's formula verbatim, so float boundary slop can
+    * never double-count or drop weight: a row belongs to exactly the
+    * bucket the fold counted it in. Weight sums run in DECIMAL(38,6)
+    * (exact, order-independent) and the 2·cum ≥ total crossing test is
+    * integer-exact decimal arithmetic on both engines, so the final
+    * crossing value is engine-identical. */
   def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
       weightCol: String, renderValue: Column => Column =
         c => {
@@ -223,49 +243,71 @@ object StatsOps {
         }): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 6)
-    val nBuckets = 1024
-    // PREFILTER (the skyline stance — prune, then verify exactly): a
-    // naive cumulative window partitioned only by the group is a
-    // near-global sort when groups are few (3 return flags = 3 window
-    // partitions for the whole table; measured 2.4 s of the bench
-    // line). Instead: three NARROW passes over the raw table, no
-    // shared intermediate to re-derive — (1) per-group bounds +
-    // DECIMAL total, (2) per-(group, 1/1024-bucket) weight sums with
-    // a ≤1024-row cumulative window locating each group's crossing
-    // bucket, (3) the exact value-ordered window over ONLY the
-    // crossing bucket's rows (~1/1024 of the data, still
-    // group-partitioned). Bucket assignment is monotone in v and all
-    // weight sums are DECIMAL-exact, so the crossing bucket — and the
-    // final crossing value — are engine-identical.
-    val bounds = df.groupBy(col(groupCol))
-      .agg(min(col(valCol).cast("double")).as("__vmin"),
-        max(col(valCol).cast("double")).as("__vmax"),
-        sum(col(weightCol).cast(dec)).as("total"))
-    def bucketOf(v: Column): Column =
-      least(lit(nBuckets - 1), greatest(lit(0),
-        floor((v.cast("double") - col("__vmin")) * nBuckets /
-          (col("__vmax") - col("__vmin") + lit(1e-9))))).cast("int")
+    // 8192 cells: still a trivially bounded offset window / map-side
+    // hash footprint, but one round shrinks the candidate range 8192×
+    // — measured on the Theil–Sen slope table this cuts the rounds'
+    // cost ~40% vs 1024 (2.89M → 725k → 104 in two rounds)
+    val nBuckets = 8192
+    val vD = col(valCol).cast("double")
+    // unclamped on purpose: out-of-base values get ids <0 / ≥8192 that
+    // sort and filter consistently (see scaladoc)
+    def bucketIn(lo: Column, hi: Column): Column =
+      floor((vD - lo) * nBuckets / (hi - lo + lit(1e-9)))
+    // per-group loop state: bucketing base [__blo,__bhi] for the next
+    // fold; scope triple (__flo,__fhi,__fcbkt) replaying the previous
+    // fold's crossing-bucket membership (NULL cbkt = everything, round
+    // 0); exact weight before the scope; total; scope row count.
+    var state = graft.tools.Checkpoints.pin(df.groupBy(col(groupCol))
+      .agg(min(vD).as("__blo"), max(vD).as("__bhi"),
+        sum(col(weightCol).cast(dec)).as("total"),
+        count(lit(1)).as("__nrows"))
+      .withColumn("__flo", lit(null).cast("double"))
+      .withColumn("__fhi", lit(null).cast("double"))
+      .withColumn("__fcbkt", lit(null).cast("long"))
+      .withColumn("__before", lit(0).cast(dec)))
+    def inScope: Column = col("__fcbkt").isNull ||
+      bucketIn(col("__flo"), col("__fhi")) === col("__fcbkt")
+    def maxRowsOf(st: DataFrame): Long = {
+      val r = st.agg(max("__nrows")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
     val wBkt = Window.partitionBy(groupCol).orderBy("__bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val crossing = df.join(broadcast(bounds), groupCol)
-      .groupBy(col(groupCol), bucketOf(col(valCol)).as("__bkt"))
-      .agg(sum(col(weightCol).cast(dec)).as("__bw"),
-        min("total").as("total"))
-      .withColumn("__before",
-        coalesce(sum(col("__bw")).over(wBkt), lit(0).cast(dec)))
-      // the crossing bucket: weight before it is short of half, with
-      // it reaches half
-      .filter(col("__before") * lit(2) < col("total") &&
-        (col("__before") + col("__bw")) * lit(2) >= col("total"))
-      .select(col(groupCol), col("__bkt").as("__cbkt"),
-        col("__before"), col("total"))
-    // VERIFY: exact crossing within the one bucket per group
+    var maxRows = maxRowsOf(state)
+    var round = 0
+    while (maxRows > 65536 && round < 8) {
+      val width = (col("__phi") - col("__plo") + lit(1e-9)) / nBuckets
+      state = graft.tools.Checkpoints.pin(
+        df.join(broadcast(state), groupCol)
+          .filter(inScope)
+          .groupBy(col(groupCol),
+            bucketIn(col("__blo"), col("__bhi")).as("__bkt"))
+          .agg(sum(col(weightCol).cast(dec)).as("__bw"),
+            count(lit(1)).as("__nrows"),
+            min("__blo").as("__plo"), min("__bhi").as("__phi"),
+            min("__before").as("__pbefore"), min("total").as("total"))
+          .withColumn("__cum",
+            coalesce(sum(col("__bw")).over(wBkt), lit(0).cast(dec)))
+          .filter((col("__pbefore") + col("__cum")) * lit(2) <
+              col("total") &&
+            (col("__pbefore") + col("__cum") + col("__bw")) * lit(2) >=
+              col("total"))
+          .select(col(groupCol),
+            (col("__plo") + col("__bkt") * width).as("__blo"),
+            (col("__plo") + (col("__bkt") + 1) * width).as("__bhi"),
+            col("__plo").as("__flo"), col("__phi").as("__fhi"),
+            col("__bkt").as("__fcbkt"),
+            (col("__pbefore") + col("__cum")).as("__before"),
+            col("total"), col("__nrows")))
+      maxRows = maxRowsOf(state)
+      round += 1
+    }
+    // VERIFY: exact crossing within the final scope (≤65536 rows per
+    // group, or round-capped — correct at any size)
     val wCum = Window.partitionBy(groupCol).orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.join(broadcast(crossing.join(
-        bounds.select(col(groupCol), col("__vmin"), col("__vmax")),
-        groupCol)), groupCol)
-      .filter(bucketOf(col(valCol)) === col("__cbkt"))
+    df.join(broadcast(state), groupCol)
+      .filter(inScope)
       .groupBy(col(groupCol), col(valCol).as("v"))
       .agg(sum(col(weightCol).cast(dec)).as("w"),
         min("__before").as("__before"), min("total").as("total"))

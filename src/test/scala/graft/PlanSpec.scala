@@ -728,19 +728,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_theil_sen: the pairwise-slope space materializes through the " +
-    "block-pair EQUI-join — no CartesianProduct; nested-loop joins are " +
-    "only the declared 1-row broadcasts") {
+    "block-pair EQUI-join — no CartesianProduct anywhere; nested-loop " +
+    "joins are only the declared 1-row broadcasts") {
+    // the pair stage itself (pinned inside theilSen, so it runs as an
+    // earlier eager job and is invisible in the final query's plan):
+    // must be a hash/merge equi-join on the packed block-pair key
+    import spark.implicits._
+    val pp = plan(graft.operators.FitOps.slopePairs(
+      Seq((1.0, 2.0), (2.0, 5.0), (3.0, 9.0)).toDF("x", "y")))
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"), pp.take(2500))
+    assert(pp.contains("[bp"), s"block-pair equi key missing:\n${pp.take(2500)}")
+    // the assembled query: 1-row-aggregate broadcasts only, windows
+    // all partitioned
     val p = plan(q("q_theil_sen"))
     assert(!p.contains("CartesianProduct"), p.take(2500))
-    // Every BNLJ in this plan is a declared 1-row-aggregate broadcast
-    // (resid's slope row + the two final assembly rows); they appear
-    // up to 3× each because weightedMedian re-derives its input per
-    // internal branch. The O(days²) pair join itself must be a hash
-    // equi-join on the packed block-pair key.
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 8, p.take(3000))
-    assert(p.contains("hashpartitioning(bp#") ||
-      "Join \\[bp#|BroadcastHashJoin \\[bp#".r.findFirstIn(p).nonEmpty,
-      s"block-pair equi-join key missing: ${p.take(2500)}")
     assert(!p.contains("windowspecdefinition(,") &&
       !p.contains("windowspecdefinition( ,"),
       s"weightedMedian lost its partition spec: ${p.take(2500)}")
