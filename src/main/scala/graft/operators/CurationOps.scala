@@ -424,7 +424,92 @@ object CurationOps {
         col("stop_ratio") >= minStopRatio &&
         col("avg_tok_len") <= maxAvgTokLen)
 
+  /** Temperature-scaled training-mixture allocation: given per-source
+    * available token counts, weight each source by √avail (the
+    * multilingual-pretraining smoothing that keeps huge sources from
+    * drowning small ones), and apportion an integer token `budget` by
+    * Hamilton's largest-remainder method — floors first, the leftover
+    * units to the largest fractional remainders (source-name
+    * tiebreak). sqrt is IEEE-exactly-rounded so the weights are
+    * engine-identical doubles; the weight SUM folds in DECIMAL(38,12)
+    * (order-independent) and everything after floor() is exact
+    * integer arithmetic — both engines produce the identical
+    * allocation, to the token.
+    *
+    * Scale: one map-side-combined token-count aggregate over the
+    * corpus; everything downstream operates on the |sources|-row
+    * table (two broadcast 1-row totals, one bounded rank window). */
+  def mixtureAllocation(docs: DataFrame, sourceCol: String,
+      textCol: String, budget: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec12 = DecimalType(38, 12)
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val avail = docs.groupBy(col(sourceCol).as("source"))
+      .agg(sum(size(split(col(textCol), " ")).cast("long"))
+        .as("avail_tokens"))
+      .withColumn("wt", sqrt(col("avail_tokens").cast("double")))
+    val wsum = avail.agg(
+      sum(col("wt").cast(dec12)).cast("double").as("__wsum"))
+    val quotas = avail.crossJoin(broadcast(wsum))
+      .withColumn("quota",
+        lit(budget.toDouble) * col("wt") / col("__wsum"))
+      .withColumn("fq", floor(col("quota")))
+      .withColumn("rem", col("quota") - floor(col("quota")))
+    val extra = quotas.agg((lit(budget) - sum("fq")).as("__extra"))
+    val wRank = Window.partitionBy(BoundedWindow.key(col("source")))
+      .orderBy(col("rem").desc, col("source"))
+    quotas.crossJoin(broadcast(extra))
+      .withColumn("__rnk", row_number().over(wRank))
+      .select(col("source"), col("avail_tokens"),
+        r6(col("wt") / col("__wsum")).as("weight"),
+        (col("fq") + when(col("__rnk") <= col("__extra"), 1L)
+          .otherwise(0L)).as("alloc_tokens"),
+        r6(least(lit(1.0),
+          (col("fq") + when(col("__rnk") <= col("__extra"), 1L)
+            .otherwise(0L)).cast("double") / col("avail_tokens")))
+          .as("sampling_rate"))
+      .orderBy("source")
+  }
+
   val all: Seq[Query] = Seq(
+    // How much of each source goes into the next training run: the
+    // √avail-smoothed, largest-remainder-apportioned token budget.
+    Query(
+      "q_mixture_alloc",
+      Some("""WITH avail AS (
+                SELECT source,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                         AS avail_tokens
+                FROM documents GROUP BY 1),
+              w AS (SELECT source, avail_tokens,
+                           sqrt(CAST(avail_tokens AS DOUBLE)) AS wt
+                    FROM avail),
+              t AS (SELECT CAST(sum(CAST(wt AS DECIMAL(38,12)))
+                             AS DOUBLE) AS wsum FROM w),
+              q AS (SELECT source, avail_tokens, wt,
+                           100000.0 * wt / wsum AS quota, wsum
+                    FROM w CROSS JOIN t),
+              f AS (SELECT source, avail_tokens, wt, wsum,
+                           CAST(floor(quota) AS BIGINT) AS fq,
+                           quota - floor(quota) AS rem
+                    FROM q),
+              r AS (SELECT CAST(100000 - sum(fq) AS BIGINT) AS extra
+                    FROM f),
+              rk AS (SELECT f.*, row_number() OVER (ORDER BY rem DESC,
+                       source) AS rnk
+                     FROM f)
+              SELECT source, avail_tokens,
+                     round(wt / wsum * 1000000.0)/1000000.0 AS weight,
+                     CAST(fq + CASE WHEN rnk <= extra THEN 1 ELSE 0 END
+                       AS BIGINT) AS alloc_tokens,
+                     round(least(1.0,
+                         CAST(fq + CASE WHEN rnk <= extra THEN 1
+                           ELSE 0 END AS DOUBLE) / avail_tokens)
+                       * 1000000.0)/1000000.0 AS sampling_rate
+              FROM rk CROSS JOIN r ORDER BY source"""),
+      (s, d) => mixtureAllocation(Tables.documents(s, d), "source",
+        "text")),
+
     // Stratified sampling: en is over-represented 3× in the corpus, so
     // down-sample it to 25% and keep half of everything else.
     Query(

@@ -20,6 +20,7 @@ object ScaleProbe {
     val skewOnly = args.contains("--skew-only")
     val fxOnly = args.contains("--fx-only")
     val qbOnly = args.contains("--qb-only")
+    val fitOnly = args.contains("--fit-only")
     val posArgs = args.toSeq.filterNot(_.startsWith("--"))
     val sfDir = posArgs.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = if (posArgs.length > 1) posArgs.drop(1).map(_.toInt)
@@ -60,7 +61,7 @@ object ScaleProbe {
     }
 
     println(f"[scale] base corpus: $n0 docs ($sfDir)")
-    if (!skewOnly && !fxOnly && !qbOnly) {
+    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly) {
     println("[scale] mult    docs   pairs_s  clusters_s  simhash_s")
     mults.foreach { m =>
       val (rows, tp, tc, tsh) = corpusTimes(m)
@@ -79,7 +80,7 @@ object ScaleProbe {
     spark.sparkContext.addSparkListener(listener)
     val embBase = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding")
-    if (!skewOnly && !fxOnly && !qbOnly) {
+    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly) {
     println("[scale] knn:  mult    vecs   wall_s   shuffle_mb")
     Seq(1, 2, 4).foreach { m =>
       val vecs = (0 until m)
@@ -577,7 +578,7 @@ object ScaleProbe {
     }
     }
 
-    if (!skewOnly && !qbOnly) {
+    if (!skewOnly && !qbOnly && !fitOnly) {
     // Round-12 diagnostics/feature probe: trailingFeatures' only
     // exchange is the user-keyed window shuffle (linear in events —
     // key cardinality scales with the replication); sessionize is the
@@ -653,7 +654,7 @@ object ScaleProbe {
     // values inside the ≤9 crossing buckets, so cut-stage shuffle
     // bytes and wall must stay ~FLAT from 10³ distinct to
     // near-unique while the answer stays integer-exact.
-    if (qbOnly || (!skewOnly && !fxOnly)) {
+    if (qbOnly || (!skewOnly && !fxOnly && !fitOnly)) {
       println("[scale] qb13: card  rows  bins_s/mb")
       val n = 6000000L
       // absorb codegen/JIT/AQE compile outside the timed rows — a
@@ -682,6 +683,60 @@ object ScaleProbe {
       }
     }
 
+    // ft13: the hypothesis tier's two-level ECDF spine under ROW
+    // scaling (duplicated values -> the distinct-value table, and so
+    // the windows and the shuffle beyond the map-side fold, stay
+    // FIXED while rows grow), and Theil-Sen under SERIES-LENGTH
+    // scaling (the pair space is quadratic in days by design -- the
+    // probe prices it so the growth is a recorded fact, not a
+    // surprise).
+    if (fitOnly || (!skewOnly && !fxOnly && !qbOnly)) {
+      import graft.operators.{FitOps, HypothesisOps}
+      val ordBase = Tables.orders(spark, sfDir)
+        .select("o_orderstatus", "o_totalprice")
+      HypothesisOps.ksTest(ordBase, "o_totalprice", "o_orderstatus",
+        "F", "O").collect() // warm
+      println("[scale] ft13: mult    rows    ks_s/mb    mwu_s/mb")
+      Seq(1, 2, 4).foreach { m =>
+        val df = (0 until m).map(_ => ordBase).reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint()
+        val rows = df.count()
+        listener.reset()
+        var t0 = System.nanoTime()
+        HypothesisOps.ksTest(df, "o_totalprice", "o_orderstatus",
+          "F", "O").collect()
+        val wKs = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500)
+        val bKs = listener.bytes / 1e6
+        listener.reset()
+        t0 = System.nanoTime()
+        HypothesisOps.mannWhitney(df, "o_totalprice", "o_orderstatus",
+          "F", "O").collect()
+        val wMw = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500)
+        println(f"[scale] ft13: ${m}%4d  ${rows}%7d  $wKs%5.2f/" +
+          f"$bKs%5.1f  $wMw%5.2f/${listener.bytes / 1e6}%5.1f")
+      }
+      println("[scale] ft13: days   wall_s  shuffle_mb  (theil_sen)")
+      Seq(2400, 4800, 9600).foreach { days =>
+        val series = spark.range(days).select(
+          date_add(to_date(lit("1970-01-01")), col("id").cast("int"))
+            .as("d"),
+          (pmod(xxhash64(col("id")), lit(1000)).cast("double")
+            + lit(100.0)).as("v"))
+          .localCheckpoint()
+        series.count()
+        listener.reset()
+        val t0 = System.nanoTime()
+        FitOps.theilSen(series, "d", "v").collect()
+        val w = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500)
+        println(f"[scale] ft13: $days%5d  $w%6.2f  " +
+          f"${listener.bytes / 1e6}%9.1f")
+      }
+    }
+
     // Cell-skew probe: natural corpora have hot clusters, and a hot
     // CELL concentrates the IVF stage-1 equi-join's work in one task
     // once the inverted file is too big to broadcast (the 100 TB
@@ -691,7 +746,7 @@ object ScaleProbe {
     // that the shape survives is (a) AQE's skew-join splitting the hot
     // partition ("skew=true" in the executed plan) and (b) wall time
     // in the same band as the balanced corpus at equal size.
-    if (!fxOnly && !qbOnly) {
+    if (!fxOnly && !qbOnly && !fitOnly) {
       val conf = spark.conf
       val saved = Seq(
         "spark.sql.autoBroadcastJoinThreshold",

@@ -362,4 +362,33 @@ class CurationSpec extends SparkSpec {
       assert(rows.minBy(_._1)._3, s"$u keeper must be the lowest doc_id")
     }
   }
+
+  test("mixtureAllocation apportions the budget exactly, each source " +
+    "gets floor(quota) or floor+1, and sqrt smoothing boosts small " +
+    "sources' sampling rate") {
+    import spark.implicits._
+    val docs = Seq(
+      ("big", ("w " * 999).trim), ("big", ("w " * 999).trim),
+      ("mid", ("w " * 199).trim), ("mid", ("w " * 199).trim),
+      ("small", ("w " * 49).trim))
+      .toDF("source", "text")
+    val budget = 1000L
+    val got = CurationOps.mixtureAllocation(docs, "source", "text", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._4).sum === budget)
+    // Hamilton: alloc within 1 of the exact quota
+    val wts = got.map(g => g._1 -> math.sqrt(g._2.toDouble)).toMap
+    val wsum = wts.values.sum
+    got.foreach { case (src, _, _, alloc, _) =>
+      val quota = budget * wts(src) / wsum
+      assert(alloc === math.floor(quota).toLong ||
+        alloc === math.floor(quota).toLong + 1, s"$src $alloc vs $quota")
+    }
+    // sqrt smoothing: the small source is sampled at a HIGHER rate
+    val rate = got.map(g => g._1 -> g._5).toMap
+    assert(rate("small") > rate("mid") && rate("mid") > rate("big"))
+    // weights normalize to ~1
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4)
+  }
 }
