@@ -105,6 +105,120 @@ object HypothesisOps {
       r6((u - na * nb / lit(2.0)) / sigma).as("z"))
   }
 
+  /** Kruskal–Wallis H (k-sample rank test, tie-corrected): do ANY of
+    * the groups draw from a shifted distribution? Doubled average
+    * ranks 2·rank(v) = 2·C(<v) + c(v) + 1 stay integer under ties, so
+    * each group's rank sum folds exactly in DECIMAL(38,0) off a pooled
+    * two-level cumulative spine (the [[ksTest]] shape, generalized to
+    * k groups). H = 12/(n(n+1))·Σ R_g²/n_g − 3(n+1), divided by the
+    * tie factor 1 − Σ(t³−t)/(n³−n). Output: one row per group (n,
+    * mean rank) with the shared H / corrected H / dof repeated — the
+    * q_mutual_info drift stance. */
+  def kruskalWallis(df: DataFrame, valCol: String, groupCol: String)
+      : DataFrame = {
+    val s = df.select(col(valCol).cast("double").as("v"),
+      col(groupCol).cast("string").as("grp"))
+    // pooled per-value spine with the doubled average rank
+    val pooled = s.groupBy("v").agg(count(lit(1)).as("c"))
+    val bounds = pooled.agg(min("v").as("__lo"), max("v").as("__hi"))
+    val bucketed = pooled.crossJoin(broadcast(bounds))
+      .withColumn("bkt",
+        least(lit(nBuckets - 1), greatest(lit(0),
+          floor((col("v") - col("__lo")) * nBuckets /
+            (col("__hi") - col("__lo") + lit(1e-9))))).cast("int"))
+      .drop("__lo", "__hi")
+    val wOff = Window.partitionBy(BoundedWindow.key(col("bkt")))
+      .orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bkt").agg(sum("c").as("sc"))
+      .select(col("bkt"),
+        coalesce(sum("sc").over(wOff), lit(0L)).as("off"))
+    val wIn = Window.partitionBy("bkt").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spine = bucketed.join(broadcast(offsets), "bkt")
+      .withColumn("cum", col("off") + sum("c").over(wIn))
+      // doubled average rank of value v: 2·C(<v) + c + 1
+      .select(col("v"), col("c"),
+        ((col("cum") - col("c")).cast(dec0) * 2 + col("c") + 1)
+          .as("r2"))
+    val perGroupVal = s.groupBy("grp", "v").agg(count(lit(1)).as("ng"))
+    val groups = perGroupVal.join(spine, "v")
+      .groupBy("grp")
+      .agg(sum("ng").as("n_g"),
+        sum(col("ng").cast(dec0) * col("r2")).as("rg2"))
+    val tot = spine.agg(sum("c").as("n"),
+      sum((col("c").cast(dec0) * col("c") * col("c") - col("c")))
+        .as("ties"))
+    val k = groups.agg(count(lit(1)).as("k"))
+    val nD = col("n").cast("double")
+    // Σ R_g²/n_g folds in DECIMAL(38,6) from exact halved rank sums
+    val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    val hCore = groups.crossJoin(broadcast(tot))
+      .agg(sum(((col("rg2").cast("double") / 2) *
+          (col("rg2").cast("double") / 2) / col("n_g")).cast(dec6))
+        .as("rsum"), min("n").as("n"), min("ties").as("ties"))
+    val shared = hCore.crossJoin(broadcast(k))
+      .select(col("k"),
+        (lit(12.0) / (nD * (nD + 1)) * col("rsum").cast("double") -
+          lit(3.0) * (nD + 1)).as("h_raw"),
+        (lit(1.0) - col("ties").cast("double") / (nD * nD * nD - nD))
+          .as("tie_f"))
+      .select(col("k"),
+        r6(col("h_raw")).as("h"),
+        r6(col("h_raw") / col("tie_f")).as("h_corrected"),
+        (col("k") - 1).as("dof"))
+    groups.crossJoin(broadcast(shared))
+      .select(col("grp").as(groupCol), col("n_g"),
+        r6(col("rg2").cast("double") / 2 / col("n_g")).as("mean_rank"),
+        col("h"), col("h_corrected"), col("dof").cast("bigint").as("dof"))
+      .orderBy(groupCol)
+  }
+
+  /** One-way ANOVA F: between-group vs within-group variance of
+    * `valCol` across `groupCol` levels, from the same five
+    * DECIMAL-exact sums as q_corr — one map-side-combined aggregate
+    * per group, a k-row fold for the F statistic. Output: one row per
+    * group (n, mean, variance) with F / dof repeated. */
+  def anovaF(df: DataFrame, valCol: String, groupCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec6 = DecimalType(38, 6)
+    val v = col(valCol)
+    val g = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(v.cast(dec6)).as("sx"),
+        sum((v * v).cast(dec6)).as("sxx"))
+    val nG = col("n_g").cast("double")
+    val mean = col("sx").cast("double") / nG
+    // group-level exact-input doubles: SSW_g = sxx − sx²/n
+    val per = g.select(col("grp"), col("n_g"), col("sx"), col("sxx"),
+      (col("sxx").cast("double") - col("sx").cast("double") *
+        col("sx").cast("double") / nG).as("ssw_g"))
+    val tot = per.agg(sum("n_g").as("n"), count(lit(1)).as("k"),
+      sum("sx").as("sxt"),
+      sum(col("ssw_g").cast(dec6)).cast("double").as("ssw"),
+      sum(((col("sx").cast("double") * col("sx").cast("double")) / nG)
+        .cast(dec6)).cast("double").as("sq_over_n"))
+    val nD = col("n").cast("double")
+    val kD = col("k").cast("double")
+    val ssb = col("sq_over_n") -
+      col("sxt").cast("double") * col("sxt").cast("double") / nD
+    val shared = tot.select(
+      r6(ssb / (kD - 1) / (col("ssw") / (nD - kD))).as("f_stat"),
+      (col("k") - 1).cast("bigint").as("dof_between"),
+      (col("n") - col("k")).cast("bigint").as("dof_within"))
+    per.crossJoin(broadcast(shared))
+      .select(col("grp").as(groupCol), col("n_g"),
+        r6(mean).as("mean"),
+        // stddev, not variance: at price scale the variance (~2e10)
+        // sits past round-to-6dp's 2^53 ceiling AND amplifies the
+        // engines' decimal→double ulp divergence — sqrt brings both
+        // back into range (the q_profile stance)
+        r6(sqrt(greatest(col("ssw_g") / (nG - 1), lit(0.0))))
+          .as("stddev"),
+        col("f_stat"), col("dof_between"), col("dof_within"))
+      .orderBy(groupCol)
+  }
+
   val all: Seq[Query] = Seq(
     // Do finished ('F') and open ('O') orders draw their totals from
     // the same distribution? KS is the shape-sensitive answer — it
@@ -179,5 +293,91 @@ object HypothesisOps {
                        * 1000000.0)/1000000.0 AS z
               FROM m"""),
       (s, d) => mannWhitney(Tables.orders(s, d), "o_totalprice",
-        "o_orderstatus", "F", "O")))
+        "o_orderstatus", "F", "O")),
+
+    // All three statuses at once: does ANY group shift the totals'
+    // distribution — the k-sample generalization of q_mann_whitney.
+    Query(
+      "q_kruskal_wallis",
+      Some("""WITH s AS (SELECT o_totalprice AS v, o_orderstatus AS grp
+                         FROM orders),
+              p AS (SELECT v, count(*) AS c FROM s GROUP BY 1),
+              sp AS (SELECT v, c,
+                       coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * 2
+                         + c + 1 AS r2
+                     FROM p),
+              pg AS (SELECT grp, v, count(*) AS ng FROM s GROUP BY 1, 2),
+              gr AS (SELECT grp, sum(ng) AS n_g, sum(ng * r2) AS rg2
+                     FROM pg JOIN sp USING (v) GROUP BY 1),
+              t AS (SELECT sum(c) AS n, sum(c*c*c - c) AS ties FROM p),
+              kk AS (SELECT count(*) AS k FROM gr),
+              hc AS (SELECT sum(CAST((CAST(rg2 AS DOUBLE) / 2)
+                         * (CAST(rg2 AS DOUBLE) / 2) / n_g
+                         AS DECIMAL(38,6))) AS rsum,
+                       min(n) AS n, min(ties) AS ties
+                     FROM gr CROSS JOIN t),
+              sh AS (SELECT k,
+                       12.0 / (CAST(n AS DOUBLE)
+                           * (CAST(n AS DOUBLE) + 1))
+                         * CAST(rsum AS DOUBLE)
+                         - 3.0 * (CAST(n AS DOUBLE) + 1) AS h_raw,
+                       1.0 - CAST(ties AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))
+                         AS tie_f
+                     FROM hc CROSS JOIN kk)
+              SELECT grp AS o_orderstatus, CAST(n_g AS BIGINT) AS n_g,
+                     round(CAST(rg2 AS DOUBLE) / 2 / n_g
+                       * 1000000.0)/1000000.0 AS mean_rank,
+                     round(h_raw * 1000000.0)/1000000.0 AS h,
+                     round(h_raw / tie_f * 1000000.0)/1000000.0
+                       AS h_corrected,
+                     CAST(k - 1 AS BIGINT) AS dof
+              FROM gr CROSS JOIN sh ORDER BY 1"""),
+      (s, d) => kruskalWallis(Tables.orders(s, d), "o_totalprice",
+        "o_orderstatus")),
+
+    // The parametric twin: one-way ANOVA F across the same groups.
+    Query(
+      "q_anova",
+      Some("""WITH g AS (
+                SELECT o_orderstatus AS grp, count(*) AS n_g,
+                       sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sx,
+                       sum(CAST(o_totalprice * o_totalprice
+                         AS DECIMAL(38,6))) AS sxx
+                FROM orders GROUP BY 1),
+              per AS (SELECT grp, n_g, sx, sxx,
+                        CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE) / CAST(n_g AS DOUBLE)
+                          AS ssw_g
+                      FROM g),
+              t AS (SELECT sum(n_g) AS n, count(*) AS k,
+                      sum(sx) AS sxt,
+                      CAST(sum(CAST(ssw_g AS DECIMAL(38,6)))
+                        AS DOUBLE) AS ssw,
+                      CAST(sum(CAST(CAST(sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE) / CAST(n_g AS DOUBLE)
+                          AS DECIMAL(38,6))) AS DOUBLE) AS sq_over_n
+                    FROM per),
+              sh AS (SELECT
+                       round((sq_over_n - CAST(sxt AS DOUBLE)
+                           * CAST(sxt AS DOUBLE) / CAST(n AS DOUBLE))
+                         / (CAST(k AS DOUBLE) - 1)
+                         / (ssw / (CAST(n AS DOUBLE)
+                             - CAST(k AS DOUBLE)))
+                         * 1000000.0)/1000000.0 AS f_stat,
+                       CAST(k - 1 AS BIGINT) AS dof_between,
+                       CAST(n - k AS BIGINT) AS dof_within
+                     FROM t)
+              SELECT grp AS o_orderstatus, CAST(n_g AS BIGINT) AS n_g,
+                     round(CAST(sx AS DOUBLE) / CAST(n_g AS DOUBLE)
+                       * 1000000.0)/1000000.0 AS mean,
+                     round(sqrt(greatest(ssw_g
+                         / (CAST(n_g AS DOUBLE) - 1), 0.0))
+                       * 1000000.0)/1000000.0 AS stddev,
+                     f_stat, dof_between, dof_within
+              FROM per CROSS JOIN sh ORDER BY 1"""),
+      (s, d) => anovaF(Tables.orders(s, d), "o_totalprice",
+        "o_orderstatus")))
 }

@@ -103,4 +103,65 @@ class HypothesisOpsSpec extends SparkSpec {
     assert(got("s")._2 === r6(8100.0 + 25.0 + 25.0))
     assert(got("s")._2 < 10000.0 && got("s")._2 > 2500.0)
   }
+
+  // -- kruskalWallis / anovaF -----------------------------------------
+
+  private def bruteKw(groups: Seq[Seq[Double]]): (Double, Double) = {
+    val pooled = groups.flatten.sorted
+    val n = pooled.size.toDouble
+    def avgRank(v: Double): Double = {
+      val lo = pooled.count(_ < v); val c = pooled.count(_ == v)
+      lo + (c + 1) / 2.0
+    }
+    val rsum = groups.map(g => { val r = g.map(avgRank).sum; r * r / g.size }).sum
+    val h = 12.0 / (n * (n + 1)) * rsum - 3.0 * (n + 1)
+    val ties = pooled.distinct.map { v =>
+      val t = pooled.count(_ == v).toDouble; t * t * t - t
+    }.sum
+    (h, h / (1.0 - ties / (n * n * n - n)))
+  }
+
+  test("kruskalWallis matches the brute-force tie-corrected H, and for " +
+    "two groups H_corrected equals the Mann-Whitney z squared") {
+    val rnd = new scala.util.Random(31)
+    val ga = Seq.fill(80)(rnd.nextInt(15).toDouble)
+    val gb = Seq.fill(70)(3.0 + rnd.nextInt(15))
+    val gc = Seq.fill(60)(6.0 + rnd.nextInt(15))
+    val df = (ga.map(("a", _)) ++ gb.map(("b", _)) ++ gc.map(("c", _)))
+      .toDF("g", "v")
+    val row = HypothesisOps.kruskalWallis(df, "v", "g").collect()(0)
+    val (h, hc) = bruteKw(Seq(ga, gb, gc))
+    assert(row.getAs[Double]("h") === r6(h))
+    assert(row.getAs[Double]("h_corrected") === r6(hc))
+    assert(row.getAs[Long]("dof") === 2L)
+    // k = 2 identity: H_corrected = z² (both tie-corrected)
+    val df2 = (ga.map(("a", _)) ++ gb.map(("b", _))).toDF("g", "v")
+    val h2 = HypothesisOps.kruskalWallis(df2, "v", "g").collect()(0)
+      .getAs[Double]("h_corrected")
+    val z = HypothesisOps.mannWhitney(df2, "v", "g", "a", "b")
+      .collect()(0).getAs[Double]("z")
+    assert(math.abs(h2 - z * z) < 1e-3, s"H=$h2 z²=${z * z}")
+  }
+
+  test("anovaF: F near 0 for identical groups, large for separated " +
+    "groups, per-group means and stddev exact on a hand fixture") {
+    val same = (1 to 60).flatMap(i =>
+      Seq(("a", (i % 10).toDouble), ("b", (i % 10).toDouble)))
+    val fSame = HypothesisOps.anovaF(same.toDF("g", "v"), "v", "g")
+      .collect()(0).getAs[Double]("f_stat")
+    assert(math.abs(fSame) < 1e-6)
+    val apart = (1 to 60).map(i => ("a", (i % 10).toDouble)) ++
+      (1 to 60).map(i => ("b", 100.0 + i % 10))
+    val row = HypothesisOps.anovaF(apart.toDF("g", "v"), "v", "g")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(row("a").getAs[Double]("f_stat") > 1000.0)
+    assert(row("a").getAs[Double]("mean") === 4.5)
+    assert(row("b").getAs[Double]("mean") === 104.5)
+    assert(row("a").getAs[Long]("dof_between") === 1L)
+    assert(row("a").getAs[Long]("dof_within") === 118L)
+    // stddev of 6x{0..9}: sqrt(sum((x-4.5)^2)*6/119)... per-group:
+    // sample stddev of {0..9} repeated 6 times, n=60
+    val exp = math.sqrt((0 to 9).map(x => (x - 4.5) * (x - 4.5)).sum * 6 / 59.0)
+    assert(row("a").getAs[Double]("stddev") === r6(exp))
+  }
 }
