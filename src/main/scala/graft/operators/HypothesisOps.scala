@@ -219,6 +219,33 @@ object HypothesisOps {
       .orderBy(groupCol)
   }
 
+  /** Quantile–quantile table between two groups: for p = k/nQ,
+    * k = 1..nQ−1, the exact lower p-quantile of each group off the
+    * shared [[cumCounts]] spine — the distribution-shape comparison a
+    * single KS number summarizes. Quantile = min v with
+    * cum·nQ ≥ k·total, an integer-exact crossing; no extra window —
+    * one nQ-fold fan-out of the distinct-value table with a map-side
+    * min-fold per k. */
+  def qqTable(df: DataFrame, valCol: String, groupCol: String,
+      aVal: String, bVal: String, nQ: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val render = (c: Column) => c.cast(DecimalType(18, 2)).cast("double")
+    val cum = cumCounts(df, valCol, groupCol, aVal, bVal)
+    val tot = cum.agg(sum("na").as("nat"), sum("nb").as("nbt"))
+    val ks = df.sparkSession.range(1, nQ).select(col("id").as("k"))
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(ks))
+      .groupBy("k")
+      .agg(
+        min(when(col("ca").cast(dec0) * nQ >= col("k") * col("nat"),
+          col("v"))).as("qa"),
+        min(when(col("cb").cast(dec0) * nQ >= col("k") * col("nbt"),
+          col("v"))).as("qb"))
+      .select(col("k").cast("bigint").as("k"),
+        r6(col("k").cast("double") / nQ).as("p"),
+        render(col("qa")).as("q_a"), render(col("qb")).as("q_b"))
+      .orderBy("k")
+  }
+
   val all: Seq[Query] = Seq(
     // Do finished ('F') and open ('O') orders draw their totals from
     // the same distribution? KS is the shape-sensitive answer — it
@@ -379,5 +406,78 @@ object HypothesisOps {
                      f_stat, dof_between, dof_within
               FROM per CROSS JOIN sh ORDER BY 1"""),
       (s, d) => anovaF(Tables.orders(s, d), "o_totalprice",
-        "o_orderstatus")))
+        "o_orderstatus")),
+
+    // WHERE do finished and open orders' totals diverge — the
+    // shape-by-quantile readout behind q_ks_test's single number.
+    Query(
+      "q_qq",
+      Some("""WITH s AS (
+                SELECT o_totalprice AS v,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS isa
+                FROM orders WHERE o_orderstatus IN ('F', 'O')),
+              g AS (SELECT v, sum(isa) AS na, sum(1 - isa) AS nb
+                    FROM s GROUP BY 1),
+              c AS (SELECT v,
+                      sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS ca,
+                      sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS cb
+                    FROM g),
+              t AS (SELECT sum(na) AS nat, sum(nb) AS nbt FROM g),
+              ks AS (SELECT range AS k FROM range(1, 20))
+              SELECT CAST(k AS BIGINT) AS k,
+                     round(CAST(k AS DOUBLE) / 20
+                       * 1000000.0)/1000000.0 AS p,
+                     CAST(CAST(min(CASE WHEN ca * 20 >= k * nat
+                       THEN v END) AS DECIMAL(18,2)) AS DOUBLE) AS q_a,
+                     CAST(CAST(min(CASE WHEN cb * 20 >= k * nbt
+                       THEN v END) AS DECIMAL(18,2)) AS DOUBLE) AS q_b
+              FROM c CROSS JOIN t CROSS JOIN ks
+              GROUP BY k ORDER BY k"""),
+      (s, d) => qqTable(Tables.orders(s, d), "o_totalprice",
+        "o_orderstatus", "F", "O")),
+
+    // Box-plot outlier census per return flag: exact quartiles, Tukey
+    // fences, and how many rows fall outside them.
+    Query(
+      "q_iqr_outliers",
+      Some("""WITH bv AS (
+                SELECT l_returnflag AS g, l_extendedprice AS v,
+                       count(*) AS w
+                FROM lineitem GROUP BY 1, 2),
+              cm AS (SELECT g, v,
+                       sum(w) OVER (PARTITION BY g ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                         ROW) AS cumw,
+                       sum(w) OVER (PARTITION BY g) AS total
+                     FROM bv),
+              q1 AS (SELECT g, CAST(CAST(min(v) AS DECIMAL(18,2))
+                       AS DOUBLE) AS q1
+                     FROM cm WHERE cumw * 4 >= total GROUP BY g),
+              q3 AS (SELECT g, CAST(CAST(min(v) AS DECIMAL(18,2))
+                       AS DOUBLE) AS q3
+                     FROM cm WHERE cumw * 4 >= total * 3 GROUP BY g),
+              f AS (SELECT g, q1, q3,
+                      round((q3 - q1) * 1000000.0)/1000000.0 AS iqr,
+                      round((q1 - 1.5 * (q3 - q1))
+                        * 1000000.0)/1000000.0 AS lo_fence,
+                      round((q3 + 1.5 * (q3 - q1))
+                        * 1000000.0)/1000000.0 AS hi_fence
+                    FROM q1 JOIN q3 USING (g)),
+              cnt AS (SELECT l_returnflag AS g, count(*) AS n,
+                        sum(CASE WHEN l_extendedprice < lo_fence
+                          THEN 1 ELSE 0 END) AS n_below,
+                        sum(CASE WHEN l_extendedprice > hi_fence
+                          THEN 1 ELSE 0 END) AS n_above
+                      FROM lineitem JOIN f ON l_returnflag = f.g
+                      GROUP BY 1)
+              SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+                     q1, q3, iqr, lo_fence, hi_fence,
+                     CAST(n_below AS BIGINT) AS n_below,
+                     CAST(n_above AS BIGINT) AS n_above
+              FROM cnt JOIN f USING (g) ORDER BY 1"""),
+      (s, d) => StatsOps.iqrOutliers(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice")))
 }

@@ -240,7 +240,19 @@ object StatsOps {
         c => {
           import org.apache.spark.sql.types.DecimalType
           c.cast(DecimalType(18, 2)).cast("double")
-        }): DataFrame = {
+        }): DataFrame =
+    weightedQuantile(df, groupCol, valCol, weightCol, 1, 2, renderValue)
+
+  /** Per-group exact lower weighted QUANTILE at p = num/den: the
+    * smallest value v whose cumulative weight w(≤v) satisfies
+    * w·den ≥ num·total — [[weightedMedian]] is (num, den) = (1, 2).
+    * The crossing test stays integer-exact decimal arithmetic at any
+    * rational p; same iterative narrowing, same engine-identical
+    * guarantee. */
+  def weightedQuantile(df: DataFrame, groupCol: String, valCol: String,
+      weightCol: String, num: Int, den: Int,
+      renderValue: Column => Column): DataFrame = {
+    require(num > 0 && den > 0 && num < den, s"p=num/den in (0,1); got $num/$den")
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 6)
     // 8192 cells: still a trivially bounded offset window / map-side
@@ -288,10 +300,10 @@ object StatsOps {
             min("__before").as("__pbefore"), min("total").as("total"))
           .withColumn("__cum",
             coalesce(sum(col("__bw")).over(wBkt), lit(0).cast(dec)))
-          .filter((col("__pbefore") + col("__cum")) * lit(2) <
-              col("total") &&
-            (col("__pbefore") + col("__cum") + col("__bw")) * lit(2) >=
-              col("total"))
+          .filter((col("__pbefore") + col("__cum")) * lit(den) <
+              col("total") * lit(num) &&
+            (col("__pbefore") + col("__cum") + col("__bw")) * lit(den) >=
+              col("total") * lit(num))
           .select(col(groupCol),
             (col("__plo") + col("__bkt") * width).as("__blo"),
             (col("__plo") + (col("__bkt") + 1) * width).as("__bhi"),
@@ -312,7 +324,7 @@ object StatsOps {
       .agg(sum(col(weightCol).cast(dec)).as("w"),
         min("__before").as("__before"), min("total").as("total"))
       .withColumn("cumw", col("__before") + sum("w").over(wCum))
-      .filter(col("cumw") * lit(2) >= col("total"))
+      .filter(col("cumw") * lit(den) >= col("total") * lit(num))
       .groupBy(col(groupCol))
       // §7.6 final-render rule: DECIMAL stays internal (exact math),
       // outputs go out as DOUBLE so the gate's two read paths agree.
@@ -726,6 +738,43 @@ object StatsOps {
             (nD * col("tot").cast("double")) -
           (nD + lit(1.0)) / nD).as("gini"))
       .orderBy("decile")
+  }
+
+  /** Per-group Tukey-fence outlier census: exact lower quartiles via
+    * [[weightedQuantile]] (weight 1), IQR fences at 1.5·IQR, and the
+    * row counts outside them — the box-plot numbers, exact at any
+    * scale. Fences round to 6 dp BEFORE the comparison pass so both
+    * engines classify every row against identical thresholds.
+    *
+    * Scale: two iterative quantile searches (each a handful of linear
+    * scans with bucket folds) + one counting scan against the
+    * broadcast |groups|-row fence table. */
+  def iqrOutliers(df: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val render = (c: Column) => c.cast(DecimalType(18, 2)).cast("double")
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val w = df.withColumn("__w", lit(1.0))
+    val q1 = weightedQuantile(w, groupCol, valCol, "__w", 1, 4, render)
+      .select(col(groupCol), col("wmedian").as("q1"))
+    val q3 = weightedQuantile(w, groupCol, valCol, "__w", 3, 4, render)
+      .select(col(groupCol), col("wmedian").as("q3"))
+    val fences = q1.join(q3, groupCol)
+      .select(col(groupCol), col("q1"), col("q3"),
+        r6(col("q3") - col("q1")).as("iqr"),
+        r6(col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo_fence"),
+        r6(col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi_fence"))
+    df.join(broadcast(fences), groupCol)
+      .groupBy(col(groupCol), col("q1"), col("q3"), col("iqr"),
+        col("lo_fence"), col("hi_fence"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(valCol).cast("double") < col("lo_fence"), 1L)
+          .otherwise(0L)).as("n_below"),
+        sum(when(col(valCol).cast("double") > col("hi_fence"), 1L)
+          .otherwise(0L)).as("n_above"))
+      .select(col(groupCol), col("n"), col("q1"), col("q3"), col("iqr"),
+        col("lo_fence"), col("hi_fence"), col("n_below"), col("n_above"))
+      .orderBy(groupCol)
   }
 
   /** Herfindahl–Hirschman concentration index per group: the sum of

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{HypothesisOps, StatsOps}
+import org.apache.spark.sql.functions._
 
 /** Laws for the nonparametric two-sample tier: KS against a
   * brute-force ECDF sweep, Mann–Whitney against a brute-force average-
@@ -163,5 +164,55 @@ class HypothesisOpsSpec extends SparkSpec {
     // sample stddev of {0..9} repeated 6 times, n=60
     val exp = math.sqrt((0 to 9).map(x => (x - 4.5) * (x - 4.5)).sum * 6 / 59.0)
     assert(row("a").getAs[Double]("stddev") === r6(exp))
+  }
+
+  // -- weightedQuantile / qqTable / iqrOutliers ------------------------
+
+  test("weightedQuantile at k/20 equals the brute-force lower order " +
+    "statistic for every k, including under heavy ties") {
+    val rnd = new scala.util.Random(41)
+    val vals = Seq.fill(500)(rnd.nextInt(60).toDouble)
+    val df = vals.map(("g", _)).toDF("g", "v").withColumn("w", lit(1.0))
+    val sorted = vals.sorted
+    (1 until 20).foreach { k =>
+      val got = StatsOps.weightedQuantile(df, "g", "v", "w", k, 20,
+        _.cast("double")).collect()(0).getAs[Double]("wmedian")
+      // lower quantile: smallest v with 20·rank ≥ k·n
+      val expected = sorted(math.ceil(sorted.size.toDouble * k / 20).toInt - 1)
+      assert(got === expected, s"k=$k")
+    }
+  }
+
+  test("qqTable quantiles are non-decreasing in p, match identical " +
+    "groups exactly, and expose a constant shift") {
+    val rnd = new scala.util.Random(43)
+    val base = Seq.fill(400)(rnd.nextInt(300).toDouble)
+    val same = (base.map(("A", _)) ++ base.map(("B", _))).toDF("g", "v")
+    val rows = HypothesisOps.qqTable(same, "v", "g", "A", "B").collect()
+    assert(rows.length === 19)
+    rows.foreach(r => assert(r.getAs[Double]("q_a") === r.getAs[Double]("q_b")))
+    val qas = rows.map(_.getAs[Double]("q_a"))
+    assert(qas.toSeq === qas.sorted.toSeq)
+    val shifted = (base.map(("A", _)) ++ base.map(x => ("B", x + 50.0)))
+      .toDF("g", "v")
+    HypothesisOps.qqTable(shifted, "v", "g", "A", "B").collect()
+      .foreach(r => assert(
+        r.getAs[Double]("q_b") - r.getAs[Double]("q_a") === 50.0))
+  }
+
+  test("iqrOutliers: hand fixture with two planted outliers per side") {
+    // 1..100 plus outliers: q1 = 26, q3 = 76 (lower quantiles of 104
+    // values), iqr = 50, fences at -49 / 151
+    val vals = (1 to 100).map(_.toDouble) ++ Seq(-500.0, -200.0, 500.0, 800.0)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val r = StatsOps.iqrOutliers(df, "g", "v").collect()(0)
+    assert(r.getAs[Long]("n") === 104L)
+    val q1 = r.getAs[Double]("q1"); val q3 = r.getAs[Double]("q3")
+    val lo = r.getAs[Double]("lo_fence"); val hi = r.getAs[Double]("hi_fence")
+    assert(q1 === vals.sorted.apply(math.ceil(104.0 / 4).toInt - 1))
+    assert(q3 === vals.sorted.apply(math.ceil(104.0 * 3 / 4).toInt - 1))
+    assert(r.getAs[Long]("n_below") === vals.count(_ < lo).toLong)
+    assert(r.getAs[Long]("n_above") === vals.count(_ > hi).toLong)
+    assert(r.getAs[Long]("n_below") === 2L && r.getAs[Long]("n_above") === 2L)
   }
 }
