@@ -471,7 +471,64 @@ object CurationOps {
       .orderBy("source")
   }
 
+  /** Per-row feature scaling of a numeric column: min-max to [0,1]
+    * and z-score — the normalization pass in front of any model. The
+    * statistics ride as ONE broadcast 1-row aggregate (min/max +
+    * DECIMAL-exact sum/sumsq, never a driver collect); the scaling
+    * itself is a pure codegen'd map, so the whole thing is two linear
+    * passes at any corpus size. Degenerate columns (constant value)
+    * scale to NULL rather than an ANSI divide-by-zero. */
+  def featureScale(df: DataFrame, keyCol: String, valCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 6)
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val v = col(valCol).cast("double")
+    val stats = df.agg(
+      min(v).as("__mn"), max(v).as("__mx"),
+      count(lit(1)).cast("double").as("__n"),
+      sum(col(valCol).cast(dec)).cast("double").as("__sx"),
+      sum((col(valCol) * col(valCol)).cast(dec)).cast("double")
+        .as("__sxx"))
+    val mean = col("__sx") / col("__n")
+    val sd = sqrt(greatest(
+      (col("__sxx") - col("__sx") * col("__sx") / col("__n")) /
+        (col("__n") - 1), lit(0.0)))
+    df.crossJoin(broadcast(stats))
+      .select(col(keyCol), v.as(valCol),
+        when(col("__mx") =!= col("__mn"),
+          r6((v - col("__mn")) / (col("__mx") - col("__mn"))))
+          .as("minmax"),
+        when(sd > 0, r6((v - mean) / sd)).as("zscore"))
+      .orderBy(keyCol)
+  }
+
   val all: Seq[Query] = Seq(
+    // Feature scaling — the normalization in front of any model run.
+    Query(
+      "q_feature_scale",
+      Some("""WITH s AS (
+                SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                         AS DOUBLE) AS sx,
+                       CAST(sum(CAST(o_totalprice * o_totalprice
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+                FROM orders)
+              SELECT o_orderkey, o_totalprice,
+                     CASE WHEN mx <> mn THEN
+                       round((o_totalprice - mn) / (mx - mn)
+                         * 1000000.0)/1000000.0 END AS minmax,
+                     CASE WHEN sqrt(greatest((sxx - sx * sx / n)
+                         / (n - 1), 0.0)) > 0 THEN
+                       round((o_totalprice - sx / n)
+                           / sqrt(greatest((sxx - sx * sx / n)
+                             / (n - 1), 0.0))
+                         * 1000000.0)/1000000.0 END AS zscore
+              FROM orders CROSS JOIN s ORDER BY o_orderkey"""),
+      (s, d) => featureScale(Tables.orders(s, d), "o_orderkey",
+        "o_totalprice")),
+
     // How much of each source goes into the next training run: the
     // √avail-smoothed, largest-remainder-apportioned token budget.
     Query(

@@ -391,4 +391,22 @@ class CurationSpec extends SparkSpec {
     // weights normalize to ~1
     assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4)
   }
+
+  test("featureScale: minmax hits [0,1] exactly at the extremes, " +
+    "zscore has mean ~0 / sd ~1, constant columns scale to NULL") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, i.toDouble)).toDF("k", "v")
+    val rows = CurationOps.featureScale(df, "k", "v").collect()
+    val mms = rows.map(_.getAs[Double]("minmax"))
+    assert(mms.min === 0.0 && mms.max === 1.0)
+    assert(mms.toSeq === mms.sorted.toSeq) // monotone in v
+    val zs = rows.map(_.getAs[Double]("zscore"))
+    assert(math.abs(zs.sum / zs.length) < 1e-6)
+    val sd = math.sqrt(zs.map(z => z * z).sum / (zs.length - 1))
+    assert(math.abs(sd - 1.0) < 1e-3)
+    val const = (1 to 10).map(i => (i.toLong, 7.0)).toDF("k", "v")
+    CurationOps.featureScale(const, "k", "v").collect().foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3))
+    }
+  }
 }
