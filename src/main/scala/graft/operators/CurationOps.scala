@@ -503,7 +503,49 @@ object CurationOps {
       .orderBy(keyCol)
   }
 
+  /** Smoothed mean target encoding of a categorical column: the
+    * category's mean target blended toward the GLOBAL mean by a
+    * pseudo-count m — enc = (Σ_g + m·μ)/(n_g + m) — so rare categories
+    * don't memorize noise. All sums DECIMAL-exact; μ derives once from
+    * the same sums (no second scan); one keyed hash aggregate + a
+    * broadcast 1-row global. */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      m: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 6)
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val per = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"), sum(col(targetCol).cast(dec)).as("sx"))
+    val glob = per.agg(sum("n").as("__nt"), sum("sx").as("__st"))
+    per.crossJoin(broadcast(glob))
+      .select(col(catCol), col("n"),
+        r6(col("sx").cast("double") / col("n")).as("raw_mean"),
+        r6((col("sx").cast("double") + lit(m) *
+            (col("__st").cast("double") / col("__nt"))) /
+          (col("n").cast("double") + lit(m))).as("encoded"))
+      .orderBy(catCol)
+  }
+
   val all: Seq[Query] = Seq(
+    // Smoothed target encoding — the leakage-safe categorical feature.
+    Query(
+      "q_target_encode",
+      Some("""WITH per AS (
+                SELECT l_returnflag, count(*) AS n,
+                       sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS sx
+                FROM lineitem GROUP BY 1),
+              g AS (SELECT sum(n) AS nt, sum(sx) AS st FROM per)
+              SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+                     round(CAST(sx AS DOUBLE) / n
+                       * 1000000.0)/1000000.0 AS raw_mean,
+                     round((CAST(sx AS DOUBLE) + 100.0
+                         * (CAST(st AS DOUBLE) / nt))
+                         / (CAST(n AS DOUBLE) + 100.0)
+                       * 1000000.0)/1000000.0 AS encoded
+              FROM per CROSS JOIN g ORDER BY l_returnflag"""),
+      (s, d) => targetEncode(Tables.lineitem(s, d), "l_returnflag",
+        "l_extendedprice")),
+
     // Feature scaling — the normalization in front of any model run.
     Query(
       "q_feature_scale",

@@ -409,4 +409,26 @@ class CurationSpec extends SparkSpec {
       assert(r.isNullAt(2) && r.isNullAt(3))
     }
   }
+
+  test("targetEncode: big categories keep ~their raw mean, rare ones " +
+    "shrink toward the global mean, encoding is bounded by the two") {
+    import spark.implicits._
+    val df = ((1 to 1000).map(_ => ("big", 10.0)) ++
+      Seq(("rare", 1000.0), ("rare", 1000.0))).toDF("c", "t")
+    val got = CurationOps.targetEncode(df, "c", "t", m = 100.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val mu = (1000 * 10.0 + 2 * 1000.0) / 1002
+    val (nb, rawB, encB) = got("big")
+    val (nr, rawR, encR) = got("rare")
+    assert(nb === 1000L && rawB === 10.0 && nr === 2L && rawR === 1000.0)
+    // exact closed forms
+    assert(encB === math.round((1000 * 10.0 + 100 * mu) / 1100 * 1e6) / 1e6)
+    assert(encR === math.round((2 * 1000.0 + 100 * mu) / 102 * 1e6) / 1e6)
+    // rare category shrinks nearly to mu; big barely moves
+    assert(math.abs(encR - mu) < math.abs(rawR - mu) / 10)
+    assert(math.abs(encB - rawB) < 2.0)
+    // bounded between raw mean and global mean
+    assert(encR >= math.min(rawR, mu) && encR <= math.max(rawR, mu))
+  }
 }
