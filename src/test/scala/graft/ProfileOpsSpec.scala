@@ -85,4 +85,35 @@ class ProfileOpsSpec extends SparkSpec {
     val total = rows.head.getAs[Double]("psi_total")
     assert(math.abs(termSum - total) < 1e-4)
   }
+
+  // -- corrMatrix ------------------------------------------------------
+
+  test("corrMatrix: exact +1/-1 on linear columns, brute-force Pearson " +
+    "on noise, NULL on a constant column") {
+    val rnd = new scala.util.Random(51)
+    val rows = (1 to 300).map { i =>
+      val x = i.toDouble
+      (x, 2 * x + 1, -3 * x + 7, rnd.nextInt(100).toDouble, 5.0)
+    }
+    val df = rows.toDF("x", "up", "down", "noise", "const")
+    val got = ProfileOps.corrMatrix(df,
+      Seq("x", "up", "down", "noise", "const")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(("x", "up")) === Some(1.0))
+    assert(got(("x", "down")) === Some(-1.0))
+    assert(got(("up", "down")) === Some(-1.0))
+    got.filter(_._1._2 == "const").values.foreach(v => assert(v.isEmpty))
+    // brute-force Pearson for the noise pair
+    val xs = rows.map(_._1); val ns = rows.map(_._4)
+    val n = xs.size.toDouble
+    val brute = (n * xs.zip(ns).map { case (a, b) => a * b }.sum -
+      xs.sum * ns.sum) /
+      math.sqrt((n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+        (n * ns.map(b => b * b).sum - ns.sum * ns.sum))
+    val noiseCorr = got.getOrElse(("noise", "x"),
+      got(("x", "noise"))).get
+    assert(math.abs(noiseCorr - brute) < 1e-5)
+    assert(got.size === 10) // C(5,2) unordered pairs
+  }
 }
