@@ -27,7 +27,13 @@ object HypothesisOps {
 
   private def r6(c: Column): Column = round(c * lit(1000000.0)) / lit(1000000.0)
   private val dec0 = DecimalType(38, 0)
-  private val nBuckets = 1024
+  // Bucket count bounds the within-bucket window partitions at
+  // n_distinct/nBuckets rows. 8192 keeps the offset window trivially
+  // bounded while an 8× deeper corpus still lands ~1M-row inner
+  // partitions at 10¹⁰ distinct values — at that scale raise this (the
+  // cumulative sums are bucket-count-INVARIANT, so any value is
+  // hash-safe) or adopt weightedQuantile's iterative narrowing.
+  private val nBuckets = 8192
 
   /** Per-distinct-value table (v, na, nb) with two-level exclusive/
     * inclusive cumulative counts for each group. Shared spine of both
