@@ -3,6 +3,7 @@ package graft.operators
 import graft.Query
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -147,7 +148,106 @@ object ProfileOps {
       .orderBy("col_a", "col_b")
   }
 
+  /** Spearman rank correlation, EXACT under ties: each column's values
+    * map to doubled average ranks 2·rank(v) = 2·C(<v) + c(v) + 1
+    * (integers even when values repeat — the q_mann_whitney device),
+    * rows join their two rank tables back, and Pearson folds over the
+    * doubled ranks from DECIMAL(38,0)-exact sums (the ×2 scaling
+    * cancels in the correlation). No sort of the data — each rank
+    * table is a distinct-value aggregate + an 8192-bucket two-level
+    * cumulative; the join back is two keyed hash joins.
+    *
+    * Capacity: Σ(2r)² ≤ 4n³ stays inside DECIMAL(38,0) to n ≈ 2.9e12
+    * rows — past that, fold in DECIMAL(76,0)-style split sums. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec0 = DecimalType(38, 0)
+    val nBuckets = 8192
+    def rankTable(c: String): DataFrame = {
+      val g = df.groupBy(col(c).cast("double").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val bounds = g.agg(min("v").as("__lo"), max("v").as("__hi"))
+      val bucketed = g.crossJoin(broadcast(bounds))
+        .withColumn("bkt",
+          least(lit(nBuckets - 1), greatest(lit(0),
+            floor((col("v") - col("__lo")) * nBuckets /
+              (col("__hi") - col("__lo") + lit(1e-9))))).cast("int"))
+        .drop("__lo", "__hi")
+      val wOff = Window.partitionBy(BoundedWindow.key(col("bkt")))
+        .orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy("bkt").agg(sum("c").as("sc"))
+        .select(col("bkt"),
+          coalesce(sum("sc").over(wOff), lit(0L)).as("off"))
+      val wIn = Window.partitionBy("bkt").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bucketed.join(broadcast(offsets), "bkt")
+        .withColumn("cum", col("off") + sum("c").over(wIn))
+        .select(col("v"),
+          ((col("cum") - col("c")).cast(dec0) * 2 + col("c") + 1)
+            .as("r2"))
+    }
+    val rx = rankTable(xCol)
+    val ry = rankTable(yCol)
+    val ranked = df
+      .select(col(xCol).cast("double").as("__vx"),
+        col(yCol).cast("double").as("__vy"))
+      .join(rx.withColumnRenamed("v", "__vx")
+        .withColumnRenamed("r2", "__rx"), "__vx")
+      .join(ry.withColumnRenamed("v", "__vy")
+        .withColumnRenamed("r2", "__ry"), "__vy")
+    val m = ranked.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("__rx")).cast("double").as("sx"),
+      sum(col("__ry")).cast("double").as("sy"),
+      sum(col("__rx") * col("__ry")).cast("double").as("sxy"),
+      sum(col("__rx") * col("__rx")).cast("double").as("sxx"),
+      sum(col("__ry") * col("__ry")).cast("double").as("syy"))
+    val n = col("n"); val sx = col("sx"); val sy = col("sy")
+    val sxy = col("sxy"); val sxx = col("sxx"); val syy = col("syy")
+    val vprod = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    m.select(n.cast("bigint").as("n"),
+      when(vprod > 0, r6((n * sxy - sx * sy) / sqrt(vprod)))
+        .as("spearman_rho"))
+  }
+
   val all: Seq[Query] = Seq(
+    // Rank correlation — the monotone-relationship readout Pearson
+    // misses; exact under ties via integer doubled average ranks.
+    Query(
+      "q_spearman",
+      Some("""WITH gx AS (SELECT l_quantity AS v, count(*) AS c
+                          FROM lineitem GROUP BY 1),
+              rx AS (SELECT v,
+                       (sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) - c) * 2 + c + 1
+                         AS r2
+                     FROM gx),
+              gy AS (SELECT l_extendedprice AS v, count(*) AS c
+                     FROM lineitem GROUP BY 1),
+              ry AS (SELECT v,
+                       (sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) - c) * 2 + c + 1
+                         AS r2
+                     FROM gy),
+              j AS (SELECT rx.r2 AS rxx, ry.r2 AS ryy
+                    FROM lineitem
+                    JOIN rx ON l_quantity = rx.v
+                    JOIN ry ON l_extendedprice = ry.v),
+              m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(rxx) AS DOUBLE) AS sx,
+                      CAST(sum(ryy) AS DOUBLE) AS sy,
+                      CAST(sum(rxx * ryy) AS DOUBLE) AS sxy,
+                      CAST(sum(rxx * rxx) AS DOUBLE) AS sxx,
+                      CAST(sum(ryy * ryy) AS DOUBLE) AS syy
+                    FROM j)
+              SELECT CAST(n AS BIGINT) AS n,
+                     CASE WHEN (n*sxx - sx*sx)*(n*syy - sy*sy) > 0
+                       THEN round((n*sxy - sx*sy)
+                         / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))
+                         * 1000000.0)/1000000.0 END AS spearman_rho
+              FROM m"""),
+      (s, d) => spearman(Tables.lineitem(s, d), "l_quantity",
+        "l_extendedprice")),
+
     // All pairwise correlations of lineitem's numerics in one scan —
     // the profiling matrix under every feature-redundancy screen.
     Query(

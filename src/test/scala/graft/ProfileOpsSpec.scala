@@ -116,4 +116,36 @@ class ProfileOpsSpec extends SparkSpec {
     assert(math.abs(noiseCorr - brute) < 1e-5)
     assert(got.size === 10) // C(5,2) unordered pairs
   }
+
+  // -- spearman --------------------------------------------------------
+
+  test("spearman: exactly 1 on any monotone transform, -1 on an " +
+    "anti-monotone one, and matches brute-force tie-averaged rho") {
+    val rnd = new scala.util.Random(61)
+    val xs = (1 to 400).map(_ => rnd.nextInt(50).toDouble)
+    val mono = xs.map(x => (x, x * x * x + 5))  // monotone, nonlinear
+    val anti = xs.map(x => (x, -math.exp(x / 10)))
+    assert(ProfileOps.spearman(mono.toDF("x", "y"), "x", "y")
+      .collect()(0).getAs[Double]("spearman_rho") === 1.0)
+    assert(ProfileOps.spearman(anti.toDF("x", "y"), "x", "y")
+      .collect()(0).getAs[Double]("spearman_rho") === -1.0)
+    // brute force with average ranks under ties
+    val ys = xs.map(_ => rnd.nextInt(30).toDouble)
+    def avgRanks(v: Seq[Double]): Seq[Double] = {
+      val sorted = v.sorted
+      v.map { x =>
+        val lo = sorted.count(_ < x); val c = sorted.count(_ == x)
+        lo + (c + 1) / 2.0
+      }
+    }
+    val rx = avgRanks(xs); val ry = avgRanks(ys)
+    val n = xs.size.toDouble
+    val brute = (n * rx.zip(ry).map { case (a, b) => a * b }.sum -
+      rx.sum * ry.sum) /
+      math.sqrt((n * rx.map(a => a * a).sum - rx.sum * rx.sum) *
+        (n * ry.map(b => b * b).sum - ry.sum * ry.sum))
+    val got = ProfileOps.spearman(xs.zip(ys).toDF("x", "y"), "x", "y")
+      .collect()(0).getAs[Double]("spearman_rho")
+    assert(math.abs(got - brute) < 1e-6, s"got $got brute $brute")
+  }
 }
