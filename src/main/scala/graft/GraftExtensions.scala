@@ -530,6 +530,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(GraftExtensions.getClass.getName,
         "lorenz_gini"),
       (exprs: Seq[Expression]) => GraftExtensions.lorenzGiniPlan(exprs)))
+    // round-13 tiers (hypothesis / fit / profile / stats / curation /
+    // text additions) — every query family stays SQL-reachable
+    val r13Tvfs: Seq[(String,
+        Seq[Expression] =>
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+      "ks_test" -> GraftExtensions.ksTestPlan _,
+      "mann_whitney" -> GraftExtensions.mannWhitneyPlan _,
+      "kruskal_wallis" -> GraftExtensions.kruskalWallisPlan _,
+      "anova" -> GraftExtensions.anovaPlan _,
+      "qq" -> GraftExtensions.qqPlan _,
+      "mutual_info" -> GraftExtensions.mutualInfoPlan _,
+      "cramers_v" -> GraftExtensions.cramersVPlan _,
+      "kappa" -> GraftExtensions.kappaPlan _,
+      "spearman" -> GraftExtensions.spearmanPlan _,
+      "corr_matrix" -> GraftExtensions.corrMatrixPlan _,
+      "group_ols" -> GraftExtensions.groupOlsPlan _,
+      "theil_sen" -> GraftExtensions.theilSenPlan _,
+      "xcorr" -> GraftExtensions.xcorrPlan _,
+      "kaplan_meier" -> GraftExtensions.kaplanMeierPlan _,
+      "cohort" -> GraftExtensions.cohortPlan _,
+      "interarrival" -> GraftExtensions.interarrivalPlan _,
+      "fd_profile" -> GraftExtensions.fdProfilePlan _,
+      "candidate_keys" -> GraftExtensions.candidateKeysPlan _,
+      "psi" -> GraftExtensions.psiPlan _,
+      "hhi" -> GraftExtensions.hhiPlan _,
+      "iqr_outliers" -> GraftExtensions.iqrOutliersPlan _,
+      "mixture_alloc" -> GraftExtensions.mixtureAllocPlan _,
+      "feature_scale" -> GraftExtensions.featureScalePlan _,
+      "target_encode" -> GraftExtensions.targetEncodePlan _,
+      "zipf_alpha" -> GraftExtensions.zipfAlphaPlan _,
+      "t_test" -> GraftExtensions.tTestPlan _)
+    r13Tvfs.foreach { case (name, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo(GraftExtensions.getClass.getName, name),
+        builder))
+    }
   }
 }
 
@@ -2046,6 +2082,411 @@ object GraftExtensions {
     val df = namedTable("lorenz_gini",
       litStr("lorenz_gini", "table", exprs(0)), Seq(e, v))
     graft.operators.StatsOps.lorenzGini(df, e, v)
+      .queryExecution.analyzed
+  }
+
+  // ---- round-14: SQL surface for the round-13 tiers (hypothesis,
+  // fit, profile, stats, curation, text additions), restoring the
+  // every-family-SQL-reachable invariant (VERDICT r13 item 2). Same
+  // contract stance as every TVF above: literal args validated at
+  // plan-build time, named tables resolved with their required
+  // columns spelled out. ----
+
+  /** `ks_test(table, value_col, group_col, a, b)` — two-sample
+    * Kolmogorov–Smirnov ([[graft.operators.HypothesisOps.ksTest]]).
+    * Returns `(n_a, n_b, d_stat, p_value)`. */
+  private[graft] def ksTestPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("ks_test(table, value_col, group_col, a, b)", exprs, 5, 5)
+    val v = litStr("ks_test", "value_col", exprs(1))
+    val g = litStr("ks_test", "group_col", exprs(2))
+    val df = namedTable("ks_test",
+      litStr("ks_test", "table", exprs(0)), Seq(v, g))
+    graft.operators.HypothesisOps.ksTest(df, v, g,
+      litStr("ks_test", "a", exprs(3)), litStr("ks_test", "b", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `t_test(table, value_col, group_col, a, b)` — Welch's two-sample
+    * t ([[graft.operators.HypothesisOps.tTest]]). Returns
+    * `(n_a, n_b, mean_a, mean_b, t_stat, dof)`. */
+  private[graft] def tTestPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("t_test(table, value_col, group_col, a, b)", exprs, 5, 5)
+    val v = litStr("t_test", "value_col", exprs(1))
+    val g = litStr("t_test", "group_col", exprs(2))
+    val df = namedTable("t_test",
+      litStr("t_test", "table", exprs(0)), Seq(v, g))
+    graft.operators.HypothesisOps.tTest(df, v, g,
+      litStr("t_test", "a", exprs(3)), litStr("t_test", "b", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `mann_whitney(table, value_col, group_col, a, b)` — tie-corrected
+    * Mann–Whitney U ([[graft.operators.HypothesisOps.mannWhitney]]).
+    * Returns `(n_a, n_b, u, z)`. */
+  private[graft] def mannWhitneyPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("mann_whitney(table, value_col, group_col, a, b)", exprs, 5, 5)
+    val v = litStr("mann_whitney", "value_col", exprs(1))
+    val g = litStr("mann_whitney", "group_col", exprs(2))
+    val df = namedTable("mann_whitney",
+      litStr("mann_whitney", "table", exprs(0)), Seq(v, g))
+    graft.operators.HypothesisOps.mannWhitney(df, v, g,
+      litStr("mann_whitney", "a", exprs(3)),
+      litStr("mann_whitney", "b", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `kruskal_wallis(table, value_col, group_col)` — k-sample rank
+    * test ([[graft.operators.HypothesisOps.kruskalWallis]]). Returns
+    * one row per group with shared `(h, h_corrected, dof)`. */
+  private[graft] def kruskalWallisPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("kruskal_wallis(table, value_col, group_col)", exprs, 3, 3)
+    val v = litStr("kruskal_wallis", "value_col", exprs(1))
+    val g = litStr("kruskal_wallis", "group_col", exprs(2))
+    val df = namedTable("kruskal_wallis",
+      litStr("kruskal_wallis", "table", exprs(0)), Seq(v, g))
+    graft.operators.HypothesisOps.kruskalWallis(df, v, g)
+      .queryExecution.analyzed
+  }
+
+  /** `anova(table, value_col, group_col)` — one-way ANOVA F
+    * ([[graft.operators.HypothesisOps.anovaF]]). Returns one row per
+    * group with shared `(f_stat, dof_between, dof_within)`. */
+  private[graft] def anovaPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("anova(table, value_col, group_col)", exprs, 3, 3)
+    val v = litStr("anova", "value_col", exprs(1))
+    val g = litStr("anova", "group_col", exprs(2))
+    val df = namedTable("anova",
+      litStr("anova", "table", exprs(0)), Seq(v, g))
+    graft.operators.HypothesisOps.anovaF(df, v, g)
+      .queryExecution.analyzed
+  }
+
+  /** `qq(table, value_col, group_col, a, b [, n_q])` — per-p exact
+    * lower quantiles of both groups
+    * ([[graft.operators.HypothesisOps.qqTable]]). Returns
+    * `(k, p, q_a, q_b)`. */
+  private[graft] def qqPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("qq(table, value_col, group_col, a, b [, n_q])", exprs, 5, 6)
+    val v = litStr("qq", "value_col", exprs(1))
+    val g = litStr("qq", "group_col", exprs(2))
+    val df = namedTable("qq", litStr("qq", "table", exprs(0)), Seq(v, g))
+    val nQ = if (exprs.length > 5)
+      litDouble("qq", "n_q", exprs(5)).toInt else 20
+    require(nQ > 1, s"qq n_q must be > 1; got $nQ")
+    graft.operators.HypothesisOps.qqTable(df, v, g,
+      litStr("qq", "a", exprs(3)), litStr("qq", "b", exprs(4)), nQ)
+      .queryExecution.analyzed
+  }
+
+  /** `mutual_info(table, a_col, b_col)` — mutual information between
+    * two categorical columns ([[graft.operators.StatsOps.mutualInfo]]). */
+  private[graft] def mutualInfoPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("mutual_info(table, a_col, b_col)", exprs, 3, 3)
+    val a = litStr("mutual_info", "a_col", exprs(1))
+    val b = litStr("mutual_info", "b_col", exprs(2))
+    val df = namedTable("mutual_info",
+      litStr("mutual_info", "table", exprs(0)), Seq(a, b))
+    graft.operators.StatsOps.mutualInfo(df, a, b)
+      .queryExecution.analyzed
+  }
+
+  /** `cramers_v(table, a_col, b_col)` — Cramér's V association
+    * ([[graft.operators.StatsOps.cramersV]]). */
+  private[graft] def cramersVPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("cramers_v(table, a_col, b_col)", exprs, 3, 3)
+    val a = litStr("cramers_v", "a_col", exprs(1))
+    val b = litStr("cramers_v", "b_col", exprs(2))
+    val df = namedTable("cramers_v",
+      litStr("cramers_v", "table", exprs(0)), Seq(a, b))
+    graft.operators.StatsOps.cramersV(df, a, b)
+      .queryExecution.analyzed
+  }
+
+  /** `kappa(table, a_col, b_col)` — Cohen's kappa inter-rater
+    * agreement ([[graft.operators.StatsOps.cohenKappa]]). */
+  private[graft] def kappaPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("kappa(table, a_col, b_col)", exprs, 3, 3)
+    val a = litStr("kappa", "a_col", exprs(1))
+    val b = litStr("kappa", "b_col", exprs(2))
+    val df = namedTable("kappa",
+      litStr("kappa", "table", exprs(0)), Seq(a, b))
+    graft.operators.StatsOps.cohenKappa(df, a, b)
+      .queryExecution.analyzed
+  }
+
+  /** `spearman(table, x_col, y_col)` — rank correlation, exact under
+    * ties ([[graft.operators.ProfileOps.spearman]]). */
+  private[graft] def spearmanPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("spearman(table, x_col, y_col)", exprs, 3, 3)
+    val x = litStr("spearman", "x_col", exprs(1))
+    val y = litStr("spearman", "y_col", exprs(2))
+    val df = namedTable("spearman",
+      litStr("spearman", "table", exprs(0)), Seq(x, y))
+    graft.operators.ProfileOps.spearman(df, x, y)
+      .queryExecution.analyzed
+  }
+
+  /** `corr_matrix(table, cols)` — Pearson matrix over the space-
+    * separated `cols` ([[graft.operators.ProfileOps.corrMatrix]]). */
+  private[graft] def corrMatrixPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("corr_matrix(table, cols)", exprs, 2, 2)
+    val cols = litStr("corr_matrix", "cols", exprs(1)).trim
+      .split("\\s+").toSeq
+    require(cols.length >= 2,
+      "corr_matrix needs at least two space-separated column names")
+    val df = namedTable("corr_matrix",
+      litStr("corr_matrix", "table", exprs(0)), cols)
+    graft.operators.ProfileOps.corrMatrix(df, cols)
+      .queryExecution.analyzed
+  }
+
+  /** `group_ols(table, group_col, x_col, y_col)` — per-group OLS fit
+    * ([[graft.operators.FitOps.groupOls]]). */
+  private[graft] def groupOlsPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("group_ols(table, group_col, x_col, y_col)", exprs, 4, 4)
+    val g = litStr("group_ols", "group_col", exprs(1))
+    val x = litStr("group_ols", "x_col", exprs(2))
+    val y = litStr("group_ols", "y_col", exprs(3))
+    val df = namedTable("group_ols",
+      litStr("group_ols", "table", exprs(0)), Seq(g, x, y))
+    graft.operators.FitOps.groupOls(df, g, x, y)
+      .queryExecution.analyzed
+  }
+
+  /** `theil_sen(table, date_col, value_col)` — robust median-slope
+    * trend ([[graft.operators.FitOps.theilSen]]). */
+  private[graft] def theilSenPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("theil_sen(table, date_col, value_col)", exprs, 3, 3)
+    val d = litStr("theil_sen", "date_col", exprs(1))
+    val v = litStr("theil_sen", "value_col", exprs(2))
+    val df = namedTable("theil_sen",
+      litStr("theil_sen", "table", exprs(0)), Seq(d, v))
+    graft.operators.FitOps.theilSen(df, d, v)
+      .queryExecution.analyzed
+  }
+
+  /** `xcorr(a_table, a_date, a_val, b_table, b_date, b_val
+    * [, max_lag])` — lagged cross-correlation of two daily series
+    * ([[graft.operators.FitOps.crossCorr]]). */
+  private[graft] def xcorrPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("xcorr(a_table, a_date, a_val, b_table, b_date, b_val " +
+      "[, max_lag])", exprs, 6, 7)
+    val ad = litStr("xcorr", "a_date", exprs(1))
+    val av = litStr("xcorr", "a_val", exprs(2))
+    val bd = litStr("xcorr", "b_date", exprs(4))
+    val bv = litStr("xcorr", "b_val", exprs(5))
+    val a = namedTable("xcorr", litStr("xcorr", "a_table", exprs(0)),
+      Seq(ad, av))
+    val b = namedTable("xcorr", litStr("xcorr", "b_table", exprs(3)),
+      Seq(bd, bv))
+    val maxLag = if (exprs.length > 6)
+      litDouble("xcorr", "max_lag", exprs(6)).toInt else 7
+    require(maxLag >= 0, s"xcorr max_lag must be >= 0; got $maxLag")
+    graft.operators.FitOps.crossCorr(a, ad, av, b, bd, bv, maxLag)
+      .queryExecution.analyzed
+  }
+
+  /** `kaplan_meier(table, subject_col, ts_col [, censor_days])` —
+    * right-censored survival curve
+    * ([[graft.operators.FitOps.kaplanMeier]]). */
+  private[graft] def kaplanMeierPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("kaplan_meier(table, subject_col, ts_col [, censor_days])",
+      exprs, 3, 4)
+    val s = litStr("kaplan_meier", "subject_col", exprs(1))
+    val t = litStr("kaplan_meier", "ts_col", exprs(2))
+    val df = namedTable("kaplan_meier",
+      litStr("kaplan_meier", "table", exprs(0)), Seq(s, t))
+    val censor = if (exprs.length > 3)
+      litDouble("kaplan_meier", "censor_days", exprs(3)).toInt else 3
+    require(censor > 0,
+      s"kaplan_meier censor_days must be positive; got $censor")
+    graft.operators.FitOps.kaplanMeier(df, s, t, censor)
+      .queryExecution.analyzed
+  }
+
+  /** `cohort(table, cust_col, date_col [, max_k])` — monthly cohort
+    * retention matrix ([[graft.operators.FitOps.cohortRetention]]). */
+  private[graft] def cohortPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("cohort(table, cust_col, date_col [, max_k])", exprs, 3, 4)
+    val c = litStr("cohort", "cust_col", exprs(1))
+    val d = litStr("cohort", "date_col", exprs(2))
+    val df = namedTable("cohort",
+      litStr("cohort", "table", exprs(0)), Seq(c, d))
+    val maxK = if (exprs.length > 3)
+      litDouble("cohort", "max_k", exprs(3)).toInt else 11
+    require(maxK >= 1, s"cohort max_k must be >= 1; got $maxK")
+    graft.operators.FitOps.cohortRetention(df, c, d, maxK)
+      .queryExecution.analyzed
+  }
+
+  /** `interarrival(table, user_col, ts_col, order_col, type_col)` —
+    * per-event-type inter-arrival gap profile
+    * ([[graft.operators.FitOps.interarrival]]). */
+  private[graft] def interarrivalPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("interarrival(table, user_col, ts_col, order_col, type_col)",
+      exprs, 5, 5)
+    val u = litStr("interarrival", "user_col", exprs(1))
+    val t = litStr("interarrival", "ts_col", exprs(2))
+    val o = litStr("interarrival", "order_col", exprs(3))
+    val ty = litStr("interarrival", "type_col", exprs(4))
+    val df = namedTable("interarrival",
+      litStr("interarrival", "table", exprs(0)), Seq(u, t, o, ty))
+    graft.operators.FitOps.interarrival(df, u, t, o, ty)
+      .queryExecution.analyzed
+  }
+
+  /** `fd_profile(table, fds)` — functional-dependency audit; `fds` is
+    * space-separated `lhs->rhs` pairs
+    * ([[graft.operators.ProfileOps.fdProfile]]). */
+  private[graft] def fdProfilePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("fd_profile(table, fds)", exprs, 2, 2)
+    val fds = litStr("fd_profile", "fds", exprs(1)).trim.split("\\s+")
+      .toSeq.map { s =>
+        val parts = s.split("->")
+        require(parts.length == 2 && parts.forall(_.nonEmpty),
+          s"fd_profile fds entries must be 'lhs->rhs'; got '$s'")
+        (parts(0), parts(1))
+      }
+    require(fds.nonEmpty, "fd_profile needs at least one lhs->rhs pair")
+    val df = namedTable("fd_profile",
+      litStr("fd_profile", "table", exprs(0)),
+      fds.flatMap(p => Seq(p._1, p._2)).distinct)
+    graft.operators.ProfileOps.fdProfile(df, fds)
+      .queryExecution.analyzed
+  }
+
+  /** `candidate_keys(table, cols)` — uniqueness/null audit over the
+    * space-separated `cols`
+    * ([[graft.operators.ProfileOps.candidateKeys]]). */
+  private[graft] def candidateKeysPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("candidate_keys(table, cols)", exprs, 2, 2)
+    val cols = litStr("candidate_keys", "cols", exprs(1)).trim
+      .split("\\s+").toSeq
+    require(cols.nonEmpty && cols.head.nonEmpty,
+      "candidate_keys needs at least one column name")
+    val df = namedTable("candidate_keys",
+      litStr("candidate_keys", "table", exprs(0)), cols)
+    graft.operators.ProfileOps.candidateKeys(df, cols)
+      .queryExecution.analyzed
+  }
+
+  /** `psi(table, ts_col, value_col [, n_bins])` — population
+    * stability index, first half vs second half
+    * ([[graft.operators.ProfileOps.psi]]). */
+  private[graft] def psiPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("psi(table, ts_col, value_col [, n_bins])", exprs, 3, 4)
+    val t = litStr("psi", "ts_col", exprs(1))
+    val v = litStr("psi", "value_col", exprs(2))
+    val df = namedTable("psi", litStr("psi", "table", exprs(0)),
+      Seq(t, v))
+    val nBins = if (exprs.length > 3)
+      litDouble("psi", "n_bins", exprs(3)).toInt else 10
+    require(nBins >= 2, s"psi n_bins must be >= 2; got $nBins")
+    graft.operators.ProfileOps.psi(df, t, v, nBins)
+      .queryExecution.analyzed
+  }
+
+  /** `hhi(table, group_col, entity_col, value_col)` —
+    * Herfindahl–Hirschman concentration per group
+    * ([[graft.operators.StatsOps.hhi]]). */
+  private[graft] def hhiPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("hhi(table, group_col, entity_col, value_col)", exprs, 4, 4)
+    val g = litStr("hhi", "group_col", exprs(1))
+    val e = litStr("hhi", "entity_col", exprs(2))
+    val v = litStr("hhi", "value_col", exprs(3))
+    val df = namedTable("hhi", litStr("hhi", "table", exprs(0)),
+      Seq(g, e, v))
+    graft.operators.StatsOps.hhi(df, g, e, v)
+      .queryExecution.analyzed
+  }
+
+  /** `iqr_outliers(table, group_col, value_col)` — per-group Tukey-
+    * fence outlier census ([[graft.operators.StatsOps.iqrOutliers]]). */
+  private[graft] def iqrOutliersPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("iqr_outliers(table, group_col, value_col)", exprs, 3, 3)
+    val g = litStr("iqr_outliers", "group_col", exprs(1))
+    val v = litStr("iqr_outliers", "value_col", exprs(2))
+    val df = namedTable("iqr_outliers",
+      litStr("iqr_outliers", "table", exprs(0)), Seq(g, v))
+    graft.operators.StatsOps.iqrOutliers(df, g, v)
+      .queryExecution.analyzed
+  }
+
+  /** `mixture_alloc(table, source_col, text_col [, budget])` —
+    * token-budget allocation across sources
+    * ([[graft.operators.CurationOps.mixtureAllocation]]). */
+  private[graft] def mixtureAllocPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("mixture_alloc(table, source_col, text_col [, budget])",
+      exprs, 3, 4)
+    val s = litStr("mixture_alloc", "source_col", exprs(1))
+    val t = litStr("mixture_alloc", "text_col", exprs(2))
+    val df = namedTable("mixture_alloc",
+      litStr("mixture_alloc", "table", exprs(0)), Seq(s, t))
+    val budget = if (exprs.length > 3)
+      litDouble("mixture_alloc", "budget", exprs(3)).toLong else 100000L
+    require(budget > 0,
+      s"mixture_alloc budget must be positive; got $budget")
+    graft.operators.CurationOps.mixtureAllocation(df, s, t, budget)
+      .queryExecution.analyzed
+  }
+
+  /** `feature_scale(table, key_col, value_col)` — min-max and z-score
+    * scaling from one global-moments pass
+    * ([[graft.operators.CurationOps.featureScale]]). */
+  private[graft] def featureScalePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("feature_scale(table, key_col, value_col)", exprs, 3, 3)
+    val k = litStr("feature_scale", "key_col", exprs(1))
+    val v = litStr("feature_scale", "value_col", exprs(2))
+    val df = namedTable("feature_scale",
+      litStr("feature_scale", "table", exprs(0)), Seq(k, v))
+    graft.operators.CurationOps.featureScale(df, k, v)
+      .queryExecution.analyzed
+  }
+
+  /** `target_encode(table, cat_col, target_col [, m])` — m-smoothed
+    * target encoding ([[graft.operators.CurationOps.targetEncode]]). */
+  private[graft] def targetEncodePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("target_encode(table, cat_col, target_col [, m])", exprs, 3, 4)
+    val c = litStr("target_encode", "cat_col", exprs(1))
+    val t = litStr("target_encode", "target_col", exprs(2))
+    val df = namedTable("target_encode",
+      litStr("target_encode", "table", exprs(0)), Seq(c, t))
+    val m = if (exprs.length > 3)
+      litDouble("target_encode", "m", exprs(3)) else 100.0
+    require(m >= 0, s"target_encode m must be >= 0; got $m")
+    graft.operators.CurationOps.targetEncode(df, c, t, m)
+      .queryExecution.analyzed
+  }
+
+  /** `zipf_alpha(table, text_col [, fmin])` — Zipf exponent of the
+    * corpus token-frequency table
+    * ([[graft.operators.TextOps.zipfAlpha]]). */
+  private[graft] def zipfAlphaPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("zipf_alpha(table, text_col [, fmin])", exprs, 2, 3)
+    val t = litStr("zipf_alpha", "text_col", exprs(1))
+    val df = namedTable("zipf_alpha",
+      litStr("zipf_alpha", "table", exprs(0)), Seq(t))
+    val fmin = if (exprs.length > 2)
+      litDouble("zipf_alpha", "fmin", exprs(2)).toInt else 2
+    require(fmin >= 1, s"zipf_alpha fmin must be >= 1; got $fmin")
+    graft.operators.TextOps.zipfAlpha(df, t, fmin)
       .queryExecution.analyzed
   }
 }

@@ -27,17 +27,14 @@ object HypothesisOps {
 
   private def r6(c: Column): Column = round(c * lit(1000000.0)) / lit(1000000.0)
   private val dec0 = DecimalType(38, 0)
-  // Bucket count bounds the within-bucket window partitions at
-  // n_distinct/nBuckets rows. 8192 keeps the offset window trivially
-  // bounded while an 8× deeper corpus still lands ~1M-row inner
-  // partitions at 10¹⁰ distinct values — at that scale raise this (the
-  // cumulative sums are bucket-count-INVARIANT, so any value is
-  // hash-safe) or adopt weightedQuantile's iterative narrowing.
-  private val nBuckets = 8192
 
-  /** Per-distinct-value table (v, na, nb) with two-level exclusive/
-    * inclusive cumulative counts for each group. Shared spine of both
-    * tests. */
+  /** Per-distinct-value table (v, na, nb) with inclusive cumulative
+    * counts (ca, cb) for each group. Shared spine of both tests —
+    * routed through [[RankSpine]] so the within-bucket window
+    * partitions stay ≤65536 rows on ANY value distribution (the
+    * round-13 single-level spine degenerated on heavy tails; see
+    * RankSpine's scaladoc). The cumulative sums are bucket-invariant,
+    * so the swap is hash-neutral. */
   private def cumCounts(df: DataFrame, valCol: String, groupCol: String,
       aVal: String, bVal: String): DataFrame = {
     val s = df.filter(col(groupCol).isin(aVal, bVal))
@@ -45,25 +42,7 @@ object HypothesisOps {
         when(col(groupCol) === aVal, 1L).otherwise(0L).as("isa"))
     val g = s.groupBy("v")
       .agg(sum(col("isa")).as("na"), sum(lit(1L) - col("isa")).as("nb"))
-    val bounds = g.agg(min("v").as("__lo"), max("v").as("__hi"))
-    val bucketed = g.crossJoin(broadcast(bounds))
-      .withColumn("bkt",
-        least(lit(nBuckets - 1), greatest(lit(0),
-          floor((col("v") - col("__lo")) * nBuckets /
-            (col("__hi") - col("__lo") + lit(1e-9))))).cast("int"))
-      .drop("__lo", "__hi")
-    val wOff = Window.partitionBy(BoundedWindow.key(col("bkt")))
-      .orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("bkt")
-      .agg(sum("na").as("sa"), sum("nb").as("sb"))
-      .select(col("bkt"),
-        coalesce(sum("sa").over(wOff), lit(0L)).as("offa"),
-        coalesce(sum("sb").over(wOff), lit(0L)).as("offb"))
-    val wIn = Window.partitionBy("bkt").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bucketed.join(broadcast(offsets), "bkt")
-      .withColumn("ca", col("offa") + sum("na").over(wIn))
-      .withColumn("cb", col("offb") + sum("nb").over(wIn))
+    RankSpine.cumulative(g, "v", Seq("na", "nb"), Seq("ca", "cb"))
   }
 
   /** Two-sample Kolmogorov–Smirnov: D = max_v |F_a(v) − F_b(v)| over
@@ -124,24 +103,10 @@ object HypothesisOps {
       : DataFrame = {
     val s = df.select(col(valCol).cast("double").as("v"),
       col(groupCol).cast("string").as("grp"))
-    // pooled per-value spine with the doubled average rank
+    // pooled per-value spine with the doubled average rank — the
+    // heavy-tail-safe RankSpine cumulative (bucket-invariant sums)
     val pooled = s.groupBy("v").agg(count(lit(1)).as("c"))
-    val bounds = pooled.agg(min("v").as("__lo"), max("v").as("__hi"))
-    val bucketed = pooled.crossJoin(broadcast(bounds))
-      .withColumn("bkt",
-        least(lit(nBuckets - 1), greatest(lit(0),
-          floor((col("v") - col("__lo")) * nBuckets /
-            (col("__hi") - col("__lo") + lit(1e-9))))).cast("int"))
-      .drop("__lo", "__hi")
-    val wOff = Window.partitionBy(BoundedWindow.key(col("bkt")))
-      .orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("bkt").agg(sum("c").as("sc"))
-      .select(col("bkt"),
-        coalesce(sum("sc").over(wOff), lit(0L)).as("off"))
-    val wIn = Window.partitionBy("bkt").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val spine = bucketed.join(broadcast(offsets), "bkt")
-      .withColumn("cum", col("off") + sum("c").over(wIn))
+    val spine = RankSpine.cumulative(pooled, "v", Seq("c"), Seq("cum"))
       // doubled average rank of value v: 2·C(<v) + c + 1
       .select(col("v"), col("c"),
         ((col("cum") - col("c")).cast(dec0) * 2 + col("c") + 1)
@@ -225,6 +190,50 @@ object HypothesisOps {
       .orderBy(groupCol)
   }
 
+  /** Welch's two-sample t-test — the unequal-variance location test a
+    * real user reaches for before KS/MWU. Closed form over the same
+    * five DECIMAL(38,6)-exact per-group sums as [[anovaF]] (one
+    * map-side-combined aggregate, then a 2-row fold): t = (m̄a − m̄b) /
+    * √(s²a/nA + s²b/nB) with the Welch–Satterthwaite fractional dof
+    * (s²a/nA + s²b/nB)² / ((s²a/nA)²/(nA−1) + (s²b/nB)²/(nB−1)).
+    * No p-value column for the same reason [[mannWhitney]] emits z:
+    * the Student-t CDF has no closed form both engines state
+    * identically; t + dof are the decision-complete pair. */
+  def tTest(df: DataFrame, valCol: String, groupCol: String,
+      aVal: String, bVal: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec6 = DecimalType(38, 6)
+    val v = col(valCol)
+    val per = df.filter(col(groupCol).isin(aVal, bVal))
+      .groupBy((col(groupCol) === aVal).as("isa"))
+      .agg(count(lit(1)).as("n"), sum(v.cast(dec6)).as("sx"),
+        sum((v * v).cast(dec6)).as("sxx"))
+    val one = per.agg(
+      max(when(col("isa"), col("n"))).as("n_a"),
+      max(when(!col("isa"), col("n"))).as("n_b"),
+      max(when(col("isa"), col("sx"))).as("sxa"),
+      max(when(!col("isa"), col("sx"))).as("sxb"),
+      max(when(col("isa"), col("sxx"))).as("sxxa"),
+      max(when(!col("isa"), col("sxx"))).as("sxxb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("sxa").cast("double") / na
+    val mb = col("sxb").cast("double") / nb
+    val va = (col("sxxa").cast("double") -
+      col("sxa").cast("double") * col("sxa").cast("double") / na) /
+      (na - 1)
+    val vb = (col("sxxb").cast("double") -
+      col("sxb").cast("double") * col("sxb").cast("double") / nb) /
+      (nb - 1)
+    val ra = va / na; val rb = vb / nb
+    val se2 = ra + rb
+    one.select(col("n_a"), col("n_b"),
+      r6(ma).as("mean_a"), r6(mb).as("mean_b"),
+      r6(when(se2 > 0, (ma - mb) / sqrt(se2))).as("t_stat"),
+      r6(when(se2 > 0,
+        se2 * se2 / (ra * ra / (na - 1) + rb * rb / (nb - 1))))
+        .as("dof"))
+  }
+
   /** Quantile–quantile table between two groups: for p = k/nQ,
     * k = 1..nQ−1, the exact lower p-quantile of each group off the
     * shared [[cumCounts]] spine — the distribution-shape comparison a
@@ -287,6 +296,51 @@ object HypothesisOps {
                        * 1000000.0)/1000000.0 AS p_value
               FROM ds"""),
       (s, d) => ksTest(Tables.orders(s, d), "o_totalprice",
+        "o_orderstatus", "F", "O")),
+
+    // The first test a real user runs on "did the metric move":
+    // Welch's t on the two groups' totals, unequal variances assumed.
+    Query(
+      "q_t_test",
+      Some("""WITH per AS (
+                SELECT (o_orderstatus = 'F') AS isa, count(*) AS n,
+                       sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sx,
+                       sum(CAST(o_totalprice * o_totalprice
+                         AS DECIMAL(38,6))) AS sxx
+                FROM orders WHERE o_orderstatus IN ('F', 'O')
+                GROUP BY 1),
+              one AS (SELECT
+                       max(CASE WHEN isa THEN n END) AS n_a,
+                       max(CASE WHEN NOT isa THEN n END) AS n_b,
+                       max(CASE WHEN isa THEN sx END) AS sxa,
+                       max(CASE WHEN NOT isa THEN sx END) AS sxb,
+                       max(CASE WHEN isa THEN sxx END) AS sxxa,
+                       max(CASE WHEN NOT isa THEN sxx END) AS sxxb
+                     FROM per),
+              m AS (SELECT
+                      CAST(n_a AS BIGINT) AS n_a,
+                      CAST(n_b AS BIGINT) AS n_b,
+                      CAST(sxa AS DOUBLE) / n_a AS ma,
+                      CAST(sxb AS DOUBLE) / n_b AS mb,
+                      (CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE)
+                        * CAST(sxa AS DOUBLE) / n_a)
+                        / (CAST(n_a AS DOUBLE) - 1) / n_a AS ra,
+                      (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE)
+                        * CAST(sxb AS DOUBLE) / n_b)
+                        / (CAST(n_b AS DOUBLE) - 1) / n_b AS rb
+                    FROM one)
+              SELECT n_a, n_b,
+                     round(ma * 1000000.0)/1000000.0 AS mean_a,
+                     round(mb * 1000000.0)/1000000.0 AS mean_b,
+                     round(CASE WHEN ra + rb > 0 THEN (ma - mb)
+                         / sqrt(ra + rb) END
+                       * 1000000.0)/1000000.0 AS t_stat,
+                     round(CASE WHEN ra + rb > 0 THEN
+                         (ra + rb) * (ra + rb)
+                         / (ra * ra / (n_a - 1) + rb * rb / (n_b - 1))
+                       END * 1000000.0)/1000000.0 AS dof
+              FROM m"""),
+      (s, d) => tTest(Tables.orders(s, d), "o_totalprice",
         "o_orderstatus", "F", "O")),
 
     // Same question, rank-flavored: Mann–Whitney is the robust

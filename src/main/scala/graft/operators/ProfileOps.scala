@@ -161,26 +161,12 @@ object ProfileOps {
     * rows — past that, fold in DECIMAL(76,0)-style split sums. */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val dec0 = DecimalType(38, 0)
-    val nBuckets = 8192
     def rankTable(c: String): DataFrame = {
       val g = df.groupBy(col(c).cast("double").as("v"))
         .agg(count(lit(1)).as("c"))
-      val bounds = g.agg(min("v").as("__lo"), max("v").as("__hi"))
-      val bucketed = g.crossJoin(broadcast(bounds))
-        .withColumn("bkt",
-          least(lit(nBuckets - 1), greatest(lit(0),
-            floor((col("v") - col("__lo")) * nBuckets /
-              (col("__hi") - col("__lo") + lit(1e-9))))).cast("int"))
-        .drop("__lo", "__hi")
-      val wOff = Window.partitionBy(BoundedWindow.key(col("bkt")))
-        .orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = bucketed.groupBy("bkt").agg(sum("c").as("sc"))
-        .select(col("bkt"),
-          coalesce(sum("sc").over(wOff), lit(0L)).as("off"))
-      val wIn = Window.partitionBy("bkt").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      bucketed.join(broadcast(offsets), "bkt")
-        .withColumn("cum", col("off") + sum("c").over(wIn))
+      // heavy-tail-safe cumulative (RankSpine) — bucket-invariant
+      // sums, so swapping the spine cannot move the oracle hash
+      RankSpine.cumulative(g, "v", Seq("c"), Seq("cum"))
         .select(col("v"),
           ((col("cum") - col("c")).cast(dec0) * 2 + col("c") + 1)
             .as("r2"))

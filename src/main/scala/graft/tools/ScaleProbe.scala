@@ -21,6 +21,7 @@ object ScaleProbe {
     val fxOnly = args.contains("--fx-only")
     val qbOnly = args.contains("--qb-only")
     val fitOnly = args.contains("--fit-only")
+    val spineOnly = args.contains("--spine-only")
     val posArgs = args.toSeq.filterNot(_.startsWith("--"))
     val sfDir = posArgs.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = if (posArgs.length > 1) posArgs.drop(1).map(_.toInt)
@@ -61,7 +62,7 @@ object ScaleProbe {
     }
 
     println(f"[scale] base corpus: $n0 docs ($sfDir)")
-    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly) {
+    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly) {
     println("[scale] mult    docs   pairs_s  clusters_s  simhash_s")
     mults.foreach { m =>
       val (rows, tp, tc, tsh) = corpusTimes(m)
@@ -80,7 +81,7 @@ object ScaleProbe {
     spark.sparkContext.addSparkListener(listener)
     val embBase = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding")
-    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly) {
+    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly) {
     println("[scale] knn:  mult    vecs   wall_s   shuffle_mb")
     Seq(1, 2, 4).foreach { m =>
       val vecs = (0 until m)
@@ -578,7 +579,7 @@ object ScaleProbe {
     }
     }
 
-    if (!skewOnly && !qbOnly && !fitOnly) {
+    if (!skewOnly && !qbOnly && !fitOnly && !spineOnly) {
     // Round-12 diagnostics/feature probe: trailingFeatures' only
     // exchange is the user-keyed window shuffle (linear in events —
     // key cardinality scales with the replication); sessionize is the
@@ -654,7 +655,7 @@ object ScaleProbe {
     // values inside the ≤9 crossing buckets, so cut-stage shuffle
     // bytes and wall must stay ~FLAT from 10³ distinct to
     // near-unique while the answer stays integer-exact.
-    if (qbOnly || (!skewOnly && !fxOnly && !fitOnly)) {
+    if (qbOnly || (!skewOnly && !fxOnly && !fitOnly && !spineOnly)) {
       println("[scale] qb13: card  rows  bins_s/mb")
       val n = 6000000L
       // absorb codegen/JIT/AQE compile outside the timed rows — a
@@ -690,7 +691,7 @@ object ScaleProbe {
     // scaling (the pair space is quadratic in days by design -- the
     // probe prices it so the growth is a recorded fact, not a
     // surprise).
-    if (fitOnly || (!skewOnly && !fxOnly && !qbOnly)) {
+    if (fitOnly || (!skewOnly && !fxOnly && !qbOnly && !spineOnly)) {
       import graft.operators.{FitOps, HypothesisOps}
       val ordBase = Tables.orders(spark, sfDir)
         .select("o_orderstatus", "o_totalprice")
@@ -737,6 +738,48 @@ object ScaleProbe {
       }
     }
 
+    // sp14: the rank spine under the ADVERSARIAL value distribution —
+    // outlier-stretched range with the mass concentrated in one
+    // fixed-width cell (the Theil–Sen slope-table shape that
+    // degenerated the r13 single-level spine into a one-partition sort
+    // of the distinct set). RankSpine re-buckets oversized cells over
+    // their own [min,max], so wall must grow ~linearly in the DISTINCT
+    // count and stay in the same band as the benign uniform shape at
+    // equal distinct count — a blown-up heavy/uniform ratio would flag
+    // the degeneracy back.
+    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly)) {
+      import graft.operators.HypothesisOps
+      println("[scale] sp14: shape    distinct    ks_s/mb")
+      Seq(500000L, 2000000L).foreach { nd =>
+        Seq("uniform", "heavy").foreach { shape =>
+          // every id a distinct value; heavy packs them into [0,1e-3]
+          // of a range stretched to 1e12 by two outliers
+          val base = spark.range(nd).select(
+            (col("id").cast("double") /
+              (if (shape == "heavy") lit(nd.toDouble * 1e3)
+               else lit(1.0))).as("v"),
+            when(pmod(col("id"), lit(2)) === 0, lit("A"))
+              .otherwise(lit("B")).as("g"))
+          val outliers = spark.range(2).select(
+            (lit(1e6) * pow(lit(1e6), col("id").cast("double")))
+              .as("v"),
+            lit("B").as("g"))
+          val df = (if (shape == "heavy") base.unionByName(outliers)
+            else base)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .localCheckpoint()
+          df.count()
+          listener.reset()
+          val t0 = System.nanoTime()
+          HypothesisOps.ksTest(df, "v", "g", "A", "B").collect()
+          val w = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(1500)
+          println(f"[scale] sp14: $shape%7s  $nd%9d  $w%5.2f/" +
+            f"${listener.bytes / 1e6}%7.1f")
+        }
+      }
+    }
+
     // Cell-skew probe: natural corpora have hot clusters, and a hot
     // CELL concentrates the IVF stage-1 equi-join's work in one task
     // once the inverted file is too big to broadcast (the 100 TB
@@ -746,7 +789,7 @@ object ScaleProbe {
     // that the shape survives is (a) AQE's skew-join splitting the hot
     // partition ("skew=true" in the executed plan) and (b) wall time
     // in the same band as the balanced corpus at equal size.
-    if (!fxOnly && !qbOnly && !fitOnly) {
+    if (!fxOnly && !qbOnly && !fitOnly && !spineOnly) {
       val conf = spark.conf
       val saved = Seq(
         "spark.sql.autoBroadcastJoinThreshold",

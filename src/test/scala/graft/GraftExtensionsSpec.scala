@@ -1020,4 +1020,153 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.operators.StatsOps.lorenzGini(ord, "o_custkey",
         "o_totalprice").collect().map(_.toSeq).toSeq)
   }
+
+  /** SQL ≡ Scala parity over the named views, the every-family-SQL-
+    * reachable invariant's enforcement shape (one assert per TVF). */
+  private def assertParity(s2: org.apache.spark.sql.SparkSession,
+      sql: String, scala: org.apache.spark.sql.DataFrame): Unit = {
+    val viaSql = s2.sql(sql)
+    assert(viaSql.columns.toSeq === scala.columns.toSeq, sql)
+    assert(viaSql.collect().map(_.toSeq).toSeq ===
+      scala.collect().map(_.toSeq).toSeq, sql)
+  }
+
+  test("hypothesis/profile/stats TVFs (ks_test, mann_whitney, " +
+    "kruskal_wallis, anova, qq, mutual_info, cramers_v, kappa, " +
+    "spearman, corr_matrix, fd_profile, candidate_keys, psi, hhi, " +
+    "iqr_outliers) agree with the Scala API") {
+    import graft.operators.{HypothesisOps, ProfileOps, StatsOps}
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    val ord = graft.sources.Tables.orders(s2, sfDir)
+    val li = graft.sources.Tables.lineitem(s2, sfDir)
+    val ev = graft.sources.Tables.events(s2, sfDir)
+    val part = graft.sources.Tables.part(s2, sfDir)
+    ord.createOrReplaceTempView("ht_orders")
+    li.createOrReplaceTempView("ht_lineitem")
+    ev.createOrReplaceTempView("ht_events")
+    part.createOrReplaceTempView("ht_part")
+    assertParity(s2, "SELECT * FROM ks_test('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus', 'F', 'O')",
+      HypothesisOps.ksTest(ord, "o_totalprice", "o_orderstatus",
+        "F", "O"))
+    assertParity(s2, "SELECT * FROM t_test('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus', 'F', 'O')",
+      HypothesisOps.tTest(ord, "o_totalprice", "o_orderstatus",
+        "F", "O"))
+    assertParity(s2, "SELECT * FROM mann_whitney('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus', 'F', 'O')",
+      HypothesisOps.mannWhitney(ord, "o_totalprice", "o_orderstatus",
+        "F", "O"))
+    assertParity(s2, "SELECT * FROM kruskal_wallis('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus')",
+      HypothesisOps.kruskalWallis(ord, "o_totalprice", "o_orderstatus"))
+    assertParity(s2, "SELECT * FROM anova('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus')",
+      HypothesisOps.anovaF(ord, "o_totalprice", "o_orderstatus"))
+    assertParity(s2, "SELECT * FROM qq('ht_orders', 'o_totalprice', " +
+      "'o_orderstatus', 'F', 'O', 10)",
+      HypothesisOps.qqTable(ord, "o_totalprice", "o_orderstatus",
+        "F", "O", 10))
+    assertParity(s2, "SELECT * FROM mutual_info('ht_orders', " +
+      "'o_orderstatus', 'o_orderpriority')",
+      StatsOps.mutualInfo(ord, "o_orderstatus", "o_orderpriority"))
+    assertParity(s2, "SELECT * FROM cramers_v('ht_orders', " +
+      "'o_orderstatus', 'o_orderpriority')",
+      StatsOps.cramersV(ord, "o_orderstatus", "o_orderpriority"))
+    val screens = ord.select((col("o_totalprice") > 100000.0)
+      .as("big"), (col("o_orderstatus") === "F").as("done"))
+    screens.createOrReplaceTempView("ht_screens")
+    assertParity(s2, "SELECT * FROM kappa('ht_screens', 'big', 'done')",
+      StatsOps.cohenKappa(screens, "big", "done"))
+    assertParity(s2, "SELECT * FROM spearman('ht_lineitem', " +
+      "'l_quantity', 'l_extendedprice')",
+      ProfileOps.spearman(li, "l_quantity", "l_extendedprice"))
+    assertParity(s2, "SELECT * FROM corr_matrix('ht_lineitem', " +
+      "'l_quantity l_extendedprice l_discount')",
+      ProfileOps.corrMatrix(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount")))
+    assertParity(s2, "SELECT * FROM fd_profile('ht_part', " +
+      "'p_brand->p_type p_name->p_brand')",
+      ProfileOps.fdProfile(part,
+        Seq("p_brand" -> "p_type", "p_name" -> "p_brand")))
+    assertParity(s2, "SELECT * FROM candidate_keys('ht_orders', " +
+      "'o_orderkey o_custkey o_orderstatus')",
+      ProfileOps.candidateKeys(ord,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus")))
+    assertParity(s2,
+      "SELECT * FROM psi('ht_events', 'ts', 'value', 10)",
+      ProfileOps.psi(ev, "ts", "value", 10))
+    val cust = graft.sources.Tables.customer(s2, sfDir)
+    val seg = ord.join(cust, col("o_custkey") === col("c_custkey"))
+    seg.createOrReplaceTempView("ht_seg")
+    assertParity(s2, "SELECT * FROM hhi('ht_seg', 'c_mktsegment', " +
+      "'o_custkey', 'o_totalprice')",
+      StatsOps.hhi(seg, "c_mktsegment", "o_custkey", "o_totalprice"))
+    assertParity(s2, "SELECT * FROM iqr_outliers('ht_lineitem', " +
+      "'l_returnflag', 'l_extendedprice')",
+      StatsOps.iqrOutliers(li, "l_returnflag", "l_extendedprice"))
+    // contract validation fires at plan-build time with the function
+    // named, not as a downstream unresolved-column error
+    val e = intercept[Exception] {
+      s2.sql("SELECT * FROM ks_test('ht_orders', 'nope', " +
+        "'o_orderstatus', 'F', 'O')").collect()
+    }
+    assert(e.getMessage.contains("ks_test"))
+  }
+
+  test("fit/curation/text TVFs (group_ols, theil_sen, xcorr, " +
+    "kaplan_meier, cohort, interarrival, mixture_alloc, " +
+    "feature_scale, target_encode, zipf_alpha) agree with the " +
+    "Scala API") {
+    import graft.operators.{CurationOps, FitOps, TextOps}
+    val s2 = spark.newSession()
+    val ord = graft.sources.Tables.orders(s2, sfDir)
+    val li = graft.sources.Tables.lineitem(s2, sfDir)
+    val ev = graft.sources.Tables.events(s2, sfDir)
+    val docs = graft.sources.Tables.documents(s2, sfDir)
+    ord.createOrReplaceTempView("fc_orders")
+    li.createOrReplaceTempView("fc_lineitem")
+    ev.createOrReplaceTempView("fc_events")
+    docs.createOrReplaceTempView("fc_docs")
+    assertParity(s2, "SELECT * FROM group_ols('fc_lineitem', " +
+      "'l_returnflag', 'l_quantity', 'l_extendedprice')",
+      FitOps.groupOls(li, "l_returnflag", "l_quantity",
+        "l_extendedprice"))
+    assertParity(s2, "SELECT * FROM theil_sen('fc_orders', " +
+      "'o_orderdate', 'o_totalprice')",
+      FitOps.theilSen(ord, "o_orderdate", "o_totalprice"))
+    assertParity(s2, "SELECT * FROM xcorr('fc_orders', " +
+      "'o_orderdate', 'o_totalprice', 'fc_lineitem', 'l_shipdate', " +
+      "'l_extendedprice', 5)",
+      FitOps.crossCorr(ord, "o_orderdate", "o_totalprice",
+        li, "l_shipdate", "l_extendedprice", 5))
+    assertParity(s2, "SELECT * FROM kaplan_meier('fc_events', " +
+      "'user_id', 'ts')",
+      FitOps.kaplanMeier(ev, "user_id", "ts"))
+    assertParity(s2, "SELECT * FROM cohort('fc_orders', " +
+      "'o_custkey', 'o_orderdate')",
+      FitOps.cohortRetention(ord, "o_custkey", "o_orderdate"))
+    assertParity(s2, "SELECT * FROM interarrival('fc_events', " +
+      "'user_id', 'ts', 'event_id', 'event_type')",
+      FitOps.interarrival(ev, "user_id", "ts", "event_id",
+        "event_type"))
+    assertParity(s2, "SELECT * FROM mixture_alloc('fc_docs', " +
+      "'source', 'text', 50000)",
+      CurationOps.mixtureAllocation(docs, "source", "text", 50000L))
+    assertParity(s2, "SELECT * FROM feature_scale('fc_orders', " +
+      "'o_orderkey', 'o_totalprice')",
+      CurationOps.featureScale(ord, "o_orderkey", "o_totalprice"))
+    assertParity(s2, "SELECT * FROM target_encode('fc_lineitem', " +
+      "'l_returnflag', 'l_extendedprice')",
+      CurationOps.targetEncode(li, "l_returnflag", "l_extendedprice"))
+    assertParity(s2, "SELECT * FROM zipf_alpha('fc_docs', 'text')",
+      TextOps.zipfAlpha(docs, "text"))
+    // literal-arg validation names the function
+    val e = intercept[Exception] {
+      s2.sql("SELECT * FROM cohort('fc_orders', 'o_custkey', " +
+        "'o_orderdate', 0)").collect()
+    }
+    assert(e.getMessage.contains("cohort"))
+  }
 }

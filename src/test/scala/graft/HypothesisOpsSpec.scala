@@ -90,6 +90,42 @@ class HypothesisOpsSpec extends SparkSpec {
 
   // -- hhi -----------------------------------------------------------
 
+  // -- tTest -----------------------------------------------------------
+
+  test("tTest: t = 0 on identical groups; hand-computed Welch t and " +
+    "Satterthwaite dof on a fixed fixture") {
+    val a = (1 to 200).map(i => ("A", (i % 17).toDouble))
+    val same = a ++ a.map { case (_, v) => ("B", v) }
+    val r0 = HypothesisOps.tTest(same.toDF("g", "v"), "v", "g",
+      "A", "B").collect()(0)
+    assert(r0.getAs[Double]("t_stat") === 0.0)
+    assert(r0.getAs[Double]("mean_a") === r0.getAs[Double]("mean_b"))
+    // hand fixture: unequal sizes AND variances (the Welch case)
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 10.0)
+    val ys = Seq(2.0, 2.5, 3.0)
+    def meanVar(s: Seq[Double]): (Double, Double) = {
+      val m = s.sum / s.size
+      (m, s.map(x => (x - m) * (x - m)).sum / (s.size - 1))
+    }
+    val (ma, va) = meanVar(xs); val (mb, vb) = meanVar(ys)
+    val ra = va / xs.size; val rb = vb / ys.size
+    val t = (ma - mb) / math.sqrt(ra + rb)
+    val dof = (ra + rb) * (ra + rb) /
+      (ra * ra / (xs.size - 1) + rb * rb / (ys.size - 1))
+    val df = (xs.map(("A", _)) ++ ys.map(("B", _))).toDF("g", "v")
+    val r = HypothesisOps.tTest(df, "v", "g", "A", "B").collect()(0)
+    assert(r.getAs[Long]("n_a") === xs.size.toLong)
+    assert(r.getAs[Long]("n_b") === ys.size.toLong)
+    assert(r.getAs[Double]("mean_a") === r6(ma))
+    assert(r.getAs[Double]("t_stat") === r6(t))
+    assert(r.getAs[Double]("dof") === r6(dof))
+    // both groups constant → undefined standard error → NULL, not ±Inf
+    val const = (Seq.fill(5)(("A", 7.0)) ++ Seq.fill(4)(("B", 3.0)))
+      .toDF("g", "v")
+    val rc = HypothesisOps.tTest(const, "v", "g", "A", "B").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("t_stat")))
+  }
+
   test("hhi: monopoly scores 10000, k equal entities score 10000/k, " +
     "and entity fragmentation strictly lowers concentration") {
     val mono = Seq(("m", 1L, 50.0), ("m", 1L, 30.0)).toDF("g", "e", "v")
