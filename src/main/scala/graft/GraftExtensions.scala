@@ -560,7 +560,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "feature_scale" -> GraftExtensions.featureScalePlan _,
       "target_encode" -> GraftExtensions.targetEncodePlan _,
       "zipf_alpha" -> GraftExtensions.zipfAlphaPlan _,
-      "t_test" -> GraftExtensions.tTestPlan _)
+      "t_test" -> GraftExtensions.tTestPlan _,
+      "ols_multi" -> GraftExtensions.olsMultiPlan _,
+      "theil_sen_strided" -> GraftExtensions.theilSenStridedPlan _,
+      "spearman_matrix" -> GraftExtensions.spearmanMatrixPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2246,6 +2249,22 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `spearman_matrix(table, cols)` — full rank-correlation matrix
+    * over the space-separated `cols`
+    * ([[graft.operators.ProfileOps.spearmanMatrix]]). */
+  private[graft] def spearmanMatrixPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("spearman_matrix(table, cols)", exprs, 2, 2)
+    val cols = litStr("spearman_matrix", "cols", exprs(1)).trim
+      .split("\\s+").toSeq
+    require(cols.length >= 2,
+      "spearman_matrix needs at least two space-separated column names")
+    val df = namedTable("spearman_matrix",
+      litStr("spearman_matrix", "table", exprs(0)), cols)
+    graft.operators.ProfileOps.spearmanMatrix(df, cols)
+      .queryExecution.analyzed
+  }
+
   /** `group_ols(table, group_col, x_col, y_col)` — per-group OLS fit
     * ([[graft.operators.FitOps.groupOls]]). */
   private[graft] def groupOlsPlan(exprs: Seq[Expression])
@@ -2260,6 +2279,24 @@ object GraftExtensions {
       .queryExecution.analyzed
   }
 
+  /** `ols_multi(table, y_col, x_cols)` — multiple OLS on the space-
+    * separated regressors `x_cols` (2..8 of them)
+    * ([[graft.operators.FitOps.olsMulti]]). Returns one row per term
+    * `(term_idx, term, beta, n, r2)`. */
+  private[graft] def olsMultiPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("ols_multi(table, y_col, x_cols)", exprs, 3, 3)
+    val y = litStr("ols_multi", "y_col", exprs(1))
+    val xs = litStr("ols_multi", "x_cols", exprs(2)).trim
+      .split("\\s+").toSeq
+    require(xs.size >= 2 && xs.size <= 8,
+      s"ols_multi x_cols must name 2..8 columns; got ${xs.size}")
+    val df = namedTable("ols_multi",
+      litStr("ols_multi", "table", exprs(0)), y +: xs)
+    graft.operators.FitOps.olsMulti(df, y, xs)
+      .queryExecution.analyzed
+  }
+
   /** `theil_sen(table, date_col, value_col)` — robust median-slope
     * trend ([[graft.operators.FitOps.theilSen]]). */
   private[graft] def theilSenPlan(exprs: Seq[Expression])
@@ -2270,6 +2307,20 @@ object GraftExtensions {
     val df = namedTable("theil_sen",
       litStr("theil_sen", "table", exprs(0)), Seq(d, v))
     graft.operators.FitOps.theilSen(df, d, v)
+      .queryExecution.analyzed
+  }
+
+  /** `theil_sen_strided(table, date_col, value_col)` — the linear-
+    * pair-budget Theil–Sen variant (Fibonacci baseline ladder)
+    * ([[graft.operators.FitOps.theilSenStrided]]). */
+  private[graft] def theilSenStridedPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("theil_sen_strided(table, date_col, value_col)", exprs, 3, 3)
+    val d = litStr("theil_sen_strided", "date_col", exprs(1))
+    val v = litStr("theil_sen_strided", "value_col", exprs(2))
+    val df = namedTable("theil_sen_strided",
+      litStr("theil_sen_strided", "table", exprs(0)), Seq(d, v))
+    graft.operators.FitOps.theilSenStrided(df, d, v)
       .queryExecution.analyzed
   }
 

@@ -60,6 +60,170 @@ object FitOps {
       .orderBy(groupCol)
   }
 
+  /** Multiple OLS of `yCol` on up to 8 regressors (plus intercept):
+    * the feature-attribution primitive next to [[groupOls]]'s single-x
+    * fit. The whole Gram system — X'X (with the intercept column) and
+    * X'y — folds in ONE wide map-side-combined aggregate of
+    * DECIMAL(38,6)-exact sums: n, Σxi, Σxixj (i ≤ j), Σy, Σxiy, Σy².
+    * That is (d+1)(d+2)/2 + d + 2 aggregate columns — 46 at d = 8 —
+    * over a single scan; shuffle bytes are constant in the corpus.
+    *
+    * The solve is where the two paths split:
+    *  - d = 2: Cramér's rule unrolled IN-PLAN (3×3 determinants as
+    *    column expressions). Both engines evaluate the identical
+    *    formula over identical decimal-exact doubles, so the query is
+    *    DuckDB-oracle-gated like every other closed form here.
+    *  - d = 3..8: the (d+1)² Gram values collect to the driver
+    *    (bounded — ≤81 doubles, never rows) and solve by Gaussian
+    *    elimination with partial pivoting; spec-gated by exact
+    *    coefficient recovery. Driver-side because the elimination's
+    *    float-op ORDER depends on pivot choices no SQL engine can be
+    *    made to replay — the data never leaves the cluster path.
+    *
+    * Output: one row per term (`intercept` first, then the regressors
+    * in call order) with the shared n and R², the q_kruskal_wallis
+    * repeated-shared-columns stance. Singular systems (collinear
+    * regressors) yield NULL betas, not a crash. */
+  def olsMulti(df: DataFrame, yCol: String, xCols: Seq[String])
+      : DataFrame = {
+    require(xCols.size >= 2 && xCols.size <= 8,
+      s"olsMulti supports 2..8 regressors; got ${xCols.size} " +
+        "(use groupOls for single-x)")
+    require(xCols.distinct.size == xCols.size,
+      s"olsMulti regressors must be distinct; got $xCols")
+    val y = col(yCol)
+    val xs = xCols.map(col)
+    val sumCols =
+      Seq(count(lit(1)).as("n")) ++
+        xs.zipWithIndex.map { case (x, i) =>
+          sum(x.cast(dec)).as(s"s$i") } ++
+        (for (i <- xs.indices; j <- i until xs.size) yield
+          sum((xs(i) * xs(j)).cast(dec)).as(s"s${i}_$j")) ++
+        Seq(sum(y.cast(dec)).as("sy")) ++
+        xs.zipWithIndex.map { case (x, i) =>
+          sum((x * y).cast(dec)).as(s"s${i}y") } ++
+        Seq(sum((y * y).cast(dec)).as("syy"))
+    val g = df.agg(sumCols.head, sumCols.tail: _*)
+    if (xCols.size == 2) olsSolveCramer2(g, xCols)
+    else olsSolveDriver(g, xCols)
+  }
+
+  /** d = 2 closed form: Cramér's rule on the 3×3 normal equations,
+    * fully in-plan (the oracle-gated path). */
+  private def olsSolveCramer2(g: DataFrame, xCols: Seq[String])
+      : DataFrame = {
+    def d(name: String): Column = col(name).cast("double")
+    val n = d("n"); val s1 = d("s0"); val s2 = d("s1")
+    val s11 = d("s0_0"); val s12 = d("s0_1"); val s22 = d("s1_1")
+    val sy = d("sy"); val s1y = d("s0y"); val s2y = d("s1y")
+    val syy = d("syy")
+    // row-major 3×3 determinant, one fixed operand order both engines
+    // replay verbatim
+    def det3(a: Column, b: Column, c: Column,
+        p: Column, q: Column, r: Column,
+        u: Column, v: Column, w: Column): Column =
+      a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
+    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det
+    val b1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / det
+    val b2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / det
+    val sse = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    val sst = syy - sy * sy / n
+    val ok = det =!= 0.0
+    val r2 = when(ok && sst =!= 0.0,
+      r6(lit(1.0) - sse / sst))
+    val terms = Seq(("intercept", b0), (xCols(0), b1), (xCols(1), b2))
+      .zipWithIndex.map { case ((name, beta), i) =>
+        struct(lit(i.toLong).as("term_idx"), lit(name).as("term"),
+          when(ok, r6(beta)).as("beta"),
+          col("n").cast("bigint").as("n"), r2.as("r2"))
+      }
+    g.select(inline_outer(array(terms: _*))).orderBy("term_idx")
+  }
+
+  /** d = 3..8: collect the one Gram row (≤81 bounded values), solve by
+    * partial-pivot Gaussian elimination on the driver, emit the result
+    * as a literal table. */
+  private def olsSolveDriver(g: DataFrame, xCols: Seq[String])
+      : DataFrame = {
+    val spark = g.sparkSession
+    val row = g.collect()(0)
+    val d = xCols.size
+    def v(name: String): Double = row.getDecimal(row.fieldIndex(name))
+      .doubleValue()
+    val n = row.getLong(row.fieldIndex("n"))
+    val sx = Array.tabulate(d)(i => v(s"s$i"))
+    def sxx(i: Int, j: Int): Double =
+      if (i <= j) v(s"s${i}_$j") else v(s"s${j}_$i")
+    val sy = v("sy"); val syy = v("syy")
+    val sxy = Array.tabulate(d)(i => v(s"s${i}y"))
+    // normal equations, intercept as column 0
+    val k = d + 1
+    val m = Array.ofDim[Double](k, k + 1)
+    m(0)(0) = n.toDouble
+    for (i <- 0 until d) { m(0)(i + 1) = sx(i); m(i + 1)(0) = sx(i) }
+    for (i <- 0 until d; j <- 0 until d) m(i + 1)(j + 1) = sxx(i, j)
+    m(0)(k) = sy
+    for (i <- 0 until d) m(i + 1)(k) = sxy(i)
+    val beta = solveGauss(m, k)
+    val (betas, r2) = beta match {
+      case Some(b) =>
+        val sse = syy - (b(0) * sy +
+          (0 until d).map(i => b(i + 1) * sxy(i)).sum)
+        val sst = syy - sy * sy / n
+        val r2v = if (sst != 0.0) Some(1.0 - sse / sst) else None
+        (b.map(Some(_)), r2v)
+      case None => (Array.fill[Option[Double]](k)(None), None)
+    }
+    def rd(o: Option[Double]): java.lang.Double = o
+      .map(x => math.round(x * 1e6) / 1e6: java.lang.Double).orNull
+    val names = "intercept" +: xCols
+    import scala.jdk.CollectionConverters._
+    val rows = names.zipWithIndex.map { case (name, i) =>
+      org.apache.spark.sql.Row(i.toLong, name, rd(betas(i)), n,
+        rd(r2))
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term_idx",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("beta",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("r2",
+          org.apache.spark.sql.types.DoubleType))))
+      .orderBy("term_idx")
+  }
+
+  /** Partial-pivot Gaussian elimination over the augmented matrix
+    * `m` (k × (k+1)); None on a (near-)singular system. */
+  private def solveGauss(m: Array[Array[Double]], k: Int)
+      : Option[Array[Double]] = {
+    // singularity is RELATIVE: exact collinearity leaves float residue
+    // (~1e-12 of the matrix scale) in the pivot column after
+    // elimination, never a literal zero
+    val tol = 1e-10 * m.map(_.take(k).map(math.abs).max).max
+    for (c <- 0 until k) {
+      val piv = (c until k).maxBy(r => math.abs(m(r)(c)))
+      if (math.abs(m(piv)(c)) <= tol) return None
+      val t = m(c); m(c) = m(piv); m(piv) = t
+      for (r <- c + 1 until k) {
+        val f = m(r)(c) / m(c)(c)
+        for (j <- c to k) m(r)(j) -= f * m(c)(j)
+      }
+    }
+    val b = new Array[Double](k)
+    for (r <- k - 1 to 0 by -1) {
+      var acc = m(r)(k)
+      for (j <- r + 1 until k) acc -= m(r)(j) * b(j)
+      b(r) = acc / m(r)(r)
+    }
+    Some(b)
+  }
+
   /** Theil–Sen robust trend of a daily series: aggregate `valCol` per
     * day (DECIMAL-exact), then take the LOWER median of all pairwise
     * slopes (y_j − y_i)/(x_j − x_i), i < j, and the lower median of the
@@ -77,18 +241,56 @@ object FitOps {
     * [[StatsOps.weightedMedian]]'s prune-then-verify crossing search —
     * never a global sort of the pair set. */
   def theilSen(df: DataFrame, dateCol: String, valCol: String): DataFrame = {
-    // Pinned (Checkpoints.pin): weightedMedian derives bounds/crossing/
-    // final from ITS input three times, and the intercept median
-    // re-derives the slope median per branch — unpinned, the raw scan
-    // and the O(days²) pair join would re-execute 6+ times (measured
-    // 30 s → 3 s at sf0.1). The day table is ~series-length rows and
-    // the slope table ≤ distinct-6dp-slope rows: both tiny to store.
-    val daily = graft.tools.Checkpoints.pin(df
+    val daily = dailyTable(df, dateCol, valCol)
+    senFromSlopes(daily, slopePairs(daily))
+  }
+
+  /** The Fibonacci baseline ladder [[theilSenStrided]] pairs over by
+    * default: short gaps catch local structure, long gaps anchor the
+    * global trend, and the count is FIXED (15), so the pair space is
+    * O(n·15) at any series length. */
+  val StridedOffsets: Seq[Int] =
+    Seq(1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233, 377, 610, 987)
+
+  /** Strided Theil–Sen: the documented mitigation for [[theilSen]]'s
+    * by-design quadratic pair space (ft13 priced 9600 days at 58.6 s /
+    * 46M pairs). Instead of ALL pairs, each day pairs only with the
+    * days `offsets` ahead of it — O(n·|offsets|) pairs via one
+    * explode + hash equi-join on the shifted day key, everything
+    * downstream (6dp slope rounding, weightedMedian crossing search,
+    * residual-median intercept) identical to the exact operator. The
+    * default Fibonacci ladder mixes short and long baselines, so the
+    * estimate tracks the exact slope closely on real series (spec
+    * bounds it on noisy + outlier-contaminated fixtures) while the
+    * pair count stays LINEAR in the series length (sp14b probe). */
+  def theilSenStrided(df: DataFrame, dateCol: String, valCol: String,
+      offsets: Seq[Int] = StridedOffsets): DataFrame = {
+    val offs = offsets.distinct.filter(_ > 0).sorted
+    require(offs.nonEmpty, "theilSenStrided needs at least one " +
+      "positive day offset")
+    val daily = dailyTable(df, dateCol, valCol)
+    senFromSlopes(daily, stridedSlopePairs(daily, offs))
+  }
+
+  /** Per-day DECIMAL-exact pre-aggregation — the only pass over raw
+    * rows in either Theil–Sen variant. Pinned: weightedMedian derives
+    * bounds/crossing/final from ITS input three times, and the
+    * intercept median re-derives the slope median per branch —
+    * unpinned, the raw scan and the pair join would re-execute 6+
+    * times (measured 30 s → 3 s at sf0.1). */
+  private def dailyTable(df: DataFrame, dateCol: String,
+      valCol: String): DataFrame =
+    graft.tools.Checkpoints.pin(df
       .groupBy(to_date(col(dateCol)).as("d"))
       .agg(sum(col(valCol).cast(dec)).cast("double").as("y"))
       .select(
         datediff(col("d"), to_date(lit("1970-01-01"))).cast("double").as("x"),
         col("y")))
+
+  /** Shared Sen tail: lower median of the slope column, residual-
+    * median intercept, (n_days, n_pairs) readout. */
+  private def senFromSlopes(daily: DataFrame, rawSlopes: DataFrame)
+      : DataFrame = {
     // pin the RAW slope column (one narrow double, no shuffle): slopes
     // are near-unique, so a pre-aggregated histogram would be a
     // multi-million-key hash shuffle for nothing — weightedMedian's
@@ -97,7 +299,7 @@ object FitOps {
     // The "group" is the whole series — a constant key. It must be
     // NON-foldable (BoundedWindow stance) or EliminateWindowPartitions
     // strips weightedMedian's partition specs to accidental globals.
-    val slopes = graft.tools.Checkpoints.pin(slopePairs(daily))
+    val slopes = graft.tools.Checkpoints.pin(rawSlopes)
       .withColumn("w", lit(1.0))
       .withColumn("g", BoundedWindow.key(col("s")))
     // 1-row pin: the intercept median consumes this from 3 internal
@@ -117,6 +319,21 @@ object FitOps {
     broadcast(nDays).crossJoin(broadcast(slopeRow))
       .crossJoin(broadcast(interceptRow))
       .select(col("n_days"), col("n_pairs"), col("slope"), col("intercept"))
+  }
+
+  /** Strided slope column: day x pairs with day x+off per ladder
+    * offset — one |offsets|-fold explode of the day table, one hash
+    * equi-join on the shifted key (missing days simply don't match),
+    * O(n·|offsets|) pairs total. */
+  private[graft] def stridedSlopePairs(daily: DataFrame,
+      offsets: Seq[Int]): DataFrame = {
+    val lhs = daily.select(col("x").as("xa"), col("y").as("ya"),
+        explode(typedLit(offsets.map(_.toDouble))).as("off"))
+      .select(col("xa"), col("ya"), (col("xa") + col("off")).as("xb"))
+    daily.select(col("x").as("xb"), col("y").as("yb"))
+      .join(lhs, "xb")
+      .select(r6((col("yb") - col("ya")) / (col("xb") - col("xa")))
+        .as("s"))
   }
 
   /** All-pairs slope column over a `(x, y)` point table. Replicates
@@ -332,6 +549,83 @@ object FitOps {
       (s, d) => groupOls(Tables.lineitem(s, d), "l_returnflag",
         "l_quantity", "l_extendedprice")),
 
+    // Price on quantity AND discount together: the d=2 multiple-OLS
+    // closed form — which regressor carries the signal once the other
+    // is held fixed. Cramér's rule over one DECIMAL-exact Gram pass.
+    Query(
+      "q_ols_multi",
+      Some("""WITH g AS (
+                SELECT count(*) AS nn,
+                       sum(CAST(l_quantity AS DECIMAL(38,6))) AS ds1,
+                       sum(CAST(l_discount AS DECIMAL(38,6))) AS ds2,
+                       sum(CAST(l_quantity * l_quantity
+                         AS DECIMAL(38,6))) AS ds11,
+                       sum(CAST(l_quantity * l_discount
+                         AS DECIMAL(38,6))) AS ds12,
+                       sum(CAST(l_discount * l_discount
+                         AS DECIMAL(38,6))) AS ds22,
+                       sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+                         AS dsy,
+                       sum(CAST(l_quantity * l_extendedprice
+                         AS DECIMAL(38,6))) AS ds1y,
+                       sum(CAST(l_discount * l_extendedprice
+                         AS DECIMAL(38,6))) AS ds2y,
+                       sum(CAST(l_extendedprice * l_extendedprice
+                         AS DECIMAL(38,6))) AS dsyy
+                FROM lineitem),
+              dd AS (SELECT CAST(nn AS DOUBLE) AS n,
+                       CAST(ds1 AS DOUBLE) AS s1,
+                       CAST(ds2 AS DOUBLE) AS s2,
+                       CAST(ds11 AS DOUBLE) AS s11,
+                       CAST(ds12 AS DOUBLE) AS s12,
+                       CAST(ds22 AS DOUBLE) AS s22,
+                       CAST(dsy AS DOUBLE) AS sy,
+                       CAST(ds1y AS DOUBLE) AS s1y,
+                       CAST(ds2y AS DOUBLE) AS s2y,
+                       CAST(dsyy AS DOUBLE) AS syy,
+                       CAST(nn AS BIGINT) AS n_rows
+                     FROM g),
+              c AS (SELECT *,
+                      n * (s11 * s22 - s12 * s12)
+                        - s1 * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s12 - s11 * s2) AS det
+                    FROM dd),
+              b AS (SELECT *,
+                      (sy * (s11 * s22 - s12 * s12)
+                        - s1 * (s1y * s22 - s12 * s2y)
+                        + s2 * (s1y * s12 - s11 * s2y)) / det AS b0,
+                      (n * (s1y * s22 - s12 * s2y)
+                        - sy * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s2y - s1y * s2)) / det AS b1,
+                      (n * (s11 * s2y - s1y * s12)
+                        - s1 * (s1 * s2y - s1y * s2)
+                        + sy * (s1 * s12 - s11 * s2)) / det AS b2
+                    FROM c),
+              f AS (SELECT *,
+                      syy - (b0 * sy + b1 * s1y + b2 * s2y) AS sse,
+                      syy - sy * sy / n AS sst
+                    FROM b),
+              terms AS (
+                SELECT CAST(0 AS BIGINT) AS term_idx,
+                       'intercept' AS term, b0 AS beta_raw, n_rows,
+                       det, sse, sst FROM f
+                UNION ALL
+                SELECT CAST(1 AS BIGINT), 'l_quantity', b1, n_rows,
+                       det, sse, sst FROM f
+                UNION ALL
+                SELECT CAST(2 AS BIGINT), 'l_discount', b2, n_rows,
+                       det, sse, sst FROM f)
+              SELECT term_idx, term,
+                     round(CASE WHEN det <> 0 THEN beta_raw END
+                       * 1000000.0)/1000000.0 AS beta,
+                     n_rows AS n,
+                     round(CASE WHEN det <> 0 AND sst <> 0
+                         THEN 1.0 - sse / sst END
+                       * 1000000.0)/1000000.0 AS r2
+              FROM terms ORDER BY term_idx"""),
+      (s, d) => olsMulti(Tables.lineitem(s, d), "l_extendedprice",
+        Seq("l_quantity", "l_discount"))),
+
     // Theil–Sen trend of daily order revenue: the robust slope a few
     // outlier days can't move (OLS breakdown point 0, Theil–Sen 29%).
     Query(
@@ -371,6 +665,51 @@ object FitOps {
                      CAST(intercept AS DOUBLE) AS intercept
               FROM nd CROSS JOIN med CROSS JOIN imed"""),
       (s, d) => theilSen(Tables.orders(s, d), "o_orderdate",
+        "o_totalprice")),
+
+    // The same robust trend with the LINEAR pair budget: each day
+    // pairs only with the Fibonacci-ladder days ahead of it — the
+    // series-length mitigation ft13 priced for the exact operator.
+    Query(
+      "q_theil_sen_strided",
+      Some("""WITH daily AS (
+                SELECT CAST(date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                         AS DOUBLE) AS y
+                FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+              offs AS (SELECT unnest([1, 2, 3, 5, 8, 13, 21, 34, 55,
+                         89, 144, 233, 377, 610, 987]) AS off),
+              pairs AS (
+                SELECT round((b.y - a.y) / (b.x - a.x) * 1000000.0)
+                         / 1000000.0 AS s
+                FROM daily a CROSS JOIN offs o
+                JOIN daily b ON b.x = a.x + o.off),
+              bv AS (SELECT s, count(*) AS w FROM pairs GROUP BY 1),
+              cm AS (SELECT s,
+                       sum(w) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                         PRECEDING AND CURRENT ROW) AS cumw,
+                       sum(w) OVER () AS total FROM bv),
+              med AS (SELECT min(s) AS slope,
+                             CAST(min(total) AS BIGINT) AS n_pairs
+                      FROM cm WHERE cumw * 2 >= total),
+              resid AS (
+                SELECT round((d.y - m.slope * d.x) * 1000000.0)
+                         / 1000000.0 AS r
+                FROM daily d CROSS JOIN med m),
+              rv AS (SELECT r, count(*) AS w FROM resid GROUP BY 1),
+              rcm AS (SELECT r,
+                        sum(w) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS cumw,
+                        sum(w) OVER () AS total FROM rv),
+              imed AS (SELECT min(r) AS intercept FROM rcm
+                       WHERE cumw * 2 >= total),
+              nd AS (SELECT count(*) AS n_days FROM daily)
+              SELECT CAST(n_days AS BIGINT) AS n_days, n_pairs,
+                     CAST(slope AS DOUBLE) AS slope,
+                     CAST(intercept AS DOUBLE) AS intercept
+              FROM nd CROSS JOIN med CROSS JOIN imed"""),
+      (s, d) => theilSenStrided(Tables.orders(s, d), "o_orderdate",
         "o_totalprice")),
 
     // Does shipping volume track ordering volume, and at what delay?

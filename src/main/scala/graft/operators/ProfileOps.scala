@@ -159,20 +159,65 @@ object ProfileOps {
     *
     * Capacity: Σ(2r)² ≤ 4n³ stays inside DECIMAL(38,0) to n ≈ 2.9e12
     * rows — past that, fold in DECIMAL(76,0)-style split sums. */
-  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  /** Doubled-average-rank table of one column: (v, r2) with
+    * 2·rank(v) = 2·C(<v) + c(v) + 1 — integer even under ties. The
+    * cumulative runs through the heavy-tail-safe [[RankSpine]]
+    * (bucket-invariant sums, so the spine cannot move oracle hashes).
+    * Shared by [[spearman]] and [[spearmanMatrix]]. */
+  private def rankTable(df: DataFrame, c: String): DataFrame = {
     val dec0 = DecimalType(38, 0)
-    def rankTable(c: String): DataFrame = {
-      val g = df.groupBy(col(c).cast("double").as("v"))
-        .agg(count(lit(1)).as("c"))
-      // heavy-tail-safe cumulative (RankSpine) — bucket-invariant
-      // sums, so swapping the spine cannot move the oracle hash
-      RankSpine.cumulative(g, "v", Seq("c"), Seq("cum"))
-        .select(col("v"),
-          ((col("cum") - col("c")).cast(dec0) * 2 + col("c") + 1)
-            .as("r2"))
+    val g = df.groupBy(col(c).cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+    RankSpine.cumulative(g, "v", Seq("c"), Seq("cum"))
+      .select(col("v"),
+        ((col("cum") - col("c")).cast(dec0) * 2 + col("c") + 1)
+          .as("r2"))
+  }
+
+  /** Full Spearman rank-correlation matrix over `cols` — the robust
+    * (monotone-relationship) twin of [[corrMatrix]]. One rank table
+    * per column (the [[spearman]] spine), k keyed hash joins back to
+    * the rows, then ONE wide aggregate carrying all rank sums /
+    * squares / pairwise cross-products in DECIMAL(38,0) (exact — the
+    * doubled ranks are integers), folded per pair and unpivoted via
+    * inline_outer exactly like corrMatrix. Constant columns → NULL. */
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "spearmanMatrix needs at least two columns")
+    require(cols.distinct.size == cols.size,
+      s"spearmanMatrix columns must be distinct; got $cols")
+    val idx = cols.indices
+    var ranked = df.select(idx.map(i =>
+      col(cols(i)).cast("double").as(s"__v$i")): _*)
+    idx.foreach { i =>
+      ranked = ranked.join(
+        rankTable(df, cols(i)).withColumnRenamed("v", s"__v$i")
+          .withColumnRenamed("r2", s"__r$i"), s"__v$i")
     }
-    val rx = rankTable(xCol)
-    val ry = rankTable(yCol)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      idx.map(i => sum(col(s"__r$i")).as(s"sr$i")) ++
+      (for (i <- idx; j <- i until cols.size) yield
+        sum(col(s"__r$i") * col(s"__r$j")).as(s"sr${i}_$j"))
+    val one = ranked.agg(aggs.head, aggs.tail: _*)
+    val pairRows = (for (i <- idx; j <- i + 1 until cols.size) yield {
+      val n = col("n").cast("double")
+      val si = col(s"sr$i").cast("double")
+      val sj = col(s"sr$j").cast("double")
+      val sii = col(s"sr${i}_$i").cast("double")
+      val sjj = col(s"sr${j}_$j").cast("double")
+      val sij = col(s"sr${i}_$j").cast("double")
+      val vprod = (n * sii - si * si) * (n * sjj - sj * sj)
+      struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+        col("n").cast("bigint").as("n"),
+        when(vprod > 0, r6((n * sij - si * sj) / sqrt(vprod)))
+          .as("spearman_rho"))
+    }).toSeq
+    one.select(inline_outer(array(pairRows: _*)))
+      .orderBy("col_a", "col_b")
+  }
+
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rx = rankTable(df, xCol)
+    val ry = rankTable(df, yCol)
     val ranked = df
       .select(col(xCol).cast("double").as("__vx"),
         col(yCol).cast("double").as("__vy"))
@@ -233,6 +278,51 @@ object ProfileOps {
               FROM m"""),
       (s, d) => spearman(Tables.lineitem(s, d), "l_quantity",
         "l_extendedprice")),
+
+    // Every pairwise monotone relationship at once — the rank twin of
+    // q_corr_matrix, immune to the outliers that bend Pearson.
+    Query(
+      "q_spearman_matrix",
+      Some {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+        val idx = cols.indices
+        val rankCtes = cols.zipWithIndex.map { case (c, i) =>
+          s"""g$i AS (SELECT $c AS v, count(*) AS c
+                      FROM lineitem GROUP BY 1),
+              r$i AS (SELECT v,
+                        (sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) - c) * 2 + c + 1
+                          AS r2
+                      FROM g$i)"""
+        }.mkString(",\n              ")
+        val joins = cols.zipWithIndex
+          .map { case (c, i) => s"JOIN r$i ON $c = r$i.v" }
+          .mkString("\n                    ")
+        val rankedSel = idx.map(i => s"r$i.r2 AS rr$i").mkString(", ")
+        val sums = (Seq("CAST(count(*) AS DOUBLE) AS n") ++
+          idx.map(i => s"CAST(sum(rr$i) AS DOUBLE) AS sr$i") ++
+          (for (i <- idx; j <- i until cols.size) yield
+            s"CAST(sum(rr$i * rr$j) AS DOUBLE) AS sr${i}_$j"))
+          .mkString(",\n                      ")
+        val branches = (for (i <- idx; j <- i + 1 until cols.size)
+          yield
+            s"""SELECT '${cols(i)}' AS col_a, '${cols(j)}' AS col_b,
+                  CAST(n AS BIGINT) AS n,
+                  CASE WHEN (n*sr${i}_$i - sr$i*sr$i)
+                      *(n*sr${j}_$j - sr$j*sr$j) > 0
+                    THEN round((n*sr${i}_$j - sr$i*sr$j)
+                      / sqrt((n*sr${i}_$i - sr$i*sr$i)
+                        *(n*sr${j}_$j - sr$j*sr$j))
+                      * 1000000.0)/1000000.0 END AS spearman_rho
+                FROM m""").mkString(" UNION ALL ")
+        s"""WITH $rankCtes,
+              j AS (SELECT $rankedSel FROM lineitem
+                    $joins),
+              m AS (SELECT $sums FROM j)
+              SELECT * FROM ($branches) ORDER BY col_a, col_b"""
+      },
+      (s, d) => spearmanMatrix(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
 
     // All pairwise correlations of lineitem's numerics in one scan —
     // the profiling matrix under every feature-redundancy screen.

@@ -736,6 +736,26 @@ object ScaleProbe {
         println(f"[scale] ft13: $days%5d  $w%6.2f  " +
           f"${listener.bytes / 1e6}%9.1f")
       }
+      // sp14b: the strided variant under the SAME series-length sweep
+      // must grow ~linearly (pair budget n·15), where the exact
+      // operator above grows quadratically by design
+      println("[scale] sp14b: days   wall_s  shuffle_mb  (theil_sen_strided)")
+      Seq(2400, 4800, 9600).foreach { days =>
+        val series = spark.range(days).select(
+          date_add(to_date(lit("1970-01-01")), col("id").cast("int"))
+            .as("d"),
+          (pmod(xxhash64(col("id")), lit(1000)).cast("double")
+            + lit(100.0)).as("v"))
+          .localCheckpoint()
+        series.count()
+        listener.reset()
+        val t0 = System.nanoTime()
+        FitOps.theilSenStrided(series, "d", "v").collect()
+        val w = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500)
+        println(f"[scale] sp14b: $days%5d  $w%6.2f  " +
+          f"${listener.bytes / 1e6}%9.1f")
+      }
     }
 
     // sp14: the rank spine under the ADVERSARIAL value distribution —

@@ -42,6 +42,49 @@ class FitOpsSpec extends SparkSpec {
     slopes(math.ceil(slopes.size / 2.0).toInt - 1)
   }
 
+  test("olsMulti recovers exact planted coefficients on both the " +
+    "in-plan d=2 path and the driver-solve d=4 path; collinear " +
+    "regressors yield NULL betas") {
+    import spark.implicits._
+    // d=2 (Cramér in-plan): y = 3 + 2·x1 − 0.5·x2, exact
+    val d2 = (1 to 200).map { i =>
+      val x1 = (i % 13).toDouble; val x2 = (i % 7).toDouble
+      (x1, x2, 3.0 + 2.0 * x1 - 0.5 * x2)
+    }.toDF("x1", "x2", "y")
+    val r2rows = FitOps.olsMulti(d2, "y", Seq("x1", "x2")).collect()
+    assert(r2rows.map(_.getAs[String]("term")).toSeq ===
+      Seq("intercept", "x1", "x2"))
+    assert(r2rows.map(_.getAs[Double]("beta")).toSeq ===
+      Seq(3.0, 2.0, -0.5))
+    assert(r2rows.forall(_.getAs[Double]("r2") === 1.0))
+    assert(r2rows.forall(_.getAs[Long]("n") === 200L))
+    // d=4 (driver Gaussian): y = 1 + x1 − 2·x2 + 0.25·x3 + 4·x4
+    val d4 = (1 to 500).map { i =>
+      val x1 = (i % 11).toDouble; val x2 = (i % 5).toDouble
+      val x3 = (i % 17).toDouble; val x4 = ((i * 7) % 23).toDouble
+      (x1, x2, x3, x4,
+        1.0 + x1 - 2.0 * x2 + 0.25 * x3 + 4.0 * x4)
+    }.toDF("x1", "x2", "x3", "x4", "y")
+    val r4 = FitOps.olsMulti(d4, "y", Seq("x1", "x2", "x3", "x4"))
+      .collect()
+    assert(r4.map(_.getAs[String]("term")).toSeq ===
+      Seq("intercept", "x1", "x2", "x3", "x4"))
+    r4.map(_.getAs[Double]("beta")).toSeq
+      .zip(Seq(1.0, 1.0, -2.0, 0.25, 4.0)).foreach { case (got, exp) =>
+        assert(math.abs(got - exp) < 1e-5, s"beta $got vs $exp")
+      }
+    // collinear: x2 = 2·x1 → singular normal equations → NULL betas
+    val coll = (1 to 100).map { i =>
+      val x1 = (i % 9).toDouble; (x1, 2.0 * x1, 5.0 + x1)
+    }.toDF("x1", "x2", "y")
+    val rc = FitOps.olsMulti(coll, "y", Seq("x1", "x2")).collect()
+    assert(rc.forall(_.isNullAt(2)), "singular system must NULL betas")
+    val rc4 = FitOps.olsMulti(
+      coll.withColumn("x3", col("x1") * 3).withColumn("x4", col("x1")),
+      "y", Seq("x1", "x2", "x3", "x4")).collect()
+    assert(rc4.forall(_.isNullAt(2)))
+  }
+
   test("theilSen matches the brute-force lower median of pairwise " +
     "slopes, and 20% outliers cannot move it off the true trend") {
     val rnd = new scala.util.Random(11)
@@ -64,6 +107,42 @@ class FitOpsSpec extends SparkSpec {
     assert(got.getAs[Long]("n_pairs") ===
       daily.size.toLong * (daily.size - 1) / 2)
     assert(got.getAs[Long]("n_days") === daily.size.toLong)
+  }
+
+  test("theilSenStrided recovers an exact line and tracks the exact " +
+    "Theil-Sen slope on a noisy, outlier-contaminated series") {
+    import spark.implicits._
+    // exact line: every pairwise slope equals the true slope at any
+    // stride, so strided == exact == truth
+    val line = (0 until 240).map(i =>
+      (Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i).atStartOfDay()), 100.0 + 2.5 * i))
+      .toDF("d", "v")
+    val rl = FitOps.theilSenStrided(line, "d", "v").collect()(0)
+    assert(rl.getAs[Double]("slope") === 2.5)
+    // x is epoch days, so the intercept is at day 0 (1970-01-01)
+    val x0 = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1970, 1, 1),
+      java.time.LocalDate.of(2020, 1, 1)).toDouble
+    assert(rl.getAs[Double]("intercept") === 100.0 - 2.5 * x0)
+    assert(rl.getAs[Long]("n_days") === 240L)
+    // strided pair budget is LINEAR: ≤ n_days × |ladder|
+    assert(rl.getAs[Long]("n_pairs") <= 240L * 15)
+    // noisy series with 5% wild outliers: the strided median must
+    // stay in the exact operator's neighborhood (both are robust)
+    val rnd = new scala.util.Random(41)
+    val noisy = (0 until 400).map { i =>
+      val base = 50.0 + 1.75 * i + (rnd.nextDouble() - 0.5) * 8.0
+      val v = if (rnd.nextDouble() < 0.05) base + 500.0 else base
+      (Timestamp.valueOf(java.time.LocalDate.of(2020, 1, 1)
+        .plusDays(i).atStartOfDay()), v)
+    }.toDF("d", "v")
+    val exact = FitOps.theilSen(noisy, "d", "v").collect()(0)
+      .getAs[Double]("slope")
+    val strided = FitOps.theilSenStrided(noisy, "d", "v").collect()(0)
+      .getAs[Double]("slope")
+    assert(math.abs(strided - exact) <= 0.05 * math.abs(exact),
+      s"strided $strided drifted from exact $exact")
   }
 
   test("theilSen on an exact line returns the line's slope and intercept") {

@@ -1086,6 +1086,10 @@ class GraftExtensionsSpec extends SparkSpec {
       "'l_quantity l_extendedprice l_discount')",
       ProfileOps.corrMatrix(li,
         Seq("l_quantity", "l_extendedprice", "l_discount")))
+    assertParity(s2, "SELECT * FROM spearman_matrix('ht_lineitem', " +
+      "'l_quantity l_extendedprice l_discount')",
+      ProfileOps.spearmanMatrix(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount")))
     assertParity(s2, "SELECT * FROM fd_profile('ht_part', " +
       "'p_brand->p_type p_name->p_brand')",
       ProfileOps.fdProfile(part,
@@ -1133,9 +1137,16 @@ class GraftExtensionsSpec extends SparkSpec {
       "'l_returnflag', 'l_quantity', 'l_extendedprice')",
       FitOps.groupOls(li, "l_returnflag", "l_quantity",
         "l_extendedprice"))
+    assertParity(s2, "SELECT * FROM ols_multi('fc_lineitem', " +
+      "'l_extendedprice', 'l_quantity l_discount')",
+      FitOps.olsMulti(li, "l_extendedprice",
+        Seq("l_quantity", "l_discount")))
     assertParity(s2, "SELECT * FROM theil_sen('fc_orders', " +
       "'o_orderdate', 'o_totalprice')",
       FitOps.theilSen(ord, "o_orderdate", "o_totalprice"))
+    assertParity(s2, "SELECT * FROM theil_sen_strided('fc_orders', " +
+      "'o_orderdate', 'o_totalprice')",
+      FitOps.theilSenStrided(ord, "o_orderdate", "o_totalprice"))
     assertParity(s2, "SELECT * FROM xcorr('fc_orders', " +
       "'o_orderdate', 'o_totalprice', 'fc_lineitem', 'l_shipdate', " +
       "'l_extendedprice', 5)",

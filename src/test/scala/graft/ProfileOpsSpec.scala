@@ -148,4 +148,31 @@ class ProfileOpsSpec extends SparkSpec {
       .collect()(0).getAs[Double]("spearman_rho")
     assert(math.abs(got - brute) < 1e-6, s"got $got brute $brute")
   }
+
+  test("spearmanMatrix: every pair equals the pairwise spearman, " +
+    "C(k,2) shape, NULL on a constant column") {
+    val rnd = new scala.util.Random(73)
+    val rows = (1 to 300).map { _ =>
+      val a = rnd.nextInt(40).toDouble
+      (a, a * a + rnd.nextInt(10), rnd.nextInt(25).toDouble, 7.0)
+    }
+    val df = rows.toDF("a", "b", "c", "konst")
+    val m = ProfileOps.spearmanMatrix(df, Seq("a", "b", "c", "konst"))
+      .collect()
+    assert(m.length === 6) // C(4,2)
+    val byPair = m.map(r => (r.getString(0), r.getString(1)) ->
+      Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    // matrix entries ≡ the single-pair operator
+    Seq(("a", "b"), ("a", "c"), ("b", "c")).foreach { case (x, y) =>
+      val single = ProfileOps.spearman(df, x, y).collect()(0)
+        .getAs[Double]("spearman_rho")
+      assert(byPair((x, y)) === Some(single), s"pair ($x,$y)")
+    }
+    // constant column: zero rank variance → NULL, not a crash
+    Seq("a", "b", "c").foreach { x =>
+      assert(byPair((x, "konst")).isEmpty, s"($x, konst) must be NULL")
+    }
+    // all rows share the n of the input
+    assert(m.forall(_.getAs[Long]("n") === 300L))
+  }
 }
