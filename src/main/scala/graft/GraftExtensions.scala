@@ -563,7 +563,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "t_test" -> GraftExtensions.tTestPlan _,
       "ols_multi" -> GraftExtensions.olsMultiPlan _,
       "theil_sen_strided" -> GraftExtensions.theilSenStridedPlan _,
-      "spearman_matrix" -> GraftExtensions.spearmanMatrixPlan _)
+      "spearman_matrix" -> GraftExtensions.spearmanMatrixPlan _,
+      "perplexity_bigram" -> GraftExtensions.perplexityBigramPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2523,6 +2524,28 @@ object GraftExtensions {
     require(m >= 0, s"target_encode m must be >= 0; got $m")
     graft.operators.CurationOps.targetEncode(df, c, t, m)
       .queryExecution.analyzed
+  }
+
+  /** `perplexity_bigram(table [, vocab_size [, bigram_top
+    * [, lambda]]])` — interpolated bigram-LM perplexity per document
+    * ([[graft.operators.TextOps.bigramPerplexity]]); documents
+    * contract (doc_id, text). */
+  private[graft] def perplexityBigramPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("perplexity_bigram(table [, vocab_size [, bigram_top " +
+      "[, lambda]]])", exprs, 1, 4)
+    val df = docTable("perplexity_bigram",
+      litStr("perplexity_bigram", "table", exprs(0)))
+    val vs = if (exprs.length > 1)
+      litDouble("perplexity_bigram", "vocab_size", exprs(1)).toInt
+      else 32768
+    val bt = if (exprs.length > 2)
+      litDouble("perplexity_bigram", "bigram_top", exprs(2)).toInt
+      else 65536
+    val lam = if (exprs.length > 3)
+      litDouble("perplexity_bigram", "lambda", exprs(3)) else 0.75
+    graft.operators.TextOps.bigramPerplexity(df, "doc_id", "text",
+      vs, bt, lam).queryExecution.analyzed
   }
 
   /** `zipf_alpha(table, text_col [, fmin])` — Zipf exponent of the

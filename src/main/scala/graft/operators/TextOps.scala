@@ -3,6 +3,7 @@ package graft.operators
 import graft.Query
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -247,6 +248,71 @@ object TextOps {
       .crossJoin(broadcast(total))
       .select(col("doc_id"),
         (-log(coalesce(col("cnt").cast("double"), lit(1.0)) / col("total")))
+          .cast(DecimalType(38, 12)).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        (round(sum(col("nll")).cast("double") / count(lit(1))
+          * lit(1000000.0)) / lit(1000000.0)).as("xent"))
+      .withColumn("ppl",
+        round(exp(col("xent")) * lit(1000000.0)) / lit(1000000.0))
+      .orderBy("doc_id")
+  }
+
+  /** Interpolated bigram-LM perplexity — the quality signal real
+    * curation pipelines actually rank by: templated/boilerplate text
+    * is far more predictable under a bigram model than under unigrams,
+    * so the bigram score separates chrome from prose where
+    * [[unigramPerplexity]] can't. Self-fit on the corpus:
+    * p(w | prev) = λ·c(prev,w)/c(prev) + (1−λ)·p_uni(w), with the
+    * bigram table restricted to vocab×vocab and capped at `bigramTop`
+    * entries (count-desc, then lexicographic — the same deterministic
+    * tiebreak as the vocab cut), unseen bigrams and the document-first
+    * token backing off to the unigram term alone. The unigram floor
+    * keeps every p strictly positive.
+    *
+    * Scale: one posexplode scan, a doc-partitioned lag window for the
+    * bigram stream, vocab-bounded broadcasts (vocab, prev-counts,
+    * bigram table) — the corpus is never shuffled wider than the
+    * (prev, tok) count aggregate. Per-token −ln p terms round into
+    * DECIMAL(38,12) before the per-doc sum (the q_drift stance), so
+    * the score is hash-green despite ln(). */
+  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 32768, bigramTop: Int = 65536,
+      lambdaBi: Double = 0.75): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    require(bigramTop > 0, "bigramTop must be positive")
+    require(lambdaBi > 0 && lambdaBi < 1,
+      s"lambdaBi must be in (0,1); got $lambdaBi")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val vocab = counts.orderBy(col("cnt").desc, col("tok"))
+      .limit(vocabSize)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val stream = toks.withColumn("prev", lag(col("tok"), 1).over(w))
+    val biCounts = stream.filter(col("prev").isNotNull)
+      .join(broadcast(vocab.select(col("tok").as("prev"))), "prev")
+      .join(broadcast(vocab.select("tok")), "tok")
+      .groupBy("prev", "tok").agg(count(lit(1)).as("bcnt"))
+    val biTop = biCounts
+      .orderBy(col("bcnt").desc, col("prev"), col("tok"))
+      .limit(bigramTop)
+    val prevCnt = vocab
+      .select(col("tok").as("prev"), col("cnt").as("pcnt"))
+    stream
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .join(broadcast(prevCnt), Seq("prev"), "left")
+      .join(broadcast(biTop), Seq("prev", "tok"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (-log(
+          lit(lambdaBi) *
+            coalesce(col("bcnt").cast("double") / col("pcnt"),
+              lit(0.0)) +
+          lit(1.0 - lambdaBi) *
+            coalesce(col("cnt").cast("double"), lit(1.0)) /
+            col("total")))
           .cast(DecimalType(38, 12)).as("nll"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"),
@@ -594,6 +660,61 @@ object TextOps {
                      round(exp(xent) * 1000000.0) / 1000000.0 AS ppl
               FROM agg ORDER BY doc_id"""),
       (s, d) => unigramPerplexity(Tables.documents(s, d), "doc_id", "text")),
+
+    // Bigram-LM perplexity with unigram backoff — boilerplate is
+    // PREDICTABLE: its bigrams repeat, so its xent collapses under a
+    // bigram model long before the unigram score notices.
+    Query(
+      "q_perplexity_bigram",
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              counts AS (SELECT tok, count(*) AS cnt FROM toks
+                         GROUP BY tok),
+              total AS (SELECT count(*) AS total FROM toks),
+              vocab AS (SELECT tok, cnt FROM counts
+                        ORDER BY cnt DESC, tok LIMIT 32768),
+              bl AS (SELECT doc_id, string_split(text, ' ') AS l
+                     FROM documents),
+              bi AS (SELECT doc_id,
+                       unnest(list_zip(l[1:length(l)-1],
+                         l[2:length(l)])) AS z
+                     FROM bl),
+              stream AS (
+                SELECT doc_id, l[1] AS tok, CAST(NULL AS VARCHAR)
+                         AS prev
+                FROM bl
+                UNION ALL
+                SELECT doc_id, z[2] AS tok, z[1] AS prev FROM bi),
+              bic AS (SELECT s.prev, s.tok, count(*) AS bcnt
+                      FROM stream s
+                      JOIN vocab vp ON s.prev = vp.tok
+                      JOIN vocab vt ON s.tok = vt.tok
+                      GROUP BY 1, 2),
+              bitop AS (SELECT prev, tok, bcnt FROM bic
+                        ORDER BY bcnt DESC, prev, tok LIMIT 65536),
+              scored AS (
+                SELECT s.doc_id,
+                       CAST(-ln(0.75 * COALESCE(
+                             CAST(b.bcnt AS DOUBLE) / vp.cnt, 0.0)
+                           + 0.25 * COALESCE(CAST(vt.cnt AS DOUBLE),
+                             1.0) / total.total)
+                         AS DECIMAL(38,12)) AS nll
+                FROM stream s
+                LEFT JOIN vocab vt ON s.tok = vt.tok
+                LEFT JOIN vocab vp ON s.prev = vp.tok
+                LEFT JOIN bitop b ON s.prev = b.prev AND s.tok = b.tok
+                CROSS JOIN total),
+              agg AS (
+                SELECT doc_id, count(*) AS n_tok,
+                       round(CAST(sum(nll) AS DOUBLE) / count(*)
+                         * 1000000.0) / 1000000.0 AS xent
+                FROM scored GROUP BY doc_id)
+              SELECT doc_id, n_tok, xent,
+                     round(exp(xent) * 1000000.0) / 1000000.0 AS ppl
+              FROM agg ORDER BY doc_id"""),
+      (s, d) => bigramPerplexity(Tables.documents(s, d), "doc_id",
+        "text")),
 
     // Per-source token entropy: diversity scoring per corpus slice.
     // The oracle mirrors the DECIMAL(38,12)-rounded c·ln(c) terms, so

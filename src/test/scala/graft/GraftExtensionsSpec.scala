@@ -1173,6 +1173,8 @@ class GraftExtensionsSpec extends SparkSpec {
       CurationOps.targetEncode(li, "l_returnflag", "l_extendedprice"))
     assertParity(s2, "SELECT * FROM zipf_alpha('fc_docs', 'text')",
       TextOps.zipfAlpha(docs, "text"))
+    assertParity(s2, "SELECT * FROM perplexity_bigram('fc_docs')",
+      TextOps.bigramPerplexity(docs, "doc_id", "text"))
     // literal-arg validation names the function
     val e = intercept[Exception] {
       s2.sql("SELECT * FROM cohort('fc_orders', 'o_custkey', " +

@@ -66,4 +66,57 @@ class PerplexitySpec extends SparkSpec {
           r.getDouble(2), r.getDouble(3))).toSeq
     assert(run(3) === run(13))
   }
+
+  test("bigramPerplexity matches a brute-force interpolated bigram " +
+    "model on a small fixture") {
+    val docs = Seq((0L, "a b a b a b"), (1L, "a b c a b c"),
+      (2L, "c c c"), (3L, "x")).toDF("doc_id", "text")
+    val all = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(1).split(" ", -1)).toSeq
+    val uni = all.flatMap(_._2).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toDouble }
+    val total = all.map(_._2.length).sum.toDouble
+    val bi = all.flatMap { case (_, ts) => ts.sliding(2).filter(_.length == 2)
+      .map(p => (p(0), p(1))) }.groupBy(identity)
+      .map { case (p, xs) => p -> xs.length.toDouble }
+    val lam = 0.75
+    val expected = all.map { case (id, ts) =>
+      val nlls = ts.zipWithIndex.map { case (t, i) =>
+        val pBi = if (i == 0) 0.0
+          else bi.getOrElse((ts(i - 1), t), 0.0) / uni(ts(i - 1))
+        -math.log(lam * pBi + (1 - lam) * uni(t) / total)
+      }
+      id -> nlls.sum / ts.length
+    }.toMap
+    val out = TextOps.bigramPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    out.foreach { case (id, (nTok, xent)) =>
+      assert(nTok === all.find(_._1 == id).get._2.length.toLong)
+      assert(math.abs(xent - expected(id)) < 1e-5, s"doc $id")
+    }
+  }
+
+  test("bigramPerplexity scores a repetitive (predictable) corpus " +
+    "below the unigram model, and a bigram-free shuffle above its own " +
+    "repetitive twin") {
+    // same unigram profile, different bigram predictability
+    val repet = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(15)("p q").mkString(" ")))
+    val docsR = repet.toDF("doc_id", "text")
+    val uniX = TextOps.unigramPerplexity(docsR, "doc_id", "text")
+      .agg(avg("xent")).head.getDouble(0)
+    val biX = TextOps.bigramPerplexity(docsR, "doc_id", "text")
+      .agg(avg("xent")).head.getDouble(0)
+    assert(biX < uniX,
+      s"bigram model must exploit repetition: bi $biX vs uni $uniX")
+    // OOV/unseen-bigram stream backs off to the unigram floor — xent
+    // must stay finite and larger than the predictable corpus'
+    val rnd = new scala.util.Random(7)
+    val shuffled = (0 until 20).map(i => (i.toLong,
+      rnd.shuffle((0 until 30).map(j => s"t${rnd.nextInt(40)}"))
+        .mkString(" ")))
+    val biShuf = TextOps.bigramPerplexity(shuffled.toDF("doc_id", "text"),
+      "doc_id", "text").agg(avg("xent")).head.getDouble(0)
+    assert(biShuf > biX && !biShuf.isInfinite)
+  }
 }
