@@ -778,4 +778,53 @@ class PlanSpec extends SparkSpec {
         s"$name has a global window: ${p.take(2500)}")
     }
   }
+
+  test("q_ols_multi and q_t_test: ONE wide map-side-combined " +
+    "aggregate over the raw scan — the Gram/moment sums never shuffle " +
+    "rows") {
+    Seq("q_ols_multi", "q_t_test").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$name: ${p.take(2000)}")
+      assert(p.contains("partial_"),
+        s"$name: no partial aggregation:\n${p.take(2000)}")
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans === 1, s"$name: expected one scan, got $scans")
+    }
+  }
+
+  test("q_theil_sen_strided: the ladder pairs ride a hash equi-join " +
+    "on the shifted day key — no cartesian, no nested loop beyond the " +
+    "declared 1-row broadcasts") {
+    import spark.implicits._
+    val pp = plan(graft.operators.FitOps.stridedSlopePairs(
+      Seq((1.0, 2.0), (2.0, 5.0), (3.0, 9.0)).toDF("x", "y"),
+      Seq(1, 2)))
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"), pp.take(2500))
+    assert(pp.contains("[xb"), s"shifted-day equi key missing:\n${pp.take(2500)}")
+    val p = plan(q("q_theil_sen_strided"))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("q_spearman_matrix: rank tables join back as keyed hash joins " +
+    "and the pair fold is ONE wide aggregate — no cartesian, no " +
+    "global window") {
+    val p = plan(q("q_spearman_matrix"))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(p.contains("partial_"), s"no map-side fold:\n${p.take(2000)}")
+    assert(!p.contains("windowspecdefinition(,") &&
+      !p.contains("windowspecdefinition( ,"),
+      s"global window leaked: ${p.take(2500)}")
+  }
+
+  test("q_perplexity_bigram: vocab/bigram/total tables all broadcast " +
+    "back over the token stream — the corpus is never the build side") {
+    val p = plan(q("q_perplexity_bigram"))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(bhj >= 3, s"expected ≥3 broadcast joins, got $bhj:\n${p.take(2500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-wide merge join leaked:\n${p.take(2500)}")
+  }
 }
