@@ -564,7 +564,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "ols_multi" -> GraftExtensions.olsMultiPlan _,
       "theil_sen_strided" -> GraftExtensions.theilSenStridedPlan _,
       "spearman_matrix" -> GraftExtensions.spearmanMatrixPlan _,
-      "perplexity_bigram" -> GraftExtensions.perplexityBigramPlan _)
+      "perplexity_bigram" -> GraftExtensions.perplexityBigramPlan _,
+      "js_divergence" -> GraftExtensions.jsDivergencePlan _,
+      "partial_corr" -> GraftExtensions.partialCorrPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2447,6 +2449,39 @@ object GraftExtensions {
       litDouble("psi", "n_bins", exprs(3)).toInt else 10
     require(nBins >= 2, s"psi n_bins must be >= 2; got $nBins")
     graft.operators.ProfileOps.psi(df, t, v, nBins)
+      .queryExecution.analyzed
+  }
+
+  /** `js_divergence(table, ts_col, value_col [, n_bins])` — bounded
+    * symmetric drift between the first and second time halves
+    * ([[graft.operators.ProfileOps.jsDivergence]]). */
+  private[graft] def jsDivergencePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("js_divergence(table, ts_col, value_col [, n_bins])",
+      exprs, 3, 4)
+    val t = litStr("js_divergence", "ts_col", exprs(1))
+    val v = litStr("js_divergence", "value_col", exprs(2))
+    val df = namedTable("js_divergence",
+      litStr("js_divergence", "table", exprs(0)), Seq(t, v))
+    val nBins = if (exprs.length > 3)
+      litDouble("js_divergence", "n_bins", exprs(3)).toInt else 10
+    require(nBins >= 2, s"js_divergence n_bins must be >= 2; got $nBins")
+    graft.operators.ProfileOps.jsDivergence(df, t, v, nBins)
+      .queryExecution.analyzed
+  }
+
+  /** `partial_corr(table, x_col, y_col, z_col)` — partial Pearson
+    * correlation of x and y controlling for z
+    * ([[graft.operators.ProfileOps.partialCorr]]). */
+  private[graft] def partialCorrPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("partial_corr(table, x_col, y_col, z_col)", exprs, 4, 4)
+    val x = litStr("partial_corr", "x_col", exprs(1))
+    val y = litStr("partial_corr", "y_col", exprs(2))
+    val z = litStr("partial_corr", "z_col", exprs(3))
+    val df = namedTable("partial_corr",
+      litStr("partial_corr", "table", exprs(0)), Seq(x, y, z))
+    graft.operators.ProfileOps.partialCorr(df, x, y, z)
       .queryExecution.analyzed
   }
 

@@ -116,6 +116,98 @@ object ProfileOps {
       .orderBy("bin")
   }
 
+  /** Jensen–Shannon divergence between the first and second time-half
+    * value distributions — [[psi]]'s bounded, symmetric sibling:
+    * JSD = ½·KL(p‖m) + ½·KL(q‖m) with m = (p+q)/2, always in
+    * [0, ln 2], so the alert threshold ports across metrics where
+    * PSI's unbounded terms don't. Same global equal-width bin spine,
+    * same Laplace smoothing, same one-aggregation shape; per-bin
+    * terms round into DECIMAL(38,12) before the total (the q_drift
+    * stance). */
+  def jsDivergence(df: DataFrame, tsCol: String, valCol: String,
+      nBins: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    val dec12 = DecimalType(38, 12)
+    val bounds = df.agg(
+      min(col(tsCol).cast("long")).as("__t0"),
+      max(col(tsCol).cast("long")).as("__t1"),
+      min(col(valCol).cast("double")).as("__v0"),
+      max(col(valCol).cast("double")).as("__v1"))
+    val binned = df.crossJoin(broadcast(bounds))
+      .select(
+        when(col(tsCol).cast("long") * 2 < col("__t0") + col("__t1"), 0)
+          .otherwise(1).as("half"),
+        least(lit(nBins - 1), greatest(lit(0),
+          floor((col(valCol).cast("double") - col("__v0")) * nBins /
+            (col("__v1") - col("__v0") + lit(1e-9))))).cast("bigint")
+          .as("bin"))
+    val counts = binned.groupBy("bin")
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_second"))
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+    val full = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_second"), lit(0L)).as("n_second"))
+    val tots = full.agg(sum("n_first").as("__na"),
+      sum("n_second").as("__nb"))
+    val terms = full.crossJoin(broadcast(tots))
+      .withColumn("p", (col("n_first").cast("double") + lit(0.5)) /
+        (col("__na").cast("double") + lit(0.5) * nBins))
+      .withColumn("q", (col("n_second").cast("double") + lit(0.5)) /
+        (col("__nb").cast("double") + lit(0.5) * nBins))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .withColumn("term",
+        (col("p") * log(col("p") / col("m")) +
+          col("q") * log(col("q") / col("m"))) / 2)
+    val tot = terms.agg(sum(col("term").cast(dec12)).as("__jsd"))
+    terms.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_first"), col("n_second"),
+        r6(col("p")).as("p"), r6(col("q")).as("q"),
+        r6(col("term")).as("jsd_term"),
+        r6(col("__jsd").cast("double")).as("jsd_total"))
+      .orderBy("bin")
+  }
+
+  /** Partial Pearson correlation of x and y CONTROLLING for z —
+    * "does the x–y relationship survive once z explains what it can":
+    * ρ_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)). All
+    * three pairwise r's fold from ONE wide DECIMAL(38,6)-exact
+    * aggregate (the corrMatrix shape at k = 3); both engines evaluate
+    * the identical composition over identical decimal-exact doubles.
+    * Degenerate inputs (constant columns, |r_xz| or |r_yz| = 1) yield
+    * NULL, not a divide-by-zero. */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val dec6 = DecimalType(38, 6)
+    val cs = Seq(xCol, yCol, zCol)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cs.zipWithIndex.map { case (c, i) =>
+        sum(col(c).cast(dec6)).as(s"s$i") } ++
+      (for (i <- 0 until 3; j <- i until 3) yield
+        sum((col(cs(i)) * col(cs(j))).cast(dec6)).as(s"s${i}_$j"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    def d(name: String): Column = col(name).cast("double")
+    val n = d("n")
+    def v(i: Int): Column = n * d(s"s${i}_$i") - d(s"s$i") * d(s"s$i")
+    def r(i: Int, j: Int): Column =
+      (n * d(s"s${i}_$j") - d(s"s$i") * d(s"s$j")) /
+        sqrt(v(i) * v(j))
+    val ok = v(0) > 0 && v(1) > 0 && v(2) > 0
+    val rxy = r(0, 1); val rxz = r(0, 2); val ryz = r(1, 2)
+    val den = (lit(1.0) - rxz * rxz) * (lit(1.0) - ryz * ryz)
+    // the r() divisions must stay INSIDE the ok branch: ANSI mode
+    // throws on the zero-variance divide even when it only feeds a
+    // predicate, so the den guard nests rather than conjoins
+    one.select(
+      col("n").cast("bigint").as("n"),
+      when(ok, r6(rxy)).as("r_xy"),
+      when(ok, r6(rxz)).as("r_xz"),
+      when(ok, r6(ryz)).as("r_yz"),
+      when(ok, when(den > 0, r6((rxy - rxz * ryz) / sqrt(den))))
+        .as("partial_corr"))
+  }
+
   /** Full pairwise correlation matrix over a set of numeric columns in
     * ONE scan: a single wide aggregate computes n + per-column
     * DECIMAL(38,6) sums/sum-squares + all cross-products, then each
@@ -460,5 +552,128 @@ object ProfileOps {
                      round(CAST(psi AS DOUBLE) * 1000000.0)/1000000.0
                        AS psi_total
               FROM tt CROSS JOIN s ORDER BY bin"""),
-      (s, d) => psi(Tables.events(s, d), "ts", "value")))
+      (s, d) => psi(Tables.events(s, d), "ts", "value")),
+
+    // PSI's bounded twin: Jensen–Shannon divergence of the same
+    // first-half/second-half split — symmetric, capped at ln 2, so
+    // one alert threshold ports across every monitored metric.
+    Query(
+      "q_js_divergence",
+      Some("""WITH b AS (
+                SELECT CAST(min(floor(date_part('epoch', ts))) AS BIGINT)
+                         AS t0,
+                       CAST(max(floor(date_part('epoch', ts))) AS BIGINT)
+                         AS t1,
+                       min(value) AS v0, max(value) AS v1
+                FROM events),
+              binned AS (
+                SELECT CASE WHEN CAST(floor(date_part('epoch', ts))
+                         AS BIGINT) * 2 < t0 + t1 THEN 0 ELSE 1 END
+                         AS half,
+                       CAST(least(9, greatest(0,
+                         floor((value - v0) * 10 / (v1 - v0 + 1e-9))))
+                         AS BIGINT) AS bin
+                FROM events CROSS JOIN b),
+              counts AS (
+                SELECT bin,
+                       sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                         AS n_first,
+                       sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                         AS n_second
+                FROM binned GROUP BY 1),
+              filled AS (
+                SELECT r.range AS bin,
+                       coalesce(n_first, 0) AS n_first,
+                       coalesce(n_second, 0) AS n_second
+                FROM range(10) r LEFT JOIN counts ON counts.bin = r.range),
+              t AS (SELECT sum(n_first) AS na, sum(n_second) AS nb
+                    FROM filled),
+              terms AS (
+                SELECT bin, n_first, n_second,
+                       (CAST(n_first AS DOUBLE) + 0.5)
+                         / (CAST(na AS DOUBLE) + 5.0) AS p,
+                       (CAST(n_second AS DOUBLE) + 0.5)
+                         / (CAST(nb AS DOUBLE) + 5.0) AS q
+                FROM filled CROSS JOIN t),
+              mm AS (SELECT bin, n_first, n_second, p, q,
+                            (p + q) / 2 AS m FROM terms),
+              tt AS (SELECT bin, n_first, n_second, p, q,
+                            (p * ln(p / m) + q * ln(q / m)) / 2 AS term
+                     FROM mm),
+              s AS (SELECT sum(CAST(term AS DECIMAL(38,12))) AS jsd
+                    FROM tt)
+              SELECT CAST(bin AS BIGINT) AS bin,
+                     CAST(n_first AS BIGINT) AS n_first,
+                     CAST(n_second AS BIGINT) AS n_second,
+                     round(p * 1000000.0)/1000000.0 AS p,
+                     round(q * 1000000.0)/1000000.0 AS q,
+                     round(term * 1000000.0)/1000000.0 AS jsd_term,
+                     round(CAST(jsd AS DOUBLE) * 1000000.0)/1000000.0
+                       AS jsd_total
+              FROM tt CROSS JOIN s ORDER BY bin"""),
+      (s, d) => jsDivergence(Tables.events(s, d), "ts", "value")),
+
+    // Does quantity still track price once the discount is held
+    // fixed? Partial correlation — the three-variable question every
+    // "correlation ≠ causation" review actually asks.
+    Query(
+      "q_partial_corr",
+      Some("""WITH g AS (
+                SELECT count(*) AS nn,
+                       sum(CAST(l_quantity AS DECIMAL(38,6))) AS d0,
+                       sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+                         AS d1,
+                       sum(CAST(l_discount AS DECIMAL(38,6))) AS d2,
+                       sum(CAST(l_quantity * l_quantity
+                         AS DECIMAL(38,6))) AS d0_0,
+                       sum(CAST(l_quantity * l_extendedprice
+                         AS DECIMAL(38,6))) AS d0_1,
+                       sum(CAST(l_quantity * l_discount
+                         AS DECIMAL(38,6))) AS d0_2,
+                       sum(CAST(l_extendedprice * l_extendedprice
+                         AS DECIMAL(38,6))) AS d1_1,
+                       sum(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(38,6))) AS d1_2,
+                       sum(CAST(l_discount * l_discount
+                         AS DECIMAL(38,6))) AS d2_2
+                FROM lineitem),
+              dd AS (SELECT CAST(nn AS BIGINT) AS n_rows,
+                       CAST(nn AS DOUBLE) AS n,
+                       CAST(d0 AS DOUBLE) AS s0,
+                       CAST(d1 AS DOUBLE) AS s1,
+                       CAST(d2 AS DOUBLE) AS s2,
+                       CAST(d0_0 AS DOUBLE) AS s0_0,
+                       CAST(d0_1 AS DOUBLE) AS s0_1,
+                       CAST(d0_2 AS DOUBLE) AS s0_2,
+                       CAST(d1_1 AS DOUBLE) AS s1_1,
+                       CAST(d1_2 AS DOUBLE) AS s1_2,
+                       CAST(d2_2 AS DOUBLE) AS s2_2
+                     FROM g),
+              vv AS (SELECT *,
+                       n * s0_0 - s0 * s0 AS v0,
+                       n * s1_1 - s1 * s1 AS v1,
+                       n * s2_2 - s2 * s2 AS v2
+                     FROM dd),
+              rr AS (SELECT *,
+                       (n * s0_1 - s0 * s1) / sqrt(v0 * v1) AS rxy,
+                       (n * s0_2 - s0 * s2) / sqrt(v0 * v2) AS rxz,
+                       (n * s1_2 - s1 * s2) / sqrt(v1 * v2) AS ryz
+                     FROM vv),
+              f AS (SELECT *,
+                      (1.0 - rxz * rxz) * (1.0 - ryz * ryz) AS den,
+                      v0 > 0 AND v1 > 0 AND v2 > 0 AS ok
+                    FROM rr)
+              SELECT n_rows AS n,
+                     round(CASE WHEN ok THEN rxy END
+                       * 1000000.0)/1000000.0 AS r_xy,
+                     round(CASE WHEN ok THEN rxz END
+                       * 1000000.0)/1000000.0 AS r_xz,
+                     round(CASE WHEN ok THEN ryz END
+                       * 1000000.0)/1000000.0 AS r_yz,
+                     round(CASE WHEN ok AND den > 0
+                         THEN (rxy - rxz * ryz) / sqrt(den) END
+                       * 1000000.0)/1000000.0 AS partial_corr
+              FROM f"""),
+      (s, d) => partialCorr(Tables.lineitem(s, d), "l_quantity",
+        "l_extendedprice", "l_discount")))
 }

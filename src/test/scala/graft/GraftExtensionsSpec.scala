@@ -1101,6 +1101,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assertParity(s2,
       "SELECT * FROM psi('ht_events', 'ts', 'value', 10)",
       ProfileOps.psi(ev, "ts", "value", 10))
+    assertParity(s2,
+      "SELECT * FROM js_divergence('ht_events', 'ts', 'value')",
+      ProfileOps.jsDivergence(ev, "ts", "value"))
+    assertParity(s2, "SELECT * FROM partial_corr('ht_lineitem', " +
+      "'l_quantity', 'l_extendedprice', 'l_discount')",
+      ProfileOps.partialCorr(li, "l_quantity", "l_extendedprice",
+        "l_discount"))
     val cust = graft.sources.Tables.customer(s2, sfDir)
     val seg = ord.join(cust, col("o_custkey") === col("c_custkey"))
     seg.createOrReplaceTempView("ht_seg")

@@ -117,6 +117,75 @@ class ProfileOpsSpec extends SparkSpec {
     assert(got.size === 10) // C(5,2) unordered pairs
   }
 
+  // -- jsDivergence ----------------------------------------------------
+
+  test("jsDivergence: ~0 on identical halves, bounded by ln 2 under a " +
+    "total shift, symmetric in the halves, and per-bin terms sum to " +
+    "the total") {
+    def mk(rows: Seq[(Long, Double)]) = rows.map { case (t, v) =>
+      (new Timestamp(t * 1000L), v) }.toDF("ts", "value")
+    // identical halves: value distribution independent of time half
+    val same = mk((0 until 2000).map(i => (i.toLong, (i % 50).toDouble)))
+    val jsdSame = ProfileOps.jsDivergence(same, "ts", "value")
+      .collect()(0).getAs[Double]("jsd_total")
+    assert(math.abs(jsdSame) < 0.01, s"identical halves: $jsdSame")
+    // disjoint supports: JSD must approach (and never exceed) ln 2
+    val shift = mk((0 until 1000).map(i => (i.toLong, 1.0)) ++
+      (1000 until 2000).map(i => (i.toLong, 1000.0)))
+    val rows = ProfileOps.jsDivergence(shift, "ts", "value").collect()
+    val jsdShift = rows(0).getAs[Double]("jsd_total")
+    assert(jsdShift > 0.5 && jsdShift <= math.log(2.0) + 1e-9,
+      s"hard shift: $jsdShift")
+    // terms sum to the total (6dp)
+    val termSum = rows.map(_.getAs[Double]("jsd_term")).sum
+    assert(math.abs(termSum - jsdShift) < 1e-4)
+    // symmetry: swapping the halves preserves the total
+    val swapped = mk((0 until 1000).map(i => (i.toLong, 1000.0)) ++
+      (1000 until 2000).map(i => (i.toLong, 1.0)))
+    val jsdSwap = ProfileOps.jsDivergence(swapped, "ts", "value")
+      .collect()(0).getAs[Double]("jsd_total")
+    assert(math.abs(jsdSwap - jsdShift) < 1e-6)
+  }
+
+  // -- partialCorr -----------------------------------------------------
+
+  test("partialCorr: x-y correlation through a shared driver z " +
+    "vanishes when z is controlled, matches the brute-force closed " +
+    "form, and NULLs on constant columns") {
+    val rnd = new scala.util.Random(97)
+    // x and y only related THROUGH z: controlling z should collapse
+    // the raw correlation toward 0
+    val rows = (1 to 2000).map { _ =>
+      val z = rnd.nextDouble() * 10
+      (z + rnd.nextDouble() * 0.8, 2 * z + rnd.nextDouble() * 0.8, z)
+    }
+    val df = rows.toDF("x", "y", "z")
+    val r = ProfileOps.partialCorr(df, "x", "y", "z").collect()(0)
+    assert(r.getAs[Double]("r_xy") > 0.9, "raw x-y must look strong")
+    assert(math.abs(r.getAs[Double]("partial_corr")) < 0.15,
+      s"controlled x-y must collapse: ${r.getAs[Double]("partial_corr")}")
+    // brute-force closed form
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.size.toDouble
+      val (sa, sb) = (a.sum, b.sum)
+      val saa = a.map(v => v * v).sum; val sbb = b.map(v => v * v).sum
+      val sab = a.zip(b).map { case (u, v) => u * v }.sum
+      (n * sab - sa * sb) /
+        math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    }
+    val (xs, ys, zs) = (rows.map(_._1), rows.map(_._2), rows.map(_._3))
+    val (rxy, rxz, ryz) =
+      (pearson(xs, ys), pearson(xs, zs), pearson(ys, zs))
+    val brute = (rxy - rxz * ryz) /
+      math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    assert(math.abs(r.getAs[Double]("partial_corr") - brute) < 1e-4)
+    // constant z → zero variance → NULL partial correlation
+    val const = rows.map { case (x, y, _) => (x, y, 5.0) }
+      .toDF("x", "y", "z")
+    val rc = ProfileOps.partialCorr(const, "x", "y", "z").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("partial_corr")))
+  }
+
   // -- spearman --------------------------------------------------------
 
   test("spearman: exactly 1 on any monotone transform, -1 on an " +
