@@ -566,7 +566,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "spearman_matrix" -> GraftExtensions.spearmanMatrixPlan _,
       "perplexity_bigram" -> GraftExtensions.perplexityBigramPlan _,
       "js_divergence" -> GraftExtensions.jsDivergencePlan _,
-      "partial_corr" -> GraftExtensions.partialCorrPlan _)
+      "partial_corr" -> GraftExtensions.partialCorrPlan _,
+      "mann_kendall" -> GraftExtensions.mannKendallPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2310,6 +2311,20 @@ object GraftExtensions {
     val df = namedTable("theil_sen",
       litStr("theil_sen", "table", exprs(0)), Seq(d, v))
     graft.operators.FitOps.theilSen(df, d, v)
+      .queryExecution.analyzed
+  }
+
+  /** `mann_kendall(table, date_col, value_col)` — Mann–Kendall trend
+    * significance on the daily series
+    * ([[graft.operators.FitOps.mannKendall]]). */
+  private[graft] def mannKendallPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("mann_kendall(table, date_col, value_col)", exprs, 3, 3)
+    val d = litStr("mann_kendall", "date_col", exprs(1))
+    val v = litStr("mann_kendall", "value_col", exprs(2))
+    val df = namedTable("mann_kendall",
+      litStr("mann_kendall", "table", exprs(0)), Seq(d, v))
+    graft.operators.FitOps.mannKendall(df, d, v)
       .queryExecution.analyzed
   }
 

@@ -272,6 +272,49 @@ object FitOps {
     senFromSlopes(daily, stridedSlopePairs(daily, offs))
   }
 
+  /** Mann–Kendall trend test — the SIGNIFICANCE companion to
+    * [[theilSen]]'s slope estimate: is the monotone trend real, or
+    * noise? S = Σ_{i<j in time} sign(y_j − y_i) counts concordant
+    * minus discordant day pairs; with days strictly increasing,
+    * sign(y_j − y_i) = sign(slope_ij), so S folds directly off the
+    * SAME block-pair slope table as Theil–Sen (one sum of signs —
+    * no second pair materialization when both run). Tie-corrected
+    * variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 over the
+    * y-value tie groups (x ties impossible — the day table is
+    * distinct by construction), continuity-corrected z, and the
+    * 5%-level trend verdict. Signs are taken on the 6dp-ROUNDED
+    * slopes (the q_theil_sen stance), so slopes within 5e-7 of flat
+    * count as ties on both engines identically.
+    *
+    * Scale: quadratic in SERIES LENGTH by design, like the exact
+    * Theil–Sen it shares the pair table with — series past ~5k points
+    * should pre-aggregate coarser (the ft13-priced mitigation). */
+  def mannKendall(df: DataFrame, dateCol: String, valCol: String)
+      : DataFrame = {
+    val daily = dailyTable(df, dateCol, valCol)
+    val sRow = graft.tools.Checkpoints.pin(slopePairs(daily)
+      .agg(sum(signum(col("s"))).cast("bigint").as("s_stat"),
+        count(lit(1)).as("n_pairs")))
+    val ties = daily.groupBy("y").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)),
+        lit(0L)).as("tie_sum"))
+    val nDays = daily.agg(count(lit(1)).as("n_days"))
+    val n = col("n_days").cast("double")
+    val varS = (n * (n - lit(1.0)) * (n * lit(2.0) + lit(5.0)) -
+      col("tie_sum").cast("double")) / lit(18.0)
+    val s = col("s_stat").cast("double")
+    val z = when(varS > 0,
+      when(col("s_stat") > 0, (s - lit(1.0)) / sqrt(varS))
+        .when(col("s_stat") < 0, (s + lit(1.0)) / sqrt(varS))
+        .otherwise(lit(0.0)))
+    broadcast(nDays).crossJoin(broadcast(sRow))
+      .crossJoin(broadcast(ties))
+      .select(col("n_days"), col("n_pairs"), col("s_stat"),
+        r6(varS).as("var_s"), r6(z).as("z"),
+        when(z > 1.96, "increasing").when(z < -1.96, "decreasing")
+          .otherwise("no_trend").as("trend"))
+  }
+
   /** Per-day DECIMAL-exact pre-aggregation — the only pass over raw
     * rows in either Theil–Sen variant. Pinned: weightedMedian derives
     * bounds/crossing/final from ITS input three times, and the
@@ -710,6 +753,57 @@ object FitOps {
                      CAST(intercept AS DOUBLE) AS intercept
               FROM nd CROSS JOIN med CROSS JOIN imed"""),
       (s, d) => theilSenStrided(Tables.orders(s, d), "o_orderdate",
+        "o_totalprice")),
+
+    // Is the daily-revenue trend REAL? Mann–Kendall significance on
+    // the same pair space the Theil–Sen slope came from.
+    Query(
+      "q_mann_kendall",
+      Some("""WITH daily AS (
+                SELECT CAST(date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS DOUBLE) AS x,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                         AS DOUBLE) AS y
+                FROM orders GROUP BY CAST(o_orderdate AS DATE)),
+              pairs AS (
+                SELECT round((b.y - a.y) / (b.x - a.x) * 1000000.0)
+                         / 1000000.0 AS s
+                FROM daily a JOIN daily b ON a.x < b.x),
+              sr AS (SELECT CAST(sum(CASE WHEN s > 0 THEN 1
+                         WHEN s < 0 THEN -1 ELSE 0 END) AS BIGINT)
+                         AS s_stat,
+                       count(*) AS n_pairs
+                     FROM pairs),
+              tie AS (SELECT coalesce(sum(t * (t - 1) * (t * 2 + 5)), 0)
+                        AS tie_sum
+                      FROM (SELECT count(*) AS t FROM daily
+                            GROUP BY y)),
+              nd AS (SELECT count(*) AS n_days FROM daily),
+              c AS (SELECT CAST(n_days AS BIGINT) AS n_days,
+                      CAST(n_pairs AS BIGINT) AS n_pairs, s_stat,
+                      (CAST(n_days AS DOUBLE)
+                        * (CAST(n_days AS DOUBLE) - 1.0)
+                        * (CAST(n_days AS DOUBLE) * 2.0 + 5.0)
+                        - CAST(tie_sum AS DOUBLE)) / 18.0 AS var_s
+                    FROM nd CROSS JOIN sr CROSS JOIN tie),
+              f AS (SELECT *,
+                      CASE WHEN var_s > 0 THEN
+                        CASE WHEN s_stat > 0
+                               THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                                 / sqrt(var_s)
+                             WHEN s_stat < 0
+                               THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                                 / sqrt(var_s)
+                             ELSE 0.0 END END AS z
+                    FROM c)
+              SELECT n_days, n_pairs, s_stat,
+                     round(var_s * 1000000.0)/1000000.0 AS var_s,
+                     round(z * 1000000.0)/1000000.0 AS z,
+                     CASE WHEN z > 1.96 THEN 'increasing'
+                          WHEN z < -1.96 THEN 'decreasing'
+                          ELSE 'no_trend' END AS trend
+              FROM f"""),
+      (s, d) => mannKendall(Tables.orders(s, d), "o_orderdate",
         "o_totalprice")),
 
     // Does shipping volume track ordering volume, and at what delay?

@@ -758,6 +758,48 @@ object ScaleProbe {
       }
     }
 
+    // sp14c: the round-14 wide-aggregate ops under ROW scaling.
+    // ols_multi / t_test / partial_corr are single map-side-combined
+    // aggregates — shuffle bytes must stay ~FLAT as rows grow;
+    // spearman_matrix shuffles the distinct-value rank tables and the
+    // rank joins — bytes may grow with distinct values but never with
+    // rows² (duplicated values keep the rank tables FIXED here).
+    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly)) {
+      import graft.operators.{FitOps, HypothesisOps, ProfileOps}
+      val liBase = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice",
+          "l_discount")
+      println("[scale] sp14c: mult    rows   ols_s/mb   spm_s/mb   pc_s/mb")
+      Seq(1, 2, 4).foreach { m =>
+        val li = (0 until m)
+          .map(i => liBase.select(
+            (col("l_orderkey") + lit(i.toLong * 100000000L))
+              .as("l_orderkey"),
+            col("l_quantity"), col("l_extendedprice"),
+            col("l_discount")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint()
+        val rows = li.count()
+        def measure(f: => Long): (Double, Double) = {
+          listener.reset()
+          val t0 = System.nanoTime()
+          f
+          val w = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(1500)
+          (w, listener.bytes / 1e6)
+        }
+        val (wO, bO) = measure(FitOps.olsMulti(li, "l_extendedprice",
+          Seq("l_quantity", "l_discount")).count())
+        val (wS, bS) = measure(ProfileOps.spearmanMatrix(li,
+          Seq("l_quantity", "l_extendedprice", "l_discount")).count())
+        val (wP, bP) = measure(ProfileOps.partialCorr(li, "l_quantity",
+          "l_extendedprice", "l_discount").count())
+        println(f"[scale] sp14c: $m%4d  $rows%7d  $wO%5.2f/$bO%5.1f" +
+          f"  $wS%5.2f/$bS%5.1f  $wP%5.2f/$bP%5.1f")
+      }
+    }
+
     // sp14: the rank spine under the ADVERSARIAL value distribution —
     // outlier-stretched range with the mass concentrated in one
     // fixed-width cell (the Theil–Sen slope-table shape that

@@ -145,6 +145,51 @@ class FitOpsSpec extends SparkSpec {
       s"strided $strided drifted from exact $exact")
   }
 
+  test("mannKendall matches the brute-force tie-corrected S/var/z and " +
+    "labels increasing, decreasing, and trendless series correctly") {
+    import spark.implicits._
+    def mk(vals: Seq[Double]) = vals.zipWithIndex.map { case (v, i) =>
+      (Timestamp.valueOf(java.time.LocalDate.of(2021, 1, 1)
+        .plusDays(i).atStartOfDay()), v)
+    }.toDF("d", "v")
+    // noisy rising series with ties — brute-force the full statistic
+    val rnd = new scala.util.Random(11)
+    val vals = (0 until 120).map(i =>
+      math.floor(i * 0.5 + rnd.nextInt(20)).toDouble)
+    // signs on the 6dp-ROUNDED slopes (the operator's documented tie
+    // stance); x = consecutive days so dx = j - i
+    def r6d(x: Double) = math.round(x * 1e6) / 1e6
+    val pairs = for (i <- vals.indices; j <- i + 1 until vals.size)
+      yield r6d((vals(j) - vals(i)) / (j - i))
+    val sBrute = pairs.map(s => if (s > 0) 1L else if (s < 0) -1L else 0L).sum
+    val n = vals.size.toDouble
+    val tieSum = vals.groupBy(identity).values
+      .map(g => g.size.toLong).map(t => t * (t - 1) * (2 * t + 5)).sum
+    val varBrute = (n * (n - 1) * (2 * n + 5) - tieSum) / 18.0
+    val zBrute =
+      if (sBrute > 0) (sBrute - 1.0) / math.sqrt(varBrute)
+      else if (sBrute < 0) (sBrute + 1.0) / math.sqrt(varBrute)
+      else 0.0
+    val r = FitOps.mannKendall(mk(vals), "d", "v").collect()(0)
+    assert(r.getAs[Long]("n_days") === vals.size.toLong)
+    assert(r.getAs[Long]("s_stat") === sBrute)
+    assert(r.getAs[Double]("var_s") === r6d(varBrute))
+    assert(r.getAs[Double]("z") === r6d(zBrute))
+    // verdicts
+    val up = FitOps.mannKendall(mk((0 until 60).map(_ * 1.0)), "d", "v")
+      .collect()(0)
+    assert(up.getAs[String]("trend") === "increasing")
+    assert(up.getAs[Long]("s_stat") === 60L * 59 / 2)
+    val down = FitOps.mannKendall(mk((0 until 60).map(60.0 - _)),
+      "d", "v").collect()(0)
+    assert(down.getAs[String]("trend") === "decreasing")
+    val rnd2 = new scala.util.Random(5)
+    val flat = FitOps.mannKendall(
+      mk((0 until 60).map(_ => rnd2.nextInt(7).toDouble)), "d", "v")
+      .collect()(0)
+    assert(flat.getAs[String]("trend") === "no_trend")
+  }
+
   test("theilSen on an exact line returns the line's slope and intercept") {
     val df = (1 to 30).map(i => (ts(i % 28 + 1), 0.0)).toDF("d", "v")
     // value 0 per row; daily y = 0 → slope 0, intercept 0

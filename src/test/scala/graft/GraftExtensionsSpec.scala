@@ -1151,6 +1151,9 @@ class GraftExtensionsSpec extends SparkSpec {
     assertParity(s2, "SELECT * FROM theil_sen('fc_orders', " +
       "'o_orderdate', 'o_totalprice')",
       FitOps.theilSen(ord, "o_orderdate", "o_totalprice"))
+    assertParity(s2, "SELECT * FROM mann_kendall('fc_orders', " +
+      "'o_orderdate', 'o_totalprice')",
+      FitOps.mannKendall(ord, "o_orderdate", "o_totalprice"))
     assertParity(s2, "SELECT * FROM theil_sen_strided('fc_orders', " +
       "'o_orderdate', 'o_totalprice')",
       FitOps.theilSenStrided(ord, "o_orderdate", "o_totalprice"))

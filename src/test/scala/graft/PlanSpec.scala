@@ -805,6 +805,9 @@ class PlanSpec extends SparkSpec {
     assert(pp.contains("[xb"), s"shifted-day equi key missing:\n${pp.take(2500)}")
     val p = plan(q("q_theil_sen_strided"))
     assert(!p.contains("CartesianProduct"), p.take(2500))
+    // mann_kendall folds off the same block-pair slope table
+    val pm = plan(q("q_mann_kendall"))
+    assert(!pm.contains("CartesianProduct"), pm.take(2500))
   }
 
   test("q_spearman_matrix: rank tables join back as keyed hash joins " +
