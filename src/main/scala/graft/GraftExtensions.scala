@@ -567,7 +567,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "perplexity_bigram" -> GraftExtensions.perplexityBigramPlan _,
       "js_divergence" -> GraftExtensions.jsDivergencePlan _,
       "partial_corr" -> GraftExtensions.partialCorrPlan _,
-      "mann_kendall" -> GraftExtensions.mannKendallPlan _)
+      "mann_kendall" -> GraftExtensions.mannKendallPlan _,
+      "mahalanobis" -> GraftExtensions.mahalanobisPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2464,6 +2465,26 @@ object GraftExtensions {
       litDouble("psi", "n_bins", exprs(3)).toInt else 10
     require(nBins >= 2, s"psi n_bins must be >= 2; got $nBins")
     graft.operators.ProfileOps.psi(df, t, v, nBins)
+      .queryExecution.analyzed
+  }
+
+  /** `mahalanobis(table, id_col, cols, threshold)` — joint-
+    * distribution outlier rows over exactly three space-separated
+    * numeric columns
+    * ([[graft.operators.ProfileOps.mahalanobisOutliers]]). */
+  private[graft] def mahalanobisPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("mahalanobis(table, id_col, cols, threshold)", exprs, 4, 4)
+    val id = litStr("mahalanobis", "id_col", exprs(1))
+    val cols = litStr("mahalanobis", "cols", exprs(2)).trim
+      .split("\\s+").toSeq
+    require(cols.size == 3,
+      s"mahalanobis cols must name exactly three columns; got $cols")
+    val thr = litDouble("mahalanobis", "threshold", exprs(3))
+    require(thr > 0, s"mahalanobis threshold must be positive; got $thr")
+    val df = namedTable("mahalanobis",
+      litStr("mahalanobis", "table", exprs(0)), id +: cols)
+    graft.operators.ProfileOps.mahalanobisOutliers(df, id, cols, thr)
       .queryExecution.analyzed
   }
 

@@ -208,6 +208,74 @@ object ProfileOps {
         .as("partial_corr"))
   }
 
+  /** Multivariate (Mahalanobis) outlier census over exactly three
+    * numeric columns — the joint-distribution twin of the per-column
+    * Tukey fences: a row can sit inside every marginal yet be wildly
+    * improbable jointly (high price at low quantity), and only the
+    * covariance-aware distance sees it. d²(x) = (x−μ)ᵀ Σ⁻¹ (x−μ) with
+    * μ/Σ from ONE wide DECIMAL(38,6)-exact aggregate and Σ⁻¹ by the
+    * closed-form 3×3 adjugate IN-PLAN — both engines evaluate the
+    * identical cofactor arithmetic, so the query is oracle-gated like
+    * every closed form here. The scoring pass is a pure codegen'd map
+    * against the broadcast 1-row parameter table: two linear scans
+    * total at any corpus size. Returns rows with d² > `threshold`
+    * (χ²₃ quantile — 11.345 at 1%), plus the shared d² mean as a
+    * health readout. Singular covariance → empty result, not a crash
+    * (the partialCorr guard stance). */
+  def mahalanobisOutliers(df: DataFrame, idCol: String,
+      cols: Seq[String], threshold: Double = 11.345): DataFrame = {
+    require(cols.size == 3,
+      s"mahalanobisOutliers is the closed-form k=3 variant; got $cols")
+    require(threshold > 0, s"threshold must be positive; got $threshold")
+    val dec6 = DecimalType(38, 6)
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      cols.zipWithIndex.map { case (c, i) =>
+        sum(col(c).cast(dec6)).as(s"s$i") } ++
+      (for (i <- 0 until 3; j <- i until 3) yield
+        sum((col(cols(i)) * col(cols(j))).cast(dec6)).as(s"s${i}_$j"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    def d(name: String): Column = col(name).cast("double")
+    val n = d("n")
+    def mu(i: Int): Column = d(s"s$i") / n
+    // covariance entries from exact sums: (s_ij − s_i·s_j/n)/(n−1)
+    def cv(i: Int, j: Int): Column = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      (d(s"s${a}_$b") - d(s"s$i") * d(s"s$j") / n) / (n - lit(1.0))
+    }
+    val (a00, a01, a02) = (cv(0, 0), cv(0, 1), cv(0, 2))
+    val (a11, a12, a22) = (cv(1, 1), cv(1, 2), cv(2, 2))
+    val det = a00 * (a11 * a22 - a12 * a12) -
+      a01 * (a01 * a22 - a02 * a12) +
+      a02 * (a01 * a12 - a02 * a11)
+    // all divisions nest under the det guard (ANSI throws eagerly)
+    val params = one.select(
+      when(abs(det) > 0,
+        struct(
+          mu(0).as("m0"), mu(1).as("m1"), mu(2).as("m2"),
+          ((a11 * a22 - a12 * a12) / det).as("i00"),
+          ((a02 * a12 - a01 * a22) / det).as("i01"),
+          ((a01 * a12 - a02 * a11) / det).as("i02"),
+          ((a00 * a22 - a02 * a02) / det).as("i11"),
+          ((a02 * a01 - a00 * a12) / det).as("i12"),
+          ((a00 * a11 - a01 * a01) / det).as("i22"))).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("p.*"))
+    def p(name: String): Column = col(name)
+    val c0 = col(cols(0)).cast("double") - p("m0")
+    val c1 = col(cols(1)).cast("double") - p("m1")
+    val c2 = col(cols(2)).cast("double") - p("m2")
+    val d2 = p("i00") * c0 * c0 + p("i11") * c1 * c1 +
+      p("i22") * c2 * c2 +
+      lit(2.0) * (p("i01") * c0 * c1 + p("i02") * c0 * c2 +
+        p("i12") * c1 * c2)
+    df.crossJoin(broadcast(params))
+      .filter(d2 > threshold)
+      .select(col(idCol) +: cols.map(col) :+ r6(d2).as("d2"): _*)
+      // the id alone may repeat (lineitem order keys) — total order
+      // over every output column keeps the hash row-order-proof
+      .orderBy(col(idCol) +: cols.map(col): _*)
+  }
+
   /** Full pairwise correlation matrix over a set of numeric columns in
     * ONE scan: a single wide aggregate computes n + per-column
     * DECIMAL(38,6) sums/sum-squares + all cross-products, then each
@@ -675,5 +743,85 @@ object ProfileOps {
                        * 1000000.0)/1000000.0 AS partial_corr
               FROM f"""),
       (s, d) => partialCorr(Tables.lineitem(s, d), "l_quantity",
-        "l_extendedprice", "l_discount")))
+        "l_extendedprice", "l_discount")),
+
+    // Rows improbable JOINTLY though plausible marginally — high price
+    // at low quantity — via covariance-aware Mahalanobis distance at
+    // the chi-square(3) 95% fence.
+    Query(
+      "q_mahalanobis",
+      Some("""WITH g AS (
+                SELECT count(*) AS nn,
+                       sum(CAST(l_quantity AS DECIMAL(38,6))) AS e0,
+                       sum(CAST(l_extendedprice AS DECIMAL(38,6)))
+                         AS e1,
+                       sum(CAST(l_discount AS DECIMAL(38,6))) AS e2,
+                       sum(CAST(l_quantity * l_quantity
+                         AS DECIMAL(38,6))) AS e0_0,
+                       sum(CAST(l_quantity * l_extendedprice
+                         AS DECIMAL(38,6))) AS e0_1,
+                       sum(CAST(l_quantity * l_discount
+                         AS DECIMAL(38,6))) AS e0_2,
+                       sum(CAST(l_extendedprice * l_extendedprice
+                         AS DECIMAL(38,6))) AS e1_1,
+                       sum(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(38,6))) AS e1_2,
+                       sum(CAST(l_discount * l_discount
+                         AS DECIMAL(38,6))) AS e2_2
+                FROM lineitem),
+              dd AS (SELECT CAST(nn AS DOUBLE) AS n,
+                       CAST(e0 AS DOUBLE) AS s0,
+                       CAST(e1 AS DOUBLE) AS s1,
+                       CAST(e2 AS DOUBLE) AS s2,
+                       CAST(e0_0 AS DOUBLE) AS s0_0,
+                       CAST(e0_1 AS DOUBLE) AS s0_1,
+                       CAST(e0_2 AS DOUBLE) AS s0_2,
+                       CAST(e1_1 AS DOUBLE) AS s1_1,
+                       CAST(e1_2 AS DOUBLE) AS s1_2,
+                       CAST(e2_2 AS DOUBLE) AS s2_2
+                     FROM g),
+              c AS (SELECT
+                      s0 / n AS m0, s1 / n AS m1, s2 / n AS m2,
+                      (s0_0 - s0 * s0 / n) / (n - 1.0) AS a00,
+                      (s0_1 - s0 * s1 / n) / (n - 1.0) AS a01,
+                      (s0_2 - s0 * s2 / n) / (n - 1.0) AS a02,
+                      (s1_1 - s1 * s1 / n) / (n - 1.0) AS a11,
+                      (s1_2 - s1 * s2 / n) / (n - 1.0) AS a12,
+                      (s2_2 - s2 * s2 / n) / (n - 1.0) AS a22
+                    FROM dd),
+              pdet AS (SELECT *,
+                         a00 * (a11 * a22 - a12 * a12)
+                           - a01 * (a01 * a22 - a02 * a12)
+                           + a02 * (a01 * a12 - a02 * a11) AS det
+                       FROM c),
+              params AS (SELECT m0, m1, m2,
+                           (a11 * a22 - a12 * a12) / det AS i00,
+                           (a02 * a12 - a01 * a22) / det AS i01,
+                           (a01 * a12 - a02 * a11) / det AS i02,
+                           (a00 * a22 - a02 * a02) / det AS i11,
+                           (a02 * a01 - a00 * a12) / det AS i12,
+                           (a00 * a11 - a01 * a01) / det AS i22
+                         FROM pdet WHERE abs(det) > 0),
+              scored AS (
+                SELECT l_orderkey, l_quantity, l_extendedprice,
+                       l_discount,
+                       i00 * (l_quantity - m0) * (l_quantity - m0)
+                         + i11 * (l_extendedprice - m1)
+                           * (l_extendedprice - m1)
+                         + i22 * (l_discount - m2) * (l_discount - m2)
+                         + 2.0 * (i01 * (l_quantity - m0)
+                             * (l_extendedprice - m1)
+                           + i02 * (l_quantity - m0)
+                             * (l_discount - m2)
+                           + i12 * (l_extendedprice - m1)
+                             * (l_discount - m2)) AS dsq
+                FROM lineitem CROSS JOIN params)
+              SELECT l_orderkey, l_quantity, l_extendedprice,
+                     l_discount,
+                     round(dsq * 1000000.0)/1000000.0 AS d2
+              FROM scored WHERE dsq > 7.815
+              ORDER BY 1, 2, 3, 4"""),
+      (s, d) => mahalanobisOutliers(Tables.lineitem(s, d),
+        "l_orderkey",
+        Seq("l_quantity", "l_extendedprice", "l_discount"), 7.815)))
 }

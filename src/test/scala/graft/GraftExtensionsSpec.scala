@@ -1086,6 +1086,10 @@ class GraftExtensionsSpec extends SparkSpec {
       "'l_quantity l_extendedprice l_discount')",
       ProfileOps.corrMatrix(li,
         Seq("l_quantity", "l_extendedprice", "l_discount")))
+    assertParity(s2, "SELECT * FROM mahalanobis('ht_lineitem', " +
+      "'l_orderkey', 'l_quantity l_extendedprice l_discount', 7.815)",
+      ProfileOps.mahalanobisOutliers(li, "l_orderkey",
+        Seq("l_quantity", "l_extendedprice", "l_discount"), 7.815))
     assertParity(s2, "SELECT * FROM spearman_matrix('ht_lineitem', " +
       "'l_quantity l_extendedprice l_discount')",
       ProfileOps.spearmanMatrix(li,

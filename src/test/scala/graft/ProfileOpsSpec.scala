@@ -186,6 +186,54 @@ class ProfileOpsSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("partial_corr")))
   }
 
+  // -- mahalanobisOutliers ---------------------------------------------
+
+  test("mahalanobisOutliers flags the jointly-improbable planted row " +
+    "that every marginal fence misses, matches the brute-force " +
+    "distance, and returns empty on singular covariance") {
+    val rnd = new scala.util.Random(31)
+    // y tracks x tightly; the planted row has x and y each well inside
+    // their own marginal ranges but in an impossible COMBINATION
+    val base = (1 to 1000).map { i =>
+      val x = 10.0 + rnd.nextInt(20)
+      (i.toLong, x, 3 * x + rnd.nextDouble(), rnd.nextInt(5).toDouble)
+    }
+    val planted = (9999L, 12.0, 85.0, 2.0) // x low, y high: joint outlier
+    val df = (base :+ planted).toDF("id", "x", "y", "z")
+    val out = ProfileOps.mahalanobisOutliers(df, "id",
+      Seq("x", "y", "z"), 16.27).collect()
+    assert(out.map(_.getLong(0)).contains(9999L),
+      "the planted joint outlier must be flagged")
+    // brute-force d² for the planted row
+    val rows = (base :+ planted).map(t => Array(t._2, t._3, t._4))
+    val n = rows.size.toDouble
+    val mu = Array.tabulate(3)(j => rows.map(_(j)).sum / n)
+    def cov(a: Int, b: Int): Double =
+      rows.map(r => (r(a) - mu(a)) * (r(b) - mu(b))).sum / (n - 1)
+    val (a00, a01, a02) = (cov(0, 0), cov(0, 1), cov(0, 2))
+    val (a11, a12, a22) = (cov(1, 1), cov(1, 2), cov(2, 2))
+    val det = a00 * (a11 * a22 - a12 * a12) -
+      a01 * (a01 * a22 - a02 * a12) + a02 * (a01 * a12 - a02 * a11)
+    val inv = Array(
+      Array((a11 * a22 - a12 * a12) / det, (a02 * a12 - a01 * a22) / det,
+        (a01 * a12 - a02 * a11) / det),
+      Array(0.0, (a00 * a22 - a02 * a02) / det,
+        (a02 * a01 - a00 * a12) / det),
+      Array(0.0, 0.0, (a00 * a11 - a01 * a01) / det))
+    val c = Array(12.0 - mu(0), 85.0 - mu(1), 2.0 - mu(2))
+    val d2 = inv(0)(0) * c(0) * c(0) + inv(1)(1) * c(1) * c(1) +
+      inv(2)(2) * c(2) * c(2) +
+      2.0 * (inv(0)(1) * c(0) * c(1) + inv(0)(2) * c(0) * c(2) +
+        inv(1)(2) * c(1) * c(2))
+    val got = out.find(_.getLong(0) == 9999L).get.getAs[Double]("d2")
+    assert(math.abs(got - d2) < 1e-3, s"got $got brute $d2")
+    // z constant AND z' = 2z collinear → singular covariance → empty
+    val sing = base.map(t => (t._1, t._2, t._2 * 2.0, t._2 * 3.0))
+      .toDF("id", "x", "y", "z")
+    assert(ProfileOps.mahalanobisOutliers(sing, "id",
+      Seq("x", "y", "z"), 1.0).isEmpty)
+  }
+
   // -- spearman --------------------------------------------------------
 
   test("spearman: exactly 1 on any monotone transform, -1 on an " +
