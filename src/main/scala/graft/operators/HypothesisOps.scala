@@ -17,9 +17,9 @@ import org.apache.spark.sql.types.DecimalType
   * |cumA·nB − cumB·nA| (never a float ECDF), and the U statistic folds
   * from doubled average ranks 2·rank = 2·C(<v) + c(v) + 1, which are
   * integers even under ties. The single global cumulative each needs
-  * runs TWO-LEVEL (the lorenzGini shape): 1024 value-range buckets,
-  * a ≤1024-row bounded offset window, then within-bucket windows
-  * partitioned by bucket — never a one-partition sort of the corpus.
+  * runs through [[RankSpine]] — heavy-tail-safe refining buckets with
+  * a ≤65536-distinct bound per within-bucket window partition, never
+  * a one-partition sort of the corpus on ANY value distribution.
   * Cross-products accumulate in DECIMAL(38,0) so the integers stay
   * exact far past BIGINT scale.
   */
