@@ -568,7 +568,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "js_divergence" -> GraftExtensions.jsDivergencePlan _,
       "partial_corr" -> GraftExtensions.partialCorrPlan _,
       "mann_kendall" -> GraftExtensions.mannKendallPlan _,
-      "mahalanobis" -> GraftExtensions.mahalanobisPlan _)
+      "mahalanobis" -> GraftExtensions.mahalanobisPlan _,
+      "embed_quant" -> GraftExtensions.embedQuantPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2485,6 +2486,20 @@ object GraftExtensions {
     val df = namedTable("mahalanobis",
       litStr("mahalanobis", "table", exprs(0)), id +: cols)
     graft.operators.ProfileOps.mahalanobisOutliers(df, id, cols, thr)
+      .queryExecution.analyzed
+  }
+
+  /** `embed_quant(table, id_col, emb_col)` — int8 storage-
+    * quantization round-trip fidelity report
+    * ([[graft.operators.SimilarityOps.quantReport]]). */
+  private[graft] def embedQuantPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("embed_quant(table, id_col, emb_col)", exprs, 3, 3)
+    val id = litStr("embed_quant", "id_col", exprs(1))
+    val emb = litStr("embed_quant", "emb_col", exprs(2))
+    val df = namedTable("embed_quant",
+      litStr("embed_quant", "table", exprs(0)), Seq(id, emb))
+    graft.operators.SimilarityOps.quantReport(df, id, emb)
       .queryExecution.analyzed
   }
 

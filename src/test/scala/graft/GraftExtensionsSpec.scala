@@ -1189,6 +1189,12 @@ class GraftExtensionsSpec extends SparkSpec {
       TextOps.zipfAlpha(docs, "text"))
     assertParity(s2, "SELECT * FROM perplexity_bigram('fc_docs')",
       TextOps.bigramPerplexity(docs, "doc_id", "text"))
+    val emb = graft.sources.Tables.embeddings(s2, sfDir)
+    emb.createOrReplaceTempView("fc_embeddings")
+    assertParity(s2, "SELECT * FROM embed_quant('fc_embeddings', " +
+      "'vec_id', 'embedding')",
+      graft.operators.SimilarityOps.quantReport(emb, "vec_id",
+        "embedding"))
     // literal-arg validation names the function
     val e = intercept[Exception] {
       s2.sql("SELECT * FROM cohort('fc_orders', 'o_custkey', " +

@@ -674,4 +674,53 @@ class SimilaritySpec extends SparkSpec {
       twoLevelAbove = 1))
     assert(switched === two)
   }
+
+  test("int8 quantization round-trip: per-dimension error bounded by " +
+    "scale/2, corpus cosine fidelity >= 0.999, constant vectors exact, " +
+    "and top-10 cosine neighbors survive the round trip") {
+    import spark.implicits._
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    val rt = graft.operators.SimilarityOps.dequantizeEmbeddings(
+      graft.operators.SimilarityOps.quantizeEmbeddings(vecs, "embedding"))
+    // per-dimension reconstruction error ≤ scale/2 + float slop
+    val bad = rt.select(col("vec_id"), col("q8_scale"),
+        explode(zip_with(col("embedding"), col("dq"),
+          (a, b) => abs(a - b))).as("err"))
+      .filter(col("err") > col("q8_scale") / 2 + lit(1e-9)).count()
+    assert(bad === 0L, s"$bad dimensions exceed the scale/2 bound")
+    // corpus-level report: fidelity + the advertised compression
+    val rep = graft.operators.SimilarityOps
+      .quantReport(vecs, "vec_id", "embedding").collect()(0)
+    assert(rep.getAs[Double]("mean_cosine") >= 0.999,
+      s"mean round-trip cosine ${rep.getAs[Double]("mean_cosine")}")
+    assert(rep.getAs[Double]("min_cosine") >= 0.99,
+      s"min round-trip cosine ${rep.getAs[Double]("min_cosine")}")
+    assert(rep.getAs[Double]("compression_x") >= 6.0)
+    // constant vector decodes EXACTLY (scale = 0 path)
+    val const = Seq((1L, Seq.fill(8)(0.25))).toDF("vec_id", "embedding")
+    val cdq = graft.operators.SimilarityOps.dequantizeEmbeddings(
+      graft.operators.SimilarityOps.quantizeEmbeddings(const,
+        "embedding"))
+      .select(explode(col("dq"))).collect().map(_.getDouble(0))
+    assert(cdq.forall(_ === 0.25))
+    // retrieval survives: top-10 of a probe under original vs
+    // round-tripped vectors overlaps >= 8/10
+    val probe = vecs.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("pe"))
+    def top10(d: org.apache.spark.sql.DataFrame, emb: String) =
+      d.crossJoin(broadcast(probe))
+        .filter(col("vec_id") =!= 0L)
+        .select(col("vec_id"),
+          graft.operators.SimilarityOps.cosine(col(emb), col("pe"))
+            .as("c"))
+        .orderBy(col("c").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+    val orig = top10(vecs, "embedding")
+    // probe vector itself also round-trips through the quantizer
+    val rtProbe = rt.select(col("vec_id"), col("dq").as("embedding"))
+    val quant = top10(rtProbe, "embedding")
+    assert((orig & quant).size >= 8,
+      s"quantized top-10 lost too much: ${(orig & quant).size}/10")
+  }
 }
