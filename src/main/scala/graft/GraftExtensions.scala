@@ -569,7 +569,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "partial_corr" -> GraftExtensions.partialCorrPlan _,
       "mann_kendall" -> GraftExtensions.mannKendallPlan _,
       "mahalanobis" -> GraftExtensions.mahalanobisPlan _,
-      "embed_quant" -> GraftExtensions.embedQuantPlan _)
+      "embed_quant" -> GraftExtensions.embedQuantPlan _,
+      "rank_normalize" -> GraftExtensions.rankNormalizePlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2579,6 +2580,22 @@ object GraftExtensions {
     require(budget > 0,
       s"mixture_alloc budget must be positive; got $budget")
     graft.operators.CurationOps.mixtureAllocation(df, s, t, budget)
+      .queryExecution.analyzed
+  }
+
+  /** `rank_normalize(table, group_col, id_col, value_col)` — per-group
+    * inclusive-ECDF rank normalization
+    * ([[graft.operators.CurationOps.rankNormalize]]). */
+  private[graft] def rankNormalizePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("rank_normalize(table, group_col, id_col, value_col)",
+      exprs, 4, 4)
+    val g = litStr("rank_normalize", "group_col", exprs(1))
+    val id = litStr("rank_normalize", "id_col", exprs(2))
+    val v = litStr("rank_normalize", "value_col", exprs(3))
+    val df = namedTable("rank_normalize",
+      litStr("rank_normalize", "table", exprs(0)), Seq(g, id, v))
+    graft.operators.CurationOps.rankNormalize(df, g, id, v)
       .queryExecution.analyzed
   }
 

@@ -478,6 +478,38 @@ object CurationOps {
     * itself is a pure codegen'd map, so the whole thing is two linear
     * passes at any corpus size. Degenerate columns (constant value)
     * scale to NULL rather than an ANSI divide-by-zero. */
+  /** Per-group RANK normalization — the third normalizer next to
+    * [[featureScale]]'s min-max and z-score: map each value to its
+    * within-group inclusive ECDF position cum(≤v)/n ∈ (0, 1]. Rank
+    * normalization uniformizes ANY marginal (heavy tails included)
+    * where min-max is one outlier away from collapse and z-score
+    * assumes a scale — it is what gradient-boosting and calibration
+    * pipelines actually feed.
+    *
+    * Scale: the cumulative runs per group through the GROUPED
+    * [[RankSpine]] (within-bucket window partitions ≤65536 distinct
+    * values on any distribution — never a per-group global sort),
+    * then one keyed hash join back to the rows and a broadcast of the
+    * |groups|-row totals. */
+  def rankNormalize(df: DataFrame, groupCol: String, idCol: String,
+      valCol: String): DataFrame = {
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val g = df.groupBy(col(groupCol), col(valCol).cast("double")
+        .as("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val spine = RankSpine.cumulative(g, "__v", Seq("__c"),
+      Seq("__cum"), partitionCols = Seq(groupCol))
+    val totals = g.groupBy(col(groupCol)).agg(sum("__c").as("__n"))
+    df.select(col(idCol), col(groupCol),
+        col(valCol).cast("double").as("__v"))
+      .join(spine.select(col(groupCol), col("__v"), col("__cum")),
+        Seq(groupCol, "__v"))
+      .join(broadcast(totals), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("__v").as("v"),
+        r6(col("__cum").cast("double") / col("__n")).as("pct_rank"))
+      .orderBy(idCol)
+  }
+
   def featureScale(df: DataFrame, keyCol: String, valCol: String)
       : DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -570,6 +602,31 @@ object CurationOps {
               FROM orders CROSS JOIN s ORDER BY o_orderkey"""),
       (s, d) => featureScale(Tables.orders(s, d), "o_orderkey",
         "o_totalprice")),
+
+    // The outlier-proof normalizer: within-priority ECDF position of
+    // each order's total — uniform marginals whatever the tail shape.
+    Query(
+      "q_rank_normalize",
+      Some("""WITH g AS (SELECT o_orderpriority AS grp,
+                     o_totalprice AS v, count(*) AS c
+                   FROM orders GROUP BY 1, 2),
+              c AS (SELECT grp, v,
+                      sum(c) OVER (PARTITION BY grp ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                        ROW) AS cum
+                    FROM g),
+              t AS (SELECT grp, sum(c) AS n FROM g GROUP BY 1)
+              SELECT o_orderkey, o_orderpriority,
+                     o_totalprice AS v,
+                     round(CAST(cum AS DOUBLE) / n
+                       * 1000000.0)/1000000.0 AS pct_rank
+              FROM orders
+              JOIN c ON o_orderpriority = c.grp
+                    AND o_totalprice = c.v
+              JOIN t ON o_orderpriority = t.grp
+              ORDER BY o_orderkey"""),
+      (s, d) => rankNormalize(Tables.orders(s, d), "o_orderpriority",
+        "o_orderkey", "o_totalprice")),
 
     // How much of each source goes into the next training run: the
     // √avail-smoothed, largest-remainder-apportioned token budget.

@@ -64,26 +64,50 @@ object RankSpine {
 
   /** Assign every row of a distinct-value table `g` a bucket PATH
     * (`__bkt array<int>`) such that no path holds more than `cap`
-    * rows. `g` must be distinct by `valCol`; all of `g`'s columns pass
-    * through. Exposed for the boundedness spec. */
+    * rows. `g` must be distinct by `valCol` (within each group when
+    * `partitionCols` is non-empty — grouped mode runs one independent
+    * spine per group, sharing the refinement rounds). All of `g`'s
+    * columns pass through. Exposed for the boundedness spec. */
   private[graft] def assignBuckets(g: DataFrame, valCol: String,
-      cap: Int = DefaultCap, maxRounds: Int = 16): DataFrame = {
+      cap: Int = DefaultCap, maxRounds: Int = 16,
+      partitionCols: Seq[String] = Nil): DataFrame = {
     val v = col(valCol)
-    val bounds = g.agg(min(v).as("__lo"), max(v).as("__hi"))
-    var assigned = g.crossJoin(broadcast(bounds))
-      .withColumn("__bkt", array(subBucket(v, col("__lo"), col("__hi"))))
-      .drop("__lo", "__hi")
+    val pCols = partitionCols.map(col)
+    var assigned =
+      if (partitionCols.isEmpty) {
+        val bounds = g.agg(min(v).as("__lo"), max(v).as("__hi"))
+        g.crossJoin(broadcast(bounds))
+          .withColumn("__bkt",
+            array(subBucket(v, col("__lo"), col("__hi"))))
+          .drop("__lo", "__hi")
+      } else {
+        // per-group [min,max]: #groups rows, broadcast back
+        val bounds = g.groupBy(pCols: _*)
+          .agg(min(v).as("__lo"), max(v).as("__hi"))
+        g.join(broadcast(bounds), partitionCols)
+          .withColumn("__bkt",
+            array(subBucket(v, col("__lo"), col("__hi"))))
+          .drop("__lo", "__hi")
+      }
+    val bktKey = pCols :+ col("__bkt")
     var round = 0
     var done = false
     while (!done) {
-      // one row per bucket; an oversized bucket always has ≥2 distinct
-      // values (distinct table ⇒ count>1 ⇔ min<max), so re-bucketing
-      // over its own [min,max] strictly separates it
-      val oversized = assigned.groupBy("__bkt")
+      // one row per (group,) bucket; an oversized bucket always has ≥2
+      // distinct values (distinct table ⇒ count>1 ⇔ min<max), so
+      // re-bucketing over its own [min,max] strictly separates it
+      // the oversized side RENAMES its group keys (__op_i): it shares
+      // lineage with `assigned`, so same-named columns would resolve
+      // to the same attribute and the group predicate would fold to
+      // trivially-true — cross-group refinement leakage
+      val oversized = assigned.groupBy(bktKey: _*)
         .agg(count(lit(1)).as("__cnt"), min(v).as("__blo"),
           max(v).as("__bhi"))
         .filter(col("__cnt") > cap)
-        .select(col("__bkt").as("__obkt"), col("__blo"), col("__bhi"))
+        .select(partitionCols.zipWithIndex.map { case (c, i) =>
+          col(c).as(s"__op_$i") } ++
+          Seq(col("__bkt").as("__obkt"), col("__blo"),
+            col("__bhi")): _*)
       if (oversized.isEmpty) done = true
       else {
         round += 1
@@ -93,17 +117,23 @@ object RankSpine {
             "pathological value distribution; raise cap or maxRounds")
         assigned = graft.tools.Checkpoints.pin(
           assigned.join(broadcast(oversized),
-              col("__bkt") === col("__obkt"), "left")
+              partitionCols.zipWithIndex
+                .foldLeft(col("__bkt") === col("__obkt")) {
+                  case (cond, (pc, i)) =>
+                    cond && col(pc) === col(s"__op_$i")
+                }, "left")
             .withColumn("__bkt",
               when(col("__obkt").isNotNull,
                 concat(col("__bkt"),
                   array(subBucket(v, col("__blo"), col("__bhi")))))
                 .otherwise(col("__bkt")))
-            .drop("__obkt", "__blo", "__bhi"))
+            .drop("__obkt" +: "__blo" +: "__bhi" +:
+              partitionCols.indices.map(i => s"__op_$i"): _*))
       }
     }
     assigned
   }
+
 
   /** `g` (distinct by `valCol`) + one INCLUSIVE cumulative-sum column
     * `cumNames(i)` per `countCols(i)`, cumulative in `valCol` order.
@@ -112,23 +142,32 @@ object RankSpine {
     * within-bucket windows with ≤cap rows per partition guaranteed by
     * [[assignBuckets]]. */
   def cumulative(g: DataFrame, valCol: String, countCols: Seq[String],
-      cumNames: Seq[String], cap: Int = DefaultCap): DataFrame = {
+      cumNames: Seq[String], cap: Int = DefaultCap,
+      partitionCols: Seq[String] = Nil): DataFrame = {
     require(countCols.length == cumNames.length,
       "countCols and cumNames must align")
-    val assigned = assignBuckets(g, valCol, cap)
-    val wOff = Window.partitionBy(BoundedWindow.key(col("__bkt")))
+    val assigned = assignBuckets(g, valCol, cap,
+      partitionCols = partitionCols)
+    val bktKey = partitionCols :+ "__bkt"
+    // per-group offset window: one row per bucket, ordered by path.
+    // Ungrouped mode keeps the declared-bounded constant key; grouped
+    // mode partitions by the group itself (bounded at that group's
+    // bucket count).
+    val wOff = (if (partitionCols.isEmpty)
+        Window.partitionBy(BoundedWindow.key(col("__bkt")))
+      else Window.partitionBy(partitionCols.map(col): _*))
       .orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = assigned.groupBy("__bkt")
+    val offsets = assigned.groupBy(bktKey.map(col): _*)
       .agg(countCols.head -> "sum",
         countCols.tail.map(c => c -> "sum"): _*)
-      .toDF("__bkt" +: countCols.map(c => s"__s_$c"): _*)
-      .select(col("__bkt") +: countCols.map(c =>
+      .toDF(bktKey ++ countCols.map(c => s"__s_$c"): _*)
+      .select(bktKey.map(col) ++ countCols.map(c =>
         coalesce(sum(col(s"__s_$c")).over(wOff), lit(0L))
           .as(s"__off_$c")): _*)
-    val wIn = Window.partitionBy("__bkt").orderBy(valCol)
+    val wIn = Window.partitionBy(bktKey.map(col): _*).orderBy(valCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCums = countCols.zip(cumNames).foldLeft(
-      assigned.join(broadcast(offsets), "__bkt")) {
+      assigned.join(broadcast(offsets), bktKey)) {
         case (d, (c, name)) =>
           d.withColumn(name, col(s"__off_$c") + sum(col(c)).over(wIn))
       }

@@ -431,4 +431,30 @@ class CurationSpec extends SparkSpec {
     // bounded between raw mean and global mean
     assert(encR >= math.min(rawR, mu) && encR <= math.max(rawR, mu))
   }
+
+  test("rankNormalize: inclusive per-group ECDF — max hits exactly 1, " +
+    "ties share a rank, monotone in the value, and one wild outlier " +
+    "cannot distort the rest (unlike min-max)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "g1", 10.0), (2L, "g1", 20.0), (3L, "g1", 20.0),
+      (4L, "g1", 30.0),
+      (5L, "g2", 5.0), (6L, "g2", 6.0), (7L, "g2", 1.0e9)) // outlier
+    val out = CurationOps.rankNormalize(rows.toDF("id", "grp", "v"),
+      "grp", "id", "v").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("pct_rank")).toMap
+    // g1: cum/n over 4 rows with a tie at 20
+    assert(out(1L) === 0.25)
+    assert(out(2L) === 0.75 && out(3L) === 0.75) // ties share cum(≤v)
+    assert(out(4L) === 1.0)                      // max is exactly 1
+    // g2: the 1e9 outlier lands at 1.0 and leaves the others at their
+    // rank positions — min-max would have crushed 5.0 and 6.0 to ~0
+    assert(out(5L) === math.round(1.0 / 3 * 1e6) / 1e6)
+    assert(out(6L) === math.round(2.0 / 3 * 1e6) / 1e6)
+    assert(out(7L) === 1.0)
+    // per-group monotone in v
+    val g1 = Seq(out(1L), out(2L), out(4L))
+    assert(g1 === g1.sorted)
+  }
 }

@@ -1182,6 +1182,10 @@ class GraftExtensionsSpec extends SparkSpec {
     assertParity(s2, "SELECT * FROM feature_scale('fc_orders', " +
       "'o_orderkey', 'o_totalprice')",
       CurationOps.featureScale(ord, "o_orderkey", "o_totalprice"))
+    assertParity(s2, "SELECT * FROM rank_normalize('fc_orders', " +
+      "'o_orderpriority', 'o_orderkey', 'o_totalprice')",
+      CurationOps.rankNormalize(ord, "o_orderpriority", "o_orderkey",
+        "o_totalprice"))
     assertParity(s2, "SELECT * FROM target_encode('fc_lineitem', " +
       "'l_returnflag', 'l_extendedprice')",
       CurationOps.targetEncode(li, "l_returnflag", "l_extendedprice"))

@@ -90,6 +90,41 @@ class RankSpineSpec extends SparkSpec {
     assert(mw.getAs[Double]("u") === math.round(bruteU * 1e6) / 1e6)
   }
 
+  test("grouped mode: per-group heavy tails refine independently, " +
+    "buckets stay bounded per (group, path), and the cumulative " +
+    "equals the per-group brute force") {
+    // group A: the outlier-stretched mass; group B: a benign uniform
+    // on a DIFFERENT range — per-group bounds must not cross-talk
+    val g = (
+      (1 to 5000).map(i => ("A", i / 2.0e7)) ++ Seq(("A", 1.0e12)) ++
+      (1 to 3000).map(i => ("B", 100.0 + i))
+    ).toDF("grp", "v").groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val assigned = RankSpine.assignBuckets(g, "v", cap = 256,
+      partitionCols = Seq("grp"))
+    val maxSize = assigned.groupBy("grp", "__bkt")
+      .agg(count(lit(1)).as("n")).agg(max("n")).head.getLong(0)
+    assert(maxSize <= 256)
+    // A's tail forces refinement; B converges at level 1
+    val depths = assigned.groupBy("grp")
+      .agg(max(size(col("__bkt"))).as("d")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(depths("A") >= 2 && depths("B") === 1, depths.toString)
+    // grouped cumulative ≡ per-group brute force
+    val cum = RankSpine.cumulative(g, "v", Seq("c"), Seq("cum"),
+      cap = 256, partitionCols = Seq("grp"))
+      .select("grp", "v", "cum").collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val rows = g.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (grp, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val brute = sorted.scanLeft(0L)(_ + _._3).tail
+      sorted.map(_._2).zip(brute).foreach { case (v, exp) =>
+        assert(cum((grp, v)) === exp, s"($grp, $v)")
+      }
+    }
+  }
+
   test("non-convergence throws instead of shipping an unbounded sort") {
     // the fixture's level-0 assignment leaves one oversized bucket;
     // forbidding refinement rounds must throw, not proceed unbounded
