@@ -570,7 +570,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "mann_kendall" -> GraftExtensions.mannKendallPlan _,
       "mahalanobis" -> GraftExtensions.mahalanobisPlan _,
       "embed_quant" -> GraftExtensions.embedQuantPlan _,
-      "rank_normalize" -> GraftExtensions.rankNormalizePlan _)
+      "rank_normalize" -> GraftExtensions.rankNormalizePlan _,
+      "kcore" -> GraftExtensions.kcorePlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -1489,6 +1490,22 @@ object GraftExtensions {
         df.select(col(src).as("src"), col(dst).as("dst")),
         iters, damping)
       .orderBy(col("r").desc, col("node"))
+      .queryExecution.analyzed
+  }
+
+  /** `kcore(table, src_col, dst_col, k)` — k-core node table of the
+    * undirected simple graph ([[graft.operators.GraphOps.kCore]]). */
+  private[graft] def kcorePlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("kcore(table, src_col, dst_col, k)", exprs, 4, 4)
+    val src = litStr("kcore", "src_col", exprs(1))
+    val dst = litStr("kcore", "dst_col", exprs(2))
+    val df = namedTable("kcore",
+      litStr("kcore", "table", exprs(0)), Seq(src, dst))
+    val k = litDouble("kcore", "k", exprs(3)).toInt
+    require(k >= 1, s"kcore k must be >= 1; got $k")
+    import org.apache.spark.sql.functions.col
+    graft.operators.GraphOps.kCore(
+        df.select(col(src).as("src"), col(dst).as("dst")), k)
       .queryExecution.analyzed
   }
 

@@ -790,6 +790,22 @@ class GraftExtensionsSpec extends SparkSpec {
         .orderBy("node").collect().map(_.toSeq).toSeq)
   }
 
+  test("kcore TVF agrees with the Scala API") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val edges = (Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)) ++
+      (for (i <- 10L to 14L; j <- i + 1 to 14L) yield (i, j)))
+      .toDF("a", "b")
+    edges.createOrReplaceTempView("kc_edges")
+    val got = s2.sql("SELECT * FROM kcore('kc_edges', 'a', 'b', 3)")
+    assert(got.columns.toSeq === Seq("node", "core_degree"))
+    assert(got.collect().map(_.toSeq).toSeq ===
+      graft.operators.GraphOps.kCore(
+        edges.select(col("a").as("src"), col("b").as("dst")), 3)
+        .collect().map(_.toSeq).toSeq)
+  }
+
   test("stats TVFs (skyline, winsorize, ab_metrics) agree with the " +
     "Scala API") {
     import org.apache.spark.sql.functions.col

@@ -188,4 +188,50 @@ class GraphOpsSpec extends SparkSpec {
     // visited anti-join must keep the hop-1 arrival
     assert(d === Map(1L -> 0, 2L -> 1, 3L -> 1))
   }
+
+  test("kCore: multi-round peeling equals the brute force on random " +
+    "sparse graphs, a path has no 2-core, a clique survives intact, " +
+    "and non-convergence throws") {
+    import spark.implicits._
+    def brute(edges: Set[(Long, Long)], k: Int): Map[Long, Int] = {
+      var e = edges
+      var stable = false
+      while (!stable) {
+        val deg = e.toSeq.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size }
+        val bad = deg.filter(_._2 < k).keySet
+        if (bad.isEmpty) stable = true
+        else e = e.filter(p => !bad(p._1) && !bad(p._2))
+      }
+      e.toSeq.flatMap(p => Seq(p._1, p._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size }
+    }
+    val rnd = new scala.util.Random(17)
+    // sparse random graph: genuinely multi-round peeling
+    val es = (1 to 600).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    Seq(2, 3, 4).foreach { k =>
+      val got = graft.operators.GraphOps
+        .kCore(es.toSeq.toDF("src", "dst"), k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+      assert(got === brute(es, k), s"k=$k")
+    }
+    // a path graph has NO 2-core (peels from the ends inward)
+    val path = (1L to 10L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(graft.operators.GraphOps
+      .kCore(path.toDF("src", "dst"), 2, maxRounds = 16).isEmpty)
+    // a 5-clique is its own 4-core
+    val clique = (for (i <- 1L to 5L; j <- i + 1 to 5L) yield (i, j))
+    val kc = graft.operators.GraphOps
+      .kCore(clique.toDF("src", "dst"), 4).collect()
+    assert(kc.length === 5 && kc.forall(_.getLong(1) === 4L))
+    // forbidding rounds on a peelable graph throws, never half-peels
+    val e = intercept[IllegalStateException] {
+      graft.operators.GraphOps
+        .kCore(path.toDF("src", "dst"), 2, maxRounds = 0).collect()
+    }
+    assert(e.getMessage.contains("did not stabilize"))
+  }
 }
