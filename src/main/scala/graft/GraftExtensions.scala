@@ -571,7 +571,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "mahalanobis" -> GraftExtensions.mahalanobisPlan _,
       "embed_quant" -> GraftExtensions.embedQuantPlan _,
       "rank_normalize" -> GraftExtensions.rankNormalizePlan _,
-      "kcore" -> GraftExtensions.kcorePlan _)
+      "kcore" -> GraftExtensions.kcorePlan _,
+      "effect_size" -> GraftExtensions.effectSizePlan _,
+      "nelson_aalen" -> GraftExtensions.nelsonAalenPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2144,6 +2146,41 @@ object GraftExtensions {
       litStr("t_test", "table", exprs(0)), Seq(v, g))
     graft.operators.HypothesisOps.tTest(df, v, g,
       litStr("t_test", "a", exprs(3)), litStr("t_test", "b", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `effect_size(table, value_col, group_col, a, b)` — Cohen's d /
+    * Hedges' g / Glass's Δ
+    * ([[graft.operators.HypothesisOps.effectSize]]). */
+  private[graft] def effectSizePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("effect_size(table, value_col, group_col, a, b)", exprs, 5, 5)
+    val v = litStr("effect_size", "value_col", exprs(1))
+    val g = litStr("effect_size", "group_col", exprs(2))
+    val df = namedTable("effect_size",
+      litStr("effect_size", "table", exprs(0)), Seq(v, g))
+    graft.operators.HypothesisOps.effectSize(df, v, g,
+      litStr("effect_size", "a", exprs(3)),
+      litStr("effect_size", "b", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `nelson_aalen(table, subject_col, ts_col [, censor_days])` —
+    * cumulative-hazard table
+    * ([[graft.operators.FitOps.nelsonAalen]]). */
+  private[graft] def nelsonAalenPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("nelson_aalen(table, subject_col, ts_col [, censor_days])",
+      exprs, 3, 4)
+    val s = litStr("nelson_aalen", "subject_col", exprs(1))
+    val t = litStr("nelson_aalen", "ts_col", exprs(2))
+    val df = namedTable("nelson_aalen",
+      litStr("nelson_aalen", "table", exprs(0)), Seq(s, t))
+    val censor = if (exprs.length > 3)
+      litDouble("nelson_aalen", "censor_days", exprs(3)).toInt else 3
+    require(censor > 0,
+      s"nelson_aalen censor_days must be positive; got $censor")
+    graft.operators.FitOps.nelsonAalen(df, s, t, censor)
       .queryExecution.analyzed
   }
 

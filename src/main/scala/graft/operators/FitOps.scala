@@ -466,7 +466,42 @@ object FitOps {
     * most the corpus' span in days (bounded by construction, declared
     * via [[BoundedWindow.key]]) — never over subjects. */
   def kaplanMeier(events: DataFrame, subjectCol: String, tsCol: String,
-      censorDays: Int = 3): DataFrame = {
+      censorDays: Int = 3): DataFrame =
+    riskTable(events, subjectCol, tsCol, censorDays)
+      .withColumn("surv",
+        exp(sum(log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .over(survCumWindow)))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        r6(col("surv")).as("surv"))
+      .orderBy("t")
+
+  /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s additive twin
+    * off the SAME risk table: Ĥ(t) = Σ_{t'≤t} d/n_risk with its
+    * variance Σ d/n_risk² — the survival readout that stays
+    * well-behaved at small risk sets (the KM product hits 0 the first
+    * time every at-risk subject dies; the hazard just keeps
+    * accumulating evidence) and the one hazard-ratio models calibrate
+    * against. Same bounded-by-construction day-span windows. */
+  def nelsonAalen(events: DataFrame, subjectCol: String, tsCol: String,
+      censorDays: Int = 3): DataFrame =
+    riskTable(events, subjectCol, tsCol, censorDays)
+      .withColumn("cum_hazard",
+        sum(col("d").cast("double") / col("n_risk"))
+          .over(survCumWindow))
+      .withColumn("var_hazard",
+        sum(col("d").cast("double") /
+          (col("n_risk").cast("double") * col("n_risk")))
+          .over(survCumWindow))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        r6(col("cum_hazard")).as("cum_hazard"),
+        r6(col("var_hazard")).as("var_hazard"))
+      .orderBy("t")
+
+  /** Shared survival spine: per-duration (t, d, c, n_risk) with the
+    * last-observation censoring heuristic. ≤ corpus-day-span rows
+    * below the per-subject aggregate: global windows on purpose. */
+  private def riskTable(events: DataFrame, subjectCol: String,
+      tsCol: String, censorDays: Int): DataFrame = {
     val subj = events.groupBy(col(subjectCol))
       .agg(min(to_date(col(tsCol))).as("d0"), max(to_date(col(tsCol))).as("d1"))
     val mx = events.agg(max(to_date(col(tsCol))).as("dmax"))
@@ -479,21 +514,16 @@ object FitOps {
       .agg(sum(when(col("cens") === 0, 1L).otherwise(0L)).as("d"),
         sum(col("cens")).as("c"), count(lit(1)).as("all_n"))
     val tot = spans.agg(count(lit(1)).as("n_total"))
-    // ≤ corpus-day-span rows from here down: global windows on purpose.
     val wPrev = Window.partitionBy(BoundedWindow.key(col("t"))).orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wCum = Window.partitionBy(BoundedWindow.key(col("t"))).orderBy("t")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     byT.crossJoin(broadcast(tot))
       .withColumn("n_risk",
         col("n_total") - coalesce(sum("all_n").over(wPrev), lit(0L)))
-      .withColumn("surv",
-        exp(sum(log(lit(1.0) - col("d").cast("double") / col("n_risk")))
-          .over(wCum)))
-      .select(col("t"), col("n_risk"), col("d"), col("c"),
-        r6(col("surv")).as("surv"))
-      .orderBy("t")
   }
+
+  private def survCumWindow =
+    Window.partitionBy(BoundedWindow.key(col("t"))).orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
   /** Inter-arrival time profile: per event type, the distribution of
     * seconds since the SAME USER's previous event (any type) — the
@@ -877,6 +907,44 @@ object FitOps {
                        * 1000000.0)/1000000.0 AS surv
               FROM km ORDER BY t"""),
       (s, d) => kaplanMeier(Tables.events(s, d), "user_id", "ts")),
+
+    // The additive survival readout: Nelson–Aalen cumulative hazard
+    // with its variance — well-behaved where the KM product collapses.
+    Query(
+      "q_nelson_aalen",
+      Some("""WITH subj AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+                       max(CAST(ts AS DATE)) AS d1
+                FROM events GROUP BY 1),
+              mx AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+              s AS (SELECT date_diff('day', d0, d1) AS t,
+                           CASE WHEN date_diff('day', d1, dmax) < 3
+                                THEN 1 ELSE 0 END AS cens
+                    FROM subj CROSS JOIN mx),
+              byt AS (SELECT t,
+                        sum(CASE WHEN cens = 0 THEN 1 ELSE 0 END) AS d,
+                        sum(cens) AS c, count(*) AS all_n
+                      FROM s GROUP BY 1),
+              tot AS (SELECT count(*) AS n_total FROM s),
+              na AS (SELECT t, d, c,
+                       n_total - coalesce(sum(all_n) OVER (ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                         PRECEDING), 0) AS n_risk
+                     FROM byt CROSS JOIN tot)
+              SELECT CAST(t AS BIGINT) AS t,
+                     CAST(n_risk AS BIGINT) AS n_risk,
+                     CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+                     round(sum(CAST(d AS DOUBLE) / n_risk)
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)
+                       * 1000000.0)/1000000.0 AS cum_hazard,
+                     round(sum(CAST(d AS DOUBLE)
+                           / (CAST(n_risk AS DOUBLE) * n_risk))
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW)
+                       * 1000000.0)/1000000.0 AS var_hazard
+              FROM na ORDER BY t"""),
+      (s, d) => nelsonAalen(Tables.events(s, d), "user_id", "ts")),
 
     // How long between a user's events, per event type — cadence
     // medians/p90s off exact integer-second gaps.

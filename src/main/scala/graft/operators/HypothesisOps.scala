@@ -199,22 +199,64 @@ object HypothesisOps {
     * No p-value column for the same reason [[mannWhitney]] emits z:
     * the Student-t CDF has no closed form both engines state
     * identically; t + dof are the decision-complete pair. */
-  def tTest(df: DataFrame, valCol: String, groupCol: String,
-      aVal: String, bVal: String): DataFrame = {
+  /** One row of DECIMAL(38,6)-exact two-group moments
+    * (n_a/n_b/sums/sum-squares) — shared by [[tTest]] and
+    * [[effectSize]]. */
+  private def twoGroupMoments(df: DataFrame, valCol: String,
+      groupCol: String, aVal: String, bVal: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec6 = DecimalType(38, 6)
     val v = col(valCol)
-    val per = df.filter(col(groupCol).isin(aVal, bVal))
+    df.filter(col(groupCol).isin(aVal, bVal))
       .groupBy((col(groupCol) === aVal).as("isa"))
       .agg(count(lit(1)).as("n"), sum(v.cast(dec6)).as("sx"),
         sum((v * v).cast(dec6)).as("sxx"))
-    val one = per.agg(
-      max(when(col("isa"), col("n"))).as("n_a"),
-      max(when(!col("isa"), col("n"))).as("n_b"),
-      max(when(col("isa"), col("sx"))).as("sxa"),
-      max(when(!col("isa"), col("sx"))).as("sxb"),
-      max(when(col("isa"), col("sxx"))).as("sxxa"),
-      max(when(!col("isa"), col("sxx"))).as("sxxb"))
+      .agg(
+        max(when(col("isa"), col("n"))).as("n_a"),
+        max(when(!col("isa"), col("n"))).as("n_b"),
+        max(when(col("isa"), col("sx"))).as("sxa"),
+        max(when(!col("isa"), col("sx"))).as("sxb"),
+        max(when(col("isa"), col("sxx"))).as("sxxa"),
+        max(when(!col("isa"), col("sxx"))).as("sxxb"))
+  }
+
+  /** Standardized effect sizes for the two-group comparison — the
+    * "how BIG is the difference" companion [[tTest]]'s significance
+    * can't answer (at corpus n everything is significant): Cohen's d
+    * on the pooled SD, the small-sample-corrected Hedges' g, and
+    * Glass's Δ (control-group-B SD — right when the treatment also
+    * moves the variance). Same one-aggregate moments, closed forms
+    * both engines state identically. */
+  def effectSize(df: DataFrame, valCol: String, groupCol: String,
+      aVal: String, bVal: String): DataFrame = {
+    val one = twoGroupMoments(df, valCol, groupCol, aVal, bVal)
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("sxa").cast("double") / na
+    val mb = col("sxb").cast("double") / nb
+    val va = (col("sxxa").cast("double") -
+      col("sxa").cast("double") * col("sxa").cast("double") / na) /
+      (na - 1)
+    val vb = (col("sxxb").cast("double") -
+      col("sxb").cast("double") * col("sxb").cast("double") / nb) /
+      (nb - 1)
+    val sp2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+    // divisions nest under the n>1 guard (ANSI throws eagerly)
+    val ok = col("n_a") > 1 && col("n_b") > 1
+    one.select(col("n_a"), col("n_b"),
+      when(ok, r6(ma - mb)).as("mean_diff"),
+      when(ok, when(sp2 > 0, r6((ma - mb) / sqrt(sp2))))
+        .as("cohen_d"),
+      when(ok, when(sp2 > 0,
+        r6((ma - mb) / sqrt(sp2) *
+          (lit(1.0) - lit(3.0) / (lit(4.0) * (na + nb) - 9)))))
+        .as("hedges_g"),
+      when(ok, when(vb > 0, r6((ma - mb) / sqrt(vb))))
+        .as("glass_delta"))
+  }
+
+  def tTest(df: DataFrame, valCol: String, groupCol: String,
+      aVal: String, bVal: String): DataFrame = {
+    val one = twoGroupMoments(df, valCol, groupCol, aVal, bVal)
     val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
     val ma = col("sxa").cast("double") / na
     val mb = col("sxb").cast("double") / nb
@@ -341,6 +383,63 @@ object HypothesisOps {
                        END * 1000000.0)/1000000.0 AS dof
               FROM m"""),
       (s, d) => tTest(Tables.orders(s, d), "o_totalprice",
+        "o_orderstatus", "F", "O")),
+
+    // How BIG is the finished-vs-open difference — the effect sizes
+    // the t-test's significance can't answer at corpus n.
+    Query(
+      "q_effect_size",
+      Some("""WITH per AS (
+                SELECT (o_orderstatus = 'F') AS isa, count(*) AS n,
+                       sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sx,
+                       sum(CAST(o_totalprice * o_totalprice
+                         AS DECIMAL(38,6))) AS sxx
+                FROM orders WHERE o_orderstatus IN ('F', 'O')
+                GROUP BY 1),
+              one AS (SELECT
+                       max(CASE WHEN isa THEN n END) AS n_a,
+                       max(CASE WHEN NOT isa THEN n END) AS n_b,
+                       max(CASE WHEN isa THEN sx END) AS sxa,
+                       max(CASE WHEN NOT isa THEN sx END) AS sxb,
+                       max(CASE WHEN isa THEN sxx END) AS sxxa,
+                       max(CASE WHEN NOT isa THEN sxx END) AS sxxb
+                     FROM per),
+              m AS (SELECT
+                      CAST(n_a AS BIGINT) AS n_a,
+                      CAST(n_b AS BIGINT) AS n_b,
+                      CAST(sxa AS DOUBLE) / n_a AS ma,
+                      CAST(sxb AS DOUBLE) / n_b AS mb,
+                      (CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE)
+                        * CAST(sxa AS DOUBLE) / n_a)
+                        / (CAST(n_a AS DOUBLE) - 1) AS va,
+                      (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE)
+                        * CAST(sxb AS DOUBLE) / n_b)
+                        / (CAST(n_b AS DOUBLE) - 1) AS vb
+                    FROM one),
+              f AS (SELECT *,
+                      ((CAST(n_a AS DOUBLE) - 1) * va
+                        + (CAST(n_b AS DOUBLE) - 1) * vb)
+                        / (CAST(n_a AS DOUBLE) + n_b - 2) AS sp2
+                    FROM m)
+              SELECT n_a, n_b,
+                     round(CASE WHEN n_a > 1 AND n_b > 1
+                         THEN ma - mb END
+                       * 1000000.0)/1000000.0 AS mean_diff,
+                     round(CASE WHEN n_a > 1 AND n_b > 1 THEN
+                         CASE WHEN sp2 > 0
+                           THEN (ma - mb) / sqrt(sp2) END END
+                       * 1000000.0)/1000000.0 AS cohen_d,
+                     round(CASE WHEN n_a > 1 AND n_b > 1 THEN
+                         CASE WHEN sp2 > 0 THEN (ma - mb) / sqrt(sp2)
+                           * (1.0 - 3.0
+                             / (4.0 * (n_a + n_b) - 9)) END END
+                       * 1000000.0)/1000000.0 AS hedges_g,
+                     round(CASE WHEN n_a > 1 AND n_b > 1 THEN
+                         CASE WHEN vb > 0
+                           THEN (ma - mb) / sqrt(vb) END END
+                       * 1000000.0)/1000000.0 AS glass_delta
+              FROM f"""),
+      (s, d) => effectSize(Tables.orders(s, d), "o_totalprice",
         "o_orderstatus", "F", "O")),
 
     // Same question, rank-flavored: Mann–Whitney is the robust

@@ -237,6 +237,37 @@ class FitOpsSpec extends SparkSpec {
     assert(got.map(_._5).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("nelsonAalen: cumulative hazard matches the brute-force sum on " +
+    "the kaplanMeier fixture, is non-decreasing, and shares the KM " +
+    "risk table exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val ev = (1 to 120).flatMap { u =>
+      val span = rnd.nextInt(10)
+      Seq((u.toLong, Timestamp.valueOf(java.time.LocalDate
+          .of(2022, 1, 1 + rnd.nextInt(5)).atStartOfDay())),
+        (u.toLong, Timestamp.valueOf(java.time.LocalDate
+          .of(2022, 1, 1 + rnd.nextInt(5) + span).atStartOfDay())))
+    }.toDF("user_id", "ts")
+    val km = FitOps.kaplanMeier(ev, "user_id", "ts").collect()
+    val na = FitOps.nelsonAalen(ev, "user_id", "ts").collect()
+    // identical risk-table columns (t, n_risk, d, c)
+    assert(na.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq ===
+      km.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq)
+    // brute-force H(t) and monotonicity
+    var h = 0.0
+    na.foreach { r =>
+      h += r.getLong(2).toDouble / r.getLong(1)
+      assert(r.getAs[Double]("cum_hazard") ===
+        math.round(h * 1e6) / 1e6, s"t=${r.getLong(0)}")
+      assert(r.getAs[Double]("var_hazard") >= 0.0)
+    }
+    val hs = na.map(_.getAs[Double]("cum_hazard")).toSeq
+    assert(hs === hs.sorted)
+  }
+
   test("kaplanMeier accounts every subject exactly once and n_risk " +
     "is non-increasing in t") {
     val ev = (1 to 8).flatMap(u => Seq((u.toLong, ts(1)),

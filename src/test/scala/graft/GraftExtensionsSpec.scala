@@ -1070,6 +1070,13 @@ class GraftExtensionsSpec extends SparkSpec {
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.tTest(ord, "o_totalprice", "o_orderstatus",
         "F", "O"))
+    assertParity(s2, "SELECT * FROM effect_size('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus', 'F', 'O')",
+      HypothesisOps.effectSize(ord, "o_totalprice", "o_orderstatus",
+        "F", "O"))
+    assertParity(s2, "SELECT * FROM nelson_aalen('ht_events', " +
+      "'user_id', 'ts')",
+      graft.operators.FitOps.nelsonAalen(ev, "user_id", "ts"))
     assertParity(s2, "SELECT * FROM mann_whitney('ht_orders', " +
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.mannWhitney(ord, "o_totalprice", "o_orderstatus",

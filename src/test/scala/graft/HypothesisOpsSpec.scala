@@ -126,6 +126,39 @@ class HypothesisOpsSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("t_stat")))
   }
 
+  test("effectSize: hand-computed Cohen's d / Hedges' g / Glass delta, " +
+    "zero on identical groups, NULL on singleton groups") {
+    val xs = Seq(4.0, 5.0, 6.0, 7.0, 8.0)         // mean 6, var 2.5
+    val ys = Seq(1.0, 2.0, 3.0)                   // mean 2, var 1
+    def mv(s: Seq[Double]) = {
+      val m = s.sum / s.size
+      (m, s.map(x => (x - m) * (x - m)).sum / (s.size - 1))
+    }
+    val (ma, va) = mv(xs); val (mb, vb) = mv(ys)
+    val sp2 = ((xs.size - 1) * va + (ys.size - 1) * vb) /
+      (xs.size + ys.size - 2)
+    val d = (ma - mb) / math.sqrt(sp2)
+    val g = d * (1.0 - 3.0 / (4.0 * (xs.size + ys.size) - 9))
+    val glass = (ma - mb) / math.sqrt(vb)
+    val df = (xs.map(("A", _)) ++ ys.map(("B", _))).toDF("g", "v")
+    val r = HypothesisOps.effectSize(df, "v", "g", "A", "B")
+      .collect()(0)
+    assert(r.getAs[Double]("mean_diff") === r6(ma - mb))
+    assert(r.getAs[Double]("cohen_d") === r6(d))
+    assert(r.getAs[Double]("hedges_g") === r6(g))
+    assert(r.getAs[Double]("glass_delta") === r6(glass))
+    // identical groups → every effect size is exactly 0
+    val same = (xs.map(("A", _)) ++ xs.map(("B", _))).toDF("g", "v")
+    val r0 = HypothesisOps.effectSize(same, "v", "g", "A", "B")
+      .collect()(0)
+    assert(r0.getAs[Double]("cohen_d") === 0.0)
+    // a singleton group has no variance estimate → NULL, not a crash
+    val single = (xs.map(("A", _)) :+ (("B", 3.0))).toDF("g", "v")
+    val rs = HypothesisOps.effectSize(single, "v", "g", "A", "B")
+      .collect()(0)
+    assert(rs.isNullAt(rs.fieldIndex("cohen_d")))
+  }
+
   test("hhi: monopoly scores 10000, k equal entities score 10000/k, " +
     "and entity fragmentation strictly lowers concentration") {
     val mono = Seq(("m", 1L, 50.0), ("m", 1L, 30.0)).toDF("g", "e", "v")
