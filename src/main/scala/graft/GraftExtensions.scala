@@ -573,7 +573,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "rank_normalize" -> GraftExtensions.rankNormalizePlan _,
       "kcore" -> GraftExtensions.kcorePlan _,
       "effect_size" -> GraftExtensions.effectSizePlan _,
-      "nelson_aalen" -> GraftExtensions.nelsonAalenPlan _)
+      "nelson_aalen" -> GraftExtensions.nelsonAalenPlan _,
+      "srm_check" -> GraftExtensions.srmCheckPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2634,6 +2635,27 @@ object GraftExtensions {
     require(budget > 0,
       s"mixture_alloc budget must be positive; got $budget")
     graft.operators.CurationOps.mixtureAllocation(df, s, t, budget)
+      .queryExecution.analyzed
+  }
+
+  /** `srm_check(table, assign_col, expectations)` — sample-ratio-
+    * mismatch chi-square; `expectations` is space-separated
+    * `label:proportion` pairs
+    * ([[graft.operators.CurationOps.srmCheck]]). */
+  private[graft] def srmCheckPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("srm_check(table, assign_col, expectations)", exprs, 3, 3)
+    val a = litStr("srm_check", "assign_col", exprs(1))
+    val expected = litStr("srm_check", "expectations", exprs(2)).trim
+      .split("\\s+").toSeq.map { s =>
+        val parts = s.split(":")
+        require(parts.length == 2 && parts(0).nonEmpty,
+          s"srm_check expectations entries must be 'label:p'; got '$s'")
+        (parts(0), parts(1).toDouble)
+      }
+    val df = namedTable("srm_check",
+      litStr("srm_check", "table", exprs(0)), Seq(a))
+    graft.operators.CurationOps.srmCheck(df, a, expected)
       .queryExecution.analyzed
   }
 

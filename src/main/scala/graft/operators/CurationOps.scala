@@ -478,6 +478,48 @@ object CurationOps {
     * itself is a pure codegen'd map, so the whole thing is two linear
     * passes at any corpus size. Degenerate columns (constant value)
     * scale to NULL rather than an ANSI divide-by-zero. */
+  /** Sample-ratio-mismatch check — the first thing to verify about ANY
+    * split/assignment before trusting downstream metrics: chi-square
+    * goodness-of-fit of the observed per-label counts against the
+    * DECLARED proportions. A buggy hash, a dropped shard, or a
+    * filtered-after-assignment pipeline all show up here long before
+    * they corrupt an eval. One count aggregate + a broadcast of the
+    * |labels|-row expectation table; per-label terms fold into a
+    * DECIMAL(38,12) total (the q_drift stance). Labels observed but
+    * not declared are excluded from the statistic (they are a schema
+    * bug, not a ratio question); dof = |declared| − 1. */
+  def srmCheck(df: DataFrame, assignCol: String,
+      expected: Seq[(String, Double)]): DataFrame = {
+    require(expected.nonEmpty, "srmCheck needs declared proportions")
+    require(expected.map(_._2).forall(_ > 0),
+      s"declared proportions must be positive; got $expected")
+    require(math.abs(expected.map(_._2).sum - 1.0) < 1e-9,
+      s"declared proportions must sum to 1; got ${expected.map(_._2).sum}")
+    import org.apache.spark.sql.types.DecimalType
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val s = df.sparkSession
+    import s.implicits._
+    val expDf = expected.toDF("label", "p")
+    val counts = df.groupBy(col(assignCol).as("label"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("nt"))
+    val e = col("p") * col("nt")
+    val terms = counts.join(broadcast(expDf), "label")
+      .crossJoin(broadcast(tot))
+      .withColumn("en", e)
+      .withColumn("term",
+        (col("n") - col("en")) * (col("n") - col("en")) / col("en"))
+    val chi = terms.agg(
+      sum(col("term").cast(DecimalType(38, 12))).as("chi2"))
+    terms.crossJoin(broadcast(chi))
+      .select(col("label"), col("n"),
+        r6(col("en")).as("expected_n"),
+        r6(col("term")).as("term"),
+        r6(col("chi2").cast("double")).as("chi2"),
+        lit(expected.size - 1).cast("bigint").as("dof"))
+      .orderBy("label")
+  }
+
   /** Per-group RANK normalization — the third normalizer next to
     * [[featureScale]]'s min-max and z-score: map each value to its
     * within-group inclusive ECDF position cum(≤v)/n ∈ (0, 1]. Rank
@@ -690,6 +732,42 @@ object CurationOps {
       (s, d) => hashSplit(Tables.documents(s, d), "doc_id")
         .select("doc_id", "split")
         .orderBy("doc_id")),
+
+    // Is the train/val/test split actually 80/10/10? The sample-ratio-
+    // mismatch chi-square against the DECLARED cut fractions — run on
+    // the engine's own hash split, so a healthy pipeline scores tiny.
+    Query(
+      "q_srm_check",
+      Some(s"""WITH s AS (
+                SELECT CASE WHEN ${sqlDraw("doc_id")} < 52429
+                              THEN 'train'
+                            WHEN ${sqlDraw("doc_id")} < 58982 THEN 'val'
+                            ELSE 'test' END AS label
+                FROM documents),
+              c AS (SELECT label, count(*) AS n FROM s GROUP BY 1),
+              e AS (SELECT * FROM (VALUES
+                      ('train', 52429.0 / 65536),
+                      ('val', 6553.0 / 65536),
+                      ('test', 6554.0 / 65536)) AS t(label, p)),
+              tt AS (SELECT sum(n) AS nt FROM c),
+              terms AS (
+                SELECT c.label, n, p * nt AS en,
+                       (n - p * nt) * (n - p * nt) / (p * nt) AS term
+                FROM c JOIN e USING (label) CROSS JOIN tt),
+              chi AS (SELECT sum(CAST(term AS DECIMAL(38,12)))
+                        AS chi2
+                      FROM terms)
+              SELECT label, CAST(n AS BIGINT) AS n,
+                     round(en * 1000000.0)/1000000.0 AS expected_n,
+                     round(term * 1000000.0)/1000000.0 AS term,
+                     round(CAST(chi2 AS DOUBLE) * 1000000.0)/1000000.0
+                       AS chi2,
+                     CAST(2 AS BIGINT) AS dof
+              FROM terms CROSS JOIN chi ORDER BY label"""),
+      (s, d) => srmCheck(
+        hashSplit(Tables.documents(s, d), "doc_id"), "split",
+        Seq("train" -> 52429.0 / 65536, "val" -> 6553.0 / 65536,
+          "test" -> 6554.0 / 65536))),
 
     // Decontamination against a held-out benchmark (every 50th doc):
     // survivors share NO 3-gram with any benchmark document.

@@ -432,6 +432,36 @@ class CurationSpec extends SparkSpec {
     assert(encR >= math.min(rawR, mu) && encR <= math.max(rawR, mu))
   }
 
+  test("srmCheck: tiny chi2 on a ratio-true assignment, large on a " +
+    "dropped-shard mismatch, hand-computed terms, and undeclared " +
+    "labels are excluded from the statistic") {
+    import spark.implicits._
+    // exactly-proportional assignment → chi2 = 0
+    val exact = (Seq.fill(800)("a") ++ Seq.fill(200)("b"))
+      .toDF("split")
+    val r0 = CurationOps.srmCheck(exact, "split",
+      Seq("a" -> 0.8, "b" -> 0.2)).collect()
+    assert(r0.forall(_.getAs[Double]("chi2") === 0.0))
+    assert(r0.forall(_.getAs[Long]("dof") === 1L))
+    // dropped shard: half of 'b' vanished → big chi2
+    val dropped = (Seq.fill(800)("a") ++ Seq.fill(100)("b"))
+      .toDF("split")
+    val rd = CurationOps.srmCheck(dropped, "split",
+      Seq("a" -> 0.8, "b" -> 0.2)).collect()
+    val chi2 = rd.head.getAs[Double]("chi2")
+    // hand computation: n=900, e_a=720, e_b=180
+    val expChi = (800.0 - 720) * (800 - 720) / 720 +
+      (100.0 - 180) * (100 - 180) / 180
+    assert(math.abs(chi2 - expChi) < 1e-6, s"got $chi2 exp $expChi")
+    assert(chi2 > 6.63, "a halved shard must clear the 1% line")
+    // an undeclared label is excluded (schema bug, not a ratio term)
+    val stray = (Seq.fill(80)("a") ++ Seq.fill(20)("b") ++
+      Seq.fill(5)("oops")).toDF("split")
+    val rs = CurationOps.srmCheck(stray, "split",
+      Seq("a" -> 0.8, "b" -> 0.2)).collect()
+    assert(rs.map(_.getString(0)).toSet === Set("a", "b"))
+  }
+
   test("rankNormalize: inclusive per-group ECDF — max hits exactly 1, " +
     "ties share a rank, monotone in the value, and one wild outlier " +
     "cannot distort the rest (unlike min-max)") {

@@ -1205,6 +1205,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assertParity(s2, "SELECT * FROM feature_scale('fc_orders', " +
       "'o_orderkey', 'o_totalprice')",
       CurationOps.featureScale(ord, "o_orderkey", "o_totalprice"))
+    val splitDocs = CurationOps.hashSplit(docs, "doc_id")
+    splitDocs.createOrReplaceTempView("fc_split")
+    assertParity(s2, "SELECT * FROM srm_check('fc_split', 'split', " +
+      s"'train:${52429.0 / 65536} val:${6553.0 / 65536} " +
+      s"test:${6554.0 / 65536}')",
+      CurationOps.srmCheck(splitDocs, "split",
+        Seq("train" -> 52429.0 / 65536, "val" -> 6553.0 / 65536,
+          "test" -> 6554.0 / 65536)))
     assertParity(s2, "SELECT * FROM rank_normalize('fc_orders', " +
       "'o_orderpriority', 'o_orderkey', 'o_totalprice')",
       CurationOps.rankNormalize(ord, "o_orderpriority", "o_orderkey",
