@@ -574,7 +574,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "kcore" -> GraftExtensions.kcorePlan _,
       "effect_size" -> GraftExtensions.effectSizePlan _,
       "nelson_aalen" -> GraftExtensions.nelsonAalenPlan _,
-      "srm_check" -> GraftExtensions.srmCheckPlan _)
+      "srm_check" -> GraftExtensions.srmCheckPlan _,
+      "auc" -> GraftExtensions.aucPlan _,
+      "calibration" -> GraftExtensions.calibrationPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2147,6 +2149,37 @@ object GraftExtensions {
       litStr("t_test", "table", exprs(0)), Seq(v, g))
     graft.operators.HypothesisOps.tTest(df, v, g,
       litStr("t_test", "a", exprs(3)), litStr("t_test", "b", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `auc(table, score_col, group_col, pos, neg)` — ROC AUC + Gini,
+    * exact under ties ([[graft.operators.HypothesisOps.auc]]). */
+  private[graft] def aucPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("auc(table, score_col, group_col, pos, neg)", exprs, 5, 5)
+    val v = litStr("auc", "score_col", exprs(1))
+    val g = litStr("auc", "group_col", exprs(2))
+    val df = namedTable("auc", litStr("auc", "table", exprs(0)),
+      Seq(v, g))
+    graft.operators.HypothesisOps.auc(df, v, g,
+      litStr("auc", "pos", exprs(3)), litStr("auc", "neg", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `calibration(table, prob_col, label_col [, n_bins])` —
+    * reliability table + Brier/ECE
+    * ([[graft.operators.ProfileOps.calibration]]). */
+  private[graft] def calibrationPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("calibration(table, prob_col, label_col [, n_bins])",
+      exprs, 3, 4)
+    val p = litStr("calibration", "prob_col", exprs(1))
+    val l = litStr("calibration", "label_col", exprs(2))
+    val df = namedTable("calibration",
+      litStr("calibration", "table", exprs(0)), Seq(p, l))
+    val nBins = if (exprs.length > 3)
+      litDouble("calibration", "n_bins", exprs(3)).toInt else 10
+    require(nBins >= 2, s"calibration n_bins must be >= 2; got $nBins")
+    graft.operators.ProfileOps.calibration(df, p, l, nBins)
       .queryExecution.analyzed
   }
 

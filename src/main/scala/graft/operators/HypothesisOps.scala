@@ -276,6 +276,31 @@ object HypothesisOps {
         .as("dof"))
   }
 
+  /** ROC AUC of a score that should separate two classes — THE
+    * ranking metric every model eval reports, and exactly the
+    * Mann–Whitney machinery wearing its other hat:
+    * AUC = U/(n⁺·n⁻) = P(score⁺ > score⁻) + ½·P(tie), computed from
+    * the same doubled-average-rank DECIMAL(38,0) fold over the
+    * heavy-tail-safe [[RankSpine]] cumulative — exact under ties, no
+    * sort of the corpus, one float division at the end. Also emits
+    * the Gini coefficient 2·AUC − 1 (the credit-scoring rendering of
+    * the same number). */
+  def auc(df: DataFrame, scoreCol: String, groupCol: String,
+      posVal: String, negVal: String): DataFrame = {
+    val cum = cumCounts(df, scoreCol, groupCol, posVal, negVal)
+    val c = col("na") + col("nb")
+    val cPrev = (col("ca") + col("cb")).cast(dec0) - c
+    val m = cum.agg(
+      sum(col("na").cast(dec0) * (cPrev * 2 + c + 1)).as("ra2"),
+      sum("na").as("n_pos"), sum("nb").as("n_neg"))
+    val np = col("n_pos").cast("double"); val nn = col("n_neg").cast("double")
+    val u = (col("ra2").cast("double") - np * (np + lit(1.0))) / lit(2.0)
+    val a = u / (np * nn)
+    m.select(col("n_pos"), col("n_neg"),
+      r6(a).as("auc"),
+      r6(lit(2.0) * a - lit(1.0)).as("gini"))
+  }
+
   /** Quantile–quantile table between two groups: for p = k/nQ,
     * k = 1..nQ−1, the exact lower p-quantile of each group off the
     * shared [[cumCounts]] spine — the distribution-shape comparison a
@@ -479,6 +504,39 @@ object HypothesisOps {
                        * 1000000.0)/1000000.0 AS z
               FROM m"""),
       (s, d) => mannWhitney(Tables.orders(s, d), "o_totalprice",
+        "o_orderstatus", "F", "O")),
+
+    // How well does the order total RANK finished vs open orders —
+    // the ROC AUC readout of the same comparison, exact under ties.
+    Query(
+      "q_auc",
+      Some("""WITH s AS (
+                SELECT o_totalprice AS v,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS isa
+                FROM orders WHERE o_orderstatus IN ('F', 'O')),
+              g AS (SELECT v, sum(isa) AS na, sum(1 - isa) AS nb
+                    FROM s GROUP BY 1),
+              c AS (SELECT v, na, nb, na + nb AS cnt,
+                      coalesce(sum(na + nb) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1
+                        PRECEDING), 0) AS cprev
+                    FROM g),
+              m AS (SELECT sum(na * (2 * cprev + cnt + 1)) AS ra2,
+                           sum(na) AS n_a, sum(nb) AS n_b
+                    FROM c),
+              f AS (SELECT CAST(n_a AS BIGINT) AS n_pos,
+                      CAST(n_b AS BIGINT) AS n_neg,
+                      (CAST(ra2 AS DOUBLE)
+                        - CAST(n_a AS DOUBLE) * (n_a + 1.0)) / 2.0
+                        / (CAST(n_a AS DOUBLE) * n_b) AS a
+                    FROM m)
+              SELECT n_pos, n_neg,
+                     round(a * 1000000.0)/1000000.0 AS auc,
+                     round((2.0 * a - 1.0) * 1000000.0)/1000000.0
+                       AS gini
+              FROM f"""),
+      (s, d) => auc(Tables.orders(s, d), "o_totalprice",
         "o_orderstatus", "F", "O")),
 
     // All three statuses at once: does ANY group shift the totals'

@@ -208,6 +208,53 @@ object ProfileOps {
         .as("partial_corr"))
   }
 
+  /** Calibration (reliability) table of a [0,1] probability column
+    * against a binary outcome — does "p = 0.8" actually come true 80%
+    * of the time? `nBins` fixed-width probability bins, each with its
+    * count, mean predicted probability, observed positive rate, and
+    * gap; shared across rows: the Brier score (mean squared error of
+    * the probability) and ECE (expected calibration error —
+    * count-weighted mean |gap|). Per-row/-bin terms fold in
+    * DECIMAL(38,12) (the q_drift stance). One binned aggregate over
+    * one scan + a |bins|-row fold; empty bins are emitted with NULL
+    * rates so the spine is always complete. */
+  def calibration(df: DataFrame, probCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2; got $nBins")
+    val spark = df.sparkSession
+    val dec12 = DecimalType(38, 12)
+    val p = col(probCol).cast("double")
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val rows = df.select(
+      least(lit(nBins - 1), greatest(lit(0),
+        floor(p * nBins))).cast("bigint").as("bin"),
+      p.as("p"), y.as("y"))
+    val byBin = rows.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast(dec12)).as("sp"),
+        sum("y").as("npos"),
+        sum(((col("p") - col("y")) * (col("p") - col("y")))
+          .cast(dec12)).as("sq"))
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+      .join(byBin, Seq("bin"), "left")
+    val tot = byBin.agg(sum("n").as("nt"),
+      sum("sq").cast("double").as("sqt"),
+      // ECE numerator: Σ |n·p̄_b − npos_b| = Σ n_b·|p̄_b − rate_b|,
+      // exact in DECIMAL before the one division
+      sum(abs(col("sp") - col("npos").cast(dec12)).cast(dec12))
+        .as("gapsum"))
+    spine.crossJoin(broadcast(tot))
+      .select(col("bin"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        r6(col("sp").cast("double") / col("n")).as("mean_prob"),
+        r6(col("npos").cast("double") / col("n")).as("pos_rate"),
+        r6(col("sp").cast("double") / col("n") -
+          col("npos").cast("double") / col("n")).as("gap"),
+        r6(col("sqt") / col("nt")).as("brier"),
+        r6(col("gapsum").cast("double") / col("nt")).as("ece"))
+      .orderBy("bin")
+  }
+
   /** Multivariate (Mahalanobis) outlier census over exactly three
     * numeric columns — the joint-distribution twin of the per-column
     * Tukey fences: a row can sit inside every marginal yet be wildly
@@ -772,6 +819,58 @@ object ProfileOps {
               FROM f"""),
       (s, d) => partialCorr(Tables.lineitem(s, d), "l_quantity",
         "l_extendedprice", "l_discount")),
+
+    // Does a normalized "score" come true at its stated rate — the
+    // reliability table + Brier/ECE every model eval should print.
+    Query(
+      "q_calibration",
+      Some("""WITH b AS (SELECT min(o_totalprice) AS lo,
+                       max(o_totalprice) AS hi FROM orders),
+              r AS (SELECT (o_totalprice - lo) / (hi - lo) AS p,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS y
+                    FROM orders CROSS JOIN b),
+              rws AS (SELECT CAST(least(9, greatest(0,
+                        floor(p * 10))) AS BIGINT) AS bin, p, y
+                      FROM r),
+              bb AS (SELECT bin, count(*) AS n,
+                       sum(CAST(p AS DECIMAL(38,12))) AS sp,
+                       sum(y) AS npos,
+                       sum(CAST((p - y) * (p - y) AS DECIMAL(38,12)))
+                         AS sq
+                     FROM rws GROUP BY 1),
+              spn AS (SELECT range AS bin FROM range(10)),
+              j AS (SELECT spn.bin, n, sp, npos, sq
+                    FROM spn LEFT JOIN bb ON bb.bin = spn.bin),
+              t AS (SELECT sum(n) AS nt,
+                      CAST(sum(sq) AS DOUBLE) AS sqt,
+                      sum(CAST(abs(sp - CAST(npos AS DECIMAL(38,12)))
+                        AS DECIMAL(38,12))) AS gapsum
+                    FROM bb)
+              SELECT CAST(bin AS BIGINT) AS bin,
+                     CAST(coalesce(n, 0) AS BIGINT) AS n,
+                     round(CAST(sp AS DOUBLE) / n
+                       * 1000000.0)/1000000.0 AS mean_prob,
+                     round(CAST(npos AS DOUBLE) / n
+                       * 1000000.0)/1000000.0 AS pos_rate,
+                     round((CAST(sp AS DOUBLE) / n
+                         - CAST(npos AS DOUBLE) / n)
+                       * 1000000.0)/1000000.0 AS gap,
+                     round(sqt / nt * 1000000.0)/1000000.0 AS brier,
+                     round(CAST(gapsum AS DOUBLE) / nt
+                       * 1000000.0)/1000000.0 AS ece
+              FROM j CROSS JOIN t ORDER BY bin"""),
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        val b = ord.agg(min("o_totalprice").as("__lo"),
+          max("o_totalprice").as("__hi"))
+        calibration(
+          ord.crossJoin(broadcast(b))
+            .select(((col("o_totalprice") - col("__lo")) /
+              (col("__hi") - col("__lo"))).as("prob"),
+              (col("o_orderstatus") === "F").as("label")),
+          "prob", "label")
+      }),
 
     // Rows improbable JOINTLY though plausible marginally — high price
     // at low quantity — via covariance-aware Mahalanobis distance at

@@ -1070,6 +1070,18 @@ class GraftExtensionsSpec extends SparkSpec {
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.tTest(ord, "o_totalprice", "o_orderstatus",
         "F", "O"))
+    assertParity(s2, "SELECT * FROM auc('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus', 'F', 'O')",
+      HypothesisOps.auc(ord, "o_totalprice", "o_orderstatus",
+        "F", "O"))
+    val probs = ord.select(
+      (col("o_totalprice") / 600000.0).as("prob"),
+      (col("o_orderstatus") === "F").as("label"))
+      .filter(col("prob") <= 1.0)
+    probs.createOrReplaceTempView("ht_probs")
+    assertParity(s2,
+      "SELECT * FROM calibration('ht_probs', 'prob', 'label', 10)",
+      ProfileOps.calibration(probs, "prob", "label", 10))
     assertParity(s2, "SELECT * FROM effect_size('ht_orders', " +
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.effectSize(ord, "o_totalprice", "o_orderstatus",

@@ -126,6 +126,32 @@ class HypothesisOpsSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("t_stat")))
   }
 
+  test("auc: brute-force tie-credited rank AUC, 1.0 on perfect " +
+    "separation, 0.5 on identical distributions, gini = 2*auc - 1") {
+    val rnd = new scala.util.Random(29)
+    val pos = Seq.fill(150)(rnd.nextInt(30).toDouble + 5)
+    val neg = Seq.fill(200)(rnd.nextInt(30).toDouble)
+    def bruteAuc(p: Seq[Double], n: Seq[Double]): Double = {
+      val pairs = for (a <- p; b <- n) yield
+        if (a > b) 1.0 else if (a == b) 0.5 else 0.0
+      pairs.sum / (p.size * n.size)
+    }
+    val df = (pos.map(("P", _)) ++ neg.map(("N", _))).toDF("g", "v")
+    val r = HypothesisOps.auc(df, "v", "g", "P", "N").collect()(0)
+    assert(r.getAs[Long]("n_pos") === 150L)
+    assert(r.getAs[Double]("auc") === r6(bruteAuc(pos, neg)))
+    assert(math.abs(r.getAs[Double]("gini") -
+      (2 * r.getAs[Double]("auc") - 1)) < 2e-6)
+    // perfect separation and coin-flip
+    val sep = (pos.map(x => ("P", x + 1000)) ++ neg.map(("N", _)))
+      .toDF("g", "v")
+    assert(HypothesisOps.auc(sep, "v", "g", "P", "N").collect()(0)
+      .getAs[Double]("auc") === 1.0)
+    val same = (pos.map(("P", _)) ++ pos.map(("N", _))).toDF("g", "v")
+    assert(HypothesisOps.auc(same, "v", "g", "P", "N").collect()(0)
+      .getAs[Double]("auc") === 0.5)
+  }
+
   test("effectSize: hand-computed Cohen's d / Hedges' g / Glass delta, " +
     "zero on identical groups, NULL on singleton groups") {
     val xs = Seq(4.0, 5.0, 6.0, 7.0, 8.0)         // mean 6, var 2.5

@@ -186,6 +186,44 @@ class ProfileOpsSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("partial_corr")))
   }
 
+  // -- calibration -------------------------------------------------------
+
+  test("calibration: a perfectly calibrated score gets ~0 ECE and gap, " +
+    "an anti-calibrated one pages, Brier matches the brute force, and " +
+    "the 10-bin spine is always complete") {
+    import spark.implicits._
+    // perfectly calibrated: within each bin, positives occur at the
+    // bin's probability (deterministic striping)
+    val calib = (0 until 10).flatMap { b =>
+      val p = b / 10.0 + 0.05
+      (0 until 200).map(i => (p, i < (200 * p).round))
+    }
+    val dfC = calib.toDF("prob", "label")
+    val rc = ProfileOps.calibration(dfC, "prob", "label").collect()
+    assert(rc.length === 10)
+    assert(rc.head.getAs[Double]("ece") < 0.01)
+    rc.foreach(r => assert(math.abs(r.getAs[Double]("gap")) < 0.01,
+      s"bin ${r.getLong(0)}"))
+    // brute-force Brier
+    val brierBrute = calib.map { case (p, y) =>
+      val yd = if (y) 1.0 else 0.0; (p - yd) * (p - yd)
+    }.sum / calib.size
+    assert(math.abs(rc.head.getAs[Double]("brier") - brierBrute) < 1e-6)
+    // anti-calibrated: high scores never come true
+    val anti = (0 until 10).flatMap { b =>
+      val p = b / 10.0 + 0.05
+      (0 until 200).map(_ => (p, p < 0.5))
+    }
+    val ra = ProfileOps.calibration(anti.toDF("prob", "label"),
+      "prob", "label").collect()
+    assert(ra.head.getAs[Double]("ece") > 0.3)
+    // sparse scores still emit the full spine with NULL rates
+    val sparse = Seq((0.95, true), (0.92, false)).toDF("prob", "label")
+    val rs = ProfileOps.calibration(sparse, "prob", "label").collect()
+    assert(rs.length === 10)
+    assert(rs.count(_.isNullAt(2)) === 9, "empty bins must be NULL")
+  }
+
   // -- mahalanobisOutliers ---------------------------------------------
 
   test("mahalanobisOutliers flags the jointly-improbable planted row " +
