@@ -576,7 +576,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "nelson_aalen" -> GraftExtensions.nelsonAalenPlan _,
       "srm_check" -> GraftExtensions.srmCheckPlan _,
       "auc" -> GraftExtensions.aucPlan _,
-      "calibration" -> GraftExtensions.calibrationPlan _)
+      "calibration" -> GraftExtensions.calibrationPlan _,
+      "pr_auc" -> GraftExtensions.prAucPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2162,6 +2163,21 @@ object GraftExtensions {
       Seq(v, g))
     graft.operators.HypothesisOps.auc(df, v, g,
       litStr("auc", "pos", exprs(3)), litStr("auc", "neg", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `pr_auc(table, score_col, group_col, pos, neg)` — average
+    * precision + prevalence baseline
+    * ([[graft.operators.HypothesisOps.prAuc]]). */
+  private[graft] def prAucPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("pr_auc(table, score_col, group_col, pos, neg)", exprs, 5, 5)
+    val v = litStr("pr_auc", "score_col", exprs(1))
+    val g = litStr("pr_auc", "group_col", exprs(2))
+    val df = namedTable("pr_auc", litStr("pr_auc", "table", exprs(0)),
+      Seq(v, g))
+    graft.operators.HypothesisOps.prAuc(df, v, g,
+      litStr("pr_auc", "pos", exprs(3)),
+      litStr("pr_auc", "neg", exprs(4)))
       .queryExecution.analyzed
   }
 

@@ -301,6 +301,39 @@ object HypothesisOps {
       r6(lit(2.0) * a - lit(1.0)).as("gini"))
   }
 
+  /** PR-AUC (average precision) — the ranking metric that matters
+    * under class imbalance, where ROC AUC flatters (AUC counts true
+    * negatives; precision doesn't). Step-wise AP over descending
+    * score thresholds, ties entering block-wise:
+    * AP = Σ_v (na_v/N⁺)·TP_v/(TP_v+FP_v), where TP/FP at a distinct
+    * score v are DESCENDING cumulatives — derived by reflection from
+    * the same ascending [[cumCounts]] spine, so the whole metric is
+    * ONE fold over the distinct-value table with no extra window.
+    * Per-term products round into DECIMAL(38,12) (the q_drift
+    * stance). Also emits the no-skill baseline (prevalence). */
+  def prAuc(df: DataFrame, scoreCol: String, groupCol: String,
+      posVal: String, negVal: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec12 = DecimalType(38, 12)
+    val cum = cumCounts(df, scoreCol, groupCol, posVal, negVal)
+    val tot = cum.agg(sum("na").as("npt"), sum("nb").as("nnt"))
+    val m = cum.crossJoin(broadcast(tot))
+      .select(col("na"), col("npt"), col("nnt"),
+        (col("npt") - (col("ca") - col("na"))).as("tp"),
+        (col("nnt") - (col("cb") - col("nb"))).as("fp"))
+      .agg(
+        sum(when(col("na") > 0,
+          (col("na").cast("double") * col("tp") /
+            (col("tp") + col("fp")) / col("npt")).cast(dec12))
+          .otherwise(lit(0).cast(dec12))).as("ap"),
+        min("npt").as("n_pos"), min("nnt").as("n_neg"))
+    val np = col("n_pos").cast("double")
+    val nn = col("n_neg").cast("double")
+    m.select(col("n_pos"), col("n_neg"),
+      r6(col("ap").cast("double")).as("pr_auc"),
+      r6(np / (np + nn)).as("baseline"))
+  }
+
   /** Quantile–quantile table between two groups: for p = k/nQ,
     * k = 1..nQ−1, the exact lower p-quantile of each group off the
     * shared [[cumCounts]] spine — the distribution-shape comparison a
@@ -537,6 +570,46 @@ object HypothesisOps {
                        AS gini
               FROM f"""),
       (s, d) => auc(Tables.orders(s, d), "o_totalprice",
+        "o_orderstatus", "F", "O")),
+
+    // The imbalance-honest twin: average precision of the same
+    // ranking, with the no-skill prevalence baseline alongside.
+    Query(
+      "q_pr_auc",
+      Some("""WITH s AS (
+                SELECT o_totalprice AS v,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS isa
+                FROM orders WHERE o_orderstatus IN ('F', 'O')),
+              g AS (SELECT v, sum(isa) AS na, sum(1 - isa) AS nb
+                    FROM s GROUP BY 1),
+              c AS (SELECT v, na, nb,
+                      sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS ca,
+                      sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS cb
+                    FROM g),
+              t AS (SELECT sum(na) AS npt, sum(nb) AS nnt FROM g),
+              terms AS (
+                SELECT na, npt, nnt,
+                       npt - (ca - na) AS tp, nnt - (cb - nb) AS fp
+                FROM c CROSS JOIN t),
+              m AS (SELECT
+                      sum(CASE WHEN na > 0 THEN
+                        CAST(CAST(na AS DOUBLE) * tp / (tp + fp) / npt
+                          AS DECIMAL(38,12))
+                        ELSE CAST(0 AS DECIMAL(38,12)) END) AS ap,
+                      min(npt) AS n_pos, min(nnt) AS n_neg
+                    FROM terms)
+              SELECT CAST(n_pos AS BIGINT) AS n_pos,
+                     CAST(n_neg AS BIGINT) AS n_neg,
+                     round(CAST(ap AS DOUBLE) * 1000000.0)/1000000.0
+                       AS pr_auc,
+                     round(CAST(n_pos AS DOUBLE)
+                         / (CAST(n_pos AS DOUBLE) + n_neg)
+                       * 1000000.0)/1000000.0 AS baseline
+              FROM m"""),
+      (s, d) => prAuc(Tables.orders(s, d), "o_totalprice",
         "o_orderstatus", "F", "O")),
 
     // All three statuses at once: does ANY group shift the totals'

@@ -1074,6 +1074,10 @@ class GraftExtensionsSpec extends SparkSpec {
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.auc(ord, "o_totalprice", "o_orderstatus",
         "F", "O"))
+    assertParity(s2, "SELECT * FROM pr_auc('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus', 'F', 'O')",
+      HypothesisOps.prAuc(ord, "o_totalprice", "o_orderstatus",
+        "F", "O"))
     val probs = ord.select(
       (col("o_totalprice") / 600000.0).as("prob"),
       (col("o_orderstatus") === "F").as("label"))

@@ -152,6 +152,41 @@ class HypothesisOpsSpec extends SparkSpec {
       .getAs[Double]("auc") === 0.5)
   }
 
+  test("prAuc: brute-force block-wise average precision, 1.0 on " +
+    "perfect separation, prevalence on a useless score") {
+    val rnd = new scala.util.Random(37)
+    val pos = Seq.fill(80)(rnd.nextInt(25).toDouble + 3)
+    val neg = Seq.fill(220)(rnd.nextInt(25).toDouble)
+    def bruteAp(p: Seq[Double], n: Seq[Double]): Double = {
+      val blocks = (p.map((_, 1)) ++ n.map((_, 0)))
+        .groupBy(_._1).toSeq.sortBy(-_._1)
+        .map { case (_, xs) => (xs.count(_._2 == 1), xs.size) }
+      var tp = 0; var seen = 0; var ap = 0.0
+      blocks.foreach { case (bp, bn) =>
+        tp += bp; seen += bn
+        if (bp > 0) ap += bp.toDouble * tp / seen / p.size
+      }
+      ap
+    }
+    val df = (pos.map(("P", _)) ++ neg.map(("N", _))).toDF("g", "v")
+    val r = HypothesisOps.prAuc(df, "v", "g", "P", "N").collect()(0)
+    assert(math.abs(r.getAs[Double]("pr_auc") -
+      bruteAp(pos, neg)) < 1e-5,
+      s"got ${r.getAs[Double]("pr_auc")} brute ${bruteAp(pos, neg)}")
+    assert(r.getAs[Double]("baseline") ===
+      r6(80.0 / 300.0))
+    // perfect separation → AP = 1
+    val sep = (pos.map(x => ("P", x + 1000)) ++ neg.map(("N", _)))
+      .toDF("g", "v")
+    assert(HypothesisOps.prAuc(sep, "v", "g", "P", "N").collect()(0)
+      .getAs[Double]("pr_auc") === 1.0)
+    // a constant score ranks nothing: AP = prevalence exactly
+    val flat = (pos.map(_ => ("P", 1.0)) ++ neg.map(_ => ("N", 1.0)))
+      .toDF("g", "v")
+    val rf = HypothesisOps.prAuc(flat, "v", "g", "P", "N").collect()(0)
+    assert(rf.getAs[Double]("pr_auc") === rf.getAs[Double]("baseline"))
+  }
+
   test("effectSize: hand-computed Cohen's d / Hedges' g / Glass delta, " +
     "zero on identical groups, NULL on singleton groups") {
     val xs = Seq(4.0, 5.0, 6.0, 7.0, 8.0)         // mean 6, var 2.5
