@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** Heavy-tail-safe cumulative counts over a distinct-value table — the
   * shared ECDF/rank spine behind q_ks_test / q_mann_whitney /
-  * q_kruskal_wallis / q_qq / q_spearman (and the spearman matrix).
+  * q_kruskal_wallis / q_qq / q_spearman (and the spearman matrix),
+  * plus the model-eval folds (q_auc / q_pr_auc / q_threshold_sweep)
+  * and the grouped consumers (q_rank_normalize, q_auc_by).
   *
   * The single-level fixed-width spine those queries shipped with in
   * round 13 buckets the distinct values into equal-width cells between
@@ -21,14 +23,18 @@ import org.apache.spark.sql.functions._
   * adapted from "narrow to one crossing bucket" to "keep ALL buckets
   * bounded": iteratively RE-BUCKET any bucket whose distinct count
   * exceeds `cap`, equal-width over that bucket's OWN observed
-  * [min, max]. Each round multiplies resolution by `nBuckets` relative
-  * to the spread of the values actually present, so k rounds resolve a
-  * dynamic-range ratio of nBuckets^k — two rounds already cover a
-  * 6.7e7× outlier stretch, and adjacent distinct doubles separate
-  * within ~6 rounds (8192^6 ≈ 2^78 > the 2^64 ulp-range of any
-  * practical double column). Convergence is checked, not assumed:
-  * rounds past `maxRounds` THROW (the connected-components stance)
-  * rather than silently shipping an unbounded sort.
+  * [min, max]. The sub-bucket width is SPAN-RELATIVE
+  * (span/Fanout + a span-scaled guard — see [[subBucket]]), so each
+  * round multiplies resolution by `Fanout` relative to the values
+  * actually present AT ANY MAGNITUDE: a bucket of adjacent distinct
+  * doubles separates as soon as its span reaches ulp scale, because
+  * the min and max of an oversized bucket always land ≥ Fanout/2
+  * sub-buckets apart. (The r14 spine added an ABSOLUTE 1e-9 to the
+  * denominator, which capped resolution at ~1e-13 and stalled — loud
+  * throw, not wrong answers — on >cap distinct values packed below
+  * that scale; VERDICT r14 item 1.) Convergence is checked, not
+  * assumed: rounds past `maxRounds` THROW (the connected-components
+  * stance) rather than silently shipping an unbounded sort.
   *
   * Bucket keys are PATHS (`array<int>`, one index per refinement
   * level). Array ordering in Spark is lexicographic and a bucket is
@@ -37,15 +43,19 @@ import org.apache.spark.sql.functions._
   * within-bucket window partitions by it. The cumulative sums are
   * bucket-assignment-INVARIANT — any refinement depth produces the
   * same output rows — so this is hash-safe by construction (verified:
-  * the five affected oracle hashes did not move when this replaced the
-  * single-level spine).
+  * the affected oracle hashes did not move when this replaced the
+  * single-level spine, nor when the epsilon went relative).
   *
-  * Scale shape: one aggregate per refinement round over only the
-  * still-oversized buckets' rows (first round scans the distinct
-  * table, later rounds shrink geometrically), a broadcast of the
-  * ≤(distinct/cap)-row oversized-bucket table, then the usual bounded
-  * offset window (one row per bucket) + within-bucket windows with a
-  * measured ≤cap partition bound. No sort of the corpus at any step.
+  * Scale shape: ONE pinned per-bucket aggregate per refinement round
+  * over the assigned table (later rounds' oversized fraction shrinks
+  * geometrically), with the convergence check AND the offset sums
+  * riding the same aggregate — a round-0-clean spine pays exactly the
+  * one per-bucket aggregate [[cumulative]]'s offset window needs
+  * anyway, zero extra jobs (VERDICT r14 item 5; the r14 spine ran the
+  * oversize check as its own full-scan job every round). Then the
+  * usual bounded offset window (one row per bucket) + within-bucket
+  * windows with a measured ≤cap partition bound. No sort of the
+  * corpus at any step.
   */
 object RankSpine {
 
@@ -58,9 +68,21 @@ object RankSpine {
   /** Per-level fan-out — weightedQuantile's measured sweet spot. */
   val Fanout = 8192
 
-  private def subBucket(v: Column, lo: Column, hi: Column): Column =
+  /** Equal-width sub-bucket of `v` within [lo, hi]. The denominator
+    * guard is RELATIVE to the span (span·1e-12, floored at the
+    * smallest positive double so a zero-span constant bucket divides
+    * cleanly to 0 instead of 0/0): per-round resolution stays
+    * ~span/Fanout at any magnitude, including subnormal spans —
+    * adjacent distinct doubles a < b give bucket(b) ≥ Fanout/2 while
+    * bucket(a) = 0, so an oversized bucket's min and max ALWAYS
+    * separate and refinement makes strict progress. */
+  private def subBucket(v: Column, lo: Column, hi: Column): Column = {
+    val span = hi - lo
     least(lit(Fanout - 1), greatest(lit(0),
-      floor((v - lo) * Fanout / (hi - lo + lit(1e-9))))).cast("int")
+      floor((v - lo) * Fanout /
+        (span + greatest(span * lit(1e-12),
+          lit(java.lang.Double.MIN_VALUE)))))).cast("int")
+  }
 
   /** Assign every row of a distinct-value table `g` a bucket PATH
     * (`__bkt array<int>`) such that no path holds more than `cap`
@@ -70,7 +92,20 @@ object RankSpine {
     * columns pass through. Exposed for the boundedness spec. */
   private[graft] def assignBuckets(g: DataFrame, valCol: String,
       cap: Int = DefaultCap, maxRounds: Int = 16,
-      partitionCols: Seq[String] = Nil): DataFrame = {
+      partitionCols: Seq[String] = Nil): DataFrame =
+    assignWithSums(g, valCol, cap, maxRounds, partitionCols, Nil)._1
+
+  /** The refinement loop shared by [[assignBuckets]] and
+    * [[cumulative]]: returns the assigned rows AND the final pinned
+    * per-(group, bucket) aggregate — `__cnt`, `__blo`, `__bhi`, plus
+    * `__s_<c>` = sum(c) for each of `sumCols`. The oversize check
+    * rides this aggregate (a filter over the pinned small table, not
+    * a second scan of `assigned`), and [[cumulative]]'s offset window
+    * consumes the same table, so a round-0-clean spine runs exactly
+    * one aggregation job. */
+  private def assignWithSums(g: DataFrame, valCol: String, cap: Int,
+      maxRounds: Int, partitionCols: Seq[String],
+      sumCols: Seq[String]): (DataFrame, DataFrame) = {
     val v = col(valCol)
     val pCols = partitionCols.map(col)
     var assigned =
@@ -90,64 +125,66 @@ object RankSpine {
           .drop("__lo", "__hi")
       }
     val bktKey = pCols :+ col("__bkt")
+    val aggCols = Seq(count(lit(1)).as("__cnt"), min(v).as("__blo"),
+      max(v).as("__bhi")) ++
+      sumCols.map(c => sum(col(c)).as(s"__s_$c"))
     var round = 0
-    var done = false
-    while (!done) {
-      // one row per (group,) bucket; an oversized bucket always has ≥2
-      // distinct values (distinct table ⇒ count>1 ⇔ min<max), so
-      // re-bucketing over its own [min,max] strictly separates it
+    while (true) {
+      // one row per (group,) bucket, pinned: the oversize filter and
+      // (on the final round) the offset window both read the stored
+      // blocks instead of re-scanning `assigned`
+      val bkts = graft.tools.Checkpoints.pin(
+        assigned.groupBy(bktKey: _*).agg(aggCols.head, aggCols.tail: _*))
+      // an oversized bucket always has ≥2 distinct values (distinct
+      // table ⇒ count>1 ⇔ min<max), so re-bucketing over its own
+      // [min,max] strictly separates it
       // the oversized side RENAMES its group keys (__op_i): it shares
       // lineage with `assigned`, so same-named columns would resolve
       // to the same attribute and the group predicate would fold to
       // trivially-true — cross-group refinement leakage
-      val oversized = assigned.groupBy(bktKey: _*)
-        .agg(count(lit(1)).as("__cnt"), min(v).as("__blo"),
-          max(v).as("__bhi"))
-        .filter(col("__cnt") > cap)
+      val oversized = bkts.filter(col("__cnt") > cap)
         .select(partitionCols.zipWithIndex.map { case (c, i) =>
           col(c).as(s"__op_$i") } ++
           Seq(col("__bkt").as("__obkt"), col("__blo"),
             col("__bhi")): _*)
-      if (oversized.isEmpty) done = true
-      else {
-        round += 1
-        if (round > maxRounds) throw new IllegalStateException(
-          s"RankSpine: bucket refinement did not converge to ≤$cap " +
-            s"distinct values per bucket within $maxRounds rounds — " +
-            "pathological value distribution; raise cap or maxRounds")
-        assigned = graft.tools.Checkpoints.pin(
-          assigned.join(broadcast(oversized),
-              partitionCols.zipWithIndex
-                .foldLeft(col("__bkt") === col("__obkt")) {
-                  case (cond, (pc, i)) =>
-                    cond && col(pc) === col(s"__op_$i")
-                }, "left")
-            .withColumn("__bkt",
-              when(col("__obkt").isNotNull,
-                concat(col("__bkt"),
-                  array(subBucket(v, col("__blo"), col("__bhi")))))
-                .otherwise(col("__bkt")))
-            .drop("__obkt" +: "__blo" +: "__bhi" +:
-              partitionCols.indices.map(i => s"__op_$i"): _*))
-      }
+      if (oversized.isEmpty) return (assigned, bkts)
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"RankSpine: bucket refinement did not converge to ≤$cap " +
+          s"distinct values per bucket within $maxRounds rounds — " +
+          "pathological value distribution; raise cap or maxRounds")
+      assigned = graft.tools.Checkpoints.pin(
+        assigned.join(broadcast(oversized),
+            partitionCols.zipWithIndex
+              .foldLeft(col("__bkt") === col("__obkt")) {
+                case (cond, (pc, i)) =>
+                  cond && col(pc) === col(s"__op_$i")
+              }, "left")
+          .withColumn("__bkt",
+            when(col("__obkt").isNotNull,
+              concat(col("__bkt"),
+                array(subBucket(v, col("__blo"), col("__bhi")))))
+              .otherwise(col("__bkt")))
+          .drop("__obkt" +: "__blo" +: "__bhi" +:
+            partitionCols.indices.map(i => s"__op_$i"): _*))
     }
-    assigned
+    throw new IllegalStateException("unreachable")
   }
 
 
   /** `g` (distinct by `valCol`) + one INCLUSIVE cumulative-sum column
     * `cumNames(i)` per `countCols(i)`, cumulative in `valCol` order.
     * Two-level: per-bucket offsets via a bounded window over the
-    * bucket table (one row per bucket, BoundedWindow-declared), then
-    * within-bucket windows with ≤cap rows per partition guaranteed by
-    * [[assignBuckets]]. */
+    * bucket table [[assignWithSums]] already pinned (one row per
+    * bucket, BoundedWindow-declared), then within-bucket windows with
+    * ≤cap rows per partition guaranteed by the refinement loop. */
   def cumulative(g: DataFrame, valCol: String, countCols: Seq[String],
       cumNames: Seq[String], cap: Int = DefaultCap,
       partitionCols: Seq[String] = Nil): DataFrame = {
     require(countCols.length == cumNames.length,
       "countCols and cumNames must align")
-    val assigned = assignBuckets(g, valCol, cap,
-      partitionCols = partitionCols)
+    val (assigned, bkts) = assignWithSums(g, valCol, cap,
+      maxRounds = 16, partitionCols, countCols)
     val bktKey = partitionCols :+ "__bkt"
     // per-group offset window: one row per bucket, ordered by path.
     // Ungrouped mode keeps the declared-bounded constant key; grouped
@@ -157,13 +194,9 @@ object RankSpine {
         Window.partitionBy(BoundedWindow.key(col("__bkt")))
       else Window.partitionBy(partitionCols.map(col): _*))
       .orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = assigned.groupBy(bktKey.map(col): _*)
-      .agg(countCols.head -> "sum",
-        countCols.tail.map(c => c -> "sum"): _*)
-      .toDF(bktKey ++ countCols.map(c => s"__s_$c"): _*)
-      .select(bktKey.map(col) ++ countCols.map(c =>
-        coalesce(sum(col(s"__s_$c")).over(wOff), lit(0L))
-          .as(s"__off_$c")): _*)
+    val offsets = bkts.select(bktKey.map(col) ++ countCols.map(c =>
+      coalesce(sum(col(s"__s_$c")).over(wOff), lit(0L))
+        .as(s"__off_$c")): _*)
     val wIn = Window.partitionBy(bktKey.map(col): _*).orderBy(valCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withCums = countCols.zip(cumNames).foldLeft(

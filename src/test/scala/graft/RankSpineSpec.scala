@@ -125,6 +125,33 @@ class RankSpineSpec extends SparkSpec {
     }
   }
 
+  test("micro-magnitude column (20k distincts inside a 2e-13 span, " +
+    "outlier-stretched) converges within the round budget — the " +
+    "span-relative epsilon regression fixture") {
+    // the r14 ABSOLUTE 1e-9 epsilon capped sub-bucket resolution at
+    // ~1e-13: these values (spacing 1e-17, span 2e-13, range set by
+    // the 1e6 outlier) never separated and assignBuckets threw after
+    // maxRounds. Span-relative refinement must bound every bucket.
+    val g = ((1 to 20000).map(i => i * 1.0e-17) ++ Seq(1.0e6))
+      .toDF("v").groupBy("v").agg(count(lit(1)).as("c"))
+    val assigned = RankSpine.assignBuckets(g, "v", cap = 256)
+    val maxSize = assigned.groupBy("__bkt").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head.getLong(0)
+    assert(maxSize <= 256,
+      s"within-bucket partition of $maxSize rows exceeds the 256 cap")
+    assert(assigned.count() === g.count())
+    // and the cumulative over the refined spine stays exact
+    val rows = g.collect().map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy(_._1)
+    val brute = rows.scanLeft(0L)(_ + _._2).tail
+    val expected = rows.map(_._1).zip(brute).toMap
+    val got = RankSpine
+      .cumulative(g, "v", Seq("c"), Seq("cum"), cap = 256)
+      .select("v", "cum").collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("non-convergence throws instead of shipping an unbounded sort") {
     // the fixture's level-0 assignment leaves one oversized bucket;
     // forbidding refinement rounds must throw, not proceed unbounded
