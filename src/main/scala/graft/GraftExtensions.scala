@@ -577,7 +577,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "srm_check" -> GraftExtensions.srmCheckPlan _,
       "auc" -> GraftExtensions.aucPlan _,
       "calibration" -> GraftExtensions.calibrationPlan _,
-      "pr_auc" -> GraftExtensions.prAucPlan _)
+      "pr_auc" -> GraftExtensions.prAucPlan _,
+      // round-15 eval additions
+      "threshold_sweep" -> GraftExtensions.thresholdSweepPlan _,
+      "auc_by" -> GraftExtensions.aucByPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2178,6 +2181,43 @@ object GraftExtensions {
     graft.operators.HypothesisOps.prAuc(df, v, g,
       litStr("pr_auc", "pos", exprs(3)),
       litStr("pr_auc", "neg", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `threshold_sweep(table, score_col, group_col, pos, neg [, n_q])`
+    * — operating-point table (confusion cells + precision / recall /
+    * F1 / accuracy) at the pooled-percentile thresholds
+    * ([[graft.operators.HypothesisOps.thresholdSweep]]). */
+  private[graft] def thresholdSweepPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("threshold_sweep(table, score_col, group_col, pos, neg " +
+      "[, n_q])", exprs, 5, 6)
+    val v = litStr("threshold_sweep", "score_col", exprs(1))
+    val g = litStr("threshold_sweep", "group_col", exprs(2))
+    val df = namedTable("threshold_sweep",
+      litStr("threshold_sweep", "table", exprs(0)), Seq(v, g))
+    val nQ = if (exprs.length > 5)
+      litDouble("threshold_sweep", "n_q", exprs(5)).toInt else 20
+    graft.operators.HypothesisOps.thresholdSweep(df, v, g,
+      litStr("threshold_sweep", "pos", exprs(3)),
+      litStr("threshold_sweep", "neg", exprs(4)), nQ)
+      .queryExecution.analyzed
+  }
+
+  /** `auc_by(table, score_col, group_col, pos, neg, seg_col)` —
+    * per-segment ROC AUC + Gini
+    * ([[graft.operators.HypothesisOps.aucBy]]). */
+  private[graft] def aucByPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("auc_by(table, score_col, group_col, pos, neg, seg_col)",
+      exprs, 6, 6)
+    val v = litStr("auc_by", "score_col", exprs(1))
+    val g = litStr("auc_by", "group_col", exprs(2))
+    val seg = litStr("auc_by", "seg_col", exprs(5))
+    val df = namedTable("auc_by", litStr("auc_by", "table", exprs(0)),
+      Seq(v, g, seg))
+    graft.operators.HypothesisOps.aucBy(df, v, g,
+      litStr("auc_by", "pos", exprs(3)),
+      litStr("auc_by", "neg", exprs(4)), seg)
       .queryExecution.analyzed
   }
 

@@ -485,9 +485,15 @@ object CurationOps {
     * filtered-after-assignment pipeline all show up here long before
     * they corrupt an eval. One count aggregate + a broadcast of the
     * |labels|-row expectation table; per-label terms fold into a
-    * DECIMAL(38,12) total (the q_drift stance). Labels observed but
-    * not declared are excluded from the statistic (they are a schema
-    * bug, not a ratio question); dof = |declared| − 1. */
+    * DECIMAL(38,12) total (the q_drift stance). The join runs FROM
+    * the declared table (left-outer, counts coalesced to 0): a
+    * declared arm with ZERO observed rows — the dropped-shard case —
+    * contributes its full (0−E)²/E term and appears in the output,
+    * instead of silently vanishing and understating χ² exactly when
+    * the mismatch is most extreme. Labels observed but not declared
+    * are excluded from the statistic AND from the total the expected
+    * counts derive from (they are a schema bug, not a ratio question,
+    * and must not bias every E = p·n); dof = |declared| − 1. */
   def srmCheck(df: DataFrame, assignCol: String,
       expected: Seq[(String, Double)]): DataFrame = {
     require(expected.nonEmpty, "srmCheck needs declared proportions")
@@ -500,11 +506,15 @@ object CurationOps {
     val s = df.sparkSession
     import s.implicits._
     val expDf = expected.toDF("label", "p")
+    // observed counts: ≤|distinct assignments| rows, broadcast onto
+    // the declared table so zero-observed arms survive the join
     val counts = df.groupBy(col(assignCol).as("label"))
       .agg(count(lit(1)).as("n"))
-    val tot = counts.agg(sum("n").as("nt"))
+    val declared = expDf.join(broadcast(counts), Seq("label"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val tot = declared.agg(sum("n").as("nt"))
     val e = col("p") * col("nt")
-    val terms = counts.join(broadcast(expDf), "label")
+    val terms = declared
       .crossJoin(broadcast(tot))
       .withColumn("en", e)
       .withColumn("term",
@@ -749,11 +759,13 @@ object CurationOps {
                       ('train', 52429.0 / 65536),
                       ('val', 6553.0 / 65536),
                       ('test', 6554.0 / 65536)) AS t(label, p)),
-              tt AS (SELECT sum(n) AS nt FROM c),
+              d AS (SELECT e.label, p, coalesce(n, 0) AS n
+                    FROM e LEFT JOIN c USING (label)),
+              tt AS (SELECT sum(n) AS nt FROM d),
               terms AS (
-                SELECT c.label, n, p * nt AS en,
+                SELECT d.label, n, p * nt AS en,
                        (n - p * nt) * (n - p * nt) / (p * nt) AS term
-                FROM c JOIN e USING (label) CROSS JOIN tt),
+                FROM d CROSS JOIN tt),
               chi AS (SELECT sum(CAST(term AS DECIMAL(38,12)))
                         AS chi2
                       FROM terms)

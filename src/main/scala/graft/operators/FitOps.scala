@@ -143,7 +143,14 @@ object FitOps {
 
   /** d = 3..8: collect the one Gram row (≤81 bounded values), solve by
     * partial-pivot Gaussian elimination on the driver, emit the result
-    * as a literal table. */
+    * as a literal table. NOTE the contract deviation from every other
+    * lazily-built operator: the Gram-row collect runs EAGERLY at
+    * DataFrame-construction time (the full input aggregate executes
+    * while the plan is being built) — the ≤81-value row is the whole
+    * distributed result, so laziness buys nothing, and the literal
+    * output table keeps downstream plans trivially broadcastable.
+    * Empty inputs degrade to the documented NULL-beta row set (n = 0),
+    * never an NPE off the null DECIMAL sums. */
   private def olsSolveDriver(g: DataFrame, xCols: Seq[String])
       : DataFrame = {
     val spark = g.sparkSession
@@ -152,29 +159,10 @@ object FitOps {
     def v(name: String): Double = row.getDecimal(row.fieldIndex(name))
       .doubleValue()
     val n = row.getLong(row.fieldIndex("n"))
-    val sx = Array.tabulate(d)(i => v(s"s$i"))
-    def sxx(i: Int, j: Int): Double =
-      if (i <= j) v(s"s${i}_$j") else v(s"s${j}_$i")
-    val sy = v("sy"); val syy = v("syy")
-    val sxy = Array.tabulate(d)(i => v(s"s${i}y"))
-    // normal equations, intercept as column 0
     val k = d + 1
-    val m = Array.ofDim[Double](k, k + 1)
-    m(0)(0) = n.toDouble
-    for (i <- 0 until d) { m(0)(i + 1) = sx(i); m(i + 1)(0) = sx(i) }
-    for (i <- 0 until d; j <- 0 until d) m(i + 1)(j + 1) = sxx(i, j)
-    m(0)(k) = sy
-    for (i <- 0 until d) m(i + 1)(k) = sxy(i)
-    val beta = solveGauss(m, k)
-    val (betas, r2) = beta match {
-      case Some(b) =>
-        val sse = syy - (b(0) * sy +
-          (0 until d).map(i => b(i + 1) * sxy(i)).sum)
-        val sst = syy - sy * sy / n
-        val r2v = if (sst != 0.0) Some(1.0 - sse / sst) else None
-        (b.map(Some(_)), r2v)
-      case None => (Array.fill[Option[Double]](k)(None), None)
-    }
+    val (betas, r2) = if (n == 0 || row.isNullAt(row.fieldIndex("sy")))
+      (Array.fill[Option[Double]](k)(None), Option.empty[Double])
+    else olsSolveFromSums(row, xCols, n, v)
     def rd(o: Option[Double]): java.lang.Double = o
       .map(x => math.round(x * 1e6) / 1e6: java.lang.Double).orNull
     val names = "intercept" +: xCols
@@ -196,6 +184,35 @@ object FitOps {
         org.apache.spark.sql.types.StructField("r2",
           org.apache.spark.sql.types.DoubleType))))
       .orderBy("term_idx")
+  }
+
+  private def olsSolveFromSums(row: org.apache.spark.sql.Row,
+      xCols: Seq[String], n: Long, v: String => Double)
+      : (Array[Option[Double]], Option[Double]) = {
+    val d = xCols.size
+    val sx = Array.tabulate(d)(i => v(s"s$i"))
+    def sxx(i: Int, j: Int): Double =
+      if (i <= j) v(s"s${i}_$j") else v(s"s${j}_$i")
+    val sy = v("sy"); val syy = v("syy")
+    val sxy = Array.tabulate(d)(i => v(s"s${i}y"))
+    // normal equations, intercept as column 0
+    val k = d + 1
+    val m = Array.ofDim[Double](k, k + 1)
+    m(0)(0) = n.toDouble
+    for (i <- 0 until d) { m(0)(i + 1) = sx(i); m(i + 1)(0) = sx(i) }
+    for (i <- 0 until d; j <- 0 until d) m(i + 1)(j + 1) = sxx(i, j)
+    m(0)(k) = sy
+    for (i <- 0 until d) m(i + 1)(k) = sxy(i)
+    val beta = solveGauss(m, k)
+    beta match {
+      case Some(b) =>
+        val sse = syy - (b(0) * sy +
+          (0 until d).map(i => b(i + 1) * sxy(i)).sum)
+        val sst = syy - sy * sy / n
+        val r2v = if (sst != 0.0) Some(1.0 - sse / sst) else None
+        (b.map(Some(_)), r2v)
+      case None => (Array.fill[Option[Double]](k)(None), None)
+    }
   }
 
   /** Partial-pivot Gaussian elimination over the augmented matrix

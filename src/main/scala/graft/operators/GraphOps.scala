@@ -403,17 +403,30 @@ object GraphOps {
                       JOIN k$i a ON e.u = a.node
                       JOIN k$i b ON e.v = b.node)"""
         }.mkString(",\n              ")
+        // the engine peels to a FIXPOINT (≤16 rounds); the oracle
+        // unrolls 6. If the corpus ever needs a 7th round, the oracle
+        // must ERROR (attributable divergence), not hash-mismatch on
+        // a half-peeled graph: chk raises unless round 6's degrees
+        // are already all ≥ k (peeling is monotone, so that IS the
+        // fixpoint certificate).
         s"""WITH ex AS (SELECT DISTINCT o_custkey * 2 AS s,
                        l_suppkey * 2 + 1 AS t
                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
               e0 AS MATERIALIZED (
                 SELECT least(s, t) AS u, greatest(s, t) AS v
                 FROM ex WHERE s <> t GROUP BY 1, 2),
-              $rounds
-              SELECT node, CAST(count(*) AS BIGINT) AS core_degree
-              FROM (SELECT u AS node FROM e6
-                    UNION ALL SELECT v FROM e6)
-              GROUP BY node ORDER BY node"""
+              $rounds,
+              d7 AS (SELECT node, count(*) AS c FROM (
+                       SELECT u AS node FROM e6
+                       UNION ALL SELECT v FROM e6) GROUP BY 1),
+              chk AS (SELECT CASE WHEN count(*) = 0 THEN 1
+                        ELSE error('q_kcore oracle: peel is not a ' ||
+                          'fixpoint after 6 unrolled rounds - ' ||
+                          'extend the unroll') END AS ok
+                      FROM d7 WHERE c < $k)
+              SELECT node, CAST(c AS BIGINT) AS core_degree
+              FROM d7 CROSS JOIN chk WHERE ok = 1
+              ORDER BY node"""
       },
       (s, d) => kCore(
         Tables.lineitem(s, d)

@@ -455,11 +455,26 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(chi2 - expChi) < 1e-6, s"got $chi2 exp $expChi")
     assert(chi2 > 6.63, "a halved shard must clear the 1% line")
     // an undeclared label is excluded (schema bug, not a ratio term)
+    // AND does not inflate the total the expected counts derive from:
+    // terms must compute against n=100 declared rows, not 105
     val stray = (Seq.fill(80)("a") ++ Seq.fill(20)("b") ++
       Seq.fill(5)("oops")).toDF("split")
     val rs = CurationOps.srmCheck(stray, "split",
       Seq("a" -> 0.8, "b" -> 0.2)).collect()
     assert(rs.map(_.getString(0)).toSet === Set("a", "b"))
+    assert(rs.forall(_.getAs[Double]("chi2") === 0.0),
+      "stray labels must not bias E = p*n (declared-only total)")
+    // a declared arm with ZERO observed rows — the fully-dropped-shard
+    // case — must surface with n=0 and its full (0-E)^2/E term
+    val gone = Seq.fill(90)("a").toDF("split")
+    val rg = CurationOps.srmCheck(gone, "split",
+      Seq("a" -> 0.9, "b" -> 0.1)).collect()
+    assert(rg.map(_.getString(0)).toSet === Set("a", "b"))
+    val bRow = rg.find(_.getString(0) == "b").get
+    assert(bRow.getAs[Long]("n") === 0L)
+    // n=90, e_a=81, e_b=9: chi2 = 81/81 + 81/9 = 10
+    assert(math.abs(bRow.getAs[Double]("chi2") - 10.0) < 1e-6,
+      s"zero-observed arm must contribute its full E term: $bRow")
   }
 
   test("rankNormalize: inclusive per-group ECDF — max hits exactly 1, " +

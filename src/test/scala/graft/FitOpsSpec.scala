@@ -83,6 +83,14 @@ class FitOpsSpec extends SparkSpec {
       coll.withColumn("x3", col("x1") * 3).withColumn("x4", col("x1")),
       "y", Seq("x1", "x2", "x3", "x4")).collect()
     assert(rc4.forall(_.isNullAt(2)))
+    // EMPTY input on the driver-solve path: the documented NULL-beta
+    // degradation (n = 0), never an NPE off the null DECIMAL sums
+    val e4 = FitOps.olsMulti(d4.filter(col("y") < -1e18), "y",
+      Seq("x1", "x2", "x3", "x4")).collect()
+    assert(e4.length === 5)
+    assert(e4.forall(_.getAs[Long]("n") === 0L))
+    assert(e4.forall(_.isNullAt(2)), "empty input must NULL betas")
+    assert(e4.forall(_.isNullAt(4)), "empty input must NULL r2")
   }
 
   test("theilSen matches the brute-force lower median of pairwise " +

@@ -1078,6 +1078,14 @@ class GraftExtensionsSpec extends SparkSpec {
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.prAuc(ord, "o_totalprice", "o_orderstatus",
         "F", "O"))
+    assertParity(s2, "SELECT * FROM threshold_sweep('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus', 'F', 'O')",
+      HypothesisOps.thresholdSweep(ord, "o_totalprice",
+        "o_orderstatus", "F", "O"))
+    assertParity(s2, "SELECT * FROM auc_by('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus', 'F', 'O', 'o_orderpriority')",
+      HypothesisOps.aucBy(ord, "o_totalprice", "o_orderstatus",
+        "F", "O", "o_orderpriority"))
     val probs = ord.select(
       (col("o_totalprice") / 600000.0).as("prob"),
       (col("o_orderstatus") === "F").as("label"))

@@ -187,6 +187,101 @@ class HypothesisOpsSpec extends SparkSpec {
     assert(rf.getAs[Double]("pr_auc") === rf.getAs[Double]("baseline"))
   }
 
+  test("auc: a single-class input yields NULL auc/gini, not NaN") {
+    val onlyPos = (1 to 40).map(i => ("P", i.toDouble)).toDF("g", "v")
+    val r = HypothesisOps.auc(onlyPos, "v", "g", "P", "N").collect()(0)
+    assert(r.getAs[Long]("n_pos") === 40L)
+    assert(r.getAs[Long]("n_neg") === 0L)
+    assert(r.isNullAt(r.fieldIndex("auc")), s"expected NULL auc: $r")
+    assert(r.isNullAt(r.fieldIndex("gini")))
+  }
+
+  test("thresholdSweep: every cell matches the brute-force confusion " +
+    "table at the pooled-percentile thresholds; perfect separation " +
+    "and constant-score closed forms") {
+    val rnd = new scala.util.Random(41)
+    val pos = Seq.fill(120)(rnd.nextInt(40).toDouble + 8)
+    val neg = Seq.fill(180)(rnd.nextInt(40).toDouble)
+    val df = (pos.map(("P", _)) ++ neg.map(("N", _))).toDF("g", "v")
+    val rows = HypothesisOps.thresholdSweep(df, "v", "g", "P", "N")
+      .collect()
+    assert(rows.length === 19)
+    val pooled = (pos ++ neg).sorted
+    val n = pooled.size
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k").toInt
+      val thr = pooled.distinct
+        .find(v => pooled.count(_ <= v) * 20 >= k * n).get
+      assert(r.getAs[Double]("threshold") === thr, s"k=$k")
+      val tp = pos.count(_ >= thr); val fp = neg.count(_ >= thr)
+      assert(r.getAs[Long]("tp") === tp.toLong, s"k=$k tp")
+      assert(r.getAs[Long]("fp") === fp.toLong, s"k=$k fp")
+      assert(r.getAs[Long]("fn") === (pos.size - tp).toLong)
+      assert(r.getAs[Long]("tn") === (neg.size - fp).toLong)
+      assert(r.getAs[Double]("precision") ===
+        r6(tp.toDouble / (tp + fp)))
+      assert(r.getAs[Double]("recall") === r6(tp.toDouble / pos.size))
+      val p0 = tp.toDouble / (tp + fp); val r0 = tp.toDouble / pos.size
+      if (tp > 0)
+        assert(r.getAs[Double]("f1") === r6(2 * p0 * r0 / (p0 + r0)))
+      assert(r.getAs[Double]("accuracy") ===
+        r6((tp + neg.size - fp).toDouble / n))
+    }
+    // perfect separation: thresholds at/above the positive block give
+    // a perfect operating point
+    val sep = (pos.map(x => ("P", x + 1000)) ++ neg.map(("N", _)))
+      .toDF("g", "v")
+    val sepRows = HypothesisOps.thresholdSweep(sep, "v", "g", "P", "N")
+      .collect()
+    val atPos = sepRows.filter(_.getAs[Double]("threshold") > 1000)
+    assert(atPos.nonEmpty)
+    atPos.foreach { r =>
+      assert(r.getAs[Double]("precision") === 1.0)
+      assert(r.getAs[Long]("fp") === 0L)
+    }
+    // constant score: one distinct value, every threshold row is the
+    // all-positive operating point (precision = prevalence, recall 1)
+    val flat = (pos.map(_ => ("P", 7.0)) ++ neg.map(_ => ("N", 7.0)))
+      .toDF("g", "v")
+    val flatRows = HypothesisOps.thresholdSweep(flat, "v", "g", "P", "N")
+      .collect()
+    assert(flatRows.length === 19)
+    flatRows.foreach { r =>
+      assert(r.getAs[Double]("threshold") === 7.0)
+      assert(r.getAs[Double]("precision") === r6(120.0 / 300.0))
+      assert(r.getAs[Double]("recall") === 1.0)
+      assert(r.getAs[Double]("accuracy") === r6(120.0 / 300.0))
+    }
+  }
+
+  test("aucBy: each segment equals the ungrouped auc on that " +
+    "segment's rows; a single-class segment emits NULL, not NaN, " +
+    "and is not dropped") {
+    val rnd = new scala.util.Random(43)
+    val segs = Seq("s1", "s2", "s3")
+    val data = segs.flatMap { seg =>
+      val shift = seg.last.asDigit * 3
+      Seq.fill(80)(("P", rnd.nextInt(25).toDouble + shift, seg)) ++
+        Seq.fill(90)(("N", rnd.nextInt(25).toDouble, seg))
+    } ++ Seq.fill(30)(("P", rnd.nextInt(25).toDouble, "only_pos"))
+    val df = data.toDF("g", "v", "seg")
+    val by = HypothesisOps.aucBy(df, "v", "g", "P", "N", "seg")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(by.keySet === (segs.toSet + "only_pos"))
+    segs.foreach { seg =>
+      val solo = HypothesisOps.auc(df.filter(col("seg") === seg),
+        "v", "g", "P", "N").collect()(0)
+      assert(by(seg).getAs[Double]("auc") ===
+        solo.getAs[Double]("auc"), seg)
+      assert(by(seg).getAs[Long]("n_pos") ===
+        solo.getAs[Long]("n_pos"), seg)
+    }
+    val op = by("only_pos")
+    assert(op.getAs[Long]("n_pos") === 30L)
+    assert(op.getAs[Long]("n_neg") === 0L)
+    assert(op.isNullAt(op.fieldIndex("auc")))
+  }
+
   test("effectSize: hand-computed Cohen's d / Hedges' g / Glass delta, " +
     "zero on identical groups, NULL on singleton groups") {
     val xs = Seq(4.0, 5.0, 6.0, 7.0, 8.0)         // mean 6, var 2.5
