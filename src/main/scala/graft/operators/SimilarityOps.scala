@@ -227,6 +227,36 @@ object SimilarityOps {
     AnnIndex.build(vectors, idCol, embCol, tables, planesPerTable,
       persist = false).knnJoin(k, maxBucket)
 
+  /** ANN-mined hard negatives — the contrastive-training data op:
+    * for each (query, declared-positive) pair set, the k nearest
+    * NON-positive, non-self neighbors of the query. Near-but-wrong
+    * examples are what make embedding models sharp; random negatives
+    * are too easy. Pure wiring over the index contract: one
+    * [[VectorIndex.knnJoinWith]] probe at k + `overshoot` + 1
+    * candidates (bucketed equi-joins, pre-shuffle partial top-k — the
+    * family's own scale shape), one keyed LEFT-ANTI join against the
+    * positives (shuffles only the candidate rows, broadcast when the
+    * positive table is small), then the same map-side partial
+    * [[topKPerSrc]] trim. `overshoot` must be ≥ the max positives per
+    * query to GUARANTEE k survivors — short rows (never wrong rows)
+    * when it is not. Ids ride the typed BIGINT aggregator
+    * ([[topKPerSrc]]'s contract). */
+  def hardNegatives(index: VectorIndex, queries: DataFrame,
+      idCol: String, embCol: String, positives: DataFrame,
+      qCol: String, posCol: String, k: Int, overshoot: Int = 4)
+      : DataFrame = {
+    require(k >= 1 && overshoot >= 0,
+      s"hardNegatives needs k >= 1, overshoot >= 0; got $k, $overshoot")
+    val pos = positives.select(col(qCol).cast("bigint").as("src_id"),
+      col(posCol).cast("bigint").as("dst_id"))
+    val cand = index
+      .knnJoinWith(queries, idCol, embCol, k + overshoot + 1)
+      .filter(col("src_id") =!= col("dst_id"))
+      .select("src_id", "dst_id", "cos_sim")
+    topKPerSrc(cand.join(pos, Seq("src_id", "dst_id"), "left_anti"),
+      "cos_sim", k)
+  }
+
   /** Fan an unordered pair set out to its two directed edges in one
     * narrow pass (the pair pipeline is evaluated once). */
   private[graft] def bothDirections(pairs: DataFrame,
@@ -452,6 +482,22 @@ object SimilarityOps {
             .filter(col("src_id") =!= col("dst_id"))
             .select("src_id", "dst_id", "cos_sim"),
           "cos_sim", 5)
+      }),
+
+    // ANN-mined hard negatives: every 10th vector queries the cached
+    // IVF index for its 5 nearest non-positive, non-self neighbors
+    // (declared positive: the next vector id — a stand-in for the
+    // "known related doc" a contrastive pipeline carries). Recall-
+    // gated vs the exact-kNN negatives in SimilaritySpec, no SQL
+    // oracle (ANN family).
+    Query("q_hard_negatives", None,
+      (s, d) => {
+        val probes = Tables.embeddings(s, d)
+          .filter(col("vec_id") % 10 === 0)
+        val positives = probes.select(col("vec_id").as("q"),
+          (col("vec_id") + 1).as("p"))
+        hardNegatives(IvfIndex.forDir(s, d), probes, "vec_id",
+          "embedding", positives, "q", "p", k = 5)
       }),
 
     // Multimodal projection: text + vector + label in one result row

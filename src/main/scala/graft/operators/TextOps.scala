@@ -390,6 +390,13 @@ object TextOps {
       Tables.documents(s, d), "text", vocabSize = 2048),
     _ => ())
 
+  /** Trained BPE merge lists per (session, corpus) — the
+    * [[wpVocabCache]] stance for the GPT-family scheme. */
+  private val bpeMergesCache = new IndexCache[Array[String]](
+    (s, d) => graft.functions.BpeOps.trainMerges(
+      Tables.documents(s, d), "text", nMerges = 2048),
+    _ => ())
+
   val all: Seq[Query] = Seq(
     // Token frequency: the explode/groupBy (Generator + hash agg) shape.
     // Top-100 with deterministic (n DESC, token) order.
@@ -776,6 +783,32 @@ object TextOps {
           graft.functions.WordpieceOps.wordpieceEncode(
             s, lower(col("text")), vocab)).as("piece"))
         pieces
+          .groupBy("piece").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("piece"))
+          .limit(40)
+      }),
+
+    // BPE subword tokenization: train a 2048-merge BPE list on the
+    // corpus (one word-count scan + the incremental driver merge
+    // loop, deterministic tiebreaks), encode every document with the
+    // codegen'd merge-replay expression, report the top pieces — the
+    // GPT-family tokenizer next to q_wordpiece's greedy
+    // longest-match. No SQL oracle (iterative pair merging is not
+    // SQL-expressible): BpeSpec pins the algorithm (brute-force
+    // trainer equality, canonical Sennrich-style vectors, total
+    // round-trip reconstruction, repartition determinism) and
+    // determinism makes the rows-only gate stable.
+    Query(
+      "q_bpe",
+      None,
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // a trained merge list is a static production artifact (train
+        // once, encode forever) — cached per (session, corpus)
+        val merges = TextOps.bpeMergesCache.get(s, d)
+        docs.select(explode(
+          graft.functions.BpeOps.bpeEncode(
+            s, lower(col("text")), merges)).as("piece"))
           .groupBy("piece").agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), asc("piece"))
           .limit(40)

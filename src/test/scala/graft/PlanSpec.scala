@@ -194,6 +194,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(3000))
   }
 
+  test("q_hard_negatives: no cartesian — the IVF probe shape plus one " +
+      "keyed anti-join, positives never a nested-loop side") {
+    val df = q("q_hard_negatives")
+    df.collect() // finalize THIS plan (AQE)
+    val p = plan(df).split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the only tolerated nested-loop node is the IVF centroid fan-out
+    // (the q_knn_ivf pin); the positive-exclusion join must be a
+    // KEYED anti-join, never a nested loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      p.take(2000))
+    assert(p.contains("LeftAnti"), "positive exclusion must be an " +
+      "anti-join:\n" + p.take(2000))
+  }
+
   test("q_knn_ivf / q_knn_ivfpq: cell-key equi-joins only, pre-shuffle " +
       "partial top-k in both stages, relational centroid fan-out") {
     for (name <- Seq("q_knn_ivf", "q_knn_ivfpq")) {

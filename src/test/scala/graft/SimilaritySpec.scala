@@ -604,6 +604,48 @@ class SimilaritySpec extends SparkSpec {
     assert(bySrc.map(_.getInt(3)).toSeq === (1 to bySrc.length))
   }
 
+  test("hardNegatives: never a positive or self, exact rescore, mean " +
+      "recall@5 >= 0.8 vs the exact-kNN negatives") {
+    import graft.sources.Tables
+    val vecs = Tables.embeddings(spark, sfDir)
+    val probeIds = (0L until 100L by 10L).toSeq
+    val probes = vecs.filter(col("vec_id").isin(probeIds: _*))
+    val positives = probes.select(col("vec_id").as("q"),
+      (col("vec_id") + 1).as("p"))
+    val got = SimilarityOps.hardNegatives(
+      graft.operators.IvfIndex.forDir(spark, sfDir), probes,
+      "vec_id", "embedding", positives, "q", "p", k = 5)
+      .collect()
+    val bySrc = got.groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3))).toMap
+    assert(bySrc.keySet === probeIds.toSet)
+    val recalls = probeIds.map { q =>
+      // exact reference: full cosine ranking minus self and the
+      // declared positive — the mined set must mostly agree
+      val exact = SimilarityOps.bruteForceTopK(spark, sfDir,
+          probeId = q, k = 7).collect()
+        .map(_.getLong(0)).filter(_ != q + 1).take(5).toSet
+      val mined = bySrc(q).map(_.getLong(1)).toSet
+      assert(!mined.contains(q), s"self leaked for $q")
+      assert(!mined.contains(q + 1), s"declared positive leaked for $q")
+      assert(mined.size === 5, s"short row for $q: $mined")
+      (exact & mined).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"hard-negative mean recall@5 = $mean%.3f (10 probes)")
+    assert(mean >= 0.8, f"mean recall@5 $mean%.3f below the 0.8 gate")
+    // scores are exact rescored cosines: spot-check against the
+    // brute-force scores of the same pairs
+    val q0 = probeIds.head
+    val exactScores = SimilarityOps.bruteForceTopK(spark, sfDir,
+        probeId = q0, k = 50).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    bySrc(q0).foreach { r =>
+      assert(exactScores.get(r.getLong(1)).forall(_ === r.getDouble(2)),
+        s"rescore drift for ($q0, ${r.getLong(1)})")
+    }
+  }
+
   test("IVF auto cell-count policy: FAISS band in the middle, n/4 floor " +
       "clamp at tiny corpora, hard ceiling at extreme ones") {
     import graft.operators.IvfIndex.{autoCellCount, AutoCellCeiling}
