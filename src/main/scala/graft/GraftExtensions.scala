@@ -580,7 +580,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "pr_auc" -> GraftExtensions.prAucPlan _,
       // round-15 eval additions
       "threshold_sweep" -> GraftExtensions.thresholdSweepPlan _,
-      "auc_by" -> GraftExtensions.aucByPlan _)
+      "auc_by" -> GraftExtensions.aucByPlan _,
+      "auc_ci" -> GraftExtensions.aucCiPlan _,
+      "ranking_eval" -> GraftExtensions.rankingEvalPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2218,6 +2220,40 @@ object GraftExtensions {
     graft.operators.HypothesisOps.aucBy(df, v, g,
       litStr("auc_by", "pos", exprs(3)),
       litStr("auc_by", "neg", exprs(4)), seg)
+      .queryExecution.analyzed
+  }
+
+  /** `auc_ci(table, score_col, group_col, pos, neg)` — ROC AUC with
+    * DeLong standard error + 95% CI
+    * ([[graft.operators.HypothesisOps.aucCi]]). */
+  private[graft] def aucCiPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("auc_ci(table, score_col, group_col, pos, neg)", exprs, 5, 5)
+    val v = litStr("auc_ci", "score_col", exprs(1))
+    val g = litStr("auc_ci", "group_col", exprs(2))
+    val df = namedTable("auc_ci", litStr("auc_ci", "table", exprs(0)),
+      Seq(v, g))
+    graft.operators.HypothesisOps.aucCi(df, v, g,
+      litStr("auc_ci", "pos", exprs(3)),
+      litStr("auc_ci", "neg", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `ranking_eval(table, q_col, id_col, score_col, rel_col [, k])` —
+    * corpus precision/recall/MRR/NDCG at k over per-query candidate
+    * rankings ([[graft.operators.HypothesisOps.rankingEval]]). */
+  private[graft] def rankingEvalPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("ranking_eval(table, q_col, id_col, score_col, rel_col " +
+      "[, k])", exprs, 5, 6)
+    val qc = litStr("ranking_eval", "q_col", exprs(1))
+    val ic = litStr("ranking_eval", "id_col", exprs(2))
+    val sc = litStr("ranking_eval", "score_col", exprs(3))
+    val rc = litStr("ranking_eval", "rel_col", exprs(4))
+    val df = namedTable("ranking_eval",
+      litStr("ranking_eval", "table", exprs(0)), Seq(qc, ic, sc, rc))
+    val k = if (exprs.length > 5)
+      litDouble("ranking_eval", "k", exprs(5)).toInt else 10
+    graft.operators.HypothesisOps.rankingEval(df, qc, ic, sc, rc, k)
       .queryExecution.analyzed
   }
 

@@ -364,6 +364,60 @@ object HypothesisOps {
       r6(np / (np + nn)).as("baseline"))
   }
 
+  /** DeLong standard error + 95% CI for [[auc]] — the "is this AUC
+    * actually different from 0.5 (or from last week's)" bar every
+    * eval readout needs next to the point estimate. DeLong 1988:
+    * SE² = S₁₀/n⁺ + S₀₁/n⁻ where S₁₀ is the sample variance of the
+    * positives' placement values V₁₀(i) = F⁻(Xᵢ) (fraction of
+    * negatives below, ties half) and S₀₁ symmetrically. Both
+    * placements are integer-valued off the shared [[cumCounts]]
+    * spine — u₁₀(v) = 2·C⁻(v) − n⁻(v) and u₀₁(v) = 2·(N⁺ − C⁺(v)) +
+    * n⁺(v), i.e. 2·N∓·V — so the first moments fold exactly in
+    * DECIMAL(38,0); the squared terms round per-value into
+    * DECIMAL(38,12) (the q_drift stance — identical operand order
+    * both engines). One fold, no corpus sort, NULL SE when either
+    * class has <2 members. */
+  def aucCi(df: DataFrame, scoreCol: String, groupCol: String,
+      posVal: String, negVal: String): DataFrame =
+    aucCiFromCum(cumCounts(df, scoreCol, groupCol, posVal, negVal))
+
+  private[graft] def aucCiFromCum(cum: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec12 = DecimalType(38, 12)
+    val tot = cum.agg(sum("na").as("npt"), sum("nb").as("nnt"))
+    val t = cum.crossJoin(broadcast(tot))
+    // integer placements (doubled, scaled by the class size): exact
+    val u10 = (col("cb").cast(dec0) * 2 - col("nb"))
+    val u01 = ((col("npt") - col("ca")).cast(dec0) * 2 + col("na"))
+    val m = t.agg(
+      sum(col("na").cast(dec0) * u10).as("m10"),
+      sum((col("na").cast("double") * u10.cast("double") *
+        u10.cast("double")).cast(dec12)).as("q10"),
+      sum(col("nb").cast(dec0) * u01).as("m01"),
+      sum((col("nb").cast("double") * u01.cast("double") *
+        u01.cast("double")).cast(dec12)).as("q01"),
+      min("npt").as("n_pos"), min("nnt").as("n_neg"))
+    val np = col("n_pos").cast("double")
+    val nn = col("n_neg").cast("double")
+    // AUC = mean placement of the positives: Σ na·u10 / (n⁺·2n⁻)
+    val a = col("m10").cast("double") / (np * nn * 2)
+    // sample variances of the placements (u = 2n∓·V ⇒ ÷(2n∓)²)
+    val s10 = (col("q10").cast("double") -
+      col("m10").cast("double") * col("m10").cast("double") / np) /
+      (np - 1) / (nn * nn * 4)
+    val s01 = (col("q01").cast("double") -
+      col("m01").cast("double") * col("m01").cast("double") / nn) /
+      (nn - 1) / (np * np * 4)
+    val se = sqrt(greatest(s10 / np + s01 / nn, lit(0.0)))
+    val ok = col("n_pos") > 1 && col("n_neg") > 1
+    m.select(coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+      coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+      when(ok, r6(a)).as("auc"),
+      when(ok, r6(se)).as("se"),
+      when(ok, r6(greatest(a - lit(1.96) * se, lit(0.0)))).as("ci_lo"),
+      when(ok, r6(least(a + lit(1.96) * se, lit(1.0)))).as("ci_hi"))
+  }
+
   /** Threshold-sweep classifier report — the operating-point table a
     * model deployment reads next to [[auc]]'s single number: TP / FP /
     * FN / TN and precision / recall / F1 / accuracy at each of the
@@ -457,6 +511,73 @@ object HypothesisOps {
       when(ok, r6(a)).as("auc"),
       when(ok, r6(lit(2.0) * a - lit(1.0))).as("gini"))
       .orderBy(segCol)
+  }
+
+  /** Offline retrieval/ranking evaluation — the metric block a search
+    * or RAG pipeline reads after every index or reranker change:
+    * corpus means of precision@k, recall@k, MRR@k and NDCG@k over
+    * per-query candidate lists (`qCol` the query id, `relCol` a 0/1
+    * relevance label, candidates ranked by `scoreCol` DESC with
+    * `idCol` as the deterministic tiebreak). Binary-gain NDCG;
+    * queries with NO relevant candidate contribute 0 to MRR and are
+    * EXCLUDED from the recall/NDCG means (undefined there) — n_eval
+    * reports how many queries the means cover.
+    *
+    * Scale: ONE window partitioned by query id (bounded by that
+    * query's candidate-list length — candidate lists are top-N
+    * retrievals by construction, never the corpus), one per-query
+    * aggregate, a broadcast k-row ideal-DCG lookup, one 1-row fold.
+    * Per-query doubles round into DECIMAL(38,12) before the corpus
+    * mean (the q_drift stance). */
+  def rankingEval(df: DataFrame, qCol: String, idCol: String,
+      scoreCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000]; got $k")
+    import org.apache.spark.sql.types.DecimalType
+    val dec12 = DecimalType(38, 12)
+    val w = Window.partitionBy("q")
+      .orderBy(col("s").desc, col("cid").asc)
+    val ranked = df.select(col(qCol).as("q"), col(idCol).as("cid"),
+        col(scoreCol).as("s"), col(relCol).cast("int").as("rel"))
+      .withColumn("rn", row_number().over(w))
+    val perQ = ranked.groupBy("q").agg(
+      sum(when(col("rn") <= k, col("rel")).otherwise(0)).as("hits"),
+      sum(col("rel")).as("r_total"),
+      min(when(col("rel") === 1 && col("rn") <= k, col("rn")))
+        .as("first_rel"),
+      sum(when(col("rn") <= k && col("rel") === 1,
+        (lit(1.0) / log2(col("rn").cast("double") + 1)).cast(dec12))
+        .otherwise(lit(0).cast(dec12))).as("dcg"))
+    // ideal DCG at m relevant: Σ_{i=1..min(m,k)} 1/log2(i+1) — a
+    // k+1-row lookup computed with the SAME SQL log2 both engines run
+    val s = df.sparkSession
+    val idcgTab = s.range(0, k + 1).select(col("id").as("m"))
+      .crossJoin(s.range(1, k + 1).select(col("id").as("i")))
+      .filter(col("i") <= col("m"))
+      .groupBy("m").agg(sum((lit(1.0) /
+        log2(col("i").cast("double") + 1)).cast(dec12)).as("idcg"))
+    val joined = perQ
+      .join(broadcast(idcgTab),
+        least(col("r_total"), lit(k.toLong)) === col("m"), "left")
+    val evalQ = col("r_total") > 0
+    val agg = joined.agg(
+      count(lit(1)).as("n_queries"),
+      sum(when(evalQ, 1L).otherwise(0L)).as("n_eval"),
+      sum((col("hits").cast("double") / k).cast(dec12)).as("p_sum"),
+      sum(when(evalQ, (col("hits").cast("double") / col("r_total"))
+        .cast(dec12))).as("r_sum"),
+      sum(coalesce((lit(1.0) / col("first_rel")).cast(dec12),
+        lit(0).cast(dec12))).as("mrr_sum"),
+      sum(when(evalQ, (col("dcg").cast("double") /
+        col("idcg").cast("double")).cast(dec12))).as("ndcg_sum"))
+    agg.select(col("n_queries"), col("n_eval"),
+      r6(col("p_sum").cast("double") / col("n_queries"))
+        .as("precision_at_k"),
+      when(col("n_eval") > 0,
+        r6(col("r_sum").cast("double") / col("n_eval")))
+        .as("recall_at_k"),
+      r6(col("mrr_sum").cast("double") / col("n_queries")).as("mrr"),
+      when(col("n_eval") > 0,
+        r6(col("ndcg_sum").cast("double") / col("n_eval"))).as("ndcg"))
   }
 
   /** Quantile–quantile table between two groups: for p = k/nQ,
@@ -824,6 +945,139 @@ object HypothesisOps {
               FROM f ORDER BY 1"""),
       (s, d) => aucBy(Tables.orders(s, d), "o_totalprice",
         "o_orderstatus", "F", "O", "o_orderpriority")),
+
+    // Is the AUC actually significant — DeLong standard error and
+    // the 95% CI next to the point estimate, exact placements off
+    // the same spine.
+    Query(
+      "q_auc_ci",
+      Some("""WITH s AS (
+                SELECT o_totalprice AS v,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS isa
+                FROM orders WHERE o_orderstatus IN ('F', 'O')),
+              g AS (SELECT v, sum(isa) AS na, sum(1 - isa) AS nb
+                    FROM s GROUP BY 1),
+              c AS (SELECT v, na, nb,
+                      sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS ca,
+                      sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS cb
+                    FROM g),
+              t AS (SELECT sum(na) AS npt, sum(nb) AS nnt FROM g),
+              m AS (SELECT
+                      sum(na * (2 * cb - nb)) AS m10,
+                      sum(CAST(CAST(na AS DOUBLE)
+                        * CAST(2 * cb - nb AS DOUBLE)
+                        * CAST(2 * cb - nb AS DOUBLE)
+                        AS DECIMAL(38,12))) AS q10,
+                      sum(nb * (2 * (npt - ca) + na)) AS m01,
+                      sum(CAST(CAST(nb AS DOUBLE)
+                        * CAST(2 * (npt - ca) + na AS DOUBLE)
+                        * CAST(2 * (npt - ca) + na AS DOUBLE)
+                        AS DECIMAL(38,12))) AS q01,
+                      min(npt) AS n_pos, min(nnt) AS n_neg
+                    FROM c CROSS JOIN t),
+              f AS (SELECT CAST(n_pos AS BIGINT) AS n_pos,
+                      CAST(n_neg AS BIGINT) AS n_neg,
+                      CAST(n_pos AS DOUBLE) AS np,
+                      CAST(n_neg AS DOUBLE) AS nn,
+                      CAST(m10 AS DOUBLE) AS m10d,
+                      CAST(q10 AS DOUBLE) AS q10d,
+                      CAST(m01 AS DOUBLE) AS m01d,
+                      CAST(q01 AS DOUBLE) AS q01d
+                    FROM m),
+              f2 AS (SELECT n_pos, n_neg,
+                       m10d / (np * nn * 2) AS a,
+                       sqrt(greatest(
+                         (q10d - m10d * m10d / np) / (np - 1)
+                           / (nn * nn * 4) / np
+                         + (q01d - m01d * m01d / nn) / (nn - 1)
+                           / (np * np * 4) / nn, 0.0)) AS se
+                     FROM f)
+              SELECT n_pos, n_neg,
+                     round(CASE WHEN n_pos > 1 AND n_neg > 1 THEN a
+                       END * 1000000.0)/1000000.0 AS auc,
+                     round(CASE WHEN n_pos > 1 AND n_neg > 1 THEN se
+                       END * 1000000.0)/1000000.0 AS se,
+                     round(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+                         greatest(a - 1.96 * se, 0.0)
+                       END * 1000000.0)/1000000.0 AS ci_lo,
+                     round(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+                         least(a + 1.96 * se, 1.0)
+                       END * 1000000.0)/1000000.0 AS ci_hi
+              FROM f2"""),
+      (s, d) => aucCiFromCum(ordersSpine(s, d))),
+
+    // Offline retrieval eval: precision/recall/MRR/NDCG at k=3 over
+    // per-order line rankings (score: extended price; relevant:
+    // returned lines) — the metric block a search/RAG pipeline reads.
+    Query(
+      "q_ranking_eval",
+      Some("""WITH ranked AS (
+                SELECT l_orderkey AS q, l_linenumber AS cid,
+                       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                         AS rel,
+                       row_number() OVER (PARTITION BY l_orderkey
+                         ORDER BY l_extendedprice DESC,
+                           l_linenumber ASC) AS rn
+                FROM lineitem),
+              perq AS (
+                SELECT q,
+                       sum(CASE WHEN rn <= 3 THEN rel ELSE 0 END)
+                         AS hits,
+                       sum(rel) AS r_total,
+                       min(CASE WHEN rel = 1 AND rn <= 3 THEN rn END)
+                         AS first_rel,
+                       sum(CASE WHEN rn <= 3 AND rel = 1 THEN
+                           CAST(CAST(1.0 AS DOUBLE)
+                             / log2(CAST(rn AS DOUBLE) + 1)
+                             AS DECIMAL(38,12))
+                         ELSE CAST(0 AS DECIMAL(38,12)) END) AS dcg
+                FROM ranked GROUP BY q),
+              itab AS (
+                SELECT m, sum(CAST(CAST(1.0 AS DOUBLE)
+                         / log2(CAST(i AS DOUBLE) + 1)
+                         AS DECIMAL(38,12))) AS idcg
+                FROM (SELECT mm.range AS m, ii.range AS i
+                      FROM range(0, 4) mm CROSS JOIN range(1, 4) ii)
+                WHERE i <= m GROUP BY m),
+              j AS (SELECT perq.*, itab.idcg
+                    FROM perq LEFT JOIN itab
+                      ON least(r_total, 3) = itab.m),
+              agg AS (SELECT count(*) AS n_queries,
+                        sum(CASE WHEN r_total > 0 THEN 1 ELSE 0 END)
+                          AS n_eval,
+                        sum(CAST(CAST(hits AS DOUBLE) / 3
+                          AS DECIMAL(38,12))) AS p_sum,
+                        sum(CASE WHEN r_total > 0 THEN
+                          CAST(CAST(hits AS DOUBLE) / r_total
+                            AS DECIMAL(38,12)) END) AS r_sum,
+                        sum(coalesce(CAST(CAST(1.0 AS DOUBLE)
+                            / first_rel AS DECIMAL(38,12)),
+                          CAST(0 AS DECIMAL(38,12)))) AS mrr_sum,
+                        sum(CASE WHEN r_total > 0 THEN
+                          CAST(CAST(dcg AS DOUBLE)
+                            / CAST(idcg AS DOUBLE)
+                            AS DECIMAL(38,12)) END) AS ndcg_sum
+                      FROM j)
+              SELECT CAST(n_queries AS BIGINT) AS n_queries,
+                     CAST(n_eval AS BIGINT) AS n_eval,
+                     round(CAST(p_sum AS DOUBLE) / n_queries
+                       * 1000000.0)/1000000.0 AS precision_at_k,
+                     round(CASE WHEN n_eval > 0 THEN
+                         CAST(r_sum AS DOUBLE) / n_eval END
+                       * 1000000.0)/1000000.0 AS recall_at_k,
+                     round(CAST(mrr_sum AS DOUBLE) / n_queries
+                       * 1000000.0)/1000000.0 AS mrr,
+                     round(CASE WHEN n_eval > 0 THEN
+                         CAST(ndcg_sum AS DOUBLE) / n_eval END
+                       * 1000000.0)/1000000.0 AS ndcg
+              FROM agg"""),
+      (s, d) => rankingEval(
+        Tables.lineitem(s, d).withColumn("rel",
+          (col("l_returnflag") === lit("R")).cast("int")),
+        "l_orderkey", "l_linenumber", "l_extendedprice", "rel", 3)),
 
     // All three statuses at once: does ANY group shift the totals'
     // distribution — the k-sample generalization of q_mann_whitney.

@@ -1086,6 +1086,17 @@ class GraftExtensionsSpec extends SparkSpec {
       "'o_totalprice', 'o_orderstatus', 'F', 'O', 'o_orderpriority')",
       HypothesisOps.aucBy(ord, "o_totalprice", "o_orderstatus",
         "F", "O", "o_orderpriority"))
+    assertParity(s2, "SELECT * FROM auc_ci('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus', 'F', 'O')",
+      HypothesisOps.aucCi(ord, "o_totalprice", "o_orderstatus",
+        "F", "O"))
+    val rkLi = graft.sources.Tables.lineitem(s2, sfDir)
+      .withColumn("rel", (col("l_returnflag") === "R").cast("int"))
+    rkLi.createOrReplaceTempView("ht_rank_li")
+    assertParity(s2, "SELECT * FROM ranking_eval('ht_rank_li', " +
+      "'l_orderkey', 'l_linenumber', 'l_extendedprice', 'rel', 3)",
+      HypothesisOps.rankingEval(rkLi, "l_orderkey", "l_linenumber",
+        "l_extendedprice", "rel", 3))
     val probs = ord.select(
       (col("o_totalprice") / 600000.0).as("prob"),
       (col("o_orderstatus") === "F").as("label"))

@@ -254,6 +254,111 @@ class HypothesisOpsSpec extends SparkSpec {
     }
   }
 
+  test("aucCi: auc equals the point estimate, se matches brute-force " +
+    "DeLong, and degenerate classes yield NULL") {
+    val rnd = new scala.util.Random(47)
+    val pos = Seq.fill(120)(rnd.nextInt(30).toDouble + 4)
+    val neg = Seq.fill(200)(rnd.nextInt(30).toDouble)
+    val df = (pos.map(("P", _)) ++ neg.map(("N", _))).toDF("g", "v")
+    val r = HypothesisOps.aucCi(df, "v", "g", "P", "N").collect()(0)
+    // brute-force DeLong: placements, sample variances, se
+    def place(x: Double, other: Seq[Double]): Double =
+      (other.count(_ < x) + 0.5 * other.count(_ == x)) / other.size
+    val v10 = pos.map(place(_, neg)); val v01 = neg.map(x =>
+      (pos.count(_ > x) + 0.5 * pos.count(_ == x)).toDouble / pos.size)
+    def sVar(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val bruteAuc = v10.sum / v10.size
+    val bruteSe = math.sqrt(
+      sVar(v10) / pos.size + sVar(v01) / neg.size)
+    assert(math.abs(r.getAs[Double]("auc") - bruteAuc) < 1e-6)
+    assert(math.abs(r.getAs[Double]("se") - bruteSe) < 1e-6,
+      s"se ${r.getAs[Double]("se")} vs brute $bruteSe")
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("auc"))
+    assert(r.getAs[Double]("ci_hi") >= r.getAs[Double]("auc"))
+    // perfect separation: auc 1, ci_hi clamped at 1
+    val sep = (pos.map(x => ("P", x + 1000)) ++ neg.map(("N", _)))
+      .toDF("g", "v")
+    val rs = HypothesisOps.aucCi(sep, "v", "g", "P", "N").collect()(0)
+    assert(rs.getAs[Double]("auc") === 1.0)
+    assert(rs.getAs[Double]("ci_hi") === 1.0)
+    // a single-member class cannot carry a variance → NULL block
+    val tiny = (Seq(("P", 5.0)) ++ neg.take(10).map(("N", _)))
+      .toDF("g", "v")
+    val rt = HypothesisOps.aucCi(tiny, "v", "g", "P", "N").collect()(0)
+    assert(rt.isNullAt(rt.fieldIndex("se")))
+    assert(rt.isNullAt(rt.fieldIndex("auc")))
+  }
+
+  test("rankingEval: per-metric brute-force equality on a random " +
+    "candidate table; closed forms on perfect ranking; no-relevant " +
+    "queries excluded from recall/ndcg, zero in mrr") {
+    val rnd = new scala.util.Random(53)
+    val k = 3
+    val rows = (1 to 40).flatMap { q =>
+      val n = 2 + rnd.nextInt(8)
+      (1 to n).map(i =>
+        (q.toLong, i.toLong, rnd.nextInt(50).toDouble,
+          if (rnd.nextInt(4) == 0) 1 else 0))
+    }
+    val df = rows.toDF("q", "cid", "s", "rel")
+    val r = HypothesisOps
+      .rankingEval(df, "q", "cid", "s", "rel", k).collect()(0)
+    // brute force per query
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val byQ = rows.groupBy(_._1).values.map { g =>
+      val ranked = g.sortBy(x => (-x._3, x._2)).map(_._4)
+      val top = ranked.take(k)
+      val rTotal = ranked.count(_ == 1)
+      val hits = top.count(_ == 1)
+      val mrr = top.indexOf(1) match {
+        case -1 => 0.0; case i => 1.0 / (i + 1) }
+      val dcg = top.zipWithIndex
+        .collect { case (1, i) => 1.0 / log2(i + 2.0) }.sum
+      val idcg = (1 to math.min(k, rTotal))
+        .map(i => 1.0 / log2(i + 1.0)).sum
+      (hits.toDouble / k, rTotal, if (rTotal > 0) hits.toDouble / rTotal
+        else 0.0, mrr, if (rTotal > 0) dcg / idcg else 0.0)
+    }.toSeq
+    val nQ = byQ.size
+    val nEval = byQ.count(_._2 > 0)
+    def r6d(x: Double) = math.round(x * 1e6) / 1e6
+    assert(r.getAs[Long]("n_queries") === nQ.toLong)
+    assert(r.getAs[Long]("n_eval") === nEval.toLong)
+    assert(math.abs(r.getAs[Double]("precision_at_k") -
+      byQ.map(_._1).sum / nQ) < 2e-6)
+    assert(math.abs(r.getAs[Double]("recall_at_k") -
+      byQ.filter(_._2 > 0).map(_._3).sum / nEval) < 2e-6)
+    assert(math.abs(r.getAs[Double]("mrr") -
+      byQ.map(_._4).sum / nQ) < 2e-6)
+    assert(math.abs(r.getAs[Double]("ndcg") -
+      byQ.filter(_._2 > 0).map(_._5).sum / nEval) < 2e-6)
+    // perfect ranking: all relevant first → every metric's ceiling
+    val perfect = (1 to 10).flatMap { q =>
+      Seq((q.toLong, 1L, 9.0, 1), (q.toLong, 2L, 8.0, 1),
+        (q.toLong, 3L, 1.0, 0), (q.toLong, 4L, 0.5, 0))
+    }.toDF("q", "cid", "s", "rel")
+    val rp = HypothesisOps
+      .rankingEval(perfect, "q", "cid", "s", "rel", k).collect()(0)
+    assert(rp.getAs[Double]("recall_at_k") === 1.0)
+    assert(rp.getAs[Double]("mrr") === 1.0)
+    assert(rp.getAs[Double]("ndcg") === 1.0)
+    assert(rp.getAs[Double]("precision_at_k") === r6d(2.0 / 3))
+    // a query with zero relevant: excluded from recall/ndcg means,
+    // contributes 0 to mrr and precision
+    val withEmpty = perfect.union(
+      Seq((99L, 1L, 5.0, 0), (99L, 2L, 4.0, 0)).toDF("q","cid","s","rel"))
+    val re = HypothesisOps
+      .rankingEval(withEmpty, "q", "cid", "s", "rel", k).collect()(0)
+    assert(re.getAs[Long]("n_queries") === 11L)
+    assert(re.getAs[Long]("n_eval") === 10L)
+    assert(re.getAs[Double]("recall_at_k") === 1.0)
+    assert(re.getAs[Double]("ndcg") === 1.0)
+    assert(re.getAs[Double]("mrr") === r6d(10.0 / 11))
+  }
+
   test("aucBy: each segment equals the ungrouped auc on that " +
     "segment's rows; a single-class segment emits NULL, not NaN, " +
     "and is not dropped") {
