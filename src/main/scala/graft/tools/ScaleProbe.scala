@@ -22,6 +22,7 @@ object ScaleProbe {
     val qbOnly = args.contains("--qb-only")
     val fitOnly = args.contains("--fit-only")
     val spineOnly = args.contains("--spine-only")
+    val r15Only = args.contains("--r15-only")
     val posArgs = args.toSeq.filterNot(_.startsWith("--"))
     val sfDir = posArgs.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = if (posArgs.length > 1) posArgs.drop(1).map(_.toInt)
@@ -62,7 +63,7 @@ object ScaleProbe {
     }
 
     println(f"[scale] base corpus: $n0 docs ($sfDir)")
-    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly) {
+    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only) {
     println("[scale] mult    docs   pairs_s  clusters_s  simhash_s")
     mults.foreach { m =>
       val (rows, tp, tc, tsh) = corpusTimes(m)
@@ -81,7 +82,7 @@ object ScaleProbe {
     spark.sparkContext.addSparkListener(listener)
     val embBase = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding")
-    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly) {
+    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only) {
     println("[scale] knn:  mult    vecs   wall_s   shuffle_mb")
     Seq(1, 2, 4).foreach { m =>
       val vecs = (0 until m)
@@ -579,7 +580,7 @@ object ScaleProbe {
     }
     }
 
-    if (!skewOnly && !qbOnly && !fitOnly && !spineOnly) {
+    if (!skewOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only) {
     // Round-12 diagnostics/feature probe: trailingFeatures' only
     // exchange is the user-keyed window shuffle (linear in events —
     // key cardinality scales with the replication); sessionize is the
@@ -655,7 +656,7 @@ object ScaleProbe {
     // values inside the ≤9 crossing buckets, so cut-stage shuffle
     // bytes and wall must stay ~FLAT from 10³ distinct to
     // near-unique while the answer stays integer-exact.
-    if (qbOnly || (!skewOnly && !fxOnly && !fitOnly && !spineOnly)) {
+    if (qbOnly || (!skewOnly && !fxOnly && !fitOnly && !spineOnly && !r15Only)) {
       println("[scale] qb13: card  rows  bins_s/mb")
       val n = 6000000L
       // absorb codegen/JIT/AQE compile outside the timed rows — a
@@ -691,7 +692,7 @@ object ScaleProbe {
     // scaling (the pair space is quadratic in days by design -- the
     // probe prices it so the growth is a recorded fact, not a
     // surprise).
-    if (fitOnly || (!skewOnly && !fxOnly && !qbOnly && !spineOnly)) {
+    if (fitOnly || (!skewOnly && !fxOnly && !qbOnly && !spineOnly && !r15Only)) {
       import graft.operators.{FitOps, HypothesisOps}
       val ordBase = Tables.orders(spark, sfDir)
         .select("o_orderstatus", "o_totalprice")
@@ -764,7 +765,7 @@ object ScaleProbe {
     // spearman_matrix shuffles the distinct-value rank tables and the
     // rank joins — bytes may grow with distinct values but never with
     // rows² (duplicated values keep the rank tables FIXED here).
-    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly)) {
+    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !r15Only)) {
       import graft.operators.{FitOps, HypothesisOps, ProfileOps}
       val liBase = Tables.lineitem(spark, sfDir)
         .select("l_orderkey", "l_quantity", "l_extendedprice",
@@ -809,7 +810,7 @@ object ScaleProbe {
     // count and stay in the same band as the benign uniform shape at
     // equal distinct count — a blown-up heavy/uniform ratio would flag
     // the degeneracy back.
-    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly)) {
+    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !r15Only)) {
       import graft.operators.HypothesisOps
       println("[scale] sp14: shape    distinct    ks_s/mb")
       Seq(500000L, 2000000L).foreach { nd =>
@@ -842,6 +843,67 @@ object ScaleProbe {
       }
     }
 
+    // sp15: the round-15 eval ops under ROW duplication. Duplicating
+    // rows with UNCHANGED values grows the counts but keeps the
+    // distinct-value spine FIXED — threshold_sweep / auc_by walls must
+    // stay scan-bound (near-flat), never grow with the spine.
+    // ranking_eval duplicates with SHIFTED query ids (more queries,
+    // same bounded candidate lists) — linear. BPE training's merge
+    // loop runs on the fixed distinct-word table, so only its one
+    // word-count scan grows — train wall must grow far slower than
+    // the corpus multiplier.
+    if (r15Only || (!skewOnly && !fxOnly && !qbOnly && !fitOnly &&
+        !spineOnly)) {
+      import graft.operators.HypothesisOps
+      val ordBase = Tables.orders(spark, sfDir)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus",
+          "o_orderpriority")
+      val liBase = Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_returnflag")
+      val docsBase = Tables.documents(spark, sfDir)
+        .select("doc_id", "text")
+      println("[scale] sp15: mult    rows   sweep_s/mb  aucby_s/mb" +
+        "  rank_s/mb  bpe_s")
+      Seq(1, 2, 4).foreach { m =>
+        val par = spark.sparkContext.defaultParallelism
+        val ord = (0 until m).map(_ => ordBase)
+          .reduce(_ unionByName _).repartition(par).localCheckpoint()
+        val li = (0 until m).map(i => liBase.select(
+            (col("l_orderkey") + lit(i.toLong * 100000000L))
+              .as("l_orderkey"),
+            col("l_linenumber"), col("l_extendedprice"),
+            col("l_returnflag")))
+          .reduce(_ unionByName _).repartition(par).localCheckpoint()
+        val docs = (0 until m).map(_ => docsBase)
+          .reduce(_ unionByName _).repartition(par).localCheckpoint()
+        val rows = ord.count(); li.count(); docs.count()
+        def measure(f: => Long): (Double, Double) = {
+          listener.reset()
+          val t0 = System.nanoTime()
+          f
+          val w = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(1500)
+          (w, listener.bytes / 1e6)
+        }
+        val (wT, bT) = measure(HypothesisOps.thresholdSweep(ord,
+          "o_totalprice", "o_orderstatus", "F", "O").count())
+        val (wA, bA) = measure(HypothesisOps.aucBy(ord,
+          "o_totalprice", "o_orderstatus", "F", "O",
+          "o_orderpriority").count())
+        val (wR, bR) = measure(HypothesisOps.rankingEval(
+          li.withColumn("rel",
+            (col("l_returnflag") === "R").cast("int")),
+          "l_orderkey", "l_linenumber", "l_extendedprice", "rel", 3)
+          .count())
+        val t0 = System.nanoTime()
+        graft.functions.BpeOps.trainMerges(docs, "text", nMerges = 512)
+        val wB = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] sp15: $m%4d  $rows%7d  $wT%5.2f/$bT%5.1f" +
+          f"  $wA%5.2f/$bA%5.1f  $wR%5.2f/$bR%5.1f  $wB%5.2f")
+      }
+    }
+
     // Cell-skew probe: natural corpora have hot clusters, and a hot
     // CELL concentrates the IVF stage-1 equi-join's work in one task
     // once the inverted file is too big to broadcast (the 100 TB
@@ -851,7 +913,7 @@ object ScaleProbe {
     // that the shape survives is (a) AQE's skew-join splitting the hot
     // partition ("skew=true" in the executed plan) and (b) wall time
     // in the same band as the balanced corpus at equal size.
-    if (!fxOnly && !qbOnly && !fitOnly && !spineOnly) {
+    if (!fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only) {
       val conf = spark.conf
       val saved = Seq(
         "spark.sql.autoBroadcastJoinThreshold",
