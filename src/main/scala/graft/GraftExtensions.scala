@@ -582,7 +582,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "threshold_sweep" -> GraftExtensions.thresholdSweepPlan _,
       "auc_by" -> GraftExtensions.aucByPlan _,
       "auc_ci" -> GraftExtensions.aucCiPlan _,
-      "ranking_eval" -> GraftExtensions.rankingEvalPlan _)
+      "ranking_eval" -> GraftExtensions.rankingEvalPlan _,
+      "feature_screen" -> GraftExtensions.featureScreenPlan _,
+      "isotonic" -> GraftExtensions.isotonicPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2220,6 +2222,39 @@ object GraftExtensions {
     graft.operators.HypothesisOps.aucBy(df, v, g,
       litStr("auc_by", "pos", exprs(3)),
       litStr("auc_by", "neg", exprs(4)), seg)
+      .queryExecution.analyzed
+  }
+
+  /** `feature_screen(table, label_col, features)` — per-feature
+    * AUC/KS univariate screen against a boolean label; `features` is
+    * a space-separated column list
+    * ([[graft.operators.HypothesisOps.featureScreen]]). */
+  private[graft] def featureScreenPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("feature_screen(table, label_col, features)", exprs, 3, 3)
+    val l = litStr("feature_screen", "label_col", exprs(1))
+    val fs = litStr("feature_screen", "features", exprs(2)).trim
+      .split("\\s+").toSeq
+    val df = namedTable("feature_screen",
+      litStr("feature_screen", "table", exprs(0)), l +: fs)
+    graft.operators.HypothesisOps.featureScreen(df, l, fs)
+      .queryExecution.analyzed
+  }
+
+  /** `isotonic(table, prob_col, label_col [, n_bins])` — isotonic
+    * (PAV) calibration fit over the binned reliability table
+    * ([[graft.operators.ProfileOps.isotonicCalibration]]). */
+  private[graft] def isotonicPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("isotonic(table, prob_col, label_col [, n_bins])",
+      exprs, 3, 4)
+    val p = litStr("isotonic", "prob_col", exprs(1))
+    val l = litStr("isotonic", "label_col", exprs(2))
+    val df = namedTable("isotonic",
+      litStr("isotonic", "table", exprs(0)), Seq(p, l))
+    val nBins = if (exprs.length > 3)
+      litDouble("isotonic", "n_bins", exprs(3)).toInt else 10
+    graft.operators.ProfileOps.isotonicCalibration(df, p, l, nBins)
       .queryExecution.analyzed
   }
 

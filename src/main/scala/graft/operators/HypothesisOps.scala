@@ -513,6 +513,51 @@ object HypothesisOps {
       .orderBy(segCol)
   }
 
+  /** Univariate feature screen — "which raw columns separate the
+    * classes at all": per feature, ROC AUC and the KS gap of the
+    * feature against a binary label, the first cut every feature-
+    * selection pass runs before any model. One heavy-tail-safe
+    * [[RankSpine]] cumulative per feature (k independent spines — the
+    * spearman_matrix shape) and ONE fold each computing both
+    * statistics; single-class degenerates emit NULL (the [[auc]]
+    * stance). `labelCol` must be boolean-castable (0/1). */
+  def featureScreen(df: DataFrame, labelCol: String,
+      features: Seq[String]): DataFrame = {
+    require(features.nonEmpty && features.size <= 16,
+      s"featureScreen takes 1..16 features; got ${features.size}")
+    require(features.distinct.size == features.size,
+      s"featureScreen features must be distinct; got $features")
+    features.map { f =>
+      val s = df.select(col(f).cast("double").as("v"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+          .as("isa"))
+      val g = s.groupBy("v")
+        .agg(sum("isa").as("na"), sum(lit(1L) - col("isa")).as("nb"))
+      val cum = RankSpine.cumulative(g, "v", Seq("na", "nb"),
+        Seq("ca", "cb"))
+      val tot = cum.agg(sum("na").as("npt"), sum("nb").as("nnt"))
+      val c = col("na") + col("nb")
+      val cPrev = (col("ca") + col("cb")).cast(dec0) - c
+      val m = cum.crossJoin(broadcast(tot)).agg(
+        sum(col("na").cast(dec0) * (cPrev * 2 + c + 1)).as("ra2"),
+        max(abs(col("ca").cast(dec0) * col("nnt") -
+          col("cb").cast(dec0) * col("npt"))).as("dnum"),
+        min("npt").as("n_pos"), min("nnt").as("n_neg"))
+      val np = col("n_pos").cast("double")
+      val nn = col("n_neg").cast("double")
+      val u = (col("ra2").cast("double") - np * (np + lit(1.0))) /
+        lit(2.0)
+      val a = u / (np * nn)
+      val d = col("dnum").cast("double") / (np * nn)
+      val ok = col("n_pos") > 0 && col("n_neg") > 0
+      m.select(lit(f).as("feature"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+        when(ok, r6(a)).as("auc"),
+        when(ok, r6(d)).as("ks_d"))
+    }.reduce(_ unionByName _).orderBy("feature")
+  }
+
   /** Offline retrieval/ranking evaluation — the metric block a search
     * or RAG pipeline reads after every index or reranker change:
     * corpus means of precision@k, recall@k, MRR@k and NDCG@k over
@@ -610,7 +655,60 @@ object HypothesisOps {
       .orderBy("k")
   }
 
+  /** One feature's CTE chain + final select for the q_feature_screen
+    * oracle — kept in sync with [[featureScreen]]'s fold. */
+  private def screenCtes(f: String): String =
+    s"""s_$f AS (SELECT $f AS v,
+                CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS isa
+              FROM lineitem),
+              g_$f AS (SELECT v, sum(isa) AS na, sum(1 - isa) AS nb
+                       FROM s_$f GROUP BY 1),
+              c_$f AS (SELECT v, na, nb,
+                         sum(na) OVER (ORDER BY v ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                         sum(nb) OVER (ORDER BY v ROWS BETWEEN
+                           UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+                       FROM g_$f),
+              t_$f AS (SELECT sum(na) AS npt, sum(nb) AS nnt
+                       FROM g_$f),
+              m_$f AS (SELECT
+                         sum(na * (2 * (ca + cb - na - nb)
+                           + na + nb + 1)) AS ra2,
+                         max(abs(ca * nnt - cb * npt)) AS dnum,
+                         min(npt) AS n_pos, min(nnt) AS n_neg
+                       FROM c_$f CROSS JOIN t_$f)"""
+
+  private def screenSelect(f: String): String =
+    s"""SELECT '$f' AS feature,
+               CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg,
+               round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   (CAST(ra2 AS DOUBLE)
+                     - CAST(n_pos AS DOUBLE) * (n_pos + 1.0)) / 2.0
+                     / (CAST(n_pos AS DOUBLE) * n_neg) END
+                 * 1000000.0)/1000000.0 AS auc,
+               round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                   CAST(dnum AS DOUBLE)
+                     / (CAST(n_pos AS DOUBLE) * n_neg) END
+                 * 1000000.0)/1000000.0 AS ks_d
+        FROM m_$f"""
+
   val all: Seq[Query] = Seq(
+    // Which raw columns separate returned from kept lines at all —
+    // the per-feature AUC/KS screen in front of any model.
+    Query(
+      "q_feature_screen",
+      Some {
+        val fs = Seq("l_discount", "l_extendedprice", "l_quantity")
+        s"""WITH ${fs.map(screenCtes).mkString(",\n              ")}
+            SELECT * FROM (
+              ${fs.map(screenSelect).mkString("\n              UNION ALL\n              ")})
+            ORDER BY feature"""
+      },
+      (s, d) => featureScreen(
+        Tables.lineitem(s, d).withColumn("lbl",
+          col("l_returnflag") === "R"),
+        "lbl", Seq("l_discount", "l_extendedprice", "l_quantity"))),
     // Do finished ('F') and open ('O') orders draw their totals from
     // the same distribution? KS is the shape-sensitive answer — it
     // sees location AND spread AND tail differences.

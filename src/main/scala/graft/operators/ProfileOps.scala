@@ -218,6 +218,69 @@ object ProfileOps {
     * DECIMAL(38,12) (the q_drift stance). One binned aggregate over
     * one scan + a |bins|-row fold; empty bins are emitted with NULL
     * rates so the spine is always complete. */
+  /** Isotonic (PAV) calibration FIT over the binned reliability
+    * table — the monotone probability remap [[calibration]]'s report
+    * motivates: per bin, the pool-adjacent-violators solution
+    * computed by the max-min identity
+    * iso(i) = max_{j≤i} min_{l≥j} rate(j..l) — exactly the PAV fit,
+    * stated as bounded relational algebra instead of a sequential
+    * pooling loop. `calibrated` is non-decreasing in the bin by
+    * construction and is what a serving layer looks up at score
+    * time.
+    *
+    * Scale: one corpus bin-count aggregate, then EVERYTHING else runs
+    * on the ≤nBins-row non-empty bin table: a declared-bounded prefix
+    * window, one ≤nBins² broadcast range self-join for the (j, l)
+    * pool rates (integer prefix differences, one exact division
+    * each), two tiny folds. Pool rates divide identically in both
+    * engines; min/max are comparisons — parity-safe. Empty bins have
+    * nothing to calibrate and are omitted (a serving lookup
+    * interpolates between neighbors). */
+  def isotonicCalibration(df: DataFrame, probCol: String,
+      labelCol: String, nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000,
+      s"nBins must be in [2, 1000]; got $nBins")
+    val dec12 = DecimalType(38, 12)
+    val p = col(probCol).cast("double")
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val rows = df.select(
+      least(lit(nBins - 1), greatest(lit(0),
+        floor(p * nBins))).cast("bigint").as("bin"),
+      p.as("p"), y.as("y"))
+    val byBin = rows.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast(dec12)).as("sp"),
+        sum("y").as("npos"))
+    // ≤nBins rows from here on; the prefix window is declared-bounded
+    val wPre = Window.partitionBy(BoundedWindow.key(col("bin")))
+      .orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = byBin.select(col("bin"), col("n"), col("sp"),
+      col("npos"),
+      sum(col("n")).over(wPre).as("cw"),
+      sum(col("npos")).over(wPre).as("cp"))
+    val jSide = pre.select(col("bin").as("jb"),
+      (col("cw") - col("n")).as("w0"), (col("cp") - col("npos"))
+        .as("p0"))
+    val lSide = pre.select(col("bin").as("lb"), col("cw").as("wl"),
+      col("cp").as("pl"))
+    // pooled rate of bins j..l: exact integer prefix differences
+    val pools = jSide.join(broadcast(lSide), col("jb") <= col("lb"))
+      .select(col("jb"), col("lb"),
+        ((col("pl") - col("p0")).cast("double") /
+          (col("wl") - col("w0")).cast("double")).as("rate"))
+    val minTail = pools.groupBy("jb").agg(min("rate").as("mrate"))
+    val iso = pre.select(col("bin"))
+      .join(broadcast(minTail), col("jb") <= col("bin"))
+      .groupBy("bin").agg(max("mrate").as("iso"))
+    pre.join(broadcast(iso), Seq("bin"))
+      .select(col("bin"), col("n"),
+        r6(col("sp").cast("double") / col("n")).as("mean_prob"),
+        r6(col("npos").cast("double") / col("n")).as("pos_rate"),
+        r6(col("iso")).as("calibrated"))
+      .orderBy("bin")
+  }
+
   def calibration(df: DataFrame, probCol: String, labelCol: String,
       nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2; got $nBins")
@@ -865,6 +928,62 @@ object ProfileOps {
         val b = ord.agg(min("o_totalprice").as("__lo"),
           max("o_totalprice").as("__hi"))
         calibration(
+          ord.crossJoin(broadcast(b))
+            .select(((col("o_totalprice") - col("__lo")) /
+              (col("__hi") - col("__lo"))).as("prob"),
+              (col("o_orderstatus") === "F").as("label")),
+          "prob", "label")
+      }),
+
+    // The monotone remap q_calibration's report motivates: isotonic
+    // (PAV) fit over the same binned reliability table, stated as the
+    // max-min identity — bounded relational algebra, no sequential
+    // pooling loop.
+    Query(
+      "q_isotonic",
+      Some("""WITH b AS (SELECT min(o_totalprice) AS lo,
+                       max(o_totalprice) AS hi FROM orders),
+              r AS (SELECT (o_totalprice - lo) / (hi - lo) AS p,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS y
+                    FROM orders CROSS JOIN b),
+              rws AS (SELECT CAST(least(9, greatest(0,
+                        floor(p * 10))) AS BIGINT) AS bin, p, y
+                      FROM r),
+              bb AS (SELECT bin, count(*) AS n,
+                       sum(CAST(p AS DECIMAL(38,12))) AS sp,
+                       sum(y) AS npos
+                     FROM rws GROUP BY 1),
+              pre AS (SELECT bin, n, sp, npos,
+                        sum(n) OVER (ORDER BY bin ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+                        sum(npos) OVER (ORDER BY bin ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+                      FROM bb),
+              pools AS (SELECT j.bin AS jb, l.bin AS lb,
+                          CAST(l.cp - (j.cp - j.npos) AS DOUBLE)
+                            / CAST(l.cw - (j.cw - j.n) AS DOUBLE)
+                            AS rate
+                        FROM pre j JOIN pre l ON j.bin <= l.bin),
+              mt AS (SELECT jb, min(rate) AS mrate
+                     FROM pools GROUP BY 1),
+              iso AS (SELECT pre.bin, max(mrate) AS iso
+                      FROM pre JOIN mt ON mt.jb <= pre.bin
+                      GROUP BY 1)
+              SELECT CAST(pre.bin AS BIGINT) AS bin,
+                     CAST(n AS BIGINT) AS n,
+                     round(CAST(sp AS DOUBLE) / n
+                       * 1000000.0)/1000000.0 AS mean_prob,
+                     round(CAST(npos AS DOUBLE) / n
+                       * 1000000.0)/1000000.0 AS pos_rate,
+                     round(iso * 1000000.0)/1000000.0 AS calibrated
+              FROM pre JOIN iso ON pre.bin = iso.bin
+              ORDER BY bin"""),
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        val b = ord.agg(min("o_totalprice").as("__lo"),
+          max("o_totalprice").as("__hi"))
+        isotonicCalibration(
           ord.crossJoin(broadcast(b))
             .select(((col("o_totalprice") - col("__lo")) /
               (col("__hi") - col("__lo"))).as("prob"),

@@ -1097,6 +1097,22 @@ class GraftExtensionsSpec extends SparkSpec {
       "'l_orderkey', 'l_linenumber', 'l_extendedprice', 'rel', 3)",
       HypothesisOps.rankingEval(rkLi, "l_orderkey", "l_linenumber",
         "l_extendedprice", "rel", 3))
+    val fsLi = graft.sources.Tables.lineitem(s2, sfDir)
+      .withColumn("lbl", col("l_returnflag") === "R")
+    fsLi.createOrReplaceTempView("ht_fs_li")
+    assertParity(s2, "SELECT * FROM feature_screen('ht_fs_li', " +
+      "'lbl', 'l_discount l_quantity')",
+      HypothesisOps.featureScreen(fsLi, "lbl",
+        Seq("l_discount", "l_quantity")))
+    val isoOrd = graft.sources.Tables.orders(s2, sfDir)
+      .select((col("o_totalprice") / 600000.0).as("prob"),
+        (col("o_orderstatus") === "F").as("label"))
+      .filter(col("prob") <= 1.0)
+    isoOrd.createOrReplaceTempView("ht_iso")
+    assertParity(s2, "SELECT * FROM isotonic('ht_iso', 'prob', " +
+      "'label')",
+      graft.operators.ProfileOps.isotonicCalibration(isoOrd, "prob",
+        "label"))
     val probs = ord.select(
       (col("o_totalprice") / 600000.0).as("prob"),
       (col("o_orderstatus") === "F").as("label"))

@@ -254,6 +254,39 @@ class HypothesisOpsSpec extends SparkSpec {
     }
   }
 
+  test("featureScreen: each feature's auc/ks equal the dedicated " +
+    "operators on the same rows; degenerate labels go NULL") {
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 400).map { _ =>
+      val lbl = rnd.nextBoolean()
+      val f1 = rnd.nextInt(20).toDouble + (if (lbl) 6 else 0)
+      val f2 = rnd.nextInt(40).toDouble // uninformative
+      (lbl, f1, f2)
+    }
+    val df = rows.toDF("lbl", "f1", "f2")
+    val screen = HypothesisOps.featureScreen(df, "lbl", Seq("f1", "f2"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("f1", "f2").foreach { f =>
+      val lab = df.select(col(f).as("v"),
+        when(col("lbl"), "P").otherwise("N").as("g"))
+      val a = HypothesisOps.auc(lab, "v", "g", "P", "N").collect()(0)
+      val k = HypothesisOps.ksTest(lab, "v", "g", "P", "N").collect()(0)
+      assert(screen(f).getAs[Double]("auc") === a.getAs[Double]("auc"),
+        f)
+      assert(screen(f).getAs[Double]("ks_d") ===
+        k.getAs[Double]("d_stat"), f)
+    }
+    // the informative feature must separate, the noise one must not
+    assert(screen("f1").getAs[Double]("auc") > 0.6)
+    assert(math.abs(screen("f2").getAs[Double]("auc") - 0.5) < 0.1)
+    // all-one-class label → NULL metrics, rows retained
+    val one = df.withColumn("lbl", lit(true))
+    val s1 = HypothesisOps.featureScreen(one, "lbl", Seq("f1"))
+      .collect()(0)
+    assert(s1.isNullAt(s1.fieldIndex("auc")))
+    assert(s1.isNullAt(s1.fieldIndex("ks_d")))
+  }
+
   test("aucCi: auc equals the point estimate, se matches brute-force " +
     "DeLong, and degenerate classes yield NULL") {
     val rnd = new scala.util.Random(47)

@@ -274,6 +274,70 @@ class ProfileOpsSpec extends SparkSpec {
 
   // -- spearman --------------------------------------------------------
 
+  test("isotonicCalibration equals a brute-force sequential PAV on " +
+    "random fixtures, is monotone, and passes monotone inputs " +
+    "through unchanged") {
+    import spark.implicits._
+    // brute-force PAV: sequential pool-adjacent-violators over the
+    // per-bin (weight, positives) sequence
+    def brutePav(bins: Seq[(Long, Long)]): Seq[Double] = {
+      case class Pool(var w: Long, var p: Long, var size: Int)
+      val pools = scala.collection.mutable.ArrayBuffer[Pool]()
+      bins.foreach { case (w, p) =>
+        pools += Pool(w, p, 1)
+        while (pools.size >= 2 &&
+            pools(pools.size - 2).p.toDouble / pools(pools.size - 2).w >=
+              pools.last.p.toDouble / pools.last.w) {
+          val last = pools.remove(pools.size - 1)
+          pools.last.w += last.w; pools.last.p += last.p
+          pools.last.size += last.size
+        }
+      }
+      pools.flatMap(pl =>
+        Seq.fill(pl.size)(pl.p.toDouble / pl.w)).toSeq
+    }
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val rnd = new scala.util.Random(61)
+    (1 to 4).foreach { trial =>
+      // rows whose prob lands each in a known bin (bin b -> p in
+      // [b/10, (b+1)/10)), random per-bin sizes and positive rates
+      val rows = (0 until 10).flatMap { b =>
+        val n = 5 + rnd.nextInt(40)
+        val pos = rnd.nextInt(n + 1)
+        (0 until n).map(i =>
+          (b / 10.0 + 0.05, if (i < pos) 1 else 0))
+      }
+      val df = rows.toDF("prob", "label")
+        .select(col("prob"), (col("label") === 1).as("label"))
+      val got = ProfileOps.isotonicCalibration(df, "prob", "label")
+        .collect()
+      val byBin = rows.groupBy(r => math.floor(r._1 * 10).toLong)
+        .toSeq.sortBy(_._1)
+        .map { case (_, rs) =>
+          (rs.size.toLong, rs.count(_._2 == 1).toLong) }
+      val exp = brutePav(byBin).map(r6)
+      assert(got.map(_.getAs[Double]("calibrated")).toSeq === exp,
+        s"trial $trial")
+      // monotone law
+      val cal = got.map(_.getAs[Double]("calibrated"))
+      assert(cal.zip(cal.tail).forall { case (a, b) => a <= b })
+      // calibrated == pos_rate wherever the input was already monotone
+      val rates = got.map(_.getAs[Double]("pos_rate"))
+      if (rates.zip(rates.tail).forall { case (a, b) => a <= b })
+        assert(cal.toSeq === rates.toSeq)
+    }
+    // anti-monotone input pools everything to the global rate
+    val anti = (0 until 10).flatMap { b =>
+      (0 until 10).map(i => (b / 10.0 + 0.05, if (i < 9 - b) 1 else 0))
+    }.toDF("prob", "label")
+      .select(col("prob"), (col("label") === 1).as("label"))
+    val rAnti = ProfileOps.isotonicCalibration(anti, "prob", "label")
+      .collect()
+    val global = rAnti.map(_.getAs[Long]("n")).sum
+    assert(rAnti.map(_.getAs[Double]("calibrated")).distinct.length
+      === 1, "a strictly worsening score must pool to one rate")
+  }
+
   test("spearman: exactly 1 on any monotone transform, -1 on an " +
     "anti-monotone one, and matches brute-force tie-averaged rho") {
     val rnd = new scala.util.Random(61)
