@@ -584,7 +584,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "auc_ci" -> GraftExtensions.aucCiPlan _,
       "ranking_eval" -> GraftExtensions.rankingEvalPlan _,
       "feature_screen" -> GraftExtensions.featureScreenPlan _,
-      "isotonic" -> GraftExtensions.isotonicPlan _)
+      "isotonic" -> GraftExtensions.isotonicPlan _,
+      "embed_pca" -> GraftExtensions.embedPcaPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2255,6 +2256,23 @@ object GraftExtensions {
     val nBins = if (exprs.length > 3)
       litDouble("isotonic", "n_bins", exprs(3)).toInt else 10
     graft.operators.ProfileOps.isotonicCalibration(df, p, l, nBins)
+      .queryExecution.analyzed
+  }
+
+  /** `embed_pca(table, emb_col [, k])` — PCA variance ledger of an
+    * embedding column ([[graft.operators.PcaOps.pcaSummary]]). NOTE
+    * the olsSolveDriver contract deviation: the moment pass + Jacobi
+    * fit run EAGERLY at plan-build time (the model is plan-carried). */
+  private[graft] def embedPcaPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("embed_pca(table, emb_col [, k])", exprs, 2, 3)
+    val e = litStr("embed_pca", "emb_col", exprs(1))
+    val df = namedTable("embed_pca",
+      litStr("embed_pca", "table", exprs(0)), Seq(e))
+    val k = if (exprs.length > 2)
+      litDouble("embed_pca", "k", exprs(2)).toInt else 16
+    val model = graft.operators.PcaOps.pcaFit(df, e, k)
+    graft.operators.PcaOps.pcaSummary(df, e, model)
       .queryExecution.analyzed
   }
 

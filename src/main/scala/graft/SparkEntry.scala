@@ -15,7 +15,7 @@ object SparkEntry {
       TextOps.all ++ DedupOps.all ++ CurationOps.all ++
       SimilarityOps.all ++ MultimodalOps.all ++ GraphOps.all ++
       AffinityOps.all ++ StatsOps.all ++ GeoOps.all ++
-      FitOps.all ++ ProfileOps.all ++ HypothesisOps.all
+      FitOps.all ++ ProfileOps.all ++ HypothesisOps.all ++ PcaOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1113,6 +1113,12 @@ class GraftExtensionsSpec extends SparkSpec {
       "'label')",
       graft.operators.ProfileOps.isotonicCalibration(isoOrd, "prob",
         "label"))
+    val pcaEmb = graft.sources.Tables.embeddings(s2, sfDir)
+    pcaEmb.createOrReplaceTempView("ht_emb")
+    assertParity(s2, "SELECT * FROM embed_pca('ht_emb', " +
+      "'embedding', 4)",
+      graft.operators.PcaOps.pcaSummary(pcaEmb, "embedding",
+        graft.operators.PcaOps.pcaFit(pcaEmb, "embedding", 4)))
     val probs = ord.select(
       (col("o_totalprice") / 600000.0).as("prob"),
       (col("o_orderstatus") === "F").as("label"))
