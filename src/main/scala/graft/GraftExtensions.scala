@@ -585,7 +585,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "ranking_eval" -> GraftExtensions.rankingEvalPlan _,
       "feature_screen" -> GraftExtensions.featureScreenPlan _,
       "isotonic" -> GraftExtensions.isotonicPlan _,
-      "embed_pca" -> GraftExtensions.embedPcaPlan _)
+      "embed_pca" -> GraftExtensions.embedPcaPlan _,
+      "auc_compare" -> GraftExtensions.aucComparePlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2273,6 +2274,24 @@ object GraftExtensions {
       litDouble("embed_pca", "k", exprs(2)).toInt else 16
     val model = graft.operators.PcaOps.pcaFit(df, e, k)
     graft.operators.PcaOps.pcaSummary(df, e, model)
+      .queryExecution.analyzed
+  }
+
+  /** `auc_compare(table, score_a, score_b, group_col, pos, neg)` —
+    * paired DeLong comparison of two scores' AUCs on the same rows
+    * ([[graft.operators.HypothesisOps.aucCompare]]). */
+  private[graft] def aucComparePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("auc_compare(table, score_a, score_b, group_col, pos, neg)",
+      exprs, 6, 6)
+    val a = litStr("auc_compare", "score_a", exprs(1))
+    val b = litStr("auc_compare", "score_b", exprs(2))
+    val g = litStr("auc_compare", "group_col", exprs(3))
+    val df = namedTable("auc_compare",
+      litStr("auc_compare", "table", exprs(0)), Seq(a, b, g))
+    graft.operators.HypothesisOps.aucCompare(df, a, b, g,
+      litStr("auc_compare", "pos", exprs(4)),
+      litStr("auc_compare", "neg", exprs(5)))
       .queryExecution.analyzed
   }
 

@@ -418,6 +418,104 @@ object HypothesisOps {
       when(ok, r6(least(a + lit(1.96) * se, lit(1.0)))).as("ci_hi"))
   }
 
+  /** Paired DeLong test: is score A's AUC actually better than score
+    * B's ON THE SAME ROWS — the model-comparison question [[aucCi]]'s
+    * single-model interval can't answer (the two AUCs are correlated
+    * through the shared labels, so independent CIs overstate the
+    * variance). DeLong 1988 §3: Var(AUC_A − AUC_B) =
+    * (S₁₀ᴬᴬ + S₁₀ᴮᴮ − 2·S₁₀ᴬᴮ)/n⁺ + (S₀₁ᴬᴬ + S₀₁ᴮᴮ − 2·S₀₁ᴬᴮ)/n⁻,
+    * with the covariance terms over PER-ROW placement pairs.
+    *
+    * Per-row placements come relationally: one [[cumCounts]] spine
+    * per score, then a keyed equi-join of the rows back to their own
+    * distinct-value rows — every row's value IS in the pooled table,
+    * so the join is total. Placements are the integer
+    * u₁₀ = 2C⁻(v) − n⁻(v) / u₀₁ = 2(N⁺ − C⁺(v)) + n⁺(v); first
+    * moments fold exact in DECIMAL(38,0), squares/cross-products
+    * round per-row into DECIMAL(38,12) (identical operand order both
+    * engines — the [[aucCi]] stance). Two spines, two value joins,
+    * ONE moment fold; all shuffles linear and keyed. NULL block when
+    * either class has <2 members; z additionally NULL when the
+    * variance degenerates to 0 (identical scores). */
+  def aucCompare(df: DataFrame, scoreA: String, scoreB: String,
+      groupCol: String, posVal: String, negVal: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec12 = DecimalType(38, 12)
+    val base = df.filter(col(groupCol).isin(posVal, negVal))
+      .select(col(scoreA).cast("double").as("va"),
+        col(scoreB).cast("double").as("vb"),
+        when(col(groupCol) === posVal, 1L).otherwise(0L).as("y"))
+    def placements(valName: String, tag: String): DataFrame = {
+      val g = base.groupBy(col(valName).as("v"))
+        .agg(sum("y").as("na"), sum(lit(1L) - col("y")).as("nb"))
+      RankSpine.cumulative(g, "v", Seq("na", "nb"), Seq("ca", "cb"))
+        .select(col("v").as(valName),
+          (col("cb").cast(dec0) * 2 - col("nb")).as(s"u10_$tag"),
+          col("ca").as(s"__ca_$tag"), col("na").as(s"__na_$tag"))
+    }
+    val tot = base.agg(sum("y").as("npt"),
+      sum(lit(1L) - col("y")).as("nnt"))
+    val joined = base
+      .join(placements("va", "a"), Seq("va"))
+      .join(placements("vb", "b"), Seq("vb"))
+      .crossJoin(broadcast(tot))
+      .select(col("y"), col("npt"), col("nnt"),
+        // positives carry u10 (fraction of negatives below, ×2n⁻);
+        // negatives carry u01 (fraction of positives above, ×2n⁺)
+        when(col("y") === 1, col("u10_a")).otherwise(
+          (col("npt") - col("__ca_a")).cast(dec0) * 2 + col("__na_a"))
+          .as("ua"),
+        when(col("y") === 1, col("u10_b")).otherwise(
+          (col("npt") - col("__ca_b")).cast(dec0) * 2 + col("__na_b"))
+          .as("ub"))
+    val m = joined.groupBy("y").agg(
+      count(lit(1)).as("n"),
+      sum(col("ua")).as("sa"), sum(col("ub")).as("sb"),
+      sum((col("ua").cast("double") * col("ua").cast("double"))
+        .cast(dec12)).as("qaa"),
+      sum((col("ub").cast("double") * col("ub").cast("double"))
+        .cast(dec12)).as("qbb"),
+      sum((col("ua").cast("double") * col("ub").cast("double"))
+        .cast(dec12)).as("qab"),
+      min("npt").as("npt"), min("nnt").as("nnt"))
+    val one = m.agg(
+      max(when(col("y") === 1, col("sa"))).as("sa1"),
+      max(when(col("y") === 1, col("sb"))).as("sb1"),
+      max(when(col("y") === 1, col("qaa"))).as("qaa1"),
+      max(when(col("y") === 1, col("qbb"))).as("qbb1"),
+      max(when(col("y") === 1, col("qab"))).as("qab1"),
+      max(when(col("y") === 0, col("sa"))).as("sa0"),
+      max(when(col("y") === 0, col("sb"))).as("sb0"),
+      max(when(col("y") === 0, col("qaa"))).as("qaa0"),
+      max(when(col("y") === 0, col("qbb"))).as("qbb0"),
+      max(when(col("y") === 0, col("qab"))).as("qab0"),
+      min("npt").as("n_pos"), min("nnt").as("n_neg"))
+    val np = col("n_pos").cast("double")
+    val nn = col("n_neg").cast("double")
+    def d(c: Column): Column = c.cast("double")
+    val aucA = d(col("sa1")) / (np * nn * 2)
+    val aucB = d(col("sb1")) / (np * nn * 2)
+    // sample (co)variances of the placements; u = 2n∓·V ⇒ ÷(2n∓)²
+    def cv(q: Column, s1: Column, s2: Column, n: Column,
+        denom: Column): Column =
+      (d(q) - d(s1) * d(s2) / n) / (n - 1) / (denom * denom * 4)
+    val s10 = (cv(col("qaa1"), col("sa1"), col("sa1"), np, nn) +
+      cv(col("qbb1"), col("sb1"), col("sb1"), np, nn) -
+      cv(col("qab1"), col("sa1"), col("sb1"), np, nn) * 2) / np
+    val s01 = (cv(col("qaa0"), col("sa0"), col("sa0"), nn, np) +
+      cv(col("qbb0"), col("sb0"), col("sb0"), nn, np) -
+      cv(col("qab0"), col("sa0"), col("sb0"), nn, np) * 2) / nn
+    val se = sqrt(greatest(s10 + s01, lit(0.0)))
+    val ok = col("n_pos") > 1 && col("n_neg") > 1
+    one.select(coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+      coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+      when(ok, r6(aucA)).as("auc_a"),
+      when(ok, r6(aucB)).as("auc_b"),
+      when(ok, r6(aucA - aucB)).as("delta"),
+      when(ok, r6(se)).as("se"),
+      when(ok, when(se > 0, r6((aucA - aucB) / se))).as("z"))
+  }
+
   /** Threshold-sweep classifier report — the operating-point table a
     * model deployment reads next to [[auc]]'s single number: TP / FP /
     * FN / TN and precision / recall / F1 / accuracy at each of the
@@ -1106,6 +1204,122 @@ object HypothesisOps {
                        END * 1000000.0)/1000000.0 AS ci_hi
               FROM f2"""),
       (s, d) => aucCiFromCum(ordersSpine(s, d))),
+
+    // Which "model" ranks finished-vs-open better — order total or
+    // order age? The paired DeLong test on the shared labels.
+    Query(
+      "q_auc_compare",
+      Some("""WITH base AS (
+                SELECT o_totalprice AS va,
+                       date_diff('day', DATE '1992-01-01',
+                         o_orderdate) AS vb,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS y
+                FROM orders WHERE o_orderstatus IN ('F', 'O')),
+              ga AS (SELECT va AS v, sum(y) AS na, sum(1 - y) AS nb
+                     FROM base GROUP BY 1),
+              caa AS (SELECT v, na, nb,
+                        sum(na) OVER (ORDER BY v ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                        sum(nb) OVER (ORDER BY v ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+                      FROM ga),
+              pa AS (SELECT v AS va, 2 * cb - nb AS u10_a,
+                       ca AS ca_a, na AS na_a FROM caa),
+              gb AS (SELECT vb AS v, sum(y) AS na, sum(1 - y) AS nb
+                     FROM base GROUP BY 1),
+              cbb AS (SELECT v, na, nb,
+                        sum(na) OVER (ORDER BY v ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+                        sum(nb) OVER (ORDER BY v ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+                      FROM gb),
+              pb AS (SELECT v AS vb, 2 * cb - nb AS u10_b,
+                       ca AS ca_b, na AS na_b FROM cbb),
+              t AS (SELECT sum(y) AS npt, sum(1 - y) AS nnt
+                    FROM base),
+              j AS (SELECT y, npt, nnt,
+                      CASE WHEN y = 1 THEN u10_a
+                        ELSE 2 * (npt - ca_a) + na_a END AS ua,
+                      CASE WHEN y = 1 THEN u10_b
+                        ELSE 2 * (npt - ca_b) + na_b END AS ub
+                    FROM base JOIN pa USING (va) JOIN pb USING (vb)
+                    CROSS JOIN t),
+              m AS (SELECT y, count(*) AS n, sum(ua) AS sa,
+                      sum(ub) AS sb,
+                      sum(CAST(CAST(ua AS DOUBLE) * CAST(ua AS DOUBLE)
+                        AS DECIMAL(38,12))) AS qaa,
+                      sum(CAST(CAST(ub AS DOUBLE) * CAST(ub AS DOUBLE)
+                        AS DECIMAL(38,12))) AS qbb,
+                      sum(CAST(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE)
+                        AS DECIMAL(38,12))) AS qab,
+                      min(npt) AS npt, min(nnt) AS nnt
+                    FROM j GROUP BY y),
+              one AS (SELECT
+                       max(CASE WHEN y = 1 THEN sa END) AS sa1,
+                       max(CASE WHEN y = 1 THEN sb END) AS sb1,
+                       max(CASE WHEN y = 1 THEN qaa END) AS qaa1,
+                       max(CASE WHEN y = 1 THEN qbb END) AS qbb1,
+                       max(CASE WHEN y = 1 THEN qab END) AS qab1,
+                       max(CASE WHEN y = 0 THEN sa END) AS sa0,
+                       max(CASE WHEN y = 0 THEN sb END) AS sb0,
+                       max(CASE WHEN y = 0 THEN qaa END) AS qaa0,
+                       max(CASE WHEN y = 0 THEN qbb END) AS qbb0,
+                       max(CASE WHEN y = 0 THEN qab END) AS qab0,
+                       min(npt) AS n_pos, min(nnt) AS n_neg
+                     FROM m),
+              f AS (SELECT CAST(n_pos AS BIGINT) AS n_pos,
+                      CAST(n_neg AS BIGINT) AS n_neg,
+                      CAST(n_pos AS DOUBLE) AS np,
+                      CAST(n_neg AS DOUBLE) AS nn,
+                      CAST(sa1 AS DOUBLE) AS sa1, CAST(sb1 AS DOUBLE)
+                        AS sb1,
+                      CAST(qaa1 AS DOUBLE) AS qaa1,
+                      CAST(qbb1 AS DOUBLE) AS qbb1,
+                      CAST(qab1 AS DOUBLE) AS qab1,
+                      CAST(sa0 AS DOUBLE) AS sa0, CAST(sb0 AS DOUBLE)
+                        AS sb0,
+                      CAST(qaa0 AS DOUBLE) AS qaa0,
+                      CAST(qbb0 AS DOUBLE) AS qbb0,
+                      CAST(qab0 AS DOUBLE) AS qab0
+                    FROM one),
+              f2 AS (SELECT n_pos, n_neg,
+                       sa1 / (np * nn * 2) AS auc_a,
+                       sb1 / (np * nn * 2) AS auc_b,
+                       ((qaa1 - sa1 * sa1 / np) / (np - 1)
+                           / (nn * nn * 4)
+                         + (qbb1 - sb1 * sb1 / np) / (np - 1)
+                           / (nn * nn * 4)
+                         - (qab1 - sa1 * sb1 / np) / (np - 1)
+                           / (nn * nn * 4) * 2) / np
+                       + ((qaa0 - sa0 * sa0 / nn) / (nn - 1)
+                           / (np * np * 4)
+                         + (qbb0 - sb0 * sb0 / nn) / (nn - 1)
+                           / (np * np * 4)
+                         - (qab0 - sa0 * sb0 / nn) / (nn - 1)
+                           / (np * np * 4) * 2) / nn AS var0
+                     FROM f),
+              f3 AS (SELECT n_pos, n_neg, auc_a, auc_b,
+                       sqrt(greatest(var0, 0.0)) AS se
+                     FROM f2)
+              SELECT n_pos, n_neg,
+                     round(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+                       auc_a END * 1000000.0)/1000000.0 AS auc_a,
+                     round(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+                       auc_b END * 1000000.0)/1000000.0 AS auc_b,
+                     round(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+                       auc_a - auc_b END * 1000000.0)/1000000.0
+                       AS delta,
+                     round(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+                       se END * 1000000.0)/1000000.0 AS se,
+                     round(CASE WHEN n_pos > 1 AND n_neg > 1 THEN
+                         CASE WHEN se > 0 THEN (auc_a - auc_b) / se
+                         END END * 1000000.0)/1000000.0 AS z
+              FROM f3"""),
+      (s, d) => aucCompare(
+        Tables.orders(s, d).withColumn("score_date",
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))),
+        "o_totalprice", "score_date", "o_orderstatus", "F", "O")),
 
     // Offline retrieval eval: precision/recall/MRR/NDCG at k=3 over
     // per-order line rankings (score: extended price; relevant:

@@ -1052,7 +1052,7 @@ class GraftExtensionsSpec extends SparkSpec {
     "spearman, corr_matrix, fd_profile, candidate_keys, psi, hhi, " +
     "iqr_outliers) agree with the Scala API") {
     import graft.operators.{HypothesisOps, ProfileOps, StatsOps}
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, expr}
     val s2 = spark.newSession()
     val ord = graft.sources.Tables.orders(s2, sfDir)
     val li = graft.sources.Tables.lineitem(s2, sfDir)
@@ -1097,6 +1097,14 @@ class GraftExtensionsSpec extends SparkSpec {
       "'l_orderkey', 'l_linenumber', 'l_extendedprice', 'rel', 3)",
       HypothesisOps.rankingEval(rkLi, "l_orderkey", "l_linenumber",
         "l_extendedprice", "rel", 3))
+    val cmpOrd = graft.sources.Tables.orders(s2, sfDir)
+      .withColumn("score_date",
+        expr("datediff(o_orderdate, DATE '1992-01-01')"))
+    cmpOrd.createOrReplaceTempView("ht_cmp")
+    assertParity(s2, "SELECT * FROM auc_compare('ht_cmp', " +
+      "'o_totalprice', 'score_date', 'o_orderstatus', 'F', 'O')",
+      HypothesisOps.aucCompare(cmpOrd, "o_totalprice", "score_date",
+        "o_orderstatus", "F", "O"))
     val fsLi = graft.sources.Tables.lineitem(s2, sfDir)
       .withColumn("lbl", col("l_returnflag") === "R")
     fsLi.createOrReplaceTempView("ht_fs_li")

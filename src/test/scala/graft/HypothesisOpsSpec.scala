@@ -325,6 +325,62 @@ class HypothesisOpsSpec extends SparkSpec {
     assert(rt.isNullAt(rt.fieldIndex("auc")))
   }
 
+  test("aucCompare: aucs match the standalone operator, se matches " +
+    "brute-force paired DeLong, identical scores give delta 0 with " +
+    "NULL z, single-class goes NULL") {
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 300).map { _ =>
+      val pos = rnd.nextBoolean()
+      val a = rnd.nextInt(30).toDouble + (if (pos) 8 else 0)
+      val b = rnd.nextInt(30).toDouble + (if (pos) 2 else 0)
+      (if (pos) "P" else "N", a, b)
+    }
+    val df = rows.toDF("g", "a", "b")
+    val r = HypothesisOps.aucCompare(df, "a", "b", "g", "P", "N")
+      .collect()(0)
+    // consistency with the standalone AUC
+    val aA = HypothesisOps.auc(df.select(col("g"), col("a").as("v")),
+      "v", "g", "P", "N").collect()(0).getAs[Double]("auc")
+    val aB = HypothesisOps.auc(df.select(col("g"), col("b").as("v")),
+      "v", "g", "P", "N").collect()(0).getAs[Double]("auc")
+    assert(r.getAs[Double]("auc_a") === aA)
+    assert(r.getAs[Double]("auc_b") === aB)
+    // brute-force paired DeLong
+    val pos = rows.filter(_._1 == "P"); val neg = rows.filter(_._1 == "N")
+    def v10(x: Double, other: Seq[Double]): Double =
+      (other.count(_ < x) + 0.5 * other.count(_ == x)) / other.size
+    def v01(x: Double, other: Seq[Double]): Double =
+      (other.count(_ > x) + 0.5 * other.count(_ == x)) / other.size
+    val pA = pos.map(p => v10(p._2, neg.map(_._2)))
+    val pB = pos.map(p => v10(p._3, neg.map(_._3)))
+    val nA = neg.map(n => v01(n._2, pos.map(_._2)))
+    val nB = neg.map(n => v01(n._3, pos.map(_._3)))
+    def sCov(x: Seq[Double], y: Seq[Double]): Double = {
+      val mx = x.sum / x.size; val my = y.sum / y.size
+      x.zip(y).map { case (u, v) => (u - mx) * (v - my) }.sum /
+        (x.size - 1)
+    }
+    val varD =
+      (sCov(pA, pA) + sCov(pB, pB) - 2 * sCov(pA, pB)) / pos.size +
+      (sCov(nA, nA) + sCov(nB, nB) - 2 * sCov(nA, nB)) / neg.size
+    val bruteSe = math.sqrt(math.max(varD, 0.0))
+    assert(math.abs(r.getAs[Double]("se") - bruteSe) < 1e-6,
+      s"se ${r.getAs[Double]("se")} vs brute $bruteSe")
+    assert(math.abs(r.getAs[Double]("delta") - (aA - aB)) < 2e-6)
+    // identical scores: delta 0, se 0, z NULL (0/0 guarded)
+    val same = HypothesisOps.aucCompare(df.withColumn("b", col("a")),
+      "a", "b", "g", "P", "N").collect()(0)
+    assert(same.getAs[Double]("delta") === 0.0)
+    assert(same.getAs[Double]("se") === 0.0)
+    assert(same.isNullAt(same.fieldIndex("z")))
+    // single-class input: NULL block
+    val onlyP = df.filter(col("g") === "P")
+    val rp = HypothesisOps.aucCompare(onlyP, "a", "b", "g", "P", "N")
+      .collect()(0)
+    assert(rp.isNullAt(rp.fieldIndex("auc_a")))
+    assert(rp.getAs[Long]("n_neg") === 0L)
+  }
+
   test("rankingEval: per-metric brute-force equality on a random " +
     "candidate table; closed forms on perfect ranking; no-relevant " +
     "queries excluded from recall/ndcg, zero in mrr") {
