@@ -586,7 +586,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "feature_screen" -> GraftExtensions.featureScreenPlan _,
       "isotonic" -> GraftExtensions.isotonicPlan _,
       "embed_pca" -> GraftExtensions.embedPcaPlan _,
-      "auc_compare" -> GraftExtensions.aucComparePlan _)
+      "auc_compare" -> GraftExtensions.aucComparePlan _,
+      "bootstrap_ci" -> GraftExtensions.bootstrapCiPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2274,6 +2275,22 @@ object GraftExtensions {
       litDouble("embed_pca", "k", exprs(2)).toInt else 16
     val model = graft.operators.PcaOps.pcaFit(df, e, k)
     graft.operators.PcaOps.pcaSummary(df, e, model)
+      .queryExecution.analyzed
+  }
+
+  /** `bootstrap_ci(table, id_col, value_col [, b])` — derandomized
+    * Poisson-bootstrap 95% CI for the mean
+    * ([[graft.operators.StatsOps.bootstrapCiMean]]). */
+  private[graft] def bootstrapCiPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("bootstrap_ci(table, id_col, value_col [, b])", exprs, 3, 4)
+    val id = litStr("bootstrap_ci", "id_col", exprs(1))
+    val v = litStr("bootstrap_ci", "value_col", exprs(2))
+    val df = namedTable("bootstrap_ci",
+      litStr("bootstrap_ci", "table", exprs(0)), Seq(id, v))
+    val b = if (exprs.length > 3)
+      litDouble("bootstrap_ci", "b", exprs(3)).toInt else 200
+    graft.operators.StatsOps.bootstrapCiMean(df, id, v, b)
       .queryExecution.analyzed
   }
 

@@ -787,6 +787,82 @@ object StatsOps {
     * a broadcast of the per-group totals; the share terms are IEEE-
     * identical doubles from DECIMAL-exact sums and the HHI total folds
     * in DECIMAL(38,12) (order-independent). */
+  /** Derandomized Poisson-bootstrap confidence interval for the mean
+    * of `valCol` — the distribution-free CI for any metric the
+    * closed-form tier can't cover, computed in ONE pass over B
+    * simultaneous resamples (Poisson bootstrap: each row enters
+    * resample b with weight w ~ Poisson(1), Chamandy et al.'s
+    * large-scale formulation — no per-resample data passes, no
+    * sampling-with-replacement shuffle). The weights are
+    * DERANDOMIZED: w = inverse-CDF ladder over the engine's 16-bit
+    * md5 draw of (id, b) — the hashSplit/stratifiedSample stance —
+    * with the seven cumulative thresholds fixed as integer literals,
+    * so both engines (and any rerun/repartitioning) draw the
+    * identical weights. Resample means percentile into the CI via
+    * the integer-exact crossing rank·40 ≥ m / ≥ 39·m (2.5% / 97.5%).
+    *
+    * Scale: the explode is ×B per row but folds map-side into B
+    * groups (each partition emits ≤B rows); the B-row mean table
+    * sorts under a declared-bounded window. B trades cost for CI
+    * resolution — the op is priced for metric-bearing tables, not
+    * raw-corpus columns. */
+  def bootstrapCiMean(df: DataFrame, idCol: String, valCol: String,
+      b: Int = 200): DataFrame = {
+    require(b >= 40 && b <= 10000, s"b must be in [40, 10000]; got $b")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec12 = DecimalType(38, 12)
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    // Poisson(1) inverse CDF at 16-bit resolution: floor(65536·CDF(k))
+    val cuts = Seq(24109, 48218, 60273, 64291, 65296, 65497, 65530)
+    val draw = CurationOps.hashDraw(
+      concat(col(idCol).cast("string"), lit(":"),
+        col("rb").cast("string")))
+    val w = cuts.zipWithIndex.foldLeft(when(lit(false), 0)) {
+      case (acc, (cut, k)) => acc.when(draw < cut, k)
+    }.otherwise(cuts.size)
+    val resampled = df
+      .select(col(idCol), col(valCol).cast("double").as("x"),
+        explode(sequence(lit(0), lit(b - 1))).as("rb"))
+      .select(col("rb"), w.as("w"), col("x"))
+      .groupBy("rb")
+      .agg(sum("w").as("ne"),
+        sum((col("w") * col("x")).cast(dec12)).as("sx"))
+      .filter(col("ne") > 0)
+      .select(col("rb"),
+        (col("sx").cast("double") / col("ne")).as("m"))
+    val wRank = Window.partitionBy(BoundedWindow.key(col("rb")))
+      .orderBy(col("m"), col("rb"))
+    val ranked = resampled
+      .select(col("m"), row_number().over(wRank).as("rn"))
+    val boot = ranked.agg(
+      count(lit(1)).as("m_valid"),
+      sum(col("m").cast(dec12)).as("sm"),
+      sum((col("m") * col("m")).cast(dec12)).as("smm"))
+    val ci = ranked.crossJoin(broadcast(boot))
+      .agg(
+        min(when(col("rn") * 40 >= col("m_valid"), col("m")))
+          .as("lo"),
+        min(when(col("rn") * 40 >= col("m_valid") * 39, col("m")))
+          .as("hi"),
+        min("m_valid").as("m_valid"), min("sm").as("sm"),
+        min("smm").as("smm"))
+    val full = df.agg(count(lit(1)).as("n"),
+      sum(col(valCol).cast(dec12)).as("sxf"))
+    val mv = col("m_valid").cast("double")
+    full.crossJoin(broadcast(ci))
+      .select(col("n"),
+        r6(col("sxf").cast("double") / col("n")).as("mean"),
+        col("m_valid").cast("bigint").as("resamples"),
+        r6(col("sm").cast("double") / mv).as("boot_mean"),
+        r6(sqrt(greatest(
+          (col("smm").cast("double") -
+            col("sm").cast("double") * col("sm").cast("double") / mv) /
+            (mv - 1), lit(0.0)))).as("boot_se"),
+        r6(col("lo")).as("ci_lo"),
+        r6(col("hi")).as("ci_hi"))
+  }
+
   def hhi(df: DataFrame, groupCol: String, entityCol: String,
       valCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
@@ -1439,6 +1515,71 @@ object StatsOps {
 
     // Market concentration per segment: HHI of customer order spend —
     // is revenue spread across many customers or owned by a few?
+    // Distribution-free CI for the suppliers' mean account balance:
+    // 200 simultaneous derandomized Poisson resamples in one pass
+    // (the small-n table is exactly where a CI earns its keep).
+    Query(
+      "q_bootstrap_ci",
+      Some {
+        val draw = CurationOps.sqlDraw(
+          "CAST(s_suppkey AS VARCHAR) || ':' || CAST(rb AS VARCHAR)")
+        s"""WITH ex AS (
+                SELECT s_suppkey, s_acctbal AS x, rb.range AS rb
+                FROM supplier CROSS JOIN range(0, 200) rb),
+              ww AS (SELECT rb,
+                       CASE WHEN $draw < 24109 THEN 0
+                            WHEN $draw < 48218 THEN 1
+                            WHEN $draw < 60273 THEN 2
+                            WHEN $draw < 64291 THEN 3
+                            WHEN $draw < 65296 THEN 4
+                            WHEN $draw < 65497 THEN 5
+                            WHEN $draw < 65530 THEN 6
+                            ELSE 7 END AS w,
+                       x
+                     FROM ex),
+              rs AS (SELECT rb, sum(w) AS ne,
+                       sum(CAST(w * x AS DECIMAL(38,12))) AS sx
+                     FROM ww GROUP BY 1),
+              ms AS (SELECT rb, CAST(sx AS DOUBLE) / ne AS m
+                     FROM rs WHERE ne > 0),
+              rk AS (SELECT m, row_number() OVER (ORDER BY m, rb)
+                       AS rn
+                     FROM ms),
+              bt AS (SELECT count(*) AS m_valid,
+                       sum(CAST(m AS DECIMAL(38,12))) AS sm,
+                       sum(CAST(m * m AS DECIMAL(38,12))) AS smm
+                     FROM rk),
+              ci AS (SELECT
+                       min(CASE WHEN rn * 40 >= m_valid THEN m END)
+                         AS lo,
+                       min(CASE WHEN rn * 40 >= m_valid * 39 THEN m
+                         END) AS hi,
+                       min(m_valid) AS m_valid, min(sm) AS sm,
+                       min(smm) AS smm
+                     FROM rk CROSS JOIN bt),
+              fl AS (SELECT count(*) AS n,
+                       sum(CAST(s_acctbal AS DECIMAL(38,12)))
+                         AS sxf
+                     FROM supplier)
+              SELECT CAST(n AS BIGINT) AS n,
+                     round(CAST(sxf AS DOUBLE) / n
+                       * 1000000.0)/1000000.0 AS mean,
+                     CAST(m_valid AS BIGINT) AS resamples,
+                     round(CAST(sm AS DOUBLE)
+                         / CAST(m_valid AS DOUBLE)
+                       * 1000000.0)/1000000.0 AS boot_mean,
+                     round(sqrt(greatest((CAST(smm AS DOUBLE)
+                           - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                             / CAST(m_valid AS DOUBLE))
+                         / (CAST(m_valid AS DOUBLE) - 1), 0.0))
+                       * 1000000.0)/1000000.0 AS boot_se,
+                     round(lo * 1000000.0)/1000000.0 AS ci_lo,
+                     round(hi * 1000000.0)/1000000.0 AS ci_hi
+              FROM fl CROSS JOIN ci"""
+      },
+      (s, d) => bootstrapCiMean(Tables.supplier(s, d), "s_suppkey",
+        "s_acctbal")),
+
     Query(
       "q_hhi",
       Some("""WITH per AS (

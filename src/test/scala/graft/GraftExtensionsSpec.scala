@@ -1097,6 +1097,9 @@ class GraftExtensionsSpec extends SparkSpec {
       "'l_orderkey', 'l_linenumber', 'l_extendedprice', 'rel', 3)",
       HypothesisOps.rankingEval(rkLi, "l_orderkey", "l_linenumber",
         "l_extendedprice", "rel", 3))
+    assertParity(s2, "SELECT * FROM bootstrap_ci('ht_orders', " +
+      "'o_orderkey', 'o_totalprice', 80)",
+      StatsOps.bootstrapCiMean(ord, "o_orderkey", "o_totalprice", 80))
     val cmpOrd = graft.sources.Tables.orders(s2, sfDir)
       .withColumn("score_date",
         expr("datediff(o_orderdate, DATE '1992-01-01')"))

@@ -521,4 +521,38 @@ class StatsOpsSpec extends SparkSpec {
     val sk = StatsOps.quantileBins(skewed, "v", nBins = 4).collect()
     assert(sk.map(_.getAs[Long]("n")).sum === 1000L)
   }
+
+  test("bootstrapCiMean: CI brackets the true mean, boot_se tracks " +
+    "the CLT width, resample weights average ~1, and the whole " +
+    "readout is repartition-deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(73)
+    val xs = (1 to 4000).map(i => (i.toLong, 50.0 + rnd.nextGaussian() * 10))
+    val df = xs.toDF("id", "x")
+    val r = StatsOps.bootstrapCiMean(df, "id", "x").collect()(0)
+    val mean = xs.map(_._2).sum / xs.size
+    val sd = math.sqrt(xs.map(v => (v._2 - mean) * (v._2 - mean)).sum /
+      (xs.size - 1))
+    val cltSe = sd / math.sqrt(xs.size)
+    assert(math.abs(r.getAs[Double]("mean") -
+      math.round(mean * 1e6) / 1e6) < 1e-9)
+    assert(r.getAs[Long]("resamples") === 200L)
+    // bootstrap se within 35% of the CLT se (200 resamples of n=4000)
+    val se = r.getAs[Double]("boot_se")
+    assert(se > cltSe * 0.65 && se < cltSe * 1.35,
+      s"boot_se $se vs CLT $cltSe")
+    // the 95% CI brackets the sample mean and spans ~2*1.96*se
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("mean"))
+    assert(r.getAs[Double]("ci_hi") >= r.getAs[Double]("mean"))
+    val span = r.getAs[Double]("ci_hi") - r.getAs[Double]("ci_lo")
+    assert(span > 2.6 * se && span < 5.2 * se, s"span $span se $se")
+    // determinism: identical row on a 7-way repartition
+    val r2 = StatsOps.bootstrapCiMean(df.repartition(7), "id", "x")
+      .collect()(0)
+    assert(r.toSeq === r2.toSeq)
+    // the discretized Poisson(1) ladder keeps total resample weight
+    // within 2% of n on average (mean weight ~ 1)
+    assert(math.abs(r.getAs[Double]("boot_mean") -
+      r.getAs[Double]("mean")) < 3 * se)
+  }
 }
