@@ -587,7 +587,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "isotonic" -> GraftExtensions.isotonicPlan _,
       "embed_pca" -> GraftExtensions.embedPcaPlan _,
       "auc_compare" -> GraftExtensions.aucComparePlan _,
-      "bootstrap_ci" -> GraftExtensions.bootstrapCiPlan _)
+      "bootstrap_ci" -> GraftExtensions.bootstrapCiPlan _,
+      "wasserstein" -> GraftExtensions.wassersteinPlan _,
+      "cvm_test" -> GraftExtensions.cvmTestPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2309,6 +2311,39 @@ object GraftExtensions {
     graft.operators.HypothesisOps.aucCompare(df, a, b, g,
       litStr("auc_compare", "pos", exprs(4)),
       litStr("auc_compare", "neg", exprs(5)))
+      .queryExecution.analyzed
+  }
+
+  /** `wasserstein(table, value_col, group_col, a, b)` — 1-D
+    * earth-mover's distance between the two groups' distributions
+    * ([[graft.operators.HypothesisOps.wasserstein]]). Returns
+    * `(n_a, n_b, w1)`. */
+  private[graft] def wassersteinPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("wasserstein(table, value_col, group_col, a, b)", exprs, 5, 5)
+    val v = litStr("wasserstein", "value_col", exprs(1))
+    val g = litStr("wasserstein", "group_col", exprs(2))
+    val df = namedTable("wasserstein",
+      litStr("wasserstein", "table", exprs(0)), Seq(v, g))
+    graft.operators.HypothesisOps.wasserstein(df, v, g,
+      litStr("wasserstein", "a", exprs(3)),
+      litStr("wasserstein", "b", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `cvm_test(table, value_col, group_col, a, b)` — two-sample
+    * Cramér–von Mises statistic
+    * ([[graft.operators.HypothesisOps.cvmTest]]). Returns
+    * `(n_a, n_b, t_cvm)`. */
+  private[graft] def cvmTestPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("cvm_test(table, value_col, group_col, a, b)", exprs, 5, 5)
+    val v = litStr("cvm_test", "value_col", exprs(1))
+    val g = litStr("cvm_test", "group_col", exprs(2))
+    val df = namedTable("cvm_test",
+      litStr("cvm_test", "table", exprs(0)), Seq(v, g))
+    graft.operators.HypothesisOps.cvmTest(df, v, g,
+      litStr("cvm_test", "a", exprs(3)),
+      litStr("cvm_test", "b", exprs(4)))
       .queryExecution.analyzed
   }
 

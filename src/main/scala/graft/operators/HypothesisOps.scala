@@ -86,6 +86,72 @@ object HypothesisOps {
         .as("p_value"))
   }
 
+  /** 1-D Wasserstein-1 (earth-mover's) distance between the two
+    * groups' empirical distributions — the INTEGRAL companion to
+    * [[ksTest]]'s supremum: W₁ = ∫|F_a − F_b| dt weighs how far apart
+    * the distributions sit over their whole support, where KS only
+    * sees the single worst gap (a small shift everywhere and a big
+    * shift in one tail can share a D but differ 100× in W₁).
+    *
+    * No sort, no lead/lag, no global window: the piecewise-constant
+    * integral Σᵢ gᵢ·(vᵢ₊₁ − vᵢ) telescopes to Σᵢ vᵢ·(gᵢ₋₁ − gᵢ)
+    * because g₀ = g_last = 0 (ECDFs agree below the min and at the
+    * max), and the PREVIOUS row's gap needs no lag — cumulative minus
+    * own count: gᵢ₋₁ = |(ca−na)·n_b − (cb−nb)·n_a|. So W₁·n_a·n_b
+    * folds in ONE aggregate over the [[cumCounts]] spine, per-row
+    * products rounded into DECIMAL(38,12) (identical operand order in
+    * the oracle), one float division at the end. */
+  def wasserstein(df: DataFrame, valCol: String, groupCol: String,
+      aVal: String, bVal: String): DataFrame =
+    w1FromCum(cumCounts(df, valCol, groupCol, aVal, bVal))
+
+  private[graft] def w1FromCum(cum: DataFrame): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    val tot = cum.agg(sum("na").as("nat"), sum("nb").as("nbt"))
+    val g = abs(col("ca").cast(dec0) * col("nbt") -
+      col("cb").cast(dec0) * col("nat"))
+    val gPrev = abs((col("ca") - col("na")).cast(dec0) * col("nbt") -
+      (col("cb") - col("nb")).cast(dec0) * col("nat"))
+    val m = cum.crossJoin(broadcast(tot)).agg(
+      sum((col("v") * (gPrev - g).cast("double")).cast(dec12)).as("s"),
+      min("nat").as("n_a"), min("nbt").as("n_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    m.select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+      coalesce(col("n_b"), lit(0L)).as("n_b"),
+      when(ok, r6(col("s").cast("double") / (na * nb))).as("w1"))
+  }
+
+  /** Two-sample Cramér–von Mises statistic — the MEAN-squared ECDF
+    * gap over every pooled observation: T = (n_a·n_b/N²)·Σ_z
+    * (F_a(z) − F_b(z))², z ranging over all N pooled points with
+    * multiplicity. Where [[ksTest]] keys on the worst gap and
+    * [[wasserstein]] on gap × value-spacing, CvM weighs gaps by how
+    * much DATA sits at them — sensitive to broad mid-distribution
+    * drift that never produces one large D. Pure integers off the
+    * same spine: Σ (na+nb)·gap² stays in DECIMAL(38,0) (gap ≤
+    * n_a·n_b keeps the summand < 1e30 at any tested scale), one
+    * division by n_a·n_b·N² at the end. */
+  def cvmTest(df: DataFrame, valCol: String, groupCol: String,
+      aVal: String, bVal: String): DataFrame =
+    cvmFromCum(cumCounts(df, valCol, groupCol, aVal, bVal))
+
+  private[graft] def cvmFromCum(cum: DataFrame): DataFrame = {
+    val tot = cum.agg(sum("na").as("nat"), sum("nb").as("nbt"))
+    val g = col("ca").cast(dec0) * col("nbt") -
+      col("cb").cast(dec0) * col("nat")
+    val m = cum.crossJoin(broadcast(tot)).agg(
+      sum((col("na") + col("nb")).cast(dec0) * g * g).as("s"),
+      min("nat").as("n_a"), min("nbt").as("n_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val n = na + nb
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    m.select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+      coalesce(col("n_b"), lit(0L)).as("n_b"),
+      when(ok, r6(col("s").cast("double") / (na * nb * n * n)))
+        .as("t_cvm"))
+  }
+
   /** Mann–Whitney U (two-sided normal approximation, tie-corrected):
     * U = Ra − nA(nA+1)/2 where Ra sums group A's AVERAGE ranks;
     * doubled ranks 2·rank(v) = 2·C(<v) + c(v) + 1 keep everything
@@ -841,6 +907,73 @@ object HypothesisOps {
                        * 1000000.0)/1000000.0 AS p_value
               FROM ds"""),
       (s, d) => ksFromCum(ordersSpine(s, d))),
+
+    // HOW FAR apart do finished and open orders' totals sit — the
+    // earth-mover's distance KS's single worst gap can't express,
+    // in the metric's own units (dollars of totalprice).
+    Query(
+      "q_wasserstein",
+      Some("""WITH s AS (
+                SELECT o_totalprice AS v,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS isa
+                FROM orders WHERE o_orderstatus IN ('F', 'O')),
+              g AS (SELECT v, sum(isa) AS na, sum(1 - isa) AS nb
+                    FROM s GROUP BY 1),
+              c AS (SELECT v, na, nb,
+                      sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS ca,
+                      sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS cb
+                    FROM g),
+              t AS (SELECT sum(na) AS nat, sum(nb) AS nbt FROM g),
+              m AS (SELECT
+                      sum(CAST(CAST(v AS DOUBLE)
+                        * CAST(abs((ca - na) * nbt - (cb - nb) * nat)
+                            - abs(ca * nbt - cb * nat) AS DOUBLE)
+                        AS DECIMAL(38,12))) AS s,
+                      min(nat) AS n_a, min(nbt) AS n_b
+                    FROM c CROSS JOIN t)
+              SELECT CAST(n_a AS BIGINT) AS n_a,
+                     CAST(n_b AS BIGINT) AS n_b,
+                     round(CAST(s AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) * n_b)
+                       * 1000000.0)/1000000.0 AS w1
+              FROM m"""),
+      (s, d) => w1FromCum(ordersSpine(s, d))),
+
+    // The mean-SQUARED ECDF gap weighted by where the data actually
+    // sits — broad mid-distribution drift KS underweights.
+    Query(
+      "q_cvm",
+      Some("""WITH s AS (
+                SELECT o_totalprice AS v,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS isa
+                FROM orders WHERE o_orderstatus IN ('F', 'O')),
+              g AS (SELECT v, sum(isa) AS na, sum(1 - isa) AS nb
+                    FROM s GROUP BY 1),
+              c AS (SELECT v, na, nb,
+                      sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS ca,
+                      sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS cb
+                    FROM g),
+              t AS (SELECT sum(na) AS nat, sum(nb) AS nbt FROM g),
+              m AS (SELECT
+                      sum((na + nb) * (ca * nbt - cb * nat)
+                        * (ca * nbt - cb * nat)) AS s,
+                      min(nat) AS n_a, min(nbt) AS n_b
+                    FROM c CROSS JOIN t)
+              SELECT CAST(n_a AS BIGINT) AS n_a,
+                     CAST(n_b AS BIGINT) AS n_b,
+                     round(CAST(s AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) * n_b
+                            * (CAST(n_a AS DOUBLE) + n_b)
+                            * (CAST(n_a AS DOUBLE) + n_b))
+                       * 1000000.0)/1000000.0 AS t_cvm
+              FROM m"""),
+      (s, d) => cvmFromCum(ordersSpine(s, d))),
 
     // The first test a real user runs on "did the metric move":
     // Welch's t on the two groups' totals, unequal variances assumed.

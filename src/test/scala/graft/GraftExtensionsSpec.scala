@@ -1070,6 +1070,14 @@ class GraftExtensionsSpec extends SparkSpec {
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.tTest(ord, "o_totalprice", "o_orderstatus",
         "F", "O"))
+    assertParity(s2, "SELECT * FROM wasserstein('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus', 'F', 'O')",
+      HypothesisOps.wasserstein(ord, "o_totalprice", "o_orderstatus",
+        "F", "O"))
+    assertParity(s2, "SELECT * FROM cvm_test('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus', 'F', 'O')",
+      HypothesisOps.cvmTest(ord, "o_totalprice", "o_orderstatus",
+        "F", "O"))
     assertParity(s2, "SELECT * FROM auc('ht_orders', " +
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.auc(ord, "o_totalprice", "o_orderstatus",

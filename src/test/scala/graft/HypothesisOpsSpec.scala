@@ -50,6 +50,61 @@ class HypothesisOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("p_value") === 0.0)
   }
 
+  // -- wasserstein / cvmTest ------------------------------------------
+
+  private def bruteW1(a: Seq[Double], b: Seq[Double]): Double = {
+    val vs = (a ++ b).distinct.sorted
+    vs.zip(vs.tail).map { case (v, vNext) =>
+      math.abs(a.count(_ <= v).toDouble / a.size -
+        b.count(_ <= v).toDouble / b.size) * (vNext - v)
+    }.sum
+  }
+
+  private def bruteCvm(a: Seq[Double], b: Seq[Double]): Double = {
+    val pooled = a ++ b
+    val sq = pooled.map { z =>
+      val d = a.count(_ <= z).toDouble / a.size -
+        b.count(_ <= z).toDouble / b.size
+      d * d
+    }.sum
+    a.size.toDouble * b.size / (pooled.size.toDouble * pooled.size) * sq
+  }
+
+  test("wasserstein equals the brute-force ECDF integral on tied " +
+    "random samples, a pure shift, and identical samples") {
+    val rnd = new scala.util.Random(23)
+    val a = Seq.fill(300)(rnd.nextInt(40).toDouble)
+    val b = Seq.fill(250)(7.0 + rnd.nextInt(40))
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+    val r = HypothesisOps.wasserstein(df, "v", "g", "A", "B").collect()(0)
+    assert(r.getAs[Long]("n_a") === 300L)
+    assert(r.getAs[Long]("n_b") === 250L)
+    assert(math.abs(r.getAs[Double]("w1") - bruteW1(a, b)) < 1e-5)
+    // pure shift by c: W1 is exactly c
+    val shifted = (a.map(("A", _)) ++ a.map(x => ("B", x + 13.0)))
+      .toDF("g", "v")
+    val s = HypothesisOps.wasserstein(shifted, "v", "g", "A", "B")
+      .collect()(0)
+    assert(math.abs(s.getAs[Double]("w1") - 13.0) < 1e-6)
+    val same = (a.map(("A", _)) ++ a.map(("B", _))).toDF("g", "v")
+    val z = HypothesisOps.wasserstein(same, "v", "g", "A", "B")
+      .collect()(0)
+    assert(z.getAs[Double]("w1") === 0.0)
+  }
+
+  test("cvmTest equals the brute-force pooled mean-squared ECDF gap " +
+    "and is zero on identical samples") {
+    val rnd = new scala.util.Random(29)
+    val a = Seq.fill(280)(rnd.nextInt(30).toDouble)
+    val b = Seq.fill(320)(4.0 + rnd.nextInt(30))
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+    val r = HypothesisOps.cvmTest(df, "v", "g", "A", "B").collect()(0)
+    assert(math.abs(r.getAs[Double]("t_cvm") - bruteCvm(a, b)) < 1e-5)
+    val same = (a.map(("A", _)) ++ a.map(("B", _))).toDF("g", "v")
+    val z = HypothesisOps.cvmTest(same, "v", "g", "A", "B").collect()(0)
+    assert(z.getAs[Double]("t_cvm") === 0.0)
+  }
+
   // -- mannWhitney ---------------------------------------------------
 
   private def bruteU(a: Seq[Double], b: Seq[Double]): Double = {
