@@ -589,7 +589,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "auc_compare" -> GraftExtensions.aucComparePlan _,
       "bootstrap_ci" -> GraftExtensions.bootstrapCiPlan _,
       "wasserstein" -> GraftExtensions.wassersteinPlan _,
-      "cvm_test" -> GraftExtensions.cvmTestPlan _)
+      "cvm_test" -> GraftExtensions.cvmTestPlan _,
+      "energy_distance" -> GraftExtensions.energyDistancePlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2344,6 +2345,24 @@ object GraftExtensions {
     graft.operators.HypothesisOps.cvmTest(df, v, g,
       litStr("cvm_test", "a", exprs(3)),
       litStr("cvm_test", "b", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `energy_distance(table, value_col, group_col, a, b)` —
+    * two-sample energy distance + Székely–Rizzo statistic
+    * ([[graft.operators.HypothesisOps.energyDistance]]). Returns
+    * `(n_a, n_b, e_xy, e_dist, t_stat)`. */
+  private[graft] def energyDistancePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("energy_distance(table, value_col, group_col, a, b)",
+      exprs, 5, 5)
+    val v = litStr("energy_distance", "value_col", exprs(1))
+    val g = litStr("energy_distance", "group_col", exprs(2))
+    val df = namedTable("energy_distance",
+      litStr("energy_distance", "table", exprs(0)), Seq(v, g))
+    graft.operators.HypothesisOps.energyDistance(df, v, g,
+      litStr("energy_distance", "a", exprs(3)),
+      litStr("energy_distance", "b", exprs(4)))
       .queryExecution.analyzed
   }
 

@@ -152,6 +152,51 @@ object HypothesisOps {
         .as("t_cvm"))
   }
 
+  /** Two-sample energy distance E = 2·E|X−Y| − E|X−X′| − E|Y−Y′| and
+    * the Székely–Rizzo test statistic T = (n_a·n_b/N)·E — the
+    * rotation-free distribution test that is zero iff the
+    * distributions coincide, sensitive to ANY difference (location,
+    * scale, shape) where [[ksTest]]/[[cvmTest]] weigh gaps by
+    * position or mass. Each pairwise expectation is an ECDF integral
+    * (E|X−Y| = ∫ F_a(1−F_b) + F_b(1−F_a) dt), so all three fold from
+    * the SAME [[cumCounts]] spine by the [[wasserstein]] telescoping
+    * move — Σ hᵢ·(vᵢ₊₁−vᵢ) = Σ vᵢ·(hᵢ₋₁−hᵢ) with the previous row's
+    * h derived per-row (cumulative minus own count), h vanishing at
+    * both ends. ONE aggregate, three DECIMAL(38,12) sums, no sort or
+    * window; never the textbook O(n²) pairwise pass. */
+  def energyDistance(df: DataFrame, valCol: String, groupCol: String,
+      aVal: String, bVal: String): DataFrame =
+    energyFromCum(cumCounts(df, valCol, groupCol, aVal, bVal))
+
+  private[graft] def energyFromCum(cum: DataFrame): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    val tot = cum.agg(sum("na").as("nat"), sum("nb").as("nbt"))
+    def term(h: Column, hPrev: Column): Column =
+      sum((col("v") * (hPrev - h).cast("double")).cast(dec12))
+    def hxy(ca: Column, cb: Column): Column =
+      ca * (col("nbt") - cb) + cb * (col("nat") - ca)
+    def hxx(ca: Column): Column = ca * (col("nat") - ca) * 2
+    def hyy(cb: Column): Column = cb * (col("nbt") - cb) * 2
+    val ca = col("ca").cast(dec0); val cb = col("cb").cast(dec0)
+    val caP = (col("ca") - col("na")).cast(dec0)
+    val cbP = (col("cb") - col("nb")).cast(dec0)
+    val m = cum.crossJoin(broadcast(tot)).agg(
+      term(hxy(ca, cb), hxy(caP, cbP)).as("sxy"),
+      term(hxx(ca), hxx(caP)).as("sxx"),
+      term(hyy(cb), hyy(cbP)).as("syy"),
+      min("nat").as("n_a"), min("nbt").as("n_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val exy = col("sxy").cast("double") / (na * nb)
+    val e = exy * 2 - col("sxx").cast("double") / (na * na) -
+      col("syy").cast("double") / (nb * nb)
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    m.select(coalesce(col("n_a"), lit(0L)).as("n_a"),
+      coalesce(col("n_b"), lit(0L)).as("n_b"),
+      when(ok, r6(exy)).as("e_xy"),
+      when(ok, r6(e)).as("e_dist"),
+      when(ok, r6(na * nb / (na + nb) * e)).as("t_stat"))
+  }
+
   /** Mann–Whitney U (two-sided normal approximation, tie-corrected):
     * U = Ra − nA(nA+1)/2 where Ra sums group A's AVERAGE ranks;
     * doubled ranks 2·rank(v) = 2·C(<v) + c(v) + 1 keep everything
@@ -974,6 +1019,61 @@ object HypothesisOps {
                        * 1000000.0)/1000000.0 AS t_cvm
               FROM m"""),
       (s, d) => cvmFromCum(ordersSpine(s, d))),
+
+    // Zero iff the two distributions coincide — the any-difference
+    // energy test, all three pairwise expectations off one spine.
+    Query(
+      "q_energy_distance",
+      Some("""WITH s AS (
+                SELECT o_totalprice AS v,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS isa
+                FROM orders WHERE o_orderstatus IN ('F', 'O')),
+              g AS (SELECT v, sum(isa) AS na, sum(1 - isa) AS nb
+                    FROM s GROUP BY 1),
+              c AS (SELECT v, na, nb,
+                      sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS ca,
+                      sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS cb
+                    FROM g),
+              t AS (SELECT sum(na) AS nat, sum(nb) AS nbt FROM g),
+              m AS (SELECT
+                      sum(CAST(CAST(v AS DOUBLE)
+                        * CAST(((ca - na) * (nbt - (cb - nb))
+                                + (cb - nb) * (nat - (ca - na)))
+                             - (ca * (nbt - cb) + cb * (nat - ca))
+                           AS DOUBLE)
+                        AS DECIMAL(38,12))) AS sxy,
+                      sum(CAST(CAST(v AS DOUBLE)
+                        * CAST(((ca - na) * (nat - (ca - na))) * 2
+                             - (ca * (nat - ca)) * 2 AS DOUBLE)
+                        AS DECIMAL(38,12))) AS sxx,
+                      sum(CAST(CAST(v AS DOUBLE)
+                        * CAST(((cb - nb) * (nbt - (cb - nb))) * 2
+                             - (cb * (nbt - cb)) * 2 AS DOUBLE)
+                        AS DECIMAL(38,12))) AS syy,
+                      min(nat) AS n_a, min(nbt) AS n_b
+                    FROM c CROSS JOIN t),
+              e AS (SELECT n_a, n_b,
+                      CAST(sxy AS DOUBLE)
+                        / (CAST(n_a AS DOUBLE) * n_b) AS exy,
+                      CAST(sxy AS DOUBLE)
+                          / (CAST(n_a AS DOUBLE) * n_b) * 2
+                        - CAST(sxx AS DOUBLE)
+                          / (CAST(n_a AS DOUBLE) * n_a)
+                        - CAST(syy AS DOUBLE)
+                          / (CAST(n_b AS DOUBLE) * n_b) AS ed
+                    FROM m)
+              SELECT CAST(n_a AS BIGINT) AS n_a,
+                     CAST(n_b AS BIGINT) AS n_b,
+                     round(exy * 1000000.0)/1000000.0 AS e_xy,
+                     round(ed * 1000000.0)/1000000.0 AS e_dist,
+                     round(CAST(n_a AS DOUBLE) * n_b
+                         / (CAST(n_a AS DOUBLE) + n_b) * ed
+                       * 1000000.0)/1000000.0 AS t_stat
+              FROM e"""),
+      (s, d) => energyFromCum(ordersSpine(s, d))),
 
     // The first test a real user runs on "did the metric move":
     // Welch's t on the two groups' totals, unequal variances assumed.

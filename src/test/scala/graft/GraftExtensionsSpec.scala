@@ -1078,6 +1078,10 @@ class GraftExtensionsSpec extends SparkSpec {
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.cvmTest(ord, "o_totalprice", "o_orderstatus",
         "F", "O"))
+    assertParity(s2, "SELECT * FROM energy_distance('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus', 'F', 'O')",
+      HypothesisOps.energyDistance(ord, "o_totalprice",
+        "o_orderstatus", "F", "O"))
     assertParity(s2, "SELECT * FROM auc('ht_orders', " +
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.auc(ord, "o_totalprice", "o_orderstatus",

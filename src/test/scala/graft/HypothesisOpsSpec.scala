@@ -105,6 +105,44 @@ class HypothesisOpsSpec extends SparkSpec {
     assert(z.getAs[Double]("t_cvm") === 0.0)
   }
 
+  // -- energyDistance --------------------------------------------------
+
+  private def bruteEnergy(a: Seq[Double], b: Seq[Double])
+      : (Double, Double) = {
+    def meanAbs(x: Seq[Double], y: Seq[Double]): Double =
+      x.flatMap(u => y.map(v => math.abs(u - v))).sum /
+        (x.size.toDouble * y.size)
+    val exy = meanAbs(a, b)
+    (exy, 2 * exy - meanAbs(a, a) - meanAbs(b, b))
+  }
+
+  test("energyDistance equals the brute-force pairwise expectations, " +
+    "vanishes on identical samples, and hits 2c on point masses c " +
+    "apart") {
+    val rnd = new scala.util.Random(31)
+    val a = Seq.fill(120)(rnd.nextInt(25).toDouble)
+    val b = Seq.fill(150)(6.0 + rnd.nextInt(25))
+    val df = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+    val r = HypothesisOps.energyDistance(df, "v", "g", "A", "B")
+      .collect()(0)
+    val (exy, e) = bruteEnergy(a, b)
+    assert(math.abs(r.getAs[Double]("e_xy") - exy) < 1e-5)
+    assert(math.abs(r.getAs[Double]("e_dist") - e) < 1e-5)
+    assert(math.abs(r.getAs[Double]("t_stat") -
+      120.0 * 150 / 270 * e) < 1e-3)
+    val same = (a.map(("A", _)) ++ a.map(("B", _))).toDF("g", "v")
+    val z = HypothesisOps.energyDistance(same, "v", "g", "A", "B")
+      .collect()(0)
+    assert(z.getAs[Double]("e_dist") === 0.0)
+    // point masses at 0 and 7: E|X-Y| = 7, within-terms 0, E = 14
+    val pm = (Seq.fill(5)(("A", 0.0)) ++ Seq.fill(3)(("B", 7.0)))
+      .toDF("g", "v")
+    val p = HypothesisOps.energyDistance(pm, "v", "g", "A", "B")
+      .collect()(0)
+    assert(p.getAs[Double]("e_xy") === 7.0)
+    assert(p.getAs[Double]("e_dist") === 14.0)
+  }
+
   // -- mannWhitney ---------------------------------------------------
 
   private def bruteU(a: Seq[Double], b: Seq[Double]): Double = {
