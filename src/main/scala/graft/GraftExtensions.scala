@@ -590,7 +590,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "bootstrap_ci" -> GraftExtensions.bootstrapCiPlan _,
       "wasserstein" -> GraftExtensions.wassersteinPlan _,
       "cvm_test" -> GraftExtensions.cvmTestPlan _,
-      "energy_distance" -> GraftExtensions.energyDistancePlan _)
+      "energy_distance" -> GraftExtensions.energyDistancePlan _,
+      "lift_table" -> GraftExtensions.liftTablePlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2363,6 +2364,26 @@ object GraftExtensions {
     graft.operators.HypothesisOps.energyDistance(df, v, g,
       litStr("energy_distance", "a", exprs(3)),
       litStr("energy_distance", "b", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `lift_table(table, score_col, group_col, pos, neg [, n])` —
+    * descending-score decile lift / cumulative-gains report
+    * ([[graft.operators.HypothesisOps.liftTable]]). Returns
+    * `(decile, n, n_pos, resp_rate, lift, cum_gain, cum_lift)`. */
+  private[graft] def liftTablePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("lift_table(table, score_col, group_col, pos, neg [, n])",
+      exprs, 5, 6)
+    val v = litStr("lift_table", "score_col", exprs(1))
+    val g = litStr("lift_table", "group_col", exprs(2))
+    val df = namedTable("lift_table",
+      litStr("lift_table", "table", exprs(0)), Seq(v, g))
+    val nD = if (exprs.length > 5)
+      litDouble("lift_table", "n", exprs(5)).toInt else 10
+    graft.operators.HypothesisOps.liftTable(df, v, g,
+      litStr("lift_table", "pos", exprs(3)),
+      litStr("lift_table", "neg", exprs(4)), nD)
       .queryExecution.analyzed
   }
 

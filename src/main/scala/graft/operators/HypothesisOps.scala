@@ -197,6 +197,54 @@ object HypothesisOps {
       when(ok, r6(na * nb / (na + nb) * e)).as("t_stat"))
   }
 
+  /** Decile lift / cumulative-gains table — the campaign-targeting
+    * report next to [[thresholdSweep]]'s operating points: rank by
+    * score DESCENDING, cut into `nD` equal-population bins, and per
+    * bin report size, positives, response rate, lift vs the base
+    * rate, and the cumulative gain ("the top 20% of scores capture
+    * X% of all positives"). Bins come arithmetically off the
+    * ascending [[cumCounts]] spine — a distinct value's bin is the
+    * bin of its FIRST row in descending order,
+    * floor(nD·(N − pooledCum)/N) + 1 in exact integer division — so
+    * there is no sort, no ntile, and no row-level nondeterminism
+    * under ties (a tied block spanning a boundary lands whole in its
+    * top bin; a bin a giant tie swallows entirely emits no row —
+    * both engines agree). One spine fold, one ≤nD-row group, one
+    * bounded ≤nD-row cumulative window. */
+  def liftTable(df: DataFrame, scoreCol: String, groupCol: String,
+      posVal: String, negVal: String, nD: Int = 10): DataFrame =
+    liftFromCum(cumCounts(df, scoreCol, groupCol, posVal, negVal), nD)
+
+  private[graft] def liftFromCum(cum: DataFrame, nD: Int = 10)
+      : DataFrame = {
+    require(nD >= 2 && nD <= 1000, s"nD must be in [2, 1000]; got $nD")
+    val tot = cum.agg(sum("na").as("npt"), sum("nb").as("nnt"))
+    val per = cum.crossJoin(broadcast(tot))
+      .withColumn("decile", expr(
+        s"CAST((npt + nnt - ca - cb) * $nD DIV (npt + nnt) AS INT) + 1"))
+      .groupBy("decile")
+      .agg(sum(col("na") + col("nb")).as("n"), sum("na").as("n_pos"),
+        min("npt").as("npt"), min(col("npt") + col("nnt")).as("nt"))
+    val wCum = Window.partitionBy(BoundedWindow.key(col("decile")))
+      .orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val overall = col("npt").cast("double") / col("nt").cast("double")
+    val resp = col("n_pos").cast("double") / col("n").cast("double")
+    per
+      .withColumn("cum_n", sum("n").over(wCum))
+      .withColumn("cum_pos", sum("n_pos").over(wCum))
+      .select(col("decile"), col("n"), col("n_pos"),
+        r6(resp).as("resp_rate"),
+        r6(when(col("npt") > 0, resp / overall)).as("lift"),
+        r6(when(col("npt") > 0,
+          col("cum_pos").cast("double") / col("npt").cast("double")))
+          .as("cum_gain"),
+        r6(when(col("npt") > 0,
+          col("cum_pos").cast("double") / col("cum_n").cast("double")
+            / overall)).as("cum_lift"))
+      .orderBy("decile")
+  }
+
   /** Mann–Whitney U (two-sided normal approximation, tie-corrected):
     * U = Ra − nA(nA+1)/2 where Ra sums group A's AVERAGE ranks;
     * doubled ranks 2·rank(v) = 2·C(<v) + c(v) + 1 keep everything
@@ -1074,6 +1122,56 @@ object HypothesisOps {
                        * 1000000.0)/1000000.0 AS t_stat
               FROM e"""),
       (s, d) => energyFromCum(ordersSpine(s, d))),
+
+    // Which slice of the score ranking actually captures the
+    // positives — the decile gains table campaign targeting reads.
+    Query(
+      "q_lift_table",
+      Some("""WITH s AS (
+                SELECT o_totalprice AS v,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS isa
+                FROM orders WHERE o_orderstatus IN ('F', 'O')),
+              g AS (SELECT v, sum(isa) AS na, sum(1 - isa) AS nb
+                    FROM s GROUP BY 1),
+              c AS (SELECT v, na, nb,
+                      sum(na) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS ca,
+                      sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS cb
+                    FROM g),
+              t AS (SELECT sum(na) AS npt, sum(nb) AS nnt FROM g),
+              d AS (SELECT CAST((npt + nnt - ca - cb) * 10
+                        // (npt + nnt) AS INT) + 1 AS decile,
+                      na, nb, npt, npt + nnt AS nt
+                    FROM c CROSS JOIN t),
+              per AS (SELECT decile, sum(na + nb) AS n,
+                        sum(na) AS n_pos, min(npt) AS npt,
+                        min(nt) AS nt
+                      FROM d GROUP BY 1),
+              w AS (SELECT decile, n, n_pos, npt, nt,
+                      sum(n) OVER (ORDER BY decile ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+                      sum(n_pos) OVER (ORDER BY decile ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+                    FROM per)
+              SELECT decile, CAST(n AS BIGINT) AS n,
+                     CAST(n_pos AS BIGINT) AS n_pos,
+                     round(CAST(n_pos AS DOUBLE) / n
+                       * 1000000.0)/1000000.0 AS resp_rate,
+                     round(CASE WHEN npt > 0 THEN
+                         (CAST(n_pos AS DOUBLE) / n)
+                           / (CAST(npt AS DOUBLE) / nt) END
+                       * 1000000.0)/1000000.0 AS lift,
+                     round(CASE WHEN npt > 0 THEN
+                         CAST(cum_pos AS DOUBLE) / npt END
+                       * 1000000.0)/1000000.0 AS cum_gain,
+                     round(CASE WHEN npt > 0 THEN
+                         CAST(cum_pos AS DOUBLE) / cum_n
+                           / (CAST(npt AS DOUBLE) / nt) END
+                       * 1000000.0)/1000000.0 AS cum_lift
+              FROM w ORDER BY decile"""),
+      (s, d) => liftFromCum(ordersSpine(s, d))),
 
     // The first test a real user runs on "did the metric move":
     // Welch's t on the two groups' totals, unequal variances assumed.

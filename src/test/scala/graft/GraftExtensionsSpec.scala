@@ -1082,6 +1082,10 @@ class GraftExtensionsSpec extends SparkSpec {
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.energyDistance(ord, "o_totalprice",
         "o_orderstatus", "F", "O"))
+    assertParity(s2, "SELECT * FROM lift_table('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus', 'F', 'O', 5)",
+      HypothesisOps.liftTable(ord, "o_totalprice", "o_orderstatus",
+        "F", "O", 5))
     assertParity(s2, "SELECT * FROM auc('ht_orders', " +
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.auc(ord, "o_totalprice", "o_orderstatus",

@@ -143,6 +143,51 @@ class HypothesisOpsSpec extends SparkSpec {
     assert(p.getAs[Double]("e_dist") === 14.0)
   }
 
+  // -- liftTable -------------------------------------------------------
+
+  test("liftTable: perfect separation puts every positive in the top " +
+    "bin at lift 1/rate, giant tie collapses to one bin, and a random " +
+    "tied fixture matches the documented arithmetic binning") {
+    // 100 positives score above 400 negatives; nD=5 => bins of 100
+    val sep = ((1 to 100).map(i => ("P", 1000.0 + i)) ++
+      (1 to 400).map(i => ("N", i.toDouble))).toDF("g", "v")
+    val rows = HypothesisOps.liftTable(sep, "v", "g", "P", "N", 5)
+      .collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq === Seq(1, 2, 3, 4, 5))
+    assert(rows(0).getAs[Long]("n_pos") === 100L)
+    assert(rows(0).getAs[Double]("resp_rate") === 1.0)
+    assert(rows(0).getAs[Double]("lift") === 5.0)
+    assert(rows(0).getAs[Double]("cum_gain") === 1.0)
+    assert(rows.drop(1).forall(_.getAs[Long]("n_pos") == 0L))
+    assert(rows(4).getAs[Double]("cum_lift") === 1.0)
+    // one giant tie: a single bin holding everything
+    val tie = ((1 to 30).map(_ => ("P", 5.0)) ++
+      (1 to 70).map(_ => ("N", 5.0))).toDF("g", "v")
+    val t = HypothesisOps.liftTable(tie, "v", "g", "P", "N", 10)
+      .collect()
+    assert(t.length === 1 && t(0).getAs[Int]("decile") === 1)
+    assert(t(0).getAs[Long]("n") === 100L)
+    assert(t(0).getAs[Double]("cum_gain") === 1.0)
+    // random tied fixture vs brute-force arithmetic binning
+    val rnd = new scala.util.Random(37)
+    val xs = Seq.fill(500)(
+      (if (rnd.nextBoolean()) "P" else "N", rnd.nextInt(40).toDouble))
+    val n = xs.size
+    val byV = xs.groupBy(_._2).toSeq.sortBy(_._1)
+    val cums = byV.scanLeft(0)((acc, g) => acc + g._2.size).tail
+    val brute = byV.zip(cums).groupBy { case ((_, _), cum) =>
+      ((n - cum).toLong * 10 / n).toInt + 1
+    }.map { case (d, gs) =>
+      (d, gs.map(_._1._2.size).sum.toLong,
+        gs.map(_._1._2.count(_._1 == "P")).sum.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = HypothesisOps.liftTable(xs.toDF("g", "v"), "v", "g",
+      "P", "N", 10).collect()
+      .map(r => (r.getAs[Int]("decile"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_pos"))).toSeq
+    assert(got === brute)
+  }
+
   // -- mannWhitney ---------------------------------------------------
 
   private def bruteU(a: Seq[Double], b: Seq[Double]): Double = {
