@@ -591,7 +591,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "wasserstein" -> GraftExtensions.wassersteinPlan _,
       "cvm_test" -> GraftExtensions.cvmTestPlan _,
       "energy_distance" -> GraftExtensions.energyDistancePlan _,
-      "lift_table" -> GraftExtensions.liftTablePlan _)
+      "lift_table" -> GraftExtensions.liftTablePlan _,
+      "cuped" -> GraftExtensions.cupedPlan _,
+      "delta_method" -> GraftExtensions.deltaMethodPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2384,6 +2386,37 @@ object GraftExtensions {
     graft.operators.HypothesisOps.liftTable(df, v, g,
       litStr("lift_table", "pos", exprs(3)),
       litStr("lift_table", "neg", exprs(4)), nD)
+      .queryExecution.analyzed
+  }
+
+  /** `cuped(table, arm_col, pre_col, post_col)` — CUPED variance-
+    * reduced A/B readout over a per-unit (arm, pre, post) table
+    * ([[graft.operators.StatsOps.cuped]]). Returns `(arm, n,
+    * mean_raw, mean_adj, theta, var_raw, var_adj, var_reduction)`. */
+  private[graft] def cupedPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("cuped(table, arm_col, pre_col, post_col)", exprs, 4, 4)
+    val a = litStr("cuped", "arm_col", exprs(1))
+    val x = litStr("cuped", "pre_col", exprs(2))
+    val y = litStr("cuped", "post_col", exprs(3))
+    val df = namedTable("cuped", litStr("cuped", "table", exprs(0)),
+      Seq(a, x, y))
+    graft.operators.StatsOps.cuped(df, a, x, y)
+      .queryExecution.analyzed
+  }
+
+  /** `delta_method(table, arm_col, num_col, den_col)` — ratio-metric
+    * delta-method CI over a per-unit (arm, num, den) table
+    * ([[graft.operators.StatsOps.deltaMethod]]). Returns
+    * `(arm, n, ratio, se, ci_lo, ci_hi)`. */
+  private[graft] def deltaMethodPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("delta_method(table, arm_col, num_col, den_col)", exprs, 4, 4)
+    val a = litStr("delta_method", "arm_col", exprs(1))
+    val y = litStr("delta_method", "num_col", exprs(2))
+    val x = litStr("delta_method", "den_col", exprs(3))
+    val df = namedTable("delta_method",
+      litStr("delta_method", "table", exprs(0)), Seq(a, y, x))
+    graft.operators.StatsOps.deltaMethod(df, a, y, x)
       .queryExecution.analyzed
   }
 

@@ -1052,7 +1052,7 @@ class GraftExtensionsSpec extends SparkSpec {
     "spearman, corr_matrix, fd_profile, candidate_keys, psi, hhi, " +
     "iqr_outliers) agree with the Scala API") {
     import graft.operators.{HypothesisOps, ProfileOps, StatsOps}
-    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.functions.{col, dayofmonth, expr}
     val s2 = spark.newSession()
     val ord = graft.sources.Tables.orders(s2, sfDir)
     val li = graft.sources.Tables.lineitem(s2, sfDir)
@@ -1086,6 +1086,16 @@ class GraftExtensionsSpec extends SparkSpec {
       "'o_totalprice', 'o_orderstatus', 'F', 'O', 5)",
       HypothesisOps.liftTable(ord, "o_totalprice", "o_orderstatus",
         "F", "O", 5))
+    val abOrd = graft.sources.Tables.orders(s2, sfDir)
+      .select(col("o_orderpriority").as("arm"),
+        col("o_totalprice").as("post"),
+        dayofmonth(col("o_orderdate")).as("pre"))
+    abOrd.createOrReplaceTempView("ht_ab")
+    assertParity(s2, "SELECT * FROM cuped('ht_ab', 'arm', 'pre', " +
+      "'post')", StatsOps.cuped(abOrd, "arm", "pre", "post"))
+    assertParity(s2, "SELECT * FROM delta_method('ht_ab', 'arm', " +
+      "'post', 'pre')", StatsOps.deltaMethod(abOrd, "arm", "post",
+        "pre"))
     assertParity(s2, "SELECT * FROM auc('ht_orders', " +
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.auc(ord, "o_totalprice", "o_orderstatus",

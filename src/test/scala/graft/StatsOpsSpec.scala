@@ -228,6 +228,100 @@ class StatsOpsSpec extends SparkSpec {
 
   // -- bootstrap CI --------------------------------------------------
 
+  test("cuped: constant pre leaves the readout unadjusted, a perfect " +
+    "linear pre-post link drives var_adj to ~0, and a random fixture " +
+    "matches the brute-force pooled-theta computation") {
+    def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+    // constant pre: var_x = 0 => theta = 0, adjusted == raw
+    val const = (1 to 100).map(i =>
+      (if (i % 2 == 0) "A" else "B", 5.0, 10.0 + i)).toDF("arm", "pre", "post")
+    StatsOps.cuped(const, "arm", "pre", "post").collect().foreach { r =>
+      assert(r.getAs[Double]("theta") === 0.0)
+      assert(r.getAs[Double]("mean_adj") === r.getAs[Double]("mean_raw"))
+      assert(r.getAs[Double]("var_adj") === r.getAs[Double]("var_raw"))
+      assert(r.getAs[Double]("var_reduction") === 0.0)
+    }
+    // post = 2*pre exactly: pooled theta = 2, residual variance 0
+    val rnd = new scala.util.Random(41)
+    val lin = (1 to 200).map { i =>
+      val p = rnd.nextInt(50).toDouble
+      (if (i % 2 == 0) "A" else "B", p, 2.0 * p)
+    }.toDF("arm", "pre", "post")
+    StatsOps.cuped(lin, "arm", "pre", "post").collect().foreach { r =>
+      assert(r.getAs[Double]("theta") === 2.0)
+      assert(math.abs(r.getAs[Double]("var_adj")) < 1e-6)
+      assert(r.getAs[Double]("var_reduction") === 1.0)
+    }
+    // random fixture vs brute force
+    val xs = (1 to 300).map { i =>
+      val p = rnd.nextInt(40).toDouble
+      (if (rnd.nextBoolean()) "A" else "B", p,
+        p * 1.5 + rnd.nextInt(20))
+    }
+    val n = xs.size.toDouble
+    val (sx, sy) = (xs.map(_._2).sum, xs.map(_._3).sum)
+    val sxx = xs.map(v => v._2 * v._2).sum
+    val sxy = xs.map(v => v._2 * v._3).sum
+    val theta = ((sxy - sx * sy / n) / (n - 1)) /
+      ((sxx - sx * sx / n) / (n - 1))
+    val muX = sx / n
+    val got = StatsOps.cuped(xs.toDF("arm", "pre", "post"),
+      "arm", "pre", "post").collect()
+    got.foreach { r =>
+      val arm = r.getAs[String]("arm")
+      val g = xs.filter(_._1 == arm)
+      val gn = g.size.toDouble
+      val mY = g.map(_._3).sum / gn; val mX = g.map(_._2).sum / gn
+      assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-5)
+      assert(math.abs(r.getAs[Double]("mean_adj") -
+        (mY - theta * (mX - muX))) < 1e-4)
+      val vy = g.map(v => math.pow(v._3 - mY, 2)).sum / (gn - 1)
+      val vx = g.map(v => math.pow(v._2 - mX, 2)).sum / (gn - 1)
+      val cv = g.map(v => (v._2 - mX) * (v._3 - mY)).sum / (gn - 1)
+      val vAdj = vy - 2 * theta * cv + theta * theta * vx
+      assert(math.abs(r.getAs[Double]("var_adj") - vAdj) < 1e-3)
+    }
+  }
+
+  test("deltaMethod: an exactly-proportional num/den gives se = 0 at " +
+    "the exact ratio, and a random fixture matches the brute-force " +
+    "delta variance") {
+    // num = 3*den per unit: ratio 3, delta variance exactly 0
+    val rnd = new scala.util.Random(43)
+    val prop = (1 to 150).map { i =>
+      val d = 1.0 + rnd.nextInt(9)
+      (if (i % 2 == 0) "A" else "B", 3.0 * d, d)
+    }.toDF("arm", "num", "den")
+    StatsOps.deltaMethod(prop, "arm", "num", "den").collect()
+      .foreach { r =>
+        assert(r.getAs[Double]("ratio") === 3.0)
+        assert(r.getAs[Double]("se") === 0.0)
+        assert(r.getAs[Double]("ci_lo") === 3.0)
+        assert(r.getAs[Double]("ci_hi") === 3.0)
+      }
+    // random fixture vs brute force
+    val xs = (1 to 400).map { _ =>
+      (if (rnd.nextBoolean()) "A" else "B",
+        rnd.nextInt(100).toDouble, 1.0 + rnd.nextInt(9))
+    }
+    val got = StatsOps.deltaMethod(xs.toDF("arm", "num", "den"),
+      "arm", "num", "den").collect()
+    got.foreach { r =>
+      val g = xs.filter(_._1 == r.getAs[String]("arm"))
+      val n = g.size.toDouble
+      val (sy, sx) = (g.map(_._2).sum, g.map(_._3).sum)
+      val ratio = sy / sx; val mx = sx / n
+      val my = sy / n
+      val vy = g.map(v => math.pow(v._2 - my, 2)).sum / (n - 1)
+      val vx = g.map(v => math.pow(v._3 - mx, 2)).sum / (n - 1)
+      val cxy = g.map(v => (v._3 - mx) * (v._2 - my)).sum / (n - 1)
+      val se = math.sqrt(
+        (vy - 2 * ratio * cxy + ratio * ratio * vx) / (n * mx * mx))
+      assert(math.abs(r.getAs[Double]("ratio") - ratio) < 1e-6)
+      assert(math.abs(r.getAs[Double]("se") - se) < 1e-5)
+    }
+  }
+
   test("bootstrapCi: the interval brackets the sample mean, narrows " +
     "roughly as 1/sqrt(n), and is repartition-deterministic") {
     import org.apache.spark.sql.DataFrame
