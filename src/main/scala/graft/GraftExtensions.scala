@@ -593,7 +593,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "energy_distance" -> GraftExtensions.energyDistancePlan _,
       "lift_table" -> GraftExtensions.liftTablePlan _,
       "cuped" -> GraftExtensions.cupedPlan _,
-      "delta_method" -> GraftExtensions.deltaMethodPlan _)
+      "delta_method" -> GraftExtensions.deltaMethodPlan _,
+      "fdr_bh" -> GraftExtensions.fdrBhPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2417,6 +2418,22 @@ object GraftExtensions {
     val df = namedTable("delta_method",
       litStr("delta_method", "table", exprs(0)), Seq(a, y, x))
     graft.operators.StatsOps.deltaMethod(df, a, y, x)
+      .queryExecution.analyzed
+  }
+
+  /** `fdr_bh(table, key_col, p_col [, alpha])` — Benjamini–Hochberg
+    * step-up FDR adjustment over a (key, p-value) table
+    * ([[graft.operators.HypothesisOps.fdrBh]]). Returns
+    * `(key, p_value, rank, q_value, rejected)`. */
+  private[graft] def fdrBhPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("fdr_bh(table, key_col, p_col [, alpha])", exprs, 3, 4)
+    val k = litStr("fdr_bh", "key_col", exprs(1))
+    val p = litStr("fdr_bh", "p_col", exprs(2))
+    val df = namedTable("fdr_bh", litStr("fdr_bh", "table", exprs(0)),
+      Seq(k, p))
+    val alpha = if (exprs.length > 3)
+      litDouble("fdr_bh", "alpha", exprs(3)) else 0.05
+    graft.operators.HypothesisOps.fdrBh(df, k, p, alpha)
       .queryExecution.analyzed
   }
 

@@ -245,6 +245,65 @@ object HypothesisOps {
       .orderBy("decile")
   }
 
+  /** Two-sided normal p-value 2·(1 − Φ(|z|)) via the Abramowitz &
+    * Stegun 26.2.17 polynomial (|ε| < 7.5e-8 — four decimals beyond
+    * the 6-dp render). Spelled with the IDENTICAL constant list and
+    * operand order as [[sqlTwoSidedNormalP]], so both engines compute
+    * the same doubles; the only transcendental is exp, the same
+    * cross-engine dependency q_ks_test's p-value already carries. */
+  private[graft] def twoSidedNormalP(z: Column): Column = {
+    val ax = abs(z)
+    val k = lit(1.0) / (lit(1.0) + lit(0.2316419) * ax)
+    val poly = ((((lit(1.330274429) * k - lit(1.821255978)) * k +
+      lit(1.781477937)) * k - lit(0.356563782)) * k +
+      lit(0.319381530)) * k
+    least(lit(1.0),
+      exp(lit(-0.5) * ax * ax) / lit(2.5066282746310002) * poly * 2)
+  }
+
+  /** The oracle's spelling of [[twoSidedNormalP]] — identical
+    * constants and operand order over a SQL expression for z. */
+  private[graft] def sqlTwoSidedNormalP(z: String): String =
+    s"""least(1.0, exp(-0.5 * abs($z) * abs($z)) / 2.5066282746310002
+        * (((((1.330274429 * (1.0 / (1.0 + 0.2316419 * abs($z)))
+              - 1.821255978) * (1.0 / (1.0 + 0.2316419 * abs($z)))
+              + 1.781477937) * (1.0 / (1.0 + 0.2316419 * abs($z)))
+              - 0.356563782) * (1.0 / (1.0 + 0.2316419 * abs($z)))
+              + 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs($z))))
+        * 2)"""
+
+  /** Benjamini–Hochberg FDR adjustment over a (key, p-value) table —
+    * the multiple-testing step every per-feature/per-slice screen
+    * needs before anyone acts on "47 of my 2000 features are
+    * significant at 0.05" (at α = 0.05, ~100 of 2000 TRUE NULLS pass
+    * unadjusted). Step-up q-values: rank p ascending (ties broken by
+    * key — deterministic both engines), qᵢ = min_{j≥i}(p_j·m/j)
+    * capped at 1; reject where q ≤ α.
+    *
+    * Scale: the input is one row per HYPOTHESIS (features, slices,
+    * experiment arms — thousands, not corpus rows), so the rank and
+    * reverse running-min windows run on a declared-bounded table
+    * (the thresholdSweep stance); the corpus-scale work happened
+    * upstream in whatever produced the p-values. */
+  def fdrBh(df: DataFrame, keyCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    val m = df.agg(count(lit(1)).as("__m"))
+    val wRank = Window.partitionBy(BoundedWindow.key(col("p_value")))
+      .orderBy(col("p_value"), col(keyCol))
+    val wMin = Window.partitionBy(BoundedWindow.key(col("p_value")))
+      .orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), col(pCol).cast("double").as("p_value"))
+      .crossJoin(broadcast(m))
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("q_value", least(lit(1.0),
+        min(col("p_value") * col("__m") / col("rank")).over(wMin)))
+      .select(col(keyCol), r6(col("p_value")).as("p_value"),
+        col("rank"), r6(col("q_value")).as("q_value"),
+        (col("q_value") <= alpha).as("rejected"))
+      .orderBy("rank")
+  }
+
   /** Mann–Whitney U (two-sided normal approximation, tie-corrected):
     * U = Ra − nA(nA+1)/2 where Ra sums group A's AVERAGE ranks;
     * doubled ranks 2·rank(v) = 2·C(<v) + c(v) + 1 keep everything
@@ -1172,6 +1231,81 @@ object HypothesisOps {
                        * 1000000.0)/1000000.0 AS cum_lift
               FROM w ORDER BY decile"""),
       (s, d) => liftFromCum(ordersSpine(s, d))),
+
+    // 25 simultaneous nation-vs-rest balance tests: which nations
+    // survive the multiple-testing correction, not just raw p < 0.05.
+    Query(
+      "q_fdr_bh",
+      Some(s"""WITH per AS (
+                 SELECT n.n_name AS nation, count(*) AS n,
+                        sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS sx,
+                        sum(CAST(CAST(c.c_acctbal AS DOUBLE)
+                            * CAST(c.c_acctbal AS DOUBLE)
+                          AS DECIMAL(38,12))) AS sxx
+                 FROM customer c JOIN nation n
+                   ON c.c_nationkey = n.n_nationkey
+                 GROUP BY 1),
+               t AS (SELECT sum(n) AS nt, sum(sx) AS tsx,
+                            sum(sxx) AS tsxx
+                     FROM per),
+               zt AS (
+                 SELECT nation,
+                        (CAST(sx AS DOUBLE) / n
+                          - CAST(tsx - sx AS DOUBLE) / (nt - n))
+                        / sqrt(((CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                              / n) / (n - 1)) / n
+                          + ((CAST(tsxx - sxx AS DOUBLE)
+                            - CAST(tsx - sx AS DOUBLE)
+                              * CAST(tsx - sx AS DOUBLE) / (nt - n))
+                            / (nt - n - 1)) / (nt - n)) AS z
+                 FROM per CROSS JOIN t),
+               pt AS (SELECT nation,
+                        ${sqlTwoSidedNormalP("z")} AS p
+                      FROM zt),
+               mt AS (SELECT count(*) AS m FROM pt),
+               rk AS (SELECT nation, p,
+                        row_number() OVER (ORDER BY p, nation) AS rank
+                      FROM pt),
+               qv AS (SELECT nation, p, rank,
+                        least(1.0, min(p * m / rank)
+                          OVER (ORDER BY rank DESC ROWS BETWEEN
+                            UNBOUNDED PRECEDING AND CURRENT ROW))
+                          AS q
+                      FROM rk CROSS JOIN mt)
+               SELECT nation,
+                      round(p * 1000000.0)/1000000.0 AS p_value,
+                      rank,
+                      round(q * 1000000.0)/1000000.0 AS q_value,
+                      q <= 0.05 AS rejected
+               FROM qv ORDER BY rank"""),
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec2 = DecimalType(18, 2)
+        val dec12 = DecimalType(38, 12)
+        val x = col("c_acctbal").cast("double")
+        val per = Tables.customer(s, d).join(Tables.nation(s, d),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("c_acctbal").cast(dec2)).as("sx"),
+            sum((x * x).cast(dec12)).as("sxx"))
+        val t = per.agg(sum("n").as("nt"), sum("sx").as("tsx"),
+          sum("sxx").as("tsxx"))
+        def dd(c: Column): Column = c.cast("double")
+        val n1 = col("n").cast("double")
+        val n2 = (col("nt") - col("n")).cast("double")
+        val z = (dd(col("sx")) / n1 -
+            dd(col("tsx") - col("sx")) / n2) /
+          sqrt(((dd(col("sxx")) - dd(col("sx")) * dd(col("sx")) / n1)
+              / (n1 - 1)) / n1 +
+            ((dd(col("tsxx") - col("sxx")) -
+              dd(col("tsx") - col("sx")) * dd(col("tsx") - col("sx"))
+                / n2) / (n2 - 1)) / n2)
+        val pt = per.crossJoin(broadcast(t))
+          .select(col("nation"), twoSidedNormalP(z).as("p"))
+        fdrBh(pt, "nation", "p")
+      }),
 
     // The first test a real user runs on "did the metric move":
     // Welch's t on the two groups' totals, unequal variances assumed.

@@ -1096,6 +1096,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assertParity(s2, "SELECT * FROM delta_method('ht_ab', 'arm', " +
       "'post', 'pre')", StatsOps.deltaMethod(abOrd, "arm", "post",
         "pre"))
+    val pTab = graft.sources.Tables.nation(s2, sfDir)
+      .select(col("n_name").as("k"),
+        ((col("n_nationkey") + 1).cast("double") / 50.0).as("p"))
+    pTab.createOrReplaceTempView("ht_pvals")
+    assertParity(s2, "SELECT * FROM fdr_bh('ht_pvals', 'k', 'p', " +
+      "0.2)", HypothesisOps.fdrBh(pTab, "k", "p", 0.2))
     assertParity(s2, "SELECT * FROM auc('ht_orders', " +
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.auc(ord, "o_totalprice", "o_orderstatus",

@@ -188,6 +188,66 @@ class HypothesisOpsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  // -- fdrBh / twoSidedNormalP ------------------------------------------
+
+  test("fdrBh matches the brute-force step-up q-values, rejects " +
+    "nothing on uniform-null p-values at tight alpha, everything on " +
+    "all-tiny p-values, and caps q at 1") {
+    def bruteQ(ps: Seq[Double]): Seq[Double] = {
+      val m = ps.size
+      val sorted = ps.sorted.zipWithIndex
+        .map { case (p, i) => p * m / (i + 1) }
+      // running min from the largest rank down, capped at 1
+      sorted.scanRight(Double.MaxValue)(math.min).init.map(math.min(_, 1.0))
+    }
+    val rnd = new scala.util.Random(47)
+    val ps = Seq.fill(40)(rnd.nextDouble())
+    val df = ps.zipWithIndex.map { case (p, i) => (s"h$i", p) }
+      .toDF("k", "p")
+    val got = HypothesisOps.fdrBh(df, "k", "p", 0.1).collect()
+    val expected = bruteQ(ps).map(q => math.round(q * 1e6) / 1e6)
+    assert(got.map(_.getAs[Double]("q_value")).toSeq === expected)
+    assert(got.map(_.getAs[Int]("rank")).toSeq === (1 to 40))
+    // monotone non-decreasing in rank
+    val qs = got.map(_.getAs[Double]("q_value"))
+    assert(qs.zip(qs.tail).forall { case (a, b) => a <= b })
+    // all-tiny: everything rejected; q capped at 1 on p = 1 rows
+    val tiny = (1 to 10).map(i => (s"t$i", 1e-8)).toDF("k", "p")
+    assert(HypothesisOps.fdrBh(tiny, "k", "p").collect()
+      .forall(_.getAs[Boolean]("rejected")))
+    val ones = (1 to 5).map(i => (s"o$i", 1.0)).toDF("k", "p")
+    assert(HypothesisOps.fdrBh(ones, "k", "p").collect()
+      .forall(r => r.getAs[Double]("q_value") == 1.0 &&
+        !r.getAs[Boolean]("rejected")))
+  }
+
+  test("twoSidedNormalP tracks the exact two-sided normal p within " +
+    "1e-6 across the z range and is symmetric in the sign of z") {
+    import org.apache.spark.sql.functions.col
+    def exactP(z: Double): Double = {
+      // 2*(1-Phi(|z|)) via erfc with a high-precision series
+      val x = math.abs(z) / math.sqrt(2.0)
+      // Numerical Recipes erfc approximation (|eps| < 1.2e-7)
+      val t = 1.0 / (1.0 + 0.5 * x)
+      val e = t * math.exp(-x * x - 1.26551223 + t * (1.00002368 +
+        t * (0.37409196 + t * (0.09678418 + t * (-0.18628806 +
+        t * (0.27886807 + t * (-1.13520398 + t * (1.48851587 +
+        t * (-0.82215223 + t * 0.17087277)))))))))
+      e
+    }
+    val zs = Seq(-3.5, -2.0, -1.0, -0.5, 0.0, 0.1, 0.5, 1.0, 1.645,
+      1.96, 2.0, 2.5, 3.0, 4.0)
+    val got = zs.toDF("z")
+      .select(col("z"), HypothesisOps.twoSidedNormalP(col("z")).as("p"))
+      .collect().map(r => r.getAs[Double]("z") -> r.getAs[Double]("p"))
+      .toMap
+    zs.foreach { z =>
+      assert(math.abs(got(z) - exactP(z)) < 1e-6, s"z=$z")
+    }
+    assert(got(-2.0) === got(2.0) || math.abs(got(-2.0) -
+      exactP(2.0)) < 1e-9)
+  }
+
   // -- mannWhitney ---------------------------------------------------
 
   private def bruteU(a: Seq[Double], b: Seq[Double]): Double = {
