@@ -594,7 +594,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "lift_table" -> GraftExtensions.liftTablePlan _,
       "cuped" -> GraftExtensions.cupedPlan _,
       "delta_method" -> GraftExtensions.deltaMethodPlan _,
-      "fdr_bh" -> GraftExtensions.fdrBhPlan _)
+      "fdr_bh" -> GraftExtensions.fdrBhPlan _,
+      "setsim_join" -> GraftExtensions.setSimJoinPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2434,6 +2435,26 @@ object GraftExtensions {
     val alpha = if (exprs.length > 3)
       litDouble("fdr_bh", "alpha", exprs(3)) else 0.05
     graft.operators.HypothesisOps.fdrBh(df, k, p, alpha)
+      .queryExecution.analyzed
+  }
+
+  /** `setsim_join(table, id_col, text_col, threshold [, within_col])`
+    * — exact word-set Jaccard self-join by lossless prefix filtering
+    * ([[graft.operators.DedupOps.setSimJoin]]). Returns
+    * `(a_id, b_id, jacc)`. */
+  private[graft] def setSimJoinPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("setsim_join(table, id_col, text_col, threshold " +
+      "[, within_col])", exprs, 4, 5)
+    val id = litStr("setsim_join", "id_col", exprs(1))
+    val tx = litStr("setsim_join", "text_col", exprs(2))
+    val within = if (exprs.length > 4)
+      Some(litStr("setsim_join", "within_col", exprs(4))) else None
+    val df = namedTable("setsim_join",
+      litStr("setsim_join", "table", exprs(0)),
+      Seq(id, tx) ++ within)
+    graft.operators.DedupOps.setSimJoin(df, id, tx,
+      litDouble("setsim_join", "threshold", exprs(3)), within)
       .queryExecution.analyzed
   }
 

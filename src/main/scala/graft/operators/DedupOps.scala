@@ -707,6 +707,73 @@ object DedupOps {
     * the values agree). `withinCol` restricts pairing to equal values
     * of a partition column (e.g. language) — the natural blocking for
     * near-dup mining, and a |parts|-fold pair-count cut. */
+  /** EXACT word-set similarity self-join by PREFIX FILTERING (Bayardo
+    * et al. WWW'07 "Scaling Up All Pairs" / PPJoin's prefix
+    * principle): all pairs with token-set Jaccard ≥ `threshold`,
+    * without either the O(n²) nested loop OR [[ngramJaccardPairs]]'s
+    * B-blocked pair space. Every doc's distinct tokens are ordered by
+    * a GLOBAL rarest-first key (document frequency asc, token asc —
+    * any shared total order preserves the guarantee); if
+    * J(x,y) ≥ t, the sets must share a token within each one's first
+    * |x| − ⌈t·|x|⌉ + 1 tokens, so candidates come from an equi-join
+    * on PREFIX tokens only and the filter is LOSSLESS — exactness is
+    * restored by verifying every candidate's true Jaccard.
+    *
+    * Scale shape: one explode + one token-keyed df count, one
+    * per-doc bounded window (docs have bounded token counts — the
+    * bm25 stance) to rank tokens rarest-first, a prefix-token
+    * equi-join whose buckets are df(token)²-sized for PREFIX (rare)
+    * tokens only, a distinct on candidate id-pairs, then two keyed
+    * joins back to the token arrays for the exact verify. No
+    * cartesian, no block replication; the candidate count collapses
+    * toward the true-pair count as t rises. `withinCol` blocks
+    * pairing (language), cutting both the df table and the pair
+    * space. */
+  def setSimJoin(corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double,
+      withinCol: Option[String] = None): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1]; got $threshold")
+    val toks = corpus.select(col(idCol).as("doc_id"),
+      array_distinct(split(col(textCol), " ")).as("tk"),
+      withinCol.map(col).getOrElse(lit(0)).as("part"))
+      .withColumn("sz", size(col("tk")))
+    val ex = toks.select(col("doc_id"), col("part"), col("sz"),
+      explode(col("tk")).as("token"))
+    val dfTab = ex.groupBy("part", "token")
+      .agg(count(lit(1)).as("df"))
+    // rank each doc's tokens rarest-first; keep the lossless prefix
+    val wDoc = Window.partitionBy("doc_id").orderBy("df", "token")
+    val prefix = ex.join(dfTab, Seq("part", "token"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("doc_id"), col("part"), col("token"), col("sz"))
+    // PPJoin length filter: J ≥ t ⇒ |∩| ≥ t·|∪| ≥ t·max ⇒ the
+    // shorter set is ≥ t·(the longer) — prunes candidates BEFORE the
+    // distinct and the array-carrying verify joins, losslessly
+    val cand = prefix.select(col("doc_id").as("x_id"), col("part"),
+        col("token"), col("sz").as("szx"))
+      .join(prefix.select(col("doc_id").as("y_id"), col("part"),
+        col("token"), col("sz").as("szy")), Seq("part", "token"))
+      .filter(col("x_id") < col("y_id") &&
+        greatest(col("szx"), col("szy")).cast("double") * threshold <=
+          least(col("szx"), col("szy")).cast("double"))
+      .select("x_id", "y_id").distinct()
+    val a = toks.select(col("doc_id").as("x_id"), col("tk").as("tka"))
+    val b = toks.select(col("doc_id").as("y_id"), col("tk").as("tkb"))
+    val inter = size(array_intersect(col("tka"), col("tkb")))
+      .cast("double")
+    val jacc = round(inter / (size(col("tka")) + size(col("tkb")) -
+      inter), 6)
+    cand.join(a, "x_id").join(b, "y_id")
+      .withColumn("jacc", jacc)
+      .filter(col("jacc") >= threshold)
+      .select(col("x_id").as("a_id"), col("y_id").as("b_id"),
+        col("jacc"))
+      .orderBy("a_id", "b_id")
+  }
+
   def ngramJaccardPairs(corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3,
       withinCol: Option[String] = None): DataFrame = {
@@ -1107,6 +1174,32 @@ object DedupOps {
               ORDER BY a_id, b_id"""),
       (s, d) => ngramJaccardPairs(Tables.documents(s, d),
         "doc_id", "text", threshold = 0.3, withinCol = Some("lang"))),
+
+    // Same question as q_ngram_jaccard on word SETS, answered by the
+    // lossless prefix filter instead of the B-blocked pair space —
+    // the AllPairs/PPJoin shape that stays linear-ish as t rises.
+    Query(
+      "q_setsim_join",
+      Some("""WITH d AS (
+                SELECT doc_id, lang,
+                       list_distinct(string_split(text, ' ')) AS tk
+                FROM documents)
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                     round(CAST(len(list_intersect(a.tk, b.tk))
+                         AS DOUBLE) /
+                       (len(a.tk) + len(b.tk)
+                         - len(list_intersect(a.tk, b.tk))),
+                       6) AS jacc
+              FROM d a JOIN d b
+                ON a.doc_id < b.doc_id AND a.lang = b.lang
+              WHERE round(CAST(len(list_intersect(a.tk, b.tk))
+                        AS DOUBLE) /
+                      (len(a.tk) + len(b.tk)
+                        - len(list_intersect(a.tk, b.tk))),
+                      6) >= 0.6
+              ORDER BY a_id, b_id"""),
+      (s, d) => setSimJoin(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.6, withinCol = Some("lang"))),
 
     // Asymmetric containment pairs at 0.8, language-blocked — catches
     // the short-doc-inside-long-doc shape Jaccard scores low.

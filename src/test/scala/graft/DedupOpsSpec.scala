@@ -116,6 +116,45 @@ class DedupOpsSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus should plant same-lang near-dup pairs")
   }
 
+  test("setSimJoin's prefix filter is lossless: pairs equal the " +
+    "brute-force word-set Jaccard join on the corpus and on a " +
+    "synthetic tied-df fixture; disjoint docs pair with nothing") {
+    // corpus: exact equality with the O(n^2) within-lang brute force
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("tk"))
+    val a = docs.select(col("doc_id").as("a_id"), col("lang").as("la"),
+      col("tk").as("tka"))
+    val b = docs.select(col("doc_id").as("b_id"), col("lang").as("lb"),
+      col("tk").as("tkb"))
+    val inter = size(array_intersect(col("tka"), col("tkb")))
+      .cast("double")
+    val brute = a.join(b,
+        col("a_id") < col("b_id") && col("la") === col("lb"))
+      .select(col("a_id"), col("b_id"),
+        round(inter / (size(col("tka")) + size(col("tkb")) - inter), 6)
+          .as("jacc"))
+      .filter(col("jacc") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val got = DedupOps.setSimJoin(Tables.documents(spark, sfDir),
+        "doc_id", "text", threshold = 0.6, withinCol = Some("lang"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got === brute)
+    assert(brute.nonEmpty, "corpus should plant qualifying pairs")
+    // synthetic: heavy df ties + an identical pair + a disjoint doc
+    import spark.implicits._
+    val syn = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), (3L, "a b c e"),
+      (4L, "x y z w"), (5L, "q r s t u v")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val s = DedupOps.setSimJoin(syn, "doc_id", "text", 0.6, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(s === Set((1L, 2L, 1.0), (1L, 3L, 0.6), (2L, 3L, 0.6)))
+  }
+
   test("1000-copy boilerplate corpus survives LSH: collapse, cap, re-attach") {
     import spark.implicits._
     // The web-scale degenerate case: a thousand byte-identical pages.

@@ -185,6 +185,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(pairsSql.collect().map(_.toSeq).toSet ===
       graft.operators.DedupOps.minhashPairs(docs, "doc_id", "text", 0.5)
         .collect().map(_.toSeq).toSet)
+    // setsim_join ≡ setSimJoin at the same threshold and blocking
+    val ssSql = s2.sql(
+      "SELECT * FROM setsim_join('docs_sql', 'doc_id', 'text', 0.7, " +
+        "'lang')")
+    assert(ssSql.columns.toSeq === Seq("a_id", "b_id", "jacc"))
+    assert(ssSql.collect().map(_.toSeq).toSet ===
+      graft.operators.DedupOps.setSimJoin(docs, "doc_id", "text", 0.7,
+        Some("lang")).collect().map(_.toSeq).toSet)
     // dedup_clusters ≡ nearDupClusters over the LSH edge set
     val clSql = s2.sql("SELECT * FROM dedup_clusters('docs_sql')")
     assert(clSql.columns.toSeq === Seq("doc_id", "cluster_id", "keeper"))

@@ -184,6 +184,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_setsim_join: prefix-token equi-join only — no cartesian, " +
+      "no nested loop, candidates distinct before the verify joins") {
+    // the AllPairs shape: a cartesian (or nested-loop) anywhere would
+    // be the O(n²) pair space the prefix filter exists to avoid; every
+    // join in the plan must be keyed (token/part candidates + the two
+    // id-keyed verify joins)
+    val p = plan(q("q_setsim_join"))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // candidate dedup runs BEFORE the array-carrying verify joins
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
   test("q_curation_funnel keeper flag is collapse-first — no Window " +
       "over the corpus") {
     // the exact-keeper flag must ride a groupBy-digest aggregate joined
