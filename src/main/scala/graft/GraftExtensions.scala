@@ -595,7 +595,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "cuped" -> GraftExtensions.cupedPlan _,
       "delta_method" -> GraftExtensions.deltaMethodPlan _,
       "fdr_bh" -> GraftExtensions.fdrBhPlan _,
-      "setsim_join" -> GraftExtensions.setSimJoinPlan _)
+      "setsim_join" -> GraftExtensions.setSimJoinPlan _,
+      "logit_fit" -> GraftExtensions.logitFitPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2455,6 +2456,23 @@ object GraftExtensions {
       Seq(id, tx) ++ within)
     graft.operators.DedupOps.setSimJoin(df, id, tx,
       litDouble("setsim_join", "threshold", exprs(3)), within)
+      .queryExecution.analyzed
+  }
+
+  /** `logit_fit(table, label_col, x1, x2 [, steps])` — fixed-step
+    * IRLS logistic regression with Wald SEs and mean deviance
+    * ([[graft.operators.FitOps.logitFit]]). Returns
+    * `(term_idx, term, beta, se, n, mean_deviance)`. */
+  private[graft] def logitFitPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("logit_fit(table, label_col, x1, x2 [, steps])", exprs, 4, 5)
+    val y = litStr("logit_fit", "label_col", exprs(1))
+    val x1 = litStr("logit_fit", "x1", exprs(2))
+    val x2 = litStr("logit_fit", "x2", exprs(3))
+    val df = namedTable("logit_fit",
+      litStr("logit_fit", "table", exprs(0)), Seq(y, x1, x2))
+    val steps = if (exprs.length > 4)
+      litDouble("logit_fit", "steps", exprs(4)).toInt else 8
+    graft.operators.FitOps.logitFit(df, y, Seq(x1, x2), steps)
       .queryExecution.analyzed
   }
 

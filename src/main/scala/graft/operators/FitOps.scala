@@ -141,6 +141,251 @@ object FitOps {
     g.select(inline_outer(array(terms: _*))).orderBy("term_idx")
   }
 
+  /** Logistic regression of a 0/1 label on TWO regressors (plus
+    * intercept) by FIXED-STEP IRLS/Newton — the classification
+    * counterpart of [[olsMulti]], and the propensity/CTR model every
+    * experimentation stack fits next to its A/B readouts. Each Newton
+    * step is ONE map-side-combined aggregate (gradient X'(y−μ) and
+    * Hessian X'WX, W = μ(1−μ): 9 sums, per-row values rounded into
+    * DECIMAL(38,12) with the identical operand order the oracle
+    * replays); the 3×3 solve runs Cramér's rule with one fixed
+    * formula, and the updated β rounds to 10 dp — so both engines'
+    * βs stay BIT-IDENTICAL step to step (any sub-1e-12 float noise a
+    * transcendental could introduce is absorbed by the rounding, the
+    * [[graft.operators.StatsOps.bootstrapCiMean]] derandomization
+    * stance). Exactly `steps` steps, no convergence check — a fixed,
+    * replayable computation, not an open-ended solver; `steps` = 8
+    * reaches the IRLS fixpoint to ~1e-9 on any non-separable fixture
+    * tested. A final pass at the converged β yields Wald standard
+    * errors (inverse-Hessian diagonal) and the mean deviance.
+    *
+    * Eager-execution contract (the [[olsSolveDriver]] deviation): the
+    * steps+1 aggregates run at DataFrame-construction time; each is a
+    * full scan with a 1-row combine — zero shuffle beyond the
+    * partial-merge, so the cost is steps+1 linear passes. At 100 TB
+    * you fit on a sample (the aggregate shape is unchanged); the
+    * output is a bounded 3-row literal table either way.
+    *
+    * Degenerate inputs (empty, single-class, collinear/constant
+    * regressors ⇒ |det| below 1e-12 of the Hessian scale) yield the
+    * NULL-beta row set, never a crash. */
+  def logitFit(df: DataFrame, yCol: String, xCols: Seq[String],
+      steps: Int = 8): DataFrame = {
+    require(xCols.size == 2,
+      s"logitFit fits exactly 2 regressors (+ intercept); got $xCols")
+    require(steps >= 1 && steps <= 32, s"steps in [1,32]; got $steps")
+    val spark = df.sparkSession
+    val dec12 = DecimalType(38, 12)
+    val x1 = col(xCols(0)).cast("double")
+    val x2 = col(xCols(1)).cast("double")
+    val yv = col(yCol).cast("double")
+    // one fixed 3×3 determinant formula, driver-side — textually the
+    // formula the generated oracle SQL replays
+    def det3(a: Double, b: Double, c: Double, p: Double, q: Double,
+        r: Double, u: Double, v: Double, w: Double): Double =
+      a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
+    def round10(x: Double): Double =
+      math.signum(x) * math.floor(math.abs(x) * 1e10 + 0.5) / 1e10
+    def pass(b0: Double, b1: Double, b2: Double, withDev: Boolean)
+        : org.apache.spark.sql.Row = {
+      val proj = df.select(x1.as("x1"), x2.as("x2"), yv.as("y"))
+        .withColumn("mu", lit(1.0) /
+          (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x1") +
+            lit(b2) * col("x2")))))
+        .withColumn("w", col("mu") * (lit(1.0) - col("mu")))
+        .withColumn("ym", col("y") - col("mu"))
+      val base = Seq(
+        count(lit(1)).as("n"),
+        sum(col("ym").cast(dec12)).as("g1"),
+        sum((col("x1") * col("ym")).cast(dec12)).as("g2"),
+        sum((col("x2") * col("ym")).cast(dec12)).as("g3"),
+        sum(col("w").cast(dec12)).as("h11"),
+        sum((col("x1") * col("w")).cast(dec12)).as("h12"),
+        sum((col("x2") * col("w")).cast(dec12)).as("h13"),
+        sum((col("x1") * col("x1") * col("w")).cast(dec12)).as("h22"),
+        sum((col("x1") * col("x2") * col("w")).cast(dec12)).as("h23"),
+        sum((col("x2") * col("x2") * col("w")).cast(dec12)).as("h33"))
+      val aggs = if (!withDev) base else base :+
+        sum((col("y") * log(greatest(lit(1e-15), col("mu"))) +
+          (lit(1.0) - col("y")) *
+            log(greatest(lit(1e-15), lit(1.0) - col("mu"))))
+          .cast(dec12)).as("sdev")
+      proj.agg(aggs.head, aggs.tail: _*).collect()(0)
+    }
+    def v(row: org.apache.spark.sql.Row, name: String): Double =
+      row.getDecimal(row.fieldIndex(name)).doubleValue()
+    var beta = Array(0.0, 0.0, 0.0)
+    var degenerate = false
+    var n = 0L
+    var step = 0
+    while (step < steps && !degenerate) {
+      val r = pass(beta(0), beta(1), beta(2), withDev = false)
+      n = r.getLong(r.fieldIndex("n"))
+      if (n == 0 || r.isNullAt(r.fieldIndex("g1"))) degenerate = true
+      else {
+        val (g1, g2, g3) = (v(r, "g1"), v(r, "g2"), v(r, "g3"))
+        val (h11, h12, h13) = (v(r, "h11"), v(r, "h12"), v(r, "h13"))
+        val (h22, h23, h33) = (v(r, "h22"), v(r, "h23"), v(r, "h33"))
+        val det = det3(h11, h12, h13, h12, h22, h23, h13, h23, h33)
+        val scale = Seq(h11, h22, h33).map(math.abs).max
+        if (math.abs(det) <= 1e-12 * scale * scale * scale)
+          degenerate = true
+        else {
+          beta = Array(
+            round10(beta(0) +
+              det3(g1, h12, h13, g2, h22, h23, g3, h23, h33) / det),
+            round10(beta(1) +
+              det3(h11, g1, h13, h12, g2, h23, h13, g3, h33) / det),
+            round10(beta(2) +
+              det3(h11, h12, g1, h12, h22, g2, h13, h23, g3) / det))
+          step += 1
+        }
+      }
+    }
+    // final pass at the converged β: Wald SEs + mean deviance
+    val (ses, meanDev) = if (degenerate)
+      (Array.fill[Option[Double]](3)(None), Option.empty[Double])
+    else {
+      val r = pass(beta(0), beta(1), beta(2), withDev = true)
+      val (h11, h12, h13) = (v(r, "h11"), v(r, "h12"), v(r, "h13"))
+      val (h22, h23, h33) = (v(r, "h22"), v(r, "h23"), v(r, "h33"))
+      val det = det3(h11, h12, h13, h12, h22, h23, h13, h23, h33)
+      val scale = Seq(h11, h22, h33).map(math.abs).max
+      if (math.abs(det) <= 1e-12 * scale * scale * scale)
+        (Array.fill[Option[Double]](3)(None), Option.empty[Double])
+      else {
+        def seOf(cof: Double): Option[Double] = {
+          val q = cof / det
+          if (q > 0) Some(math.sqrt(q)) else None
+        }
+        (Array(
+          seOf(h22 * h33 - h23 * h23),
+          seOf(h11 * h33 - h13 * h13),
+          seOf(h11 * h22 - h12 * h12)),
+          Some(-2.0 * v(r, "sdev") / n))
+      }
+    }
+    def rd(o: Option[Double]): java.lang.Double = o
+      .map(x => math.round(x * 1e6) / 1e6: java.lang.Double).orNull
+    val betasOut: Array[Option[Double]] =
+      if (degenerate) Array.fill(3)(None) else beta.map(Some(_))
+    val names = "intercept" +: xCols
+    import scala.jdk.CollectionConverters._
+    val rows = names.zipWithIndex.map { case (name, i) =>
+      org.apache.spark.sql.Row(i.toLong, name, rd(betasOut(i)),
+        rd(ses(i)), n, rd(meanDev))
+    }
+    spark.createDataFrame(rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term_idx",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("beta",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("se",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("n",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("mean_deviance",
+          org.apache.spark.sql.types.DoubleType))))
+      .orderBy("term_idx")
+  }
+
+  /** The DuckDB oracle for [[logitFit]]: the SAME fixed-step IRLS
+    * unrolled as a CTE chain — per step, one per-row μ projection +
+    * one 9-sum aggregate (identical per-row expressions and
+    * DECIMAL(38,12) rounding), Cramér delta with the identical
+    * determinant formula, β rounded to 10 dp. Generated, not
+    * hand-unrolled, so the two engines cannot drift. */
+  private[graft] def logitOracleSql(table: String, yExpr: String,
+      x1: String, x2: String, steps: Int): String = {
+    def mCte(k: Int, withDev: Boolean): String = {
+      val dev = if (!withDev) "" else
+        s""",
+           sum(CAST(y * ln(greatest(1e-15, mu))
+             + (1.0 - y) * ln(greatest(1e-15, 1.0 - mu))
+             AS DECIMAL(38,12))) AS sdev"""
+      s"""r$k AS (
+           SELECT x1, x2, y,
+                  1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2))) AS mu
+           FROM d CROSS JOIN s${k - 1}),
+         m$k AS (
+           SELECT count(*) AS n,
+             sum(CAST(y - mu AS DECIMAL(38,12))) AS g1,
+             sum(CAST(x1 * (y - mu) AS DECIMAL(38,12))) AS g2,
+             sum(CAST(x2 * (y - mu) AS DECIMAL(38,12))) AS g3,
+             sum(CAST(mu * (1.0 - mu) AS DECIMAL(38,12))) AS h11,
+             sum(CAST(x1 * (mu * (1.0 - mu)) AS DECIMAL(38,12))) AS h12,
+             sum(CAST(x2 * (mu * (1.0 - mu)) AS DECIMAL(38,12))) AS h13,
+             sum(CAST(x1 * x1 * (mu * (1.0 - mu))
+               AS DECIMAL(38,12))) AS h22,
+             sum(CAST(x1 * x2 * (mu * (1.0 - mu))
+               AS DECIMAL(38,12))) AS h23,
+             sum(CAST(x2 * x2 * (mu * (1.0 - mu))
+               AS DECIMAL(38,12))) AS h33$dev
+           FROM r$k)"""
+    }
+    def dbl(c: String): String = s"CAST($c AS DOUBLE)"
+    def det3(a: String, b: String, c: String, p: String, q: String,
+        r: String, u: String, v: String, w: String): String =
+      s"($a * ($q * $w - $r * $v) - $b * ($p * $w - $r * $u) " +
+        s"+ $c * ($p * $v - $q * $u))"
+    val (g1, g2, g3) = (dbl("g1"), dbl("g2"), dbl("g3"))
+    val (h11, h12, h13) = (dbl("h11"), dbl("h12"), dbl("h13"))
+    val (h22, h23, h33) = (dbl("h22"), dbl("h23"), dbl("h33"))
+    val det = det3(h11, h12, h13, h12, h22, h23, h13, h23, h33)
+    def sCte(k: Int): String =
+      s"""s$k AS (
+           SELECT
+             round(b0 + ${det3(g1, h12, h13, g2, h22, h23,
+               g3, h23, h33)} / $det, 10) AS b0,
+             round(b1 + ${det3(h11, g1, h13, h12, g2, h23,
+               h13, g3, h33)} / $det, 10) AS b1,
+             round(b2 + ${det3(h11, h12, g1, h12, h22, g2,
+               h13, h23, g3)} / $det, 10) AS b2
+           FROM m$k CROSS JOIN s${k - 1})"""
+    val fin = steps + 1
+    s"""WITH d AS (
+          SELECT CAST($x1 AS DOUBLE) AS x1, CAST($x2 AS DOUBLE) AS x2,
+                 $yExpr AS y
+          FROM $table),
+        s0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0,
+                      CAST(0.0 AS DOUBLE) AS b1,
+                      CAST(0.0 AS DOUBLE) AS b2),
+        ${(1 to steps).map(k => mCte(k, withDev = false) + ",\n" +
+          sCte(k)).mkString(",\n")},
+        ${mCte(fin, withDev = true)},
+        f AS (
+          SELECT s$steps.b0, s$steps.b1, s$steps.b2,
+                 CAST(m$fin.n AS BIGINT) AS n,
+                 round(-2.0 * CAST(sdev AS DOUBLE) / m$fin.n
+                   * 1000000.0)/1000000.0 AS mean_deviance,
+                 CASE WHEN ($h22 * $h33 - $h23 * $h23) / $det > 0 THEN
+                   round(sqrt(($h22 * $h33 - $h23 * $h23) / $det)
+                     * 1000000.0)/1000000.0 END AS se0,
+                 CASE WHEN ($h11 * $h33 - $h13 * $h13) / $det > 0 THEN
+                   round(sqrt(($h11 * $h33 - $h13 * $h13) / $det)
+                     * 1000000.0)/1000000.0 END AS se1,
+                 CASE WHEN ($h11 * $h22 - $h12 * $h12) / $det > 0 THEN
+                   round(sqrt(($h11 * $h22 - $h12 * $h12) / $det)
+                     * 1000000.0)/1000000.0 END AS se2
+          FROM m$fin CROSS JOIN s$steps)
+        SELECT CAST(0 AS BIGINT) AS term_idx, 'intercept' AS term,
+               round(b0 * 1000000.0)/1000000.0 AS beta, se0 AS se,
+               n, mean_deviance
+        FROM f
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), '$x1',
+               round(b1 * 1000000.0)/1000000.0, se1, n, mean_deviance
+        FROM f
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), '$x2',
+               round(b2 * 1000000.0)/1000000.0, se2, n, mean_deviance
+        FROM f
+        ORDER BY term_idx"""
+  }
+
   /** d = 3..8: collect the one Gram row (≤81 bounded values), solve by
     * partial-pivot Gaussian elimination on the driver, emit the result
     * as a literal table. NOTE the contract deviation from every other
@@ -715,6 +960,25 @@ object FitOps {
               FROM terms ORDER BY term_idx"""),
       (s, d) => olsMulti(Tables.lineitem(s, d), "l_extendedprice",
         Seq("l_quantity", "l_discount"))),
+
+    // Does discount or quantity move the odds a line item is
+    // returned — the logistic counterpart of q_ols_multi, fitted by
+    // the same fixed-step replayable IRLS on both engines. Fitted on
+    // the deterministic 1/8 orderkey stride (the documented sample-
+    // for-fit stance: 9 full-corpus decimal passes price at ~4 s/pass
+    // at sf0.1; the coefficient table is scale-free), mirrored in the
+    // oracle.
+    Query(
+      "q_logit",
+      Some(logitOracleSql("(SELECT * FROM lineitem " +
+          "WHERE l_orderkey % 8 = 0)",
+        "CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END",
+        "l_discount", "l_quantity", steps = 8)),
+      (s, d) => logitFit(Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 8 === 0)
+          .withColumn("lbl",
+            when(col("l_returnflag") === "R", 1.0).otherwise(0.0)),
+        "lbl", Seq("l_discount", "l_quantity"))),
 
     // Theil–Sen trend of daily order revenue: the robust slope a few
     // outlier days can't move (OLS breakdown point 0, Theil–Sen 29%).

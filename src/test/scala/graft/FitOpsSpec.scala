@@ -358,4 +358,66 @@ class FitOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(got === expP50)
   }
+
+  // -- logitFit --------------------------------------------------------
+
+  private def sigmoid(x: Double): Double = 1.0 / (1.0 + math.exp(-x))
+
+  test("logitFit recovers a planted logistic model on a grid fixture, " +
+    "fits the null model to logit(base rate), and is repartition-" +
+    "deterministic") {
+    // cells (x1, x2) on a grid; positives per cell = the planted
+    // model's expected count, so the MLE sits at the planted betas up
+    // to the rounding discretization
+    val (b0t, b1t, b2t) = (-1.0, 2.0, -0.5)
+    val perCell = 400
+    val rows = for {
+      i <- 0 to 4; j <- 0 to 4
+      x1 = i / 4.0; x2 = j / 4.0
+      nPos = math.round(perCell * sigmoid(b0t + b1t * x1 + b2t * x2))
+        .toInt
+      k <- 1 to perCell
+    } yield (if (k <= nPos) 1.0 else 0.0, x1, x2)
+    val df = rows.toDF("y", "x1", "x2")
+    val fit = FitOps.logitFit(df, "y", Seq("x1", "x2")).collect()
+    assert(fit.map(_.getAs[String]("term")).toSeq ===
+      Seq("intercept", "x1", "x2"))
+    val betas = fit.map(_.getAs[Double]("beta"))
+    assert(math.abs(betas(0) - b0t) < 0.05, betas.mkString(","))
+    assert(math.abs(betas(1) - b1t) < 0.08, betas.mkString(","))
+    assert(math.abs(betas(2) - b2t) < 0.08, betas.mkString(","))
+    assert(fit.forall(_.getAs[Double]("se") > 0))
+    assert(fit.forall(_.getAs[Long]("n") == rows.size.toLong))
+    // null model: 30% positives independent of x
+    val nullRows = for (i <- 0 until 1000)
+      yield (if (i % 10 < 3) 1.0 else 0.0, (i % 7).toDouble,
+        (i % 11).toDouble)
+    val nf = FitOps.logitFit(nullRows.toDF("y", "x1", "x2"),
+      "y", Seq("x1", "x2")).collect()
+    val nb = nf.map(_.getAs[Double]("beta"))
+    assert(math.abs(nb(0) - math.log(0.3 / 0.7)) < 0.15)
+    assert(math.abs(nb(1)) < 0.05 && math.abs(nb(2)) < 0.05)
+    // mean deviance of the null fit ~ -2*(0.3 ln .3 + 0.7 ln .7)
+    val expectedDev = -2.0 * (0.3 * math.log(0.3) + 0.7 * math.log(0.7))
+    assert(math.abs(nf(0).getAs[Double]("mean_deviance") -
+      expectedDev) < 0.01)
+    // repartition determinism: decimal pre-sums make the fit exact
+    val again = FitOps.logitFit(df.repartition(13), "y",
+      Seq("x1", "x2")).collect().map(_.getAs[Double]("beta"))
+    assert(again.toSeq === betas.toSeq)
+  }
+
+  test("logitFit degrades to NULL betas on a constant regressor and " +
+    "on empty input") {
+    val const = (1 to 100).map(i =>
+      ((i % 2).toDouble, 1.0, i.toDouble)).toDF("y", "x1", "x2")
+    val cf = FitOps.logitFit(const, "y", Seq("x1", "x2")).collect()
+    assert(cf.forall(r => r.isNullAt(r.fieldIndex("beta"))))
+    val empty = Seq.empty[(Double, Double, Double)]
+      .toDF("y", "x1", "x2")
+    val ef = FitOps.logitFit(empty, "y", Seq("x1", "x2")).collect()
+    assert(ef.length === 3)
+    assert(ef.forall(r => r.isNullAt(r.fieldIndex("beta")) &&
+      r.getAs[Long]("n") == 0L))
+  }
 }

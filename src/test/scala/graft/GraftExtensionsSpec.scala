@@ -1060,7 +1060,7 @@ class GraftExtensionsSpec extends SparkSpec {
     "spearman, corr_matrix, fd_profile, candidate_keys, psi, hhi, " +
     "iqr_outliers) agree with the Scala API") {
     import graft.operators.{HypothesisOps, ProfileOps, StatsOps}
-    import org.apache.spark.sql.functions.{col, dayofmonth, expr}
+    import org.apache.spark.sql.functions.{col, dayofmonth, expr, when}
     val s2 = spark.newSession()
     val ord = graft.sources.Tables.orders(s2, sfDir)
     val li = graft.sources.Tables.lineitem(s2, sfDir)
@@ -1104,6 +1104,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assertParity(s2, "SELECT * FROM delta_method('ht_ab', 'arm', " +
       "'post', 'pre')", StatsOps.deltaMethod(abOrd, "arm", "post",
         "pre"))
+    val lgLi = graft.sources.Tables.lineitem(s2, sfDir)
+      .select(when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
+          .as("lbl"),
+        col("l_discount"), col("l_quantity"))
+    lgLi.createOrReplaceTempView("ht_logit")
+    assertParity(s2, "SELECT * FROM logit_fit('ht_logit', 'lbl', " +
+      "'l_discount', 'l_quantity', 4)",
+      graft.operators.FitOps.logitFit(lgLi, "lbl",
+        Seq("l_discount", "l_quantity"), 4))
     val pTab = graft.sources.Tables.nation(s2, sfDir)
       .select(col("n_name").as("k"),
         ((col("n_nationkey") + 1).cast("double") / 50.0).as("p"))
