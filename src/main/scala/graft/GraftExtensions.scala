@@ -596,7 +596,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "delta_method" -> GraftExtensions.deltaMethodPlan _,
       "fdr_bh" -> GraftExtensions.fdrBhPlan _,
       "setsim_join" -> GraftExtensions.setSimJoinPlan _,
-      "logit_fit" -> GraftExtensions.logitFitPlan _)
+      "logit_fit" -> GraftExtensions.logitFitPlan _,
+      "ipw_ate" -> GraftExtensions.ipwAtePlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2473,6 +2474,25 @@ object GraftExtensions {
     val steps = if (exprs.length > 4)
       litDouble("logit_fit", "steps", exprs(4)).toInt else 8
     graft.operators.FitOps.logitFit(df, y, Seq(x1, x2), steps)
+      .queryExecution.analyzed
+  }
+
+  /** `ipw_ate(table, treat_col, outcome_col, x1, x2 [, steps])` —
+    * Hájek inverse-propensity-weighted ATE with an IRLS propensity
+    * ([[graft.operators.FitOps.ipwAte]]). Returns
+    * `(n, n_treated, mean_treated, mean_control, ate)`. */
+  private[graft] def ipwAtePlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("ipw_ate(table, treat_col, outcome_col, x1, x2 [, steps])",
+      exprs, 5, 6)
+    val t = litStr("ipw_ate", "treat_col", exprs(1))
+    val y = litStr("ipw_ate", "outcome_col", exprs(2))
+    val x1 = litStr("ipw_ate", "x1", exprs(3))
+    val x2 = litStr("ipw_ate", "x2", exprs(4))
+    val df = namedTable("ipw_ate",
+      litStr("ipw_ate", "table", exprs(0)), Seq(t, y, x1, x2))
+    val steps = if (exprs.length > 5)
+      litDouble("ipw_ate", "steps", exprs(5)).toInt else 8
+    graft.operators.FitOps.ipwAte(df, t, y, Seq(x1, x2), steps)
       .queryExecution.analyzed
   }
 

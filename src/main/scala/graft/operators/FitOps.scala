@@ -169,87 +169,105 @@ object FitOps {
     * Degenerate inputs (empty, single-class, collinear/constant
     * regressors ⇒ |det| below 1e-12 of the Hessian scale) yield the
     * NULL-beta row set, never a crash. */
-  def logitFit(df: DataFrame, yCol: String, xCols: Seq[String],
-      steps: Int = 8): DataFrame = {
-    require(xCols.size == 2,
-      s"logitFit fits exactly 2 regressors (+ intercept); got $xCols")
-    require(steps >= 1 && steps <= 32, s"steps in [1,32]; got $steps")
-    val spark = df.sparkSession
+  /** One fixed row-major 3×3 determinant formula — textually the
+    * formula the generated oracle SQL replays. */
+  private def det3d(a: Double, b: Double, c: Double, p: Double,
+      q: Double, r: Double, u: Double, v: Double, w: Double): Double =
+    a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
+
+  /** DuckDB-round-compatible 10-dp rounding (away-from-zero half,
+    * through the same ×1e10 multiply the oracle's round() takes). */
+  private def round10(x: Double): Double =
+    math.signum(x) * math.floor(math.abs(x) * 1e10 + 0.5) / 1e10
+
+  /** One IRLS aggregate at fixed β: gradient + Hessian sums (and the
+    * deviance sum when `withDev`), per-row DECIMAL(38,12). */
+  private def logitPass(df: DataFrame, yCol: String, xCols: Seq[String],
+      beta: Array[Double], withDev: Boolean): org.apache.spark.sql.Row = {
     val dec12 = DecimalType(38, 12)
-    val x1 = col(xCols(0)).cast("double")
-    val x2 = col(xCols(1)).cast("double")
-    val yv = col(yCol).cast("double")
-    // one fixed 3×3 determinant formula, driver-side — textually the
-    // formula the generated oracle SQL replays
-    def det3(a: Double, b: Double, c: Double, p: Double, q: Double,
-        r: Double, u: Double, v: Double, w: Double): Double =
-      a * (q * w - r * v) - b * (p * w - r * u) + c * (p * v - q * u)
-    def round10(x: Double): Double =
-      math.signum(x) * math.floor(math.abs(x) * 1e10 + 0.5) / 1e10
-    def pass(b0: Double, b1: Double, b2: Double, withDev: Boolean)
-        : org.apache.spark.sql.Row = {
-      val proj = df.select(x1.as("x1"), x2.as("x2"), yv.as("y"))
-        .withColumn("mu", lit(1.0) /
-          (lit(1.0) + exp(-(lit(b0) + lit(b1) * col("x1") +
-            lit(b2) * col("x2")))))
-        .withColumn("w", col("mu") * (lit(1.0) - col("mu")))
-        .withColumn("ym", col("y") - col("mu"))
-      val base = Seq(
-        count(lit(1)).as("n"),
-        sum(col("ym").cast(dec12)).as("g1"),
-        sum((col("x1") * col("ym")).cast(dec12)).as("g2"),
-        sum((col("x2") * col("ym")).cast(dec12)).as("g3"),
-        sum(col("w").cast(dec12)).as("h11"),
-        sum((col("x1") * col("w")).cast(dec12)).as("h12"),
-        sum((col("x2") * col("w")).cast(dec12)).as("h13"),
-        sum((col("x1") * col("x1") * col("w")).cast(dec12)).as("h22"),
-        sum((col("x1") * col("x2") * col("w")).cast(dec12)).as("h23"),
-        sum((col("x2") * col("x2") * col("w")).cast(dec12)).as("h33"))
-      val aggs = if (!withDev) base else base :+
-        sum((col("y") * log(greatest(lit(1e-15), col("mu"))) +
-          (lit(1.0) - col("y")) *
-            log(greatest(lit(1e-15), lit(1.0) - col("mu"))))
-          .cast(dec12)).as("sdev")
-      proj.agg(aggs.head, aggs.tail: _*).collect()(0)
-    }
-    def v(row: org.apache.spark.sql.Row, name: String): Double =
-      row.getDecimal(row.fieldIndex(name)).doubleValue()
+    val proj = df.select(col(xCols(0)).cast("double").as("x1"),
+        col(xCols(1)).cast("double").as("x2"),
+        col(yCol).cast("double").as("y"))
+      .withColumn("mu", lit(1.0) /
+        (lit(1.0) + exp(-(lit(beta(0)) + lit(beta(1)) * col("x1") +
+          lit(beta(2)) * col("x2")))))
+      .withColumn("w", col("mu") * (lit(1.0) - col("mu")))
+      .withColumn("ym", col("y") - col("mu"))
+    val base = Seq(
+      count(lit(1)).as("n"),
+      sum(col("ym").cast(dec12)).as("g1"),
+      sum((col("x1") * col("ym")).cast(dec12)).as("g2"),
+      sum((col("x2") * col("ym")).cast(dec12)).as("g3"),
+      sum(col("w").cast(dec12)).as("h11"),
+      sum((col("x1") * col("w")).cast(dec12)).as("h12"),
+      sum((col("x2") * col("w")).cast(dec12)).as("h13"),
+      sum((col("x1") * col("x1") * col("w")).cast(dec12)).as("h22"),
+      sum((col("x1") * col("x2") * col("w")).cast(dec12)).as("h23"),
+      sum((col("x2") * col("x2") * col("w")).cast(dec12)).as("h33"))
+    val aggs = if (!withDev) base else base :+
+      sum((col("y") * log(greatest(lit(1e-15), col("mu"))) +
+        (lit(1.0) - col("y")) *
+          log(greatest(lit(1e-15), lit(1.0) - col("mu"))))
+        .cast(dec12)).as("sdev")
+    proj.agg(aggs.head, aggs.tail: _*).collect()(0)
+  }
+
+  /** The shared fixed-step IRLS loop behind [[logitFit]] and
+    * [[ipwAte]]: returns (β at the last completed step, n,
+    * degenerate). Each step is one [[logitPass]] + a Cramér solve +
+    * a 10-dp β rounding, replayed verbatim by the generated oracle. */
+  private[graft] def irlsLoop(df: DataFrame, yCol: String,
+      xCols: Seq[String], steps: Int): (Array[Double], Long, Boolean) = {
+    require(steps >= 1 && steps <= 32, s"steps in [1,32]; got $steps")
     var beta = Array(0.0, 0.0, 0.0)
     var degenerate = false
     var n = 0L
     var step = 0
     while (step < steps && !degenerate) {
-      val r = pass(beta(0), beta(1), beta(2), withDev = false)
+      val r = logitPass(df, yCol, xCols, beta, withDev = false)
+      def v(name: String): Double =
+        r.getDecimal(r.fieldIndex(name)).doubleValue()
       n = r.getLong(r.fieldIndex("n"))
       if (n == 0 || r.isNullAt(r.fieldIndex("g1"))) degenerate = true
       else {
-        val (g1, g2, g3) = (v(r, "g1"), v(r, "g2"), v(r, "g3"))
-        val (h11, h12, h13) = (v(r, "h11"), v(r, "h12"), v(r, "h13"))
-        val (h22, h23, h33) = (v(r, "h22"), v(r, "h23"), v(r, "h33"))
-        val det = det3(h11, h12, h13, h12, h22, h23, h13, h23, h33)
+        val (g1, g2, g3) = (v("g1"), v("g2"), v("g3"))
+        val (h11, h12, h13) = (v("h11"), v("h12"), v("h13"))
+        val (h22, h23, h33) = (v("h22"), v("h23"), v("h33"))
+        val det = det3d(h11, h12, h13, h12, h22, h23, h13, h23, h33)
         val scale = Seq(h11, h22, h33).map(math.abs).max
         if (math.abs(det) <= 1e-12 * scale * scale * scale)
           degenerate = true
         else {
           beta = Array(
             round10(beta(0) +
-              det3(g1, h12, h13, g2, h22, h23, g3, h23, h33) / det),
+              det3d(g1, h12, h13, g2, h22, h23, g3, h23, h33) / det),
             round10(beta(1) +
-              det3(h11, g1, h13, h12, g2, h23, h13, g3, h33) / det),
+              det3d(h11, g1, h13, h12, g2, h23, h13, g3, h33) / det),
             round10(beta(2) +
-              det3(h11, h12, g1, h12, h22, g2, h13, h23, g3) / det))
+              det3d(h11, h12, g1, h12, h22, g2, h13, h23, g3) / det))
           step += 1
         }
       }
     }
+    (beta, n, degenerate)
+  }
+
+  def logitFit(df: DataFrame, yCol: String, xCols: Seq[String],
+      steps: Int = 8): DataFrame = {
+    require(xCols.size == 2,
+      s"logitFit fits exactly 2 regressors (+ intercept); got $xCols")
+    val spark = df.sparkSession
+    val (beta, n, degenerate) = irlsLoop(df, yCol, xCols, steps)
     // final pass at the converged β: Wald SEs + mean deviance
     val (ses, meanDev) = if (degenerate)
       (Array.fill[Option[Double]](3)(None), Option.empty[Double])
     else {
-      val r = pass(beta(0), beta(1), beta(2), withDev = true)
-      val (h11, h12, h13) = (v(r, "h11"), v(r, "h12"), v(r, "h13"))
-      val (h22, h23, h33) = (v(r, "h22"), v(r, "h23"), v(r, "h33"))
-      val det = det3(h11, h12, h13, h12, h22, h23, h13, h23, h33)
+      val r = logitPass(df, yCol, xCols, beta, withDev = true)
+      def v(name: String): Double =
+        r.getDecimal(r.fieldIndex(name)).doubleValue()
+      val (h11, h12, h13) = (v("h11"), v("h12"), v("h13"))
+      val (h22, h23, h33) = (v("h22"), v("h23"), v("h33"))
+      val det = det3d(h11, h12, h13, h12, h22, h23, h13, h23, h33)
       val scale = Seq(h11, h22, h33).map(math.abs).max
       if (math.abs(det) <= 1e-12 * scale * scale * scale)
         (Array.fill[Option[Double]](3)(None), Option.empty[Double])
@@ -262,7 +280,7 @@ object FitOps {
           seOf(h22 * h33 - h23 * h23),
           seOf(h11 * h33 - h13 * h13),
           seOf(h11 * h22 - h12 * h12)),
-          Some(-2.0 * v(r, "sdev") / n))
+          Some(-2.0 * v("sdev") / n))
       }
     }
     def rd(o: Option[Double]): java.lang.Double = o
@@ -298,64 +316,77 @@ object FitOps {
     * DECIMAL(38,12) rounding), Cramér delta with the identical
     * determinant formula, β rounded to 10 dp. Generated, not
     * hand-unrolled, so the two engines cannot drift. */
+  private def sqlDbl(c: String): String = s"CAST($c AS DOUBLE)"
+
+  private def sqlDet3(a: String, b: String, c: String, p: String,
+      q: String, r: String, u: String, v: String, w: String): String =
+    s"($a * ($q * $w - $r * $v) - $b * ($p * $w - $r * $u) " +
+      s"+ $c * ($p * $v - $q * $u))"
+
+  private def irlsMCte(k: Int, withDev: Boolean): String = {
+    val dev = if (!withDev) "" else
+      s""",
+         sum(CAST(y * ln(greatest(1e-15, mu))
+           + (1.0 - y) * ln(greatest(1e-15, 1.0 - mu))
+           AS DECIMAL(38,12))) AS sdev"""
+    s"""r$k AS (
+         SELECT x1, x2, y,
+                1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2))) AS mu
+         FROM d CROSS JOIN s${k - 1}),
+       m$k AS (
+         SELECT count(*) AS n,
+           sum(CAST(y - mu AS DECIMAL(38,12))) AS g1,
+           sum(CAST(x1 * (y - mu) AS DECIMAL(38,12))) AS g2,
+           sum(CAST(x2 * (y - mu) AS DECIMAL(38,12))) AS g3,
+           sum(CAST(mu * (1.0 - mu) AS DECIMAL(38,12))) AS h11,
+           sum(CAST(x1 * (mu * (1.0 - mu)) AS DECIMAL(38,12))) AS h12,
+           sum(CAST(x2 * (mu * (1.0 - mu)) AS DECIMAL(38,12))) AS h13,
+           sum(CAST(x1 * x1 * (mu * (1.0 - mu))
+             AS DECIMAL(38,12))) AS h22,
+           sum(CAST(x1 * x2 * (mu * (1.0 - mu))
+             AS DECIMAL(38,12))) AS h23,
+           sum(CAST(x2 * x2 * (mu * (1.0 - mu))
+             AS DECIMAL(38,12))) AS h33$dev
+         FROM r$k)"""
+  }
+
+  private def irlsSCte(k: Int): String = {
+    val (g1, g2, g3) = (sqlDbl("g1"), sqlDbl("g2"), sqlDbl("g3"))
+    val (h11, h12, h13) = (sqlDbl("h11"), sqlDbl("h12"), sqlDbl("h13"))
+    val (h22, h23, h33) = (sqlDbl("h22"), sqlDbl("h23"), sqlDbl("h33"))
+    val det = sqlDet3(h11, h12, h13, h12, h22, h23, h13, h23, h33)
+    s"""s$k AS (
+         SELECT
+           round(b0 + ${sqlDet3(g1, h12, h13, g2, h22, h23,
+             g3, h23, h33)} / $det, 10) AS b0,
+           round(b1 + ${sqlDet3(h11, g1, h13, h12, g2, h23,
+             h13, g3, h33)} / $det, 10) AS b1,
+           round(b2 + ${sqlDet3(h11, h12, g1, h12, h22, g2,
+             h13, h23, g3)} / $det, 10) AS b2
+         FROM m$k CROSS JOIN s${k - 1})"""
+  }
+
+  /** The β-chain CTEs shared by [[logitOracleSql]] and
+    * [[ipwOracleSql]]: requires a CTE `d` with columns x1, x2, y. */
+  private def irlsChainSql(steps: Int): String =
+    s"""s0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0,
+                      CAST(0.0 AS DOUBLE) AS b1,
+                      CAST(0.0 AS DOUBLE) AS b2),
+        ${(1 to steps).map(k => irlsMCte(k, withDev = false) + ",\n" +
+          irlsSCte(k)).mkString(",\n")}"""
+
   private[graft] def logitOracleSql(table: String, yExpr: String,
       x1: String, x2: String, steps: Int): String = {
-    def mCte(k: Int, withDev: Boolean): String = {
-      val dev = if (!withDev) "" else
-        s""",
-           sum(CAST(y * ln(greatest(1e-15, mu))
-             + (1.0 - y) * ln(greatest(1e-15, 1.0 - mu))
-             AS DECIMAL(38,12))) AS sdev"""
-      s"""r$k AS (
-           SELECT x1, x2, y,
-                  1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2))) AS mu
-           FROM d CROSS JOIN s${k - 1}),
-         m$k AS (
-           SELECT count(*) AS n,
-             sum(CAST(y - mu AS DECIMAL(38,12))) AS g1,
-             sum(CAST(x1 * (y - mu) AS DECIMAL(38,12))) AS g2,
-             sum(CAST(x2 * (y - mu) AS DECIMAL(38,12))) AS g3,
-             sum(CAST(mu * (1.0 - mu) AS DECIMAL(38,12))) AS h11,
-             sum(CAST(x1 * (mu * (1.0 - mu)) AS DECIMAL(38,12))) AS h12,
-             sum(CAST(x2 * (mu * (1.0 - mu)) AS DECIMAL(38,12))) AS h13,
-             sum(CAST(x1 * x1 * (mu * (1.0 - mu))
-               AS DECIMAL(38,12))) AS h22,
-             sum(CAST(x1 * x2 * (mu * (1.0 - mu))
-               AS DECIMAL(38,12))) AS h23,
-             sum(CAST(x2 * x2 * (mu * (1.0 - mu))
-               AS DECIMAL(38,12))) AS h33$dev
-           FROM r$k)"""
-    }
-    def dbl(c: String): String = s"CAST($c AS DOUBLE)"
-    def det3(a: String, b: String, c: String, p: String, q: String,
-        r: String, u: String, v: String, w: String): String =
-      s"($a * ($q * $w - $r * $v) - $b * ($p * $w - $r * $u) " +
-        s"+ $c * ($p * $v - $q * $u))"
-    val (g1, g2, g3) = (dbl("g1"), dbl("g2"), dbl("g3"))
-    val (h11, h12, h13) = (dbl("h11"), dbl("h12"), dbl("h13"))
-    val (h22, h23, h33) = (dbl("h22"), dbl("h23"), dbl("h33"))
-    val det = det3(h11, h12, h13, h12, h22, h23, h13, h23, h33)
-    def sCte(k: Int): String =
-      s"""s$k AS (
-           SELECT
-             round(b0 + ${det3(g1, h12, h13, g2, h22, h23,
-               g3, h23, h33)} / $det, 10) AS b0,
-             round(b1 + ${det3(h11, g1, h13, h12, g2, h23,
-               h13, g3, h33)} / $det, 10) AS b1,
-             round(b2 + ${det3(h11, h12, g1, h12, h22, g2,
-               h13, h23, g3)} / $det, 10) AS b2
-           FROM m$k CROSS JOIN s${k - 1})"""
+    val (h11, h12, h13) = (sqlDbl("h11"), sqlDbl("h12"), sqlDbl("h13"))
+    val (h22, h23, h33) = (sqlDbl("h22"), sqlDbl("h23"), sqlDbl("h33"))
+    val det = sqlDet3(h11, h12, h13, h12, h22, h23, h13, h23, h33)
     val fin = steps + 1
     s"""WITH d AS (
           SELECT CAST($x1 AS DOUBLE) AS x1, CAST($x2 AS DOUBLE) AS x2,
                  $yExpr AS y
           FROM $table),
-        s0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0,
-                      CAST(0.0 AS DOUBLE) AS b1,
-                      CAST(0.0 AS DOUBLE) AS b2),
-        ${(1 to steps).map(k => mCte(k, withDev = false) + ",\n" +
-          sCte(k)).mkString(",\n")},
-        ${mCte(fin, withDev = true)},
+        ${irlsChainSql(steps)},
+        ${irlsMCte(fin, withDev = true)},
         f AS (
           SELECT s$steps.b0, s$steps.b1, s$steps.b2,
                  CAST(m$fin.n AS BIGINT) AS n,
@@ -384,6 +415,113 @@ object FitOps {
                round(b2 * 1000000.0)/1000000.0, se2, n, mean_deviance
         FROM f
         ORDER BY term_idx"""
+  }
+
+  /** Inverse-propensity-weighted average treatment effect: the
+    * observational-causal estimate "what did the treatment do to the
+    * outcome, adjusting for who tends to get treated". Propensity
+    * e(x) = P(T=1|x) comes from the SAME fixed-step replayable
+    * [[irlsLoop]] as [[logitFit]] (treatment regressed on the two
+    * covariates); the estimator is Hájek (self-normalized) IPW —
+    * ATE = Σ(T·Y/e)/Σ(T/e) − Σ((1−T)·Y/(1−e))/Σ((1−T)/(1−e)) — with
+    * propensities clipped to [clip, 1−clip] (the standard
+    * positivity-violation guard; clipping is DETERMINISTIC and
+    * mirrored in the oracle). One extra weighted-moment pass after
+    * the β chain; per-row terms DECIMAL(38,12).
+    *
+    * Same eager-execution and degeneracy contracts as [[logitFit]]:
+    * steps+1 linear map-side passes, NULL row on empty/degenerate
+    * propensity fits. */
+  def ipwAte(df: DataFrame, treatCol: String, outcomeCol: String,
+      xCols: Seq[String], steps: Int = 8, clip: Double = 0.01)
+      : DataFrame = {
+    require(xCols.size == 2,
+      s"ipwAte fits exactly 2 propensity covariates; got $xCols")
+    require(clip > 0 && clip < 0.5, s"clip in (0, 0.5); got $clip")
+    val spark = df.sparkSession
+    val dec12 = DecimalType(38, 12)
+    val (beta, n, degenerate) = irlsLoop(df, treatCol, xCols, steps)
+    val out = if (degenerate) {
+      org.apache.spark.sql.Row(n, null, null, null, null)
+    } else {
+      val proj = df.select(col(xCols(0)).cast("double").as("x1"),
+          col(xCols(1)).cast("double").as("x2"),
+          col(treatCol).cast("double").as("t"),
+          col(outcomeCol).cast("double").as("yo"))
+        .withColumn("e", greatest(lit(clip), least(lit(1.0 - clip),
+          lit(1.0) / (lit(1.0) + exp(-(lit(beta(0)) +
+            lit(beta(1)) * col("x1") + lit(beta(2)) * col("x2")))))))
+      val m = proj.agg(
+        sum(col("t").cast("long")).as("n_treated"),
+        sum((col("t") / col("e")).cast(dec12)).as("swt"),
+        sum((col("t") * col("yo") / col("e")).cast(dec12)).as("swty"),
+        sum(((lit(1.0) - col("t")) / (lit(1.0) - col("e")))
+          .cast(dec12)).as("swc"),
+        sum(((lit(1.0) - col("t")) * col("yo") /
+          (lit(1.0) - col("e"))).cast(dec12)).as("swcy"))
+        .collect()(0)
+      def v(name: String): Double =
+        m.getDecimal(m.fieldIndex(name)).doubleValue()
+      val nt = m.getLong(m.fieldIndex("n_treated"))
+      if (nt == 0 || nt == n)
+        org.apache.spark.sql.Row(n, nt, null, null, null)
+      else {
+        val mt = v("swty") / v("swt")
+        val mc = v("swcy") / v("swc")
+        def r6d(x: Double): java.lang.Double =
+          math.round(x * 1e6) / 1e6
+        org.apache.spark.sql.Row(n, nt, r6d(mt), r6d(mc), r6d(mt - mc))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(Seq(out).asJava, StructType(Seq(
+      StructField("n", LongType, nullable = false),
+      StructField("n_treated", LongType),
+      StructField("mean_treated", DoubleType),
+      StructField("mean_control", DoubleType),
+      StructField("ate", DoubleType))))
+  }
+
+  /** The DuckDB oracle for [[ipwAte]]: the shared [[irlsChainSql]]
+    * β chain on the treatment label, then the identical clipped
+    * Hájek weighted-moment pass. */
+  private[graft] def ipwOracleSql(table: String, tExpr: String,
+      yExpr: String, x1: String, x2: String, steps: Int,
+      clip: Double): String = {
+    val hi = 1.0 - clip
+    s"""WITH d AS (
+          SELECT CAST($x1 AS DOUBLE) AS x1, CAST($x2 AS DOUBLE) AS x2,
+                 $tExpr AS y, $yExpr AS yo
+          FROM $table),
+        ${irlsChainSql(steps)},
+        rf AS (
+          SELECT y AS t, yo,
+                 greatest($clip, least($hi,
+                   1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2))))) AS e
+          FROM d CROSS JOIN s$steps),
+        m AS (
+          SELECT count(*) AS n,
+                 CAST(sum(CAST(t AS BIGINT)) AS BIGINT) AS n_treated,
+                 sum(CAST(t / e AS DECIMAL(38,12))) AS swt,
+                 sum(CAST(t * yo / e AS DECIMAL(38,12))) AS swty,
+                 sum(CAST((1.0 - t) / (1.0 - e)
+                   AS DECIMAL(38,12))) AS swc,
+                 sum(CAST((1.0 - t) * yo / (1.0 - e)
+                   AS DECIMAL(38,12))) AS swcy
+          FROM rf)
+        SELECT CAST(n AS BIGINT) AS n, n_treated,
+               round(CASE WHEN n_treated > 0 AND n_treated < n THEN
+                   CAST(swty AS DOUBLE) / CAST(swt AS DOUBLE) END
+                 * 1000000.0)/1000000.0 AS mean_treated,
+               round(CASE WHEN n_treated > 0 AND n_treated < n THEN
+                   CAST(swcy AS DOUBLE) / CAST(swc AS DOUBLE) END
+                 * 1000000.0)/1000000.0 AS mean_control,
+               round(CASE WHEN n_treated > 0 AND n_treated < n THEN
+                   CAST(swty AS DOUBLE) / CAST(swt AS DOUBLE)
+                   - CAST(swcy AS DOUBLE) / CAST(swc AS DOUBLE) END
+                 * 1000000.0)/1000000.0 AS ate
+        FROM m"""
   }
 
   /** d = 3..8: collect the one Gram row (≤81 bounded values), solve by
@@ -979,6 +1117,22 @@ object FitOps {
           .withColumn("lbl",
             when(col("l_returnflag") === "R", 1.0).otherwise(0.0)),
         "lbl", Seq("l_discount", "l_quantity"))),
+
+    // What does a deep discount DO to line revenue, adjusting for
+    // which lines tend to get discounted — IPW off the same
+    // replayable propensity chain, on the same 1/8 stride.
+    Query(
+      "q_ipw_ate",
+      Some(ipwOracleSql("(SELECT * FROM lineitem " +
+          "WHERE l_orderkey % 8 = 0)",
+        "CASE WHEN l_discount >= 0.05 THEN 1.0 ELSE 0.0 END",
+        "CAST(l_extendedprice AS DOUBLE)",
+        "l_quantity", "l_tax", steps = 8, clip = 0.01)),
+      (s, d) => ipwAte(Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 8 === 0)
+          .withColumn("treat",
+            when(col("l_discount") >= 0.05, 1.0).otherwise(0.0)),
+        "treat", "l_extendedprice", Seq("l_quantity", "l_tax"))),
 
     // Theil–Sen trend of daily order revenue: the robust slope a few
     // outlier days can't move (OLS breakdown point 0, Theil–Sen 29%).

@@ -407,6 +407,48 @@ class FitOpsSpec extends SparkSpec {
     assert(again.toSeq === betas.toSeq)
   }
 
+  test("ipwAte corrects a planted confounder the naive difference " +
+    "gets wrong, matches the naive difference under randomized " +
+    "treatment, and goes NULL when everyone is treated") {
+    // confounded fixture: x1 drives BOTH treatment (80% vs 20%) and
+    // outcome (+3); true treatment effect is exactly +2. Exact cell
+    // counts make the logistic propensity fit exact.
+    val rows = for {
+      x1 <- Seq(0.0, 1.0)
+      (t, cnt) <- Seq((1.0, if (x1 == 1.0) 80 else 20),
+        (0.0, if (x1 == 1.0) 20 else 80))
+      k <- 1 to cnt
+    } yield (t, 10.0 + 3.0 * x1 + 2.0 * t, x1, (k % 2).toDouble)
+    val df = rows.toDF("t", "y", "x1", "x2")
+    val r = FitOps.ipwAte(df, "t", "y", Seq("x1", "x2")).collect()(0)
+    assert(r.getAs[Long]("n") === 200L)
+    assert(r.getAs[Long]("n_treated") === 100L)
+    assert(math.abs(r.getAs[Double]("ate") - 2.0) < 0.01)
+    // the naive difference on the same fixture is biased to 3.8
+    val naive = rows.filter(_._1 == 1.0).map(_._2).sum / 100 -
+      rows.filter(_._1 == 0.0).map(_._2).sum / 100
+    assert(math.abs(naive - 3.8) < 1e-9)
+    // randomized treatment: IPW ~ naive
+    val rnd = new scala.util.Random(53)
+    val rand = (1 to 400).map { i =>
+      val t = (i % 2).toDouble
+      (t, 10.0 + 5.0 * t + rnd.nextInt(3), rnd.nextInt(5).toDouble,
+        rnd.nextInt(7).toDouble)
+    }
+    val rr = FitOps.ipwAte(rand.toDF("t", "y", "x1", "x2"),
+      "t", "y", Seq("x1", "x2")).collect()(0)
+    val nv = rand.filter(_._1 == 1.0).map(_._2).sum / 200 -
+      rand.filter(_._1 == 0.0).map(_._2).sum / 200
+    assert(math.abs(rr.getAs[Double]("ate") - nv) < 0.15)
+    // all-treated: no control arm, NULL block
+    val allT = (1 to 50).map(i =>
+      (1.0, i.toDouble, (i % 3).toDouble, (i % 5).toDouble))
+    val at = FitOps.ipwAte(allT.toDF("t", "y", "x1", "x2"),
+      "t", "y", Seq("x1", "x2")).collect()(0)
+    assert(at.isNullAt(at.fieldIndex("ate")))
+    assert(at.getAs[Long]("n_treated") === 50L)
+  }
+
   test("logitFit degrades to NULL betas on a constant regressor and " +
     "on empty input") {
     val const = (1 to 100).map(i =>

@@ -1113,6 +1113,15 @@ class GraftExtensionsSpec extends SparkSpec {
       "'l_discount', 'l_quantity', 4)",
       graft.operators.FitOps.logitFit(lgLi, "lbl",
         Seq("l_discount", "l_quantity"), 4))
+    val ipwLi = graft.sources.Tables.lineitem(s2, sfDir)
+      .select(when(col("l_discount") >= 0.05, 1.0).otherwise(0.0)
+          .as("treat"),
+        col("l_extendedprice"), col("l_quantity"), col("l_tax"))
+    ipwLi.createOrReplaceTempView("ht_ipw")
+    assertParity(s2, "SELECT * FROM ipw_ate('ht_ipw', 'treat', " +
+      "'l_extendedprice', 'l_quantity', 'l_tax', 4)",
+      graft.operators.FitOps.ipwAte(ipwLi, "treat",
+        "l_extendedprice", Seq("l_quantity", "l_tax"), 4))
     val pTab = graft.sources.Tables.nation(s2, sfDir)
       .select(col("n_name").as("k"),
         ((col("n_nationkey") + 1).cast("double") / 50.0).as("p"))
