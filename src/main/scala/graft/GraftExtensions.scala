@@ -597,7 +597,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "fdr_bh" -> GraftExtensions.fdrBhPlan _,
       "setsim_join" -> GraftExtensions.setSimJoinPlan _,
       "logit_fit" -> GraftExtensions.logitFitPlan _,
-      "ipw_ate" -> GraftExtensions.ipwAtePlan _)
+      "ipw_ate" -> GraftExtensions.ipwAtePlan _,
+      "did_estimate" -> GraftExtensions.didEstimatePlan _,
+      "power_analysis" -> GraftExtensions.powerAnalysisPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2493,6 +2495,42 @@ object GraftExtensions {
     val steps = if (exprs.length > 5)
       litDouble("ipw_ate", "steps", exprs(5)).toInt else 8
     graft.operators.FitOps.ipwAte(df, t, y, Seq(x1, x2), steps)
+      .queryExecution.analyzed
+  }
+
+  /** `did_estimate(table, arm_col, treat_val, pre_col, post_col)` —
+    * panel difference-in-differences
+    * ([[graft.operators.StatsOps.didEstimate]]). Returns
+    * `(n_treat, n_ctrl, delta_treat, delta_ctrl, did, se, z)`. */
+  private[graft] def didEstimatePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("did_estimate(table, arm_col, treat_val, pre_col, post_col)",
+      exprs, 5, 5)
+    val a = litStr("did_estimate", "arm_col", exprs(1))
+    val pre = litStr("did_estimate", "pre_col", exprs(3))
+    val post = litStr("did_estimate", "post_col", exprs(4))
+    val df = namedTable("did_estimate",
+      litStr("did_estimate", "table", exprs(0)), Seq(a, pre, post))
+    graft.operators.StatsOps.didEstimate(df, a,
+      litStr("did_estimate", "treat_val", exprs(2)), pre, post)
+      .queryExecution.analyzed
+  }
+
+  /** `power_analysis(table, value_col, group_col, a, b)` — two-sample
+    * MDE at 80% power / α = 5% and the per-arm n needed for the
+    * observed gap ([[graft.operators.StatsOps.powerAnalysis]]).
+    * Returns `(n_a, n_b, observed_delta, mde, n_per_arm_needed)`. */
+  private[graft] def powerAnalysisPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("power_analysis(table, value_col, group_col, a, b)",
+      exprs, 5, 5)
+    val v = litStr("power_analysis", "value_col", exprs(1))
+    val g = litStr("power_analysis", "group_col", exprs(2))
+    val df = namedTable("power_analysis",
+      litStr("power_analysis", "table", exprs(0)), Seq(v, g))
+    graft.operators.StatsOps.powerAnalysis(df, g, v,
+      litStr("power_analysis", "a", exprs(3)),
+      litStr("power_analysis", "b", exprs(4)))
       .queryExecution.analyzed
   }
 

@@ -265,6 +265,95 @@ object StatsOps {
       .orderBy("arm")
   }
 
+  /** Difference-in-differences on a per-unit panel (arm, pre, post):
+    * did = mean(Δ | treated) − mean(Δ | control) with Δ = post − pre
+    * per unit, se = √(s²_T/n_T + s²_C/n_C) over the per-unit diffs,
+    * z = did/se — the "parallel trends" causal readout when treatment
+    * wasn't randomized but both arms were observed before and after.
+    * ONE groupBy(arm) moment fold over the per-unit diffs
+    * (DECIMAL(38,12) per-row squares), 2-row table at any scale. */
+  def didEstimate(df: DataFrame, armCol: String, treatVal: String,
+      preCol: String, postCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec12 = DecimalType(38, 12)
+    val dlt = col(postCol).cast("double") - col(preCol).cast("double")
+    val per = df.groupBy(
+        (col(armCol) === treatVal).as("treated"))
+      .agg(count(lit(1)).as("n"), sum(dlt.cast(dec12)).as("sd"),
+        sum((dlt * dlt).cast(dec12)).as("sdd"))
+    val one = per.agg(
+      max(when(col("treated"), col("n"))).as("n_treat"),
+      max(when(col("treated"), col("sd"))).as("sdt"),
+      max(when(col("treated"), col("sdd"))).as("sddt"),
+      max(when(!col("treated"), col("n"))).as("n_ctrl"),
+      max(when(!col("treated"), col("sd"))).as("sdc"),
+      max(when(!col("treated"), col("sdd"))).as("sddc"))
+    def d(c: Column): Column = c.cast("double")
+    val nt = col("n_treat").cast("double")
+    val nc = col("n_ctrl").cast("double")
+    val mt = d(col("sdt")) / nt; val mc = d(col("sdc")) / nc
+    val vt = (d(col("sddt")) - d(col("sdt")) * d(col("sdt")) / nt) /
+      (nt - 1)
+    val vc = (d(col("sddc")) - d(col("sdc")) * d(col("sdc")) / nc) /
+      (nc - 1)
+    val se = sqrt(vt / nt + vc / nc)
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val ok = col("n_treat") > 1 && col("n_ctrl") > 1
+    one.select(
+      coalesce(col("n_treat"), lit(0L)).as("n_treat"),
+      coalesce(col("n_ctrl"), lit(0L)).as("n_ctrl"),
+      when(ok, r6(mt)).as("delta_treat"),
+      when(ok, r6(mc)).as("delta_ctrl"),
+      when(ok, r6(mt - mc)).as("did"),
+      when(ok, r6(se)).as("se"),
+      when(ok, when(se > 0, r6((mt - mc) / se))).as("z"))
+  }
+
+  /** Two-sample power analysis from OBSERVED moments: the minimum
+    * detectable effect at 80% power / two-sided α = 5%
+    * (mde = (z₀.₉₇₅ + z₀.₈)·√(s²_a/n_a + s²_b/n_b)) and the per-arm n
+    * needed to detect the OBSERVED difference at that power
+    * (n = (z₀.₉₇₅ + z₀.₈)²·(s²_a + s²_b)/Δ², ceiling) — the "is this
+    * test even capable of seeing the effect we care about" readout
+    * run before and after every experiment. Fixed standard constants
+    * (1.959964, 0.841621), no inverse-CDF needed; one moment fold. */
+  def powerAnalysis(df: DataFrame, groupCol: String, valCol: String,
+      aVal: String, bVal: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec12 = DecimalType(38, 12)
+    val x = col(valCol).cast("double")
+    val per = df.filter(col(groupCol).isin(aVal, bVal))
+      .groupBy((col(groupCol) === aVal).as("isa"))
+      .agg(count(lit(1)).as("n"), sum(x.cast(dec12)).as("sx"),
+        sum((x * x).cast(dec12)).as("sxx"))
+    val one = per.agg(
+      max(when(col("isa"), col("n"))).as("n_a"),
+      max(when(col("isa"), col("sx"))).as("sxa"),
+      max(when(col("isa"), col("sxx"))).as("sxxa"),
+      max(when(!col("isa"), col("n"))).as("n_b"),
+      max(when(!col("isa"), col("sx"))).as("sxb"),
+      max(when(!col("isa"), col("sxx"))).as("sxxb"))
+    def d(c: Column): Column = c.cast("double")
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val va = (d(col("sxxa")) - d(col("sxa")) * d(col("sxa")) / na) /
+      (na - 1)
+    val vb = (d(col("sxxb")) - d(col("sxb")) * d(col("sxb")) / nb) /
+      (nb - 1)
+    val delta = d(col("sxa")) / na - d(col("sxb")) / nb
+    val zz = lit(1.959964) + lit(0.841621)
+    val mde = zz * sqrt(va / na + vb / nb)
+    val nNeeded = ceil(zz * zz * (va + vb) / (delta * delta))
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val ok = col("n_a") > 1 && col("n_b") > 1
+    one.select(
+      coalesce(col("n_a"), lit(0L)).as("n_a"),
+      coalesce(col("n_b"), lit(0L)).as("n_b"),
+      when(ok, r6(delta)).as("observed_delta"),
+      when(ok, r6(mde)).as("mde"),
+      when(ok, when(delta =!= 0.0, nNeeded.cast("bigint")))
+        .as("n_per_arm_needed"))
+  }
+
   /** Benford first-digit audit: the distribution of leading digits of
     * `valCol` (values ≥ 1) against Benford's law
     * `P(d) = log10(1 + 1/d)`, with per-digit χ² contributions — the
@@ -1350,6 +1439,138 @@ object StatsOps {
               .otherwise("B"))
         deltaMethod(per, "arm", "rev", "n_ord")
       }),
+
+    // Did arm A's customers grow their spend 1994→1995 more than arm
+    // B's — the panel difference-in-differences on the CUPED fixture.
+    Query(
+      "q_did",
+      Some(s"""WITH per AS (
+                 SELECT c.c_custkey,
+                        CASE WHEN ${CurationOps.sqlDraw("c.c_custkey")}
+                          < 32768 THEN 'A' ELSE 'B' END AS arm,
+                        coalesce(sum(CASE WHEN year(o.o_orderdate) = 1994
+                          THEN CAST(o.o_totalprice AS DECIMAL(18,2))
+                          END), 0) AS pre,
+                        coalesce(sum(CASE WHEN year(o.o_orderdate) = 1995
+                          THEN CAST(o.o_totalprice AS DECIMAL(18,2))
+                          END), 0) AS post
+                 FROM customer c LEFT JOIN orders o
+                   ON c.c_custkey = o.o_custkey
+                 GROUP BY 1, 2),
+               m AS (
+                 SELECT (arm = 'A') AS treated, count(*) AS n,
+                        sum(CAST(CAST(post AS DOUBLE)
+                            - CAST(pre AS DOUBLE)
+                          AS DECIMAL(38,12))) AS sd,
+                        sum(CAST((CAST(post AS DOUBLE)
+                              - CAST(pre AS DOUBLE))
+                            * (CAST(post AS DOUBLE)
+                              - CAST(pre AS DOUBLE))
+                          AS DECIMAL(38,12))) AS sdd
+                 FROM per GROUP BY 1),
+               one AS (
+                 SELECT
+                   max(CASE WHEN treated THEN n END) AS n_treat,
+                   max(CASE WHEN treated THEN sd END) AS sdt,
+                   max(CASE WHEN treated THEN sdd END) AS sddt,
+                   max(CASE WHEN NOT treated THEN n END) AS n_ctrl,
+                   max(CASE WHEN NOT treated THEN sd END) AS sdc,
+                   max(CASE WHEN NOT treated THEN sdd END) AS sddc
+                 FROM m),
+               f AS (
+                 SELECT CAST(n_treat AS BIGINT) AS n_treat,
+                        CAST(n_ctrl AS BIGINT) AS n_ctrl,
+                        CAST(sdt AS DOUBLE) / n_treat AS mt,
+                        CAST(sdc AS DOUBLE) / n_ctrl AS mc,
+                        sqrt(((CAST(sddt AS DOUBLE)
+                            - CAST(sdt AS DOUBLE) * CAST(sdt AS DOUBLE)
+                              / n_treat) / (n_treat - 1)) / n_treat
+                          + ((CAST(sddc AS DOUBLE)
+                            - CAST(sdc AS DOUBLE) * CAST(sdc AS DOUBLE)
+                              / n_ctrl) / (n_ctrl - 1)) / n_ctrl) AS se
+                 FROM one)
+               SELECT n_treat, n_ctrl,
+                      round(CASE WHEN n_treat > 1 AND n_ctrl > 1
+                        THEN mt END * 1000000.0)/1000000.0
+                        AS delta_treat,
+                      round(CASE WHEN n_treat > 1 AND n_ctrl > 1
+                        THEN mc END * 1000000.0)/1000000.0
+                        AS delta_ctrl,
+                      round(CASE WHEN n_treat > 1 AND n_ctrl > 1
+                        THEN mt - mc END * 1000000.0)/1000000.0 AS did,
+                      round(CASE WHEN n_treat > 1 AND n_ctrl > 1
+                        THEN se END * 1000000.0)/1000000.0 AS se,
+                      round(CASE WHEN n_treat > 1 AND n_ctrl > 1
+                          AND se > 0
+                        THEN (mt - mc) / se END * 1000000.0)/1000000.0
+                        AS z
+               FROM f"""),
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val dec2 = DecimalType(18, 2)
+        val per = Tables.customer(s, d).select(col("c_custkey"))
+          .join(Tables.orders(s, d),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(
+            coalesce(sum(when(year(col("o_orderdate")) === 1994,
+              col("o_totalprice").cast(dec2))), lit(0).cast(dec2))
+              .as("pre"),
+            coalesce(sum(when(year(col("o_orderdate")) === 1995,
+              col("o_totalprice").cast(dec2))), lit(0).cast(dec2))
+              .as("post"))
+          .withColumn("arm",
+            when(CurationOps.hashDraw(col("c_custkey")) < 32768, "A")
+              .otherwise("B"))
+        didEstimate(per, "arm", "A", "pre", "post")
+      }),
+
+    // Could this test even see the effect we care about — the MDE at
+    // 80% power and the n each arm would need for the observed gap.
+    Query(
+      "q_power",
+      Some("""WITH per AS (
+                SELECT (o_orderstatus = 'F') AS isa, count(*) AS n,
+                       sum(CAST(CAST(o_totalprice AS DOUBLE)
+                         AS DECIMAL(38,12))) AS sx,
+                       sum(CAST(CAST(o_totalprice AS DOUBLE)
+                           * CAST(o_totalprice AS DOUBLE)
+                         AS DECIMAL(38,12))) AS sxx
+                FROM orders WHERE o_orderstatus IN ('F', 'O')
+                GROUP BY 1),
+              one AS (
+                SELECT max(CASE WHEN isa THEN n END) AS n_a,
+                       max(CASE WHEN isa THEN sx END) AS sxa,
+                       max(CASE WHEN isa THEN sxx END) AS sxxa,
+                       max(CASE WHEN NOT isa THEN n END) AS n_b,
+                       max(CASE WHEN NOT isa THEN sx END) AS sxb,
+                       max(CASE WHEN NOT isa THEN sxx END) AS sxxb
+                FROM per),
+              f AS (
+                SELECT CAST(n_a AS BIGINT) AS n_a,
+                       CAST(n_b AS BIGINT) AS n_b,
+                       (CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE)
+                         * CAST(sxa AS DOUBLE) / n_a) / (n_a - 1) AS va,
+                       (CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE)
+                         * CAST(sxb AS DOUBLE) / n_b) / (n_b - 1) AS vb,
+                       CAST(sxa AS DOUBLE) / n_a
+                         - CAST(sxb AS DOUBLE) / n_b AS delta
+                FROM one)
+              SELECT n_a, n_b,
+                     round(CASE WHEN n_a > 1 AND n_b > 1 THEN delta END
+                       * 1000000.0)/1000000.0 AS observed_delta,
+                     round(CASE WHEN n_a > 1 AND n_b > 1 THEN
+                         (1.959964 + 0.841621)
+                           * sqrt(va / n_a + vb / n_b) END
+                       * 1000000.0)/1000000.0 AS mde,
+                     CASE WHEN n_a > 1 AND n_b > 1 AND delta <> 0.0
+                       THEN CAST(ceil((1.959964 + 0.841621)
+                         * (1.959964 + 0.841621) * (va + vb)
+                         / (delta * delta)) AS BIGINT) END
+                       AS n_per_arm_needed
+              FROM f"""),
+      (s, d) => powerAnalysis(Tables.orders(s, d), "o_orderstatus",
+        "o_totalprice", "F", "O")),
 
     // Benford screen over order totals. TPC-H prices are sums of many
     // uniform draws, NOT Benford-distributed — the χ² column is

@@ -1104,6 +1104,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assertParity(s2, "SELECT * FROM delta_method('ht_ab', 'arm', " +
       "'post', 'pre')", StatsOps.deltaMethod(abOrd, "arm", "post",
         "pre"))
+    assertParity(s2, "SELECT * FROM did_estimate('ht_ab', 'arm', " +
+      "'1-URGENT', 'pre', 'post')",
+      StatsOps.didEstimate(abOrd, "arm", "1-URGENT", "pre", "post"))
+    assertParity(s2, "SELECT * FROM power_analysis('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus', 'F', 'O')",
+      StatsOps.powerAnalysis(ord, "o_orderstatus", "o_totalprice",
+        "F", "O"))
     val lgLi = graft.sources.Tables.lineitem(s2, sfDir)
       .select(when(col("l_returnflag") === "R", 1.0).otherwise(0.0)
           .as("lbl"),

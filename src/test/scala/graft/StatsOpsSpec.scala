@@ -322,6 +322,86 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("didEstimate recovers a planted noise-free effect with se = 0, " +
+    "matches the brute-force moments under noise, and NULL-blocks " +
+    "singleton arms") {
+    val rnd = new scala.util.Random(59)
+    // noise-free: treated diff +5, control diff +1 => did exactly 4
+    val clean = (1 to 100).map { i =>
+      val pre = rnd.nextInt(50).toDouble
+      if (i % 2 == 0) ("T", pre, pre + 5.0) else ("C", pre, pre + 1.0)
+    }.toDF("arm", "pre", "post")
+    val c = StatsOps.didEstimate(clean, "arm", "T", "pre", "post")
+      .collect()(0)
+    assert(c.getAs[Double]("did") === 4.0)
+    assert(c.getAs[Double]("se") === 0.0)
+    assert(c.isNullAt(c.fieldIndex("z")))
+    // noisy: brute-force equality
+    val noisy = (1 to 300).map { i =>
+      val pre = rnd.nextInt(50).toDouble
+      val arm = if (rnd.nextBoolean()) "T" else "C"
+      val post = pre + (if (arm == "T") 5.0 else 1.0) + rnd.nextInt(7)
+      (arm, pre, post)
+    }
+    val got = StatsOps.didEstimate(noisy.toDF("arm", "pre", "post"),
+      "arm", "T", "pre", "post").collect()(0)
+    def stats(a: String) = {
+      val ds = noisy.filter(_._1 == a).map(v => v._3 - v._2)
+      val m = ds.sum / ds.size
+      (ds.size, m,
+        ds.map(x => (x - m) * (x - m)).sum / (ds.size - 1))
+    }
+    val (ntr, mt, vt) = stats("T"); val (ncl, mc, vc) = stats("C")
+    assert(got.getAs[Long]("n_treat") === ntr.toLong)
+    assert(math.abs(got.getAs[Double]("did") - (mt - mc)) < 1e-6)
+    assert(math.abs(got.getAs[Double]("se") -
+      math.sqrt(vt / ntr + vc / ncl)) < 1e-6)
+    // singleton arm
+    val single = Seq(("T", 1.0, 2.0), ("C", 1.0, 3.0),
+      ("C", 2.0, 4.0)).toDF("arm", "pre", "post")
+    val s = StatsOps.didEstimate(single, "arm", "T", "pre", "post")
+      .collect()(0)
+    assert(s.isNullAt(s.fieldIndex("did")))
+  }
+
+  test("powerAnalysis matches brute-force moments, halves nothing " +
+    "for free (mde shrinks ~sqrt(2) when n doubles), and NULL-blocks " +
+    "n_per_arm_needed on identical means") {
+    val rnd = new scala.util.Random(61)
+    val xs = (1 to 200).map { i =>
+      (if (i % 2 == 0) "A" else "B",
+        (if (i % 2 == 0) 10.0 else 12.0) + rnd.nextInt(9))
+    }
+    val df = xs.toDF("g", "v")
+    val r = StatsOps.powerAnalysis(df, "g", "v", "A", "B").collect()(0)
+    def stats(a: String) = {
+      val vs = xs.filter(_._1 == a).map(_._2)
+      val m = vs.sum / vs.size
+      (vs.size, m, vs.map(x => (x - m) * (x - m)).sum / (vs.size - 1))
+    }
+    val (na, ma, va) = stats("A"); val (nb, mb, vb) = stats("B")
+    val zz = 1.959964 + 0.841621
+    assert(math.abs(r.getAs[Double]("observed_delta") - (ma - mb))
+      < 1e-6)
+    assert(math.abs(r.getAs[Double]("mde") -
+      zz * math.sqrt(va / na + vb / nb)) < 1e-6)
+    assert(r.getAs[Long]("n_per_arm_needed") ===
+      math.ceil(zz * zz * (va + vb) /
+        ((ma - mb) * (ma - mb))).toLong)
+    // doubled corpus: mde shrinks by ~sqrt(2)
+    val r2 = StatsOps.powerAnalysis(df.union(df), "g", "v", "A", "B")
+      .collect()(0)
+    val ratio = r.getAs[Double]("mde") / r2.getAs[Double]("mde")
+    assert(math.abs(ratio - math.sqrt(2.0)) < 0.01)
+    // identical means: delta 0, required-n NULL
+    val same = ((1 to 50).map(i => ("A", i.toDouble)) ++
+      (1 to 50).map(i => ("B", i.toDouble))).toDF("g", "v")
+    val z = StatsOps.powerAnalysis(same, "g", "v", "A", "B")
+      .collect()(0)
+    assert(z.getAs[Double]("observed_delta") === 0.0)
+    assert(z.isNullAt(z.fieldIndex("n_per_arm_needed")))
+  }
+
   test("bootstrapCi: the interval brackets the sample mean, narrows " +
     "roughly as 1/sqrt(n), and is repartition-deterministic") {
     import org.apache.spark.sql.DataFrame
