@@ -599,6 +599,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "logit_fit" -> GraftExtensions.logitFitPlan _,
       "ipw_ate" -> GraftExtensions.ipwAtePlan _,
       "did_estimate" -> GraftExtensions.didEstimatePlan _,
+      "propensity_match" -> GraftExtensions.propensityMatchPlan _,
       "power_analysis" -> GraftExtensions.powerAnalysisPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
@@ -2514,6 +2515,28 @@ object GraftExtensions {
     graft.operators.StatsOps.didEstimate(df, a,
       litStr("did_estimate", "treat_val", exprs(2)), pre, post)
       .queryExecution.analyzed
+  }
+
+  /** `propensity_match(table, treat_col, outcome_col, id_col, x1, x2
+    * [, steps])` — nearest-propensity matching ATT
+    * ([[graft.operators.FitOps.propensityMatch]]). Returns
+    * `(n_treat, n_ctrl, mean_treated, mean_matched, att)`. */
+  private[graft] def propensityMatchPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("propensity_match(table, treat_col, outcome_col, id_col, " +
+      "x1, x2 [, steps])", exprs, 6, 7)
+    val t = litStr("propensity_match", "treat_col", exprs(1))
+    val y = litStr("propensity_match", "outcome_col", exprs(2))
+    val id = litStr("propensity_match", "id_col", exprs(3))
+    val x1 = litStr("propensity_match", "x1", exprs(4))
+    val x2 = litStr("propensity_match", "x2", exprs(5))
+    val df = namedTable("propensity_match",
+      litStr("propensity_match", "table", exprs(0)),
+      Seq(t, y, id, x1, x2))
+    val steps = if (exprs.length > 6)
+      litDouble("propensity_match", "steps", exprs(6)).toInt else 8
+    graft.operators.FitOps.propensityMatch(df, t, y, id,
+      Seq(x1, x2), steps).queryExecution.analyzed
   }
 
   /** `power_analysis(table, value_col, group_col, a, b)` — two-sample

@@ -524,6 +524,164 @@ object FitOps {
         FROM m"""
   }
 
+  /** Propensity-score matching ATT: each treated unit matched to the
+    * nearest control BY PROPENSITY (with replacement), the third leg
+    * of the causal tier next to [[ipwAte]] and
+    * [[graft.operators.StatsOps.didEstimate]]. Propensity from the
+    * same replayable [[irlsLoop]] chain, clipped like [[ipwAte]].
+    *
+    * The 1-D nearest-neighbor join is EXACT and never a cartesian:
+    * every treated unit at propensity e matches the SAME control, so
+    * both sides first COLLAPSE to their distinct-e tables (treated →
+    * (e, n, Σy); controls → (e, one deterministic representative:
+    * max-id unit)); the collapsed union runs through
+    * [[RankSpine.assignBuckets]] (≤65536 distinct e per bucket), the
+    * nearest control below/above comes from a within-bucket running
+    * max/min struct plus a per-bucket offset window (one row per
+    * bucket) — the cumulative-spine shape, reused for running
+    * extremes — and the closer side wins (backward on exact-distance
+    * ties). ATT folds from the matched distinct-e rows. */
+  def propensityMatch(df: DataFrame, treatCol: String,
+      outcomeCol: String, idCol: String, xCols: Seq[String],
+      steps: Int = 8, clip: Double = 0.01): DataFrame = {
+    require(xCols.size == 2,
+      s"propensityMatch fits exactly 2 covariates; got $xCols")
+    val spark = df.sparkSession
+    val dec12 = DecimalType(38, 12)
+    val (beta, nAll, degenerate) = irlsLoop(df, treatCol, xCols, steps)
+    if (degenerate) return emptyMatchRow(spark, nAll)
+    val scored = df.select(col(xCols(0)).cast("double").as("x1"),
+        col(xCols(1)).cast("double").as("x2"),
+        col(treatCol).cast("double").as("t"),
+        col(outcomeCol).cast("double").as("yo"),
+        col(idCol).cast("long").as("uid"))
+      .withColumn("e", greatest(lit(clip), least(lit(1.0 - clip),
+        lit(1.0) / (lit(1.0) + exp(-(lit(beta(0)) +
+          lit(beta(1)) * col("x1") + lit(beta(2)) * col("x2")))))))
+    // collapse: treated moments + one deterministic control rep per e
+    val tt = scored.filter(col("t") === 1.0).groupBy("e")
+      .agg(count(lit(1)).as("n_t"),
+        sum(col("yo").cast(dec12)).as("sy_t"))
+    val cc = scored.filter(col("t") === 0.0).groupBy("e")
+      .agg(max(struct(col("uid"), col("yo"))).as("__rep"),
+        count(lit(1)).as("n_c"))
+      .select(col("e"), col("n_c"), col("__rep.yo").as("cy"))
+    val merged = tt.join(cc, Seq("e"), "full_outer")
+    val assigned = RankSpine.assignBuckets(merged, "e")
+    // running nearest-below / nearest-above control structs: within-
+    // bucket windows (≤cap rows) + one-row-per-bucket offset windows,
+    // struct-ordered by (e, …) so max ≡ latest-below, min ≡ first-above
+    val ctl = when(col("cy").isNotNull, struct(col("e"), col("cy")))
+    val wInPrev = Window.partitionBy("__bkt").orderBy("e")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wInNext = Window.partitionBy("__bkt").orderBy(col("e").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bkts = assigned.groupBy("__bkt")
+      .agg(max(ctl).as("bmax"), min(ctl).as("bmin"))
+    val wOffPrev = Window.partitionBy(BoundedWindow.key(col("__bkt")))
+      .orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val wOffNext = Window.partitionBy(BoundedWindow.key(col("__bkt")))
+      .orderBy(col("__bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = bkts.select(col("__bkt"),
+      max(col("bmax")).over(wOffPrev).as("omax"),
+      min(col("bmin")).over(wOffNext).as("omin"))
+    val withNb = assigned.join(broadcast(offs), "__bkt")
+      .withColumn("prevc",
+        coalesce(max(ctl).over(wInPrev), col("omax")))
+      .withColumn("nextc",
+        coalesce(min(ctl).over(wInNext), col("omin")))
+      .filter(col("n_t").isNotNull)
+    val dPrev = col("e") - col("prevc.e")
+    val dNext = col("nextc.e") - col("e")
+    val matchY = when(col("prevc").isNull, col("nextc.cy"))
+      .otherwise(when(col("nextc").isNull, col("prevc.cy"))
+        .otherwise(when(dPrev <= dNext, col("prevc.cy"))
+          .otherwise(col("nextc.cy"))))
+    val m = withNb.select(col("n_t"), col("sy_t"),
+        matchY.as("my"))
+      .agg(sum("n_t").as("n_treat"),
+        sum("sy_t").as("syt"),
+        sum((col("n_t").cast("double") * col("my")).cast(dec12))
+          .as("sym"))
+    val nCtrl = scored.filter(col("t") === 0.0)
+      .agg(count(lit(1)).as("n_ctrl"))
+    def d(c: Column): Column = c.cast("double")
+    val nt = col("n_treat").cast("double")
+    val mt = d(col("syt")) / nt
+    val mm = d(col("sym")) / nt
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val ok = col("n_treat") > 0 && col("n_ctrl") > 0
+    m.crossJoin(broadcast(nCtrl)).select(
+      coalesce(col("n_treat"), lit(0L)).as("n_treat"),
+      col("n_ctrl"),
+      when(ok, r6(mt)).as("mean_treated"),
+      when(ok, r6(mm)).as("mean_matched"),
+      when(ok, r6(mt - mm)).as("att"))
+  }
+
+  private def emptyMatchRow(spark: org.apache.spark.sql.SparkSession,
+      n: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(0L, 0L, null, null, null)).asJava,
+      StructType(Seq(
+        StructField("n_treat", LongType, nullable = false),
+        StructField("n_ctrl", LongType, nullable = false),
+        StructField("mean_treated", DoubleType),
+        StructField("mean_matched", DoubleType),
+        StructField("att", DoubleType))))
+  }
+
+  /** The DuckDB oracle for [[propensityMatch]]: the shared β chain,
+    * then brute-force nearest (the collapsed distinct-e tables are
+    * oracle-scale small) with the identical backward-tie rule. */
+  private[graft] def matchOracleSql(table: String, tExpr: String,
+      yExpr: String, idExpr: String, x1: String, x2: String,
+      steps: Int, clip: Double): String = {
+    val hi = 1.0 - clip
+    s"""WITH d AS (
+          SELECT CAST($x1 AS DOUBLE) AS x1, CAST($x2 AS DOUBLE) AS x2,
+                 $tExpr AS y, $yExpr AS yo, $idExpr AS uid
+          FROM $table),
+        ${irlsChainSql(steps)},
+        rf AS (
+          SELECT y AS t, yo, uid,
+                 greatest($clip, least($hi,
+                   1.0 / (1.0 + exp(-(b0 + b1 * x1 + b2 * x2))))) AS e
+          FROM d CROSS JOIN s$steps),
+        tt AS (SELECT e, count(*) AS n_t,
+                      sum(CAST(yo AS DECIMAL(38,12))) AS sy_t
+               FROM rf WHERE t = 1.0 GROUP BY e),
+        cc AS (SELECT e, arg_max(yo, uid) AS cy
+               FROM rf WHERE t = 0.0 GROUP BY e),
+        nb AS (SELECT tt.e, tt.n_t, tt.sy_t, cc.cy,
+                 row_number() OVER (PARTITION BY tt.e
+                   ORDER BY abs(cc.e - tt.e) ASC, cc.e ASC) AS rn
+               FROM tt CROSS JOIN cc),
+        mt AS (SELECT e, n_t, sy_t, cy FROM nb WHERE rn = 1),
+        agg AS (SELECT CAST(sum(n_t) AS BIGINT) AS n_treat,
+                       sum(sy_t) AS syt,
+                       sum(CAST(CAST(n_t AS DOUBLE) * cy
+                         AS DECIMAL(38,12))) AS sym
+                FROM mt),
+        nc AS (SELECT count(*) AS n_ctrl FROM rf WHERE t = 0.0)
+        SELECT coalesce(n_treat, 0) AS n_treat,
+               CAST(n_ctrl AS BIGINT) AS n_ctrl,
+               round(CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+                   CAST(syt AS DOUBLE) / CAST(n_treat AS DOUBLE) END
+                 * 1000000.0)/1000000.0 AS mean_treated,
+               round(CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+                   CAST(sym AS DOUBLE) / CAST(n_treat AS DOUBLE) END
+                 * 1000000.0)/1000000.0 AS mean_matched,
+               round(CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+                   CAST(syt AS DOUBLE) / CAST(n_treat AS DOUBLE)
+                   - CAST(sym AS DOUBLE) / CAST(n_treat AS DOUBLE) END
+                 * 1000000.0)/1000000.0 AS att
+        FROM agg CROSS JOIN nc"""
+  }
+
   /** d = 3..8: collect the one Gram row (≤81 bounded values), solve by
     * partial-pivot Gaussian elimination on the driver, emit the result
     * as a literal table. NOTE the contract deviation from every other
@@ -1133,6 +1291,27 @@ object FitOps {
           .withColumn("treat",
             when(col("l_discount") >= 0.05, 1.0).otherwise(0.0)),
         "treat", "l_extendedprice", Seq("l_quantity", "l_tax"))),
+
+    // The matching answer to the same causal question — each deep-
+    // discount line paired with its nearest-propensity full-price
+    // line; ATT from the matched pairs, exact 1-D nearest via the
+    // collapsed distinct-propensity spine.
+    Query(
+      "q_propensity_match",
+      Some(matchOracleSql("(SELECT * FROM lineitem " +
+          "WHERE l_orderkey % 8 = 0)",
+        "CASE WHEN l_discount >= 0.05 THEN 1.0 ELSE 0.0 END",
+        "CAST(l_extendedprice AS DOUBLE)",
+        "l_orderkey * 8 + l_linenumber",
+        "l_quantity", "l_tax", steps = 8, clip = 0.01)),
+      (s, d) => propensityMatch(Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 8 === 0)
+          .withColumn("treat",
+            when(col("l_discount") >= 0.05, 1.0).otherwise(0.0))
+          .withColumn("uid",
+            col("l_orderkey") * 8 + col("l_linenumber")),
+        "treat", "l_extendedprice", "uid",
+        Seq("l_quantity", "l_tax"))),
 
     // Theil–Sen trend of daily order revenue: the robust slope a few
     // outlier days can't move (OLS breakdown point 0, Theil–Sen 29%).

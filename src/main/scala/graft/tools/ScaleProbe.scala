@@ -23,6 +23,7 @@ object ScaleProbe {
     val fitOnly = args.contains("--fit-only")
     val spineOnly = args.contains("--spine-only")
     val r15Only = args.contains("--r15-only")
+    val r15bOnly = args.contains("--r15b-only")
     val posArgs = args.toSeq.filterNot(_.startsWith("--"))
     val sfDir = posArgs.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = if (posArgs.length > 1) posArgs.drop(1).map(_.toInt)
@@ -63,7 +64,7 @@ object ScaleProbe {
     }
 
     println(f"[scale] base corpus: $n0 docs ($sfDir)")
-    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only) {
+    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly) {
     println("[scale] mult    docs   pairs_s  clusters_s  simhash_s")
     mults.foreach { m =>
       val (rows, tp, tc, tsh) = corpusTimes(m)
@@ -82,7 +83,7 @@ object ScaleProbe {
     spark.sparkContext.addSparkListener(listener)
     val embBase = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding")
-    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only) {
+    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly) {
     println("[scale] knn:  mult    vecs   wall_s   shuffle_mb")
     Seq(1, 2, 4).foreach { m =>
       val vecs = (0 until m)
@@ -580,7 +581,7 @@ object ScaleProbe {
     }
     }
 
-    if (!skewOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only) {
+    if (!skewOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly) {
     // Round-12 diagnostics/feature probe: trailingFeatures' only
     // exchange is the user-keyed window shuffle (linear in events —
     // key cardinality scales with the replication); sessionize is the
@@ -656,7 +657,7 @@ object ScaleProbe {
     // values inside the ≤9 crossing buckets, so cut-stage shuffle
     // bytes and wall must stay ~FLAT from 10³ distinct to
     // near-unique while the answer stays integer-exact.
-    if (qbOnly || (!skewOnly && !fxOnly && !fitOnly && !spineOnly && !r15Only)) {
+    if (qbOnly || (!skewOnly && !fxOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly)) {
       println("[scale] qb13: card  rows  bins_s/mb")
       val n = 6000000L
       // absorb codegen/JIT/AQE compile outside the timed rows — a
@@ -692,7 +693,7 @@ object ScaleProbe {
     // scaling (the pair space is quadratic in days by design -- the
     // probe prices it so the growth is a recorded fact, not a
     // surprise).
-    if (fitOnly || (!skewOnly && !fxOnly && !qbOnly && !spineOnly && !r15Only)) {
+    if (fitOnly || (!skewOnly && !fxOnly && !qbOnly && !spineOnly && !r15Only && !r15bOnly)) {
       import graft.operators.{FitOps, HypothesisOps}
       val ordBase = Tables.orders(spark, sfDir)
         .select("o_orderstatus", "o_totalprice")
@@ -765,7 +766,7 @@ object ScaleProbe {
     // spearman_matrix shuffles the distinct-value rank tables and the
     // rank joins — bytes may grow with distinct values but never with
     // rows² (duplicated values keep the rank tables FIXED here).
-    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !r15Only)) {
+    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !r15Only && !r15bOnly)) {
       import graft.operators.{FitOps, HypothesisOps, ProfileOps}
       val liBase = Tables.lineitem(spark, sfDir)
         .select("l_orderkey", "l_quantity", "l_extendedprice",
@@ -810,7 +811,7 @@ object ScaleProbe {
     // count and stay in the same band as the benign uniform shape at
     // equal distinct count — a blown-up heavy/uniform ratio would flag
     // the degeneracy back.
-    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !r15Only)) {
+    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !r15Only && !r15bOnly)) {
       import graft.operators.HypothesisOps
       println("[scale] sp14: shape    distinct    ks_s/mb")
       Seq(500000L, 2000000L).foreach { nd =>
@@ -853,7 +854,7 @@ object ScaleProbe {
     // word-count scan grows — train wall must grow far slower than
     // the corpus multiplier.
     if (r15Only || (!skewOnly && !fxOnly && !qbOnly && !fitOnly &&
-        !spineOnly)) {
+        !spineOnly && !r15bOnly)) {
       import graft.operators.HypothesisOps
       val ordBase = Tables.orders(spark, sfDir)
         .select("o_orderkey", "o_totalprice", "o_orderstatus",
@@ -904,6 +905,56 @@ object ScaleProbe {
       }
     }
 
+    // sp15b: the round-15 second wave. setsim_join grows the corpus
+    // with DISJOINT copies (every word prefixed by the copy index, so
+    // no cross-copy pair qualifies): true pairs grow ×m, and the
+    // prefix-filter candidate work must follow the output (near-
+    // linear wall/shuffle), never the m² pair space. logit/ipw
+    // duplicate rows verbatim: each IRLS pass is a map-side combine,
+    // so walls grow ~linearly with the scan and shuffle bytes stay
+    // flat (1-row combines).
+    if (r15bOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly &&
+        !spineOnly && !r15Only && !r15bOnly)) {
+      import graft.operators.{DedupOps, FitOps}
+      val docsBase = Tables.documents(spark, sfDir)
+        .select("doc_id", "lang", "text")
+      val liBase = Tables.lineitem(spark, sfDir)
+        .filter(col("l_orderkey") % 8 === 0)
+        .select("l_returnflag", "l_discount", "l_quantity")
+      println("[scale] sp15b: mult    docs  setsim_s/mb/pairs" +
+        "   li_rows  logit_s/mb")
+      Seq(1, 2, 4).foreach { m =>
+        val par = spark.sparkContext.defaultParallelism
+        val docs = (0 until m).map(i => docsBase.select(
+            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            col("lang"),
+            regexp_replace(col("text"), "(^| )", s"$$1c${i}_")
+              .as("text")))
+          .reduce(_ unionByName _).repartition(par).localCheckpoint()
+        val li = (0 until m).map(_ => liBase)
+          .reduce(_ unionByName _).repartition(par).localCheckpoint()
+        val nDocs = docs.count(); val nLi = li.count()
+        listener.reset()
+        var t0 = System.nanoTime()
+        val nPairs = DedupOps.setSimJoin(docs, "doc_id", "text", 0.6,
+          Some("lang")).count()
+        val wS = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500)
+        val bS = listener.bytes / 1e6
+        listener.reset()
+        t0 = System.nanoTime()
+        FitOps.logitFit(li.withColumn("lbl",
+            when(col("l_returnflag") === "R", 1.0).otherwise(0.0)),
+          "lbl", Seq("l_discount", "l_quantity")).count()
+        val wL = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500)
+        val bL = listener.bytes / 1e6
+        println(f"[scale] sp15b: $m%4d  $nDocs%6d  " +
+          f"$wS%5.2f/${bS}%7.1f/$nPairs%6d   $nLi%7d  " +
+          f"$wL%5.2f/${bL}%5.1f")
+      }
+    }
+
     // Cell-skew probe: natural corpora have hot clusters, and a hot
     // CELL concentrates the IVF stage-1 equi-join's work in one task
     // once the inverted file is too big to broadcast (the 100 TB
@@ -913,7 +964,7 @@ object ScaleProbe {
     // that the shape survives is (a) AQE's skew-join splitting the hot
     // partition ("skew=true" in the executed plan) and (b) wall time
     // in the same band as the balanced corpus at equal size.
-    if (!fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only) {
+    if (!fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly) {
       val conf = spark.conf
       val saved = Seq(
         "spark.sql.autoBroadcastJoinThreshold",

@@ -449,6 +449,35 @@ class FitOpsSpec extends SparkSpec {
     assert(at.getAs[Long]("n_treated") === 50L)
   }
 
+  test("propensityMatch recovers the planted effect when every " +
+    "treated cell has same-propensity controls (with replacement), " +
+    "and NULL-blocks single-arm inputs") {
+    // same confounded fixture as ipwAte but with 80 treated vs 20
+    // controls in the hot cell: matching is with replacement, each
+    // treated matches a control AT ITS OWN propensity, ATT exactly 2
+    val rows = for {
+      x1 <- Seq(0.0, 1.0)
+      (t, cnt) <- Seq((1.0, if (x1 == 1.0) 80 else 20),
+        (0.0, if (x1 == 1.0) 20 else 80))
+      k <- 1 to cnt
+    } yield (t, 10.0 + 3.0 * x1 + 2.0 * t, x1, (k % 2).toDouble,
+      (x1 * 1000 + t * 500 + k).toLong)
+    val df = rows.toDF("t", "y", "x1", "x2", "uid")
+    val r = FitOps.propensityMatch(df, "t", "y", "uid",
+      Seq("x1", "x2")).collect()(0)
+    assert(r.getAs[Long]("n_treat") === 100L)
+    assert(r.getAs[Long]("n_ctrl") === 100L)
+    assert(math.abs(r.getAs[Double]("att") - 2.0) < 0.01)
+    // all-treated: nothing to match against
+    val allT = (1 to 40).map(i =>
+      (1.0, i.toDouble, (i % 3).toDouble, (i % 5).toDouble, i.toLong))
+    val at = FitOps.propensityMatch(
+      allT.toDF("t", "y", "x1", "x2", "uid"), "t", "y", "uid",
+      Seq("x1", "x2")).collect()(0)
+    assert(at.isNullAt(at.fieldIndex("att")))
+    assert(at.getAs[Long]("n_ctrl") === 0L)
+  }
+
   test("logitFit degrades to NULL betas on a constant regressor and " +
     "on empty input") {
     val const = (1 to 100).map(i =>

@@ -1129,6 +1129,16 @@ class GraftExtensionsSpec extends SparkSpec {
       "'l_extendedprice', 'l_quantity', 'l_tax', 4)",
       graft.operators.FitOps.ipwAte(ipwLi, "treat",
         "l_extendedprice", Seq("l_quantity", "l_tax"), 4))
+    val pmLi = graft.sources.Tables.lineitem(s2, sfDir)
+      .select(when(col("l_discount") >= 0.05, 1.0).otherwise(0.0)
+          .as("treat"),
+        col("l_extendedprice"), col("l_quantity"), col("l_tax"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("uid"))
+    pmLi.createOrReplaceTempView("ht_pm")
+    assertParity(s2, "SELECT * FROM propensity_match('ht_pm', " +
+      "'treat', 'l_extendedprice', 'uid', 'l_quantity', 'l_tax', 4)",
+      graft.operators.FitOps.propensityMatch(pmLi, "treat",
+        "l_extendedprice", "uid", Seq("l_quantity", "l_tax"), 4))
     val pTab = graft.sources.Tables.nation(s2, sfDir)
       .select(col("n_name").as("k"),
         ((col("n_nationkey") + 1).cast("double") / 50.0).as("p"))
