@@ -590,6 +590,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "bootstrap_ci" -> GraftExtensions.bootstrapCiPlan _,
       "wasserstein" -> GraftExtensions.wassersteinPlan _,
       "cvm_test" -> GraftExtensions.cvmTestPlan _,
+      "ks_by" -> GraftExtensions.ksByPlan _,
       "energy_distance" -> GraftExtensions.energyDistancePlan _,
       "lift_table" -> GraftExtensions.liftTablePlan _,
       "cuped" -> GraftExtensions.cupedPlan _,
@@ -2356,6 +2357,23 @@ object GraftExtensions {
       litStr("cvm_test", "a", exprs(3)),
       litStr("cvm_test", "b", exprs(4)))
       .queryExecution.analyzed
+  }
+
+  /** `ks_by(table, value_col, group_col, a, b, seg_col)` —
+    * per-segment two-sample KS on the grouped spine
+    * ([[graft.operators.HypothesisOps.ksBy]]). Returns
+    * `(<seg_col>, n_a, n_b, d_stat, p_value)`. */
+  private[graft] def ksByPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("ks_by(table, value_col, group_col, a, b, seg_col)",
+      exprs, 6, 6)
+    val v = litStr("ks_by", "value_col", exprs(1))
+    val g = litStr("ks_by", "group_col", exprs(2))
+    val seg = litStr("ks_by", "seg_col", exprs(5))
+    val df = namedTable("ks_by", litStr("ks_by", "table", exprs(0)),
+      Seq(v, g, seg))
+    graft.operators.HypothesisOps.ksBy(df, v, g,
+      litStr("ks_by", "a", exprs(3)), litStr("ks_by", "b", exprs(4)),
+      seg).queryExecution.analyzed
   }
 
   /** `energy_distance(table, value_col, group_col, a, b)` —

@@ -829,6 +829,45 @@ object HypothesisOps {
       .orderBy(segCol)
   }
 
+  /** Per-segment two-sample KS — the slice view of [[ksTest]], the
+    * way distribution drift is actually FOUND (a global KS can stay
+    * flat while one segment's distribution walks away). One GROUPED
+    * [[RankSpine]] cumulative (the [[aucBy]] wiring: independent
+    * spines per segment sharing the refinement rounds), one fold per
+    * segment computing the integer cross-product gap and the
+    * asymptotic p. Single-class segments emit NULL, not NaN, and are
+    * not dropped. */
+  def ksBy(df: DataFrame, valCol: String, groupCol: String,
+      aVal: String, bVal: String, segCol: String): DataFrame = {
+    val s = df.filter(col(groupCol).isin(aVal, bVal))
+      .select(col(segCol).cast("string").as("seg"),
+        col(valCol).cast("double").as("v"),
+        when(col(groupCol) === aVal, 1L).otherwise(0L).as("isa"))
+    val g = s.groupBy("seg", "v")
+      .agg(sum(col("isa")).as("na"), sum(lit(1L) - col("isa")).as("nb"))
+    val cum = RankSpine.cumulative(g, "v", Seq("na", "nb"),
+      Seq("ca", "cb"), partitionCols = Seq("seg"))
+    val tot = cum.groupBy("seg")
+      .agg(sum("na").as("nat"), sum("nb").as("nbt"))
+    val m = cum.join(broadcast(tot), "seg")
+      .groupBy("seg")
+      .agg(
+        max(abs(col("ca").cast(dec0) * col("nbt") -
+          col("cb").cast(dec0) * col("nat"))).as("dnum"),
+        min("nat").as("n_a"), min("nbt").as("n_b"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val d = col("dnum").cast("double") / (na * nb)
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    m.select(col("seg").as(segCol),
+      coalesce(col("n_a"), lit(0L)).as("n_a"),
+      coalesce(col("n_b"), lit(0L)).as("n_b"),
+      when(ok, r6(d)).as("d_stat"),
+      when(ok, r6(least(lit(1.0),
+        lit(2.0) * exp(lit(-2.0) * d * d * na * nb / (na + nb)))))
+        .as("p_value"))
+      .orderBy(segCol)
+  }
+
   /** Univariate feature screen — "which raw columns separate the
     * classes at all": per feature, ROC AUC and the KS gap of the
     * feature against a binary label, the first cut every feature-
@@ -1306,6 +1345,49 @@ object HypothesisOps {
           .select(col("nation"), twoSidedNormalP(z).as("p"))
         fdrBh(pt, "nation", "p")
       }),
+
+    // Which priority tier's totals actually drifted between finished
+    // and open orders — the per-slice KS that finds what the global
+    // statistic averages away.
+    Query(
+      "q_ks_by",
+      Some("""WITH s AS (
+                SELECT o_orderpriority AS seg, o_totalprice AS v,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS isa
+                FROM orders WHERE o_orderstatus IN ('F', 'O')),
+              g AS (SELECT seg, v, sum(isa) AS na, sum(1 - isa) AS nb
+                    FROM s GROUP BY 1, 2),
+              c AS (SELECT seg, v, na, nb,
+                      sum(na) OVER (PARTITION BY seg ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                          ROW) AS ca,
+                      sum(nb) OVER (PARTITION BY seg ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                          ROW) AS cb
+                    FROM g),
+              t AS (SELECT seg, sum(na) AS nat, sum(nb) AS nbt
+                    FROM g GROUP BY 1),
+              d AS (SELECT c.seg,
+                      max(abs(ca * nbt - cb * nat)) AS dnum,
+                      min(nat) AS n_a, min(nbt) AS n_b
+                    FROM c JOIN t ON c.seg = t.seg
+                    GROUP BY 1),
+              f AS (SELECT seg, CAST(n_a AS BIGINT) AS n_a,
+                      CAST(n_b AS BIGINT) AS n_b,
+                      CAST(dnum AS DOUBLE)
+                        / (CAST(n_a AS DOUBLE) * n_b) AS dd
+                    FROM d)
+              SELECT seg AS o_orderpriority, n_a, n_b,
+                     round(CASE WHEN n_a > 0 AND n_b > 0 THEN dd END
+                       * 1000000.0)/1000000.0 AS d_stat,
+                     round(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                         least(1.0, 2.0 * exp(-2.0 * dd * dd
+                           * n_a * n_b / (n_a + n_b))) END
+                       * 1000000.0)/1000000.0 AS p_value
+              FROM f ORDER BY o_orderpriority"""),
+      (s, d) => ksBy(Tables.orders(s, d), "o_totalprice",
+        "o_orderstatus", "F", "O", "o_orderpriority")),
 
     // The first test a real user runs on "did the metric move":
     // Welch's t on the two groups' totals, unequal variances assumed.

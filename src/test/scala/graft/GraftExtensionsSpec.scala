@@ -1086,6 +1086,10 @@ class GraftExtensionsSpec extends SparkSpec {
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.cvmTest(ord, "o_totalprice", "o_orderstatus",
         "F", "O"))
+    assertParity(s2, "SELECT * FROM ks_by('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus', 'F', 'O', 'o_orderpriority')",
+      HypothesisOps.ksBy(ord, "o_totalprice", "o_orderstatus",
+        "F", "O", "o_orderpriority"))
     assertParity(s2, "SELECT * FROM energy_distance('ht_orders', " +
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.energyDistance(ord, "o_totalprice",

@@ -188,6 +188,37 @@ class HypothesisOpsSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  // -- ksBy --------------------------------------------------------------
+
+  test("ksBy: each segment equals the ungrouped ksTest on that " +
+    "segment's rows, and a single-class segment emits NULL without " +
+    "being dropped") {
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 600).map { i =>
+      val seg = s"s${i % 3}"
+      val g = if (rnd.nextBoolean()) "A" else "B"
+      val v = rnd.nextInt(30).toDouble +
+        (if (g == "A" && seg == "s1") 8.0 else 0.0)
+      (seg, g, v)
+    } ++ (1 to 20).map(i => ("mono", "A", i.toDouble))
+    val df = rows.toDF("seg", "g", "v")
+    val got = HypothesisOps.ksBy(df, "v", "g", "A", "B", "seg")
+      .collect().map(r => r.getAs[String]("seg") -> r).toMap
+    assert(got.keySet === Set("s0", "s1", "s2", "mono"))
+    Seq("s0", "s1", "s2").foreach { sg =>
+      val sub = rows.filter(_._1 == sg).map(t => (t._2, t._3))
+        .toDF("g", "v")
+      val exp = HypothesisOps.ksTest(sub, "v", "g", "A", "B")
+        .collect()(0)
+      assert(got(sg).getAs[Double]("d_stat") ===
+        exp.getAs[Double]("d_stat"), sg)
+      assert(got(sg).getAs[Double]("p_value") ===
+        exp.getAs[Double]("p_value"), sg)
+    }
+    assert(got("mono").isNullAt(got("mono").fieldIndex("d_stat")))
+    assert(got("mono").getAs[Long]("n_b") === 0L)
+  }
+
   // -- fdrBh / twoSidedNormalP ------------------------------------------
 
   test("fdrBh matches the brute-force step-up q-values, rejects " +
