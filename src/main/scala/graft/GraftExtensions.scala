@@ -601,7 +601,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "ipw_ate" -> GraftExtensions.ipwAtePlan _,
       "did_estimate" -> GraftExtensions.didEstimatePlan _,
       "propensity_match" -> GraftExtensions.propensityMatchPlan _,
-      "power_analysis" -> GraftExtensions.powerAnalysisPlan _)
+      "power_analysis" -> GraftExtensions.powerAnalysisPlan _,
+      "brier_decomp" -> GraftExtensions.brierDecompPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2555,6 +2556,24 @@ object GraftExtensions {
       litDouble("propensity_match", "steps", exprs(6)).toInt else 8
     graft.operators.FitOps.propensityMatch(df, t, y, id,
       Seq(x1, x2), steps).queryExecution.analyzed
+  }
+
+  /** `brier_decomp(table, prob_col, label_col [, bins])` — Murphy
+    * decomposition of the Brier score
+    * ([[graft.operators.ProfileOps.brierDecomp]]). Returns `(n,
+    * brier, reliability, resolution, uncertainty, within_var)`. */
+  private[graft] def brierDecompPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("brier_decomp(table, prob_col, label_col [, bins])",
+      exprs, 3, 4)
+    val p = litStr("brier_decomp", "prob_col", exprs(1))
+    val l = litStr("brier_decomp", "label_col", exprs(2))
+    val df = namedTable("brier_decomp",
+      litStr("brier_decomp", "table", exprs(0)), Seq(p, l))
+    val bins = if (exprs.length > 3)
+      litDouble("brier_decomp", "bins", exprs(3)).toInt else 10
+    graft.operators.ProfileOps.brierDecomp(df, p, l, bins)
+      .queryExecution.analyzed
   }
 
   /** `power_analysis(table, value_col, group_col, a, b)` — two-sample

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Query
 import graft.sources.Tables
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -211,6 +211,23 @@ object FitOps {
         .cast(dec12)).as("sdev")
     proj.agg(aggs.head, aggs.tail: _*).collect()(0)
   }
+
+  /** The shared deep-discount causal fixture: the 1/8 orderkey
+    * stride with treatment (discount ≥ 0.05) and a unique line id. */
+  private def strideFixture(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).filter(col("l_orderkey") % 8 === 0)
+      .withColumn("treat",
+        when(col("l_discount") >= 0.05, 1.0).otherwise(0.0))
+      .withColumn("uid", col("l_orderkey") * 8 + col("l_linenumber"))
+
+  /** Session-cached propensity chain for the stride fixture —
+    * q_ipw_ate and q_propensity_match fit the IDENTICAL model, so
+    * the 8 IRLS passes run once per (session, corpus). */
+  private val strideIrlsCache =
+    new IndexCache[(Array[Double], Long, Boolean)](
+      (s, d) => irlsLoop(strideFixture(s, d), "treat",
+        Seq("l_quantity", "l_tax"), 8),
+      _ => ())
 
   /** The shared fixed-step IRLS loop behind [[logitFit]] and
     * [[ipwAte]]: returns (β at the last completed step, n,
@@ -433,14 +450,16 @@ object FitOps {
     * steps+1 linear map-side passes, NULL row on empty/degenerate
     * propensity fits. */
   def ipwAte(df: DataFrame, treatCol: String, outcomeCol: String,
-      xCols: Seq[String], steps: Int = 8, clip: Double = 0.01)
+      xCols: Seq[String], steps: Int = 8, clip: Double = 0.01,
+      irls: Option[(Array[Double], Long, Boolean)] = None)
       : DataFrame = {
     require(xCols.size == 2,
       s"ipwAte fits exactly 2 propensity covariates; got $xCols")
     require(clip > 0 && clip < 0.5, s"clip in (0, 0.5); got $clip")
     val spark = df.sparkSession
     val dec12 = DecimalType(38, 12)
-    val (beta, n, degenerate) = irlsLoop(df, treatCol, xCols, steps)
+    val (beta, n, degenerate) =
+      irls.getOrElse(irlsLoop(df, treatCol, xCols, steps))
     val out = if (degenerate) {
       org.apache.spark.sql.Row(n, null, null, null, null)
     } else {
@@ -543,12 +562,14 @@ object FitOps {
     * ties). ATT folds from the matched distinct-e rows. */
   def propensityMatch(df: DataFrame, treatCol: String,
       outcomeCol: String, idCol: String, xCols: Seq[String],
-      steps: Int = 8, clip: Double = 0.01): DataFrame = {
+      steps: Int = 8, clip: Double = 0.01,
+      irls: Option[(Array[Double], Long, Boolean)] = None): DataFrame = {
     require(xCols.size == 2,
       s"propensityMatch fits exactly 2 covariates; got $xCols")
     val spark = df.sparkSession
     val dec12 = DecimalType(38, 12)
-    val (beta, nAll, degenerate) = irlsLoop(df, treatCol, xCols, steps)
+    val (beta, nAll, degenerate) =
+      irls.getOrElse(irlsLoop(df, treatCol, xCols, steps))
     if (degenerate) return emptyMatchRow(spark, nAll)
     val scored = df.select(col(xCols(0)).cast("double").as("x1"),
         col(xCols(1)).cast("double").as("x2"),
@@ -1278,7 +1299,11 @@ object FitOps {
 
     // What does a deep discount DO to line revenue, adjusting for
     // which lines tend to get discounted — IPW off the same
-    // replayable propensity chain, on the same 1/8 stride.
+    // replayable propensity chain, on the same 1/8 stride. The β
+    // chain is SHARED with q_propensity_match through the session
+    // cache (identical fixture, label and covariates — the
+    // ordersSpineCache stance; VERDICT r14 item 4's lesson applied
+    // up front), so the pair pays the 8 IRLS passes once.
     Query(
       "q_ipw_ate",
       Some(ipwOracleSql("(SELECT * FROM lineitem " +
@@ -1286,11 +1311,9 @@ object FitOps {
         "CASE WHEN l_discount >= 0.05 THEN 1.0 ELSE 0.0 END",
         "CAST(l_extendedprice AS DOUBLE)",
         "l_quantity", "l_tax", steps = 8, clip = 0.01)),
-      (s, d) => ipwAte(Tables.lineitem(s, d)
-          .filter(col("l_orderkey") % 8 === 0)
-          .withColumn("treat",
-            when(col("l_discount") >= 0.05, 1.0).otherwise(0.0)),
-        "treat", "l_extendedprice", Seq("l_quantity", "l_tax"))),
+      (s, d) => ipwAte(strideFixture(s, d),
+        "treat", "l_extendedprice", Seq("l_quantity", "l_tax"),
+        irls = Some(strideIrlsCache.get(s, d)))),
 
     // The matching answer to the same causal question — each deep-
     // discount line paired with its nearest-propensity full-price
@@ -1304,14 +1327,9 @@ object FitOps {
         "CAST(l_extendedprice AS DOUBLE)",
         "l_orderkey * 8 + l_linenumber",
         "l_quantity", "l_tax", steps = 8, clip = 0.01)),
-      (s, d) => propensityMatch(Tables.lineitem(s, d)
-          .filter(col("l_orderkey") % 8 === 0)
-          .withColumn("treat",
-            when(col("l_discount") >= 0.05, 1.0).otherwise(0.0))
-          .withColumn("uid",
-            col("l_orderkey") * 8 + col("l_linenumber")),
-        "treat", "l_extendedprice", "uid",
-        Seq("l_quantity", "l_tax"))),
+      (s, d) => propensityMatch(strideFixture(s, d),
+        "treat", "l_extendedprice", "uid", Seq("l_quantity", "l_tax"),
+        irls = Some(strideIrlsCache.get(s, d)))),
 
     // Theil–Sen trend of daily order revenue: the robust slope a few
     // outlier days can't move (OLS breakdown point 0, Theil–Sen 29%).

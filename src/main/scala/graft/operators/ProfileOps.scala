@@ -318,6 +318,63 @@ object ProfileOps {
       .orderBy("bin")
   }
 
+  /** Murphy decomposition of the Brier score — WHY is the Brier what
+    * it is: brier_binned = RELIABILITY − RESOLUTION + UNCERTAINTY,
+    * where reliability = Σ n_k(p̄_k − ō_k)²/N (miscalibration — the
+    * part recalibration can remove), resolution = Σ n_k(ō_k − ō)²/N
+    * (discrimination — how much the bins actually separate outcomes)
+    * and uncertainty = ō(1−ō) (the base-rate floor no model beats).
+    * The raw Brier additionally carries a within-bin residual
+    * (raw − binned identity, reported as within_var): the within-bin
+    * forecast variance MINUS twice the within-bin forecast–outcome
+    * covariance — zero when forecasts only take the bin values, and
+    * of EITHER sign for continuous forecasts (a positive within-bin
+    * p–y association can make it slightly negative). Same binned
+    * aggregate as [[calibration]], one ≤nBins-row second fold.
+    * Reliability terms stay exact: n_k(p̄_k−ō_k)² = (Σp − npos)²/n_k
+    * with the numerator an exact DECIMAL difference. */
+  def brierDecomp(df: DataFrame, probCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2; got $nBins")
+    val dec12 = DecimalType(38, 12)
+    val p = col(probCol).cast("double")
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val rows = df.select(
+      least(lit(nBins - 1), greatest(lit(0),
+        floor(p * nBins))).cast("bigint").as("bin"),
+      p.as("p"), y.as("y"))
+    val byBin = rows.groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast(dec12)).as("sp"),
+        sum("y").as("npos"),
+        sum(((col("p") - col("y")) * (col("p") - col("y")))
+          .cast(dec12)).as("sq"))
+    val tot = byBin.agg(sum("n").as("nt"), sum("npos").as("post"),
+      sum("sq").cast("double").as("sqt"))
+    val nD = col("n").cast("double")
+    val obar = col("post").cast("double") / col("nt").cast("double")
+    val dRel = (col("sp") - col("npos").cast(dec12)).cast("double")
+    val dRes = col("npos").cast("double") / nD - obar
+    val m = byBin.crossJoin(broadcast(tot))
+      .agg(
+        sum((dRel * dRel / nD).cast(dec12)).as("rel"),
+        sum((nD * (dRes * dRes)).cast(dec12)).as("res"),
+        min("nt").as("n"), min("post").as("post"), min("sqt").as("sqt"))
+    val nt = col("n").cast("double")
+    val ob = col("post").cast("double") / nt
+    val rel = col("rel").cast("double") / nt
+    val res = col("res").cast("double") / nt
+    val unc = ob * (lit(1.0) - ob)
+    val brier = col("sqt") / nt
+    val ok = col("n") > 0
+    m.select(coalesce(col("n"), lit(0L)).as("n"),
+      when(ok, r6(brier)).as("brier"),
+      when(ok, r6(rel)).as("reliability"),
+      when(ok, r6(res)).as("resolution"),
+      when(ok, r6(unc)).as("uncertainty"),
+      when(ok, r6(brier - (rel - res + unc))).as("within_var"))
+  }
+
   /** Multivariate (Mahalanobis) outlier census over exactly three
     * numeric columns — the joint-distribution twin of the per-column
     * Tukey fences: a row can sit inside every marginal yet be wildly
@@ -884,6 +941,77 @@ object ProfileOps {
         "l_extendedprice", "l_discount")),
 
     // Does a normalized "score" come true at its stated rate — the
+    // WHY is the Brier what it is — miscalibration you can fix vs
+    // discrimination you can't fake vs the base-rate floor.
+    Query(
+      "q_brier_decomp",
+      Some("""WITH b AS (SELECT min(o_totalprice) AS lo,
+                       max(o_totalprice) AS hi FROM orders),
+              r AS (SELECT (o_totalprice - lo) / (hi - lo) AS p,
+                       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                         AS y
+                    FROM orders CROSS JOIN b),
+              rws AS (SELECT CAST(least(9, greatest(0,
+                        floor(p * 10))) AS BIGINT) AS bin, p, y
+                      FROM r),
+              bb AS (SELECT bin, count(*) AS n,
+                       sum(CAST(p AS DECIMAL(38,12))) AS sp,
+                       sum(y) AS npos,
+                       sum(CAST((p - y) * (p - y) AS DECIMAL(38,12)))
+                         AS sq
+                     FROM rws GROUP BY 1),
+              t AS (SELECT sum(n) AS nt, sum(npos) AS post,
+                      CAST(sum(sq) AS DOUBLE) AS sqt
+                    FROM bb),
+              m AS (SELECT
+                      sum(CAST(CAST(sp - CAST(npos AS DECIMAL(38,12))
+                            AS DOUBLE)
+                          * CAST(sp - CAST(npos AS DECIMAL(38,12))
+                            AS DOUBLE)
+                          / CAST(n AS DOUBLE)
+                        AS DECIMAL(38,12))) AS rel,
+                      sum(CAST(CAST(n AS DOUBLE)
+                          * ((CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
+                              - CAST(post AS DOUBLE)
+                                / CAST(nt AS DOUBLE))
+                            * (CAST(npos AS DOUBLE) / CAST(n AS DOUBLE)
+                              - CAST(post AS DOUBLE)
+                                / CAST(nt AS DOUBLE)))
+                        AS DECIMAL(38,12))) AS res,
+                      min(nt) AS n, min(post) AS post, min(sqt) AS sqt
+                    FROM bb CROSS JOIN t),
+              f AS (SELECT CAST(n AS BIGINT) AS n,
+                      CAST(rel AS DOUBLE) / n AS rel,
+                      CAST(res AS DOUBLE) / n AS res,
+                      (CAST(post AS DOUBLE) / n)
+                        * (1.0 - CAST(post AS DOUBLE) / n) AS unc,
+                      sqt / n AS brier
+                    FROM m)
+              SELECT n,
+                     round(CASE WHEN n > 0 THEN brier END
+                       * 1000000.0)/1000000.0 AS brier,
+                     round(CASE WHEN n > 0 THEN rel END
+                       * 1000000.0)/1000000.0 AS reliability,
+                     round(CASE WHEN n > 0 THEN res END
+                       * 1000000.0)/1000000.0 AS resolution,
+                     round(CASE WHEN n > 0 THEN unc END
+                       * 1000000.0)/1000000.0 AS uncertainty,
+                     round(CASE WHEN n > 0 THEN
+                         brier - (rel - res + unc) END
+                       * 1000000.0)/1000000.0 AS within_var
+              FROM f"""),
+      (s, d) => {
+        val ord = Tables.orders(s, d)
+        val b = ord.agg(min("o_totalprice").as("__lo"),
+          max("o_totalprice").as("__hi"))
+        brierDecomp(
+          ord.crossJoin(broadcast(b))
+            .select(((col("o_totalprice") - col("__lo")) /
+              (col("__hi") - col("__lo"))).as("prob"),
+              (col("o_orderstatus") === "F").as("label")),
+          "prob", "label")
+      }),
+
     // reliability table + Brier/ECE every model eval should print.
     Query(
       "q_calibration",

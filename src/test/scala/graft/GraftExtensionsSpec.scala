@@ -1217,6 +1217,9 @@ class GraftExtensionsSpec extends SparkSpec {
     assertParity(s2,
       "SELECT * FROM calibration('ht_probs', 'prob', 'label', 10)",
       ProfileOps.calibration(probs, "prob", "label", 10))
+    assertParity(s2,
+      "SELECT * FROM brier_decomp('ht_probs', 'prob', 'label', 10)",
+      ProfileOps.brierDecomp(probs, "prob", "label", 10))
     assertParity(s2, "SELECT * FROM effect_size('ht_orders', " +
       "'o_totalprice', 'o_orderstatus', 'F', 'O')",
       HypothesisOps.effectSize(ord, "o_totalprice", "o_orderstatus",

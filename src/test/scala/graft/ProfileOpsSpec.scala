@@ -394,4 +394,50 @@ class ProfileOpsSpec extends SparkSpec {
     // all rows share the n of the input
     assert(m.forall(_.getAs[Long]("n") === 300L))
   }
+
+  // -- brierDecomp ------------------------------------------------------
+
+  test("brierDecomp: the Murphy identity holds, a perfect forecaster " +
+    "scores brier 0 with resolution = uncertainty, and a constant " +
+    "base-rate forecast has zero reliability and resolution") {
+    import spark.implicits._
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // mixed random forecasts: the identity brier = rel - res + unc +
+    // within_var must hold to rounding
+    val rnd = new scala.util.Random(71)
+    val mixed = (1 to 500).map { _ =>
+      val p = rnd.nextInt(100) / 100.0
+      (p, rnd.nextDouble() < p * 0.8 + 0.1)
+    }.toDF("prob", "label")
+    val m = ProfileOps.brierDecomp(mixed, "prob", "label").collect()(0)
+    val lhs = m.getAs[Double]("brier")
+    val rhs = m.getAs[Double]("reliability") -
+      m.getAs[Double]("resolution") + m.getAs[Double]("uncertainty") +
+      m.getAs[Double]("within_var")
+    assert(math.abs(lhs - rhs) < 5e-6)
+    // the within-bin residual is small relative to the score (it is
+    // variance minus twice the within-bin p-y covariance — either
+    // sign, bounded by the bin width scale)
+    assert(math.abs(m.getAs[Double]("within_var")) <
+      m.getAs[Double]("brier"))
+    // perfect forecaster: p = y exactly
+    val perfect = ((1 to 30).map(_ => (1.0, true)) ++
+      (1 to 70).map(_ => (0.0, false))).toDF("prob", "label")
+    val pf = ProfileOps.brierDecomp(perfect, "prob", "label")
+      .collect()(0)
+    assert(pf.getAs[Double]("brier") === 0.0)
+    assert(pf.getAs[Double]("reliability") === 0.0)
+    assert(pf.getAs[Double]("resolution") ===
+      pf.getAs[Double]("uncertainty"))
+    assert(r6(pf.getAs[Double]("uncertainty")) === r6(0.3 * 0.7))
+    // constant base-rate forecast: nothing to recalibrate, nothing
+    // discriminated — brier = uncertainty exactly
+    val const = ((1 to 30).map(_ => (0.3, true)) ++
+      (1 to 70).map(_ => (0.3, false))).toDF("prob", "label")
+    val cf = ProfileOps.brierDecomp(const, "prob", "label").collect()(0)
+    assert(cf.getAs[Double]("reliability") === 0.0)
+    assert(cf.getAs[Double]("resolution") === 0.0)
+    assert(cf.getAs[Double]("brier") ===
+      r6(cf.getAs[Double]("uncertainty")))
+  }
 }
