@@ -602,7 +602,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "did_estimate" -> GraftExtensions.didEstimatePlan _,
       "propensity_match" -> GraftExtensions.propensityMatchPlan _,
       "power_analysis" -> GraftExtensions.powerAnalysisPlan _,
-      "brier_decomp" -> GraftExtensions.brierDecompPlan _)
+      "brier_decomp" -> GraftExtensions.brierDecompPlan _,
+      "jarque_bera" -> GraftExtensions.jarqueBeraPlan _,
+      "levene" -> GraftExtensions.levenePlan _,
+      "tukey_hsd" -> GraftExtensions.tukeyHsdPlan _,
+      "chisq_test" -> GraftExtensions.chisqTestPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2694,6 +2698,64 @@ object GraftExtensions {
     graft.operators.HypothesisOps.mannWhitney(df, v, g,
       litStr("mann_whitney", "a", exprs(3)),
       litStr("mann_whitney", "b", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `jarque_bera(table, value_col, group_col)` — per-group JB
+    * normality test ([[graft.operators.HypothesisOps.jarqueBera]]).
+    * Returns `(group, n, mean, skewness, kurtosis, jb, p_value)`. */
+  private[graft] def jarqueBeraPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("jarque_bera(table, value_col, group_col)", exprs, 3, 3)
+    val v = litStr("jarque_bera", "value_col", exprs(1))
+    val g = litStr("jarque_bera", "group_col", exprs(2))
+    val df = namedTable("jarque_bera",
+      litStr("jarque_bera", "table", exprs(0)), Seq(v, g))
+    graft.operators.HypothesisOps.jarqueBera(df, v, g)
+      .queryExecution.analyzed
+  }
+
+  /** `levene(table, value_col, group_col)` — Brown–Forsythe
+    * homogeneity-of-variance test
+    * ([[graft.operators.HypothesisOps.leveneBf]]). Returns one row
+    * per group with shared `(f_stat, dof_between, dof_within)`. */
+  private[graft] def levenePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("levene(table, value_col, group_col)", exprs, 3, 3)
+    val v = litStr("levene", "value_col", exprs(1))
+    val g = litStr("levene", "group_col", exprs(2))
+    val df = namedTable("levene",
+      litStr("levene", "table", exprs(0)), Seq(v, g))
+    graft.operators.HypothesisOps.leveneBf(df, v, g)
+      .queryExecution.analyzed
+  }
+
+  /** `tukey_hsd(table, value_col, group_col)` — post-hoc pairwise
+    * mean comparisons ([[graft.operators.HypothesisOps.tukeyHsd]]).
+    * Returns `(g_a, g_b, n_a, n_b, diff, se, q_stat, dof_within)`. */
+  private[graft] def tukeyHsdPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("tukey_hsd(table, value_col, group_col)", exprs, 3, 3)
+    val v = litStr("tukey_hsd", "value_col", exprs(1))
+    val g = litStr("tukey_hsd", "group_col", exprs(2))
+    val df = namedTable("tukey_hsd",
+      litStr("tukey_hsd", "table", exprs(0)), Seq(v, g))
+    graft.operators.HypothesisOps.tukeyHsd(df, v, g)
+      .queryExecution.analyzed
+  }
+
+  /** `chisq_test(table, a_col, b_col)` — χ² independence test with
+    * Wilson–Hilferty p-value
+    * ([[graft.operators.StatsOps.chisqTest]]). Returns
+    * `(n, dof, chi2, p_value)`. */
+  private[graft] def chisqTestPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("chisq_test(table, a_col, b_col)", exprs, 3, 3)
+    val a = litStr("chisq_test", "a_col", exprs(1))
+    val b = litStr("chisq_test", "b_col", exprs(2))
+    val df = namedTable("chisq_test",
+      litStr("chisq_test", "table", exprs(0)), Seq(a, b))
+    graft.operators.StatsOps.chisqTest(df, a, b)
       .queryExecution.analyzed
   }
 

@@ -261,6 +261,22 @@ object HypothesisOps {
       exp(lit(-0.5) * ax * ax) / lit(2.5066282746310002) * poly * 2)
   }
 
+  /** Upper-tail normal p-value 1 − Φ(z) off the same A&S 26.2.17
+    * polynomial as [[twoSidedNormalP]] (for z of either sign): the
+    * one-sided survival the χ² Wilson–Hilferty mapping and other
+    * upper-tail tests need. Identical operand order as
+    * [[sqlUpperNormalP]] so both engines compute the same doubles. */
+  private[graft] def upperNormalP(z: Column): Column =
+    when(z >= 0, twoSidedNormalP(z) / 2)
+      .otherwise(lit(1.0) - twoSidedNormalP(z) / 2)
+
+  /** The oracle's spelling of [[upperNormalP]] — `z` must be a SQL
+    * column/expression cheap to restate (reference a named CTE column,
+    * not a subexpression). */
+  private[graft] def sqlUpperNormalP(z: String): String =
+    s"""CASE WHEN $z >= 0 THEN ${sqlTwoSidedNormalP(z)} / 2
+        ELSE 1.0 - ${sqlTwoSidedNormalP(z)} / 2 END"""
+
   /** The oracle's spelling of [[twoSidedNormalP]] — identical
     * constants and operand order over a SQL expression for z. */
   private[graft] def sqlTwoSidedNormalP(z: String): String =
@@ -427,6 +443,140 @@ object HypothesisOps {
           .as("stddev"),
         col("f_stat"), col("dof_between"), col("dof_within"))
       .orderBy(groupCol)
+  }
+
+  /** Jarque–Bera normality test per group — the "is this column even
+    * close to normal" gate in front of every z/t-based readout the
+    * engine emits (q_ab_metrics, q_t_test, q_power assume it).
+    * JB = n/6·(S² + (K−3)²/4) from sample skewness S = m₃/m₂^{3/2}
+    * and kurtosis K = m₄/m₂²; under H₀ JB ~ χ²₂ whose survival is
+    * exactly exp(−JB/2) — a closed-form p-value both engines state
+    * identically (no approximation beyond the moment estimate
+    * itself).
+    *
+    * Scale: ONE map-side-combined aggregate per group — five
+    * DECIMAL(38,6)-exact power sums; every readout is a k-row fold.
+    * The x⁴ pre-sum bounds the usable magnitude at ~1e8 per value
+    * (38−6 digits over corpus counts) — the [[anovaF]] dec6 stance,
+    * overflowing loudly under ANSI rather than quietly losing bits. */
+  def jarqueBera(df: DataFrame, valCol: String, groupCol: String)
+      : DataFrame = {
+    val dec6 = DecimalType(38, 6)
+    val v = col(valCol).cast("double")
+    val g = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(v.cast(dec6)).as("s1"),
+        sum((v * v).cast(dec6)).as("s2"),
+        sum((v * v * v).cast(dec6)).as("s3"),
+        sum((v * v * v * v).cast(dec6)).as("s4"))
+    val nD = col("n").cast("double")
+    val m1 = col("s1").cast("double") / nD
+    val r2 = col("s2").cast("double") / nD
+    val r3 = col("s3").cast("double") / nD
+    val r4 = col("s4").cast("double") / nD
+    val m2 = r2 - m1 * m1
+    val m3 = r3 - lit(3.0) * m1 * r2 + lit(2.0) * m1 * m1 * m1
+    val m4 = r4 - lit(4.0) * m1 * r3 + lit(6.0) * m1 * m1 * r2 -
+      lit(3.0) * m1 * m1 * m1 * m1
+    val skew = m3 / sqrt(m2 * m2 * m2)
+    val kurt = m4 / (m2 * m2)
+    val jb = nD / 6 * (skew * skew +
+      (kurt - 3) * (kurt - 3) / 4)
+    // all m2-divisions nest under the m2>0 guard (ANSI throws eagerly)
+    val ok = col("n") > 3 && m2 > 0
+    g.select(col("grp").as(groupCol), col("n"),
+        r6(m1).as("mean"),
+        when(ok, r6(skew)).as("skewness"),
+        when(ok, r6(kurt)).as("kurtosis"),
+        when(ok, r6(jb)).as("jb"),
+        when(ok, r6(exp(jb / -2))).as("p_value"))
+      .orderBy(groupCol)
+  }
+
+  /** Brown–Forsythe (median-centered Levene) homogeneity-of-variance
+    * test: one-way ANOVA F on the absolute deviations from each
+    * group's LOWER median — the robust "are these groups' SPREADS
+    * equal" companion to [[anovaF]]'s mean test, and the assumption
+    * check in front of pooled-variance readouts ([[tukeyHsd]],
+    * Cohen's d). Median-centering (Brown–Forsythe 1974) keeps the
+    * test honest under skew where mean-centered Levene inflates.
+    *
+    * The lower median (smallest v with 2·cum ≥ n_g, the
+    * weighted-median convention StatsOps already pins) is exact and
+    * identical both engines — no interpolation to diverge on. Scale:
+    * the per-group cumulative runs through the grouped [[RankSpine]]
+    * (≤cap rows per window partition on ANY value distribution),
+    * medians broadcast back (k rows), then [[anovaF]]'s one
+    * aggregate. Output: one row per group (n_g, mean/stddev of the
+    * absolute deviations) with shared F/dof. */
+  def leveneBf(df: DataFrame, valCol: String, groupCol: String)
+      : DataFrame = {
+    val v = col(valCol).cast("double")
+    val g = df.groupBy(col(groupCol).cast("string").as("grp"),
+        v.as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = RankSpine.cumulative(g, "v", Seq("c"), Seq("cum"),
+      partitionCols = Seq("grp"))
+    val ng = g.groupBy("grp").agg(sum("c").as("__n_g"))
+    val med = cum.join(broadcast(ng), "grp")
+      .filter(col("cum") * 2 >= col("__n_g"))
+      .groupBy("grp").agg(min("v").as("__med"))
+    val dev = df.select(col(groupCol).cast("string").as("grp"),
+        v.as("__v"))
+      .join(broadcast(med), "grp")
+      .select(col("grp"),
+        abs(col("__v") - col("__med")).as("absdev"))
+    anovaF(dev, "absdev", "grp")
+      .withColumnRenamed("grp", groupCol)
+  }
+
+  /** Tukey HSD pairwise comparisons after a significant [[anovaF]]:
+    * for every unordered group pair, the mean difference, its
+    * studentized-range standard error √(MSW/2·(1/nᵢ+1/nⱼ)) and the q
+    * statistic |Δ|/se — WHICH groups differ, not just "some do". No
+    * p-value column: the studentized-range CDF has no closed form
+    * both engines state identically ([[tTest]]'s stance); q + the
+    * within dof are the decision-complete pair against any published
+    * critical table.
+    *
+    * Scale: the same ONE per-group aggregate as [[anovaF]], then a
+    * k×k self-join of the k-row group table (k = group cardinality,
+    * broadcast both sides — never corpus-squared). */
+  def tukeyHsd(df: DataFrame, valCol: String, groupCol: String)
+      : DataFrame = {
+    val dec6 = DecimalType(38, 6)
+    val v = col(valCol)
+    val g = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(v.cast(dec6)).as("sx"),
+        sum((v * v).cast(dec6)).as("sxx"))
+    val nG = col("n_g").cast("double")
+    val per = g.select(col("grp"), col("n_g"),
+      (col("sx").cast("double") / nG).as("mean"),
+      (col("sxx").cast("double") - col("sx").cast("double") *
+        col("sx").cast("double") / nG).as("ssw_g"))
+    val tot = per.agg(sum("n_g").as("n"), count(lit(1)).as("k"),
+      sum(col("ssw_g").cast(dec6)).cast("double").as("ssw"))
+    val msw = col("ssw") /
+      (col("n").cast("double") - col("k").cast("double"))
+    val shared = tot.select(msw.as("__msw"),
+      (col("n") - col("k")).cast("bigint").as("dof_within"))
+    val a = per.select(col("grp").as("g_a"), col("n_g").as("n_a"),
+      col("mean").as("__ma"))
+    val b = per.select(col("grp").as("g_b"), col("n_g").as("n_b"),
+      col("mean").as("__mb"))
+    val se = sqrt(col("__msw") / 2 *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double")))
+    a.join(broadcast(b), col("g_a") < col("g_b"))
+      .crossJoin(broadcast(shared))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        r6(col("__ma") - col("__mb")).as("diff"),
+        r6(se).as("se"),
+        when(se > 0, r6(abs(col("__ma") - col("__mb")) / se))
+          .as("q_stat"),
+        col("dof_within"))
+      .orderBy("g_a", "g_b")
   }
 
   /** Welch's two-sample t-test — the unequal-variance location test a
@@ -2094,5 +2244,155 @@ object HypothesisOps {
                      CAST(n_above AS BIGINT) AS n_above
               FROM cnt JOIN f USING (g) ORDER BY 1"""),
       (s, d) => StatsOps.iqrOutliers(Tables.lineitem(s, d),
-        "l_returnflag", "l_extendedprice")))
+        "l_returnflag", "l_extendedprice")),
+
+    // Is quantity even close to normal within each return flag — the
+    // normality gate in front of every z/t readout. Uniform-ish
+    // quantity should fail hard (platykurtic: K ≈ 1.8, JB huge).
+    Query(
+      "q_jarque_bera",
+      Some("""WITH g AS (
+                SELECT l_returnflag AS grp, count(*) AS n,
+                       sum(CAST(l_quantity AS DECIMAL(38,6))) AS s1,
+                       sum(CAST(l_quantity * l_quantity
+                         AS DECIMAL(38,6))) AS s2,
+                       sum(CAST(l_quantity * l_quantity * l_quantity
+                         AS DECIMAL(38,6))) AS s3,
+                       sum(CAST(l_quantity * l_quantity * l_quantity
+                         * l_quantity AS DECIMAL(38,6))) AS s4
+                FROM lineitem GROUP BY 1),
+              m AS (SELECT grp, n,
+                      CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+                      CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                      CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                      CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+                    FROM g),
+              c AS (SELECT grp, n, m1, r2 - m1 * m1 AS m2,
+                      r3 - 3.0 * m1 * r2 + 2.0 * m1 * m1 * m1 AS m3,
+                      r4 - 4.0 * m1 * r3 + 6.0 * m1 * m1 * r2
+                        - 3.0 * m1 * m1 * m1 * m1 AS m4
+                    FROM m),
+              f AS (SELECT grp, n, m1, m2,
+                      CASE WHEN n > 3 AND m2 > 0 THEN
+                        m3 / sqrt(m2 * m2 * m2) END AS skew,
+                      CASE WHEN n > 3 AND m2 > 0 THEN
+                        m4 / (m2 * m2) END AS kurt
+                    FROM c),
+              j AS (SELECT grp, n, m1, skew, kurt,
+                      CAST(n AS DOUBLE) / 6 * (skew * skew
+                        + (kurt - 3) * (kurt - 3) / 4) AS jb
+                    FROM f)
+              SELECT grp AS l_returnflag, CAST(n AS BIGINT) AS n,
+                     round(m1 * 1000000.0)/1000000.0 AS mean,
+                     round(skew * 1000000.0)/1000000.0 AS skewness,
+                     round(kurt * 1000000.0)/1000000.0 AS kurtosis,
+                     round(jb * 1000000.0)/1000000.0 AS jb,
+                     round(exp(jb / -2) * 1000000.0)/1000000.0
+                       AS p_value
+              FROM j ORDER BY 1"""),
+      (s, d) => jarqueBera(Tables.lineitem(s, d), "l_quantity",
+        "l_returnflag")),
+
+    // Do the return flags have the same quantity SPREAD — the
+    // variance-homogeneity assumption check (Brown–Forsythe) in
+    // front of pooled-variance readouts (anova, tukey_hsd, cohen_d).
+    Query(
+      "q_levene",
+      Some("""WITH s AS (
+                SELECT l_returnflag AS grp,
+                       CAST(l_quantity AS DOUBLE) AS v
+                FROM lineitem),
+              g AS (SELECT grp, v, count(*) AS c FROM s GROUP BY 1, 2),
+              ng AS (SELECT grp, sum(c) AS n_g FROM g GROUP BY 1),
+              cm AS (SELECT grp, v, sum(c) OVER (PARTITION BY grp
+                       ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+                     FROM g),
+              med AS (SELECT grp, min(v) AS med
+                      FROM cm JOIN ng USING (grp)
+                      WHERE cum * 2 >= n_g GROUP BY 1),
+              dv AS (SELECT s.grp, abs(v - med) AS absdev
+                     FROM s JOIN med USING (grp)),
+              ag AS (SELECT grp, count(*) AS n_g,
+                       sum(CAST(absdev AS DECIMAL(38,6))) AS sx,
+                       sum(CAST(absdev * absdev AS DECIMAL(38,6)))
+                         AS sxx
+                     FROM dv GROUP BY 1),
+              per AS (SELECT grp, n_g, sx, sxx,
+                        CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE) / CAST(n_g AS DOUBLE)
+                          AS ssw_g
+                      FROM ag),
+              t AS (SELECT sum(n_g) AS n, count(*) AS k,
+                      sum(sx) AS sxt,
+                      CAST(sum(CAST(ssw_g AS DECIMAL(38,6)))
+                        AS DOUBLE) AS ssw,
+                      CAST(sum(CAST(CAST(sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE) / CAST(n_g AS DOUBLE)
+                          AS DECIMAL(38,6))) AS DOUBLE) AS sq_over_n
+                    FROM per),
+              sh AS (SELECT
+                       round((sq_over_n - CAST(sxt AS DOUBLE)
+                           * CAST(sxt AS DOUBLE) / CAST(n AS DOUBLE))
+                         / (CAST(k AS DOUBLE) - 1)
+                         / (ssw / (CAST(n AS DOUBLE)
+                             - CAST(k AS DOUBLE)))
+                         * 1000000.0)/1000000.0 AS f_stat,
+                       CAST(k - 1 AS BIGINT) AS dof_between,
+                       CAST(n - k AS BIGINT) AS dof_within
+                     FROM t)
+              SELECT grp AS l_returnflag, CAST(n_g AS BIGINT) AS n_g,
+                     round(CAST(sx AS DOUBLE) / CAST(n_g AS DOUBLE)
+                       * 1000000.0)/1000000.0 AS mean,
+                     round(sqrt(greatest(ssw_g
+                         / (CAST(n_g AS DOUBLE) - 1), 0.0))
+                       * 1000000.0)/1000000.0 AS stddev,
+                     f_stat, dof_between, dof_within
+              FROM per CROSS JOIN sh ORDER BY 1"""),
+      (s, d) => leveneBf(Tables.lineitem(s, d), "l_quantity",
+        "l_returnflag")),
+
+    // WHICH order-status pairs differ in mean price, not just "some
+    // do" (q_anova): the post-hoc pairwise table with studentized-
+    // range q statistics against the shared within-group MSW.
+    Query(
+      "q_tukey_hsd",
+      Some("""WITH g AS (
+                SELECT o_orderstatus AS grp, count(*) AS n_g,
+                       sum(CAST(o_totalprice AS DECIMAL(38,6))) AS sx,
+                       sum(CAST(o_totalprice * o_totalprice
+                         AS DECIMAL(38,6))) AS sxx
+                FROM orders GROUP BY 1),
+              per AS (SELECT grp, n_g,
+                        CAST(sx AS DOUBLE) / CAST(n_g AS DOUBLE)
+                          AS mean,
+                        CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE) / CAST(n_g AS DOUBLE)
+                          AS ssw_g
+                      FROM g),
+              t AS (SELECT sum(n_g) AS n, count(*) AS k,
+                      CAST(sum(CAST(ssw_g AS DECIMAL(38,6)))
+                        AS DOUBLE) AS ssw
+                    FROM per),
+              sh AS (SELECT ssw / (CAST(n AS DOUBLE)
+                         - CAST(k AS DOUBLE)) AS msw,
+                       CAST(n - k AS BIGINT) AS dof_within
+                     FROM t),
+              pr AS (SELECT a.grp AS g_a, b.grp AS g_b,
+                       a.n_g AS n_a, b.n_g AS n_b,
+                       a.mean AS ma, b.mean AS mb,
+                       sqrt(msw / 2 * (1.0 / CAST(a.n_g AS DOUBLE)
+                         + 1.0 / CAST(b.n_g AS DOUBLE))) AS se,
+                       dof_within
+                     FROM per a JOIN per b ON a.grp < b.grp
+                     CROSS JOIN sh)
+              SELECT g_a, g_b, CAST(n_a AS BIGINT) AS n_a,
+                     CAST(n_b AS BIGINT) AS n_b,
+                     round((ma - mb) * 1000000.0)/1000000.0 AS diff,
+                     round(se * 1000000.0)/1000000.0 AS se,
+                     round(CASE WHEN se > 0 THEN abs(ma - mb) / se END
+                       * 1000000.0)/1000000.0 AS q_stat,
+                     dof_within
+              FROM pr ORDER BY 1, 2"""),
+      (s, d) => tukeyHsd(Tables.orders(s, d), "o_totalprice",
+        "o_orderstatus")))
 }

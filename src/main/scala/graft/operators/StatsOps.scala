@@ -715,6 +715,55 @@ object StatsOps {
           (least(col("ra"), col("cb")) - lit(1)))).as("v"))
   }
 
+  /** Pearson χ² test of independence between two categoricals — the
+    * significance readout [[cramersV]]'s effect size deliberately
+    * omits: χ² over the SPARSE observed-cell table (absent cells'
+    * mass recovered as n − Σe, the cramersV identity), dof =
+    * (r−1)(c−1), and an upper-tail p-value: EXACT closed forms at
+    * dof 1 (2·(1−Φ(√χ²)), the χ²₁ ≡ z² identity) and dof 2
+    * (exp(−χ²/2)), the Wilson–Hilferty cube-root normal mapping
+    * z = ((χ²/k)^⅓ − 1 + 2/(9k))·√(9k/2) for k ≥ 3 (|ε| < 1e-3 in p
+    * there — decision-grade at the 6-dp render; the general χ² CDF
+    * has no closed form both engines state identically, and W–H is
+    * one pow + the shared A&S polynomial).
+    *
+    * Scale: one hash-aggregate over observed pairs, two k-row margin
+    * aggregates broadcast back — never a dense r×c materialization. */
+  def chisqTest(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy(col(aCol)).agg(sum("n").as("rt"))
+    val colT = cells.groupBy(col(bCol)).agg(sum("n").as("ct"))
+    val tot = cells.agg(sum("n").as("total"))
+    val dims = cells.agg(
+      count_distinct(col(aCol)).as("ra"),
+      count_distinct(col(bCol)).as("cb"))
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val e = col("rt").cast("double") * col("ct") / col("total")
+    val chi2sum = cells
+      .join(broadcast(rowT), aCol)
+      .join(broadcast(colT), bCol)
+      .crossJoin(broadcast(tot))
+      .agg(sum(((col("n") - e) * (col("n") - e) / e)
+          .cast(DecimalType(38, 12))).as("__chi2o"),
+        sum(e.cast(DecimalType(38, 12))).as("__esum"),
+        min("total").as("n"))
+    val chi2 = col("__chi2o").cast("double") +
+      (col("n") - col("__esum").cast("double"))
+    val kD = ((col("ra") - 1) * (col("cb") - 1)).cast("double")
+    val z = (pow(chi2 / kD, lit(1.0) / lit(3.0)) - lit(1.0) +
+      lit(2.0) / (lit(9.0) * kD)) * sqrt(lit(9.0) * kD / 2)
+    val p = when(kD === 1, HypothesisOps.twoSidedNormalP(sqrt(chi2)))
+      .when(kD === 2, exp(chi2 / -2))
+      .otherwise(HypothesisOps.upperNormalP(z))
+    chi2sum.crossJoin(broadcast(dims))
+      .select(col("n"),
+        ((col("ra") - 1) * (col("cb") - 1)).cast("bigint").as("dof"),
+        when(kD > 0, r6(chi2)).as("chi2"),
+        when(kD > 0, r6(p)).as("p_value"))
+  }
+
   /** Cohen's κ between two boolean judgments over the same rows: the
     * chance-corrected agreement `κ = (p_o − p_e)/(1 − p_e)` with the
     * full 2×2 confusion — the label-quality primitive for
@@ -1951,6 +2000,55 @@ object StatsOps {
               FROM f CROSS JOIN d"""),
       (s, d) => cramersV(Tables.orders(s, d), "o_orderstatus",
         "o_orderpriority")),
+
+    // Is return flag independent of line status — the significance
+    // readout q_cramers_v's effect size omits: full (r−1)(c−1) dof
+    // and an upper-tail Wilson–Hilferty p-value.
+    Query(
+      "q_chisq_test",
+      Some(s"""WITH c AS (
+                SELECT l_returnflag AS a, l_linestatus AS b,
+                       count(*) AS n
+                FROM lineitem GROUP BY 1, 2),
+              r AS (SELECT a, sum(n) AS rt FROM c GROUP BY 1),
+              k AS (SELECT b, sum(n) AS ct FROM c GROUP BY 1),
+              t AS (SELECT sum(n) AS total FROM c),
+              s AS (
+                SELECT sum(CAST(
+                         (n - CAST(rt AS DOUBLE) * ct / total)
+                         * (n - CAST(rt AS DOUBLE) * ct / total)
+                         / (CAST(rt AS DOUBLE) * ct / total)
+                       AS DECIMAL(38,12))) AS chi2o,
+                       sum(CAST(CAST(rt AS DOUBLE) * ct / total
+                         AS DECIMAL(38,12))) AS esum,
+                       CAST(min(total) AS BIGINT) AS n
+                FROM c JOIN r USING (a) JOIN k USING (b) CROSS JOIN t),
+              d AS (SELECT count(DISTINCT a) AS ra,
+                           count(DISTINCT b) AS cb FROM c),
+              f AS (SELECT n,
+                           CAST(chi2o AS DOUBLE)
+                             + (n - CAST(esum AS DOUBLE)) AS chi2raw,
+                           CAST((ra - 1) * (cb - 1) AS DOUBLE) AS kd,
+                           CAST((ra - 1) * (cb - 1) AS BIGINT) AS dof
+                    FROM s CROSS JOIN d),
+              z AS (SELECT n, dof, chi2raw, kd,
+                           (pow(chi2raw / kd, 1.0 / 3.0) - 1.0
+                             + 2.0 / (9.0 * kd))
+                             * sqrt(9.0 * kd / 2) AS z
+                    FROM f WHERE kd > 0)
+              SELECT n, dof,
+                     round(chi2raw * 1000000.0)/1000000.0 AS chi2,
+                     round(CASE
+                         WHEN kd = 1 THEN ${graft.operators
+                           .HypothesisOps
+                           .sqlTwoSidedNormalP("sqrt(chi2raw)")}
+                         WHEN kd = 2 THEN exp(chi2raw / -2)
+                         ELSE ${graft.operators.HypothesisOps
+                           .sqlUpperNormalP("z")} END
+                       * 1000000.0)/1000000.0 AS p_value
+              FROM z"""),
+      (s, d) => chisqTest(Tables.lineitem(s, d), "l_returnflag",
+        "l_linestatus")),
 
     // Cohen's κ between two heuristic document quality screens
     // (length ≥ 30 tokens vs distinct-token ratio ≥ 0.5): the

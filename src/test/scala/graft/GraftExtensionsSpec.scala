@@ -1234,6 +1234,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assertParity(s2, "SELECT * FROM kruskal_wallis('ht_orders', " +
       "'o_totalprice', 'o_orderstatus')",
       HypothesisOps.kruskalWallis(ord, "o_totalprice", "o_orderstatus"))
+    assertParity(s2, "SELECT * FROM jarque_bera('ht_lineitem', " +
+      "'l_quantity', 'l_returnflag')",
+      HypothesisOps.jarqueBera(li, "l_quantity", "l_returnflag"))
+    assertParity(s2, "SELECT * FROM levene('ht_lineitem', " +
+      "'l_quantity', 'l_returnflag')",
+      HypothesisOps.leveneBf(li, "l_quantity", "l_returnflag"))
+    assertParity(s2, "SELECT * FROM tukey_hsd('ht_orders', " +
+      "'o_totalprice', 'o_orderstatus')",
+      HypothesisOps.tukeyHsd(ord, "o_totalprice", "o_orderstatus"))
+    assertParity(s2, "SELECT * FROM chisq_test('ht_lineitem', " +
+      "'l_returnflag', 'l_linestatus')",
+      StatsOps.chisqTest(li, "l_returnflag", "l_linestatus"))
     assertParity(s2, "SELECT * FROM anova('ht_orders', " +
       "'o_totalprice', 'o_orderstatus')",
       HypothesisOps.anovaF(ord, "o_totalprice", "o_orderstatus"))

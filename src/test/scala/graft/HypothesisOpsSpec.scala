@@ -863,4 +863,106 @@ class HypothesisOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_above") === vals.count(_ > hi).toLong)
     assert(r.getAs[Long]("n_below") === 2L && r.getAs[Long]("n_above") === 2L)
   }
+
+  // -- jarqueBera ----------------------------------------------------
+
+  test("jarqueBera: brute-force moments on a skewed fixture; symmetric " +
+    "two-point fixture has zero skew and kurtosis 1 (JB = n/6)") {
+    // symmetric ±1: m2 = 1, m3 = 0, m4 = 1 → S = 0, K = 1,
+    // JB = n/6·(0 + (1−3)²/4) = n/6
+    val n = 60
+    val sym = Seq.fill(n / 2)(1.0) ++ Seq.fill(n / 2)(-1.0)
+    val df = sym.map(("g", _)).toDF("g", "v")
+    val r = HypothesisOps.jarqueBera(df, "v", "g").collect()(0)
+    assert(r.getAs[Double]("skewness") === 0.0)
+    assert(r.getAs[Double]("kurtosis") === 1.0)
+    assert(r.getAs[Double]("jb") === r6(n / 6.0))
+    assert(r.getAs[Double]("p_value") === r6(math.exp(-n / 12.0)))
+    // brute force on an asymmetric fixture
+    val xs = Seq(1.0, 1.0, 2.0, 2.0, 2.0, 3.0, 8.0, 13.0, 21.0, 40.0)
+    val mu = xs.sum / xs.size
+    def m(k: Int) = xs.map(x => math.pow(x - mu, k)).sum / xs.size
+    val s = m(3) / math.pow(m(2), 1.5)
+    val k4 = m(4) / (m(2) * m(2))
+    val jb = xs.size / 6.0 * (s * s + (k4 - 3) * (k4 - 3) / 4)
+    val r2 = HypothesisOps.jarqueBera(xs.map(("g", _)).toDF("g", "v"),
+      "v", "g").collect()(0)
+    assert(math.abs(r2.getAs[Double]("skewness") - s) < 1e-5)
+    assert(math.abs(r2.getAs[Double]("kurtosis") - k4) < 1e-5)
+    assert(math.abs(r2.getAs[Double]("jb") - jb) < 1e-4)
+    // constant column: degenerate m2 = 0 → NULL stats, not a throw
+    val const = Seq.fill(10)(5.0).map(("g", _)).toDF("g", "v")
+    val rc = HypothesisOps.jarqueBera(const, "v", "g").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("jb")))
+  }
+
+  // -- leveneBf ------------------------------------------------------
+
+  test("leveneBf: equal-spread groups give F near 0; a 10x-spread " +
+    "group is flagged; absdev means match the hand computation") {
+    val rnd = new scala.util.Random(7)
+    val a = Seq.fill(200)(rnd.nextGaussian())
+    val b = Seq.fill(200)(rnd.nextGaussian() * 10)
+    val same = (a.map(("A", _)) ++ a.map(x => ("B", x + 100)))
+      .toDF("g", "v") // pure location shift: spreads identical
+    val f0 = HypothesisOps.leveneBf(same, "v", "g")
+      .collect()(0).getAs[Double]("f_stat")
+    assert(math.abs(f0) < 1e-6)
+    val diff = (a.map(("A", _)) ++ b.map(("B", _))).toDF("g", "v")
+    val rows = HypothesisOps.leveneBf(diff, "v", "g").collect()
+    assert(rows(0).getAs[Double]("f_stat") > 50.0)
+    // absdev mean per group matches the brute lower-median deviation
+    def lowerMed(xs: Seq[Double]) = {
+      val s = xs.sorted; s((xs.size - 1) / 2)
+    }
+    val expA = a.map(x => math.abs(x - lowerMed(a))).sum / a.size
+    val got = rows.find(_.getString(0) == "A").get.getAs[Double]("mean")
+    assert(math.abs(got - expA) < 1e-5)
+  }
+
+  // -- tukeyHsd ------------------------------------------------------
+
+  test("tukeyHsd: hand-computed pairwise q on a 3-group fixture; " +
+    "pair count is k(k-1)/2 and g_a < g_b throughout") {
+    val g1 = Seq(1.0, 2.0, 3.0, 4.0, 5.0)
+    val g2 = Seq(3.0, 4.0, 5.0, 6.0, 7.0)
+    val g3 = Seq(10.0, 11.0, 12.0, 13.0, 14.0)
+    val df = (g1.map(("a", _)) ++ g2.map(("b", _)) ++ g3.map(("c", _)))
+      .toDF("g", "v")
+    val rows = HypothesisOps.tukeyHsd(df, "v", "g").collect()
+    assert(rows.length === 3)
+    assert(rows.forall(r => r.getString(0) < r.getString(1)))
+    // each group has variance 2.5 → SSW = 3·4·2.5 = 30, MSW = 30/12
+    val msw = 30.0 / 12
+    val se = math.sqrt(msw / 2 * (1.0 / 5 + 1.0 / 5))
+    val ab = rows.find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    assert(ab.getAs[Double]("diff") === r6(3.0 - 5.0))
+    assert(ab.getAs[Double]("se") === r6(se))
+    assert(ab.getAs[Double]("q_stat") === r6(2.0 / se))
+    assert(ab.getAs[Long]("dof_within") === 12L)
+    val ac = rows.find(r => r.getString(0) == "a" && r.getString(1) == "c").get
+    assert(ac.getAs[Double]("q_stat") === r6(9.0 / se))
+  }
+
+  // -- chisqTest -----------------------------------------------------
+
+  test("chisqTest: independent margins give chi2 near 0 / p near 1; " +
+    "a deterministic association is flagged; dof = (r-1)(c-1)") {
+    // perfectly independent 2x2: counts proportional to margins
+    val ind = (Seq.fill(40)(("x", "u")) ++ Seq.fill(60)(("x", "w")) ++
+      Seq.fill(20)(("y", "u")) ++ Seq.fill(30)(("y", "w")))
+      .toDF("a", "b")
+    val r0 = StatsOps.chisqTest(ind, "a", "b").collect()(0)
+    assert(r0.getAs[Long]("dof") === 1L)
+    assert(math.abs(r0.getAs[Double]("chi2")) < 1e-9)
+    assert(r0.getAs[Double]("p_value") > 0.999) // dof=1 exact form
+    // deterministic association over 3 levels: chi2 = n·(r-1)... full
+    // dependence gives chi2 = n·(min(r,c)-1) = 300·2
+    val dep = (Seq.fill(100)(("p", "1")) ++ Seq.fill(100)(("q", "2")) ++
+      Seq.fill(100)(("r", "3"))).toDF("a", "b")
+    val r1 = StatsOps.chisqTest(dep, "a", "b").collect()(0)
+    assert(r1.getAs[Long]("dof") === 4L)
+    assert(r1.getAs[Double]("chi2") === 600.0)
+    assert(r1.getAs[Double]("p_value") < 1e-6)
+  }
 }
