@@ -606,7 +606,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "jarque_bera" -> GraftExtensions.jarqueBeraPlan _,
       "levene" -> GraftExtensions.levenePlan _,
       "tukey_hsd" -> GraftExtensions.tukeyHsdPlan _,
-      "chisq_test" -> GraftExtensions.chisqTestPlan _)
+      "chisq_test" -> GraftExtensions.chisqTestPlan _,
+      "iv_wald" -> GraftExtensions.ivWaldPlan _,
+      "rdd_estimate" -> GraftExtensions.rddEstimatePlan _,
+      "vif" -> GraftExtensions.vifPlan _,
+      "woe_iv" -> GraftExtensions.woeIvPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2698,6 +2702,66 @@ object GraftExtensions {
     graft.operators.HypothesisOps.mannWhitney(df, v, g,
       litStr("mann_whitney", "a", exprs(3)),
       litStr("mann_whitney", "b", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `vif(table, cols)` — variance inflation factors over the THREE
+    * space-separated `cols` ([[graft.operators.ProfileOps.vif]]).
+    * Returns `(feature, n, vif, r2_others)`. */
+  private[graft] def vifPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("vif(table, cols)", exprs, 2, 2)
+    val cols = litStr("vif", "cols", exprs(1)).trim
+      .split("\\s+").toSeq
+    val df = namedTable("vif", litStr("vif", "table", exprs(0)), cols)
+    graft.operators.ProfileOps.vif(df, cols)
+      .queryExecution.analyzed
+  }
+
+  /** `woe_iv(table, cat_col, label_col)` — weight-of-evidence /
+    * information-value screen
+    * ([[graft.operators.ProfileOps.woeIv]]). Returns
+    * `(level, n, n_pos, n_neg, woe, iv_term, iv)`. */
+  private[graft] def woeIvPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("woe_iv(table, cat_col, label_col)", exprs, 3, 3)
+    val c = litStr("woe_iv", "cat_col", exprs(1))
+    val l = litStr("woe_iv", "label_col", exprs(2))
+    val df = namedTable("woe_iv",
+      litStr("woe_iv", "table", exprs(0)), Seq(c, l))
+    graft.operators.ProfileOps.woeIv(df, c, l)
+      .queryExecution.analyzed
+  }
+
+  /** `iv_wald(table, z_col, x_col, y_col)` — just-identified 2SLS /
+    * Wald IV estimator ([[graft.operators.FitOps.ivWald]]). Returns
+    * `(n, first_stage, reduced_form, beta_iv)`. */
+  private[graft] def ivWaldPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("iv_wald(table, z_col, x_col, y_col)", exprs, 4, 4)
+    val z = litStr("iv_wald", "z_col", exprs(1))
+    val x = litStr("iv_wald", "x_col", exprs(2))
+    val y = litStr("iv_wald", "y_col", exprs(3))
+    val df = namedTable("iv_wald",
+      litStr("iv_wald", "table", exprs(0)), Seq(z, x, y))
+    graft.operators.FitOps.ivWald(df, z, x, y)
+      .queryExecution.analyzed
+  }
+
+  /** `rdd_estimate(table, run_col, y_col, cutoff, bandwidth)` — sharp
+    * regression-discontinuity local linear fits
+    * ([[graft.operators.FitOps.rddEstimate]]). Returns `(n_left,
+    * n_right, intercept_left, intercept_right, slope_left,
+    * slope_right, effect)`. */
+  private[graft] def rddEstimatePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("rdd_estimate(table, run_col, y_col, cutoff, bandwidth)",
+      exprs, 5, 5)
+    val r = litStr("rdd_estimate", "run_col", exprs(1))
+    val y = litStr("rdd_estimate", "y_col", exprs(2))
+    val df = namedTable("rdd_estimate",
+      litStr("rdd_estimate", "table", exprs(0)), Seq(r, y))
+    graft.operators.FitOps.rddEstimate(df, r, y,
+      litDouble("rdd_estimate", "cutoff", exprs(3)),
+      litDouble("rdd_estimate", "bandwidth", exprs(4)))
       .queryExecution.analyzed
   }
 

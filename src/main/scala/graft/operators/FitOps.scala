@@ -1181,7 +1181,184 @@ object FitOps {
        CAST(sum(CAST(x*x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
        CAST(sum(CAST(y*y AS DECIMAL(38,6))) AS DOUBLE) AS syy"""
 
+  /** Instrumental-variable (2SLS, single instrument) estimator: the
+    * causal slope of `yCol` on `xCol` identified through `zCol`,
+    * β_iv = cov(z,y)/cov(z,x) — the ratio of the reduced-form to the
+    * first-stage slope. For a binary instrument this IS the Wald
+    * estimator (ȳ₁−ȳ₀)/(x̄₁−x̄₀); for a continuous one it is the
+    * just-identified 2SLS coefficient. The first-stage slope is the
+    * weak-instrument diagnostic to read FIRST: a near-zero first
+    * stage makes β_iv a ratio of noise (the classic IV failure), so
+    * it ships in the output rather than being a separate query.
+    *
+    * Scale: ONE map-side-combined aggregate of DECIMAL(38,6)-exact
+    * moment sums (z, x, y and their cross products) — constant
+    * shuffle bytes, closed forms both engines state identically. */
+  def ivWald(df: DataFrame, zCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val z = col(zCol).cast("double"); val x = col(xCol)
+    val y = col(yCol)
+    val g = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(z.cast(dec)).cast("double").as("sz"),
+      sum(x.cast(dec)).cast("double").as("sx"),
+      sum(y.cast(dec)).cast("double").as("sy"),
+      sum((z * x).cast(dec)).cast("double").as("szx"),
+      sum((z * y).cast(dec)).cast("double").as("szy"),
+      sum((z * z).cast(dec)).cast("double").as("szz"))
+    val n = col("n")
+    val covZx = n * col("szx") - col("sz") * col("sx")
+    val covZy = n * col("szy") - col("sz") * col("sy")
+    val varZ = n * col("szz") - col("sz") * col("sz")
+    g.select(n.cast("bigint").as("n"),
+      when(varZ =!= 0, r6(covZx / varZ)).as("first_stage"),
+      when(varZ =!= 0, r6(covZy / varZ)).as("reduced_form"),
+      when(covZx =!= 0, r6(covZy / covZx)).as("beta_iv"))
+  }
+
+  /** Sharp regression-discontinuity estimate: local linear fits of
+    * `yCol` on the centered running variable within `bandwidth` on
+    * each side of `cutoff`, effect = right-intercept − left-intercept
+    * at the cutoff — the program-evaluation design for "units just
+    * above the threshold got the treatment". Left side is
+    * [c−h, c), right side [c, c+h] (the treated side owns the
+    * boundary point — state it, don't leave it to float luck).
+    *
+    * Scale: rows outside the bandwidth are FILTERED AT THE SCAN
+    * (predicate pushdown), then one two-row grouped aggregate of
+    * DECIMAL(38,6)-exact sums over u = run − cutoff; the two
+    * closed-form fits fold from a broadcast-free 2-row table. */
+  def rddEstimate(df: DataFrame, runCol: String, yCol: String,
+      cutoff: Double, bandwidth: Double): DataFrame = {
+    require(bandwidth > 0, s"bandwidth must be positive; got $bandwidth")
+    val u = col(runCol).cast("double") - lit(cutoff)
+    val y = col(yCol)
+    val g = df.filter(u >= -bandwidth && u <= bandwidth)
+      .groupBy((u >= 0).as("side"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(u.cast(dec)).cast("double").as("su"),
+        sum(y.cast(dec)).cast("double").as("sy"),
+        sum((u * y).cast(dec)).cast("double").as("suy"),
+        sum((u * u).cast(dec)).cast("double").as("suu"))
+    val n = col("n")
+    val covU = n * col("suy") - col("su") * col("sy")
+    val varU = n * col("suu") - col("su") * col("su")
+    val slope = covU / varU
+    val per = g.select(col("side"), n,
+      when(varU =!= 0, slope).as("b"),
+      when(varU =!= 0, (col("sy") - slope * col("su")) / n).as("a"))
+    val one = per.agg(
+      max(when(!col("side"), col("n"))).as("nl"),
+      max(when(col("side"), col("n"))).as("nr"),
+      max(when(!col("side"), col("a"))).as("al"),
+      max(when(col("side"), col("a"))).as("ar"),
+      max(when(!col("side"), col("b"))).as("bl"),
+      max(when(col("side"), col("b"))).as("br"))
+    one.select(
+      coalesce(col("nl"), lit(0.0)).cast("bigint").as("n_left"),
+      coalesce(col("nr"), lit(0.0)).cast("bigint").as("n_right"),
+      r6(col("al")).as("intercept_left"),
+      r6(col("ar")).as("intercept_right"),
+      r6(col("bl")).as("slope_left"),
+      r6(col("br")).as("slope_right"),
+      r6(col("ar") - col("al")).as("effect"))
+  }
+
   val all: Seq[Query] = Seq(
+    // Causal slope of price on quantity identified through an
+    // order-parity instrument — plus the first-stage diagnostic that
+    // says whether the instrument moves x at all.
+    Query(
+      "q_iv_wald",
+      Some("""WITH s AS (
+                SELECT CAST(CASE WHEN l_orderkey % 2 = 0
+                         THEN 1 ELSE 0 END AS DOUBLE) AS z,
+                       l_quantity AS x, l_extendedprice AS y
+                FROM lineitem),
+              g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(CAST(z AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sz,
+                      CAST(sum(CAST(x AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sx,
+                      CAST(sum(CAST(y AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sy,
+                      CAST(sum(CAST(z * x AS DECIMAL(38,6)))
+                        AS DOUBLE) AS szx,
+                      CAST(sum(CAST(z * y AS DECIMAL(38,6)))
+                        AS DOUBLE) AS szy,
+                      CAST(sum(CAST(z * z AS DECIMAL(38,6)))
+                        AS DOUBLE) AS szz
+                    FROM s)
+              SELECT CAST(n AS BIGINT) AS n,
+                     round(CASE WHEN n * szz - sz * sz <> 0 THEN
+                         (n * szx - sz * sx) / (n * szz - sz * sz) END
+                       * 1000000.0)/1000000.0 AS first_stage,
+                     round(CASE WHEN n * szz - sz * sz <> 0 THEN
+                         (n * szy - sz * sy) / (n * szz - sz * sz) END
+                       * 1000000.0)/1000000.0 AS reduced_form,
+                     round(CASE WHEN n * szx - sz * sx <> 0 THEN
+                         (n * szy - sz * sy) / (n * szx - sz * sx) END
+                       * 1000000.0)/1000000.0 AS beta_iv
+              FROM g"""),
+      (s, d) => ivWald(
+        Tables.lineitem(s, d).select(
+          when(col("l_orderkey") % 2 === 0, lit(1.0))
+            .otherwise(lit(0.0)).as("z"),
+          col("l_quantity").as("x"),
+          col("l_extendedprice").as("y")),
+        "z", "x", "y")),
+
+    // Did crossing the quantity-25 threshold jump the price level —
+    // sharp RD with local linear fits 15 units each side.
+    Query(
+      "q_rdd",
+      Some("""WITH s AS (
+                SELECT CAST(l_quantity AS DOUBLE) - 25.0 AS u,
+                       l_extendedprice AS y
+                FROM lineitem),
+              f AS (SELECT * FROM s
+                    WHERE u >= -15.0 AND u <= 15.0),
+              g AS (SELECT (u >= 0) AS side,
+                      CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(CAST(u AS DECIMAL(38,6)))
+                        AS DOUBLE) AS su,
+                      CAST(sum(CAST(y AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sy,
+                      CAST(sum(CAST(u * y AS DECIMAL(38,6)))
+                        AS DOUBLE) AS suy,
+                      CAST(sum(CAST(u * u AS DECIMAL(38,6)))
+                        AS DOUBLE) AS suu
+                    FROM f GROUP BY 1),
+              per AS (SELECT side, n,
+                        CASE WHEN n * suu - su * su <> 0 THEN
+                          (n * suy - su * sy) / (n * suu - su * su)
+                        END AS b,
+                        CASE WHEN n * suu - su * su <> 0 THEN
+                          (sy - ((n * suy - su * sy)
+                            / (n * suu - su * su)) * su) / n
+                        END AS a
+                      FROM g),
+              one AS (SELECT
+                        max(CASE WHEN NOT side THEN n END) AS nl,
+                        max(CASE WHEN side THEN n END) AS nr,
+                        max(CASE WHEN NOT side THEN a END) AS al,
+                        max(CASE WHEN side THEN a END) AS ar,
+                        max(CASE WHEN NOT side THEN b END) AS bl,
+                        max(CASE WHEN side THEN b END) AS br
+                      FROM per)
+              SELECT CAST(coalesce(nl, 0.0) AS BIGINT) AS n_left,
+                     CAST(coalesce(nr, 0.0) AS BIGINT) AS n_right,
+                     round(al * 1000000.0)/1000000.0
+                       AS intercept_left,
+                     round(ar * 1000000.0)/1000000.0
+                       AS intercept_right,
+                     round(bl * 1000000.0)/1000000.0 AS slope_left,
+                     round(br * 1000000.0)/1000000.0 AS slope_right,
+                     round((ar - al) * 1000000.0)/1000000.0 AS effect
+              FROM one"""),
+      (s, d) => rddEstimate(Tables.lineitem(s, d), "l_quantity",
+        "l_extendedprice", 25.0, 15.0)),
+
     // Per-returnflag OLS of extended price on quantity — the grouped
     // trend-line primitive under every scatter-with-fit dashboard.
     Query(

@@ -475,6 +475,104 @@ object ProfileOps {
       .orderBy("col_a", "col_b")
   }
 
+  /** Variance inflation factors over exactly three numeric columns —
+    * the multicollinearity census to read BEFORE trusting any
+    * multi-regressor fit ([[graft.operators.FitOps.olsMulti]],
+    * logit): VIFᵢ = [R⁻¹]ᵢᵢ for the 3×3 correlation matrix R, with
+    * R²ᵢ = 1 − 1/VIFᵢ the share of column i the other two already
+    * explain. Closed-form adjugate inverse of R = [[1,a,b],[a,1,c],
+    * [b,c,1]] (det = 1 + 2abc − a² − b² − c²; diag of the inverse is
+    * (1−c²)/det etc.) — the [[mahalanobisOutliers]] k=3 stance, so
+    * the query stays DuckDB-oracle-gated.
+    *
+    * Scale: the same ONE wide aggregate as [[corrMatrix]]; the
+    * readout is a 1-row fold unpivoted to 3 rows in-plan. */
+  def vif(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size == 3,
+      s"vif is the closed-form k=3 variant; got $cols")
+    val dec = DecimalType(38, 6)
+    val aggs = Seq(count(lit(1)).cast("double").as("__n")) ++
+      cols.flatMap(c => Seq(
+        sum(col(c).cast(dec)).cast("double").as(s"__s_$c"),
+        sum((col(c) * col(c)).cast(dec)).cast("double").as(s"__q_$c"))) ++
+      cols.combinations(2).map { case Seq(a, b) =>
+        sum((col(a) * col(b)).cast(dec)).cast("double").as(s"__x_${a}_$b")
+      }.toSeq
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val n = col("__n")
+    def corrOf(a: String, b: String): Column = {
+      val sx = col(s"__s_$a"); val sy = col(s"__s_$b")
+      val sxx = col(s"__q_$a"); val syy = col(s"__q_$b")
+      val sxy = col(s"__x_${a}_$b")
+      val vprod = (n * sxx - sx * sx) * (n * syy - sy * sy)
+      when(vprod > 0, (n * sxy - sx * sy) / sqrt(vprod))
+    }
+    // name a/b/c/det before the unpivot: the inline stage would
+    // otherwise restate each corr expression 6x and push the
+    // generated consume method past janino's size limit (observed
+    // codegen fallback) — and the named steps mirror the oracle CTEs
+    val named = one.select(n.cast("bigint").as("n"),
+      corrOf(cols(0), cols(1)).as("__a"),
+      corrOf(cols(0), cols(2)).as("__b"),
+      corrOf(cols(1), cols(2)).as("__c"))
+    val a = col("__a"); val b = col("__b"); val c = col("__c")
+    val withDet = named.withColumn("__det",
+      lit(1.0) + lit(2.0) * a * b * c - a * a - b * b - c * c)
+    def row(name: String, diag: Column): Column = {
+      val v = when(abs(col("__det")) > 0, diag / col("__det"))
+      struct(lit(name).as("feature"), col("n"),
+        r6(v).as("vif"),
+        when(v > 0, r6(lit(1.0) - lit(1.0) / v)).as("r2_others"))
+    }
+    withDet.select(inline_outer(array(
+        row(cols(0), lit(1.0) - c * c),
+        row(cols(1), lit(1.0) - b * b),
+        row(cols(2), lit(1.0) - a * a))))
+      .orderBy("feature")
+  }
+
+  /** Weight-of-evidence / information-value screen of a categorical
+    * feature against a binary label — the credit-scoring-lineage
+    * feature ranking every tabular pipeline runs before encoding:
+    * WoEₖ = ln((posₖ/pos)/(negₖ/neg)) per level, its IV term
+    * (posₖ/pos − negₖ/neg)·WoEₖ, and the total IV repeated per row
+    * (rule of thumb: < 0.02 useless, > 0.5 suspicious). Pure-level
+    * cells (posₖ or negₖ = 0) have undefined WoE → NULL row, excluded
+    * from the total rather than fabricated by smoothing — the
+    * [[corrMatrix]] NULL stance; a caller who wants Laplace smoothing
+    * can pre-aggregate.
+    *
+    * Scale: ONE hash aggregate per level + a k-row fold broadcast
+    * back; exact integer counts, closed-form doubles both engines
+    * state identically. */
+  def woeIv(df: DataFrame, catCol: String, labelCol: String)
+      : DataFrame = {
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val per = df.select(col(catCol).cast("string").as("level"),
+        y.as("y"))
+      .groupBy("level")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+      .withColumn("n_neg", col("n") - col("n_pos"))
+    val tot = per.agg(sum("n_pos").as("pt"), sum("n_neg").as("nt"))
+    val ps = col("n_pos").cast("double") / col("pt").cast("double")
+    val ns = col("n_neg").cast("double") / col("nt").cast("double")
+    val ok = col("n_pos") > 0 && col("n_neg") > 0 &&
+      col("pt") > 0 && col("nt") > 0
+    val woed = per.crossJoin(broadcast(tot))
+      .select(col("level"), col("n"), col("n_pos"), col("n_neg"),
+        when(ok, log(ps / ns)).as("__woe"),
+        when(ok, (ps - ns) * log(ps / ns)).as("__term"))
+    val ivTot = woed.agg(
+      sum(col("__term").cast(DecimalType(38, 12))).cast("double")
+        .as("__iv"))
+    woed.crossJoin(broadcast(ivTot))
+      .select(col("level"), col("n"), col("n_pos"), col("n_neg"),
+        r6(col("__woe")).as("woe"),
+        r6(col("__term")).as("iv_term"),
+        r6(col("__iv")).as("iv"))
+      .orderBy("level")
+  }
+
   /** Spearman rank correlation, EXACT under ties: each column's values
     * map to doubled average ranks 2·rank(v) = 2·C(<v) + c(v) + 1
     * (integers even when values repeat — the q_mann_whitney device),
@@ -1011,6 +1109,117 @@ object ProfileOps {
               (col("o_orderstatus") === "F").as("label")),
           "prob", "label")
       }),
+
+    // Are the three fit regressors collinear — the VIF census read
+    // before trusting ols_multi / logit coefficients.
+    Query(
+      "q_vif",
+      Some("""WITH g AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(38,6)))
+                         AS DOUBLE) AS s0,
+                       CAST(sum(CAST(l_quantity * l_quantity
+                         AS DECIMAL(38,6))) AS DOUBLE) AS q0,
+                       CAST(sum(CAST(l_extendedprice
+                         AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                       CAST(sum(CAST(l_extendedprice * l_extendedprice
+                         AS DECIMAL(38,6))) AS DOUBLE) AS q1,
+                       CAST(sum(CAST(l_discount AS DECIMAL(38,6)))
+                         AS DOUBLE) AS s2,
+                       CAST(sum(CAST(l_discount * l_discount
+                         AS DECIMAL(38,6))) AS DOUBLE) AS q2,
+                       CAST(sum(CAST(l_quantity * l_extendedprice
+                         AS DECIMAL(38,6))) AS DOUBLE) AS x01,
+                       CAST(sum(CAST(l_quantity * l_discount
+                         AS DECIMAL(38,6))) AS DOUBLE) AS x02,
+                       CAST(sum(CAST(l_extendedprice * l_discount
+                         AS DECIMAL(38,6))) AS DOUBLE) AS x12
+                FROM lineitem),
+              c AS (SELECT n,
+                      CASE WHEN (n*q0 - s0*s0) * (n*q1 - s1*s1) > 0
+                        THEN (n*x01 - s0*s1)
+                          / sqrt((n*q0 - s0*s0) * (n*q1 - s1*s1)) END
+                        AS a,
+                      CASE WHEN (n*q0 - s0*s0) * (n*q2 - s2*s2) > 0
+                        THEN (n*x02 - s0*s2)
+                          / sqrt((n*q0 - s0*s0) * (n*q2 - s2*s2)) END
+                        AS b,
+                      CASE WHEN (n*q1 - s1*s1) * (n*q2 - s2*s2) > 0
+                        THEN (n*x12 - s1*s2)
+                          / sqrt((n*q1 - s1*s1) * (n*q2 - s2*s2)) END
+                        AS c
+                    FROM g),
+              d AS (SELECT n, a, b, c,
+                      1.0 + 2*a*b*c - a*a - b*b - c*c AS det
+                    FROM c),
+              rws AS (
+                SELECT 'l_quantity' AS feature,
+                       CAST(n AS BIGINT) AS n,
+                       CASE WHEN abs(det) > 0
+                         THEN (1.0 - c*c) / det END AS v
+                FROM d
+                UNION ALL
+                SELECT 'l_extendedprice', CAST(n AS BIGINT),
+                       CASE WHEN abs(det) > 0
+                         THEN (1.0 - b*b) / det END
+                FROM d
+                UNION ALL
+                SELECT 'l_discount', CAST(n AS BIGINT),
+                       CASE WHEN abs(det) > 0
+                         THEN (1.0 - a*a) / det END
+                FROM d)
+              SELECT feature, n,
+                     round(v * 1000000.0)/1000000.0 AS vif,
+                     round(CASE WHEN v > 0 THEN 1.0 - 1.0 / v END
+                       * 1000000.0)/1000000.0 AS r2_others
+              FROM rws ORDER BY 1"""),
+      (s, d) => vif(Tables.lineitem(s, d),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // Which priority levels separate finished from open orders — the
+    // WoE/IV screen every tabular feature pipeline ranks with.
+    Query(
+      "q_woe_iv",
+      Some("""WITH per AS (
+                SELECT CAST(o_orderpriority AS VARCHAR) AS level,
+                       count(*) AS n,
+                       sum(CASE WHEN o_orderstatus = 'F'
+                         THEN 1 ELSE 0 END) AS n_pos
+                FROM orders GROUP BY 1),
+              p2 AS (SELECT level, n, n_pos, n - n_pos AS n_neg
+                     FROM per),
+              t AS (SELECT sum(n_pos) AS pt, sum(n_neg) AS nt
+                    FROM p2),
+              w AS (SELECT level, n, n_pos, n_neg,
+                      CASE WHEN n_pos > 0 AND n_neg > 0
+                            AND pt > 0 AND nt > 0 THEN
+                        ln((CAST(n_pos AS DOUBLE)
+                             / CAST(pt AS DOUBLE))
+                           / (CAST(n_neg AS DOUBLE)
+                             / CAST(nt AS DOUBLE))) END AS woe_raw,
+                      CASE WHEN n_pos > 0 AND n_neg > 0
+                            AND pt > 0 AND nt > 0 THEN
+                        (CAST(n_pos AS DOUBLE) / CAST(pt AS DOUBLE)
+                          - CAST(n_neg AS DOUBLE)
+                            / CAST(nt AS DOUBLE))
+                        * ln((CAST(n_pos AS DOUBLE)
+                              / CAST(pt AS DOUBLE))
+                            / (CAST(n_neg AS DOUBLE)
+                              / CAST(nt AS DOUBLE))) END AS term
+                    FROM p2 CROSS JOIN t),
+              iv AS (SELECT CAST(sum(CAST(term AS DECIMAL(38,12)))
+                       AS DOUBLE) AS ivt FROM w)
+              SELECT level, CAST(n AS BIGINT) AS n,
+                     CAST(n_pos AS BIGINT) AS n_pos,
+                     CAST(n_neg AS BIGINT) AS n_neg,
+                     round(woe_raw * 1000000.0)/1000000.0 AS woe,
+                     round(term * 1000000.0)/1000000.0 AS iv_term,
+                     round(ivt * 1000000.0)/1000000.0 AS iv
+              FROM w CROSS JOIN iv ORDER BY 1"""),
+      (s, d) => woeIv(Tables.orders(s, d)
+          .select(col("o_orderpriority").as("level"),
+            (col("o_orderstatus") === "F").as("label")),
+        "level", "label")),
 
     // reliability table + Brier/ECE every model eval should print.
     Query(

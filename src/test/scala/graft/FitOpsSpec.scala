@@ -478,6 +478,70 @@ class FitOpsSpec extends SparkSpec {
     assert(at.getAs[Long]("n_ctrl") === 0L)
   }
 
+  test("ivWald: on a planted z -> x -> y chain the IV slope recovers " +
+    "the structural beta even under confounding OLS can't remove; " +
+    "binary-z Wald identity holds; constant instrument gives NULLs") {
+    // structural model: x = 2 + 3z + c, y = 5x + 10c (c = confounder)
+    // OLS of y on x is biased by c; IV through z recovers beta = 5
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 4000).map { i =>
+      val z = (i % 2).toDouble
+      val c = rnd.nextGaussian()
+      val x = 2.0 + 3.0 * z + c
+      val y = 5.0 * x + 10.0 * c
+      (z, x, y)
+    }
+    val df = rows.toDF("z", "x", "y")
+    val r = FitOps.ivWald(df, "z", "x", "y").collect()(0)
+    val beta = r.getAs[Double]("beta_iv")
+    assert(math.abs(beta - 5.0) < 0.5, s"beta_iv=$beta")
+    // Wald identity for binary z: beta = (mean y1 - y0)/(mean x1 - x0)
+    val y1 = rows.filter(_._1 == 1.0).map(_._3)
+    val y0 = rows.filter(_._1 == 0.0).map(_._3)
+    val x1 = rows.filter(_._1 == 1.0).map(_._2)
+    val x0 = rows.filter(_._1 == 0.0).map(_._2)
+    val wald = (y1.sum / y1.size - y0.sum / y0.size) /
+      (x1.sum / x1.size - x0.sum / x0.size)
+    assert(math.abs(beta - wald) < 1e-4)
+    // first stage should be near the planted 3
+    assert(math.abs(r.getAs[Double]("first_stage") - 3.0) < 0.3)
+    // degenerate: constant instrument → all NULL
+    val cz = rows.map { case (_, x, y) => (1.0, x, y) }.toDF("z", "x", "y")
+    val rc = FitOps.ivWald(cz, "z", "x", "y").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("beta_iv")))
+    assert(rc.isNullAt(rc.fieldIndex("first_stage")))
+  }
+
+  test("rddEstimate recovers a planted jump at the cutoff; bandwidth " +
+    "excludes far rows; boundary point belongs to the right side") {
+    // y = 2 + 0.5u + 7·1[u >= 0], u on a grid; exact linear both
+    // sides → closed-form fit is exact
+    val pts = (-30 to 30).filter(_ != 0).flatMap { i =>
+      val u = i / 2.0
+      val run = 100.0 + u
+      val y = 2.0 + 0.5 * u + (if (u >= 0) 7.0 else 0.0)
+      Seq((run, y))
+    } :+ ((100.0, 9.0)) // u = 0 exactly: right side owns it
+    val df = pts.toDF("run", "y")
+    val r = FitOps.rddEstimate(df, "run", "y", 100.0, 10.0)
+      .collect()(0)
+    assert(r.getAs[Double]("effect") === 7.0)
+    assert(r.getAs[Double]("slope_left") === 0.5)
+    assert(r.getAs[Double]("slope_right") === 0.5)
+    assert(r.getAs[Double]("intercept_left") === 2.0)
+    assert(r.getAs[Double]("intercept_right") === 9.0)
+    // bandwidth 10 keeps u in [-10, 10]: 20 left grid points
+    // (u = -10 .. -0.5), 20 right (u = 0.5 .. 10) + the u = 0 row
+    assert(r.getAs[Long]("n_left") === 20L)
+    assert(r.getAs[Long]("n_right") === 21L)
+    // one-sided data: the empty side yields NULL fits and 0 count
+    val oneSide = pts.filter(_._1 >= 100.0).toDF("run", "y")
+    val ro = FitOps.rddEstimate(oneSide, "run", "y", 100.0, 10.0)
+      .collect()(0)
+    assert(ro.getAs[Long]("n_left") === 0L)
+    assert(ro.isNullAt(ro.fieldIndex("effect")))
+  }
+
   test("logitFit degrades to NULL betas on a constant regressor and " +
     "on empty input") {
     val const = (1 to 100).map(i =>

@@ -1234,6 +1234,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assertParity(s2, "SELECT * FROM kruskal_wallis('ht_orders', " +
       "'o_totalprice', 'o_orderstatus')",
       HypothesisOps.kruskalWallis(ord, "o_totalprice", "o_orderstatus"))
+    assertParity(s2, "SELECT * FROM vif('ht_lineitem', " +
+      "'l_quantity l_extendedprice l_discount')",
+      ProfileOps.vif(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount")))
+    val woeOrd = ord.select(col("o_orderpriority").as("lvl"),
+      (col("o_orderstatus") === "F").as("lbl"))
+    woeOrd.createOrReplaceTempView("ht_woe")
+    assertParity(s2, "SELECT * FROM woe_iv('ht_woe', 'lvl', 'lbl')",
+      ProfileOps.woeIv(woeOrd, "lvl", "lbl"))
     assertParity(s2, "SELECT * FROM jarque_bera('ht_lineitem', " +
       "'l_quantity', 'l_returnflag')",
       HypothesisOps.jarqueBera(li, "l_quantity", "l_returnflag"))
@@ -1340,6 +1349,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assertParity(s2, "SELECT * FROM theil_sen('fc_orders', " +
       "'o_orderdate', 'o_totalprice')",
       FitOps.theilSen(ord, "o_orderdate", "o_totalprice"))
+    assertParity(s2, "SELECT * FROM iv_wald('fc_lineitem', " +
+      "'l_linenumber', 'l_quantity', 'l_extendedprice')",
+      FitOps.ivWald(li, "l_linenumber", "l_quantity",
+        "l_extendedprice"))
+    assertParity(s2, "SELECT * FROM rdd_estimate('fc_lineitem', " +
+      "'l_quantity', 'l_extendedprice', 25.0, 15.0)",
+      FitOps.rddEstimate(li, "l_quantity", "l_extendedprice",
+        25.0, 15.0))
     assertParity(s2, "SELECT * FROM mann_kendall('fc_orders', " +
       "'o_orderdate', 'o_totalprice')",
       FitOps.mannKendall(ord, "o_orderdate", "o_totalprice"))

@@ -440,4 +440,60 @@ class ProfileOpsSpec extends SparkSpec {
     assert(cf.getAs[Double]("brier") ===
       r6(cf.getAs[Double]("uncertainty")))
   }
+
+  test("vif: independent columns give VIF 1; x3 = x1 + x2 blows all " +
+    "three up; VIF matches the closed form at a planted correlation") {
+    val rnd = new scala.util.Random(23)
+    val ind = (1 to 3000).map(_ =>
+      (rnd.nextGaussian(), rnd.nextGaussian(), rnd.nextGaussian()))
+      .toDF("x1", "x2", "x3")
+    val r0 = ProfileOps.vif(ind, Seq("x1", "x2", "x3")).collect()
+    assert(r0.length === 3)
+    r0.foreach(r => assert(math.abs(r.getAs[Double]("vif") - 1.0)
+      < 0.05, r.toString))
+    // near-exact collinearity: x3 = x1 + x2 + tiny noise
+    val coll = (1 to 3000).map { _ =>
+      val a = rnd.nextGaussian(); val b = rnd.nextGaussian()
+      (a, b, a + b + rnd.nextGaussian() * 1e-3)
+    }.toDF("x1", "x2", "x3")
+    val r1 = ProfileOps.vif(coll, Seq("x1", "x2", "x3")).collect()
+    assert(r1.forall(_.getAs[Double]("vif") > 100.0))
+    // two-correlated-one-free: VIF(x1) = VIF(x2) = 1/(1-rho^2)
+    val rho = 0.8
+    val tc = (1 to 200000).map { _ =>
+      val a = rnd.nextGaussian()
+      val b = rho * a + math.sqrt(1 - rho * rho) * rnd.nextGaussian()
+      (a, b, rnd.nextGaussian())
+    }.toDF("x1", "x2", "x3")
+    val r2 = ProfileOps.vif(tc, Seq("x1", "x2", "x3")).collect()
+    val v1 = r2.find(_.getString(0) == "x1").get.getAs[Double]("vif")
+    assert(math.abs(v1 - 1.0 / (1 - rho * rho)) < 0.1, s"vif=$v1")
+    val v3 = r2.find(_.getString(0) == "x3").get.getAs[Double]("vif")
+    assert(math.abs(v3 - 1.0) < 0.05)
+  }
+
+  test("woeIv: hand-computed WoE/IV on a 2-level fixture; pure cells " +
+    "go NULL and drop from the total; iv equals the term sum") {
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // level u: 30 pos / 10 neg; level w: 10 pos / 50 neg
+    val rows = Seq.fill(30)(("u", true)) ++ Seq.fill(10)(("u", false)) ++
+      Seq.fill(10)(("w", true)) ++ Seq.fill(50)(("w", false))
+    val df = rows.toDF("lvl", "lbl")
+    val out = ProfileOps.woeIv(df, "lvl", "lbl").collect()
+    val u = out.find(_.getString(0) == "u").get
+    val wU = math.log((30.0 / 40) / (10.0 / 60))
+    assert(u.getAs[Double]("woe") === r6(wU))
+    assert(u.getAs[Long]("n_pos") === 30L)
+    val termU = (30.0 / 40 - 10.0 / 60) * wU
+    assert(u.getAs[Double]("iv_term") === r6(termU))
+    val wW = math.log((10.0 / 40) / (50.0 / 60))
+    val termW = (10.0 / 40 - 50.0 / 60) * wW
+    assert(u.getAs[Double]("iv") === r6(termU + termW))
+    // a pure level (no negatives) has NULL woe and is excluded
+    val withPure = (rows ++ Seq.fill(5)(("p", true))).toDF("lvl", "lbl")
+    val out2 = ProfileOps.woeIv(withPure, "lvl", "lbl").collect()
+    val p = out2.find(_.getString(0) == "p").get
+    assert(p.isNullAt(p.fieldIndex("woe")))
+    assert(out2.forall(r => !r.isNullAt(r.fieldIndex("iv"))))
+  }
 }
