@@ -610,7 +610,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "iv_wald" -> GraftExtensions.ivWaldPlan _,
       "rdd_estimate" -> GraftExtensions.rddEstimatePlan _,
       "vif" -> GraftExtensions.vifPlan _,
-      "woe_iv" -> GraftExtensions.woeIvPlan _)
+      "woe_iv" -> GraftExtensions.woeIvPlan _,
+      "hampel" -> GraftExtensions.hampelPlan _,
+      "seasonal_decompose" -> GraftExtensions.seasonalDecomposePlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2702,6 +2704,46 @@ object GraftExtensions {
     graft.operators.HypothesisOps.mannWhitney(df, v, g,
       litStr("mann_whitney", "a", exprs(3)),
       litStr("mann_whitney", "b", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `hampel(table, part_col, ts_col, id_col, value_col [, span, k])`
+    * — rolling-median outlier flag + repaired series
+    * ([[graft.operators.EventOps.hampel]]). Returns the id/part/ts/
+    * value columns plus `(rmed, sigma, is_outlier, cleaned)`. */
+  private[graft] def hampelPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("hampel(table, part_col, ts_col, id_col, value_col " +
+      "[, span, k])", exprs, 5, 7)
+    val p = litStr("hampel", "part_col", exprs(1))
+    val t = litStr("hampel", "ts_col", exprs(2))
+    val i = litStr("hampel", "id_col", exprs(3))
+    val v = litStr("hampel", "value_col", exprs(4))
+    val span = if (exprs.length > 5)
+      litDouble("hampel", "span", exprs(5)).toInt else 20
+    val k = if (exprs.length > 6)
+      litDouble("hampel", "k", exprs(6)) else 3.0
+    val df = namedTable("hampel",
+      litStr("hampel", "table", exprs(0)), Seq(p, t, i, v))
+    graft.operators.EventOps.hampel(df, p, t, i, v, span, k)
+      .queryExecution.analyzed
+  }
+
+  /** `seasonal_decompose(table, ts_col, value_col [, period])` —
+    * additive trend/seasonal/remainder split of the daily mean series
+    * ([[graft.operators.EventOps.seasonalDecompose]]). Returns
+    * `(d, pidx, v, trend, seasonal, remainder)`. */
+  private[graft] def seasonalDecomposePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("seasonal_decompose(table, ts_col, value_col [, period])",
+      exprs, 3, 4)
+    val t = litStr("seasonal_decompose", "ts_col", exprs(1))
+    val v = litStr("seasonal_decompose", "value_col", exprs(2))
+    val period = if (exprs.length > 3)
+      litDouble("seasonal_decompose", "period", exprs(3)).toInt else 7
+    val df = namedTable("seasonal_decompose",
+      litStr("seasonal_decompose", "table", exprs(0)), Seq(t, v))
+    graft.operators.EventOps.seasonalDecompose(df, t, v, period)
       .queryExecution.analyzed
   }
 

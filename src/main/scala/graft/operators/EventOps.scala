@@ -327,6 +327,115 @@ object EventOps {
       .orderBy("g", "lag")
   }
 
+  /** Hampel filter: per-group rolling-median outlier detection AND
+    * repair — flag a point when it sits more than `k` robust sigmas
+    * (1.4826·MAD, the normal-consistency constant) from the trailing
+    * window's median, and emit the cleaned series with flagged points
+    * replaced by that median. The standard despiking pass in front of
+    * any forecast/trend fit ([[ewma]], [[trend]], HoltForecast): a
+    * sensor glitch should not become the trend.
+    *
+    * Exactness: median and MAD both read middles of the SORTED frame
+    * list (mean of the two middles on even frames), so the DuckDB
+    * list-indexing oracle agrees bit-for-bit; integer middle indices
+    * use floor division on both engines. Scale: same stance as
+    * [[rollingMedian]] — one partitioned ROWS window, per-row state
+    * ≤ span doubles, the MAD transform is a codegen'd HOF over the
+    * already-collected frame, no join. */
+  def hampel(df: DataFrame, partCol: String, tsCol: String,
+      idCol: String, valueCol: String, span: Int = 20,
+      k: Double = 3.0): DataFrame = {
+    require(span >= 2 && span <= 4096, s"span must be in [2, 4096]; got $span")
+    require(k > 0, s"k must be positive; got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    def medOf(arr: Column): Column = {
+      val n = size(arr)
+      val mid = element_at(arr, ((n + lit(1)) / lit(2)).cast("int"))
+      val mid2 = element_at(arr, (n / lit(2) + lit(1)).cast("int"))
+      when(n % 2 === 1, mid).otherwise((mid + mid2) / lit(2.0))
+    }
+    val base = df.select(col(idCol), col(partCol), col(tsCol),
+        col(valueCol),
+        array_sort(collect_list(col(valueCol).cast("double")).over(w))
+          .as("__s"))
+      .withColumn("__med", medOf(col("__s")))
+      .withColumn("__sigma", lit(1.4826) * medOf(array_sort(
+        transform(col("__s"), e => abs(e - col("__med"))))))
+    val out = col("__sigma") > 0 &&
+      abs(col(valueCol).cast("double") - col("__med")) >
+        lit(k) * col("__sigma")
+    base.select(col(idCol), col(partCol), col(tsCol), col(valueCol),
+        r6(col("__med")).as("rmed"),
+        r6(col("__sigma")).as("sigma"),
+        out.as("is_outlier"),
+        r6(when(out, col("__med"))
+          .otherwise(col(valueCol).cast("double"))).as("cleaned"))
+      .orderBy(idCol)
+  }
+
+  /** Classical additive seasonal decomposition of the daily mean
+    * series: v = trend + seasonal + remainder, with trend the
+    * centered `period`-point moving average (NULL at the edges where
+    * the window is partial — stated, not extrapolated), the seasonal
+    * index the per-(day mod period) mean of the detrended series
+    * re-centered to sum ~0, and the remainder what neither explains.
+    * The "is this metric actually degrading or is it just Sunday"
+    * readout in front of [[trend]]'s single slope. `period` must be
+    * odd (the classical even-period double-MA variant is a different
+    * estimator — refuse, don't approximate).
+    *
+    * Scale: the corpus collapses to ONE row per day in the first
+    * map-side aggregate; every window after that runs on the
+    * date-bounded series (a [[BoundedWindow]]-declared global window
+    * over ≤ one row per calendar day), and the seasonal join is a
+    * broadcast of `period` rows. Decimal pre-sums keep the window
+    * and group folds partition-order-proof. */
+  def seasonalDecompose(df: DataFrame, tsCol: String, valCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 3 && period <= 365 && period % 2 == 1,
+      s"period must be odd and in [3, 365]; got $period")
+    import org.apache.spark.sql.expressions.Window
+    val dec6 = DecimalType(38, 6)
+    val dec12 = DecimalType(38, 12)
+    val daily = df.groupBy(to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valCol).cast(dec6)).as("__sv"))
+      .select(col("d"),
+        pmod(datediff(col("d"), to_date(lit("1970-01-05"))),
+          lit(period)).as("pidx"),
+        (col("__sv").cast("double") / col("__n").cast("double"))
+          .as("v"))
+    val half = period / 2
+    // global ON PURPOSE: one row per calendar day, bounded by the
+    // data's date span
+    val wMa = Window.partitionBy(BoundedWindow.key(col("d")))
+      .orderBy("d").rowsBetween(-half, half)
+    val tr = daily
+      .withColumn("__cnt", count(lit(1)).over(wMa))
+      .withColumn("__sv7",
+        sum(col("v").cast(dec12)).over(wMa).cast("double"))
+      .withColumn("trend",
+        when(col("__cnt") === period, col("__sv7") / lit(period)))
+    val si = tr.filter(col("trend").isNotNull)
+      .groupBy("pidx")
+      .agg((sum((col("v") - col("trend")).cast(dec12)).cast("double")
+        / count(lit(1)).cast("double")).as("__s_raw"))
+    val ctr = si.agg((sum(col("__s_raw").cast(dec12)).cast("double")
+      / count(lit(1)).cast("double")).as("__mean_s"))
+    val sea = si.crossJoin(broadcast(ctr))
+      .select(col("pidx"),
+        (col("__s_raw") - col("__mean_s")).as("__seasonal"))
+    tr.join(broadcast(sea), Seq("pidx"), "left")
+      .select(col("d"), col("pidx"), r6(col("v")).as("v"),
+        r6(col("trend")).as("trend"),
+        r6(col("__seasonal")).as("seasonal"),
+        r6(col("v") - col("trend") - col("__seasonal"))
+          .as("remainder"))
+      .orderBy("d")
+  }
+
   /** Per-group rolling median of `valueCol` over a bounded `span`-row
     * trailing window — the ROBUST smoothing twin of [[ewma]] (a single
     * spike moves an EWMA but not the median). Exact: the frame's
@@ -992,6 +1101,94 @@ object EventOps {
               FROM events ORDER BY event_id"""),
       (s, d) => rollingMedian(Tables.events(s, d),
         "user_id", "ts", "event_id", "value")),
+
+    // Despike the per-user value stream: flag points 3 robust sigmas
+    // off the rolling median and emit the repaired series.
+    Query(
+      "q_hampel",
+      Some("""WITH b AS (
+                SELECT event_id, user_id, ts, value,
+                       list_sort(list(value) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+                         AS s
+                FROM events),
+              m AS (SELECT event_id, user_id, ts, value, s,
+                      CASE WHEN len(s) % 2 = 1
+                        THEN s[CAST((len(s) + 1) // 2 AS INT)]
+                        ELSE (s[CAST((len(s) + 1) // 2 AS INT)]
+                          + s[CAST(len(s) // 2 + 1 AS INT)]) / 2.0
+                      END AS med
+                    FROM b),
+              e AS (SELECT event_id, user_id, ts, value, med,
+                      list_sort(list_transform(s,
+                        x -> abs(x - med))) AS dd
+                    FROM m),
+              q AS (SELECT event_id, user_id, ts, value, med,
+                      1.4826 * (CASE WHEN len(dd) % 2 = 1
+                        THEN dd[CAST((len(dd) + 1) // 2 AS INT)]
+                        ELSE (dd[CAST((len(dd) + 1) // 2 AS INT)]
+                          + dd[CAST(len(dd) // 2 + 1 AS INT)]) / 2.0
+                      END) AS sigma
+                    FROM e)
+              SELECT event_id, user_id, ts, value,
+                     round(med * 1000000.0)/1000000.0 AS rmed,
+                     round(sigma * 1000000.0)/1000000.0 AS sigma,
+                     (sigma > 0 AND abs(value - med) > 3.0 * sigma)
+                       AS is_outlier,
+                     round(CASE WHEN sigma > 0
+                         AND abs(value - med) > 3.0 * sigma
+                       THEN med ELSE value END
+                       * 1000000.0)/1000000.0 AS cleaned
+              FROM q ORDER BY event_id"""),
+      (s, d) => hampel(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value")),
+
+    // Is the daily value level trending or just weekly-seasonal —
+    // classical additive decomposition of the daily mean series.
+    Query(
+      "q_seasonal_decompose",
+      Some("""WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                       count(*) AS n,
+                       sum(CAST(value AS DECIMAL(38,6))) AS sv
+                FROM events GROUP BY 1),
+              ser AS (SELECT d,
+                        CAST((d - DATE '1970-01-05') % 7 AS INT)
+                          AS pidx,
+                        CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS v
+                      FROM daily),
+              ma AS (SELECT d, pidx, v,
+                       count(*) OVER w AS cnt,
+                       CAST(sum(CAST(v AS DECIMAL(38,12))) OVER w
+                         AS DOUBLE) AS sv7
+                     FROM ser WINDOW w AS (ORDER BY d
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+              tr AS (SELECT d, pidx, v,
+                       CASE WHEN cnt = 7 THEN sv7 / 7 END AS trend
+                     FROM ma),
+              si AS (SELECT pidx,
+                       CAST(sum(CAST(v - trend AS DECIMAL(38,12)))
+                         AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                         AS s_raw
+                     FROM tr WHERE trend IS NOT NULL GROUP BY 1),
+              ctr AS (SELECT
+                        CAST(sum(CAST(s_raw AS DECIMAL(38,12)))
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                          AS mean_s
+                      FROM si),
+              sea AS (SELECT pidx, s_raw - mean_s AS seasonal
+                      FROM si CROSS JOIN ctr)
+              SELECT d, pidx,
+                     round(v * 1000000.0)/1000000.0 AS v,
+                     round(trend * 1000000.0)/1000000.0 AS trend,
+                     round(seasonal * 1000000.0)/1000000.0
+                       AS seasonal,
+                     round((v - trend - seasonal)
+                       * 1000000.0)/1000000.0 AS remainder
+              FROM tr LEFT JOIN sea USING (pidx) ORDER BY 1"""),
+      (s, d) => seasonalDecompose(Tables.events(s, d), "ts",
+        "value")),
 
     // Per-type hourly drift line: least-squares slope/intercept over
     // the bucketed mean series — the trend companion to q_acf.

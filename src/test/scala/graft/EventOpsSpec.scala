@@ -861,4 +861,71 @@ class EventOpsSpec extends SparkSpec {
     // up to 24 half-ulp rounding residues
     assert(math.abs(flat.map(_.getAs[Double]("share")).sum - 1.0) < 2e-5)
   }
+
+  test("hampel flags a planted spike, repairs it to the window " +
+    "median, and leaves a constant series untouched (sigma 0)") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // steady 10.0 stream with one spike at t=25
+    val rows = (1 to 50).map { i =>
+      val v = if (i == 25) 500.0 else 10.0 + (i % 3) * 0.1
+      ("u1", new Timestamp(1700000000000L + i * 60000L), i.toLong, v)
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val out = graft.operators.EventOps.hampel(df, "user_id", "ts",
+      "event_id", "value").collect()
+    val spike = out.find(_.getAs[Long]("event_id") == 25L).get
+    assert(spike.getAs[Boolean]("is_outlier"))
+    assert(spike.getAs[Double]("cleaned") ===
+      spike.getAs[Double]("rmed"))
+    assert(spike.getAs[Double]("cleaned") < 11.0)
+    // only the spike row is flagged: later windows containing the
+    // spike still median ~10, and 500 inflates their MAD, while each
+    // in-window value stays near the median
+    assert(out.count(_.getAs[Boolean]("is_outlier")) === 1)
+    // constant series: sigma = 0 everywhere, nothing flagged
+    val const = (1 to 30).map(i => ("u2",
+      new Timestamp(1700000000000L + i * 60000L), i.toLong, 7.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val oc = graft.operators.EventOps.hampel(const, "user_id", "ts",
+      "event_id", "value").collect()
+    assert(oc.forall(!_.getAs[Boolean]("is_outlier")))
+    assert(oc.forall(_.getAs[Double]("sigma") == 0.0))
+    assert(oc.forall(_.getAs[Double]("cleaned") == 7.0))
+  }
+
+  test("seasonalDecompose recovers a planted weekly pattern on a " +
+    "linear-trend series: seasonal matches the plant, remainder ~0, " +
+    "edges have NULL trend") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // daily value = 100 + 2*t + plant(dow), 35 days, several events
+    // per day so the daily mean is exercised too
+    val plant = Array(5.0, -3.0, 0.0, 2.0, -1.0, 4.0, -7.0)
+    val base = 1704067200000L // 2024-01-01 UTC (a Monday)
+    val rows = (0 until 35).flatMap { t =>
+      val v = 100.0 + 2.0 * t + plant(t % 7)
+      (1 to 3).map(j => (new Timestamp(base + t * 86400000L +
+        j * 3600000L), v))
+    }
+    val df = rows.toDF("ts", "value")
+    val out = graft.operators.EventOps.seasonalDecompose(df, "ts",
+      "value", 7).collect().sortBy(_.getDate(0).getTime)
+    assert(out.length === 35)
+    // first and last 3 days: partial MA window → NULL trend
+    (0 to 2).foreach(i => assert(out(i).isNullAt(
+      out(i).fieldIndex("trend"))))
+    (32 to 34).foreach(i => assert(out(i).isNullAt(
+      out(i).fieldIndex("trend"))))
+    // interior: centered MA of a linear+balanced-seasonal series is
+    // the linear part exactly; remainder 0; seasonal = centered plant
+    val plantMean = plant.sum / 7
+    (3 to 31).foreach { i =>
+      assert(math.abs(out(i).getAs[Double]("trend") -
+        (100.0 + 2.0 * i)) < 1e-6, s"day $i")
+      assert(math.abs(out(i).getAs[Double]("remainder")) < 1e-6)
+      assert(math.abs(out(i).getAs[Double]("seasonal") -
+        (plant(i % 7) - plantMean)) < 1e-6)
+    }
+  }
 }

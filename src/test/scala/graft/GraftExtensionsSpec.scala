@@ -764,6 +764,19 @@ class GraftExtensionsSpec extends SparkSpec {
         substring(col("name"), 1, 1), 3).collect().map(_.toSeq).toSeq)
   }
 
+  test("hampel and seasonal_decompose TVFs agree with the Scala API") {
+    val s2 = spark.newSession()
+    val ev = graft.sources.Tables.events(s2, sfDir)
+    ev.createOrReplaceTempView("ev_hs")
+    assertParity(s2, "SELECT * FROM hampel('ev_hs', 'user_id', " +
+      "'ts', 'event_id', 'value', 10, 2.5)",
+      graft.operators.EventOps.hampel(ev, "user_id", "ts",
+        "event_id", "value", 10, 2.5))
+    assertParity(s2, "SELECT * FROM seasonal_decompose('ev_hs', " +
+      "'ts', 'value', 7)",
+      graft.operators.EventOps.seasonalDecompose(ev, "ts", "value", 7))
+  }
+
   test("rolling_median and trend TVFs agree with the Scala API") {
     val s2 = spark.newSession()
     val ev = graft.sources.Tables.events(s2, sfDir)
