@@ -612,7 +612,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "vif" -> GraftExtensions.vifPlan _,
       "woe_iv" -> GraftExtensions.woeIvPlan _,
       "hampel" -> GraftExtensions.hampelPlan _,
-      "seasonal_decompose" -> GraftExtensions.seasonalDecomposePlan _)
+      "seasonal_decompose" -> GraftExtensions.seasonalDecomposePlan _,
+      "readability" -> GraftExtensions.readabilityPlan _,
+      "feature_hash" -> GraftExtensions.featureHashPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2704,6 +2706,39 @@ object GraftExtensions {
     graft.operators.HypothesisOps.mannWhitney(df, v, g,
       litStr("mann_whitney", "a", exprs(3)),
       litStr("mann_whitney", "b", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `readability(table, id_col, text_col)` — Flesch / FK grade per
+    * document ([[graft.operators.TextOps.readability]]). Returns
+    * `(id, words, sentences, syllables, flesch, fk_grade)`. */
+  private[graft] def readabilityPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("readability(table, id_col, text_col)", exprs, 3, 3)
+    val i = litStr("readability", "id_col", exprs(1))
+    val t = litStr("readability", "text_col", exprs(2))
+    val df = namedTable("readability",
+      litStr("readability", "table", exprs(0)), Seq(i, t))
+    graft.operators.TextOps.readability(df, i, t)
+      .queryExecution.analyzed
+  }
+
+  /** `feature_hash(table, key_col, cols [, n_buckets])` — hashing-
+    * trick encoder over the space-separated `cols`
+    * ([[graft.operators.CurationOps.featureHash]]). Returns the key
+    * plus `(h_<col>, s_<col>)` per input column. */
+  private[graft] def featureHashPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("feature_hash(table, key_col, cols [, n_buckets])",
+      exprs, 3, 4)
+    val k = litStr("feature_hash", "key_col", exprs(1))
+    val cols = litStr("feature_hash", "cols", exprs(2)).trim
+      .split("\\s+").toSeq
+    val nB = if (exprs.length > 3)
+      litDouble("feature_hash", "n_buckets", exprs(3)).toInt else 64
+    val df = namedTable("feature_hash",
+      litStr("feature_hash", "table", exprs(0)), k +: cols)
+    graft.operators.CurationOps.featureHash(df, k, cols, nB)
       .queryExecution.analyzed
   }
 

@@ -610,7 +610,52 @@ object CurationOps {
       .orderBy(catCol)
   }
 
+  /** Hashing-trick featurizer: map each categorical column into a
+    * fixed `nBuckets`-slot space (`h_<col>`) with a ±1 sign
+    * (`s_<col>`, the Weinberger et al. collision-debiasing trick) —
+    * the encoder that keeps wide-cardinality categoricals (urls,
+    * sources, user agents) at a FIXED feature width with zero
+    * vocabulary state to ship. Both the bucket and the sign fold off
+    * the engine's one coin ([[hashDraw]], first 16 bits of md5; the
+    * sign from an independent '#s'-salted draw), so encodings are
+    * identical across engines, retries, and repartitionings — no
+    * feature drift between the training dump and the serving dump.
+    *
+    * Scale: one narrow codegen'd projection, no aggregate, no join,
+    * no vocabulary broadcast — the whole point vs dictionary
+    * encoders like [[targetEncode]]. */
+  def featureHash(df: DataFrame, keyCol: String, cols: Seq[String],
+      nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 65536,
+      s"nBuckets must be in [2, 65536]; got $nBuckets")
+    require(cols.nonEmpty, "featureHash needs at least one column")
+    val outCols = col(keyCol) +: cols.flatMap { c =>
+      Seq((hashDraw(col(c)) % nBuckets).as(s"h_$c"),
+        (hashDraw(concat(col(c).cast("string"), lit("#s"))) % 2 * 2
+          - 1).as(s"s_$c"))
+    }
+    df.select(outCols: _*).orderBy(keyCol)
+  }
+
   val all: Seq[Query] = Seq(
+    // Fixed-width categorical encoding with zero vocabulary state —
+    // the hashing trick over priority x status, bucket + sign both
+    // derived from the engine's one md5 coin.
+    Query(
+      "q_feature_hash",
+      Some(s"""SELECT o_orderkey,
+                      ${sqlDraw("o_orderpriority")} % 64
+                        AS h_o_orderpriority,
+                      ${sqlDraw("(o_orderpriority || '#s')")} % 2 * 2
+                        - 1 AS s_o_orderpriority,
+                      ${sqlDraw("o_orderstatus")} % 64
+                        AS h_o_orderstatus,
+                      ${sqlDraw("(o_orderstatus || '#s')")} % 2 * 2
+                        - 1 AS s_o_orderstatus
+               FROM orders ORDER BY o_orderkey"""),
+      (s, d) => featureHash(Tables.orders(s, d), "o_orderkey",
+        Seq("o_orderpriority", "o_orderstatus"))),
+
     // Smoothed target encoding — the leakage-safe categorical feature.
     Query(
       "q_target_encode",

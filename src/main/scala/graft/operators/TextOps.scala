@@ -397,7 +397,84 @@ object TextOps {
       Tables.documents(s, d), "text", nMerges = 2048),
     _ => ())
 
+  /** Flesch reading ease + Flesch–Kincaid grade per document from
+    * three exact integer counts: whitespace words, sentence enders
+    * (., !, ? — floor 1 so a fragment is "one sentence", not a
+    * divide-by-zero), and syllables via the maximal-[aeiouy]+-run
+    * heuristic (each vowel group ≈ one syllable — the standard
+    * dictionary-free approximation; silent-e correction is a lexicon
+    * problem, stated not smuggled). The length-independent quality
+    * signal next to [[withTokenCounts]]'s raw sizes: a curation
+    * pipeline bins on grade level to balance readability strata.
+    *
+    * Scale: one narrow codegen'd projection — counts via
+    * length-difference after replace (no per-row UDF, no explode). */
+  def readability(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val t = col(textCol)
+    val words = size(split(t, " ")).cast("bigint")
+    val sentRaw = (length(t) - length(replace(t, lit(".")))) +
+      (length(t) - length(replace(t, lit("!")))) +
+      (length(t) - length(replace(t, lit("?"))))
+    val sents = greatest(lit(1L), sentRaw.cast("bigint"))
+    val marked = regexp_replace(lower(t), lit("[aeiouy]+"), lit("#"))
+    val sylls = (length(marked) -
+      length(replace(marked, lit("#")))).cast("bigint")
+    val wps = words.cast("double") / sents.cast("double")
+    val spw = sylls.cast("double") / words.cast("double")
+    val ok = words > 0
+    df.select(col(idCol), words.as("words"), sents.as("sentences"),
+        sylls.as("syllables"),
+        when(ok, r6(lit(206.835) - lit(1.015) * wps -
+          lit(84.6) * spw)).as("flesch"),
+        when(ok, r6(lit(0.39) * wps + lit(11.8) * spw -
+          lit(15.59))).as("fk_grade"))
+      .orderBy(idCol)
+  }
+
   val all: Seq[Query] = Seq(
+    // Length-independent readability strata for curation balancing:
+    // Flesch / FK grade off three exact counts per document.
+    Query(
+      "q_readability",
+      Some("""WITH c AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                         AS words,
+                       greatest(1, CAST(
+                         (length(text)
+                           - length(replace(text, '.', '')))
+                         + (length(text)
+                           - length(replace(text, '!', '')))
+                         + (length(text)
+                           - length(replace(text, '?', '')))
+                         AS BIGINT)) AS sentences,
+                       CAST(length(regexp_replace(lower(text),
+                           '[aeiouy]+', '#', 'g'))
+                         - length(replace(regexp_replace(lower(text),
+                           '[aeiouy]+', '#', 'g'), '#', ''))
+                         AS BIGINT) AS syllables
+                FROM documents)
+              SELECT doc_id, words, sentences, syllables,
+                     round(CASE WHEN words > 0 THEN
+                         206.835
+                         - 1.015 * (CAST(words AS DOUBLE)
+                           / CAST(sentences AS DOUBLE))
+                         - 84.6 * (CAST(syllables AS DOUBLE)
+                           / CAST(words AS DOUBLE)) END
+                       * 1000000.0)/1000000.0 AS flesch,
+                     round(CASE WHEN words > 0 THEN
+                         0.39 * (CAST(words AS DOUBLE)
+                           / CAST(sentences AS DOUBLE))
+                         + 11.8 * (CAST(syllables AS DOUBLE)
+                           / CAST(words AS DOUBLE))
+                         - 15.59 END
+                       * 1000000.0)/1000000.0 AS fk_grade
+              FROM c ORDER BY doc_id"""),
+      (s, d) => readability(Tables.documents(s, d), "doc_id",
+        "text")),
+
     // Token frequency: the explode/groupBy (Generator + hash agg) shape.
     // Top-100 with deterministic (n DESC, token) order.
     Query(

@@ -502,4 +502,36 @@ class CurationSpec extends SparkSpec {
     val g1 = Seq(out(1L), out(2L), out(4L))
     assert(g1 === g1.sorted)
   }
+
+  test("featureHash: buckets in range, signs are exactly +-1, equal " +
+    "values encode equally and independently of row order, distinct " +
+    "levels spread across buckets") {
+    import spark.implicits._
+    val rows = (1 to 500).map(i => (i.toLong, s"cat_${i % 37}",
+      s"src_${i % 11}"))
+    val df = rows.toDF("id", "a", "b")
+    val out = CurationOps.featureHash(df, "id", Seq("a", "b"), 16)
+      .collect()
+    assert(out.length === 500)
+    out.foreach { r =>
+      assert(r.getAs[Long]("h_a") >= 0 && r.getAs[Long]("h_a") < 16)
+      assert(math.abs(r.getAs[Long]("s_a")) === 1L)
+      assert(math.abs(r.getAs[Long]("s_b")) === 1L)
+    }
+    // same level -> same (bucket, sign) everywhere
+    val byLevelA = rows.map(_._2).distinct.map { lvl =>
+      val enc = out.zip(rows).filter(_._2._2 == lvl)
+        .map { case (r, _) => (r.getAs[Long]("h_a"),
+          r.getAs[Long]("s_a")) }.distinct
+      assert(enc.size === 1, s"level $lvl encoded inconsistently")
+      enc.head
+    }
+    // 37 levels into 16 buckets: at least half the buckets used
+    assert(byLevelA.map(_._1).distinct.size >= 8)
+    // row-order independence: shuffled input gives identical encoding
+    val shuffled = CurationOps.featureHash(
+      scala.util.Random.shuffle(rows).toDF("id", "a", "b"),
+      "id", Seq("a", "b"), 16).collect()
+    assert(shuffled.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
+  }
 }

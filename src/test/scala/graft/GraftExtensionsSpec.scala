@@ -764,6 +764,21 @@ class GraftExtensionsSpec extends SparkSpec {
         substring(col("name"), 1, 1), 3).collect().map(_.toSeq).toSeq)
   }
 
+  test("readability and feature_hash TVFs agree with the Scala API") {
+    val s2 = spark.newSession()
+    val docs = graft.sources.Tables.documents(s2, sfDir)
+    val ord = graft.sources.Tables.orders(s2, sfDir)
+    docs.createOrReplaceTempView("rd_docs")
+    ord.createOrReplaceTempView("rd_orders")
+    assertParity(s2, "SELECT * FROM readability('rd_docs', " +
+      "'doc_id', 'text')",
+      graft.operators.TextOps.readability(docs, "doc_id", "text"))
+    assertParity(s2, "SELECT * FROM feature_hash('rd_orders', " +
+      "'o_orderkey', 'o_orderpriority o_orderstatus', 32)",
+      graft.operators.CurationOps.featureHash(ord, "o_orderkey",
+        Seq("o_orderpriority", "o_orderstatus"), 32))
+  }
+
   test("hampel and seasonal_decompose TVFs agree with the Scala API") {
     val s2 = spark.newSession()
     val ev = graft.sources.Tables.events(s2, sfDir)

@@ -156,4 +156,30 @@ class TextHashSpec extends SparkSpec {
       assert(r.getAs[Long]("n_compressible") >= 0L)
     }
   }
+
+  test("readability: hand-counted fixture; fragment floors at one " +
+    "sentence; empty-ish text yields NULL scores not a throw") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "The cat sat on the mat. It was happy!"),
+      (2L, "no enders here"),
+      (3L, "???")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.readability(df, "doc_id", "text")
+      .collect()
+    val r1 = out.find(_.getLong(0) == 1L).get
+    // words: 9 space-split tokens; enders: 1 '.' + 1 '!' = 2
+    assert(r1.getAs[Long]("words") === 9L)
+    assert(r1.getAs[Long]("sentences") === 2L)
+    // vowel groups: The(1) cat(1) sat(1) on(1) the(1) mat(1)
+    // It(1) was(1) happy(2: a, y) = 10
+    assert(r1.getAs[Long]("syllables") === 10L)
+    val wps = 9.0 / 2; val spw = 10.0 / 9
+    val fl = 206.835 - 1.015 * wps - 84.6 * spw
+    assert(math.abs(r1.getAs[Double]("flesch") - fl) < 1e-6)
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getAs[Long]("sentences") === 1L) // floored
+    val r3 = out.find(_.getLong(0) == 3L).get
+    assert(r3.getAs[Long]("words") === 1L) // "???" is one ws token
+    assert(r3.getAs[Long]("syllables") === 0L)
+  }
 }
