@@ -614,7 +614,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "hampel" -> GraftExtensions.hampelPlan _,
       "seasonal_decompose" -> GraftExtensions.seasonalDecomposePlan _,
       "readability" -> GraftExtensions.readabilityPlan _,
-      "feature_hash" -> GraftExtensions.featureHashPlan _)
+      "feature_hash" -> GraftExtensions.featureHashPlan _,
+      "granger" -> GraftExtensions.grangerPlan _,
+      "pacf" -> GraftExtensions.pacfPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2706,6 +2708,43 @@ object GraftExtensions {
     graft.operators.HypothesisOps.mannWhitney(df, v, g,
       litStr("mann_whitney", "a", exprs(3)),
       litStr("mann_whitney", "b", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `granger(table, t_col, x_col, y_col)` — lag-1 Granger causality
+    * F-test on a one-row-per-step series
+    * ([[graft.operators.FitOps.grangerLag1]]). Returns
+    * `(n, beta_xlag, sse_r, sse_u, f_stat, dof_den)`. */
+  private[graft] def grangerPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("granger(table, t_col, x_col, y_col)", exprs, 4, 4)
+    val t = litStr("granger", "t_col", exprs(1))
+    val x = litStr("granger", "x_col", exprs(2))
+    val y = litStr("granger", "y_col", exprs(3))
+    val df = namedTable("granger",
+      litStr("granger", "table", exprs(0)), Seq(t, x, y))
+    graft.operators.FitOps.grangerLag1(df, t, x, y)
+      .queryExecution.analyzed
+  }
+
+  /** `pacf(table, group_col, ts_col, value_col [, max_lag,
+    * bucket_seconds])` — partial autocorrelation via Durbin–Levinson
+    * ([[graft.operators.EventOps.pacf]]). Returns
+    * `(g, lag, n_buckets, pacf)`. NOTE: eager (driver recursion over
+    * the bounded covariance table). */
+  private[graft] def pacfPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("pacf(table, group_col, ts_col, value_col [, max_lag, " +
+      "bucket_seconds])", exprs, 4, 6)
+    val g = litStr("pacf", "group_col", exprs(1))
+    val t = litStr("pacf", "ts_col", exprs(2))
+    val v = litStr("pacf", "value_col", exprs(3))
+    val maxLag = if (exprs.length > 4)
+      litDouble("pacf", "max_lag", exprs(4)).toInt else 12
+    val bs = if (exprs.length > 5)
+      litDouble("pacf", "bucket_seconds", exprs(5)).toLong else 3600L
+    val df = namedTable("pacf",
+      litStr("pacf", "table", exprs(0)), Seq(g, t, v))
+    graft.operators.EventOps.pacf(df, g, t, v, maxLag, bs)
       .queryExecution.analyzed
   }
 

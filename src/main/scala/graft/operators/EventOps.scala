@@ -327,6 +327,86 @@ object EventOps {
       .orderBy("g", "lag")
   }
 
+  /** Partial autocorrelation (PACF) per group via Durbin–Levinson —
+    * the AR-order-selection companion to [[acf]]: an AR(p) series'
+    * PACF cuts off after lag p while its ACF decays forever, so PACF
+    * is how a forecaster picks p. Autocovariances use the standard
+    * full-series-mean estimator c_k = Σ(m_t−x̄)(m_{t+k}−x̄) (consistent
+    * across lags — D-L needs one coherent sequence, not per-lag
+    * Pearson), computed DISTRIBUTED from the same bucket-mean series
+    * and lag join as [[acf]]; only the (group, lag, c_k) table —
+    * groups × (maxLag+1) rows, never the series — collects to the
+    * driver for the recursion (the olsSolveDriver bounded-driver-work
+    * stance; the recursion's value reuse is inherently sequential).
+    * Not SQL-expressible (the recursion) → spec-gated, no oracle. */
+  def pacf(df: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, maxLag: Int = 12,
+      bucketSeconds: Long = 3600): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 256,
+      s"maxLag must be in [1, 256]; got $maxLag")
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val dec = DecimalType(38, 6)
+    val buckets = df.groupBy(col(groupCol).cast("string").as("g"),
+        floor(unix_micros(col(tsCol)) / lit(bucketSeconds * 1000000L))
+          .as("b"))
+      .agg((sum(col(valueCol).cast(dec)).cast("double") /
+        count(lit(1))).as("m"))
+    val stats = buckets.groupBy("g")
+      .agg(count(lit(1)).as("n0"),
+        (sum(col("m").cast(dec)).cast("double") / count(lit(1)))
+          .as("mu"))
+    val x = buckets.withColumn("lag",
+      explode(sequence(lit(0), lit(maxLag))))
+    val y = buckets.select(col("g").as("g2"), col("b").as("b2"),
+      col("m").as("m2"))
+    val pairs = x.join(y,
+        col("g") === col("g2") && col("b2") === col("b") + col("lag"))
+      .groupBy(col("g"), col("lag"))
+      .agg(count(lit(1)).cast("double").as("cnt"),
+        sum(col("m").cast(dec)).cast("double").as("st"),
+        sum(col("m2").cast(dec)).cast("double").as("stk"),
+        sum((col("m") * col("m2")).cast(dec)).cast("double")
+          .as("scross"))
+    val cov = pairs.join(broadcast(stats), "g")
+      .select(col("g"), col("lag"),
+        (col("scross") - col("mu") * (col("st") + col("stk")) +
+          col("cnt") * col("mu") * col("mu")).as("ck"),
+        col("n0"))
+    // bounded driver table: groups x (maxLag+1) covariances
+    val rows = cov.collect()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = rows.groupBy(_.getString(0)).toSeq.flatMap {
+      case (g, rs) =>
+        val byLag = rs.map(r => r.getAs[Number]("lag").intValue() ->
+          r.getAs[Double]("ck")).toMap
+        val n0 = rs.head.getAs[Long]("n0")
+        val kMax = math.min(maxLag, byLag.keys.max)
+        if (!byLag.contains(0) || byLag(0) <= 0 || kMax < 1) Nil
+        else {
+          val rho = (0 to kMax).map(k =>
+            byLag.getOrElse(k, 0.0) / byLag(0))
+          // Durbin–Levinson: phi(k)(j); pacf(k) = phi(k)(k)
+          val phi = Array.ofDim[Double](kMax + 1, kMax + 1)
+          val pac = Array.ofDim[Double](kMax + 1)
+          phi(1)(1) = rho(1); pac(1) = rho(1)
+          for (k <- 2 to kMax) {
+            val num = rho(k) -
+              (1 until k).map(j => phi(k - 1)(j) * rho(k - j)).sum
+            val den = 1.0 -
+              (1 until k).map(j => phi(k - 1)(j) * rho(j)).sum
+            phi(k)(k) = if (den != 0.0) num / den else Double.NaN
+            for (j <- 1 until k)
+              phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j)
+            pac(k) = phi(k)(k)
+          }
+          (1 to kMax).map(k => (g, k, n0,
+            math.round(pac(k) * 1e6) / 1e6))
+        }
+    }.sortBy(t => (t._1, t._2))
+    out.toDF("g", "lag", "n_buckets", "pacf")
+  }
+
   /** Hampel filter: per-group rolling-median outlier detection AND
     * repair — flag a point when it sits more than `k` robust sigmas
     * (1.4826·MAD, the normal-consistency constant) from the trailing
@@ -1101,6 +1181,15 @@ object EventOps {
               FROM events ORDER BY event_id"""),
       (s, d) => rollingMedian(Tables.events(s, d),
         "user_id", "ts", "event_id", "value")),
+
+    // Which AR order fits each event type's hourly series — PACF via
+    // Durbin-Levinson; the recursion is not SQL-expressible, so the
+    // gate is PacfSpec's brute-force D-L equality (no oracle).
+    Query(
+      "q_pacf",
+      None,
+      (s, d) => pacf(Tables.events(s, d), "event_type", "ts",
+        "value", 8)),
 
     // Despike the per-user value stream: flag points 3 robust sigmas
     // off the rolling median and emit the repaired series.

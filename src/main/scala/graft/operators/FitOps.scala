@@ -1181,6 +1181,75 @@ object FitOps {
        CAST(sum(CAST(x*x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
        CAST(sum(CAST(y*y AS DECIMAL(38,6))) AS DOUBLE) AS syy"""
 
+  /** Lag-1 Granger causality test: does yesterday's `xCol` improve
+    * today's `yCol` forecast beyond yesterday's `yCol` alone — the
+    * predictive-precedence readout behind "did marketing clicks LEAD
+    * purchases" ([[xcorr]] finds the lag; this says whether the lead
+    * is statistically real). Fits the unrestricted y ~ 1 + y₋₁ + x₋₁
+    * by the in-plan Cramér 3×3 (the [[olsMulti]] d = 2 path) and the
+    * restricted y ~ 1 + y₋₁ in closed form from the SAME one
+    * DECIMAL(38,6)-exact moment aggregate, then
+    * F = (SSE_r − SSE_u) / (SSE_u / (n − 3)). No p-value column: the
+    * F CDF has no closed form both engines state identically
+    * ([[graft.operators.HypothesisOps.tTest]]'s stance); F + dof are
+    * the decision-complete pair.
+    *
+    * Input is one row per time step (build the step series upstream —
+    * it collapses the corpus in a map-side aggregate); the lag runs
+    * on that bounded series under a [[BoundedWindow]]-declared global
+    * window. */
+  def grangerLag1(df: DataFrame, tCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(BoundedWindow.key(col(tCol)))
+      .orderBy(tCol)
+    val lagged = df.select(col(tCol),
+        col(xCol).cast("double").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .withColumn("__ylag", lag("__y", 1).over(w))
+      .withColumn("__xlag", lag("__x", 1).over(w))
+      .filter(col("__ylag").isNotNull && col("__xlag").isNotNull)
+    val y = col("__y"); val x1 = col("__ylag"); val x2 = col("__xlag")
+    val g = lagged.agg(
+      count(lit(1)).as("n"),
+      sum(x1.cast(dec)).as("s0"),
+      sum(x2.cast(dec)).as("s1"),
+      sum((x1 * x1).cast(dec)).as("s0_0"),
+      sum((x1 * x2).cast(dec)).as("s0_1"),
+      sum((x2 * x2).cast(dec)).as("s1_1"),
+      sum(y.cast(dec)).as("sy"),
+      sum((x1 * y).cast(dec)).as("s0y"),
+      sum((x2 * y).cast(dec)).as("s1y"),
+      sum((y * y).cast(dec)).as("syy"))
+    def d(name: String): Column = col(name).cast("double")
+    val n = d("n"); val s1 = d("s0"); val s2 = d("s1")
+    val s11 = d("s0_0"); val s12 = d("s0_1"); val s22 = d("s1_1")
+    val sy = d("sy"); val s1y = d("s0y"); val s2y = d("s1y")
+    val syy = d("syy")
+    def det3(a: Column, b: Column, c: Column,
+        p: Column, q: Column, r: Column,
+        u: Column, v: Column, ww: Column): Column =
+      a * (q * ww - r * v) - b * (p * ww - r * u) + c * (p * v - q * u)
+    val det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    val b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det
+    val b1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / det
+    val b2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / det
+    val sseU = syy - (b0 * sy + b1 * s1y + b2 * s2y)
+    // restricted y ~ 1 + y-1: textbook closed form off the same sums
+    val vr = n * s11 - s1 * s1
+    val br = (n * s1y - s1 * sy) / vr
+    val ar = (sy - br * s1) / n
+    val sseR = syy - (ar * sy + br * s1y)
+    val f = (sseR - sseU) / (sseU / (n - 3))
+    val ok = det =!= 0.0 && vr =!= 0.0 && col("n") > 3
+    g.select(col("n").cast("bigint").as("n"),
+      when(ok, r6(b2)).as("beta_xlag"),
+      when(ok, r6(sseR)).as("sse_r"),
+      when(ok, r6(sseU)).as("sse_u"),
+      when(ok, when(sseU > 0, r6(f))).as("f_stat"),
+      (col("n") - 3).cast("bigint").as("dof_den"))
+  }
+
   /** Instrumental-variable (2SLS, single instrument) estimator: the
     * causal slope of `yCol` on `xCol` identified through `zCol`,
     * β_iv = cov(z,y)/cov(z,x) — the ratio of the reduced-form to the
@@ -1265,6 +1334,110 @@ object FitOps {
   }
 
   val all: Seq[Query] = Seq(
+    // Do yesterday's clicks predict today's purchases beyond
+    // purchases' own momentum — lag-1 Granger F on the daily series.
+    Query(
+      "q_granger",
+      Some("""WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                       sum(CAST(CASE WHEN event_type = 'click'
+                         THEN value ELSE 0.0 END AS DECIMAL(38,6)))
+                         AS sx,
+                       sum(CASE WHEN event_type = 'click'
+                         THEN 1 ELSE 0 END) AS nx,
+                       sum(CAST(CASE WHEN event_type = 'purchase'
+                         THEN value ELSE 0.0 END AS DECIMAL(38,6)))
+                         AS sy0,
+                       sum(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS ny
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                GROUP BY 1),
+              ser AS (SELECT d,
+                        CAST(sx AS DOUBLE) / CAST(nx AS DOUBLE) AS vx,
+                        CAST(sy0 AS DOUBLE) / CAST(ny AS DOUBLE) AS vy
+                      FROM daily WHERE nx > 0 AND ny > 0),
+              lagd AS (SELECT vy AS y,
+                         lag(vy, 1) OVER (ORDER BY d) AS ylag,
+                         lag(vx, 1) OVER (ORDER BY d) AS xlag
+                       FROM ser),
+              flt AS (SELECT * FROM lagd
+                      WHERE ylag IS NOT NULL AND xlag IS NOT NULL),
+              g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      count(*) AS nn,
+                      CAST(sum(CAST(ylag AS DECIMAL(38,6)))
+                        AS DOUBLE) AS s1,
+                      CAST(sum(CAST(xlag AS DECIMAL(38,6)))
+                        AS DOUBLE) AS s2,
+                      CAST(sum(CAST(ylag * ylag AS DECIMAL(38,6)))
+                        AS DOUBLE) AS s11,
+                      CAST(sum(CAST(ylag * xlag AS DECIMAL(38,6)))
+                        AS DOUBLE) AS s12,
+                      CAST(sum(CAST(xlag * xlag AS DECIMAL(38,6)))
+                        AS DOUBLE) AS s22,
+                      CAST(sum(CAST(y AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sy,
+                      CAST(sum(CAST(ylag * y AS DECIMAL(38,6)))
+                        AS DOUBLE) AS s1y,
+                      CAST(sum(CAST(xlag * y AS DECIMAL(38,6)))
+                        AS DOUBLE) AS s2y,
+                      CAST(sum(CAST(y * y AS DECIMAL(38,6)))
+                        AS DOUBLE) AS syy
+                    FROM flt),
+              c AS (SELECT *,
+                      n * (s11 * s22 - s12 * s12)
+                        - s1 * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s12 - s11 * s2) AS det,
+                      n * s11 - s1 * s1 AS vr
+                    FROM g),
+              b AS (SELECT *,
+                      (sy * (s11 * s22 - s12 * s12)
+                        - s1 * (s1y * s22 - s12 * s2y)
+                        + s2 * (s1y * s12 - s11 * s2y)) / det AS b0,
+                      (n * (s1y * s22 - s12 * s2y)
+                        - sy * (s1 * s22 - s12 * s2)
+                        + s2 * (s1 * s2y - s1y * s2)) / det AS b1,
+                      (n * (s11 * s2y - s1y * s12)
+                        - s1 * (s1 * s2y - s1y * s2)
+                        + sy * (s1 * s12 - s11 * s2)) / det AS b2,
+                      (n * s1y - s1 * sy) / vr AS br
+                    FROM c WHERE det <> 0 AND vr <> 0 AND nn > 3),
+              e AS (SELECT *,
+                      syy - (b0 * sy + b1 * s1y + b2 * s2y) AS sse_u,
+                      syy - (((sy - br * s1) / n) * sy + br * s1y)
+                        AS sse_r
+                    FROM b)
+              SELECT CAST(nn AS BIGINT) AS n,
+                     round(b2 * 1000000.0)/1000000.0 AS beta_xlag,
+                     round(sse_r * 1000000.0)/1000000.0 AS sse_r,
+                     round(sse_u * 1000000.0)/1000000.0 AS sse_u,
+                     round(CASE WHEN sse_u > 0 THEN
+                         (sse_r - sse_u) / (sse_u / (n - 3)) END
+                       * 1000000.0)/1000000.0 AS f_stat,
+                     CAST(nn - 3 AS BIGINT) AS dof_den
+              FROM e"""),
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(
+            sum(when(col("event_type") === "click", col("value"))
+              .otherwise(lit(0.0)).cast(dec)).as("__sx"),
+            sum(when(col("event_type") === "click", 1L)
+              .otherwise(0L)).as("__nx"),
+            sum(when(col("event_type") === "purchase", col("value"))
+              .otherwise(lit(0.0)).cast(dec)).as("__sy"),
+            sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("__ny"))
+          .filter(col("__nx") > 0 && col("__ny") > 0)
+          .select(col("d"),
+            (col("__sx").cast("double") / col("__nx").cast("double"))
+              .as("vx"),
+            (col("__sy").cast("double") / col("__ny").cast("double"))
+              .as("vy"))
+        grangerLag1(daily, "d", "vx", "vy")
+      }),
+
     // Causal slope of price on quantity identified through an
     // order-parity instrument — plus the first-stage diagnostic that
     // says whether the instrument moves x at all.

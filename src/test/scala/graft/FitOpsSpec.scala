@@ -478,6 +478,33 @@ class FitOpsSpec extends SparkSpec {
     assert(at.getAs[Long]("n_ctrl") === 0L)
   }
 
+  test("grangerLag1: x leading y by one step is flagged (large F), " +
+    "the reverse direction is not; beta_xlag recovers the planted " +
+    "coefficient; degenerate constant series yields NULLs") {
+    val rnd = new scala.util.Random(13)
+    // x white noise; y_t = 0.5 y_{t-1} + 0.8 x_{t-1} + small noise
+    val n = 600
+    val xs = Seq.fill(n)(rnd.nextGaussian())
+    val ys = Array.ofDim[Double](n)
+    for (t <- 1 until n) // y_t leans on yesterday's x, not today's
+      ys(t) = 0.5 * ys(t - 1) + 0.8 * xs(t - 1) +
+        0.05 * rnd.nextGaussian()
+    val df = (0 until n).map(i => (i, xs(i), ys(i)))
+      .toDF("t", "x", "y")
+    val fwd = FitOps.grangerLag1(df, "t", "x", "y").collect()(0)
+    assert(fwd.getAs[Double]("f_stat") > 100.0)
+    assert(math.abs(fwd.getAs[Double]("beta_xlag") - 0.8) < 0.05)
+    assert(fwd.getAs[Long]("n") === (n - 1).toLong)
+    // y does not Granger-cause x (x is exogenous noise)
+    val rev = FitOps.grangerLag1(df, "t", "y", "x").collect()(0)
+    assert(rev.getAs[Double]("f_stat") < 8.0, rev.toString)
+    // constant series: zero lag-variance -> NULL everything
+    val const = (0 until 50).map(i => (i, 1.0, 2.0)).toDF("t", "x", "y")
+    val rc = FitOps.grangerLag1(const, "t", "x", "y").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("f_stat")))
+    assert(rc.isNullAt(rc.fieldIndex("beta_xlag")))
+  }
+
   test("ivWald: on a planted z -> x -> y chain the IV slope recovers " +
     "the structural beta even under confounding OLS can't remove; " +
     "binary-z Wald identity holds; constant instrument gives NULLs") {

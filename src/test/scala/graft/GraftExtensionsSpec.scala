@@ -1385,6 +1385,18 @@ class GraftExtensionsSpec extends SparkSpec {
       "'l_quantity', 'l_extendedprice', 25.0, 15.0)",
       FitOps.rddEstimate(li, "l_quantity", "l_extendedprice",
         25.0, 15.0))
+    val serG = {
+      import org.apache.spark.sql.functions.{avg, col, stddev_pop, to_date}
+      ev.groupBy(to_date(col("ts")).as("d"))
+        .agg(avg("value").as("vx"), stddev_pop("value").as("vy"))
+    }
+    serG.createOrReplaceTempView("fc_ser")
+    assertParity(s2, "SELECT * FROM granger('fc_ser', 'd', 'vx', " +
+      "'vy')", FitOps.grangerLag1(serG, "d", "vx", "vy"))
+    assertParity(s2, "SELECT * FROM pacf('fc_events', 'event_type', " +
+      "'ts', 'value', 4, 86400)",
+      graft.operators.EventOps.pacf(ev, "event_type", "ts", "value",
+        4, 86400L))
     assertParity(s2, "SELECT * FROM mann_kendall('fc_orders', " +
       "'o_orderdate', 'o_totalprice')",
       FitOps.mannKendall(ord, "o_orderdate", "o_totalprice"))
