@@ -616,7 +616,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "readability" -> GraftExtensions.readabilityPlan _,
       "feature_hash" -> GraftExtensions.featureHashPlan _,
       "granger" -> GraftExtensions.grangerPlan _,
-      "pacf" -> GraftExtensions.pacfPlan _)
+      "pacf" -> GraftExtensions.pacfPlan _,
+      "mmr" -> GraftExtensions.mmrPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2708,6 +2709,27 @@ object GraftExtensions {
     graft.operators.HypothesisOps.mannWhitney(df, v, g,
       litStr("mann_whitney", "a", exprs(3)),
       litStr("mann_whitney", "b", exprs(4)))
+      .queryExecution.analyzed
+  }
+
+  /** `mmr(table, qid_col, cid_col, rel_col, emb_col, k [, lambda])` —
+    * maximal-marginal-relevance diversified rerank
+    * ([[graft.operators.SimilarityOps.mmrRerank]]). Returns
+    * `(qid, cid, rank, rel, score)`. NOTE: eager (k pinned greedy
+    * sweeps). */
+  private[graft] def mmrPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("mmr(table, qid_col, cid_col, rel_col, emb_col, k " +
+      "[, lambda])", exprs, 6, 7)
+    val q = litStr("mmr", "qid_col", exprs(1))
+    val c = litStr("mmr", "cid_col", exprs(2))
+    val r = litStr("mmr", "rel_col", exprs(3))
+    val e = litStr("mmr", "emb_col", exprs(4))
+    val k = litDouble("mmr", "k", exprs(5)).toInt
+    val lam = if (exprs.length > 6)
+      litDouble("mmr", "lambda", exprs(6)) else 0.7
+    val df = namedTable("mmr", litStr("mmr", "table", exprs(0)),
+      Seq(q, c, r, e))
+    graft.operators.SimilarityOps.mmrRerank(df, q, c, r, e, k, lam)
       .queryExecution.analyzed
   }
 

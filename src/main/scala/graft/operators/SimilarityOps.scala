@@ -348,7 +348,88 @@ object SimilarityOps {
         .partitionBy(BoundedWindow.key(col(idCol)))
         .orderBy(order: _*)).as("rn"))
 
+  /** Maximal Marginal Relevance (MMR, Carbonell & Goldstein 1998)
+    * diversified rerank: greedily pick `k` of each query's candidates
+    * maximizing λ·rel − (1−λ)·max-sim-to-already-picked — the
+    * redundancy killer between retrieval and the context window
+    * (top-k by relevance alone returns five near-copies of the same
+    * passage). Deterministic: scores round to 6 dp with candidate-id
+    * tiebreak before each argmax.
+    *
+    * Scale: the greedy is inherently sequential in RANK, so the loop
+    * runs k pinned sweeps ([[graft.tools.Checkpoints.pin]], the
+    * pagerank stance) — but each sweep is one keyed join of the
+    * remaining candidates against the ≤r-selected set per query plus
+    * one per-query window argmax, all bounded by candidates-per-query
+    * × k, never corpus². Not SQL-expressible (value-reusing greedy) →
+    * spec-gated, no oracle. */
+  def mmrRerank(candidates: DataFrame, qidCol: String, cidCol: String,
+      relCol: String, embCol: String, k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000]; got $k")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"lambda must be in [0, 1]; got $lambda")
+    import org.apache.spark.sql.expressions.Window
+    import graft.tools.Checkpoints
+    var remaining = Checkpoints.pin(candidates.select(
+      col(qidCol).as("qid"), col(cidCol).as("cid"),
+      col(relCol).cast("double").as("rel"), col(embCol).as("__emb")))
+    var selected: DataFrame = null
+    val w = Window.partitionBy("qid")
+      .orderBy(col("__score").desc, col("cid"))
+    for (r <- 1 to k) {
+      val scored =
+        if (selected == null) remaining.withColumn("__maxsim", lit(0.0))
+        else remaining
+          .join(selected.select(col("qid"), col("__emb").as("__semb")),
+            Seq("qid"), "left")
+          .groupBy("qid", "cid")
+          .agg(first("rel").as("rel"), first("__emb").as("__emb"),
+            coalesce(max(when(col("__semb").isNotNull,
+              cosine(col("__emb"), col("__semb")))), lit(0.0))
+              .as("__maxsim"))
+      val pick = scored
+        .withColumn("__score", round(lit(lambda) * col("rel") -
+          lit(1.0 - lambda) * col("__maxsim"), 6))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("qid"), col("cid"), lit(r).as("rank"),
+          col("rel"), col("__score").as("score"), col("__emb"))
+      selected = Checkpoints.pin(
+        if (selected == null) pick else selected.unionByName(pick))
+      remaining = Checkpoints.pin(remaining.join(
+        pick.select("qid", "cid"), Seq("qid", "cid"), "left_anti"))
+    }
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    selected.select(col("qid"), col("cid"), col("rank"),
+        r6(col("rel")).as("rel"), col("score"))
+      .orderBy("qid", "rank")
+  }
+
   val all: Seq[Query] = Seq(
+    // Diversified retrieval: MMR over each probe's cosine top-30 —
+    // greedy is not SQL-expressible, so the gate is SimilaritySpec's
+    // brute-force greedy equality (no oracle).
+    Query(
+      "q_mmr",
+      None,
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val probes = broadcast(e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"),
+            col("embedding").as("pe")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid")
+          .orderBy(col("rel").desc, col("cid"))
+        val cands = e.join(probes, col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("cid"),
+            round(cosine(col("embedding"), col("pe")), 6).as("rel"),
+            col("embedding"))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 30).drop("__rn")
+        mmrRerank(cands, "qid", "cid", "rel", "embedding", 10)
+      }),
+
     Query(
       "q_sim_topk",
       Some("""WITH p AS (SELECT embedding::DOUBLE[] AS pe

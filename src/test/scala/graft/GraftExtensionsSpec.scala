@@ -779,6 +779,24 @@ class GraftExtensionsSpec extends SparkSpec {
         Seq("o_orderpriority", "o_orderstatus"), 32))
   }
 
+  test("mmr TVF agrees with the Scala API") {
+    import org.apache.spark.sql.functions.{broadcast, col, round => rnd}
+    val s2 = spark.newSession()
+    val e = graft.sources.Tables.embeddings(s2, sfDir)
+    val probes = broadcast(e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("pe")))
+    val cands = e.join(probes, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        rnd(graft.operators.SimilarityOps.cosine(col("embedding"),
+          col("pe")), 6).as("rel"),
+        col("embedding"))
+    cands.createOrReplaceTempView("mm_cands")
+    assertParity(s2, "SELECT * FROM mmr('mm_cands', 'qid', 'cid', " +
+      "'rel', 'embedding', 5, 0.6)",
+      graft.operators.SimilarityOps.mmrRerank(cands, "qid", "cid",
+        "rel", "embedding", 5, 0.6))
+  }
+
   test("hampel and seasonal_decompose TVFs agree with the Scala API") {
     val s2 = spark.newSession()
     val ev = graft.sources.Tables.events(s2, sfDir)

@@ -765,4 +765,56 @@ class SimilaritySpec extends SparkSpec {
     assert((orig & quant).size >= 8,
       s"quantized top-10 lost too much: ${(orig & quant).size}/10")
   }
+
+  test("mmrRerank equals the brute-force greedy on a seeded fixture " +
+    "and prefers a diverse candidate over a near-duplicate") {
+    import spark.implicits._
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+    }
+    // hand fixture: A and B near-identical high-rel, C diverse mid-rel
+    val eA = Seq(1.0, 0.0, 0.0)
+    val eB = Seq(0.999, 0.04, 0.0)
+    val eC = Seq(0.0, 1.0, 0.0)
+    val hand = Seq((1L, 10L, 0.95, eA), (1L, 11L, 0.94, eB),
+      (1L, 12L, 0.60, eC)).toDF("qid", "cid", "rel", "emb")
+    val got = SimilarityOps.mmrRerank(hand, "qid", "cid", "rel",
+      "emb", 3, 0.7).collect()
+    assert(got.map(_.getLong(1)).toSeq === Seq(10L, 12L, 11L),
+      "rank 1 = top rel, rank 2 = the diverse C, near-dup B last")
+    assert(got.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2, 3))
+    // brute-force greedy equality on a seeded 2-query fixture
+    val rnd = new scala.util.Random(41)
+    val cands = (1 to 2).flatMap { q =>
+      (0 until 20).map { c =>
+        (q.toLong, c.toLong, math.round(rnd.nextDouble() * 1e6) / 1e6,
+          Seq.fill(4)(rnd.nextGaussian()))
+      }
+    }
+    val df = cands.toDF("qid", "cid", "rel", "emb")
+    val k = 6; val lam = 0.7
+    val got2 = SimilarityOps.mmrRerank(df, "qid", "cid", "rel",
+      "emb", k, lam).collect()
+    cands.groupBy(_._1).foreach { case (q, rows) =>
+      var rem = rows.toList
+      var sel = List.empty[(Long, Seq[Double])]
+      val exp = (1 to k).map { _ =>
+        val scored = rem.map { case (_, cid, rel, e) =>
+          val ms = if (sel.isEmpty) 0.0
+            else sel.map(s => cos(e, s._2)).max
+          val sc = math.round((lam * rel - (1 - lam) * ms) * 1e6) / 1e6
+          (cid, sc, e)
+        }
+        val best = scored.minBy { case (cid, sc, _) => (-sc, cid) }
+        sel = sel :+ (best._1, best._3)
+        rem = rem.filterNot(_._2 == best._1)
+        best._1
+      }
+      val gotQ = got2.filter(_.getLong(0) == q)
+        .sortBy(_.getAs[Int]("rank")).map(_.getLong(1)).toSeq
+      assert(gotQ === exp, s"query $q greedy mismatch")
+    }
+  }
 }
