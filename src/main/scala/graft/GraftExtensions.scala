@@ -617,7 +617,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "feature_hash" -> GraftExtensions.featureHashPlan _,
       "granger" -> GraftExtensions.grangerPlan _,
       "pacf" -> GraftExtensions.pacfPlan _,
-      "mmr" -> GraftExtensions.mmrPlan _)
+      "mmr" -> GraftExtensions.mmrPlan _,
+      "rolling_quantile" -> GraftExtensions.rollingQuantilePlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2731,6 +2732,27 @@ object GraftExtensions {
       Seq(q, c, r, e))
     graft.operators.SimilarityOps.mmrRerank(df, q, c, r, e, k, lam)
       .queryExecution.analyzed
+  }
+
+  /** `rolling_quantile(table, part_col, ts_col, id_col, value_col,
+    * p [, span])` — per-group rolling lower quantile
+    * ([[graft.operators.EventOps.rollingQuantile]]). */
+  private[graft] def rollingQuantilePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("rolling_quantile(table, part_col, ts_col, id_col, " +
+      "value_col, p [, span])", exprs, 6, 7)
+    val pc = litStr("rolling_quantile", "part_col", exprs(1))
+    val tc = litStr("rolling_quantile", "ts_col", exprs(2))
+    val ic = litStr("rolling_quantile", "id_col", exprs(3))
+    val vc = litStr("rolling_quantile", "value_col", exprs(4))
+    val p = litDouble("rolling_quantile", "p", exprs(5))
+    val span = if (exprs.length > 6)
+      litDouble("rolling_quantile", "span", exprs(6)).toInt else 20
+    val df = namedTable("rolling_quantile",
+      litStr("rolling_quantile", "table", exprs(0)),
+      Seq(pc, tc, ic, vc))
+    graft.operators.EventOps.rollingQuantile(df, pc, tc, ic, vc, p,
+      span).queryExecution.analyzed
   }
 
   /** `granger(table, t_col, x_col, y_col)` — lag-1 Granger causality

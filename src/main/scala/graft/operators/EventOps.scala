@@ -542,6 +542,34 @@ object EventOps {
       .orderBy(idCol)
   }
 
+  /** Per-group rolling LOWER quantile over the trailing `span`-row
+    * window — the tail twin of [[rollingMedian]]: a rolling p95/p99
+    * is how latency/SLA series are actually monitored (the mean hides
+    * the tail, the median ignores it). Exact: element at
+    * ceil(p·frame-size) of the sorted frame (clamped to the frame),
+    * the engine's lower-order-statistic convention — integer
+    * indexing, so the DuckDB list oracle agrees bit-for-bit. Same
+    * scale stance as rollingMedian: bounded frame, one partitioned
+    * ROWS window, per-row state ≤ span doubles. */
+  def rollingQuantile(df: DataFrame, partCol: String, tsCol: String,
+      idCol: String, valueCol: String, p: Double,
+      span: Int = 20): DataFrame = {
+    require(span >= 1 && span <= 4096, s"span must be in [1, 4096]; got $span")
+    require(p > 0.0 && p <= 1.0, s"p must be in (0, 1]; got $p")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(partCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(span - 1), Window.currentRow)
+    val s = col("__s"); val n = size(s)
+    val idx = greatest(lit(1),
+      least(n, ceil(lit(p) * n).cast("int"))).cast("int")
+    df.select(col(idCol), col(partCol), col(tsCol), col(valueCol),
+        array_sort(collect_list(col(valueCol).cast("double")).over(w))
+          .as("__s"))
+      .select(col(idCol), col(partCol), col(tsCol), col(valueCol),
+        element_at(s, idx).as("rq"))
+      .orderBy(idCol)
+  }
+
   /** Per-group least-squares trend over the `bucketSeconds`-bucketed
     * mean series: slope (units per bucket) and intercept (level at
     * the group's FIRST bucket, x=0) of `m ~ a + b·x` where `x` is the
@@ -1190,6 +1218,25 @@ object EventOps {
       None,
       (s, d) => pacf(Tables.events(s, d), "event_type", "ts",
         "value", 8)),
+
+    // Rolling p90 of the per-user value stream — the tail-latency
+    // monitor the mean and median both miss.
+    Query(
+      "q_rolling_quantile",
+      Some("""WITH b AS (
+                SELECT event_id, user_id, ts, value,
+                       list_sort(list(value) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+                         AS s
+                FROM events)
+              SELECT event_id, user_id, ts, value,
+                     s[CAST(greatest(1, least(len(s),
+                       CAST(ceil(0.9 * len(s)) AS BIGINT))) AS INT)]
+                       AS rq
+              FROM b ORDER BY event_id"""),
+      (s, d) => rollingQuantile(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value", 0.9)),
 
     // Despike the per-user value stream: flag points 3 robust sigmas
     // off the rolling median and emit the repaired series.

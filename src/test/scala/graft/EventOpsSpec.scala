@@ -894,6 +894,37 @@ class EventOpsSpec extends SparkSpec {
     assert(oc.forall(_.getAs[Double]("cleaned") == 7.0))
   }
 
+  test("rollingQuantile equals the brute-force lower order statistic " +
+    "of each trailing window; p=1.0 is the rolling max") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 80).map(i => ("u",
+      new Timestamp(1700000000000L + i * 1000L), i.toLong,
+      math.round(rnd.nextDouble() * 1e3) / 1e3))
+    val df = rows.toDF("user_id", "ts", "event_id", "value")
+    val span = 10; val p = 0.9
+    val got = graft.operators.EventOps.rollingQuantile(df, "user_id",
+      "ts", "event_id", "value", p, span).collect()
+    rows.zipWithIndex.foreach { case ((_, _, id, _), i) =>
+      val win = rows.slice(math.max(0, i - span + 1), i + 1)
+        .map(_._4).sorted
+      val exp = win(math.max(1,
+        math.min(win.size, math.ceil(p * win.size).toInt)) - 1)
+      val g = got.find(_.getAs[Long]("event_id") == id).get
+        .getAs[Double]("rq")
+      assert(g === exp, s"row $id")
+    }
+    val mx = graft.operators.EventOps.rollingQuantile(df, "user_id",
+      "ts", "event_id", "value", 1.0, span).collect()
+    rows.zipWithIndex.foreach { case ((_, _, id, _), i) =>
+      val exp = rows.slice(math.max(0, i - span + 1), i + 1)
+        .map(_._4).max
+      assert(mx.find(_.getAs[Long]("event_id") == id).get
+        .getAs[Double]("rq") === exp)
+    }
+  }
+
   test("seasonalDecompose recovers a planted weekly pattern on a " +
     "linear-trend series: seasonal matches the plant, remainder ~0, " +
     "edges have NULL trend") {

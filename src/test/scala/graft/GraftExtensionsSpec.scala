@@ -805,6 +805,10 @@ class GraftExtensionsSpec extends SparkSpec {
       "'ts', 'event_id', 'value', 10, 2.5)",
       graft.operators.EventOps.hampel(ev, "user_id", "ts",
         "event_id", "value", 10, 2.5))
+    assertParity(s2, "SELECT * FROM rolling_quantile('ev_hs', " +
+      "'user_id', 'ts', 'event_id', 'value', 0.95, 10)",
+      graft.operators.EventOps.rollingQuantile(ev, "user_id", "ts",
+        "event_id", "value", 0.95, 10))
     assertParity(s2, "SELECT * FROM seasonal_decompose('ev_hs', " +
       "'ts', 'value', 7)",
       graft.operators.EventOps.seasonalDecompose(ev, "ts", "value", 7))
