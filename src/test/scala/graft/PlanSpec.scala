@@ -858,4 +858,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"corpus-wide merge join leaked:\n${p.take(2500)}")
   }
+
+  test("r15c one-aggregate closed forms (jarque_bera, iv_wald, rdd, " +
+    "chisq_test, granger, vif, woe_iv): no cartesian, partial " +
+    "aggregation, moment sums never shuffle rows") {
+    Seq("q_jarque_bera", "q_iv_wald", "q_rdd", "q_chisq_test",
+      "q_granger", "q_vif", "q_woe_iv").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(2000)}")
+      assert(p.contains("partial_"),
+        s"$name: no partial aggregation:\n${p.take(2000)}")
+    }
+    // rdd additionally pushes the bandwidth filter into the scan
+    val pr = plan(q("q_rdd"))
+    assert(pr.contains("PushedFilters: ["),
+      s"q_rdd: no pushed filters:\n${pr.take(2000)}")
+  }
+
+  test("r15c windowed ops (hampel, rolling_quantile, " +
+    "seasonal_decompose): every window carries a partition key and " +
+    "nothing shuffles the corpus twice") {
+    Seq("q_hampel", "q_rolling_quantile").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(2000)}")
+      // the frame window is partitioned by user_id, never global
+      assert("Window \\[[^\\n]*\\], \\[user_id#\\d+L?\\]".r
+        .findFirstIn(p).isDefined,
+        s"$name: window lost its partition key:\n${p.take(2500)}")
+    }
+    val ps = plan(q("q_seasonal_decompose"))
+    assert(!ps.contains("CartesianProduct"), ps.take(2000))
+    // the daily collapse happens BEFORE any window: the scan feeds a
+    // partial aggregate, and windows run on the bounded daily series
+    assert(ps.contains("partial_"), ps.take(2500))
+  }
+
+  test("q_levene and q_tukey_hsd: grouped spine / k-row self-join " +
+    "shapes — no cartesian pair space, group tables broadcast") {
+    Seq("q_levene", "q_tukey_hsd").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(2000)}")
+    }
+    val pt = plan(q("q_tukey_hsd"))
+    assert(pt.contains("BroadcastHashJoin") ||
+      pt.contains("BroadcastNestedLoopJoin"),
+      s"q_tukey_hsd: pair join must broadcast the k-row side:\n" +
+        pt.take(2500))
+  }
 }
