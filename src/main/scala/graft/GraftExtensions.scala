@@ -618,7 +618,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "granger" -> GraftExtensions.grangerPlan _,
       "pacf" -> GraftExtensions.pacfPlan _,
       "mmr" -> GraftExtensions.mmrPlan _,
-      "rolling_quantile" -> GraftExtensions.rollingQuantilePlan _)
+      "rolling_quantile" -> GraftExtensions.rollingQuantilePlan _,
+      "logrank" -> GraftExtensions.logRankPlan _,
+      "dickey_fuller" -> GraftExtensions.dickeyFullerPlan _,
+      "mcnemar" -> GraftExtensions.mcnemarPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2731,6 +2734,53 @@ object GraftExtensions {
     val df = namedTable("mmr", litStr("mmr", "table", exprs(0)),
       Seq(q, c, r, e))
     graft.operators.SimilarityOps.mmrRerank(df, q, c, r, e, k, lam)
+      .queryExecution.analyzed
+  }
+
+  /** `logrank(table, t_col, event_col, group_col, a, b)` — two-group
+    * log-rank survival test ([[graft.operators.FitOps.logRank]]).
+    * Returns `(n_a, n_b, n_times, o1, e1, chi2, p_value)`. */
+  private[graft] def logRankPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("logrank(table, t_col, event_col, group_col, a, b)",
+      exprs, 6, 6)
+    val t = litStr("logrank", "t_col", exprs(1))
+    val e = litStr("logrank", "event_col", exprs(2))
+    val g = litStr("logrank", "group_col", exprs(3))
+    val df = namedTable("logrank",
+      litStr("logrank", "table", exprs(0)), Seq(t, e, g))
+    graft.operators.FitOps.logRank(df, t, e, g,
+      litStr("logrank", "a", exprs(4)),
+      litStr("logrank", "b", exprs(5)))
+      .queryExecution.analyzed
+  }
+
+  /** `dickey_fuller(table, t_col, y_col)` — unit-root check on a
+    * one-row-per-step series
+    * ([[graft.operators.FitOps.dickeyFuller]]). Returns
+    * `(n, beta, alpha, df_stat)`. */
+  private[graft] def dickeyFullerPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("dickey_fuller(table, t_col, y_col)", exprs, 3, 3)
+    val t = litStr("dickey_fuller", "t_col", exprs(1))
+    val y = litStr("dickey_fuller", "y_col", exprs(2))
+    val df = namedTable("dickey_fuller",
+      litStr("dickey_fuller", "table", exprs(0)), Seq(t, y))
+    graft.operators.FitOps.dickeyFuller(df, t, y)
+      .queryExecution.analyzed
+  }
+
+  /** `mcnemar(table, a_col, b_col)` — paired-binary McNemar test
+    * ([[graft.operators.StatsOps.mcnemar]]). Returns
+    * `(n, n10, n01, chi2, chi2_cc, p_value)`. */
+  private[graft] def mcnemarPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("mcnemar(table, a_col, b_col)", exprs, 3, 3)
+    val a = litStr("mcnemar", "a_col", exprs(1))
+    val b = litStr("mcnemar", "b_col", exprs(2))
+    val df = namedTable("mcnemar",
+      litStr("mcnemar", "table", exprs(0)), Seq(a, b))
+    graft.operators.StatsOps.mcnemar(df, a, b)
       .queryExecution.analyzed
   }
 

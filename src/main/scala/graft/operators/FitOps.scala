@@ -1104,6 +1104,106 @@ object FitOps {
     Window.partitionBy(BoundedWindow.key(col("t"))).orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+  /** Two-group log-rank test over a per-subject survival table
+    * (t, event, group) — does group A actually survive differently
+    * from group B, the significance readout the [[kaplanMeier]] curves
+    * alone can't give. At each event time the observed group-A events
+    * compare against the hypergeometric expectation d·n₁/n with
+    * variance d·(n₁/n)(1−n₁/n)(n−d)/(n−1); χ² = (O−E)²/V is dof-1, so
+    * the p-value uses the EXACT χ²₁ ≡ z² identity through the shared
+    * A&S polynomial (the chisqTest stance). Censored subjects leave
+    * the risk set at their time without contributing events — the
+    * [[kaplanMeier]] convention, shared spine shape.
+    *
+    * Scale: one per-time hash aggregate, two bounded cumulative
+    * windows over the ≤day-span distinct-time table, a 1-row fold. */
+  def logRank(df: DataFrame, tCol: String, eventCol: String,
+      groupCol: String, aVal: String, bVal: String): DataFrame = {
+    val dec12 = DecimalType(38, 12)
+    val s = df.filter(col(groupCol).isin(aVal, bVal))
+      .select(col(tCol).cast("bigint").as("t"),
+        when(col(eventCol).cast("boolean"), 1L).otherwise(0L).as("e"),
+        (col(groupCol) === aVal).as("isa"))
+    val byT = s.groupBy("t").agg(
+      sum(when(col("isa"), col("e")).otherwise(0L)).as("d1"),
+      sum(when(!col("isa"), col("e")).otherwise(0L)).as("d2"),
+      sum(when(col("isa"), 1L).otherwise(0L)).as("a1"),
+      sum(when(!col("isa"), 1L).otherwise(0L)).as("a2"))
+    val tot = s.agg(
+      sum(when(col("isa"), 1L).otherwise(0L)).as("na"),
+      sum(when(!col("isa"), 1L).otherwise(0L)).as("nb"))
+    val wPrev = Window.partitionBy(BoundedWindow.key(col("t")))
+      .orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byT.crossJoin(broadcast(tot))
+      .withColumn("n1",
+        col("na") - coalesce(sum("a1").over(wPrev), lit(0L)))
+      .withColumn("n2",
+        col("nb") - coalesce(sum("a2").over(wPrev), lit(0L)))
+    val n1 = col("n1").cast("double"); val n2 = col("n2").cast("double")
+    val nt = n1 + n2
+    val dt = (col("d1") + col("d2")).cast("double")
+    val e1 = dt * n1 / nt
+    val v1 = when(nt > 1,
+      dt * (n1 / nt) * (lit(1.0) - n1 / nt) * (nt - dt) / (nt - 1))
+      .otherwise(lit(0.0))
+    val folded = risk.filter(col("d1") + col("d2") > 0)
+      .agg(count(lit(1)).as("n_times"),
+        sum("d1").as("o1"),
+        sum(e1.cast(dec12)).cast("double").as("e1s"),
+        sum(v1.cast(dec12)).cast("double").as("vs"),
+        min("na").as("n_a"), min("nb").as("n_b"))
+    val chi2 = (col("o1").cast("double") - col("e1s")) *
+      (col("o1").cast("double") - col("e1s")) / col("vs")
+    val ok = col("vs") > 0
+    folded.select(col("n_a"), col("n_b"), col("n_times"),
+      col("o1").cast("bigint").as("o1"),
+      r6(col("e1s")).as("e1"),
+      when(ok, r6(chi2)).as("chi2"),
+      when(ok, r6(HypothesisOps.twoSidedNormalP(sqrt(chi2))))
+        .as("p_value"))
+  }
+
+  /** Dickey–Fuller stationarity check (no-trend, with-intercept
+    * form): fit Δy_t = α + β·y_{t−1} on a one-row-per-step series and
+    * report the DF statistic β̂/se(β̂) — strongly negative means mean-
+    * reverting (stationary), near 0 means a unit root, the "should I
+    * difference this series before fitting" gate in front of
+    * [[grangerLag1]]/[[xcorr]] (both assume stationarity). No p-value
+    * column: the DF null distribution is nonstandard (Dickey–Fuller
+    * tables, not t) — the statistic against published critical values
+    * (−2.86 at 5%, −3.43 at 1%, no-trend form) is the decision pair.
+    * Same bounded-series lag window + ONE moment aggregate as
+    * grangerLag1. */
+  def dickeyFuller(df: DataFrame, tCol: String, yCol: String)
+      : DataFrame = {
+    val w = Window.partitionBy(BoundedWindow.key(col(tCol)))
+      .orderBy(tCol)
+    val lagged = df.select(col(tCol), col(yCol).cast("double").as("__y"))
+      .withColumn("__ylag", lag("__y", 1).over(w))
+      .filter(col("__ylag").isNotNull)
+      .select((col("__y") - col("__ylag")).as("dy"), col("__ylag"))
+    val g = lagged.agg(
+      count(lit(1)).as("n"),
+      sum(col("__ylag").cast(dec)).cast("double").as("sx"),
+      sum(col("dy").cast(dec)).cast("double").as("sy"),
+      sum((col("__ylag") * col("dy")).cast(dec)).cast("double")
+        .as("sxy"),
+      sum((col("__ylag") * col("__ylag")).cast(dec)).cast("double")
+        .as("sxx"),
+      sum((col("dy") * col("dy")).cast(dec)).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val beta = (n * col("sxy") - col("sx") * col("sy")) / vx
+    val alpha = (col("sy") - beta * col("sx")) / n
+    val sse = col("syy") - (alpha * col("sy") + beta * col("sxy"))
+    val seBeta = sqrt(sse / (n - 2) / (vx / n))
+    val ok = vx =!= 0.0 && col("n") > 2
+    g.select(col("n").cast("bigint").as("n"),
+      when(ok, r6(beta)).as("beta"),
+      when(ok, r6(alpha)).as("alpha"),
+      when(ok, when(seBeta > 0, r6(beta / seBeta))).as("df_stat"))
+  }
+
   /** Inter-arrival time profile: per event type, the distribution of
     * seconds since the SAME USER's previous event (any type) — the
     * cadence numbers capacity planning and session-timeout tuning read.
@@ -1436,6 +1536,145 @@ object FitOps {
             (col("__sy").cast("double") / col("__ny").cast("double"))
               .as("vy"))
         grangerLag1(daily, "d", "vx", "vy")
+      }),
+
+    // Do even- and odd-keyed users churn at different rates — the
+    // log-rank significance the two KM curves alone can't give.
+    Query(
+      "q_logrank",
+      Some(s"""WITH subj AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS d0,
+                       max(CAST(ts AS DATE)) AS d1
+                FROM events GROUP BY 1),
+              mx AS (SELECT max(CAST(ts AS DATE)) AS dmax FROM events),
+              s AS (SELECT CAST(date_diff('day', d0, d1) AS BIGINT)
+                        AS t,
+                      CASE WHEN date_diff('day', d1, dmax) >= 3
+                        THEN 1 ELSE 0 END AS e,
+                      (user_id % 2 = 0) AS isa
+                    FROM subj CROSS JOIN mx),
+              byt AS (SELECT t,
+                        sum(CASE WHEN isa THEN e ELSE 0 END) AS d1,
+                        sum(CASE WHEN isa THEN 0 ELSE e END) AS d2,
+                        sum(CASE WHEN isa THEN 1 ELSE 0 END) AS a1,
+                        sum(CASE WHEN isa THEN 0 ELSE 1 END) AS a2
+                      FROM s GROUP BY 1),
+              tot AS (SELECT
+                        sum(CASE WHEN isa THEN 1 ELSE 0 END) AS na,
+                        sum(CASE WHEN isa THEN 0 ELSE 1 END) AS nb
+                      FROM s),
+              risk AS (SELECT t, d1, d2, na, nb,
+                         na - coalesce(sum(a1) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS n1,
+                         nb - coalesce(sum(a2) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS n2
+                       FROM byt CROSS JOIN tot),
+              terms AS (SELECT d1, na, nb,
+                          CAST(d1 + d2 AS DOUBLE) AS dt,
+                          CAST(n1 AS DOUBLE) AS n1d,
+                          CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                            AS ntd
+                        FROM risk WHERE d1 + d2 > 0),
+              f AS (SELECT count(*) AS n_times, sum(d1) AS o1,
+                      CAST(sum(CAST(dt * n1d / ntd
+                        AS DECIMAL(38,12))) AS DOUBLE) AS e1s,
+                      CAST(sum(CAST(CASE WHEN ntd > 1 THEN
+                          dt * (n1d / ntd) * (1.0 - n1d / ntd)
+                            * (ntd - dt) / (ntd - 1)
+                          ELSE 0.0 END AS DECIMAL(38,12)))
+                        AS DOUBLE) AS vs,
+                      min(na) AS n_a, min(nb) AS n_b
+                    FROM terms),
+              c AS (SELECT n_a, n_b, n_times, o1, e1s, vs,
+                      (CAST(o1 AS DOUBLE) - e1s)
+                        * (CAST(o1 AS DOUBLE) - e1s) / vs AS chi2
+                    FROM f)
+              SELECT CAST(n_a AS BIGINT) AS n_a,
+                     CAST(n_b AS BIGINT) AS n_b,
+                     CAST(n_times AS BIGINT) AS n_times,
+                     CAST(o1 AS BIGINT) AS o1,
+                     round(e1s * 1000000.0)/1000000.0 AS e1,
+                     round(CASE WHEN vs > 0 THEN chi2 END
+                       * 1000000.0)/1000000.0 AS chi2,
+                     round(CASE WHEN vs > 0 THEN
+                         ${graft.operators.HypothesisOps
+                           .sqlTwoSidedNormalP("sqrt(chi2)")} END
+                       * 1000000.0)/1000000.0 AS p_value
+              FROM c"""),
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val subj = ev.groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("d0"),
+            max(to_date(col("ts"))).as("d1"))
+        val mx = ev.agg(max(to_date(col("ts"))).as("dmax"))
+        val st = subj.crossJoin(broadcast(mx)).select(
+          datediff(col("d1"), col("d0")).cast("bigint").as("t"),
+          (datediff(col("dmax"), col("d1")) >= 3).as("e"),
+          when(col("user_id") % 2 === 0, "even").otherwise("odd")
+            .as("g"))
+        logRank(st, "t", "e", "g", "even", "odd")
+      }),
+
+    // Is the daily value level mean-reverting or a random walk — the
+    // difference-the-series-first gate in front of granger/xcorr.
+    Query(
+      "q_dickey_fuller",
+      Some("""WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                       count(*) AS n,
+                       sum(CAST(value AS DECIMAL(38,6))) AS sv
+                FROM events GROUP BY 1),
+              ser AS (SELECT d,
+                        CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS v
+                      FROM daily),
+              lagd AS (SELECT v,
+                         lag(v, 1) OVER (ORDER BY d) AS vlag
+                       FROM ser),
+              flt AS (SELECT v - vlag AS dy, vlag FROM lagd
+                      WHERE vlag IS NOT NULL),
+              g AS (SELECT count(*) AS nn,
+                      CAST(count(*) AS DOUBLE) AS n,
+                      CAST(sum(CAST(vlag AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sx,
+                      CAST(sum(CAST(dy AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sy,
+                      CAST(sum(CAST(vlag * dy AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sxy,
+                      CAST(sum(CAST(vlag * vlag AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sxx,
+                      CAST(sum(CAST(dy * dy AS DECIMAL(38,6)))
+                        AS DOUBLE) AS syy
+                    FROM flt),
+              c AS (SELECT nn, n, sy, sxy,
+                      n * sxx - sx * sx AS vx,
+                      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                        AS beta,
+                      (sy - ((n * sxy - sx * sy)
+                        / (n * sxx - sx * sx)) * sx) / n AS alpha,
+                      syy AS syy
+                    FROM g WHERE n * sxx - sx * sx <> 0 AND nn > 2),
+              e AS (SELECT nn, beta, alpha,
+                      syy - (alpha * sy + beta * sxy) AS sse, vx, n
+                    FROM c)
+              SELECT CAST(nn AS BIGINT) AS n,
+                     round(beta * 1000000.0)/1000000.0 AS beta,
+                     round(alpha * 1000000.0)/1000000.0 AS alpha,
+                     round(CASE WHEN sqrt(sse / (n - 2) / (vx / n))
+                         > 0 THEN
+                         beta / sqrt(sse / (n - 2) / (vx / n)) END
+                       * 1000000.0)/1000000.0 AS df_stat
+              FROM e"""),
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("__n"),
+            sum(col("value").cast(dec)).as("__sv"))
+          .select(col("d"),
+            (col("__sv").cast("double") / col("__n").cast("double"))
+              .as("v"))
+        dickeyFuller(daily, "d", "v")
       }),
 
     // Causal slope of price on quantity identified through an

@@ -764,6 +764,36 @@ object StatsOps {
         when(kD > 0, r6(p)).as("p_value"))
   }
 
+  /** McNemar's test for PAIRED binary judgments — "is screen B
+    * actually better than screen A on the SAME rows", the question
+    * [[cohenKappa]]'s agreement and two independent accuracy numbers
+    * both dodge: only the discordant cells carry information,
+    * χ² = (n₁₀ − n₀₁)²/(n₁₀ + n₀₁) with dof 1 (p via the exact
+    * χ²₁ ≡ z² identity), plus the Edwards continuity-corrected
+    * variant ((|n₁₀ − n₀₁| − 1)²/(n₁₀ + n₀₁), floored at 0) for
+    * small discordant counts. The model-eval primitive for comparing
+    * two classifiers on one eval set.
+    *
+    * Scale: ONE map-side-combined aggregate of four exact integer
+    * counts; every readout is a closed-form fold. */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean"); val b = col(bCol).cast("boolean")
+    val one = df.agg(count(lit(1)).as("n"),
+      sum((a && !b).cast("long")).as("n10"),
+      sum((!a && b).cast("long")).as("n01"))
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val disc = (col("n10") + col("n01")).cast("double")
+    val diff = (col("n10") - col("n01")).cast("double")
+    val chi2 = diff * diff / disc
+    val cc = greatest(lit(0.0), abs(diff) - 1)
+    val ok = disc > 0
+    one.select(col("n"), col("n10"), col("n01"),
+      when(ok, r6(chi2)).as("chi2"),
+      when(ok, r6(cc * cc / disc)).as("chi2_cc"),
+      when(ok, r6(HypothesisOps.twoSidedNormalP(sqrt(chi2))))
+        .as("p_value"))
+  }
+
   /** Cohen's κ between two boolean judgments over the same rows: the
     * chance-corrected agreement `κ = (p_o − p_e)/(1 − p_e)` with the
     * full 2×2 confusion — the label-quality primitive for
@@ -2092,6 +2122,47 @@ object StatsOps {
       (s, d) => {
         val t = TextOps.tokens(col("text"))
         cohenKappa(
+          Tables.documents(s, d).select(
+            (size(t) >= 30).as("len_ok"),
+            (size(array_distinct(t)).cast("double") / size(t) >= 0.5)
+              .as("div_ok")),
+          "len_ok", "div_ok")
+      }),
+
+    // Is the diversity screen actually stricter than the length
+    // screen on the SAME documents — McNemar on the discordant cells.
+    Query(
+      "q_mcnemar",
+      Some(s"""WITH s AS (
+                SELECT (len(string_split(text, ' ')) >= 30) AS a,
+                       (CAST(len(list_distinct(string_split(text, ' ')))
+                          AS DOUBLE)
+                        / len(string_split(text, ' ')) >= 0.5) AS b
+                FROM documents),
+              agg AS (
+                SELECT count(*) AS n,
+                       CAST(sum((a AND NOT b)::INT) AS BIGINT) AS n10,
+                       CAST(sum((NOT a AND b)::INT) AS BIGINT) AS n01
+                FROM s),
+              c AS (SELECT n, n10, n01,
+                      CAST(n10 + n01 AS DOUBLE) AS disc,
+                      CAST(n10 - n01 AS DOUBLE) AS diff
+                    FROM agg),
+              e AS (SELECT n, n10, n01, disc,
+                      diff * diff / disc AS chi2,
+                      greatest(0.0, abs(diff) - 1) AS cc
+                    FROM c WHERE disc > 0)
+              SELECT n, n10, n01,
+                     round(chi2 * 1000000.0)/1000000.0 AS chi2,
+                     round(cc * cc / disc * 1000000.0)/1000000.0
+                       AS chi2_cc,
+                     round(${graft.operators.HypothesisOps
+                       .sqlTwoSidedNormalP("sqrt(chi2)")}
+                       * 1000000.0)/1000000.0 AS p_value
+              FROM e"""),
+      (s, d) => {
+        val t = TextOps.tokens(col("text"))
+        mcnemar(
           Tables.documents(s, d).select(
             (size(t) >= 30).as("len_ok"),
             (size(array_distinct(t)).cast("double") / size(t) >= 0.5)

@@ -478,6 +478,66 @@ class FitOpsSpec extends SparkSpec {
     assert(at.getAs[Long]("n_ctrl") === 0L)
   }
 
+  test("logRank: identical survival gives chi2 near 0; a planted " +
+    "hazard gap is flagged; hand-computed O/E on a tiny table") {
+    import spark.implicits._
+    // tiny hand table: group x dies at t=1,2; group y dies at t=3,4
+    // (complete separation). Events only, no censoring.
+    val tiny = Seq((1L, true, "x"), (2L, true, "x"),
+      (3L, true, "y"), (4L, true, "y")).toDF("t", "e", "g")
+    val r = FitOps.logRank(tiny, "t", "e", "g", "x", "y").collect()(0)
+    // hand E1: t=1: d=1, n1=2, n=4 -> 0.5; t=2: d=1, n1=1, n=3 ->
+    // 1/3; t=3: n1=0 -> 0; t=4: 0. E = 0.8333, O = 2
+    assert(r.getAs[Long]("o1") === 2L)
+    assert(math.abs(r.getAs[Double]("e1") - (0.5 + 1.0 / 3)) < 1e-6)
+    assert(r.getAs[Long]("n_times") === 4L)
+    // same distribution both groups: chi2 small
+    val rnd = new scala.util.Random(19)
+    val same = (1 to 2000).map { i =>
+      val t = 1 + rnd.nextInt(30)
+      (t.toLong, rnd.nextDouble() > 0.2, if (i % 2 == 0) "x" else "y")
+    }.toDF("t", "e", "g")
+    val rs = FitOps.logRank(same, "t", "e", "g", "x", "y").collect()(0)
+    assert(rs.getAs[Double]("chi2") < 4.0, rs.toString)
+    assert(rs.getAs[Double]("p_value") > 0.04)
+    // planted gap: y survives ~2x longer
+    val gap = (1 to 2000).map { i =>
+      val base = 1 + rnd.nextInt(15)
+      if (i % 2 == 0) (base.toLong, true, "x")
+      else ((base * 2).toLong, true, "y")
+    }.toDF("t", "e", "g")
+    val rg = FitOps.logRank(gap, "t", "e", "g", "x", "y").collect()(0)
+    assert(rg.getAs[Double]("chi2") > 30.0, rg.toString)
+    assert(rg.getAs[Double]("p_value") < 1e-6)
+  }
+
+  test("dickeyFuller: strongly negative on a mean-reverting series, " +
+    "near zero on a random walk; beta recovers phi-1") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val ar = Seq.iterate(0.0, 800)(x => 0.5 * x + rnd.nextGaussian())
+    val arDf = ar.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("t", "y")
+    val r1 = FitOps.dickeyFuller(arDf, "t", "y").collect()(0)
+    // Delta-y on AR(1) phi=0.5: beta ~ phi - 1 = -0.5
+    assert(math.abs(r1.getAs[Double]("beta") - (-0.5)) < 0.1)
+    assert(r1.getAs[Double]("df_stat") < -3.43, "stationary series " +
+      s"must reject the unit root: ${r1.getAs[Double]("df_stat")}")
+    val walk = Seq.iterate(0.0, 800)(x => x + rnd.nextGaussian())
+    val wDf = walk.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("t", "y")
+    val r2 = FitOps.dickeyFuller(wDf, "t", "y").collect()(0)
+    // a unit-root draw CAN cross the 5% line by construction (this
+    // seed lands at -2.88); the 1% value separates it cleanly from
+    // the stationary series' -15-ish
+    assert(r2.getAs[Double]("df_stat") > -3.43,
+      s"random walk must not reject at 1%: " +
+        s"${r2.getAs[Double]("df_stat")}")
+    assert(r2.getAs[Double]("df_stat") >
+      r1.getAs[Double]("df_stat") + 5.0,
+      "walk and mean-reverting series must separate decisively")
+  }
+
   test("grangerLag1: x leading y by one step is flagged (large F), " +
     "the reverse direction is not; beta_xlag recovers the planted " +
     "coefficient; degenerate constant series yields NULLs") {

@@ -1305,6 +1305,11 @@ class GraftExtensionsSpec extends SparkSpec {
     assertParity(s2, "SELECT * FROM chisq_test('ht_lineitem', " +
       "'l_returnflag', 'l_linestatus')",
       StatsOps.chisqTest(li, "l_returnflag", "l_linestatus"))
+    val mcOrd = ord.select((col("o_orderstatus") === "F").as("a"),
+      (col("o_orderpriority") === "1-URGENT").as("b"))
+    mcOrd.createOrReplaceTempView("ht_mc")
+    assertParity(s2, "SELECT * FROM mcnemar('ht_mc', 'a', 'b')",
+      StatsOps.mcnemar(mcOrd, "a", "b"))
     assertParity(s2, "SELECT * FROM anova('ht_orders', " +
       "'o_totalprice', 'o_orderstatus')",
       HypothesisOps.anovaF(ord, "o_totalprice", "o_orderstatus"))
@@ -1419,6 +1424,24 @@ class GraftExtensionsSpec extends SparkSpec {
       "'ts', 'value', 4, 86400)",
       graft.operators.EventOps.pacf(ev, "event_type", "ts", "value",
         4, 86400L))
+    assertParity(s2, "SELECT * FROM dickey_fuller('fc_ser', 'd', " +
+      "'vx')", FitOps.dickeyFuller(serG, "d", "vx"))
+    val lrT = {
+      import org.apache.spark.sql.functions.{col, to_date, when => w2}
+      val subj = ev.groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.min(to_date(col("ts")))
+            .as("d0"),
+          org.apache.spark.sql.functions.max(to_date(col("ts")))
+            .as("d1"))
+      subj.select(
+        org.apache.spark.sql.functions.datediff(col("d1"), col("d0"))
+          .cast("bigint").as("t"),
+        (col("user_id") % 3 === 0).as("e"),
+        w2(col("user_id") % 2 === 0, "x").otherwise("y").as("g"))
+    }
+    lrT.createOrReplaceTempView("fc_lr")
+    assertParity(s2, "SELECT * FROM logrank('fc_lr', 't', 'e', " +
+      "'g', 'x', 'y')", FitOps.logRank(lrT, "t", "e", "g", "x", "y"))
     assertParity(s2, "SELECT * FROM mann_kendall('fc_orders', " +
       "'o_orderdate', 'o_totalprice')",
       FitOps.mannKendall(ord, "o_orderdate", "o_totalprice"))

@@ -944,6 +944,31 @@ class HypothesisOpsSpec extends SparkSpec {
     assert(ac.getAs[Double]("q_stat") === r6(9.0 / se))
   }
 
+  // -- mcnemar -------------------------------------------------------
+
+  test("mcnemar: closed form on planted discordant counts; symmetric " +
+    "discordance gives chi2 0 / p 1; no discordance gives NULLs") {
+    // 30 a-only, 10 b-only, 50 agree-true, 10 agree-false
+    val rows = Seq.fill(30)((true, false)) ++ Seq.fill(10)((false, true)) ++
+      Seq.fill(50)((true, true)) ++ Seq.fill(10)((false, false))
+    val r = StatsOps.mcnemar(rows.toDF("a", "b"), "a", "b").collect()(0)
+    assert(r.getAs[Long]("n10") === 30L)
+    assert(r.getAs[Long]("n01") === 10L)
+    assert(r.getAs[Double]("chi2") === r6(400.0 / 40))
+    assert(r.getAs[Double]("chi2_cc") === r6(19.0 * 19 / 40))
+    assert(r.getAs[Double]("p_value") < 0.002)
+    // symmetric discordance: no evidence either way
+    val sym = (Seq.fill(20)((true, false)) ++ Seq.fill(20)((false, true)))
+      .toDF("a", "b")
+    val rsym = StatsOps.mcnemar(sym, "a", "b").collect()(0)
+    assert(rsym.getAs[Double]("chi2") === 0.0)
+    assert(rsym.getAs[Double]("p_value") === 1.0)
+    // perfect agreement: undefined -> NULL not a throw
+    val agree = Seq.fill(30)((true, true)).toDF("a", "b")
+    val ra = StatsOps.mcnemar(agree, "a", "b").collect()(0)
+    assert(ra.isNullAt(ra.fieldIndex("chi2")))
+  }
+
   // -- chisqTest -----------------------------------------------------
 
   test("chisqTest: independent margins give chi2 near 0 / p near 1; " +
