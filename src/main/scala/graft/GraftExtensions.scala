@@ -621,7 +621,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "rolling_quantile" -> GraftExtensions.rollingQuantilePlan _,
       "logrank" -> GraftExtensions.logRankPlan _,
       "dickey_fuller" -> GraftExtensions.dickeyFullerPlan _,
-      "mcnemar" -> GraftExtensions.mcnemarPlan _)
+      "mcnemar" -> GraftExtensions.mcnemarPlan _,
+      "odds_ratio" -> GraftExtensions.oddsRatioPlan _,
+      "msprt" -> GraftExtensions.msprtPlan _,
+      "dist_fit" -> GraftExtensions.distFitPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2734,6 +2737,56 @@ object GraftExtensions {
     val df = namedTable("mmr", litStr("mmr", "table", exprs(0)),
       Seq(q, c, r, e))
     graft.operators.SimilarityOps.mmrRerank(df, q, c, r, e, k, lam)
+      .queryExecution.analyzed
+  }
+
+  /** `odds_ratio(table, exposure_col, outcome_col)` — 2×2 OR/RR with
+    * Wald CIs ([[graft.operators.StatsOps.oddsRatio]]). Returns
+    * `(a, b, c, d, odds_ratio, or_lo, or_hi, risk_ratio, rr_lo,
+    * rr_hi, p_value)`. */
+  private[graft] def oddsRatioPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("odds_ratio(table, exposure_col, outcome_col)", exprs, 3, 3)
+    val e = litStr("odds_ratio", "exposure_col", exprs(1))
+    val o = litStr("odds_ratio", "outcome_col", exprs(2))
+    val df = namedTable("odds_ratio",
+      litStr("odds_ratio", "table", exprs(0)), Seq(e, o))
+    graft.operators.StatsOps.oddsRatio(df, e, o)
+      .queryExecution.analyzed
+  }
+
+  /** `msprt(table, ts_col, arm_col, value_col, a, b [, tau])` —
+    * always-valid sequential p over daily looks
+    * ([[graft.operators.StatsOps.msprt]]). Returns one row per look
+    * `(look, n_a, n_b, mean_diff, lambda, p_always_valid)`. */
+  private[graft] def msprtPlan(exprs: Seq[Expression]): LogicalPlan = {
+    arity("msprt(table, ts_col, arm_col, value_col, a, b [, tau])",
+      exprs, 6, 7)
+    val t = litStr("msprt", "ts_col", exprs(1))
+    val a = litStr("msprt", "arm_col", exprs(2))
+    val v = litStr("msprt", "value_col", exprs(3))
+    val tau = if (exprs.length > 6)
+      litDouble("msprt", "tau", exprs(6)) else 0.0
+    val df = namedTable("msprt",
+      litStr("msprt", "table", exprs(0)), Seq(t, a, v))
+    graft.operators.StatsOps.msprt(df, t, a, v,
+      litStr("msprt", "a", exprs(4)), litStr("msprt", "b", exprs(5)),
+      tau).queryExecution.analyzed
+  }
+
+  /** `dist_fit(table, value_col, group_col)` — lognormal + gamma
+    * method-of-moments fits per group
+    * ([[graft.operators.StatsOps.distFit]]). Returns `(group,
+    * n_total, n, mean, stddev, lnorm_mu, lnorm_sigma, gamma_k,
+    * gamma_theta)`. */
+  private[graft] def distFitPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("dist_fit(table, value_col, group_col)", exprs, 3, 3)
+    val v = litStr("dist_fit", "value_col", exprs(1))
+    val g = litStr("dist_fit", "group_col", exprs(2))
+    val df = namedTable("dist_fit",
+      litStr("dist_fit", "table", exprs(0)), Seq(v, g))
+    graft.operators.StatsOps.distFit(df, v, g)
       .queryExecution.analyzed
   }
 

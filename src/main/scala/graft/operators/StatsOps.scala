@@ -764,6 +764,158 @@ object StatsOps {
         when(kD > 0, r6(p)).as("p_value"))
   }
 
+  /** 2×2 odds ratio and risk ratio with Wald 95% CIs — the effect-size
+    * readout for binary exposure × binary outcome that [[chisqTest]]'s
+    * significance alone can't give (at corpus n everything is
+    * significant; OR/RR say how MUCH). log-OR se = √(1/a+1/b+1/c+1/d)
+    * (Woolf), log-RR se = √(1/a−1/(a+b)+1/c−1/(c+d)); p from the
+    * log-OR z through the shared A&S polynomial. Zero cells → NULL
+    * ratios (no 0.5 corrections smuggled in — a caller who wants
+    * Haldane–Anscombe can pre-aggregate).
+    *
+    * Scale: ONE map-side-combined aggregate of four exact counts. */
+  def oddsRatio(df: DataFrame, exposureCol: String, outcomeCol: String)
+      : DataFrame = {
+    val ex = col(exposureCol).cast("boolean")
+    val oc = col(outcomeCol).cast("boolean")
+    val one = df.agg(
+      sum((ex && oc).cast("long")).as("a"),
+      sum((ex && !oc).cast("long")).as("b"),
+      sum((!ex && oc).cast("long")).as("c"),
+      sum((!ex && !oc).cast("long")).as("d"))
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    def dd(n: String): Column = col(n).cast("double")
+    val ok = col("a") > 0 && col("b") > 0 && col("c") > 0 &&
+      col("d") > 0
+    val orr = dd("a") * dd("d") / (dd("b") * dd("c"))
+    val seLo = sqrt(lit(1.0) / dd("a") + lit(1.0) / dd("b") +
+      lit(1.0) / dd("c") + lit(1.0) / dd("d"))
+    val rr = (dd("a") / (dd("a") + dd("b"))) /
+      (dd("c") / (dd("c") + dd("d")))
+    val seLr = sqrt(lit(1.0) / dd("a") - lit(1.0) / (dd("a") + dd("b")) +
+      lit(1.0) / dd("c") - lit(1.0) / (dd("c") + dd("d")))
+    val z = log(orr) / seLo
+    one.select(col("a"), col("b"), col("c"), col("d"),
+      when(ok, r6(orr)).as("odds_ratio"),
+      when(ok, r6(exp(log(orr) - lit(1.96) * seLo))).as("or_lo"),
+      when(ok, r6(exp(log(orr) + lit(1.96) * seLo))).as("or_hi"),
+      when(ok, r6(rr)).as("risk_ratio"),
+      when(ok, r6(exp(log(rr) - lit(1.96) * seLr))).as("rr_lo"),
+      when(ok, r6(exp(log(rr) + lit(1.96) * seLr))).as("rr_hi"),
+      when(ok, r6(HypothesisOps.twoSidedNormalP(z))).as("p_value"))
+  }
+
+  /** Mixture sequential probability ratio test (mSPRT, Johari et al.)
+    * over daily looks at a two-arm mean difference — the ALWAYS-VALID
+    * p-value that stays honest under continuous monitoring, where the
+    * fixed-horizon z of [[abMetrics]] is guaranteed to cross 0.05
+    * eventually on a true null. Per look n (cumulative), with
+    * d̄ = x̄_A − x̄_B and its variance se², the normal-mixture
+    * likelihood ratio has the closed form
+    * Λ = √(se²/(se²+τ²))·exp(d̄²τ²/(2se²(se²+τ²))); the always-valid
+    * p is the running min of 1/Λ, capped at 1. τ (the mixture scale)
+    * defaults to the observed pooled sd over √1000 — the
+    * practical-effect-size prior; it is a declared parameter, not a
+    * fit.
+    *
+    * Scale: the corpus collapses to one row per (look day, arm) in a
+    * map-side aggregate; cumulative sums and the running min run on
+    * the date-bounded look table under [[BoundedWindow]]-declared
+    * windows. */
+  def msprt(df: DataFrame, tsCol: String, armCol: String,
+      valCol: String, aVal: String, bVal: String,
+      tau: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec6 = DecimalType(38, 6)
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val looks = df.filter(col(armCol).isin(aVal, bVal))
+      .groupBy(to_date(col(tsCol)).as("look"),
+        (col(armCol) === aVal).as("isa"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol).cast(dec6)).as("sx"),
+        sum((col(valCol) * col(valCol)).cast(dec6)).as("sxx"))
+    val wCum = Window.partitionBy(col("isa"))
+      .orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = looks.select(col("look"), col("isa"),
+      sum("n").over(wCum).as("cn"),
+      sum("sx").over(wCum).cast("double").as("csx"),
+      sum("sxx").over(wCum).cast("double").as("csxx"))
+    val byLook = cum.groupBy("look").agg(
+      max(when(col("isa"), col("cn"))).as("n_a"),
+      max(when(!col("isa"), col("cn"))).as("n_b"),
+      max(when(col("isa"), col("csx"))).as("sxa"),
+      max(when(!col("isa"), col("csx"))).as("sxb"),
+      max(when(col("isa"), col("csxx"))).as("sxxa"),
+      max(when(!col("isa"), col("csxx"))).as("sxxb"))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val ma = col("sxa") / na; val mb = col("sxb") / nb
+    val va = (col("sxxa") - col("sxa") * col("sxa") / na) / (na - 1)
+    val vb = (col("sxxb") - col("sxb") * col("sxb") / nb) / (nb - 1)
+    val se2 = va / na + vb / nb
+    // default tau: pooled sd / sqrt(1000) — stated, deterministic
+    val tauC = if (tau > 0) lit(tau * tau)
+      else (va * (na - 1) + vb * (nb - 1)) / (na + nb - 2) / 1000
+    val diff = ma - mb
+    val lam = sqrt(se2 / (se2 + tauC)) *
+      exp(diff * diff * tauC / (lit(2.0) * se2 * (se2 + tauC)))
+    val ok = col("n_a") > 1 && col("n_b") > 1 && se2 > 0
+    val withLam = byLook.select(col("look"), col("n_a"), col("n_b"),
+      when(ok, r6(diff)).as("mean_diff"),
+      when(ok, lam).as("__lam"))
+    val wRun = Window.partitionBy(BoundedWindow.key(col("look")))
+      .orderBy("look")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withLam
+      .withColumn("__maxlam", max("__lam").over(wRun))
+      .select(col("look"), col("n_a"), col("n_b"), col("mean_diff"),
+        r6(col("__lam")).as("lambda"),
+        r6(least(lit(1.0), lit(1.0) / col("__maxlam")))
+          .as("p_always_valid"))
+      .orderBy("look")
+  }
+
+  /** Method-of-moments distribution fits per group — the "what family
+    * does this column even follow" profile in front of any parametric
+    * assumption: lognormal (μ, σ of ln x — exact MLE for lognormal)
+    * and gamma (k = m²/v, θ = v/m) from ONE aggregate of four
+    * DECIMAL-exact power sums over the POSITIVE values (zero/negative
+    * rows are counted and excluded — stated, not silently dropped). */
+  def distFit(df: DataFrame, valCol: String, groupCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec6 = DecimalType(38, 6)
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val v = col(valCol).cast("double")
+    val pos = when(v > 0, v)
+    val lx = when(v > 0, log(v))
+    val g = df.groupBy(col(groupCol).cast("string").as("grp"))
+      .agg(count(lit(1)).as("n_total"),
+        count(pos).as("n"),
+        sum(pos.cast(dec6)).cast("double").as("sx"),
+        sum((pos * pos).cast(dec6)).cast("double").as("sxx"),
+        sum(lx.cast(dec6)).cast("double").as("sl"),
+        sum((lx * lx).cast(dec6)).cast("double").as("sll"))
+    val n = col("n").cast("double")
+    val m = col("sx") / n
+    val vv = (col("sxx") - col("sx") * col("sx") / n) / (n - 1)
+    val lmu = col("sl") / n
+    val lvar = (col("sll") - col("sl") * col("sl") / n) / (n - 1)
+    val ok = col("n") > 1
+    // stddev, not variance: at price scale the variance (~1e9)
+    // amplifies the engines' decimal→double ulp divergence past the
+    // 6-dp render — sqrt brings it back into range (the q_profile /
+    // anovaF stance)
+    g.select(col("grp").as(groupCol), col("n_total"), col("n"),
+        when(ok, r6(m)).as("mean"),
+        when(ok, when(vv > 0, r6(sqrt(vv)))).as("stddev"),
+        when(ok, r6(lmu)).as("lnorm_mu"),
+        when(ok, when(lvar > 0, r6(sqrt(lvar)))).as("lnorm_sigma"),
+        when(ok, when(vv > 0, r6(m * m / vv))).as("gamma_k"),
+        when(ok, when(vv > 0, r6(vv / m))).as("gamma_theta"))
+      .orderBy(groupCol)
+  }
+
   /** McNemar's test for PAIRED binary judgments — "is screen B
     * actually better than screen A on the SAME rows", the question
     * [[cohenKappa]]'s agreement and two independent accuracy numbers
@@ -2128,6 +2280,177 @@ object StatsOps {
               .as("div_ok")),
           "len_ok", "div_ok")
       }),
+
+    // How much more likely is an urgent order to be finished — the
+    // OR/RR effect sizes with Wald CIs that chi2's p alone can't give.
+    Query(
+      "q_odds_ratio",
+      Some(s"""WITH s AS (
+                SELECT (o_orderpriority = '1-URGENT') AS ex,
+                       (o_orderstatus = 'F') AS oc
+                FROM orders),
+              agg AS (
+                SELECT CAST(sum((ex AND oc)::INT) AS BIGINT) AS a,
+                       CAST(sum((ex AND NOT oc)::INT) AS BIGINT) AS b,
+                       CAST(sum((NOT ex AND oc)::INT) AS BIGINT) AS c,
+                       CAST(sum((NOT ex AND NOT oc)::INT) AS BIGINT)
+                         AS d
+                FROM s),
+              c0 AS (SELECT a, b, c, d,
+                       CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+                       CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd
+                     FROM agg),
+              e AS (SELECT *,
+                      ad * dd / (bd * cd) AS orr,
+                      sqrt(1.0 / ad + 1.0 / bd + 1.0 / cd + 1.0 / dd)
+                        AS selo,
+                      (ad / (ad + bd)) / (cd / (cd + dd)) AS rr,
+                      sqrt(1.0 / ad - 1.0 / (ad + bd) + 1.0 / cd
+                        - 1.0 / (cd + dd)) AS selr
+                    FROM c0
+                    WHERE a > 0 AND b > 0 AND c > 0 AND d > 0),
+              z AS (SELECT *, ln(orr) / selo AS z FROM e)
+              SELECT a, b, c, d,
+                     round(orr * 1000000.0)/1000000.0 AS odds_ratio,
+                     round(exp(ln(orr) - 1.96 * selo)
+                       * 1000000.0)/1000000.0 AS or_lo,
+                     round(exp(ln(orr) + 1.96 * selo)
+                       * 1000000.0)/1000000.0 AS or_hi,
+                     round(rr * 1000000.0)/1000000.0 AS risk_ratio,
+                     round(exp(ln(rr) - 1.96 * selr)
+                       * 1000000.0)/1000000.0 AS rr_lo,
+                     round(exp(ln(rr) + 1.96 * selr)
+                       * 1000000.0)/1000000.0 AS rr_hi,
+                     round(${graft.operators.HypothesisOps
+                       .sqlTwoSidedNormalP("z")}
+                       * 1000000.0)/1000000.0 AS p_value
+              FROM z"""),
+      (s, d) => oddsRatio(Tables.orders(s, d)
+          .select((col("o_orderpriority") === "1-URGENT").as("ex"),
+            (col("o_orderstatus") === "F").as("oc")),
+        "ex", "oc")),
+
+    // The always-valid p-value under daily peeking — mSPRT over the
+    // cumulative two-arm mean difference, one row per look.
+    Query(
+      "q_msprt",
+      Some("""WITH s AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS look,
+                       (user_id % 2 = 0) AS isa, value
+                FROM events),
+              looks AS (SELECT look, isa, count(*) AS n,
+                          sum(CAST(value AS DECIMAL(38,6))) AS sx,
+                          sum(CAST(value * value AS DECIMAL(38,6)))
+                            AS sxx
+                        FROM s GROUP BY 1, 2),
+              cum AS (SELECT look, isa,
+                        sum(n) OVER w AS cn,
+                        CAST(sum(sx) OVER w AS DOUBLE) AS csx,
+                        CAST(sum(sxx) OVER w AS DOUBLE) AS csxx
+                      FROM looks WINDOW w AS (PARTITION BY isa
+                        ORDER BY look ROWS UNBOUNDED PRECEDING)),
+              bl AS (SELECT look,
+                       max(CASE WHEN isa THEN cn END) AS n_a,
+                       max(CASE WHEN NOT isa THEN cn END) AS n_b,
+                       max(CASE WHEN isa THEN csx END) AS sxa,
+                       max(CASE WHEN NOT isa THEN csx END) AS sxb,
+                       max(CASE WHEN isa THEN csxx END) AS sxxa,
+                       max(CASE WHEN NOT isa THEN csxx END) AS sxxb
+                     FROM cum GROUP BY 1),
+              m AS (SELECT look, n_a, n_b,
+                      CAST(n_a AS DOUBLE) AS na,
+                      CAST(n_b AS DOUBLE) AS nb,
+                      sxa, sxb, sxxa, sxxb
+                    FROM bl),
+              v AS (SELECT look, n_a, n_b,
+                      sxa / na - sxb / nb AS diff,
+                      (sxxa - sxa * sxa / na) / (na - 1) AS va,
+                      (sxxb - sxb * sxb / nb) / (nb - 1) AS vb,
+                      na, nb
+                    FROM m),
+              w2 AS (SELECT look, n_a, n_b, diff,
+                       va / na + vb / nb AS se2,
+                       (va * (na - 1) + vb * (nb - 1))
+                         / (na + nb - 2) / 1000 AS tauc
+                     FROM v),
+              lam AS (SELECT look, n_a, n_b,
+                        CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                          THEN round(diff * 1000000.0)/1000000.0 END
+                          AS mean_diff,
+                        CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
+                          THEN sqrt(se2 / (se2 + tauc))
+                            * exp(diff * diff * tauc
+                              / (2.0 * se2 * (se2 + tauc))) END
+                          AS lam
+                      FROM w2),
+              rn AS (SELECT look, n_a, n_b, mean_diff, lam,
+                       max(lam) OVER (ORDER BY look
+                         ROWS UNBOUNDED PRECEDING) AS maxlam
+                     FROM lam)
+              SELECT look, n_a, n_b, mean_diff,
+                     round(lam * 1000000.0)/1000000.0 AS lambda,
+                     round(least(1.0, 1.0 / maxlam)
+                       * 1000000.0)/1000000.0 AS p_always_valid
+              FROM rn ORDER BY look"""),
+      (s, d) => msprt(Tables.events(s, d)
+          .select(col("ts"),
+            when(col("user_id") % 2 === 0, "A").otherwise("B")
+              .as("arm"),
+            col("value")),
+        "ts", "arm", "value", "A", "B")),
+
+    // What family does price even follow per flag — lognormal and
+    // gamma method-of-moments fits from one aggregate.
+    Query(
+      "q_dist_fit",
+      Some("""WITH g AS (
+                SELECT l_returnflag AS grp, count(*) AS n_total,
+                       count(CASE WHEN CAST(l_extendedprice AS DOUBLE)
+                         > 0 THEN 1 END) AS n,
+                       CAST(sum(CAST(CASE WHEN
+                           CAST(l_extendedprice AS DOUBLE) > 0 THEN
+                           CAST(l_extendedprice AS DOUBLE) END
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+                       CAST(sum(CAST(CASE WHEN
+                           CAST(l_extendedprice AS DOUBLE) > 0 THEN
+                           CAST(l_extendedprice AS DOUBLE)
+                             * CAST(l_extendedprice AS DOUBLE) END
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+                       CAST(sum(CAST(CASE WHEN
+                           CAST(l_extendedprice AS DOUBLE) > 0 THEN
+                           ln(CAST(l_extendedprice AS DOUBLE)) END
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sl,
+                       CAST(sum(CAST(CASE WHEN
+                           CAST(l_extendedprice AS DOUBLE) > 0 THEN
+                           ln(CAST(l_extendedprice AS DOUBLE))
+                             * ln(CAST(l_extendedprice AS DOUBLE)) END
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sll
+                FROM lineitem GROUP BY 1),
+              c AS (SELECT grp, n_total, n,
+                      CAST(n AS DOUBLE) AS nd, sx, sxx, sl, sll
+                    FROM g),
+              e AS (SELECT grp, n_total, n,
+                      sx / nd AS m,
+                      (sxx - sx * sx / nd) / (nd - 1) AS vv,
+                      sl / nd AS lmu,
+                      (sll - sl * sl / nd) / (nd - 1) AS lvar
+                    FROM c WHERE n > 1)
+              SELECT grp AS l_returnflag,
+                     CAST(n_total AS BIGINT) AS n_total,
+                     CAST(n AS BIGINT) AS n,
+                     round(m * 1000000.0)/1000000.0 AS mean,
+                     round(CASE WHEN vv > 0 THEN sqrt(vv) END
+                       * 1000000.0)/1000000.0 AS stddev,
+                     round(lmu * 1000000.0)/1000000.0 AS lnorm_mu,
+                     round(CASE WHEN lvar > 0 THEN sqrt(lvar) END
+                       * 1000000.0)/1000000.0 AS lnorm_sigma,
+                     round(CASE WHEN vv > 0 THEN m * m / vv END
+                       * 1000000.0)/1000000.0 AS gamma_k,
+                     round(CASE WHEN vv > 0 THEN vv / m END
+                       * 1000000.0)/1000000.0 AS gamma_theta
+              FROM e ORDER BY 1"""),
+      (s, d) => distFit(Tables.lineitem(s, d), "l_extendedprice",
+        "l_returnflag")),
 
     // Is the diversity screen actually stricter than the length
     // screen on the SAME documents — McNemar on the discordant cells.

@@ -1310,6 +1310,18 @@ class GraftExtensionsSpec extends SparkSpec {
     mcOrd.createOrReplaceTempView("ht_mc")
     assertParity(s2, "SELECT * FROM mcnemar('ht_mc', 'a', 'b')",
       StatsOps.mcnemar(mcOrd, "a", "b"))
+    assertParity(s2, "SELECT * FROM odds_ratio('ht_mc', 'b', 'a')",
+      StatsOps.oddsRatio(mcOrd, "b", "a"))
+    assertParity(s2, "SELECT * FROM dist_fit('ht_lineitem', " +
+      "'l_extendedprice', 'l_returnflag')",
+      StatsOps.distFit(li, "l_extendedprice", "l_returnflag"))
+    val msEv = ev.select(col("ts"),
+      when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+      col("value"))
+    msEv.createOrReplaceTempView("ht_ms")
+    assertParity(s2, "SELECT * FROM msprt('ht_ms', 'ts', 'arm', " +
+      "'value', 'A', 'B')",
+      StatsOps.msprt(msEv, "ts", "arm", "value", "A", "B"))
     assertParity(s2, "SELECT * FROM anova('ht_orders', " +
       "'o_totalprice', 'o_orderstatus')",
       HypothesisOps.anovaF(ord, "o_totalprice", "o_orderstatus"))

@@ -729,4 +729,77 @@ class StatsOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("boot_mean") -
       r.getAs[Double]("mean")) < 3 * se)
   }
+
+  test("oddsRatio: hand-computed 2x2 closed forms; OR = 1 inside the " +
+    "CI on independent margins; zero cell gives NULLs") {
+    import spark.implicits._
+    import graft.operators.StatsOps
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // a=40 b=60 c=20 d=80: OR = 40*80/(60*20) = 2.6667
+    val rows = Seq.fill(40)((true, true)) ++ Seq.fill(60)((true, false)) ++
+      Seq.fill(20)((false, true)) ++ Seq.fill(80)((false, false))
+    val r = StatsOps.oddsRatio(rows.toDF("ex", "oc"), "ex", "oc")
+      .collect()(0)
+    assert(r.getAs[Double]("odds_ratio") === r6(40.0 * 80 / (60 * 20)))
+    assert(r.getAs[Double]("risk_ratio") === r6((40.0 / 100) / (20.0 / 100)))
+    val seLo = math.sqrt(1.0 / 40 + 1.0 / 60 + 1.0 / 20 + 1.0 / 80)
+    assert(r.getAs[Double]("or_lo") ===
+      r6(math.exp(math.log(40.0 * 80 / (60 * 20)) - 1.96 * seLo)))
+    assert(r.getAs[Double]("p_value") < 0.05) // real association
+    assert(r.getAs[Double]("or_lo") > 1.0)
+    // zero cell -> NULL ratios, row still emitted
+    val z = (Seq.fill(30)((true, true)) ++ Seq.fill(30)((false, false)))
+      .toDF("ex", "oc")
+    val rz = StatsOps.oddsRatio(z, "ex", "oc").collect()(0)
+    assert(rz.isNullAt(rz.fieldIndex("odds_ratio")))
+  }
+
+  test("msprt: always-valid p is non-increasing, stays high on a " +
+    "true null, and crosses 0.05 on a planted effect") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.operators.StatsOps
+    val rnd = new scala.util.Random(37)
+    def mk(shift: Double) = (0 until 20).flatMap { day =>
+      (0 until 200).map { i =>
+        val arm = if (i % 2 == 0) "A" else "B"
+        val v = rnd.nextGaussian() + (if (arm == "A") shift else 0.0)
+        (new Timestamp(1700000000000L + day * 86400000L + i * 1000L),
+          arm, v)
+      }
+    }
+    val eff = StatsOps.msprt(mk(0.5).toDF("ts", "arm", "value"),
+      "ts", "arm", "value", "A", "B").collect()
+    val ps = eff.map(_.getAs[Double]("p_always_valid")).toSeq
+    assert(ps === ps.sorted.reverse, "always-valid p must be " +
+      "non-increasing over looks")
+    assert(ps.last < 0.05, s"planted effect not detected: ${ps.last}")
+    val nul = StatsOps.msprt(mk(0.0).toDF("ts", "arm", "value"),
+      "ts", "arm", "value", "A", "B").collect()
+    assert(nul.last.getAs[Double]("p_always_valid") > 0.05,
+      s"false detection on a true null: ${nul.last}")
+  }
+
+  test("distFit recovers lognormal parameters on an exact-lognormal " +
+    "sample and gamma MoM on a constant-free fixture; nonpositive " +
+    "rows excluded but counted") {
+    import spark.implicits._
+    import graft.operators.StatsOps
+    val rnd = new scala.util.Random(53)
+    val mu = 1.5; val sigma = 0.4
+    val xs = Seq.fill(20000)(math.exp(mu + sigma * rnd.nextGaussian()))
+    val df = (xs.map(("g", _)) ++ Seq(("g", 0.0), ("g", -1.0)))
+      .toDF("grp", "v")
+    val r = StatsOps.distFit(df, "v", "grp").collect()(0)
+    assert(r.getAs[Long]("n_total") === 20002L)
+    assert(r.getAs[Long]("n") === 20000L)
+    assert(math.abs(r.getAs[Double]("lnorm_mu") - mu) < 0.02)
+    assert(math.abs(r.getAs[Double]("lnorm_sigma") - sigma) < 0.02)
+    // gamma MoM identities: k*theta = mean, k*theta^2 = variance
+    val k = r.getAs[Double]("gamma_k")
+    val th = r.getAs[Double]("gamma_theta")
+    assert(math.abs(k * th - r.getAs[Double]("mean")) < 1e-3)
+    val sd = r.getAs[Double]("stddev")
+    assert(math.abs(k * th * th - sd * sd) < sd * sd * 1e-3)
+  }
 }
