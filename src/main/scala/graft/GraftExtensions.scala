@@ -624,7 +624,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "mcnemar" -> GraftExtensions.mcnemarPlan _,
       "odds_ratio" -> GraftExtensions.oddsRatioPlan _,
       "msprt" -> GraftExtensions.msprtPlan _,
-      "dist_fit" -> GraftExtensions.distFitPlan _)
+      "dist_fit" -> GraftExtensions.distFitPlan _,
+      "ltv_curve" -> GraftExtensions.ltvCurvePlan _,
+      "evt_gumbel" -> GraftExtensions.evtGumbelPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2737,6 +2739,40 @@ object GraftExtensions {
     val df = namedTable("mmr", litStr("mmr", "table", exprs(0)),
       Seq(q, c, r, e))
     graft.operators.SimilarityOps.mmrRerank(df, q, c, r, e, k, lam)
+      .queryExecution.analyzed
+  }
+
+  /** `ltv_curve(table, cust_col, date_col, revenue_col [, max_age])`
+    * — observed cumulative revenue per cohort member by age
+    * ([[graft.operators.FitOps.ltvCurve]]). Returns `(cohort, k,
+    * cohort_size, revenue, cum_revenue, ltv)`. */
+  private[graft] def ltvCurvePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("ltv_curve(table, cust_col, date_col, revenue_col " +
+      "[, max_age])", exprs, 4, 5)
+    val c = litStr("ltv_curve", "cust_col", exprs(1))
+    val d = litStr("ltv_curve", "date_col", exprs(2))
+    val r = litStr("ltv_curve", "revenue_col", exprs(3))
+    val maxAge = if (exprs.length > 4)
+      litDouble("ltv_curve", "max_age", exprs(4)).toInt else 11
+    val df = namedTable("ltv_curve",
+      litStr("ltv_curve", "table", exprs(0)), Seq(c, d, r))
+    graft.operators.FitOps.ltvCurve(df, c, d, r, maxAge)
+      .queryExecution.analyzed
+  }
+
+  /** `evt_gumbel(table, ts_col, value_col)` — Gumbel block-maxima fit
+    * with return levels ([[graft.operators.StatsOps.evtGumbel]]).
+    * Returns `(n_blocks, mean_max, sd_max, gumbel_mu, gumbel_beta,
+    * ret_level_10, ret_level_100)`. */
+  private[graft] def evtGumbelPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("evt_gumbel(table, ts_col, value_col)", exprs, 3, 3)
+    val t = litStr("evt_gumbel", "ts_col", exprs(1))
+    val v = litStr("evt_gumbel", "value_col", exprs(2))
+    val df = namedTable("evt_gumbel",
+      litStr("evt_gumbel", "table", exprs(0)), Seq(t, v))
+    graft.operators.StatsOps.evtGumbel(df, t, v)
       .queryExecution.analyzed
   }
 

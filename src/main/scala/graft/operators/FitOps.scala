@@ -1104,6 +1104,46 @@ object FitOps {
     Window.partitionBy(BoundedWindow.key(col("t"))).orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+  /** Cohort LTV curve — the REVENUE companion to cohortRetention's
+    * activity view: for each monthly signup cohort and age k (months
+    * since first order), the period revenue, cumulative revenue, and
+    * cumulative revenue PER COHORT MEMBER (the observed LTV curve a
+    * growth team reads payback periods off). Observed values only —
+    * no extrapolation; the forecast belongs to a model, not a
+    * warehouse query.
+    *
+    * Scale: one (cust, month) aggregate, a broadcast first-month
+    * join, one (cohort, k) aggregate with DECIMAL-exact revenue, and
+    * cumulative windows partitioned per cohort. */
+  def ltvCurve(orders: DataFrame, custCol: String, dateCol: String,
+      revenueCol: String, maxAge: Int = 11): DataFrame = {
+    require(maxAge >= 0 && maxAge <= 120,
+      s"maxAge must be in [0, 120]; got $maxAge")
+    val om = orders.select(col(custCol).as("cust"),
+      (year(col(dateCol)) * 12 + month(col(dateCol))).as("ym"),
+      col(revenueCol).as("rev"))
+    val f = om.groupBy("cust").agg(min("ym").as("ym0"))
+    val sz = f.groupBy("ym0").agg(count(lit(1)).as("cohort_size"))
+    val c = om.join(f, "cust")
+      .filter(col("ym") - col("ym0") <= maxAge)
+      .groupBy(col("ym0"), (col("ym") - col("ym0")).as("k"))
+      .agg(sum(col("rev").cast(dec)).as("__rev"))
+    val wCum = Window.partitionBy("ym0").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c.join(broadcast(sz), "ym0")
+      .withColumn("__cum", sum("__rev").over(wCum))
+      .select(
+        format_string("%04d-%02d", ((col("ym0") - 1) / 12).cast("int"),
+          (pmod(col("ym0") - 1, lit(12)) + 1).cast("int")).as("cohort"),
+        col("k").cast("bigint").as("k"),
+        col("cohort_size"),
+        r6(col("__rev").cast("double")).as("revenue"),
+        r6(col("__cum").cast("double")).as("cum_revenue"),
+        r6(col("__cum").cast("double") /
+          col("cohort_size").cast("double")).as("ltv"))
+      .orderBy("cohort", "k")
+  }
+
   /** Two-group log-rank test over a per-subject survival table
     * (t, event, group) — does group A actually survive differently
     * from group B, the significance readout the [[kaplanMeier]] curves
@@ -1537,6 +1577,42 @@ object FitOps {
               .as("vy"))
         grangerLag1(daily, "d", "vx", "vy")
       }),
+
+    // The observed LTV curve per signup cohort: cumulative revenue
+    // per member at each age - where payback periods are read.
+    Query(
+      "q_ltv_curve",
+      Some("""WITH om AS (
+                SELECT o_custkey AS cust,
+                       year(o_orderdate) * 12 + month(o_orderdate)
+                         AS ym,
+                       o_totalprice AS rev
+                FROM orders),
+              f AS (SELECT cust, min(ym) AS ym0 FROM om GROUP BY 1),
+              sz AS (SELECT ym0, count(*) AS cohort_size
+                     FROM f GROUP BY 1),
+              c AS (SELECT f.ym0, om.ym - f.ym0 AS k,
+                      sum(CAST(rev AS DECIMAL(38,6))) AS rev
+                    FROM om JOIN f ON om.cust = f.cust
+                    WHERE om.ym - f.ym0 <= 11 GROUP BY 1, 2),
+              w AS (SELECT c.ym0, k, cohort_size, rev,
+                      sum(rev) OVER (PARTITION BY c.ym0 ORDER BY k
+                        ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM c JOIN sz ON c.ym0 = sz.ym0)
+              SELECT printf('%04d-%02d', (ym0 - 1) // 12,
+                       ((ym0 - 1) % 12) + 1) AS cohort,
+                     CAST(k AS BIGINT) AS k,
+                     CAST(cohort_size AS BIGINT) AS cohort_size,
+                     round(CAST(rev AS DOUBLE) * 1000000.0)/1000000.0
+                       AS revenue,
+                     round(CAST(cum AS DOUBLE) * 1000000.0)/1000000.0
+                       AS cum_revenue,
+                     round(CAST(cum AS DOUBLE)
+                       / CAST(cohort_size AS DOUBLE)
+                       * 1000000.0)/1000000.0 AS ltv
+              FROM w ORDER BY cohort, k"""),
+      (s, d) => ltvCurve(Tables.orders(s, d), "o_custkey",
+        "o_orderdate", "o_totalprice")),
 
     // Do even- and odd-keyed users churn at different rates — the
     // log-rank significance the two KM curves alone can't give.

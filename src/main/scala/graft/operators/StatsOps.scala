@@ -875,6 +875,44 @@ object StatsOps {
       .orderBy("look")
   }
 
+  /** Gumbel extreme-value fit on block maxima — "how bad does the
+    * worst day get": daily maxima of `valCol`, Gumbel
+    * method-of-moments (β = s·√6/π, μ = m − γβ with Euler's
+    * γ = 0.5772156649015329), and the T-block return levels
+    * μ − β·ln(−ln(1 − 1/T)) at T = 10 and 100 — the canonical EVT
+    * readout for capacity planning and SLA tails, where [[distFit]]'s
+    * body-of-distribution families are exactly wrong.
+    *
+    * Scale: the corpus collapses to one row per block (day) in a
+    * map-side max aggregate; the moment fold runs on the
+    * date-bounded maxima table. */
+  def evtGumbel(df: DataFrame, tsCol: String, valCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec6 = DecimalType(38, 6)
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val blocks = df.groupBy(to_date(col(tsCol)).as("d"))
+      .agg(max(col(valCol).cast("double")).as("mx"))
+    val g = blocks.agg(count(lit(1)).as("n_blocks"),
+      sum(col("mx").cast(dec6)).cast("double").as("sx"),
+      sum((col("mx") * col("mx")).cast(dec6)).cast("double").as("sxx"))
+    val n = col("n_blocks").cast("double")
+    val m = col("sx") / n
+    val vv = (col("sxx") - col("sx") * col("sx") / n) / (n - 1)
+    val beta = sqrt(vv) * sqrt(lit(6.0)) / lit(math.Pi)
+    val mu = m - lit(0.5772156649015329) * beta
+    def retLevel(t: Double): Column =
+      mu - beta * log(-log(lit(1.0) - lit(1.0) / lit(t)))
+    val ok = col("n_blocks") > 1 && vv > 0
+    g.select(col("n_blocks"),
+      when(ok, r6(m)).as("mean_max"),
+      when(ok, r6(sqrt(vv))).as("sd_max"),
+      when(ok, r6(mu)).as("gumbel_mu"),
+      when(ok, r6(beta)).as("gumbel_beta"),
+      when(ok, r6(retLevel(10))).as("ret_level_10"),
+      when(ok, r6(retLevel(100))).as("ret_level_100"))
+  }
+
   /** Method-of-moments distribution fits per group — the "what family
     * does this column even follow" profile in front of any parametric
     * assumption: lognormal (μ, σ of ln x — exact MLE for lognormal)
@@ -2398,6 +2436,44 @@ object StatsOps {
               .as("arm"),
             col("value")),
         "ts", "arm", "value", "A", "B")),
+
+    // How bad does the worst day get — Gumbel fit on daily maxima
+    // with 10- and 100-day return levels.
+    Query(
+      "q_evt_gumbel",
+      Some("""WITH b AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                       max(CAST(value AS DOUBLE)) AS mx
+                FROM events GROUP BY 1),
+              g AS (SELECT count(*) AS n_blocks,
+                      CAST(sum(CAST(mx AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sx,
+                      CAST(sum(CAST(mx * mx AS DECIMAL(38,6)))
+                        AS DOUBLE) AS sxx
+                    FROM b),
+              e AS (SELECT n_blocks,
+                      CAST(n_blocks AS DOUBLE) AS n, sx, sxx
+                    FROM g),
+              m AS (SELECT n_blocks, sx / n AS m,
+                      (sxx - sx * sx / n) / (n - 1) AS vv
+                    FROM e),
+              p AS (SELECT n_blocks, m, vv,
+                      sqrt(vv) * sqrt(6.0) / pi() AS beta
+                    FROM m WHERE n_blocks > 1 AND vv > 0),
+              q AS (SELECT n_blocks, m, vv, beta,
+                      m - 0.5772156649015329 * beta AS mu
+                    FROM p)
+              SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+                     round(m * 1000000.0)/1000000.0 AS mean_max,
+                     round(sqrt(vv) * 1000000.0)/1000000.0 AS sd_max,
+                     round(mu * 1000000.0)/1000000.0 AS gumbel_mu,
+                     round(beta * 1000000.0)/1000000.0 AS gumbel_beta,
+                     round((mu - beta * ln(-ln(1.0 - 1.0 / 10.0)))
+                       * 1000000.0)/1000000.0 AS ret_level_10,
+                     round((mu - beta * ln(-ln(1.0 - 1.0 / 100.0)))
+                       * 1000000.0)/1000000.0 AS ret_level_100
+              FROM q"""),
+      (s, d) => evtGumbel(Tables.events(s, d), "ts", "value")),
 
     // What family does price even follow per flag — lognormal and
     // gamma method-of-moments fits from one aggregate.

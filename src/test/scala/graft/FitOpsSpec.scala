@@ -478,6 +478,32 @@ class FitOpsSpec extends SparkSpec {
     assert(at.getAs[Long]("n_ctrl") === 0L)
   }
 
+  test("ltvCurve: hand-computed two-cohort fixture — cumulative " +
+    "revenue per member, monotone in age, cohort label format") {
+    import spark.implicits._
+    import java.sql.Date
+    // cohort 2024-01: custs 1,2; cohort 2024-02: cust 3
+    val rows = Seq(
+      (1L, Date.valueOf("2024-01-05"), 100.0),
+      (2L, Date.valueOf("2024-01-20"), 50.0),
+      (1L, Date.valueOf("2024-02-10"), 30.0),
+      (3L, Date.valueOf("2024-02-15"), 80.0),
+      (2L, Date.valueOf("2024-03-01"), 20.0))
+      .toDF("cust", "dt", "rev")
+    val out = FitOps.ltvCurve(rows, "cust", "dt", "rev").collect()
+    val c1 = out.filter(_.getString(0) == "2024-01")
+    assert(c1.map(r => (r.getAs[Long]("k"),
+      r.getAs[Double]("revenue"), r.getAs[Double]("ltv"))).toSeq ===
+      Seq((0L, 150.0, 75.0), (1L, 30.0, 90.0), (2L, 20.0, 100.0)))
+    val c2 = out.filter(_.getString(0) == "2024-02")
+    assert(c2.map(r => (r.getAs[Long]("k"),
+      r.getAs[Long]("cohort_size"), r.getAs[Double]("ltv"))).toSeq ===
+      Seq((0L, 1L, 80.0)))
+    // ltv is non-decreasing in k within a cohort (revenue >= 0)
+    val ltvs = c1.map(_.getAs[Double]("ltv")).toSeq
+    assert(ltvs === ltvs.sorted)
+  }
+
   test("logRank: identical survival gives chi2 near 0; a planted " +
     "hazard gap is flagged; hand-computed O/E on a tiny table") {
     import spark.implicits._

@@ -1322,6 +1322,12 @@ class GraftExtensionsSpec extends SparkSpec {
     assertParity(s2, "SELECT * FROM msprt('ht_ms', 'ts', 'arm', " +
       "'value', 'A', 'B')",
       StatsOps.msprt(msEv, "ts", "arm", "value", "A", "B"))
+    assertParity(s2, "SELECT * FROM evt_gumbel('ht_events', 'ts', " +
+      "'value')", StatsOps.evtGumbel(ev, "ts", "value"))
+    assertParity(s2, "SELECT * FROM ltv_curve('ht_orders', " +
+      "'o_custkey', 'o_orderdate', 'o_totalprice', 6)",
+      graft.operators.FitOps.ltvCurve(ord, "o_custkey",
+        "o_orderdate", "o_totalprice", 6))
     assertParity(s2, "SELECT * FROM anova('ht_orders', " +
       "'o_totalprice', 'o_orderstatus')",
       HypothesisOps.anovaF(ord, "o_totalprice", "o_orderstatus"))

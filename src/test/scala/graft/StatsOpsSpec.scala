@@ -780,6 +780,40 @@ class StatsOpsSpec extends SparkSpec {
       s"false detection on a true null: ${nul.last}")
   }
 
+  test("evtGumbel: MoM identities hold and return levels are ordered " +
+    "on a planted Gumbel sample; degenerate constant maxima give NULLs") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    import graft.operators.StatsOps
+    val rnd = new scala.util.Random(61)
+    // one value per day whose daily max IS a Gumbel(mu=5, beta=2) draw
+    val mu = 5.0; val beta = 2.0
+    val rows = (0 until 2000).map { day =>
+      val u = rnd.nextDouble()
+      val g = mu - beta * math.log(-math.log(u))
+      (new Timestamp(1500000000000L + day * 86400000L), g)
+    }
+    val r = StatsOps.evtGumbel(rows.toDF("ts", "v"), "ts", "v")
+      .collect()(0)
+    assert(r.getAs[Long]("n_blocks") === 2000L)
+    assert(math.abs(r.getAs[Double]("gumbel_mu") - mu) < 0.25)
+    assert(math.abs(r.getAs[Double]("gumbel_beta") - beta) < 0.2)
+    // MoM identities: mu = mean - gamma*beta, beta = sd*sqrt(6)/pi
+    val m = r.getAs[Double]("mean_max"); val sd = r.getAs[Double]("sd_max")
+    val b = r.getAs[Double]("gumbel_beta")
+    assert(math.abs(b - sd * math.sqrt(6.0) / math.Pi) < 1e-5)
+    assert(math.abs(r.getAs[Double]("gumbel_mu") -
+      (m - 0.5772156649015329 * b)) < 1e-5)
+    assert(r.getAs[Double]("ret_level_100") >
+      r.getAs[Double]("ret_level_10"))
+    assert(r.getAs[Double]("ret_level_10") > m)
+    val const = (0 until 10).map(day =>
+      (new Timestamp(1500000000000L + day * 86400000L), 7.0))
+      .toDF("ts", "v")
+    val rc = StatsOps.evtGumbel(const, "ts", "v").collect()(0)
+    assert(rc.isNullAt(rc.fieldIndex("gumbel_mu")))
+  }
+
   test("distFit recovers lognormal parameters on an exact-lognormal " +
     "sample and gamma MoM on a constant-free fixture; nonpositive " +
     "rows excluded but counted") {
