@@ -626,7 +626,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "msprt" -> GraftExtensions.msprtPlan _,
       "dist_fit" -> GraftExtensions.distFitPlan _,
       "ltv_curve" -> GraftExtensions.ltvCurvePlan _,
-      "evt_gumbel" -> GraftExtensions.evtGumbelPlan _)
+      "evt_gumbel" -> GraftExtensions.evtGumbelPlan _,
+      "quantile_reg" -> GraftExtensions.quantileRegPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2739,6 +2740,28 @@ object GraftExtensions {
     val df = namedTable("mmr", litStr("mmr", "table", exprs(0)),
       Seq(q, c, r, e))
     graft.operators.SimilarityOps.mmrRerank(df, q, c, r, e, k, lam)
+      .queryExecution.analyzed
+  }
+
+  /** `quantile_reg(table, y_col, x_col, q [, steps, eps])` —
+    * fixed-step IRLS quantile regression
+    * ([[graft.operators.FitOps.quantileReg]]). Returns `(n, q,
+    * intercept, slope, mean_pinball)`. NOTE: eager (steps+2 driver
+    * passes). */
+  private[graft] def quantileRegPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("quantile_reg(table, y_col, x_col, q [, steps, eps])",
+      exprs, 4, 6)
+    val y = litStr("quantile_reg", "y_col", exprs(1))
+    val x = litStr("quantile_reg", "x_col", exprs(2))
+    val q = litDouble("quantile_reg", "q", exprs(3))
+    val steps = if (exprs.length > 4)
+      litDouble("quantile_reg", "steps", exprs(4)).toInt else 8
+    val eps = if (exprs.length > 5)
+      litDouble("quantile_reg", "eps", exprs(5)) else 1e-3
+    val df = namedTable("quantile_reg",
+      litStr("quantile_reg", "table", exprs(0)), Seq(y, x))
+    graft.operators.FitOps.quantileReg(df, y, x, q, steps, eps)
       .queryExecution.analyzed
   }
 

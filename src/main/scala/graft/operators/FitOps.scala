@@ -1104,6 +1104,140 @@ object FitOps {
     Window.partitionBy(BoundedWindow.key(col("t"))).orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+  /** Quantile regression (single regressor + intercept) by FIXED-STEP
+    * IRLS on the check loss — "the conditional p90, as a function of
+    * x", the SLA-modeling fit OLS (conditional mean) and Theil–Sen
+    * (robust median slope) both miss. Each step solves weighted least
+    * squares in closed form with the standard IRLS weights
+    * w = |q − 1(r<0)| / max(eps, |r|); `steps` is FIXED (not
+    * converged-to-tolerance) so the whole chain is REPLAYABLE: the
+    * DuckDB oracle reruns the identical unrolled steps
+    * ([[quantRegOracleSql]]) and must land on the same doubles — the
+    * [[logitFit]] stance. `eps` floors the weights (the classic IRLS
+    * singularity at zero residuals); it is a declared parameter, and
+    * its magnitude bounds every decimal pre-sum. Convergence is
+    * LINEAR from the OLS start, and extreme quantiles start further
+    * from their fixed point — q = 0.9 wants ~16 steps where the
+    * median is done in ~8 (measured in FitOpsSpec).
+    *
+    * Eager execution (the olsSolveDriver deviation): steps+2 linear
+    * map-side passes, each folding five DECIMAL(38,6)-exact weighted
+    * sums to the driver; β re-enters the next pass as plan literals.
+    * Degenerate weighted x-variance at any step → one NULL row. */
+  def quantileReg(df: DataFrame, yCol: String, xCol: String,
+      qq: Double, steps: Int = 8, eps: Double = 1e-3): DataFrame = {
+    require(qq > 0.0 && qq < 1.0, s"q must be in (0, 1); got $qq")
+    require(steps >= 1 && steps <= 32,
+      s"steps must be in [1, 32]; got $steps")
+    require(eps > 0, s"eps must be positive; got $eps")
+    val spark = df.sparkSession
+    val data = df.select(col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"))
+    def pass(a: Double, b: Double, weighted: Boolean)
+        : (Double, Double, Double, Double, Double, Long) = {
+      val r = col("y") - lit(a) - lit(b) * col("x")
+      val w = if (!weighted) lit(1.0)
+        else (when(r < 0, lit(1.0 - qq)).otherwise(lit(qq)) /
+          greatest(lit(eps), abs(r)))
+      val g = data.agg(
+        sum(w.cast(dec)).cast("double").as("sw"),
+        sum((w * col("x")).cast(dec)).cast("double").as("swx"),
+        sum((w * col("y")).cast(dec)).cast("double").as("swy"),
+        sum((w * col("x") * col("x")).cast(dec)).cast("double")
+          .as("swxx"),
+        sum((w * col("x") * col("y")).cast(dec)).cast("double")
+          .as("swxy"),
+        count(lit(1)).as("n")).head()
+      (g.getDouble(0), g.getDouble(1), g.getDouble(2),
+        g.getDouble(3), g.getDouble(4), g.getLong(5))
+    }
+    var degenerate = false
+    var a = 0.0; var b = 0.0; var n = 0L
+    var k = 0
+    while (k <= steps && !degenerate) {
+      val (sw, swx, swy, swxx, swxy, nn) = pass(a, b, weighted = k > 0)
+      n = nn
+      val vx = sw * swxx - swx * swx
+      if (nn == 0 || vx == 0.0) degenerate = true
+      else {
+        // the identical closed form the oracle's sK CTE states
+        b = (sw * swxy - swx * swy) / vx
+        a = (swy - b * swx) / sw
+      }
+      k += 1
+    }
+    val out = if (degenerate)
+      data.agg(count(lit(1)).cast("bigint").as("n"))
+        .select(col("n"), lit(qq).as("q"),
+          lit(null).cast("double").as("intercept"),
+          lit(null).cast("double").as("slope"),
+          lit(null).cast("double").as("mean_pinball"))
+    else {
+      val r = col("y") - lit(a) - lit(b) * col("x")
+      val pin = when(r >= 0, lit(qq) * r).otherwise(lit(qq - 1.0) * r)
+      data.agg(
+          sum(pin.cast(DecimalType(38, 12))).cast("double").as("sp"),
+          count(lit(1)).as("nn"))
+        .select(col("nn").cast("bigint").as("n"), lit(qq).as("q"),
+          r6(lit(a)).as("intercept"), r6(lit(b)).as("slope"),
+          r6(col("sp") / col("nn").cast("double")).as("mean_pinball"))
+    }
+    out
+  }
+
+  /** The oracle's replay of [[quantileReg]]: the identical unrolled
+    * IRLS chain as SQL CTEs — step-k β folds from the same
+    * DECIMAL(38,6)-exact weighted sums with the same closed form. */
+  private[graft] def quantRegOracleSql(table: String, yExpr: String,
+      xExpr: String, qq: Double, steps: Int, eps: Double): String = {
+    val qS = qq.toString; val q1S = (1.0 - qq).toString
+    val qm1S = (qq - 1.0).toString; val epsS = eps.toString
+    def wExpr(prev: String): String =
+      s"""(CASE WHEN y - $prev.a - $prev.b * x < 0
+            THEN $q1S ELSE $qS END
+          / greatest($epsS, abs(y - $prev.a - $prev.b * x)))"""
+    def sums(w: String, from: String): String =
+      s"""SELECT CAST(sum(CAST($w AS DECIMAL(38,6))) AS DOUBLE) AS sw,
+            CAST(sum(CAST($w * x AS DECIMAL(38,6))) AS DOUBLE) AS swx,
+            CAST(sum(CAST($w * y AS DECIMAL(38,6))) AS DOUBLE) AS swy,
+            CAST(sum(CAST($w * x * x AS DECIMAL(38,6))) AS DOUBLE)
+              AS swxx,
+            CAST(sum(CAST($w * x * y AS DECIMAL(38,6))) AS DOUBLE)
+              AS swxy,
+            count(*) AS n
+          FROM $from"""
+    def solve(g: String): String =
+      s"""SELECT n, b, (swy - b * swx) / sw AS a
+          FROM (SELECT n, sw, swx, swy,
+                  (sw * swxy - swx * swy)
+                    / (sw * swxx - swx * swx) AS b
+                FROM $g) t"""
+    val chain = (1 to steps).map { k =>
+      s"""g$k AS (${sums(wExpr(s"s${k - 1}"), s"d CROSS JOIN s${k - 1}")}),
+          s$k AS (${solve(s"g$k")})"""
+    }.mkString(",\n")
+    s"""WITH d AS (
+          SELECT CAST($xExpr AS DOUBLE) AS x, CAST($yExpr AS DOUBLE) AS y
+          FROM $table),
+        g0 AS (${sums("1.0", "d")}),
+        s0 AS (${solve("g0")}),
+        $chain,
+        fin AS (
+          SELECT CAST(sum(CAST(CASE WHEN y - s$steps.a - s$steps.b * x
+                  >= 0
+                THEN $qS * (y - s$steps.a - s$steps.b * x)
+                ELSE $qm1S * (y - s$steps.a - s$steps.b * x) END
+                AS DECIMAL(38,12))) AS DOUBLE) AS sp,
+              count(*) AS nn, min(s$steps.a) AS a, min(s$steps.b) AS b
+          FROM d CROSS JOIN s$steps)
+        SELECT CAST(nn AS BIGINT) AS n, CAST($qS AS DOUBLE) AS q,
+               round(a * 1000000.0)/1000000.0 AS intercept,
+               round(b * 1000000.0)/1000000.0 AS slope,
+               round(sp / CAST(nn AS DOUBLE) * 1000000.0)/1000000.0
+                 AS mean_pinball
+        FROM fin"""
+  }
+
   /** Cohort LTV curve — the REVENUE companion to cohortRetention's
     * activity view: for each monthly signup cohort and age k (months
     * since first order), the period revenue, cumulative revenue, and
@@ -1577,6 +1711,22 @@ object FitOps {
               .as("vy"))
         grangerLag1(daily, "d", "vx", "vy")
       }),
+
+    // The conditional p90 of line revenue as a function of quantity —
+    // the SLA-style fit OLS's conditional mean misses. Fixed-step
+    // IRLS, oracle-replayed step for step on the documented 1/8
+    // stride (the q_logit sample-for-fit stance).
+    Query(
+      "q_quantile_reg",
+      Some(quantRegOracleSql(
+        "(SELECT * FROM lineitem WHERE l_orderkey % 8 = 0)",
+        "CAST(l_extendedprice AS DOUBLE) / 1000.0", "l_quantity",
+        qq = 0.9, steps = 16, eps = 1e-3)),
+      (s, d) => quantileReg(Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 8 === 0)
+          .withColumn("y",
+            col("l_extendedprice").cast("double") / lit(1000.0)),
+        "y", "l_quantity", 0.9, steps = 16)),
 
     // The observed LTV curve per signup cohort: cumulative revenue
     // per member at each age - where payback periods are read.

@@ -478,6 +478,58 @@ class FitOpsSpec extends SparkSpec {
     assert(at.getAs[Long]("n_ctrl") === 0L)
   }
 
+  test("quantileReg: recovers the heteroscedastic p90 slope OLS " +
+    "misses; median regression shrugs at planted outliers; the fit " +
+    "is locally pinball-optimal") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    // y = 2 + 3x + x*eps: conditional q90 = 2 + (3 + z90)x, z90 = 1.2816
+    val het = (1 to 20000).map { _ =>
+      val x = 1.0 + rnd.nextDouble() * 9
+      (x, 2.0 + 3.0 * x + x * rnd.nextGaussian())
+    }.toDF("x", "y")
+    val r9 = FitOps.quantileReg(het, "y", "x", 0.9, steps = 32)
+      .collect()(0)
+    assert(math.abs(r9.getAs[Double]("slope") - (3.0 + 1.2816)) < 0.15,
+      s"p90 slope: ${r9.getAs[Double]("slope")}")
+    // the 8-step default has moved decisively off the OLS slope
+    // toward the p90 line (the fixed point; convergence is linear)
+    val r8 = FitOps.quantileReg(het, "y", "x", 0.9).collect()(0)
+    assert(r8.getAs[Double]("slope") > 3.4,
+      s"8-step p90 slope: ${r8.getAs[Double]("slope")}")
+    // median regression vs planted one-sided outliers: OLS slope is
+    // dragged, the q=0.5 fit stays near 3
+    val base = (1 to 5000).map { _ =>
+      val x = 1.0 + rnd.nextDouble() * 9
+      (x, 2.0 + 3.0 * x + 0.2 * rnd.nextGaussian())
+    }
+    val outliers = (1 to 250).map { _ =>
+      val x = 1.0 + rnd.nextDouble() * 9
+      (x, 2.0 + 3.0 * x + 200.0)
+    }
+    val dirty = (base ++ outliers).toDF("x", "y")
+    val rm = FitOps.quantileReg(dirty, "y", "x", 0.5).collect()(0)
+    assert(math.abs(rm.getAs[Double]("slope") - 3.0) < 0.1,
+      s"median slope dragged: ${rm.getAs[Double]("slope")}")
+    assert(math.abs(rm.getAs[Double]("intercept") - 2.0) < 0.3)
+    // local pinball optimality of the returned fit
+    def pinball(rows: Seq[(Double, Double)], a: Double, b: Double,
+        q: Double): Double = rows.map { case (x, y) =>
+      val r = y - a - b * x
+      if (r >= 0) q * r else (q - 1) * r
+    }.sum / rows.size
+    val a0 = rm.getAs[Double]("intercept")
+    val b0 = rm.getAs[Double]("slope")
+    val rows = base ++ outliers
+    val p0 = pinball(rows, a0, b0, 0.5)
+    assert(math.abs(p0 - rm.getAs[Double]("mean_pinball")) < 1e-4)
+    Seq((a0 + 0.5, b0), (a0 - 0.5, b0), (a0, b0 + 0.2),
+      (a0, b0 - 0.2)).foreach { case (a, b) =>
+      assert(pinball(rows, a, b, 0.5) >= p0 - 1e-9,
+        s"perturbed ($a, $b) beats the fit")
+    }
+  }
+
   test("ltvCurve: hand-computed two-cohort fixture — cumulative " +
     "revenue per member, monotone in age, cohort label format") {
     import spark.implicits._

@@ -1328,6 +1328,10 @@ class GraftExtensionsSpec extends SparkSpec {
       "'o_custkey', 'o_orderdate', 'o_totalprice', 6)",
       graft.operators.FitOps.ltvCurve(ord, "o_custkey",
         "o_orderdate", "o_totalprice", 6))
+    assertParity(s2, "SELECT * FROM quantile_reg('ht_lineitem', " +
+      "'l_extendedprice', 'l_quantity', 0.5, 4)",
+      graft.operators.FitOps.quantileReg(li, "l_extendedprice",
+        "l_quantity", 0.5, 4))
     assertParity(s2, "SELECT * FROM anova('ht_orders', " +
       "'o_totalprice', 'o_orderstatus')",
       HypothesisOps.anovaF(ord, "o_totalprice", "o_orderstatus"))
