@@ -1131,10 +1131,19 @@ object FitOps {
       s"steps must be in [1, 32]; got $steps")
     require(eps > 0, s"eps must be positive; got $eps")
     val spark = df.sparkSession
-    val data = df.select(col(xCol).cast("double").as("x"),
-      col(yCol).cast("double").as("y"))
+    // the loop re-reads this 2-column frame steps+2 times — pin it
+    // once (eager blocks, lineage cut) so every pass is a block scan,
+    // not a source re-scan
+    val data = graft.tools.Checkpoints.pin(
+      df.select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y")))
     def pass(a: Double, b: Double, weighted: Boolean)
         : (Double, Double, Double, Double, Double, Long) = {
+      // per-pass wall is dominated by the eager driver round-trip,
+      // not the scan: measured ~0.45 s/pass at sf0.1 — the same cost
+      // class as logitFit's chain (~0.77 s/pass), and attribute-
+      // carried β / repartitioning did not move it. Priced as the
+      // IRLS-family fixed-step overhead.
       val r = col("y") - lit(a) - lit(b) * col("x")
       val w = if (!weighted) lit(1.0)
         else (when(r < 0, lit(1.0 - qq)).otherwise(lit(qq)) /
