@@ -24,6 +24,7 @@ object ScaleProbe {
     val spineOnly = args.contains("--spine-only")
     val r15Only = args.contains("--r15-only")
     val r15bOnly = args.contains("--r15b-only")
+    val r15cOnly = args.contains("--r15c-only")
     val posArgs = args.toSeq.filterNot(_.startsWith("--"))
     val sfDir = posArgs.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = if (posArgs.length > 1) posArgs.drop(1).map(_.toInt)
@@ -64,7 +65,7 @@ object ScaleProbe {
     }
 
     println(f"[scale] base corpus: $n0 docs ($sfDir)")
-    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly) {
+    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly) {
     println("[scale] mult    docs   pairs_s  clusters_s  simhash_s")
     mults.foreach { m =>
       val (rows, tp, tc, tsh) = corpusTimes(m)
@@ -83,7 +84,7 @@ object ScaleProbe {
     spark.sparkContext.addSparkListener(listener)
     val embBase = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding")
-    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly) {
+    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly) {
     println("[scale] knn:  mult    vecs   wall_s   shuffle_mb")
     Seq(1, 2, 4).foreach { m =>
       val vecs = (0 until m)
@@ -581,7 +582,7 @@ object ScaleProbe {
     }
     }
 
-    if (!skewOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly) {
+    if (!skewOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly) {
     // Round-12 diagnostics/feature probe: trailingFeatures' only
     // exchange is the user-keyed window shuffle (linear in events —
     // key cardinality scales with the replication); sessionize is the
@@ -657,7 +658,7 @@ object ScaleProbe {
     // values inside the ≤9 crossing buckets, so cut-stage shuffle
     // bytes and wall must stay ~FLAT from 10³ distinct to
     // near-unique while the answer stays integer-exact.
-    if (qbOnly || (!skewOnly && !fxOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly)) {
+    if (qbOnly || (!skewOnly && !fxOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly)) {
       println("[scale] qb13: card  rows  bins_s/mb")
       val n = 6000000L
       // absorb codegen/JIT/AQE compile outside the timed rows — a
@@ -693,7 +694,7 @@ object ScaleProbe {
     // scaling (the pair space is quadratic in days by design -- the
     // probe prices it so the growth is a recorded fact, not a
     // surprise).
-    if (fitOnly || (!skewOnly && !fxOnly && !qbOnly && !spineOnly && !r15Only && !r15bOnly)) {
+    if (fitOnly || (!skewOnly && !fxOnly && !qbOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly)) {
       import graft.operators.{FitOps, HypothesisOps}
       val ordBase = Tables.orders(spark, sfDir)
         .select("o_orderstatus", "o_totalprice")
@@ -766,7 +767,7 @@ object ScaleProbe {
     // spearman_matrix shuffles the distinct-value rank tables and the
     // rank joins — bytes may grow with distinct values but never with
     // rows² (duplicated values keep the rank tables FIXED here).
-    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !r15Only && !r15bOnly)) {
+    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !r15Only && !r15bOnly && !r15cOnly)) {
       import graft.operators.{FitOps, HypothesisOps, ProfileOps}
       val liBase = Tables.lineitem(spark, sfDir)
         .select("l_orderkey", "l_quantity", "l_extendedprice",
@@ -811,7 +812,7 @@ object ScaleProbe {
     // count and stay in the same band as the benign uniform shape at
     // equal distinct count — a blown-up heavy/uniform ratio would flag
     // the degeneracy back.
-    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !r15Only && !r15bOnly)) {
+    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !r15Only && !r15bOnly && !r15cOnly)) {
       import graft.operators.HypothesisOps
       println("[scale] sp14: shape    distinct    ks_s/mb")
       Seq(500000L, 2000000L).foreach { nd =>
@@ -854,7 +855,7 @@ object ScaleProbe {
     // word-count scan grows — train wall must grow far slower than
     // the corpus multiplier.
     if (r15Only || (!skewOnly && !fxOnly && !qbOnly && !fitOnly &&
-        !spineOnly && !r15bOnly)) {
+        !spineOnly && !r15bOnly && !r15cOnly)) {
       import graft.operators.HypothesisOps
       val ordBase = Tables.orders(spark, sfDir)
         .select("o_orderkey", "o_totalprice", "o_orderstatus",
@@ -914,7 +915,7 @@ object ScaleProbe {
     // so walls grow ~linearly with the scan and shuffle bytes stay
     // flat (1-row combines).
     if (r15bOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly &&
-        !spineOnly && !r15Only && !r15bOnly)) {
+        !spineOnly && !r15Only && !r15bOnly && !r15cOnly)) {
       import graft.operators.{DedupOps, FitOps}
       val docsBase = Tables.documents(spark, sfDir)
         .select("doc_id", "lang", "text")
@@ -955,6 +956,90 @@ object ScaleProbe {
       }
     }
 
+    // sp15c: the round-15 late-session ops under growth. levene and
+    // logrank duplicate rows with UNCHANGED values: the grouped
+    // median spine / per-time risk table stay FIXED while counts
+    // grow, so walls must stay scan-bound (near-flat slope vs the
+    // multiplier). hampel duplicates with SHIFTED user ids (more
+    // users, same bounded per-user frames) — linear. mmr duplicates
+    // with shifted query ids (more queries, same bounded candidate
+    // lists per query) — linear in queries, never pairwise.
+    if (r15cOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly &&
+        !spineOnly && !r15Only && !r15bOnly)) {
+      import graft.operators.{EventOps, FitOps, HypothesisOps,
+        SimilarityOps}
+      val liBase = Tables.lineitem(spark, sfDir)
+        .select("l_quantity", "l_returnflag")
+      val evBase = Tables.events(spark, sfDir)
+        .select("user_id", "event_id", "ts", "value")
+      val embBase = Tables.embeddings(spark, sfDir)
+        .select("vec_id", "embedding")
+      println("[scale] sp15c: mult  li_rows  levene_s/mb" +
+        "  ev_rows  hampel_s/mb  logrank_s  nq  mmr_s")
+      Seq(1, 2, 4).foreach { m =>
+        val par = spark.sparkContext.defaultParallelism
+        val li = (0 until m).map(_ => liBase)
+          .reduce(_ unionByName _).repartition(par).localCheckpoint()
+        val ev = (0 until m).map(i => evBase.select(
+            (col("user_id") + lit(i.toLong * 10000000L))
+              .as("user_id"),
+            (col("event_id") + lit(i.toLong * 1000000000L))
+              .as("event_id"),
+            col("ts"), col("value")))
+          .reduce(_ unionByName _).repartition(par).localCheckpoint()
+        val nLi = li.count(); val nEv = ev.count()
+        def measure(f: => Long): (Double, Double) = {
+          listener.reset()
+          val t0 = System.nanoTime()
+          f
+          val w = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(1500)
+          (w, listener.bytes / 1e6)
+        }
+        val (wL, bL) = measure(HypothesisOps.leveneBf(li,
+          "l_quantity", "l_returnflag").count())
+        val (wH, bH) = measure(EventOps.hampel(ev, "user_id", "ts",
+          "event_id", "value").count())
+        // logrank over duplicated subject rows: distinct-time risk
+        // table fixed, counts scale
+        val subj = ev.groupBy("user_id")
+          .agg(min(to_date(col("ts"))).as("d0"),
+            max(to_date(col("ts"))).as("d1"))
+        val mx = ev.agg(max(to_date(col("ts"))).as("dmax"))
+        val st = subj.crossJoin(broadcast(mx)).select(
+          datediff(col("d1"), col("d0")).cast("bigint").as("t"),
+          (datediff(col("dmax"), col("d1")) >= 3).as("e"),
+          when(col("user_id") % 2 === 0, "x").otherwise("y").as("g"))
+        val (wK, _) = measure(FitOps.logRank(st, "t", "e", "g",
+          "x", "y").count())
+        // mmr: m x 5 probes against the fixed 500-vector corpus,
+        // top-30 candidates each — queries scale, candidates bounded
+        val probes = broadcast(embBase
+          .filter(col("vec_id") < 5)
+          .withColumn("cp", explode(sequence(lit(0), lit(m - 1))))
+          .select((col("vec_id") + col("cp") * 5).as("qid"),
+            col("embedding").as("pe")))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("rel").desc, col("cid"))
+        val cands = embBase
+          .join(probes, col("vec_id") =!= pmod(col("qid"), lit(5)))
+          .select(col("qid"), col("vec_id").as("cid"),
+            round(SimilarityOps.cosine(col("embedding"), col("pe")),
+              6).as("rel"),
+            col("embedding"))
+          .withColumn("__rn", row_number().over(wq))
+          .filter(col("__rn") <= 30).drop("__rn")
+          .localCheckpoint()
+        val nq = m * 5
+        val t0 = System.nanoTime()
+        SimilarityOps.mmrRerank(cands, "qid", "cid", "rel",
+          "embedding", 10).count()
+        val wM = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] sp15c: $m%4d  $nLi%7d  $wL%5.2f/$bL%5.1f" +
+          f"  $nEv%7d  $wH%5.2f/$bH%5.1f  $wK%5.2f  $nq%3d  $wM%5.2f")
+      }
+    }
+
     // Cell-skew probe: natural corpora have hot clusters, and a hot
     // CELL concentrates the IVF stage-1 equi-join's work in one task
     // once the inverted file is too big to broadcast (the 100 TB
@@ -964,7 +1049,7 @@ object ScaleProbe {
     // that the shape survives is (a) AQE's skew-join splitting the hot
     // partition ("skew=true" in the executed plan) and (b) wall time
     // in the same band as the balanced corpus at equal size.
-    if (!fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly) {
+    if (!fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly) {
       val conf = spark.conf
       val saved = Seq(
         "spark.sql.autoBroadcastJoinThreshold",
