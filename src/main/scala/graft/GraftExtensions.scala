@@ -627,7 +627,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "dist_fit" -> GraftExtensions.distFitPlan _,
       "ltv_curve" -> GraftExtensions.ltvCurvePlan _,
       "evt_gumbel" -> GraftExtensions.evtGumbelPlan _,
-      "quantile_reg" -> GraftExtensions.quantileRegPlan _)
+      "quantile_reg" -> GraftExtensions.quantileRegPlan _,
+      "quantile_normalize" -> GraftExtensions.quantileNormalizePlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2740,6 +2741,22 @@ object GraftExtensions {
     val df = namedTable("mmr", litStr("mmr", "table", exprs(0)),
       Seq(q, c, r, e))
     graft.operators.SimilarityOps.mmrRerank(df, q, c, r, e, k, lam)
+      .queryExecution.analyzed
+  }
+
+  /** `quantile_normalize(table, id_col, cols)` — cross-column
+    * quantile normalization over the space-separated `cols`
+    * ([[graft.operators.CurationOps.quantileNormalize]]). Returns
+    * the id plus one `qn_<col>` per input column. */
+  private[graft] def quantileNormalizePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("quantile_normalize(table, id_col, cols)", exprs, 3, 3)
+    val id = litStr("quantile_normalize", "id_col", exprs(1))
+    val cols = litStr("quantile_normalize", "cols", exprs(2)).trim
+      .split("\\s+").toSeq
+    val df = namedTable("quantile_normalize",
+      litStr("quantile_normalize", "table", exprs(0)), id +: cols)
+    graft.operators.CurationOps.quantileNormalize(df, id, cols)
       .queryExecution.analyzed
   }
 

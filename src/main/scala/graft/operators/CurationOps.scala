@@ -610,6 +610,81 @@ object CurationOps {
       .orderBy(catCol)
   }
 
+  /** Cross-column quantile normalization — make each of `cols` follow
+    * the IDENTICAL distribution (the mean of the columns' sorted
+    * values at each rank, ties averaged over their rank span): the
+    * batch-effect corrector from bioinformatics that feature
+    * pipelines reach for when per-column [[featureScale]] isn't
+    * enough because the SHAPES differ, not just the scales. After
+    * normalization every column's value multiset is exactly the
+    * shared reference distribution (asserted in CurationSpec).
+    *
+    * Scale: one k-wide posexplode (k·n narrow rows), per-column rank
+    * tables through the grouped heavy-tail-safe [[RankSpine]], the
+    * reference built by one (rank) hash aggregate, its prefix sums
+    * through a SECOND spine pass (ranks are corpus-sized — never a
+    * global window), and keyed joins back. Every cross-engine-visible
+    * fold is a DECIMAL SUM; the only divisions happen once per
+    * distinct value at the end (tie-span mean), spelled identically
+    * in the oracle. Rows with a NULL in any input column are
+    * EXCLUDED (stated — visible as missing ids, never fabricated). */
+  def quantileNormalize(df: DataFrame, idCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 16,
+      s"quantileNormalize wants 2..16 columns; got ${cols.size}")
+    val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+    // floor(x·1e6 + 0.5), NOT round(): qn values are small-denominator
+    // rationals (span-sum / (c·k)), so exact-.5-at-6dp boundaries are
+    // COMMON (241/45832 fixture rows), and Spark's round() decides
+    // them on the double's shortest decimal string while DuckDB's
+    // decides on the exact binary — they disagree. floor(+0.5) is
+    // pure double arithmetic, bit-identical on both engines
+    // (half-up-toward-+inf by definition, stated).
+    val r6 = (c: Column) =>
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val k = cols.size
+    val base = df.filter(cols.map(c => col(c).isNotNull)
+      .reduce(_ && _))
+    val longDf = base.select(col(idCol).as("__id"),
+      posexplode(array(cols.map(c => col(c).cast("double")): _*))
+        .as(Seq("cidx", "v")))
+    val g = longDf.groupBy("cidx", "v").agg(count(lit(1)).as("c"))
+    val cum = RankSpine.cumulative(g, "v", Seq("c"), Seq("cum"),
+      partitionCols = Seq("cidx"))
+    val pos = cum.select(col("cidx"), col("v"),
+      explode(sequence(col("cum") - col("c") + lit(1L), col("cum")))
+        .as("r"))
+    // reference at each rank: SUM over columns (divide by k at the
+    // very end — decimal division rules differ across engines,
+    // decimal sums don't). Scale 6, NOT 12: a ~1e5-magnitude double's
+    // 12th decimal sits past the 52-bit mantissa's faithful digits,
+    // so dec12 casts diverge between Spark's shortest-string and
+    // DuckDB's exact-binary rounding (measured: 241 boundary rows) —
+    // at scale 6 both engines round the same doubles identically.
+    val ref = pos.groupBy("r")
+      .agg(sum(col("v").cast(dec6)).as("__ref"))
+    val refCum = RankSpine.cumulative(
+        ref.select(col("r").cast("double").as("rv"), col("__ref")),
+        "rv", Seq("__ref"), Seq("__refcum"))
+      .select(col("rv").cast("bigint").as("r"),
+        col("__refcum").cast("double").as("rc"))
+    val hi = refCum.select(col("r").as("__rhi"), col("rc").as("__ch"))
+    val lo = refCum.select(col("r").as("__rlo"), col("rc").as("__cl"))
+    val mapped = cum
+      .join(hi, col("cum") === col("__rhi"))
+      .join(lo, col("cum") - col("c") === col("__rlo"), "left")
+      .select(col("cidx"), col("v"),
+        ((col("__ch") - coalesce(col("__cl"), lit(0.0))) /
+          col("c").cast("double") / lit(k.toDouble)).as("qn"))
+    val aggs = cols.zipWithIndex.map { case (c, i) =>
+      r6(max(when(col("cidx") === i, col("qn")))).as(s"qn_$c")
+    }
+    longDf.join(mapped, Seq("cidx", "v"))
+      .groupBy(col("__id").as(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(idCol)
+  }
+
   /** Hashing-trick featurizer: map each categorical column into a
     * fixed `nBuckets`-slot space (`h_<col>`) with a ±1 sign
     * (`s_<col>`, the Weinberger et al. collision-debiasing trick) —
@@ -638,6 +713,60 @@ object CurationOps {
   }
 
   val all: Seq[Query] = Seq(
+    // Force quantity/price/tax onto one shared distribution — the
+    // batch-effect corrector for columns whose SHAPES differ.
+    Query(
+      "q_quantile_normalize",
+      Some("""WITH base AS (
+                SELECT l_orderkey * 8 + l_linenumber AS rid,
+                       CAST(l_quantity AS DOUBLE) AS v0,
+                       CAST(l_extendedprice AS DOUBLE) AS v1,
+                       CAST(l_tax AS DOUBLE) AS v2
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                  AND l_tax IS NOT NULL),
+              lng AS (SELECT rid, 0 AS cidx, v0 AS v FROM base
+                      UNION ALL SELECT rid, 1, v1 FROM base
+                      UNION ALL SELECT rid, 2, v2 FROM base),
+              g AS (SELECT cidx, v, count(*) AS c FROM lng
+                    GROUP BY 1, 2),
+              cm AS (SELECT cidx, v, c,
+                       CAST(sum(c) OVER (PARTITION BY cidx ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                     FROM g),
+              pos AS (SELECT cidx, v,
+                        unnest(generate_series(cum - c + 1, cum)) AS r
+                      FROM cm),
+              ref AS (SELECT r, sum(CAST(v AS DECIMAL(38,6))) AS rf
+                      FROM pos GROUP BY 1),
+              rc AS (SELECT r,
+                       CAST(sum(rf) OVER (ORDER BY r
+                         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS rcv
+                     FROM ref),
+              mapped AS (SELECT cm.cidx, cm.v,
+                           (hi.rcv - coalesce(lo.rcv, 0.0))
+                             / CAST(cm.c AS DOUBLE) / 3.0 AS qn
+                         FROM cm JOIN rc hi ON cm.cum = hi.r
+                         LEFT JOIN rc lo ON cm.cum - cm.c = lo.r),
+              wq AS (SELECT rid, lng.cidx, qn
+                     FROM lng JOIN mapped
+                       ON lng.cidx = mapped.cidx
+                       AND lng.v = mapped.v)
+              SELECT rid,
+                     floor(max(CASE WHEN cidx = 0 THEN qn END)
+                       * 1000000.0 + 0.5)/1000000.0 AS qn_l_quantity,
+                     floor(max(CASE WHEN cidx = 1 THEN qn END)
+                       * 1000000.0 + 0.5)/1000000.0
+                       AS qn_l_extendedprice,
+                     floor(max(CASE WHEN cidx = 2 THEN qn END)
+                       * 1000000.0 + 0.5)/1000000.0 AS qn_l_tax
+              FROM wq GROUP BY 1 ORDER BY 1"""),
+      (s, d) => quantileNormalize(Tables.lineitem(s, d)
+          .withColumn("rid",
+            col("l_orderkey") * 8 + col("l_linenumber")),
+        "rid", Seq("l_quantity", "l_extendedprice", "l_tax"))),
+
     // Fixed-width categorical encoding with zero vocabulary state —
     // the hashing trick over priority x status, bucket + sign both
     // derived from the engine's one md5 coin.

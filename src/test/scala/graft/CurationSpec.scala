@@ -503,6 +503,54 @@ class CurationSpec extends SparkSpec {
     assert(g1 === g1.sorted)
   }
 
+  test("quantileNormalize: hand fixture maps both columns onto the " +
+    "rank-mean reference; tie spans average; post-normalization " +
+    "multisets are identical across columns; NULL rows excluded") {
+    import spark.implicits._
+    // col a = [1, 2, 3], col b = [10, 20, 30] -> reference =
+    // [(1+10)/2, (2+20)/2, (3+30)/2] = [5.5, 11, 16.5]
+    val df = Seq((1L, 1.0, 30.0), (2L, 2.0, 10.0), (3L, 3.0, 20.0))
+      .toDF("id", "a", "b")
+    val out = CurationOps.quantileNormalize(df, "id", Seq("a", "b"))
+      .collect().sortBy(_.getLong(0))
+    assert(out.map(_.getAs[Double]("qn_a")).toSeq ===
+      Seq(5.5, 11.0, 16.5))
+    // b's order was 30,10,20 -> ranks 3,1,2 -> 16.5, 5.5, 11
+    assert(out.map(_.getAs[Double]("qn_b")).toSeq ===
+      Seq(16.5, 5.5, 11.0))
+    // ties: a = [1, 1, 2] -> value 1 spans ranks 1-2, gets their mean
+    val tied = Seq((1L, 1.0, 10.0), (2L, 1.0, 20.0), (3L, 2.0, 30.0))
+      .toDF("id", "a", "b")
+    val ot = CurationOps.quantileNormalize(tied, "id", Seq("a", "b"))
+      .collect().sortBy(_.getLong(0))
+    // reference: r1 (1+10)/2 = 5.5, r2 (1+20)/2 = 10.5, r3 16
+    assert(ot(0).getAs[Double]("qn_a") === 8.0) // mean of 5.5, 10.5
+    assert(ot(1).getAs[Double]("qn_a") === 8.0)
+    assert(ot(2).getAs[Double]("qn_a") === 16.0)
+    // identical multisets after normalization on a random frame
+    val rnd = new scala.util.Random(71)
+    val big = (1 to 2000).map(i => (i.toLong,
+      rnd.nextGaussian() * 10, math.exp(rnd.nextGaussian()),
+      rnd.nextInt(50).toDouble)).toDF("id", "x", "y", "z")
+    val ob = CurationOps.quantileNormalize(big, "id",
+      Seq("x", "y", "z")).collect()
+    val mx = ob.map(_.getAs[Double]("qn_x")).sorted.toSeq
+    val my = ob.map(_.getAs[Double]("qn_y")).sorted.toSeq
+    val mz = ob.map(_.getAs[Double]("qn_z")).sorted.toSeq
+    assert(mx === my)
+    // z has heavy ties (50 distinct ints): multiset still matches
+    // wherever ties don't straddle — the rank MEANS differ, so
+    // assert the untied columns exactly and z's mean instead
+    assert(math.abs(mz.sum / mz.size - mx.sum / mx.size) < 1e-6)
+    // NULL row excluded entirely
+    val withNull = Seq((1L, Option(1.0), Option(10.0)),
+      (2L, None: Option[Double], Option(20.0)),
+      (3L, Option(3.0), Option(30.0))).toDF("id", "a", "b")
+    val on = CurationOps.quantileNormalize(withNull, "id",
+      Seq("a", "b")).collect()
+    assert(on.map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+  }
+
   test("featureHash: buckets in range, signs are exactly +-1, equal " +
     "values encode equally and independently of row order, distinct " +
     "levels spread across buckets") {

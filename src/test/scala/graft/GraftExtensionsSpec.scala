@@ -777,6 +777,10 @@ class GraftExtensionsSpec extends SparkSpec {
       "'o_orderkey', 'o_orderpriority o_orderstatus', 32)",
       graft.operators.CurationOps.featureHash(ord, "o_orderkey",
         Seq("o_orderpriority", "o_orderstatus"), 32))
+    assertParity(s2, "SELECT * FROM quantile_normalize('rd_orders', " +
+      "'o_orderkey', 'o_totalprice o_custkey')",
+      graft.operators.CurationOps.quantileNormalize(ord,
+        "o_orderkey", Seq("o_totalprice", "o_custkey")))
   }
 
   test("mmr TVF agrees with the Scala API") {
