@@ -628,7 +628,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "ltv_curve" -> GraftExtensions.ltvCurvePlan _,
       "evt_gumbel" -> GraftExtensions.evtGumbelPlan _,
       "quantile_reg" -> GraftExtensions.quantileRegPlan _,
-      "quantile_normalize" -> GraftExtensions.quantileNormalizePlan _)
+      "quantile_normalize" -> GraftExtensions.quantileNormalizePlan _,
+      "forecast_baseline" -> GraftExtensions.forecastBaselinePlan _,
+      "seq_entropy" -> GraftExtensions.seqEntropyPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2741,6 +2743,42 @@ object GraftExtensions {
     val df = namedTable("mmr", litStr("mmr", "table", exprs(0)),
       Seq(q, c, r, e))
     graft.operators.SimilarityOps.mmrRerank(df, q, c, r, e, k, lam)
+      .queryExecution.analyzed
+  }
+
+  /** `forecast_baseline(table, ts_col, value_col [, period])` —
+    * one-step backtest of naive / seasonal-naive / drift
+    * ([[graft.operators.EventOps.forecastBaseline]]). Returns one
+    * row per method `(method, n, mae, rmse, mape)`. */
+  private[graft] def forecastBaselinePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("forecast_baseline(table, ts_col, value_col [, period])",
+      exprs, 3, 4)
+    val t = litStr("forecast_baseline", "ts_col", exprs(1))
+    val v = litStr("forecast_baseline", "value_col", exprs(2))
+    val period = if (exprs.length > 3)
+      litDouble("forecast_baseline", "period", exprs(3)).toInt else 7
+    val df = namedTable("forecast_baseline",
+      litStr("forecast_baseline", "table", exprs(0)), Seq(t, v))
+    graft.operators.EventOps.forecastBaseline(df, t, v, period)
+      .queryExecution.analyzed
+  }
+
+  /** `seq_entropy(table, user_col, ts_col, id_col, type_col)` —
+    * conditional vs marginal transition entropy
+    * ([[graft.operators.EventOps.seqEntropy]]). Returns `(n_pairs,
+    * n_states, n_cells, h_next, h_cond, info_gain)`. */
+  private[graft] def seqEntropyPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("seq_entropy(table, user_col, ts_col, id_col, type_col)",
+      exprs, 5, 5)
+    val u = litStr("seq_entropy", "user_col", exprs(1))
+    val t = litStr("seq_entropy", "ts_col", exprs(2))
+    val i = litStr("seq_entropy", "id_col", exprs(3))
+    val ty = litStr("seq_entropy", "type_col", exprs(4))
+    val df = namedTable("seq_entropy",
+      litStr("seq_entropy", "table", exprs(0)), Seq(u, t, i, ty))
+    graft.operators.EventOps.seqEntropy(df, u, t, i, ty)
       .queryExecution.analyzed
   }
 

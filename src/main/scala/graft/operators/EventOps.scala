@@ -327,6 +327,111 @@ object EventOps {
       .orderBy("g", "lag")
   }
 
+  /** Sequence predictability: the conditional entropy H(next | prev)
+    * of per-user event-type transitions vs the marginal H(next) —
+    * how much knowing the previous action actually narrows the next
+    * one (info_gain = H_next − H_cond, in bits). The one-number
+    * answer to "is user behavior sequence-structured or just a
+    * biased coin", read before anyone builds a next-event model over
+    * [[transitions]]' raw matrix.
+    *
+    * Scale: per-user lag over the partitioned stream, ONE (prev,
+    * next) hash aggregate (k² cells for k event types), broadcast
+    * margins, a 1-row DECIMAL-exact fold. */
+  def seqEntropy(df: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec12 = DecimalType(38, 12)
+    val w = Window.partitionBy(userCol)
+      .orderBy(col(tsCol), col(idCol))
+    val pairs = df
+      .select(col(typeCol).cast("string").as("next"),
+        lag(col(typeCol).cast("string"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy("prev", "next").agg(count(lit(1)).as("c"))
+    val prevT = pairs.groupBy("prev").agg(sum("c").as("cp"))
+    val nextT = pairs.groupBy("next").agg(sum("c").as("cn"))
+    val tot = pairs.agg(sum("c").as("nt"))
+    val nD = col("nt").cast("double")
+    val hCond = pairs.join(broadcast(prevT), "prev")
+      .crossJoin(broadcast(tot))
+      .agg(min("nt").as("nt"),
+        count(lit(1)).as("n_cells"),
+        sum(((col("c").cast("double") / nD) *
+          log2(col("c").cast("double") / col("cp").cast("double")))
+          .cast(dec12)).cast("double").as("__hc"))
+    val hNext = nextT.crossJoin(broadcast(tot))
+      .agg(count(lit(1)).as("n_states"),
+        sum(((col("cn").cast("double") / nD) *
+          log2(col("cn").cast("double") / nD)).cast(dec12))
+          .cast("double").as("__hn"))
+    hCond.crossJoin(broadcast(hNext))
+      .select(col("nt").cast("bigint").as("n_pairs"),
+        col("n_states"), col("n_cells"),
+        r6(-col("__hn")).as("h_next"),
+        r6(-col("__hc")).as("h_cond"),
+        r6(-col("__hn") - (-col("__hc"))).as("info_gain"))
+  }
+
+  /** Rolling-origin backtest of the three BASELINE forecasters every
+    * serious forecast must beat — naive (carry yesterday),
+    * seasonal-naive (carry last week's same weekday), drift (naive +
+    * the average historical step): one-step-ahead MAE / RMSE / MAPE
+    * per method over the daily mean series. The "is the fancy model
+    * even better than persistence" gate in front of HoltForecast or
+    * anything heavier; published baselines first is forecasting 101.
+    *
+    * Scale: corpus → one row per day in a map-side aggregate; lags
+    * and the expanding first-value ride [[BoundedWindow]]-declared
+    * windows on the date-bounded series; one 3-row fold. */
+  def forecastBaseline(df: DataFrame, tsCol: String, valCol: String,
+      period: Int = 7): DataFrame = {
+    require(period >= 2 && period <= 366,
+      s"period must be in [2, 366]; got $period")
+    val dec6 = DecimalType(38, 6)
+    val dec12 = DecimalType(38, 12)
+    import org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valCol).cast(dec6)).as("__sv"))
+      .select(col("d"),
+        (col("__sv").cast("double") / col("__n").cast("double"))
+          .as("v"))
+    val w = Window.partitionBy(BoundedWindow.key(col("d")))
+      .orderBy("d")
+    val rn = row_number().over(w)
+    val lagged = daily
+      .withColumn("__t", rn)
+      .withColumn("__l1", lag("v", 1).over(w))
+      .withColumn("__lp", lag("v", period).over(w))
+      .withColumn("__v1", first("v").over(w))
+    // drift forecast at step t: y[t-1] + (y[t-1] - y[1])/(t - 2),
+    // defined from t >= 3 (needs two past points to draw the line)
+    val drift = col("__l1") + (col("__l1") - col("__v1")) /
+      (col("__t").cast("double") - 2)
+    val methods = Seq(
+      ("naive", col("__l1")),
+      ("seasonal_naive", col("__lp")),
+      ("drift", when(col("__t") >= 3, drift)))
+    val errRows = methods.map { case (name, fc) =>
+      val e = col("v") - fc
+      lagged.filter(fc.isNotNull)
+        .agg(count(lit(1)).as("n"),
+          sum(abs(e).cast(dec12)).cast("double").as("__sae"),
+          sum((e * e).cast(dec12)).cast("double").as("__sse"),
+          sum((abs(e) / abs(col("v"))).cast(dec12)).cast("double")
+            .as("__sape"))
+        .select(lit(name).as("method"), col("n"), col("__sae"),
+          col("__sse"), col("__sape"))
+    }.reduce(_ unionByName _)
+    val n = col("n").cast("double")
+    errRows.select(col("method"), col("n"),
+        r6(col("__sae") / n).as("mae"),
+        r6(sqrt(col("__sse") / n)).as("rmse"),
+        r6(col("__sape") / n * 100).as("mape"))
+      .orderBy("method")
+  }
+
   /** Partial autocorrelation (PACF) per group via Durbin–Levinson —
     * the AR-order-selection companion to [[acf]]: an AR(p) series'
     * PACF cuts off after lag p while its ACF decays forever, so PACF
@@ -1218,6 +1323,104 @@ object EventOps {
       None,
       (s, d) => pacf(Tables.events(s, d), "event_type", "ts",
         "value", 8)),
+
+    // Is user behavior sequence-structured or a biased coin — the
+    // conditional-vs-marginal entropy of event-type transitions.
+    Query(
+      "q_seq_entropy",
+      Some("""WITH s AS (
+                SELECT CAST(event_type AS VARCHAR) AS next,
+                       lag(CAST(event_type AS VARCHAR), 1) OVER (
+                         PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev
+                FROM events),
+              p AS (SELECT prev, next, count(*) AS c FROM s
+                    WHERE prev IS NOT NULL GROUP BY 1, 2),
+              pt AS (SELECT prev, sum(c) AS cp FROM p GROUP BY 1),
+              nt2 AS (SELECT next, sum(c) AS cn FROM p GROUP BY 1),
+              t AS (SELECT sum(c) AS nt FROM p),
+              hc AS (SELECT min(nt) AS nt, count(*) AS n_cells,
+                       CAST(sum(CAST(
+                         (CAST(c AS DOUBLE) / CAST(nt AS DOUBLE))
+                         * log2(CAST(c AS DOUBLE)
+                             / CAST(cp AS DOUBLE))
+                         AS DECIMAL(38,12))) AS DOUBLE) AS hcv
+                     FROM p JOIN pt USING (prev) CROSS JOIN t),
+              hn AS (SELECT count(*) AS n_states,
+                       CAST(sum(CAST(
+                         (CAST(cn AS DOUBLE) / CAST(nt AS DOUBLE))
+                         * log2(CAST(cn AS DOUBLE)
+                             / CAST(nt AS DOUBLE))
+                         AS DECIMAL(38,12))) AS DOUBLE) AS hnv
+                     FROM nt2 CROSS JOIN t)
+              SELECT CAST(nt AS BIGINT) AS n_pairs,
+                     CAST(n_states AS BIGINT) AS n_states,
+                     CAST(n_cells AS BIGINT) AS n_cells,
+                     round(-hnv * 1000000.0)/1000000.0 AS h_next,
+                     round(-hcv * 1000000.0)/1000000.0 AS h_cond,
+                     round((-hnv - (-hcv)) * 1000000.0)/1000000.0
+                       AS info_gain
+              FROM hc CROSS JOIN hn"""),
+      (s, d) => seqEntropy(Tables.events(s, d), "user_id", "ts",
+        "event_id", "event_type")),
+
+    // Can anything beat persistence on the daily series — one-step
+    // backtest of the naive / seasonal-naive / drift baselines.
+    Query(
+      "q_forecast_baseline",
+      Some("""WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                       count(*) AS n,
+                       sum(CAST(value AS DECIMAL(38,6))) AS sv
+                FROM events GROUP BY 1),
+              ser AS (SELECT d,
+                        CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS v
+                      FROM daily),
+              lg AS (SELECT d, v,
+                       row_number() OVER w AS t,
+                       lag(v, 1) OVER w AS l1,
+                       lag(v, 7) OVER w AS lp,
+                       first_value(v) OVER w AS v1
+                     FROM ser WINDOW w AS (ORDER BY d)),
+              fc AS (SELECT v, l1 AS f_naive, lp AS f_snaive,
+                       CASE WHEN t >= 3 THEN l1 + (l1 - v1)
+                         / (CAST(t AS DOUBLE) - 2) END AS f_drift
+                     FROM lg),
+              e1 AS (SELECT 'naive' AS method, count(*) AS n,
+                       CAST(sum(CAST(abs(v - f_naive)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sae,
+                       CAST(sum(CAST((v - f_naive) * (v - f_naive)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sse,
+                       CAST(sum(CAST(abs(v - f_naive) / abs(v)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sape
+                     FROM fc WHERE f_naive IS NOT NULL),
+              e2 AS (SELECT 'seasonal_naive' AS method, count(*) AS n,
+                       CAST(sum(CAST(abs(v - f_snaive)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sae,
+                       CAST(sum(CAST((v - f_snaive) * (v - f_snaive)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sse,
+                       CAST(sum(CAST(abs(v - f_snaive) / abs(v)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sape
+                     FROM fc WHERE f_snaive IS NOT NULL),
+              e3 AS (SELECT 'drift' AS method, count(*) AS n,
+                       CAST(sum(CAST(abs(v - f_drift)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sae,
+                       CAST(sum(CAST((v - f_drift) * (v - f_drift)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sse,
+                       CAST(sum(CAST(abs(v - f_drift) / abs(v)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sape
+                     FROM fc WHERE f_drift IS NOT NULL),
+              u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+                    UNION ALL SELECT * FROM e3)
+              SELECT method, CAST(n AS BIGINT) AS n,
+                     round(sae / CAST(n AS DOUBLE)
+                       * 1000000.0)/1000000.0 AS mae,
+                     round(sqrt(sse / CAST(n AS DOUBLE))
+                       * 1000000.0)/1000000.0 AS rmse,
+                     round(sape / CAST(n AS DOUBLE) * 100
+                       * 1000000.0)/1000000.0 AS mape
+              FROM u ORDER BY method"""),
+      (s, d) => forecastBaseline(Tables.events(s, d), "ts", "value")),
 
     // Rolling p90 of the per-user value stream — the tail-latency
     // monitor the mean and median both miss.

@@ -894,6 +894,60 @@ class EventOpsSpec extends SparkSpec {
     assert(oc.forall(_.getAs[Double]("cleaned") == 7.0))
   }
 
+  test("forecastBaseline: naive is exact on a constant series, " +
+    "seasonal-naive wins on a pure weekly pattern, drift wins on a " +
+    "pure trend") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def mk(f: Int => Double) = (0 until 42).map(day =>
+      (new Timestamp(1700000000000L + day * 86400000L), f(day)))
+      .toDF("ts", "v")
+    def res(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.EventOps.forecastBaseline(df, "ts", "v")
+        .collect().map(r => r.getString(0) ->
+          r.getAs[Double]("mae")).toMap
+    val const = res(mk(_ => 5.0))
+    assert(const("naive") === 0.0)
+    assert(const("seasonal_naive") === 0.0)
+    val weekly = res(mk(d => Array(1.0, 9, 2, 8, 3, 7, 4)(d % 7)))
+    assert(weekly("seasonal_naive") === 0.0)
+    assert(weekly("naive") > 1.0)
+    val trend = res(mk(d => 10.0 + 2.0 * d))
+    assert(trend("drift") === 0.0) // the drift line IS the series
+    assert(trend("naive") === 2.0) // persistent one-step error
+    assert(trend("seasonal_naive") === 14.0) // 7-day-old value
+  }
+
+  test("seqEntropy: deterministic cycle has zero conditional " +
+    "entropy with positive marginal; iid uniform transitions have " +
+    "info_gain near 0; identities hold") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // one user cycling a->b->c->a... : next is fully determined
+    val cyc = (0 until 300).map(i => (1L, i.toLong,
+      new Timestamp(1700000000000L + i * 1000L),
+      Seq("a", "b", "c")(i % 3))).toDF("user_id", "event_id", "ts",
+      "event_type")
+    val rc = graft.operators.EventOps.seqEntropy(cyc, "user_id",
+      "ts", "event_id", "event_type").collect()(0)
+    assert(rc.getAs[Double]("h_cond") === 0.0)
+    assert(math.abs(rc.getAs[Double]("h_next") - math.log(3.0) /
+      math.log(2.0)) < 0.01)
+    assert(rc.getAs[Double]("info_gain") ===
+      rc.getAs[Double]("h_next") - rc.getAs[Double]("h_cond"))
+    // iid: knowing prev tells nothing
+    val rnd = new scala.util.Random(83)
+    val iid = (0 until 6000).map(i => (1L + i % 4, i.toLong,
+      new Timestamp(1700000000000L + i * 1000L),
+      Seq("a", "b", "c", "d")(rnd.nextInt(4))))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val ri = graft.operators.EventOps.seqEntropy(iid, "user_id",
+      "ts", "event_id", "event_type").collect()(0)
+    assert(math.abs(ri.getAs[Double]("info_gain")) < 0.01,
+      ri.toString)
+    assert(ri.getAs[Long]("n_states") === 4L)
+  }
+
   test("rollingQuantile equals the brute-force lower order statistic " +
     "of each trailing window; p=1.0 is the rolling max") {
     import spark.implicits._

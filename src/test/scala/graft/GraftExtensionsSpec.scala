@@ -813,6 +813,13 @@ class GraftExtensionsSpec extends SparkSpec {
       "'user_id', 'ts', 'event_id', 'value', 0.95, 10)",
       graft.operators.EventOps.rollingQuantile(ev, "user_id", "ts",
         "event_id", "value", 0.95, 10))
+    assertParity(s2, "SELECT * FROM forecast_baseline('ev_hs', " +
+      "'ts', 'value', 7)",
+      graft.operators.EventOps.forecastBaseline(ev, "ts", "value", 7))
+    assertParity(s2, "SELECT * FROM seq_entropy('ev_hs', " +
+      "'user_id', 'ts', 'event_id', 'event_type')",
+      graft.operators.EventOps.seqEntropy(ev, "user_id", "ts",
+        "event_id", "event_type"))
     assertParity(s2, "SELECT * FROM seasonal_decompose('ev_hs', " +
       "'ts', 'value', 7)",
       graft.operators.EventOps.seasonalDecompose(ev, "ts", "value", 7))
