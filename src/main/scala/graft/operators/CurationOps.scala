@@ -649,8 +649,15 @@ object CurationOps {
       posexplode(array(cols.map(c => col(c).cast("double")): _*))
         .as(Seq("cidx", "v")))
     val g = longDf.groupBy("cidx", "v").agg(count(lit(1)).as("c"))
-    val cum = RankSpine.cumulative(g, "v", Seq("c"), Seq("cum"),
-      partitionCols = Seq("cidx"))
+    // pinned: `cum` feeds BOTH the reference build (pos→ref→refCum)
+    // and the span-mean join — unpinned, the whole grouped spine
+    // recomputes per consumer (measured 12.1 → 9.9 s warm at sf0.1
+    // together with the refCum pin; the remaining cost is the
+    // irreducible rank-explode + 1.8M-rank reference aggregate +
+    // row-level join-back — the spearman_matrix cost class ×2)
+    val cum = graft.tools.Checkpoints.pin(
+      RankSpine.cumulative(g, "v", Seq("c"), Seq("cum"),
+        partitionCols = Seq("cidx")))
     val pos = cum.select(col("cidx"), col("v"),
       explode(sequence(col("cum") - col("c") + lit(1L), col("cum")))
         .as("r"))
@@ -663,11 +670,12 @@ object CurationOps {
     // at scale 6 both engines round the same doubles identically.
     val ref = pos.groupBy("r")
       .agg(sum(col("v").cast(dec6)).as("__ref"))
-    val refCum = RankSpine.cumulative(
+    // pinned for the same reason: read twice (hi and lo rank joins)
+    val refCum = graft.tools.Checkpoints.pin(RankSpine.cumulative(
         ref.select(col("r").cast("double").as("rv"), col("__ref")),
         "rv", Seq("__ref"), Seq("__refcum"))
       .select(col("rv").cast("bigint").as("r"),
-        col("__refcum").cast("double").as("rc"))
+        col("__refcum").cast("double").as("rc")))
     val hi = refCum.select(col("r").as("__rhi"), col("rc").as("__ch"))
     val lo = refCum.select(col("r").as("__rlo"), col("rc").as("__cl"))
     val mapped = cum
