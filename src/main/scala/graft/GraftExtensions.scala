@@ -630,7 +630,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "quantile_reg" -> GraftExtensions.quantileRegPlan _,
       "quantile_normalize" -> GraftExtensions.quantileNormalizePlan _,
       "forecast_baseline" -> GraftExtensions.forecastBaselinePlan _,
-      "seq_entropy" -> GraftExtensions.seqEntropyPlan _)
+      "seq_entropy" -> GraftExtensions.seqEntropyPlan _,
+      "eb_shrinkage" -> GraftExtensions.ebShrinkagePlan _,
+      "rolling_corr" -> GraftExtensions.rollingCorrPlan _)
     r13Tvfs.foreach { case (name, builder) =>
       ext.injectTableFunction((FunctionIdentifier(name),
         new ExpressionInfo(GraftExtensions.getClass.getName, name),
@@ -2743,6 +2745,43 @@ object GraftExtensions {
     val df = namedTable("mmr", litStr("mmr", "table", exprs(0)),
       Seq(q, c, r, e))
     graft.operators.SimilarityOps.mmrRerank(df, q, c, r, e, k, lam)
+      .queryExecution.analyzed
+  }
+
+  /** `eb_shrinkage(table, entity_col, hit_col [, min_n])` —
+    * Beta-Binomial empirical-Bayes rate shrinkage
+    * ([[graft.operators.StatsOps.ebShrinkage]]). Returns one row per
+    * entity `(entity, n, x, rate_raw, rate_shrunk, alpha, beta)`. */
+  private[graft] def ebShrinkagePlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("eb_shrinkage(table, entity_col, hit_col [, min_n])",
+      exprs, 3, 4)
+    val e = litStr("eb_shrinkage", "entity_col", exprs(1))
+    val h = litStr("eb_shrinkage", "hit_col", exprs(2))
+    val minN = if (exprs.length > 3)
+      litDouble("eb_shrinkage", "min_n", exprs(3)).toLong else 5L
+    val df = namedTable("eb_shrinkage",
+      litStr("eb_shrinkage", "table", exprs(0)), Seq(e, h))
+    graft.operators.StatsOps.ebShrinkage(df, e, h, minN)
+      .queryExecution.analyzed
+  }
+
+  /** `rolling_corr(table, ts_col, x_col, y_col [, span])` — trailing
+    * correlation of two daily series
+    * ([[graft.operators.EventOps.rollingCorr]]). Returns
+    * `(d, x, y, rcorr)`. */
+  private[graft] def rollingCorrPlan(exprs: Seq[Expression])
+      : LogicalPlan = {
+    arity("rolling_corr(table, ts_col, x_col, y_col [, span])",
+      exprs, 4, 5)
+    val t = litStr("rolling_corr", "ts_col", exprs(1))
+    val x = litStr("rolling_corr", "x_col", exprs(2))
+    val y = litStr("rolling_corr", "y_col", exprs(3))
+    val span = if (exprs.length > 4)
+      litDouble("rolling_corr", "span", exprs(4)).toInt else 14
+    val df = namedTable("rolling_corr",
+      litStr("rolling_corr", "table", exprs(0)), Seq(t, x, y))
+    graft.operators.EventOps.rollingCorr(df, t, x, y, span)
       .queryExecution.analyzed
   }
 

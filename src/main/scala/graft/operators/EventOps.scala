@@ -327,6 +327,52 @@ object EventOps {
       .orderBy("g", "lag")
   }
 
+  /** Rolling Pearson correlation between two daily series over a
+    * trailing `span`-day window — "are these two metrics still moving
+    * together", the relationship MONITOR where [[xcorr]] is the
+    * one-shot estimate: a correlation that decays over the window
+    * stream is how coupling breakdowns (a broken event pipeline, a
+    * cannibalizing feature) actually surface. Exact: windowed
+    * DECIMAL sums fold per frame, Pearson closed form per row, NULL
+    * until the frame is full or when either side is flat.
+    *
+    * Scale: corpus → one row per day; every window is a bounded ROWS
+    * frame on the date-bounded series under a [[BoundedWindow]] key. */
+  def rollingCorr(df: DataFrame, tsCol: String, xCol: String,
+      yCol: String, span: Int = 14): DataFrame = {
+    require(span >= 3 && span <= 365,
+      s"span must be in [3, 365]; got $span")
+    import org.apache.spark.sql.expressions.Window
+    val dec6 = DecimalType(38, 6)
+    val daily = df.groupBy(to_date(col(tsCol)).as("d"))
+      .agg((sum(col(xCol).cast(dec6)).cast("double") /
+          count(col(xCol)).cast("double")).as("x"),
+        (sum(col(yCol).cast(dec6)).cast("double") /
+          count(col(yCol)).cast("double")).as("y"))
+    val w = Window.partitionBy(BoundedWindow.key(col("d")))
+      .orderBy("d").rowsBetween(-(span - 1), Window.currentRow)
+    val rolled = daily.select(col("d"), col("x"), col("y"),
+      count(lit(1)).over(w).as("__n"),
+      sum(col("x").cast(dec6)).over(w).cast("double").as("__sx"),
+      sum(col("y").cast(dec6)).over(w).cast("double").as("__sy"),
+      sum((col("x") * col("x")).cast(dec6)).over(w).cast("double")
+        .as("__sxx"),
+      sum((col("y") * col("y")).cast(dec6)).over(w).cast("double")
+        .as("__syy"),
+      sum((col("x") * col("y")).cast(dec6)).over(w).cast("double")
+        .as("__sxy"))
+    val n = col("__n").cast("double")
+    val vx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vy = n * col("__syy") - col("__sy") * col("__sy")
+    val corr = (n * col("__sxy") - col("__sx") * col("__sy")) /
+      sqrt(vx * vy)
+    rolled.select(col("d"), r6(col("x")).as("x"),
+        r6(col("y")).as("y"),
+        when(col("__n") === span && vx > 0 && vy > 0, r6(corr))
+          .as("rcorr"))
+      .orderBy("d")
+  }
+
   /** Sequence predictability: the conditional entropy H(next | prev)
     * of per-user event-type transitions vs the marginal H(next) —
     * how much knowing the previous action actually narrows the next
@@ -1323,6 +1369,58 @@ object EventOps {
       None,
       (s, d) => pacf(Tables.events(s, d), "event_type", "ts",
         "value", 8)),
+
+    // Are clicks and purchases still moving together day to day —
+    // the trailing-window correlation monitor.
+    Query(
+      "q_rolling_corr",
+      Some("""WITH s AS (
+                SELECT ts,
+                       CASE WHEN event_type = 'click'
+                         THEN value END AS xv,
+                       CASE WHEN event_type = 'purchase'
+                         THEN value END AS yv
+                FROM events),
+              daily AS (SELECT CAST(date_trunc('day', ts) AS DATE)
+                          AS d,
+                        CAST(sum(CAST(xv AS DECIMAL(38,6)))
+                            AS DOUBLE)
+                          / CAST(count(xv) AS DOUBLE) AS x,
+                        CAST(sum(CAST(yv AS DECIMAL(38,6)))
+                            AS DOUBLE)
+                          / CAST(count(yv) AS DOUBLE) AS y
+                        FROM s GROUP BY 1),
+              r AS (SELECT d, x, y,
+                      count(*) OVER w AS n,
+                      CAST(sum(CAST(x AS DECIMAL(38,6))) OVER w
+                        AS DOUBLE) AS sx,
+                      CAST(sum(CAST(y AS DECIMAL(38,6))) OVER w
+                        AS DOUBLE) AS sy,
+                      CAST(sum(CAST(x * x AS DECIMAL(38,6))) OVER w
+                        AS DOUBLE) AS sxx,
+                      CAST(sum(CAST(y * y AS DECIMAL(38,6))) OVER w
+                        AS DOUBLE) AS syy,
+                      CAST(sum(CAST(x * y AS DECIMAL(38,6))) OVER w
+                        AS DOUBLE) AS sxy
+                    FROM daily WINDOW w AS (ORDER BY d
+                      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+              SELECT d, round(x * 1000000.0)/1000000.0 AS x,
+                     round(y * 1000000.0)/1000000.0 AS y,
+                     round(CASE WHEN n = 14
+                         AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+                         AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+                       THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                           * (CAST(n AS DOUBLE) * syy - sy * sy))
+                       END * 1000000.0)/1000000.0 AS rcorr
+              FROM r ORDER BY d"""),
+      (s, d) => rollingCorr(Tables.events(s, d)
+          .select(col("ts"),
+            when(col("event_type") === "click", col("value"))
+              .as("xv"),
+            when(col("event_type") === "purchase", col("value"))
+              .as("yv")),
+        "ts", "xv", "yv")),
 
     // Is user behavior sequence-structured or a biased coin — the
     // conditional-vs-marginal entropy of event-type transitions.

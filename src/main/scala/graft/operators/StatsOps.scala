@@ -875,6 +875,53 @@ object StatsOps {
       .orderBy("look")
   }
 
+  /** Empirical-Bayes (Beta-Binomial) shrinkage of per-entity rates —
+    * the "don't trust 1-for-1 = 100%" estimator every leaderboard,
+    * seller-score, and CTR table needs: fit Beta(α, β) to the
+    * observed rate distribution by method of moments
+    * (α+β = m(1−m)/v − 1 over entities, the classic MoM prior), then
+    * shrink each entity to (x + α)/(n + α + β) — small-n entities
+    * pull hard toward the global mean, large-n entities keep their
+    * data. Entities below `minN` are EXCLUDED from the prior fit
+    * (their noisy rates would inflate v and weaken shrinkage) but
+    * still shrunk and emitted.
+    *
+    * Scale: one per-entity aggregate, one 1-row moment fold
+    * broadcast back, a codegen'd projection. Degenerate prior
+    * (v ≥ m(1−m) or v = 0) → NULL shrunk rates, raw rates intact. */
+  def ebShrinkage(df: DataFrame, entityCol: String, hitCol: String,
+      minN: Long = 5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec12 = DecimalType(38, 12)
+    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    val y = when(col(hitCol).cast("boolean"), 1L).otherwise(0L)
+    val per = df.groupBy(col(entityCol).as("entity"))
+      .agg(count(lit(1)).as("n"), sum(y).as("x"))
+    val rate = col("x").cast("double") / col("n").cast("double")
+    val mom = per.filter(col("n") >= minN)
+      .agg(count(lit(1)).cast("double").as("k"),
+        sum(rate.cast(dec12)).cast("double").as("sr"),
+        sum((rate * rate).cast(dec12)).cast("double").as("srr"))
+    val m = col("sr") / col("k")
+    val v = (col("srr") - col("sr") * col("sr") / col("k")) /
+      (col("k") - 1)
+    val ab = m * (lit(1.0) - m) / v - 1
+    val prior = mom.select(
+      when(col("k") > 1 && v > 0 && ab > 0,
+        struct((m * ab).as("alpha"),
+          ((lit(1.0) - m) * ab).as("beta"))).as("p"))
+      .select(col("p.alpha").as("__alpha"), col("p.beta").as("__beta"))
+    per.crossJoin(broadcast(prior))
+      .select(col("entity"), col("n"), col("x"),
+        r6(rate).as("rate_raw"),
+        r6((col("x").cast("double") + col("__alpha")) /
+          (col("n").cast("double") + col("__alpha") + col("__beta")))
+          .as("rate_shrunk"),
+        r6(col("__alpha")).as("alpha"),
+        r6(col("__beta")).as("beta"))
+      .orderBy("entity")
+  }
+
   /** Gumbel extreme-value fit on block maxima — "how bad does the
     * worst day get": daily maxima of `valCol`, Gumbel
     * method-of-moments (β = s·√6/π, μ = m − γβ with Euler's
@@ -2436,6 +2483,52 @@ object StatsOps {
               .as("arm"),
             col("value")),
         "ts", "arm", "value", "A", "B")),
+
+    // Don't trust a 1-for-1 customer: per-customer completion rates
+    // shrunk through a method-of-moments Beta prior.
+    Query(
+      "q_eb_shrinkage",
+      Some("""WITH per AS (
+                SELECT o_custkey AS entity, count(*) AS n,
+                       sum(CASE WHEN o_orderstatus = 'F'
+                         THEN 1 ELSE 0 END) AS x
+                FROM orders GROUP BY 1),
+              mom AS (SELECT CAST(count(*) AS DOUBLE) AS k,
+                        CAST(sum(CAST(CAST(x AS DOUBLE)
+                            / CAST(n AS DOUBLE) AS DECIMAL(38,12)))
+                          AS DOUBLE) AS sr,
+                        CAST(sum(CAST((CAST(x AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                            * (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                            AS DECIMAL(38,12))) AS DOUBLE) AS srr
+                      FROM per WHERE n >= 5),
+              pr AS (SELECT k, sr / k AS m,
+                       (srr - sr * sr / k) / (k - 1) AS v
+                     FROM mom),
+              pr2 AS (SELECT
+                        CASE WHEN k > 1 AND v > 0
+                            AND m * (1.0 - m) / v - 1 > 0
+                          THEN m * (m * (1.0 - m) / v - 1) END
+                          AS alpha,
+                        CASE WHEN k > 1 AND v > 0
+                            AND m * (1.0 - m) / v - 1 > 0
+                          THEN (1.0 - m) * (m * (1.0 - m) / v - 1)
+                          END AS beta
+                      FROM pr)
+              SELECT entity, CAST(n AS BIGINT) AS n,
+                     CAST(x AS BIGINT) AS x,
+                     round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                       * 1000000.0)/1000000.0 AS rate_raw,
+                     round((CAST(x AS DOUBLE) + alpha)
+                         / (CAST(n AS DOUBLE) + alpha + beta)
+                       * 1000000.0)/1000000.0 AS rate_shrunk,
+                     round(alpha * 1000000.0)/1000000.0 AS alpha,
+                     round(beta * 1000000.0)/1000000.0 AS beta
+              FROM per CROSS JOIN pr2 ORDER BY entity"""),
+      (s, d) => ebShrinkage(Tables.orders(s, d)
+          .select(col("o_custkey").as("cust"),
+            (col("o_orderstatus") === "F").as("hit")),
+        "cust", "hit")),
 
     // How bad does the worst day get — Gumbel fit on daily maxima
     // with 10- and 100-day return levels.

@@ -894,6 +894,40 @@ class EventOpsSpec extends SparkSpec {
     assert(oc.forall(_.getAs[Double]("cleaned") == 7.0))
   }
 
+  test("rollingCorr: +1 on perfectly coupled series, -1 on inverted, " +
+    "decays when the coupling breaks mid-stream; NULL until the " +
+    "frame fills") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(1700000000000L + day * 86400000L)
+    val rnd = new scala.util.Random(89)
+    // x random walk; y = 2x + 1 for 30 days, then y decouples
+    val xs = Seq.iterate(10.0, 60)(v => v + rnd.nextGaussian())
+    val rows = xs.zipWithIndex.map { case (x, d) =>
+      val y = if (d < 30) 2 * x + 1 else rnd.nextGaussian() * 5
+      (ts(d), x, y)
+    }
+    val out = graft.operators.EventOps.rollingCorr(
+      rows.toDF("ts", "xv", "yv"), "ts", "xv", "yv", span = 10)
+      .collect().sortBy(_.getDate(0).getTime)
+    (0 until 9).foreach(i => assert(out(i).isNullAt(
+      out(i).fieldIndex("rcorr")), s"day $i should be NULL"))
+    (9 until 30).foreach(i =>
+      assert(math.abs(out(i).getAs[Double]("rcorr") - 1.0) < 1e-6,
+        s"coupled day $i"))
+    // once the frame is fully post-break, correlation is near 0
+    val tail = out.drop(45).map(_.getAs[Double]("rcorr"))
+    assert(tail.forall(c => math.abs(c) < 0.75), tail.mkString(","))
+    // inverted coupling
+    val inv = xs.zipWithIndex.map { case (x, d) =>
+      (ts(d), x, -3 * x + 7) }
+    val oi = graft.operators.EventOps.rollingCorr(
+      inv.toDF("ts", "xv", "yv"), "ts", "xv", "yv", span = 10)
+      .collect().sortBy(_.getDate(0).getTime)
+    oi.drop(9).foreach(r =>
+      assert(math.abs(r.getAs[Double]("rcorr") + 1.0) < 1e-6))
+  }
+
   test("forecastBaseline: naive is exact on a constant series, " +
     "seasonal-naive wins on a pure weekly pattern, drift wins on a " +
     "pure trend") {

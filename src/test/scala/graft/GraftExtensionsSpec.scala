@@ -820,6 +820,16 @@ class GraftExtensionsSpec extends SparkSpec {
       "'user_id', 'ts', 'event_id', 'event_type')",
       graft.operators.EventOps.seqEntropy(ev, "user_id", "ts",
         "event_id", "event_type"))
+    val rcEv = {
+      import org.apache.spark.sql.functions.{col, when}
+      ev.select(col("ts"),
+        when(col("event_type") === "view", col("value")).as("xv"),
+        when(col("event_type") === "error", col("value")).as("yv"))
+    }
+    rcEv.createOrReplaceTempView("ev_rc")
+    assertParity(s2, "SELECT * FROM rolling_corr('ev_rc', 'ts', " +
+      "'xv', 'yv', 7)",
+      graft.operators.EventOps.rollingCorr(rcEv, "ts", "xv", "yv", 7))
     assertParity(s2, "SELECT * FROM seasonal_decompose('ev_hs', " +
       "'ts', 'value', 7)",
       graft.operators.EventOps.seasonalDecompose(ev, "ts", "value", 7))
@@ -1335,6 +1345,11 @@ class GraftExtensionsSpec extends SparkSpec {
       StatsOps.msprt(msEv, "ts", "arm", "value", "A", "B"))
     assertParity(s2, "SELECT * FROM evt_gumbel('ht_events', 'ts', " +
       "'value')", StatsOps.evtGumbel(ev, "ts", "value"))
+    val ebOrd = ord.select(col("o_custkey").as("cust"),
+      (col("o_orderstatus") === "F").as("hit"))
+    ebOrd.createOrReplaceTempView("ht_eb")
+    assertParity(s2, "SELECT * FROM eb_shrinkage('ht_eb', 'cust', " +
+      "'hit', 3)", StatsOps.ebShrinkage(ebOrd, "cust", "hit", 3))
     assertParity(s2, "SELECT * FROM ltv_curve('ht_orders', " +
       "'o_custkey', 'o_orderdate', 'o_totalprice', 6)",
       graft.operators.FitOps.ltvCurve(ord, "o_custkey",

@@ -780,6 +780,48 @@ class StatsOpsSpec extends SparkSpec {
       s"false detection on a true null: ${nul.last}")
   }
 
+  test("ebShrinkage: small-n entities pull toward the prior mean, " +
+    "large-n keep their data, ordering by evidence holds, and a " +
+    "degenerate prior yields NULL shrunk rates") {
+    import spark.implicits._
+    import graft.operators.StatsOps
+    val rnd = new scala.util.Random(97)
+    // entities with true rates ~ Beta(4, 6) (mean 0.4), varying n
+    val rows = (1 to 400).flatMap { e =>
+      val p = {
+        // crude Beta(4,6) via order statistics of 9 uniforms
+        val u = Seq.fill(9)(rnd.nextDouble()).sorted; u(3)
+      }
+      val n = if (e % 10 == 0) 2 else 20 + rnd.nextInt(180)
+      (1 to n).map(_ => (e.toLong, rnd.nextDouble() < p))
+    }
+    val df = rows.toDF("ent", "hit")
+    val out = StatsOps.ebShrinkage(df, "ent", "hit").collect()
+    val alpha = out.head.getAs[Double]("alpha")
+    val beta = out.head.getAs[Double]("beta")
+    assert(alpha > 0 && beta > 0)
+    val priorMean = alpha / (alpha + beta)
+    out.foreach { r =>
+      val raw = r.getAs[Double]("rate_raw")
+      val shr = r.getAs[Double]("rate_shrunk")
+      val n = r.getAs[Long]("n")
+      // shrinkage moves every estimate TOWARD the prior mean
+      assert((shr - raw).abs <= (priorMean - raw).abs + 1e-9,
+        s"overshot the prior: $r")
+      if (n <= 2 && (raw - priorMean).abs > 0.05)
+        assert((shr - priorMean).abs < (raw - priorMean).abs,
+          s"tiny-n entity not shrunk: $r")
+      if (n >= 150)
+        assert((shr - raw).abs < 0.1, s"big-n entity over-shrunk: $r")
+    }
+    // degenerate: all entities identical rates -> v = 0 -> NULL shrunk
+    val const = (1 to 50).flatMap(e =>
+      (1 to 10).map(i => (e.toLong, i % 2 == 0))).toDF("ent", "hit")
+    val oc = StatsOps.ebShrinkage(const, "ent", "hit").collect()
+    assert(oc.forall(_.isNullAt(oc.head.fieldIndex("rate_shrunk"))))
+    assert(oc.forall(r => !r.isNullAt(r.fieldIndex("rate_raw"))))
+  }
+
   test("evtGumbel: MoM identities hold and return levels are ordered " +
     "on a planted Gumbel sample; degenerate constant maxima give NULLs") {
     import spark.implicits._
