@@ -351,15 +351,23 @@ object EventOps {
           count(col(yCol)).cast("double")).as("y"))
     val w = Window.partitionBy(BoundedWindow.key(col("d")))
       .orderBy("d").rowsBetween(-(span - 1), Window.currentRow)
+    // Pair-complete days only (r15 advice): a day with events on one
+    // side but none on the other has a NULL x or y — the sums skip it
+    // but a bare count(*) would still include it, silently mixing a
+    // larger n with fewer summed points. Every moment is gated on
+    // BOTH sides present, and rcorr emits only when the full span is
+    // pair-complete; a one-sided day inside the frame yields NULL.
+    val both = col("x").isNotNull && col("y").isNotNull
+    val xb = when(both, col("x")); val yb = when(both, col("y"))
     val rolled = daily.select(col("d"), col("x"), col("y"),
-      count(lit(1)).over(w).as("__n"),
-      sum(col("x").cast(dec6)).over(w).cast("double").as("__sx"),
-      sum(col("y").cast(dec6)).over(w).cast("double").as("__sy"),
-      sum((col("x") * col("x")).cast(dec6)).over(w).cast("double")
+      count(when(both, lit(1))).over(w).as("__n"),
+      sum(xb.cast(dec6)).over(w).cast("double").as("__sx"),
+      sum(yb.cast(dec6)).over(w).cast("double").as("__sy"),
+      sum((xb * xb).cast(dec6)).over(w).cast("double")
         .as("__sxx"),
-      sum((col("y") * col("y")).cast(dec6)).over(w).cast("double")
+      sum((yb * yb).cast(dec6)).over(w).cast("double")
         .as("__syy"),
-      sum((col("x") * col("y")).cast(dec6)).over(w).cast("double")
+      sum((xb * yb).cast(dec6)).over(w).cast("double")
         .as("__sxy"))
     val n = col("__n").cast("double")
     val vx = n * col("__sxx") - col("__sx") * col("__sx")
@@ -461,20 +469,27 @@ object EventOps {
       ("drift", when(col("__t") >= 3, drift)))
     val errRows = methods.map { case (name, fc) =>
       val e = col("v") - fc
+      // MAPE terms skip days whose actual is exactly 0 (r15 advice:
+      // |e|/|v| at v=0 is Infinity, and the ANSI DECIMAL cast then
+      // fails the whole query) — NULL-and-exclude with its OWN count
+      // (n_mape), stated here and mirrored in the oracle.
       lagged.filter(fc.isNotNull)
         .agg(count(lit(1)).as("n"),
           sum(abs(e).cast(dec12)).cast("double").as("__sae"),
           sum((e * e).cast(dec12)).cast("double").as("__sse"),
-          sum((abs(e) / abs(col("v"))).cast(dec12)).cast("double")
-            .as("__sape"))
+          sum(when(col("v") =!= 0, abs(e) / abs(col("v")))
+            .cast(dec12)).cast("double").as("__sape"),
+          count(when(col("v") =!= 0, lit(1))).as("__nape"))
         .select(lit(name).as("method"), col("n"), col("__sae"),
-          col("__sse"), col("__sape"))
+          col("__sse"), col("__sape"), col("__nape"))
     }.reduce(_ unionByName _)
     val n = col("n").cast("double")
     errRows.select(col("method"), col("n"),
         r6(col("__sae") / n).as("mae"),
         r6(sqrt(col("__sse") / n)).as("rmse"),
-        r6(col("__sape") / n * 100).as("mape"))
+        when(col("__nape") > 0,
+          r6(col("__sape") / col("__nape").cast("double") * 100))
+          .as("mape"))
       .orderBy("method")
   }
 
@@ -1390,19 +1405,25 @@ object EventOps {
                             AS DOUBLE)
                           / CAST(count(yv) AS DOUBLE) AS y
                         FROM s GROUP BY 1),
+              db AS (SELECT d, x, y,
+                       CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                         THEN x END AS xb,
+                       CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                         THEN y END AS yb
+                     FROM daily),
               r AS (SELECT d, x, y,
-                      count(*) OVER w AS n,
-                      CAST(sum(CAST(x AS DECIMAL(38,6))) OVER w
+                      count(xb) OVER w AS n,
+                      CAST(sum(CAST(xb AS DECIMAL(38,6))) OVER w
                         AS DOUBLE) AS sx,
-                      CAST(sum(CAST(y AS DECIMAL(38,6))) OVER w
+                      CAST(sum(CAST(yb AS DECIMAL(38,6))) OVER w
                         AS DOUBLE) AS sy,
-                      CAST(sum(CAST(x * x AS DECIMAL(38,6))) OVER w
+                      CAST(sum(CAST(xb * xb AS DECIMAL(38,6))) OVER w
                         AS DOUBLE) AS sxx,
-                      CAST(sum(CAST(y * y AS DECIMAL(38,6))) OVER w
+                      CAST(sum(CAST(yb * yb AS DECIMAL(38,6))) OVER w
                         AS DOUBLE) AS syy,
-                      CAST(sum(CAST(x * y AS DECIMAL(38,6))) OVER w
+                      CAST(sum(CAST(xb * yb AS DECIMAL(38,6))) OVER w
                         AS DOUBLE) AS sxy
-                    FROM daily WINDOW w AS (ORDER BY d
+                    FROM db WINDOW w AS (ORDER BY d
                       ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
               SELECT d, round(x * 1000000.0)/1000000.0 AS x,
                      round(y * 1000000.0)/1000000.0 AS y,
@@ -1489,24 +1510,30 @@ object EventOps {
                          AS DECIMAL(38,12))) AS DOUBLE) AS sae,
                        CAST(sum(CAST((v - f_naive) * (v - f_naive)
                          AS DECIMAL(38,12))) AS DOUBLE) AS sse,
-                       CAST(sum(CAST(abs(v - f_naive) / abs(v)
-                         AS DECIMAL(38,12))) AS DOUBLE) AS sape
+                       CAST(sum(CAST(CASE WHEN v <> 0
+                           THEN abs(v - f_naive) / abs(v) END
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sape,
+                       count(CASE WHEN v <> 0 THEN 1 END) AS nape
                      FROM fc WHERE f_naive IS NOT NULL),
               e2 AS (SELECT 'seasonal_naive' AS method, count(*) AS n,
                        CAST(sum(CAST(abs(v - f_snaive)
                          AS DECIMAL(38,12))) AS DOUBLE) AS sae,
                        CAST(sum(CAST((v - f_snaive) * (v - f_snaive)
                          AS DECIMAL(38,12))) AS DOUBLE) AS sse,
-                       CAST(sum(CAST(abs(v - f_snaive) / abs(v)
-                         AS DECIMAL(38,12))) AS DOUBLE) AS sape
+                       CAST(sum(CAST(CASE WHEN v <> 0
+                           THEN abs(v - f_snaive) / abs(v) END
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sape,
+                       count(CASE WHEN v <> 0 THEN 1 END) AS nape
                      FROM fc WHERE f_snaive IS NOT NULL),
               e3 AS (SELECT 'drift' AS method, count(*) AS n,
                        CAST(sum(CAST(abs(v - f_drift)
                          AS DECIMAL(38,12))) AS DOUBLE) AS sae,
                        CAST(sum(CAST((v - f_drift) * (v - f_drift)
                          AS DECIMAL(38,12))) AS DOUBLE) AS sse,
-                       CAST(sum(CAST(abs(v - f_drift) / abs(v)
-                         AS DECIMAL(38,12))) AS DOUBLE) AS sape
+                       CAST(sum(CAST(CASE WHEN v <> 0
+                           THEN abs(v - f_drift) / abs(v) END
+                         AS DECIMAL(38,12))) AS DOUBLE) AS sape,
+                       count(CASE WHEN v <> 0 THEN 1 END) AS nape
                      FROM fc WHERE f_drift IS NOT NULL),
               u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
                     UNION ALL SELECT * FROM e3)
@@ -1515,7 +1542,8 @@ object EventOps {
                        * 1000000.0)/1000000.0 AS mae,
                      round(sqrt(sse / CAST(n AS DOUBLE))
                        * 1000000.0)/1000000.0 AS rmse,
-                     round(sape / CAST(n AS DOUBLE) * 100
+                     round(CASE WHEN nape > 0 THEN
+                         sape / CAST(nape AS DOUBLE) * 100 END
                        * 1000000.0)/1000000.0 AS mape
               FROM u ORDER BY method"""),
       (s, d) => forecastBaseline(Tables.events(s, d), "ts", "value")),

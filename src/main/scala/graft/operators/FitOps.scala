@@ -1674,17 +1674,24 @@ object FitOps {
                       n * s11 - s1 * s1 AS vr
                     FROM g),
               b AS (SELECT *,
-                      (sy * (s11 * s22 - s12 * s12)
-                        - s1 * (s1y * s22 - s12 * s2y)
-                        + s2 * (s1y * s12 - s11 * s2y)) / det AS b0,
-                      (n * (s1y * s22 - s12 * s2y)
-                        - sy * (s1 * s22 - s12 * s2)
-                        + s2 * (s1 * s2y - s1y * s2)) / det AS b1,
-                      (n * (s11 * s2y - s1y * s12)
-                        - s1 * (s1 * s2y - s1y * s2)
-                        + sy * (s1 * s12 - s11 * s2)) / det AS b2,
-                      (n * s1y - s1 * sy) / vr AS br
-                    FROM c WHERE det <> 0 AND vr <> 0 AND nn > 3),
+                      CASE WHEN det <> 0 AND vr <> 0 AND nn > 3 THEN
+                        (sy * (s11 * s22 - s12 * s12)
+                          - s1 * (s1y * s22 - s12 * s2y)
+                          + s2 * (s1y * s12 - s11 * s2y)) / det
+                        END AS b0,
+                      CASE WHEN det <> 0 AND vr <> 0 AND nn > 3 THEN
+                        (n * (s1y * s22 - s12 * s2y)
+                          - sy * (s1 * s22 - s12 * s2)
+                          + s2 * (s1 * s2y - s1y * s2)) / det
+                        END AS b1,
+                      CASE WHEN det <> 0 AND vr <> 0 AND nn > 3 THEN
+                        (n * (s11 * s2y - s1y * s12)
+                          - s1 * (s1 * s2y - s1y * s2)
+                          + sy * (s1 * s12 - s11 * s2)) / det
+                        END AS b2,
+                      CASE WHEN det <> 0 AND vr <> 0 AND nn > 3 THEN
+                        (n * s1y - s1 * sy) / vr END AS br
+                    FROM c),
               e AS (SELECT *,
                       syy - (b0 * sy + b1 * s1y + b2 * s2y) AS sse_u,
                       syy - (((sy - br * s1) / n) * sy + br * s1y)
@@ -1884,12 +1891,15 @@ object FitOps {
                     FROM flt),
               c AS (SELECT nn, n, sy, sxy,
                       n * sxx - sx * sx AS vx,
-                      (n * sxy - sx * sy) / (n * sxx - sx * sx)
-                        AS beta,
-                      (sy - ((n * sxy - sx * sy)
-                        / (n * sxx - sx * sx)) * sx) / n AS alpha,
+                      CASE WHEN n * sxx - sx * sx <> 0 AND nn > 2
+                        THEN (n * sxy - sx * sy)
+                          / (n * sxx - sx * sx) END AS beta,
+                      CASE WHEN n * sxx - sx * sx <> 0 AND nn > 2
+                        THEN (sy - ((n * sxy - sx * sy)
+                          / (n * sxx - sx * sx)) * sx) / n
+                        END AS alpha,
                       syy AS syy
-                    FROM g WHERE n * sxx - sx * sx <> 0 AND nn > 2),
+                    FROM g),
               e AS (SELECT nn, beta, alpha,
                       syy - (alpha * sy + beta * sxy) AS sse, vx, n
                     FROM c)

@@ -13,12 +13,18 @@ import org.apache.spark.sql.types.DecimalType
   * reduced space).
   *
   * Fit is moment-based: ONE distributed pass builds the d(d+1)/2
-  * upper-triangle second moments and the d first moments — per-row
-  * pair products ride a `transform`/`flatten` HOF explosion into a
-  * map-side-combined (i, j) aggregate (each partition emits ≤ d(d+1)/2
-  * + d rows regardless of row count), with per-term DECIMAL(38,12)
-  * casts so the fit is REPARTITION-DETERMINISTIC (the q_drift stance;
-  * double tree-aggregation order would not be). The ≤(d²/2 + d)-row
+  * upper-triangle second moments and the d first moments — a
+  * per-partition Gram accumulation (`mapPartitions`: each partition
+  * folds its rows into d(d+1)/2 + d exact decimal sums and emits ONLY
+  * those rows, so shuffle volume is partitions·d², independent of n —
+  * the r15 verdict fix for the previous HOF explosion, which shipped
+  * n·(d²/2 + d) struct rows into the aggregate and would be
+  * catastrophic at d=768). Every per-row product is rounded to
+  * DECIMAL scale 12 HALF_UP before the exact BigDecimal add —
+  * identical to the old per-term `cast(DECIMAL(38,12))` — and exact
+  * decimal addition is order- and grouping-invariant, so the fit is
+  * REPARTITION-DETERMINISTIC (the q_drift stance; double
+  * tree-aggregation order would not be). The ≤(d²/2 + d)-row
   * moment table collects to the driver, where the covariance matrix
   * solves by cyclic JACOBI rotations ([[PcaOps.jacobiEigen]] — the
   * classic symmetric eigensolver, deterministic sweep order, no
@@ -118,31 +124,75 @@ object PcaOps {
     (Array.tabulate(n)(i => a(i)(i)), v)
   }
 
+  /** One partition's moment contribution: upper-triangle (i ≤ j)
+    * second-moment sums, first moments at j = -1, row count `c`.
+    * `s` rides the default Decimal encoder (38,18); the accumulated
+    * values are scale-12 so the widening is exact. */
+  private[graft] final case class MomRow(i: Int, j: Int,
+      s: scala.math.BigDecimal, c: Long)
+
+  /** Round a per-row product to DECIMAL scale 12 exactly the way
+    * Spark's `cast(DECIMAL(38,12))` does (shortest decimal string of
+    * the double, then HALF_UP at 12dp) — the invariant that keeps the
+    * partition-folded fit bit-identical to the old per-term-cast
+    * aggregate. */
+  @inline private def dec12Of(p: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(p)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+
   /** Fit a k-component PCA model over `embCol` (array<float/double>,
     * fixed length d). One distributed moment pass; driver Jacobi on
     * the d×d covariance. */
   def pcaFit(df: DataFrame, embCol: String, k: Int): PcaModel = {
-    val dec12 = DecimalType(38, 12)
+    val spark = df.sparkSession
+    import spark.implicits._
     val first = df.select(col(embCol)).filter(col(embCol).isNotNull)
       .limit(1).collect()
     require(first.nonEmpty, "pcaFit: no non-null embeddings")
     val d = first(0).getSeq[Any](0).size
     require(k >= 1 && k <= d, s"pcaFit k must be in [1, $d]; got $k")
-    val x = transform(col(embCol), e => e.cast("double"))
-    // (i, j, x_i * x_j) for i <= j, plus (i, -1, x_i) first moments —
-    // one flat HOF projection, exploded into a map-side-combined agg
-    val pairs = df.filter(col(embCol).isNotNull)
-      .select(explode(concat(
-        flatten(transform(sequence(lit(0), lit(d - 1)), i =>
-          transform(sequence(i, lit(d - 1)), j =>
-            struct(i.as("i"), j.as("j"),
-              (get(x, i) * get(x, j)).as("p"))))),
-        transform(sequence(lit(0), lit(d - 1)), i =>
-          struct(i.as("i"), lit(-1).as("j"),
-            get(x, i).as("p"))))).as("t"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.p").cast(dec12)).as("s"),
-        count(lit(1)).as("c"))
+    val tri = d * (d + 1) / 2
+    // per-partition Gram fold: ≤ tri + d emitted rows per partition
+    // regardless of row count, then one tiny (i, j) decimal-sum
+    // combine — shuffle bytes are partitions·d², never n·d²
+    val partials = df.filter(col(embCol).isNotNull)
+      .select(transform(col(embCol), e => e.cast("double")).as("x"))
+      .as[Seq[Double]]
+      .mapPartitions { rows =>
+        val ss = Array.fill(tri)(java.math.BigDecimal.ZERO)
+        val fm = Array.fill(d)(java.math.BigDecimal.ZERO)
+        var c = 0L
+        rows.foreach { xs =>
+          val arr = xs.toArray
+          require(arr.length == d,
+            s"pcaFit: ragged embedding (${arr.length} vs $d)")
+          var idx = 0; var i = 0
+          while (i < d) {
+            val xi = arr(i)
+            fm(i) = fm(i).add(dec12Of(xi))
+            var j = i
+            while (j < d) {
+              ss(idx) = ss(idx).add(dec12Of(xi * arr(j)))
+              idx += 1; j += 1
+            }
+            i += 1
+          }
+          c += 1
+        }
+        if (c == 0) Iterator.empty
+        else {
+          var idx = -1
+          val up = for (i <- 0 until d; j <- i until d) yield {
+            idx += 1
+            MomRow(i, j, scala.math.BigDecimal(ss(idx)), c)
+          }
+          val fs = (0 until d).map(i =>
+            MomRow(i, -1, scala.math.BigDecimal(fm(i)), c))
+          (up ++ fs).iterator
+        }
+      }
+    val pairs = partials.groupBy("i", "j")
+      .agg(sum(col("s")).as("s"), sum(col("c")).as("c"))
       .collect()
     val n = pairs.find(r => r.getInt(1) == -1).map(_.getLong(3))
       .getOrElse(0L)

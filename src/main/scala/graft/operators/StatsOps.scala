@@ -827,7 +827,14 @@ object StatsOps {
       tau: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val dec6 = DecimalType(38, 6)
-    val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
+    // floor(x·1e6 + 0.5), NOT round(): mean_diff is a quotient of a
+    // DECIMAL(38,6) sum by an integer count — the small-denominator
+    // rational class where exact-.5-at-6dp boundaries occur and
+    // Spark's round() (shortest-decimal-string) and DuckDB's
+    // (exact-binary) disagree. floor(+0.5) is pure double arithmetic,
+    // bit-identical on both engines (same fix as quantileNormalize).
+    val r6 = (c: Column) =>
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
     val looks = df.filter(col(armCol).isin(aVal, bVal))
       .groupBy(to_date(col(tsCol)).as("look"),
         (col(armCol) === aVal).as("isa"))
@@ -2299,19 +2306,21 @@ object StatsOps {
                            CAST((ra - 1) * (cb - 1) AS BIGINT) AS dof
                     FROM s CROSS JOIN d),
               z AS (SELECT n, dof, chi2raw, kd,
-                           (pow(chi2raw / kd, 1.0 / 3.0) - 1.0
-                             + 2.0 / (9.0 * kd))
-                             * sqrt(9.0 * kd / 2) AS z
-                    FROM f WHERE kd > 0)
+                           CASE WHEN kd > 0 THEN
+                             (pow(chi2raw / kd, 1.0 / 3.0) - 1.0
+                               + 2.0 / (9.0 * kd))
+                               * sqrt(9.0 * kd / 2) END AS z
+                    FROM f)
               SELECT n, dof,
-                     round(chi2raw * 1000000.0)/1000000.0 AS chi2,
+                     round(CASE WHEN kd > 0 THEN chi2raw END
+                       * 1000000.0)/1000000.0 AS chi2,
                      round(CASE
                          WHEN kd = 1 THEN ${graft.operators
                            .HypothesisOps
                            .sqlTwoSidedNormalP("sqrt(chi2raw)")}
                          WHEN kd = 2 THEN exp(chi2raw / -2)
-                         ELSE ${graft.operators.HypothesisOps
-                           .sqlUpperNormalP("z")} END
+                         WHEN kd > 2 THEN ${graft.operators
+                           .HypothesisOps.sqlUpperNormalP("z")} END
                        * 1000000.0)/1000000.0 AS p_value
               FROM z"""),
       (s, d) => chisqTest(Tables.lineitem(s, d), "l_returnflag",
@@ -2460,8 +2469,8 @@ object StatsOps {
                      FROM v),
               lam AS (SELECT look, n_a, n_b,
                         CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
-                          THEN round(diff * 1000000.0)/1000000.0 END
-                          AS mean_diff,
+                          THEN floor(diff * 1000000.0 + 0.5)/1000000.0
+                          END AS mean_diff,
                         CASE WHEN n_a > 1 AND n_b > 1 AND se2 > 0
                           THEN sqrt(se2 / (se2 + tauc))
                             * exp(diff * diff * tauc
@@ -2473,9 +2482,9 @@ object StatsOps {
                          ROWS UNBOUNDED PRECEDING) AS maxlam
                      FROM lam)
               SELECT look, n_a, n_b, mean_diff,
-                     round(lam * 1000000.0)/1000000.0 AS lambda,
-                     round(least(1.0, 1.0 / maxlam)
-                       * 1000000.0)/1000000.0 AS p_always_valid
+                     floor(lam * 1000000.0 + 0.5)/1000000.0 AS lambda,
+                     floor(least(1.0, 1.0 / maxlam)
+                       * 1000000.0 + 0.5)/1000000.0 AS p_always_valid
               FROM rn ORDER BY look"""),
       (s, d) => msprt(Tables.events(s, d)
           .select(col("ts"),

@@ -43,8 +43,9 @@ object StreamingTopK {
 
   private def order(t: KeyedToken) = (t.ts.getTime, t.seq)
 
-  /** One Space-Saving update pass; entries stay a sorted-by-(count,
-    * token) Seq — m is small (≤ 256), a linear scan beats hash churn. */
+  /** One Space-Saving update pass; entries are an UNORDERED Seq —
+    * eviction picks the min by `minBy` and the emitting board sorts —
+    * and m is small (≤ 256), so a linear scan beats hash churn. */
   private[streaming] def advance(st: TopKState, m: Int,
       tokens: Seq[String]): TopKState = {
     var entries = st.entries

@@ -46,6 +46,50 @@ object PlanDump {
             i.name.take(80))
         }
       })
+    // --repeat N: run the query N times in ONE session (the bench's
+    // interleaved-round regime) printing per-run wall, the final AQE
+    // join-strategy signature, and the JVM GC-time delta — the
+    // bimodal-runtime (q_setsim_join r15) triage loop: if the
+    // signature flips with the wall, it's a plan variant; if the
+    // signature is stable and GC spikes with the wall, it's heap.
+    args.sliding(2).collectFirst {
+      case Array("--repeat", n) => n.toInt
+    }.foreach { reps =>
+      def gcMillis: Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      }
+      def sig(p: org.apache.spark.sql.execution.SparkPlan): String = {
+        val b = collection.mutable.ListBuffer.empty[String]
+        def walk(q: org.apache.spark.sql.execution.SparkPlan): Unit = {
+          q match {
+            case a: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              walk(a.plan)
+            case a: org.apache.spark.sql.execution.adaptive
+                .AdaptiveSparkPlanExec => walk(a.executedPlan)
+            case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+              b += j.nodeName
+            case _ => ()
+          }
+          q.children.foreach(walk)
+        }
+        walk(p); b.mkString(">")
+      }
+      var gc0 = gcMillis
+      for (i <- 1 to reps) {
+        val dfi = graft.SparkEntry.queries(name)(spark, sfDir)
+        val ti = System.nanoTime()
+        val ni = dfi.count()
+        val wi = (System.nanoTime() - ti) / 1e9
+        val gc1 = gcMillis
+        println(f"[repeat] run=$i wall=$wi%6.2fs rows=$ni " +
+          f"gc_delta=${(gc1 - gc0) / 1000.0}%5.1fs sig=" +
+          sig(dfi.queryExecution.executedPlan))
+        gc0 = gc1
+      }
+      spark.stop(); return
+    }
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     val t0 = System.nanoTime()
     val n = df.count()

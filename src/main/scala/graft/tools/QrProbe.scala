@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: per-step IRLS trajectory of quantileReg's (a, b) on the
+  * REGISTERED gate fixture (lineitem 1/8 stride, q=0.9) — the
+  * measurement behind the `steps` parameter's value. Prints each
+  * step's solved (a, b) and the 6dp-rendered deltas so "converged at
+  * the render boundary" is read off directly.
+  * Usage: runMain graft.tools.QrProbe <sfDir> [steps]
+  */
+object QrProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val steps = if (args.length > 1) args(1).toInt else 20
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val qq = 0.9; val eps = 1e-3
+    val data = graft.tools.Checkpoints.pin(
+      graft.sources.Tables.lineitem(spark, sfDir)
+        .filter(col("l_orderkey") % 8 === 0)
+        .select(col("l_quantity").cast("double").as("x"),
+          (col("l_extendedprice").cast("double") / 1000.0).as("y")))
+    var a = 0.0; var b = 0.0
+    for (k <- 0 to steps) {
+      val r = col("y") - lit(a) - lit(b) * col("x")
+      val w = if (k == 0) lit(1.0)
+        else (when(r < 0, lit(1.0 - qq)).otherwise(lit(qq)) /
+          greatest(lit(eps), abs(r)))
+      val g = data.agg(
+        sum(w.cast(dec)).cast("double").as("sw"),
+        sum((w * col("x")).cast(dec)).cast("double").as("swx"),
+        sum((w * col("y")).cast(dec)).cast("double").as("swy"),
+        sum((w * col("x") * col("x")).cast(dec)).cast("double").as("swxx"),
+        sum((w * col("x") * col("y")).cast(dec)).cast("double").as("swxy"))
+        .head()
+      val (sw, swx, swy, swxx, swxy) =
+        (g.getDouble(0), g.getDouble(1), g.getDouble(2),
+          g.getDouble(3), g.getDouble(4))
+      val b1 = (sw * swxy - swx * swy) / (sw * swxx - swx * swx)
+      val a1 = (swy - b1 * swx) / sw
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      println(f"[qr] step=$k%2d a=$a1%14.8f b=$b1%14.8f " +
+        f"da6=${r6(a1) - r6(a)}%12.3e db6=${r6(b1) - r6(b)}%12.3e")
+      a = a1; b = b1
+    }
+    spark.stop()
+  }
+}

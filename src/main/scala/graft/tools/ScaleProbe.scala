@@ -25,6 +25,7 @@ object ScaleProbe {
     val r15Only = args.contains("--r15-only")
     val r15bOnly = args.contains("--r15b-only")
     val r15cOnly = args.contains("--r15c-only")
+    val pcaOnly = args.contains("--pca-only")
     val posArgs = args.toSeq.filterNot(_.startsWith("--"))
     val sfDir = posArgs.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = if (posArgs.length > 1) posArgs.drop(1).map(_.toInt)
@@ -65,7 +66,7 @@ object ScaleProbe {
     }
 
     println(f"[scale] base corpus: $n0 docs ($sfDir)")
-    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly) {
+    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly && !pcaOnly) {
     println("[scale] mult    docs   pairs_s  clusters_s  simhash_s")
     mults.foreach { m =>
       val (rows, tp, tc, tsh) = corpusTimes(m)
@@ -84,7 +85,7 @@ object ScaleProbe {
     spark.sparkContext.addSparkListener(listener)
     val embBase = Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding")
-    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly) {
+    if (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly && !pcaOnly) {
     println("[scale] knn:  mult    vecs   wall_s   shuffle_mb")
     Seq(1, 2, 4).foreach { m =>
       val vecs = (0 until m)
@@ -582,7 +583,7 @@ object ScaleProbe {
     }
     }
 
-    if (!skewOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly) {
+    if (!skewOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly && !pcaOnly) {
     // Round-12 diagnostics/feature probe: trailingFeatures' only
     // exchange is the user-keyed window shuffle (linear in events —
     // key cardinality scales with the replication); sessionize is the
@@ -658,7 +659,7 @@ object ScaleProbe {
     // values inside the ≤9 crossing buckets, so cut-stage shuffle
     // bytes and wall must stay ~FLAT from 10³ distinct to
     // near-unique while the answer stays integer-exact.
-    if (qbOnly || (!skewOnly && !fxOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly)) {
+    if (qbOnly || (!skewOnly && !fxOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly && !pcaOnly)) {
       println("[scale] qb13: card  rows  bins_s/mb")
       val n = 6000000L
       // absorb codegen/JIT/AQE compile outside the timed rows — a
@@ -694,7 +695,7 @@ object ScaleProbe {
     // scaling (the pair space is quadratic in days by design -- the
     // probe prices it so the growth is a recorded fact, not a
     // surprise).
-    if (fitOnly || (!skewOnly && !fxOnly && !qbOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly)) {
+    if (fitOnly || (!skewOnly && !fxOnly && !qbOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly && !pcaOnly)) {
       import graft.operators.{FitOps, HypothesisOps}
       val ordBase = Tables.orders(spark, sfDir)
         .select("o_orderstatus", "o_totalprice")
@@ -767,7 +768,7 @@ object ScaleProbe {
     // spearman_matrix shuffles the distinct-value rank tables and the
     // rank joins — bytes may grow with distinct values but never with
     // rows² (duplicated values keep the rank tables FIXED here).
-    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !r15Only && !r15bOnly && !r15cOnly)) {
+    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !r15Only && !r15bOnly && !r15cOnly && !pcaOnly)) {
       import graft.operators.{FitOps, HypothesisOps, ProfileOps}
       val liBase = Tables.lineitem(spark, sfDir)
         .select("l_orderkey", "l_quantity", "l_extendedprice",
@@ -812,7 +813,7 @@ object ScaleProbe {
     // count and stay in the same band as the benign uniform shape at
     // equal distinct count — a blown-up heavy/uniform ratio would flag
     // the degeneracy back.
-    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !r15Only && !r15bOnly && !r15cOnly)) {
+    if (spineOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly && !r15Only && !r15bOnly && !r15cOnly && !pcaOnly)) {
       import graft.operators.HypothesisOps
       println("[scale] sp14: shape    distinct    ks_s/mb")
       Seq(500000L, 2000000L).foreach { nd =>
@@ -855,7 +856,7 @@ object ScaleProbe {
     // word-count scan grows — train wall must grow far slower than
     // the corpus multiplier.
     if (r15Only || (!skewOnly && !fxOnly && !qbOnly && !fitOnly &&
-        !spineOnly && !r15bOnly && !r15cOnly)) {
+        !spineOnly && !r15bOnly && !r15cOnly && !pcaOnly)) {
       import graft.operators.HypothesisOps
       val ordBase = Tables.orders(spark, sfDir)
         .select("o_orderkey", "o_totalprice", "o_orderstatus",
@@ -915,7 +916,7 @@ object ScaleProbe {
     // so walls grow ~linearly with the scan and shuffle bytes stay
     // flat (1-row combines).
     if (r15bOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly &&
-        !spineOnly && !r15Only && !r15bOnly && !r15cOnly)) {
+        !spineOnly && !r15Only && !r15bOnly && !r15cOnly && !pcaOnly)) {
       import graft.operators.{DedupOps, FitOps}
       val docsBase = Tables.documents(spark, sfDir)
         .select("doc_id", "lang", "text")
@@ -1049,7 +1050,7 @@ object ScaleProbe {
     // that the shape survives is (a) AQE's skew-join splitting the hot
     // partition ("skew=true" in the executed plan) and (b) wall time
     // in the same band as the balanced corpus at equal size.
-    if (!fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly) {
+    if (!fxOnly && !qbOnly && !fitOnly && !spineOnly && !r15Only && !r15bOnly && !r15cOnly && !pcaOnly) {
       val conf = spark.conf
       val saved = Seq(
         "spark.sql.autoBroadcastJoinThreshold",
@@ -1109,6 +1110,36 @@ object ScaleProbe {
       }
       saved.foreach { case (k, v) =>
         v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
+
+    // pcaFit moment-pass probe (r16): the per-partition Gram fold must
+    // shuffle partitions·d² rows regardless of corpus size — at ×2/×4
+    // the corpus, shuffle MB stays FLAT and wall grows ~linearly. The
+    // r15 HOF-explosion shape shuffled n·(d²/2+d) struct rows (would
+    // read as shuffle MB doubling with the corpus here).
+    if (pcaOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly &&
+        !spineOnly && !r15Only && !r15bOnly && !r15cOnly)) {
+      val pcaListener = new ShuffleBytesListener
+      spark.sparkContext.addSparkListener(pcaListener)
+      println("[scale] pca:  mult    vecs   wall_s   shuffle_mb")
+      Seq(1, 2, 4).foreach { m =>
+        val vecs = (0 until m)
+          .map(i => embBase.select(
+            (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+            col("embedding")))
+          .reduce(_ unionByName _)
+          .repartition(spark.sparkContext.defaultParallelism,
+            col("vec_id"))
+          .localCheckpoint()
+        val n = vecs.count()
+        pcaListener.reset()
+        val t0 = System.nanoTime()
+        graft.operators.PcaOps.pcaFit(vecs, "embedding", 16)
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(2000) // listener bus drains asynchronously
+        println(f"[scale] pca:  $m%4d  $n%6d  $wall%7.2f  " +
+          f"${pcaListener.bytes / 1e6}%10.1f")
+      }
     }
     spark.stop()
   }
