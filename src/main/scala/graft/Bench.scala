@@ -187,6 +187,17 @@ object Bench {
       }
       if (!cut) {
         emit(round, finished = round == RUNS); sinceEmit = 0; round += 1
+        // Post-round storage hygiene: pinned intermediates
+        // (Checkpoints.pin -> localCheckpoint) are freed by the
+        // ContextCleaner only after the driver GCs the RDD handle, so
+        // a 262-query round strands hundreds of MB of orphaned blocks
+        // until an incidental full GC. Accumulated block pressure is
+        // the prime suspect for the r15 late-round slow samples
+        // (q_setsim_join 4.5 <-> 21 s flips in rounds 4-5 while the
+        // same query is flat in an isolated session — PlanDump
+        // --repeat/--warmcache, r16). One explicit GC per round keeps
+        // rounds storage-comparable.
+        System.gc()
       }
     }
     // a cut right at a round boundary added no samples — the previous

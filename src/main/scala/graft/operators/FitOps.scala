@@ -1116,9 +1116,11 @@ object FitOps {
     * [[logitFit]] stance. `eps` floors the weights (the classic IRLS
     * singularity at zero residuals); it is a declared parameter, and
     * its magnitude bounds every decimal pre-sum. Convergence is
-    * LINEAR from the OLS start, and extreme quantiles start further
-    * from their fixed point — q = 0.9 wants ~16 steps where the
-    * median is done in ~8 (measured in FitOpsSpec).
+    * LINEAR from the OLS start and can be SLOW on heavy-tailed data
+    * (QrProbe on the registered lineitem fixture: the intercept still
+    * moves ~0.5-1.0/step at step 16 and at step 20) — `steps` is a
+    * declared budget, not a convergence guarantee, and both engines
+    * replay the identical chain at any value.
     *
     * Eager execution (the olsSolveDriver deviation): steps+2 linear
     * map-side passes, each folding five DECIMAL(38,6)-exact weighted
@@ -1737,12 +1739,19 @@ object FitOps {
       Some(quantRegOracleSql(
         "(SELECT * FROM lineitem WHERE l_orderkey % 8 = 0)",
         "CAST(l_extendedprice AS DOUBLE) / 1000.0", "l_quantity",
-        qq = 0.9, steps = 16, eps = 1e-3)),
+        qq = 0.9, steps = 8, eps = 1e-3)),
+      // steps = 8, measured (QrProbe, r16): on this fixture the IRLS
+      // trajectory is slow-linear — the 6dp-rendered intercept still
+      // moves ~0.5-1.0/step at step 16 AND at step 20, so 16 buys no
+      // convergence milestone over 8; the estimator is a DECLARED
+      // fixed-step replayable chain at either count (the oracle
+      // replays the same 8 steps), and 8 halves the board's
+      // eager-pass bill (18 -> 10 driver round-trips).
       (s, d) => quantileReg(Tables.lineitem(s, d)
           .filter(col("l_orderkey") % 8 === 0)
           .withColumn("y",
             col("l_extendedprice").cast("double") / lit(1000.0)),
-        "y", "l_quantity", 0.9, steps = 16)),
+        "y", "l_quantity", 0.9, steps = 8)),
 
     // The observed LTV curve per signup cohort: cumulative revenue
     // per member at each age - where payback periods are read.

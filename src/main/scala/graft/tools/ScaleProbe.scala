@@ -966,7 +966,7 @@ object ScaleProbe {
     // with shifted query ids (more queries, same bounded candidate
     // lists per query) — linear in queries, never pairwise.
     if (r15cOnly || (!skewOnly && !fxOnly && !qbOnly && !fitOnly &&
-        !spineOnly && !r15Only && !r15bOnly)) {
+        !spineOnly && !r15Only && !r15bOnly && !pcaOnly)) {
       import graft.operators.{EventOps, FitOps, HypothesisOps,
         SimilarityOps}
       val liBase = Tables.lineitem(spark, sfDir)

@@ -143,6 +143,50 @@ class FreqSketchSpec extends SparkSpec {
     val perLang = out.groupBy(_._1)
     assert(perLang.nonEmpty)
     perLang.foreach { case (_, rs) => assert(rs.length === 10) }
+    // QUALITY floor vs exact (r15 verdict item 8): the structural
+    // 10-per-lang check alone would pass a garbage board. Recompute
+    // the exact per-(lang, token) counts with the SAME tokenizer the
+    // registered query uses, and the per-lang merged sketch error,
+    // then assert the Space-Saving guarantees on the real corpus:
+    // every reported estimate brackets its true count within the
+    // merged error, and every true heavy hitter that clears the
+    // 10th-largest true count by more than the error is on the board.
+    FreqSketch.register(spark)
+    val src = graft.sources.Tables(spark, sfDir, "documents")
+    val exactLang = src
+      .select(col("lang"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").count()
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        l -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap }
+    val errLang = src
+      .select(col("lang"), col("source"),
+        explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("lang", "source")
+      .agg(FreqSketch.freqSketchAgg(col("tok"), 1024).as("sk"))
+      .groupBy("lang")
+      .agg(FreqSketch.freqUnionAgg(col("sk"), 1024).as("sk"))
+      .select(col("lang"), FreqSketch.freqSketchError(col("sk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, rs) =>
+      val truth = exactLang(lang)
+      val err = errLang(lang)
+      rs.foreach { case (_, tok, est) =>
+        val t = truth.getOrElse(tok, 0L)
+        assert(est >= t && est - err <= t,
+          s"$lang/$tok: est $est not in [true $t, true + err $err]")
+      }
+      val boardTokens = rs.map(_._2).toSet
+      val tenth = truth.values.toSeq.sorted.reverse
+        .take(10).lastOption.getOrElse(0L)
+      val mustHave = truth.filter(_._2 > tenth + err).keys.toSet
+      val missed = mustHave -- boardTokens
+      assert(missed.isEmpty,
+        s"$lang: clear heavy hitters missing ${missed.take(5)} " +
+          s"(10th=$tenth err=$err)")
+    }
   }
 
   test("topk_tokens TVF: SQL surface returns best-first rows that " +

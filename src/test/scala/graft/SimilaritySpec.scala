@@ -817,4 +817,53 @@ class SimilaritySpec extends SparkSpec {
       assert(gotQ === exp, s"query $q greedy mismatch")
     }
   }
+
+  test("q_mmr (registered query): equals the driver brute-force " +
+    "greedy on the real corpus — candidates, ranks, and scores") {
+    // r15 verdict item 8: the registered board entry itself gets an
+    // exact floor, not just the unit fixture. Mirrors the
+    // registration exactly: probes vec_id < 5, per-probe cosine
+    // top-30 by (rel desc, cid), k = 10, lambda 0.7, with Spark's
+    // round-6 (HALF_UP on the double's shortest decimal string)
+    // reproduced via BigDecimal.valueOf.
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = graft.sources.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val lam = 0.7; val k = 10
+    val expected = vecs.filter(_._1 < 5).sortBy(_._1).flatMap {
+      case (qid, pe) =>
+        val cands = vecs.filter(_._1 != qid)
+          .map { case (cid, e) => (cid, r6(cos(e, pe)), e) }
+          .sortBy { case (cid, rel, _) => (-rel, cid) }
+          .take(30)
+        var rem = cands.toList
+        var sel = List.empty[Array[Double]]
+        (1 to k).map { rank =>
+          val best = rem.map { case (cid, rel, e) =>
+            val ms = if (sel.isEmpty) 0.0 else sel.map(cos(e, _)).max
+            (cid, r6(lam * rel - (1 - lam) * ms), rel, e)
+          }.minBy { case (cid, sc, _, _) => (-sc, cid) }
+          sel = sel :+ best._4
+          rem = rem.filterNot(_._1 == best._1)
+          (qid, best._1, rank, r6(best._3), best._2)
+        }
+    }.toSeq
+    val got = SparkEntry.queries("q_mmr")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got === expected,
+      "registered q_mmr diverges from driver greedy")
+  }
 }
