@@ -110,7 +110,8 @@ object Bench {
     // every completed round so a killed run still has the previous
     // round's full artifact on disk and a compact line in the stdout
     // tail (the r15 failure mode left neither).
-    def emit(runsDone: Int, finished: Boolean): (String, Int) = {
+    def emit(runsDone: Int, finished: Boolean,
+        printLine: Boolean = true): (String, Int) = {
       val results = names.map { name =>
         val times = rounds.getOrElse(name, Nil).flatten
         val median =
@@ -143,12 +144,14 @@ object Bench {
         System.err.println(s"[bench] could not write $out: $e")
         System.err.println(line) }
       // Stdout gets ONE compact (~200 byte) JSON line per completed
-      // round; the driver's tail parse takes the LAST parseable line,
-      // so a timeout mid-round N leaves round N-1's totals — partial
+      // round FROM ROUND 2 ON (round 1's medians are cold samples — a
+      // tail parser that took the FIRST line would report them as the
+      // total; from round 2 every line is a cold-excluded median), so
+      // a kill mid-round N still leaves round N-1's totals — partial
       // beats the r15 nothing, and a finished run's final line is
       // identical in shape to the old single-line contract.
       val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$RUNS,"runs_done":$runsDone,"finished":$finished,"included":$included,"errors_count":${errors.size},"wall_sec":${math.round(elapsedSec)},"detail":"$out"}"""
-      println(compact)
+      if (printLine) println(compact)
       (compact, included)
     }
 
@@ -186,7 +189,9 @@ object Bench {
         }
       }
       if (!cut) {
-        emit(round, finished = round == RUNS); sinceEmit = 0; round += 1
+        emit(round, finished = round == RUNS,
+          printLine = round >= 2 || round == RUNS)
+        sinceEmit = 0; round += 1
         // Post-round storage hygiene: pinned intermediates
         // (Checkpoints.pin -> localCheckpoint) are freed by the
         // ContextCleaner only after the driver GCs the RDD handle, so

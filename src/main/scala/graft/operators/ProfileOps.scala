@@ -607,6 +607,24 @@ object ProfileOps {
           .as("r2"))
   }
 
+  /** The lineitem column set whose grouped rank spine q_spearman and
+    * q_spearman_matrix share (cidx order is the contract: 0 =
+    * quantity, 1 = extendedprice, 2 = discount). */
+  private[graft] val SharedSpineCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** The session-cached pinned grouped spine over [[SharedSpineCols]]
+    * — built once per (session, corpus) via
+    * [[graft.tools.PlanCache]]; both registered spearman queries read
+    * cidx slices of it (identical doubled-rank values to the
+    * per-column tables, so oracle hashes cannot move). */
+  private[graft] def sharedLineitemSpine(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.tools.PlanCache.shared
+      .get(s, s"$d#spine:lineitem:${SharedSpineCols.mkString(",")}")(
+        graft.tools.Checkpoints.pin(
+          rankTables(Tables.lineitem(s, d), SharedSpineCols)))
+
   private def rankTables(df: DataFrame, cols: Seq[String]): DataFrame = {
     val dec0 = DecimalType(38, 0)
     val long = df.select(posexplode(
@@ -627,14 +645,21 @@ object ProfileOps {
     * squares / pairwise cross-products in DECIMAL(38,0) (exact — the
     * doubled ranks are integers), folded per pair and unpivoted via
     * inline_outer exactly like corrMatrix. Constant columns → NULL. */
-  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def spearmanMatrix(df: DataFrame, cols: Seq[String]): DataFrame =
+    // all k rank tables from one scan + one grouped spine; pinned so
+    // the k join build-sides don't re-run the shared chain k times
+    spearmanMatrixWith(df, cols,
+      graft.tools.Checkpoints.pin(rankTables(df, cols)))
+
+  /** [[spearmanMatrix]] against a prebuilt (cached) grouped rank
+    * spine — the registered query shares one spine per (session,
+    * corpus) with q_spearman through [[graft.tools.PlanCache]]. */
+  private[graft] def spearmanMatrixWith(df: DataFrame,
+      cols: Seq[String], rt: DataFrame): DataFrame = {
     require(cols.size >= 2, "spearmanMatrix needs at least two columns")
     require(cols.distinct.size == cols.size,
       s"spearmanMatrix columns must be distinct; got $cols")
     val idx = cols.indices
-    // all k rank tables from one scan + one grouped spine; pinned so
-    // the k join build-sides don't re-run the shared chain k times
-    val rt = graft.tools.Checkpoints.pin(rankTables(df, cols))
     var ranked = df.select(idx.map(i =>
       col(cols(i)).cast("double").as(s"__v$i")): _*)
     idx.foreach { i =>
@@ -665,12 +690,20 @@ object ProfileOps {
       .orderBy("col_a", "col_b")
   }
 
-  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame =
     // two consumers don't amortize the grouped-spine pin (measured
-    // 2.8 → 6.6 s at sf0.1) — the pair op keeps per-column spines;
-    // the matrix (k joins) is where the shared scan pays off
-    val rx = rankTable(df, xCol)
-    val ry = rankTable(df, yCol)
+    // 2.8 → 6.6 s at sf0.1) — the STANDALONE pair op keeps per-column
+    // spines; the registered query instead reuses the session-cached
+    // grouped spine it shares with q_spearman_matrix (already paid)
+    spearmanWith(df, xCol, yCol, rankTable(df, xCol),
+      rankTable(df, yCol))
+
+  /** [[spearman]] against prebuilt (v, r2) rank tables — identical
+    * doubled-average-rank values whether the tables come from
+    * [[rankTable]] or a cidx-slice of the grouped spine, so the
+    * oracle hash cannot move. */
+  private[graft] def spearmanWith(df: DataFrame, xCol: String,
+      yCol: String, rx: DataFrame, ry: DataFrame): DataFrame = {
     val ranked = df
       .select(col(xCol).cast("double").as("__vx"),
         col(yCol).cast("double").as("__vy"))
@@ -729,8 +762,13 @@ object ProfileOps {
                          / sqrt((n*sxx - sx*sx)*(n*syy - sy*sy))
                          * 1000000.0)/1000000.0 END AS spearman_rho
               FROM m"""),
-      (s, d) => spearman(Tables.lineitem(s, d), "l_quantity",
-        "l_extendedprice")),
+      (s, d) => {
+        val rt = sharedLineitemSpine(s, d)
+        spearmanWith(Tables.lineitem(s, d), "l_quantity",
+          "l_extendedprice",
+          rt.filter(col("cidx") === 0).select(col("v"), col("r2")),
+          rt.filter(col("cidx") === 1).select(col("v"), col("r2")))
+      }),
 
     // Every pairwise monotone relationship at once — the rank twin of
     // q_corr_matrix, immune to the outliers that bend Pearson.
@@ -774,8 +812,8 @@ object ProfileOps {
               m AS (SELECT $sums FROM j)
               SELECT * FROM ($branches) ORDER BY col_a, col_b"""
       },
-      (s, d) => spearmanMatrix(Tables.lineitem(s, d),
-        Seq("l_quantity", "l_extendedprice", "l_discount"))),
+      (s, d) => spearmanMatrixWith(Tables.lineitem(s, d),
+        SharedSpineCols, sharedLineitemSpine(s, d))),
 
     // All pairwise correlations of lineitem's numerics in one scan —
     // the profiling matrix under every feature-redundancy screen.
