@@ -195,6 +195,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     // candidate dedup runs BEFORE the array-carrying verify joins
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(3000))
+    // r16 variance-closure pin: the EXECUTED (AQE-final) plan keeps
+    // every join broadcast at this scale — the measured fast mode
+    // (PlanDump --repeat: stable all-BroadcastHashJoin signature);
+    // a SortMergeJoin appearing here would be the plan regression the
+    // r15 bimodality was first suspected to be
+    val df = q("q_setsim_join")
+    df.collect() // finalize THIS plan (AQE)
+    val fin = plan(df).split("== Initial Plan ==").head
+    assert(!fin.contains("SortMergeJoin"), fin.take(3000))
   }
 
   test("q_curation_funnel keeper flag is collapse-first — no Window " +
