@@ -154,10 +154,15 @@ object FitOps {
     * transcendental could introduce is absorbed by the rounding, the
     * [[graft.operators.StatsOps.bootstrapCiMean]] derandomization
     * stance). Exactly `steps` steps, no convergence check — a fixed,
-    * replayable computation, not an open-ended solver; `steps` = 8
-    * reaches the IRLS fixpoint to ~1e-9 on any non-separable fixture
-    * tested. A final pass at the converged β yields Wald standard
-    * errors (inverse-Hessian diagonal) and the mean deviance.
+    * replayable computation, not an open-ended solver. Newton is
+    * QUADRATIC here, so the 10-dp-rounded β reaches an exact
+    * fixpoint fast — measured (QrProbe --logit, r16): step 4 on the
+    * registered fixture at the sf0.01 gate, step 3 on the propensity
+    * fixture at sf0.1 — and every further step is a paid no-op full
+    * scan; the registered queries run [[StrideSteps]] = 5 (one
+    * self-verifying margin step). A final pass at the converged β
+    * yields Wald standard errors (inverse-Hessian diagonal) and the
+    * mean deviance.
     *
     * Eager-execution contract (the [[olsSolveDriver]] deviation): the
     * steps+1 aggregates run at DataFrame-construction time; each is a
@@ -222,11 +227,17 @@ object FitOps {
 
   /** Session-cached propensity chain for the stride fixture —
     * q_ipw_ate and q_propensity_match fit the IDENTICAL model, so
-    * the 8 IRLS passes run once per (session, corpus). */
+    * the IRLS passes run once per (session, corpus). 5 steps,
+    * measured (QrProbe --logit --ipw, r16): the 10-dp-rounded β
+    * reaches its EXACT fixpoint at step 3 on this fixture at sf0.1
+    * (and step 4 on the q_logit fixture at the sf0.01 gate scale) —
+    * step 5 is a self-verifying no-op margin; 8 paid three no-op
+    * full scans per session. */
+  private[graft] val StrideSteps = 5
   private val strideIrlsCache =
     new IndexCache[(Array[Double], Long, Boolean)](
       (s, d) => irlsLoop(strideFixture(s, d), "treat",
-        Seq("l_quantity", "l_tax"), 8),
+        Seq("l_quantity", "l_tax"), StrideSteps),
       _ => ())
 
   /** The shared fixed-step IRLS loop behind [[logitFit]] and
@@ -2133,12 +2144,19 @@ object FitOps {
       Some(logitOracleSql("(SELECT * FROM lineitem " +
           "WHERE l_orderkey % 8 = 0)",
         "CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END",
-        "l_discount", "l_quantity", steps = 8)),
+        "l_discount", "l_quantity", steps = StrideSteps)),
+      // steps = 5, measured (QrProbe --logit, r16): Newton is
+      // quadratic — the 10-dp β hits its exact fixpoint at step 4 at
+      // the sf0.01 gate scale (at sf0.1 only b1's 10th decimal
+      // 2-cycles by ±1e-10); step 5 is the no-op margin, and the
+      // previous 8 paid three extra full scans per run for bit-near
+      // -identical output.
       (s, d) => logitFit(Tables.lineitem(s, d)
           .filter(col("l_orderkey") % 8 === 0)
           .withColumn("lbl",
             when(col("l_returnflag") === "R", 1.0).otherwise(0.0)),
-        "lbl", Seq("l_discount", "l_quantity"))),
+        "lbl", Seq("l_discount", "l_quantity"),
+        steps = StrideSteps)),
 
     // What does a deep discount DO to line revenue, adjusting for
     // which lines tend to get discounted — IPW off the same
@@ -2153,7 +2171,7 @@ object FitOps {
           "WHERE l_orderkey % 8 = 0)",
         "CASE WHEN l_discount >= 0.05 THEN 1.0 ELSE 0.0 END",
         "CAST(l_extendedprice AS DOUBLE)",
-        "l_quantity", "l_tax", steps = 8, clip = 0.01)),
+        "l_quantity", "l_tax", steps = StrideSteps, clip = 0.01)),
       (s, d) => ipwAte(strideFixture(s, d),
         "treat", "l_extendedprice", Seq("l_quantity", "l_tax"),
         irls = Some(strideIrlsCache.get(s, d)))),
@@ -2169,7 +2187,7 @@ object FitOps {
         "CASE WHEN l_discount >= 0.05 THEN 1.0 ELSE 0.0 END",
         "CAST(l_extendedprice AS DOUBLE)",
         "l_orderkey * 8 + l_linenumber",
-        "l_quantity", "l_tax", steps = 8, clip = 0.01)),
+        "l_quantity", "l_tax", steps = StrideSteps, clip = 0.01)),
       (s, d) => propensityMatch(strideFixture(s, d),
         "treat", "l_extendedprice", "uid", Seq("l_quantity", "l_tax"),
         irls = Some(strideIrlsCache.get(s, d)))),

@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
 object QrProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val steps = if (args.length > 1) args(1).toInt else 20
+    val logitMode = args.contains("--logit")
+    val steps = args.drop(1).filterNot(_.startsWith("--"))
+      .headOption.map(_.toInt).getOrElse(20)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,6 +24,34 @@ object QrProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // --logit: per-step β of the REGISTERED q_logit fixture (1/8
+    // stride, returnflag label, discount+quantity covariates). β is
+    // 10-dp rounded inside the loop, so two consecutive IDENTICAL βs
+    // mean the Newton fixpoint is reached and every further step is a
+    // no-op the board still pays — the measurement behind `steps`.
+    if (logitMode) {
+      val ipw = args.contains("--ipw")
+      val base = graft.sources.Tables.lineitem(spark, sfDir)
+        .filter(col("l_orderkey") % 8 === 0)
+      val (fx, lbl, xs) =
+        if (ipw) (base.withColumn("treat",
+            when(col("l_discount") >= 0.05, 1.0).otherwise(0.0)),
+          "treat", Seq("l_quantity", "l_tax"))
+        else (base.withColumn("lbl",
+            when(col("l_returnflag") === "R", 1.0).otherwise(0.0)),
+          "lbl", Seq("l_discount", "l_quantity"))
+      val pinned = graft.tools.Checkpoints.pin(fx)
+      var prev: Seq[Double] = Nil
+      for (k <- 1 to steps) {
+        val (b, n, degen) =
+          graft.operators.FitOps.irlsLoop(pinned, lbl, xs, k)
+        val same = prev == b.toSeq
+        println(s"[logit] steps=$k n=$n degen=$degen " +
+          s"b=${b.mkString(",")} fixpoint=$same")
+        prev = b.toSeq
+      }
+      spark.stop(); return
+    }
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
     val qq = 0.9; val eps = 1e-3
     val data = graft.tools.Checkpoints.pin(
