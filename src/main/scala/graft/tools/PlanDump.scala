@@ -87,8 +87,11 @@ object PlanDump {
       }
       var gc0 = gcMillis
       for (i <- 1 to reps) {
-        val dfi = graft.SparkEntry.queries(name)(spark, sfDir)
+        // time construction + count, like Bench: eager-execution
+        // queries (the IRLS family) run their pass chains at
+        // DataFrame-CONSTRUCTION time
         val ti = System.nanoTime()
+        val dfi = graft.SparkEntry.queries(name)(spark, sfDir)
         val ni = dfi.count()
         val wi = (System.nanoTime() - ti) / 1e9
         val gc1 = gcMillis
