@@ -99,6 +99,18 @@ object AffinityOps {
     pairsFromCapped(cappedBaskets(df, basketCol, itemCol, maxBasket))
   }
 
+  /** The lineitem order-basket pair table, built and pinned once per
+    * (session, corpus) — the 1.2M-pair mine is the shared input of
+    * q_triangles and q_label_prop (the tradeGraphE0 stance: a
+    * materialized one-mode projection is an index-like artifact). */
+  private[graft] def lineitemBasketPairs(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.tools.PlanCache.shared
+      .get(s, s"$d#affinity:pairs:l_orderkey,l_partkey,64")(
+        graft.tools.Checkpoints.pin(basketPairs(
+          graft.sources.Tables.lineitem(s, d),
+          "l_orderkey", "l_partkey")))
+
   private def pairsFromCapped(capped: DataFrame): DataFrame =
     capped.as("a")
       .join(capped.as("b"),

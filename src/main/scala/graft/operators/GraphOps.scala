@@ -537,8 +537,7 @@ object GraphOps {
               ORDER BY p1, p2, p3"""),
       (s, d) =>
         triangles(
-          AffinityOps.basketPairs(Tables.lineitem(s, d),
-            "l_orderkey", "l_partkey")
+          AffinityOps.lineitemBasketPairs(s, d)
             .filter(col("n_pair") >= 2)
             .select(col("item1").as("src"), col("item2").as("dst")))),
 
@@ -570,13 +569,11 @@ object GraphOps {
                FROM l4 GROUP BY lbl
                ORDER BY n_members DESC, community LIMIT 50"""),
       (s, d) => {
-        // checkpoint BEFORE symmetrizing: the union references e0
-        // twice, and e0's plan is the 1.2M-pair mine
-        val e0 = AffinityOps.basketPairs(Tables.lineitem(s, d),
-            "l_orderkey", "l_partkey")
+        // the 1.2M-pair mine comes from the session-cached pinned
+        // pair table shared with q_triangles (lineitemBasketPairs)
+        val e0 = AffinityOps.lineitemBasketPairs(s, d)
           .filter(col("n_pair") >= 2)
           .select(col("item1").as("src"), col("item2").as("dst"))
-          .transform(Checkpoints.pin)
         val edges = e0.union(
           e0.select(col("dst").as("src"), col("src").as("dst")))
         labelPropagation(edges, iterations = 4)
