@@ -111,7 +111,7 @@ object Bench {
     // round's full artifact on disk and a compact line in the stdout
     // tail (the r15 failure mode left neither).
     def emit(runsDone: Int, finished: Boolean,
-        printLine: Boolean = true): (String, Int) = {
+        partialRound: Option[Int] = None): (String, Int) = {
       val results = names.map { name =>
         val times = rounds.getOrElse(name, Nil).flatten
         val median =
@@ -122,6 +122,12 @@ object Bench {
       val included = results.values.count(_.median >= 0)
       val total =
         results.values.collect { case r if r.median >= 0 => r.median }.sum
+      // Cold board = sum of round-1 samples. The session caches
+      // legitimately move cost into round 1 (r16 verdict item 4), so
+      // the median alone can no longer catch a cold-path regression —
+      // the cold total is a first-class second baseline.
+      val coldTotal =
+        results.values.collect { case r if r.cold >= 0 => r.cold }.sum
       val qs = jmap(results.map { case (k, r) => k -> r.median.toString })
       val cold = jmap(results.map { case (k, r) => k -> r.cold.toString })
       val errs = jmap(results.collect { case (k, r) if r.err.isDefined =>
@@ -129,7 +135,11 @@ object Bench {
       val samp = jmap(names.map { n =>
         n -> rounds.getOrElse(n, Nil)
           .map(_.map(_.toString).getOrElse("null")).mkString("[", ",", "]") })
-      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$RUNS,"runs_done":$runsDone,"included":$included,"cold":$cold,"samples":$samp,"errors":$errs}"""
+      // partial_round: the round whose samples are incomplete when the
+      // budget cut mid-round (r16 advice: runs_done alone no longer
+      // described ragged sample lists) — null for clean boundaries.
+      val partial = partialRound.map(_.toString).getOrElse("null")
+      val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$RUNS,"runs_done":$runsDone,"included":$included,"cold_total":$coldTotal,"partial_round":$partial,"cold":$cold,"samples":$samp,"errors":$errs}"""
       // Full record (per-query medians, cold, samples, errors) goes to a
       // file only: at 262 queries x 5 samples it is ~20 KB, and the
       // driver keeps just a ~2 KB stdout tail — printing it cost rounds
@@ -143,15 +153,17 @@ object Bench {
         // stderr rather than lose a full run's per-query data
         System.err.println(s"[bench] could not write $out: $e")
         System.err.println(line) }
-      // Stdout gets ONE compact (~200 byte) JSON line per completed
-      // round FROM ROUND 2 ON (round 1's medians are cold samples — a
-      // tail parser that took the FIRST line would report them as the
-      // total; from round 2 every line is a cold-excluded median), so
-      // a kill mid-round N still leaves round N-1's totals — partial
-      // beats the r15 nothing, and a finished run's final line is
-      // identical in shape to the old single-line contract.
-      val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$RUNS,"runs_done":$runsDone,"finished":$finished,"included":$included,"errors_count":${errors.size},"wall_sec":${math.round(elapsedSec)},"detail":"$out"}"""
-      if (printLine) println(compact)
+      // Stdout gets ONE compact (~200 byte) JSON line after EVERY
+      // completed round, INCLUDING round 1 (r16: the driver's loaded
+      // machine spent its whole budget on round 1, and the old
+      // round-2+ policy printed nothing — rc 0, parsed: null, second
+      // consecutive round with no driver bench number). Round 1's line
+      // carries "cold":true so consumers know its value is a cold
+      // board, not a median; tail parsers take the LAST line, so a
+      // cold first line can never shadow later medians. A kill
+      // mid-round N still leaves round N-1's totals in the tail.
+      val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$RUNS,"runs_done":$runsDone,"finished":$finished,"cold":${runsDone <= 1},"cold_total":$coldTotal,"partial_round":$partial,"included":$included,"errors_count":${errors.size},"wall_sec":${math.round(elapsedSec)},"detail":"$out"}"""
+      println(compact)
       (compact, included)
     }
 
@@ -159,6 +171,7 @@ object Bench {
     var cut = false
     var sinceEmit = 0
     while (round <= RUNS && !cut) {
+      val roundStart = elapsedSec
       val it = names.iterator
       while (it.hasNext && !cut) {
         val name = it.next()
@@ -189,9 +202,22 @@ object Bench {
         }
       }
       if (!cut) {
-        emit(round, finished = round == RUNS,
-          printLine = round >= 2 || round == RUNS)
-        sinceEmit = 0; round += 1
+        emit(round, finished = round == RUNS)
+        sinceEmit = 0
+        // Predictive boundary stop: if another round of the size just
+        // measured cannot fit in the remaining budget, stop NOW with a
+        // clean full-round artifact instead of getting cut mid-round —
+        // full-round medians beat ragged ones, and on the r16 driver's
+        // 9.6x-loaded machine this turns "budget-cut mid-round 2" into
+        // "clean stop after round 1 with a cold-flagged parsed line".
+        val lastRoundSec = elapsedSec - roundStart
+        if (round < RUNS && elapsedSec + lastRoundSec > BudgetSec) {
+          System.err.println(f"[bench] predictive stop after round " +
+            f"$round: $elapsedSec%.0f s elapsed + ~$lastRoundSec%.0f s " +
+            f"per round exceeds the $BudgetSec%.0f s budget")
+          cut = true; sinceEmit = -1 // round-boundary cut: emit done
+        }
+        round += 1
         // Post-round storage hygiene: pinned intermediates
         // (Checkpoints.pin -> localCheckpoint) are freed by the
         // ContextCleaner only after the driver GCs the RDD handle, so
@@ -205,9 +231,14 @@ object Bench {
         System.gc()
       }
     }
-    // a cut right at a round boundary added no samples — the previous
-    // round's emit already on disk/stdout is the artifact
-    if (cut && sinceEmit > 0) emit(round - 1, finished = false)
+    // A mid-round cut leaves samples the last emitted line doesn't
+    // describe — emit unconditionally (r16 advice: the old sinceEmit>0
+    // guard could skip the only line of a boundary-cut run) with
+    // partial_round naming the ragged round. A predictive boundary
+    // stop (sinceEmit == -1) already emitted its identical line.
+    if (cut && sinceEmit >= 0)
+      emit(round - 1, finished = false,
+        partialRound = if (sinceEmit > 0) Some(round) else None)
     spark.stop()
     // A run with analysis failures must not read as healthy: the r9 driver
     // artifact carried rc=0 with 18 queries errored (-1.0, excluded from the

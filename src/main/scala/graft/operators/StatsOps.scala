@@ -2496,7 +2496,18 @@ object StatsOps {
                        max(lam) OVER (ORDER BY look
                          ROWS UNBOUNDED PRECEDING) AS maxlam
                      FROM lam)
-              SELECT look, n_a, n_b, mean_diff,
+              SELECT look,
+                     -- BIGINT, not DuckDB's sum-of-BIGINT HUGEINT: the
+                     -- r17 audit found q_msprt was the ONLY oracle (of
+                     -- 233) emitting HUGEINT, and HUGEINT converts to
+                     -- pandas float64 ("175.0" vs the parquet's int64
+                     -- "175") — the one engine-vs-oracle difference a
+                     -- fetchall()-based local diff can never see, and
+                     -- the only cell class left after the boundary
+                     -- audit showed every rounded double >=1.4e8 ulps
+                     -- from its 6dp floor boundary.
+                     CAST(n_a AS BIGINT) AS n_a,
+                     CAST(n_b AS BIGINT) AS n_b, mean_diff,
                      floor(lam * 1000000.0 + 0.5)/1000000.0 AS lambda,
                      floor(least(1.0, 1.0 / maxlam)
                        * 1000000.0 + 0.5)/1000000.0 AS p_always_valid
