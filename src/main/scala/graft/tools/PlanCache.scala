@@ -26,29 +26,54 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] final class PlanCache {
 
-  private val cache = new ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  /** Access-ordered LRU, bounded at [[PlanCache.MaxEntries]] (r16
+    * advice: a long-lived session touching many corpora — or many
+    * discarded newSession() clones over one context, which fire no
+    * end event of their own — otherwise accumulates one strong-held
+    * pinned handle per (session, descriptor) with no bound). Eviction
+    * only drops the strong reference; the pinned blocks are reclaimed
+    * by the ContextCleaner once consumers release the handle, so an
+    * in-flight reader of an evicted entry is never broken. */
+  private val cache =
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame])
+          : Boolean = size() > PlanCache.MaxEntries
+    }
   private val hooked = ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** The cached pinned table for `key`, building (and pinning) via
     * `build` on first use. `build` must already return a pinned /
     * materialized plan ([[Checkpoints.pin]]) — this cache stores the
-    * handle, it does not add storage semantics of its own. */
+    * handle, it does not add storage semantics of its own. The
+    * builder runs OUTSIDE the lock (concurrent losers' plans are
+    * dropped, same stance as before). */
   def get(spark: SparkSession, key: String)(build: => DataFrame)
       : DataFrame = {
+    // stopped-context hygiene: entries keyed by a dead session can
+    // never be served again (their blocks are gone) — drop them here
+    // too, not only in the end listener, so sessions whose listener
+    // never fired (context stopped before hook) cannot linger
+    if (spark.sparkContext.isStopped) invalidateAll(spark)
     val k = (spark, key)
-    val existing = cache.get(k)
+    val existing = cache.synchronized(cache.get(k))
     if (existing != null) existing
     else {
       hookSessionEnd(spark)
       val built = build
-      val prev = cache.putIfAbsent(k, built)
-      if (prev != null) prev else built
+      cache.synchronized {
+        val prev = cache.get(k)
+        if (prev != null) prev
+        else { cache.put(k, built); built }
+      }
     }
   }
 
-  def invalidateAll(spark: SparkSession): Unit =
-    cache.keySet.asScala.toSeq.filter(_._1 eq spark)
+  def invalidateAll(spark: SparkSession): Unit = cache.synchronized {
+    cache.keySet.asScala.filter(_._1 eq spark).toSeq
       .foreach(cache.remove)
+  }
 
   private def hookSessionEnd(spark: SparkSession): Unit =
     if (hooked.add(spark)) {
@@ -67,6 +92,12 @@ private[graft] final class PlanCache {
 }
 
 private[graft] object PlanCache {
+  /** LRU bound. The full bench board holds well under 32 distinct
+    * descriptors per (session, corpus); 128 leaves room for several
+    * concurrent sessions/corpora before the least-recently-used
+    * artifact is re-buildable on next touch. */
+  val MaxEntries = 128
+
   /** The engine-wide reference-table cache (qn mappings, shared
     * spines). */
   val shared = new PlanCache

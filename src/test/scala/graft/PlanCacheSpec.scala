@@ -44,6 +44,29 @@ class PlanCacheSpec extends SparkSpec {
     assert(builds === 3, "invalidateAll must drop the entry")
   }
 
+  test("the LRU bound evicts the least-recently-used entry and a " +
+    "re-get rebuilds it; recently-touched entries survive") {
+    val cache = new PlanCache
+    var builds = 0
+    def build() = {
+      builds += 1
+      graft.tools.Checkpoints.pin(Seq(1).toDF("v"))
+    }
+    (0 to PlanCache.MaxEntries).foreach { i =>
+      cache.get(spark, s"k$i")(build())
+      // keep k0 hot so the access-ordered LRU evicts k1, not k0
+      cache.get(spark, "k0")(build())
+    }
+    assert(builds === PlanCache.MaxEntries + 1,
+      "filling to the bound must build each key once")
+    cache.get(spark, "k0")(build())
+    assert(builds === PlanCache.MaxEntries + 1,
+      "the hot entry must survive the eviction")
+    cache.get(spark, "k1")(build())
+    assert(builds === PlanCache.MaxEntries + 2,
+      "the cold entry past the bound must have been evicted")
+  }
+
   test("the shared engine cache serves the registered consumers: " +
     "two invocations of q_quantile_normalize reuse one mapping and " +
     "stay row-identical") {

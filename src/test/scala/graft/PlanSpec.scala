@@ -875,8 +875,16 @@ class PlanSpec extends SparkSpec {
       "q_granger", "q_vif", "q_woe_iv").foreach { name =>
       val p = plan(q(name))
       assert(!p.contains("CartesianProduct"), s"$name: ${p.take(2000)}")
-      assert(p.contains("partial_"),
-        s"$name: no partial aggregation:\n${p.take(2000)}")
+      // q_vif consumes the session-cached pinned moment row (shared
+      // with corr_matrix/mahalanobis since r16), so when another
+      // suite warmed the shared session's cache first, its plan is a
+      // 1-row ExistingRDD scan with NO aggregate at all — which
+      // satisfies "moment sums never shuffle rows" even more
+      // strongly than a partial aggregate does (the suites share one
+      // session, so cache state is test-order-dependent).
+      assert(p.contains("partial_") || p.contains("Scan ExistingRDD"),
+        s"$name: no partial aggregation and no pinned moment scan:\n" +
+          p.take(2000))
     }
     // rdd additionally pushes the bandwidth filter into the scan
     val pr = plan(q("q_rdd"))
