@@ -55,6 +55,34 @@ object PlanDump {
         try graft.sources.Tables(spark, sfDir, n).persist().count()
         catch { case _: Throwable => () }
       }
+    // --names: print the registered-query iteration order (the bench's
+    // round order) and exit — pre-list construction for board-regime
+    // reproductions.
+    if (args.contains("--names")) {
+      println(graft.SparkEntry.queries.keys.toSeq.mkString(","))
+      spark.stop(); return
+    }
+    // --pre a,b,c: run other registered queries ONCE before the
+    // target (same session) — reproduces the bench regime where
+    // earlier board queries have already built their session-pinned
+    // artifacts (Sen spine, geo edges, fitted chains), the prime
+    // suspect for target-query slowdowns that only show on the full
+    // board (q_setsim_join r17: 4.7 s isolated, 22.8 s board median).
+    args.sliding(2).collectFirst {
+      case Array("--pre", qs) => qs.split(',').toSeq
+    }.foreach { pres =>
+      def storageMB: (Long, Long) = {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        (infos.map(_.memSize).sum >> 20, infos.map(_.diskSize).sum >> 20)
+      }
+      pres.filter(_.nonEmpty).foreach { q =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
+        val (m, dk) = storageMB
+        println(f"[pre] $q rows=$n wall=${(System.nanoTime() - t0) / 1e9}%6.2fs " +
+          f"storage_mem=${m}MB disk=${dk}MB")
+      }
+    }
     // --repeat N: run the query N times in ONE session (the bench's
     // interleaved-round regime) printing per-run wall, the final AQE
     // join-strategy signature, and the JVM GC-time delta — the
