@@ -34,8 +34,15 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap: -Xmx is a CEILING, not a reservation — the single-JVM local[32]
+// session puts driver + all 32 executor threads' unified memory in one
+// heap, and 8g starves it (measured r17: q_setsim_join 43 s cold /
+// 11-14 s warm at 8g vs 13 s / 2.4-4 s at a large heap, gc_delta 3.4 s
+// vs 0.2 s — the board's shuffle-heavy lines were GC-bound, not
+// CPU-bound). 48g leaves >60% of the 128 GiB host for co-tenants while
+// giving the 32 threads ~900 MB of unified memory each.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
