@@ -34,15 +34,17 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Heap: -Xmx is a CEILING, not a reservation — the single-JVM local[32]
-// session puts driver + all 32 executor threads' unified memory in one
-// heap, and 8g starves it (measured r17: q_setsim_join 43 s cold /
-// 11-14 s warm at 8g vs 13 s / 2.4-4 s at a large heap, gc_delta 3.4 s
-// vs 0.2 s — the board's shuffle-heavy lines were GC-bound, not
-// CPU-bound). 48g leaves >60% of the 128 GiB host for co-tenants while
-// giving the 32 threads ~900 MB of unified memory each.
+// Heap: -Xmx is a ceiling, not a reservation, and for the single-JVM
+// local[32] session (driver + all 32 executor threads' unified memory
+// in one heap) it is a TUNED ceiling — both directions measured on the
+// full 262-query sf0.1 board (r17): 8g starves it (q_setsim_join 43 s
+// cold / 11-14 s warm isolated, 9.8 s board median, GC-bound with
+// gc_delta 3.4 s/run), while 48g triggers G1 concurrent-cycle storms
+// that stall UNRELATED queries (setsim 136 s, shortest_path 31 s,
+// trivial passthrough 0.1 -> 2.6 s in the same round). 16g measured
+// best: board 220.0 s vs 223.3 s at 8g, setsim median 5.9 s vs 9.8 s.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
