@@ -732,40 +732,89 @@ object DedupOps {
   def setSimJoin(corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double,
       withinCol: Option[String] = None): DataFrame = {
+    import graft.functions.TextHashOps
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1]; got $threshold")
-    val toks = corpus.select(col(idCol).as("doc_id"),
-      array_distinct(split(col(textCol), " ")).as("tk"),
-      withinCol.map(col).getOrElse(lit(0)).as("part"))
-      .withColumn("sz", size(col("tk")))
+    // tokens ride as SORTED xxhash64 longs (`th`): the exact verify
+    // below is then a native merge count over 8-byte values instead of
+    // a per-pair UTF8String hash set (the ngramJaccardPairs stance —
+    // 64-bit collisions are ~1e-9 probable and deterministic; the
+    // DuckDB oracle, which intersects the raw strings, hash-gates that
+    // the values agree). Pinned: the token table feeds THREE plan
+    // references (the exploded prefix derivation and both verify
+    // sides) — left declarative, each reference re-ran the
+    // split+distinct scan (duplicated-subtree audit, guide §7.2).
+    TextHashOps.register(corpus.sparkSession)
+    val toks = (
+      corpus.select(col(idCol).as("doc_id"),
+        array_distinct(split(col(textCol), " ")).as("tk"),
+        withinCol.map(col).getOrElse(lit(0)).as("part"))
+      .withColumn("th", array_sort(array_distinct(
+        transform(col("tk"), t => xxhash64(t)))))
+      // set size measured in the SAME (hash) domain the prefix ranks,
+      // the length/positional filters, and the verify all use — one
+      // consistent universe end to end
+      .withColumn("sz", size(col("th")))
+      .drop("tk"))
     val ex = toks.select(col("doc_id"), col("part"), col("sz"),
-      explode(col("tk")).as("token"))
+      explode(col("th")).as("token"))
     val dfTab = ex.groupBy("part", "token")
       .agg(count(lit(1)).as("df"))
     // rank each doc's tokens rarest-first; keep the lossless prefix
+    // (rn rides along for the positional filter below). Any shared
+    // total order preserves the prefix guarantee — (df, hash) here.
+    // Pinned: the prefix table feeds BOTH sides of the candidate
+    // self-join — left declarative, the explode+df-join+window-sort
+    // pipeline executed twice (duplicated-subtree audit, guide §7.2).
     val wDoc = Window.partitionBy("doc_id").orderBy("df", "token")
-    val prefix = ex.join(dfTab, Seq("part", "token"))
+    val prefix = (
+      ex.join(dfTab, Seq("part", "token"))
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <=
         col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("doc_id"), col("part"), col("token"), col("sz"))
+      .select(col("doc_id"), col("part"), col("token"), col("sz"),
+        col("rn")))
     // PPJoin length filter: J ≥ t ⇒ |∩| ≥ t·|∪| ≥ t·max ⇒ the
     // shorter set is ≥ t·(the longer) — prunes candidates BEFORE the
-    // distinct and the array-carrying verify joins, losslessly
+    // distinct and the array-carrying verify joins, losslessly.
+    // PPJoin POSITIONAL filter (Xiao et al. WWW'08): a token matched
+    // at ranks (rnx, rny) bounds the overlap by
+    // 1 + min(szx − rnx, szy − rny) (every later shared token sits
+    // after it in BOTH rarest-first orders — the order is one global
+    // key), while J ≥ t needs |∩| ≥ ⌈t/(1+t)·(szx+szy)⌉. Lossless for
+    // candidate generation: a qualifying pair's FIRST shared token is
+    // provably inside both prefixes (else too few shared slots remain)
+    // and passes the bound — so dropping the failing occurrences keeps
+    // ≥1 row per true pair. This prunes the raw matched-token stream
+    // BEFORE the distinct, the join's dominant intermediate (measured
+    // sf0.1: 19.9M raw rows → 2.5M distinct pairs without it).
+    // spelled multiplied-out (u·(1+t) ≥ t·(szx+szy) − 1e-9) so a float
+    // knife-edge can only WEAKEN the prune, never drop a true pair
+    val ubound = (lit(1) + least(col("szx") - col("rnx"),
+      col("szy") - col("rny"))).cast("double")
     val cand = prefix.select(col("doc_id").as("x_id"), col("part"),
-        col("token"), col("sz").as("szx"))
+        col("token"), col("sz").as("szx"), col("rn").as("rnx"))
       .join(prefix.select(col("doc_id").as("y_id"), col("part"),
-        col("token"), col("sz").as("szy")), Seq("part", "token"))
+        col("token"), col("sz").as("szy"), col("rn").as("rny")),
+        Seq("part", "token"))
       .filter(col("x_id") < col("y_id") &&
         greatest(col("szx"), col("szy")).cast("double") * threshold <=
-          least(col("szx"), col("szy")).cast("double"))
+          least(col("szx"), col("szy")).cast("double") &&
+        ubound * lit(1.0 + threshold) >=
+          lit(threshold) * (col("szx") + col("szy")).cast("double") -
+            lit(1e-9))
       .select("x_id", "y_id").distinct()
-    val a = toks.select(col("doc_id").as("x_id"), col("tk").as("tka"))
-    val b = toks.select(col("doc_id").as("y_id"), col("tk").as("tkb"))
-    val inter = size(array_intersect(col("tka"), col("tkb")))
+    // exact verify: native merge count over the sorted hash arrays
+    // (SortedIntersectCount) — same |∩| as the string-set intersect,
+    // computed in ~n 8-byte compares per pair instead of a per-pair
+    // UTF8String hash set build
+    val a = toks.select(col("doc_id").as("x_id"), col("th").as("tha"),
+      col("sz").as("sza"))
+    val b = toks.select(col("doc_id").as("y_id"), col("th").as("thb"),
+      col("sz").as("szb"))
+    val inter = TextHashOps.sortedIntersectCount(col("tha"), col("thb"))
       .cast("double")
-    val jacc = round(inter / (size(col("tka")) + size(col("tkb")) -
-      inter), 6)
+    val jacc = round(inter / (col("sza") + col("szb") - inter), 6)
     cand.join(a, "x_id").join(b, "y_id")
       .withColumn("jacc", jacc)
       .filter(col("jacc") >= threshold)

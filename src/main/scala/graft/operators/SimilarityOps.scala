@@ -356,54 +356,151 @@ object SimilarityOps {
     * passage). Deterministic: scores round to 6 dp with candidate-id
     * tiebreak before each argmax.
     *
-    * Scale: the greedy is inherently sequential in RANK, so the loop
-    * runs k pinned sweeps ([[graft.tools.Checkpoints.pin]], the
-    * pagerank stance) — but each sweep is one keyed join of the
-    * remaining candidates against the ≤r-selected set per query plus
-    * one per-query window argmax, all bounded by candidates-per-query
-    * × k, never corpus². Not SQL-expressible (value-reusing greedy) →
-    * spec-gated, no oracle. */
+    * Scale: the greedy is inherently sequential in RANK but
+    * independent ACROSS queries, so it runs where the data lives —
+    * one shuffle groups each query's bounded candidate list (lists
+    * are top-N retrievals by construction, never the corpus — the
+    * rankingEval stance), then one task runs that query's whole
+    * greedy in memory. The r16 shape ran k global sweeps of
+    * join+window+anti-join with 3 pinned materializations each —
+    * 3k driver-sequenced Spark jobs (measured 4.6 s for 150 candidate
+    * rows at sf0.1) that at a million queries would still serialize
+    * on rank; this is one job, embarrassingly parallel over queries.
+    * The greedy closure mirrors the engine arithmetic exactly
+    * (VectorDot's left-to-right min-length dot, Spark Round's
+    * shortest-decimal HALF_UP, NaN-greatest/-0.0-normalized descending
+    * order, null scores last) — SimilaritySpec pins equality against
+    * an independent driver-side greedy and the hand fixtures. Not
+    * SQL-expressible (value-reusing greedy) → spec-gated, no oracle. */
   def mmrRerank(candidates: DataFrame, qidCol: String, cidCol: String,
       relCol: String, embCol: String, k: Int,
       lambda: Double = 0.7): DataFrame = {
     require(k >= 1 && k <= 1000, s"k must be in [1, 1000]; got $k")
     require(lambda >= 0.0 && lambda <= 1.0,
       s"lambda must be in [0, 1]; got $lambda")
-    import org.apache.spark.sql.expressions.Window
-    import graft.tools.Checkpoints
-    var remaining = Checkpoints.pin(candidates.select(
-      col(qidCol).as("qid"), col(cidCol).as("cid"),
-      col(relCol).cast("double").as("rel"), col(embCol).as("__emb")))
-    var selected: DataFrame = null
-    val w = Window.partitionBy("qid")
-      .orderBy(col("__score").desc, col("cid"))
-    for (r <- 1 to k) {
-      val scored =
-        if (selected == null) remaining.withColumn("__maxsim", lit(0.0))
-        else remaining
-          .join(selected.select(col("qid"), col("__emb").as("__semb")),
-            Seq("qid"), "left")
-          .groupBy("qid", "cid")
-          .agg(first("rel").as("rel"), first("__emb").as("__emb"),
-            coalesce(max(when(col("__semb").isNotNull,
-              cosine(col("__emb"), col("__semb")))), lit(0.0))
-              .as("__maxsim"))
-      val pick = scored
-        .withColumn("__score", round(lit(lambda) * col("rel") -
-          lit(1.0 - lambda) * col("__maxsim"), 6))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("qid"), col("cid"), lit(r).as("rank"),
-          col("rel"), col("__score").as("score"), col("__emb"))
-      selected = Checkpoints.pin(
-        if (selected == null) pick else selected.unionByName(pick))
-      remaining = Checkpoints.pin(remaining.join(
-        pick.select("qid", "cid"), Seq("qid", "cid"), "left_anti"))
-    }
+    // sort_array orders each list by cid (then rel/emb — relevant only
+    // for pathological duplicate cids, where the old window tiebreak
+    // was itself unspecified), so the greedy's index-ascending
+    // tiebreak IS the cid-ascending tiebreak, for ANY cid type —
+    // the closure never compares cids itself.
+    val cands = candidates.select(col(qidCol).as("qid"),
+      struct(col(cidCol).as("cid"), col(relCol).cast("double").as("rel"),
+        col(embCol).cast("array<double>").as("emb")).as("c"))
+    val greedy = udf((rows: Seq[org.apache.spark.sql.Row]) =>
+      mmrGreedy(rows, k, lambda))
     val r6 = (c: Column) => round(c * lit(1000000.0)) / lit(1000000.0)
-    selected.select(col("qid"), col("cid"), col("rank"),
-        r6(col("rel")).as("rel"), col("score"))
+    cands.groupBy("qid")
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+      .select(col("qid"), col("cs"), explode(greedy(col("cs"))).as("p"))
+      .select(col("qid"),
+        element_at(col("cs"), col("p.i") + 1).getField("cid").as("cid"),
+        col("p.rank").as("rank"),
+        r6(element_at(col("cs"), col("p.i") + 1).getField("rel"))
+          .as("rel"),
+        col("p.score").as("score"))
       .orderBy("qid", "rank")
+  }
+
+  /** One query's MMR greedy over its cid-sorted candidate list —
+    * a bit-exact mirror of the engine expressions the r16 sweep loop
+    * evaluated distributedly (see [[mmrRerank]]). Returns the picked
+    * candidates as (0-based list index, 1-based rank, rounded score). */
+  private[graft] final case class MmrPick(i: Int, rank: Int,
+      score: Option[Double])
+  private[graft] def mmrGreedy(rows: Seq[org.apache.spark.sql.Row],
+      k: Int, lambda: Double): Seq[MmrPick] = {
+    val n = rows.size
+    val rel = new Array[java.lang.Double](n)
+    val emb = new Array[Array[Double]](n)
+    var j = 0
+    rows.foreach { r =>
+      rel(j) = if (r.isNullAt(1)) null
+        else java.lang.Double.valueOf(r.getDouble(1))
+      emb(j) = if (r.isNullAt(2)) null
+        else r.getSeq[Any](2).map {
+          // a null array slot reads as the zeroed backing primitive in
+          // the engine's UnsafeArrayData — mirror it
+          case null => 0.0
+          case v => v.asInstanceOf[Double]
+        }.toArray
+      j += 1
+    }
+    // VectorDot: min-length, left-to-right double accumulation
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      val m = math.min(x.length, y.length)
+      var s = 0.0; var i = 0
+      while (i < m) { s += x(i) * y(i); i += 1 }
+      s
+    }
+    // VectorOps.cosine: dot/(sqrt(dot(a,a))·sqrt(dot(b,b))); null in →
+    // null out (vec_dot is null-safe)
+    def cos(x: Array[Double], y: Array[Double]): java.lang.Double =
+      if (x == null || y == null) null
+      else java.lang.Double.valueOf(
+        dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y))))
+    // Spark Round(_, 6) on DOUBLE: NaN/±Inf pass through, else
+    // HALF_UP on the shortest-decimal (BigDecimal.valueOf) rendering
+    def round6(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // Spark descending double order: NaN greatest, -0.0 == 0.0
+    def cmpD(a: Double, b: Double): Int =
+      java.lang.Double.compare(if (a == 0.0) 0.0 else a,
+        if (b == 0.0) 0.0 else b)
+    val oneMinus = 1.0 - lambda
+    val maxsim = new Array[java.lang.Double](n)
+    val picked = new Array[Boolean](n)
+    val out = Seq.newBuilder[MmrPick]
+    var r = 1
+    val rounds = math.min(k, n)
+    while (r <= rounds) {
+      var best = -1
+      var bestScore: java.lang.Double = null
+      var i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val ms: Double =
+            if (r == 1) 0.0
+            else if (maxsim(i) == null) 0.0
+            else maxsim(i).doubleValue
+          val sc: java.lang.Double =
+            if (rel(i) == null) null
+            else java.lang.Double.valueOf(
+              round6(lambda * rel(i).doubleValue - oneMinus * ms))
+          // better than the incumbent? score DESC with nulls last,
+          // then list index ASC (= cid ASC — the list is cid-sorted)
+          val better =
+            if (best < 0) true
+            else if (sc == null) false
+            else if (bestScore == null) true
+            else cmpD(sc.doubleValue, bestScore.doubleValue) > 0
+          if (better) { best = i; bestScore = sc }
+        }
+        i += 1
+      }
+      // best >= 0 always (r <= rounds ≤ unpicked count)
+      picked(best) = true
+      out += MmrPick(best, r,
+        if (bestScore == null) None else Some(bestScore.doubleValue))
+      // fold the new pick into every survivor's max-sim-to-selected —
+      // max is associative, so the incremental fold equals the
+      // from-scratch max over the selected set (NaN sticks, as in the
+      // engine's NaN-greatest max aggregate; nulls are skipped)
+      i = 0
+      while (i < n) {
+        if (!picked(i)) {
+          val c = cos(emb(i), emb(best))
+          if (c != null &&
+              (maxsim(i) == null ||
+                cmpD(c.doubleValue, maxsim(i).doubleValue) > 0))
+            maxsim(i) = c
+        }
+        i += 1
+      }
+      r += 1
+    }
+    out.result()
   }
 
   val all: Seq[Query] = Seq(

@@ -766,6 +766,39 @@ class SimilaritySpec extends SparkSpec {
       s"quantized top-10 lost too much: ${(orig & quant).size}/10")
   }
 
+  test("mmrRerank edges (r17 single-pass internals): short candidate " +
+    "lists stop early, null-rel candidates rank last with null score, " +
+    "and exact score ties break toward the smaller cid") {
+    import spark.implicits._
+    // fewer candidates than k: emit exactly n rows, ranks 1..n
+    val short = Seq((1L, 10L, 0.9, Seq(1.0, 0.0)))
+      .toDF("qid", "cid", "rel", "emb")
+    val s = SimilarityOps.mmrRerank(short, "qid", "cid", "rel", "emb",
+      k = 3, lambda = 0.7).collect()
+    assert(s.length === 1 && s.head.getLong(1) === 10L &&
+      s.head.getAs[Int]("rank") === 1)
+    // null rel: score is null, ranked after every scored candidate
+    // (desc-nulls-last), still emitted when it is all that remains
+    val withNull = Seq(
+      (1L, 10L, Some(0.9), Seq(1.0, 0.0)),
+      (1L, 11L, None: Option[Double], Seq(0.0, 1.0)))
+      .toDF("qid", "cid", "rel", "emb")
+    val n = SimilarityOps.mmrRerank(withNull, "qid", "cid", "rel",
+      "emb", k = 2, lambda = 0.7).collect()
+    assert(n.map(_.getLong(1)).toSeq === Seq(10L, 11L))
+    assert(!n(0).isNullAt(4) && n(1).isNullAt(4),
+      "null rel must carry a null score, ranked last")
+    // exact tie (identical rel, orthogonal embeddings): smaller cid
+    // first — the r16 window's (score desc, cid asc) order
+    val tie = Seq(
+      (1L, 21L, 0.5, Seq(1.0, 0.0)),
+      (1L, 20L, 0.5, Seq(0.0, 1.0)))
+      .toDF("qid", "cid", "rel", "emb")
+    val t = SimilarityOps.mmrRerank(tie, "qid", "cid", "rel", "emb",
+      k = 2, lambda = 0.7).collect()
+    assert(t.map(_.getLong(1)).toSeq === Seq(20L, 21L))
+  }
+
   test("mmrRerank equals the brute-force greedy on a seeded fixture " +
     "and prefers a diverse candidate over a near-duplicate") {
     import spark.implicits._
