@@ -136,7 +136,8 @@ object AffinityOps {
     * count product runs in double — two 1e10 item counts would
     * overflow a BIGINT product at warehouse scale). */
   def basketRules(df: DataFrame, basketCol: String, itemCol: String,
-      minSupport: Int = 2, maxBasket: Int = 64, k: Int = 100): DataFrame = {
+      minSupport: Int = 2, maxBasket: Int = 64, k: Int = 100,
+      minedPairs: Option[DataFrame] = None): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1; got $minSupport")
     require(k >= 1, s"k must be >= 1; got $k")
     require(maxBasket >= 2, s"maxBasket must be >= 2; got $maxBasket")
@@ -146,8 +147,16 @@ object AffinityOps {
     val capped = cappedBaskets(df, basketCol, itemCol, maxBasket)
       .localCheckpoint()
     val nb = capped.agg(countDistinct(col("bk")).as("n"))
-    val ic = capped.groupBy(col("it")).agg(count(lit(1)).as("cnt"))
-    val pr = pairsFromCapped(capped)
+    // item counts are vocabulary-sized (distinct items) — broadcast-
+    // declare both joins: after the aggregate the planner has no
+    // stats and was planning them as 1.2M-pair-side SortMergeJoins
+    val ic = broadcast(capped.groupBy(col("it")).agg(count(lit(1)).as("cnt")))
+    // `minedPairs`: callers holding the SAME pair mine as a shared
+    // artifact (lineitemBasketPairs — value-identical by construction:
+    // basketPairs IS pairsFromCapped∘cappedBaskets at the same cap)
+    // pass it here so the basket self-join runs once per session, not
+    // once per call; the capped table still feeds ic/nb.
+    val pr = minedPairs.getOrElse(pairsFromCapped(capped))
       .filter(col("n_pair") >= minSupport)
       .join(ic.select(col("it").as("item1"), col("cnt").as("ca")), "item1")
       .join(ic.select(col("it").as("item2"), col("cnt").as("cb")), "item2")
@@ -242,6 +251,9 @@ object AffinityOps {
               ORDER BY lift DESC, confidence DESC,
                        antecedent, consequent LIMIT 100"""),
       (s, d) => basketRules(Tables.lineitem(s, d),
-        "l_orderkey", "l_partkey"))
+        "l_orderkey", "l_partkey",
+        // the session-pinned pair mine shared with q_triangles and
+        // q_label_prop — value-identical to the internal mine
+        minedPairs = Some(lineitemBasketPairs(s, d))))
   )
 }

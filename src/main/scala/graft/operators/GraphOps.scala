@@ -125,12 +125,21 @@ object GraphOps {
       // joins shuffle on node id and AQE handles skewed hubs.
       val rIn = if (broadcastRanks) broadcast(r) else r
       val degIn = if (broadcastRanks) broadcast(deg) else deg
-      val contrib = e.join(rIn, e("src") === rIn("node"))
+      val contrib0 = e.join(rIn, e("src") === rIn("node"))
         .join(degIn, "src")
         .select(col("dst").as("node"),
           (col("r") / col("outdeg")).cast(DecimalType(38, 12)).as("c"))
         .groupBy("node")
         .agg(sum(col("c")).cast("double").as("m"))
+      // contrib is ≤N rows — under the caller's broadcastRanks
+      // assertion it is broadcast-sized by construction, but the
+      // planner can't know (no stats after the aggregate) and was
+      // planning the join back to nodes as a per-sweep SortMergeJoin:
+      // two exchanges + two sorts × sweeps for a ≤N-row table
+      // (measured: 5 SMJ sweeps in the q_pagerank signature). Declare
+      // what we know; at billion-node scale (broadcastRanks=false)
+      // the shuffle join stays.
+      val contrib = if (broadcastRanks) broadcast(contrib0) else contrib0
       tolerance match {
         case Some(tol) =>
           // convergence-tested sweep: the previous rank table is
