@@ -62,6 +62,18 @@ object Bench {
       // in-partition sort of the O(n^2) edge stream (measured 5x wall)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "65536")
+      // Whole-stage-codegen class cache (static conf, default 100
+      // entries): a 262-query round generates far more codegen units
+      // than 100, so every interleaved round evicted everything and
+      // re-ran janino on the full board — pure fixed overhead per
+      // round at ANY scale factor, and the long-suspected "codegen
+      // cache churn across 262 plans" board-regime cost. Sized to
+      // hold the whole library (units are small generated classes;
+      // metaspace, not heap). A production session running a query
+      // library this size wants the same setting — not a local-mode
+      // trick.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
