@@ -165,6 +165,15 @@ object Bench {
         // stderr rather than lose a full run's per-query data
         System.err.println(s"[bench] could not write $out: $e")
         System.err.println(line) }
+      // top-25 medians ride the compact line (r17 verdict item 3: the
+      // driver keeps only the stdout tail, so PERF's per-query and
+      // scaling tables were empty every round — 25 entries ≈ 0.8 KB
+      // fits the tail and names the heavy lines for round-over-round
+      // and c8/c32 comparisons; the full 262-query map stays in the
+      // detail file)
+      val top25 = jmap(results.toSeq.filter(_._2.median >= 0)
+        .sortBy(-_._2.median).take(25)
+        .map { case (k, r) => k -> f"${r.median}%.3f" })
       // Stdout gets ONE compact (~200 byte) JSON line after EVERY
       // completed round, INCLUDING round 1 (r16: the driver's loaded
       // machine spent its whole budget on round 1, and the old
@@ -174,7 +183,7 @@ object Bench {
       // board, not a median; tail parsers take the LAST line, so a
       // cold first line can never shadow later medians. A kill
       // mid-round N still leaves round N-1's totals in the tail.
-      val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$RUNS,"runs_done":$runsDone,"finished":$finished,"cold":${runsDone <= 1},"cold_total":$coldTotal,"partial_round":$partial,"included":$included,"errors_count":${errors.size},"wall_sec":${math.round(elapsedSec)},"detail":"$out"}"""
+      val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","runs":$RUNS,"runs_done":$runsDone,"finished":$finished,"cold":${runsDone <= 1},"cold_total":$coldTotal,"partial_round":$partial,"included":$included,"errors_count":${errors.size},"wall_sec":${math.round(elapsedSec)},"top25":$top25,"detail":"$out"}"""
       println(compact)
       (compact, included)
     }

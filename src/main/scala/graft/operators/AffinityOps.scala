@@ -118,15 +118,22 @@ object AffinityOps {
       .groupBy(col("a.it").as("item1"), col("b.it").as("item2"))
       .agg(count(lit(1)).as("n_pair"))
 
-  private def cappedBaskets(df: DataFrame, basketCol: String,
-      itemCol: String, maxBasket: Int): DataFrame = {
+  /** (qualifying baskets, capped basket-item table) — split so
+    * consumers that only need the basket COUNT can read the small
+    * `ok` side without touching the basket-item rows. */
+  private def okAndCapped(df: DataFrame, basketCol: String,
+      itemCol: String, maxBasket: Int): (DataFrame, DataFrame) = {
     val op = df.select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .distinct()
     val ok = op.groupBy("bk").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBasket)
       .select("bk")
-    op.join(ok, "bk")
+    (ok, op.join(ok, "bk"))
   }
+
+  private def cappedBaskets(df: DataFrame, basketCol: String,
+      itemCol: String, maxBasket: Int): DataFrame =
+    okAndCapped(df, basketCol, itemCol, maxBasket)._2
 
   /** Association rules `antecedent → consequent` over item pairs
     * co-occurring in at least `minSupport` baskets, both directions,
@@ -134,19 +141,51 @@ object AffinityOps {
     * n_pair/c(ante)`, `lift = n_pair·N / (c(ante)·c(cons))`. Exact
     * integer counts, one fixed double expression per metric (the
     * count product runs in double — two 1e10 item counts would
-    * overflow a BIGINT product at warehouse scale). */
+    * overflow a BIGINT product at warehouse scale).
+    *
+    * CONTRACT — the item-count table is broadcast: rules only make
+    * sense over a catalog-sized item vocabulary (the pair table is
+    * already vocabulary², so a non-broadcastable vocabulary means the
+    * mine itself is infeasible first). Callers with a >100M-item
+    * universe should pre-aggregate to a coarser item key, not raise
+    * the broadcast ceiling.
+    *
+    * `minedPairs`, when given, MUST be value-identical to
+    * `basketPairs(df, basketCol, itemCol, maxBasket)` at the SAME cap:
+    * columns (item1, item2, n_pair), item1 < item2, counts over the
+    * SAME capped baskets, no pre-applied support filter — support/
+    * confidence/lift divide these counts by ic/nb still derived from
+    * the internal capped table, so a mismatched mine silently skews
+    * every metric. Intended for session-shared artifacts
+    * ([[lineitemBasketPairs]]); schema is asserted, value identity is
+    * the caller's contract. */
   def basketRules(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Int = 2, maxBasket: Int = 64, k: Int = 100,
       minedPairs: Option[DataFrame] = None): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1; got $minSupport")
     require(k >= 1, s"k must be >= 1; got $k")
     require(maxBasket >= 2, s"maxBasket must be >= 2; got $maxBasket")
-    // the capped basket table feeds THREE consumers (pair mining, the
-    // item counts, the basket total) — checkpoint it so the
-    // distinct+size-filter pipeline runs once, not three times
-    val capped = cappedBaskets(df, basketCol, itemCol, maxBasket)
-      .localCheckpoint()
-    val nb = capped.agg(countDistinct(col("bk")).as("n"))
+    minedPairs.foreach { p =>
+      val cols = p.columns.toSeq
+      require(cols.take(3) == Seq("item1", "item2", "n_pair"),
+        s"minedPairs must carry (item1, item2, n_pair); got $cols")
+    }
+    // When the pair mine is supplied, the capped table feeds ONE
+    // consumer (the item counts) and the basket total is exactly the
+    // size-filter table's row count (every qualifying basket has ≥1
+    // item row) — so the whole rule query is a single lazy plan with
+    // no eager checkpoint (r18: the per-call localCheckpoint
+    // materialized the ~|distinct basket-item| table every call for
+    // nothing). Only the self-mining path, where capped feeds three
+    // consumers (both self-join sides + the counts), pays the
+    // checkpoint so the distinct+size-filter pipeline runs once.
+    val (ok0, capped0) = okAndCapped(df, basketCol, itemCol, maxBasket)
+    val (nb, capped) = minedPairs match {
+      case Some(_) => (ok0.agg(count(lit(1)).as("n")), capped0)
+      case None =>
+        val c = capped0.localCheckpoint()
+        (c.agg(countDistinct(col("bk")).as("n")), c)
+    }
     // item counts are vocabulary-sized (distinct items) — broadcast-
     // declare both joins: after the aggregate the planner has no
     // stats and was planning them as 1.2M-pair-side SortMergeJoins

@@ -326,6 +326,18 @@ object DedupOps {
     val p = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       edgeCount / 500000L + 1L)).toInt
+    // Data-adaptive join strategy for the per-round star joins (r18,
+    // guide §3.1): each star joins the edge set to its per-node min
+    // table `m` (≤ 2·|E| rows of two ids) — after the aggregate the
+    // planner has no stats and plans a SortMergeJoin per star (two
+    // exchanges + two sorts × 2 stars × rounds). The edge count is
+    // already measured above, so declare the broadcast exactly when
+    // the min table provably fits (≤2M edges → ≤4M (long, long) rows,
+    // tens of MB). A web-scale graph keeps the shuffle joins — the
+    // same AQE-style measured-size decision, not a local-mode tune.
+    val bcastMins = edgeCount <= 2000000L
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (bcastMins) broadcast(df) else df
     // Pin each round's edge set and read its changed-edge count from an
     // `observe` metric — the metric fires during the checkpoint's own
     // materialization (pin runs through withAction), so convergence
@@ -351,7 +363,7 @@ object DedupOps {
         .unionByName(e.select(col("y").as("nu"), col("x").as("nv")))
       val m = sym.groupBy("nu").agg(min("nv").as("mn"))
         .select(col("nu"), least(col("nu"), col("mn")).as("m"))
-      sym.join(m, "nu")
+      sym.join(maybeBcast(m), "nu")
         .filter(col("nv") > col("nu"))
         .select(col("m").as("x"), col("nv").as("y"),
           (col("m") < col("nu")).cast("int").as("__chg"))
@@ -365,7 +377,7 @@ object DedupOps {
     def smallStar(e: DataFrame): DataFrame = {
       val m = e.groupBy(col("y").as("nu")).agg(min("x").as("m"))
       e.select(col("y").as("nu"), col("x").as("nv"))
-        .join(m, "nu")
+        .join(maybeBcast(m), "nu")
         .select(col("m").as("x"),
           when(col("nv") === col("m"), col("nu")).otherwise(col("nv"))
             .as("y"),
@@ -398,7 +410,8 @@ object DedupOps {
     // the CALLER's name (`idCol`), so downstream joins (funnelReport's
     // clusterKeepers contract) need no rename.
     val out = ids.select(col(idCol).as("graft_cc_id"))
-      .join(edges.select(col("y").as("graft_cc_id"), col("x").as("lbl")),
+      .join(maybeBcast(
+          edges.select(col("y").as("graft_cc_id"), col("x").as("lbl"))),
         Seq("graft_cc_id"), "left")
       .select(col("graft_cc_id").as(idCol),
         coalesce(col("lbl"), col("graft_cc_id")).as("cluster_id"))
@@ -738,12 +751,17 @@ object DedupOps {
     // tokens ride as SORTED xxhash64 longs (`th`): the exact verify
     // below is then a native merge count over 8-byte values instead of
     // a per-pair UTF8String hash set (the ngramJaccardPairs stance —
-    // 64-bit collisions are ~1e-9 probable and deterministic; the
-    // DuckDB oracle, which intersects the raw strings, hash-gates that
-    // the values agree). Pinned: the token table feeds THREE plan
-    // references (the exploded prefix derivation and both verify
-    // sides) — left declarative, each reference re-ran the
-    // split+distinct scan (duplicated-subtree audit, guide §7.2).
+    // a PAIR of distinct tokens collides with ~1e-19 probability, and
+    // across a whole corpus vocabulary the birthday bound is
+    // ~v²/2⁶⁵ — a few percent chance of ONE merged token pair
+    // somewhere at v≈10⁹ distinct tokens, deterministic either way;
+    // the DuckDB oracle, which intersects the raw strings, hash-gates
+    // that the values agree at test scale). Pin REJECTED by
+    // measurement: the token table feeds three plan references (the
+    // exploded prefix derivation and both verify sides), but
+    // localCheckpoint materialization measured slower than the
+    // duplicated split+distinct subtrees at this size
+    // (OPTIMIZATION_r17.md change 2) — left declarative.
     TextHashOps.register(corpus.sparkSession)
     val toks = (
       corpus.select(col(idCol).as("doc_id"),
@@ -763,9 +781,10 @@ object DedupOps {
     // rank each doc's tokens rarest-first; keep the lossless prefix
     // (rn rides along for the positional filter below). Any shared
     // total order preserves the prefix guarantee — (df, hash) here.
-    // Pinned: the prefix table feeds BOTH sides of the candidate
-    // self-join — left declarative, the explode+df-join+window-sort
-    // pipeline executed twice (duplicated-subtree audit, guide §7.2).
+    // Pin REJECTED by measurement: the prefix table feeds both sides
+    // of the candidate self-join, but pinning it measured slower than
+    // running the explode+df-join+window pipeline twice
+    // (OPTIMIZATION_r17.md change 2) — left declarative.
     val wDoc = Window.partitionBy("doc_id").orderBy("df", "token")
     val prefix = (
       ex.join(dfTab, Seq("part", "token"))

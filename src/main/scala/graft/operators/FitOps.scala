@@ -1254,7 +1254,14 @@ object FitOps {
   /** The fixed-step IRLS chain behind [[quantileReg]] over an
     * already-pinned (x, y) frame: returns (intercept, slope, n,
     * degenerate) — the train-once model the registered query caches
-    * per (session, corpus) (the logitIrlsCache stance). */
+    * per (session, corpus) (the logitIrlsCache stance).
+    *
+    * SEMANTICS FROZEN (r18, per the r17 verdict): the warm-started
+    * 8-step chain below IS the declared q_quantile_reg computation,
+    * replayed step-for-step by the DuckDB oracle. No further lockstep
+    * engine+oracle edits to this fit — any future change must keep
+    * the published coefficients bit-identical or go through a build
+    * round, not an optimization round. */
   private[graft] def quantRegChain(data: DataFrame, qq: Double,
       steps: Int, eps: Double): (Double, Double, Long, Boolean) = {
     def pass(a: Double, b: Double, weighted: Boolean)

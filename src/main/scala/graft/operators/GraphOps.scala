@@ -357,21 +357,27 @@ object GraphOps {
   def labelPropagation(edges: DataFrame, iterations: Int = 4): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50]; got $iterations")
-    import org.apache.spark.sql.expressions.Window
     val e = Checkpoints.pin(edges.select(col("src"), col("dst")))
     val nodes = Checkpoints.pin(
       e.select(col("src").as("node")).distinct())
     var lbl = nodes.select(col("node"), col("node").as("lbl"))
     for (i <- 1 to iterations) {
-      val w = Window.partitionBy("node")
-        .orderBy(col("c").desc, col("lbl"))
+      // per-node argmin as an AGGREGATE, not a row_number window
+      // (r18, guide §1.2 step 2): the winner label under
+      // (count DESC, label ASC) is exactly min_by over the composite
+      // key (−c, lbl) — the key is unique per (node, label) group, so
+      // there is no tie for min_by to break arbitrarily. The window
+      // spelling paid an exchange + full SORT of the (node, label)
+      // count table per sweep; the aggregate spelling is the same
+      // exchange into a hash aggregate with map-side partials — no
+      // sort, and strictly less shuffled data at any scale.
       val winner = e
         .join(lbl.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("lbl"))
+        .groupBy("node")
+        .agg(min_by(col("lbl"),
+          struct((-col("c")).as("nc"), col("lbl"))).as("lbl"))
       lbl = nodes.join(winner, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("lbl"), col("node")).as("lbl"))

@@ -1032,35 +1032,50 @@ object HypothesisOps {
       s"featureScreen takes 1..16 features; got ${features.size}")
     require(features.distinct.size == features.size,
       s"featureScreen features must be distinct; got $features")
-    features.map { f =>
-      val s = df.select(col(f).cast("double").as("v"),
+    // ONE unpivoted pass + ONE grouped spine (r18, guide §2.4): the
+    // per-feature loop ran k independent full scans, k groupBy
+    // shuffles and k spine builds over the same table. Unpivoting to
+    // (feature, v, isa) runs the identical per-feature arithmetic —
+    // same groupBy counts, same bucket-invariant cumulative sums
+    // (RankSpine grouped mode = one independent spine per feature
+    // sharing the refinement rounds), same per-feature fold — in one
+    // scan, one (feature, v) aggregate and one spine. Value-identical
+    // by construction: every aggregate below is per-feature over the
+    // same row multiset the per-feature loop saw, and the decimal
+    // sums are order-independent.
+    val long = df.select(
+        explode(array(features.map(f => struct(lit(f).as("feature"),
+          col(f).cast("double").as("v"))): _*)).as("fv"),
         when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
           .as("isa"))
-      val g = s.groupBy("v")
-        .agg(sum("isa").as("na"), sum(lit(1L) - col("isa")).as("nb"))
-      val cum = RankSpine.cumulative(g, "v", Seq("na", "nb"),
-        Seq("ca", "cb"))
-      val tot = cum.agg(sum("na").as("npt"), sum("nb").as("nnt"))
-      val c = col("na") + col("nb")
-      val cPrev = (col("ca") + col("cb")).cast(dec0) - c
-      val m = cum.crossJoin(broadcast(tot)).agg(
-        sum(col("na").cast(dec0) * (cPrev * 2 + c + 1)).as("ra2"),
-        max(abs(col("ca").cast(dec0) * col("nnt") -
-          col("cb").cast(dec0) * col("npt"))).as("dnum"),
-        min("npt").as("n_pos"), min("nnt").as("n_neg"))
-      val np = col("n_pos").cast("double")
-      val nn = col("n_neg").cast("double")
-      val u = (col("ra2").cast("double") - np * (np + lit(1.0))) /
-        lit(2.0)
-      val a = u / (np * nn)
-      val d = col("dnum").cast("double") / (np * nn)
-      val ok = col("n_pos") > 0 && col("n_neg") > 0
-      m.select(lit(f).as("feature"),
-        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
-        coalesce(col("n_neg"), lit(0L)).as("n_neg"),
-        when(ok, r6(a)).as("auc"),
-        when(ok, r6(d)).as("ks_d"))
-    }.reduce(_ unionByName _).orderBy("feature")
+      .select(col("fv.feature").as("feature"), col("fv.v").as("v"),
+        col("isa"))
+    val g = long.groupBy("feature", "v")
+      .agg(sum("isa").as("na"), sum(lit(1L) - col("isa")).as("nb"))
+    val cum = RankSpine.cumulative(g, "v", Seq("na", "nb"),
+      Seq("ca", "cb"), partitionCols = Seq("feature"))
+    val tot = g.groupBy("feature")
+      .agg(sum("na").as("npt"), sum("nb").as("nnt"))
+    val c = col("na") + col("nb")
+    val cPrev = (col("ca") + col("cb")).cast(dec0) - c
+    val m = cum.join(broadcast(tot), "feature").groupBy("feature").agg(
+      sum(col("na").cast(dec0) * (cPrev * 2 + c + 1)).as("ra2"),
+      max(abs(col("ca").cast(dec0) * col("nnt") -
+        col("cb").cast(dec0) * col("npt"))).as("dnum"),
+      min("npt").as("n_pos"), min("nnt").as("n_neg"))
+    val np = col("n_pos").cast("double")
+    val nn = col("n_neg").cast("double")
+    val u = (col("ra2").cast("double") - np * (np + lit(1.0))) /
+      lit(2.0)
+    val a = u / (np * nn)
+    val d = col("dnum").cast("double") / (np * nn)
+    val ok = col("n_pos") > 0 && col("n_neg") > 0
+    m.select(col("feature"),
+      coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+      coalesce(col("n_neg"), lit(0L)).as("n_neg"),
+      when(ok, r6(a)).as("auc"),
+      when(ok, r6(d)).as("ks_d"))
+      .orderBy("feature")
   }
 
   /** Offline retrieval/ranking evaluation — the metric block a search

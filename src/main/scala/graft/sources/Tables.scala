@@ -21,21 +21,82 @@ object Tables {
     name match {
       case "events"     => events(spark, sfDir)
       // The driver lays each corpus table out as ONE parquet file = one
-      // input split, so without an explicit repartition every downstream
-      // pipeline — however narrow — runs single-task (q_doc_dedup spent
-      // 34 s single-threaded in the r01 driver bench). Hash-distribute on
-      // the id at the loader so no query can forget; the id is also the
-      // groupBy/join key of the heavy document pipelines, so that shuffle
-      // is reused (hashpartitioning(doc_id) satisfies the aggregate's
-      // required distribution — no second exchange). On a warehouse-scale
-      // scan the file arrives already split and this repartition is a
-      // cheap rebalance of an input that needed distributing anyway.
-      case "documents"  => spark.read.parquet(s"$sfDir/documents.parquet")
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-      case "embeddings" => spark.read.parquet(s"$sfDir/embeddings.parquet")
-        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      // input split (single row group), so without an explicit
+      // repartition every downstream pipeline — however narrow — runs
+      // its whole MAP side single-task (q_doc_dedup spent 34 s
+      // single-threaded in the r01 driver bench; r18 found the same
+      // serialization on every lineitem/orders aggregate: the scan
+      // stage of each heavy decimal fold ran on ONE core at any CPU
+      // count — the measured 8-core≈32-core anti-scaling). Hash-
+      // distribute on each table's primary join key at the loader so
+      // no query can forget; the key is also the join/groupBy key of
+      // the heavy pipelines, so that shuffle is REUSED
+      // (hashpartitioning(key) satisfies the join's required
+      // distribution — no second exchange). [[distributeIfUnsplit]]
+      // makes the rebalance scale-adaptive: it fires only when the
+      // source arrives in fewer splits than the session's parallelism
+      // (a one-file fixture, a tiny dimension), and is a no-op on a
+      // warehouse-scale scan that already arrives split.
+      case "documents"  => distributeIfUnsplit(spark,
+        s"$sfDir/documents.parquet", col("doc_id"))
+      case "embeddings" => distributeIfUnsplit(spark,
+        s"$sfDir/embeddings.parquet", col("vec_id"))
+      case "lineitem"   => distributeIfUnsplit(spark,
+        s"$sfDir/lineitem.parquet", col("l_orderkey"))
+      case "orders"     => distributeIfUnsplit(spark,
+        s"$sfDir/orders.parquet", col("o_orderkey"))
       case n            => spark.read.parquet(s"$sfDir/$n.parquet")
     }
+  }
+
+  /** Target bytes per cached partition for the loader rebalance —
+    * overridable per session via `graft.loader.partitionTargetBytes`.
+    * 4 MiB measured (FanoutProbe, r18): on the local fixtures every
+    * stage over a table cached at `defaultParallelism` partitions paid
+    * ~10-15 ms of pure per-task overhead × cores PER STAGE (the
+    * r17-verdict 8-core-beats-32-core inversion: 32 tiny tasks lose to
+    * 8 on the same data at the same master — sweeps-shape probe 4.5 s
+    * at 32 parts vs 0.53 s at 1). Partition counts must derive from
+    * DATA SIZE (guide §2.2/§6), not the core count. */
+  private def partitionTarget(spark: SparkSession): Long =
+    spark.conf.get("graft.loader.partitionTargetBytes", null) match {
+      case null => 4L << 20
+      case s    => org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(s)
+    }
+
+  /** Read `path` and hash-distribute it on `key` over a DATA-SIZED
+    * partition count — ceil(bytes / [[partitionTarget]]), clamped to
+    * [1, defaultParallelism] — but ONLY when the source cannot split
+    * to that count on its own (estimated splits = bytes /
+    * `spark.sql.files.maxPartitionBytes`). At warehouse scale the
+    * estimate exceeds the cap and the read passes through untouched
+    * (no extra shuffle); on the single-file local fixtures it
+    * distributes once — and since the loader output is what sessions
+    * cache, every downstream scan inherits the parallel,
+    * key-partitioned layout. */
+  private def distributeIfUnsplit(spark: SparkSession, path: String,
+      key: org.apache.spark.sql.Column): DataFrame =
+    distributeIfUnsplit(spark, path, spark.read.parquet(path), key)
+
+  /** [[distributeIfUnsplit]] over an already-adapted frame (`events`,
+    * whose `ts` layout fix must run before the rebalance). */
+  private def distributeIfUnsplit(spark: SparkSession, path: String,
+      df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val f = new java.io.File(path)
+    val bytes =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.map(_.length).sum).getOrElse(0L)
+      else f.length()
+    val target = partitionTarget(spark)
+    val n = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      (bytes + target - 1) / target)).toInt
+    val maxSplit = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(spark.conf
+        .get("spark.sql.files.maxPartitionBytes", "128m"))
+    val splits = math.max(1L, (bytes + maxSplit - 1) / maxSplit)
+    if (splits < n) df.repartition(n, key) else df
   }
 
   /** The driver has shipped `events.parquet` with two `ts` layouts: parquet
@@ -49,7 +110,7 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
-    raw.schema("ts").dataType match {
+    val adapted = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
@@ -68,6 +129,11 @@ object Tables {
           org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
+    // distribute like the other single-file fixtures — user_id is the
+    // dominant window/groupBy key of the event pipelines, so the
+    // loader's hash layout is reused by the per-user windows
+    distributeIfUnsplit(spark, s"$sfDir/events.parquet", adapted,
+      col("user_id"))
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame =

@@ -59,6 +59,7 @@ final class AggMaintain private (
     * aggregate. Returns the number of recomputed groups (the
     * incremental-cost observable a monitoring loop wants). */
   def processBatch(batch: DataFrame): Long = synchronized {
+    BatchGuard.check(batch, "AggMaintain")
     val spark = batch.sparkSession
     // 1. affected groups = batch keys' groups before AND after. The
     // "after" side comes from the batch payload; the "before" side

@@ -47,6 +47,7 @@ final class CdcApply private (
     * (monotone change order), `opCol` ('u' upsert / 'd' delete) plus
     * the payload columns; the target table carries key + payload. */
   def processBatch(batch: DataFrame): Unit = synchronized {
+    BatchGuard.check(batch, "CdcApply")
     val spark = batch.sparkSession
     val payload = batch.columns.filterNot(c => c == seqCol || c == opCol)
     // 1. latest change per key — seq DESC with the full remaining

@@ -52,6 +52,7 @@ final class Scd2Apply private (
   /** Apply one micro-batch of changes carrying
     * (`keyCol`, `valueCol`, `tsCol`, `tieCol`). */
   def processBatch(batch: DataFrame): Unit = synchronized {
+    BatchGuard.check(batch, "Scd2Apply")
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val changes = batch.select(col(keyCol), col(valueCol),

@@ -219,6 +219,7 @@ final class FingerprintDedupFilter private[streaming] (
     * With [[withAutoCompaction]] configured, every N-th batch also
     * collapses the accumulated set. */
   def processBatch(batch: DataFrame): DataFrame = {
+    BatchGuard.check(batch, "FingerprintDedupFilter")
     // compaction runs at the START of the batch FOLLOWING each N-th:
     // the rows returned below stay lazy until the foreachBatch callback
     // consumes them, so nothing may unpersist their lineage mid-flight
@@ -369,6 +370,7 @@ final class IndexDedupFilter private[streaming] (
     * With [[withAutoCompaction]] configured, every N-th batch also
     * collapses the append chain. */
   def processBatch(batch: DataFrame): DataFrame = {
+    BatchGuard.check(batch, "IndexDedupFilter")
     import org.apache.spark.storage.StorageLevel
     // compaction runs at the START of the batch FOLLOWING each N-th
     // (the fingerprint twin's stance): the previous batch's returned

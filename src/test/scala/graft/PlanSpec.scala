@@ -43,15 +43,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
   }
 
-  test("corpus tables arrive parallelized from the loader") {
-    // regression pin for the r01 defect: the single-file corpus scan ran
-    // one-task; the loader must hash-distribute it
+  test("corpus tables arrive data-sized from the loader") {
+    // r01 pinned the loader rebalance (single-file scans must not run
+    // the whole pipeline one-task at corpus scale); r18 made the count
+    // DATA-SIZED — ceil(bytes / 4 MiB) clamped to [1,
+    // defaultParallelism] — after the c8-beats-c32 inversion traced to
+    // core-count-sized partitions of tiny tables (one fixed per-task
+    // overhead × cores per stage). Pin the rule, not a constant.
+    def expected(path: String): Int = {
+      val bytes = new java.io.File(path).length()
+      math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        (bytes + (4L << 20) - 1) / (4L << 20))).toInt
+    }
     val docs = graft.sources.Tables.documents(spark, sfDir)
     assert(docs.rdd.getNumPartitions ===
-      spark.sparkContext.defaultParallelism)
-    val embs = graft.sources.Tables.embeddings(spark, sfDir)
-    assert(embs.rdd.getNumPartitions ===
-      spark.sparkContext.defaultParallelism)
+      expected(s"$sfDir/documents.parquet"))
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    assert(li.rdd.getNumPartitions ===
+      expected(s"$sfDir/lineitem.parquet"))
   }
 
   test("q_stream_join is an equi hash join with residual time bound") {
@@ -80,9 +90,11 @@ class PlanSpec extends SparkSpec {
   test("flagship alert pipeline is narrow — no shuffle before the sort") {
     val p = plan(SparkEntry.entry(spark))
     val exchanges = "Exchange".r.findAllIn(p).size
-    // the only exchange allowed is the final presentation sort's range
-    // partitioning (plus its AQE wrapper); joins/aggs would add more
-    assert(exchanges <= 2, s"unexpected shuffles ($exchanges):\n" + p.take(2000))
+    // allowed: the final presentation sort's range partitioning (plus
+    // its AQE wrapper) and the events loader's one-time rebalance
+    // (r18 — single-file fixtures distribute at the loader, the
+    // documents/embeddings stance); joins/aggs would add more
+    assert(exchanges <= 3, s"unexpected shuffles ($exchanges):\n" + p.take(2000))
   }
 
   test("q_sim_topk scans embeddings once with a broadcast probe") {
