@@ -88,29 +88,36 @@ object GraphOps {
     * 1e-6/N-ish for scoring, tighter for ranking stability. */
   def pageRank(edges: DataFrame, iterations: Int = 5,
       damping: Double = 0.85, broadcastRanks: Boolean = false,
-      tolerance: Option[Double] = None): DataFrame =
+      tolerance: Option[Double] = None,
+      inputPinned: Boolean = false): DataFrame =
     pageRankWithRounds(edges, iterations, damping, broadcastRanks,
-      tolerance)._1
+      tolerance, inputPinned)._1
 
   /** [[pageRank]] plus the number of sweeps actually run (= the fixed
-    * `iterations` unless a `tolerance` stop fired earlier). */
+    * `iterations` unless a `tolerance` stop fired earlier).
+    * `inputPinned`: callers whose edge frame is already stored blocks
+    * (or a cheap projection of them — the session-pinned trade graph's
+    * symmetrizing union) skip the per-call edge materialization; the
+    * loop still pins its own derived tables. */
   private[graft] def pageRankWithRounds(edges: DataFrame,
       iterations: Int = 5, damping: Double = 0.85,
       broadcastRanks: Boolean = false,
-      tolerance: Option[Double] = None): (DataFrame, Int) = {
+      tolerance: Option[Double] = None,
+      inputPinned: Boolean = false): (DataFrame, Int) = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50]; got $iterations")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0, 1); got $damping")
     tolerance.foreach(t => require(t >= 0.0,
       s"tolerance must be >= 0; got $t"))
-    val e = Checkpoints.pin(edges)
+    val e = if (inputPinned) edges else Checkpoints.pin(edges)
     val nodes = Checkpoints.pin(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct())
     val nn = Checkpoints.pin(nodes.agg(count(lit(1)).as("n_nodes")))
     val deg = Checkpoints.pin(
-      e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+      e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        .withColumnRenamed("src", "node"))
     var r = nodes.crossJoin(broadcast(nn))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("r"))
     var i = 0
@@ -123,12 +130,24 @@ object GraphOps {
       // and shuffle of the |E|-row side — the edge list is scanned in
       // place once per sweep. At billion-node scale leave false: the
       // joins shuffle on node id and AQE handles skewed hubs.
-      val rIn = if (broadcastRanks) broadcast(r) else r
-      val degIn = if (broadcastRanks) broadcast(deg) else deg
-      val contrib0 = e.join(rIn, e("src") === rIn("node"))
-        .join(degIn, "src")
-        .select(col("dst").as("node"),
+      // Per-SOURCE contribution computed on the ≤N-row rank side
+      // BEFORE the edge join (r18, guide §1.2 step 2): r/outdeg and
+      // its DECIMAL(38,12) rounding are functions of the source node
+      // only, but the old spelling evaluated them per EDGE — ~|E|
+      // BigDecimal constructions per sweep, the measured CPU floor of
+      // the sweep stages (~70% of executor time). Computing the
+      // decimal once per source is bit-identical (same IEEE division,
+      // same HALF_UP cast, decimal addition is exact and
+      // order-independent) and also fuses the sweep's TWO |E|-side
+      // probes (rank, degree) into ONE — at billion-node scale
+      // (broadcastRanks = false) the edge table is now joined once
+      // per sweep instead of twice.
+      val cSrc = r.join(deg, Seq("node"))
+        .select(col("node").as("src"),
           (col("r") / col("outdeg")).cast(DecimalType(38, 12)).as("c"))
+      val cIn = if (broadcastRanks) broadcast(cSrc) else cSrc
+      val contrib0 = e.join(cIn, "src")
+        .select(col("dst").as("node"), col("c"))
         .groupBy("node")
         .agg(sum(col("c")).cast("double").as("m"))
       // contrib is ≤N rows — under the caller's broadcastRanks
@@ -260,11 +279,12 @@ object GraphOps {
     * function of the edge set (BFS layers are set-determined; no
     * ordering or partitioning sensitivity). */
   def shortestPaths(edges: DataFrame, sourceId: Long,
-      maxHops: Int = 4): DataFrame = {
+      maxHops: Int = 4, inputPinned: Boolean = false): DataFrame = {
     require(maxHops >= 1 && maxHops <= 50,
       s"maxHops must be in [1, 50]; got $maxHops")
-    val e = Checkpoints.pin(edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")))
+    val eCast = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val e = if (inputPinned) eCast else Checkpoints.pin(eCast)
     val spark = edges.sparkSession
     var visited = Checkpoints.pin(spark.range(1)
       .select(lit(sourceId).as("node"), lit(0).as("dist")))
@@ -354,12 +374,23 @@ object GraphOps {
       .orderBy("node")
   }
 
-  def labelPropagation(edges: DataFrame, iterations: Int = 4): DataFrame = {
+  def labelPropagation(edges: DataFrame, iterations: Int = 4,
+      inputPinned: Boolean = false,
+      broadcastLabels: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50]; got $iterations")
-    val e = Checkpoints.pin(edges.select(col("src"), col("dst")))
+    val eSel = edges.select(col("src"), col("dst"))
+    val e = if (inputPinned) eSel else Checkpoints.pin(eSel)
     val nodes = Checkpoints.pin(
       e.select(col("src").as("node")).distinct())
+    // broadcastLabels: when the caller KNOWS the node table is
+    // broadcast-sized (a one-mode projection of a bounded catalog),
+    // the per-sweep ≤N-row label and winner tables ship to the edge
+    // partitions — without it every sweep planned the |E|-side join
+    // as a SortMergeJoin (aggregate outputs have no stats; measured
+    // sig: 8 SMJs for 4 sweeps). At billion-node scale leave false.
+    def maybeB(df: DataFrame): DataFrame =
+      if (broadcastLabels) broadcast(df) else df
     var lbl = nodes.select(col("node"), col("node").as("lbl"))
     for (i <- 1 to iterations) {
       // per-node argmin as an AGGREGATE, not a row_number window
@@ -372,13 +403,13 @@ object GraphOps {
       // exchange into a hash aggregate with map-side partials — no
       // sort, and strictly less shuffled data at any scale.
       val winner = e
-        .join(lbl.withColumnRenamed("node", "src"), "src")
+        .join(maybeB(lbl.withColumnRenamed("node", "src")), "src")
         .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         .groupBy("node")
         .agg(min_by(col("lbl"),
           struct((-col("c")).as("nc"), col("lbl"))).as("lbl"))
-      lbl = nodes.join(winner, Seq("node"), "left")
+      lbl = nodes.join(maybeB(winner), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("lbl"), col("node")).as("lbl"))
       if (i % 10 == 0 && i < iterations) lbl = Checkpoints.pin(lbl)
@@ -514,7 +545,10 @@ object GraphOps {
         // edges (no |E|-side shuffle); results identical either way
         // (GraphOpsSpec pins it)
         pageRank(edges, iterations = 5, damping = 0.85,
-          broadcastRanks = true)
+          broadcastRanks = true,
+          // the symmetrizing union reads the session-pinned e0 blocks
+          // twice — already materialized, no per-call pin needed
+          inputPinned = true)
           .select(
             when(col("node") % 2 === 0,
               concat(lit("c"), (col("node") / 2).cast("long")
@@ -591,7 +625,10 @@ object GraphOps {
           .select(col("item1").as("src"), col("item2").as("dst"))
         val edges = e0.union(
           e0.select(col("dst").as("src"), col("src").as("dst")))
-        labelPropagation(edges, iterations = 4)
+        // nodes = distinct co-purchased parts — catalog-bounded,
+        // broadcast-sized by construction (the broadcastRanks stance)
+        labelPropagation(edges, iterations = 4, inputPinned = true,
+          broadcastLabels = true)
           .groupBy(col("lbl").as("community"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("n_members").desc, col("community"))
@@ -633,7 +670,8 @@ object GraphOps {
         val e0 = tradeGraphE0(s, d)
         val edges = e0.union(
           e0.select(col("dst").as("src"), col("src").as("dst")))
-        shortestPaths(edges, sourceId = 2L, maxHops = 4)
+        shortestPaths(edges, sourceId = 2L, maxHops = 4,
+          inputPinned = true)
           .select(
             when(col("node") % 2 === 0,
               concat(lit("c"), (col("node") / 2).cast("long")

@@ -37,10 +37,23 @@ object Tables {
       // source arrives in fewer splits than the session's parallelism
       // (a one-file fixture, a tiny dimension), and is a no-op on a
       // warehouse-scale scan that already arrives split.
+      // documents/embeddings are CPU-DENSE per byte — shingling,
+      // minhash permutations, 64-d vector products: their pair/verify
+      // pipelines do seconds of work per source KB, so a bytes-sized
+      // partition count under-parallelizes them by orders of magnitude
+      // (measured r18: data-sized documents collapsed to 1 partition
+      // and q_setsim_join went 1.8 → 9.6 s, q_knn_join 0.8 → 3.9 s).
+      // They stay PARALLELISM-FIRST (the r01 rule): spread to the
+      // cores, because the work unit is rows × per-row CPU, not bytes.
       case "documents"  => distributeIfUnsplit(spark,
-        s"$sfDir/documents.parquet", col("doc_id"))
+        s"$sfDir/documents.parquet", col("doc_id"),
+        bytesSized = false)
       case "embeddings" => distributeIfUnsplit(spark,
-        s"$sfDir/embeddings.parquet", col("vec_id"))
+        s"$sfDir/embeddings.parquet", col("vec_id"),
+        bytesSized = false)
+      // the relational tables are BANDWIDTH-dense (narrow scans,
+      // decimal folds): bytes ≈ work, so they take the data-sized
+      // count — the r18 inversion fix
       case "lineitem"   => distributeIfUnsplit(spark,
         s"$sfDir/lineitem.parquet", col("l_orderkey"))
       case "orders"     => distributeIfUnsplit(spark,
@@ -76,22 +89,35 @@ object Tables {
     * cache, every downstream scan inherits the parallel,
     * key-partitioned layout. */
   private def distributeIfUnsplit(spark: SparkSession, path: String,
+      key: org.apache.spark.sql.Column,
+      bytesSized: Boolean): DataFrame =
+    distributeIfUnsplit(spark, path, spark.read.parquet(path), key,
+      bytesSized)
+
+  private def distributeIfUnsplit(spark: SparkSession, path: String,
       key: org.apache.spark.sql.Column): DataFrame =
-    distributeIfUnsplit(spark, path, spark.read.parquet(path), key)
+    distributeIfUnsplit(spark, path, spark.read.parquet(path), key,
+      bytesSized = true)
 
   /** [[distributeIfUnsplit]] over an already-adapted frame (`events`,
-    * whose `ts` layout fix must run before the rebalance). */
+    * whose `ts` layout fix must run before the rebalance).
+    * `bytesSized = false` is the CPU-dense regime: partition count =
+    * defaultParallelism regardless of bytes (work unit is per-row CPU,
+    * not bandwidth). */
   private def distributeIfUnsplit(spark: SparkSession, path: String,
-      df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+      df: DataFrame, key: org.apache.spark.sql.Column,
+      bytesSized: Boolean = true): DataFrame = {
     val f = new java.io.File(path)
     val bytes =
       if (f.isDirectory)
         Option(f.listFiles()).map(_.map(_.length).sum).getOrElse(0L)
       else f.length()
     val target = partitionTarget(spark)
-    val n = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong,
-      (bytes + target - 1) / target)).toInt
+    val n =
+      if (bytesSized) math.max(1L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        (bytes + target - 1) / target)).toInt
+      else spark.sparkContext.defaultParallelism
     val maxSplit = org.apache.spark.network.util.JavaUtils
       .byteStringAsBytes(spark.conf
         .get("spark.sql.files.maxPartitionBytes", "128m"))

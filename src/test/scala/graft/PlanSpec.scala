@@ -56,9 +56,11 @@ class PlanSpec extends SparkSpec {
         spark.sparkContext.defaultParallelism.toLong,
         (bytes + (4L << 20) - 1) / (4L << 20))).toInt
     }
+    // documents are CPU-dense: parallelism-first (the r01 rule)
     val docs = graft.sources.Tables.documents(spark, sfDir)
     assert(docs.rdd.getNumPartitions ===
-      expected(s"$sfDir/documents.parquet"))
+      spark.sparkContext.defaultParallelism)
+    // lineitem is bandwidth-dense: data-sized (the r18 rule)
     val li = graft.sources.Tables.lineitem(spark, sfDir)
     assert(li.rdd.getNumPartitions ===
       expected(s"$sfDir/lineitem.parquet"))
