@@ -142,7 +142,11 @@ object GraphOps {
       // probes (rank, degree) into ONE — at billion-node scale
       // (broadcastRanks = false) the edge table is now joined once
       // per sweep instead of twice.
-      val cSrc = r.join(deg, Seq("node"))
+      // under broadcastRanks the ≤N-row degree table is broadcast into
+      // the rank join too (both sides are stats-less pinned/aggregate
+      // outputs — left alone the planner sorts both per sweep)
+      val cSrc = r.join(
+          if (broadcastRanks) broadcast(deg) else deg, Seq("node"))
         .select(col("node").as("src"),
           (col("r") / col("outdeg")).cast(DecimalType(38, 12)).as("c"))
       val cIn = if (broadcastRanks) broadcast(cSrc) else cSrc
