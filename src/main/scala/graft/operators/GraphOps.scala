@@ -674,8 +674,12 @@ object GraphOps {
         val e0 = tradeGraphE0(s, d)
         val edges = e0.union(
           e0.select(col("dst").as("src"), col("src").as("dst")))
-        shortestPaths(edges, sourceId = 2L, maxHops = 4,
-          inputPinned = true)
+        // inputPinned measured SLOWER here (warm 1.58 → 2.06 s, r18
+        // final board): unlike pageRank's single-action sweep chain,
+        // each BFS hop is its own eager pin job, so an unpinned edge
+        // frame re-derives the symmetrizing union once per hop — the
+        // per-call pin pays for itself across the 4 hop actions
+        shortestPaths(edges, sourceId = 2L, maxHops = 4)
           .select(
             when(col("node") % 2 === 0,
               concat(lit("c"), (col("node") / 2).cast("long")
