@@ -283,30 +283,46 @@ object GraphOps {
     * function of the edge set (BFS layers are set-determined; no
     * ordering or partitioning sensitivity). */
   def shortestPaths(edges: DataFrame, sourceId: Long,
-      maxHops: Int = 4, inputPinned: Boolean = false): DataFrame = {
+      maxHops: Int = 4, inputPinned: Boolean = false,
+      broadcastFrontier: Boolean = false): DataFrame = {
     require(maxHops >= 1 && maxHops <= 50,
       s"maxHops must be in [1, 50]; got $maxHops")
     val eCast = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
     val e = if (inputPinned) eCast else Checkpoints.pin(eCast)
     val spark = edges.sparkSession
+    // broadcastFrontier: when the caller KNOWS the node universe is
+    // broadcast-sized (the broadcastRanks stance), the ≤N-row frontier
+    // and visited tables ship to the edge partitions — without it both
+    // per-hop joins plan as SortMergeJoin (pinned outputs carry no
+    // stats) and the |E|-row edge table is exchanged + sorted TWICE
+    // per hop. At billion-node scale leave false.
+    def maybeB(df: DataFrame): DataFrame =
+      if (broadcastFrontier) broadcast(df) else df
     var visited = Checkpoints.pin(spark.range(1)
       .select(lit(sourceId).as("node"), lit(0).as("dist")))
     var frontier = visited.select("node")
     var h = 1
     var exhausted = false
     while (h <= maxHops && !exhausted) {
-      val next = Checkpoints.pin(e
-        .join(frontier.withColumnRenamed("node", "src"), "src")
+      val next = e
+        .join(maybeB(frontier.withColumnRenamed("node", "src")), "src")
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .withColumn("dist", lit(h)))
-      exhausted = next.isEmpty
-      if (!exhausted) {
-        visited = Checkpoints.pin(visited.unionByName(next))
-        frontier = next.select("node")
-        h += 1
-      }
+        .join(maybeB(visited), Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+      // ONE eager pin per hop (r18): the appended visited set. The old
+      // shape pinned `next` and the union separately — two jobs per
+      // hop, each replanning and re-shuffling — where the union pin
+      // alone materializes the same rows (an empty `next` unions to an
+      // identical visited set, so assigning before the emptiness check
+      // is value-identical). The frontier and the stop probe both read
+      // the pinned blocks back with a dist filter — a cheap
+      // stored-block scan, not a recompute.
+      val nv = Checkpoints.pin(visited.unionByName(next))
+      frontier = nv.filter(col("dist") === h).select("node")
+      exhausted = frontier.isEmpty
+      visited = nv
+      h += 1
     }
     visited
   }
@@ -346,7 +362,8 @@ object GraphOps {
     * (the connected-components stance) rather than silently emitting
     * a half-peeled graph. Pathological chains peel O(diameter)
     * rounds — real co-occurrence graphs peel in a handful. */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 16): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 16,
+      broadcastNodes: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1; got $k")
     var e = Checkpoints.pin(edges
       .select(least(col("src"), col("dst")).as("u"),
@@ -357,10 +374,18 @@ object GraphOps {
       ed.select(col("u").as("node"))
         .union(ed.select(col("v").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
+    // broadcastNodes: when the caller KNOWS the node universe is
+    // broadcast-sized (bounded catalog), the ≤N-row survivor set
+    // ships to the edge partitions — otherwise both per-round
+    // semi-joins exchange + sort the |E|-row edge table (pinned
+    // outputs carry no stats → SortMergeJoin). Billion-node graphs
+    // leave false.
+    def maybeB(df: DataFrame): DataFrame =
+      if (broadcastNodes) broadcast(df) else df
     var round = 0
     var done = false
+    var deg = Checkpoints.pin(degrees(e))
     while (!done) {
-      val deg = degrees(e)
       if (deg.filter(col("d") < k).isEmpty) done = true
       else {
         round += 1
@@ -369,11 +394,19 @@ object GraphOps {
             "rounds — long-chain graph; raise maxRounds")
         val keep = deg.filter(col("d") >= k).select("node")
         e = Checkpoints.pin(e
-          .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
-          .join(keep.select(col("node").as("v")), Seq("v"), "left_semi"))
+          .join(maybeB(keep.select(col("node").as("u"))), Seq("u"),
+            "left_semi")
+          .join(maybeB(keep.select(col("node").as("v"))), Seq("v"),
+            "left_semi"))
+        // degree table pinned ONCE per round (r18): the old shape
+        // derived it lazily and so re-ran the aggregate twice per
+        // round (stop probe, then again under both semi-join pins) —
+        // and a third time after the loop for the result projection.
+        // One eager ≤N-row pin per round feeds all three reads.
+        deg = Checkpoints.pin(degrees(e))
       }
     }
-    degrees(e)
+    deg
       .select(col("node"), col("d").as("core_degree"))
       .orderBy("node")
   }
@@ -499,8 +532,11 @@ object GraphOps {
               ORDER BY node"""
       },
       // the cached distinct projection is value-identical here:
-      // kCore canonicalizes (u<v, distinct) internally either way
-      (s, d) => kCore(tradeGraphE0(s, d), k = 8)),
+      // kCore canonicalizes (u<v, distinct) internally either way.
+      // N = |customers| + |suppliers| — broadcast-sized by the
+      // bipartite construction (the broadcastRanks stance)
+      (s, d) => kCore(tradeGraphE0(s, d), k = 8,
+        broadcastNodes = true)),
 
     // PageRank over the bipartite customer↔supplier trade graph
     // (distinct (custkey, suppkey) pairs from lineitem⋈orders,
@@ -678,8 +714,14 @@ object GraphOps {
         // final board): unlike pageRank's single-action sweep chain,
         // each BFS hop is its own eager pin job, so an unpinned edge
         // frame re-derives the symmetrizing union once per hop — the
-        // per-call pin pays for itself across the 4 hop actions
-        shortestPaths(edges, sourceId = 2L, maxHops = 4)
+        // per-call pin pays for itself across the 4 hop actions.
+        // N = |customers| + |suppliers| — broadcast-sized by the
+        // bipartite construction (the q_pagerank broadcastRanks
+        // stance), so the per-hop frontier/visited joins ship to the
+        // edge partitions instead of exchanging + sorting the edge
+        // table twice per hop
+        shortestPaths(edges, sourceId = 2L, maxHops = 4,
+          broadcastFrontier = true)
           .select(
             when(col("node") % 2 === 0,
               concat(lit("c"), (col("node") / 2).cast("long")

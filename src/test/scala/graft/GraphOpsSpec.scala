@@ -234,4 +234,29 @@ class GraphOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("did not stabilize"))
   }
+
+  test("broadcast variants are value-identical: shortestPaths " +
+    "broadcastFrontier and kCore broadcastNodes reproduce the shuffle " +
+    "path exactly") {
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L),
+      (9L, 10L)).toDF("src", "dst")
+    val edges = e0.union(e0.select(col("dst").as("src"),
+      col("src").as("dst")))
+    def toMapBfs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(
+      toMapBfs(GraphOps.shortestPaths(edges, 1L, maxHops = 4,
+        broadcastFrontier = true)) ===
+      toMapBfs(GraphOps.shortestPaths(edges, 1L, maxHops = 4)))
+    val rnd = new scala.util.Random(23)
+    val es = (1 to 400).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).toSeq
+    def toMapCore(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(
+      toMapCore(GraphOps.kCore(es.toDF("src", "dst"), 3,
+        broadcastNodes = true)) ===
+      toMapCore(GraphOps.kCore(es.toDF("src", "dst"), 3)))
+  }
 }
