@@ -48,3 +48,30 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
+// Test suites run in PARALLEL forked JVMs (r18, verdict item 1): one
+// serial JVM ran all 51 suites through a single local[4] session —
+// 43.5 CPU-minutes squeezed through <2 cores, 24.4 min wall, past the
+// driver's test budget (the r17 red gate was an external mid-suite
+// kill at 28 min). Suites group round-robin by name into
+// SPARK_GRAFT_TEST_JVMS forked JVMs, each with its own SparkSession
+// (SparkSpec.session is per-JVM; warehouse dirs are nanoTime-unique,
+// UI off, driver ports random — nothing shared across JVMs). 6 JVMs ×
+// local[4] ≈ 24 threads on the 32-core sandbox; -Xmx is a ceiling,
+// not a reservation, so six test JVMs fit the 128 GiB box with
+// headroom.
+// sbt serializes forked test groups by default (Tags.ForkedTestGroup
+// limit 1) — without raising it the grouping above changes nothing.
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup,
+    sys.env.getOrElse("SPARK_GRAFT_TEST_JVMS", "6").toInt),
+  Tags.limitAll(16))
+Test / testGrouping := {
+  val groups = sys.env.getOrElse("SPARK_GRAFT_TEST_JVMS", "6").toInt
+  val opts = (Test / javaOptions).value.toVector
+  val tests = (Test / definedTests).value.sortBy(_.name)
+  tests.zipWithIndex.groupBy(_._2 % groups).toSeq.sortBy(_._1).map {
+    case (i, ts) =>
+      Tests.Group(s"graft-tests-$i", ts.map(_._1),
+        Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  }
+}

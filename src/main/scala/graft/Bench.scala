@@ -74,6 +74,15 @@ object Bench {
       // trick.
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // AQE coalescing keeps its parallelism-first default. Bytes-first
+      // coalescing (parallelismFirst=false, the Spark docs' general
+      // recommendation) was MEASURED and REJECTED here
+      // (bench/BENCH_local_r18_aqe32.json): this library's reduce
+      // stages are CPU-dense per byte (rank spines, quantile
+      // refinement, index builds), so sizing them by bytes collapses
+      // them to 1 task — cold 215→385 s (+79%), warm 109.5→122 s.
+      // Same lesson as the loader's two-regime split (change 1,
+      // OPTIMIZATION_r18.md).
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
