@@ -68,10 +68,31 @@ Global / concurrentRestrictions := Seq(
 Test / testGrouping := {
   val groups = sys.env.getOrElse("SPARK_GRAFT_TEST_JVMS", "6").toInt
   val opts = (Test / javaOptions).value.toVector
-  val tests = (Test / definedTests).value.sortBy(_.name)
-  tests.zipWithIndex.groupBy(_._2 % groups).toSeq.sortBy(_._1).map {
-    case (i, ts) =>
-      Tests.Group(s"graft-tests-$i", ts.map(_._1),
-        Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
+  // Measured serial per-suite seconds (r18, quiet host) — suite wall
+  // is bounded by the slowest group, and the distribution is heavily
+  // skewed (266 s … <10 s), so suites greedy-pack into the least-
+  // loaded group by weight instead of round-robin. Unlisted/new
+  // suites default to 15 s; weights only steer packing, correctness
+  // never depends on them.
+  val w = Map(
+    "graft.GraftExtensionsSpec" -> 266, "graft.StreamingAbSpec" -> 172,
+    "graft.StreamingSpec" -> 165, "graft.SimilaritySpec" -> 157,
+    "graft.RegistryLintSpec" -> 96, "graft.ProfileOpsSpec" -> 74,
+    "graft.StreamingSketchSpec" -> 65, "graft.StateStoreSpec" -> 62,
+    "graft.CdcApplySpec" -> 56, "graft.VarOptSketchSpec" -> 42,
+    "graft.EventOpsSpec" -> 38, "graft.StatsOpsSpec" -> 26,
+    "graft.DedupOpsSpec" -> 26, "graft.CurationSpec" -> 23,
+    "graft.ReferenceOpsSpec" -> 21, "graft.HoltForecastSpec" -> 20,
+    "graft.SketchRobustnessSpec" -> 18)
+  val tests = (Test / definedTests).value
+    .sortBy(t => (-w.getOrElse(t.name, 15), t.name))
+  val bins = Array.fill(groups)(0)
+  tests.map { t =>
+    val i = bins.indexOf(bins.min)
+    bins(i) += w.getOrElse(t.name, 15)
+    (i, t)
+  }.groupBy(_._1).toSeq.sortBy(_._1).map { case (i, ts) =>
+    Tests.Group(s"graft-tests-$i", ts.map(_._2),
+      Tests.SubProcess(ForkOptions().withRunJVMOptions(opts)))
   }
 }
